@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated star-schema testdata
+  * (see /root/repo/TESTDATA.md). One parquet file per table.
+  *
+  * All operators take a `sfDir` (e.g. /root/testdata/sf0.01) so the same
+  * code runs at every scale factor; at cluster scale the paths would be
+  * directories of many files and nothing here changes.
+  */
+object Tables {
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
+    // the legacy long mapping; `ts` is therefore a bigint of epoch-nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+
+  /** events.ts (epoch nanos, bigint) → epoch seconds, bigint. */
+  def tsEpochSeconds: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("ts DIV 1000000000")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}

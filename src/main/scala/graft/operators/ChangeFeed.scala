@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** CDC change-feed emulation (S1/J1/T3/A4/W1).
+  *
+  * The reference's SQL trigger delivers batches of *current-row states* for
+  * changed PKs — "not a change log; rather ... the current state of changed
+  * rows" (/root/reference/README.md:5), produced by the change-tracking
+  * infrastructure joining change versions back to the base table
+  * (README.md:19-23).
+  *
+  * Spark-first shape: a change feed between two snapshots is a full-outer
+  * join on the PK —
+  *   - PK only in new  → Insert (payload = new row)
+  *   - PK only in old  → Delete (payload = old row's key)
+  *   - PK in both, any non-key column differs → Update (payload = new row)
+  *   - identical → no change (dropped)
+  * The join shuffles both sides by PK once; at 100 TB both snapshots are
+  * typically partitioned/bucketed by PK already, so the exchange is avoided
+  * or at worst a single co-partitioned sort-merge join. No driver-side state.
+  */
+object ChangeFeed {
+
+  val OpInsert = "Insert"
+  val OpUpdate = "Update"
+  val OpDelete = "Delete"
+
+  /** Snapshot diff → change batch with schema
+    * `(Operation string, <pk cols>, <non-pk cols from the NEW snapshot;
+    *   null for deletes>)`.
+    * Both inputs must share a schema.
+    */
+  def diff(oldSnap: DataFrame, newSnap: DataFrame, pk: Seq[String]): DataFrame = {
+    val dataCols = oldSnap.columns.filterNot(pk.contains).toSeq
+    val o = oldSnap.select(oldSnap.columns.map(c => col(c).as(s"old_$c")).toIndexedSeq: _*)
+    val n = newSnap.select(newSnap.columns.map(c => col(c).as(s"new_$c")).toIndexedSeq: _*)
+    val joinCond = pk.map(k => o(s"old_$k") === n(s"new_$k")).reduce(_ && _)
+    val joined = o.join(n, joinCond, "full_outer")
+
+    val newPresent = col(s"new_${pk.head}").isNotNull
+    val oldPresent = col(s"old_${pk.head}").isNotNull
+    val anyDiff: Column =
+      if (dataCols.isEmpty) lit(false)
+      else dataCols
+        .map(c => !(col(s"new_$c") <=> col(s"old_$c")))
+        .reduce(_ || _)
+
+    val op = when(newPresent && !oldPresent, OpInsert)
+      .when(!newPresent && oldPresent, OpDelete)
+      .when(anyDiff, OpUpdate)
+
+    val keyCols = pk.map(k => coalesce(col(s"new_$k"), col(s"old_$k")).as(k))
+    val payload = dataCols.map(c => col(s"new_$c").as(c))
+    joined
+      .select((op.as("Operation") +: (keyCols ++ payload)).toIndexedSeq: _*)
+      .filter(col("Operation").isNotNull)
+  }
+
+  /** A4/W1/T3 — dedup-to-latest per key: at most one (latest by `version`)
+    * row per PK, the delivery compaction semantics of README.md:5.
+    *
+    * Implemented as `row_number` over a PK window. A single hash
+    * exchange on the PK; at scale this is the canonical Spark latest-state
+    * pattern (no driver materialization, spills cleanly).
+    * Ties on `version` break by the remaining sort `tieBreak` columns so the
+    * result is deterministic.
+    */
+  def dedupLatest(df: DataFrame, pk: Seq[String], version: String,
+                  tieBreak: Seq[String] = Seq.empty): DataFrame = {
+    val order = (desc(version) +: tieBreak.map(desc)).toIndexedSeq
+    val w = Window.partitionBy(pk.map(col).toIndexedSeq: _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** S9/F17 — serialize a change batch to the reference's wire shape:
+    * one JSON object per row `{"Operation": ..., "Item": {...}}`
+    * (HttpPostAction.cs:36 serializes the whole batch; we keep one document
+    * per row so serialization stays distributed — the array assembly happens
+    * in the sink, per partition, never on the driver).
+    */
+  def toJsonPayload(changes: DataFrame): DataFrame = {
+    val itemCols = changes.columns.filterNot(_ == "Operation")
+    changes.select(
+      to_json(
+        struct(
+          col("Operation"),
+          struct(itemCols.map(col).toIndexedSeq: _*).as("Item")
+        )
+      ).as("payload"))
+  }
+}
