@@ -96,7 +96,9 @@ object CoreQueries {
       .filter(col("l_orderkey").between(100, 1099))
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // (l_orderkey, l_linenumber) is NOT unique in the testdata — include
+      // l_quantity for a total order.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
   /** P9 — purge predicate: created <= cutoff AND status IN (...). */
   def p9PurgePredicate(s: SparkSession, d: String): DataFrame =
@@ -178,7 +180,7 @@ object CoreQueries {
     "p8_range_predicate" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity
         |FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1099
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
     "p9_purge_predicate" ->
       """SELECT event_id, epoch_ms(ts) // 1000 AS created_epoch, event_type
         |FROM events
