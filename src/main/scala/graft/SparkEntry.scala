@@ -41,11 +41,15 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
-    graft.queries.RelQueries.queries
+    graft.queries.RelQueries.queries ++
+    graft.queries.ScalarQueries.queries ++
+    graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
-    graft.queries.RelQueries.oracle
+    graft.queries.RelQueries.oracle ++
+    graft.queries.ScalarQueries.oracle ++
+    graft.queries.StreamQueries.oracle
 }
