@@ -43,7 +43,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
     graft.queries.RelQueries.queries ++
     graft.queries.ScalarQueries.queries ++
-    graft.queries.StreamQueries.queries
+    graft.queries.StreamQueries.queries ++
+    graft.queries.ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -51,5 +52,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
     graft.queries.RelQueries.oracle ++
     graft.queries.ScalarQueries.oracle ++
-    graft.queries.StreamQueries.oracle
+    graft.queries.StreamQueries.oracle ++
+    graft.queries.ExtQueries.oracle
 }

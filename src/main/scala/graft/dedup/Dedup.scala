@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * shuffle-aware DataFrame transforms:
+  *
+  *  - exact: hash-groupBy on normalized content (one shuffle on the hash);
+  *  - MinHash + LSH: word-shingle signatures (salted-md5 min per salt),
+  *    banded into buckets, candidate pairs from an equi-join on
+  *    (band, bucket) — never an all-pairs product, so the candidate join
+  *    scales with bucket occupancy, not n²;
+  *  - SimHash: per-bit vote over token hashes → compact fingerprint,
+  *    near-dup candidates share a fingerprint prefix (prefix = LSH bucket);
+  *  - n-gram Jaccard: relational set-similarity via a shingle equi-join.
+  *
+  * Hash primitive: md5 hex strings, salted by component index — chosen
+  * because it is bit-identical across engines (the DuckDB oracles reproduce
+  * every signature), at the cost of ~2× the speed of xxhash64. Swap
+  * `saltedHash` to xxhash64 for production if cross-engine parity is not
+  * required.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical content hash + deterministic survivor (min id).
+    * Returns (content_hash, survivor_id, n_dups). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .withColumn("content_hash", md5(trim(lower(col(textCol)))))
+      .groupBy(col("content_hash"))
+      .agg(min(col(idCol)).as("survivor_id"), count(lit(1)).as("n_dups"))
+
+  // ---------------- MinHash + LSH ----------------
+
+  /** Word w-shingles of a token array: slice windows joined by spaces.
+    * Docs shorter than w tokens yield one (truncated) shingle — NOT zero —
+    * because sequence(1, n) with n < 1 would produce a DESCENDING sequence
+    * in Spark; the floor at 1 also keeps short docs dedupable. */
+  def shingles(toks: Column, w: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
+      i => array_join(slice(toks, i, lit(w)), " "))
+
+  def saltedHash(salt: Int, value: Column): Column =
+    md5(concat(lit(s"$salt|"), value))
+
+  /** MinHash signatures: one row per doc, columns h0..h{k-1}. Docs with no
+    * shingles (fewer than w tokens) drop out, mirroring the oracle. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleWidth: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
+    val aggs = (0 until k).map(i => min(saltedHash(i, col("sh"))).as(s"h$i"))
+    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band_idx, band_key) — band_key hashes `rows`
+    * consecutive signature components. */
+  def lshBands(sigs: DataFrame, k: Int, rows: Int): DataFrame = {
+    val nBands = k / rows
+    val bandKeys = (0 until nBands).map { b =>
+      md5(concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band_idx, band_key), then the
+    * signature-agreement estimate of Jaccard similarity.
+    * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
+  def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, shingleWidth: Int = 3, bandRows: Int = 2,
+                        minEst: Double = 0.0): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth)
+    val bands = lshBands(sigs, k, bandRows)
+    val pairs = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c").toIndexedSeq: _*)
+    val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c").toIndexedSeq: _*)
+    val matches = (0 until k)
+      .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  // ---------------- SimHash ----------------
+
+  /** SimHash fingerprint over `bits` bit positions: bit j votes +1 when hex
+    * digit j of md5(token) has its high bit set ('8'..'f'), else -1; the
+    * fingerprint concatenates the vote signs. Returns (doc_id, simhash). */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              bits: Int = 16): DataFrame = {
+    val exploded = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), " ")).as("tok"))
+      .withColumn("th", md5(col("tok")))
+    val votes = (0 until bits).map { j =>
+      sum(when(substring(col("th"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until bits).map(j => when(col(s"v$j") >= 0, "1").otherwise("0")): _*)
+          .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates share the first `prefixBits` bits
+    * (the LSH prefilter), ranked by full hamming distance. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(docs, idCol, textCol, bits)
+    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+      substring(col("simhash"), 1, prefixBits).as("bucket"))
+    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+      substring(col("simhash"), 1, prefixBits).as("bucket"))
+    val hamming = (1 to bits)
+      .map(j => when(substring(col("sh_a"), j, 1) =!= substring(col("sh_b"), j, 1), 1).otherwise(0))
+      .reduce(_ + _)
+    a.join(b, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ---------------- n-gram Jaccard ----------------
+
+  /** Exact Jaccard similarity over distinct word w-shingles, computed
+    * relationally (shingle equi-join → per-pair intersection counts), so the
+    * work scales with shared-shingle frequency rather than n² pairs.
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ `minJaccard`. */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int = 3, minJaccard: Double = 0.1): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    val docShingles = docs
+      .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
+      .distinct()
+    val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = docShingles.as("a")
+      .join(docShingles.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

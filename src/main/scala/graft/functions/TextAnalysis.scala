@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, token counting, language ID (stopword n-gram heuristic),
+  * quality scoring, and document fingerprinting (polynomial rolling hash).
+  *
+  * Everything is a pure column expression (whole-stage codegen, no UDFs),
+  * so these run at full scan speed over 100 TB of documents. The arithmetic
+  * constants are exposed so the DuckDB oracles can interpolate the exact
+  * same numbers.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization (single-space normalized). */
+  def tokens(text: Column): Column = split(trim(text), " ")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** BPE-ish subword count: runs of letters, runs of digits, and lone
+    * non-alnum symbols each count as one token (a common pre-tokenizer
+    * approximation when no trained BPE vocab is available). */
+  def subwordCount(text: Column): Column =
+    (regexp_count(text, lit("[a-zA-Z]+")) +
+      regexp_count(text, lit("[0-9]+")) +
+      regexp_count(text, lit("[^a-zA-Z0-9\\s]"))).cast("long")
+
+  /** Stopword lists used by the language-ID heuristic (tiny embedded lists;
+    * a real deployment would broadcast a larger lexicon). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "and", "of", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "est"))
+
+  /** Per-language stopword hit count over the token array. */
+  def stopwordHits(toks: Column, lang: String): Column =
+    size(array_intersect_keepdups(toks, stopwords(lang)))
+
+  // array_intersect dedups; we want hit counts, so filter instead.
+  private def array_intersect_keepdups(toks: Column, words: Seq[String]): Column =
+    filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))
+
+  /** Language ID: argmax of stopword hit rate; deterministic alphabetical
+    * tie-break; "und" (undetermined) when no stopwords hit at all. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(toks, l)))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+  // NOTE: foldRight + `when` chain means the FIRST alphabetical language
+  // matching the max wins — mirror with CASE in the same order in SQL.
+
+  /** Quality signals + a composite score in [0,1]:
+    * length score (saturating at 500 chars), mean word length sanity,
+    * alpha ratio, stopword ratio. Weights are part of the public contract. */
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val toks = tokens(text)
+    val nToks = size(toks).cast("double")
+    val alpha = regexp_count(text, lit("[a-zA-Z]")).cast("double")
+    val stopHits = stopwords.values.flatten.toSeq.distinct
+      .foldLeft(lit(0): Column)((acc, w) => acc + size(filter(toks, t => t === lit(w))))
+    val lenScore = least(nChars / 500.0, lit(1.0))
+    val alphaRatio = alpha / greatest(nChars, lit(1.0))
+    val stopRatio = least(stopHits.cast("double") * 4.0 / greatest(nToks, lit(1.0)), lit(1.0))
+    round(lenScore * 0.3 + alphaRatio * 0.4 + stopRatio * 0.3, 6)
+  }
+
+  /** Rolling-hash fingerprint constants: H = Σ (v_i · B^(i mod 8)) mod M,
+    * v_i = 131·len(tok_i) + ascii(first char). */
+  val FpBase = 131L
+  val FpMod: Long = (1L << 31) - 1
+  val FpPowers: Seq[Long] =
+    Iterator.iterate(1L)(p => p * FpBase % FpMod).take(8).toSeq
+
+  /** Per-token term of the rolling hash, given token and 0-based position. */
+  def fpTerm(tok: Column, pos: Column): Column = {
+    val v = length(tok).cast("long") * FpBase + ascii(substring(tok, 1, 1)).cast("long")
+    val power = FpPowers.zipWithIndex.foldRight(lit(1L): Column) {
+      case ((p, i), acc) => when(pos % 8 === i, lit(p)).otherwise(acc)
+    }
+    (v * power) % FpMod
+  }
+}

@@ -1,0 +1,101 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns
+  * with typed metadata, plus decode / feature-extract / resize / frame-sample
+  * stages.
+  *
+  * The container has no media codecs, so the decode step is a STUB — a
+  * deterministic fake that derives "pixels" from the content bytes — but the
+  * Spark-side plumbing is real and is what matters at scale: binary columns
+  * ride Parquet as-is, metadata travels in a typed struct, and per-record
+  * decoding runs via `mapPartitions` over a typed Dataset so a real codec
+  * (JNI or subprocess) could be swapped in without touching the plan shape.
+  * Batches inside a partition are processed in fixed-size chunks to mirror
+  * the arrow-batch shape a vectorized (e.g. pandas-based) UDF would see.
+  */
+object Multimodal {
+
+  /** A media record: opaque content + typed metadata. */
+  case class MediaRecord(
+      media_id: Long,
+      media_type: String,   // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      content: Array[Byte])
+
+  /** Deterministic fake "decoded" features for one record. */
+  case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      mean_byte: Double,   // stand-in for mean pixel/sample value
+      n_frames: Int)       // stand-in for frame count
+
+  /** Batch size mirroring a vectorized-UDF arrow batch. */
+  val DecodeBatchSize = 64
+
+  /** Wrap a text table as a media table (test fixture path: utf-8 bytes play
+    * the role of image bytes; media_type/width/height synthesized). */
+  def synthesizeMedia(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("media_type"),
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        encode(col("text"), "utf-8").as("content"))
+      .as[MediaRecord]
+  }
+
+  /** STUB decode: a real implementation would hand `content` to a codec.
+    * This deterministic fake treats bytes as samples. */
+  private def decodeOne(r: MediaRecord): MediaFeatures = {
+    val bytes = r.content
+    val mean =
+      if (bytes.isEmpty) 0.0
+      else bytes.map(b => (b & 0xff).toDouble).sum / bytes.length
+    val frames = r.media_type match {
+      case "video" => math.max(bytes.length / 256, 1)
+      case "audio" => math.max(bytes.length / 1024, 1)
+      case _       => 1
+    }
+    MediaFeatures(r.media_id, r.media_type, bytes.length.toLong, mean, frames)
+  }
+
+  /** Decode/feature-extract over fixed-size in-partition batches. The
+    * `grouped(DecodeBatchSize)` shape is where a vectorized decoder would
+    * receive its batch; per-record map inside is the stub. */
+  def decodeFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(DecodeBatchSize).flatMap(batch => batch.map(decodeOne))
+    }
+  }
+
+  /** Frame sampling: every `everyN`-th 256-byte block as a "frame" payload.
+    * Returns (media_id, frame_idx, frame_bytes). Pure column ops — the
+    * slicing happens distributed, nothing decodes on the driver. */
+  def sampleFrames(media: Dataset[MediaRecord], everyN: Int): DataFrame =
+    media.toDF()
+      .withColumn("n_frames", greatest(ceil(length(col("content")) / lit(256.0)), lit(1)).cast("int"))
+      .select(col("media_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("content"))
+      .filter(col("frame_idx") % everyN === 0)
+      .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"),
+        col("content").substr(col("frame_idx") * 256 + 1, lit(256)).as("frame_bytes"))
+
+  /** Resize stub: metadata-only transform (a real resize would re-encode
+    * content; the plan shape — narrow map, no shuffle — is identical). */
+  def resize(media: Dataset[MediaRecord], w: Int, h: Int): Dataset[MediaRecord] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map(r => r.copy(width = w, height = h))
+  }
+}

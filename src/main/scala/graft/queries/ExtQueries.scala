@@ -1,0 +1,355 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.TextAnalysis
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** [E] LLM-data-pipeline operators (SURVEY.md §2, BASELINE.json north star):
+  * dedup (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding cosine),
+  * similarity search (brute-force + LSH-bucketed ANN), text analysis
+  * (lang-ID / quality / token counts / fingerprint), multimodal metadata.
+  *
+  * The DuckDB oracles are GENERATED from the same constants as the Spark
+  * code (salt count, band layout, hash formulas), so algorithm and oracle
+  * cannot drift apart.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 12          // minhash salts
+  private val W = 3           // shingle width (words)
+  private val BandRows = 2    // signature rows per LSH band
+  private val SimBits = 16    // simhash bits
+  private val SimPrefix = 8   // simhash bucket prefix
+  private val AnnDims = Seq(0, 8, 16, 24)
+
+  // ---------------- Spark side ----------------
+
+  def eDedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("content_hash")
+
+  def eDedupMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = K, shingleWidth = W, bandRows = BandRows)
+      .orderBy("doc_a", "doc_b")
+
+  def eDedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimBits)
+      .orderBy("doc_id")
+
+  def eSimhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        SimBits, SimPrefix, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  def eNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+        shingleWidth = W, minJaccard = 0.1)
+      .orderBy("doc_a", "doc_b")
+
+  def eCosineTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0, k = 5)
+      .orderBy("query_id", "rank")
+
+  def eAnnLshTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
+      .orderBy("query_id", "rank")
+
+  def eCosineNeardup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d).filter(col("vec_id") < 300),
+        "vec_id", "embedding", threshold = 0.2)
+      .orderBy("id_a", "id_b")
+
+  def eTextLangid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("labeled"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+      .withColumn("matches_label", col("predicted") === col("labeled"))
+      .orderBy("doc_id")
+
+  def eTextQuality(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.qualityScore(col("text")).as("quality_score"))
+      .orderBy("doc_id")
+
+  def eTokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens"),
+        TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
+      .orderBy("doc_id")
+
+  def eFingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "tok")))
+    toks
+      .withColumn("term", TextAnalysis.fpTerm(col("tok"), col("pos")))
+      .groupBy("doc_id")
+      .agg((sum(col("term")) % TextAnalysis.FpMod).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        encode(col("text"), "utf-8").as("content"))
+      .select(col("doc_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+      .orderBy("doc_id")
+
+  // ---------------- generated DuckDB oracles ----------------
+
+  /** tokens CTE fragment. */
+  private val toksCte =
+    "toks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents)"
+
+  /** shingle CTE: same floor-at-one-shingle semantics as Dedup.shingles. */
+  private def shCte(distinct: Boolean) = {
+    val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
+    s"""sh AS ($sel doc_id, unnest(list_transform(range(1, greatest(len(t) - ${W - 1}, 1) + 1),
+       |  i -> array_to_string(t[i:i+${W - 1}], ' '))) AS sh FROM toks)""".stripMargin
+  }
+
+  private val sigsCte = {
+    val mins = (0 until K).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    s"sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+  }
+
+  private val bandsCte = {
+    val nBands = K / BandRows
+    val parts = (0 until nBands).map { b =>
+      val key = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sigs"
+    }
+    s"bands AS (${parts.mkString(" UNION ALL ")})"
+  }
+
+  private val minhashOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |SELECT p.doc_a, p.doc_b, round(($matchSum) / $K.0, 6) AS est_jaccard
+       |FROM pairs p
+       |JOIN sigs sa ON p.doc_a = sa.doc_id
+       |JOIN sigs sb ON p.doc_b = sb.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val simhashVotes = (0 until SimBits).map { j =>
+    s"sum(CASE WHEN substring(th, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j"
+  }.mkString(",\n  ")
+
+  private val simhashBitsExpr = (0 until SimBits)
+    .map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+
+  private val simhashFpCtes =
+    s"""tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok FROM documents),
+       |h AS (SELECT doc_id, md5(tok) AS th FROM tok),
+       |v AS (SELECT doc_id,
+       |  $simhashVotes
+       |FROM h GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $simhashBitsExpr AS simhash FROM v)""".stripMargin
+
+  private val simhashOracle =
+    s"""WITH $simhashFpCtes
+       |SELECT doc_id, simhash FROM fp ORDER BY doc_id""".stripMargin
+
+  private val simhashPairsOracle = {
+    val hamming = (1 to SimBits)
+      .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $simhashFpCtes
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($hamming AS BIGINT) AS hamming
+       |FROM fp a JOIN fp b
+       |  ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       | AND a.doc_id < b.doc_id
+       |WHERE $hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val jaccardOracle =
+    s"""WITH $toksCte,
+       |${shCte(distinct = true)},
+       |cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN cnts na ON na.doc_id = doc_a
+       |JOIN cnts nb ON nb.doc_id = doc_b
+       |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.1
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** element/norm CTEs shared by the cosine oracles. */
+  private val embCtes =
+    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id)""".stripMargin
+
+  private def cosineTopkOracle(k: Int, bucketJoin: Boolean): String = {
+    val bucketExpr = AnnDims
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val bucketCtes =
+      if (!bucketJoin) ""
+      else s""",
+        |buckets AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings)""".stripMargin
+    val bucketCond =
+      if (!bucketJoin) ""
+      else " AND bq.bucket = bc.bucket"
+    val bucketJoins =
+      if (!bucketJoin) ""
+      else
+        """
+          |  JOIN buckets bq ON bq.vec_id = q.vec_id
+          |  JOIN buckets bc ON bc.vec_id = e.vec_id""".stripMargin
+    s"""WITH $embCtes$bucketCtes,
+       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+       |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
+       |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id$bucketJoins
+       |  WHERE 1 = 1$bucketCond
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, rank
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  private val neardupOracle =
+    s"""WITH eemb AS (SELECT * FROM embeddings WHERE vec_id < 300),
+       |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM eemb),
+       |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+       |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
+       |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+       |FROM dots
+       |JOIN norms na ON na.vec_id = id_a
+       |JOIN norms nb ON nb.vec_id = id_b
+       |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  private val langidOracle = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH ltoks AS (SELECT doc_id, lang, str_split(trim(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM ltoks),
+       |scored AS (SELECT *, $mExpr AS m FROM sc)
+       |SELECT doc_id, lang AS labeled,
+       |  CASE $caseArms ELSE 'und' END AS predicted,
+       |  (CASE $caseArms ELSE 'und' END) = lang AS matches_label
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private val qualityOracle = {
+    val allStops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH $toksCte
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS n_chars,
+       |  CAST(len(t) AS BIGINT) AS n_tokens,
+       |  round(
+       |    least(length(text) / 500.0, 1.0) * 0.3
+       |    + (len(regexp_extract_all(text, '[a-zA-Z]')) / greatest(length(text), 1)) * 0.4
+       |    + least(len(list_filter(t, x -> x IN ($allStops))) * 4.0 / greatest(len(t), 1), 1.0) * 0.3,
+       |  6) AS quality_score
+       |FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val fingerprintOracle = {
+    val powCase = TextAnalysis.FpPowers.zipWithIndex
+      .map { case (p, i) => s"WHEN $i THEN $p" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id,
+       |    unnest(str_split(trim(text), ' ')) AS tok,
+       |    generate_subscripts(str_split(trim(text), ' '), 1) - 1 AS pos
+       |  FROM documents),
+       |terms AS (SELECT doc_id,
+       |    ((${TextAnalysis.FpBase} * length(tok) + ascii(substring(tok, 1, 1)))
+       |      * (CASE pos % 8 $powCase END)) % ${TextAnalysis.FpMod} AS term
+       |  FROM t)
+       |SELECT doc_id, CAST(sum(term) % ${TextAnalysis.FpMod} AS BIGINT) AS fingerprint
+       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e_dedup_exact" -> (eDedupExact _),
+    "e_dedup_minhash_lsh" -> (eDedupMinhash _),
+    "e_dedup_simhash" -> (eDedupSimhash _),
+    "e_simhash_pairs" -> (eSimhashPairs _),
+    "e_ngram_jaccard" -> (eNgramJaccard _),
+    "e_cosine_topk" -> (eCosineTopk _),
+    "e_ann_lsh_topk" -> (eAnnLshTopk _),
+    "e_cosine_neardup" -> (eCosineNeardup _),
+    "e_text_langid" -> (eTextLangid _),
+    "e_text_quality" -> (eTextQuality _),
+    "e_token_count" -> (eTokenCount _),
+    "e_fingerprint" -> (eFingerprint _),
+    "e_multimodal_meta" -> (eMultimodalMeta _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "e_dedup_exact" ->
+      """SELECT md5(trim(lower(text))) AS content_hash,
+        |       min(doc_id) AS survivor_id,
+        |       CAST(count(*) AS BIGINT) AS n_dups
+        |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
+    "e_dedup_minhash_lsh" -> minhashOracle,
+    "e_dedup_simhash" -> simhashOracle,
+    "e_simhash_pairs" -> simhashPairsOracle,
+    "e_ngram_jaccard" -> jaccardOracle,
+    "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
+    "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
+    "e_cosine_neardup" -> neardupOracle,
+    "e_text_langid" -> langidOracle,
+    "e_text_quality" -> qualityOracle,
+    "e_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+'))
+        |    + len(regexp_extract_all(text, '[0-9]+'))
+        |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS subword_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_fingerprint" -> fingerprintOracle,
+    "e_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS content_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,89 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * The arrays stay packed end-to-end: dot products and norms use
+  * `zip_with` + `aggregate` (sequential fold, codegen'd) rather than
+  * exploding to one-row-per-dimension — a 64× row-count saving that is the
+  * difference between a shuffle of vectors and a shuffle of elements at
+  * 100 TB. Elements are cast to double before any arithmetic so results are
+  * deterministic and engine-comparable.
+  *
+  *  - brute-force: query-set × corpus block product (broadcast the query
+  *    side), per-query top-k via window;
+  *  - LSH-bucketed: sign-bit bucket on fixed dims prunes the corpus per
+  *    query (an IVF-style coarse quantization with deterministic planes).
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ as a sequential fold (deterministic order). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k. `isQuery` marks the query subset; every query
+    * is scored against the whole corpus (minus itself).
+    * Returns (query_id, neighbor_id, cosine_sim, rank), rank 1..k.
+    * Ranking uses the ROUNDED cosine (6 dp) with id tie-break so the order
+    * is reproducible across engines and runs. */
+  def bruteForceTopK(vecs: DataFrame, idCol: String, embCol: String,
+                     isQuery: Column, k: Int): DataFrame = {
+    val queries = vecs.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+    val corpus = vecs
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+    val scored = broadcast(queries).crossJoin(corpus)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic sign-bit bucket over `dims` (IVF-style coarse cells):
+    * bit d = 1 iff embedding[d] >= 0. */
+  def signBucket(emb: Column, dims: Seq[Int]): Column =
+    concat(dims.map(i => when(element_at(emb, i + 1) >= 0f, "1").otherwise("0")): _*)
+
+  /** LSH-bucketed ANN top-k: queries only score corpus vectors in the same
+    * sign bucket. Recall < 1 by construction; the bucket fan-out is the
+    * scale knob (more dims → smaller cells → faster, lower recall). */
+  def lshTopK(vecs: DataFrame, idCol: String, embCol: String,
+              isQuery: Column, k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24)): DataFrame = {
+    val bucketed = vecs.withColumn("bucket", signBucket(col(embCol), dims))
+    val queries = bucketed.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("bucket"))
+    val corpus = bucketed
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("bucket"))
+    val scored = broadcast(queries).join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_emb"), col("c_emb")), 6).as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold (a<b, deduped). */
+  def cosineNearDupPairs(vecs: DataFrame, idCol: String, embCol: String,
+                         threshold: Double): DataFrame = {
+    val a = vecs.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    a.crossJoin(b)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cosine_sim"))
+      .filter(col("cosine_sim") >= threshold)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+      (3L, "the quick brown fox jumps over the sleepy dog"), // near dup of 1
+      (4L, "completely different content about spark engines"),
+      (5L, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG")    // case-variant of 1
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups case-insensitive identical docs, min-id survivor") {
+    import spark.implicits._
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("survivor_id")
+      .as[(String, Long, Long)].collect()
+    assert(r.length == 3)
+    val bySurvivor = r.map(t => t._2 -> t._3).toMap
+    assert(bySurvivor(1L) == 3)   // docs 1, 2, 5 collapse
+    assert(bySurvivor(3L) == 1)
+    assert(bySurvivor(4L) == 1)
+  }
+
+  test("shingles: w-grams; short docs floor at one truncated shingle") {
+    import spark.implicits._
+    val r = Seq((1L, "a b c d"), (2L, "a b")).toDF("doc_id", "text")
+      .select(col("doc_id"), Dedup.shingles(split(col("text"), " "), 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(r(1L) == Seq("a b c", "b c d"))
+    assert(r(2L) == Seq("a b"))
+  }
+
+  test("minhash LSH finds the near-dup pair and the exact pair") {
+    import spark.implicits._
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact dups must share all bands")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup should collide in at least one band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "unrelated doc must not pair")
+  }
+
+  test("minhash est_jaccard is 1.0 for identical docs") {
+    import spark.implicits._
+    val est = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .filter(col("doc_a") === 1 && col("doc_b") === 2)
+      .select("est_jaccard").as[Double].head()
+    assert(est == 1.0)
+  }
+
+  test("simhash: identical docs identical fingerprints; near dups close") {
+    import spark.implicits._
+    val fp = Dedup.simhash(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L).length == 16 && fp(1L).forall(c => c == '0' || c == '1'))
+    val hamming = fp(1L).zip(fp(3L)).count { case (a, b) => a != b }
+    assert(hamming <= 6, s"near-dup hamming was $hamming")
+  }
+
+  test("ngram jaccard: exact dup = 1.0; near dup in (0,1); unrelated absent") {
+    import spark.implicits._
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", minJaccard = 0.05)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
+    assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+}

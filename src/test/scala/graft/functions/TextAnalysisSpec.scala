@@ -1,0 +1,58 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  test("token and subword counts") {
+    import spark.implicits._
+    val r = Seq(("the quick brown fox", "a1b2 c-d!")).toDF("t1", "t2")
+      .select(
+        TextAnalysis.tokenCount(col("t1")).as("ws"),
+        TextAnalysis.subwordCount(col("t2")).as("sub"))
+      .as[(Long, Long)].head()
+    assert(r._1 == 4)
+    // a1b2 c-d! -> letters: a,b,c,d (4 runs) digits: 1,2 (2) symbols: -,! (2)
+    assert(r._2 == 8)
+  }
+
+  test("langId picks the stopword-dominant language, und when none") {
+    import spark.implicits._
+    val r = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("el gato y la casa de que en", "es"),
+      ("der hund und die katze ist ein", "de"),
+      ("xyzzy plugh quux", "und")
+    ).toDF("text", "expected")
+      .select(TextAnalysis.langId(col("text")).as("got"), col("expected"))
+      .as[(String, String)].collect()
+    r.foreach { case (got, exp) => assert(got == exp, s"expected $exp got $got") }
+  }
+
+  test("quality score is in [0,1] and favors stopword-rich natural text") {
+    import spark.implicits._
+    val r = Seq(
+      ("the quick brown fox and the lazy dog of the town in a field", "nat"),
+      ("zzzz qqqq kkkk", "junk")
+    ).toDF("text", "kind")
+      .select(col("kind"), TextAnalysis.qualityScore(col("text")).as("q"))
+      .as[(String, Double)].collect().toMap
+    assert(r.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(r("nat") > r("junk"))
+  }
+
+  test("fingerprint: deterministic, order-sensitive, stable constants") {
+    import spark.implicits._
+    def fp(text: String): Long =
+      Seq((1L, text)).toDF("doc_id", "text")
+        .select(col("doc_id"), posexplode(split(trim(col("text")), " ")).as(Seq("pos", "tok")))
+        .withColumn("term", TextAnalysis.fpTerm(col("tok"), col("pos")))
+        .groupBy("doc_id").agg((sum(col("term")) % TextAnalysis.FpMod).as("f"))
+        .select("f").as[Long].head()
+    assert(fp("a b c") == fp("a b c"))
+    assert(fp("a b c") != fp("c b a"), "rolling hash must be order-sensitive")
+    assert(TextAnalysis.FpPowers.head == 1L)
+    assert(TextAnalysis.FpPowers(1) == TextAnalysis.FpBase)
+  }
+}

@@ -1,0 +1,61 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs = {
+    import spark.implicits._
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),    // close to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),    // orthogonal to 0
+      (3L, Array(-1.0f, 0.0f, 0.0f)),   // opposite of 0
+      (4L, Array(1.0f, 0.05f, 0.0f))    // closest to 0
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("dot / norm / cosine expressions") {
+    import spark.implicits._
+    val r = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+      .select(
+        Similarity.dot(col("a"), col("b")).as("d"),
+        Similarity.norm(col("a")).as("n"),
+        round(Similarity.cosine(col("a"), col("a")), 9).as("self"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 11.0)
+    assert(math.abs(r._2 - math.sqrt(5)) < 1e-12)
+    assert(r._3 == 1.0)
+  }
+
+  test("brute-force top-k ranks by cosine, excludes self") {
+    import spark.implicits._
+    val r = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+        isQuery = col("vec_id") === 0, k = 3)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSeq
+    assert(r.map(_._1) == Seq(4L, 1L, 2L), s"got $r")
+  }
+
+  test("sign bucket groups same-orthant vectors; lsh top-k searches within bucket") {
+    import spark.implicits._
+    val b = vecs.select(col("vec_id"),
+        Similarity.signBucket(col("embedding"), Seq(0, 1)).as("bucket"))
+      .as[(Long, String)].collect().toMap
+    assert(b(0L) == b(1L) && b(0L) == b(4L))
+    assert(b(2L) == b(0L), "zero components count as non-negative sign")
+    assert(b(3L) != b(0L))
+    val r = Similarity.lshTopK(vecs, "vec_id", "embedding",
+        isQuery = col("vec_id") === 0, k = 5, dims = Seq(0, 1))
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(r == Set(1L, 2L, 4L), "opposite-orthant vec 3 must be pruned by the bucket")
+  }
+
+  test("near-dup pairs above threshold") {
+    import spark.implicits._
+    val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 4L)))
+    assert(!pairs.contains((0L, 2L)))
+  }
+}
