@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm the session (Hadoop FS init, codegen compiler, parquet footers)
+    // so per-query timings measure the queries, not JVM startup.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -36,14 +36,20 @@ object Similarity {
     * is reproducible across engines and runs. */
   def bruteForceTopK(vecs: DataFrame, idCol: String, embCol: String,
                      isQuery: Column, k: Int): DataFrame = {
+    // Norms are computed ONCE per vector, not per pair: zip_with/aggregate
+    // are interpreted (non-codegen) expressions, so the per-pair work must
+    // be exactly one dot product.
     val queries = vecs.filter(isQuery)
-      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        norm(col(embCol)).as("q_norm"))
     val corpus = vecs
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_norm"))
     val scored = broadcast(queries).crossJoin(corpus)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cosine_sim"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -62,13 +68,16 @@ object Similarity {
               isQuery: Column, k: Int, dims: Seq[Int] = Seq(0, 8, 16, 24)): DataFrame = {
     val bucketed = vecs.withColumn("bucket", signBucket(col(embCol), dims))
     val queries = bucketed.filter(isQuery)
-      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"), col("bucket"))
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        norm(col(embCol)).as("q_norm"), col("bucket"))
     val corpus = bucketed
-      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"), col("bucket"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_norm"), col("bucket"))
     val scored = broadcast(queries).join(corpus, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_emb"), col("c_emb")), 6).as("cosine_sim"))
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine_sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -78,12 +87,15 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine ≥ threshold (a<b, deduped). */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, embCol: String,
                          threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(embCol).as("emb_a"))
-    val b = vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b"))
+    val a = vecs.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
+      norm(col(embCol)).as("norm_a"))
+    val b = vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
+      norm(col(embCol)).as("norm_b"))
     a.crossJoin(b)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("emb_a"), col("emb_b")), 6).as("cosine_sim"))
+        round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6)
+          .as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
 }
