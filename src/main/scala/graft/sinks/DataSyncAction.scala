@@ -1,0 +1,110 @@
+package graft.sinks
+
+import graft.operators.{ChangeFeed, RetryPolicy}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The engine's sink-extension surface — the analogue of the reference's
+  * pluggable `IDataSyncAction.ExecuteAction(changes, params)`
+  * (/root/reference/ActionFunctions/IDataSyncAction.cs:6-9, injected at
+  * Program.cs:25-32): a whole-batch action invoked with the filtered change
+  * batch. */
+trait DataSyncAction {
+  def executeAction(changes: DataFrame, params: Map[String, String]): SinkOutcome
+}
+
+/** Outcome of a sink delivery. `retryable` follows the reference's status
+  * classification (HttpPostAction.cs:67-83); `error` carries the
+  * 500-char-truncated snippet (HttpPostAction.cs:60-63). */
+case class SinkOutcome(success: Boolean, status: Int, retryable: Boolean, error: String) {
+  /** The marker-string protocol the trigger helper parses
+    * (ExecuteTriggerHelper.cs:123-126). */
+  def markerString: String =
+    if (success) "" else (if (retryable) s"status=$status: $error" else s"retry=false status=$status: $error")
+}
+
+object SinkOutcome {
+  val ErrorSnippetChars = 500
+  def fromStatus(status: Int, body: String): SinkOutcome = {
+    val ok = status >= 200 && status < 300
+    val snippet = Option(body).getOrElse("").take(ErrorSnippetChars)
+    val snippetOr = if (snippet.isEmpty) "No error information" else snippet
+    SinkOutcome(ok, status, RetryPolicy.isRetryableStatus(status),
+      if (ok) "" else snippetOr)
+  }
+}
+
+/** HTTP JSON sink (S6 — HttpPostAction.cs:33-86): serialize the batch to the
+  * `[{Operation, Item}, ...]` wire shape and POST it.
+  *
+  * Spark-first shape: serialization happens distributed
+  * (`ChangeFeed.toJsonPayload`, one JSON document per row); each PARTITION
+  * posts one array document from its executor — the 100 TB path never moves
+  * the batch through the driver. The per-partition status rows come back as
+  * a DataFrame; the batch outcome is their worst status, matching the
+  * reference's single POST semantics (success only if every partition
+  * succeeded).
+  *
+  * The reference's 960 s timeout (HttpPostAction.cs:39 — code wins over the
+  * 60 s doc comment) is the default `timeoutMs`.
+  */
+class HttpPostAction(poster: HttpPostAction.Poster = HttpPostAction.javaHttpPoster)
+    extends DataSyncAction {
+
+  override def executeAction(changes: DataFrame, params: Map[String, String]): SinkOutcome = {
+    val url = params.getOrElse("baseUrl",
+      throw new IllegalArgumentException("baseUrl is required")) + params.getOrElse("route", "")
+    val timeoutMs = params.getOrElse("timeoutMs", "960000").toLong
+    val p = poster
+    val spark = changes.sparkSession
+    import spark.implicits._
+
+    val statuses = ChangeFeed.toJsonPayload(changes)
+      .as[String]
+      .mapPartitions { rows =>
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val doc = rows.mkString("[", ",", "]")
+          Iterator.single(p.post(url, doc, timeoutMs))
+        }
+      }
+      .collect() // one small (status, body-snippet) row per partition
+
+    statuses.map { case (status, body) => SinkOutcome.fromStatus(status, body) }
+      .foldLeft(SinkOutcome(success = true, 200, retryable = false, "")) { (acc, o) =>
+        if (!acc.success) acc else if (!o.success) o else acc
+      }
+  }
+}
+
+object HttpPostAction {
+  /** Pluggable transport so tests can stub; must be Serializable (it ships
+    * to executors). */
+  trait Poster extends Serializable {
+    /** POST the document; return (statusCode, bodySnippet). */
+    def post(url: String, body: String, timeoutMs: Long): (Int, String)
+  }
+
+  /** JDK HttpClient transport (no extra deps). */
+  object javaHttpPoster extends Poster {
+    override def post(url: String, body: String, timeoutMs: Long): (Int, String) = {
+      import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+      import java.net.URI
+      import java.time.Duration
+      val client = HttpClient.newBuilder()
+        .connectTimeout(Duration.ofMillis(math.min(timeoutMs, 60000))).build()
+      val req = HttpRequest.newBuilder(URI.create(url))
+        .timeout(Duration.ofMillis(timeoutMs))
+        .header("Content-Type", "application/json")
+        .POST(HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      try {
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        (resp.statusCode(), Option(resp.body()).getOrElse(""))
+      } catch {
+        case e: java.net.http.HttpTimeoutException => (408, s"timeout: ${e.getMessage}")
+        case e: Exception => (503, s"transport: ${e.getMessage}")
+      }
+    }
+  }
+}

@@ -1,0 +1,96 @@
+package graft.scheduler
+
+import graft.SparkSpec
+import graft.state.{KVStore, LeaseStore}
+import java.nio.file.Files
+import java.sql.Timestamp
+
+class SchedulerSpec extends SparkSpec {
+  import Scheduler._
+
+  private def tmp = Files.createTempDirectory("sched").toString
+  // 1 ms "minutes" so loops run instantly under the virtual clock
+  private val cfg = RetryConfig(intervalUnitMillis = 1)
+
+  test("retry loop: recovers when the lease clears (attempts < 1 or absent)") {
+    val lease = new LeaseStore(spark, tmp)
+    val clock = new VirtualClock
+    var notifies = 0
+    lease.setAttemptCount("t", 0, Timestamp.from(clock.now()))
+    assert(runRetryLoop("t", lease, cfg, clock, _ => notifies += 1) == Recovered)
+    assert(runRetryLoop("missing", lease, cfg, clock, _ => notifies += 1) == Recovered)
+    assert(notifies == 0)
+  }
+
+  test("retry loop: capped linear backoff intervals (6,7,...,12,12)") {
+    val lease = new LeaseStore(spark, tmp)
+    val clock = new VirtualClock
+    lease.setAttemptCount("t", 3, Timestamp.from(clock.now()))
+    var notified = List.empty[String]
+    val result = runRetryLoop("t", lease, cfg, clock, t => notified ::= t)
+    // lease never clears -> escalates at notifyOnRetryCount (10)
+    assert(result == NotifyEscalated)
+    assert(notified == List("t"))
+    assert(clock.sleeps.toList == List(6, 7, 8, 9, 10, 11, 12, 12, 12, 12))
+  }
+
+  test("retry loop: exhausted lease (5) is nudged to 4 to re-arm redelivery") {
+    val lease = new LeaseStore(spark, tmp)
+    val clock = new VirtualClock
+    lease.setAttemptCount("t", 5, Timestamp.from(clock.now()))
+    runRetryLoop("t", lease, cfg, clock, _ => ())
+    assert(lease.attemptCount("t").contains(4))
+  }
+
+  test("retry loop: total timeout stops retrying") {
+    val lease = new LeaseStore(spark, tmp)
+    // real-minute units: first sleep (6 min) blows a tiny timeout window
+    val clock = new VirtualClock
+    lease.setAttemptCount("t", 3, Timestamp.from(clock.now()))
+    val tight = RetryConfig(totalTimeoutHours = 0, intervalUnitMillis = 60000)
+    assert(runRetryLoop("t", lease, tight, clock, _ => ()) == TimedOut)
+  }
+
+  test("notify throttler: 360-min window suppresses duplicates, reopens after") {
+    val clock = new VirtualClock
+    val throttle = new NotifyThrottler(new KVStore(spark, tmp), 360, clock)
+    var sent = 0
+    assert(throttle.notify("t", _ => sent += 1))
+    assert(!throttle.notify("t", _ => sent += 1)) // inside window
+    clock.advance(359 * 60000L)
+    assert(!throttle.notify("t", _ => sent += 1)) // still inside
+    clock.advance(2 * 60000L)
+    assert(throttle.notify("t", _ => sent += 1))  // window elapsed
+    assert(sent == 2)
+  }
+
+  test("singleton registry: concurrent same-id starts collapse to one") {
+    val reg = new SingletonRegistry
+    val ran = new java.util.concurrent.atomic.AtomicInteger
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val t1 = new Thread(() => reg.runSingleton("x") { gate.await(); ran.incrementAndGet() })
+    t1.start()
+    Thread.sleep(50) // let t1 acquire
+    assert(!reg.runSingleton("x") { ran.incrementAndGet() })
+    assert(reg.isRunning("x"))
+    gate.countDown(); t1.join()
+    assert(ran.get() == 1)
+    assert(reg.runSingleton("x") { ran.incrementAndGet() }) // free again
+    assert(ran.get() == 2)
+  }
+
+  test("cleanup: per-family retention (reference cutoff bug fixed)") {
+    import spark.implicits._
+    val clock = new VirtualClock(java.time.Instant.parse("2026-02-01T00:00:00Z"))
+    def t(s: String) = Timestamp.from(java.time.Instant.parse(s))
+    val hist = Seq(
+      ("c_old", t("2026-01-20T00:00:00Z"), "Completed"),   // > 7d -> purged
+      ("c_new", t("2026-01-28T00:00:00Z"), "Completed"),   // < 7d -> kept
+      ("f_old", t("2025-12-25T00:00:00Z"), "Failed"),      // > 30d -> purged
+      ("f_mid", t("2026-01-20T00:00:00Z"), "Failed"),      // 12d: kept (30d retention!)
+      ("r_any", t("2025-01-01T00:00:00Z"), "Running")      // never purged
+    ).toDF("id", "created", "status")
+    val kept = Scheduler.cleanup(hist, clock).select("id").as[String].collect().toSet
+    assert(kept == Set("c_new", "f_mid", "r_any"))
+  }
+}

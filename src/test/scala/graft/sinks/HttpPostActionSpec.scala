@@ -1,0 +1,80 @@
+package graft.sinks
+
+import graft.SparkSpec
+
+/** Stub transport: must be top-level (it ships to executors; an inner class
+  * would capture the non-serializable suite). local-mode shared JVM lets the
+  * static recorder observe executor-side calls. */
+class RecordingPoster(status: Int, body: String) extends HttpPostAction.Poster {
+  override def post(url: String, doc: String, timeoutMs: Long): (Int, String) = {
+    RecordingPoster.last.set((url, doc, timeoutMs))
+    (status, body)
+  }
+}
+object RecordingPoster {
+  val last = new java.util.concurrent.atomic.AtomicReference[(String, String, Long)]()
+}
+
+/** The sink is tested against a stub Poster (the transport seam) — the
+  * status-classification and payload-assembly logic is the unit under test.
+  * A live-socket test with the JDK HttpServer covers the real transport. */
+class HttpPostActionSpec extends SparkSpec {
+
+  private def changes = {
+    import spark.implicits._
+    Seq(("Insert", 1, "a"), ("Update", 2, "b")).toDF("Operation", "id", "name")
+      .coalesce(1)
+  }
+
+  test("success: posts one JSON array of {Operation, Item} docs") {
+    val action = new HttpPostAction(new RecordingPoster(200, "ok"))
+    val out = action.executeAction(changes,
+      Map("baseUrl" -> "http://sink", "route" -> "/post"))
+    assert(out.success && out.status == 200 && !out.retryable)
+    val (url, doc, timeout) = RecordingPoster.last.get()
+    assert(url == "http://sink/post")
+    assert(timeout == 960000L) // reference default: 960 s, code over doc-comment
+    assert(doc == """[{"Operation":"Insert","Item":{"id":1,"name":"a"}},{"Operation":"Update","Item":{"id":2,"name":"b"}}]""")
+  }
+
+  test("429/408/5xx are retryable; 4xx is notify; snippet truncated to 500") {
+    val retry = new HttpPostAction(new RecordingPoster(503, "x" * 900))
+      .executeAction(changes, Map("baseUrl" -> "http://sink"))
+    assert(!retry.success && retry.retryable)
+    assert(retry.error.length == 500)
+    assert(!retry.markerString.startsWith("retry=false"))
+
+    val notify = new HttpPostAction(new RecordingPoster(404, ""))
+      .executeAction(changes, Map("baseUrl" -> "http://sink"))
+    assert(!notify.success && !notify.retryable)
+    assert(notify.error == "No error information")
+    assert(notify.markerString.startsWith("retry=false"))
+  }
+
+  test("missing baseUrl throws (Program.cs:21 null-guard semantics)") {
+    intercept[IllegalArgumentException] {
+      new HttpPostAction(new RecordingPoster(200, "")).executeAction(changes, Map.empty)
+    }
+  }
+
+  test("live socket round-trip via the JDK transport") {
+    import com.sun.net.httpserver.HttpServer
+    import java.net.InetSocketAddress
+    val server = HttpServer.create(new InetSocketAddress(0), 0)
+    val received = new java.util.concurrent.atomic.AtomicReference[String]()
+    server.createContext("/post", exchange => {
+      received.set(new String(exchange.getRequestBody.readAllBytes()))
+      exchange.sendResponseHeaders(200, 2)
+      exchange.getResponseBody.write("ok".getBytes)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val out = new HttpPostAction().executeAction(changes,
+        Map("baseUrl" -> s"http://localhost:${server.getAddress.getPort}",
+          "route" -> "/post", "timeoutMs" -> "10000"))
+      assert(out.success, s"got $out")
+      assert(received.get().startsWith("[{\"Operation\""))
+    } finally server.stop(0)
+  }
+}
