@@ -1,0 +1,67 @@
+package graft.props
+
+import graft.TestSpark
+import graft.operators.{AllowlistProjection, ChangeFeed}
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Spark-level property invariants (few cases each — every case is a Spark
+  * job). Mirrors ExecuteTriggerHelper.cs:67,99 (projection invariants) and
+  * README.md:5 (dedup-to-latest). */
+object SparkProps extends Properties("graft.spark") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark = TestSpark.spark
+
+  private val rowsGen = Gen.nonEmptyListOf(
+    Gen.zip(Gen.choose(1, 8), Gen.choose(1, 20), Gen.alphaStr.map(_.take(5))))
+
+  property("projection: output columns = allowlist ∩ schema (case-insensitive), pass-through on None") =
+    forAll(Gen.someOf("Id", "Name", "Score", "GHOST", "id")) { allowed =>
+      import spark.implicits._
+      val df = Seq((1, "a", 2.0)).toDF("Id", "Name", "Score")
+      val out = AllowlistProjection.project(df,
+        if (allowed.isEmpty) None else Some(allowed.toSeq))
+      if (allowed.isEmpty) out.columns.sameElements(df.columns)
+      else {
+        val lower = allowed.map(_.toLowerCase).toSet
+        out.columns.toSet == df.columns.filter(c => lower.contains(c.toLowerCase)).toSet
+      }
+    }
+
+  property("dedupLatest: exactly one row per key, carrying the max version") =
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val df = rows.toDF("id", "ver", "payload")
+      val got = ChangeFeed.dedupLatest(df, Seq("id"), "ver", Seq("payload"))
+        .select("id", "ver").as[(Int, Int)].collect().toMap
+      val expected = rows.groupBy(_._1).map { case (k, g) => k -> g.map(_._2).max }
+      got == expected
+    }
+
+  property("diff(old,new) applied to old reconstructs new") =
+    forAll(rowsGen, rowsGen) { (oldRows, newRows) =>
+      import spark.implicits._
+      // de-dup keys first (snapshots are keyed states)
+      val o = oldRows.distinctBy(_._1).toDF("id", "v", "p")
+      val n = newRows.distinctBy(_._1).toDF("id", "v", "p")
+      val changes = ChangeFeed.diff(o, n, Seq("id"))
+      val deletes = changes.filter($"Operation" === "Delete").select("id")
+      val upserts = changes.filter($"Operation" =!= "Delete").select("id", "v", "p")
+      val applied = o.join(deletes, Seq("id"), "left_anti")
+        .join(upserts.select("id"), Seq("id"), "left_anti")
+        .union(upserts)
+        .as[(Int, Int, String)].collect().toSet
+      val expected = n.as[(Int, Int, String)].collect().toSet
+      applied == expected
+    }
+
+  property("diff emits no row for unchanged keys") =
+    forAll(rowsGen) { rows =>
+      import spark.implicits._
+      val snap = rows.distinctBy(_._1).toDF("id", "v", "p")
+      ChangeFeed.diff(snap, snap, Seq("id")).count() == 0
+    }
+}
