@@ -20,8 +20,16 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ as a sequential fold (deterministic order). */
+  /** Σ aᵢ·bᵢ over float arrays — the native codegen expression
+    * (graft.plans.DotProduct). Sums in ascending index order, bit-identical
+    * to the sequential `aggregate(zip_with(...))` fold it replaced (the
+    * composable form survives as `dotHof` for non-float arrays). */
   def dot(a: Column, b: Column): Column =
+    graft.plans.VectorExpressions.vecDot(a, b)
+
+  /** Composable higher-order-function form (any numeric element type);
+    * interpreted, so ~3-5× slower than `dot` in the inner loop. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
