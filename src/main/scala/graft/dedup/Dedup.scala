@@ -42,18 +42,30 @@ object Dedup {
       sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
       i => array_join(slice(toks, i, lit(w)), " "))
 
-  def saltedHash(salt: Int, value: Column): Column =
-    md5(concat(lit(s"$salt|"), value))
+  /** 56-bit hash of a (salted) string: the top 14 hex chars of md5, parsed
+    * as an integer. Engine-portable: DuckDB computes the identical value via
+    * `('0x' || substring(md5(...), 1, 14))::BIGINT`. */
+  def hexHash(value: Column, saltPrefix: String = ""): Column =
+    conv(substring(md5(
+      if (saltPrefix.isEmpty) value else concat(lit(saltPrefix), value)), 1, 14), 16, 10)
+      .cast("long")
 
-  /** MinHash signatures: one row per doc, columns h0..h{k-1}. Docs with no
-    * shingles (fewer than w tokens) drop out, mirroring the oracle. */
+  /** MinHash signatures: one row per doc, bigint columns h0..h{k-1}.
+    *
+    * The k hash functions come from Kirsch-Mitzenmacher double hashing:
+    * hᵢ(s) = b₁(s) + i·b₂(s) over two independent 56-bit base hashes — two
+    * md5 evaluations per shingle instead of k (the dominant cost at scale).
+    * No overflow: b < 2^56 and i < k keeps hᵢ < 2^63 for k ≤ 64. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         k: Int, shingleWidth: Int): DataFrame = {
+    require(k <= 64, "k>64 risks 64-bit overflow in the KM hash family")
     val toks = split(trim(col(textCol)), " ")
-    val exploded = docs
+    val based = docs
       .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
-    val aggs = (0 until k).map(i => min(saltedHash(i, col("sh"))).as(s"h$i"))
-    exploded.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"),
+        hexHash(col("sh"), "A|").as("b1"), hexHash(col("sh"), "B|").as("b2"))
+    val aggs = (0 until k).map(i => min(col("b1") + lit(i.toLong) * col("b2")).as(s"h$i"))
+    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: (doc_id, band_idx, band_key) — band_key hashes `rows`
@@ -61,7 +73,8 @@ object Dedup {
   def lshBands(sigs: DataFrame, k: Int, rows: Int): DataFrame = {
     val nBands = k / rows
     val bandKeys = (0 until nBands).map { b =>
-      md5(concat((0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+      md5(concat_ws(",",
+        (0 until rows).map(r => col(s"h${b * rows + r}").cast("string")): _*))
     }
     sigs.select(col("doc_id"),
       posexplode(array(bandKeys: _*)).as(Seq("band_idx", "band_key")))
@@ -93,16 +106,17 @@ object Dedup {
 
   // ---------------- SimHash ----------------
 
-  /** SimHash fingerprint over `bits` bit positions: bit j votes +1 when hex
-    * digit j of md5(token) has its high bit set ('8'..'f'), else -1; the
-    * fingerprint concatenates the vote signs. Returns (doc_id, simhash). */
+  /** SimHash fingerprint over `bits` bit positions: bit j votes +1 when bit
+    * j of the 56-bit token hash is set, else -1; the fingerprint
+    * concatenates the vote signs. Returns (doc_id, simhash). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               bits: Int = 16): DataFrame = {
+    require(bits <= 56, "token hash carries 56 usable bits")
     val exploded = docs.select(col(idCol).as("doc_id"),
       explode(split(trim(col(textCol)), " ")).as("tok"))
-      .withColumn("th", md5(col("tok")))
+      .withColumn("th", hexHash(col("tok")))
     val votes = (0 until bits).map { j =>
-      sum(when(substring(col("th"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
         .otherwise(-1)).as(s"v$j")
     }
     exploded.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
@@ -138,8 +152,12 @@ object Dedup {
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3, minJaccard: Double = 0.1): DataFrame = {
     val toks = split(trim(col(textCol)), " ")
+    // join key is the 56-bit shingle hash: long equi-join instead of a
+    // ~20-char string join (collision odds ~n²/2^57 — negligible, and the
+    // oracle hashes identically so parity holds regardless)
     val docShingles = docs
       .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
+      .select(col("doc_id"), hexHash(col("sh")).as("sh"))
       .distinct()
     val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a")

@@ -122,16 +122,24 @@ object ExtQueries {
        |  i -> array_to_string(t[i:i+${W - 1}], ' '))) AS sh FROM toks)""".stripMargin
   }
 
+  /** 56-bit hex hash fragment — must equal Dedup.hexHash bit-for-bit. */
+  private def hexHashSql(expr: String, salt: String = ""): String = {
+    val salted = if (salt.isEmpty) expr else s"'$salt' || $expr"
+    s"('0x' || substring(md5($salted), 1, 14))::BIGINT"
+  }
+
   private val sigsCte = {
-    val mins = (0 until K).map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
-    s"sigs AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id)"
+    val mins = (0 until K).map(i => s"min(b1 + $i * b2) AS h$i").mkString(", ")
+    s"""based AS (SELECT doc_id, ${hexHashSql("sh", "A|")} AS b1,
+       |  ${hexHashSql("sh", "B|")} AS b2 FROM sh),
+       |sigs AS (SELECT doc_id, $mins FROM based GROUP BY doc_id)""".stripMargin
   }
 
   private val bandsCte = {
     val nBands = K / BandRows
     val parts = (0 until nBands).map { b =>
-      val key = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(" || ")
-      s"SELECT doc_id, $b AS band_idx, md5($key) AS band_key FROM sigs"
+      val key = (0 until BandRows).map(r => s"h${b * BandRows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band_idx, md5(concat_ws(',', $key)) AS band_key FROM sigs"
     }
     s"bands AS (${parts.mkString(" UNION ALL ")})"
   }
@@ -154,7 +162,7 @@ object ExtQueries {
   }
 
   private val simhashVotes = (0 until SimBits).map { j =>
-    s"sum(CASE WHEN substring(th, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS v$j"
+    s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
   }.mkString(",\n  ")
 
   private val simhashBitsExpr = (0 until SimBits)
@@ -162,7 +170,7 @@ object ExtQueries {
 
   private val simhashFpCtes =
     s"""tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok FROM documents),
-       |h AS (SELECT doc_id, md5(tok) AS th FROM tok),
+       |h AS (SELECT doc_id, ${hexHashSql("tok")} AS th FROM tok),
        |v AS (SELECT doc_id,
        |  $simhashVotes
        |FROM h GROUP BY doc_id),
@@ -188,10 +196,11 @@ object ExtQueries {
 
   private val jaccardOracle =
     s"""WITH $toksCte,
-       |${shCte(distinct = true)},
-       |cnts AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |${shCte(distinct = false)},
+       |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM hsh a JOIN hsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
