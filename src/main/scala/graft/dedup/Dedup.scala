@@ -86,8 +86,12 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, shingleWidth: Int = 3, bandRows: Int = 2,
                         minEst: Double = 0.0): DataFrame = {
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth)
-    val bands = lshBands(sigs, k, bandRows)
+    // The signature table feeds four plan branches (both sides of the band
+    // self-join + both signature lookups); persist it or Spark recomputes
+    // the shingle-explode + k-way agg once per branch. At cluster scale this
+    // is the step you'd checkpoint.
+    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth).persist()
+    val bands = lshBands(sigs, k, bandRows).persist()
     val pairs = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -129,7 +133,8 @@ object Dedup {
     * (the LSH prefilter), ranked by full hamming distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(docs, idCol, textCol, bits)
+    // both sides of the bucket self-join read the fingerprints
+    val fp = simhash(docs, idCol, textCol, bits).persist()
     val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
       substring(col("simhash"), 1, prefixBits).as("bucket"))
     val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
@@ -155,10 +160,12 @@ object Dedup {
     // join key is the 56-bit shingle hash: long equi-join instead of a
     // ~20-char string join (collision odds ~n²/2^57 — negligible, and the
     // oracle hashes identically so parity holds regardless)
+    // three plan branches read this (per-doc counts + both join sides)
     val docShingles = docs
       .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
       .select(col("doc_id"), hexHash(col("sh")).as("sh"))
       .distinct()
+      .persist()
     val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a")
       .join(docShingles.as("b"), Seq("sh"))
