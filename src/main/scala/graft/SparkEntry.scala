@@ -44,7 +44,8 @@ object SparkEntry {
     graft.queries.RelQueries.queries ++
     graft.queries.ScalarQueries.queries ++
     graft.queries.StreamQueries.queries ++
-    graft.queries.ExtQueries.queries
+    graft.queries.ExtQueries.queries ++
+    graft.queries.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -53,5 +54,6 @@ object SparkEntry {
     graft.queries.RelQueries.oracle ++
     graft.queries.ScalarQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
-    graft.queries.ExtQueries.oracle
+    graft.queries.ExtQueries.oracle ++
+    graft.queries.SqlQueries.oracle
 }

@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SQL-surface breadth: the `spark.sql(...)` entry path over registered
+  * views — CTEs, correlated/uncorrelated subqueries, grouping sets, pivot,
+  * statistical aggregates, ordered string aggregation. These exercise
+  * Catalyst's subquery machinery (RewriteCorrelatedScalarSubquery,
+  * RewritePredicateSubquery) that the DataFrame-API catalog rows don't. */
+object SqlQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def withViews(s: SparkSession, d: String, names: String*): Unit =
+    names.foreach(n => Tables.read(s, d, n).createOrReplaceTempView(n))
+
+  def sqlCte(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "customer")
+    s.sql("""
+      WITH spend AS (
+        SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total_spend,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+      SELECT c_custkey, c_mktsegment, total_spend, CAST(n_orders AS BIGINT) AS n_orders
+      FROM customer JOIN spend ON c_custkey = custkey
+      WHERE total_spend > 500000
+      ORDER BY c_custkey""")
+  }
+
+  def sqlExistsSubquery(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders", "lineitem")
+    s.sql("""
+      SELECT o_orderkey, o_orderstatus
+      FROM orders o
+      WHERE EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      ORDER BY o_orderkey""")
+  }
+
+  def sqlInSubquery(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer", "nation")
+    s.sql("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+      ORDER BY c_custkey""")
+  }
+
+  def sqlScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      ORDER BY o_orderkey""")
+  }
+
+  def sqlGroupingSets(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql("""
+      SELECT COALESCE(o_orderstatus, '(all)') AS status,
+             COALESCE(o_orderpriority, '(all)') AS priority,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY status, priority""")
+  }
+
+  /** Pivot via the dedicated DataFrame operator (fixed pivot values so the
+    * plan is a single pass; DuckDB oracle uses the equivalent CASE sums). */
+  def sqlPivot(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(round(sum(col("l_quantity")), 2))
+      .orderBy("l_linestatus")
+
+  def sqlStatsAgg(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_extendedprice), 4) AS sd_price,
+             round(var_samp(l_quantity), 4) AS var_qty,
+             round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+             round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
+  def sqlPercentile(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql("""
+      SELECT o_orderstatus,
+             round(percentile(o_totalprice, 0.5), 4) AS median_price,
+             round(percentile(o_totalprice, 0.9), 4) AS p90_price
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  }
+
+  def sqlStringAgg(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql("""
+      SELECT o_orderpriority,
+             concat_ws(',', array_sort(collect_set(o_orderstatus))) AS statuses
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sql_cte" -> (sqlCte _),
+    "sql_exists_subquery" -> (sqlExistsSubquery _),
+    "sql_in_subquery" -> (sqlInSubquery _),
+    "sql_scalar_subquery" -> (sqlScalarSubquery _),
+    "sql_grouping_sets" -> (sqlGroupingSets _),
+    "sql_pivot" -> (sqlPivot _),
+    "sql_stats_agg" -> (sqlStatsAgg _),
+    "sql_percentile" -> (sqlPercentile _),
+    "sql_string_agg" -> (sqlStringAgg _),
+  )
+
+  val oracle: Map[String, String] = Map(
+    "sql_cte" ->
+      """WITH spend AS (
+        |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total_spend,
+        |         CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT c_custkey, c_mktsegment, total_spend, n_orders
+        |FROM customer JOIN spend ON c_custkey = custkey
+        |WHERE total_spend > 500000
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_exists_subquery" ->
+      """SELECT o_orderkey, o_orderstatus
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_in_subquery" ->
+      """SELECT c_custkey, c_name
+        |FROM customer
+        |WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        |ORDER BY c_custkey""".stripMargin,
+    "sql_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice
+        |FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sql_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, '(all)') AS status,
+        |       COALESCE(o_orderpriority, '(all)') AS priority,
+        |       CAST(count(*) AS BIGINT) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "sql_pivot" ->
+      """SELECT l_linestatus,
+        |       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS "A",
+        |       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS "N",
+        |       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS "R"
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "sql_stats_agg" ->
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+        |       round(var_samp(l_quantity), 4) AS var_qty,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |       round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "sql_percentile" ->
+      """SELECT o_orderstatus,
+        |       round(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+        |       round(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "sql_string_agg" ->
+      """SELECT o_orderpriority,
+        |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+  )
+}
