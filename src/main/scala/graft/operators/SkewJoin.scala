@@ -1,0 +1,31 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Skew-aware join: salt the skewed (fact) side, replicate the build (dim)
+  * side across the salt domain, join on (key, salt).
+  *
+  * AQE's skew-join split handles sort-merge skew automatically, but only at
+  * shuffle boundaries it can observe; salting is the explicit tool when one
+  * hot key dominates (the classic null-key / celebrity-key problem at
+  * 100 TB). `salts` multiplies the build side, so keep it ≲ 64 and use only
+  * when a key's row share is large enough to stall a task.
+  *
+  * Equivalent to a plain inner equi-join on `key` — verified by property
+  * test — but the hot key's rows spread over `salts` tasks instead of one.
+  */
+object SkewJoin {
+
+  def saltedInnerJoin(skewed: DataFrame, build: DataFrame, key: String,
+                      salts: Int): DataFrame = {
+    require(salts > 0)
+    val salted = skewed.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+    val replicated = build
+      .withColumn("__salt_arr", sequence(lit(0), lit(salts - 1)))
+      .withColumn("__salt", explode(col("__salt_arr")))
+      .drop("__salt_arr")
+    salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
+  }
+}
