@@ -62,6 +62,39 @@ object ExtQueries {
         isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
       .orderBy("query_id", "rank")
 
+  /** IVF-flat ANN: deterministic sampled centroids (vec_id % 50 == 1),
+    * nProbe=2 cells per query. */
+  def eIvfTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCentroid = col("vec_id") % 50 === 1,
+        k = 3, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  /** Near-dup removal applied: the cleaned corpus after dropping the higher
+    * doc_id of every high-confidence MinHash pair. */
+  def eDedupApply(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dups = Dedup.minhashCandidates(docs, "doc_id", "text",
+        k = K, shingleWidth = W, bandRows = BandRows, minEst = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs.join(dups, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Frame-sampling metadata over the synthesized media table: every 2nd
+    * 256-byte frame, bounded tail frame. */
+  def eMultimodalFrames(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+      Tables.documents(s, d))
+    graft.multimodal.Multimodal.sampleFrames(media, everyN = 2)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(length(col("frame_bytes"))).cast("long").as("sampled_bytes"))
+      .orderBy("media_id")
+  }
+
   def eCosineNeardup(s: SparkSession, d: String): DataFrame =
     Similarity.cosineNearDupPairs(Tables.embeddings(s, d).filter(col("vec_id") < 300),
         "vec_id", "embedding", threshold = 0.2)
@@ -251,6 +284,66 @@ object ExtQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  private val ivfOracle =
+    s"""WITH $embCtes,
+       |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
+       |  FROM e v JOIN e c ON v.pos = c.pos
+       |  WHERE c.vec_id % 50 = 1
+       |  GROUP BY 1, 2),
+       |vcs AS (SELECT vid, cell_id, round(dp / (nv.nrm * nc.nrm), 6) AS cs
+       |  FROM vc JOIN norms nv ON nv.vec_id = vid
+       |  JOIN norms nc ON nc.vec_id = cell_id),
+       |assigned AS (SELECT vid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs) WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs WHERE vid % 50 = 0) WHERE rn <= 2),
+       |cand AS (SELECT p.qid, a.vid FROM probes p
+       |  JOIN assigned a ON p.cell_id = a.cell_id WHERE p.qid <> a.vid),
+       |qd AS (SELECT cand.qid AS query_id, cand.vid AS neighbor_id, sum(q.v * t.v) AS dp
+       |  FROM cand
+       |  JOIN e q ON q.vec_id = cand.qid
+       |  JOIN e t ON t.vec_id = cand.vid AND t.pos = q.pos
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id, round(dp / (nq.nrm * nt.nrm), 6) AS cosine_sim
+       |  FROM qd JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nt ON nt.vec_id = neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+
+  private val dedupApplyOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |dups AS (SELECT DISTINCT p.doc_b FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |  WHERE round(($matchSum) / $K.0, 6) >= 0.5)
+       |SELECT doc_id, lang FROM documents
+       |WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  private val framesOracle =
+    """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents),
+      |f AS (SELECT media_id, n_bytes,
+      |        greatest(CAST(ceil(n_bytes / 256.0) AS BIGINT), 1) AS n_frames FROM m),
+      |fr AS (SELECT media_id, n_bytes, unnest(range(0, n_frames)) AS idx FROM f)
+      |SELECT media_id, CAST(count(*) AS BIGINT) AS n_sampled,
+      |       CAST(sum(least(256, n_bytes - idx * 256)) AS BIGINT) AS sampled_bytes
+      |FROM fr WHERE idx % 2 = 0
+      |GROUP BY media_id ORDER BY media_id""".stripMargin
+
   private val neardupOracle =
     s"""WITH eemb AS (SELECT * FROM embeddings WHERE vec_id < 300),
        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -324,6 +417,9 @@ object ExtQueries {
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
+    "e_ivf_topk" -> (eIvfTopk _),
+    "e_dedup_apply" -> (eDedupApply _),
+    "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_text_langid" -> (eTextLangid _),
     "e_text_quality" -> (eTextQuality _),
@@ -344,6 +440,9 @@ object ExtQueries {
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
+    "e_ivf_topk" -> ivfOracle,
+    "e_dedup_apply" -> dedupApplyOracle,
+    "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_text_langid" -> langidOracle,
     "e_text_quality" -> qualityOracle,

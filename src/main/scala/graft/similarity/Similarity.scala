@@ -92,6 +92,53 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-flat ANN: coarse-quantize the corpus into cells around sampled
+    * centroid vectors, then search only the `nProbe` cells nearest to each
+    * query.
+    *
+    * Centroids are a deterministic sample of the corpus itself (`isCentroid`)
+    * — at scale you would k-means them, but the *query plan shape* is
+    * identical: a small broadcast centroid table, one narrow argmax-assign
+    * pass over the corpus (shuffle-free), and a per-query probe join keyed
+    * on cell id. Recall grows with `nProbe`; cost scales with corpus/cells ×
+    * nProbe instead of the full corpus. */
+  def ivfTopK(vecs: DataFrame, idCol: String, embCol: String,
+              isQuery: Column, isCentroid: Column, k: Int, nProbe: Int): DataFrame = {
+    val centroids = vecs.filter(isCentroid)
+      .select(col(idCol).as("cell_id"), col(embCol).as("cent_emb"),
+        norm(col(embCol)).as("cent_norm"))
+    // assign every corpus vector to its max-cosine centroid cell
+    val wAssign = Window.partitionBy(col("vid"))
+      .orderBy(desc("cs"), asc("cell_id"))
+    val assigned = vecs
+      .select(col(idCol).as("vid"), col(embCol).as("v_emb"), norm(col(embCol)).as("v_norm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vid"), col("v_emb"), col("v_norm"), col("cell_id"),
+        round(dot(col("v_emb"), col("cent_emb")) / (col("v_norm") * col("cent_norm")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vid"), col("v_emb"), col("v_norm"), col("cell_id"))
+    // each query probes its nProbe nearest cells
+    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cs"), asc("cell_id"))
+    val probes = vecs.filter(isQuery)
+      .select(col(idCol).as("qid"), col(embCol).as("q_emb"), norm(col(embCol)).as("q_norm"))
+      .crossJoin(broadcast(centroids))
+      .select(col("qid"), col("q_emb"), col("q_norm"), col("cell_id"),
+        round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("q_emb"), col("q_norm"), col("cell_id"))
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    broadcast(probes).join(assigned, Seq("cell_id"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
+        round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6)
+          .as("cosine_sim"))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold (a<b, deduped). */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, embCol: String,
                          threshold: Double): DataFrame = {
