@@ -60,10 +60,14 @@ object Dedup {
                         k: Int, shingleWidth: Int): DataFrame = {
     require(k <= 64, "k>64 risks 64-bit overflow in the KM hash family")
     val toks = split(trim(col(textCol)), " ")
+    // ONE md5 per shingle; b1/b2 are disjoint 56-bit ranges of the digest
+    // (md5 bits are independent — the standard two-for-one trick).
     val based = docs
       .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("dig"))
       .select(col("doc_id"),
-        hexHash(col("sh"), "A|").as("b1"), hexHash(col("sh"), "B|").as("b2"))
+        conv(substring(col("dig"), 1, 14), 16, 10).cast("long").as("b1"),
+        conv(substring(col("dig"), 15, 14), 16, 10).cast("long").as("b2"))
     val aggs = (0 until k).map(i => min(col("b1") + lit(i.toLong) * col("b2")).as(s"h$i"))
     based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }

@@ -163,8 +163,10 @@ object ExtQueries {
 
   private val sigsCte = {
     val mins = (0 until K).map(i => s"min(b1 + $i * b2) AS h$i").mkString(", ")
-    s"""based AS (SELECT doc_id, ${hexHashSql("sh", "A|")} AS b1,
-       |  ${hexHashSql("sh", "B|")} AS b2 FROM sh),
+    s"""dig AS (SELECT doc_id, md5(sh) AS dig FROM sh),
+       |based AS (SELECT doc_id,
+       |  ('0x' || substring(dig, 1, 14))::BIGINT AS b1,
+       |  ('0x' || substring(dig, 15, 14))::BIGINT AS b2 FROM dig),
        |sigs AS (SELECT doc_id, $mins FROM based GROUP BY doc_id)""".stripMargin
   }
 
