@@ -1,0 +1,41 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+
+class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+
+  test("co-bucketed join plans with NO shuffle exchange on either side") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      val a = (1 to 1000).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+      val b = (1 to 1000).map(i => (i.toLong, s"b$i")).toDF("k", "vb")
+      Bucketing.writeBucketed(a, "bkt_a", Seq("k"), 4, sortCols = Seq("k"))
+      Bucketing.writeBucketed(b, "bkt_b", Seq("k"), 4, sortCols = Seq("k"))
+
+      val joined = Bucketing.readBucketed(spark, "bkt_a")
+        .join(Bucketing.readBucketed(spark, "bkt_b"), Seq("k"))
+      assert(joined.count() == 1000)
+
+      val exchanges = collectWithSubqueries(joined.queryExecution.executedPlan) {
+        case e: Exchange => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join must be shuffle-free, found: ${exchanges.map(_.nodeName)}")
+
+      // contrast: the same join over plain (unbucketed) data DOES shuffle
+      val plain = a.join(b, Seq("k"))
+      plain.count()
+      val plainExchanges = collectWithSubqueries(plain.queryExecution.executedPlan) {
+        case e: Exchange => e
+      }
+      assert(plainExchanges.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+}
