@@ -133,6 +133,42 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** TF-IDF over the corpus: per-doc top term by tf·idf (plain relational
+    * shape — explode, two aggregations, a broadcast-sized df table). */
+  def eTfidf(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val terms = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), " ")).as("term"))
+    val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df_ = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("term"))
+    tf.join(broadcast(df_), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("term").as("top_term"), col("tfidf"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic stratified sampling: per-language keep rates applied via
+    * the portable content hash (no RNG — reproducible across runs, engines,
+    * and cluster sizes; the sampling decision is a pure function of the
+    * row). The standard way to cut a training mix at 100 TB. */
+  def eStratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val rate = typedLit(Map("en" -> 80L, "de" -> 50L, "fr" -> 50L, "es" -> 50L, "zh" -> 25L))
+    Tables.documents(s, d)
+      .withColumn("pct", Dedup.hexHash(concat(col("doc_id").cast("string"), lit("|"), col("lang"))) % 100)
+      .filter(col("pct") < coalesce(element_at(rate, col("lang")), lit(0L)))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -427,6 +463,8 @@ object ExtQueries {
     "e_text_quality" -> (eTextQuality _),
     "e_token_count" -> (eTokenCount _),
     "e_fingerprint" -> (eFingerprint _),
+    "e_tfidf" -> (eTfidf _),
+    "e_stratified_sample" -> (eStratifiedSample _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
   )
 
@@ -456,6 +494,25 @@ object ExtQueries {
         |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e_fingerprint" -> fingerprintOracle,
+    "e_tfidf" ->
+      """WITH terms AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+        |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY tfidf DESC, term ASC) AS rn FROM scored)
+        |SELECT doc_id, term AS top_term, tfidf FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "e_stratified_sample" -> {
+      val h = hexHashSql("(CAST(doc_id AS VARCHAR) || '|' || lang)")
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h % 100 < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
+         |  WHEN 'fr' THEN 50 WHEN 'es' THEN 50 WHEN 'zh' THEN 25 ELSE 0 END
+         |ORDER BY doc_id""".stripMargin
+    },
     "e_multimodal_meta" ->
       """SELECT doc_id,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
