@@ -13,14 +13,15 @@ object Bench {
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers)
     // so per-query timings measure the queries, not JVM startup.
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // name-sorted so per-query timings are comparable run-to-run
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

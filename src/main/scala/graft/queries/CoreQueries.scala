@@ -31,6 +31,25 @@ object CoreQueries {
       client = Some("c_acctbal,C_CUSTKEY"))
       .orderBy("c_custkey")
 
+  /** P1 dynamic-schema variant (SURVEY.md §2.2): when the row payload is a
+    * runtime property bag (the reference's JsonObject), the allowlist filter
+    * is a map_filter over the parsed JSON instead of a static select. Output
+    * is canonicalized to sorted "k=v" strings so the oracle compares bytes. */
+  def p1DynamicAllowlist(s: SparkSession, d: String): DataFrame = {
+    val allowed = Seq("k", "not_present")
+    Tables.events(s, d)
+      .select(col("event_id"),
+        explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("pkey", "pval")))
+      .withColumn("pval", col("pval").cast("string"))
+      .filter(col("pkey").isin(allowed: _*))
+      .groupBy(col("event_id"))
+      .agg(concat_ws(",", sort_array(collect_list(concat(col("pkey"), lit("="), col("pval")))))
+        .as("kept_props"))
+      .orderBy("event_id")
+  }
+
   /** P2 — allowlist parse: comma-split, trim, drop empties, keep order. */
   def p2AllowlistParse(s: SparkSession, d: String): DataFrame = {
     val cfg = "Id, Name ,,LastUpdate, ,Status"
@@ -124,6 +143,7 @@ object CoreQueries {
 
   val queries: Map[String, Q] = Map(
     "p1_allowlist_projection" -> (p1AllowlistProjection _),
+    "p1_dynamic_allowlist" -> (p1DynamicAllowlist _),
     "p2_allowlist_parse" -> (p2AllowlistParse _),
     "p3_null_blank_guard" -> (p3NullBlankGuard _),
     "p4_identifier_normalize" -> (p4IdentifierNormalize _),
@@ -138,6 +158,15 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "p1_allowlist_projection" ->
       "SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey",
+    "p1_dynamic_allowlist" ->
+      """SELECT event_id,
+        |  string_agg(pkey || '=' || pval, ',' ORDER BY pkey || '=' || pval) AS kept_props
+        |FROM (
+        |  SELECT event_id, pkey, json_extract_string(props, '$.' || pkey) AS pval
+        |  FROM (SELECT event_id, props, unnest(json_keys(props)) AS pkey FROM events))
+        |WHERE pkey IN ('k', 'not_present')
+        |GROUP BY event_id
+        |ORDER BY event_id""".stripMargin,
     "p2_allowlist_parse" ->
       """WITH a AS (
         |  SELECT list_filter(list_transform(str_split('Id, Name ,,LastUpdate, ,Status', ','), x -> trim(x)), x -> x <> '') AS arr

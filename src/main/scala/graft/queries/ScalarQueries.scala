@@ -65,6 +65,20 @@ object ScalarQueries {
         col("l_orderkey").cast("string").as("key_str"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
+  // ---- Higher-order array functions over the embedding column ----
+  def fArrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(
+        col("vec_id"),
+        size(col("embedding")).cast("long").as("dim"),
+        round(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")), 6).as("sum_sq"),
+        size(filter(col("embedding"), x => x > 0f)).cast("long").as("n_positive"),
+        round(aggregate(transform(col("embedding"), x => abs(x.cast("double"))),
+          lit(0.0), (acc, x) => greatest(acc, x)), 6).as("max_abs"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_dim"))
+      .orderBy("vec_id")
+
   // ---- F18: JSON property extraction over events.props ----
   def fJsonFuncs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -171,6 +185,7 @@ object ScalarQueries {
     "f_string_funcs" -> (fStringFuncs _),
     "f_datetime_funcs" -> (fDatetimeFuncs _),
     "f_math_funcs" -> (fMathFuncs _),
+    "f_array_funcs" -> (fArrayFuncs _),
     "f_json_funcs" -> (fJsonFuncs _),
     "f17_json_serialize" -> (f17JsonSerialize _),
     "s2_preview_scan" -> (s2PreviewScan _),
@@ -224,6 +239,16 @@ object ScalarQueries {
         |  CAST(l_orderkey AS VARCHAR) AS key_str
         |FROM lineitem WHERE l_orderkey <= 2000
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "f_array_funcs" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
+        |SELECT vec_id,
+        |  CAST(count(*) AS BIGINT) AS dim,
+        |  round(sum(v * v), 6) AS sum_sq,
+        |  CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |  round(max(abs(v)), 6) AS max_abs,
+        |  round(max(CASE WHEN pos = 1 THEN v END), 6) AS first_dim
+        |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "f_json_funcs" ->
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
