@@ -85,10 +85,15 @@ object ChangeFeed {
     */
   def toJsonPayload(changes: DataFrame): DataFrame = {
     val itemCols = changes.columns.filterNot(_ == "Operation")
+    // a batch that never went through diff() carries no Operation column;
+    // latest-state delivery of an undiffed row is an upsert
+    val op =
+      if (changes.columns.contains("Operation")) col("Operation")
+      else lit("Upsert").as("Operation")
     changes.select(
       to_json(
         struct(
-          col("Operation"),
+          op,
           struct(itemCols.map(col).toIndexedSeq: _*).as("Item")
         )
       ).as("payload"))
