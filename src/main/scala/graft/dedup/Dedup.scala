@@ -152,6 +152,33 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clusters from candidate pairs by bounded label propagation:
+    * every doc starts as its own label (doc_id); each round a doc adopts the
+    * minimum label among itself and its pair-neighbors. `iterations` rounds
+    * connect any component of diameter ≤ iterations — at 100 TB this is the
+    * standard iterative-join connected-components shape (each round is one
+    * shuffle on doc_id; for trillion-edge graphs swap in large-star/small-
+    * star, same plan skeleton). Returns (doc_id, cluster_id). */
+  def labelPropagationClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
+                               iterations: Int): DataFrame = {
+    // symmetric neighbor list + self-loops: one round is then a single
+    // join + groupBy-min (the shape that also unrolls cleanly in SQL)
+    val ids = docs.select(col(idCol).as("doc_id"))
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .distinct()
+      .persist()
+    var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
+    (0 until iterations).foreach { _ =>
+      labels = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("cluster_id")).as("cluster_id"))
+    }
+    labels
+  }
+
   // ---------------- n-gram Jaccard ----------------
 
   /** Exact Jaccard similarity over distinct word w-shingles, computed

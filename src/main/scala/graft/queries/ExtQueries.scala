@@ -83,6 +83,55 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Near-dup clusters: 3 rounds of label propagation over the minhash
+    * candidate graph. */
+  def eDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+      k = K, shingleWidth = W, bandRows = BandRows, minEst = 0.5)
+    Dedup.labelPropagationClusters(pairs, docs, "doc_id", iterations = 3)
+      .orderBy("doc_id")
+  }
+
+  /** int8 scalar quantization of the embedding column: per-vector symmetric
+    * scale (127/max|v|), plus a deterministic checksum and reconstruction
+    * error — the compression that makes 100 TB of vectors disk- and
+    * cache-friendly. */
+  def eEmbedQuantize(s: SparkSession, d: String): DataFrame = {
+    val emb = col("embedding")
+    val maxAbs = aggregate(transform(emb, x => abs(x.cast("double"))),
+      lit(0.0), (acc, x) => greatest(acc, x))
+    Tables.embeddings(s, d)
+      .withColumn("max_abs", maxAbs)
+      .withColumn("q",
+        transform(emb, x =>
+          round(x.cast("double") * lit(127.0) / col("max_abs"), 0).cast("long")))
+      .select(
+        col("vec_id"),
+        // no rounding: max of |float| involves no arithmetic, bit-exact
+        col("max_abs"),
+        aggregate(zip_with(col("q"), sequence(lit(1), size(col("q"))),
+            (qv, i) => qv * i.cast("long")),
+          lit(0L), (acc, x) => acc + x).as("checksum"),
+        // integer-exact quality metrics: quantization-error decimals sit
+        // structurally ON rounding half-quanta (Spark's BigDecimal round and
+        // DuckDB's multiply-and-round disagree there), so the oracle-checked
+        // columns are integers; float MSE belongs in logs, not hash-compares
+        size(filter(col("q"), qv => abs(qv) === 127L)).cast("long").as("n_saturated"),
+        aggregate(transform(col("q"), qv => abs(qv)),
+          lit(0L), (acc, x) => acc + x).as("sum_abs_q"))
+      .orderBy("vec_id")
+  }
+
+  /** Approximate percentile sketch — engine-specific, so rows-only check
+    * (no oracle), like the HLL row. */
+  def eApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"))
+      .orderBy("event_type")
+
   /** Frame-sampling metadata over the synthesized media table: every 2nd
     * 256-byte frame, bounded tail frame. */
   def eMultimodalFrames(s: SparkSession, d: String): DataFrame = {
@@ -372,6 +421,46 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  private val clustersOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val rounds = (1 to 3).map { r =>
+      s"""l$r AS (SELECT e.src AS doc_id, min(l.cluster_id) AS cluster_id
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.doc_id GROUP BY e.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |fpairs AS (SELECT p.doc_a, p.doc_b FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |  WHERE round(($matchSum) / $K.0, 6) >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
+       |  UNION SELECT doc_b, doc_a FROM fpairs
+       |  UNION SELECT doc_id, doc_id FROM documents),
+       |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
+       |$rounds
+       |SELECT doc_id, cluster_id FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
+  private val quantizeOracle =
+    """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |ma AS (SELECT vec_id, max(abs(v)) AS max_abs FROM e GROUP BY vec_id),
+      |q AS (SELECT e.vec_id, pos, v, max_abs,
+      |        CAST(round(v * 127.0 / max_abs, 0) AS BIGINT) AS qv
+      |      FROM e JOIN ma ON e.vec_id = ma.vec_id)
+      |SELECT vec_id, max(max_abs) AS max_abs,
+      |       CAST(sum(qv * pos) AS BIGINT) AS checksum,
+      |       CAST(sum(CASE WHEN abs(qv) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+      |       CAST(sum(abs(qv)) AS BIGINT) AS sum_abs_q
+      |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   private val framesOracle =
     """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes FROM documents),
       |f AS (SELECT media_id, n_bytes,
@@ -463,6 +552,9 @@ object ExtQueries {
     "e_text_quality" -> (eTextQuality _),
     "e_token_count" -> (eTokenCount _),
     "e_fingerprint" -> (eFingerprint _),
+    "e_dedup_clusters" -> (eDedupClusters _),
+    "e_embed_quantize" -> (eEmbedQuantize _),
+    "e_approx_percentile" -> (eApproxPercentile _),
     "e_tfidf" -> (eTfidf _),
     "e_stratified_sample" -> (eStratifiedSample _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
@@ -475,6 +567,9 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
+    "e_dedup_clusters" -> clustersOracle,
+    "e_embed_quantize" -> quantizeOracle,
+    // e_approx_percentile: engine-specific sketch — deliberately no oracle
     "e_dedup_simhash" -> simhashOracle,
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_ngram_jaccard" -> jaccardOracle,
