@@ -10,9 +10,15 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm the session (Hadoop FS init, codegen compiler, parquet footers)
-    // so per-query timings measure the queries, not JVM startup.
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm the session (Hadoop FS init, codegen compiler, parquet footers,
+    // whole-stage codegen for scan+agg shapes) so per-query timings measure
+    // the queries, not JVM startup.
+    {
+      import org.apache.spark.sql.functions.{count => cnt, max}
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      li.count()
+      li.agg(max("l_orderkey"), cnt(org.apache.spark.sql.functions.lit(1))).collect()
+    }
     // name-sorted so per-query timings are comparable run-to-run
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
