@@ -13,7 +13,7 @@ object Bench {
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers,
     // whole-stage codegen for scan+agg shapes) so per-query timings measure
     // the queries, not JVM startup.
-    {
+    locally {
       import org.apache.spark.sql.functions.{count => cnt, max}
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       li.count()
