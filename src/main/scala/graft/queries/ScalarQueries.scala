@@ -65,6 +65,47 @@ object ScalarQueries {
         col("l_orderkey").cast("string").as("key_str"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
+  // ---- Bitwise functions over integer keys ----
+  def fBitwiseFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(
+        col("event_id"),
+        (col("event_id").bitwiseAND(lit(255L))).as("lo_byte"),
+        (col("event_id").bitwiseOR(lit(4096L))).as("or_4k"),
+        (col("event_id").bitwiseXOR(col("user_id"))).as("xor_user"),
+        shiftleft(col("event_id"), 3).as("shl3"),
+        shiftright(col("event_id"), 2).as("shr2"))
+      .orderBy("event_id")
+
+  // ---- Extended math: roots, exponentials, logarithms, sign ----
+  def fMath2Funcs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 1000)
+      .select(
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity"),
+        round(sqrt(col("l_quantity")), 8).as("sqrt_qty"),
+        round(exp(col("l_discount")), 8).as("exp_disc"),
+        round(log(col("l_quantity") + 1.0), 8).as("ln_qty"),       // natural log
+        round(log10(col("l_extendedprice")), 8).as("log10_price"),
+        round(log2(col("l_quantity") + 1.0), 8).as("log2_qty"),
+        signum(col("l_quantity") - 25.0).as("sign_qty_delta"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+
+  // ---- Conditional expressions: nullif / nvl / nvl2 / CASE ladders ----
+  def fConditionalFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("null_if_open"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("nvl_status"),
+        when(nullif(col("o_orderstatus"), lit("O")).isNotNull, lit("terminal"))
+          .otherwise(lit("active")).as("nvl2_style"),
+        when(col("o_totalprice") > 300000, "high")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("low").as("price_band"))
+      .orderBy("o_orderkey")
+
   // ---- Higher-order array functions over the embedding column ----
   def fArrayFuncs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -185,6 +226,9 @@ object ScalarQueries {
     "f_string_funcs" -> (fStringFuncs _),
     "f_datetime_funcs" -> (fDatetimeFuncs _),
     "f_math_funcs" -> (fMathFuncs _),
+    "f_bitwise_funcs" -> (fBitwiseFuncs _),
+    "f_math2_funcs" -> (fMath2Funcs _),
+    "f_conditional_funcs" -> (fConditionalFuncs _),
     "f_array_funcs" -> (fArrayFuncs _),
     "f_json_funcs" -> (fJsonFuncs _),
     "f17_json_serialize" -> (f17JsonSerialize _),
@@ -239,6 +283,34 @@ object ScalarQueries {
         |  CAST(l_orderkey AS VARCHAR) AS key_str
         |FROM lineitem WHERE l_orderkey <= 2000
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "f_bitwise_funcs" ->
+      """SELECT event_id,
+        |  event_id & 255 AS lo_byte,
+        |  event_id | 4096 AS or_4k,
+        |  xor(event_id, user_id) AS xor_user,
+        |  event_id << 3 AS shl3,
+        |  event_id >> 2 AS shr2
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f_math2_funcs" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        |  round(sqrt(l_quantity), 8) AS sqrt_qty,
+        |  round(exp(l_discount), 8) AS exp_disc,
+        |  round(ln(l_quantity + 1.0), 8) AS ln_qty,
+        |  round(log10(l_extendedprice), 8) AS log10_price,
+        |  round(log2(l_quantity + 1.0), 8) AS log2_qty,
+        |  CAST(sign(l_quantity - 25.0) AS DOUBLE) AS sign_qty_delta
+        |FROM lineitem WHERE l_orderkey <= 1000
+        |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "f_conditional_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS null_if_open,
+        |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS nvl_status,
+        |  CASE WHEN nullif(o_orderstatus, 'O') IS NOT NULL THEN 'terminal'
+        |       ELSE 'active' END AS nvl2_style,
+        |  CASE WHEN o_totalprice > 300000 THEN 'high'
+        |       WHEN o_totalprice > 100000 THEN 'mid'
+        |       ELSE 'low' END AS price_band
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_array_funcs" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
         |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings)
