@@ -65,6 +65,36 @@ object ScalarQueries {
         col("l_orderkey").cast("string").as("key_str"))
       .orderBy("l_orderkey", "l_linenumber", "l_quantity")
 
+  // ---- Extended string functions ----
+  def fString2Funcs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        lpad(col("source"), 8, "0").as("padded"),
+        rpad(col("lang"), 5, ".").as("rpadded"),
+        reverse(col("lang")).as("rev_lang"),
+        repeat(col("lang"), 3).as("tripled"),
+        translate(col("source"), "src", "SRC").as("translated"),
+        instr(col("text"), "the").cast("long").as("first_the"),
+        substring_index(col("text"), " ", 3).as("first3_words"),
+        expr("left(text, 10)").as("left10"),
+        expr("right(source, 2)").as("right2"))
+      .orderBy("doc_id")
+
+  // ---- Extended datetime functions ----
+  def fDatetime2Funcs(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(
+        col("o_orderkey"),
+        quarter(col("o_orderdate")).cast("long").as("order_quarter"),
+        // Spark dayofweek: 1=Sunday..7; DuckDB dayofweek: 0=Sunday..6 — align
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sunday0"),
+        dayofyear(col("o_orderdate")).cast("long").as("doy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd").as("plus_2mo"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"))
+      .orderBy("o_orderkey")
+
   // ---- Bitwise functions over integer keys ----
   def fBitwiseFuncs(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
@@ -226,6 +256,8 @@ object ScalarQueries {
     "f_string_funcs" -> (fStringFuncs _),
     "f_datetime_funcs" -> (fDatetimeFuncs _),
     "f_math_funcs" -> (fMathFuncs _),
+    "f_string2_funcs" -> (fString2Funcs _),
+    "f_datetime2_funcs" -> (fDatetime2Funcs _),
     "f_bitwise_funcs" -> (fBitwiseFuncs _),
     "f_math2_funcs" -> (fMath2Funcs _),
     "f_conditional_funcs" -> (fConditionalFuncs _),
@@ -283,6 +315,28 @@ object ScalarQueries {
         |  CAST(l_orderkey AS VARCHAR) AS key_str
         |FROM lineitem WHERE l_orderkey <= 2000
         |ORDER BY l_orderkey, l_linenumber, l_quantity""".stripMargin,
+    "f_string2_funcs" ->
+      """SELECT doc_id,
+        |  lpad(source, 8, '0') AS padded,
+        |  rpad(lang, 5, '.') AS rpadded,
+        |  reverse(lang) AS rev_lang,
+        |  repeat(lang, 3) AS tripled,
+        |  translate(source, 'src', 'SRC') AS translated,
+        |  CAST(instr(text, 'the') AS BIGINT) AS first_the,
+        |  CASE WHEN len(str_split(text, ' ')) <= 3 THEN text
+        |       ELSE array_to_string((str_split(text, ' '))[1:3], ' ') END AS first3_words,
+        |  left(text, 10) AS left10,
+        |  right(source, 2) AS right2
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f_datetime2_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sunday0,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2mo,
+        |  epoch_ms(o_orderdate) // 1000 AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "f_bitwise_funcs" ->
       """SELECT event_id,
         |  event_id & 255 AS lo_byte,
