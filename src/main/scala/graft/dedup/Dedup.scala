@@ -162,10 +162,16 @@ object Dedup {
   def labelPropagationClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
                                iterations: Int): DataFrame = {
     // symmetric neighbor list + self-loops: one round is then a single
-    // join + groupBy-min (the shape that also unrolls cleanly in SQL)
+    // join + groupBy-min (the shape that also unrolls cleanly in SQL).
+    // Both directions come from ONE pass over `pairs` (explode of the two
+    // orientations) — a union of two selects would evaluate the candidate
+    // subplan twice.
     val ids = docs.select(col(idCol).as("doc_id"))
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
       .distinct()
       .persist()

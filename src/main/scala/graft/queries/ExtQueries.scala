@@ -27,6 +27,19 @@ object ExtQueries {
   private val SimPrefix = 8   // simhash bucket prefix
   private val AnnDims = Seq(0, 8, 16, 24)
 
+  // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
+  // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
+  // pair table per sfDir and let each query apply its own minEst filter.
+  // At cluster scale this is the materialized intermediate you'd checkpoint
+  // once and fan out from. Honors SPARK_GRAFT_NO_CACHE like Tables.
+  private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    pairsCache.getOrElseUpdate(d, {
+      val p = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = K, shingleWidth = W, bandRows = BandRows)
+      if (!sys.env.contains("SPARK_GRAFT_NO_CACHE")) p.persist() else p
+    })
+
   // ---------------- Spark side ----------------
 
   def eDedupExact(s: SparkSession, d: String): DataFrame =
@@ -34,8 +47,7 @@ object ExtQueries {
       .orderBy("content_hash")
 
   def eDedupMinhash(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        k = K, shingleWidth = W, bandRows = BandRows)
+    minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
   def eDedupSimhash(s: SparkSession, d: String): DataFrame =
@@ -75,8 +87,7 @@ object ExtQueries {
     * doc_id of every high-confidence MinHash pair. */
   def eDedupApply(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val dups = Dedup.minhashCandidates(docs, "doc_id", "text",
-        k = K, shingleWidth = W, bandRows = BandRows, minEst = 0.5)
+    val dups = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     docs.join(dups, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("lang"))
@@ -87,8 +98,7 @@ object ExtQueries {
     * candidate graph. */
   def eDedupClusters(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
-      k = K, shingleWidth = W, bandRows = BandRows, minEst = 0.5)
+    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
     Dedup.labelPropagationClusters(pairs, docs, "doc_id", iterations = 3)
       .orderBy("doc_id")
   }
