@@ -26,6 +26,9 @@ object ExtQueries {
   private val SimBits = 16    // simhash bits
   private val SimPrefix = 8   // simhash bucket prefix
   private val AnnDims = Seq(0, 8, 16, 24)
+  private val NearDupBandBits = 6   // sign bits per LSH band (near-dup pairs)
+  private val NearDupBands = 8      // OR-amplified bands (cover dims 0..47)
+  private val NearDupThreshold = 0.25
 
   // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
@@ -154,9 +157,14 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Cosine near-dup pairs over the FULL embeddings table — banded sign-LSH
+    * candidates (NearDupBandBits × NearDupBands), exact re-score, threshold
+    * filter. No all-pairs cross product anywhere in the plan
+    * (PlanAssertionsSpec enforces this). */
   def eCosineNeardup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, d).filter(col("vec_id") < 300),
-        "vec_id", "embedding", threshold = 0.2)
+    Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", threshold = NearDupThreshold,
+        bandBits = NearDupBandBits, nBands = NearDupBands)
       .orderBy("id_a", "id_b")
 
   def eTextLangid(s: SparkSession, d: String): DataFrame =
@@ -481,20 +489,39 @@ object ExtQueries {
       |FROM fr WHERE idx % 2 = 0
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
-  private val neardupOracle =
-    s"""WITH eemb AS (SELECT * FROM embeddings WHERE vec_id < 300),
+  private val neardupOracle = {
+    // Same banded sign-LSH semantics as Similarity.cosineNearDupPairs,
+    // generated from the same (NearDupBandBits, NearDupBands, threshold)
+    // constants so algorithm and oracle cannot drift.
+    val sigCols = (0 until NearDupBands).map { b =>
+      val bits = (b * NearDupBandBits until (b + 1) * NearDupBandBits)
+        .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+        .mkString(" || ")
+      s"$bits AS s$b"
+    }.mkString(",\n  ")
+    val bandMatch = (0 until NearDupBands)
+      .map(b => s"a.s$b = b.s$b").mkString(" OR ")
+    s"""WITH sigs AS (SELECT vec_id,
+       |  $sigCols
+       |FROM embeddings),
+       |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sigs a JOIN sigs b
+       |  ON a.vec_id < b.vec_id AND ($bandMatch)),
        |e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM eemb),
+       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
        |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
-       |dots AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.v * b.v) AS dp
-       |  FROM e a JOIN e b ON a.pos = b.pos AND a.vec_id < b.vec_id
+       |dots AS (SELECT c.id_a, c.id_b, sum(a.v * b.v) AS dp
+       |  FROM cand c
+       |  JOIN e a ON a.vec_id = c.id_a
+       |  JOIN e b ON b.vec_id = c.id_b AND b.pos = a.pos
        |  GROUP BY 1, 2)
        |SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
        |FROM dots
        |JOIN norms na ON na.vec_id = id_a
        |JOIN norms nb ON nb.vec_id = id_b
-       |WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.2
+       |WHERE round(dp / (na.nrm * nb.nrm), 6) >= $NearDupThreshold
        |ORDER BY id_a, id_b""".stripMargin
+  }
 
   private val langidOracle = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted

@@ -67,7 +67,7 @@ object Similarity {
   /** Deterministic sign-bit bucket over `dims` (IVF-style coarse cells):
     * bit d = 1 iff embedding[d] >= 0. */
   def signBucket(emb: Column, dims: Seq[Int]): Column =
-    concat(dims.map(i => when(element_at(emb, i + 1) >= 0f, "1").otherwise("0")): _*)
+    concat(dims.map(i => when(try_element_at(emb, lit(i + 1)) >= 0f, "1").otherwise("0")): _*)
 
   /** LSH-bucketed ANN top-k: queries only score corpus vectors in the same
     * sign bucket. Recall < 1 by construction; the bucket fan-out is the
@@ -139,15 +139,50 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Near-duplicate pairs by embedding cosine ≥ threshold (a<b, deduped). */
+  /** Per-band sign signatures: band `b` covers dims
+    * `[b*bandBits, (b+1)*bandBits)`; each signature is the sign-bit string of
+    * its dims (dims past the array end read as "0", so short vectors
+    * degenerate to one shared bucket — full recall, no pruning). */
+  def bandSignatures(emb: Column, bandBits: Int, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      struct(lit(b).as("band_idx"),
+        signBucket(emb, (b * bandBits) until ((b + 1) * bandBits)).as("sig"))
+    }: _*)
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold (a<b, deduped),
+    * with banded sign-LSH candidate generation: a pair is scored only if it
+    * agrees on ALL sign bits of at least one band (the classic OR-of-ANDs
+    * LSH amplification — random-hyperplane flavor, axis-aligned planes).
+    *
+    * Plan shape at 100 TB: explode ×nBands, one shuffle equi-join on
+    * (band_idx, sig), distinct candidate pairs, two hash joins back to fetch
+    * vectors, exact re-score. Never an all-pairs cross product — candidate
+    * volume scales with bucket occupancy (~n²/2^bandBits per band for random
+    * signs), not n². Recall is < 1 by construction and rises with similarity:
+    * P(candidate) = 1-(1-p^bandBits)^nBands with p = 1-θ/π; at the defaults
+    * (6 bits × 8 bands) a true near-dup at cosine 0.9 is caught with ~98%
+    * probability while random pairs are pruned ~8×. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, embCol: String,
-                         threshold: Double): DataFrame = {
-    val a = vecs.select(col(idCol).as("id_a"), col(embCol).as("emb_a"),
-      norm(col(embCol)).as("norm_a"))
-    val b = vecs.select(col(idCol).as("id_b"), col(embCol).as("emb_b"),
-      norm(col(embCol)).as("norm_b"))
-    a.crossJoin(b)
-      .filter(col("id_a") < col("id_b"))
+                         threshold: Double, bandBits: Int = 6,
+                         nBands: Int = 8): DataFrame = {
+    val base = vecs.select(col(idCol).as("vid"), col(embCol).as("emb"),
+      norm(col(embCol)).as("nrm"))
+    val exploded = base
+      .select(col("vid"),
+        explode(bandSignatures(col("emb"), bandBits, nBands)).as("bs"))
+      .select(col("vid"), col("bs.band_idx").as("band_idx"),
+        col("bs.sig").as("sig"))
+    val cand = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.sig") === col("b.sig") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"))
+      .distinct()
+    cand
+      .join(base.select(col("vid").as("id_a"), col("emb").as("emb_a"),
+        col("nrm").as("norm_a")), Seq("id_a"))
+      .join(base.select(col("vid").as("id_b"), col("emb").as("emb_b"),
+        col("nrm").as("norm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(dot(col("emb_a"), col("emb_b")) / (col("norm_a") * col("norm_b")), 6)
           .as("cosine_sim"))

@@ -53,4 +53,14 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty, "CTE side must broadcast")
   }
+
+  test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
+    val plan = executedPlan("e_cosine_neardup")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"near-dup pairs must route through the band equi-join, found:\n$bad")
+  }
 }

@@ -58,4 +58,20 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.contains((0L, 4L)))
     assert(!pairs.contains((0L, 2L)))
   }
+
+  test("near-dup banding prunes opposite-sign pairs before scoring") {
+    import spark.implicits._
+    // 8-dim vectors, one band of 8 bits: vec 1 shares vec 0's signs (same
+    // bucket, scored and kept); vec 2 is vec 0 negated (different bucket —
+    // never a candidate, even at threshold -1 which all-pairs would pass).
+    val v8 = Seq(
+      (0L, Array.fill(8)(1.0f)),
+      (1L, Array.fill(8)(0.5f)),
+      (2L, Array.fill(8)(-1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(v8, "vec_id", "embedding",
+        threshold = -1.0, bandBits = 8, nBands = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
 }
