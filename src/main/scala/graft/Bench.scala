@@ -31,7 +31,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // full per-query record survives console truncation (driver tails stdout)
+    val outFile = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+    Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.writeString(outFile, json + "\n")
     spark.stop()
   }
 }

@@ -1,10 +1,11 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native (whole-stage-codegen) dot product over two numeric arrays.
   *
@@ -16,24 +17,53 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * place the engine drops to a hand-written Catalyst Expression with
   * `doGenCode` (SURVEY.md §4.3 preference order (b)).
   *
-  * Semantics: elements cast to double, summed in ascending index order —
+  * Semantics: elements widened to double, summed in ascending index order —
   * bit-identical to the sequential `aggregate` fold it replaces (oracle
-  * parity preserved). Null if either array is null; arrays must have equal
-  * length.
+  * parity preserved). Null if either array is null. Typed: inputs must be
+  * two `array<float>` or two `array<double>` columns (anything else is an
+  * AnalysisException, not silent garbage), and a length mismatch raises at
+  * execution — the documented equal-length contract is enforced, never
+  * silently truncated.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
+  /** Reject anything but a matched pair of float/double arrays at ANALYSIS
+    * time: `getFloat` on an `array<double>` would read garbage bytes, and a
+    * session-registered SQL function must fail loudly, not numerically. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(l, _), ArrayType(r, _))
+          if l == r && (l == FloatType || l == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        TypeCheckResult.TypeCheckFailure(
+          s"vec_dot requires two array<float> or two array<double> arguments, " +
+            s"got ${l.sql} and ${r.sql}")
+    }
+
+  private def elementType: DataType = left.dataType match {
+    case ArrayType(et, _) => et
+    case _ => FloatType // unresolved input; checkInputDataTypes rejects it
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"vec_dot: array length mismatch ($n vs ${y.numElements()})")
+    }
+    val isFloat = elementType == FloatType
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      acc +=
+        (if (isFloat) x.getFloat(i).toDouble * y.getFloat(i).toDouble
+         else x.getDouble(i) * y.getDouble(i))
       i += 1
     }
     acc
@@ -44,11 +74,17 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      // element getter resolved once at codegen time from the checked type
+      val get = if (elementType == FloatType) "getFloat" else "getDouble"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "vec_dot: array length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $acc += ((double) $a.$get($i)) * ((double) $b.$get($i));
          |}
          |${ev.value} = $acc;
        """.stripMargin

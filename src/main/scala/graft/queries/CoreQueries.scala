@@ -33,20 +33,23 @@ object CoreQueries {
 
   /** P1 dynamic-schema variant (SURVEY.md §2.2): when the row payload is a
     * runtime property bag (the reference's JsonObject), the allowlist filter
-    * is a map_filter over the parsed JSON instead of a static select. Output
-    * is canonicalized to sorted "k=v" strings so the oracle compares bytes. */
+    * is a `map_filter` over the parsed JSON instead of a static select —
+    * fully NARROW (no explode, no groupBy shuffle): parse, filter keys,
+    * canonicalize to sorted "k=v" strings per row so the oracle compares
+    * bytes. Events whose bag has no allowed key are dropped, matching the
+    * oracle's filter-then-GROUP-BY shape. */
   def p1DynamicAllowlist(s: SparkSession, d: String): DataFrame = {
     val allowed = Seq("k", "not_present")
+    val parsed = from_json(col("props"),
+      org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))
+    val kept = map_filter(parsed, (k, _) => k.isin(allowed: _*))
     Tables.events(s, d)
+      .select(col("event_id"), kept.as("kept"))
+      .filter(size(col("kept")) > 0)
       .select(col("event_id"),
-        explode(from_json(col("props"),
-          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
-          .as(Seq("pkey", "pval")))
-      .withColumn("pval", col("pval").cast("string"))
-      .filter(col("pkey").isin(allowed: _*))
-      .groupBy(col("event_id"))
-      .agg(concat_ws(",", sort_array(collect_list(concat(col("pkey"), lit("="), col("pval")))))
-        .as("kept_props"))
+        concat_ws(",", sort_array(transform(map_entries(col("kept")),
+          e => concat(e.getField("key"), lit("="), e.getField("value").cast("string")))))
+          .as("kept_props"))
       .orderBy("event_id")
   }
 

@@ -33,15 +33,21 @@ object ExtQueries {
   // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
   // pair table per sfDir and let each query apply its own minEst filter.
-  // At cluster scale this is the materialized intermediate you'd checkpoint
-  // once and fan out from. Honors SPARK_GRAFT_NO_CACHE like Tables.
+  // `minhashCandidates` already returns an eagerly-materialized
+  // (localCheckpoint'd) compact table with its fat intermediates released,
+  // so the memo holds exactly one small pair table per sfDir — bounded — and
+  // no further persist() is needed on top. At cluster scale this is the
+  // materialized intermediate you'd checkpoint once and fan out from.
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
-    pairsCache.getOrElseUpdate(d, {
-      val p = Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        k = K, shingleWidth = W, bandRows = BandRows)
-      if (!sys.env.contains("SPARK_GRAFT_NO_CACHE")) p.persist() else p
-    })
+    pairsCache.getOrElseUpdate(d,
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+        k = K, shingleWidth = W, bandRows = BandRows))
+
+  /** Drop the memoized pair tables; their checkpointed blocks are reclaimed
+    * by the ContextCleaner once unreferenced. For long-lived sessions that
+    * move between scale factors. */
+  def releasePairsCache(): Unit = pairsCache.clear()
 
   // ---------------- Spark side ----------------
 

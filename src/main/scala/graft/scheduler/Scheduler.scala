@@ -47,21 +47,24 @@ object Scheduler {
       intervalUnitMillis: Long = 60000L) // minutes; tests use 1ms "minutes"
 
   sealed trait RetryResult
-  case object Recovered extends RetryResult       // attempts cleared (< 1)
-  case object TimedOut extends RetryResult        // total retry timeout hit
-  case object NotifyEscalated extends RetryResult // notify threshold reached
+  case object Recovered extends RetryResult // attempts cleared (< 1)
+  case object TimedOut extends RetryResult  // total retry timeout hit
 
   /** The eternal retry orchestrator (RetryFunctions.cs:19-68 + activity
     * :112-176): wait a capped-linear interval, inspect the lease, nudge the
-    * exhausted attempt count 5→4 to re-arm redelivery, escalate to notify at
-    * the configured retry count, stop on recovery or total timeout.
+    * exhausted attempt count 5→4 to re-arm redelivery, fire the notification
+    * ONCE when the retry count reaches the configured threshold and KEEP
+    * retrying (RetryFunctions.cs:169-173 falls through to `ContinueAsNew` at
+    * :50,56-63 — delivery is only abandoned on recovery or total timeout).
     * Synchronous driver loop — each `ContinueAsNew` generation is one
     * iteration (the loop carries retryCount exactly as the orchestration
-    * input does). */
+    * input does). Terminates: Recovered when the lease clears, TimedOut
+    * after `totalTimeoutHours`. */
   def runRetryLoop(table: String, lease: LeaseStore, cfg: RetryConfig,
                    clock: Clock, onNotify: String => Unit): RetryResult = {
     val start = clock.now()
     var retryCount = 0
+    var notified = false
     while (true) {
       val intervalUnits = RetryPolicy.linearBackoff(retryCount,
         cfg.firstIntervalMinutes, cfg.maxIntervalMinutes)
@@ -79,9 +82,9 @@ object Scheduler {
         case _ => ()
       }
       retryCount += 1
-      if (retryCount == cfg.notifyOnRetryCount) { // :169-173
+      if (!notified && retryCount >= cfg.notifyOnRetryCount) { // :169-173
         onNotify(table)
-        return NotifyEscalated
+        notified = true // notify once, then continue retrying (:50)
       }
     }
     throw new IllegalStateException("unreachable")
@@ -118,6 +121,22 @@ object Scheduler {
         try { body; true }
         finally { running.remove(id) }
     }
+
+    /** Start with retry (RetryFunctions.cs:75-108, NotifyFunctions.cs:61-98):
+      * the reference polls a pending/busy orchestration up to 5 times, 2 s
+      * apart, before giving up on the start. Returns true once `body` ran;
+      * false when the id stayed busy through every attempt. */
+    def runSingletonWithRetry(id: String, clock: Clock, attempts: Int = 5,
+                              delayMillis: Long = 2000L)(body: => Unit): Boolean = {
+      var attempt = 1
+      while (attempt <= attempts) {
+        if (runSingleton(id)(body)) return true
+        if (attempt < attempts) clock.sleep(delayMillis)
+        attempt += 1
+      }
+      false
+    }
+
     def isRunning(id: String): Boolean = running.contains(id)
   }
 

@@ -141,8 +141,11 @@ object Similarity {
 
   /** Per-band sign signatures: band `b` covers dims
     * `[b*bandBits, (b+1)*bandBits)`; each signature is the sign-bit string of
-    * its dims (dims past the array end read as "0", so short vectors
-    * degenerate to one shared bucket — full recall, no pruning). */
+    * its dims. Dims past the array end read as "0", so short vectors share
+    * one bucket with each other (full recall AMONG short vectors); a pair
+    * mixing a short and a full-length vector only collides when the long
+    * vector's band dims are all negative, so mixed-length pairs are still
+    * subject to pruning. */
   def bandSignatures(emb: Column, bandBits: Int, nBands: Int): Column =
     array((0 until nBands).map { b =>
       struct(lit(b).as("band_idx"),
@@ -157,21 +160,38 @@ object Similarity {
     * Plan shape at 100 TB: explode ×nBands, one shuffle equi-join on
     * (band_idx, sig), distinct candidate pairs, two hash joins back to fetch
     * vectors, exact re-score. Never an all-pairs cross product — candidate
-    * volume scales with bucket occupancy (~n²/2^bandBits per band for random
+    * volume scales with bucket occupancy (~n²/2^bandBits per band for RANDOM
     * signs), not n². Recall is < 1 by construction and rises with similarity:
     * P(candidate) = 1-(1-p^bandBits)^nBands with p = 1-θ/π; at the defaults
     * (6 bits × 8 bands) a true near-dup at cosine 0.9 is caught with ~98%
-    * probability while random pairs are pruned ~8×. */
+    * probability while random pairs are pruned ~8×.
+    *
+    * Skew: for clustered/correlated embeddings (non-random signs) a hot
+    * bucket makes the self-join output quadratic in bucket occupancy,
+    * silently reintroducing near-n² work. `maxBucketSize` caps that: buckets
+    * above the cap are dropped from candidate generation (recall dips only
+    * for members of pathological buckets; a salting/sub-banding pass is the
+    * recall-preserving upgrade). None (default) keeps exact LSH semantics. */
   def cosineNearDupPairs(vecs: DataFrame, idCol: String, embCol: String,
                          threshold: Double, bandBits: Int = 6,
-                         nBands: Int = 8): DataFrame = {
+                         nBands: Int = 8,
+                         maxBucketSize: Option[Int] = None): DataFrame = {
     val base = vecs.select(col(idCol).as("vid"), col(embCol).as("emb"),
       norm(col(embCol)).as("nrm"))
-    val exploded = base
+    val allBands = base
       .select(col("vid"),
         explode(bandSignatures(col("emb"), bandBits, nBands)).as("bs"))
       .select(col("vid"), col("bs.band_idx").as("band_idx"),
         col("bs.sig").as("sig"))
+    val exploded = maxBucketSize match {
+      case None => allBands
+      case Some(cap) =>
+        // window count per bucket, drop hot buckets: one extra shuffle on the
+        // same (band_idx, sig) key the candidate join uses anyway
+        val wb = Window.partitionBy(col("band_idx"), col("sig"))
+        allBands.withColumn("__bn", count(lit(1)).over(wb))
+          .filter(col("__bn") <= cap).drop("__bn")
+    }
     val cand = exploded.as("a")
       .join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

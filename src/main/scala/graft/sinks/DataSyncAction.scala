@@ -37,13 +37,22 @@ object SinkOutcome {
 /** HTTP JSON sink (S6 — HttpPostAction.cs:33-86): serialize the batch to the
   * `[{Operation, Item}, ...]` wire shape and POST it.
   *
-  * Spark-first shape: serialization happens distributed
-  * (`ChangeFeed.toJsonPayload`, one JSON document per row); each PARTITION
-  * posts one array document from its executor — the 100 TB path never moves
-  * the batch through the driver. The per-partition status rows come back as
-  * a DataFrame; the batch outcome is their worst status, matching the
-  * reference's single POST semantics (success only if every partition
-  * succeeded).
+  * Delivery has two paths, switched on batch size (`maxSingleDocRows` param,
+  * default 10000):
+  *
+  *  - **small batch — ONE atomic POST**, matching the reference exactly: the
+  *    whole batch is one JSON array document, delivered all-or-nothing, and
+  *    an EMPTY batch still posts `[]` (the reference serializes and posts
+  *    whatever `changes` holds, zero rows included —
+  *    HttpPostAction.cs:36-44). `take(n+1)` probes the size: if the batch
+  *    fits, those rows ARE the batch, no second pass.
+  *  - **large batch — one POST per partition** from the executors: the
+  *    100 TB path never moves the batch through the driver. The batch
+  *    outcome is the worst partition status. CAVEAT: this path is atomic
+  *    per partition, not per batch — a partial failure leaves some
+  *    partitions delivered before redelivery, so the receiving endpoint
+  *    must be idempotent (the trigger's redelivery dedup, T9, is the
+  *    matching consumer-side guard).
   *
   * The reference's 960 s timeout (HttpPostAction.cs:39 — code wins over the
   * 60 s doc comment) is the default `timeoutMs`.
@@ -55,25 +64,33 @@ class HttpPostAction(poster: HttpPostAction.Poster = HttpPostAction.javaHttpPost
     val url = params.getOrElse("baseUrl",
       throw new IllegalArgumentException("baseUrl is required")) + params.getOrElse("route", "")
     val timeoutMs = params.getOrElse("timeoutMs", "960000").toLong
+    val maxSingleDocRows = params.getOrElse("maxSingleDocRows", "10000").toInt
     val p = poster
     val spark = changes.sparkSession
     import spark.implicits._
 
-    val statuses = ChangeFeed.toJsonPayload(changes)
-      .as[String]
-      .mapPartitions { rows =>
-        if (rows.isEmpty) Iterator.empty
-        else {
-          val doc = rows.mkString("[", ",", "]")
-          Iterator.single(p.post(url, doc, timeoutMs))
+    val payload = ChangeFeed.toJsonPayload(changes).as[String]
+    val head = payload.take(maxSingleDocRows + 1)
+    if (head.length <= maxSingleDocRows) {
+      // single atomic POST (reference semantics), including the empty batch
+      val (status, body) = p.post(url, head.mkString("[", ",", "]"), timeoutMs)
+      SinkOutcome.fromStatus(status, body)
+    } else {
+      val statuses = payload
+        .mapPartitions { rows =>
+          if (rows.isEmpty) Iterator.empty
+          else {
+            val doc = rows.mkString("[", ",", "]")
+            Iterator.single(p.post(url, doc, timeoutMs))
+          }
         }
-      }
-      .collect() // one small (status, body-snippet) row per partition
+        .collect() // one small (status, body-snippet) row per partition
 
-    statuses.map { case (status, body) => SinkOutcome.fromStatus(status, body) }
-      .foldLeft(SinkOutcome(success = true, 200, retryable = false, "")) { (acc, o) =>
-        if (!acc.success) acc else if (!o.success) o else acc
-      }
+      statuses.map { case (status, body) => SinkOutcome.fromStatus(status, body) }
+        .foldLeft(SinkOutcome(success = true, 200, retryable = false, "")) { (acc, o) =>
+          if (!acc.success) acc else if (!o.success) o else acc
+        }
+    }
   }
 }
 

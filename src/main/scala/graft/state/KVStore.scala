@@ -17,8 +17,17 @@ import java.sql.Timestamp
   * overwrite its own input). State tables are small keyed maps here, but the
   * merge is a distributed union + dedup-to-latest, so the same code holds for
   * billion-key state at cluster scale.
+  *
+  * Concurrency: every read-merge-write cycle runs inside one lock, so two
+  * concurrent `save()` calls serialize and BOTH updates survive (no
+  * lost-update window between reading the base snapshot and writing the
+  * merge). The last `keepSnapshots` snapshot directories are retained so a
+  * lazy DataFrame handed out by `all()` stays evaluable across that many
+  * subsequent writes (MVCC-style bounded history; older versions are
+  * compacted away).
   */
-class KVStore(spark: SparkSession, path: String) {
+class KVStore(spark: SparkSession, path: String, keepSnapshots: Int = 3) {
+  require(keepSnapshots >= 1, "must retain at least the live snapshot")
 
   private val root = Paths.get(path)
   private val pointer = root.resolve("_CURRENT")
@@ -54,12 +63,14 @@ class KVStore(spark: SparkSession, path: String) {
   def saveAll(updates: DataFrame): Unit = writeMerged(updates)
 
   /** Delete a key (entity removal, CleanEntityStorage analogue). */
-  def delete(key: String): Unit = {
+  def delete(key: String): Unit = synchronized {
     val next = all().filter(col("key") =!= key)
     writeSnapshot(next)
   }
 
-  private def writeMerged(incoming: DataFrame): Unit = {
+  // Synchronized as a whole: the base snapshot is read INSIDE the lock, so a
+  // concurrent save cannot slip between read-merge and write (lost update).
+  private def writeMerged(incoming: DataFrame): Unit = synchronized {
     // union + dedup-to-latest: newest updated_at wins; incoming beats
     // existing on exact timestamp ties (marked by priority column).
     val merged = ChangeFeed.dedupLatest(
@@ -76,9 +87,11 @@ class KVStore(spark: SparkSession, path: String) {
     Files.writeString(tmp, next.toString)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    // prune superseded snapshots (history compaction, the ContinueAsNew
-    // bounded-state analogue — RetryFunctions.cs:60-62)
-    (0 until next).foreach { v =>
+    // prune snapshots older than the retained window (history compaction,
+    // the ContinueAsNew bounded-state analogue — RetryFunctions.cs:60-62);
+    // keeping `keepSnapshots` versions keeps recently handed-out lazy
+    // readers evaluable instead of failing on a vanished input directory
+    (0 to next - keepSnapshots).foreach { v =>
       val dir = root.resolve(s"v_$v")
       if (Files.exists(dir)) {
         Files.walk(dir).sorted(java.util.Comparator.reverseOrder())

@@ -48,6 +48,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r == 32.0)
   }
 
+  test("vec_dot: array<double> dispatches to double getters (correct values)") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0))).toDF("a", "b")
+    val r = df.select(VectorExpressions.vecDot(col("a"), col("b")).as("d"))
+      .as[Double].head()
+    assert(r == 32.0)
+  }
+
+  test("vec_dot: mismatched element types raise at analysis, not garbage at runtime") {
+    import spark.implicits._
+    val ints = Seq((Array(1, 2, 3), Array(4, 5, 6))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(VectorExpressions.vecDot(col("a"), col("b"))).head()
+    }
+    val mixed = Seq((Array(1.0f), Array(1.0))).toDF("a", "b")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      mixed.select(VectorExpressions.vecDot(col("a"), col("b"))).head()
+    }
+  }
+
+  test("vec_dot: length mismatch raises instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorExpressions.vecDot(col("a"), col("b"))).head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("length mismatch")))
+  }
+
   test("whole-stage codegen handles the expression (no fallback errors at scale)") {
     import spark.implicits._
     // run through a real aggregation to force codegen paths

@@ -54,6 +54,30 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, "CTE side must broadcast")
   }
 
+  test("wx_ntile: no single-partition global window (scale-safe quartiles)") {
+    val plan = executedPlan("wx_ntile")
+    val globalWindows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"ntile must not serialize the table through one window task:\n$plan")
+  }
+
+  test("p1_dynamic_allowlist: narrow map_filter plan (no explode, no aggregate)") {
+    val plan = executedPlan("p1_dynamic_allowlist")
+    val generates = collectWithSubqueries(plan) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(generates.isEmpty, s"allowlist filter must not explode the map:\n$plan")
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+    }
+    assert(aggs.isEmpty, s"allowlist filter must not re-group per event:\n$plan")
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {

@@ -22,24 +22,48 @@ class SchedulerSpec extends SparkSpec {
     assert(notifies == 0)
   }
 
-  test("retry loop: capped linear backoff intervals (6,7,...,12,12)") {
+  test("retry loop: capped linear backoff, notify once, CONTINUE until recovery") {
     val lease = new LeaseStore(spark, tmp)
     val clock = new VirtualClock
     lease.setAttemptCount("t", 3, Timestamp.from(clock.now()))
     var notified = List.empty[String]
-    val result = runRetryLoop("t", lease, cfg, clock, t => notified ::= t)
-    // lease never clears -> escalates at notifyOnRetryCount (10)
-    assert(result == NotifyEscalated)
+    // the notification clears the stuck lease -> the loop must keep running
+    // past the threshold and observe the recovery on its NEXT iteration
+    // (RetryFunctions.cs:169-173 falls through to ContinueAsNew at :50)
+    val result = runRetryLoop("t", lease, cfg, clock, { t =>
+      notified ::= t
+      lease.setAttemptCount("t", 0, Timestamp.from(clock.now()))
+    })
+    assert(result == Recovered)
     assert(notified == List("t"))
-    assert(clock.sleeps.toList == List(6, 7, 8, 9, 10, 11, 12, 12, 12, 12))
+    // 10 sleeps up to the notify threshold + 1 more proving continuation
+    assert(clock.sleeps.toList == List(6, 7, 8, 9, 10, 11, 12, 12, 12, 12, 12))
+  }
+
+  test("retry loop: keeps retrying after notification until total timeout") {
+    val lease = new LeaseStore(spark, tmp)
+    val clock = new VirtualClock
+    lease.setAttemptCount("t", 3, Timestamp.from(clock.now()))
+    var notifies = 0
+    // real-minute units; 2h budget: cumulative backoff passes the notify
+    // threshold (10 retries, 99 min) and times out at 123 min
+    val twoHours = RetryConfig(totalTimeoutHours = 2, intervalUnitMillis = 60000)
+    val result = runRetryLoop("t", lease, twoHours, clock, _ => notifies += 1)
+    assert(result == TimedOut)
+    assert(notifies == 1) // fired once, never re-fired on later iterations
+    assert(clock.sleeps.size > 10) // retried beyond the notify threshold
   }
 
   test("retry loop: exhausted lease (5) is nudged to 4 to re-arm redelivery") {
     val lease = new LeaseStore(spark, tmp)
     val clock = new VirtualClock
     lease.setAttemptCount("t", 5, Timestamp.from(clock.now()))
-    runRetryLoop("t", lease, cfg, clock, _ => ())
-    assert(lease.attemptCount("t").contains(4))
+    var seenAtNotify: Option[Int] = None
+    runRetryLoop("t", lease, cfg, clock, { _ =>
+      seenAtNotify = lease.attemptCount("t") // nudged on the first iteration
+      lease.setAttemptCount("t", 0, Timestamp.from(clock.now())) // end the loop
+    })
+    assert(seenAtNotify.contains(4))
   }
 
   test("retry loop: total timeout stops retrying") {
@@ -77,6 +101,41 @@ class SchedulerSpec extends SparkSpec {
     assert(ran.get() == 1)
     assert(reg.runSingleton("x") { ran.incrementAndGet() }) // free again
     assert(ran.get() == 2)
+  }
+
+  test("singleton start-retry: 5 attempts 2 s apart while busy, then gives up") {
+    val reg = new SingletonRegistry
+    val clock = new VirtualClock
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => reg.runSingleton("x") { gate.await() })
+    holder.start()
+    while (!reg.isRunning("x")) Thread.sleep(1)
+    var ran = 0
+    assert(!reg.runSingletonWithRetry("x", clock) { ran += 1 })
+    assert(ran == 0)
+    // 5 attempts -> 4 inter-attempt waits of 2000 ms (virtual)
+    assert(clock.sleeps.toList == List(2000L, 2000L, 2000L, 2000L))
+    gate.countDown(); holder.join()
+  }
+
+  test("singleton start-retry: succeeds once the holder releases mid-retry") {
+    val reg = new SingletonRegistry
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() => reg.runSingleton("x") { gate.await() })
+    holder.start()
+    while (!reg.isRunning("x")) Thread.sleep(1)
+    // a clock whose second wait releases the holder: attempt 3 then wins
+    var slept = 0
+    val releasing = new Clock {
+      override def now() = java.time.Instant.EPOCH
+      override def sleep(millis: Long): Unit = {
+        slept += 1
+        if (slept == 2) { gate.countDown(); holder.join() }
+      }
+    }
+    var ran = 0
+    assert(reg.runSingletonWithRetry("x", releasing) { ran += 1 })
+    assert(ran == 1 && slept == 2)
   }
 
   test("cleanup: per-family retention (reference cutoff bug fixed)") {

@@ -59,6 +59,51 @@ class SimilaritySpec extends SparkSpec {
     assert(!pairs.contains((0L, 2L)))
   }
 
+  test("LSH candidates are a subset of exact all-pairs results, with usable recall") {
+    // Independent validation of the banding scheme itself (the generated
+    // DuckDB oracle shares the banding constants, so a conceptual error in
+    // the scheme would pass the oracle; this small-N exact check would not).
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(120)
+    val threshold = 0.25
+    val lsh = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding", threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // exact all-pairs ground truth (120×120 — fine at test scale only)
+    val base = emb.select(col("vec_id"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
+    val exact = base.as("a").crossJoin(base.as("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        (Similarity.dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cs"))
+      .filter(col("cs") >= threshold)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact),
+      s"LSH emitted false pairs: ${(lsh -- exact).take(5)}")
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    // Theory floor, not a vibes floor: P(candidate) = 1-(1-p^6)^8 with
+    // p = 1-θ/π is ≈0.27 for a pair sitting exactly AT cosine 0.25 and rises
+    // with similarity, so aggregate recall over everything ≥ threshold must
+    // clear ~0.27 minus sampling noise. Catches a broken banding scheme
+    // (recall ≈ 0 or ≈ n² candidates), which the generated oracle cannot.
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.15, s"recall $recall below LSH theory (${lsh.size}/${exact.size})")
+  }
+
+  test("bucket-size cap drops hot-bucket members from candidate generation") {
+    import spark.implicits._
+    // 4 identical vectors form one hot bucket of 4 + 1 outlier elsewhere
+    val v8 = (0L to 3L).map(i => (i, Array.fill(8)(1.0f))) :+ (9L, Array.fill(8)(-1.0f))
+    val df = v8.toDF("vec_id", "embedding")
+    val uncapped = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = -1.0, bandBits = 8, nBands = 1)
+    assert(uncapped.count() == 6) // C(4,2) within the hot bucket
+    val capped = Similarity.cosineNearDupPairs(df, "vec_id", "embedding",
+      threshold = -1.0, bandBits = 8, nBands = 1, maxBucketSize = Some(3))
+    assert(capped.count() == 0) // hot bucket dropped entirely
+  }
+
   test("near-dup banding prunes opposite-sign pairs before scoring") {
     import spark.implicits._
     // 8-dim vectors, one band of 8 bits: vec 1 shares vec 0's signs (same

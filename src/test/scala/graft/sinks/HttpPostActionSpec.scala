@@ -15,6 +15,20 @@ object RecordingPoster {
   val last = new java.util.concurrent.atomic.AtomicReference[(String, String, Long)]()
 }
 
+/** Counts POSTs across the JVM (local mode shares it with executors). */
+class CountingPoster extends HttpPostAction.Poster {
+  override def post(url: String, doc: String, timeoutMs: Long): (Int, String) = {
+    CountingPoster.calls.incrementAndGet()
+    CountingPoster.lastDoc.set(doc)
+    (200, "ok")
+  }
+}
+object CountingPoster {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  val lastDoc = new java.util.concurrent.atomic.AtomicReference[String]()
+  def reset(): Unit = { calls.set(0); lastDoc.set(null) }
+}
+
 /** The sink is tested against a stub Poster (the transport seam) — the
   * status-classification and payload-assembly logic is the unit under test.
   * A live-socket test with the JDK HttpServer covers the real transport. */
@@ -49,6 +63,43 @@ class HttpPostActionSpec extends SparkSpec {
     assert(!notify.success && !notify.retryable)
     assert(notify.error == "No error information")
     assert(notify.markerString.startsWith("retry=false"))
+  }
+
+  test("small batch: exactly ONE POST even across many partitions (atomic delivery)") {
+    import spark.implicits._
+    CountingPoster.reset()
+    val spread = Seq.tabulate(20)(i => ("Insert", i, s"r$i"))
+      .toDF("Operation", "id", "name").repartition(8)
+    val out = new HttpPostAction(new CountingPoster)
+      .executeAction(spread, Map("baseUrl" -> "http://sink"))
+    assert(out.success)
+    assert(CountingPoster.calls.get() == 1,
+      s"small batch must be one atomic POST, got ${CountingPoster.calls.get()}")
+    // one well-formed array document carrying all 20 rows
+    assert(CountingPoster.lastDoc.get().count(_ == '{') == 40) // 20 × {Operation,{Item}}
+  }
+
+  test("empty batch posts [] once (HttpPostAction.cs:36-44 posts zero-row batches)") {
+    import spark.implicits._
+    CountingPoster.reset()
+    val empty = Seq.empty[(String, Int, String)].toDF("Operation", "id", "name")
+    val out = new HttpPostAction(new CountingPoster)
+      .executeAction(empty, Map("baseUrl" -> "http://sink"))
+    assert(out.success)
+    assert(CountingPoster.calls.get() == 1)
+    assert(CountingPoster.lastDoc.get() == "[]")
+  }
+
+  test("large batch falls back to per-partition POSTs (distributed path)") {
+    import spark.implicits._
+    CountingPoster.reset()
+    val big = Seq.tabulate(12)(i => ("Insert", i, s"r$i"))
+      .toDF("Operation", "id", "name").repartition(3)
+    val out = new HttpPostAction(new CountingPoster)
+      .executeAction(big, Map("baseUrl" -> "http://sink", "maxSingleDocRows" -> "5"))
+    assert(out.success)
+    assert(CountingPoster.calls.get() == 3,
+      s"expected one POST per partition, got ${CountingPoster.calls.get()}")
   }
 
   test("missing baseUrl throws (Program.cs:21 null-guard semantics)") {

@@ -34,14 +34,34 @@ class KVStoreSpec extends SparkSpec {
     assert(kv.get("a").isEmpty && kv.get("b").contains("2"))
   }
 
-  test("snapshots are compacted: only the current version remains on disk") {
+  test("snapshots are compacted to the retained window (bounded history)") {
     val dir = tmp
-    val kv = new KVStore(spark, dir)
-    (1 to 4).foreach(i => kv.save("k", s"v$i", ts(i.toLong)))
+    val kv = new KVStore(spark, dir, keepSnapshots = 2)
+    (1 to 5).foreach(i => kv.save("k", s"v$i", ts(i.toLong)))
     val versions = Files.list(java.nio.file.Paths.get(dir)).toArray
-      .map(_.toString).filter(_.contains("/v_"))
-    assert(versions.length == 1, s"expected 1 snapshot dir, got ${versions.toSeq}")
-    assert(kv.get("k").contains("v4"))
+      .map(_.toString).filter(_.contains("/v_")).sorted
+    assert(versions.length == 2, s"expected 2 snapshot dirs, got ${versions.toSeq}")
+    assert(kv.get("k").contains("v5"))
+  }
+
+  test("lazy handle from all() survives a subsequent save (snapshot retention)") {
+    val kv = new KVStore(spark, tmp) // default retention of 3
+    kv.save("k", "v1", ts(1))
+    val before = kv.all() // lazy: reads v_0 when evaluated
+    kv.save("k", "v2", ts(2)) // writes v_1; v_0 must still exist
+    assert(before.filter(before("key") === "k").count() == 1)
+    assert(kv.get("k").contains("v2"))
+  }
+
+  test("concurrent saves of different keys both survive (no lost update)") {
+    val kv = new KVStore(spark, tmp)
+    val threads = (1 to 4).map { i =>
+      new Thread(() => kv.save(s"k$i", s"v$i", ts(i.toLong)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(kv.all().count() == 4)
+    (1 to 4).foreach(i => assert(kv.get(s"k$i").contains(s"v$i")))
   }
 
   test("LeaseStore: attempt counts and the 5->4 re-arm nudge") {
