@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe global NTILE — exact SQL `ntile(n) OVER (ORDER BY keys)`
+  * semantics without the single-partition global window that serializes the
+  * whole table through one task (fatal at 100×).
+  *
+  * Two-pass histogram plan:
+  *
+  *  1. the caller supplies a deterministic BIN expression that is monotone
+  *     non-decreasing in the sort order (e.g. `floor(price / step)` when
+  *     sorting by price): every bin then owns a contiguous global-rank
+  *     interval. The bin histogram is aggregated and collected — bounded
+  *     (~value-range/step rows), the same driver-side role as
+  *     RangePartitioner's sample but exact and deterministic (no seed);
+  *  2. bins whose rank interval falls inside ONE tile are assigned
+  *     driver-side and broadcast back — those rows never shuffle;
+  *  3. only the ≤ n-1 bins straddling a tile cutoff are window-ranked
+  *     (partitioned by bin — a few bins' worth of rows), with
+  *     `bin_offset + row_number` the exact global rank, mapped through the
+  *     SQL ntile formula (first N%n tiles take ⌈N/n⌉ rows, the rest ⌊N/n⌋).
+  *
+  * Net: narrow scan + broadcast join for ~all rows, one tiny shuffle for the
+  * cutoff bins — no full-table exchange.
+  *
+  * Cost profile: ~3 Spark jobs of FIXED overhead (histogram, assign, union)
+  * versus the naive plan's single job. At toy scale (≤1M rows) the naive
+  * single-task window is therefore faster in wall-clock (one task sorting a
+  * few MB is free); the crossover is where one task can no longer hold the
+  * table — exactly the regime this engine targets. This operator trades
+  * ~0.5 s of constant overhead for a plan whose window input shrinks from
+  * N rows to a few bins' worth.
+  *
+  * Determinism: ties in `sortKeys` across a bin boundary would make ranks
+  * ambiguous, so supply sort keys that are unique per row (standard practice
+  * for reproducible window output anyway). Skew: a degenerate distribution
+  * (most rows in one bin) needs a finer step or a composite bin key — the
+  * same remedy as any skewed shuffle key.
+  */
+object ScalableNtile {
+
+  def apply(df: DataFrame, numTiles: Long, bin: Column,
+            sortKeys: Seq[Column], out: String = "ntile"): DataFrame = {
+    require(numTiles >= 1, "numTiles must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cols = df.columns.toSeq
+    val binned = df.withColumn("__bin", bin)
+    val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
+      .orderBy("__bin").collect() // bounded histogram, not table data
+    val total = hist.map(_.getLong(1)).sum
+    val bigSize = total / numTiles + 1 // first (total % numTiles) tiles
+    val smallSize = math.max(total / numTiles, 1L)
+    val firstBlock = (total % numTiles) * bigSize
+    def tileOfRank(rank: Long): Long =
+      if (rank <= firstBlock) (rank - 1) / bigSize + 1
+      else total % numTiles + (rank - 1 - firstBlock) / smallSize + 1
+    var running = 0L
+    val binInfo = hist.map { r =>
+      val (b, cnt) = (r.getLong(0), r.getLong(1))
+      val o = running; running += cnt
+      (b, o, tileOfRank(o + 1) == tileOfRank(o + cnt))
+    }
+    val uniform = binInfo.collect { case (b, o, true) => (b, tileOfRank(o + 1)) }
+      .toSeq.toDF("__bin", out)
+    val straddling = binInfo.collect { case (b, o, false) => (b, o) }
+      .toSeq.toDF("__bin", "__bin_offset")
+    val uniformRows = binned.join(broadcast(uniform), Seq("__bin"))
+      .select((cols.map(col) :+ col(out)): _*)
+    val w = Window.partitionBy(col("__bin")).orderBy(sortKeys: _*)
+    val tileExpr =
+      when(col("__rank") <= firstBlock,
+          expr(s"(`__rank` - 1) div $bigSize"))
+        .otherwise(expr(s"${total % numTiles} + (`__rank` - 1 - $firstBlock) div $smallSize"))
+        .cast("long") + 1L
+    val straddlingRows = binned
+      .join(broadcast(straddling), Seq("__bin")) // inner join = cutoff-bin filter
+      .withColumn("__rank", col("__bin_offset") + row_number().over(w).cast("long"))
+      .select((cols.map(col) :+ tileExpr.as(out)): _*)
+    uniformRows.unionByName(straddlingRows)
+  }
+}

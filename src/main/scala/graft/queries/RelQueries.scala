@@ -275,50 +275,20 @@ object RelQueries {
       .orderBy("event_id")
   }
 
-  /** Global ntile(4) WITHOUT a global single-partition window — the naive
-    * `Window.orderBy(price)` serializes the whole table through one task,
-    * fatal at 100×. Scale-safe two-pass instead:
-    *
-    *  1. a deterministic value histogram (fixed-width price bins) is
-    *     aggregated and collected — bounded, ~price-range/step rows, the same
-    *     driver-side role as RangePartitioner's sample but exact and
-    *     deterministic (no sampling seed);
-    *  2. cumulative bin offsets broadcast back; a window PARTITIONED BY bin
-    *     ranks within each bin in parallel, and `offset + rn` is the exact
-    *     global rank (the (price, orderkey) sort key is unique);
-    *  3. the exact SQL ntile formula maps rank → bucket: the first N%4
-    *     buckets take ⌈N/4⌉ rows, the rest ⌊N/4⌋.
-    *
-    * Skew caveat: one bin = one window partition, so a degenerate value
-    * distribution (all prices in one bin) needs a finer step or a composite
-    * bin key — same remedy as any skewed shuffle key. */
-  def wxNtile(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val NTiles = 4L
-    val bin = floor(col("o_totalprice") / 1000.0).cast("long").as("bin")
-    val binned = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"), bin)
-    val hist = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
-      .orderBy("bin").collect() // bounded histogram, not table data
-    val total = hist.map(_.getLong(1)).sum
-    var running = 0L
-    val offsets = hist.map { r =>
-      val o = running; running += r.getLong(1); (r.getLong(0), o)
-    }.toSeq.toDF("bin", "bin_offset")
-    val w = Window.partitionBy(col("bin")).orderBy(col("o_totalprice"), col("o_orderkey"))
-    val big = total / NTiles + 1 // first (total % NTiles) buckets are this size
-    val small = math.max(total / NTiles, 1L)
-    val firstBlock = (total % NTiles) * big
-    binned
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .join(broadcast(offsets), Seq("bin"))
-      .withColumn("rank", col("bin_offset") + col("rn"))
-      .select(col("o_orderkey"),
-        when(col("rank") <= firstBlock,
-            expr(s"(rank - 1) div $big"))
-          .otherwise(expr(s"${total % NTiles} + (rank - 1 - $firstBlock) div $small"))
-          .cast("long").+(1L).as("quartile"))
+  /** Global ntile(4) WITHOUT a global single-partition window — delegated to
+    * the ScalableNtile operator (histogram two-pass: uniform bins assigned
+    * via broadcast, only cutoff-straddling bins window-ranked; no full-table
+    * exchange). The trailing orderBy is output canonicalization for the
+    * oracle, not part of the operator. */
+  def wxNtile(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScalableNtile(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+      numTiles = 4,
+      bin = floor(col("o_totalprice") / 1000.0).cast("long"),
+      sortKeys = Seq(col("o_totalprice"), col("o_orderkey")),
+      out = "quartile")
+      .select(col("o_orderkey"), col("quartile"))
       .orderBy("o_orderkey")
-  }
 
   val queries: Map[String, Q] = Map(
     "j1_change_current_state" -> (j1ChangeCurrentState _),

@@ -70,6 +70,48 @@ class KVStore(spark: SparkSession, path: String, keepSnapshots: Int = 3) {
 
   // Synchronized as a whole: the base snapshot is read INSIDE the lock, so a
   // concurrent save cannot slip between read-merge and write (lost update).
+  /** Entity-storage compaction (CleanupFunction.cs:36-40,
+    * `CleanEntityStorageAsync { ReleaseOrphanedLocks, RemoveEmptyEntities }`):
+    *
+    *  - remove-empty-entities → drop keys whose value is null/blank (the
+    *    durable-entity "exists but holds no state" shape);
+    *  - release-orphaned-locks → delete crash leftovers: stray
+    *    `_CURRENT.tmp*` pointer files (a writer died mid-swap) and `v_*`
+    *    directories NEWER than the live pointer (a writer died after the
+    *    parquet write but before the swap — they are unreachable, not
+    *    history).
+    *
+    * Returns (emptyEntitiesRemoved, orphansDeleted). */
+  def cleanStorage(removeEmptyEntities: Boolean = true,
+                   releaseOrphanedLocks: Boolean = true): (Long, Long) = synchronized {
+    val empties =
+      if (!removeEmptyEntities) 0L
+      else {
+        val current = all()
+        val emptyCount = current.filter(col("value").isNull || trim(col("value")) === "").count()
+        if (emptyCount > 0) {
+          writeSnapshot(current.filter(col("value").isNotNull && trim(col("value")) =!= ""))
+        }
+        emptyCount
+      }
+    var orphans = 0L
+    if (releaseOrphanedLocks) {
+      val live = currentVersion.getOrElse(-1)
+      Files.list(root).forEach { p =>
+        val name = p.getFileName.toString
+        val staleTmp = name.startsWith("_CURRENT.tmp")
+        val futureSnap = name.startsWith("v_") &&
+          name.stripPrefix("v_").toIntOption.exists(_ > live)
+        if (staleTmp || futureSnap) {
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.deleteIfExists(f))
+          orphans += 1
+        }
+      }
+    }
+    (empties, orphans)
+  }
+
   private def writeMerged(incoming: DataFrame): Unit = synchronized {
     // union + dedup-to-latest: newest updated_at wins; incoming beats
     // existing on exact timestamp ties (marked by priority column).

@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ScalableNtile must reproduce Spark's own `ntile(n)` bit-for-bit — the
+  * built-in global window is the executable spec (fine at test scale where
+  * one task is harmless). Sizes chosen to exercise BOTH formula branches:
+  * divisible (N%n == 0) and non-divisible (first N%n tiles one row bigger),
+  * plus N < n and single-bin degenerate layouts. */
+class ScalableNtileSpec extends SparkSpec {
+
+  private def check(n: Int, numTiles: Int, binStep: Double): Unit = {
+    import spark.implicits._
+    // deterministic pseudo-random values with duplicates across bins
+    val df = (1 to n).map(i => (i.toLong, (i * 37 % 101) * 1.5))
+      .toDF("id", "v")
+    val expected = df
+      .withColumn("t", ntile(numTiles).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    val actual = ScalableNtile(df, numTiles,
+        bin = floor(col("v") / binStep).cast("long"),
+        sortKeys = Seq(col("v"), col("id")), out = "t")
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    assert(actual == expected,
+      s"n=$n tiles=$numTiles step=$binStep: " +
+        s"diff=${(actual.toSet -- expected.toSet).take(5)}")
+  }
+
+  test("divisible N: matches built-in ntile") {
+    check(100, 4, 10.0)
+  }
+
+  test("non-divisible N: first N%n tiles take the extra row") {
+    check(101, 4, 10.0)
+    check(97, 7, 25.0)
+    check(14, 3, 40.0)
+  }
+
+  test("N < numTiles: one row per leading tile") {
+    check(3, 4, 10.0)
+  }
+
+  test("degenerate binning: everything in one bin still exact") {
+    check(50, 4, 1e9) // single straddling bin — pure window path
+  }
+
+  test("fine binning: every row its own bin (pure broadcast path)") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val expected = df
+      .withColumn("t", ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    val actual = ScalableNtile(df, 4, bin = col("v").cast("long"),
+        sortKeys = Seq(col("v"), col("id")), out = "t")
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    assert(actual == expected)
+  }
+}

@@ -64,6 +64,25 @@ class KVStoreSpec extends SparkSpec {
     (1 to 4).foreach(i => assert(kv.get(s"k$i").contains(s"v$i")))
   }
 
+  test("cleanStorage: empty entities removed, crash leftovers deleted") {
+    val dir = tmp
+    val kv = new KVStore(spark, dir)
+    kv.save("live", "data", ts(1))
+    kv.save("empty", "", ts(2))
+    kv.save("blank", "   ", ts(3))
+    // simulate a writer that died mid-swap: stray tmp pointer + future snapshot
+    val root = java.nio.file.Paths.get(dir)
+    Files.writeString(root.resolve("_CURRENT.tmp99"), "99")
+    Files.createDirectories(root.resolve("v_99"))
+    val (empties, orphans) = kv.cleanStorage()
+    assert(empties == 2, s"expected 2 empty entities, got $empties")
+    assert(orphans == 2, s"expected 2 orphans, got $orphans")
+    assert(kv.get("live").contains("data"))
+    assert(kv.get("empty").isEmpty && kv.get("blank").isEmpty)
+    assert(!Files.exists(root.resolve("_CURRENT.tmp99")))
+    assert(!Files.exists(root.resolve("v_99")))
+  }
+
   test("LeaseStore: attempt counts and the 5->4 re-arm nudge") {
     val lease = new LeaseStore(spark, tmp)
     assert(lease.attemptCount("t").isEmpty)
