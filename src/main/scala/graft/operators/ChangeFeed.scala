@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** CDC change-feed emulation (S1/J1/T3/A4/W1).
   *
@@ -62,19 +61,25 @@ object ChangeFeed {
   /** A4/W1/T3 — dedup-to-latest per key: at most one (latest by `version`)
     * row per PK, the delivery compaction semantics of README.md:5.
     *
-    * Implemented as `row_number` over a PK window. A single hash
-    * exchange on the PK; at scale this is the canonical Spark latest-state
-    * pattern (no driver materialization, spills cleanly).
-    * Ties on `version` break by the remaining sort `tieBreak` columns so the
-    * result is deterministic.
+    * Implemented as `max_by(payload, (version, tieBreak...))` aggregation
+    * rather than the `row_number` window: an aggregation gets MAP-SIDE
+    * partial combining, so the shuffle carries at most one row per key per
+    * input partition (∝ distinct keys) instead of every row followed by a
+    * per-key sort — the difference between shuffling the change log and
+    * shuffling the compacted state at 100 TB. Struct ordering is
+    * lexicographic, so ties on `version` break by the `tieBreak` columns,
+    * matching the window formulation row-for-row.
     */
   def dedupLatest(df: DataFrame, pk: Seq[String], version: String,
                   tieBreak: Seq[String] = Seq.empty): DataFrame = {
-    val order = (desc(version) +: tieBreak.map(desc)).toIndexedSeq
-    val w = Window.partitionBy(pk.map(col).toIndexedSeq: _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .drop("__rn")
+    val cols = df.columns.toSeq
+    val payloadCols = cols.filterNot(pk.contains)
+    if (payloadCols.isEmpty) return df.distinct() // degenerate: key-only rows
+    val ordering = struct((version +: tieBreak).map(col).toIndexedSeq: _*)
+    df.groupBy(pk.map(col).toIndexedSeq: _*)
+      .agg(max_by(struct(payloadCols.map(col).toIndexedSeq: _*), ordering).as("__row"))
+      .select(cols.map(c =>
+        if (pk.contains(c)) col(c) else col(s"__row.$c").as(c)).toIndexedSeq: _*)
   }
 
   /** S9/F17 — serialize a change batch to the reference's wire shape:

@@ -153,7 +153,10 @@ object RelQueries {
       .agg(count(lit(1)).as("n_rows"), countDistinct(col("l_orderkey")).as("n_orders"))
 
   def a4DedupLatest(s: SparkSession, d: String): DataFrame =
-    ChangeFeed.dedupLatest(Tables.lineitem(s, d),
+    // project BEFORE the dedup so only 3 columns ride the shuffle (the
+    // max_by payload struct is opaque to Catalyst's column pruning)
+    ChangeFeed.dedupLatest(
+        Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"), col("l_linenumber")),
         Seq("l_orderkey"), "l_shipdate", Seq("l_linenumber"))
       .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
@@ -213,16 +216,16 @@ object RelQueries {
         approx_count_distinct(col("l_orderkey")).as("approx_orders"))
 
   // ---- W1-W4, WX windows ----
-  def w1LatestPerKey(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
-    Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  def w1LatestPerKey(s: SparkSession, d: String): DataFrame =
+    // latest-per-key via the aggregated dedupLatest (max_by): map-side
+    // combine shrinks the shuffle to one row per customer per partition,
+    // where the row_number window shuffled every order and sorted per key
+    ChangeFeed.dedupLatest(
+        Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate")),
+        Seq("o_custkey"), "o_orderdate", Seq("o_orderkey"))
       .select(col("o_custkey"), col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
       .orderBy("o_custkey")
-  }
 
   def w2RangeBucket(s: SparkSession, d: String): DataFrame = {
     val o = Tables.orders(s, d)

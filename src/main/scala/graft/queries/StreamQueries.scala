@@ -53,18 +53,17 @@ object StreamQueries {
     * first event notifies; the rest are suppressed (NotifyFunctions.cs:29-34
     * batch analogue). */
   def t7ThrottleWindow(s: SparkSession, d: String): DataFrame = {
+    // ONE aggregation instead of two windows + filter: min_by picks the
+    // first event per (user, bucket) and count tallies the suppressed rest,
+    // both with map-side partial combining — the window formulation shuffled
+    // and sorted every event per key
     val bucketed = withEpochTs(Tables.events(s, d))
       .withColumn("bucket_start", (col("et") - (col("et") % 21600)).cast("long"))
-    val w = Window.partitionBy(col("user_id"), col("bucket_start"))
-      .orderBy(col("et"), col("event_id"))
     bucketed
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n_in_bucket", count(lit(1)).over(
-        Window.partitionBy(col("user_id"), col("bucket_start"))))
-      .filter(col("rn") === 1)
-      .select(col("user_id"), col("bucket_start"),
-        col("event_id").as("notify_event_id"),
-        (col("n_in_bucket") - 1).cast("long").as("suppressed"))
+      .groupBy(col("user_id"), col("bucket_start"))
+      .agg(
+        min_by(col("event_id"), struct(col("et"), col("event_id"))).as("notify_event_id"),
+        (count(lit(1)) - 1).cast("long").as("suppressed"))
       .orderBy("user_id", "bucket_start")
   }
 
