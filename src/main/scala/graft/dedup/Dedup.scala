@@ -161,15 +161,17 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
     // both sides of the bucket self-join read the fingerprints; released
-    // once the compact pair table is materialized
-    val fp = simhash(docs, idCol, textCol, bits).persist()
-    val a = fp.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"),
+    // once the compact pair table is materialized. The bit-string parses to
+    // a long ONCE per side so the per-pair hamming is a single xor+popcount
+    // (vs bits× substring compares per candidate pair).
+    val fp = simhash(docs, idCol, textCol, bits)
+      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long"))
+      .persist()
+    val a = fp.select(col("doc_id").as("doc_a"), col("sh_long").as("shl_a"),
       substring(col("simhash"), 1, prefixBits).as("bucket"))
-    val b = fp.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"),
+    val b = fp.select(col("doc_id").as("doc_b"), col("sh_long").as("shl_b"),
       substring(col("simhash"), 1, prefixBits).as("bucket"))
-    val hamming = (1 to bits)
-      .map(j => when(substring(col("sh_a"), j, 1) =!= substring(col("sh_b"), j, 1), 1).otherwise(0))
-      .reduce(_ + _)
+    val hamming = bit_count(col("shl_a").bitwiseXOR(col("shl_b")))
     val result = a.join(b, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
@@ -223,12 +225,15 @@ object Dedup {
     val toks = split(trim(col(textCol)), " ")
     // join key is the 56-bit shingle hash: long equi-join instead of a
     // ~20-char string join (collision odds ~n²/2^57 — negligible, and the
-    // oracle hashes identically so parity holds regardless)
-    // three plan branches read this (per-doc counts + both join sides)
+    // oracle hashes identically so parity holds regardless).
+    // Distinctness is PER DOCUMENT, so array_distinct inside the row does it
+    // narrowly — a .distinct() after the explode would shuffle the whole
+    // exploded shingle table just to dedup within each doc.
+    // Three plan branches read this (per-doc counts + both join sides).
     val docShingles = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
-      .select(col("doc_id"), hexHash(col("sh")).as("sh"))
-      .distinct()
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          transform(shingles(toks, shingleWidth), sh => hexHash(sh)))).as("sh"))
       .persist()
     val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a")

@@ -75,4 +75,22 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 3L)) > 0.3 && j((1L, 3L)) < 1.0)
     assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
+
+  test("candidate generators release their persisted intermediates (no cache leak)") {
+    // Regression guard: each generator persists fat intermediates (signature/
+    // band/shingle/fingerprint tables) and must release them once the compact
+    // result is materialized — a leak here evicts the shared table cache in
+    // long sessions. The checkpointed result itself may add ONE storage entry.
+    def cachedCount: Int = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedCount
+    val results = Seq(
+      Dedup.minhashCandidates(docs, "doc_id", "text"),
+      Dedup.simhashPairs(docs, "doc_id", "text"),
+      Dedup.ngramJaccard(docs, "doc_id", "text"))
+    results.foreach(_.count())
+    val after = cachedCount
+    assert(after - before <= results.size,
+      s"persisted RDDs grew $before -> $after: an intermediate leaked past " +
+        "its materializeAndRelease point")
+  }
 }
