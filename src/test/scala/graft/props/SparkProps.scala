@@ -64,4 +64,21 @@ object SparkProps extends Properties("graft.spark") {
       val snap = rows.distinctBy(_._1).toDF("id", "v", "p")
       ChangeFeed.diff(snap, snap, Seq("id")).count() == 0
     }
+
+  property("ScalableNtile ≡ built-in ntile for any N, tiles, bin step") =
+    forAll(Gen.choose(1, 120), Gen.choose(1, 9), Gen.oneOf(1.0, 7.0, 40.0, 1e9)) {
+      (n, tiles, step) =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, floor, ntile}
+        val df = (1 to n).map(i => (i.toLong, (i * 53 % 89) * 1.25)).toDF("id", "v")
+        val expected = df.withColumn("t",
+            ntile(tiles).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("v"), col("id"))).cast("long"))
+          .select("id", "t").as[(Long, Long)].collect().toMap
+        val actual = graft.operators.ScalableNtile(df, tiles,
+            bin = floor(col("v") / step).cast("long"),
+            sortKeys = Seq(col("v"), col("id")), out = "t")
+          .select("id", "t").as[(Long, Long)].collect().toMap
+        actual == expected
+    }
 }

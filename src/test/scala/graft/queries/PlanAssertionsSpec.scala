@@ -78,6 +78,17 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(aggs.isEmpty, s"allowlist filter must not re-group per event:\n$plan")
   }
 
+  test("latest-per-key and throttle aggregate PARTIALLY before the shuffle") {
+    // the max_by/min_by formulations exist precisely for map-side combine:
+    // the shuffle must carry pre-aggregated rows, not the raw table
+    assert(executedPlan("w1_latest_per_key").toString.contains("partial_max_by"),
+      "w1 must partially aggregate map-side")
+    assert(executedPlan("a4_dedup_latest").toString.contains("partial_max_by"),
+      "a4 must partially aggregate map-side")
+    assert(executedPlan("t7_throttle_window").toString.contains("partial_min_by"),
+      "t7 must partially aggregate map-side")
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {
