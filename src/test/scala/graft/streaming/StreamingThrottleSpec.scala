@@ -1,0 +1,57 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingThrottleSpec extends SparkSpec {
+  import StreamingThrottle.Stamped
+
+  private val SixHoursMs = 360L * 60000
+
+  test("first event per key per window passes; in-window duplicates drop across batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped[String, String]]
+    val q = StreamingThrottle.throttle(input.toDS(), SixHoursMs)
+      .writeStream.format("memory").queryName("throttle_out")
+      .outputMode(OutputMode.Update()).start()
+
+    // batch 1: t opens the window at minute 0; minute-10 duplicate drops;
+    // other key unaffected
+    input.addData(
+      Stamped("t", 0L, "first"),
+      Stamped("t", 10 * 60000L, "dup-in-window"),
+      Stamped("u", 0L, "other-key"))
+    q.processAllAvailable()
+    // batch 2: still inside t's window (minute 359) -> drops; minute 361
+    // re-opens -> passes
+    input.addData(
+      Stamped("t", 359 * 60000L, "still-inside"),
+      Stamped("t", 361 * 60000L, "window-elapsed"))
+    q.processAllAvailable()
+    val rows = spark.table("throttle_out").as[Stamped[String, String]].collect()
+      .map(s => (s.key, s.value)).toSet
+    q.stop()
+    assert(rows == Set(("t", "first"), ("u", "other-key"), ("t", "window-elapsed")),
+      s"got $rows")
+  }
+
+  test("unordered events inside one batch throttle deterministically (event order)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped[String, String]]
+    val q = StreamingThrottle.throttle(input.toDS(), SixHoursMs)
+      .writeStream.format("memory").queryName("throttle_unordered")
+      .outputMode(OutputMode.Update()).start()
+    // arrival order reversed: the EARLIEST event must be the one that passes
+    input.addData(
+      Stamped("t", 100 * 60000L, "later"),
+      Stamped("t", 0L, "earliest"))
+    q.processAllAvailable()
+    val rows = spark.table("throttle_unordered").as[Stamped[String, String]].collect()
+      .map(_.value).toSet
+    q.stop()
+    assert(rows == Set("earliest"), s"got $rows")
+  }
+}
