@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialize `result` eagerly (localCheckpoint: compute once, store the
-    * compact output, truncate lineage) and release the persisted
-    * intermediates it was built from.
+  /** `SPARK_GRAFT_NO_CACHE=1` disables ALL block storage in this module —
+    * intermediates stay lazy and results are returned un-checkpointed — the
+    * same switch `Tables.read` honors, so a no-cache measurement run really
+    * holds zero graft-originated blocks. */
+  private lazy val storeEnabled = !sys.env.contains("SPARK_GRAFT_NO_CACHE")
+
+  private def maybePersist(df: DataFrame): DataFrame =
+    if (storeEnabled) df.persist() else df
+
+  /** Materialize `result` eagerly (compute once, store the compact output,
+    * truncate lineage) and release the persisted intermediates it was built
+    * from.
     *
     * Why eager: the candidate tables below are built from fat intermediates
     * (shingle explodes, signature tables, band tables) that several plan
@@ -35,12 +44,24 @@ object Dedup {
     * (exactly the round-2 bench regression). At cluster scale this is the
     * checkpoint-and-release step of the pipeline: the compact candidate
     * table is materialized once and fanned out from; the shuffle-heavy
-    * intermediates are dropped immediately. The checkpointed blocks
-    * themselves are reclaimed by the ContextCleaner once the returned
-    * DataFrame is unreachable. */
+    * intermediates are dropped immediately.
+    *
+    * Checkpoint form: when the session has a reliable checkpoint dir
+    * (`sc.setCheckpointDir`, the cluster deployment norm) the result is
+    * checkpointed THERE — replicated, recomputable-free storage that
+    * survives executor loss. Only without one (single-JVM runs: tests,
+    * local bench) does it fall back to `localCheckpoint`, whose
+    * non-replicated executor blocks would be unrecoverable on a cluster
+    * (lineage is truncated) but are exactly as durable as the JVM locally.
+    * Either way the blocks are reclaimed by the ContextCleaner once the
+    * returned DataFrame is unreachable. */
   private def materializeAndRelease(result: DataFrame,
                                     intermediates: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out =
+      if (!storeEnabled) result
+      else if (result.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        result.checkpoint(eager = true)
+      else result.localCheckpoint(true)
     intermediates.foreach(_.unpersist(false))
     out
   }
@@ -116,8 +137,8 @@ object Dedup {
     // self-join + both signature lookups); persist it or Spark recomputes
     // the shingle-explode + k-way agg once per branch. Released below via
     // materializeAndRelease — the compact pair table is the checkpoint.
-    val sigs = minhashSignatures(docs, idCol, textCol, k, shingleWidth).persist()
-    val bands = lshBands(sigs, k, bandRows).persist()
+    val sigs = maybePersist(minhashSignatures(docs, idCol, textCol, k, shingleWidth))
+    val bands = maybePersist(lshBands(sigs, k, bandRows))
     val pairs = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -164,9 +185,8 @@ object Dedup {
     // once the compact pair table is materialized. The bit-string parses to
     // a long ONCE per side so the per-pair hamming is a single xor+popcount
     // (vs bits× substring compares per candidate pair).
-    val fp = simhash(docs, idCol, textCol, bits)
-      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long"))
-      .persist()
+    val fp = maybePersist(simhash(docs, idCol, textCol, bits)
+      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long")))
     val a = fp.select(col("doc_id").as("doc_a"), col("sh_long").as("shl_a"),
       substring(col("simhash"), 1, prefixBits).as("bucket"))
     val b = fp.select(col("doc_id").as("doc_b"), col("sh_long").as("shl_b"),
@@ -194,14 +214,13 @@ object Dedup {
     // orientations) — a union of two selects would evaluate the candidate
     // subplan twice.
     val ids = docs.select(col(idCol).as("doc_id"))
-    val edges = pairs
+    val edges = maybePersist(pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      .distinct()
-      .persist()
+      .distinct())
     var labels = ids.select(col("doc_id"), col("doc_id").as("cluster_id"))
     (0 until iterations).foreach { _ =>
       labels = edges
@@ -230,11 +249,10 @@ object Dedup {
     // narrowly — a .distinct() after the explode would shuffle the whole
     // exploded shingle table just to dedup within each doc.
     // Three plan branches read this (per-doc counts + both join sides).
-    val docShingles = docs
+    val docShingles = maybePersist(docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(
-          transform(shingles(toks, shingleWidth), sh => hexHash(sh)))).as("sh"))
-      .persist()
+          transform(shingles(toks, shingleWidth), sh => hexHash(sh)))).as("sh")))
     val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a")
       .join(docShingles.as("b"), Seq("sh"))

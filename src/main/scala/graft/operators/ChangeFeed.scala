@@ -27,6 +27,13 @@ object ChangeFeed {
   val OpUpdate = "Update"
   val OpDelete = "Delete"
 
+  /** Column reference by LITERAL name: `col("a.b")` parses the dot as a
+    * nested-field path, so generic operators over arbitrary schemas must
+    * backtick-quote every data-driven name (a column legally named `a.b`
+    * otherwise fails to resolve). */
+  private[graft] def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** Snapshot diff → change batch with schema
     * `(Operation string, <pk cols>, <non-pk cols from the NEW snapshot;
     *   null for deletes>)`.
@@ -34,25 +41,25 @@ object ChangeFeed {
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, pk: Seq[String]): DataFrame = {
     val dataCols = oldSnap.columns.filterNot(pk.contains).toSeq
-    val o = oldSnap.select(oldSnap.columns.map(c => col(c).as(s"old_$c")).toIndexedSeq: _*)
-    val n = newSnap.select(newSnap.columns.map(c => col(c).as(s"new_$c")).toIndexedSeq: _*)
-    val joinCond = pk.map(k => o(s"old_$k") === n(s"new_$k")).reduce(_ && _)
+    val o = oldSnap.select(oldSnap.columns.map(c => qcol(c).as(s"old_$c")).toIndexedSeq: _*)
+    val n = newSnap.select(newSnap.columns.map(c => qcol(c).as(s"new_$c")).toIndexedSeq: _*)
+    val joinCond = pk.map(k => qcol(s"old_$k") === qcol(s"new_$k")).reduce(_ && _)
     val joined = o.join(n, joinCond, "full_outer")
 
-    val newPresent = col(s"new_${pk.head}").isNotNull
-    val oldPresent = col(s"old_${pk.head}").isNotNull
+    val newPresent = qcol(s"new_${pk.head}").isNotNull
+    val oldPresent = qcol(s"old_${pk.head}").isNotNull
     val anyDiff: Column =
       if (dataCols.isEmpty) lit(false)
       else dataCols
-        .map(c => !(col(s"new_$c") <=> col(s"old_$c")))
+        .map(c => !(qcol(s"new_$c") <=> qcol(s"old_$c")))
         .reduce(_ || _)
 
     val op = when(newPresent && !oldPresent, OpInsert)
       .when(!newPresent && oldPresent, OpDelete)
       .when(anyDiff, OpUpdate)
 
-    val keyCols = pk.map(k => coalesce(col(s"new_$k"), col(s"old_$k")).as(k))
-    val payload = dataCols.map(c => col(s"new_$c").as(c))
+    val keyCols = pk.map(k => coalesce(qcol(s"new_$k"), qcol(s"old_$k")).as(k))
+    val payload = dataCols.map(c => qcol(s"new_$c").as(c))
     joined
       .select((op.as("Operation") +: (keyCols ++ payload)).toIndexedSeq: _*)
       .filter(col("Operation").isNotNull)
@@ -75,11 +82,13 @@ object ChangeFeed {
     val cols = df.columns.toSeq
     val payloadCols = cols.filterNot(pk.contains)
     if (payloadCols.isEmpty) return df.distinct() // degenerate: key-only rows
-    val ordering = struct((version +: tieBreak).map(col).toIndexedSeq: _*)
-    df.groupBy(pk.map(col).toIndexedSeq: _*)
-      .agg(max_by(struct(payloadCols.map(col).toIndexedSeq: _*), ordering).as("__row"))
+    val ordering = struct((version +: tieBreak).map(qcol).toIndexedSeq: _*)
+    df.groupBy(pk.map(qcol).toIndexedSeq: _*)
+      .agg(max_by(struct(payloadCols.map(qcol).toIndexedSeq: _*), ordering).as("__row"))
+      // getField takes a LITERAL field name (no path parsing), so payload
+      // columns named e.g. "user.name" round-trip intact
       .select(cols.map(c =>
-        if (pk.contains(c)) col(c) else col(s"__row.$c").as(c)).toIndexedSeq: _*)
+        if (pk.contains(c)) qcol(c) else col("__row").getField(c).as(c)).toIndexedSeq: _*)
   }
 
   /** S9/F17 — serialize a change batch to the reference's wire shape:
@@ -99,7 +108,7 @@ object ChangeFeed {
       to_json(
         struct(
           op,
-          struct(itemCols.map(col).toIndexedSeq: _*).as("Item")
+          struct(itemCols.map(qcol).toIndexedSeq: _*).as("Item")
         )
       ).as("payload"))
   }

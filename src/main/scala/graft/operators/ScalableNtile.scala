@@ -39,6 +39,15 @@ import org.apache.spark.sql.functions._
   * for reproducible window output anyway). Skew: a degenerate distribution
   * (most rows in one bin) needs a finer step or a composite bin key — the
   * same remedy as any skewed shuffle key.
+  *
+  * Bin contract: the bin expression must be NUMERIC (it is floored to a
+  * long); a NULL bin — e.g. from a null sort column — maps to Long.MinValue,
+  * i.e. nulls rank first, matching Spark's default ASC NULLS FIRST window
+  * ordering. Input lifecycle: the operator scans `df` three times (histogram
+  * + the two join branches); if `df` is an expensive derived plan rather
+  * than a (cached) scan, persist it around the call — the operator does not
+  * persist internally because a lazily-returned result gives it no correct
+  * release point (the round-2 cache-leak lesson).
   */
 object ScalableNtile {
 
@@ -48,7 +57,13 @@ object ScalableNtile {
     val spark = df.sparkSession
     import spark.implicits._
     val cols = df.columns.toSeq
-    val binned = df.withColumn("__bin", bin)
+    val binDt = df.select(bin.as("__bin")).schema.head.dataType
+    require(binDt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bin expression must be numeric, got ${binDt.sql}")
+    // floor to long + null→MinValue: every bin is a non-null long, so the
+    // histogram read below cannot NPE and the equi-joins cannot drop rows
+    val binned = df.withColumn("__bin",
+      coalesce(bin.cast("long"), lit(Long.MinValue)))
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
       .orderBy("__bin").collect() // bounded histogram, not table data
     val total = hist.map(_.getLong(1)).sum

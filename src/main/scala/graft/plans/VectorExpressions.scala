@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   *
   * Semantics: elements widened to double, summed in ascending index order —
   * bit-identical to the sequential `aggregate` fold it replaces (oracle
-  * parity preserved). Null if either array is null. Typed: inputs must be
-  * two `array<float>` or two `array<double>` columns (anything else is an
-  * AnalysisException, not silent garbage), and a length mismatch raises at
-  * execution — the documented equal-length contract is enforced, never
-  * silently truncated.
+  * parity preserved). Null if either array is null, and null if any ELEMENT
+  * touched is null (SQL convention: an incomplete input yields NULL, never a
+  * silently-zeroed sum; the element null checks are emitted only when the
+  * array type says `containsNull`, so non-null embedding columns keep the
+  * branch-free inner loop). Typed: inputs must be two `array<float>` or two
+  * `array<double>` columns (anything else is an AnalysisException, not
+  * silent garbage), and a length mismatch raises at execution — the
+  * documented equal-length contract is enforced, never silently truncated.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -49,6 +52,17 @@ case class DotProduct(left: Expression, right: Expression)
     case _ => FloatType // unresolved input; checkInputDataTypes rejects it
   }
 
+  /** Whether either input array may carry null ELEMENTS (drives both the
+    * nullability of the result and whether the loops emit null checks). */
+  private def elementsMayBeNull: Boolean =
+    Seq(left.dataType, right.dataType).exists {
+      case ArrayType(_, containsNull) => containsNull
+      case _ => false
+    }
+
+  override def nullable: Boolean =
+    left.nullable || right.nullable || elementsMayBeNull
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -58,9 +72,11 @@ case class DotProduct(left: Expression, right: Expression)
         s"vec_dot: array length mismatch ($n vs ${y.numElements()})")
     }
     val isFloat = elementType == FloatType
+    val checkNulls = elementsMayBeNull
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc +=
         (if (isFloat) x.getFloat(i).toDouble * y.getFloat(i).toDouble
          else x.getDouble(i) * y.getDouble(i))
@@ -76,6 +92,12 @@ case class DotProduct(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       // element getter resolved once at codegen time from the checked type
       val get = if (elementType == FloatType) "getFloat" else "getDouble"
+      // null-element guard emitted ONLY for containsNull array types: the
+      // hot path over non-null embeddings stays a branch-free fused loop
+      val nullGuard =
+        if (elementsMayBeNull)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = $a.numElements();
          |if ($n != $b.numElements()) {
@@ -84,6 +106,7 @@ case class DotProduct(left: Expression, right: Expression)
          |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullGuard
          |  $acc += ((double) $a.$get($i)) * ((double) $b.$get($i));
          |}
          |${ev.value} = $acc;

@@ -34,10 +34,12 @@ object ExtQueries {
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
   // pair table per sfDir and let each query apply its own minEst filter.
   // `minhashCandidates` already returns an eagerly-materialized
-  // (localCheckpoint'd) compact table with its fat intermediates released,
-  // so the memo holds exactly one small pair table per sfDir — bounded — and
-  // no further persist() is needed on top. At cluster scale this is the
-  // materialized intermediate you'd checkpoint once and fan out from.
+  // (checkpointed — reliable dir when set, local otherwise) compact table
+  // with its fat intermediates released, so the memo holds exactly one small
+  // pair table per sfDir — bounded — and no further persist() is needed on
+  // top. At cluster scale this is the materialized intermediate you'd
+  // checkpoint once and fan out from. (Under SPARK_GRAFT_NO_CACHE the memo
+  // holds a lazy plan instead — recomputed per use, stored nowhere.)
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d,

@@ -82,7 +82,10 @@ object Scheduler {
         case _ => ()
       }
       retryCount += 1
-      if (!notified && retryCount >= cfg.notifyOnRetryCount) { // :169-173
+      // threshold <= 0 disables notification entirely (>= alone would fire
+      // on the first retry for a 0 threshold — the opposite of "never")
+      if (!notified && cfg.notifyOnRetryCount > 0 &&
+          retryCount >= cfg.notifyOnRetryCount) { // :169-173
         onNotify(table)
         notified = true // notify once, then continue retrying (:50)
       }

@@ -69,28 +69,35 @@ class HttpPostAction(poster: HttpPostAction.Poster = HttpPostAction.javaHttpPost
     val spark = changes.sparkSession
     import spark.implicits._
 
-    val payload = ChangeFeed.toJsonPayload(changes).as[String]
-    val head = payload.take(maxSingleDocRows + 1)
-    if (head.length <= maxSingleDocRows) {
-      // single atomic POST (reference semantics), including the empty batch
-      val (status, body) = p.post(url, head.mkString("[", ",", "]"), timeoutMs)
-      SinkOutcome.fromStatus(status, body)
-    } else {
-      val statuses = payload
-        .mapPartitions { rows =>
-          if (rows.isEmpty) Iterator.empty
-          else {
-            val doc = rows.mkString("[", ",", "]")
-            Iterator.single(p.post(url, doc, timeoutMs))
+    // persisted for the probe: `take` materializes (and caches) only the
+    // partitions it needs; if the batch turns out large, the mapPartitions
+    // pass reads those partitions from cache instead of re-executing the
+    // whole upstream plan a second time. Both paths consume inside this
+    // method, so the release point is well-defined (finally).
+    val payload = ChangeFeed.toJsonPayload(changes).as[String].persist()
+    try {
+      val head = payload.take(maxSingleDocRows + 1)
+      if (head.length <= maxSingleDocRows) {
+        // single atomic POST (reference semantics), including the empty batch
+        val (status, body) = p.post(url, head.mkString("[", ",", "]"), timeoutMs)
+        SinkOutcome.fromStatus(status, body)
+      } else {
+        val statuses = payload
+          .mapPartitions { rows =>
+            if (rows.isEmpty) Iterator.empty
+            else {
+              val doc = rows.mkString("[", ",", "]")
+              Iterator.single(p.post(url, doc, timeoutMs))
+            }
           }
-        }
-        .collect() // one small (status, body-snippet) row per partition
+          .collect() // one small (status, body-snippet) row per partition
 
-      statuses.map { case (status, body) => SinkOutcome.fromStatus(status, body) }
-        .foldLeft(SinkOutcome(success = true, 200, retryable = false, "")) { (acc, o) =>
-          if (!acc.success) acc else if (!o.success) o else acc
-        }
-    }
+        statuses.map { case (status, body) => SinkOutcome.fromStatus(status, body) }
+          .foldLeft(SinkOutcome(success = true, 200, retryable = false, "")) { (acc, o) =>
+            if (!acc.success) acc else if (!o.success) o else acc
+          }
+      }
+    } finally payload.unpersist(false)
   }
 }
 

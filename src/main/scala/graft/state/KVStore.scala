@@ -38,6 +38,25 @@ class KVStore(spark: SparkSession, path: String, keepSnapshots: Int = 3) {
   private def currentVersion: Option[Int] =
     if (Files.exists(pointer)) Some(Files.readString(pointer).trim.toInt) else None
 
+  // Files.walk/list return streams that hold an open directory fd until
+  // closed — a scheduled cleanup that never closes them exhausts the
+  // process's fd table. Always close via try/finally.
+  private def deleteRecursively(dir: java.nio.file.Path): Unit = {
+    val walk = Files.walk(dir)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => Files.deleteIfExists(f))
+    finally walk.close()
+  }
+
+  private def listDir(dir: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val listing = Files.list(dir)
+    try {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      listing.forEach(p => buf += p)
+      buf.toSeq
+    } finally listing.close()
+  }
+
   /** Full current state: (key string, value string, updated_at timestamp). */
   def all(): DataFrame = currentVersion match {
     case Some(v) => spark.read.parquet(root.resolve(s"v_$v").toString)
@@ -97,14 +116,13 @@ class KVStore(spark: SparkSession, path: String, keepSnapshots: Int = 3) {
     var orphans = 0L
     if (releaseOrphanedLocks) {
       val live = currentVersion.getOrElse(-1)
-      Files.list(root).forEach { p =>
+      listDir(root).foreach { p =>
         val name = p.getFileName.toString
         val staleTmp = name.startsWith("_CURRENT.tmp")
         val futureSnap = name.startsWith("v_") &&
           name.stripPrefix("v_").toIntOption.exists(_ > live)
         if (staleTmp || futureSnap) {
-          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.deleteIfExists(f))
+          deleteRecursively(p)
           orphans += 1
         }
       }
@@ -135,10 +153,7 @@ class KVStore(spark: SparkSession, path: String, keepSnapshots: Int = 3) {
     // readers evaluable instead of failing on a vanished input directory
     (0 to next - keepSnapshots).foreach { v =>
       val dir = root.resolve(s"v_$v")
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      if (Files.exists(dir)) deleteRecursively(dir)
     }
   }
 }

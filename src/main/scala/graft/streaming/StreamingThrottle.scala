@@ -34,9 +34,12 @@ object StreamingThrottle {
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: K, rows: Iterator[Stamped[K, V]], state: GroupState[Long]) =>
           // events may arrive unordered within a batch: process in event
-          // order so the throttle decision is deterministic
+          // order so the throttle decision is deterministic. Equal-timestamp
+          // ties ALSO need a data-derived tie-break — sorting by eventMillis
+          // alone is stable only w.r.t. arrival order, which differs across
+          // checkpoint replays, so which value passed would be nondeterministic
           var deadline = state.getOption.getOrElse(Long.MinValue)
-          val passed = rows.toSeq.sortBy(_.eventMillis)
+          val passed = rows.toSeq.sortBy(s => (s.eventMillis, String.valueOf(s.value)))
             .filter { s =>
               val open = s.eventMillis >= deadline
               if (open) deadline = s.eventMillis + windowMillis

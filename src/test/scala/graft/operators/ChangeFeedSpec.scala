@@ -39,6 +39,26 @@ class ChangeFeedSpec extends SparkSpec {
     assert(json == """{"Operation":"Insert","Item":{"id":7,"name":"n"}}""")
   }
 
+  test("dotted column names survive diff / dedupLatest / toJsonPayload") {
+    import spark.implicits._
+    // "user.name" is a legal top-level column name; unquoted col() would
+    // parse it as a nested-field path and fail to resolve
+    val df = Seq((1, 1, "v1"), (1, 2, "v2"), (2, 5, "w5"))
+      .toDF("id", "meta.ver", "user.name")
+    val got = ChangeFeed.dedupLatest(df, Seq("id"), "meta.ver")
+      .orderBy("id").as[(Int, Int, String)].collect().toSeq
+    assert(got == Seq((1, 2, "v2"), (2, 5, "w5")))
+
+    val oldSnap = Seq((1, "a")).toDF("id", "user.name")
+    val newSnap = Seq((1, "b")).toDF("id", "user.name")
+    val diffed = ChangeFeed.diff(oldSnap, newSnap, Seq("id"))
+    assert(diffed.columns.toSeq == Seq("Operation", "id", "user.name"))
+    assert(diffed.select("Operation").as[String].collect().toSeq == Seq("Update"))
+
+    val json = ChangeFeed.toJsonPayload(diffed).as[String].head()
+    assert(json == """{"Operation":"Update","Item":{"id":1,"user.name":"b"}}""")
+  }
+
   test("diff then apply round-trips: old + diff = new") {
     import spark.implicits._
     val oldSnap = Seq((1, 10), (2, 20), (3, 30)).toDF("id", "v")

@@ -46,6 +46,30 @@ class ScalableNtileSpec extends SparkSpec {
     check(50, 4, 1e9) // single straddling bin — pure window path
   }
 
+  test("null sort values: no row dropped, nulls take the leading tiles") {
+    import spark.implicits._
+    // nullable sort column -> null bin; must match the built-in's
+    // ASC NULLS FIRST ordering, not NPE or silently drop the rows
+    val df = ((1 to 8).map(i => (i.toLong, Option(i.toDouble))) ++
+      Seq((9L, Option.empty[Double]), (10L, Option.empty[Double]))).toDF("id", "v")
+    val expected = df
+      .withColumn("t", ntile(4).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    val actual = ScalableNtile(df, 4, bin = floor(col("v") / 2.0).cast("long"),
+        sortKeys = Seq(col("v"), col("id")), out = "t")
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    assert(actual == expected, s"got $actual expected $expected")
+  }
+
+  test("non-numeric bin expression is rejected at call time") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      ScalableNtile(df, 2, bin = col("s"), sortKeys = Seq(col("s")))
+    }
+    assert(e.getMessage.contains("numeric"))
+  }
+
   test("fine binning: every row its own bin (pure broadcast path)") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")

@@ -39,6 +39,18 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(row.isNullAt(0))
   }
 
+  test("vec_dot: null ELEMENT yields null, not a silently-zeroed sum") {
+    import spark.implicits._
+    val df = Seq(
+        (1L, Array(Option(1.0), Option.empty[Double]), Array(Option(2.0), Option(3.0))),
+        (2L, Array(Option(1.0), Option(2.0)), Array(Option(2.0), Option(3.0))))
+      .toDF("id", "a", "b")
+    val rows = df.select(col("id"), VectorExpressions.vecDot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1), "null element must propagate to a null result")
+    assert(rows(1).getDouble(1) == 8.0)
+  }
+
   test("vec_dot registers for SQL via FunctionRegistry and GraftExtensions path") {
     VectorExpressions.register(spark)
     import spark.implicits._

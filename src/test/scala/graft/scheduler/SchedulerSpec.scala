@@ -54,6 +54,17 @@ class SchedulerSpec extends SparkSpec {
     assert(clock.sleeps.size > 10) // retried beyond the notify threshold
   }
 
+  test("retry loop: notifyOnRetryCount <= 0 disables notification entirely") {
+    val lease = new LeaseStore(spark, tmp)
+    val clock = new VirtualClock
+    lease.setAttemptCount("t", 3, Timestamp.from(clock.now()))
+    var notifies = 0
+    val disabled = RetryConfig(totalTimeoutHours = 2, intervalUnitMillis = 60000,
+      notifyOnRetryCount = 0)
+    assert(runRetryLoop("t", lease, disabled, clock, _ => notifies += 1) == TimedOut)
+    assert(notifies == 0, "threshold 0 means never notify, not notify-on-first-retry")
+  }
+
   test("retry loop: exhausted lease (5) is nudged to 4 to re-arm redelivery") {
     val lease = new LeaseStore(spark, tmp)
     val clock = new VirtualClock

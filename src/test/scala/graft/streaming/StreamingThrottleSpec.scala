@@ -54,4 +54,24 @@ class StreamingThrottleSpec extends SparkSpec {
     q.stop()
     assert(rows == Set("earliest"), s"got $rows")
   }
+
+  test("equal-timestamp ties break on the value, not arrival order (replay-safe)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped[String, String]]
+    val q = StreamingThrottle.throttle(input.toDS(), SixHoursMs)
+      .writeStream.format("memory").queryName("throttle_ties")
+      .outputMode(OutputMode.Update()).start()
+    // same key, same millisecond: a checkpoint replay may deliver these in
+    // either order, so the winner must be a pure function of the DATA —
+    // the lexicographically-smaller value
+    input.addData(
+      Stamped("t", 0L, "zzz-arrived-first"),
+      Stamped("t", 0L, "aaa-arrived-second"))
+    q.processAllAvailable()
+    val rows = spark.table("throttle_ties").as[Stamped[String, String]].collect()
+      .map(_.value).toSet
+    q.stop()
+    assert(rows == Set("aaa-arrived-second"), s"got $rows")
+  }
 }
