@@ -25,8 +25,10 @@ object StatefulDedup {
         (_: K, rows: Iterator[Keyed[K, V]], state: GroupState[Long]) =>
           val seen = state.getOption.getOrElse(Long.MinValue)
           // within the batch, keep only the max-version record, then compare
-          // against the cross-batch high-water mark
-          val best = rows.maxByOption(_.version)
+          // against the cross-batch high-water mark. Version ties break on
+          // the VALUE (not arrival order, which differs across checkpoint
+          // replays) so the emitted record is a pure function of the data
+          val best = rows.maxByOption(r => (r.version, String.valueOf(r.value)))
           best match {
             case Some(b) if b.version > seen =>
               state.update(b.version)
