@@ -1,0 +1,90 @@
+package graft.functions
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation filters for training-data pipelines: repetition-based
+  * quality signals and benchmark decontamination.
+  *
+  * Both are expressed as the relational shapes that hold at 100 TB:
+  *
+  *  - repetition: explode → two-level aggregation (per-(doc,gram) counts,
+  *    then per-doc max/total). Both aggregations combine map-side, so the
+  *    shuffles carry ∝ distinct (doc,gram) rows and then ∝ docs — the same
+  *    plan skeleton as TF-IDF, never a per-doc O(n²) array scan;
+  *  - decontamination: the benchmark side is TINY by definition (eval sets
+  *    are thousands of docs, the corpus is billions), so its distinct
+  *    shingle-hash set BROADCASTS and contamination is a map-side hash join
+  *    against the full corpus scan — no corpus shuffle at all until the
+  *    tiny per-doc hit aggregation.
+  *
+  * The repetition thresholds follow the published Gopher corpus-filter
+  * family (fraction of content owned by the most frequent token / 2-gram);
+  * the exact fractions here are token-count based and exposed as parameters
+  * — published pipelines tune them per corpus anyway. Decontamination is
+  * the standard n-gram-overlap check run before training to drop documents
+  * that leak evaluation data.
+  */
+object CorpusFilters {
+
+  /** Per-doc repetition signals + keep verdict:
+    * `(doc_id, top_token_frac, top_bigram_frac, keep)`.
+    *
+    * `top_token_frac`  = occurrences of the most frequent token / tokens;
+    * `top_bigram_frac` = occurrences of the most frequent word 2-gram /
+    * 2-grams (single-token docs floor at one truncated shingle, matching
+    * `Dedup.shingles`). A doc is kept when BOTH fractions are at or below
+    * their thresholds — heavily repetitive machine-generated text fails. */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        maxTokenFrac: Double = 0.20,
+                        maxBigramFrac: Double = 0.18): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+
+    def topFrac(grams: DataFrame, out: String): DataFrame =
+      grams
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top_c"), sum(col("c")).as("n"))
+        .select(col("doc_id"),
+          round(col("top_c").cast("double") / col("n"), 6).as(out))
+
+    val tokenFrac = topFrac(
+      docs.select(col(idCol).as("doc_id"), explode(toks).as("g")),
+      "top_token_frac")
+    val bigramFrac = topFrac(
+      docs.select(col(idCol).as("doc_id"),
+        explode(Dedup.shingles(toks, 2)).as("g")),
+      "top_bigram_frac")
+
+    tokenFrac.join(bigramFrac, Seq("doc_id"))
+      .withColumn("keep",
+        col("top_token_frac") <= maxTokenFrac &&
+          col("top_bigram_frac") <= maxBigramFrac)
+  }
+
+  /** Benchmark decontamination: documents sharing at least one distinct
+    * word w-shingle (56-bit hash) with the benchmark set, with the shared
+    * count — `(doc_id, n_hits)`, benchmark docs themselves excluded.
+    *
+    * The benchmark's distinct shingle-hash set is broadcast (eval sets are
+    * small); the corpus side is a narrow scan + explode + broadcast-hash
+    * join, so a 100 TB corpus is checked in one pass with no corpus-wide
+    * shuffle before the per-doc count. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    idCol: String, textCol: String,
+                    shingleWidth: Int = 3): DataFrame = {
+    def docShingles(df: DataFrame): DataFrame = {
+      val toks = split(trim(col(textCol)), " ")
+      df.select(col(idCol).as("doc_id"),
+        explode(array_distinct(
+          transform(Dedup.shingles(toks, shingleWidth),
+            sh => Dedup.hexHash(sh)))).as("sh"))
+    }
+    val benchShingles = docShingles(benchmark).select(col("sh")).distinct()
+    docShingles(docs)
+      .join(broadcast(benchShingles), Seq("sh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+  }
+}

@@ -244,6 +244,23 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filter over the corpus (CorpusFilters). */
+  def eRepetitionFilter(s: SparkSession, d: String): DataFrame =
+    graft.functions.CorpusFilters
+      .repetitionSignals(Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** Benchmark decontamination: every ~1% of doc_ids (id % 97 == 0) plays
+    * the held-out eval set; the rest of the corpus is scanned for shared
+    * distinct 3-shingles against its broadcast hash set. */
+  def eDecontam(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.functions.CorpusFilters
+      .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W)
+      .orderBy("doc_id")
+  }
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -603,6 +620,8 @@ object ExtQueries {
     "e_tfidf" -> (eTfidf _),
     "e_stratified_sample" -> (eStratifiedSample _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
+    "e_repetition_filter" -> (eRepetitionFilter _),
+    "e_decontam" -> (eDecontam _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -658,5 +677,31 @@ object ExtQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  md5(text) AS content_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_repetition_filter" ->
+      s"""WITH $toksCte,
+         |tok AS (SELECT doc_id, unnest(t) AS g FROM toks),
+         |tokc AS (SELECT doc_id, g, count(*) AS c FROM tok GROUP BY 1, 2),
+         |tokf AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_token_frac
+         |  FROM tokc GROUP BY doc_id),
+         |big AS (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t) - 1, 1) + 1),
+         |  i -> array_to_string(t[i:i+1], ' '))) AS g FROM toks),
+         |bigc AS (SELECT doc_id, g, count(*) AS c FROM big GROUP BY 1, 2),
+         |bigf AS (SELECT doc_id,
+         |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_bigram_frac
+         |  FROM bigc GROUP BY doc_id)
+         |SELECT t.doc_id, t.top_token_frac, b.top_bigram_frac,
+         |  (t.top_token_frac <= 0.2 AND b.top_bigram_frac <= 0.18) AS keep
+         |FROM tokf t JOIN bigf b ON t.doc_id = b.doc_id
+         |ORDER BY t.doc_id""".stripMargin,
+    "e_decontam" ->
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
+         |bench AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0)
+         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM hsh h JOIN bench b ON h.sh = b.sh
+         |WHERE h.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
   )
 }

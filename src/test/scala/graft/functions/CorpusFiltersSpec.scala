@@ -1,0 +1,59 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusFiltersSpec extends SparkSpec {
+
+  test("repetitionSignals: fractions exact, repetitive doc filtered") {
+    import spark.implicits._
+    val docs = Seq(
+      // 10 distinct tokens: top token 1/10, top bigram 1/9 — passes both
+      // thresholds (note fraction filters inherently fail very short docs:
+      // a 4-token doc already sits at 0.25 > 0.20)
+      (1L, "the quick brown fox jumps over one lazy sleeping dog"),
+      // "spam" owns 4/5 tokens and "spam spam" 3/4 bigrams -> filtered
+      (2L, "spam spam spam spam eggs")
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0.1, 0.111111, true),
+      (2L, 0.8, 0.75, false)))
+  }
+
+  test("repetitionSignals: single-token doc floors at one truncated bigram") {
+    import spark.implicits._
+    val docs = Seq((1L, "solo")).toDF("doc_id", "text")
+    val got = CorpusFilters.repetitionSignals(docs, "doc_id", "text")
+      .select("top_token_frac", "top_bigram_frac")
+      .as[(Double, Double)].head()
+    assert(got == ((1.0, 1.0))) // degenerate doc: maximally repetitive
+  }
+
+  test("decontaminate: shared shingles counted, benchmark docs excluded") {
+    import spark.implicits._
+    // doc 10 copies the benchmark sentence (all shingles hit); doc 11 shares
+    // a 3-token run (one shingle); doc 12 is clean
+    val bench = Seq((1L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "alpha beta gamma delta"),
+      (11L, "zz alpha beta gamma yy"),
+      (12L, "totally unrelated words here")
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.decontaminate(docs, bench, "doc_id", "text", shingleWidth = 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L), (11L, 1L)))
+  }
+
+  test("decontaminate: benchmark shingle set is broadcast (no corpus shuffle join)") {
+    import spark.implicits._
+    val bench = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val docs = Seq((2L, "a b c x")).toDF("doc_id", "text")
+    val plan = CorpusFilters.decontaminate(docs, bench, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join for the benchmark side, got:\n$plan")
+  }
+}
