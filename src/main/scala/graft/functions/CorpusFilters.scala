@@ -63,6 +63,36 @@ object CorpusFilters {
           col("top_bigram_frac") <= maxBigramFrac)
   }
 
+  /** Sequence packing: assign each document to a fixed-token-budget training
+    * pack — `(doc_id, shard, pack_id, n_tokens)`.
+    *
+    * Docs are hash-sharded (deterministic 56-bit content hash of the id, no
+    * RNG), then packed in doc_id order within each shard: a doc joins the
+    * pack indexed by `floor(tokens_before_it_in_shard / budget)`, the
+    * standard streaming approximation of first-fit (a pack may overrun by
+    * at most one document — training-time truncation absorbs it).
+    *
+    * Scale shape: the only shuffle is the hash-shard exchange, and the
+    * running-sum window is PARTITIONED BY shard — shards bound every
+    * window's size, so there is no global-order single-task sort (the
+    * wx_ntile lesson). nShards scales with the cluster, not the data. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    tokenBudget: Long, nShards: Int): DataFrame = {
+    require(tokenBudget >= 1 && nShards >= 1, "budget and shards must be >= 1")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard",
+        Dedup.hexHash(col("doc_id").cast("string")) % nShards)
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / tokenBudget)
+          .cast("long"))
+      .select(col("doc_id"), col("shard"), col("pack_id"), col("n_tokens"))
+  }
+
   /** Benchmark decontamination: documents sharing at least one distinct
     * word w-shingle (56-bit hash) with the benchmark set, with the shared
     * count — `(doc_id, n_hits)`, benchmark docs themselves excluded.

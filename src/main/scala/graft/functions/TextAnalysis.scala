@@ -73,6 +73,31 @@ object TextAnalysis {
     round(lenScore * 0.3 + alphaRatio * 0.4 + stopRatio * 0.3, 6)
   }
 
+  /** PII redaction patterns (RE2-compatible: no backrefs/lookaround, so the
+    * same patterns run in Spark's Java regex AND DuckDB/RE2 — oracle
+    * parity). Order matters: SSN-shaped ids are masked before the looser
+    * phone pattern can eat their digits. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("[0-9]{3}-[0-9]{2}-[0-9]{4}", "[ID]"),
+    ("\\+?[0-9]{3}[- ][0-9]{3,4}[- ][0-9]{4}", "[PHONE]"))
+
+  /** Mask emails, SSN-shaped ids, and phone-shaped numbers (replace-all). */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (pat, tag)) =>
+      regexp_replace(acc, pat, tag)
+    }
+
+  /** Count of PII matches (counted per pattern on the PROGRESSIVELY redacted
+    * text, so overlapping patterns never double-count one span). */
+  def piiCount(text: Column): Column = {
+    val (_, total) = PiiPatterns.foldLeft((text, lit(0L))) {
+      case ((t, n), (pat, tag)) =>
+        (regexp_replace(t, pat, tag), n + regexp_count(t, lit(pat)).cast("long"))
+    }
+    total
+  }
+
   /** Rolling-hash fingerprint constants: H = Σ (v_i · B^(i mod 8)) mod M,
     * v_i = 131·len(tok_i) + ascii(first char). */
   val FpBase = 131L

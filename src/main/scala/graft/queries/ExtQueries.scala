@@ -261,6 +261,21 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing into 512-token training packs over 8 hash-shards. */
+  def ePackSequences(s: SparkSession, d: String): DataFrame =
+    graft.functions.CorpusFilters
+      .packSequences(Tables.documents(s, d), "doc_id", "text",
+        tokenBudget = 512, nShards = 8)
+      .orderBy("doc_id")
+
+  /** PII redaction: masked text + per-doc match count. */
+  def ePiiRedact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.redactPii(col("text")).as("redacted"),
+        graft.functions.TextAnalysis.piiCount(col("text")).as("n_pii"))
+      .orderBy("doc_id")
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -622,6 +637,8 @@ object ExtQueries {
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_decontam" -> (eDecontam _),
+    "e_pack_sequences" -> (ePackSequences _),
+    "e_pii_redact" -> (ePiiRedact _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -694,6 +711,30 @@ object ExtQueries {
          |  (t.top_token_frac <= 0.2 AND b.top_bigram_frac <= 0.18) AS keep
          |FROM tokf t JOIN bigf b ON t.doc_id = b.doc_id
          |ORDER BY t.doc_id""".stripMargin,
+    "e_pack_sequences" -> {
+      val shardHash = hexHashSql("CAST(doc_id AS VARCHAR)")
+      s"""WITH tc AS (SELECT doc_id,
+         |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |  $shardHash % 8 AS shard FROM documents),
+         |cum AS (SELECT doc_id, shard, n_tokens,
+         |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS c
+         |  FROM tc)
+         |SELECT doc_id, shard, CAST(floor(c / 512) AS BIGINT) AS pack_id, n_tokens
+         |FROM cum ORDER BY doc_id""".stripMargin
+    },
+    "e_pii_redact" -> {
+      val Seq((em, emT), (id, idT), (ph, phT)) =
+        graft.functions.TextAnalysis.PiiPatterns
+      val r1 = s"regexp_replace(text, '$em', '$emT', 'g')"
+      val r2 = s"regexp_replace($r1, '$id', '$idT', 'g')"
+      val r3 = s"regexp_replace($r2, '$ph', '$phT', 'g')"
+      s"""SELECT doc_id, $r3 AS redacted,
+         |  CAST(len(regexp_extract_all(text, '$em'))
+         |    + len(regexp_extract_all($r1, '$id'))
+         |    + len(regexp_extract_all($r2, '$ph')) AS BIGINT) AS n_pii
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
     "e_decontam" ->
       s"""WITH $toksCte,
          |${shCte(distinct = false)},

@@ -32,6 +32,35 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(got == ((1.0, 1.0))) // degenerate doc: maximally repetitive
   }
 
+  test("packSequences: budget boundaries respected per shard, deterministic") {
+    import spark.implicits._
+    // one shard so the packing order is fully observable
+    val docs = Seq(
+      (1L, "a b c"),   // 3 tokens, cum-before 0 -> pack 0
+      (2L, "d e"),     // cum-before 3 -> pack 0
+      (3L, "f g h i"), // cum-before 5 -> pack 1 (budget 5)
+      (4L, "j")        // cum-before 9 -> pack 1
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.packSequences(docs, "doc_id", "text",
+        tokenBudget = 5, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "pack_id", "n_tokens")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 3L), (2L, 0L, 2L), (3L, 1L, 4L), (4L, 1L, 1L)))
+  }
+
+  test("packSequences: window is partitioned by shard (no global sort)") {
+    import spark.implicits._
+    val docs = (1 to 100).map(i => (i.toLong, "tok " * 5)).toDF("doc_id", "text")
+    val planned = CorpusFilters.packSequences(docs, "doc_id", "text", 512, 8)
+    val exchanges = planned.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange")).mkString("\n")
+    assert(exchanges.contains("hashpartitioning(shard"),
+      s"window must shuffle on shard, got exchanges:\n$exchanges")
+    assert(!exchanges.contains("SinglePartition"),
+      s"no single-partition exchange allowed:\n$exchanges")
+  }
+
   test("decontaminate: shared shingles counted, benchmark docs excluded") {
     import spark.implicits._
     // doc 10 copies the benchmark sentence (all shingles hit); doc 11 shares

@@ -42,6 +42,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r("nat") > r("junk"))
   }
 
+  test("redactPii masks emails, ids, phones; piiCount counts each span once") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org or call 555-123-4567 now"),
+      (2L, "id 123-45-6789 on file"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("r"),
+        TextAnalysis.piiCount(col("text")).as("n"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "mail [EMAIL] or call [PHONE] now", 2L),
+      // the SSN-shaped id must win over the overlapping phone pattern
+      (2L, "id [ID] on file", 1L),
+      (3L, "nothing sensitive here", 0L)))
+  }
+
   test("fingerprint: deterministic, order-sensitive, stable constants") {
     import spark.implicits._
     def fp(text: String): Long =
