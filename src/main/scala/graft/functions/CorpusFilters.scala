@@ -39,7 +39,9 @@ object CorpusFilters {
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
                         maxTokenFrac: Double = 0.20,
                         maxBigramFrac: Double = 0.18): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+    // the one canonical tokenizer — oracle parity depends on every operator
+    // tokenizing identically
+    val toks = TextAnalysis.tokens(col(textCol))
 
     def topFrac(grams: DataFrame, out: String): DataFrame =
       grams
@@ -105,7 +107,7 @@ object CorpusFilters {
                     idCol: String, textCol: String,
                     shingleWidth: Int = 3): DataFrame = {
     def docShingles(df: DataFrame): DataFrame = {
-      val toks = split(trim(col(textCol)), " ")
+      val toks = TextAnalysis.tokens(col(textCol))
       df.select(col(idCol).as("doc_id"),
         explode(array_distinct(
           transform(Dedup.shingles(toks, shingleWidth),

@@ -724,15 +724,15 @@ object ExtQueries {
          |FROM cum ORDER BY doc_id""".stripMargin
     },
     "e_pii_redact" -> {
-      val Seq((em, emT), (id, idT), (ph, phT)) =
-        graft.functions.TextAnalysis.PiiPatterns
-      val r1 = s"regexp_replace(text, '$em', '$emT', 'g')"
-      val r2 = s"regexp_replace($r1, '$id', '$idT', 'g')"
-      val r3 = s"regexp_replace($r2, '$ph', '$phT', 'g')"
-      s"""SELECT doc_id, $r3 AS redacted,
-         |  CAST(len(regexp_extract_all(text, '$em'))
-         |    + len(regexp_extract_all($r1, '$id'))
-         |    + len(regexp_extract_all($r2, '$ph')) AS BIGINT) AS n_pii
+      // fold over PiiPatterns exactly as redactPii/piiCount do, so adding a
+      // pattern to TextAnalysis automatically extends this oracle too
+      val (redacted, counts) = graft.functions.TextAnalysis.PiiPatterns
+        .foldLeft(("text", List.empty[String])) { case ((t, cs), (pat, tag)) =>
+          (s"regexp_replace($t, '$pat', '$tag', 'g')",
+            s"len(regexp_extract_all($t, '$pat'))" :: cs)
+        }
+      s"""SELECT doc_id, $redacted AS redacted,
+         |  CAST(${counts.reverse.mkString(" + ")} AS BIGINT) AS n_pii
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "e_decontam" ->

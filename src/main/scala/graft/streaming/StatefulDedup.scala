@@ -16,8 +16,16 @@ object StatefulDedup {
   case class Keyed[K, V](key: K, version: Long, value: V)
 
   /** Emit only version-advancing records per key. Works on any
-    * KeyValueGroupedDataset-compatible stream or batch Dataset. */
-  def latestOnly[K, V](ds: Dataset[Keyed[K, V]])(
+    * KeyValueGroupedDataset-compatible stream or batch Dataset.
+    *
+    * `tieBreak` orders equal-version records within a batch so the winner is
+    * a pure function of the DATA, not of arrival order (which differs across
+    * checkpoint replays). The default stringifies the value — value-based
+    * for primitives, strings, and case classes; for types whose toString is
+    * identity-based (e.g. `Array[Byte]`) supply a value-based projection
+    * (`_.value.toSeq.toString`, a hash, ...) or replay determinism is lost. */
+  def latestOnly[K, V](ds: Dataset[Keyed[K, V]],
+                       tieBreak: Keyed[K, V] => String = (s: Keyed[K, V]) => String.valueOf(s.value))(
       implicit ek: Encoder[K], ekv: Encoder[Keyed[K, V]]): Dataset[Keyed[K, V]] = {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Long, Keyed[K, V]](
@@ -25,10 +33,8 @@ object StatefulDedup {
         (_: K, rows: Iterator[Keyed[K, V]], state: GroupState[Long]) =>
           val seen = state.getOption.getOrElse(Long.MinValue)
           // within the batch, keep only the max-version record, then compare
-          // against the cross-batch high-water mark. Version ties break on
-          // the VALUE (not arrival order, which differs across checkpoint
-          // replays) so the emitted record is a pure function of the data
-          val best = rows.maxByOption(r => (r.version, String.valueOf(r.value)))
+          // against the cross-batch high-water mark
+          val best = rows.maxByOption(r => (r.version, tieBreak(r)))
           best match {
             case Some(b) if b.version > seen =>
               state.update(b.version)

@@ -26,20 +26,24 @@ object StreamingThrottle {
 
   case class Stamped[K, V](key: K, eventMillis: Long, value: V)
 
-  /** Pass the first event per key per window; drop the rest. */
-  def throttle[K, V](ds: Dataset[Stamped[K, V]], windowMillis: Long)(
+  /** Pass the first event per key per window; drop the rest.
+    *
+    * `tieBreak` orders equal-timestamp events so the throttle decision is a
+    * pure function of the DATA, not of arrival order (which differs across
+    * checkpoint replays). The default stringifies the value — value-based
+    * for primitives, strings, and case classes; for identity-toString types
+    * (e.g. `Array[Byte]`) supply a value-based projection. */
+  def throttle[K, V](ds: Dataset[Stamped[K, V]], windowMillis: Long,
+                     tieBreak: Stamped[K, V] => String = (s: Stamped[K, V]) => String.valueOf(s.value))(
       implicit ek: Encoder[K], esv: Encoder[Stamped[K, V]]): Dataset[Stamped[K, V]] = {
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Long, Stamped[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
         (_: K, rows: Iterator[Stamped[K, V]], state: GroupState[Long]) =>
           // events may arrive unordered within a batch: process in event
-          // order so the throttle decision is deterministic. Equal-timestamp
-          // ties ALSO need a data-derived tie-break — sorting by eventMillis
-          // alone is stable only w.r.t. arrival order, which differs across
-          // checkpoint replays, so which value passed would be nondeterministic
+          // order so the throttle decision is deterministic
           var deadline = state.getOption.getOrElse(Long.MinValue)
-          val passed = rows.toSeq.sortBy(s => (s.eventMillis, String.valueOf(s.value)))
+          val passed = rows.toSeq.sortBy(s => (s.eventMillis, tieBreak(s)))
             .filter { s =>
               val open = s.eventMillis >= deadline
               if (open) deadline = s.eventMillis + windowMillis
