@@ -83,7 +83,7 @@ object ScalableNtile {
       .toSeq.toDF("__bin", out)
     val straddling = binInfo.collect { case (b, o, false) => (b, o) }
       .toSeq.toDF("__bin", "__bin_offset")
-    val uniformRows = binned.join(broadcast(uniform), Seq("__bin"))
+    lazy val uniformRows = binned.join(broadcast(uniform), Seq("__bin"))
       .select((cols.map(col) :+ col(out)): _*)
     val w = Window.partitionBy(col("__bin")).orderBy(sortKeys: _*)
     val tileExpr =
@@ -91,10 +91,15 @@ object ScalableNtile {
           expr(s"(`__rank` - 1) div $bigSize"))
         .otherwise(expr(s"${total % numTiles} + (`__rank` - 1 - $firstBlock) div $smallSize"))
         .cast("long") + 1L
-    val straddlingRows = binned
+    lazy val straddlingRows = binned
       .join(broadcast(straddling), Seq("__bin")) // inner join = cutoff-bin filter
       .withColumn("__rank", col("__bin_offset") + row_number().over(w).cast("long"))
       .select((cols.map(col) :+ tileExpr.as(out)): _*)
-    uniformRows.unionByName(straddlingRows)
+    // skip an empty branch entirely — a fine binning has no straddling bins
+    // and a single-bin degenerate has no uniform ones; either way one fewer
+    // join/union job of pure overhead
+    if (binInfo.forall(_._3)) uniformRows
+    else if (binInfo.forall(!_._3)) straddlingRows
+    else uniformRows.unionByName(straddlingRows)
   }
 }
