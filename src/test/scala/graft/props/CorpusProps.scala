@@ -1,0 +1,88 @@
+package graft.props
+
+import graft.TestSpark
+import graft.functions.{CorpusFilters, TextAnalysis}
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** Output-only invariants of the corpus-curation operators (each case is a
+  * Spark job — few cases, strong predicates). */
+object CorpusProps extends Properties("graft.corpus") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(6)
+
+  private lazy val spark = TestSpark.spark
+
+  private val vocab = Seq("alpha", "beta", "gamma", "delta", "x1", "y2")
+  private val docsGen: Gen[List[(Long, String)]] = Gen.zip(
+    Gen.choose(1, 12),
+    Gen.choose(1L, 1000L)).flatMap { case (n, seed) =>
+    Gen.sequence[List[(Long, String)], (Long, String)]((1 to n).toList.map { i =>
+      Gen.nonEmptyListOf(Gen.oneOf(vocab)).map(ws => (seed + i, ws.take(9).mkString(" ")))
+    })
+  }
+
+  property("packSequences: partitions the corpus; packs never overrun by more than the last doc") =
+    forAll(docsGen, Gen.choose(2L, 12L)) { (docsRaw, budgetRaw) =>
+      import spark.implicits._
+      // shrinking ignores generator invariants: re-impose unique ids and a
+      // positive budget so counterexamples stay in the operator's domain
+      val docs = docsRaw.distinctBy(_._1)
+      val budget = math.max(budgetRaw, 1L)
+      val out = CorpusFilters.packSequences(
+          docs.toDF("doc_id", "text"), "doc_id", "text", budget, nShards = 3)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val allDocsOnce = out.map(_._1).sorted == docs.map(_._1).sorted
+      // within each (shard, pack): tokens BEFORE the last doc stay under
+      // budget (the streaming first-fit bound — only the final doc overruns)
+      val bounded = out.groupBy(r => (r._2, r._3)).forall { case (_, rows) =>
+        val inOrder = rows.sortBy(_._1)
+        inOrder.init.map(_._4).sum < budget
+      }
+      // pack ids start at 0 per shard and never decrease in doc_id order
+      // (an over-budget doc legitimately SKIPS indices — floor(cum/budget)
+      // jumps — so contiguity is NOT an invariant)
+      val monotone = out.groupBy(_._2).forall { case (_, rows) =>
+        val packs = rows.sortBy(_._1).map(_._3)
+        packs.head == 0L && packs.zip(packs.tail).forall { case (a, b) => b >= a }
+      }
+      allDocsOnce && bounded && monotone
+    }
+
+  property("repetitionSignals: one row per doc, fractions in (0,1], keep consistent") =
+    forAll(docsGen) { docs =>
+      import spark.implicits._
+      val out = CorpusFilters.repetitionSignals(
+          docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Double, Double, Boolean)].collect().toSeq
+      out.map(_._1).sorted == docs.map(_._1).sorted &&
+        out.forall { case (_, ttf, tbf, keep) =>
+          ttf > 0 && ttf <= 1 && tbf > 0 && tbf <= 1 &&
+            keep == (ttf <= 0.20 && tbf <= 0.18)
+        }
+    }
+
+  property("redactPii is a fixpoint: redacted text contains zero further matches") =
+    forAll(Gen.listOfN(3, Gen.oneOf(
+      "reach me at a.b@test.org thanks",
+      "ssn 987-65-4320 and phone 555-867-5309",
+      "+441 2345 6789 call now",
+      "plain text, no pii"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      df.select(
+          TextAnalysis.piiCount(TextAnalysis.redactPii(col("text"))).as("n"))
+        .as[Long].collect().forall(_ == 0L)
+    }
+
+  property("decontaminate against itself flags every doc with its own shingle count") =
+    forAll(docsGen) { docs =>
+      import spark.implicits._
+      val df = docs.toDF("doc_id", "text")
+      val out = CorpusFilters.decontaminate(df, df, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      docs.forall { case (id, _) => out.getOrElse(id, 0L) >= 1L }
+    }
+}
