@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders}
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming-native notification throttle — T7's canonical Structured
@@ -15,12 +16,21 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `windowMillis` (event-time stamps compared against the stored deadline —
   * deterministic and replay-safe, unlike wall-clock); events inside the
   * window are dropped; the first event at/after the deadline passes and
-  * re-opens it. State is one long per key. No GroupStateTimeout: a
-  * processing-time timeout makes the engine spin empty micro-batches just to
-  * fire expirations, and event-time expiry would demand a watermark column —
-  * for bounded key domains (tables being monitored) the long-per-key state
-  * is already O(live keys); wire `EventTimeTimeout` + `withWatermark` if the
-  * key domain is unbounded.
+  * re-opens it. State is one long per key.
+  *
+  * Two variants, split on the key domain:
+  *
+  *  - `throttle` — NO GroupStateTimeout: a processing-time timeout makes the
+  *    engine spin empty micro-batches just to fire expirations. For bounded
+  *    key domains (tables being monitored) long-per-key state is O(live
+  *    keys) and never needs eviction;
+  *  - `throttleExpiring` — `EventTimeTimeout` + watermark: a key's state is
+  *    EVICTED once the watermark passes its window deadline (re-opening is
+  *    then exactly the no-state first-event path, so semantics are
+  *    unchanged). This is the unbounded-key-domain form: state holds only
+  *    keys with a still-open window, not every key ever seen — at 100 TB of
+  *    events the difference between a bounded state store and one that
+  *    grows with stream history.
   */
 object StreamingThrottle {
 
@@ -51,6 +61,53 @@ object StreamingThrottle {
             }
           if (passed.nonEmpty) state.update(deadline)
           passed.iterator
+      }(Encoders.scalaLong, esv)
+  }
+
+  /** `throttle` with state eviction for UNBOUNDED key domains: the input is
+    * watermarked on event time (`delayThreshold` = the allowed lateness, in
+    * Spark duration syntax e.g. "10 minutes"), and each key's state expires
+    * once the watermark passes its window deadline. Late events inside the
+    * lateness bound still throttle correctly; an expired key's next event is
+    * a first event (passes, re-opens) — identical to the un-evicted
+    * semantics, because expiry only ever removes CLOSED windows.
+    *
+    * Caveat inherent to watermarking: events LATER than `delayThreshold`
+    * behind the watermark are dropped by the engine before this operator
+    * sees them (including at stream start, where the initial watermark is
+    * epoch 0 — events at or before it are "late"). The plain `throttle`
+    * processes arbitrarily late events; this variant trades that for
+    * bounded state. */
+  def throttleExpiring[K, V](ds: Dataset[Stamped[K, V]], windowMillis: Long,
+                             delayThreshold: String,
+                             tieBreak: Stamped[K, V] => String = (s: Stamped[K, V]) => String.valueOf(s.value))(
+      implicit ek: Encoder[K], esv: Encoder[Stamped[K, V]]): Dataset[Stamped[K, V]] = {
+    ds.withColumn("__ts", expr("timestamp_millis(eventMillis)"))
+      .withWatermark("__ts", delayThreshold)
+      .as[Stamped[K, V]](esv)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[Long, Stamped[K, V]](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (_: K, rows: Iterator[Stamped[K, V]], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the deadline: the window is closed, no event
+            // inside it can still arrive — dropping state changes nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var deadline = state.getOption.getOrElse(Long.MinValue)
+            val passed = rows.toSeq.sortBy(s => (s.eventMillis, tieBreak(s)))
+              .filter { s =>
+                val open = s.eventMillis >= deadline
+                if (open) deadline = s.eventMillis + windowMillis
+                open
+              }
+            if (passed.nonEmpty) {
+              state.update(deadline)
+              state.setTimeoutTimestamp(deadline) // evict at window close
+            }
+            passed.iterator
+          }
       }(Encoders.scalaLong, esv)
   }
 }

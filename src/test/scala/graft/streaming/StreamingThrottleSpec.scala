@@ -74,4 +74,37 @@ class StreamingThrottleSpec extends SparkSpec {
     q.stop()
     assert(rows == Set("aaa-arrived-second"), s"got $rows")
   }
+
+  test("throttleExpiring: same decisions, but closed-window state is evicted") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped[String, String]]
+    val q = StreamingThrottle.throttleExpiring(input.toDS(), SixHoursMs, "1 minute")
+      .writeStream.format("memory").queryName("throttle_expiring")
+      .outputMode(OutputMode.Update()).start()
+
+    // times start at minute 60: the epoch-0 initial watermark treats a
+    // t=0 event as late and silently drops it
+    // t opens a window at minute 60; in-window duplicate drops
+    input.addData(
+      Stamped("t", 60 * 60000L, "first"),
+      Stamped("t", 70 * 60000L, "dup-in-window"))
+    q.processAllAvailable()
+    // u's much-later event drives the watermark far past t's deadline
+    // (minute 420): t's state must be evicted on the following batch
+    input.addData(Stamped("u", 1000 * 60000L, "advancer"))
+    q.processAllAvailable()
+    input.addData(Stamped("u", 1001 * 60000L, "dup-u")) // triggers timeout processing
+    q.processAllAvailable()
+    val stateRows = q.lastProgress.stateOperators.head.numRowsTotal
+    // t re-opens after eviction exactly as a first event would
+    input.addData(Stamped("t", 1002 * 60000L, "reopened"))
+    q.processAllAvailable()
+    val rows = spark.table("throttle_expiring").as[Stamped[String, String]].collect()
+      .map(_.value).toSet
+    q.stop()
+    assert(rows == Set("first", "advancer", "reopened"), s"got $rows")
+    assert(stateRows == 1L,
+      s"closed window for 't' must be evicted, leaving only 'u' in state; got $stateRows rows")
+  }
 }
