@@ -9,7 +9,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * `flatMapGroupsWithState` keeps the highest version seen per key and emits
   * a record only when its version advances — the streaming engine's keyed
   * state store holds exactly one long per key, so state is O(live keys)
-  * regardless of stream length.
+  * regardless of stream length. That is the right bound for CDC, whose key
+  * domain is the base table's PK set; for an UNBOUNDED key domain, apply
+  * the watermark-eviction pattern of `StreamingThrottle.throttleExpiring`
+  * (safe only if redeliveries are bounded by the watermark lateness, since
+  * evicting a key forgets its high-water mark).
   */
 object StatefulDedup {
 
