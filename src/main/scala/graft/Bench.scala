@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // reliable checkpoints (Dedup.materializeAndRelease) are files the
+      // ContextCleaner only deletes with this flag — without it a long-lived
+      // session with a checkpoint dir leaks checkpoint directories
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers,

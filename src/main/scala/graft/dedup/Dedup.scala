@@ -53,8 +53,14 @@ object Dedup {
     * local bench) does it fall back to `localCheckpoint`, whose
     * non-replicated executor blocks would be unrecoverable on a cluster
     * (lineage is truncated) but are exactly as durable as the JVM locally.
-    * Either way the blocks are reclaimed by the ContextCleaner once the
-    * returned DataFrame is unreachable. */
+    *
+    * Reclamation: localCheckpoint blocks are dropped by the ContextCleaner
+    * once the returned DataFrame is unreachable. Reliable checkpoint FILES
+    * are only deleted by the cleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (default
+    * false!) — set it in the session builder of any long-lived session that
+    * sets a checkpoint dir, or checkpoint directories accumulate for the
+    * session's lifetime (the repo's own entrypoints set it). */
   private def materializeAndRelease(result: DataFrame,
                                     intermediates: DataFrame*): DataFrame = {
     val out =

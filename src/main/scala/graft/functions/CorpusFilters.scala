@@ -97,7 +97,15 @@ object CorpusFilters {
 
   /** Benchmark decontamination: documents sharing at least one distinct
     * word w-shingle (56-bit hash) with the benchmark set, with the shared
-    * count — `(doc_id, n_hits)`, benchmark docs themselves excluded.
+    * count — `(doc_id, n_hits)`.
+    *
+    * EVERY doc in `docs` is checked, including any that also appear in
+    * `benchmark` — the two frames come from different tables with unrelated
+    * id namespaces, so no id-based exclusion is possible here. Callers that
+    * hold the benchmark rows inside the corpus frame must anti-join them out
+    * first (as `ExtQueries.eDecontam` does); passing overlapping frames
+    * flags the benchmark docs themselves, which is also what makes the
+    * self-decontamination property (`CorpusProps`) checkable.
     *
     * The benchmark's distinct shingle-hash set is broadcast (eval sets are
     * small); the corpus side is a narrow scan + explode + broadcast-hash

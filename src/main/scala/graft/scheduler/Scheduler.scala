@@ -126,18 +126,36 @@ object Scheduler {
     }
 
     /** Start with retry (RetryFunctions.cs:75-108, NotifyFunctions.cs:61-98):
-      * the reference polls a pending/busy orchestration up to 5 times, 2 s
-      * apart, before giving up on the start. Returns true once `body` ran;
-      * false when the id stayed busy through every attempt. */
+      * an id that is ALREADY RUNNING is a successful NO-OP — the reference
+      * checks `GetInstanceAsync(...).IsRunning` and returns immediately
+      * without scheduling (RetryFunctions.cs:79-87). The 5×2s retry applies
+      * only to FAILED schedule attempts (`ScheduleNewOrchestrationInstance`
+      * throwing, RetryFunctions.cs:95-105); the last failure is rethrown.
+      *
+      * In this synchronous in-process model the schedule step and the run
+      * are one call, so a `body` that throws is treated as a failed START
+      * attempt and retried — callers whose body does real work before its
+      * first failure point should keep that prefix idempotent. Returns true
+      * whether `body` ran here or the id was already running (both are
+      * successful starts in the reference's contract). */
     def runSingletonWithRetry(id: String, clock: Clock, attempts: Int = 5,
                               delayMillis: Long = 2000L)(body: => Unit): Boolean = {
       var attempt = 1
-      while (attempt <= attempts) {
-        if (runSingleton(id)(body)) return true
-        if (attempt < attempts) clock.sleep(delayMillis)
-        attempt += 1
+      while (true) {
+        if (isRunning(id)) return true // already running: no-op success
+        try {
+          runSingleton(id)(body)
+          // started and ran, or lost the acquire race to a concurrent
+          // starter (= already running) — success either way
+          return true
+        } catch {
+          case e: Throwable =>
+            if (attempt >= attempts) throw e
+            clock.sleep(delayMillis)
+            attempt += 1
+        }
       }
-      false
+      throw new IllegalStateException("unreachable")
     }
 
     def isRunning(id: String): Boolean = running.contains(id)

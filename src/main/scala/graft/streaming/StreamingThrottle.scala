@@ -46,6 +46,7 @@ object StreamingThrottle {
   def throttle[K, V](ds: Dataset[Stamped[K, V]], windowMillis: Long,
                      tieBreak: Stamped[K, V] => String = (s: Stamped[K, V]) => String.valueOf(s.value))(
       implicit ek: Encoder[K], esv: Encoder[Stamped[K, V]]): Dataset[Stamped[K, V]] = {
+    require(windowMillis > 0, s"windowMillis must be positive, got $windowMillis")
     ds.groupByKey(_.key)
       .flatMapGroupsWithState[Long, Stamped[K, V]](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -82,6 +83,10 @@ object StreamingThrottle {
                              delayThreshold: String,
                              tieBreak: Stamped[K, V] => String = (s: Stamped[K, V]) => String.valueOf(s.value))(
       implicit ek: Encoder[K], esv: Encoder[Stamped[K, V]]): Dataset[Stamped[K, V]] = {
+    // windowMillis = 0 would set a timeout timestamp equal to the current
+    // watermark, which Spark rejects at runtime (and a zero window throttles
+    // nothing anyway)
+    require(windowMillis > 0, s"windowMillis must be positive, got $windowMillis")
     ds.withColumn("__ts", expr("timestamp_millis(eventMillis)"))
       .withWatermark("__ts", delayThreshold)
       .as[Stamped[K, V]](esv)

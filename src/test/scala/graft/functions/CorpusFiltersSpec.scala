@@ -61,7 +61,7 @@ class CorpusFiltersSpec extends SparkSpec {
       s"no single-partition exchange allowed:\n$exchanges")
   }
 
-  test("decontaminate: shared shingles counted, benchmark docs excluded") {
+  test("decontaminate: shared shingles counted over disjoint corpus/benchmark frames") {
     import spark.implicits._
     // doc 10 copies the benchmark sentence (all shingles hit); doc 11 shares
     // a 3-token run (one shingle); doc 12 is clean

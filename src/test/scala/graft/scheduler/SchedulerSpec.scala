@@ -114,7 +114,9 @@ class SchedulerSpec extends SparkSpec {
     assert(ran.get() == 2)
   }
 
-  test("singleton start-retry: 5 attempts 2 s apart while busy, then gives up") {
+  test("singleton start-retry: already-running is an immediate no-op success") {
+    // RetryFunctions.cs:79-87 — GetInstance().IsRunning => return without
+    // scheduling; no retry, no delay
     val reg = new SingletonRegistry
     val clock = new VirtualClock
     val gate = new java.util.concurrent.CountDownLatch(1)
@@ -122,31 +124,41 @@ class SchedulerSpec extends SparkSpec {
     holder.start()
     while (!reg.isRunning("x")) Thread.sleep(1)
     var ran = 0
-    assert(!reg.runSingletonWithRetry("x", clock) { ran += 1 })
-    assert(ran == 0)
-    // 5 attempts -> 4 inter-attempt waits of 2000 ms (virtual)
-    assert(clock.sleeps.toList == List(2000L, 2000L, 2000L, 2000L))
+    assert(reg.runSingletonWithRetry("x", clock) { ran += 1 })
+    assert(ran == 0, "no-op: body must not run while the id is busy")
+    assert(clock.sleeps.isEmpty, "no retry delay for the already-running case")
     gate.countDown(); holder.join()
   }
 
-  test("singleton start-retry: succeeds once the holder releases mid-retry") {
+  test("singleton start-retry: failed starts retried 2 s apart, then succeed") {
+    // RetryFunctions.cs:95-105 — schedule failures retried up to 5× with 2 s
+    // delays
     val reg = new SingletonRegistry
-    val gate = new java.util.concurrent.CountDownLatch(1)
-    val holder = new Thread(() => reg.runSingleton("x") { gate.await() })
-    holder.start()
-    while (!reg.isRunning("x")) Thread.sleep(1)
-    // a clock whose second wait releases the holder: attempt 3 then wins
-    var slept = 0
-    val releasing = new Clock {
-      override def now() = java.time.Instant.EPOCH
-      override def sleep(millis: Long): Unit = {
-        slept += 1
-        if (slept == 2) { gate.countDown(); holder.join() }
+    val clock = new VirtualClock
+    var attempts = 0
+    assert(reg.runSingletonWithRetry("x", clock) {
+      attempts += 1
+      if (attempts < 3) throw new RuntimeException("transient start failure")
+    })
+    assert(attempts == 3)
+    assert(clock.sleeps.toList == List(2000L, 2000L))
+    assert(!reg.isRunning("x"))
+  }
+
+  test("singleton start-retry: rethrows after 5 failed attempts") {
+    val reg = new SingletonRegistry
+    val clock = new VirtualClock
+    var attempts = 0
+    val e = intercept[RuntimeException] {
+      reg.runSingletonWithRetry("x", clock) {
+        attempts += 1; throw new RuntimeException(s"fail $attempts")
       }
     }
-    var ran = 0
-    assert(reg.runSingletonWithRetry("x", releasing) { ran += 1 })
-    assert(ran == 1 && slept == 2)
+    assert(e.getMessage == "fail 5")
+    assert(attempts == 5)
+    // 5 attempts -> 4 inter-attempt waits of 2000 ms (virtual)
+    assert(clock.sleeps.toList == List(2000L, 2000L, 2000L, 2000L))
+    assert(!reg.isRunning("x"))
   }
 
   test("cleanup: per-family retention (reference cutoff bug fixed)") {

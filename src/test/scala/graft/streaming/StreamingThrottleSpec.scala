@@ -107,4 +107,16 @@ class StreamingThrottleSpec extends SparkSpec {
     assert(stateRows == 1L,
       s"closed window for 't' must be evicted, leaving only 'u' in state; got $stateRows rows")
   }
+
+  test("both variants reject a non-positive window up front") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Stamped[String, String]]
+    // windowMillis = 0 would otherwise fail deep inside the state store
+    // (setTimeoutTimestamp at the watermark) — fail fast at plan time instead
+    intercept[IllegalArgumentException](StreamingThrottle.throttle(input.toDS(), 0L))
+    intercept[IllegalArgumentException](StreamingThrottle.throttle(input.toDS(), -1L))
+    intercept[IllegalArgumentException](
+      StreamingThrottle.throttleExpiring(input.toDS(), 0L, "1 minute"))
+  }
 }
