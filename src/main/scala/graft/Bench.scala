@@ -26,8 +26,14 @@ object Bench {
       Tables.read(spark, sfDir, "lineitem")
         .agg(max("l_orderkey"), cnt(org.apache.spark.sql.functions.lit(1))).collect()
     }
+    // optional comma-separated subset for focused iteration (dev only; the
+    // driver runs the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // name-sorted so per-query timings are comparable run-to-run
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

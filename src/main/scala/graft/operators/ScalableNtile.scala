@@ -23,16 +23,25 @@ import org.apache.spark.sql.functions._
   *     `bin_offset + row_number` the exact global rank, mapped through the
   *     SQL ntile formula (first N%n tiles take ⌈N/n⌉ rows, the rest ⌊N/n⌋).
   *
-  * Net: narrow scan + broadcast join for ~all rows, one tiny shuffle for the
-  * cutoff bins — no full-table exchange.
+  * Net: narrow scan for ~all rows, one tiny shuffle for the cutoff bins —
+  * no full-table exchange.
   *
-  * Cost profile: ~3 Spark jobs of FIXED overhead (histogram, assign, union)
-  * versus the naive plan's single job. At toy scale (≤1M rows) the naive
-  * single-task window is therefore faster in wall-clock (one task sorting a
+  * Assignment form: there are at most `numTiles-1` straddling bins (each
+  * interior tile cutoff lies in exactly one bin), and the uniform bin→tile
+  * mapping is a monotone step function whose runs strictly increase in tile
+  * — at most `numTiles` runs. Both lookups therefore compress to O(tiles)
+  * `when`-ladders: the uniform branch is a pure codegen'd scan+project with
+  * NO join, no broadcast, no exchange at all. Only above `maxLadderTiles`
+  * (where a ladder would bloat codegen) does assignment fall back to a
+  * broadcast-join of the bin table.
+  *
+  * Cost profile: 2 Spark jobs of FIXED overhead (histogram + result) versus
+  * the naive plan's single job. At toy scale (≤1M rows) the naive
+  * single-task window is still faster in wall-clock (one task sorting a
   * few MB is free); the crossover is where one task can no longer hold the
-  * table — exactly the regime this engine targets. This operator trades
-  * ~0.5 s of constant overhead for a plan whose window input shrinks from
-  * N rows to a few bins' worth.
+  * table — exactly the regime this engine targets. The constant overhead is
+  * one extra job over the (cached) input for a plan whose window input
+  * shrinks from N rows to a few bins' worth.
   *
   * Determinism: ties in `sortKeys` across a bin boundary would make ranks
   * ambiguous, so supply sort keys that are unique per row (standard practice
@@ -52,7 +61,8 @@ import org.apache.spark.sql.functions._
 object ScalableNtile {
 
   def apply(df: DataFrame, numTiles: Long, bin: Column,
-            sortKeys: Seq[Column], out: String = "ntile"): DataFrame = {
+            sortKeys: Seq[Column], out: String = "ntile",
+            maxLadderTiles: Long = 128L): DataFrame = {
     require(numTiles >= 1, "numTiles must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
@@ -61,7 +71,7 @@ object ScalableNtile {
     require(binDt.isInstanceOf[org.apache.spark.sql.types.NumericType],
       s"bin expression must be numeric, got ${binDt.sql}")
     // floor to long + null→MinValue: every bin is a non-null long, so the
-    // histogram read below cannot NPE and the equi-joins cannot drop rows
+    // histogram read below cannot NPE and the bin lookups cannot drop rows
     val binned = df.withColumn("__bin",
       coalesce(bin.cast("long"), lit(Long.MinValue)))
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
@@ -79,25 +89,71 @@ object ScalableNtile {
       val o = running; running += cnt
       (b, o, tileOfRank(o + 1) == tileOfRank(o + cnt))
     }
-    val uniform = binInfo.collect { case (b, o, true) => (b, tileOfRank(o + 1)) }
-      .toSeq.toDF("__bin", out)
-    val straddling = binInfo.collect { case (b, o, false) => (b, o) }
-      .toSeq.toDF("__bin", "__bin_offset")
-    lazy val uniformRows = binned.join(broadcast(uniform), Seq("__bin"))
-      .select((cols.map(col) :+ col(out)): _*)
+    val straddle = binInfo.collect { case (b, o, false) => (b, o) } // ≤ tiles-1
     val w = Window.partitionBy(col("__bin")).orderBy(sortKeys: _*)
     val tileExpr =
       when(col("__rank") <= firstBlock,
           expr(s"(`__rank` - 1) div $bigSize"))
         .otherwise(expr(s"${total % numTiles} + (`__rank` - 1 - $firstBlock) div $smallSize"))
         .cast("long") + 1L
-    lazy val straddlingRows = binned
-      .join(broadcast(straddling), Seq("__bin")) // inner join = cutoff-bin filter
-      .withColumn("__rank", col("__bin_offset") + row_number().over(w).cast("long"))
-      .select((cols.map(col) :+ tileExpr.as(out)): _*)
+
+    val useLadder = numTiles <= maxLadderTiles
+    val straddleBins = straddle.map(_._1)
+    def isStraddle: Column =
+      if (straddleBins.isEmpty) lit(false)
+      else col("__bin").isin(straddleBins: _*)
+
+    // ladder form: ≤ numTiles-1 straddling bins and ≤ numTiles uniform runs
+    // — both fit O(tiles) when-ladders, so NEITHER branch joins: the uniform
+    // branch is a pure scan+project. Above maxLadderTiles (ladders would
+    // bloat codegen) assignment falls back to a broadcast equi-join.
+    def uniformRows: DataFrame =
+      if (useLadder) {
+        // runs of histogram-consecutive uniform bins sharing a tile; tiles
+        // strictly increase across runs (every gap is a straddling bin
+        // holding ≥1 cutoff), so an ascending `<= hi` ladder is exact
+        val runs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        binInfo.foreach { case (b, o, unif) =>
+          if (unif) {
+            val t = tileOfRank(o + 1)
+            if (runs.nonEmpty && runs.last._2 == t) runs(runs.size - 1) = (b, t)
+            else runs += ((b, t))
+          }
+        }
+        val ladder =
+          if (runs.size == 1) lit(runs.head._2)
+          else runs.init.tail
+            .foldLeft(when(col("__bin") <= runs.head._1, runs.head._2)) {
+              case (acc, (hi, t)) => acc.when(col("__bin") <= hi, t)
+            }.otherwise(runs.last._2)
+        binned.filter(!isStraddle)
+          .select((cols.map(col) :+ ladder.cast("long").as(out)): _*)
+      } else {
+        val uniform = binInfo
+          .collect { case (b, o, true) => (b, tileOfRank(o + 1)) }
+          .toSeq.toDF("__bin", out)
+        binned.join(broadcast(uniform), Seq("__bin"))
+          .select((cols.map(col) :+ col(out)): _*)
+      }
+
+    def straddlingRows: DataFrame = {
+      val withOffset =
+        if (useLadder) {
+          val offset = straddle.tail
+            .foldLeft(when(col("__bin") === straddle.head._1, straddle.head._2)) {
+              case (acc, (b, o)) => acc.when(col("__bin") === b, o)
+            }
+          binned.filter(isStraddle).withColumn("__bin_offset", offset)
+        } else
+          binned.join(broadcast(straddle.toSeq.toDF("__bin", "__bin_offset")),
+            Seq("__bin")) // inner join = cutoff-bin filter
+      withOffset
+        .withColumn("__rank", col("__bin_offset") + row_number().over(w).cast("long"))
+        .select((cols.map(col) :+ tileExpr.as(out)): _*)
+    }
     // skip an empty branch entirely — a fine binning has no straddling bins
     // and a single-bin degenerate has no uniform ones; either way one fewer
-    // join/union job of pure overhead
+    // union job of pure overhead
     if (binInfo.forall(_._3)) uniformRows
     else if (binInfo.forall(!_._3)) straddlingRows
     else uniformRows.unionByName(straddlingRows)

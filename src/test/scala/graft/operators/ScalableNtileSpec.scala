@@ -70,7 +70,7 @@ class ScalableNtileSpec extends SparkSpec {
     assert(e.getMessage.contains("numeric"))
   }
 
-  test("fine binning: every row its own bin (pure broadcast path)") {
+  test("fine binning: every row its own bin (pure ladder path)") {
     import spark.implicits._
     val df = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
     val expected = df
@@ -80,5 +80,30 @@ class ScalableNtileSpec extends SparkSpec {
         sortKeys = Seq(col("v"), col("id")), out = "t")
       .select("id", "t").as[(Long, Long)].collect().toMap
     assert(actual == expected)
+  }
+
+  test("ladder path: no join anywhere in the plan (pure scan+project branches)") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101) * 1.5)).toDF("id", "v")
+    val plan = ScalableNtile(df, 4, bin = floor(col("v") / 10.0).cast("long"),
+        sortKeys = Seq(col("v"), col("id")), out = "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"ladder assignment must not join:\n$plan")
+  }
+
+  test("broadcast fallback (numTiles > maxLadderTiles) matches the ladder path") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => (i.toLong, (i * 37 % 101) * 1.5)).toDF("id", "v")
+    def run(maxLadder: Long) = ScalableNtile(df, 6,
+        bin = floor(col("v") / 10.0).cast("long"),
+        sortKeys = Seq(col("v"), col("id")), out = "t", maxLadderTiles = maxLadder)
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    val viaJoin = run(maxLadder = 1) // forces the broadcast form
+    val viaLadder = run(maxLadder = 128)
+    assert(viaJoin == viaLadder)
+    val expected = df
+      .withColumn("t", ntile(6).over(Window.orderBy(col("v"), col("id"))).cast("long"))
+      .select("id", "t").as[(Long, Long)].collect().toMap
+    assert(viaLadder == expected)
   }
 }
