@@ -82,14 +82,14 @@ object Dedup {
 
   // ---------------- MinHash + LSH ----------------
 
-  /** Word w-shingles of a token array: slice windows joined by spaces.
+  /** Word w-shingles of a token array: token windows joined by spaces.
     * Docs shorter than w tokens yield one (truncated) shingle — NOT zero —
-    * because sequence(1, n) with n < 1 would produce a DESCENDING sequence
-    * in Spark; the floor at 1 also keeps short docs dedupable. */
+    * which keeps short docs dedupable. Backed by the native codegen'd
+    * `WordShingles` expression: the equivalent HOF form
+    * (`transform(sequence(..), i => array_join(slice(toks, i, w), " "))`)
+    * is interpreted per element and dominated every n-gram scan. */
   def shingles(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(1), greatest(size(toks) - (w - 1), lit(1))),
-      i => array_join(slice(toks, i, lit(w)), " "))
+    graft.plans.TextExpressions.wordShingles(toks, w)
 
   /** 56-bit hash of a (salted) string: the top 14 hex chars of md5, parsed
     * as an integer. Engine-portable: DuckDB computes the identical value via

@@ -146,5 +146,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (exprs: Seq[Expression]) =>
+        WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
   }
 }
