@@ -276,6 +276,33 @@ object ExtQueries {
         graft.functions.TextAnalysis.piiCount(col("text")).as("n_pii"))
       .orderBy("doc_id")
 
+  /** Leakage-safe train/val/test split: near-dup clusters (3-round label
+    * propagation over the memoized MinHash graph) hashed INTO splits as
+    * whole clusters, so no near-duplicate straddles train and eval. */
+  def eLeakageSplit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+    val clusters = Dedup.labelPropagationClusters(pairs, docs, "doc_id", iterations = 3)
+    graft.functions.DatasetSplit
+      .leakageSafeSplit(clusters, "cluster_id", trainPct = 80, valPct = 10)
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Mixture budgets for `e_mixture_sample` (tokens per language; zh absent
+    * = dropped). Chosen to cut mid-corpus at both sf0.01 and sf0.1. */
+  private val MixBudgets = Map("en" -> 6000L, "de" -> 2000L,
+    "fr" -> 2500L, "es" -> 1500L)
+
+  /** Deterministic mixture sampling to per-language token budgets via the
+    * histogram-cut TokenBudgetSample (no per-domain global window). */
+  def eMixtureSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.TokenBudgetSample(
+      Tables.documents(s, d), "doc_id", "lang",
+      graft.functions.TextAnalysis.tokenCount(col("text")),
+      budgets = MixBudgets)
+      .orderBy("doc_id")
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -479,7 +506,9 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  private val clustersOracle = {
+  /** Shared CTE chain ending at `l3 (doc_id, cluster_id)` — the 3-round
+    * label-propagation cluster table (reused by the leakage-split oracle). */
+  private val clustersCte = {
     val matchSum = (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
     val rounds = (1 to 3).map { r =>
@@ -502,8 +531,35 @@ object ExtQueries {
        |  UNION SELECT doc_b, doc_a FROM fpairs
        |  UNION SELECT doc_id, doc_id FROM documents),
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
-       |$rounds
-       |SELECT doc_id, cluster_id FROM l3 ORDER BY doc_id""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  private val clustersOracle =
+    s"$clustersCte\nSELECT doc_id, cluster_id FROM l3 ORDER BY doc_id"
+
+  private val leakageSplitOracle = {
+    val bucket = s"${hexHashSql("CAST(cluster_id AS VARCHAR)", "split|")} % 100"
+    s"""$clustersCte
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN $bucket < 80 THEN 'train'
+       |       WHEN $bucket < 90 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM l3 ORDER BY doc_id""".stripMargin
+  }
+
+  private val mixtureSampleOracle = {
+    val rk = hexHashSql("CAST(doc_id AS VARCHAR)", "mix|")
+    val budgetCase = MixBudgets.toSeq.sortBy(_._1)
+      .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id, lang,
+       |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |    $rk AS rk
+       |  FROM documents),
+       |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t)
+       |SELECT doc_id, lang, n_tokens FROM c
+       |WHERE cum <= CASE lang $budgetCase ELSE 0 END
+       |ORDER BY doc_id""".stripMargin
   }
 
   private val quantizeOracle =
@@ -639,6 +695,8 @@ object ExtQueries {
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
     "e_pii_redact" -> (ePiiRedact _),
+    "e_leakage_split" -> (eLeakageSplit _),
+    "e_mixture_sample" -> (eMixtureSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -649,6 +707,8 @@ object ExtQueries {
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
     "e_dedup_clusters" -> clustersOracle,
+    "e_leakage_split" -> leakageSplitOracle,
+    "e_mixture_sample" -> mixtureSampleOracle,
     "e_embed_quantize" -> quantizeOracle,
     // e_approx_percentile: engine-specific sketch — deliberately no oracle
     "e_dedup_simhash" -> simhashOracle,

@@ -42,7 +42,22 @@ object Time {
         sh => md5(sh))).as("sh"))),
       "x_explodethenhash" -> (() => docs
         .select(explode(Dedup.shingles(TextAnalysis.tokens(col("text")), 3)).as("sh"))
-        .select(Dedup.hexHash(col("sh")).as("h")))
+        .select(Dedup.hexHash(col("sh")).as("h"))),
+      // ngramJaccard internals
+      "x_ng_shingletable" -> (() => docs.select(col("doc_id"),
+        explode(array_distinct(transform(
+          Dedup.shingles(split(trim(col("text")), " "), 3),
+          sh => Dedup.hexHash(sh)))).as("sh"))),
+      "x_ng_selfjoin" -> (() => {
+        val ds = docs.select(col("doc_id"),
+          explode(array_distinct(transform(
+            Dedup.shingles(split(trim(col("text")), " "), 3),
+            sh => Dedup.hexHash(sh)))).as("sh"))
+        ds.as("a").join(ds.as("b"), Seq("sh"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      })
     )
     names.foreach { n =>
       val times = (1 to reps).map { _ =>
