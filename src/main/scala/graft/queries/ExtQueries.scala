@@ -303,6 +303,19 @@ object ExtQueries {
       budgets = MixBudgets)
       .orderBy("doc_id")
 
+  /** Incremental dedup of a "new" batch (doc_id % 10 == 0) against the
+    * existing corpus via Bloom prefilter + exact confirm — result equals
+    * the plain anti-join (Bloom has no false negatives), so it oracles. */
+  def eBloomDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    def key = trim(lower(col("text")))
+    graft.dedup.BloomDedup.freshDocs(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0), key)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -697,6 +710,7 @@ object ExtQueries {
     "e_pii_redact" -> (ePiiRedact _),
     "e_leakage_split" -> (eLeakageSplit _),
     "e_mixture_sample" -> (eMixtureSample _),
+    "e_bloom_dedup" -> (eBloomDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -709,6 +723,13 @@ object ExtQueries {
     "e_dedup_clusters" -> clustersOracle,
     "e_leakage_split" -> leakageSplitOracle,
     "e_mixture_sample" -> mixtureSampleOracle,
+    "e_bloom_dedup" ->
+      """SELECT n.doc_id, n.lang FROM documents n
+        |WHERE n.doc_id % 10 = 0
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |    WHERE c.doc_id % 10 <> 0
+        |      AND trim(lower(c.text)) = trim(lower(n.text)))
+        |ORDER BY doc_id""".stripMargin,
     "e_embed_quantize" -> quantizeOracle,
     // e_approx_percentile: engine-specific sketch — deliberately no oracle
     "e_dedup_simhash" -> simhashOracle,
