@@ -274,4 +274,50 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
     materializeAndRelease(result, docShingles)
   }
+
+  /** Cross-document PASSAGE dedup: exact substring-level deduplication at
+    * the granularity of non-overlapping `passageTokens`-token windows —
+    * the relational form of the published train-data substring-dedup
+    * recipe (remove repeated spans, keep the first occurrence, instead of
+    * dropping whole near-dup documents).
+    *
+    * Every doc splits into consecutive passages (last one partial); an
+    * instance survives iff it is the globally FIRST occurrence of its
+    * passage text, ordered by (doc_id, position) — deterministic, no RNG.
+    * Output per doc: the surviving text (passages rejoined in order, ''
+    * when every passage was seen earlier), passage count, dropped count.
+    *
+    * Plan shape: narrow chunk+posexplode, ONE shuffle on the passage text
+    * for the first-occurrence window (the passage string must move anyway —
+    * it is the payload being kept), one groupBy doc_id to reassemble.
+    * Work is ∝ corpus tokens, state ∝ distinct passages — both linear; at
+    * 100 TB this is the same two-exchange profile as exact doc dedup, just
+    * at passage grain. */
+  def passageDedup(docs: DataFrame, idCol: String, textCol: String,
+                   passageTokens: Int = 10): DataFrame = {
+    require(passageTokens >= 1, "passage width must be >= 1")
+    val toks = split(trim(col(textCol)), " ")
+    val nChunks = ceil(size(toks).cast("double") / passageTokens).cast("int")
+    // non-overlapping windows: chunk i = tokens [i*w, i*w + w) — slice/
+    // array_join volume is n/w elements per doc (unlike overlapping
+    // shingles, where the HOF form was the bottleneck WordShingles replaced)
+    val chunks = transform(
+      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(toks, i * passageTokens + 1, lit(passageTokens)), " "))
+    val firstW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ptext")).orderBy(col("doc_id"), col("pos"))
+    val marked = docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "ptext")))
+      .withColumn("keep", row_number().over(firstW) === 1)
+    marked.groupBy(col("doc_id"))
+      .agg(
+        // collect_list drops nulls, so the unkept branch (no otherwise)
+        // vanishes; sort by pos reassembles the doc deterministically
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("ptext"))))),
+          x => x.getField("ptext")), " ").as("kept_text"),
+        count(lit(1)).as("n_passages"),
+        count(when(!col("keep"), 1)).as("n_dropped"))
+  }
 }

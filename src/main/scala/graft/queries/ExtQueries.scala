@@ -316,6 +316,13 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Passage-level exact dedup: repeated 10-token windows keep only their
+    * first (doc_id, pos) occurrence; docs reassemble from survivors. */
+  def ePassageDedup(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.passageDedup(Tables.documents(s, d), "doc_id", "text",
+        passageTokens = 10)
+      .orderBy("doc_id")
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -711,6 +718,7 @@ object ExtQueries {
     "e_leakage_split" -> (eLeakageSplit _),
     "e_mixture_sample" -> (eMixtureSample _),
     "e_bloom_dedup" -> (eBloomDedup _),
+    "e_passage_dedup" -> (ePassageDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -730,6 +738,27 @@ object ExtQueries {
         |    WHERE c.doc_id % 10 <> 0
         |      AND trim(lower(c.text)) = trim(lower(n.text)))
         |ORDER BY doc_id""".stripMargin,
+    "e_passage_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), positions AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS pos
+        |  FROM toks
+        |), passages AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[pos*10+1 : pos*10+10], ' ') AS ptext
+        |  FROM positions
+        |), marked AS (
+        |  SELECT doc_id, pos, ptext,
+        |         row_number() OVER (PARTITION BY ptext ORDER BY doc_id, pos) = 1 AS keep
+        |  FROM passages
+        |)
+        |SELECT doc_id,
+        |       coalesce(string_agg(ptext, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+        |       count(*) AS n_passages,
+        |       count(*) FILTER (WHERE NOT keep) AS n_dropped
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_embed_quantize" -> quantizeOracle,
     // e_approx_percentile: engine-specific sketch — deliberately no oracle
     "e_dedup_simhash" -> simhashOracle,

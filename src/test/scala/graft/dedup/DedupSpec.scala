@@ -76,6 +76,37 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("passageDedup: first occurrence survives, later instances drop, docs reassemble") {
+    import spark.implicits._
+    // w=3 passages; doc 1 = [A][B], doc 2 repeats A then fresh C, doc 3 is
+    // entirely doc 1's passages (fully deduped away), doc 4 has a partial
+    // last window, doc 5 is empty text
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x y z"),
+      (3L, "a b c d e f"),
+      (4L, "p q r s"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 3)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "a b c d e f", 2L, 0L)), s"doc1: ${got(0)}")
+    assert(got(1) == ((2L, "x y z", 2L, 1L)), s"doc2 keeps only its fresh passage: ${got(1)}")
+    assert(got(2) == ((3L, "", 2L, 2L)), s"doc3 fully deduped: ${got(2)}")
+    assert(got(3) == ((4L, "p q r s", 2L, 0L)), s"doc4 partial window survives: ${got(3)}")
+    assert(got(4) == ((5L, "", 1L, 0L)), s"doc5 empty text is one empty passage: ${got(4)}")
+  }
+
+  test("passageDedup: repeated passage WITHIN one doc keeps only the first position") {
+    import spark.implicits._
+    val df = Seq((7L, "a b a b")).toDF("doc_id", "text")
+    val got = Dedup.passageDedup(df, "doc_id", "text", passageTokens = 2)
+      .head()
+    assert(got.getString(1) == "a b" && got.getLong(3) == 1L)
+  }
+
   test("candidate generators release their persisted intermediates (no cache leak)") {
     // Regression guard: each generator persists fat intermediates (signature/
     // band/shingle/fingerprint tables) and must release them once the compact
