@@ -119,6 +119,104 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "vec_dot"
 }
 
+/** Native argmin-over-centroids: `(cid, d2)` of the nearest centroid to a
+  * vector, squared-L2 by the expansion d2 = |v|² − 2·v·c + |c|².
+  *
+  * Why a custom Expression: the composable form is an `array_min` over k
+  * `struct(d2, cid)` entries, each with its own DotProduct — k struct
+  * allocations per ROW plus a giant generated method. Assignment is the
+  * inner loop of Lloyd k-means (rows × k × dims multiply-adds), so the
+  * whole centroid matrix rides along as ONE codegen reference object and
+  * the scan is a cache-friendly JVM loop: |v|² once per row, then one pass
+  * per centroid over primitive arrays.
+  *
+  * FP parity with the composable form it replaces: |v|², each v·c, and the
+  * precomputed |c|² all accumulate in ascending index order, and the
+  * combination associates as ((vv − 2·dot) + cc) — bit-identical to
+  * `vecDot(v,v) − 2·vecDot(v,c) + cc`. Ties in d2 keep the EARLIEST
+  * centroid in `cids` order (callers pass ids ascending = min-cid
+  * tie-break, matching `array_min`'s lexicographic struct order). */
+case class NearestCentroid(child: Expression, cids: Array[Long],
+                           centroids: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(cids.length == centroids.length && cids.nonEmpty,
+    "need one id per centroid and at least one centroid")
+
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cid",
+      org.apache.spark.sql.types.LongType, nullable = false),
+    org.apache.spark.sql.types.StructField("d2", DoubleType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == FloatType || et == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires an array<float> or array<double> vector, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(et, _) => et == FloatType
+    case _ => false
+  }
+
+  // |c|² precomputed once per plan, ascending-index order like DotProduct
+  private lazy val normSq: Array[Double] = centroids.map { c =>
+    var acc = 0.0; var j = 0
+    while (j < c.length) { acc += c(j) * c(j); j += 1 }
+    acc
+  }
+
+  /** The tight loop; also the codegen target (one virtual call per row). */
+  def compute(vec: ArrayData): Any = {
+    val n = vec.numElements()
+    val v = new Array[Double](n)
+    var j = 0
+    while (j < n) {
+      if (vec.isNullAt(j)) return null // incomplete vector → NULL, like vec_dot
+      v(j) = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      j += 1
+    }
+    var vv = 0.0
+    j = 0
+    while (j < n) { vv += v(j) * v(j); j += 1 }
+    var bestCid = 0L
+    var bestD2 = Double.PositiveInfinity
+    var i = 0
+    while (i < centroids.length) {
+      val c = centroids(i)
+      if (c.length != n) throw new IllegalArgumentException(
+        s"nearest_centroid: vector has $n dims, centroid ${cids(i)} has ${c.length}")
+      var dot = 0.0
+      j = 0
+      while (j < n) { dot += v(j) * c(j); j += 1 }
+      val d2 = vv - 2.0 * dot + normSq(i)
+      if (d2 < bestD2) { bestD2 = d2; bestCid = cids(i) } // strict: first/min cid wins ties
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(bestCid, bestD2)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nearestCentroid", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object r = $ref.compute($c);
+       |if (r == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) r;
+       |}
+     """.stripMargin)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge
@@ -127,6 +225,12 @@ object VectorExpressions {
   def vecDot(a: Column, b: Column): Column =
     ColumnBridge.column(
       DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Column API for the native centroid argmin: struct(cid, d2). */
+  def nearestCentroid(v: Column, cids: Array[Long],
+                      centroids: Array[Array[Double]]): Column =
+    ColumnBridge.column(
+      NearestCentroid(ColumnBridge.expression(v), cids, centroids))
 
   /** Register `vec_dot` for SQL use on a session
     * (`SELECT vec_dot(embedding, embedding) FROM ...`). */

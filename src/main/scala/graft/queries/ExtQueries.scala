@@ -316,6 +316,14 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Deterministic 2-round Lloyd k-means over the embeddings table:
+    * centroids seed from vec_id % 50 == 1 (10 clusters at sf0.01), the
+    * clustering primitive for semantic dedup / diversity sampling. */
+  def eKmeans(s: SparkSession, d: String): DataFrame =
+    graft.similarity.KMeans.lloyd(Tables.embeddings(s, d), "vec_id", "embedding",
+        isInit = col("vec_id") % 50 === 1, iterations = 2)
+      .orderBy("vec_id")
+
   /** Passage-level exact dedup: repeated 10-token windows keep only their
     * first (doc_id, pos) occurrence; docs reassemble from survivors. */
   def ePassageDedup(s: SparkSession, d: String): DataFrame =
@@ -719,6 +727,7 @@ object ExtQueries {
     "e_mixture_sample" -> (eMixtureSample _),
     "e_bloom_dedup" -> (eBloomDedup _),
     "e_passage_dedup" -> (ePassageDedup _),
+    "e_kmeans" -> (eKmeans _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -738,6 +747,23 @@ object ExtQueries {
         |    WHERE c.doc_id % 10 <> 0
         |      AND trim(lower(c.text)) = trim(lower(n.text)))
         |ORDER BY doc_id""".stripMargin,
+    "e_kmeans" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+        |       FROM e WHERE vec_id % 50 = 1),
+        |d1 AS (SELECT e.vec_id, c0.cid, sum((e.v - c0.v) * (e.v - c0.v)) AS d2
+        |       FROM e JOIN c0 ON e.pos = c0.pos GROUP BY 1, 2),
+        |a1 AS (SELECT vec_id, cid,
+        |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d1),
+        |c1 AS (SELECT a1.cid, e.pos, avg(e.v) AS v
+        |       FROM a1 JOIN e ON e.vec_id = a1.vec_id WHERE a1.rn = 1 GROUP BY 1, 2),
+        |d2x AS (SELECT e.vec_id, c1.cid, sum((e.v - c1.v) * (e.v - c1.v)) AS d2
+        |       FROM e JOIN c1 ON e.pos = c1.pos GROUP BY 1, 2),
+        |a2 AS (SELECT vec_id, cid, d2,
+        |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d2x)
+        |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
+        |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e_passage_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

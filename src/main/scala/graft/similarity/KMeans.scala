@@ -1,0 +1,87 @@
+package graft.similarity
+
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Lloyd k-means over an embedding column — the clustering
+  * primitive behind semantic dedup and diversity-balanced mixture sampling
+  * (cluster the corpus in embedding space, then dedup/sample WITHIN
+  * clusters). Everything is reproducible: centroids initialize from a
+  * caller-supplied deterministic predicate (no RNG, no seed), ids assigned
+  * in vec_id order, and the argmin tie-breaks on (distance, cluster id).
+  *
+  * Plan shape per iteration — the 100 TB shape, not the relational n×k×d
+  * explode-join:
+  *
+  *  1. ASSIGN: the k centroids ride along as ONE codegen reference object
+  *     (collected driver-side — k·d doubles, bounded like ScalableNtile's
+  *     histogram); each row runs the native `NearestCentroid` argmin —
+  *     |v|² once, then k primitive-array passes of the expansion
+  *     |v|² − 2·v·c + |c|² (|c|² precomputed at plan time) — a NARROW
+  *     scan, zero exchanges, no join against a centroid table, no per-row
+  *     struct allocations.
+  *  2. UPDATE: new centroid j = per-dimension mean of its members, as d
+  *     explicit `avg(element_at(v, i))` aggregates — hash aggregation with
+  *     map-side partial combine, so the shuffle carries one row per
+  *     (cluster × partition), never the vectors themselves. (The explode
+  *     to (cid, pos, x) + groupBy would shuffle n·d rows — the oracle's
+  *     relational form, correct but not the plan you want at scale.)
+  *
+  * An empty cluster simply drops out (no member rows → no update row),
+  * matching the SQL formulation.
+  *
+  * FP note: distances use the expanded form; near v ≈ c the cancellation
+  * error is ~1e-12 ABSOLUTE, far inside the round-6 output grid, and
+  * assignment flips would need two centroids within float-noise of
+  * equidistant. Elements are cast to double before any arithmetic
+  * (float accumulation drifts at ~1e-7 relative — outside the grid). */
+object KMeans {
+
+  /** Cluster assignment after `iterations` Lloyd rounds.
+    * Returns (vec_id, cluster_id, dist2) — dist2 = squared L2 distance to
+    * the final centroid, rounded to 6 decimals. */
+  def lloyd(vectors: DataFrame, idCol: String, vecCol: String,
+            isInit: Column, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need at least one assignment pass")
+    val toDouble = transform(col(vecCol), x => x.cast("double"))
+    val base = vectors.select(col(idCol).cast("long").as("vec_id"),
+      toDouble.as("v"))
+    val dims = base.select(size(col("v"))).head().getInt(0)
+
+    // deterministic init: predicate rows in vec_id order become clusters 1..k
+    var centroids: Seq[(Long, Array[Double])] = vectors.filter(isInit)
+      .select(col(idCol).cast("long"), toDouble)
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](1).toArray) }
+      .toSeq
+    require(centroids.nonEmpty, "isInit selected no centroid rows")
+
+    var assigned = assign(base, centroids)
+    (2 to iterations).foreach { _ =>
+      // per-dimension means, map-side combined; one bounded collect
+      val aggs = (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"c$i"))
+      centroids = assigned.groupBy(col("cid"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map(r => (r.getLong(0), (1 to dims).map(i => r.getDouble(i)).toArray))
+        .sortBy(_._1).toSeq
+      assigned = assign(base, centroids)
+    }
+    assigned.select(col("vec_id"), col("cid").as("cluster_id"),
+      round(col("d2"), 6).as("dist2"))
+  }
+
+  /** Narrow argmin assignment: the whole centroid matrix rides along the
+    * scan as one codegen reference (native NearestCentroid) — no join, no
+    * exchange, no per-row struct array. */
+  private def assign(base: DataFrame,
+                     centroids: Seq[(Long, Array[Double])]): DataFrame = {
+    val best = VectorExpressions.nearestCentroid(col("v"),
+      centroids.map(_._1).toArray, centroids.map(_._2).toArray)
+    base
+      .withColumn("best", best)
+      .select(col("vec_id"), col("v"),
+        col("best.cid").as("cid"), col("best.d2").as("d2"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.similarity
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+
+  // two tight blobs around (0,0) and (10,10); ids 1 and 4 seed the clusters
+  private def blobs = {
+    import spark.implicits._
+    Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.5f, -0.5f)),
+      (3L, Array(-0.5f, 0.5f)),
+      (4L, Array(10.0f, 10.0f)),
+      (5L, Array(10.5f, 9.5f)),
+      (6L, Array(9.5f, 10.5f))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("separable blobs cluster correctly and deterministically") {
+    val got = KMeans.lloyd(blobs, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 4L), iterations = 3)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L, 6L -> 2L))
+  }
+
+  test("dist2 is the squared distance to the FINAL (updated) centroid") {
+    val got = KMeans.lloyd(blobs, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 4L), iterations = 2)
+      .filter(col("vec_id") === 1L).head().getDouble(2)
+    // after one update, centroid 1 = mean of blob 1 = (0,0); dist2(v1) = 0
+    assert(got == 0.0, s"got $got")
+  }
+
+  test("equidistant vector tie-breaks to the lower cluster id") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(1.0f, 0.0f)) // exactly between both centroids
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.lloyd(df, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 2L), iterations = 1)
+      .filter(col("vec_id") === 3L).head().getLong(1)
+    assert(got == 1L, "ties must resolve to the smaller cluster id")
+  }
+
+  test("assignment pass is narrow: no joins, no exchanges in the plan") {
+    val plan = KMeans.lloyd(blobs, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 4L), iterations = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"centroid assignment must not join:\n$plan")
+    assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
+  }
+
+  test("empty clusters drop out instead of producing NaN centroids") {
+    import spark.implicits._
+    // centroid 2 seeds far away and captures nobody after the update
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(0.1f, 0.1f)),
+      (3L, Array(0.2f, 0.0f)),
+      (9L, Array(100.0f, 100.0f)) // isInit but also nearest to itself
+    ).toDF("vec_id", "embedding")
+    val out = KMeans.lloyd(df, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 9L), iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(9L) == 2L && out(1L) == 1L && out.size == 4)
+  }
+}
