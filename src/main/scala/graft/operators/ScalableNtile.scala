@@ -74,8 +74,11 @@ object ScalableNtile {
     // histogram read below cannot NPE and the bin lookups cannot drop rows
     val binned = df.withColumn("__bin",
       coalesce(bin.cast("long"), lit(Long.MinValue)))
+    // bounded histogram, not table data; sorted driver-side — a distributed
+    // orderBy before collect() would add a whole shuffle+sort stage just to
+    // order a few hundred rows
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
-      .orderBy("__bin").collect() // bounded histogram, not table data
+      .collect().sortBy(_.getLong(0))
     val total = hist.map(_.getLong(1)).sum
     val bigSize = total / numTiles + 1 // first (total % numTiles) tiles
     val smallSize = math.max(total / numTiles, 1L)

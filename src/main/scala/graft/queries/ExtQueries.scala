@@ -324,6 +324,15 @@ object ExtQueries {
         isInit = col("vec_id") % 50 === 1, iterations = 2)
       .orderBy("vec_id")
 
+  /** SemDeDup-style semantic dedup: k-means clusters as the candidate
+    * buckets, exact within-cluster cosine >= 0.35 pairs, one representative
+    * (min vec_id) per connected near-dup group. */
+  def eSemanticDedup(s: SparkSession, d: String): DataFrame =
+    graft.similarity.KMeans.semanticDedup(Tables.embeddings(s, d), "vec_id",
+        "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2,
+        minCosine = 0.35)
+      .orderBy("vec_id")
+
   /** Passage-level exact dedup: repeated 10-token windows keep only their
     * first (doc_id, pos) occurrence; docs reassemble from survivors. */
   def ePassageDedup(s: SparkSession, d: String): DataFrame =
@@ -565,6 +574,53 @@ object ExtQueries {
   private val clustersOracle =
     s"$clustersCte\nSELECT doc_id, cluster_id FROM l3 ORDER BY doc_id"
 
+  /** Two deterministic Lloyd rounds over the embeddings: c0 = seeded
+    * centroids, a1/a2 = argmin assignments (rn = 1), c1 = updated means —
+    * shared by the e_kmeans and e_semantic_dedup oracles. */
+  private val kmeansCte =
+    """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+      |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+      |       FROM e WHERE vec_id % 50 = 1),
+      |d1 AS (SELECT e.vec_id, c0.cid, sum((e.v - c0.v) * (e.v - c0.v)) AS d2
+      |       FROM e JOIN c0 ON e.pos = c0.pos GROUP BY 1, 2),
+      |a1 AS (SELECT vec_id, cid,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d1),
+      |c1 AS (SELECT a1.cid, e.pos, avg(e.v) AS v
+      |       FROM a1 JOIN e ON e.vec_id = a1.vec_id WHERE a1.rn = 1 GROUP BY 1, 2),
+      |d2x AS (SELECT e.vec_id, c1.cid, sum((e.v - c1.v) * (e.v - c1.v)) AS d2
+      |       FROM e JOIN c1 ON e.pos = c1.pos GROUP BY 1, 2),
+      |a2 AS (SELECT vec_id, cid, d2,
+      |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d2x)""".stripMargin
+
+  private val semanticDedupOracle = {
+    val rounds = (1 to 3).map { r =>
+      s"""l$r AS (SELECT g.src AS doc_id, min(l.cluster_id) AS cluster_id
+         |  FROM sedges g JOIN l${r - 1} l ON g.dst = l.doc_id GROUP BY g.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansCte,
+       |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+       |vnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+       |cp AS (SELECT a.vec_id AS ida, b.vec_id AS idb, sum(ea.v * eb.v) AS dp
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  JOIN e ea ON ea.vec_id = a.vec_id
+       |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+       |  GROUP BY 1, 2),
+       |sp AS (SELECT ida, idb FROM cp
+       |  JOIN vnorms na ON na.vec_id = ida
+       |  JOIN vnorms nb ON nb.vec_id = idb
+       |  WHERE round(dp / (na.nrm * nb.nrm), 6) >= 0.35),
+       |sedges AS (SELECT ida AS src, idb AS dst FROM sp
+       |  UNION SELECT idb, ida FROM sp
+       |  UNION SELECT vec_id, vec_id FROM embeddings),
+       |l0 AS (SELECT vec_id AS doc_id, vec_id AS cluster_id FROM embeddings),
+       |$rounds
+       |SELECT l3.doc_id AS vec_id, asg.cid AS cluster_id,
+       |       l3.cluster_id AS rep_id, l3.cluster_id = l3.doc_id AS kept
+       |FROM l3 JOIN asg ON asg.vec_id = l3.doc_id
+       |ORDER BY vec_id""".stripMargin
+  }
+
   private val leakageSplitOracle = {
     val bucket = s"${hexHashSql("CAST(cluster_id AS VARCHAR)", "split|")} % 100"
     s"""$clustersCte
@@ -728,6 +784,7 @@ object ExtQueries {
     "e_bloom_dedup" -> (eBloomDedup _),
     "e_passage_dedup" -> (ePassageDedup _),
     "e_kmeans" -> (eKmeans _),
+    "e_semantic_dedup" -> (eSemanticDedup _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -748,22 +805,10 @@ object ExtQueries {
         |      AND trim(lower(c.text)) = trim(lower(n.text)))
         |ORDER BY doc_id""".stripMargin,
     "e_kmeans" ->
-      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-        |c0 AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
-        |       FROM e WHERE vec_id % 50 = 1),
-        |d1 AS (SELECT e.vec_id, c0.cid, sum((e.v - c0.v) * (e.v - c0.v)) AS d2
-        |       FROM e JOIN c0 ON e.pos = c0.pos GROUP BY 1, 2),
-        |a1 AS (SELECT vec_id, cid,
-        |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d1),
-        |c1 AS (SELECT a1.cid, e.pos, avg(e.v) AS v
-        |       FROM a1 JOIN e ON e.vec_id = a1.vec_id WHERE a1.rn = 1 GROUP BY 1, 2),
-        |d2x AS (SELECT e.vec_id, c1.cid, sum((e.v - c1.v) * (e.v - c1.v)) AS d2
-        |       FROM e JOIN c1 ON e.pos = c1.pos GROUP BY 1, 2),
-        |a2 AS (SELECT vec_id, cid, d2,
-        |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d2x)
+      s"""WITH $kmeansCte
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e_semantic_dedup" -> semanticDedupOracle,
     "e_passage_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

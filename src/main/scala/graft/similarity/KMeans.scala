@@ -42,7 +42,15 @@ object KMeans {
     * Returns (vec_id, cluster_id, dist2) — dist2 = squared L2 distance to
     * the final centroid, rounded to 6 decimals. */
   def lloyd(vectors: DataFrame, idCol: String, vecCol: String,
-            isInit: Column, iterations: Int): DataFrame = {
+            isInit: Column, iterations: Int): DataFrame =
+    lloydAssign(vectors, idCol, vecCol, isInit, iterations)
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        round(col("d2"), 6).as("dist2"))
+
+  /** The Lloyd rounds, keeping the double-cast vector column `v` on the
+    * assignment for downstream consumers (semanticDedup). */
+  private def lloydAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                          isInit: Column, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one assignment pass")
     val toDouble = transform(col(vecCol), x => x.cast("double"))
     val base = vectors.select(col(idCol).cast("long").as("vec_id"),
@@ -68,8 +76,49 @@ object KMeans {
         .sortBy(_._1).toSeq
       assigned = assign(base, centroids)
     }
-    assigned.select(col("vec_id"), col("cid").as("cluster_id"),
-      round(col("d2"), 6).as("dist2"))
+    assigned
+  }
+
+  /** SemDeDup-style semantic deduplication: cluster in embedding space,
+    * find near-identical pairs WITHIN each cluster by exact cosine, and
+    * keep one representative per connected near-dup group.
+    *
+    * The k-means cluster plays the LSH-bucket role: the candidate self-join
+    * is an equi-join on cluster id, so pair work is ∑ cluster_size² — never
+    * the corpus-wide n² product (same scaling argument as the banded-LSH
+    * near-dup path, different geometry: k-means buckets are data-adaptive
+    * where LSH bands are random). Representatives come from bounded label
+    * propagation over the pair graph (3 rounds — same operator the MinHash
+    * cluster path uses), tie-broken to the minimum vec_id.
+    *
+    * Caveat inherited from SemDeDup: pairs STRADDLING two clusters are not
+    * examined (that is the pruning); raise `iterations` or k for tighter
+    * clusters, or run the banded-LSH near-dup pass for recall guarantees.
+    *
+    * Returns (vec_id, cluster_id, rep_id, kept): `rep_id` is the group
+    * representative the row dedups to; `kept` marks the representative row
+    * itself (the surviving corpus is `filter(col("kept"))`). */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    isInit: Column, iterations: Int,
+                    minCosine: Double): DataFrame = {
+    val assigned = lloydAssign(vectors, idCol, vecCol, isInit, iterations)
+    val nrm = sqrt(VectorExpressions.vecDot(col("v"), col("v")))
+    val members = assigned.select(col("vec_id"), col("v"), col("cid"),
+      nrm.as("nrm"))
+    def side(s: String) = members.select(col("cid"),
+      col("vec_id").as(s"id_$s"), col("v").as(s"v_$s"), col("nrm").as(s"n_$s"))
+    val pairs = side("a").join(side("b"), Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(
+        VectorExpressions.vecDot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")),
+        6) >= minCosine)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val reps = graft.dedup.Dedup.labelPropagationClusters(
+      pairs, members.select(col("vec_id").as("doc_id")), "doc_id", iterations = 3)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("rep_id"))
+    assigned.select(col("vec_id"), col("cid").as("cluster_id"))
+      .join(reps, Seq("vec_id"))
+      .withColumn("kept", col("rep_id") === col("vec_id"))
   }
 
   /** Narrow argmin assignment: the whole centroid matrix rides along the

@@ -55,6 +55,42 @@ class KMeansSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"assignment must be shuffle-free:\n$plan")
   }
 
+  test("semanticDedup: near-identical in-cluster vectors collapse to the min-id rep") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),    // cluster 1 seed
+      (2L, Array(0.999f, 0.02f)), // cos≈1 with v1 → dedups to 1
+      (3L, Array(0.0f, 1.0f)),    // same cluster, orthogonal → kept
+      (6L, Array(10.0f, 10.0f)),  // cluster 2 seed
+      (7L, Array(10.1f, 9.9f))    // cos≈1 with v6 → dedups to 6
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.semanticDedup(df, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 6L), iterations = 2, minCosine = 0.95)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3)))
+    assert(got.toSeq == Seq(
+      (1L, 1L, true), (2L, 1L, false), (3L, 3L, true),
+      (6L, 6L, true), (7L, 6L, false)), s"got ${got.toSeq}")
+  }
+
+  test("semanticDedup: cross-cluster near-dups are NOT examined (the documented pruning)") {
+    import spark.implicits._
+    // v3 is nearly parallel to v1 in direction but lands in cluster 2 by
+    // distance; SemDeDup's contract prunes that pair away
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(20.0f, 1.0f)),
+      (3L, Array(19.0f, 0.5f))
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.semanticDedup(df, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 2L), iterations = 1, minCosine = 0.9)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getBoolean(3)))
+    // 2 and 3 share a cluster (both near (20,1)) and are near-parallel → 3 drops;
+    // 1 is alone in its cluster and survives even though cos(1,3) > 0.9
+    assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)), s"got ${got.toSeq}")
+  }
+
   test("empty clusters drop out instead of producing NaN centroids") {
     import spark.implicits._
     // centroid 2 seeds far away and captures nobody after the update
