@@ -333,6 +333,14 @@ object ExtQueries {
         minCosine = 0.35)
       .orderBy("vec_id")
 
+  /** Cluster-balanced diversity sample: the 10 most peripheral members of
+    * each k-means cluster (dense duplicated cores shrink, outliers stay). */
+  def eClusterSample(s: SparkSession, d: String): DataFrame =
+    graft.similarity.KMeans.diversitySample(Tables.embeddings(s, d), "vec_id",
+        "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2,
+        perCluster = 10)
+      .orderBy("vec_id")
+
   /** Passage-level exact dedup: repeated 10-token windows keep only their
     * first (doc_id, pos) occurrence; docs reassemble from survivors. */
   def ePassageDedup(s: SparkSession, d: String): DataFrame =
@@ -785,6 +793,7 @@ object ExtQueries {
     "e_passage_dedup" -> (ePassageDedup _),
     "e_kmeans" -> (eKmeans _),
     "e_semantic_dedup" -> (eSemanticDedup _),
+    "e_cluster_sample" -> (eClusterSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -809,6 +818,14 @@ object ExtQueries {
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
+    "e_cluster_sample" ->
+      s"""WITH $kmeansCte,
+        |scored AS (SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
+        |  FROM a2 WHERE rn = 1),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY dist2 DESC, vec_id ASC) AS BIGINT) AS rank FROM scored)
+        |SELECT vec_id, cluster_id, dist2, rank FROM ranked
+        |WHERE rank <= 10 ORDER BY vec_id""".stripMargin,
     "e_passage_dedup" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents

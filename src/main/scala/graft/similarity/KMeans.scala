@@ -121,6 +121,30 @@ object KMeans {
       .withColumn("kept", col("rep_id") === col("vec_id"))
   }
 
+  /** Cluster-balanced diversity sampling: at most `perCluster` members of
+    * each k-means cluster, ranked by squared distance to their centroid —
+    * `farthest = true` (default) keeps the most PERIPHERAL members (the
+    * diversity-preserving cut: every region of embedding space keeps its
+    * outliers, dense duplicated cores shrink), `false` keeps the most
+    * prototypical. Deterministic: rank on (rounded dist2, vec_id).
+    *
+    * Plan: one narrow lloyd assignment + ONE shuffle on cluster id for the
+    * per-cluster window — k bounded partitions, never a global sort. */
+  def diversitySample(vectors: DataFrame, idCol: String, vecCol: String,
+                      isInit: Column, iterations: Int, perCluster: Int,
+                      farthest: Boolean = true): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    val assigned = lloyd(vectors, idCol, vecCol, isInit, iterations)
+    val ord =
+      if (farthest) Seq(col("dist2").desc, col("vec_id").asc)
+      else Seq(col("dist2").asc, col("vec_id").asc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(ord: _*)
+    assigned
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= perCluster)
+  }
+
   /** Narrow argmin assignment: the whole centroid matrix rides along the
     * scan as one codegen reference (native NearestCentroid) — no join, no
     * exchange, no per-row struct array. */

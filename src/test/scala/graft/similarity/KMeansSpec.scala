@@ -91,6 +91,23 @@ class KMeansSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, true), (2L, true), (3L, false)), s"got ${got.toSeq}")
   }
 
+  test("diversitySample keeps the most peripheral members per cluster") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),   // cluster 1 center
+      (2L, Array(0.1f, 0.0f)),   // near core
+      (3L, Array(3.0f, 0.0f)),   // peripheral
+      (4L, Array(0.0f, 2.0f)),   // peripheral
+      (6L, Array(50.0f, 50.0f))  // cluster 2, alone
+    ).toDF("vec_id", "embedding")
+    val got = KMeans.diversitySample(df, "vec_id", "embedding",
+        isInit = col("vec_id").isin(1L, 6L), iterations = 1, perCluster = 2)
+      .orderBy("vec_id").collect().map(_.getLong(0)).toSeq
+    // cluster 1 keeps its two farthest-from-centroid members (3, 4); the
+    // core rows 1 and 2 drop; cluster 2's only member always survives
+    assert(got == Seq(3L, 4L, 6L), s"got $got")
+  }
+
   test("empty clusters drop out instead of producing NaN centroids") {
     import spark.implicits._
     // centroid 2 seeds far away and captures nobody after the update
