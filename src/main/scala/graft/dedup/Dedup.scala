@@ -61,7 +61,7 @@ object Dedup {
     * false!) — set it in the session builder of any long-lived session that
     * sets a checkpoint dir, or checkpoint directories accumulate for the
     * session's lifetime (the repo's own entrypoints set it). */
-  private def materializeAndRelease(result: DataFrame,
+  private[graft] def materializeAndRelease(result: DataFrame,
                                     intermediates: DataFrame*): DataFrame = {
     val out =
       if (!storeEnabled) result

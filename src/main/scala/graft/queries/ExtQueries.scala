@@ -49,7 +49,19 @@ object ExtQueries {
   /** Drop the memoized pair tables; their checkpointed blocks are reclaimed
     * by the ContextCleaner once unreferenced. For long-lived sessions that
     * move between scale factors. */
-  def releasePairsCache(): Unit = pairsCache.clear()
+  def releasePairsCache(): Unit = { pairsCache.clear(); kmeansCache.clear() }
+
+  // Three queries (kmeans summary, semantic dedup, diversity sample) derive
+  // from the same 2-round Lloyd assignment; memoize it MATERIALIZED per
+  // sfDir (n rows × (id, 64-dim v, cid, d2) — compact) so the Lloyd jobs
+  // and their driver-side centroid collects run once, not per query. Same
+  // lifecycle contract as pairsCache above.
+  private val kmeansCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def kmeansAssigned(s: SparkSession, d: String): DataFrame =
+    kmeansCache.getOrElseUpdate(d,
+      Dedup.materializeAndRelease(
+        graft.similarity.KMeans.assignments(Tables.embeddings(s, d), "vec_id",
+          "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2)))
 
   // ---------------- Spark side ----------------
 
@@ -320,25 +332,22 @@ object ExtQueries {
     * centroids seed from vec_id % 50 == 1 (10 clusters at sf0.01), the
     * clustering primitive for semantic dedup / diversity sampling. */
   def eKmeans(s: SparkSession, d: String): DataFrame =
-    graft.similarity.KMeans.lloyd(Tables.embeddings(s, d), "vec_id", "embedding",
-        isInit = col("vec_id") % 50 === 1, iterations = 2)
+    graft.similarity.KMeans.summarize(kmeansAssigned(s, d))
       .orderBy("vec_id")
 
   /** SemDeDup-style semantic dedup: k-means clusters as the candidate
     * buckets, exact within-cluster cosine >= 0.35 pairs, one representative
     * (min vec_id) per connected near-dup group. */
   def eSemanticDedup(s: SparkSession, d: String): DataFrame =
-    graft.similarity.KMeans.semanticDedup(Tables.embeddings(s, d), "vec_id",
-        "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2,
+    graft.similarity.KMeans.semanticDedupAssigned(kmeansAssigned(s, d),
         minCosine = 0.35)
       .orderBy("vec_id")
 
   /** Cluster-balanced diversity sample: the 10 most peripheral members of
     * each k-means cluster (dense duplicated cores shrink, outliers stay). */
   def eClusterSample(s: SparkSession, d: String): DataFrame =
-    graft.similarity.KMeans.diversitySample(Tables.embeddings(s, d), "vec_id",
-        "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2,
-        perCluster = 10)
+    graft.similarity.KMeans.diversitySampleSummarized(
+        graft.similarity.KMeans.summarize(kmeansAssigned(s, d)), perCluster = 10)
       .orderBy("vec_id")
 
   /** Passage-level exact dedup: repeated 10-token windows keep only their

@@ -43,14 +43,20 @@ object KMeans {
     * the final centroid, rounded to 6 decimals. */
   def lloyd(vectors: DataFrame, idCol: String, vecCol: String,
             isInit: Column, iterations: Int): DataFrame =
-    lloydAssign(vectors, idCol, vecCol, isInit, iterations)
-      .select(col("vec_id"), col("cid").as("cluster_id"),
-        round(col("d2"), 6).as("dist2"))
+    summarize(assignments(vectors, idCol, vecCol, isInit, iterations))
+
+  /** The rounded public view of a raw [[assignments]] frame:
+    * (vec_id, cluster_id, dist2). */
+  def summarize(assigned: DataFrame): DataFrame =
+    assigned.select(col("vec_id"), col("cid").as("cluster_id"),
+      round(col("d2"), 6).as("dist2"))
 
   /** The Lloyd rounds, keeping the double-cast vector column `v` on the
-    * assignment for downstream consumers (semanticDedup). */
-  private def lloydAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                          isInit: Column, iterations: Int): DataFrame = {
+    * assignment — (vec_id, v, cid, d2) — so downstream consumers
+    * (semanticDedup, a memoizing caller) can reuse one computed assignment
+    * across several derived queries. */
+  def assignments(vectors: DataFrame, idCol: String, vecCol: String,
+                  isInit: Column, iterations: Int): DataFrame = {
     require(iterations >= 1, "need at least one assignment pass")
     val toDouble = transform(col(vecCol), x => x.cast("double"))
     val base = vectors.select(col(idCol).cast("long").as("vec_id"),
@@ -100,8 +106,12 @@ object KMeans {
     * itself (the surviving corpus is `filter(col("kept"))`). */
   def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
                     isInit: Column, iterations: Int,
-                    minCosine: Double): DataFrame = {
-    val assigned = lloydAssign(vectors, idCol, vecCol, isInit, iterations)
+                    minCosine: Double): DataFrame =
+    semanticDedupAssigned(
+      assignments(vectors, idCol, vecCol, isInit, iterations), minCosine)
+
+  /** [[semanticDedup]] over a precomputed raw [[assignments]] frame. */
+  def semanticDedupAssigned(assigned: DataFrame, minCosine: Double): DataFrame = {
     val nrm = sqrt(VectorExpressions.vecDot(col("v"), col("v")))
     val members = assigned.select(col("vec_id"), col("v"), col("cid"),
       nrm.as("nrm"))
@@ -132,9 +142,14 @@ object KMeans {
     * per-cluster window — k bounded partitions, never a global sort. */
   def diversitySample(vectors: DataFrame, idCol: String, vecCol: String,
                       isInit: Column, iterations: Int, perCluster: Int,
-                      farthest: Boolean = true): DataFrame = {
+                      farthest: Boolean = true): DataFrame =
+    diversitySampleSummarized(
+      lloyd(vectors, idCol, vecCol, isInit, iterations), perCluster, farthest)
+
+  /** [[diversitySample]] over a precomputed [[lloyd]]/[[summarize]] frame. */
+  def diversitySampleSummarized(assigned: DataFrame, perCluster: Int,
+                                farthest: Boolean = true): DataFrame = {
     require(perCluster >= 1, "perCluster must be >= 1")
-    val assigned = lloyd(vectors, idCol, vecCol, isInit, iterations)
     val ord =
       if (farthest) Seq(col("dist2").desc, col("vec_id").asc)
       else Seq(col("dist2").asc, col("vec_id").asc)
