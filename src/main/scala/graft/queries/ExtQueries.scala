@@ -343,6 +343,17 @@ object ExtQueries {
         minCosine = 0.35)
       .orderBy("vec_id")
 
+  /** Best-5 documents per language by quality score — grouped top-k via the
+    * bounded map-side-combining Aggregator, not a full-window shuffle. */
+  def eTopQualityDocs(s: SparkSession, d: String): DataFrame =
+    graft.operators.GroupedTopK.topKPerKey(
+        Tables.documents(s, d)
+          .select(col("lang"), col("doc_id"),
+            TextAnalysis.qualityScore(col("text")).as("quality_score")),
+        keyCol = "lang", scoreCol = "quality_score", idCol = "doc_id", k = 5)
+      .withColumnRenamed("score", "quality_score")
+      .orderBy("lang", "rank")
+
   /** Cluster-balanced diversity sample: the 10 most peripheral members of
     * each k-means cluster (dense duplicated cores shrink, outliers stay). */
   def eClusterSample(s: SparkSession, d: String): DataFrame =
@@ -739,21 +750,36 @@ object ExtQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  private val qualityOracle = {
+  /** The quality-score formula as DuckDB SQL over a (documents ⋈ toks)
+    * row source — shared by the per-doc quality oracle and the grouped
+    * top-k oracle so the two cannot drift. */
+  private val qualityScoreSql = {
     val allStops = TextAnalysis.stopwords.values.flatten.toSeq.distinct
       .map(w => s"'$w'").mkString(", ")
+    s"""round(
+       |    least(length(text) / 500.0, 1.0) * 0.3
+       |    + (len(regexp_extract_all(text, '[a-zA-Z]')) / greatest(length(text), 1)) * 0.4
+       |    + least(len(list_filter(t, x -> x IN ($allStops))) * 4.0 / greatest(len(t), 1), 1.0) * 0.3,
+       |  6)""".stripMargin
+  }
+
+  private val qualityOracle =
     s"""WITH $toksCte
        |SELECT doc_id,
        |  CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(len(t) AS BIGINT) AS n_tokens,
-       |  round(
-       |    least(length(text) / 500.0, 1.0) * 0.3
-       |    + (len(regexp_extract_all(text, '[a-zA-Z]')) / greatest(length(text), 1)) * 0.4
-       |    + least(len(list_filter(t, x -> x IN ($allStops))) * 4.0 / greatest(len(t), 1), 1.0) * 0.3,
-       |  6) AS quality_score
+       |  $qualityScoreSql AS quality_score
        |FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)
        |ORDER BY doc_id""".stripMargin
-  }
+
+  private val topQualityDocsOracle =
+    s"""WITH $toksCte,
+       |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score
+       |  FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)),
+       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY lang
+       |    ORDER BY quality_score DESC, doc_id ASC) AS BIGINT) AS rank FROM q)
+       |SELECT lang, doc_id, quality_score, rank FROM r WHERE rank <= 5
+       |ORDER BY lang, rank""".stripMargin
 
   private val fingerprintOracle = {
     val powCase = TextAnalysis.FpPowers.zipWithIndex
@@ -803,6 +829,7 @@ object ExtQueries {
     "e_kmeans" -> (eKmeans _),
     "e_semantic_dedup" -> (eSemanticDedup _),
     "e_cluster_sample" -> (eClusterSample _),
+    "e_top_quality_docs" -> (eTopQualityDocs _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -827,6 +854,7 @@ object ExtQueries {
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
+    "e_top_quality_docs" -> topQualityDocsOracle,
     "e_cluster_sample" ->
       s"""WITH $kmeansCte,
         |scored AS (SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
