@@ -343,6 +343,55 @@ object ExtQueries {
         minCosine = 0.35)
       .orderBy("vec_id")
 
+  /** End-to-end corpus-curation funnel — the whole cleaning pipeline as ONE
+    * plan, reporting survivors after each stage:
+    *   1 raw → 2 benchmark held-out removed (doc_id % 97) → 3 quality
+    *   ≥ 0.55 → 4 exact dedup (min-id survivor per normalized content,
+    *   within the surviving set) → 5 MinHash near-dup removal (pair table
+    *   computed ONCE over the full corpus — the standard precomputed
+    *   artifact — higher id of each est ≥ 0.5 pair drops) → 6 benchmark
+    *   n-gram decontamination.
+    * All flags compute in one scan + three joins/windows, then a single
+    * aggregate + stack unpivot — the funnel costs one pass over the corpus
+    * plus the (memoized) pair table, not six. */
+  def eCurationFunnel(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val dupDrop = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_dup", lit(true))
+    val contaminated = graft.functions.CorpusFilters
+      .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W)
+      .select(col("doc_id")).withColumn("is_cont", lit(true))
+    val contentW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(trim(lower(col("text")))))
+    val c2 = col("doc_id") % 97 =!= 0
+    val c3 = c2 && TextAnalysis.qualityScore(col("text")) >= 0.55
+    val flagged = docs
+      .join(dupDrop, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .withColumn("c2", c2)
+      .withColumn("c3", c3)
+      .withColumn("c4", c3 &&
+        col("doc_id") === min(when(c3, col("doc_id"))).over(contentW))
+    val stages = flagged
+      .withColumn("c5", col("c4") && col("is_dup").isNull)
+      .withColumn("c6", col("c4") && col("is_dup").isNull && col("is_cont").isNull)
+    def surv(c: String) = sum(when(col(c), 1L)).cast("long")
+    stages.agg(count(lit(1)).as("n1"), surv("c2").as("n2"), surv("c3").as("n3"),
+        surv("c4").as("n4"), surv("c5").as("n5"), surv("c6").as("n6"))
+      .select(expr(
+        """stack(6,
+          |  CAST(1 AS BIGINT), 'raw', n1,
+          |  CAST(2 AS BIGINT), 'benchmark_removed', n2,
+          |  CAST(3 AS BIGINT), 'quality', n3,
+          |  CAST(4 AS BIGINT), 'exact_dedup', n4,
+          |  CAST(5 AS BIGINT), 'near_dup', n5,
+          |  CAST(6 AS BIGINT), 'decontaminated', n6) AS (stage, stage_name, n_docs)
+          |""".stripMargin))
+      .orderBy("stage")
+  }
+
   /** Best-5 documents per language by quality score — grouped top-k via the
     * bounded map-side-combining Aggregator, not a full-window shuffle. */
   def eTopQualityDocs(s: SparkSession, d: String): DataFrame =
@@ -772,6 +821,46 @@ object ExtQueries {
        |FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  private val curationFunnelOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |dupb AS (SELECT DISTINCT p.doc_b FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |  WHERE round(($matchSum) / $K.0, 6) >= 0.5),
+       |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
+       |bench AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0),
+       |cont AS (SELECT DISTINCT h.doc_id FROM hsh h JOIN bench b ON h.sh = b.sh
+       |  WHERE h.doc_id % 97 <> 0),
+       |q AS (SELECT doc_id, text, $qualityScoreSql AS qs
+       |  FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)),
+       |f AS (SELECT doc_id, (doc_id % 97 <> 0) AS c2,
+       |  (doc_id % 97 <> 0 AND qs >= 0.55) AS c3,
+       |  md5(trim(lower(text))) AS ch FROM q),
+       |ms AS (SELECT *, min(CASE WHEN c3 THEN doc_id END)
+       |    OVER (PARTITION BY ch) AS msv FROM f),
+       |g AS (SELECT doc_id, c2, c3, (c3 AND doc_id = msv) AS c4 FROM ms),
+       |h AS (SELECT g.*,
+       |  (c4 AND doc_id NOT IN (SELECT doc_b FROM dupb)) AS c5,
+       |  (c4 AND doc_id NOT IN (SELECT doc_b FROM dupb)
+       |      AND doc_id NOT IN (SELECT doc_id FROM cont)) AS c6 FROM g)
+       |SELECT CAST(1 AS BIGINT) AS stage, 'raw' AS stage_name,
+       |       (SELECT count(*) FROM documents) AS n_docs
+       |UNION ALL SELECT 2, 'benchmark_removed', (SELECT count(*) FROM h WHERE c2)
+       |UNION ALL SELECT 3, 'quality', (SELECT count(*) FROM h WHERE c3)
+       |UNION ALL SELECT 4, 'exact_dedup', (SELECT count(*) FROM h WHERE c4)
+       |UNION ALL SELECT 5, 'near_dup', (SELECT count(*) FROM h WHERE c5)
+       |UNION ALL SELECT 6, 'decontaminated', (SELECT count(*) FROM h WHERE c6)
+       |ORDER BY stage""".stripMargin
+  }
+
   private val topQualityDocsOracle =
     s"""WITH $toksCte,
        |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score
@@ -830,6 +919,7 @@ object ExtQueries {
     "e_semantic_dedup" -> (eSemanticDedup _),
     "e_cluster_sample" -> (eClusterSample _),
     "e_top_quality_docs" -> (eTopQualityDocs _),
+    "e_curation_funnel" -> (eCurationFunnel _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -855,6 +945,7 @@ object ExtQueries {
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_top_quality_docs" -> topQualityDocsOracle,
+    "e_curation_funnel" -> curationFunnelOracle,
     "e_cluster_sample" ->
       s"""WITH $kmeansCte,
         |scored AS (SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
