@@ -24,6 +24,27 @@ object CorpusProps extends Properties("graft.corpus") {
     })
   }
 
+  property("passageDedup: counts reconcile and kept passages are globally distinct") =
+    forAll(docsGen, Gen.choose(1, 4)) { (docsRaw, w) =>
+      import spark.implicits._
+      val docs = docsRaw.distinctBy(_._1).toDF("doc_id", "text")
+      val out = graft.dedup.Dedup.passageDedup(docs, "doc_id", "text", w)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // reference: chunk every doc, first (doc_id, pos) occurrence survives
+      val passages = docsRaw.distinctBy(_._1).sortBy(_._1).flatMap { case (id, t) =>
+        t.trim.split(" ", -1).grouped(w).zipWithIndex
+          .map { case (c, i) => (id, i, c.mkString(" ")) }
+      }
+      val survivors = passages.groupBy(_._3).values.map(_.minBy(p => (p._1, p._2))).toSet
+      out.forall { case (id, kept, nPass, nDrop) =>
+        val mine = passages.filter(_._1 == id)
+        val keptMine = mine.filter(survivors.contains).sortBy(_._2)
+        nPass == mine.length && nDrop == (mine.length - keptMine.length) &&
+          kept == keptMine.map(_._3).mkString(" ")
+      } && out.map(_._3).sum == passages.length
+    }
+
   property("packSequences: partitions the corpus; packs never overrun by more than the last doc") =
     forAll(docsGen, Gen.choose(2L, 12L)) { (docsRaw, budgetRaw) =>
       import spark.implicits._

@@ -35,7 +35,27 @@ object PureProps extends Properties("graft.pure") {
       }
     }
 
-  property("normalizeTableName: idempotent, removes all brackets") =
+  private val scoredItems =
+    Gen.listOf(Gen.zip(Gen.chooseNum(-5.0, 5.0), Gen.chooseNum(0L, 50L)))
+
+  property("TopKAgg: any reduce/merge split equals sort-take of the whole input") =
+    forAll(scoredItems, Gen.chooseNum(1, 8), Gen.chooseNum(0, 100)) { (items, k, cut) =>
+      val agg = new graft.operators.GroupedTopK.TopKAgg(k)
+      val want = items.sortBy { case (s, id) => (-s, id) }.take(k)
+      val sequential = items.foldLeft(agg.zero)(agg.reduce)
+      val (l, r) = items.splitAt(cut % (items.length + 1))
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+      sequential == want && merged == want
+    }
+
+  property("BloomDedup.sizeBits: power of two, >= 10 bits/key up to the cap") =
+    forAll(Gen.chooseNum(0L, 1L << 40)) { n =>
+      val bits = graft.dedup.BloomDedup.sizeBits(n)
+      val pow2 = (bits & (bits - 1)) == 0
+      pow2 && bits >= (1 << 16) &&
+        (bits >= 10L * n || bits == (1 << 27))
+    }
     forAll { (s: String) =>
       val n = AllowlistProjection.normalizeTableName(s)
       AllowlistProjection.normalizeTableName(n) == n &&
