@@ -49,7 +49,21 @@ object ExtQueries {
   /** Drop the memoized pair tables; their checkpointed blocks are reclaimed
     * by the ContextCleaner once unreferenced. For long-lived sessions that
     * move between scale factors. */
-  def releasePairsCache(): Unit = { pairsCache.clear(); kmeansCache.clear() }
+  def releasePairsCache(): Unit = {
+    pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
+  }
+
+  // The benchmark-decontamination hit table (doc_id, n_hits vs the held-out
+  // id % 97 == 0 set) feeds both e_decontam and the curation funnel;
+  // memoize it materialized per sfDir, same lifecycle as pairsCache.
+  private val decontamCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def decontamHits(s: SparkSession, d: String): DataFrame =
+    decontamCache.getOrElseUpdate(d, {
+      val docs = Tables.documents(s, d)
+      Dedup.materializeAndRelease(graft.functions.CorpusFilters
+        .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W))
+    })
 
   // Three queries (kmeans summary, semantic dedup, diversity sample) derive
   // from the same 2-round Lloyd assignment; memoize it MATERIALIZED per
@@ -265,13 +279,8 @@ object ExtQueries {
   /** Benchmark decontamination: every ~1% of doc_ids (id % 97 == 0) plays
     * the held-out eval set; the rest of the corpus is scanned for shared
     * distinct 3-shingles against its broadcast hash set. */
-  def eDecontam(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    graft.functions.CorpusFilters
-      .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W)
-      .orderBy("doc_id")
-  }
+  def eDecontam(s: SparkSession, d: String): DataFrame =
+    decontamHits(s, d).orderBy("doc_id")
 
   /** Sequence packing into 512-token training packs over 8 hash-shards. */
   def ePackSequences(s: SparkSession, d: String): DataFrame =
@@ -359,9 +368,7 @@ object ExtQueries {
     val dupDrop = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_dup", lit(true))
-    val contaminated = graft.functions.CorpusFilters
-      .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
-        docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W)
+    val contaminated = decontamHits(s, d)
       .select(col("doc_id")).withColumn("is_cont", lit(true))
     val contentW = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(trim(lower(col("text")))))
