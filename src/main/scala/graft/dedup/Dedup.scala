@@ -292,7 +292,15 @@ object Dedup {
     * it is the payload being kept), one groupBy doc_id to reassemble.
     * Work is ∝ corpus tokens, state ∝ distinct passages — both linear; at
     * 100 TB this is the same two-exchange profile as exact doc dedup, just
-    * at passage grain. */
+    * at passage grain.
+    *
+    * Skew: a VIRAL passage (billions of identical instances) concentrates
+    * its window partition in one task — the window analogue of a hot join
+    * key. If the corpus has such passages, pre-split them with a frequency
+    * cut (count per passage hash, handle the top slice separately — the
+    * `SkewJoin` salting recipe); the survivor among a viral passage's
+    * instances is decided by a plain min over (doc_id, pos), which salts
+    * cleanly because min is associative. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
                    passageTokens: Int = 10): DataFrame = {
     require(passageTokens >= 1, "passage width must be >= 1")

@@ -89,6 +89,24 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "t7 must partially aggregate map-side")
   }
 
+  test("e_passage_dedup: join-free — survivor choice is a window, reassembly an aggregate") {
+    val plan = executedPlan("e_passage_dedup")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"passage dedup must not join:\n$plan")
+  }
+
+  test("e_semantic_dedup and e_curation_funnel: no cartesian/nested-loop anywhere") {
+    for (q <- Seq("e_semantic_dedup", "e_curation_funnel")) {
+      val bad = collectWithSubqueries(executedPlan(q)) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$q must stay on equi-joins, found: $bad")
+    }
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {
