@@ -352,6 +352,21 @@ object ExtQueries {
         minCosine = 0.35)
       .orderBy("vec_id")
 
+  /** Corpus vocabulary: the 50 most frequent tokens with counts and ranks —
+    * one explode + map-side-combining count, then TakeOrdered for the
+    * bounded head (never a full sort of the vocabulary). */
+  def eVocabulary(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .orderBy("rank")
+
   /** End-to-end corpus-curation funnel — the whole cleaning pipeline as ONE
     * plan, reporting survivors after each stage:
     *   1 raw → 2 benchmark held-out removed (doc_id % 97) → 3 quality
@@ -927,6 +942,7 @@ object ExtQueries {
     "e_cluster_sample" -> (eClusterSample _),
     "e_top_quality_docs" -> (eTopQualityDocs _),
     "e_curation_funnel" -> (eCurationFunnel _),
+    "e_vocabulary" -> (eVocabulary _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -953,6 +969,12 @@ object ExtQueries {
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_top_quality_docs" -> topQualityDocsOracle,
     "e_curation_funnel" -> curationFunnelOracle,
+    "e_vocabulary" ->
+      """WITH v AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM v WHERE token <> '' GROUP BY token),
+        |r AS (SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
+        |SELECT token, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "e_cluster_sample" ->
       s"""WITH $kmeansCte,
         |scored AS (SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
