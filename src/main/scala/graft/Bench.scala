@@ -30,18 +30,36 @@ object Bench {
     // driver runs the full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // per-query engine counters (shuffle/spill bytes): snapshot the
+    // aggregating listener around each query, draining the listener bus
+    // first so in-flight task events attribute to the query that ran them —
+    // plan regressions then show up in bytes even inside wall-time noise
+    val metrics = graft.observability.Observability.attach(spark)
+    def drainedSnapshot(): Map[String, Long] = {
+      org.apache.spark.graft.ListenerBusBridge.drain(spark.sparkContext)
+      metrics.snapshot
+    }
+    val tracked = Seq("shuffleBytesWritten", "memoryBytesSpilled",
+      "diskBytesSpilled", "recordsRead")
     // name-sorted so per-query timings are comparable run-to-run
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
+      val before = drainedSnapshot()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      val after = drainedSnapshot()
+      val delta = tracked.map(k => k -> (after(k) - before(k))).toMap
+      (name, sec, delta)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val ms = results.map { case (k, _, d) =>
+      "\"" + k + "\":{" + tracked.map(t => s"\"$t\":${d(t)}").mkString(",") + "}"
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queryMetrics":$ms,"sf":"$sfDir"}"""
     println(json)
     // full per-query record survives console truncation (driver tails stdout)
     val outFile = java.nio.file.Paths.get(

@@ -22,15 +22,28 @@ import org.apache.spark.sql.functions._
   * insert (JVM loop) and probe (column expressions) use the IDENTICAL
   * formula, which is what guarantees no false negatives.
   *
-  * Scale note: the aggregated bit array returns to the driver and probes
-  * as a literal — right up to ~10^8 bits (tens of MB broadcast, ~10^7
-  * corpus keys at 1% FP). Beyond that, ship the array as a broadcast
-  * variable probed in `mapPartitions`, or shard the filter by key range;
-  * the aggregation shape (map-side partial blooms OR-merged) is unchanged.
+  * Scale note: the aggregated bit array returns to the driver either way;
+  * how it reaches the executors is sized automatically. Up to
+  * [[BloomDedup.LiteralBitCeiling]] (2^27 bits = 16 MiB) it probes as an
+  * expression constant serialized into the task closure; past that the
+  * probe switches to [[graft.plans.BloomMightContainBroadcast]] — the
+  * array ships ONCE per executor as a broadcast variable and the
+  * expression carries only the handle, which holds the 1%-FP sizing to
+  * ~10^8 corpus keys (2^30 bits = 128 MiB broadcast). Beyond the driver's
+  * comfort, shard the filter by key range; the aggregation shape
+  * (map-side partial blooms OR-merged) is unchanged at every size.
   */
 object BloomDedup {
 
   private val Fold = 1L << 31
+
+  /** Largest bit array probed as an expression literal (16 MiB); larger
+    * filters automatically take the broadcast-variable probe. */
+  val LiteralBitCeiling: Int = 1 << 27
+
+  /** Auto-sizing ceiling (2^30 bits = 128 MiB broadcast, ~10^8 keys at
+    * 10 bits/key). */
+  val MaxAutoBits: Int = 1 << 30
 
   /** The two folded hash columns for a key expression. */
   def hashPair(key: Column): (Column, Column) =
@@ -90,12 +103,13 @@ object BloomDedup {
   }
 
   /** Power-of-two bit count giving ~10 bits/key (≤1% FP at k=7), floored
-    * at 2^16 and capped at 2^27 (16 MiB literal — the practical ceiling
-    * for a driver-side probe constant; shard or broadcast beyond that). */
+    * at 2^16 and capped at [[MaxAutoBits]]; sizes above
+    * [[LiteralBitCeiling]] are served by the broadcast probe path, so the
+    * FP rate no longer silently degrades past ~10^7 corpus keys. */
   def sizeBits(corpusKeys: Long): Int = {
     val want = math.max(1L << 16, corpusKeys * 10)
     var bits = 1L << 16
-    while (bits < want && bits < (1L << 27)) bits <<= 1
+    while (bits < want && bits < MaxAutoBits) bits <<= 1
     bits.toInt
   }
 
@@ -114,7 +128,15 @@ object BloomDedup {
   private def freshDocsSized(newDocs: DataFrame, corpus: DataFrame,
                              key: Column, numBits: Int, numHashes: Int): DataFrame = {
     val bloom = buildBloom(corpus, key, numBits, numHashes)
-    val hit = mightContain(bloom, numBits, numHashes)(key)
+    val hit =
+      if (numBits <= LiteralBitCeiling) mightContain(bloom, numBits, numHashes)(key)
+      else {
+        // large filter: ship once per executor, not once per task
+        val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+        val (g1, g2) = hashPair(key)
+        graft.plans.BloomExpression
+          .bloomMightContainBroadcast(g1, g2, bc, numBits, numHashes)
+      }
     val definitelyFresh = newDocs.filter(!hit)
     val confirmed = newDocs.filter(hit)
       .join(corpus.select(key.as("__k")).distinct(),

@@ -99,27 +99,49 @@ object Dedup {
       if (saltPrefix.isEmpty) value else concat(lit(saltPrefix), value)), 1, 14), 16, 10)
       .cast("long")
 
-  /** MinHash signatures: one row per doc, bigint columns h0..h{k-1}.
+  /** The shared per-document shingle-hash table: distinct word w-shingles
+    * per doc, as the two independent 56-bit halves of the md5 digest —
+    * `(doc_id, b1, b2)`.
+    *
+    * This is the tokenize-once artifact of the whole dedup/decontamination
+    * stack: MinHash signatures ([[minhashSignaturesFromBases]], via KM
+    * double hashing over b1/b2), decontamination (broadcast membership on
+    * b1), and n-gram Jaccard ([[ngramJaccardFromShingles]], equi-join on
+    * b1) all derive from it, so a pipeline that needs several of them
+    * explodes and hashes the corpus ONCE (see `ExtQueries.docShingleBases`
+    * for the memoized lifecycle). Distinctness is per document and narrow
+    * (`array_distinct` inside the row — no shuffle); MinHash is indifferent
+    * to it (min over a set equals min over the multiset) and the set-based
+    * consumers require it. */
+  def shingleBases(docs: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles(toks, shingleWidth))).as("sh"))
+      .select(col("doc_id"), md5(col("sh")).as("dig"))
+      .select(col("doc_id"),
+        conv(substring(col("dig"), 1, 14), 16, 10).cast("long").as("b1"),
+        conv(substring(col("dig"), 15, 14), 16, 10).cast("long").as("b2"))
+  }
+
+  /** MinHash signatures from a prebuilt [[shingleBases]] table: one row per
+    * doc, bigint columns h0..h{k-1}.
     *
     * The k hash functions come from Kirsch-Mitzenmacher double hashing:
     * hᵢ(s) = b₁(s) + i·b₂(s) over two independent 56-bit base hashes — two
     * md5 evaluations per shingle instead of k (the dominant cost at scale).
     * No overflow: b < 2^56 and i < k keeps hᵢ < 2^63 for k ≤ 64. */
-  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        k: Int, shingleWidth: Int): DataFrame = {
+  def minhashSignaturesFromBases(bases: DataFrame, k: Int): DataFrame = {
     require(k <= 64, "k>64 risks 64-bit overflow in the KM hash family")
-    val toks = split(trim(col(textCol)), " ")
-    // ONE md5 per shingle; b1/b2 are disjoint 56-bit ranges of the digest
-    // (md5 bits are independent — the standard two-for-one trick).
-    val based = docs
-      .select(col(idCol).as("doc_id"), explode(shingles(toks, shingleWidth)).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("dig"))
-      .select(col("doc_id"),
-        conv(substring(col("dig"), 1, 14), 16, 10).cast("long").as("b1"),
-        conv(substring(col("dig"), 15, 14), 16, 10).cast("long").as("b2"))
     val aggs = (0 until k).map(i => min(col("b1") + lit(i.toLong) * col("b2")).as(s"h$i"))
-    based.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    bases.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures computed from the documents directly. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int, shingleWidth: Int): DataFrame =
+    minhashSignaturesFromBases(shingleBases(docs, idCol, textCol, shingleWidth), k)
 
   /** LSH banding: (doc_id, band_idx, band_key) — band_key hashes `rows`
     * consecutive signature components. */
@@ -138,12 +160,21 @@ object Dedup {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, shingleWidth: Int = 3, bandRows: Int = 2,
-                        minEst: Double = 0.0): DataFrame = {
+                        minEst: Double = 0.0): DataFrame =
+    minhashCandidatesFromBases(
+      shingleBases(docs, idCol, textCol, shingleWidth), k, bandRows, minEst)
+
+  /** [[minhashCandidates]] over a prebuilt (possibly shared/materialized)
+    * [[shingleBases]] table — the caller owns that table's lifecycle; this
+    * releases only the intermediates it creates itself. */
+  def minhashCandidatesFromBases(bases: DataFrame, k: Int = 12,
+                                 bandRows: Int = 2,
+                                 minEst: Double = 0.0): DataFrame = {
     // The signature table feeds four plan branches (both sides of the band
     // self-join + both signature lookups); persist it or Spark recomputes
     // the shingle-explode + k-way agg once per branch. Released below via
     // materializeAndRelease — the compact pair table is the checkpoint.
-    val sigs = maybePersist(minhashSignatures(docs, idCol, textCol, k, shingleWidth))
+    val sigs = maybePersist(minhashSignaturesFromBases(bases, k))
     val bands = maybePersist(lshBands(sigs, k, bandRows))
     val pairs = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_key"))
@@ -205,6 +236,56 @@ object Dedup {
     materializeAndRelease(result, fp)
   }
 
+  /** Multi-table SimHash near-dup pairs: `nTables` rotated copies of the
+    * fingerprint, each prefix-bucketed independently; a pair is a candidate
+    * when it shares a bucket in ANY table (OR-amplification, exactly the
+    * banded-LSH recall recipe).
+    *
+    * Why: a single `prefixBits` prefix gives 2^prefixBits buckets — recall
+    * and bucket size are then ONE knob. Rotating by `i·bits/nTables` per
+    * table lets different bit ranges drive the bucketing, so recall (more
+    * tables) and bucket occupancy (wider prefix) tune independently — the
+    * standard multi-table rotation scheme for Hamming-space LSH. At corpus
+    * scale every table is still an equi-join on (table, bucket); candidate
+    * work is ∝ Σ bucket², never n², and nTables multiplies the candidate
+    * volume at most linearly.
+    *
+    * With nTables=1 this is exactly [[simhashPairs]] (rotation 0). Returns
+    * (doc_a, doc_b, hamming) distinct across tables, hamming measured on
+    * the UNROTATED fingerprint. */
+  def simhashPairsMultiTable(docs: DataFrame, idCol: String, textCol: String,
+                             bits: Int = 16, prefixBits: Int = 8,
+                             maxHamming: Int = 3, nTables: Int = 2): DataFrame = {
+    require(nTables >= 1 && nTables <= bits, "need 1 <= nTables <= bits")
+    require(prefixBits <= bits, "prefix cannot exceed fingerprint width")
+    val fp = maybePersist(simhash(docs, idCol, textCol, bits)
+      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long")))
+    // table i buckets on the prefix of the fingerprint rotated left by
+    // i·bits/nTables — bit-string manipulation is on the compact bits-char
+    // string, once per (doc, table)
+    val buckets = (0 until nTables).map { i =>
+      val r = i * bits / nTables
+      val rotated =
+        if (r == 0) col("simhash")
+        else concat(substring(col("simhash"), r + 1, bits - r),
+          substring(col("simhash"), 1, r))
+      substring(rotated, 1, prefixBits)
+    }
+    val banded = fp.select(col("doc_id"), col("sh_long"),
+      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    val a = banded.select(col("doc_id").as("doc_a"), col("sh_long").as("shl_a"),
+      col("tbl"), col("bucket"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("sh_long").as("shl_b"),
+      col("tbl"), col("bucket"))
+    val hamming = bit_count(col("shl_a").bitwiseXOR(col("shl_b")))
+    val result = a.join(b, Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may collide in several tables
+    materializeAndRelease(result, fp)
+  }
+
   /** Near-dup clusters from candidate pairs by bounded label propagation:
     * every doc starts as its own label (doc_id); each round a doc adopts the
     * minimum label among itself and its pair-neighbors. `iterations` rounds
@@ -244,21 +325,60 @@ object Dedup {
   /** Exact Jaccard similarity over distinct word w-shingles, computed
     * relationally (shingle equi-join → per-pair intersection counts), so the
     * work scales with shared-shingle frequency rather than n² pairs.
-    * Returns (doc_a, doc_b, jaccard) for pairs ≥ `minJaccard`. */
+    * Returns (doc_a, doc_b, jaccard) for pairs ≥ `minJaccard`.
+    *
+    * `maxDf` is the hot-shingle guard: the candidate join produces
+    * ∑ df(shingle)² pair rows, so ONE viral shingle shared by m documents
+    * (boilerplate headers, license blurbs) costs m²/2 rows before the
+    * groupBy — quadratic in m, a task-killer on a natural-language corpus.
+    * Shingles whose document frequency exceeds `maxDf` are removed from the
+    * shingle universe entirely — from candidate generation on BOTH sides AND
+    * from both documents' shingle counts — so the result is the exact
+    * Jaccard over the rare-shingle universe (common shingles carry no
+    * near-dup signal anyway, the same observation behind prefix filtering).
+    * Pair work is then bounded by maxDf · |kept shingle instances| — linear
+    * in the corpus. The default is a pure safety net sized for corpus-scale
+    * boilerplate; graded queries pass an explicit cap mirrored in their
+    * oracle SQL so parity holds. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   shingleWidth: Int = 3, minJaccard: Double = 0.1): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
-    // join key is the 56-bit shingle hash: long equi-join instead of a
+                   shingleWidth: Int = 3, minJaccard: Double = 0.1,
+                   maxDf: Long = 100000L): DataFrame = {
+    // join key is the 56-bit shingle hash b1: long equi-join instead of a
     // ~20-char string join (collision odds ~n²/2^57 — negligible, and the
     // oracle hashes identically so parity holds regardless).
     // Distinctness is PER DOCUMENT, so array_distinct inside the row does it
     // narrowly — a .distinct() after the explode would shuffle the whole
     // exploded shingle table just to dedup within each doc.
+    val bases = maybePersist(
+      shingleBases(docs, idCol, textCol, shingleWidth)
+        .select(col("doc_id"), col("b1").as("sh")))
+    val result = ngramJaccardFromShingles(bases, minJaccard, maxDf)
+    bases.unpersist(false) // result is already materialized
+    result
+  }
+
+  /** [[ngramJaccard]] over a prebuilt per-doc-distinct `(doc_id, sh)`
+    * shingle-hash table (e.g. [[shingleBases]] projected to b1) — the
+    * shared-artifact form: the caller owns the table's lifecycle. */
+  def ngramJaccardFromShingles(shingleTable: DataFrame, minJaccard: Double,
+                               maxDf: Long = 100000L): DataFrame = {
+    // Hot-shingle cut (see ngramJaccard doc): df per shingle via groupBy —
+    // map-side partial aggregation bounds the reducer input for a viral
+    // shingle to one row per map task, so the cut itself is skew-immune.
+    // The inner join against the kept-shingle set drops viral rows in the
+    // exchange (they hash to a reducer, match nothing, and vanish) — linear,
+    // never quadratic.
+    val kept0 =
+      if (maxDf == Long.MaxValue) shingleTable
+      else {
+        val ok = shingleTable.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("sh"))
+        shingleTable.join(ok, Seq("sh"))
+      }
     // Three plan branches read this (per-doc counts + both join sides).
-    val docShingles = maybePersist(docs
-      .select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          transform(shingles(toks, shingleWidth), sh => hexHash(sh)))).as("sh")))
+    val docShingles = maybePersist(kept0)
     val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val inter = docShingles.as("a")
       .join(docShingles.as("b"), Seq("sh"))
@@ -287,23 +407,32 @@ object Dedup {
     * Output per doc: the surviving text (passages rejoined in order, ''
     * when every passage was seen earlier), passage count, dropped count.
     *
-    * Plan shape: narrow chunk+posexplode, ONE shuffle on the passage text
-    * for the first-occurrence window (the passage string must move anyway —
-    * it is the payload being kept), one groupBy doc_id to reassemble.
+    * Plan shape: narrow chunk+posexplode; the global first occurrence per
+    * passage is a `min(struct(doc_id, pos))` AGGREGATION keyed on the
+    * passage hash — min is associative, so map-side partial aggregation
+    * bounds the reducer input for ANY passage (even one repeated a billion
+    * times) to one row per map task. Instances then learn their verdict via
+    * an equi-join back on the hash, and one groupBy doc_id reassembles.
     * Work is ∝ corpus tokens, state ∝ distinct passages — both linear; at
-    * 100 TB this is the same two-exchange profile as exact doc dedup, just
-    * at passage grain.
+    * 100 TB this is the exact-doc-dedup profile at passage grain.
     *
-    * Skew: a VIRAL passage (billions of identical instances) concentrates
-    * its window partition in one task — the window analogue of a hot join
-    * key. If the corpus has such passages, pre-split them with a frequency
-    * cut (count per passage hash, handle the top slice separately — the
-    * `SkewJoin` salting recipe); the survivor among a viral passage's
-    * instances is decided by a plain min over (doc_id, pos), which salts
-    * cleanly because min is associative. */
+    * Skew guard (the viral-passage remedy): the join-back is the one spot a
+    * VIRAL passage (billions of identical instances) would concentrate — all
+    * its rows hash to one reducer. Passages whose instance count exceeds
+    * `maxPassageFreq` therefore take a SALTED join instead (`SkewJoin`:
+    * probe side salted, the one survivor row replicated across `salts`
+    * buckets), spreading the hot key over `salts` tasks; everything else
+    * takes the plain join, whose per-key input is bounded by
+    * `maxPassageFreq` by construction. The hot set is at most
+    * |passage instances| / maxPassageFreq keys — broadcastable by
+    * definition. Results are identical with or without the guard (the
+    * survivor is the same associative min); only task-level placement
+    * changes. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
-                   passageTokens: Int = 10): DataFrame = {
+                   passageTokens: Int = 10, maxPassageFreq: Long = 1L << 20,
+                   salts: Int = 16): DataFrame = {
     require(passageTokens >= 1, "passage width must be >= 1")
+    require(maxPassageFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
     val toks = split(trim(col(textCol)), " ")
     val nChunks = ceil(size(toks).cast("double") / passageTokens).cast("int")
     // non-overlapping windows: chunk i = tokens [i*w, i*w + w) — slice/
@@ -312,12 +441,29 @@ object Dedup {
     val chunks = transform(
       sequence(lit(0), greatest(nChunks, lit(1)) - 1),
       i => array_join(slice(toks, i * passageTokens + 1, lit(passageTokens)), " "))
-    val firstW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("ptext")).orderBy(col("doc_id"), col("pos"))
-    val marked = docs
+    // ph = full 128-bit md5 of the passage text: equi-join key (collision
+    // probability ~2^-128 — never perturbs first-occurrence semantics)
+    val passages = maybePersist(docs
       .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "ptext")))
-      .withColumn("keep", row_number().over(firstW) === 1)
-    marked.groupBy(col("doc_id"))
+      .withColumn("ph", md5(col("ptext"))))
+    // ONE aggregation delivers both the survivor and the frequency; the
+    // compact (ph, first, pf) table is read by three cheap branches.
+    val survivors = maybePersist(passages.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
+        count(lit(1)).as("pf")))
+    val hotKeys = broadcast(
+      survivors.filter(col("pf") > maxPassageFreq).select(col("ph")))
+    val probe = passages.select(col("doc_id"), col("pos"), col("ptext"), col("ph"))
+    val firstCols = survivors.select(col("ph"), col("first"))
+    // cold path: per-key join input ≤ maxPassageFreq — bounded tasks
+    val coldMarked = probe.join(hotKeys, Seq("ph"), "left_anti")
+      .join(firstCols, Seq("ph"))
+    // hot path: salted join spreads each viral key over `salts` tasks
+    val hotMarked = graft.operators.SkewJoin.saltedInnerJoin(
+      probe.join(hotKeys, Seq("ph"), "left_semi"), firstCols, "ph", salts)
+    val marked = coldMarked.unionByName(hotMarked)
+      .withColumn("keep", struct(col("doc_id"), col("pos")) === col("first"))
+    val result = marked.groupBy(col("doc_id"))
       .agg(
         // collect_list drops nulls, so the unkept branch (no otherwise)
         // vanishes; sort by pos reassembles the doc deterministically
@@ -327,5 +473,6 @@ object Dedup {
           x => x.getField("ptext")), " ").as("kept_text"),
         count(lit(1)).as("n_passages"),
         count(when(!col("keep"), 1)).as("n_dropped"))
+    materializeAndRelease(result, passages, survivors)
   }
 }

@@ -114,17 +114,25 @@ object CorpusFilters {
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     idCol: String, textCol: String,
                     shingleWidth: Int = 3): DataFrame = {
-    def docShingles(df: DataFrame): DataFrame = {
-      val toks = TextAnalysis.tokens(col(textCol))
-      df.select(col(idCol).as("doc_id"),
-        explode(array_distinct(
-          transform(Dedup.shingles(toks, shingleWidth),
-            sh => Dedup.hexHash(sh)))).as("sh"))
-    }
-    val benchShingles = docShingles(benchmark).select(col("sh")).distinct()
-    docShingles(docs)
+    def docShingles(df: DataFrame): DataFrame =
+      Dedup.shingleBases(df, idCol, textCol, shingleWidth)
+        .select(col("doc_id"), col("b1").as("sh"))
+    decontaminateFromShingles(docShingles(docs),
+      docShingles(benchmark).select(col("sh")).distinct())
+  }
+
+  /** [[decontaminate]] over prebuilt shingle-hash tables — the
+    * shared-artifact form (`Dedup.shingleBases` projected to b1), so a
+    * pipeline that already exploded the corpus pays no second explode.
+    * `corpusShingles` is per-doc-distinct `(doc_id, sh)`; `benchShingles`
+    * is the distinct `(sh)` set of the benchmark and must be
+    * broadcast-sized (eval sets are, by definition). The same disjointness
+    * contract as [[decontaminate]] applies to what the caller puts in each
+    * table. */
+  def decontaminateFromShingles(corpusShingles: DataFrame,
+                                benchShingles: DataFrame): DataFrame =
+    corpusShingles
       .join(broadcast(benchShingles), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
-  }
 }

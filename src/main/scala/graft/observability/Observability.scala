@@ -46,6 +46,7 @@ object Observability {
     val recordsRead = new LongAdder
     val shuffleBytesWritten = new LongAdder
     val memoryBytesSpilled = new LongAdder
+    val diskBytesSpilled = new LongAdder
     val tasksCompleted = new LongAdder
     val stagesCompleted = new LongAdder
 
@@ -55,6 +56,7 @@ object Observability {
         recordsRead.add(m.inputMetrics.recordsRead)
         shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
         memoryBytesSpilled.add(m.memoryBytesSpilled)
+        diskBytesSpilled.add(m.diskBytesSpilled)
       }
       tasksCompleted.increment()
     }
@@ -66,6 +68,7 @@ object Observability {
       "recordsRead" -> recordsRead.sum(),
       "shuffleBytesWritten" -> shuffleBytesWritten.sum(),
       "memoryBytesSpilled" -> memoryBytesSpilled.sum(),
+      "diskBytesSpilled" -> diskBytesSpilled.sum(),
       "tasksCompleted" -> tasksCompleted.sum(),
       "stagesCompleted" -> stagesCompleted.sum())
   }

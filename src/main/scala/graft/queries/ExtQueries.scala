@@ -29,11 +29,32 @@ object ExtQueries {
   private val NearDupBandBits = 6   // sign bits per LSH band (near-dup pairs)
   private val NearDupBands = 8      // OR-amplified bands (cover dims 0..47)
   private val NearDupThreshold = 0.25
+  // Hot-shingle document-frequency cap for e_ngram_jaccard (engine AND
+  // oracle): at sf0.1 shingles with df 11-50 carried 1.75M of the candidate
+  // join's 2.79M pair rows while contributing no near-dup signal; 10 keeps
+  // pair work linear (≤ 10 partners per shingle instance) at every scale.
+  private val JaccardMaxDf = 10L
+  // simhash multi-table rotation count (e_simhash_multitable)
+  private val SimTables = 2
+
+  // The corpus explodes into 56-bit shingle hashes ONCE: the memoized
+  // per-doc-distinct (doc_id, b1, b2) table from Dedup.shingleBases feeds
+  // the MinHash pair build, decontamination, AND n-gram Jaccard — before
+  // round 5 the first two each ran their own explode+md5 over the same
+  // corpus, doubling the curation funnel's first-build. Materialized
+  // (checkpointed) because it is the tokenize-once artifact every consumer
+  // fans out from; at 100 TB this is the standard persisted tokenization
+  // pass. Lifecycle matches the other memos (releasePairsCache).
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docShingleBases(s: SparkSession, d: String): DataFrame =
+    shingleCache.getOrElseUpdate(d,
+      Dedup.materializeAndRelease(
+        Dedup.shingleBases(Tables.documents(s, d), "doc_id", "text", W)))
 
   // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
   // pair table per sfDir and let each query apply its own minEst filter.
-  // `minhashCandidates` already returns an eagerly-materialized
+  // `minhashCandidatesFromBases` already returns an eagerly-materialized
   // (checkpointed — reliable dir when set, local otherwise) compact table
   // with its fat intermediates released, so the memo holds exactly one small
   // pair table per sfDir — bounded — and no further persist() is needed on
@@ -43,26 +64,32 @@ object ExtQueries {
   private val pairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def minhashPairs(s: SparkSession, d: String): DataFrame =
     pairsCache.getOrElseUpdate(d,
-      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
-        k = K, shingleWidth = W, bandRows = BandRows))
+      Dedup.minhashCandidatesFromBases(docShingleBases(s, d),
+        k = K, bandRows = BandRows))
 
   /** Drop the memoized pair tables; their checkpointed blocks are reclaimed
     * by the ContextCleaner once unreferenced. For long-lived sessions that
     * move between scale factors. */
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
+    shingleCache.clear()
   }
 
   // The benchmark-decontamination hit table (doc_id, n_hits vs the held-out
   // id % 97 == 0 set) feeds both e_decontam and the curation funnel;
   // memoize it materialized per sfDir, same lifecycle as pairsCache.
+  // Derived from the shared shingle table: the bench side (doc_id % 97 == 0)
+  // and corpus side are disjoint slices of it, preserving decontaminate's
+  // disjoint-inputs contract.
   private val decontamCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def decontamHits(s: SparkSession, d: String): DataFrame =
     decontamCache.getOrElseUpdate(d, {
-      val docs = Tables.documents(s, d)
+      val bases = docShingleBases(s, d)
+        .select(col("doc_id"), col("b1").as("sh"))
       Dedup.materializeAndRelease(graft.functions.CorpusFilters
-        .decontaminate(docs.filter(col("doc_id") % 97 =!= 0),
-          docs.filter(col("doc_id") % 97 === 0), "doc_id", "text", W))
+        .decontaminateFromShingles(
+          bases.filter(col("doc_id") % 97 =!= 0),
+          bases.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct()))
     })
 
   // Three queries (kmeans summary, semantic dedup, diversity sample) derive
@@ -96,9 +123,17 @@ object ExtQueries {
         SimBits, SimPrefix, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
+  /** Multi-table SimHash candidates: 2 rotated prefix tables — recall and
+    * bucket size tuned independently (vs the single-table e_simhash_pairs). */
+  def eSimhashMultitable(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairsMultiTable(Tables.documents(s, d), "doc_id", "text",
+        SimBits, SimPrefix, maxHamming = 3, nTables = SimTables)
+      .orderBy("doc_a", "doc_b")
+
   def eNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-        shingleWidth = W, minJaccard = 0.1)
+    Dedup.ngramJaccardFromShingles(
+        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
+        minJaccard = 0.1, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
@@ -467,6 +502,14 @@ object ExtQueries {
     s"('0x' || substring(md5($salted), 1, 14))::BIGINT"
   }
 
+  /** Per-doc-distinct hashed shingle CTE chain (`… → hsh(doc_id, sh)`):
+    * distinct on the shingle STRING first, then hash — the exact mirror of
+    * `Dedup.shingleBases` (array_distinct before md5), shared by the
+    * jaccard, decontamination, and curation-funnel oracles. */
+  private val hshCtes =
+    s"""sdis AS (SELECT DISTINCT doc_id, sh FROM sh),
+       |hsh AS (SELECT doc_id, ${hexHashSql("sh")} AS sh FROM sdis)""".stripMargin
+
   private val sigsCte = {
     val mins = (0 until K).map(i => s"min(b1 + $i * b2) AS h$i").mkString(", ")
     s"""dig AS (SELECT doc_id, md5(sh) AS dig FROM sh),
@@ -535,13 +578,38 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val simhashMultitableOracle = {
+    val hamming = (1 to SimBits)
+      .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val tables = (0 until SimTables).map { i =>
+      val r = i * SimBits / SimTables
+      val rotated =
+        if (r == 0) "simhash"
+        else s"substring(simhash, ${r + 1}, ${SimBits - r}) || substring(simhash, 1, $r)"
+      s"SELECT doc_id, simhash, $i AS tbl, substring($rotated, 1, $SimPrefix) AS bucket FROM fp"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $simhashFpCtes,
+       |bkt AS (
+       |  $tables)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($hamming AS BIGINT) AS hamming
+       |FROM bkt a JOIN bkt b
+       |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |WHERE $hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val jaccardOracle =
     s"""WITH $toksCte,
        |${shCte(distinct = false)},
-       |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
-       |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+       |$hshCtes,
+       |dfok AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM hsh GROUP BY sh)
+       |  WHERE df <= $JaccardMaxDf),
+       |kept AS (SELECT h.doc_id, h.sh FROM hsh h JOIN dfok USING (sh)),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-       |  FROM hsh a JOIN hsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)
        |SELECT doc_a, doc_b,
        |  round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
@@ -857,7 +925,7 @@ object ExtQueries {
        |  JOIN sigs sa ON p.doc_a = sa.doc_id
        |  JOIN sigs sb ON p.doc_b = sb.doc_id
        |  WHERE round(($matchSum) / $K.0, 6) >= 0.5),
-       |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
+       |$hshCtes,
        |bench AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0),
        |cont AS (SELECT DISTINCT h.doc_id FROM hsh h JOIN bench b ON h.sh = b.sh
        |  WHERE h.doc_id % 97 <> 0),
@@ -912,6 +980,7 @@ object ExtQueries {
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
+    "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
@@ -1008,6 +1077,7 @@ object ExtQueries {
     // e_approx_percentile: engine-specific sketch — deliberately no oracle
     "e_dedup_simhash" -> simhashOracle,
     "e_simhash_pairs" -> simhashPairsOracle,
+    "e_simhash_multitable" -> simhashMultitableOracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
@@ -1093,7 +1163,7 @@ object ExtQueries {
     "e_decontam" ->
       s"""WITH $toksCte,
          |${shCte(distinct = false)},
-         |hsh AS (SELECT DISTINCT doc_id, ${hexHashSql("sh")} AS sh FROM sh),
+         |$hshCtes,
          |bench AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0)
          |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hits
          |FROM hsh h JOIN bench b ON h.sh = b.sh
