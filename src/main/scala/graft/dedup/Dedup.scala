@@ -431,6 +431,18 @@ object Dedup {
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
                    passageTokens: Int = 10, maxPassageFreq: Long = 1L << 20,
                    salts: Int = 16): DataFrame = {
+    val (result, intermediates) =
+      passageDedupPlan(docs, idCol, textCol, passageTokens, maxPassageFreq, salts)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** The lazy (un-checkpointed) [[passageDedup]] plan plus the persisted
+    * intermediates it rides on — split out so plan-shape tests can assert
+    * on the real physical plan (a checkpointed result scans the checkpoint
+    * and hides it). */
+  private[graft] def passageDedupPlan(docs: DataFrame, idCol: String, textCol: String,
+                                      passageTokens: Int, maxPassageFreq: Long,
+                                      salts: Int): (DataFrame, Seq[DataFrame]) = {
     require(passageTokens >= 1, "passage width must be >= 1")
     require(maxPassageFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
     val toks = split(trim(col(textCol)), " ")
@@ -451,16 +463,18 @@ object Dedup {
     val survivors = maybePersist(passages.groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
         count(lit(1)).as("pf")))
-    val hotKeys = broadcast(
-      survivors.filter(col("pf") > maxPassageFreq).select(col("ph")))
+    // the hot slice: ≤ |passage instances| / maxPassageFreq keys — tiny
+    val hotFirst = survivors.filter(col("pf") > maxPassageFreq)
+      .select(col("ph"), col("first"))
+    val hotKeys = broadcast(hotFirst.select(col("ph")))
     val probe = passages.select(col("doc_id"), col("pos"), col("ptext"), col("ph"))
-    val firstCols = survivors.select(col("ph"), col("first"))
     // cold path: per-key join input ≤ maxPassageFreq — bounded tasks
     val coldMarked = probe.join(hotKeys, Seq("ph"), "left_anti")
-      .join(firstCols, Seq("ph"))
-    // hot path: salted join spreads each viral key over `salts` tasks
+      .join(survivors.select(col("ph"), col("first")), Seq("ph"))
+    // hot path: salted join spreads each viral key over `salts` tasks; only
+    // the HOT survivor rows replicate across the salt domain
     val hotMarked = graft.operators.SkewJoin.saltedInnerJoin(
-      probe.join(hotKeys, Seq("ph"), "left_semi"), firstCols, "ph", salts)
+      probe.join(hotKeys, Seq("ph"), "left_semi"), hotFirst, "ph", salts)
     val marked = coldMarked.unionByName(hotMarked)
       .withColumn("keep", struct(col("doc_id"), col("pos")) === col("first"))
     val result = marked.groupBy(col("doc_id"))
@@ -473,6 +487,6 @@ object Dedup {
           x => x.getField("ptext")), " ").as("kept_text"),
         count(lit(1)).as("n_passages"),
         count(when(!col("keep"), 1)).as("n_dropped"))
-    materializeAndRelease(result, passages, survivors)
+    (result, Seq(passages, survivors))
   }
 }

@@ -92,6 +92,46 @@ class BloomDedupSpec extends SparkSpec {
     }
   }
 
+  test("broadcast probe path (numBits > literal ceiling) equals the anti-join") {
+    import spark.implicits._
+    val corpus = (1 to 500).map(i => (i.toLong, s"doc ${i % 300}")).toDF("id", "text")
+    val fresh = (1 to 200).map(i => (1000L + i, s"doc ${i + 200}")).toDF("id", "text")
+    // 2^27 + 2^20 bits forces the Broadcast[Array[Long]] expression route
+    val bigBits = (1 << 27) + (1 << 20)
+    assert(bigBits > BloomDedup.LiteralBitCeiling)
+    val got = BloomDedup.freshDocs(fresh, corpus, col("text"), numBits = bigBits)
+      .select("id").as[Long].collect().toSet
+    val want = fresh.join(corpus.select(col("text")).distinct(), Seq("text"), "left_anti")
+      .select("id").as[Long].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("broadcast probe: no false negatives, codegen and interpreted agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val numBits = (1 << 27) + 64
+    val corpus = keys(1 to 500)
+    val bloom = BloomDedup.buildBloom(corpus, col("text"), numBits, 7)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val misses = corpus.filter(!{
+      val (g1, g2) = BloomDedup.hashPair(col("text"))
+      graft.plans.BloomExpression.bloomMightContainBroadcast(g1, g2, bc, numBits, 7)
+    }).count()
+    assert(misses == 0L, "broadcast probe must never reject an inserted key")
+    val (g1c, g2c) = BloomDedup.hashPair(lit("content number 42"))
+    val row = corpus.limit(1).select(g1c.as("g1"), g2c.as("g2")).head()
+    val interpreted = graft.plans.BloomMightContainBroadcast(
+      Literal(row.getLong(0)), Literal(row.getLong(1)), bc, numBits, 7).eval(null)
+    assert(interpreted == true, "interpreted broadcast probe must hit")
+  }
+
+  test("sizeBits extends past the literal ceiling instead of silently capping") {
+    // ~3*10^7 keys want 2^28+ bits; pre-round-5 this capped at 2^27 and the
+    // FP rate quietly degraded — now it sizes on and routes via broadcast
+    assert(BloomDedup.sizeBits(30L * 1000 * 1000) > BloomDedup.LiteralBitCeiling)
+    assert(BloomDedup.sizeBits(30L * 1000 * 1000) <= BloomDedup.MaxAutoBits)
+    assert(BloomDedup.sizeBits(100L) == 1 << 16, "floor unchanged")
+  }
+
   test("only the might-contain branch joins") {
     val corpus = keys(1 to 100)
     val fresh = keys(50 to 150)

@@ -107,6 +107,65 @@ class DedupSpec extends SparkSpec {
     assert(got.getString(1) == "a b" && got.getLong(3) == 1L)
   }
 
+  test("ngram jaccard maxDf: a viral shingle is cut from pairs AND counts") {
+    import spark.implicits._
+    // 40 docs all share the boilerplate head "x y z" (df=40 ≫ cap); each
+    // doc's tail is unique except docs 100/101, which share their tails.
+    // Uncapped, boilerplate alone creates 40·39/2 candidate pairs; capped,
+    // the only surviving pair is the genuinely-near-dup tail pair.
+    val viral = (100L until 140L).map { i =>
+      val tail = if (i <= 101L) "same tail here friend" else s"tail $i v${i * 7} w${i * 13}"
+      (i, s"x y z $tail")
+    }.toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(viral, "doc_id", "text",
+        shingleWidth = 3, minJaccard = 0.05, maxDf = 5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(capped.map(p => (p._1, p._2)).toSet == Set((100L, 101L)),
+      s"only the tail pair may survive the cap: ${capped.mkString(",")}")
+    // denominators must count KEPT shingles only: both docs have 5 shingles,
+    // the viral "x y z" cut on each side -> 4 shared of 4 kept = 1.0
+    assert(capped.head._3 == 1.0, s"capped jaccard over kept universe: ${capped.head}")
+    // and the uncapped run on the same corpus keeps the boilerplate pairs
+    val uncapped = Dedup.ngramJaccard(viral, "doc_id", "text",
+      shingleWidth = 3, minJaccard = 0.05).count()
+    assert(uncapped > 100L, s"uncapped viral corpus must pair broadly: $uncapped")
+  }
+
+  test("passageDedup viral guard: salted hot path returns identical results") {
+    import spark.implicits._
+    // one passage repeated across many docs (the viral case) + unique tails
+    val viral = (0L until 200L).map { i =>
+      (i, s"common viral passage here unique $i tail ${i * 3}")
+    }.toDF("doc_id", "text")
+    def run(maxFreq: Long) = Dedup.passageDedup(viral, "doc_id", "text",
+        passageTokens = 5, maxPassageFreq = maxFreq, salts = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    // threshold 10 routes the 200-instance passage through the salted join;
+    // threshold 2^20 keeps everything on the plain path — results must match
+    assert(run(10L) == run(1L << 20),
+      "the skew guard may move work between tasks, never change the result")
+    // and the semantics stand: doc 0 keeps everything, every later doc drops
+    // exactly its viral first window
+    val r = run(10L)
+    assert(r.head(1) == "common viral passage here unique 0 tail 0")
+    assert(r(5)(3) == 1L, s"doc 5 must drop its viral passage: ${r(5)}")
+  }
+
+  test("simhash multi-table: nTables=1 equals simhashPairs; more tables only add") {
+    import spark.implicits._
+    val corpus = (1L to 60L).map { i =>
+      (i, s"token${i % 7} alpha beta${i % 11} gamma delta${i % 5} epsilon zeta${i % 3}")
+    }.toDF("doc_id", "text")
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val single = pairSet(Dedup.simhashPairs(corpus, "doc_id", "text", 16, 8, 3))
+    val multi1 = pairSet(Dedup.simhashPairsMultiTable(corpus, "doc_id", "text", 16, 8, 3, nTables = 1))
+    assert(multi1 == single, "one rotation table must reproduce the single-table pairs")
+    val multi2 = pairSet(Dedup.simhashPairsMultiTable(corpus, "doc_id", "text", 16, 8, 3, nTables = 2))
+    assert(single.subsetOf(multi2),
+      "extra tables may only ADD candidates (OR-amplification recall)")
+  }
+
   test("candidate generators release their persisted intermediates (no cache leak)") {
     // Regression guard: each generator persists fat intermediates (signature/
     // band/shingle/fingerprint tables) and must release them once the compact
@@ -117,7 +176,9 @@ class DedupSpec extends SparkSpec {
     val results = Seq(
       Dedup.minhashCandidates(docs, "doc_id", "text"),
       Dedup.simhashPairs(docs, "doc_id", "text"),
-      Dedup.ngramJaccard(docs, "doc_id", "text"))
+      Dedup.simhashPairsMultiTable(docs, "doc_id", "text"),
+      Dedup.ngramJaccard(docs, "doc_id", "text"),
+      Dedup.passageDedup(docs, "doc_id", "text"))
     results.foreach(_.count())
     val after = cachedCount
     assert(after - before <= results.size,

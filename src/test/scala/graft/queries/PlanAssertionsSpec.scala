@@ -89,12 +89,39 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "t7 must partially aggregate map-side")
   }
 
-  test("e_passage_dedup: join-free — survivor choice is a window, reassembly an aggregate") {
-    val plan = executedPlan("e_passage_dedup")
-    val joins = collectWithSubqueries(plan) {
-      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+  test("passage dedup: survivor min aggregates PARTIALLY; equi-joins only") {
+    // assert on the un-checkpointed plan (the graded query materializes its
+    // result, which would scan the checkpoint and hide the shape)
+    val docs = graft.Tables.documents(spark, d)
+    val (result, inter) = graft.dedup.Dedup.passageDedupPlan(
+      docs, "doc_id", "text", 10, 1L << 20, 16)
+    result.count() // finalize AQE
+    val plan = result.queryExecution.executedPlan
+    // the survivor choice must be the associative min AGGREGATION (map-side
+    // combined — skew-immune for any passage frequency), never a sorted
+    // row_number window over the passage partition
+    assert(plan.toString.contains("partial_min"),
+      s"survivor min must combine map-side:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    assert(joins.isEmpty, s"passage dedup must not join:\n$plan")
+    assert(windows.isEmpty, s"passage dedup must not window:\n$plan")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"passage join-back must stay equi, found: $bad")
+    inter.foreach(_.unpersist(false))
+  }
+
+  test("e_ngram_jaccard and e_simhash_multitable: no cartesian/nested-loop") {
+    for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable")) {
+      val bad = collectWithSubqueries(executedPlan(q)) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$q must stay on equi-joins, found: $bad")
+    }
   }
 
   test("e_semantic_dedup and e_curation_funnel: no cartesian/nested-loop anywhere") {
