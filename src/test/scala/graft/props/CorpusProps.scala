@@ -45,6 +45,47 @@ object CorpusProps extends Properties("graft.corpus") {
       } && out.map(_._3).sum == passages.length
     }
 
+  property("passageDedup viral guard: salted hot path preserves results on ANY corpus") =
+    forAll(docsGen, Gen.choose(1, 3)) { (docsRaw, w) =>
+      import spark.implicits._
+      val docs = docsRaw.distinctBy(_._1).toDF("doc_id", "text")
+      def run(maxFreq: Long) =
+        graft.dedup.Dedup.passageDedup(docs, "doc_id", "text", w,
+            maxPassageFreq = maxFreq, salts = 3)
+          .collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+          .sortBy(_._1).toSeq
+      // maxPassageFreq=1 routes EVERY repeated passage through the salted
+      // join; the guard may only move work between tasks, never change rows
+      run(1L) == run(Long.MaxValue >> 1)
+    }
+
+  property("ngramJaccard maxDf equals the capped brute-force reference") =
+    forAll(docsGen, Gen.choose(1L, 5L)) { (docsRaw, cap) =>
+      import spark.implicits._
+      val docs = docsRaw.distinctBy(_._1)
+      val got = graft.dedup.Dedup.ngramJaccard(docs.toDF("doc_id", "text"),
+          "doc_id", "text", shingleWidth = 3, minJaccard = 0.0, maxDf = cap)
+        .select("doc_a", "doc_b", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      // reference: per-doc distinct 3-shingles (floor at one truncated
+      // shingle), drop shingles in more than `cap` docs, exact Jaccard
+      def shingleSet(t: String): Set[String] = {
+        val toks = t.trim.split(" ", -1).toSeq
+        if (toks.length >= 3) toks.sliding(3).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }
+      val sets = docs.map { case (id, t) => id -> shingleSet(t) }
+      val df = sets.flatMap(_._2).groupBy(identity).view.mapValues(_.size)
+      val kept = sets.map { case (id, s) => id -> s.filter(df(_) <= cap) }
+      val want = (for {
+        (a, sa) <- kept; (b, sb) <- kept if a < b
+        inter = (sa & sb).size if inter > 0
+      } yield (a, b, BigDecimal(inter.toDouble / (sa.size + sb.size - inter))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      got == want
+    }
+
   property("packSequences: partitions the corpus; packs never overrun by more than the last doc") =
     forAll(docsGen, Gen.choose(2L, 12L)) { (docsRaw, budgetRaw) =>
       import spark.implicits._
