@@ -40,9 +40,11 @@ object TextAnalysis {
   def stopwordHits(toks: Column, lang: String): Column =
     size(array_intersect_keepdups(toks, stopwords(lang)))
 
-  // array_intersect dedups; we want hit counts, so filter instead.
+  // array_intersect dedups; we want hit counts, so filter instead. `isin`
+  // plans an InSet membership probe — one array pass, O(1) per token —
+  // where an OR-chain / per-word fold re-scans the array per word.
   private def array_intersect_keepdups(toks: Column, words: Seq[String]): Column =
-    filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _))
+    filter(toks, t => t.isin(words: _*))
 
   /** Language ID: argmax of stopword hit rate; deterministic alphabetical
     * tie-break; "und" (undetermined) when no stopwords hit at all. */
@@ -65,8 +67,11 @@ object TextAnalysis {
     val toks = tokens(text)
     val nToks = size(toks).cast("double")
     val alpha = regexp_count(text, lit("[a-zA-Z]")).cast("double")
-    val stopHits = stopwords.values.flatten.toSeq.distinct
-      .foldLeft(lit(0): Column)((acc, w) => acc + size(filter(toks, t => t === lit(w))))
+    // one membership pass over the token array (a token equals at most one
+    // stopword, so this equals the per-word count sum — and it is exactly
+    // the oracle's `list_filter(t, x -> x IN (...))` shape)
+    val allStops = stopwords.values.flatten.toSeq.distinct
+    val stopHits = size(filter(toks, t => t.isin(allStops: _*)))
     val lenScore = least(nChars / 500.0, lit(1.0))
     val alphaRatio = alpha / greatest(nChars, lit(1.0))
     val stopRatio = least(stopHits.cast("double") * 4.0 / greatest(nToks, lit(1.0)), lit(1.0))
