@@ -114,6 +114,22 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     inter.foreach(_.unpersist(false))
   }
 
+  test("decontamination: the benchmark shingle set joins BROADCAST") {
+    // the corpus side must never shuffle for the contamination probe — the
+    // tiny eval-set side broadcasts and the join is map-side
+    val docs = graft.Tables.documents(spark, d)
+    val hits = graft.functions.CorpusFilters.decontaminate(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 =!= 0),
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 97 === 0),
+      "doc_id", "text")
+    hits.count()
+    val bhj = collectWithSubqueries(hits.queryExecution.executedPlan) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "benchmark shingles must broadcast:\n" +
+      hits.queryExecution.executedPlan)
+  }
+
   test("e_ngram_jaccard and e_simhash_multitable: no cartesian/nested-loop") {
     for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
