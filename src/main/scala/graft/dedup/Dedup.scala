@@ -214,16 +214,33 @@ object Dedup {
           .as("simhash"))
   }
 
+  /** SimHash fingerprint table with the pre-parsed long form —
+    * `(doc_id, simhash, sh_long)`. The bit-string parses to a long ONCE per
+    * doc so every per-pair hamming downstream is a single xor+popcount (vs
+    * bits× substring compares per candidate pair). The share-once artifact
+    * of the SimHash family (plain listing, single-table pairs, multi-table
+    * pairs) — see `ExtQueries.simhashFingerprints` for the memo. */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int): DataFrame =
+    simhash(docs, idCol, textCol, bits)
+      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long"))
+
   /** SimHash near-dup pairs: candidates share the first `prefixBits` bits
     * (the LSH prefilter), ranked by full hamming distance. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, prefixBits: Int = 8, maxHamming: Int = 3): DataFrame = {
     // both sides of the bucket self-join read the fingerprints; released
-    // once the compact pair table is materialized. The bit-string parses to
-    // a long ONCE per side so the per-pair hamming is a single xor+popcount
-    // (vs bits× substring compares per candidate pair).
-    val fp = maybePersist(simhash(docs, idCol, textCol, bits)
-      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long")))
+    // once the compact pair table is materialized.
+    val fp = maybePersist(fingerprints(docs, idCol, textCol, bits))
+    val result = simhashPairsFromFingerprints(fp, prefixBits, maxHamming)
+    fp.unpersist(false) // result is already materialized
+    result
+  }
+
+  /** [[simhashPairs]] over a prebuilt [[fingerprints]] table — the caller
+    * owns that table's lifecycle. */
+  def simhashPairsFromFingerprints(fp: DataFrame, prefixBits: Int,
+                                   maxHamming: Int): DataFrame = {
     val a = fp.select(col("doc_id").as("doc_a"), col("sh_long").as("shl_a"),
       substring(col("simhash"), 1, prefixBits).as("bucket"))
     val b = fp.select(col("doc_id").as("doc_b"), col("sh_long").as("shl_b"),
@@ -233,7 +250,7 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    materializeAndRelease(result, fp)
+    materializeAndRelease(result)
   }
 
   /** Multi-table SimHash near-dup pairs: `nTables` rotated copies of the
@@ -256,10 +273,20 @@ object Dedup {
   def simhashPairsMultiTable(docs: DataFrame, idCol: String, textCol: String,
                              bits: Int = 16, prefixBits: Int = 8,
                              maxHamming: Int = 3, nTables: Int = 2): DataFrame = {
+    val fp = maybePersist(fingerprints(docs, idCol, textCol, bits))
+    val result = simhashPairsMultiTableFromFingerprints(
+      fp, bits, prefixBits, maxHamming, nTables)
+    fp.unpersist(false) // result is already materialized
+    result
+  }
+
+  /** [[simhashPairsMultiTable]] over a prebuilt [[fingerprints]] table —
+    * the caller owns that table's lifecycle. */
+  def simhashPairsMultiTableFromFingerprints(fp: DataFrame, bits: Int,
+                                             prefixBits: Int, maxHamming: Int,
+                                             nTables: Int): DataFrame = {
     require(nTables >= 1 && nTables <= bits, "need 1 <= nTables <= bits")
     require(prefixBits <= bits, "prefix cannot exceed fingerprint width")
-    val fp = maybePersist(simhash(docs, idCol, textCol, bits)
-      .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long")))
     // table i buckets on the prefix of the fingerprint rotated left by
     // i·bits/nTables — bit-string manipulation is on the compact bits-char
     // string, once per (doc, table)
@@ -283,7 +310,7 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), hamming.cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several tables
-    materializeAndRelease(result, fp)
+    materializeAndRelease(result)
   }
 
   /** Near-dup clusters from candidate pairs by bounded label propagation:

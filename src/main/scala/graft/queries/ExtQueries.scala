@@ -72,7 +72,7 @@ object ExtQueries {
     * move between scale factors. */
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
-    shingleCache.clear()
+    shingleCache.clear(); fpCache.clear()
   }
 
   // The benchmark-decontamination hit table (doc_id, n_hits vs the held-out
@@ -114,19 +114,31 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  // Three queries (fingerprint listing, single-table pairs, multi-table
+  // pairs) read the same SimHash fingerprints; memoize the compact
+  // (doc_id, simhash, sh_long) table materialized per sfDir — the token
+  // explode + per-bit vote aggregation runs once. Same lifecycle as the
+  // other memos (releasePairsCache).
+  private val fpCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def simhashFingerprints(s: SparkSession, d: String): DataFrame =
+    fpCache.getOrElseUpdate(d,
+      Dedup.materializeAndRelease(
+        Dedup.fingerprints(Tables.documents(s, d), "doc_id", "text", SimBits)))
+
   def eDedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhash(Tables.documents(s, d), "doc_id", "text", SimBits)
+    simhashFingerprints(s, d)
+      .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
   def eSimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
-        SimBits, SimPrefix, maxHamming = 3)
+    Dedup.simhashPairsFromFingerprints(simhashFingerprints(s, d),
+        SimPrefix, maxHamming = 3)
       .orderBy("doc_a", "doc_b")
 
   /** Multi-table SimHash candidates: 2 rotated prefix tables — recall and
     * bucket size tuned independently (vs the single-table e_simhash_pairs). */
   def eSimhashMultitable(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairsMultiTable(Tables.documents(s, d), "doc_id", "text",
+    Dedup.simhashPairsMultiTableFromFingerprints(simhashFingerprints(s, d),
         SimBits, SimPrefix, maxHamming = 3, nTables = SimTables)
       .orderBy("doc_a", "doc_b")
 
