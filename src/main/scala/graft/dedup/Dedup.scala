@@ -347,6 +347,87 @@ object Dedup {
     materializeAndRelease(labels, edges)
   }
 
+  /** TRUE connected components over candidate pairs by alternating
+    * large-star / small-star rounds to a fixpoint — the published
+    * MapReduce-and-beyond CC algorithm for trillion-edge graphs, and the
+    * upgrade [[labelPropagationClusters]]' docs promise: label propagation
+    * connects components of diameter ≤ iterations, while star contraction
+    * converges in O(log n) rounds for ANY component shape (a 10⁶-doc
+    * near-dup chain closes in ~20 rounds instead of 10⁶).
+    *
+    * Each round is two join+aggregate passes whose min-aggregations all
+    * combine map-side (a hub node's reducer input is one row per map task,
+    * never its degree), plus a bounded convergence probe (count +
+    * set-difference) — a handful of driver-coordinated jobs, no driver
+    * data. Returns (doc_id, cluster_id = component minimum), singletons
+    * labeled by themselves. */
+  def connectedComponents(pairs: DataFrame, docs: DataFrame, idCol: String,
+                          maxIterations: Int = 20): DataFrame = {
+    val ids = docs.select(col(idCol).as("doc_id"))
+    // canonical undirected form: big endpoint first, no self-loops, distinct
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct()
+    // Iterated state MUST truncate lineage every round: the logical plan
+    // would otherwise nest ~5× per iteration and blow up plan ANALYSIS
+    // (exponential tree, driver OOM) long before any data is large. This is
+    // execution feasibility, not a performance cache, so it applies even
+    // under SPARK_GRAFT_NO_CACHE — reliable checkpoint when a dir is set
+    // (the cluster norm for iterative jobs), localCheckpoint otherwise.
+    // Superseded rounds become unreachable and the ContextCleaner reclaims
+    // their blocks.
+    def iterCheckpoint(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    var edges = iterCheckpoint(canon(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))))
+    var edgeCount = edges.count()
+    var iter = 0
+    var done = edgeCount == 0
+    while (!done && iter < maxIterations) {
+      // large-star: every neighbor v > u attaches to m(u) = min(N(u) ∪ {u})
+      val sym = edges.select(explode(array(
+          struct(col("u"), col("v")),
+          struct(col("v").as("u"), col("u").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      val mL = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val large = canon(sym.join(mL, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")))
+      // small-star on the oriented (big→small) edges: all of N(u) and u
+      // itself attach to min(N(u))
+      val mS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = iterCheckpoint(canon(
+        large.join(mS, Seq("u")).select(col("v").as("u"), col("m").as("v"))
+          .union(mS.select(col("u"), col("m").as("v")))))
+      // ONE convergence job: both sides are distinct sets, so
+      // |next| == |edges| and next ⊆ edges ⟺ next == edges
+      val stats = next
+        .join(edges.select(col("u"), col("v"), lit(1).as("__old")),
+          Seq("u", "v"), "left")
+        .agg(count(lit(1)).as("n"), count(col("__old")).as("overlap"))
+        .head()
+      val nextCount = stats.getLong(0)
+      done = nextCount == edgeCount && stats.getLong(1) == nextCount
+      edges = next
+      edgeCount = nextCount
+      iter += 1
+    }
+    // at the fixpoint the edge set is a forest of stars: every non-root
+    // node's edges all point at its component minimum
+    val labels = edges
+      .select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .groupBy(col("doc_id")).agg(min(col("cluster_id")).as("cluster_id"))
+    val result = ids.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    materializeAndRelease(result, edges)
+  }
+
   // ---------------- n-gram Jaccard ----------------
 
   /** Exact Jaccard similarity over distinct word w-shingles, computed

@@ -178,6 +178,16 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** TRUE connected components over the minhash candidate graph —
+    * large-star/small-star to a fixpoint (vs eDedupClusters' 3 bounded
+    * label-propagation rounds): exact for any component diameter. */
+  def eConnectedComponents(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+    Dedup.connectedComponents(pairs, docs, "doc_id")
+      .orderBy("doc_id")
+  }
+
   /** Near-dup clusters: 3 rounds of label propagation over the minhash
     * candidate graph. */
   def eDedupClusters(s: SparkSession, d: String): DataFrame = {
@@ -722,16 +732,13 @@ object ExtQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
-  /** Shared CTE chain ending at `l3 (doc_id, cluster_id)` — the 3-round
-    * label-propagation cluster table (reused by the leakage-split oracle). */
-  private val clustersCte = {
+  /** CTE chain (no WITH prefix) ending at the symmetric self-looped `edges`
+    * table of high-confidence MinHash pairs — shared by the cluster,
+    * leakage-split, and connected-components oracles. */
+  private val clusterEdgesChain = {
     val matchSum = (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    val rounds = (1 to 3).map { r =>
-      s"""l$r AS (SELECT e.src AS doc_id, min(l.cluster_id) AS cluster_id
-         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.doc_id GROUP BY e.src)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH $toksCte,
+    s"""$toksCte,
        |${shCte(distinct = false)},
        |$sigsCte,
        |$bandsCte,
@@ -745,10 +752,34 @@ object ExtQueries {
        |edges AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM fpairs
        |  UNION SELECT doc_b, doc_a FROM fpairs
-       |  UNION SELECT doc_id, doc_id FROM documents),
+       |  UNION SELECT doc_id, doc_id FROM documents)""".stripMargin
+  }
+
+  /** Shared CTE chain ending at `l3 (doc_id, cluster_id)` — the 3-round
+    * label-propagation cluster table (reused by the leakage-split oracle). */
+  private val clustersCte = {
+    val rounds = (1 to 3).map { r =>
+      s"""l$r AS (SELECT e.src AS doc_id, min(l.cluster_id) AS cluster_id
+         |  FROM edges e JOIN l${r - 1} l ON e.dst = l.doc_id GROUP BY e.src)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $clusterEdgesChain,
        |l0 AS (SELECT doc_id, doc_id AS cluster_id FROM documents),
        |$rounds""".stripMargin
   }
+
+  /** TRUE connected components via a recursive reachability closure: every
+    * doc collects every label reachable through the edge set, then keeps the
+    * minimum — the fixpoint the engine's large-star/small-star contraction
+    * converges to, computed by DuckDB's WITH RECURSIVE (UNION dedup bounds
+    * the closure at Σ component², fine at oracle scale). */
+  private val connectedComponentsOracle =
+    s"""WITH RECURSIVE $clusterEdgesChain,
+       |cc(doc_id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON e.dst = cc.doc_id)
+       |SELECT doc_id, min(lbl) AS cluster_id FROM cc
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   private val clustersOracle =
     s"$clustersCte\nSELECT doc_id, cluster_id FROM l3 ORDER BY doc_id"
@@ -1005,6 +1036,7 @@ object ExtQueries {
     "e_token_count" -> (eTokenCount _),
     "e_fingerprint" -> (eFingerprint _),
     "e_dedup_clusters" -> (eDedupClusters _),
+    "e_connected_components" -> (eConnectedComponents _),
     "e_embed_quantize" -> (eEmbedQuantize _),
     "e_approx_percentile" -> (eApproxPercentile _),
     "e_tfidf" -> (eTfidf _),
@@ -1034,6 +1066,7 @@ object ExtQueries {
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
     "e_dedup_clusters" -> clustersOracle,
+    "e_connected_components" -> connectedComponentsOracle,
     "e_leakage_split" -> leakageSplitOracle,
     "e_mixture_sample" -> mixtureSampleOracle,
     "e_bloom_dedup" ->

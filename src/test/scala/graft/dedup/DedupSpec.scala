@@ -166,6 +166,20 @@ class DedupSpec extends SparkSpec {
       "extra tables may only ADD candidates (OR-amplification recall)")
   }
 
+  test("connectedComponents closes a long chain that bounded label propagation cannot") {
+    import spark.implicits._
+    // a 30-node path: diameter 29, far beyond 3 label-propagation rounds
+    val chainDocs = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val chainPairs = (1L until 30L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chainPairs, chainDocs, "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(cc.values.toSet == Set(1L), s"one component labeled 1: $cc")
+    val lp = Dedup.labelPropagationClusters(chainPairs, chainDocs, "doc_id", iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(lp.values.toSet.size > 1,
+      "3-round label propagation must under-merge the chain (the gap CC closes)")
+  }
+
   test("candidate generators release their persisted intermediates (no cache leak)") {
     // Regression guard: each generator persists fat intermediates (signature/
     // band/shingle/fingerprint tables) and must release them once the compact

@@ -86,6 +86,32 @@ object CorpusProps extends Properties("graft.corpus") {
       got == want
     }
 
+  property("connectedComponents equals union-find on random graphs") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L))),
+      Gen.choose(1L, 1000L)) { (rawEdges, _) =>
+      import spark.implicits._
+      val nodes = (1L to 15L).toList
+      val docs = nodes.map(n => (n, s"doc $n")).toDF("doc_id", "text")
+      val pairs = rawEdges.filter(e => e._1 != e._2)
+      val pairsDf = (if (pairs.isEmpty) List((1L, 1L)) else pairs) // self-pair = no edge after canon
+        .toDF("doc_a", "doc_b")
+      val got = graft.dedup.Dedup.connectedComponents(pairsDf, docs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map(nodes.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = nodes.map { n =>
+        n -> nodes.filter(m => find(m) == find(n)).min
+      }.toMap
+      got == want
+    }
+
   property("packSequences: partitions the corpus; packs never overrun by more than the last doc") =
     forAll(docsGen, Gen.choose(2L, 12L)) { (docsRaw, budgetRaw) =>
       import spark.implicits._

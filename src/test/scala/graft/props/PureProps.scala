@@ -54,7 +54,7 @@ object PureProps extends Properties("graft.pure") {
       val bits = graft.dedup.BloomDedup.sizeBits(n)
       val pow2 = (bits & (bits - 1)) == 0
       pow2 && bits >= (1 << 16) &&
-        (bits >= 10L * n || bits == (1 << 27))
+        (bits >= 10L * n || bits == graft.dedup.BloomDedup.MaxAutoBits)
     }
     forAll { (s: String) =>
       val n = AllowlistProjection.normalizeTableName(s)
