@@ -316,10 +316,11 @@ object Dedup {
   /** Near-dup clusters from candidate pairs by bounded label propagation:
     * every doc starts as its own label (doc_id); each round a doc adopts the
     * minimum label among itself and its pair-neighbors. `iterations` rounds
-    * connect any component of diameter ≤ iterations — at 100 TB this is the
-    * standard iterative-join connected-components shape (each round is one
-    * shuffle on doc_id; for trillion-edge graphs swap in large-star/small-
-    * star, same plan skeleton). Returns (doc_id, cluster_id). */
+    * connect any component of diameter ≤ iterations — the cheap
+    * fixed-round-count shape when near-dup components are known-shallow;
+    * for unbounded diameters use [[connectedComponents]] (large-star/
+    * small-star to a fixpoint, O(log n) rounds). Returns
+    * (doc_id, cluster_id). */
   def labelPropagationClusters(pairs: DataFrame, docs: DataFrame, idCol: String,
                                iterations: Int): DataFrame = {
     // symmetric neighbor list + self-loops: one round is then a single
