@@ -418,6 +418,11 @@ object Dedup {
       edgeCount = nextCount
       iter += 1
     }
+    if (!done)
+      graft.observability.Observability.logLeveled(
+        graft.observability.Observability.Level.Warning,
+        s"connectedComponents stopped at maxIterations=$maxIterations before " +
+          "the star fixpoint; labels are a valid coarsening but may under-merge")
     // at the fixpoint the edge set is a forest of stars: every non-root
     // node's edges all point at its component minimum
     val labels = edges
