@@ -180,7 +180,12 @@ object ExtQueries {
 
   /** TRUE connected components over the minhash candidate graph —
     * large-star/small-star to a fixpoint (vs eDedupClusters' 3 bounded
-    * label-propagation rounds): exact for any component diameter. */
+    * label-propagation rounds): exact for any component diameter.
+    *
+    * Bench accounting: alphabetically the FIRST consumer of the shared
+    * shingle-base + minhash-pair memos, so its bench entry carries their
+    * one-time build (~3.5 s of ~5.6 s at sf0.1) that e_curation_funnel,
+    * e_decontam, e_dedup_*, e_leakage_split, e_ngram_jaccard then reuse. */
   def eConnectedComponents(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
