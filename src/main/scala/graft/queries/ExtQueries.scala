@@ -36,6 +36,11 @@ object ExtQueries {
   private val JaccardMaxDf = 10L
   // simhash multi-table rotation count (e_simhash_multitable)
   private val SimTables = 2
+  // count-min sketch geometry (e_heavy_hitters): 4 rows × 256 counters —
+  // small enough that collisions actually exercise the min at test scale
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+  private val CmsTopK = 20
 
   // The corpus explodes into 56-bit shingle hashes ONCE: the memoized
   // per-doc-distinct (doc_id, b1, b2) table from Dedup.shingleBases feeds
@@ -429,6 +434,17 @@ object ExtQueries {
           .orderBy(col("n").desc, col("token").asc)).cast("long"))
       .orderBy("rank")
 
+  /** Heavy hitters by count-min estimate: top tokens ranked by the sketch's
+    * (one-sided, collision-bounded) frequency estimate — the fixed-memory
+    * alternative to the exact `e_vocabulary` count when the vocabulary
+    * itself is too large to shuffle. Deterministic (md5-hash rows, summed
+    * counters), so fully oracled. */
+  def eHeavyHitters(s: SparkSession, d: String): DataFrame =
+    graft.operators.CountMinSketch.heavyHitters(
+        Tables.documents(s, d), "text", k = CmsTopK,
+        depth = CmsDepth, width = CmsWidth)
+      .orderBy("rank")
+
   /** End-to-end corpus-curation funnel — the whole cleaning pipeline as ONE
     * plan, reporting survivors after each stage:
     *   1 raw → 2 benchmark held-out removed (doc_id % 97) → 3 quality
@@ -603,6 +619,35 @@ object ExtQueries {
        | AND a.doc_id < b.doc_id
        |WHERE $hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** Count-min heavy hitters: the sketch's summed counter cells rebuilt
+    * relationally — per row i, a token's cell sum is the total count of
+    * every token sharing `(b1 + i·b2) mod width`; the estimate is the min
+    * across rows. Generated from the same (depth, width) constants as the
+    * engine sketch. */
+  private val heavyHittersOracle = {
+    val cellCtes = (0 until CmsDepth).map { i =>
+      s"""cell$i AS (SELECT (b1 + $i * b2) % $CmsWidth AS cell, sum(c) AS s
+         |  FROM hs GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val cellJoins = (0 until CmsDepth).map { i =>
+      s"JOIN cell$i c$i ON (h.b1 + $i * h.b2) % $CmsWidth = c$i.cell"
+    }.mkString("\n  ")
+    val minExpr = s"least(${(0 until CmsDepth).map(i => s"c$i.s").mkString(", ")})"
+    s"""WITH tok AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+       |tf AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
+       |hs AS (SELECT token, c,
+       |  ${hexHashSql("token")} AS b1,
+       |  ('0x' || substring(md5(token), 15, 14))::BIGINT AS b2 FROM tf),
+       |$cellCtes,
+       |est AS (SELECT h.token, $minExpr AS est_count FROM hs h
+       |  $cellJoins),
+       |r AS (SELECT token, CAST(est_count AS BIGINT) AS est_count,
+       |  CAST(row_number() OVER (ORDER BY est_count DESC, token ASC) AS BIGINT) AS rank
+       |  FROM est)
+       |SELECT token, est_count, rank FROM r WHERE rank <= $CmsTopK
+       |ORDER BY rank""".stripMargin
   }
 
   private val simhashMultitableOracle = {
@@ -1061,6 +1106,7 @@ object ExtQueries {
     "e_top_quality_docs" -> (eTopQualityDocs _),
     "e_curation_funnel" -> (eCurationFunnel _),
     "e_vocabulary" -> (eVocabulary _),
+    "e_heavy_hitters" -> (eHeavyHitters _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1128,6 +1174,7 @@ object ExtQueries {
     "e_dedup_simhash" -> simhashOracle,
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
+    "e_heavy_hitters" -> heavyHittersOracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
