@@ -79,7 +79,10 @@ object CountMinSketch {
 
   /** Point estimate for a token column against a built sketch: min over the
     * depth rows of that row's counter — pure column expressions over the
-    * broadcast-sized literal array. */
+    * broadcast-sized literal array. (A CMS is kilobytes-to-megabytes by
+    * design; if an unusually wide sketch ever neared the expression-literal
+    * comfort zone, ship it as a broadcast variable exactly like
+    * `BloomMightContainBroadcast` does for large Bloom filters.) */
   def estimate(cms: Array[Long], depth: Int, width: Int)(tok: Column): Column = {
     val (b1, b2) = hashPair(tok)
     (0 until depth)
