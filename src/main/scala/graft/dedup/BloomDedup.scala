@@ -128,15 +128,30 @@ object BloomDedup {
   private def freshDocsSized(newDocs: DataFrame, corpus: DataFrame,
                              key: Column, numBits: Int, numHashes: Int): DataFrame = {
     val bloom = buildBloom(corpus, key, numBits, numHashes)
-    val hit =
-      if (numBits <= LiteralBitCeiling) mightContain(bloom, numBits, numHashes)(key)
-      else {
-        // large filter: ship once per executor, not once per task
-        val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
-        val (g1, g2) = hashPair(key)
-        graft.plans.BloomExpression
-          .bloomMightContainBroadcast(g1, g2, bc, numBits, numHashes)
-      }
+    if (numBits <= LiteralBitCeiling)
+      freshByProbe(newDocs, corpus, key, mightContain(bloom, numBits, numHashes)(key))
+    else {
+      // large filter: ship once per executor, not once per task
+      val bc = newDocs.sparkSession.sparkContext.broadcast(bloom)
+      val (g1, g2) = hashPair(key)
+      val hit = graft.plans.BloomExpression
+        .bloomMightContainBroadcast(g1, g2, bc, numBits, numHashes)
+      val result = freshByProbe(newDocs, corpus, key, hit)
+      if (Dedup.storeEnabled) {
+        // a ≥16 MiB broadcast must not hold executor blocks for as long as
+        // the plan reference happens to live: materialize the (compact)
+        // fresh-docs result eagerly, then destroy the broadcast. Under
+        // SPARK_GRAFT_NO_CACHE the plan stays lazy, so the broadcast must
+        // stay alive with it — callers own the session lifecycle there.
+        val out = Dedup.materializeAndRelease(result)
+        bc.destroy()
+        out
+      } else result
+    }
+  }
+
+  private def freshByProbe(newDocs: DataFrame, corpus: DataFrame,
+                           key: Column, hit: Column): DataFrame = {
     val definitelyFresh = newDocs.filter(!hit)
     val confirmed = newDocs.filter(hit)
       .join(corpus.select(key.as("__k")).distinct(),

@@ -27,7 +27,7 @@ object Dedup {
     * intermediates stay lazy and results are returned un-checkpointed — the
     * same switch `Tables.read` honors, so a no-cache measurement run really
     * holds zero graft-originated blocks. */
-  private lazy val storeEnabled = !sys.env.contains("SPARK_GRAFT_NO_CACHE")
+  private[graft] lazy val storeEnabled = !sys.env.contains("SPARK_GRAFT_NO_CACHE")
 
   private def maybePersist(df: DataFrame): DataFrame =
     if (storeEnabled) df.persist() else df
@@ -93,11 +93,12 @@ object Dedup {
 
   /** 56-bit hash of a (salted) string: the top 14 hex chars of md5, parsed
     * as an integer. Engine-portable: DuckDB computes the identical value via
-    * `('0x' || substring(md5(...), 1, 14))::BIGINT`. */
+    * `('0x' || substring(md5(...), 1, 14))::BIGINT`. Backed by the native
+    * codegen [[graft.plans.Md5Halves]] expression — same values, no
+    * hex-string/`substring`/`conv` detour on the per-token hot path. */
   def hexHash(value: Column, saltPrefix: String = ""): Column =
-    conv(substring(md5(
-      if (saltPrefix.isEmpty) value else concat(lit(saltPrefix), value)), 1, 14), 16, 10)
-      .cast("long")
+    graft.plans.HashExpressions.md5Half56(
+      if (saltPrefix.isEmpty) value else concat(lit(saltPrefix), value))
 
   /** The shared per-document shingle-hash table: distinct word w-shingles
     * per doc, as the two independent 56-bit halves of the md5 digest —
@@ -119,10 +120,8 @@ object Dedup {
     docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(toks, shingleWidth))).as("sh"))
-      .select(col("doc_id"), md5(col("sh")).as("dig"))
-      .select(col("doc_id"),
-        conv(substring(col("dig"), 1, 14), 16, 10).cast("long").as("b1"),
-        conv(substring(col("dig"), 15, 14), 16, 10).cast("long").as("b2"))
+      .select(col("doc_id"), graft.plans.HashExpressions.md5Halves(col("sh")).as("h"))
+      .select(col("doc_id"), col("h.b1").as("b1"), col("h.b2").as("b2"))
   }
 
   /** MinHash signatures from a prebuilt [[shingleBases]] table: one row per
@@ -401,8 +400,12 @@ object Dedup {
     // execution feasibility, not a performance cache, so it applies even
     // under SPARK_GRAFT_NO_CACHE — reliable checkpoint when a dir is set
     // (the cluster norm for iterative jobs), localCheckpoint otherwise.
-    // Superseded rounds become unreachable and the ContextCleaner reclaims
-    // their blocks.
+    // Reclamation: superseded localCheckpoint BLOCKS are dropped by the
+    // ContextCleaner once unreachable; reliable checkpoint FILES are only
+    // deleted when spark.cleaner.referenceTracking.cleanCheckpoints=true
+    // (default false) — every entrypoint in this repo sets it, and any
+    // long-lived session that sets a checkpoint dir must too, or each CC
+    // call leaves ~2 files per star round on disk for the session's life.
     def iterCheckpoint(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
@@ -475,12 +478,14 @@ object Dedup {
     * Jaccard over the rare-shingle universe (common shingles carry no
     * near-dup signal anyway, the same observation behind prefix filtering).
     * Pair work is then bounded by maxDf · |kept shingle instances| — linear
-    * in the corpus. The default is a pure safety net sized for corpus-scale
-    * boilerplate; graded queries pass an explicit cap mirrored in their
-    * oracle SQL so parity holds. */
+    * in the corpus. The cut is OPT-IN (default `Long.MaxValue` = exact
+    * Jaccard over the full shingle universe): a silent default cap would
+    * change results for callers whose corpora contain high-df shingles.
+    * Production corpus runs should always pass a cap; graded queries pass
+    * an explicit one mirrored in their oracle SQL so parity holds. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int = 3, minJaccard: Double = 0.1,
-                   maxDf: Long = 100000L): DataFrame = {
+                   maxDf: Long = Long.MaxValue): DataFrame = {
     // join key is the 56-bit shingle hash b1: long equi-join instead of a
     // ~20-char string join (collision odds ~n²/2^57 — negligible, and the
     // oracle hashes identically so parity holds regardless).
@@ -499,7 +504,7 @@ object Dedup {
     * shingle-hash table (e.g. [[shingleBases]] projected to b1) — the
     * shared-artifact form: the caller owns the table's lifecycle. */
   def ngramJaccardFromShingles(shingleTable: DataFrame, minJaccard: Double,
-                               maxDf: Long = 100000L): DataFrame = {
+                               maxDf: Long = Long.MaxValue): DataFrame = {
     // Hot-shingle cut (see ngramJaccard doc): df per shingle via groupBy —
     // map-side partial aggregation bounds the reducer input for a viral
     // shingle to one row per map task, so the cut itself is skew-immune.
@@ -565,7 +570,10 @@ object Dedup {
     * |passage instances| / maxPassageFreq keys — broadcastable by
     * definition. Results are identical with or without the guard (the
     * survivor is the same associative min); only task-level placement
-    * changes. */
+    * changes. When NO passage is hot (the common case) one bounded probe of
+    * the compact survivor table detects it and the join-back collapses to a
+    * single plain equi-join — the guard costs nothing until a key actually
+    * crosses the threshold. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
                    passageTokens: Int = 10, maxPassageFreq: Long = 1L << 20,
                    salts: Int = 16): DataFrame = {
@@ -604,16 +612,28 @@ object Dedup {
     // the hot slice: ≤ |passage instances| / maxPassageFreq keys — tiny
     val hotFirst = survivors.filter(col("pf") > maxPassageFreq)
       .select(col("ph"), col("first"))
-    val hotKeys = broadcast(hotFirst.select(col("ph")))
     val probe = passages.select(col("doc_id"), col("pos"), col("ptext"), col("ph"))
-    // cold path: per-key join input ≤ maxPassageFreq — bounded tasks
-    val coldMarked = probe.join(hotKeys, Seq("ph"), "left_anti")
-      .join(survivors.select(col("ph"), col("first")), Seq("ph"))
-    // hot path: salted join spreads each viral key over `salts` tasks; only
-    // the HOT survivor rows replicate across the salt domain
-    val hotMarked = graft.operators.SkewJoin.saltedInnerJoin(
-      probe.join(hotKeys, Seq("ph"), "left_semi"), hotFirst, "ph", salts)
-    val marked = coldMarked.unionByName(hotMarked)
+    // ONE bounded probe of the compact persisted survivor table picks the
+    // plan: in the common no-viral-passage case the guard's two extra
+    // passes over `passages` (anti + semi) and the union are skipped and
+    // the join-back is a single plain equi-join — the guard machinery only
+    // runs when a key is actually hot. (isEmpty is a limit-1 job over
+    // `survivors`, which the main plan materializes anyway.)
+    val joined =
+      if (hotFirst.isEmpty)
+        probe.join(survivors.select(col("ph"), col("first")), Seq("ph"))
+      else {
+        val hotKeys = broadcast(hotFirst.select(col("ph")))
+        // cold path: per-key join input ≤ maxPassageFreq — bounded tasks
+        val coldMarked = probe.join(hotKeys, Seq("ph"), "left_anti")
+          .join(survivors.select(col("ph"), col("first")), Seq("ph"))
+        // hot path: salted join spreads each viral key over `salts` tasks;
+        // only the HOT survivor rows replicate across the salt domain
+        val hotMarked = graft.operators.SkewJoin.saltedInnerJoin(
+          probe.join(hotKeys, Seq("ph"), "left_semi"), hotFirst, "ph", salts)
+        coldMarked.unionByName(hotMarked)
+      }
+    val marked = joined
       .withColumn("keep", struct(col("doc_id"), col("pos")) === col("first"))
     val result = marked.groupBy(col("doc_id"))
       .agg(

@@ -58,11 +58,11 @@ object CountMinSketch {
   }
 
   /** The two 56-bit md5-half hashes of a token (the engine-portable pair
-    * every sketch position derives from). */
+    * every sketch position derives from). One codegen digest per row —
+    * sibling halves collapse via common-subexpression elimination. */
   def hashPair(tok: Column): (Column, Column) = {
-    val dig = md5(tok)
-    (conv(substring(dig, 1, 14), 16, 10).cast("long"),
-      conv(substring(dig, 15, 14), 16, 10).cast("long"))
+    val h = graft.plans.HashExpressions.md5Halves(tok)
+    (h.getField("b1"), h.getField("b2"))
   }
 
   /** Aggregate a token column into the flat counter array (one driver row —
@@ -85,8 +85,12 @@ object CountMinSketch {
     * `BloomMightContainBroadcast` does for large Bloom filters.) */
   def estimate(cms: Array[Long], depth: Int, width: Int)(tok: Column): Column = {
     val (b1, b2) = hashPair(tok)
+    // ONE Literal node shared by all depth rows: the expression tree (and
+    // each serialized task closure) carries a single copy of the counter
+    // array, not depth copies
+    val cmsLit = lit(cms)
     (0 until depth)
-      .map(i => element_at(lit(cms),
+      .map(i => element_at(cmsLit,
         (lit(i * width) + pmod(b1 + lit(i.toLong) * b2, lit(width))).cast("int") + 1))
       .reduce(least(_, _))
   }

@@ -20,8 +20,15 @@ object SkewJoin {
   def saltedInnerJoin(skewed: DataFrame, build: DataFrame, key: String,
                       salts: Int): DataFrame = {
     require(salts > 0)
+    // Salt from the ROW CONTENT, not monotonically_increasing_id(): the
+    // result is identical either way (the build side is fully replicated
+    // across the salt domain), but a content hash makes task PLACEMENT a
+    // pure function of the data — reproducible across runs and stable
+    // under task retries. Caveat: rows that are bit-identical across every
+    // column share a salt; hot keys in practice differ in their payload
+    // columns (that is what makes them rows, not one row).
     val salted = skewed.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
+      pmod(xxhash64(skewed.columns.map(col): _*), lit(salts)).cast("int"))
     val replicated = build
       .withColumn("__salt_arr", sequence(lit(0), lit(salts - 1)))
       .withColumn("__salt", explode(col("__salt_arr")))
