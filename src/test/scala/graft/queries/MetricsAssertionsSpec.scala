@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+import graft.observability.Observability
+import org.apache.spark.graft.ListenerBusBridge
+
+/** Engine-counter budgets for the heaviest graded queries — the metrics
+  * companion to PlanAssertionsSpec: plan-shape tests catch a cartesian or a
+  * lost broadcast, but a plan-preserving regression (a dropped df cap, a
+  * guard that re-explodes the corpus, a filter that stopped pruning) shows
+  * up first in BYTES. Budgets are set ~10× the measured sf0.001 value, so
+  * they never flake on jitter but fail loudly on any quadratic or
+  * full-rescan regression — a bench-diff judgment call becomes a red test.
+  *
+  * The memo caveat: ExtQueries memoizes shared artifacts per sfDir, so a
+  * query's first run carries its memo builds and later runs don't. Budgets
+  * therefore cover the WORST case (memo build included); the suite does not
+  * depend on which other suite ran first.
+  */
+class MetricsAssertionsSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  /** Run a graded query to completion and return its counter deltas,
+    * draining the listener bus on both sides so in-flight task events
+    * attribute to this query (the Bench measurement recipe). */
+  private def measured(name: String): Map[String, Long] = {
+    val l = Observability.attach(spark)
+    try {
+      ListenerBusBridge.drain(spark.sparkContext)
+      val before = l.snapshot
+      SparkEntry.queries(name)(spark, d).count()
+      ListenerBusBridge.drain(spark.sparkContext)
+      l.snapshot.map { case (k, v) => k -> (v - before(k)) }
+    } finally Observability.detach(spark, l)
+  }
+
+  // The bench's heaviest lines at sf0.1, budgeted at test scale. Measured
+  // sf0.001 worst case (fresh session, memo builds included): CC 82 KB,
+  // bloom 82 KB, passage 253 KB, jaccard 349 KB, multitable 118 KB,
+  // funnel 206 KB — each budget is ~10× its measurement.
+  private val shuffleBudgets: Map[String, Long] = Map(
+    "e_connected_components" -> (1L << 20),
+    "e_curation_funnel" -> (2L << 20),
+    "e_passage_dedup" -> (1L << 21),
+    "e_ngram_jaccard" -> (7L << 19),
+    "e_simhash_multitable" -> (1L << 20),
+    "e_bloom_dedup" -> (1L << 20))
+
+  shuffleBudgets.foreach { case (name, budget) =>
+    test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
+      val m = measured(name)
+      assert(m("shuffleBytesWritten") <= budget,
+        s"$name wrote ${m("shuffleBytesWritten")} shuffle bytes " +
+          s"(budget $budget) — a plan or guard regression, not jitter")
+      assert(m("memoryBytesSpilled") == 0L && m("diskBytesSpilled") == 0L,
+        s"$name spilled (${m("memoryBytesSpilled")} mem / " +
+          s"${m("diskBytesSpilled")} disk) — partitions no longer fit " +
+          "executor memory at TEST scale; at 100 TB this is a task killer")
+    }
+  }
+
+  test("heavy-hitter probe reads a bounded record count (sketch, not vocabulary shuffle)") {
+    val m = measured("e_heavy_hitters")
+    // the sketch build reads the corpus; the probe must stay a distinct +
+    // TakeOrdered with no spill and (nearly) no shuffle — measured ~1.4 KB
+    // at sf0.001 (one counter array per partition + the bounded head)
+    assert(m("shuffleBytesWritten") <= (1L << 16),
+      s"CMS path shuffled ${m("shuffleBytesWritten")} bytes — the sketch " +
+        "shape (map-side combined counter arrays) has regressed")
+    assert(m("memoryBytesSpilled") == 0L && m("diskBytesSpilled") == 0L)
+  }
+}
