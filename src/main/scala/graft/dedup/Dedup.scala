@@ -461,6 +461,53 @@ object Dedup {
     materializeAndRelease(result, edges)
   }
 
+  /** INCREMENTAL connected components — the daily-ingest form of
+    * [[connectedComponents]]: fold a batch of NEW candidate pairs into an
+    * existing labeling without recomputing the whole graph.
+    *
+    * A finished CC labeling IS a star forest (every doc points at its
+    * component minimum), so the old graph's connectivity is fully encoded
+    * by the edges `doc_id → cluster_id`. The incremental step therefore:
+    *
+    *  1. finds the TOUCHED components — those containing an endpoint of a
+    *     new pair (docs never seen before enter as singletons);
+    *  2. passes every untouched component through UNCHANGED (no star
+    *     rounds, no relabeling — at a daily-ingest ratio this is ~all of
+    *     the corpus);
+    *  3. re-runs star contraction only on the touched subgraph: the
+    *     member→root star edges of touched components plus the new pairs —
+    *     a graph proportional to the increment and the components it
+    *     merges, not the corpus.
+    *
+    * Equivalent to batch CC over (old edges ∪ new pairs) — property-tested
+    * on replayed increments — PROVIDED `labels` is itself a valid CC output
+    * (cluster_id = component minimum), which is what both CC entry points
+    * return. Returns (doc_id, cluster_id) for old ∪ new docs. */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     maxIterations: Int = 20): DataFrame = {
+    // endpoints of the increment; unseen docs become their own component
+    val pairDocs = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b").as("doc_id"))).distinct()
+    val freshDocs = pairDocs.join(labels, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    // read by three branches (touched roots, touched members, frozen rest)
+    val all = maybePersist(labels.unionByName(freshDocs))
+    val touchedRoots = all.join(pairDocs, Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    // members of touched components — the ONLY docs whose label can change
+    val touched = maybePersist(all.join(touchedRoots, Seq("cluster_id")))
+    val frozen = all.join(touchedRoots, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+    // star edges reconstruct old intra-component connectivity exactly
+    val subEdges = touched.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
+      .unionByName(newPairs.select(col("doc_a"), col("doc_b")))
+    val subDocs = touched.select(col("doc_id"))
+    val recomputed = connectedComponents(subEdges, subDocs, "doc_id",
+      maxIterations)
+    materializeAndRelease(frozen.unionByName(recomputed), all, touched)
+  }
+
   // ---------------- n-gram Jaccard ----------------
 
   /** Exact Jaccard similarity over distinct word w-shingles, computed

@@ -198,6 +198,31 @@ class DedupSpec extends SparkSpec {
       "3-round label propagation must under-merge the chain (the gap CC closes)")
   }
 
+  test("incremental CC: merges touched components, freezes the rest, admits new docs") {
+    import spark.implicits._
+    // existing labeling: {1,2,3} rooted at 1, {10,11} rooted at 10, {20}
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "cluster_id")
+    // increment: bridge the two big components and attach a NEVER-SEEN doc
+    // 30 to component 10; component {20} is untouched
+    val newPairs = Seq((3L, 11L), (30L, 10L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsIncremental(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L,
+      30L -> 1L, 20L -> 20L), s"got $got")
+  }
+
+  test("incremental CC: empty-overlap increment leaves every old label frozen") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (5L, 5L)).toDF("doc_id", "cluster_id")
+    // increment touches only brand-new docs — old components pass through
+    val newPairs = Seq((100L, 101L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponentsIncremental(labels, newPairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 100L -> 100L, 101L -> 100L),
+      s"got $got")
+  }
+
   test("candidate generators release their persisted intermediates (no cache leak)") {
     // Regression guard: each generator persists fat intermediates (signature/
     // band/shingle/fingerprint tables) and must release them once the compact

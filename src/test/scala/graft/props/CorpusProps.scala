@@ -112,6 +112,30 @@ object CorpusProps extends Properties("graft.corpus") {
       got == want
     }
 
+  property("incremental CC equals batch CC on replayed increments") =
+    forAll(
+      Gen.listOf(Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L))),
+      Gen.choose(0, 100)) { (rawEdges, splitPct) =>
+      import spark.implicits._
+      val nodes = (1L to 15L).toList
+      val docs = nodes.map(n => (n, s"doc $n")).toDF("doc_id", "text")
+      val pairs = rawEdges.filter(e => e._1 != e._2)
+      // replay: label the first slice, then fold the rest in incrementally
+      val cut = pairs.length * splitPct / 100
+      val (first, second) = pairs.splitAt(cut)
+      def pairsDf(es: List[(Long, Long)]) =
+        (if (es.isEmpty) List((1L, 1L)) else es).toDF("doc_a", "doc_b")
+      val labels = graft.dedup.Dedup.connectedComponents(
+        pairsDf(first), docs, "doc_id")
+      val inc = graft.dedup.Dedup.connectedComponentsIncremental(
+          labels, pairsDf(second))
+        .as[(Long, Long)].collect().toMap
+      val batch = graft.dedup.Dedup.connectedComponents(
+          pairsDf(pairs), docs, "doc_id")
+        .as[(Long, Long)].collect().toMap
+      inc == batch
+    }
+
   property("packSequences: partitions the corpus; packs never overrun by more than the last doc") =
     forAll(docsGen, Gen.choose(2L, 12L)) { (docsRaw, budgetRaw) =>
       import spark.implicits._
