@@ -466,23 +466,27 @@ object Dedup {
     * existing labeling without recomputing the whole graph.
     *
     * A finished CC labeling IS a star forest (every doc points at its
-    * component minimum), so the old graph's connectivity is fully encoded
-    * by the edges `doc_id → cluster_id`. The incremental step therefore:
+    * component minimum), so components can be treated as SUPER-NODES: the
+    * quotient-graph construction. The incremental step:
     *
-    *  1. finds the TOUCHED components — those containing an endpoint of a
-    *     new pair (docs never seen before enter as singletons);
-    *  2. passes every untouched component through UNCHANGED (no star
-    *     rounds, no relabeling — at a daily-ingest ratio this is ~all of
-    *     the corpus);
-    *  3. re-runs star contraction only on the touched subgraph: the
-    *     member→root star edges of touched components plus the new pairs —
-    *     a graph proportional to the increment and the components it
-    *     merges, not the corpus.
+    *  1. maps each new pair to the ROOT pair of its endpoints (docs never
+    *     seen before are their own root) — self-loops (pairs inside one
+    *     existing component) vanish, so replayed edges cost nothing;
+    *  2. runs star contraction on the ROOT graph only — a graph whose edge
+    *     count is ≤ the increment and whose nodes are the touched
+    *     components, NOT their members (a million-doc component is one
+    *     node here);
+    *  3. relabels: every doc whose old root was re-rooted follows it via
+    *     one equi-join on the compact (old_root → new_root) mapping;
+    *     untouched components miss the mapping and pass through frozen.
     *
-    * Equivalent to batch CC over (old edges ∪ new pairs) — property-tested
-    * on replayed increments — PROVIDED `labels` is itself a valid CC output
-    * (cluster_id = component minimum), which is what both CC entry points
-    * return. Returns (doc_id, cluster_id) for old ∪ new docs. */
+    * Labels stay component MINIMA: every old root is itself the min doc of
+    * its component, and the root-graph CC labels each merged group by its
+    * min root = the min doc over all merged members. Equivalent to batch
+    * CC over (old edges ∪ new pairs) — property-tested on replayed
+    * increments — PROVIDED `labels` is a valid CC output, which is what
+    * both CC entry points return. Returns (doc_id, cluster_id) for
+    * old ∪ new docs. */
   def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
                                      maxIterations: Int = 20): DataFrame = {
     // endpoints of the increment; unseen docs become their own component
@@ -490,22 +494,26 @@ object Dedup {
       .union(newPairs.select(col("doc_b").as("doc_id"))).distinct()
     val freshDocs = pairDocs.join(labels, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
-    // read by three branches (touched roots, touched members, frozen rest)
+    // read twice (root lookup for the increment, final relabel join)
     val all = maybePersist(labels.unionByName(freshDocs))
-    val touchedRoots = all.join(pairDocs, Seq("doc_id"))
-      .select(col("cluster_id")).distinct()
-    // members of touched components — the ONLY docs whose label can change
-    val touched = maybePersist(all.join(touchedRoots, Seq("cluster_id")))
-    val frozen = all.join(touchedRoots, Seq("cluster_id"), "left_anti")
-      .select(col("doc_id"), col("cluster_id"))
-    // star edges reconstruct old intra-component connectivity exactly
-    val subEdges = touched.filter(col("doc_id") =!= col("cluster_id"))
-      .select(col("doc_id").as("doc_a"), col("cluster_id").as("doc_b"))
-      .unionByName(newPairs.select(col("doc_a"), col("doc_b")))
-    val subDocs = touched.select(col("doc_id"))
-    val recomputed = connectedComponents(subEdges, subDocs, "doc_id",
+    // the quotient graph: new pairs projected onto component roots
+    val rootPairs = newPairs
+      .join(all.select(col("doc_id").as("doc_a"), col("cluster_id").as("ra")),
+        Seq("doc_a"))
+      .join(all.select(col("doc_id").as("doc_b"), col("cluster_id").as("rb")),
+        Seq("doc_b"))
+      .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+    val rootDocs = rootPairs.select(col("doc_a").as("doc_id"))
+      .union(rootPairs.select(col("doc_b").as("doc_id"))).distinct()
+    // star contraction over super-nodes; compact by construction
+    val rootLabels = connectedComponents(rootPairs, rootDocs, "doc_id",
       maxIterations)
-    materializeAndRelease(frozen.unionByName(recomputed), all, touched)
+      .select(col("doc_id").as("old_root"), col("cluster_id").as("new_root"))
+    val result = all
+      .join(rootLabels, col("cluster_id") === col("old_root"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
+    materializeAndRelease(result, all)
   }
 
   // ---------------- n-gram Jaccard ----------------
