@@ -41,6 +41,14 @@ object ExtQueries {
   private val CmsDepth = 4
   private val CmsWidth = 256
   private val CmsTopK = 20
+  // product quantization (e_pq_encode / e_pq_adc_topk): 4 subspaces × 16
+  // dims over the 64-dim embeddings; codewords seed from vec_id % 50 == 1
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqTopK = 3
+  // BM25 probe query (e_bm25): terms present in the synthetic vocabulary
+  private val Bm25Terms = Seq("spark", "query", "window")
+  private val Bm25TopK = 20
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -198,6 +206,31 @@ object ExtQueries {
         isCentroid = col("vec_id") % 50 === 1,
         k = 3, nProbe = 2)
       .orderBy("query_id", "rank")
+
+  /** PQ codes: per (vector, subspace) nearest-codeword id + quantization
+    * error — the 64×-smaller corpus representation ANN scans at 100 TB. */
+  def ePqEncode(s: SparkSession, d: String): DataFrame =
+    graft.similarity.ProductQuantization.encode(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        isCodeword = col("vec_id") % 50 === 1, PqM, PqSubDim)
+      .orderBy("vec_id", "m")
+
+  /** PQ-ADC top-k: unquantized queries against the coded corpus via a
+    * broadcast partial-distance lookup table — no raw vector is touched at
+    * query time. */
+  def ePqAdcTopk(s: SparkSession, d: String): DataFrame =
+    graft.similarity.ProductQuantization.adcTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCodeword = col("vec_id") % 50 === 1,
+        PqM, PqSubDim, PqTopK)
+      .orderBy("query_id", "rank")
+
+  /** BM25 retrieval: top documents for a fixed probe query — the posting
+    * lists of the query terms, never the full token stream. */
+  def eBm25(s: SparkSession, d: String): DataFrame =
+    graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
+      Bm25Terms, topK = Bm25TopK)
 
   /** Near-dup removal applied: the cleaned corpus after dropping the higher
     * doc_id of every high-confidence MinHash pair. */
@@ -1115,6 +1148,71 @@ object ExtQueries {
        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  /** Shared PQ CTEs, generated from the same (PqM, PqSubDim) constants as
+    * the Spark side: `cw` = codewords (vec_id % 50 == 1 in id order →
+    * cids 1..K), `pd` = per-(vector, subspace, codeword) squared distance,
+    * `code` = the argmin (rn = 1), tie-broken (d2, cid) exactly like
+    * NearestCentroid. */
+  private val pqCte =
+    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |cw AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+       |       FROM e WHERE vec_id % 50 = 1),
+       |pd AS (SELECT e.vec_id, CAST((e.pos - 1) // $PqSubDim AS BIGINT) AS m, cw.cid,
+       |       sum((e.v - cw.v) * (e.v - cw.v)) AS d2
+       |       FROM e JOIN cw ON e.pos = cw.pos
+       |       WHERE e.pos <= ${PqM * PqSubDim}
+       |       GROUP BY 1, 2, 3),
+       |code AS (SELECT vec_id, m, cid AS code, d2,
+       |       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+       |       FROM pd)""".stripMargin
+
+  private val pqEncodeOracle =
+    s"""WITH $pqCte
+       |SELECT vec_id, m, code, round(d2, 6) AS sub_d2 FROM code
+       |WHERE rn = 1 ORDER BY vec_id, m""".stripMargin
+
+  private val pqAdcOracle =
+    s"""WITH $pqCte,
+       |lut AS (SELECT e.vec_id AS query_id, CAST((e.pos - 1) // $PqSubDim AS BIGINT) AS m,
+       |       cw.cid, sum((e.v - cw.v) * (e.v - cw.v)) AS pd2
+       |       FROM e JOIN cw ON e.pos = cw.pos
+       |       WHERE e.vec_id % 50 = 0 AND e.pos <= ${PqM * PqSubDim}
+       |       GROUP BY 1, 2, 3),
+       |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+       |       round(sum(l.pd2), 6) AS adc_d2
+       |       FROM (SELECT vec_id, m, code FROM code WHERE rn = 1) c
+       |       JOIN lut l ON l.m = c.m AND l.cid = c.code
+       |       WHERE c.vec_id <> l.query_id GROUP BY 1, 2),
+       |rk AS (SELECT query_id, neighbor_id, adc_d2,
+       |       CAST(row_number() OVER (PARTITION BY query_id
+       |         ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
+       |       FROM adc)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM rk
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+
+  private val bm25Oracle = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH tk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+       |       FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS dl
+       |       FROM documents),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |       (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
+       |qdf AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df
+       |       FROM tk WHERE term IN ($terms) GROUP BY term),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM tk WHERE term IN ($terms) GROUP BY 1, 2),
+       |s AS (SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+       |       round(sum(ln(1 + (st.n_docs - qdf.df + 0.5) / (qdf.df + 0.5))
+       |         * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS bm25
+       |       FROM tf JOIN qdf ON tf.term = qdf.term
+       |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
+       |       GROUP BY tf.doc_id)
+       |SELECT doc_id, n_terms, bm25 FROM s
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
@@ -1155,6 +1253,9 @@ object ExtQueries {
     "e_curation_funnel" -> (eCurationFunnel _),
     "e_vocabulary" -> (eVocabulary _),
     "e_heavy_hitters" -> (eHeavyHitters _),
+    "e_pq_encode" -> (ePqEncode _),
+    "e_pq_adc_topk" -> (ePqAdcTopk _),
+    "e_bm25" -> (eBm25 _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1226,6 +1327,9 @@ object ExtQueries {
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
     "e_heavy_hitters" -> heavyHittersOracle,
+    "e_pq_encode" -> pqEncodeOracle,
+    "e_pq_adc_topk" -> pqAdcOracle,
+    "e_bm25" -> bm25Oracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),

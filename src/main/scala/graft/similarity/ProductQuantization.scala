@@ -1,0 +1,141 @@
+package graft.similarity
+
+import graft.plans.VectorExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou/Douze/Schmid, "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — the compression layer that makes
+  * billion-vector ANN memory-resident: each vector splits into `nSubspaces`
+  * contiguous subvectors and every subvector is replaced by the id of its
+  * nearest codeword, so the corpus stores `nSubspaces` small codes per
+  * vector instead of `d` floats (64 dims × 4 B → 4 codes: a 64× cut at
+  * byte codes; the ids here are longs for oracle parity, the compression
+  * argument is unchanged).
+  *
+  * Query-time search is ADC (asymmetric distance computation): the query
+  * stays UNquantized; per (query, subspace, codeword) a lookup table of
+  * partial squared distances is built once — `nQueries × nSubspaces × K`
+  * rows, broadcast-sized by construction — and every corpus vector's
+  * distance is the sum of `nSubspaces` table hits on its codes. The 100 TB
+  * plan shape: the raw vectors are read ONCE at encode time (a narrow
+  * codegen argmin scan, zero exchanges — the [[graft.plans.NearestCentroid]]
+  * path KMeans uses); at query time only the compact code table is
+  * scanned, joined to the broadcast LUT on (subspace, code) — no raw
+  * vector is touched, no shuffle of embeddings, and the per-query work is
+  * a map-side-combined sum of `nSubspaces` doubles per candidate.
+  *
+  * Codewords are a deterministic sample of the corpus (`isCodeword`), the
+  * same seeding convention as [[KMeans]] init and [[Similarity.ivfTopK]]
+  * centroids — production would Lloyd-refine them per subspace (compose
+  * with [[KMeans]]); the plan shape is identical either way. Everything is
+  * reproducible: codeword ids assigned 1..K in vec_id order, argmin
+  * tie-broken on (distance, codeword id), ADC ranked on the ROUNDED
+  * distance (6 dp) with id tie-break.
+  *
+  * Compose with [[Similarity.ivfTopK]] for IVF-PQ: coarse cells prune the
+  * candidate list, ADC scores the survivors — the two prunings multiply.
+  */
+object ProductQuantization {
+
+  /** Deterministic codebook: codeword rows in vec_id order become ids
+    * 1..K; entry (m)(i) = (cid, subvector of codeword i in subspace m).
+    * Driver-collected and bounded (K·d doubles), like KMeans centroids. */
+  private def codebook(vecs: DataFrame, idCol: String, embCol: String,
+                       isCodeword: Column, nSubspaces: Int,
+                       subDim: Int): IndexedSeq[Seq[(Long, Array[Double])]] = {
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    val seeds = vecs.filter(isCodeword)
+      .select(col(idCol).cast("long"), toDouble)
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](1).toArray) }
+      .toSeq
+    require(seeds.nonEmpty, "isCodeword selected no codeword rows")
+    seeds.foreach { case (_, arr) =>
+      require(arr.length >= nSubspaces * subDim,
+        s"codeword shorter than nSubspaces*subDim = ${nSubspaces * subDim}")
+    }
+    (0 until nSubspaces).map { m =>
+      seeds.map { case (cid, arr) =>
+        (cid, arr.slice(m * subDim, (m + 1) * subDim))
+      }
+    }
+  }
+
+  /** PQ-encode the corpus: one row per (vector, subspace) —
+    * (vec_id, m, code, sub_d2), `code` = nearest codeword id in subspace
+    * `m`, `sub_d2` = its squared L2 distance rounded to 6 dp.
+    *
+    * One narrow scan: all `nSubspaces` argmins run inside a single
+    * projection (each a native NearestCentroid over a `slice` of the
+    * vector), then explode to the per-subspace rows — the raw embedding is
+    * read once and never shuffled. */
+  def encode(vecs: DataFrame, idCol: String, embCol: String,
+             isCodeword: Column, nSubspaces: Int, subDim: Int): DataFrame = {
+    val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    val base = vecs.select(col(idCol).cast("long").as("vec_id"),
+      toDouble.as("v"))
+    val perSub = (0 until nSubspaces).map { m =>
+      val best = VectorExpressions.nearestCentroid(
+        slice(col("v"), m * subDim + 1, subDim),
+        cb(m).map(_._1).toArray, cb(m).map(_._2).toArray)
+      struct(lit(m.toLong).as("m"), best.getField("cid").as("code"),
+        best.getField("d2").as("sub_d2"))
+    }
+    base
+      .select(col("vec_id"), explode(array(perSub: _*)).as("c"))
+      .select(col("vec_id"), col("c.m").as("m"), col("c.code").as("code"),
+        round(col("c.sub_d2"), 6).as("sub_d2"))
+  }
+
+  /** ADC top-k: every query (unquantized) against the PQ-encoded corpus.
+    * Returns (query_id, neighbor_id, adc_d2, rank), rank 1..k per query by
+    * ascending rounded ADC distance, id tie-break; the query row itself is
+    * excluded like the other ANN entry points.
+    *
+    * Plan: codes ⋈ broadcast(LUT) on (subspace, code) → groupBy
+    * (query, vector) sum — the only shuffle is the bounded per-pair
+    * aggregation, map-side combined from nSubspaces rows; raw vectors
+    * appear nowhere. */
+  def adcTopK(vecs: DataFrame, idCol: String, embCol: String,
+              isQuery: Column, isCodeword: Column,
+              nSubspaces: Int, subDim: Int, k: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
+    val codes = encode(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
+      .select(col("vec_id"), col("m"), col("code"))
+    // (m, cid, c_sub): nSubspaces × K rows — broadcast-sized by construction
+    val cbDf = (for {
+      m <- 0 until nSubspaces
+      (cid, sub) <- cb(m)
+    } yield (m.toLong, cid, sub.toSeq)).toDF("lm", "cid", "c_sub")
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    val qsub = vecs.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), toDouble.as("qv"))
+      .select(col("query_id"), explode(array((0 until nSubspaces).map { m =>
+        struct(lit(m.toLong).as("lm"),
+          slice(col("qv"), m * subDim + 1, subDim).as("q_sub"))
+      }: _*)).as("s"))
+      .select(col("query_id"), col("s.lm").as("lm"), col("s.q_sub").as("q_sub"))
+    // partial-distance lookup table: ||q_m − c_{m,cid}||², UNrounded (only
+    // the final ADC sum is rounded, mirroring the oracle)
+    val lut = qsub.join(broadcast(cbDf), Seq("lm"))
+      .select(col("query_id"), col("lm"), col("cid"),
+        aggregate(zip_with(col("q_sub"), col("c_sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("pd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    codes
+      .join(broadcast(lut),
+        col("m") === col("lm") && col("code") === col("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("pd2")), 6).as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

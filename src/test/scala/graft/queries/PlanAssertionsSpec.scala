@@ -150,6 +150,35 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("e_pq_adc_topk: LUT joins broadcast; no cartesian; vectors never shuffle") {
+    val plan = executedPlan("e_pq_adc_topk")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"ADC must stay on the (m, code) equi-join, found: $bad")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the partial-distance LUT must broadcast:\n$plan")
+    // the only shuffle may carry (query, neighbor, partial) aggregation rows
+    // — never an embedding array
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"raw vectors must not shuffle at ADC query time:\n$plan")
+    }
+  }
+
+  test("e_bm25: term df broadcasts; top-k is TakeOrderedAndProject") {
+    val plan = executedPlan("e_bm25")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the per-term df table must broadcast:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"the top-k cut must avoid a global sort:\n$plan")
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {
