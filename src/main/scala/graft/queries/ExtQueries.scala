@@ -226,6 +226,18 @@ object ExtQueries {
         PqM, PqSubDim, PqTopK)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ: coarse-cell pruning × PQ-code compression — candidates come
+    * from the probed cells only, scored by ADC over the inverted file with
+    * codes. */
+  def eIvfPqTopk(s: SparkSession, d: String): DataFrame =
+    graft.similarity.ProductQuantization.ivfPqTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCentroid = col("vec_id") % 50 === 1,
+        isCodeword = col("vec_id") % 50 === 1,
+        PqM, PqSubDim, PqTopK, nProbe = 2)
+      .orderBy("query_id", "rank")
+
   /** BM25 retrieval: top documents for a fixed probe query — the posting
     * lists of the query terms, never the full token stream. */
   def eBm25(s: SparkSession, d: String): DataFrame =
@@ -1152,11 +1164,10 @@ object ExtQueries {
     * the Spark side: `cw` = codewords (vec_id % 50 == 1 in id order →
     * cids 1..K), `pd` = per-(vector, subspace, codeword) squared distance,
     * `code` = the argmin (rn = 1), tie-broken (d2, cid) exactly like
-    * NearestCentroid. */
-  private val pqCte =
-    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
-       |cw AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+    * NearestCentroid. `pqChain` references an `e` CTE declared by the
+    * caller (standalone form below; the IVF-PQ oracle reuses embCtes'). */
+  private val pqChain =
+    s"""cw AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
        |       FROM e WHERE vec_id % 50 = 1),
        |pd AS (SELECT e.vec_id, CAST((e.pos - 1) // $PqSubDim AS BIGINT) AS m, cw.cid,
        |       sum((e.v - cw.v) * (e.v - cw.v)) AS d2
@@ -1166,6 +1177,11 @@ object ExtQueries {
        |code AS (SELECT vec_id, m, cid AS code, d2,
        |       row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
        |       FROM pd)""".stripMargin
+
+  private val pqCte =
+    s"""e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+       |$pqChain""".stripMargin
 
   private val pqEncodeOracle =
     s"""WITH $pqCte
@@ -1189,6 +1205,43 @@ object ExtQueries {
        |         ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank
        |       FROM adc)
        |SELECT query_id, neighbor_id, adc_d2, rank FROM rk
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+
+  /** IVF-PQ: the ivfOracle cell-assignment chain (rounded-cosine argmax,
+    * nProbe = 2) composed with the PQ code chain and an ADC rescore. */
+  private val ivfPqOracle =
+    s"""WITH $embCtes,
+       |$pqChain,
+       |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
+       |  FROM e v JOIN e c ON v.pos = c.pos
+       |  WHERE c.vec_id % 50 = 1
+       |  GROUP BY 1, 2),
+       |vcs AS (SELECT vid, cell_id, round(dp / (nv.nrm * nc.nrm), 6) AS cs
+       |  FROM vc JOIN norms nv ON nv.vec_id = vid
+       |  JOIN norms nc ON nc.vec_id = cell_id),
+       |assigned AS (SELECT vid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs) WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs WHERE vid % 50 = 0) WHERE rn <= 2),
+       |lut AS (SELECT e.vec_id AS qid, CAST((e.pos - 1) // $PqSubDim AS BIGINT) AS m,
+       |       cw.cid, sum((e.v - cw.v) * (e.v - cw.v)) AS pd2
+       |       FROM e JOIN cw ON e.pos = cw.pos
+       |       WHERE e.vec_id % 50 = 0 AND e.pos <= ${PqM * PqSubDim}
+       |       GROUP BY 1, 2, 3),
+       |cand AS (SELECT p.qid, a.vid FROM probes p
+       |  JOIN assigned a ON p.cell_id = a.cell_id WHERE p.qid <> a.vid),
+       |adc AS (SELECT cand.qid AS query_id, cand.vid AS neighbor_id,
+       |       round(sum(l.pd2), 6) AS adc_d2
+       |       FROM cand
+       |       JOIN (SELECT vec_id, m, code FROM code WHERE rn = 1) c
+       |         ON c.vec_id = cand.vid
+       |       JOIN lut l ON l.qid = cand.qid AND l.m = c.m AND l.cid = c.code
+       |       GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |       ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank FROM adc)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
 
   private val bm25Oracle = {
@@ -1255,6 +1308,7 @@ object ExtQueries {
     "e_heavy_hitters" -> (eHeavyHitters _),
     "e_pq_encode" -> (ePqEncode _),
     "e_pq_adc_topk" -> (ePqAdcTopk _),
+    "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_bm25" -> (eBm25 _),
   )
 
@@ -1329,6 +1383,7 @@ object ExtQueries {
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,
+    "e_ivfpq_topk" -> ivfPqOracle,
     "e_bm25" -> bm25Oracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),

@@ -90,6 +90,35 @@ object ProductQuantization {
         round(col("c.sub_d2"), 6).as("sub_d2"))
   }
 
+  /** The per-query partial-distance lookup table (query_id, lm, cid, pd2):
+    * ||q_m − c_{m,cid}||² for every (subspace, codeword) — nQueries ×
+    * nSubspaces × K rows, broadcast-sized by construction. UNrounded; only
+    * the final ADC sum rounds (mirroring the oracle). */
+  private def queryLut(vecs: DataFrame, idCol: String, embCol: String,
+                       isQuery: Column,
+                       cb: IndexedSeq[Seq[(Long, Array[Double])]],
+                       nSubspaces: Int, subDim: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cbDf = (for {
+      m <- 0 until nSubspaces
+      (cid, sub) <- cb(m)
+    } yield (m.toLong, cid, sub.toSeq)).toDF("lm", "cid", "c_sub")
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    vecs.filter(isQuery)
+      .select(col(idCol).cast("long").as("query_id"), toDouble.as("qv"))
+      .select(col("query_id"), explode(array((0 until nSubspaces).map { m =>
+        struct(lit(m.toLong).as("lm"),
+          slice(col("qv"), m * subDim + 1, subDim).as("q_sub"))
+      }: _*)).as("s"))
+      .select(col("query_id"), col("s.lm").as("lm"), col("s.q_sub").as("q_sub"))
+      .join(broadcast(cbDf), Seq("lm"))
+      .select(col("query_id"), col("lm"), col("cid"),
+        aggregate(zip_with(col("q_sub"), col("c_sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("pd2"))
+  }
+
   /** ADC top-k: every query (unquantized) against the PQ-encoded corpus.
     * Returns (query_id, neighbor_id, adc_d2, rank), rank 1..k per query by
     * ascending rounded ADC distance, id tie-break; the query row itself is
@@ -102,31 +131,10 @@ object ProductQuantization {
   def adcTopK(vecs: DataFrame, idCol: String, embCol: String,
               isQuery: Column, isCodeword: Column,
               nSubspaces: Int, subDim: Int, k: Int): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
     val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
     val codes = encode(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
       .select(col("vec_id"), col("m"), col("code"))
-    // (m, cid, c_sub): nSubspaces × K rows — broadcast-sized by construction
-    val cbDf = (for {
-      m <- 0 until nSubspaces
-      (cid, sub) <- cb(m)
-    } yield (m.toLong, cid, sub.toSeq)).toDF("lm", "cid", "c_sub")
-    val toDouble = transform(col(embCol), x => x.cast("double"))
-    val qsub = vecs.filter(isQuery)
-      .select(col(idCol).cast("long").as("query_id"), toDouble.as("qv"))
-      .select(col("query_id"), explode(array((0 until nSubspaces).map { m =>
-        struct(lit(m.toLong).as("lm"),
-          slice(col("qv"), m * subDim + 1, subDim).as("q_sub"))
-      }: _*)).as("s"))
-      .select(col("query_id"), col("s.lm").as("lm"), col("s.q_sub").as("q_sub"))
-    // partial-distance lookup table: ||q_m − c_{m,cid}||², UNrounded (only
-    // the final ADC sum is rounded, mirroring the oracle)
-    val lut = qsub.join(broadcast(cbDf), Seq("lm"))
-      .select(col("query_id"), col("lm"), col("cid"),
-        aggregate(zip_with(col("q_sub"), col("c_sub"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, x) => acc + x).as("pd2"))
+    val lut = queryLut(vecs, idCol, embCol, isQuery, cb, nSubspaces, subDim)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(asc("adc_d2"), asc("neighbor_id"))
     codes
@@ -134,6 +142,69 @@ object ProductQuantization {
         col("m") === col("lm") && col("code") === col("cid"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(round(sum(col("pd2")), 6).as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF-PQ top-k — both prunings composed: the corpus coarse-quantizes
+    * into cells around sampled centroid vectors ([[Similarity.ivfTopK]]'s
+    * convention: max ROUNDED cosine, id tie-break), each query probes only
+    * its `nProbe` nearest cells, and the survivors are scored by ADC over
+    * their PQ codes. Candidate volume scales with corpus/cells × nProbe,
+    * and each candidate costs `nSubspaces` lookup-table hits instead of a
+    * d-dim dot product — the memory-resident billion-vector search shape.
+    *
+    * Plan: (cell_id ⋈ codes) is the inverted file WITH codes — built here
+    * with one shuffle on vec_id, materialized/bucketed once in production —
+    * scanned against a broadcast (probe × LUT) table on
+    * (cell, subspace, code); never a cartesian, never a raw vector at
+    * query time. Note: codes quantize the raw vectors, not the per-cell
+    * residuals (classic IVFADC) — residual coding needs per-cell codebooks;
+    * the plan shape is identical, accuracy at production scale prefers
+    * residuals. */
+  def ivfPqTopK(vecs: DataFrame, idCol: String, embCol: String,
+                isQuery: Column, isCentroid: Column, isCodeword: Column,
+                nSubspaces: Int, subDim: Int, k: Int, nProbe: Int): DataFrame = {
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    def l2norm(c: Column): Column =
+      sqrt(VectorExpressions.vecDot(c, c))
+    val centroids = vecs.filter(isCentroid)
+      .select(col(idCol).cast("long").as("cell_id"), toDouble.as("cent_emb"),
+        l2norm(toDouble).as("cent_norm"))
+    val base = vecs.select(col(idCol).cast("long").as("vid"),
+      toDouble.as("v_emb"), l2norm(toDouble).as("v_norm"),
+      isQuery.as("is_q"))
+    // rounded-cosine cell scores for every vector — one broadcast product,
+    // reused for both the corpus assignment (rn = 1) and the query probes
+    // (rn <= nProbe), exactly the ivfTopK convention
+    val wCell = Window.partitionBy(col("vid")).orderBy(desc("cs"), asc("cell_id"))
+    val cellScores = base.crossJoin(broadcast(centroids))
+      .select(col("vid"), col("is_q"), col("cell_id"),
+        round(VectorExpressions.vecDot(col("v_emb"), col("cent_emb")) /
+          (col("v_norm") * col("cent_norm")), 6).as("cs"))
+      .withColumn("rn", row_number().over(wCell))
+    val assigned = cellScores.filter(col("rn") === 1)
+      .select(col("vid"), col("cell_id"))
+    val probes = cellScores.filter(col("is_q") && col("rn") <= nProbe)
+      .select(col("vid").as("query_id"), col("cell_id").as("p_cell"))
+    val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
+    val codes = encode(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
+      .select(col("vec_id").as("vid"), col("m"), col("code"))
+    // the inverted file with codes: (cell_id, vid, m, code)
+    val cellCodes = assigned.join(codes, Seq("vid"))
+    // probe × LUT: (query_id, p_cell, lm, cid, pd2) — broadcast-sized
+    val probeLut = probes.join(
+      queryLut(vecs, idCol, embCol, isQuery, cb, nSubspaces, subDim),
+      Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    cellCodes
+      .join(broadcast(probeLut),
+        col("cell_id") === col("p_cell") && col("m") === col("lm") &&
+          col("code") === col("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid").as("neighbor_id"))
       .agg(round(sum(col("pd2")), 6).as("adc_d2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

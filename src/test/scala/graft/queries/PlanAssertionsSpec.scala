@@ -171,6 +171,17 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("e_ivfpq_topk: candidate scan is the broadcast (cell, code) equi-join") {
+    val plan = executedPlan("e_ivfpq_topk")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"IVF-PQ must never plan a cartesian, found: $bad")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the probe×LUT table must broadcast against the inverted file:\n$plan")
+  }
+
   test("e_bm25: term df broadcasts; top-k is TakeOrderedAndProject") {
     val plan = executedPlan("e_bm25")
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }

@@ -86,6 +86,45 @@ class ProductQuantizationSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopK only scores candidates from probed cells (ADC unchanged)") {
+    // centroids 1 and 4 define two cells; with nProbe = 1 each query scores
+    // only its own cell's members — a candidate from the other cell may be
+    // ADC-closer yet must not appear
+    val got = ProductQuantization.ivfPqTopK(vecs, "vec_id", "embedding",
+      isQuery = col("vec_id").isin(2L, 6L), isCentroid = isCw,
+      isCodeword = isCw, nSubspaces = 2, subDim = 2, k = 5, nProbe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // reference cell assignment: max rounded cosine to centroids 1/4
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dp = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.rint(dp / (na * nb) * 1e6) / 1e6
+    }
+    val cells = all.map { case (id, v) =>
+      id -> Seq((1L, cos(v, all(1L))), (4L, cos(v, all(4L))))
+        .maxBy { case (cid, c) => (c, -cid) }._1
+    }
+    for ((q, neighbors) <- got) {
+      assert(!neighbors.contains(q))
+      neighbors.foreach { n =>
+        assert(cells(n) == cells(q),
+          s"query $q (cell ${cells(q)}) scored $n from cell ${cells(n)}")
+      }
+    }
+    // with nProbe covering all cells, IVF-PQ degrades to plain ADC
+    val full = ProductQuantization.ivfPqTopK(vecs, "vec_id", "embedding",
+      isQuery = col("vec_id").isin(2L, 6L), isCentroid = isCw,
+      isCodeword = isCw, nSubspaces = 2, subDim = 2, k = 3, nProbe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val adc = ProductQuantization.adcTopK(vecs, "vec_id", "embedding",
+      isQuery = col("vec_id").isin(2L, 6L), isCodeword = isCw,
+      nSubspaces = 2, subDim = 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(full == adc, s"nProbe=all must equal plain ADC: $full vs $adc")
+  }
+
   test("isCodeword selecting nothing is rejected") {
     intercept[IllegalArgumentException] {
       ProductQuantization.encode(vecs, "vec_id", "embedding", lit(false), 2, 2)
