@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement — priority sampling
+  * (Duffield/Lund/Thorup, "Priority sampling for estimation of arbitrary
+  * subset sums", JACM 2007): each row gets priority `w / u` for a uniform
+  * `u ∈ (0, 1]`, the n highest priorities are kept, and every kept row
+  * carries the estimator weight `max(w, τ)` (τ = the (n+1)-th priority),
+  * which makes sampled subset-sums unbiased estimates of true subset-sums.
+  * The standard way to cut a fixed-size, heavy-row-favoring sample (docs
+  * weighted by token count, clusters by size) out of a 100 TB corpus for
+  * inspection or audit.
+  *
+  * No RNG: `u` derives from the portable 56-bit content hash of the row id
+  * (same [[Dedup.hexHash]] family as the stratified/mixture samplers), so
+  * the sample is a pure function of the data — reproducible across runs,
+  * engines, and cluster sizes, and DuckDB-reproducible for the oracle.
+  *
+  * Plan shape: one narrow scan computes priorities; both the sample and
+  * the threshold are global top-k cuts — TakeOrderedAndProject (bounded
+  * per-partition heaps, never a global sort or single-partition window);
+  * τ returns as ONE broadcast scalar row. */
+object WeightedSample {
+
+  /** Top-`n` priority sample. Returns (doc_id, weight, priority,
+    * est_weight): rounded priority (6 dp, id tie-break — the cut order)
+    * and the DLT estimator weight `max(w, τ)`, τ = 0 when the corpus has
+    * ≤ n rows (then the "sample" is exact and est_weight = weight). */
+  def prioritySample(df: DataFrame, idCol: String, weight: Column, n: Int,
+                     salt: String = "prio|"): DataFrame = {
+    require(n >= 1, "sample size must be >= 1")
+    val id = col(idCol)
+    // u in (0, 1]: 56-bit hash folded to 1..10^6 over 10^6 — coarse enough
+    // to stay exactly representable, fine enough that priority ties are
+    // broken by the id order anyway
+    val u = (Dedup.hexHash(id.cast("string"), salt) % 1000000L + 1L)
+      .cast("double") / lit(1000000.0)
+    val base = df.select(id.cast("long").as("doc_id"),
+      weight.cast("double").as("weight"),
+      round(weight.cast("double") / u, 6).as("priority"))
+    // τ = the (n+1)-th highest priority: min of the top-(n+1) cut, 0 when
+    // fewer than n+1 rows exist (sample is then the whole input, exact)
+    val tau = base.orderBy(desc("priority"), asc("doc_id")).limit(n + 1)
+      .agg(when(count(lit(1)) === n + 1, min(col("priority")))
+        .otherwise(lit(0.0)).as("tau"))
+    base.orderBy(desc("priority"), asc("doc_id")).limit(n)
+      .crossJoin(broadcast(tau))
+      .select(col("doc_id"), col("weight"), col("priority"),
+        round(greatest(col("weight"), col("tau")), 6).as("est_weight"))
+  }
+}

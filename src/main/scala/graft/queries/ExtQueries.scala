@@ -49,6 +49,8 @@ object ExtQueries {
   // BM25 probe query (e_bm25): terms present in the synthetic vocabulary
   private val Bm25Terms = Seq("spark", "query", "window")
   private val Bm25TopK = 20
+  // priority sample size (e_weighted_sample)
+  private val WsN = 50
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -243,6 +245,14 @@ object ExtQueries {
   def eBm25(s: SparkSession, d: String): DataFrame =
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
+
+  /** Priority sample of the corpus weighted by token count — fixed-size,
+    * heavy-doc-favoring, deterministic, with DLT estimator weights. */
+  def eWeightedSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.WeightedSample.prioritySample(
+        Tables.documents(s, d), "doc_id",
+        graft.functions.TextAnalysis.tokenCount(col("text")), n = WsN)
+      .orderBy("doc_id")
 
   /** Near-dup removal applied: the cleaned corpus after dropping the higher
     * doc_id of every high-confidence MinHash pair. */
@@ -1244,6 +1254,24 @@ object ExtQueries {
        |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
 
+  /** Priority-sampling oracle: identical u/priority/τ formulas from the
+    * same hash and constants. */
+  private val weightedSampleOracle = {
+    val u = s"((${hexHashSql("CAST(doc_id AS VARCHAR)", "prio|")} % 1000000 + 1) / 1000000.0)"
+    s"""WITH t AS (SELECT doc_id,
+       |       CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS weight
+       |       FROM documents),
+       |p AS (SELECT doc_id, weight, round(weight / $u, 6) AS priority FROM t),
+       |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
+       |       FROM p),
+       |tau AS (SELECT CASE WHEN (SELECT count(*) FROM p) >= ${WsN + 1}
+       |       THEN (SELECT min(priority) FROM r WHERE rn <= ${WsN + 1})
+       |       ELSE 0.0 END AS tau)
+       |SELECT doc_id, weight, priority,
+       |       round(greatest(weight, tau.tau), 6) AS est_weight
+       |FROM r CROSS JOIN tau WHERE rn <= $WsN ORDER BY doc_id""".stripMargin
+  }
+
   private val bm25Oracle = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
     s"""WITH tk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
@@ -1310,6 +1338,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> (ePqAdcTopk _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_bm25" -> (eBm25 _),
+    "e_weighted_sample" -> (eWeightedSample _),
   )
 
   val oracle: Map[String, String] = Map(
@@ -1385,6 +1414,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_bm25" -> bm25Oracle,
+    "e_weighted_sample" -> weightedSampleOracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),

@@ -190,6 +190,18 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the top-k cut must avoid a global sort:\n$plan")
   }
 
+  test("e_weighted_sample: both cuts are TakeOrderedAndProject, no global window") {
+    val plan = executedPlan("e_weighted_sample")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"the priority cut must use bounded per-partition heaps:\n$plan")
+    val globalWindows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"priority sampling must never serialize through one window task:\n$plan")
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {
