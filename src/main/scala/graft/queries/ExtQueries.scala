@@ -51,6 +51,11 @@ object ExtQueries {
   private val Bm25TopK = 20
   // priority sample size (e_weighted_sample)
   private val WsN = 50
+  // hybrid retrieval (e_hybrid_rrf): RRF constant, per-system list depth,
+  // fused result depth; the semantic side queries from vec_id 0
+  private val RrfK = 60
+  private val RrfDepth = 20
+  private val RrfTopK = 10
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -245,6 +250,30 @@ object ExtQueries {
   def eBm25(s: SparkSession, d: String): DataFrame =
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
+
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+    * SIGIR 2009): the BM25 lexical ranking and the embedding cosine
+    * ranking fuse as Σ 1/(k + rank) — the standard RAG retrieval stack,
+    * here a pure composition of the two existing operators. Both input
+    * lists are top-`RrfDepth` cuts (bounded by construction, so the rank
+    * windows run over ≤ RrfDepth rows); absent ranks contribute 0. */
+  def eHybridRrf(s: SparkSession, d: String): DataFrame = {
+    val lexW = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("bm25"), asc("doc_id"))
+    val lex = graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id",
+        "text", Bm25Terms, topK = RrfDepth)
+      .select(col("doc_id"), row_number().over(lexW).cast("long").as("lex_rank"))
+    val sem = Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id",
+        "embedding", isQuery = col("vec_id") === 0, k = RrfDepth)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("sem_rank"))
+    val contrib = (r: org.apache.spark.sql.Column) =>
+      coalesce(lit(1.0) / (lit(RrfK) + r), lit(0.0))
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("sem_rank"),
+        round(contrib(col("lex_rank")) + contrib(col("sem_rank")), 6).as("rrf_score"))
+      .orderBy(desc("rrf_score"), asc("doc_id"))
+      .limit(RrfTopK)
+  }
 
   /** Priority sample of the corpus weighted by token count — fixed-size,
     * heavy-doc-favoring, deterministic, with DLT estimator weights. */
@@ -1272,9 +1301,11 @@ object ExtQueries {
        |FROM r CROSS JOIN tau WHERE rn <= $WsN ORDER BY doc_id""".stripMargin
   }
 
-  private val bm25Oracle = {
+  /** The BM25 score CTE chain (tk … s), shared by the plain retrieval
+    * oracle and the hybrid-RRF oracle. */
+  private val bm25Chain = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""WITH tk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+    s"""tk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
        |       FROM documents),
        |dl AS (SELECT doc_id, CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS dl
        |       FROM documents),
@@ -1289,10 +1320,41 @@ object ExtQueries {
        |         * tf.tf * (1.2 + 1) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS bm25
        |       FROM tf JOIN qdf ON tf.term = qdf.term
        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st
-       |       GROUP BY tf.doc_id)
+       |       GROUP BY tf.doc_id)""".stripMargin
+  }
+
+  private val bm25Oracle =
+    s"""WITH $bm25Chain
        |SELECT doc_id, n_terms, bm25 FROM s
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
-  }
+
+  /** RRF fusion of the BM25 chain and the brute-force cosine ranking from
+    * vec_id 0 — rank semantics mirror Bm25.topDocs (rounded score desc, id
+    * tie-break) and Similarity.bruteForceTopK (rounded cosine desc, id). */
+  private val hybridRrfOracle =
+    s"""WITH $bm25Chain,
+       |lexr AS (SELECT doc_id, lex_rank FROM (
+       |       SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS lex_rank FROM s)
+       |       WHERE lex_rank <= $RrfDepth),
+       |$embCtes,
+       |dots AS (SELECT t.vec_id AS doc_id,
+       |       round(sum(q.v * t.v) / (nq.nrm * nt.nrm), 6) AS cs
+       |       FROM e q JOIN e t ON t.pos = q.pos AND q.vec_id = 0 AND t.vec_id <> 0
+       |       JOIN norms nq ON nq.vec_id = 0
+       |       JOIN norms nt ON nt.vec_id = t.vec_id
+       |       GROUP BY t.vec_id, nq.nrm, nt.nrm),
+       |semr AS (SELECT doc_id, sem_rank FROM (
+       |       SELECT doc_id, CAST(row_number() OVER (
+       |         ORDER BY cs DESC, doc_id ASC) AS BIGINT) AS sem_rank FROM dots)
+       |       WHERE sem_rank <= $RrfDepth),
+       |fused AS (SELECT coalesce(l.doc_id, r.doc_id) AS doc_id,
+       |       l.lex_rank, r.sem_rank,
+       |       round(coalesce(1.0 / ($RrfK + l.lex_rank), 0)
+       |         + coalesce(1.0 / ($RrfK + r.sem_rank), 0), 6) AS rrf_score
+       |       FROM lexr l FULL OUTER JOIN semr r ON l.doc_id = r.doc_id)
+       |SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
+       |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
 
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
@@ -1338,6 +1400,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> (ePqAdcTopk _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_bm25" -> (eBm25 _),
+    "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
   )
 
@@ -1414,6 +1477,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_bm25" -> bm25Oracle,
+    "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
