@@ -251,6 +251,20 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** Mergeable quantile summary per event type: the deterministic
+    * multi-level compaction sketch, probed for the median and p99 with
+    * pure column expressions. Engine-specific state (like the HLL and
+    * approx-percentile rows) — rows-only check by design. */
+  def eQuantileSketch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.operators.QuantileSketch.agg(128)(col("value").cast("double"))
+        .as("qs"))
+      .select(col("event_type"),
+        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.5).as("p50_sketch"),
+        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.99).as("p99_sketch"))
+      .orderBy("event_type")
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR 2009): the BM25 lexical ranking and the embedding cosine
     * ranking fuse as Σ 1/(k + rank) — the standard RAG retrieval stack,
@@ -1402,6 +1416,8 @@ object ExtQueries {
     "e_bm25" -> (eBm25 _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
+    // engine-specific sketch state — rows-only, like ax_approx_distinct
+    "e_quantile_sketch" -> (eQuantileSketch _),
   )
 
   val oracle: Map[String, String] = Map(
