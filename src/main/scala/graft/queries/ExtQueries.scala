@@ -251,6 +251,13 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** Perplexity filter signal: per-doc cross-entropy under the corpus's
+    * own smoothed unigram LM (CCNet-style quality scoring, relational). */
+  def eLmPerplexity(s: SparkSession, d: String): DataFrame =
+    graft.functions.LanguageModel.perplexity(
+        Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
   /** Mergeable quantile summary per event type: the deterministic
     * multi-level compaction sketch, probed for the median and p99 with
     * pure column expressions. Engine-specific state (like the HLL and
@@ -1416,6 +1423,7 @@ object ExtQueries {
     "e_bm25" -> (eBm25 _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
+    "e_lm_perplexity" -> (eLmPerplexity _),
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
@@ -1495,6 +1503,21 @@ object ExtQueries {
     "e_bm25" -> bm25Oracle,
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
+    "e_lm_perplexity" ->
+      """WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+        |       FROM documents),
+        |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY term),
+        |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+        |       CAST(count(*) AS DOUBLE) AS v_types FROM uni),
+        |sc AS (SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |       -sum(ln((CAST(uni.c AS DOUBLE) + 1.0)
+        |         / (st.n_tokens + 1.0 * (st.v_types + 1.0)))) / count(*) AS h
+        |       FROM tk JOIN uni ON tk.term = uni.term CROSS JOIN st
+        |       GROUP BY tk.doc_id)
+        |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
+        |       round(exp(h), 6) AS perplexity
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
