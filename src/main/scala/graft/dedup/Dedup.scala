@@ -497,12 +497,21 @@ object Dedup {
     // read twice (root lookup for the increment, final relabel join)
     val all = maybePersist(labels.unionByName(freshDocs))
     // the quotient graph: new pairs projected onto component roots
-    val rootPairs = newPairs
+    // (persisted increment-sized — probed once for the fast path, read
+    // again by the contraction)
+    val rootPairs = maybePersist(newPairs
       .join(all.select(col("doc_id").as("doc_a"), col("cluster_id").as("ra")),
         Seq("doc_a"))
       .join(all.select(col("doc_id").as("doc_b"), col("cluster_id").as("rb")),
         Seq("doc_b"))
-      .select(col("ra").as("doc_a"), col("rb").as("doc_b"))
+      .select(col("ra").as("doc_a"), col("rb").as("doc_b")))
+    // fast path — no cross-component edge: every pair is a replay inside
+    // one component (the at-least-once redelivery case) or touches only
+    // fresh singletons already labeled by themselves. Labels are final;
+    // skip the contraction entirely (one limit-1 probe decides).
+    if (rootPairs.filter(col("doc_a") =!= col("doc_b")).isEmpty)
+      return materializeAndRelease(all.select(col("doc_id"), col("cluster_id")),
+        all, rootPairs)
     val rootDocs = rootPairs.select(col("doc_a").as("doc_id"))
       .union(rootPairs.select(col("doc_b").as("doc_id"))).distinct()
     // star contraction over super-nodes; compact by construction
@@ -513,7 +522,7 @@ object Dedup {
       .join(rootLabels, col("cluster_id") === col("old_root"), "left")
       .select(col("doc_id"),
         coalesce(col("new_root"), col("cluster_id")).as("cluster_id"))
-    materializeAndRelease(result, all)
+    materializeAndRelease(result, all, rootPairs)
   }
 
   // ---------------- n-gram Jaccard ----------------

@@ -251,6 +251,12 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** Bigram collocations by PMI (min pair count 10, top 30) — phrase
+    * detection over the corpus, in-row bigram extraction. */
+  def eCollocations(s: SparkSession, d: String): DataFrame =
+    graft.functions.Collocations.topPmiBigrams(
+      Tables.documents(s, d), "text", minCount = 10L, topK = 30)
+
   /** Perplexity filter signal: per-doc cross-entropy under the corpus's
     * own smoothed unigram LM (CCNet-style quality scoring, relational). */
   def eLmPerplexity(s: SparkSession, d: String): DataFrame =
@@ -1424,9 +1430,31 @@ object ExtQueries {
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
     "e_lm_perplexity" -> (eLmPerplexity _),
+    "e_collocations" -> (eCollocations _),
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
+
+  private val collocationsOracle =
+    """WITH tk AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
+      |bi0 AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos),
+      |bi AS (SELECT w1, w2 FROM bi0 WHERE w1 <> '' AND w2 <> ''),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+      |toku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toku
+      |       WHERE term <> '' GROUP BY term),
+      |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
+      |nb AS (SELECT CAST(sum(c12) AS DOUBLE) AS nb FROM bc),
+      |p AS (SELECT bc.w1, bc.w2, bc.c12,
+      |       round(ln((CAST(bc.c12 AS DOUBLE) / nb.nb)
+      |         / ((CAST(u1.c AS DOUBLE) / nu.nu) * (CAST(u2.c AS DOUBLE) / nu.nu))), 6) AS pmi
+      |       FROM bc JOIN uni u1 ON bc.w1 = u1.term
+      |       JOIN uni u2 ON bc.w2 = u2.term
+      |       CROSS JOIN nu CROSS JOIN nb
+      |       WHERE bc.c12 >= 10)
+      |SELECT w1, w2, c12, pmi FROM p
+      |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "e_dedup_exact" ->
@@ -1503,6 +1531,7 @@ object ExtQueries {
     "e_bm25" -> bm25Oracle,
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
+    "e_collocations" -> collocationsOracle,
     "e_lm_perplexity" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
         |       FROM documents),
