@@ -45,7 +45,13 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_passage_dedup" -> (1L << 21),
     "e_ngram_jaccard" -> (7L << 19),
     "e_simhash_multitable" -> (1L << 20),
-    "e_bloom_dedup" -> (1L << 20))
+    "e_bloom_dedup" -> (1L << 20),
+    // round-6 additions: the incremental-CC line carries the shared memo
+    // builds AND its baseline-labeling simulation (worst case); the
+    // token-stream operators shuffle the corpus term join
+    "e_cc_incremental" -> (2L << 20),
+    "e_lm_perplexity" -> (1L << 20),
+    "e_collocations" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
