@@ -251,6 +251,19 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** Z-order keys over two scan dimensions (doc length, id bucket) — the
+    * write-time layout pass that makes row-group min/max stats selective
+    * for BOTH dimensions; graded on the key arithmetic, locality proven in
+    * ZOrderSpec. */
+  def eZorderKey(s: SparkSession, d: String): DataFrame = {
+    val x = (col("n_chars") % 256).cast("long")
+    val y = (col("doc_id") % 256).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), x.as("x"), y.as("y"),
+        graft.storage.ZOrder.zValue(x, y, bits = 8).as("z"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram collocations by PMI (min pair count 10, top 30) — phrase
     * detection over the corpus, in-row bigram extraction. */
   def eCollocations(s: SparkSession, d: String): DataFrame =
@@ -1431,6 +1444,7 @@ object ExtQueries {
     "e_weighted_sample" -> (eWeightedSample _),
     "e_lm_perplexity" -> (eLmPerplexity _),
     "e_collocations" -> (eCollocations _),
+    "e_zorder_key" -> (eZorderKey _),
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
@@ -1532,6 +1546,17 @@ object ExtQueries {
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
     "e_collocations" -> collocationsOracle,
+    "e_zorder_key" -> {
+      val terms = (0 until 8).flatMap { i =>
+        Seq(s"(((x >> $i) & 1) * ${1L << (2 * i)})",
+          s"(((y >> $i) & 1) * ${1L << (2 * i + 1)})")
+      }.mkString(" + ")
+      s"""WITH b AS (SELECT doc_id, n_chars % 256 AS x, doc_id % 256 AS y
+         |       FROM documents)
+         |SELECT doc_id, CAST(x AS BIGINT) AS x, CAST(y AS BIGINT) AS y,
+         |       CAST($terms AS BIGINT) AS z
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "e_lm_perplexity" ->
       """WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
         |       FROM documents),
