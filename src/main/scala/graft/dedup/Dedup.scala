@@ -432,15 +432,19 @@ object Dedup {
       val next = iterCheckpoint(canon(
         large.join(mS, Seq("u")).select(col("v").as("u"), col("m").as("v"))
           .union(mS.select(col("u"), col("m").as("v")))))
-      // ONE convergence job: both sides are distinct sets, so
-      // |next| == |edges| and next ⊆ edges ⟺ next == edges
-      val stats = next
-        .join(edges.select(col("u"), col("v"), lit(1).as("__old")),
-          Seq("u", "v"), "left")
-        .agg(count(lit(1)).as("n"), count(col("__old")).as("overlap"))
-        .head()
-      val nextCount = stats.getLong(0)
-      done = nextCount == edgeCount && stats.getLong(1) == nextCount
+      // convergence: both sides are distinct sets, so |next| == |edges|
+      // and next ⊆ edges ⟺ next == edges. The count is near-free on the
+      // just-checkpointed blocks; the subset JOIN only runs when the
+      // counts already agree — early rounds (counts shrinking) skip it
+      val nextCount = next.count()
+      done = nextCount == edgeCount && {
+        val overlap = next
+          .join(edges.select(col("u"), col("v"), lit(1).as("__old")),
+            Seq("u", "v"), "left")
+          .agg(count(col("__old")).as("overlap"))
+          .head().getLong(0)
+        overlap == nextCount
+      }
       edges = next
       edgeCount = nextCount
       iter += 1
