@@ -204,16 +204,25 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+    val result = signatureEstimates(pairs, sigs, k)
+      .filter(col("est_jaccard") >= minEst)
+    materializeAndRelease(result, sigs, bands)
+  }
+
+  /** Signature-agreement Jaccard estimate for candidate `(doc_a, doc_b)`
+    * pairs against a `(doc_id, h0..h{k-1})` signature table — the scoring
+    * half of the LSH pipeline, shared by the batch candidates build and
+    * the streaming index ([[graft.streaming.StreamingMinHashLsh]]).
+    * Returns (doc_a, doc_b, est_jaccard). */
+  def signatureEstimates(pairs: DataFrame, sigs: DataFrame, k: Int): DataFrame = {
     val sa = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_a" else s"a_$c").toIndexedSeq: _*)
     val sb = sigs.toDF(sigs.columns.map(c => if (c == "doc_id") "doc_b" else s"b_$c").toIndexedSeq: _*)
     val matches = (0 until k)
       .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
       .reduce(_ + _)
-    val result = pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    pairs.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(matches.cast("double") / k, 6).as("est_jaccard"))
-      .filter(col("est_jaccard") >= minEst)
-    materializeAndRelease(result, sigs, bands)
   }
 
   // ---------------- SimHash ----------------

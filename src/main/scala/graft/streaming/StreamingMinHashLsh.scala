@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicReference
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming MinHash-LSH index maintenance — the incremental half of the
+  * near-dup candidate generator: documents arrive as a stream, each
+  * micro-batch is shingled/signed ONCE, probed against the accumulated
+  * band index for cross-batch candidates, self-joined for within-batch
+  * candidates, and then folded into the index. Per-batch work scales with
+  * the batch's bands × matching bucket occupancy — the already-indexed
+  * corpus is never re-shingled.
+  *
+  * Composes with [[StreamingConnectedComponents]] into the full streaming
+  * dedup path: docs stream → candidate-pair stream → maintained cluster
+  * labels.
+  *
+  * Replay safety: a redelivered doc_id is dropped before signing (anti-join
+  * against the index), so at-least-once delivery cannot create self-pairs
+  * or duplicate index rows; accumulated pairs are stable under replay.
+  *
+  * State: the signature, band, and pair tables are compact materialized
+  * artifacts (localCheckpoint / reliable checkpoint — the
+  * [[Dedup.materializeAndRelease]] contract); they grow with the corpus,
+  * as any index must. This per-batch re-materialization is the local
+  * form; a production deployment appends the same three tables to
+  * bucketed storage (bucket by band_key / doc_id) so each batch writes
+  * only its increment. */
+object StreamingMinHashLsh {
+
+  final case class Index(sigs: DataFrame, bands: DataFrame, pairs: DataFrame)
+
+  final class Handle private[StreamingMinHashLsh] (
+      ref: AtomicReference[Index]) {
+    /** Accumulated candidate pairs (doc_a, doc_b, est_jaccard), canonical
+      * doc_a < doc_b, across all committed batches. */
+    def candidatePairs: Option[DataFrame] = Option(ref.get()).map(_.pairs)
+    /** doc_ids currently in the index. */
+    def indexedDocs: Option[DataFrame] =
+      Option(ref.get()).map(_.sigs.select(col("doc_id")))
+  }
+
+  /** Start maintaining the index over a streaming `(doc_id, text)` frame. */
+  def start(docs: DataFrame, checkpointLocation: String, k: Int = 12,
+            shingleWidth: Int = 3, bandRows: Int = 2,
+            minEst: Double = 0.0): (StreamingQuery, Handle) = {
+    val ref = new AtomicReference[Index](null)
+    val query = docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val prev = Option(ref.get())
+        val incoming = batch.select(col("doc_id"), col("text"))
+        // replay guard: already-indexed ids are no-ops
+        val fresh = prev.fold(incoming)(p =>
+          incoming.join(p.sigs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+        val bases = Dedup.shingleBases(fresh, "doc_id", "text", shingleWidth)
+        val sigs = Dedup.materializeAndRelease(
+          Dedup.minhashSignaturesFromBases(bases, k))
+        val bands = Dedup.materializeAndRelease(
+          Dedup.lshBands(sigs, k, bandRows))
+        // within-batch candidates (a < b) ∪ cross-batch probes against the
+        // index (canonicalized) — disjoint sets by construction
+        val within = bands.as("a")
+          .join(bands.as("b"), Seq("band_idx", "band_key"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        val cand = prev match {
+          case None => within.distinct()
+          case Some(p) =>
+            val cross = bands.as("n")
+              .join(p.bands.as("o"), Seq("band_idx", "band_key"))
+              .select(
+                least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+            within.unionByName(cross).distinct()
+        }
+        val allSigs = prev.fold(sigs)(p => p.sigs.unionByName(sigs))
+        val newPairs = Dedup.signatureEstimates(cand, allSigs, k)
+          .filter(col("est_jaccard") >= minEst)
+        val next = prev match {
+          case None =>
+            Index(sigs, bands, Dedup.materializeAndRelease(newPairs))
+          case Some(p) =>
+            Index(
+              Dedup.materializeAndRelease(p.sigs.unionByName(sigs)),
+              Dedup.materializeAndRelease(p.bands.unionByName(bands)),
+              Dedup.materializeAndRelease(p.pairs.unionByName(newPairs)))
+        }
+        ref.set(next)
+      }
+      .start()
+    (query, new Handle(ref))
+  }
+}
