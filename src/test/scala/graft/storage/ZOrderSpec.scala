@@ -41,9 +41,13 @@ class ZOrderSpec extends SparkSpec {
     val zWorst = math.max(touched(zClustered, xSlice), touched(zClustered, ySlice))
     val sWorst = math.max(touched(xSorted, xSlice), touched(xSorted, ySlice))
     // x-sort serves the x-slice from 1 partition but degrades the y-slice
-    // to ALL partitions; z-order bounds the worst case of the two
-    assert(sWorst == 8L, s"x-sorted layout should fail the y-slice, got $sWorst")
-    assert(zWorst <= 4L, s"z-clustered worst-dimension spread was $zWorst/8")
+    // to (nearly) ALL partitions; z-order bounds the worst case of the two.
+    // repartitionByRange SAMPLES its boundaries, so exact counts wobble by
+    // one — the assertions leave that slack while keeping the claim strict
+    assert(sWorst >= 7L, s"x-sorted layout should fail the y-slice, got $sWorst")
+    assert(zWorst <= 5L, s"z-clustered worst-dimension spread was $zWorst/8")
+    assert(zWorst < sWorst, s"z-order must beat the single-column sort " +
+      s"on the worst dimension ($zWorst vs $sWorst)")
   }
 
   test("cluster preserves the data and drops the helper column") {

@@ -12,7 +12,7 @@ class StreamingMinHashLshSpec extends SparkSpec {
     (3L, "completely different text about spark shuffles and partitions here"),
     (4L, "the quick brown fox jumps over the lazy dog near the river bank"),
     (5L, "another unrelated document mentioning joins aggregations and windows"),
-    (6L, "completely different text about spark shuffles and partitions there"))
+    (6L, "completely different text about spark shuffles and partitions here"))
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
@@ -39,6 +39,36 @@ class StreamingMinHashLshSpec extends SparkSpec {
     // sanity: the exact duplicate pair (1, 4) straddles the two batches
     // and must be found by the cross-batch probe at estimate 1.0
     assert(streamed.contains((1L, 4L, 1.0)))
+  }
+
+  test("full streaming dedup path: docs -> LSH pairs -> incremental CC labels") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val input = MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("lsh-ckpt3").toString
+    val (q, handle) = StreamingMinHashLsh.start(
+      input.toDF().toDF("doc_id", "text"), ckpt, minEst = 0.5)
+
+    // batch 1 labels, then fold the batch-2 pair increment in
+    input.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    val pairs1 = handle.candidatePairs.get.select(col("doc_a"), col("doc_b"))
+    val ids1 = pairs1.select(col("doc_a").as("doc_id"))
+      .union(pairs1.select(col("doc_b").as("doc_id"))).distinct()
+    val labels1 = Dedup.connectedComponents(pairs1, ids1, "doc_id")
+    input.addData(corpus.drop(3): _*)
+    q.processAllAvailable()
+    val pairs2 = handle.candidatePairs.get.select(col("doc_a"), col("doc_b"))
+    val increment = pairs2.join(pairs1, Seq("doc_a", "doc_b"), "left_anti")
+    val labels = Dedup.connectedComponentsIncremental(labels1, increment)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    q.stop()
+    // 1, 2, 4 are near/exact dups of each other -> one cluster labeled by
+    // the minimum; 3 and 6 share near-identical text -> their own cluster
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(4L) == 1L,
+      s"near-dup trio must share the min label, got $labels")
+    assert(labels(3L) == 3L && labels(6L) == 3L, s"got $labels")
   }
 
   test("redelivered docs are no-ops: no self-pairs, pairs unchanged") {
