@@ -105,8 +105,60 @@ object SqlQueries {
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
   }
 
+  /** Bag-semantics set ops (EXCEPT ALL / INTERSECT ALL keep multiplicity
+    * — Catalyst rewrites them to replicated generate plans, a different
+    * codepath than the distinct forms in u2/u3). */
+  def sqlExceptAll(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql("""
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 10
+      EXCEPT ALL
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY l_orderkey, l_suppkey""")
+  }
+
+  def sqlIntersectAll(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "lineitem")
+    s.sql("""
+      SELECT l_orderkey, l_linestatus FROM lineitem WHERE l_quantity > 25
+      INTERSECT ALL
+      SELECT l_orderkey, l_linestatus FROM lineitem WHERE l_discount > 0.02
+      ORDER BY l_orderkey, l_linestatus""")
+  }
+
+  /** RANGE window frame — value-based (not row-count) framing: running
+    * order value over a 5-day trailing window per customer. */
+  def sqlWindowRange(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "orders")
+    s.sql("""
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             round(sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+               RANGE BETWEEN INTERVAL 5 DAYS PRECEDING AND CURRENT ROW), 2)
+               AS trailing_5d_value
+      FROM orders
+      ORDER BY o_custkey, o_orderkey""")
+  }
+
+  /** LATERAL correlated subquery — each nation pulls its top-2 customers
+    * by account balance (Catalyst LateralJoin, DecorrelateInnerQuery). */
+  def sqlLateral(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "nation", "customer")
+    s.sql("""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM nation n,
+      LATERAL (SELECT c_custkey, c_acctbal FROM customer
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+      ORDER BY n.n_name, t.c_custkey""")
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_cte" -> (sqlCte _),
+    "sql_except_all" -> (sqlExceptAll _),
+    "sql_intersect_all" -> (sqlIntersectAll _),
+    "sql_window_range" -> (sqlWindowRange _),
+    "sql_lateral" -> (sqlLateral _),
     "sql_exists_subquery" -> (sqlExistsSubquery _),
     "sql_in_subquery" -> (sqlInSubquery _),
     "sql_scalar_subquery" -> (sqlScalarSubquery _),
@@ -118,6 +170,31 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_except_all" ->
+      """SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 10
+        |EXCEPT ALL
+        |SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_suppkey""".stripMargin,
+    "sql_intersect_all" ->
+      """SELECT l_orderkey, l_linestatus FROM lineitem WHERE l_quantity > 25
+        |INTERSECT ALL
+        |SELECT l_orderkey, l_linestatus FROM lineitem WHERE l_discount > 0.02
+        |ORDER BY l_orderkey, l_linestatus""".stripMargin,
+    "sql_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE)
+        |         RANGE BETWEEN INTERVAL 5 DAY PRECEDING AND CURRENT ROW), 2)
+        |         AS trailing_5d_value
+        |FROM orders
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "sql_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_custkey""".stripMargin,
     "sql_cte" ->
       """WITH spend AS (
         |  SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS total_spend,
