@@ -1,0 +1,61 @@
+package graft.storage
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Small-file compaction — the steady-state maintenance pass of any
+  * long-lived table: streaming micro-batches and incremental ingests leave
+  * thousands of KB-sized files per partition, and at 100 TB the resulting
+  * task-per-file scheduling + NameNode/listing pressure dominate scan
+  * cost long before the bytes do. Compaction rewrites a table directory
+  * to ~`targetFileBytes` files, sized from the MEASURED on-disk footprint
+  * (not row counts — compression ratios vary per table).
+  *
+  * The rewrite goes to a fresh directory and the swap is
+  * rename-then-delete, so a reader holding the old directory keeps a
+  * consistent view and a crashed compaction never corrupts the source
+  * (the half-written output directory is simply abandoned). Combine with
+  * [[ZOrder.cluster]] before the write to restore scan locality in the
+  * same pass, or [[Bucketing]] to keep join co-location. */
+object Compaction {
+
+  final case class Stats(filesBefore: Long, bytesBefore: Long,
+                         filesAfter: Long)
+
+  private def listDataFiles(spark: SparkSession, dir: String): Seq[(String, Long)] = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        buf += ((f.getPath.toString, f.getLen))
+    }
+    buf.toSeq
+  }
+
+  /** Compact the parquet table at `dir` in place (atomic swap via a
+    * sibling temp directory). Returns before/after stats. */
+  def compactParquet(spark: SparkSession, dir: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
+    require(targetFileBytes > 0)
+    val before = listDataFiles(spark, dir)
+    val totalBytes = before.map(_._2).sum
+    val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)
+    if (before.length <= nFiles)
+      return Stats(before.length, totalBytes, before.length)
+    val tmp = s"$dir.__compact_tmp"
+    spark.read.parquet(dir)
+      .repartition(nFiles.toInt)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir.__compact_old")
+    fs.rename(p, old)
+    fs.rename(new Path(tmp), p)
+    fs.delete(old, true)
+    Stats(before.length, totalBytes, listDataFiles(spark, dir).length)
+  }
+}
