@@ -251,6 +251,29 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** Interval-overlap join via the binned equi-join: which views landed
+    * inside the 5-minute window after each error event. At 100 TB the
+    * naive form is a broadcast-nested-loop over every (error, view) pair;
+    * the grid join's work is bin-local. */
+  def eIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    // integral div: ts is epoch-NANOS (≫ 2^53, double division is lossy)
+    val sec = expr("ts div 1000000000")
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), sec.as("i_start"),
+        (sec + 300L).as("i_end"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), sec.as("v_ts"),
+        sec.as("v_ts_end"))
+    graft.operators.IntervalJoin.overlap(
+        incidents, "i_start", "i_end", views, "v_ts", "v_ts_end",
+        binWidth = 300L)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_views"),
+        min(col("v_ts")).as("first_view"), max(col("v_ts")).as("last_view"))
+      .orderBy("incident_id")
+  }
+
   /** Z-order keys over two scan dimensions (doc length, id bucket) — the
     * write-time layout pass that makes row-group min/max stats selective
     * for BOTH dimensions; graded on the key arithmetic, locality proven in
@@ -1445,6 +1468,7 @@ object ExtQueries {
     "e_lm_perplexity" -> (eLmPerplexity _),
     "e_collocations" -> (eCollocations _),
     "e_zorder_key" -> (eZorderKey _),
+    "e_interval_join" -> (eIntervalJoin _),
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
@@ -1546,6 +1570,17 @@ object ExtQueries {
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
     "e_collocations" -> collocationsOracle,
+    "e_interval_join" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |       epoch_ms(ts) // 1000 AS sec FROM events),
+        |i AS (SELECT event_id AS incident_id, sec AS i_start, sec + 300 AS i_end
+        |       FROM ev WHERE event_type = 'error'),
+        |v AS (SELECT event_id AS view_id, sec AS v_ts FROM ev
+        |       WHERE event_type = 'view')
+        |SELECT incident_id, CAST(count(*) AS BIGINT) AS n_views,
+        |       min(v_ts) AS first_view, max(v_ts) AS last_view
+        |FROM i JOIN v ON v.v_ts BETWEEN i.i_start AND i.i_end
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
     "e_zorder_key" -> {
       val terms = (0 until 8).flatMap { i =>
         Seq(s"(((x >> $i) & 1) * ${1L << (2 * i)})",

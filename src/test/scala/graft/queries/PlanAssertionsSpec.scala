@@ -190,6 +190,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the top-k cut must avoid a global sort:\n$plan")
   }
 
+  test("e_interval_join: grid equi-join, never a nested-loop range join") {
+    val plan = executedPlan("e_interval_join")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty,
+      s"interval overlap must bin to an equi-join, found: $bad")
+  }
+
   test("e_weighted_sample: both cuts are TakeOrderedAndProject, no global window") {
     val plan = executedPlan("e_weighted_sample")
     assert(plan.toString.contains("TakeOrderedAndProject"),
