@@ -36,25 +36,54 @@ object Compaction {
     buf.toSeq
   }
 
-  /** Compact the parquet table at `dir` in place (atomic swap via a
-    * sibling temp directory). Returns before/after stats. */
+  /** Compact the FLAT parquet table at `dir` in place (swap via a sibling
+    * temp directory). Returns before/after stats.
+    *
+    * Hive-partitioned layouts (`dir/col=value/...`) are refused: a flat
+    * rewrite would silently drop the partition structure (and with it
+    * pruning and any external-table definition). Compact those one
+    * partition DIRECTORY at a time — each leaf directory is itself a flat
+    * parquet table this function handles.
+    *
+    * Crash protocol: the rewrite lands in `<dir>.__compact_tmp` first;
+    * the source moves to `<dir>.__compact_old` only after the rewrite
+    * completed, and is deleted only after the new directory is in place
+    * — every rename is CHECKED and a failed swap rolls the source back.
+    * A crash can strand a `__compact_tmp` (harmless, rebuilt next run) or
+    * a `__compact_old` alongside a live table (detected next run and
+    * refused with a recovery message, never silently merged). */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
     require(targetFileBytes > 0)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = listDataFiles(spark, dir).exists { case (path, _) =>
+      path.stripPrefix(fs.makeQualified(p).toString).split('/')
+        .exists(_.contains("="))
+    }
+    require(!partitioned,
+      s"$dir is Hive-partitioned; compact each partition directory " +
+        "separately to preserve the layout")
+    val old = new Path(s"$dir.__compact_old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; verify which " +
+        "copy is current and remove the stale one before compacting again")
     val before = listDataFiles(spark, dir)
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)
     if (before.length <= nFiles)
       return Stats(before.length, totalBytes, before.length)
-    val tmp = s"$dir.__compact_tmp"
+    val tmp = new Path(s"$dir.__compact_tmp")
     spark.read.parquet(dir)
       .repartition(nFiles.toInt)
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$dir.__compact_old")
-    fs.rename(p, old)
-    fs.rename(new Path(tmp), p)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction aborted: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; source was untouched
+      throw new java.io.IOException(
+        s"compaction aborted: could not install $tmp; source restored")
+    }
     fs.delete(old, true)
     Stats(before.length, totalBytes, listDataFiles(spark, dir).length)
   }

@@ -59,41 +59,49 @@ object StreamingKMeans {
     require(init.forall(_._2.length == dims), "centroid dims must agree")
     val ref = new AtomicReference[Model](
       Model(init.sortBy(_._1), init.map { case (cid, _) => cid -> 0.0 }.toMap))
+    // replay guard: foreachBatch is at-least-once, and unlike the set-union
+    // operators this update is NOT naturally idempotent (a re-folded batch
+    // would double-count) — so remember the last committed batch id and
+    // drop redeliveries
+    val lastBatch = new java.util.concurrent.atomic.AtomicLong(-1L)
     val query = vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val model = ref.get()
-        val toDouble = transform(col("embedding"), x => x.cast("double"))
-        val best = VectorExpressions.nearestCentroid(toDouble,
-          model.centroids.map(_._1).toArray,
-          model.centroids.map(_._2).toArray)
-        // per-cluster count + per-dimension sum: map-side combined, one
-        // bounded (k × d) collect — the mini-batch sufficient statistics
-        val aggs = count(lit(1)).cast("double").as("n") +:
-          (1 to dims).map(i =>
-            sum(element_at(toDouble, i)).as(s"s$i"))
-        val stats = batch
-          .select(col("embedding"), best.getField("cid").as("cid"))
-          .groupBy(col("cid"))
-          .agg(aggs.head, aggs.tail: _*)
-          .collect()
-          .map(r => r.getLong(0) ->
-            (r.getDouble(1), (1 to dims).map(i => r.getDouble(i + 1)).toArray))
-          .toMap
-        val next = model.centroids.map { case (cid, c) =>
-          stats.get(cid) match {
-            case None => (cid, c) // no members this batch: unchanged
-            case Some((n, sums)) =>
-              val nOld = model.counts(cid) * decay
-              val w = nOld + n
-              (cid, c.zip(sums).map { case (cv, sv) => (cv * nOld + sv) / w })
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (batchId > lastBatch.get()) {
+          val model = ref.get()
+          val toDouble = transform(col("embedding"), x => x.cast("double"))
+          val best = VectorExpressions.nearestCentroid(toDouble,
+            model.centroids.map(_._1).toArray,
+            model.centroids.map(_._2).toArray)
+          // per-cluster count + per-dimension sum: map-side combined, one
+          // bounded (k × d) collect — the mini-batch sufficient statistics
+          val aggs = count(lit(1)).cast("double").as("n") +:
+            (1 to dims).map(i =>
+              sum(element_at(toDouble, i)).as(s"s$i"))
+          val stats = batch
+            .select(col("embedding"), best.getField("cid").as("cid"))
+            .groupBy(col("cid"))
+            .agg(aggs.head, aggs.tail: _*)
+            .collect()
+            .map(r => r.getLong(0) ->
+              (r.getDouble(1), (1 to dims).map(i => r.getDouble(i + 1)).toArray))
+            .toMap
+          val next = model.centroids.map { case (cid, c) =>
+            stats.get(cid) match {
+              case None => (cid, c) // no members this batch: unchanged
+              case Some((n, sums)) =>
+                val nOld = model.counts(cid) * decay
+                val w = nOld + n
+                (cid, c.zip(sums).map { case (cv, sv) => (cv * nOld + sv) / w })
+            }
           }
+          val nextCounts = model.counts.map { case (cid, nPrev) =>
+            cid -> (nPrev * decay + stats.get(cid).map(_._1).getOrElse(0.0))
+          }
+          ref.set(Model(next, nextCounts))
+          lastBatch.set(batchId)
         }
-        val nextCounts = model.counts.map { case (cid, nPrev) =>
-          cid -> (nPrev * decay + stats.get(cid).map(_._1).getOrElse(0.0))
-        }
-        ref.set(Model(next, nextCounts))
       }
       .start()
     (query, new Handle(ref))

