@@ -65,6 +65,29 @@ object SparkProps extends Properties("graft.spark") {
       ChangeFeed.diff(snap, snap, Seq("id")).count() == 0
     }
 
+  property("IntervalJoin ≡ naive inequality join for any intervals and bin width") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 60L))),
+      Gen.nonEmptyListOf(Gen.zip(Gen.choose(0L, 300L), Gen.choose(0L, 60L))),
+      Gen.oneOf(1L, 5L, 37L, 500L)) { (aRaw, bRaw, w) =>
+      import spark.implicits._
+      val a = aRaw.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, s, s + len) }
+        .toDF("aid", "as", "ae")
+      val b = bRaw.zipWithIndex
+        .map { case ((s, len), i) => (i.toLong, s, s + len) }
+        .toDF("bid", "bs", "be")
+      import org.apache.spark.sql.functions.col
+      val got = graft.operators.IntervalJoin
+        .overlap(a, "as", "ae", b, "bs", "be", w)
+        .select(col("aid"), col("bid"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      val naive = a.join(b, col("as") <= col("be") && col("bs") <= col("ae"))
+        .select(col("aid"), col("bid"))
+        .as[(Long, Long)].collect().sorted.toSeq
+      got == naive // equal AS SEQUENCES: multiplicity 1 per pair, no dups
+    }
+
   property("ScalableNtile ≡ built-in ntile for any N, tiles, bin step") =
     forAll(Gen.choose(1, 120), Gen.choose(1, 9), Gen.oneOf(1.0, 7.0, 40.0, 1e9)) {
       (n, tiles, step) =>
