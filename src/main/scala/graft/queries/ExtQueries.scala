@@ -251,6 +251,26 @@ object ExtQueries {
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
 
+  /** The dataset card: corpus-level summary statistics in ONE scan (plus
+    * the distinct-hash count for the exact-dup rate) — the standard
+    * deliverable accompanying a training-data release. All aggregates
+    * map-side combine; the single output row is the whole shuffle. */
+  def eDatasetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(avg(length(col("text"))), 4).as("avg_chars"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"),
+      countDistinct(md5(trim(lower(col("text"))))).as("n_distinct_texts"))
+      .withColumn("exact_dup_rate",
+        round(lit(1.0) - col("n_distinct_texts").cast("double")
+          / col("n_docs"), 6))
+  }
+
   /** Interval-overlap join via the binned equi-join: which views landed
     * inside the 5-minute window after each error event. At 100 TB the
     * naive form is a broadcast-nested-loop over every (error, view) pair;
@@ -1469,6 +1489,7 @@ object ExtQueries {
     "e_collocations" -> (eCollocations _),
     "e_zorder_key" -> (eZorderKey _),
     "e_interval_join" -> (eIntervalJoin _),
+    "e_dataset_card" -> (eDatasetCard _),
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
@@ -1581,6 +1602,18 @@ object ExtQueries {
         |       min(v_ts) AS first_view, max(v_ts) AS last_view
         |FROM i JOIN v ON v.v_ts BETWEEN i.i_start AND i.i_end
         |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
+    "e_dataset_card" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  round(avg(length(text)), 4) AS avg_chars,
+        |  min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars,
+        |  CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS n_distinct_texts,
+        |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
+        |    / count(*), 6) AS exact_dup_rate
+        |FROM documents""".stripMargin,
     "e_zorder_key" -> {
       val terms = (0 until 8).flatMap { i =>
         Seq(s"(((x >> $i) & 1) * ${1L << (2 * i)})",
