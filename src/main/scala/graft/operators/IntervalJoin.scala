@@ -25,20 +25,29 @@ object IntervalJoin {
 
   /** Overlap-join two interval frames on long-typed [start, end] columns
     * (inclusive ends; a point is start == end). Column names across `a`
-    * and `b` must be disjoint; every input column passes through. */
+    * and `b` must be disjoint, and neither side may already contain the
+    * working bin columns `__bin`/`__bin2`; every input column passes
+    * through. Start/end names may be arbitrary identifiers (quoted into
+    * the bin expressions), but not contain backticks. */
   def overlap(a: DataFrame, aStart: String, aEnd: String,
               b: DataFrame, bStart: String, bEnd: String,
               binWidth: Long): DataFrame = {
     require(binWidth >= 1, "binWidth must be positive")
     require(a.columns.toSet.intersect(b.columns.toSet).isEmpty,
       "column names of the two sides must be disjoint")
+    require(!(a.columns ++ b.columns).exists(Set("__bin", "__bin2")),
+      "__bin/__bin2 are reserved working columns of the interval join")
+    require(!Seq(aStart, aEnd, bStart, bEnd).exists(_.contains("`")),
+      "start/end column names must not contain backticks")
     // `div` = integral division (Column./ is double — lossy past 2^53,
-    // i.e. for epoch-nano inputs)
+    // i.e. for epoch-nano inputs). Names are backtick-quoted so dotted or
+    // keyword-like identifiers parse as plain column references.
+    def q(name: String): String = s"`$name`"
     def binned(df: DataFrame, s: String, e: String, binCol: String): DataFrame =
       df.withColumn(binCol,
-        explode(expr(s"sequence($s div $binWidth, $e div $binWidth)")))
+        explode(expr(s"sequence(${q(s)} div $binWidth, ${q(e)} div $binWidth)")))
     val firstShared =
-      expr(s"greatest($aStart div $binWidth, $bStart div $binWidth)")
+      expr(s"greatest(${q(aStart)} div $binWidth, ${q(bStart)} div $binWidth)")
     binned(a, aStart, aEnd, "__bin")
       .join(binned(b, bStart, bEnd, "__bin2"),
         col("__bin") === col("__bin2"))

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.dedup.Dedup
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic weighted sampling without replacement — priority sampling
@@ -19,10 +20,11 @@ import org.apache.spark.sql.functions._
   * the sample is a pure function of the data — reproducible across runs,
   * engines, and cluster sizes, and DuckDB-reproducible for the oracle.
   *
-  * Plan shape: one narrow scan computes priorities; both the sample and
-  * the threshold are global top-k cuts — TakeOrderedAndProject (bounded
-  * per-partition heaps, never a global sort or single-partition window);
-  * τ returns as ONE broadcast scalar row. */
+  * Plan shape: one narrow scan computes priorities; ONE global top-(n+1)
+  * cut — TakeOrderedAndProject (bounded per-partition heaps, never a
+  * global sort) — serves both the sample (rows ranked ≤ n) and τ (the
+  * (n+1)-th priority); the post-cut window runs over ≤ n+1 rows, a
+  * driver-bounded artifact. */
 object WeightedSample {
 
   /** Top-`n` priority sample. Returns (doc_id, weight, priority,
@@ -41,14 +43,22 @@ object WeightedSample {
     val base = df.select(id.cast("long").as("doc_id"),
       weight.cast("double").as("weight"),
       round(weight.cast("double") / u, 6).as("priority"))
-    // τ = the (n+1)-th highest priority: min of the top-(n+1) cut, 0 when
-    // fewer than n+1 rows exist (sample is then the whole input, exact)
-    val tau = base.orderBy(desc("priority"), asc("doc_id")).limit(n + 1)
-      .agg(when(count(lit(1)) === n + 1, min(col("priority")))
-        .otherwise(lit(0.0)).as("tau"))
-    base.orderBy(desc("priority"), asc("doc_id")).limit(n)
-      .crossJoin(broadcast(tau))
+    // the single corpus pass: top n+1 by (priority desc, id asc). τ = the
+    // (n+1)-th highest priority — min over the cut when it is full, 0 when
+    // fewer than n+1 rows exist (sample is then the whole input, exact).
+    // Both derive from the same ≤ n+1 cut rows via unbounded windows (the
+    // cut output is one partition already, so no extra exchange).
+    val topNp1 = base.orderBy(desc("priority"), asc("doc_id")).limit(n + 1)
+    val wOrd = Window.orderBy(desc("priority"), asc("doc_id"))
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    topNp1
       .select(col("doc_id"), col("weight"), col("priority"),
-        round(greatest(col("weight"), col("tau")), 6).as("est_weight"))
+        row_number().over(wOrd).as("__rn"),
+        when(count(lit(1)).over(wAll) === n + 1,
+          min(col("priority")).over(wAll)).otherwise(lit(0.0)).as("__tau"))
+      .filter(col("__rn") <= n)
+      .select(col("doc_id"), col("weight"), col("priority"),
+        round(greatest(col("weight"), col("__tau")), 6).as("est_weight"))
   }
 }

@@ -50,13 +50,28 @@ object Compaction {
     * completed, and is deleted only after the new directory is in place
     * — every rename is CHECKED and a failed swap rolls the source back.
     * A crash can strand a `__compact_tmp` (harmless, rebuilt next run) or
-    * a `__compact_old` alongside a live table (detected next run and
-    * refused with a recovery message, never silently merged). */
+    * a `__compact_old` (detected FIRST next run — before any listing, so
+    * the case where the crash landed between the two renames and `dir`
+    * itself is absent still gets the recovery message — and refused,
+    * never silently merged). Readers hold a consistent view through the
+    * swap with one caveat: between the two renames there is a brief
+    * window where `dir` does not exist, so a reader LISTING the directory
+    * exactly then fails and must retry; a reader that already resolved
+    * its file list keeps reading the old files it holds. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
     require(targetFileBytes > 0)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash detection FIRST: after a crash between the renames the source
+    // sits at __compact_old and `dir` is gone — listing `dir` before this
+    // check would throw FileNotFoundException and mask the recovery path
+    val old = new Path(s"$dir.__compact_old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; verify which " +
+        s"copy is current (a missing $dir means the crash hit between the " +
+        s"renames: restore with rename($old, $dir) after checking " +
+        s"$dir.__compact_tmp) and remove the stale one before compacting again")
     val partitioned = listDataFiles(spark, dir).exists { case (path, _) =>
       path.stripPrefix(fs.makeQualified(p).toString).split('/')
         .exists(_.contains("="))
@@ -64,10 +79,6 @@ object Compaction {
     require(!partitioned,
       s"$dir is Hive-partitioned; compact each partition directory " +
         "separately to preserve the layout")
-    val old = new Path(s"$dir.__compact_old")
-    require(!fs.exists(old),
-      s"$old exists — a previous compaction crashed mid-swap; verify which " +
-        "copy is current and remove the stale one before compacting again")
     val before = listDataFiles(spark, dir)
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)

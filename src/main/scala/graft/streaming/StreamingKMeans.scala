@@ -47,14 +47,18 @@ object StreamingKMeans {
     def currentModel: Model = ref.get()
   }
 
-  /** Start maintaining centroids over a streaming `(vec_id, embedding)`
-    * frame. `init` seeds the model (id → vector); ids keep their identity
-    * for the stream's lifetime. */
+  /** Start maintaining centroids over a streaming embedding frame whose
+    * vector column is `embCol` (same parameterization as [[Model.assign]]).
+    * `init` seeds the model (id → vector); ids keep their identity for the
+    * stream's lifetime. */
   def start(vecs: DataFrame, checkpointLocation: String,
             init: Seq[(Long, Array[Double])],
-            decay: Double = 1.0): (StreamingQuery, Handle) = {
+            decay: Double = 1.0,
+            embCol: String = "embedding"): (StreamingQuery, Handle) = {
     require(init.nonEmpty, "need at least one initial centroid")
     require(decay > 0 && decay <= 1.0, "decay must be in (0, 1]")
+    require(vecs.columns.contains(embCol),
+      s"stream has no '$embCol' column (columns: ${vecs.columns.mkString(", ")})")
     val dims = init.head._2.length
     require(init.forall(_._2.length == dims), "centroid dims must agree")
     val ref = new AtomicReference[Model](
@@ -70,7 +74,7 @@ object StreamingKMeans {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastBatch.get()) {
           val model = ref.get()
-          val toDouble = transform(col("embedding"), x => x.cast("double"))
+          val toDouble = transform(col(embCol), x => x.cast("double"))
           val best = VectorExpressions.nearestCentroid(toDouble,
             model.centroids.map(_._1).toArray,
             model.centroids.map(_._2).toArray)
@@ -80,7 +84,7 @@ object StreamingKMeans {
             (1 to dims).map(i =>
               sum(element_at(toDouble, i)).as(s"s$i"))
           val stats = batch
-            .select(col("embedding"), best.getField("cid").as("cid"))
+            .select(col(embCol), best.getField("cid").as("cid"))
             .groupBy(col("cid"))
             .agg(aggs.head, aggs.tail: _*)
             .collect()

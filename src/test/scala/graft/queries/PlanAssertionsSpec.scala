@@ -200,16 +200,29 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"interval overlap must bin to an equi-join, found: $bad")
   }
 
-  test("e_weighted_sample: both cuts are TakeOrderedAndProject, no global window") {
+  test("e_weighted_sample: ONE TakeOrderedAndProject cut serves sample and τ") {
     val plan = executedPlan("e_weighted_sample")
-    assert(plan.toString.contains("TakeOrderedAndProject"),
-      s"the priority cut must use bounded per-partition heaps:\n$plan")
+    val cuts = collectWithSubqueries(plan) {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }
+    assert(cuts.size == 1,
+      s"the priority cut must be a single bounded per-partition heap pass " +
+        s"(found ${cuts.size}):\n$plan")
+    // the τ/rank windows are allowed ONLY above the bounded cut (≤ n+1
+    // rows); a global window whose subtree has no TakeOrdered limit would
+    // be serializing the corpus through one task
     val globalWindows = collectWithSubqueries(plan) {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.isEmpty => w
     }
-    assert(globalWindows.isEmpty,
-      s"priority sampling must never serialize through one window task:\n$plan")
+    globalWindows.foreach { w =>
+      val bounded = w.collectFirst {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+        case g: org.apache.spark.sql.execution.GlobalLimitExec => g
+      }
+      assert(bounded.isDefined,
+        s"global window must read the bounded top-(n+1) cut, not the corpus:\n$plan")
+    }
   }
 
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
