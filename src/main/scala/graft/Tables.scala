@@ -15,6 +15,11 @@ object Tables {
   // hit the in-memory columnar cache instead of re-scanning parquet.
   // At cluster scale this maps to caching hot dims — fact tables at 100 TB
   // would NOT be persisted (set SPARK_GRAFT_NO_CACHE=1 to disable).
+  //
+  // The cache is CAPPED to one scale-factor directory at a time: reading a
+  // table from a new sfDir unpersists and drops every entry of the old one
+  // first, so a session that moves between scale factors (test suites,
+  // long-lived dev sessions) holds one working set, not their union.
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val persistEnabled = !sys.env.contains("SPARK_GRAFT_NO_CACHE")
 
@@ -22,6 +27,12 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
     // the legacy long mapping; `ts` is therefore a bigint of epoch-nanos.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stale = cache.keys.filter(_._1 != sfDir).toSeq
+    if (stale.nonEmpty) {
+      stale.foreach(k => cache.remove(k).foreach(_.unpersist(false)))
+      println(s"[graft] table cache evicted ${stale.size} entries of other " +
+        "scale factors")
+    }
     cache.getOrElseUpdate((sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (persistEnabled) df.persist() else df

@@ -396,6 +396,30 @@ object Dedup {
     * labeled by themselves. */
   def connectedComponents(pairs: DataFrame, docs: DataFrame, idCol: String,
                           maxIterations: Int = 20): DataFrame = {
+    // The star rounds are many small stages over a shrinking edge set; with
+    // the session's fixed shuffle-partition count each stage schedules that
+    // many tasks no matter how small the graph is, and task overhead — not
+    // data — dominates (the quotient graphs of the incremental path are
+    // tiny by design). Let AQE coalesce every exchange in the loop by
+    // MEASURED size instead of parallelism: at 100 TB the 64 MB advisory
+    // target still yields thousands of partitions, while a kilobyte-sized
+    // root graph collapses to single-task stages. Saved/restored around the
+    // loop; the session is assumed single-query while a CC job runs (true
+    // for Bench/Verify/tests — they execute queries sequentially).
+    val conf = pairs.sparkSession.conf
+    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    val pfOld = conf.getOption(pfKey)
+    conf.set(pfKey, "false")
+    try connectedComponentsInner(pairs, docs, idCol, maxIterations)
+    finally pfOld match {
+      case Some(v) => conf.set(pfKey, v)
+      case None => conf.unset(pfKey)
+    }
+  }
+
+  private def connectedComponentsInner(pairs: DataFrame, docs: DataFrame,
+                                       idCol: String,
+                                       maxIterations: Int): DataFrame = {
     val ids = docs.select(col(idCol).as("doc_id"))
     // canonical undirected form: big endpoint first, no self-loops, distinct
     def canon(df: DataFrame): DataFrame = df
@@ -676,11 +700,15 @@ object Dedup {
     val chunks = transform(
       sequence(lit(0), greatest(nChunks, lit(1)) - 1),
       i => array_join(slice(toks, i * passageTokens + 1, lit(passageTokens)), " "))
-    // ph = full 128-bit md5 of the passage text: equi-join key (collision
-    // probability ~2^-128 — never perturbs first-occurrence semantics)
+    // ph = the two 56-bit md5 halves of the passage text as a compact
+    // struct<b1,b2> (the codegen Md5Halves expression): 16 bytes of
+    // equi-join/groupBy key instead of a 32-char hex string — smaller
+    // exchange, long-pair comparisons instead of string compares on the
+    // hottest key of the operator. Collision probability ~2^-112 — never
+    // perturbs first-occurrence semantics.
     val passages = maybePersist(docs
       .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "ptext")))
-      .withColumn("ph", md5(col("ptext"))))
+      .withColumn("ph", graft.plans.HashExpressions.md5Halves(col("ptext"))))
     // ONE aggregation delivers both the survivor and the frequency; the
     // compact (ph, first, pf) table is read by three cheap branches.
     val survivors = maybePersist(passages.groupBy(col("ph"))

@@ -120,7 +120,57 @@ object ExtQueries {
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
+    ccBaselineCache.clear()
   }
+
+  // ---------------- memo lifecycle ----------------
+
+  // Each memo's LAST consumer in the name-sorted run order Bench uses.
+  // Holding every memo's checkpoint blocks for the whole 128-query run
+  // pressures storage memory and GC enough to inflate the late heavy
+  // queries ~3× over their isolated times (measured round 6: identical
+  // shuffle/spill metrics, pure cross-query interference) — so Bench
+  // releases each memo the moment its last consumer finished, narrated
+  // like the builds. Consumers are listed transitively: a memo consumed
+  // only while BUILDING another memo is charged to the query that
+  // triggers that build.
+  // lazy: several of the referenced cache vals are declared later in this
+  // object and would be null at eager-init time
+  private lazy val memoLastConsumer: Seq[(String, scala.collection.concurrent.TrieMap[String, DataFrame], String)] = Seq(
+    // ccBaseline: only e_cc_incremental reads the simulated prior labeling
+    ("ccBaseline", ccBaselineCache, "e_cc_incremental"),
+    // decontamHits: e_curation_funnel, e_decontam
+    ("decontamHits", decontamCache, "e_decontam"),
+    // minhashPairs: e_cc_incremental, e_connected_components,
+    // e_curation_funnel, e_dedup_apply, e_dedup_clusters (builds
+    // nearDupClusters), e_dedup_minhash_lsh
+    ("minhashPairs", pairsCache, "e_dedup_minhash_lsh"),
+    // nearDupClusters: e_dedup_clusters, e_leakage_split
+    ("nearDupClusters", clustersCache, "e_leakage_split"),
+    // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
+    // build (e_curation_funnel), e_ngram_jaccard directly
+    ("shingleBases", shingleCache, "e_ngram_jaccard"),
+    // kmeansAssigned: e_cluster_sample, e_kmeans, e_semantic_dedup
+    ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
+    // simhashFingerprints: e_dedup_simhash, e_simhash_multitable,
+    // e_simhash_pairs
+    ("simhashFingerprints", fpCache, "e_simhash_pairs"))
+
+  /** Release every memo whose last name-ordered consumer is `query` —
+    * called by Bench after each query completes. Out-of-order callers
+    * (SPARK_GRAFT_ONLY subsets, direct test invocations that skip this
+    * hook) stay correct: a released memo simply rebuilds on next use. */
+  def releaseMemosAfter(query: String): Unit =
+    memoLastConsumer.filter(_._3 == query).foreach { case (name, cache, _) =>
+      val released = cache.values.map(graft.tools.MemoRelease.release).toSeq
+      cache.clear()
+      if (released.nonEmpty) {
+        val line = graft.observability.Observability.logLeveled(
+          graft.observability.Observability.Level.Info,
+          s"memo $name released after $query")
+        println(s"[graft] $line")
+      }
+    }
 
   // The benchmark-decontamination hit table (doc_id, n_hits vs the held-out
   // id % 97 == 0 set) feeds both e_decontam and the curation funnel;
@@ -402,19 +452,25 @@ object ExtQueries {
     * equal batch CC over the WHOLE graph, so it shares the recursive-CTE
     * oracle with e_connected_components — the equivalence is hash-checked,
     * not just property-tested. */
+  // The "existing corpus labeling" a real pipeline would already hold
+  // before folding in a daily increment: batch CC over the non-increment
+  // ~94% of the minhash candidate graph. A SIMULATION artifact (production
+  // reads yesterday's labels from storage), so it is memoized and narrated
+  // like the other shared memos — its one-time build is measured, and the
+  // e_cc_incremental bench line is the incremental operator + memo shares,
+  // not a fresh batch-CC run.
+  private val ccBaselineCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def ccBaseline(s: SparkSession, d: String): DataFrame =
+    ccBaselineCache.getOrElseUpdate(d, timedMemo("ccBaseline") {
+      val firstBatch = minhashPairs(s, d)
+        .filter(col("est_jaccard") >= 0.5 && col("doc_b") % 17 =!= 0)
+      Dedup.connectedComponents(firstBatch, Tables.documents(s, d), "doc_id")
+    })
+
   def eCcIncremental(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
-    val increment = pairs.filter(col("doc_b") % 17 === 0)
-    val firstBatch = pairs.filter(col("doc_b") % 17 =!= 0)
-    // the "existing corpus labeling" a real pipeline would already hold:
-    // narrated separately so the bench line's cost attribution is measured
-    // (this build is the price of SIMULATING yesterday's state, not of the
-    // incremental operator)
-    val t0 = System.nanoTime()
-    val labels = Dedup.connectedComponents(firstBatch, docs, "doc_id")
-    println(f"[graft] e_cc_incremental baseline labeling built in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    Dedup.connectedComponentsIncremental(labels, increment)
+    val increment = minhashPairs(s, d)
+      .filter(col("est_jaccard") >= 0.5 && col("doc_b") % 17 === 0)
+    Dedup.connectedComponentsIncremental(ccBaseline(s, d), increment)
       .orderBy("doc_id")
   }
 
