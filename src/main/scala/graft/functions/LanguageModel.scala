@@ -29,6 +29,24 @@ object LanguageModel {
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
 
+  /** The smoothed bigram table (w1, w2, c12) over in-row consecutive token
+    * pairs — the same no-positional-self-join shape as
+    * [[Collocations.pmiBigrams]]: adjacency is resolved inside each row's
+    * token array, so building the table is one narrow pass + one groupBy.
+    * Pairs where either side is the empty token are dropped (mirroring the
+    * unigram table's blank filter). */
+  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val t = split(trim(col(textCol)), " ")
+    docs
+      .select(explode(zip_with(
+        slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+        slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .filter(col("w1") =!= "" && col("w2") =!= "")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+  }
+
   /** Per-document cross-entropy and perplexity under the corpus's own
     * add-α unigram model. Returns (doc_id, n_scored, cross_entropy,
     * perplexity), rounded to 6 dp. */
@@ -45,6 +63,64 @@ object LanguageModel {
       (col("n_tokens") + lit(alpha) * (col("v_types") + lit(1.0))))
     toks
       .join(uni, Seq("term"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        (-sum(logp) / count(lit(1))).as("h"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("h"), 6).as("cross_entropy"),
+        round(exp(col("h")), 6).as("perplexity"))
+  }
+
+  /** Per-document perplexity under an INTERPOLATED bigram model — the
+    * CCNet-style upgrade of [[perplexity]]: each token with a (non-empty)
+    * predecessor scores
+    *
+    *   P(w | v) = λ·P_b(w | v) + (1−λ)·P_u(w),
+    *   P_b(w | v) = (c(v, w) + α) / (c(v) + α·(V + 1))
+    *
+    * with the same deterministic add-α smoothing and +1 OOV type as the
+    * unigram model; document-initial tokens (no history) score P_u alone.
+    * Returns (doc_id, n_scored, cross_entropy, perplexity), 6 dp.
+    *
+    * Plan shape at 100 TB: identical to the unigram scorer with one more
+    * corpus-sized equi-join — the (prev, w) token-pair stream joins the
+    * bigram table on its composite key (never broadcast-by-assumption:
+    * web-scale bigram vocabularies are billions of rows), plus the two
+    * unigram joins; predecessors are resolved IN-ROW from the token array
+    * (no per-doc window or positional self-join). */
+  def perplexityInterpolated(docs: DataFrame, idCol: String, textCol: String,
+                             alpha: Double = 1.0,
+                             lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val uni = unigramCounts(docs, textCol)
+    val big = bigramCounts(docs, textCol)
+    val stats = uni.agg(sum(col("c")).cast("double").as("n_tokens"),
+      count(lit(1)).cast("double").as("v_types"))
+    val t = split(trim(col(textCol)), " ")
+    // (doc_id, w, prev): prev = the RAW preceding token ('' for the first
+    // position, so an empty-token neighbor also falls back to unigram —
+    // matching bigramCounts' blank filter)
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"), t.as("t"),
+        posexplode(t).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("w"),
+        when(col("pos") > 0, element_at(col("t"), col("pos")))
+          .otherwise(lit("")).as("prev"))
+    val denomU = col("n_tokens") + lit(alpha) * (col("v_types") + lit(1.0))
+    val pU = (col("cw").cast("double") + lit(alpha)) / denomU
+    val pB = (coalesce(col("c12"), lit(0L)).cast("double") + lit(alpha)) /
+      (coalesce(col("cprev"), lit(0L)).cast("double") +
+        lit(alpha) * (col("v_types") + lit(1.0)))
+    val logp = when(col("prev") === "", log(pU))
+      .otherwise(log(lit(lambda) * pB + lit(1.0 - lambda) * pU))
+    toks
+      .join(uni.select(col("term").as("w"), col("c").as("cw")), Seq("w"))
+      .join(uni.select(col("term").as("prev"), col("c").as("cprev")),
+        Seq("prev"), "left")
+      .join(big.select(col("w1").as("prev"), col("w2").as("w"), col("c12")),
+        Seq("prev", "w"), "left")
       .crossJoin(broadcast(stats))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_scored"),

@@ -56,6 +56,14 @@ object ExtQueries {
   private val RrfK = 60
   private val RrfDepth = 20
   private val RrfTopK = 10
+  // interpolated-bigram LM (e_lm_perplexity2 / e_lm_tail_cut): smoothing α,
+  // bigram weight λ, and the decile cut. The oracle SQL interpolates these
+  // CONSTANTS (including 1−λ rendered from the Scala double, so both
+  // engines multiply by the identical IEEE value — 1.0-0.7 is not the
+  // double the literal 0.3 parses to).
+  private val LmAlpha = 1.0
+  private val LmLambda = 0.7
+  private val LmTailTiles = 10L
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -120,7 +128,7 @@ object ExtQueries {
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
-    ccBaselineCache.clear()
+    ccBaselineCache.clear(); lmScoresCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -152,6 +160,8 @@ object ExtQueries {
     ("shingleBases", shingleCache, "e_ngram_jaccard"),
     // kmeansAssigned: e_cluster_sample, e_kmeans, e_semantic_dedup
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
+    // lmScores: e_lm_perplexity2, e_lm_tail_cut
+    ("lmScores", lmScoresCache, "e_lm_tail_cut"),
     // simhashFingerprints: e_dedup_simhash, e_simhash_multitable,
     // e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"))
@@ -368,6 +378,37 @@ object ExtQueries {
   def eLmPerplexity(s: SparkSession, d: String): DataFrame =
     graft.functions.LanguageModel.perplexity(
         Tables.documents(s, d), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // Two queries (the interpolated scores themselves, the CCNet tail cut)
+  // read the same per-doc bigram-LM score table; memoize it materialized
+  // per sfDir — compact (one row per doc), same lifecycle as the other
+  // memos (released after e_lm_tail_cut).
+  private val lmScoresCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def lmScores(s: SparkSession, d: String): DataFrame =
+    lmScoresCache.getOrElseUpdate(d, timedMemo("lmScores")(
+      Dedup.materializeAndRelease(
+        graft.functions.LanguageModel.perplexityInterpolated(
+          Tables.documents(s, d), "doc_id", "text",
+          alpha = LmAlpha, lambda = LmLambda))))
+
+  /** Interpolated-bigram perplexity per document — the CCNet-style model
+    * quality filter's score table (λ·bigram + (1−λ)·unigram, add-α). */
+  def eLmPerplexity2(s: SparkSession, d: String): DataFrame =
+    lmScores(s, d).orderBy("doc_id")
+
+  /** The CCNet-style tail cut applied: drop the worst (highest-perplexity)
+    * decile of the corpus. The decile boundary is exact global NTILE rank —
+    * computed with the histogram two-pass [[graft.operators.ScalableNtile]]
+    * (same plan discipline as wx_ntile), never a corpus-wide single-task
+    * window. */
+  def eLmTailCut(s: SparkSession, d: String): DataFrame =
+    graft.operators.ScalableNtile(lmScores(s, d), LmTailTiles,
+        bin = floor(-col("perplexity") * 100),
+        sortKeys = Seq(col("perplexity").desc, col("doc_id").asc),
+        out = "tile")
+      .filter(col("tile") > 1)
+      .select(col("doc_id"), col("perplexity"), col("tile"))
       .orderBy("doc_id")
 
   /** Mergeable quantile summary per event type: the deterministic
@@ -1542,6 +1583,8 @@ object ExtQueries {
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
     "e_lm_perplexity" -> (eLmPerplexity _),
+    "e_lm_perplexity2" -> (eLmPerplexity2 _),
+    "e_lm_tail_cut" -> (eLmTailCut _),
     "e_collocations" -> (eCollocations _),
     "e_zorder_key" -> (eZorderKey _),
     "e_interval_join" -> (eIntervalJoin _),
@@ -1549,6 +1592,44 @@ object ExtQueries {
     // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
+
+  // Shared CTE block of the interpolated-bigram LM oracles: token stream
+  // with raw predecessors, unigram/bigram tables, model scalars, per-doc
+  // scores — generated from the SAME constants as the Spark code (λ and
+  // 1−λ rendered from the Scala doubles for bit-identical arithmetic).
+  private lazy val lmInterpCtes: String = {
+    val lam = LmLambda.toString
+    val oneMinusLam = (1.0 - LmLambda).toString
+    val a = LmAlpha.toString
+    s"""tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, t[i] AS w,
+      |        CASE WHEN i > 1 THEN t[i - 1] ELSE '' END AS prev
+      |        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk0)
+      |        WHERE t[i] <> ''),
+      |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tku
+      |        WHERE term <> '' GROUP BY term),
+      |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+      |        CAST(count(*) AS DOUBLE) AS v_types FROM uni),
+      |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk0)
+      |       WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+      |sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+      |       -sum(CASE WHEN tok.prev = ''
+      |          THEN ln((CAST(uw.c AS DOUBLE) + $a)
+      |            / (st.n_tokens + $a * (st.v_types + 1.0)))
+      |          ELSE ln($lam * (CAST(COALESCE(bc.c12, 0) AS DOUBLE) + $a)
+      |              / (CAST(COALESCE(up.c, 0) AS DOUBLE) + $a * (st.v_types + 1.0))
+      |            + $oneMinusLam * (CAST(uw.c AS DOUBLE) + $a)
+      |              / (st.n_tokens + $a * (st.v_types + 1.0)))
+      |          END) / count(*) AS h
+      |       FROM tok JOIN uni uw ON tok.w = uw.term
+      |       LEFT JOIN uni up ON tok.prev = up.term
+      |       LEFT JOIN bc ON bc.w1 = tok.prev AND bc.w2 = tok.w
+      |       CROSS JOIN st
+      |       GROUP BY tok.doc_id)""".stripMargin
+  }
 
   private val collocationsOracle =
     """WITH tk AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
@@ -1696,6 +1777,19 @@ object ExtQueries {
         |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
         |       round(exp(h), 6) AS perplexity
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "e_lm_perplexity2" ->
+      s"""WITH $lmInterpCtes
+        |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
+        |       round(exp(h), 6) AS perplexity
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "e_lm_tail_cut" ->
+      s"""WITH $lmInterpCtes,
+        |p AS (SELECT doc_id, round(exp(h), 6) AS perplexity FROM sc),
+        |r AS (SELECT doc_id, perplexity,
+        |      CAST(ntile($LmTailTiles) OVER (ORDER BY perplexity DESC, doc_id)
+        |        AS BIGINT) AS tile FROM p)
+        |SELECT doc_id, perplexity, tile FROM r WHERE tile > 1
+        |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),

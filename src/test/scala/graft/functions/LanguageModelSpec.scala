@@ -38,6 +38,55 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(1L)._2 == r6(1.0 / p))
   }
 
+  test("interpolated bigram model matches the hand formula") {
+    import spark.implicits._
+    // corpus: "a b a" + "a b" → unigram a=3 b=2 (N=5, V=2);
+    // bigrams: (a,b)=2, (b,a)=1
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityInterpolated(docs, "doc_id", "text",
+        alpha = 1.0, lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def pu(c: Double) = (c + 1.0) / (5.0 + 1.0 * (2.0 + 1.0))
+    def pb(c12: Double, cPrev: Double) =
+      (c12 + 1.0) / (cPrev + 1.0 * (2.0 + 1.0))
+    def mix(c12: Double, cPrev: Double, cw: Double) =
+      0.7 * pb(c12, cPrev) + (1.0 - 0.7) * pu(cw)
+    // doc 1: a (init, unigram) | b after a | a after b
+    val h1 = -(math.log(pu(3)) + math.log(mix(2, 3, 2)) +
+      math.log(mix(1, 2, 3))) / 3
+    // doc 2: a (init) | b after a
+    val h2 = -(math.log(pu(3)) + math.log(mix(2, 3, 2))) / 2
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    assert(out(1L)._2 == r6(h1), s"doc 1: ${out(1L)._2} vs ${r6(h1)}")
+    assert(out(2L)._2 == r6(h2), s"doc 2: ${out(2L)._2} vs ${r6(h2)}")
+  }
+
+  test("lambda = 0 reduces the interpolated model to the unigram scorer") {
+    import spark.implicits._
+    val docs = Seq((1L, "a a b"), (2L, "b c a")).toDF("doc_id", "text")
+    val uni = LanguageModel.perplexity(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val interp = LanguageModel.perplexityInterpolated(docs, "doc_id", "text",
+        alpha = 1.0, lambda = 0.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(uni == interp)
+  }
+
+  test("bigram context separates docs the unigram model cannot") {
+    import spark.implicits._
+    // identical unigram bags; doc 1 repeats the corpus-frequent bigram
+    // (a b), doc 2 uses the rare orders — the bigram term must score doc 1
+    // as less surprising
+    val docs = Seq((1L, "a b a b"), (2L, "b a b a"), (3L, "a b a b"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.perplexityInterpolated(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) < out(2L),
+      s"frequent-bigram doc should have lower perplexity: $out")
+    assert(out(1L) == out(3L))
+  }
+
   test("alpha controls smoothing: alpha -> 0 approaches the MLE estimate") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a b")).toDF("doc_id", "text")

@@ -51,6 +51,9 @@ class MetricsAssertionsSpec extends SparkSpec {
     // token-stream operators shuffle the corpus term join
     "e_cc_incremental" -> (2L << 20),
     "e_lm_perplexity" -> (1L << 20),
+    // round-7: the interpolated model adds the bigram-table build + the
+    // composite-key token-pair join over the same corpus
+    "e_lm_perplexity2" -> (2L << 20),
     "e_collocations" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>

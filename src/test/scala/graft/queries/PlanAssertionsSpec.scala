@@ -64,6 +64,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"ntile must not serialize the table through one window task:\n$plan")
   }
 
+  test("e_lm_tail_cut: decile cut uses the histogram two-pass, no global window") {
+    val plan = executedPlan("e_lm_tail_cut")
+    val globalWindows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      s"the tail cut must not serialize the corpus through one window task:\n$plan")
+  }
+
   test("p1_dynamic_allowlist: narrow map_filter plan (no explode, no aggregate)") {
     val plan = executedPlan("p1_dynamic_allowlist")
     val generates = collectWithSubqueries(plan) {
