@@ -305,6 +305,19 @@ object ExtQueries {
         PqM, PqSubDim, PqTopK, nProbe = 2)
       .orderBy("query_id", "rank")
 
+  /** IVFADC with residual coding: the [[eIvfPqTopk]] search with the codes
+    * quantizing per-cell residuals via a shared residual codebook —
+    * codewords sampled DISJOINT from the centroids (vec_id % 50 == 2; a
+    * centroid's own residual is the zero vector). */
+  def eIvfPqResidual(s: SparkSession, d: String): DataFrame =
+    graft.similarity.ProductQuantization.ivfPqResidualTopK(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCentroid = col("vec_id") % 50 === 1,
+        isCodeword = col("vec_id") % 50 === 2,
+        PqM, PqSubDim, PqTopK, nProbe = 2)
+      .orderBy("query_id", "rank")
+
   /** BM25 retrieval: top documents for a fixed probe query — the posting
     * lists of the query terms, never the full token stream. */
   def eBm25(s: SparkSession, d: String): DataFrame =
@@ -1463,6 +1476,59 @@ object ExtQueries {
        |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
 
+  /** IVFADC residual oracle: the ivfPqOracle assignment/probe chain, then
+    * residuals against the assigned (corpus) / probed (query) cell, a
+    * shared residual codebook from the DISJOINT codeword sample
+    * (vec_id % 50 == 2), per-subspace residual codes, and the ADC rescore
+    * over the probe×LUT — the same composition the Spark operator builds. */
+  private val ivfPqResidualOracle =
+    s"""WITH $embCtes,
+       |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
+       |  FROM e v JOIN e c ON v.pos = c.pos
+       |  WHERE c.vec_id % 50 = 1
+       |  GROUP BY 1, 2),
+       |vcs AS (SELECT vid, cell_id, round(dp / (nv.nrm * nc.nrm), 6) AS cs
+       |  FROM vc JOIN norms nv ON nv.vec_id = vid
+       |  JOIN norms nc ON nc.vec_id = cell_id),
+       |assigned AS (SELECT vid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs) WHERE rn = 1),
+       |probes AS (SELECT vid AS qid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs WHERE vid % 50 = 0) WHERE rn <= 2),
+       |er AS (SELECT a.vid AS vec_id, e.pos, e.v - c.v AS v
+       |  FROM e JOIN assigned a ON e.vec_id = a.vid
+       |  JOIN e c ON c.vec_id = a.cell_id AND c.pos = e.pos),
+       |rcw AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+       |  FROM er WHERE vec_id % 50 = 2),
+       |rpd AS (SELECT er.vec_id, CAST((er.pos - 1) // $PqSubDim AS BIGINT) AS m, rcw.cid,
+       |  sum((er.v - rcw.v) * (er.v - rcw.v)) AS d2
+       |  FROM er JOIN rcw ON er.pos = rcw.pos
+       |  WHERE er.pos <= ${PqM * PqSubDim}
+       |  GROUP BY 1, 2, 3),
+       |rcode AS (SELECT vec_id, m, cid AS code,
+       |  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, cid ASC) AS rn
+       |  FROM rpd),
+       |qr AS (SELECT p.qid, p.cell_id, e.pos, e.v - c.v AS v
+       |  FROM probes p JOIN e ON e.vec_id = p.qid
+       |  JOIN e c ON c.vec_id = p.cell_id AND c.pos = e.pos),
+       |lut AS (SELECT qr.qid, qr.cell_id, CAST((qr.pos - 1) // $PqSubDim AS BIGINT) AS m,
+       |  rcw.cid, sum((qr.v - rcw.v) * (qr.v - rcw.v)) AS pd2
+       |  FROM qr JOIN rcw ON qr.pos = rcw.pos
+       |  WHERE qr.pos <= ${PqM * PqSubDim}
+       |  GROUP BY 1, 2, 3, 4),
+       |adc AS (SELECT l.qid AS query_id, a.vid AS neighbor_id,
+       |  round(sum(l.pd2), 6) AS adc_d2
+       |  FROM assigned a
+       |  JOIN (SELECT vec_id, m, code FROM rcode WHERE rn = 1) c ON c.vec_id = a.vid
+       |  JOIN lut l ON l.cell_id = a.cell_id AND l.m = c.m AND l.cid = c.code
+       |  WHERE a.vid <> l.qid
+       |  GROUP BY 1, 2),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |  ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank FROM adc)
+       |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+
   /** Priority-sampling oracle: identical u/priority/τ formulas from the
     * same hash and constants. */
   private val weightedSampleOracle = {
@@ -1579,6 +1645,7 @@ object ExtQueries {
     "e_pq_encode" -> (ePqEncode _),
     "e_pq_adc_topk" -> (ePqAdcTopk _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
+    "e_ivfpq_residual" -> (eIvfPqResidual _),
     "e_bm25" -> (eBm25 _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
@@ -1724,6 +1791,7 @@ object ExtQueries {
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
+    "e_ivfpq_residual" -> ivfPqResidualOracle,
     "e_bm25" -> bm25Oracle,
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,

@@ -159,10 +159,141 @@ object ProductQuantization {
     * with one shuffle on vec_id, materialized/bucketed once in production —
     * scanned against a broadcast (probe × LUT) table on
     * (cell, subspace, code); never a cartesian, never a raw vector at
-    * query time. Note: codes quantize the raw vectors, not the per-cell
-    * residuals (classic IVFADC) — residual coding needs per-cell codebooks;
-    * the plan shape is identical, accuracy at production scale prefers
-    * residuals. */
+    * query time. Note: codes quantize the raw vectors — the residual form
+    * (classic IVFADC, what production accuracy wants) is
+    * [[ivfPqResidualTopK]]; this raw-code variant stays as the cheaper
+    * baseline and the comparison point. */
+  /** IVF-PQ with RESIDUAL coding — classic IVFADC (Jégou TPAMI'11 §IV-A):
+    * one product quantizer SHARED across cells, trained on and applied to
+    * the residual r = v − centroid(cell(v)) instead of the raw vector.
+    * Residuals concentrate around the origin, so the same code budget
+    * spends its resolution on the part of the vector the coarse quantizer
+    * did not explain — the accuracy refinement production IVFADC uses.
+    *
+    * Plan shape — the corpus side is ONE NARROW PASS, no embedding ever
+    * shuffles: cell assignment is an in-row rounded-cosine argmax over the
+    * driver-collected centroid matrix (K codegen'd vec_dot terms +
+    * `array_min` on (−cs, cell) structs — same convention as
+    * [[Similarity.ivfTopK]]: max rounded cosine, id tie-break), the
+    * residual is in-row arithmetic against the same broadcast matrix, and
+    * the per-subspace codes are native NearestCentroid argmins over the
+    * residual codebook. Query-side probes are the bounded query slice
+    * (top-`nProbe` cells via the same in-row score array), and scoring is
+    * the inverted-file-with-codes scan against a broadcast probe×LUT table
+    * on (cell, subspace, code) — identical to [[ivfPqTopK]]'s final join.
+    *
+    * The residual codebook is the codeword rows' residuals, computed IN
+    * SPARK by the same expressions the corpus uses (so engine/oracle float
+    * parity is by construction) and collected bounded (K·d doubles, the
+    * [[codebook]] contract). `isCodeword` must select rows DISJOINT from
+    * `isCentroid`: a centroid's residual is the zero vector, so seeding
+    * the codebook from centroid rows would collapse it. */
+  def ivfPqResidualTopK(vecs: DataFrame, idCol: String, embCol: String,
+                        isQuery: Column, isCentroid: Column, isCodeword: Column,
+                        nSubspaces: Int, subDim: Int, k: Int,
+                        nProbe: Int): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    // bounded driver artifact: the coarse centroid matrix in cell-id order
+    // (+ norms accumulated in ascending index order for oracle parity)
+    val cents = vecs.filter(isCentroid)
+      .select(col(idCol).cast("long"), toDouble)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    require(cents.nonEmpty, "isCentroid selected no cells")
+    val cNorms = cents.map { case (_, a) =>
+      var s = 0.0; var j = 0
+      while (j < a.length) { s += a(j) * a(j); j += 1 }
+      math.sqrt(s)
+    }
+    val centMat = typedLit(cents.map(_._2.toSeq))
+    // in-row cell scores: struct(−rounded-cosine, cell_id, matrix index);
+    // array_min = (cs desc, cell asc) argmax, slice of array_sort = the
+    // nProbe best — zero exchange either way
+    def cellScoreArr(v: Column, vNorm: Column): Column = array(
+      cents.indices.map { i =>
+        struct(
+          (-round(VectorExpressions.vecDot(v, typedLit(cents(i)._2.toSeq)) /
+            (vNorm * lit(cNorms(i))), 6)).as("negcs"),
+          lit(cents(i)._1).as("cid"),
+          lit(i + 1).as("idx"))
+      }: _*)
+    val base = vecs.select(col(idCol).cast("long").as("vid"), toDouble.as("v"),
+        isQuery.as("is_q"), isCodeword.as("is_cw"))
+      .withColumn("v_norm", sqrt(VectorExpressions.vecDot(col("v"), col("v"))))
+    val withCell = base
+      .withColumn("best", array_min(cellScoreArr(col("v"), col("v_norm"))))
+      .withColumn("cell_id", col("best").getField("cid"))
+      .withColumn("r", zip_with(col("v"),
+        element_at(centMat, col("best").getField("idx")), (a, b) => a - b))
+    // shared residual codebook: codeword residuals (Spark-computed by the
+    // exact expressions above), collected bounded, ids 1..K in vec_id order
+    val rcwRows = withCell.filter(col("is_cw"))
+      .select(col("vid"), col("r"))
+      .collect().sortBy(_.getLong(0)).zipWithIndex
+      .map { case (row, i) => ((i + 1).toLong, row.getSeq[Double](1).toArray) }
+      .toSeq
+    require(rcwRows.nonEmpty, "isCodeword selected no codeword rows")
+    require(rcwRows.forall(_._2.length >= nSubspaces * subDim),
+      s"codeword shorter than nSubspaces*subDim = ${nSubspaces * subDim}")
+    val rcb = (0 until nSubspaces).map { m =>
+      rcwRows.map { case (cid, a) => (cid, a.slice(m * subDim, (m + 1) * subDim)) }
+    }
+    // the inverted file with residual codes, built narrowly: all nSubspaces
+    // argmins in one projection, then explode — (vid, cell_id, m, code)
+    val perSub = (0 until nSubspaces).map { m =>
+      val best = VectorExpressions.nearestCentroid(
+        slice(col("r"), m * subDim + 1, subDim),
+        rcb(m).map(_._1).toArray, rcb(m).map(_._2).toArray)
+      struct(lit(m.toLong).as("m"), best.getField("cid").as("code"))
+    }
+    val codes = withCell
+      .select(col("vid"), col("cell_id"), explode(array(perSub: _*)).as("c"))
+      .select(col("vid"), col("cell_id"), col("c.m").as("m"),
+        col("c.code").as("code"))
+    // query probes (bounded slice): top-nProbe cells per query, in-row
+    val probes = base.filter(col("is_q"))
+      .withColumn("p", explode(slice(
+        array_sort(cellScoreArr(col("v"), col("v_norm"))), 1, nProbe)))
+      .select(col("vid").as("query_id"), col("v").as("qv"),
+        col("p").getField("cid").as("p_cell"),
+        col("p").getField("idx").as("p_idx"))
+    val rcbDf = (for {
+      m <- 0 until nSubspaces
+      (cid, sub) <- rcb(m)
+    } yield (m.toLong, cid, sub.toSeq)).toDF("lm", "cid", "c_sub")
+    // probe×LUT: per (query, probed cell, subspace, codeword) the partial
+    // distance of the PER-CELL query residual — broadcast-sized
+    // (nQueries × nProbe × nSubspaces × K)
+    val lut = probes
+      .withColumn("qr", zip_with(col("qv"),
+        element_at(centMat, col("p_idx")), (a, b) => a - b))
+      .select(col("query_id"), col("p_cell"),
+        explode(array((0 until nSubspaces).map { m =>
+          struct(lit(m.toLong).as("lm"),
+            slice(col("qr"), m * subDim + 1, subDim).as("q_sub"))
+        }: _*)).as("s"))
+      .select(col("query_id"), col("p_cell"), col("s.lm").as("lm"),
+        col("s.q_sub").as("q_sub"))
+      .join(broadcast(rcbDf), Seq("lm"))
+      .select(col("query_id"), col("p_cell"), col("lm"), col("cid"),
+        aggregate(zip_with(col("q_sub"), col("c_sub"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("pd2"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(asc("adc_d2"), asc("neighbor_id"))
+    codes
+      .join(broadcast(lut),
+        col("cell_id") === col("p_cell") && col("m") === col("lm") &&
+          col("code") === col("cid"))
+      .filter(col("vid") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vid").as("neighbor_id"))
+      .agg(round(sum(col("pd2")), 6).as("adc_d2"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   def ivfPqTopK(vecs: DataFrame, idCol: String, embCol: String,
                 isQuery: Column, isCentroid: Column, isCodeword: Column,
                 nSubspaces: Int, subDim: Int, k: Int, nProbe: Int): DataFrame = {

@@ -192,6 +192,29 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the probe×LUT table must broadcast against the inverted file:\n$plan")
   }
 
+  test("e_ivfpq_residual: narrow corpus encode — no cartesian, LUT broadcasts, vectors never shuffle") {
+    val plan = executedPlan("e_ivfpq_residual")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"residual IVFADC must never plan a cartesian, found: $bad")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the probe×LUT table must broadcast against the inverted file:\n$plan")
+    // the in-row assignment + residual encode means NO exchange anywhere
+    // carries an embedding/residual array — the corpus is read once,
+    // narrowly; only (query, neighbor, partial) scalar rows shuffle
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"raw vectors/residuals must not shuffle:\n$plan")
+    }
+  }
+
   test("e_bm25: term df broadcasts; top-k is TakeOrderedAndProject") {
     val plan = executedPlan("e_bm25")
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
