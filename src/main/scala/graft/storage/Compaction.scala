@@ -14,9 +14,11 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * The rewrite goes to a fresh directory and the swap is
   * rename-then-delete, so a reader holding the old directory keeps a
   * consistent view and a crashed compaction never corrupts the source
-  * (the half-written output directory is simply abandoned). Combine with
-  * [[ZOrder.cluster]] before the write to restore scan locality in the
-  * same pass, or [[Bucketing]] to keep join co-location. */
+  * (the half-written output directory is simply abandoned).
+  * [[compactClustered]] is the combined maintenance pass: compaction +
+  * [[ZOrder.cluster]] scan-locality in ONE rewrite, with measured
+  * z-locality in its stats; see its scaladoc for why [[Bucketing]]ed
+  * layouts rewrite through the metastore path instead. */
 object Compaction {
 
   final case class Stats(filesBefore: Long, bytesBefore: Long,
@@ -97,5 +99,79 @@ object Compaction {
     }
     fs.delete(old, true)
     Stats(before.length, totalBytes, listDataFiles(spark, dir).length)
+  }
+
+  final case class ClusterStats(filesBefore: Long, bytesBefore: Long,
+                                filesAfter: Long, zSpanRatio: Double)
+
+  /** One-pass maintenance rewrite: compact the flat parquet table at `dir`
+    * AND restore (x, y) scan locality by [[ZOrder.cluster]]ing the rows in
+    * the same rewrite — the combined pass the two operators' docs promise,
+    * at the cost of one table read instead of two. Same guards and crash
+    * protocol as [[compactParquet]] (tmp-dir rewrite, checked
+    * rename-then-delete swap, stranded `__compact_old` refused first).
+    * Unlike plain compaction it always rewrites — an already-compact table
+    * may still be badly clustered, and clustering is the point.
+    *
+    * Bucketed tables are out of scope by CONSTRUCTION, not omission: plain
+    * parquet directories carry no bucket metadata (it lives in the
+    * metastore), so a directory swap cannot preserve bucketing — re-write
+    * through [[Bucketing.writeBucketed]] (optionally with the z-value as a
+    * sort column, which composes bucket co-location with within-bucket
+    * z-locality) for that layout.
+    *
+    * Returns before/after file stats plus `zSpanRatio` — the MEASURED
+    * locality: Σ per-file z-range spans / global z-range span. A perfectly
+    * clustered layout (disjoint per-file z-ranges) scores ~1; a random
+    * layout scores ~filesAfter. Computed by one bounded scan of the
+    * rewritten table (per-file min/max aggregation — the same stats a
+    * format's row-group index would hold). */
+  def compactClustered(spark: SparkSession, dir: String,
+                       xCol: String, yCol: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024,
+                       bits: Int = 16): ClusterStats = {
+    require(targetFileBytes > 0)
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir.__compact_old")
+    require(!fs.exists(old),
+      s"$old exists — a previous compaction crashed mid-swap; verify which " +
+        s"copy is current (a missing $dir means the crash hit between the " +
+        s"renames: restore with rename($old, $dir) after checking " +
+        s"$dir.__compact_tmp) and remove the stale one before compacting again")
+    val partitioned = listDataFiles(spark, dir).exists { case (path, _) =>
+      path.stripPrefix(fs.makeQualified(p).toString).split('/')
+        .exists(_.contains("="))
+    }
+    require(!partitioned,
+      s"$dir is Hive-partitioned; compact each partition directory " +
+        "separately to preserve the layout")
+    val before = listDataFiles(spark, dir)
+    val totalBytes = before.map(_._2).sum
+    val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)
+    val tmp = new Path(s"$dir.__compact_tmp")
+    ZOrder.cluster(spark.read.parquet(dir), xCol, yCol, nFiles.toInt, bits)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compaction aborted: could not move $p aside")
+    if (!fs.rename(tmp, p)) {
+      fs.rename(old, p) // roll back; source was untouched
+      throw new java.io.IOException(
+        s"compaction aborted: could not install $tmp; source restored")
+    }
+    fs.delete(old, true)
+    // measured z-locality of the installed layout: bounded per-file min/max
+    import org.apache.spark.sql.functions._
+    val z = ZOrder.zValue(col(xCol), col(yCol), bits)
+    val spans = spark.read.parquet(dir)
+      .select(input_file_name().as("__f"), z.as("__z"))
+      .groupBy(col("__f"))
+      .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
+      .collect()
+    val globalSpan = (spans.map(_.getLong(2)).max - spans.map(_.getLong(1)).min).toDouble
+    val ratio =
+      if (globalSpan == 0 || spans.length <= 1) 1.0
+      else spans.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / globalSpan
+    ClusterStats(before.length, totalBytes, spans.length, ratio)
   }
 }

@@ -54,6 +54,63 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("clustered compaction compacts AND z-orders in one rewrite, measured") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactz").toString + "/t"
+    // fragmented AND badly clustered: round-robin partitions scatter every
+    // z-range across every file
+    (0 until 4096).map(i => (i.toLong, (i % 64).toLong, (i / 64).toLong))
+      .toDF("id", "x", "y")
+      .repartition(32)
+      .write.parquet(dir)
+    val checksum = spark.read.parquet(dir).agg(sum(col("id"))).head().getLong(0)
+    val stats = Compaction.compactClustered(spark, dir, "x", "y",
+      targetFileBytes = 32L * 1024, bits = 8)
+    assert(stats.filesBefore == 32)
+    assert(stats.filesAfter < 32 && stats.filesAfter > 1,
+      s"expected a multi-file compacted layout, got ${stats.filesAfter}")
+    // locality is MEASURED: near-disjoint per-file z-ranges score ~1
+    // (±1 file-boundary overlap from range-partition sampling); a random
+    // layout would score ~filesAfter
+    assert(stats.zSpanRatio < 2.0,
+      s"z-span ratio ${stats.zSpanRatio} — clustering did not take")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 4096)
+    assert(after.agg(sum(col("id"))).head().getLong(0) == checksum)
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(n => n.contains("__compact")),
+      s"swap must clean up, found ${parent.toSeq}")
+  }
+
+  test("clustered compaction refuses a crash-stranded __compact_old first") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactz2").toString + "/t"
+    (1 to 100).map(i => (i.toLong, i.toLong, i.toLong)).toDF("id", "x", "y")
+      .repartition(4).write.parquet(dir)
+    new java.io.File(s"$dir.__compact_old").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactClustered(spark, dir, "x", "y")
+    }
+    assert(e.getMessage.contains("crashed"), e.getMessage)
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("crash between the renames (dir absent) is detected, not a FileNotFound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactz3").toString + "/t"
+    (1 to 100).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(4).write.parquet(dir)
+    // simulate the window between rename(dir, old) and rename(tmp, dir):
+    // the source sits at __compact_old and dir itself is GONE
+    assert(new java.io.File(dir)
+      .renameTo(new java.io.File(s"$dir.__compact_old")))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir)
+    }
+    assert(e.getMessage.contains("crashed"), e.getMessage)
+    assert(e.getMessage.contains("missing"), e.getMessage)
+  }
+
   test("already-compact tables are left untouched (no rewrite)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compact2").toString + "/t"
