@@ -29,7 +29,10 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * Driver-side state is a REFERENCE to a materialized DataFrame, not data;
   * superseded labelings are released for the ContextCleaner. For restart
   * durability, persist `currentLabels` to a table in the same foreachBatch
-  * transaction and seed `initialLabels` from it on resume. */
+  * transaction and seed `initialLabels` from it on resume — the resumed
+  * run then equals the uninterrupted one (the checkpoint skips committed
+  * batches, the seed supplies their state; exercised end-to-end by the
+  * resume spec). */
 object StreamingConnectedComponents {
 
   final class Handle private[StreamingConnectedComponents] (

@@ -42,13 +42,24 @@ object StreamingMinHashLsh {
     /** doc_ids currently in the index. */
     def indexedDocs: Option[DataFrame] =
       Option(ref.get()).map(_.sigs.select(col("doc_id")))
+    /** The full three-table index after the most recent committed batch —
+      * what a restart-durable deployment persists and feeds back to
+      * [[StreamingMinHashLsh.start]] as `initialIndex`. */
+    def currentIndex: Option[Index] = Option(ref.get())
   }
 
-  /** Start maintaining the index over a streaming `(doc_id, text)` frame. */
+  /** Start maintaining the index over a streaming `(doc_id, text)` frame.
+    * `initialIndex` seeds recovery from persisted (sigs, bands, pairs)
+    * tables — the restart path: persist the three tables after each batch
+    * (or on shutdown), then resume from the SAME checkpoint location with
+    * the persisted index; the checkpoint skips already-committed batches
+    * and the seed supplies their accumulated state, so the resumed run
+    * equals the uninterrupted one (exercised by the resume spec). */
   def start(docs: DataFrame, checkpointLocation: String, k: Int = 12,
             shingleWidth: Int = 3, bandRows: Int = 2,
-            minEst: Double = 0.0): (StreamingQuery, Handle) = {
-    val ref = new AtomicReference[Index](null)
+            minEst: Double = 0.0,
+            initialIndex: Option[Index] = None): (StreamingQuery, Handle) = {
+    val ref = new AtomicReference[Index](initialIndex.orNull)
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
