@@ -195,35 +195,16 @@ object ProductQuantization {
     val spark = vecs.sparkSession
     import spark.implicits._
     val toDouble = transform(col(embCol), x => x.cast("double"))
-    // bounded driver artifact: the coarse centroid matrix in cell-id order
-    // (+ norms accumulated in ascending index order for oracle parity)
-    val cents = vecs.filter(isCentroid)
-      .select(col(idCol).cast("long"), toDouble)
-      .collect().sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
-    require(cents.nonEmpty, "isCentroid selected no cells")
-    val cNorms = cents.map { case (_, a) =>
-      var s = 0.0; var j = 0
-      while (j < a.length) { s += a(j) * a(j); j += 1 }
-      math.sqrt(s)
-    }
-    val centMat = typedLit(cents.map(_._2.toSeq))
-    // in-row cell scores: struct(−rounded-cosine, cell_id, matrix index);
-    // array_min = (cs desc, cell asc) argmax, slice of array_sort = the
-    // nProbe best — zero exchange either way
-    def cellScoreArr(v: Column, vNorm: Column): Column = array(
-      cents.indices.map { i =>
-        struct(
-          (-round(VectorExpressions.vecDot(v, typedLit(cents(i)._2.toSeq)) /
-            (vNorm * lit(cNorms(i))), 6)).as("negcs"),
-          lit(cents(i)._1).as("cid"),
-          lit(i + 1).as("idx"))
-      }: _*)
+    // in-row cell argmax + residual against the driver-collected centroid
+    // matrix (CellAssignment): one narrow corpus pass, zero exchanges
+    val cells = CellAssignment.collect(vecs, idCol, embCol, isCentroid)
+    val centMat = cells.matLit
     val base = vecs.select(col(idCol).cast("long").as("vid"), toDouble.as("v"),
         isQuery.as("is_q"), isCodeword.as("is_cw"))
       .withColumn("v_norm", sqrt(VectorExpressions.vecDot(col("v"), col("v"))))
     val withCell = base
-      .withColumn("best", array_min(cellScoreArr(col("v"), col("v_norm"))))
+      .withColumn("best",
+        array_min(CellAssignment.scoreArr(cells, col("v"), col("v_norm"))))
       .withColumn("cell_id", col("best").getField("cid"))
       .withColumn("r", zip_with(col("v"),
         element_at(centMat, col("best").getField("idx")), (a, b) => a - b))
@@ -254,8 +235,8 @@ object ProductQuantization {
         col("c.code").as("code"))
     // query probes (bounded slice): top-nProbe cells per query, in-row
     val probes = base.filter(col("is_q"))
-      .withColumn("p", explode(slice(
-        array_sort(cellScoreArr(col("v"), col("v_norm"))), 1, nProbe)))
+      .withColumn("p",
+        CellAssignment.probeCells(cells, col("v"), col("v_norm"), nProbe))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("p").getField("cid").as("p_cell"),
         col("p").getField("idx").as("p_idx"))
@@ -300,25 +281,22 @@ object ProductQuantization {
     val toDouble = transform(col(embCol), x => x.cast("double"))
     def l2norm(c: Column): Column =
       sqrt(VectorExpressions.vecDot(c, c))
-    val centroids = vecs.filter(isCentroid)
-      .select(col(idCol).cast("long").as("cell_id"), toDouble.as("cent_emb"),
-        l2norm(toDouble).as("cent_norm"))
+    // in-row assignment/probes against the driver-collected centroid
+    // matrix (CellAssignment, the ivfTopK convention): no n×K crossJoin
+    // rows, no per-vector window — the corpus id→cell table falls out of
+    // one narrow scan
+    val cells = CellAssignment.collect(vecs, idCol, embCol, isCentroid)
     val base = vecs.select(col(idCol).cast("long").as("vid"),
       toDouble.as("v_emb"), l2norm(toDouble).as("v_norm"),
       isQuery.as("is_q"))
-    // rounded-cosine cell scores for every vector — one broadcast product,
-    // reused for both the corpus assignment (rn = 1) and the query probes
-    // (rn <= nProbe), exactly the ivfTopK convention
-    val wCell = Window.partitionBy(col("vid")).orderBy(desc("cs"), asc("cell_id"))
-    val cellScores = base.crossJoin(broadcast(centroids))
-      .select(col("vid"), col("is_q"), col("cell_id"),
-        round(VectorExpressions.vecDot(col("v_emb"), col("cent_emb")) /
-          (col("v_norm") * col("cent_norm")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wCell))
-    val assigned = cellScores.filter(col("rn") === 1)
+    val assigned = base
+      .withColumn("cell_id",
+        CellAssignment.assignedCell(cells, col("v_emb"), col("v_norm")))
       .select(col("vid"), col("cell_id"))
-    val probes = cellScores.filter(col("is_q") && col("rn") <= nProbe)
-      .select(col("vid").as("query_id"), col("cell_id").as("p_cell"))
+    val probes = base.filter(col("is_q"))
+      .withColumn("p",
+        CellAssignment.probeCells(cells, col("v_emb"), col("v_norm"), nProbe))
+      .select(col("vid").as("query_id"), col("p").getField("cid").as("p_cell"))
     val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
     val codes = encode(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
       .select(col("vec_id").as("vid"), col("m"), col("code"))

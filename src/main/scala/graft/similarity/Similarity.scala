@@ -104,30 +104,26 @@ object Similarity {
     * nProbe instead of the full corpus. */
   def ivfTopK(vecs: DataFrame, idCol: String, embCol: String,
               isQuery: Column, isCentroid: Column, k: Int, nProbe: Int): DataFrame = {
-    val centroids = vecs.filter(isCentroid)
-      .select(col(idCol).as("cell_id"), col(embCol).as("cent_emb"),
-        norm(col(embCol)).as("cent_norm"))
-    // assign every corpus vector to its max-cosine centroid cell
-    val wAssign = Window.partitionBy(col("vid"))
-      .orderBy(desc("cs"), asc("cell_id"))
+    // the centroid matrix is a bounded driver artifact; cell assignment is
+    // an IN-ROW argmax over it (CellAssignment) — the corpus is scanned
+    // once, narrowly, instead of materializing and shuffling n×K
+    // crossJoin score rows for a per-vector window
+    val cells = CellAssignment.collect(vecs, idCol, embCol, isCentroid)
+    val toDouble = transform(col(embCol), x => x.cast("double"))
     val assigned = vecs
-      .select(col(idCol).as("vid"), col(embCol).as("v_emb"), norm(col(embCol)).as("v_norm"))
-      .crossJoin(broadcast(centroids))
-      .select(col("vid"), col("v_emb"), col("v_norm"), col("cell_id"),
-        round(dot(col("v_emb"), col("cent_emb")) / (col("v_norm") * col("cent_norm")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
+      .select(col(idCol).as("vid"), col(embCol).as("v_emb"),
+        norm(col(embCol)).as("v_norm"), toDouble.as("__vd"))
+      .withColumn("cell_id",
+        CellAssignment.assignedCell(cells, col("__vd"), col("v_norm")))
       .select(col("vid"), col("v_emb"), col("v_norm"), col("cell_id"))
-    // each query probes its nProbe nearest cells
-    val wProbe = Window.partitionBy(col("qid")).orderBy(desc("cs"), asc("cell_id"))
+    // each query probes its nProbe nearest cells (bounded query slice)
     val probes = vecs.filter(isQuery)
-      .select(col(idCol).as("qid"), col(embCol).as("q_emb"), norm(col(embCol)).as("q_norm"))
-      .crossJoin(broadcast(centroids))
-      .select(col("qid"), col("q_emb"), col("q_norm"), col("cell_id"),
-        round(dot(col("q_emb"), col("cent_emb")) / (col("q_norm") * col("cent_norm")), 6).as("cs"))
-      .withColumn("rn", row_number().over(wProbe))
-      .filter(col("rn") <= nProbe)
-      .select(col("qid"), col("q_emb"), col("q_norm"), col("cell_id"))
+      .select(col(idCol).as("qid"), col(embCol).as("q_emb"),
+        norm(col(embCol)).as("q_norm"), toDouble.as("__vd"))
+      .withColumn("p",
+        CellAssignment.probeCells(cells, col("__vd"), col("q_norm"), nProbe))
+      .select(col("qid"), col("q_emb"), col("q_norm"),
+        col("p").getField("cid").as("cell_id"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     broadcast(probes).join(assigned, Seq("cell_id"))

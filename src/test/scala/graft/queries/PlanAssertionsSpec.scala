@@ -185,11 +185,25 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val plan = executedPlan("e_ivfpq_topk")
     val bad = collectWithSubqueries(plan) {
       case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      // the old crossJoin(centroids) cell scoring planned as a
+      // broadcast-nested-loop over n×K rows; in-row CellAssignment
+      // removed it — keep it out
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
     }
-    assert(bad.isEmpty, s"IVF-PQ must never plan a cartesian, found: $bad")
+    assert(bad.isEmpty, s"IVF-PQ must never plan a cartesian/nested-loop, found: $bad")
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
     assert(bhj.nonEmpty,
       s"the probe×LUT table must broadcast against the inverted file:\n$plan")
+  }
+
+  test("e_ivf_topk: in-row cell assignment — no nested-loop centroid scoring") {
+    val plan = executedPlan("e_ivf_topk")
+    val bad = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty,
+      s"cell assignment must be the in-row argmax, not an n×K product:\n$plan")
   }
 
   test("e_ivfpq_residual: narrow corpus encode — no cartesian, LUT broadcasts, vectors never shuffle") {
