@@ -64,6 +64,11 @@ object ExtQueries {
   private val LmAlpha = 1.0
   private val LmLambda = 0.7
   private val LmTailTiles = 10L
+  // hard-negative mining (e_hard_negatives): drop the HnSkip likely
+  // positives at the head of each query's ANN shortlist, keep the next
+  // HnK as training negatives
+  private val HnSkip = 3
+  private val HnK = 10
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -303,6 +308,20 @@ object ExtQueries {
         isCentroid = col("vec_id") % 50 === 1,
         isCodeword = col("vec_id") % 50 === 1,
         PqM, PqSubDim, PqTopK, nProbe = 2)
+      .orderBy("query_id", "rank")
+
+  /** Hard-negative mining for dense-retriever training: per query, the
+    * ANN candidates ranked JUST BELOW the likely-positive shortlist head
+    * (ranks HnSkip+1 .. HnSkip+HnK) — the negatives the current embedding
+    * space confuses with positives, which is what contrastive training
+    * wants. Pure composition of [[Similarity.ivfTopK]] (deeper k) with a
+    * rank-band filter: inherits IVF's probed-cell scale shape. */
+  def eHardNegatives(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCentroid = col("vec_id") % 50 === 1,
+        k = HnSkip + HnK, nProbe = 2)
+      .filter(col("rank") > HnSkip)
       .orderBy("query_id", "rank")
 
   /** IVFADC with residual coding: the [[eIvfPqTopk]] search with the codes
@@ -1056,7 +1075,10 @@ object ExtQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private val ivfOracle =
+  // IVF search chain parameterized by the final rank predicate: the same
+  // SQL serves the top-k oracle (rank <= k) and the hard-negative oracle
+  // (a rank BAND below the shortlist head).
+  private def ivfRankedOracle(rankPred: String): String =
     s"""WITH $embCtes,
        |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
        |  FROM e v JOIN e c ON v.pos = c.pos
@@ -1084,8 +1106,10 @@ object ExtQueries {
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
        |SELECT query_id, neighbor_id, cosine_sim, rank
-       |FROM ranked WHERE rank <= 3
+       |FROM ranked WHERE $rankPred
        |ORDER BY query_id, rank""".stripMargin
+
+  private val ivfOracle = ivfRankedOracle("rank <= 3")
 
   private val dedupApplyOracle = {
     val matchSum = (0 until K)
@@ -1646,6 +1670,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> (ePqAdcTopk _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_ivfpq_residual" -> (eIvfPqResidual _),
+    "e_hard_negatives" -> (eHardNegatives _),
     "e_bm25" -> (eBm25 _),
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
@@ -1792,6 +1817,8 @@ object ExtQueries {
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_ivfpq_residual" -> ivfPqResidualOracle,
+    "e_hard_negatives" ->
+      ivfRankedOracle(s"rank > $HnSkip AND rank <= ${HnSkip + HnK}"),
     "e_bm25" -> bm25Oracle,
     "e_hybrid_rrf" -> hybridRrfOracle,
     "e_weighted_sample" -> weightedSampleOracle,
