@@ -139,7 +139,7 @@ object ExtQueries {
   // ---------------- memo lifecycle ----------------
 
   // Each memo's LAST consumer in the name-sorted run order Bench uses.
-  // Holding every memo's checkpoint blocks for the whole 128-query run
+  // Holding every memo's checkpoint blocks for the whole full-suite run
   // pressures storage memory and GC enough to inflate the late heavy
   // queries ~3× over their isolated times (measured round 6: identical
   // shuffle/spill metrics, pure cross-query interference) — so Bench

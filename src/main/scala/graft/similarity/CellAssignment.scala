@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   * (cs desc, cell asc) argmax and `slice(array_sort(...), 1, n)` IS the
   * top-n probe list; `idx` is the 1-based position in [[Cells.matLit]]
   * for `element_at` lookups (residual arithmetic). */
-private[similarity] object CellAssignment {
+private[graft] object CellAssignment {
 
   /** The bounded centroid artifact: ids ascending, vectors as doubles,
     * norms accumulated in ascending index order (oracle parity). */

@@ -87,6 +87,39 @@ object RetrievalProps extends Properties("graft.retrieval") {
       }
     }
 
+  // ---- in-row IVF cell assignment: equals the independent rounded-cosine
+  //      argmax (cs desc, cell asc) the window form implemented ----
+
+  property("in-row cell assignment equals the reference rounded-cosine argmax") =
+    forAll(vecsGen, Gen.choose(1, 4)) { (rows, nCentRaw) =>
+      import spark.implicits._
+      val nCent = math.min(nCentRaw, rows.length)
+      val centIds = rows.take(nCent).map(_._1)
+      val df = rows.toDF("vec_id", "embedding")
+      val cells = graft.similarity.CellAssignment.collect(
+        df, "vec_id", "embedding", col("vec_id").isin(centIds: _*))
+      val toDouble = transform(col("embedding"), x => x.cast("double"))
+      val got = df
+        .select(col("vec_id"),
+          graft.similarity.CellAssignment.assignedCell(cells, toDouble,
+            sqrt(graft.plans.VectorExpressions.vecDot(toDouble, toDouble)))
+            .as("cell_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def r6(x: Double) = BigDecimal(x)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      val cents = centIds.sorted.map(id => id -> rows.find(_._1 == id).get._2)
+      val allZero = rows.exists(_._2.forall(_ == 0f)) ||
+        cents.exists(_._2.forall(_ == 0f))
+      allZero || rows.forall { case (id, v) =>
+        val want = cents.map { case (cid, c) =>
+          val dp = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
+          (cid, r6(dp / (nrm(v) * nrm(c))))
+        }.minBy { case (cid, cs) => (-cs, cid) }._1
+        got(id) == want
+      }
+    }
+
   // ---- priority sampling: kept set is the top-n by priority; estimator
   //      weights are max(w, τ) with τ the (n+1)-th priority ----
 
