@@ -217,6 +217,144 @@ case class NearestCentroid(child: Expression, cids: Array[Long],
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Native top-`n` coarse-cell search by ROUNDED cosine: the ranked
+  * `array<struct<cid, idx>>` of the `n` best cells for a vector, ordered
+  * (cosine desc — 6 dp, like every IVF oracle — then cell id asc).
+  *
+  * Why a custom Expression: the composable form is an `array_min` /
+  * `array_sort` over K `struct(-cs, cid, idx)` entries, each with its own
+  * DotProduct against a K-vector literal — at test-sized K (tens of
+  * cells) that works, but production IVF uses √n ≈ thousands of cells and
+  * a K-term expression tree bloats codegen past the JIT's appetite (and
+  * eventually whole-stage codegen's method limits). Like
+  * [[NearestCentroid]], the whole cell matrix rides along as ONE
+  * reference object and the scan is a cache-friendly JVM loop with a
+  * fixed top-n insertion buffer.
+  *
+  * FP parity with the composable form it replaces (property-tested): the
+  * vector norm is sqrt of the ascending-index |v|² sum, each dot
+  * accumulates in ascending index order, the score is
+  * `round(dot / (vNorm · cellNorm), 6)` with the same BigDecimal
+  * HALF_UP rounding Spark's `round` applies to doubles, and ordering uses
+  * `java.lang.Double.compare` — bit-identical to Spark's struct
+  * comparison (−0.0 < 0.0) on the negated score. `idx` is the 1-based
+  * position in the caller's cell matrix (for `element_at` residual
+  * lookups). Null input or null element → NULL, like vec_dot. */
+case class TopCells(child: Expression, n: Int, cids: Array[Long],
+                    cells: Array[Array[Double]], norms: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "need n >= 1")
+  require(cids.length == cells.length && cids.length == norms.length &&
+    cids.nonEmpty, "need one id and norm per cell and at least one cell")
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("cid", org.apache.spark.sql.types.LongType, nullable = false),
+    StructField("idx", IntegerType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if et == FloatType || et == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_cells requires an array<float> or array<double> vector, got ${other.sql}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(et, _) => et == FloatType
+    case _ => false
+  }
+
+  /** round(x, 6) exactly as Spark's Round does for doubles —
+    * BigDecimal.valueOf (decimal-string) semantics, NOT the exact-binary
+    * `new BigDecimal(double)` constructor, which rounds differently on
+    * values like 2.675. */
+  private def r6(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  /** The tight loop; also the codegen target (one virtual call per row). */
+  def compute(vec: ArrayData): Any = {
+    val d = vec.numElements()
+    val v = new Array[Double](d)
+    var j = 0
+    while (j < d) {
+      if (vec.isNullAt(j)) return null
+      v(j) = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+      j += 1
+    }
+    var vv = 0.0
+    j = 0
+    while (j < d) { vv += v(j) * v(j); j += 1 }
+    val vNorm = math.sqrt(vv)
+    val m = math.min(n, cids.length)
+    // insertion-sorted top-m buffers on (negcs, cid) — m is tiny (nProbe)
+    val bNeg = new Array[Double](m)
+    val bCid = new Array[Long](m)
+    val bIdx = new Array[Int](m)
+    var filled = 0
+    var i = 0
+    while (i < cells.length) {
+      val c = cells(i)
+      if (c.length != d) throw new IllegalArgumentException(
+        s"top_cells: vector has $d dims, cell ${cids(i)} has ${c.length}")
+      var dot = 0.0
+      j = 0
+      while (j < d) { dot += v(j) * c(j); j += 1 }
+      val neg = -r6(dot / (vNorm * norms(i)))
+      // worse than the current worst of a full buffer? (compare mirrors
+      // Spark's struct ordering: Double.compare, then cid asc)
+      val cmpLast =
+        if (filled < m) -1
+        else {
+          val c0 = java.lang.Double.compare(neg, bNeg(filled - 1))
+          if (c0 != 0) c0 else java.lang.Long.compare(cids(i), bCid(filled - 1))
+        }
+      if (cmpLast < 0) {
+        var pos = if (filled < m) filled else m - 1
+        while (pos > 0 && {
+          val c0 = java.lang.Double.compare(neg, bNeg(pos - 1))
+          c0 < 0 || (c0 == 0 && cids(i) < bCid(pos - 1))
+        }) {
+          bNeg(pos) = bNeg(pos - 1); bCid(pos) = bCid(pos - 1)
+          bIdx(pos) = bIdx(pos - 1)
+          pos -= 1
+        }
+        bNeg(pos) = neg; bCid(pos) = cids(i); bIdx(pos) = i + 1
+        if (filled < m) filled += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](filled)
+    i = 0
+    while (i < filled) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(bCid(i), bIdx(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("topCells", this)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |Object r = $ref.compute($c);
+       |if (r == null) { ${ev.isNull} = true; } else {
+       |  ${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) r;
+       |}
+     """.stripMargin)
+  }
+
+  override def nullable: Boolean = true
+
+  override protected def withNewChildInternal(newChild: Expression): TopCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "top_cells"
+}
+
 object VectorExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge

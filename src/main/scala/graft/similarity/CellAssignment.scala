@@ -48,25 +48,25 @@ private[graft] object CellAssignment {
     Cells(rows.map(_._1), rows.map(_._2), norms)
   }
 
-  /** `array(struct(negcs, cid, idx))` of every cell's score for the row's
-    * vector. `vDouble` must be the double-cast embedding; `vNorm` its L2
-    * norm (computed once per row by the caller). */
-  def scoreArr(cells: Cells, vDouble: Column, vNorm: Column): Column = array(
-    cells.ids.indices.map { i =>
-      struct(
-        (-round(VectorExpressions.vecDot(vDouble, typedLit(cells.mat(i).toSeq)) /
-          (vNorm * lit(cells.norms(i))), 6)).as("negcs"),
-        lit(cells.ids(i)).as("cid"),
-        lit(i + 1).as("idx"))
-    }: _*)
+  /** The ranked top-`n` cells as a native [[graft.plans.TopCells]] call —
+    * one codegen'd expression holding the whole cell matrix as a reference
+    * object (the NearestCentroid pattern), so K can be production-sized
+    * (thousands of cells) without a K-term expression tree bloating
+    * codegen. `vDouble` must be the double-cast embedding; the norm is
+    * computed inside (sqrt of the ascending-index |v|² sum, the vec_dot
+    * convention). */
+  def topCells(cells: Cells, vDouble: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.TopCells(
+        org.apache.spark.sql.graft.ColumnBridge.expression(vDouble), n,
+        cells.ids.toArray, cells.mat.toArray, cells.norms.toArray))
 
-  /** The argmax cell id (cs desc, cell asc). */
-  def assignedCell(cells: Cells, vDouble: Column, vNorm: Column): Column =
-    array_min(scoreArr(cells, vDouble, vNorm)).getField("cid")
+  /** The argmax cell (cs desc, cell asc): struct(cid, idx). */
+  def assignedCell(cells: Cells, vDouble: Column): Column =
+    element_at(topCells(cells, vDouble, 1), 1)
 
-  /** The top-`nProbe` cells as an exploded struct column (fields
-    * negcs/cid/idx), for the bounded query slice. */
-  def probeCells(cells: Cells, vDouble: Column, vNorm: Column,
-                 nProbe: Int): Column =
-    explode(slice(array_sort(scoreArr(cells, vDouble, vNorm)), 1, nProbe))
+  /** The top-`nProbe` cells as an exploded struct column (fields cid/idx),
+    * for the bounded query slice. */
+  def probeCells(cells: Cells, vDouble: Column, nProbe: Int): Column =
+    explode(topCells(cells, vDouble, nProbe))
 }

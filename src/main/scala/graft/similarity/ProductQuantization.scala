@@ -203,8 +203,7 @@ object ProductQuantization {
         isQuery.as("is_q"), isCodeword.as("is_cw"))
       .withColumn("v_norm", sqrt(VectorExpressions.vecDot(col("v"), col("v"))))
     val withCell = base
-      .withColumn("best",
-        array_min(CellAssignment.scoreArr(cells, col("v"), col("v_norm"))))
+      .withColumn("best", CellAssignment.assignedCell(cells, col("v")))
       .withColumn("cell_id", col("best").getField("cid"))
       .withColumn("r", zip_with(col("v"),
         element_at(centMat, col("best").getField("idx")), (a, b) => a - b))
@@ -236,7 +235,7 @@ object ProductQuantization {
     // query probes (bounded slice): top-nProbe cells per query, in-row
     val probes = base.filter(col("is_q"))
       .withColumn("p",
-        CellAssignment.probeCells(cells, col("v"), col("v_norm"), nProbe))
+        CellAssignment.probeCells(cells, col("v"), nProbe))
       .select(col("vid").as("query_id"), col("v").as("qv"),
         col("p").getField("cid").as("p_cell"),
         col("p").getField("idx").as("p_idx"))
@@ -291,11 +290,11 @@ object ProductQuantization {
       isQuery.as("is_q"))
     val assigned = base
       .withColumn("cell_id",
-        CellAssignment.assignedCell(cells, col("v_emb"), col("v_norm")))
+        CellAssignment.assignedCell(cells, col("v_emb")).getField("cid"))
       .select(col("vid"), col("cell_id"))
     val probes = base.filter(col("is_q"))
       .withColumn("p",
-        CellAssignment.probeCells(cells, col("v_emb"), col("v_norm"), nProbe))
+        CellAssignment.probeCells(cells, col("v_emb"), nProbe))
       .select(col("vid").as("query_id"), col("p").getField("cid").as("p_cell"))
     val cb = codebook(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)
     val codes = encode(vecs, idCol, embCol, isCodeword, nSubspaces, subDim)

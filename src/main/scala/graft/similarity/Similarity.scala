@@ -114,14 +114,14 @@ object Similarity {
       .select(col(idCol).as("vid"), col(embCol).as("v_emb"),
         norm(col(embCol)).as("v_norm"), toDouble.as("__vd"))
       .withColumn("cell_id",
-        CellAssignment.assignedCell(cells, col("__vd"), col("v_norm")))
+        CellAssignment.assignedCell(cells, col("__vd")).getField("cid"))
       .select(col("vid"), col("v_emb"), col("v_norm"), col("cell_id"))
     // each query probes its nProbe nearest cells (bounded query slice)
     val probes = vecs.filter(isQuery)
       .select(col(idCol).as("qid"), col(embCol).as("q_emb"),
         norm(col(embCol)).as("q_norm"), toDouble.as("__vd"))
       .withColumn("p",
-        CellAssignment.probeCells(cells, col("__vd"), col("q_norm"), nProbe))
+        CellAssignment.probeCells(cells, col("__vd"), nProbe))
       .select(col("qid"), col("q_emb"), col("q_norm"),
         col("p").getField("cid").as("cell_id"))
     val wRank = Window.partitionBy(col("query_id"))

@@ -101,9 +101,8 @@ object RetrievalProps extends Properties("graft.retrieval") {
       val toDouble = transform(col("embedding"), x => x.cast("double"))
       val got = df
         .select(col("vec_id"),
-          graft.similarity.CellAssignment.assignedCell(cells, toDouble,
-            sqrt(graft.plans.VectorExpressions.vecDot(toDouble, toDouble)))
-            .as("cell_id"))
+          graft.similarity.CellAssignment.assignedCell(cells, toDouble)
+            .getField("cid").as("cell_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       def r6(x: Double) = BigDecimal(x)
         .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
