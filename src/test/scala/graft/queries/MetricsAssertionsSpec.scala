@@ -54,6 +54,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-7: the interpolated model adds the bigram-table build + the
     // composite-key token-pair join over the same corpus
     "e_lm_perplexity2" -> (2L << 20),
+    // round-7 ANN additions: both encode the corpus narrowly (TopCells /
+    // residual codes) — shuffles carry only id/code/aggregation rows, so a
+    // budget breach means an embedding array started shuffling
+    "e_ivfpq_residual" -> (1L << 20),
+    "e_hard_negatives" -> (1L << 20),
     "e_collocations" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
