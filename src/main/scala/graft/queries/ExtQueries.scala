@@ -270,6 +270,13 @@ object ExtQueries {
         isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
       .orderBy("query_id", "rank")
 
+  /** Multi-probe LSH: the [[eAnnLshTopk]] search with Hamming-1 bucket
+    * probes — recall recovered from one-flip near-misses. */
+  def eAnnMultiprobe(s: SparkSession, d: String): DataFrame =
+    Similarity.lshMultiProbeTopK(Tables.embeddings(s, d), "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
+      .orderBy("query_id", "rank")
+
   /** IVF-flat ANN: deterministic sampled centroids (vec_id % 50 == 1),
     * nProbe=2 cells per query. */
   def eIvfTopk(s: SparkSession, d: String): DataFrame =
@@ -1075,6 +1082,42 @@ object ExtQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Multi-probe LSH oracle: the bucketed cosine chain with the query side
+    * matching its own bucket OR any single-bit flip of it — same flip
+    * expressions generated from the same dims. A candidate's bucket equals
+    * at most ONE probe (probes are pairwise distinct), so the probe list
+    * join cannot duplicate pairs. */
+  private val annMultiprobeOracle = {
+    val bucketExpr = AnnDims
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val d = AnnDims.size
+    val flipExprs = (0 until d).map { i =>
+      s"substring(bucket, 1, $i) || (CASE WHEN substring(bucket, ${i + 1}, 1) = '1' " +
+        s"THEN '0' ELSE '1' END) || substring(bucket, ${i + 2}, $d)"
+    }
+    s"""WITH $embCtes,
+       |buckets AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+       |qp AS (SELECT vec_id, unnest([bucket, ${flipExprs.mkString(", ")}]) AS pb
+       |  FROM buckets WHERE vec_id % 50 = 0),
+       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+       |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
+       |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+       |  JOIN buckets bc ON bc.vec_id = e.vec_id
+       |  JOIN qp ON qp.vec_id = q.vec_id AND qp.pb = bc.bucket
+       |  GROUP BY 1, 2),
+       |scored AS (SELECT query_id, neighbor_id,
+       |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
+       |  FROM dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+       |SELECT query_id, neighbor_id, cosine_sim, rank
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // IVF search chain parameterized by the final rank predicate: the same
   // SQL serves the top-k oracle (rank <= k) and the hard-negative oracle
   // (a rank BAND below the shortlist head).
@@ -1635,6 +1678,7 @@ object ExtQueries {
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
+    "e_ann_multiprobe" -> (eAnnMultiprobe _),
     "e_ivf_topk" -> (eIvfTopk _),
     "e_dedup_apply" -> (eDedupApply _),
     "e_multimodal_frames" -> (eMultimodalFrames _),
@@ -1888,6 +1932,7 @@ object ExtQueries {
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
+    "e_ann_multiprobe" -> annMultiprobeOracle,
     "e_ivf_topk" -> ivfOracle,
     "e_dedup_apply" -> dedupApplyOracle,
     "e_multimodal_frames" -> framesOracle,

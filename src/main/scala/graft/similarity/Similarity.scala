@@ -92,6 +92,49 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Multi-probe LSH ANN: each query probes its own sign bucket AND every
+    * Hamming-1 neighbor bucket (one sign flipped). The published recall
+    * remedy for LSH's near-miss problem — a vector one sign flip away from
+    * the query's bucket is invisible to [[lshTopK]] — that costs
+    * (|dims|+1)× probe fan-out instead of maintaining extra hash tables
+    * (the same recall/space trade multi-probe LSH, Lv et al. VLDB'07,
+    * formalizes). Corpus vectors live in exactly one bucket and the probe
+    * buckets of a query are pairwise distinct, so no candidate pair is
+    * generated twice — no post-join distinct.
+    *
+    * Plan shape: identical to [[lshTopK]] — the (still tiny) exploded
+    * query×probe table broadcasts against the bucketed corpus on the
+    * bucket key; never a cartesian. */
+  def lshMultiProbeTopK(vecs: DataFrame, idCol: String, embCol: String,
+                        isQuery: Column, k: Int,
+                        dims: Seq[Int] = Seq(0, 8, 16, 24)): DataFrame = {
+    val d = dims.size
+    val bucketed = vecs.withColumn("bucket", signBucket(col(embCol), dims))
+    // the query's probe list: own bucket + each single-bit flip
+    val flips = (0 until d).map { i =>
+      concat(
+        substring(col("bucket"), 1, i),
+        when(substring(col("bucket"), i + 1, 1) === "1", "0").otherwise("1"),
+        substring(col("bucket"), i + 2, d))
+    }
+    val queries = bucketed.filter(isQuery)
+      .select(col(idCol).as("query_id"), col(embCol).as("q_emb"),
+        norm(col(embCol)).as("q_norm"),
+        explode(array((col("bucket") +: flips): _*)).as("bucket"))
+    val corpus = bucketed
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"),
+        norm(col(embCol)).as("c_norm"), col("bucket"))
+    val scored = broadcast(queries).join(corpus, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm")), 6)
+          .as("cosine_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF-flat ANN: coarse-quantize the corpus into cells around sampled
     * centroid vectors, then search only the `nProbe` cells nearest to each
     * query.

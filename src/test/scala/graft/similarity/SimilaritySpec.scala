@@ -51,6 +51,32 @@ class SimilaritySpec extends SparkSpec {
     assert(r == Set(1L, 2L, 4L), "opposite-orthant vec 3 must be pruned by the bucket")
   }
 
+  test("multi-probe LSH dominates single-bucket LSH: per-rank cosine never worse") {
+    import spark.implicits._
+    // a corpus with query near-neighbors that sit ONE sign flip away from
+    // the query's bucket: single-bucket LSH misses them, a Hamming-1 probe
+    // finds them
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 60L).map { i =>
+      (i, Array.fill(4)((rng.nextInt(9) - 4).toFloat))
+    }.filter(!_._2.forall(_ == 0f)).toDF("vec_id", "embedding")
+    val dims = Seq(0, 1, 2, 3)
+    val isQ = col("vec_id") % 10 === 0
+    def byRank(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getDouble(2)).toMap
+    val single = byRank(Similarity.lshTopK(corpus, "vec_id", "embedding",
+      isQ, k = 3, dims))
+    val multi = byRank(Similarity.lshMultiProbeTopK(corpus, "vec_id", "embedding",
+      isQ, k = 3, dims))
+    // multi-probe's candidate set is a strict superset (own bucket is
+    // probed too), so at every (query, rank) its cosine is >= single's
+    single.foreach { case (key, cs) =>
+      assert(multi.contains(key) && multi(key) >= cs,
+        s"rank $key: multi ${multi.get(key)} < single $cs")
+    }
+    assert(multi.size >= single.size)
+  }
+
   test("near-dup pairs above threshold") {
     import spark.implicits._
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
