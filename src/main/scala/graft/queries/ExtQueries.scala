@@ -277,6 +277,27 @@ object ExtQueries {
         isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
       .orderBy("query_id", "rank")
 
+  /** ANN recall measurement — the evaluation operator every approximate
+    * index needs before anyone trusts it ("measure, don't guess"): per
+    * query, |multiprobe@3 ∩ exact@3| / 3 against the brute-force ground
+    * truth. At scale ground truth comes from a (sampled) exact pass over
+    * the query slice only — the corpus-side cost profile of
+    * [[Similarity.bruteForceTopK]], bounded by the query count. */
+  def eAnnRecall(s: SparkSession, d: String): DataFrame = {
+    val isQ = col("vec_id") % 50 === 0
+    val emb = Tables.embeddings(s, d)
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = Similarity.lshMultiProbeTopK(emb, "vec_id", "embedding",
+        isQ, k = 3, dims = AnnDims)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("n_hits"),
+        round(count(col("__hit")) / 3.0, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** IVF-flat ANN: deterministic sampled centroids (vec_id % 50 == 1),
     * nProbe=2 cells per query. */
   def eIvfTopk(s: SparkSession, d: String): DataFrame =
@@ -1118,6 +1139,52 @@ object ExtQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** ANN recall oracle: the multiprobe chain and the brute-force chain in
+    * one WITH (prefixed CTE names), joined per (query, neighbor) at
+    * rank ≤ 3 — hit counts are integers, recall = n/3 rounded. */
+  private val annRecallOracle = {
+    val bucketExpr = AnnDims
+      .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val d = AnnDims.size
+    val flipExprs = (0 until d).map { i =>
+      s"substring(bucket, 1, $i) || (CASE WHEN substring(bucket, ${i + 1}, 1) = '1' " +
+        s"THEN '0' ELSE '1' END) || substring(bucket, ${i + 2}, $d)"
+    }
+    s"""WITH $embCtes,
+       |buckets AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
+       |qp AS (SELECT vec_id, unnest([bucket, ${flipExprs.mkString(", ")}]) AS pb
+       |  FROM buckets WHERE vec_id % 50 = 0),
+       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+       |mp_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
+       |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+       |  JOIN buckets bc ON bc.vec_id = e.vec_id
+       |  JOIN qp ON qp.vec_id = q.vec_id AND qp.pb = bc.bucket
+       |  GROUP BY 1, 2),
+       |mp_ranked AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
+       |  FROM mp_dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id),
+       |bf_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
+       |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |bf_ranked AS (SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
+       |  FROM bf_dots
+       |  JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id)
+       |SELECT b.query_id AS query_id,
+       |  CAST(count(m.neighbor_id) AS BIGINT) AS n_hits,
+       |  round(count(m.neighbor_id) / 3.0, 6) AS recall
+       |FROM (SELECT * FROM bf_ranked WHERE rank <= 3) b
+       |LEFT JOIN (SELECT * FROM mp_ranked WHERE rank <= 3) m
+       |  ON b.query_id = m.query_id AND b.neighbor_id = m.neighbor_id
+       |GROUP BY b.query_id ORDER BY query_id""".stripMargin
+  }
+
   // IVF search chain parameterized by the final rank predicate: the same
   // SQL serves the top-k oracle (rank <= k) and the hard-negative oracle
   // (a rank BAND below the shortlist head).
@@ -1679,6 +1746,7 @@ object ExtQueries {
     "e_cosine_topk" -> (eCosineTopk _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
     "e_ann_multiprobe" -> (eAnnMultiprobe _),
+    "e_ann_recall" -> (eAnnRecall _),
     "e_ivf_topk" -> (eIvfTopk _),
     "e_dedup_apply" -> (eDedupApply _),
     "e_multimodal_frames" -> (eMultimodalFrames _),
@@ -1933,6 +2001,7 @@ object ExtQueries {
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
     "e_ann_multiprobe" -> annMultiprobeOracle,
+    "e_ann_recall" -> annRecallOracle,
     "e_ivf_topk" -> ivfOracle,
     "e_dedup_apply" -> dedupApplyOracle,
     "e_multimodal_frames" -> framesOracle,
