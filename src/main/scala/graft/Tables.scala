@@ -16,23 +16,32 @@ object Tables {
   // At cluster scale this maps to caching hot dims — fact tables at 100 TB
   // would NOT be persisted (set SPARK_GRAFT_NO_CACHE=1 to disable).
   //
-  // The cache is CAPPED to one scale-factor directory at a time: reading a
-  // table from a new sfDir unpersists and drops every entry of the old one
-  // first, so a session that moves between scale factors (test suites,
-  // long-lived dev sessions) holds one working set, not their union.
+  // Bounding the cache to one scale factor is an EXPLICIT lifecycle call
+  // ([[evictOtherScaleFactors]], invoked by the Bench/Verify entry points
+  // at startup), not a side effect of read(): a library caller holding
+  // DataFrames built over another sfDir must not silently lose its
+  // in-memory columnar cache mid-plan just because a different scale
+  // factor was read concurrently.
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
   private val persistEnabled = !sys.env.contains("SPARK_GRAFT_NO_CACHE")
 
-  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
-    // the legacy long mapping; `ts` is therefore a bigint of epoch-nanos.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Unpersist and drop every cached table of scale factors other than
+    * `sfDir`, so a run that moves between scale factors holds one working
+    * set, not their union. Call at entry-point startup (Bench/Verify do),
+    * never mid-query. */
+  def evictOtherScaleFactors(sfDir: String): Unit = {
     val stale = cache.keys.filter(_._1 != sfDir).toSeq
     if (stale.nonEmpty) {
       stale.foreach(k => cache.remove(k).foreach(_.unpersist(false)))
       println(s"[graft] table cache evicted ${stale.size} entries of other " +
         "scale factors")
     }
+  }
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
+    // the legacy long mapping; `ts` is therefore a bigint of epoch-nanos.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache.getOrElseUpdate((sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       if (persistEnabled) df.persist() else df

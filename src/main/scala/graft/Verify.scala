@@ -15,6 +15,7 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.evictOtherScaleFactors(sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for focused iteration (dev only; the
     // driver sets no filter and always dumps the full suite)

@@ -404,18 +404,28 @@ object Dedup {
     // MEASURED size instead of parallelism: at 100 TB the 64 MB advisory
     // target still yields thousands of partitions, while a kilobyte-sized
     // root graph collapses to single-task stages. Saved/restored around the
-    // loop; the session is assumed single-query while a CC job runs (true
-    // for Bench/Verify/tests — they execute queries sequentially).
-    val conf = pairs.sparkSession.conf
-    val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-    val pfOld = conf.getOption(pfKey)
-    conf.set(pfKey, "false")
-    try connectedComponentsInner(pairs, docs, idCol, maxIterations)
-    finally pfOld match {
-      case Some(v) => conf.set(pfKey, v)
-      case None => conf.unset(pfKey)
+    // loop. The override is session-wide (SQLConf has no per-job scope for
+    // AQE knobs), so overlapping CC calls on one session could interleave
+    // set/restore and strand the altered value — the lock serializes them;
+    // other queries racing the CC loop on the same session still see the
+    // override, which is benign (AQE sizes their stages by bytes too) but
+    // documented: run CC jobs sequentially with other work where possible.
+    ccConfLock.synchronized {
+      val conf = pairs.sparkSession.conf
+      val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+      val pfOld = conf.getOption(pfKey)
+      conf.set(pfKey, "false")
+      try connectedComponentsInner(pairs, docs, idCol, maxIterations)
+      finally pfOld match {
+        case Some(v) => conf.set(pfKey, v)
+        case None => conf.unset(pfKey)
+      }
     }
   }
+
+  /** Serializes [[connectedComponents]]' session-conf override (see the
+    * comment at the set site). */
+  private val ccConfLock = new Object
 
   private def connectedComponentsInner(pairs: DataFrame, docs: DataFrame,
                                        idCol: String,

@@ -47,6 +47,7 @@ object Observability {
     val shuffleBytesWritten = new LongAdder
     val memoryBytesSpilled = new LongAdder
     val diskBytesSpilled = new LongAdder
+    val executorCpuTime = new LongAdder
     val tasksCompleted = new LongAdder
     val stagesCompleted = new LongAdder
 
@@ -57,6 +58,10 @@ object Observability {
         shuffleBytesWritten.add(m.shuffleWriteMetrics.bytesWritten)
         memoryBytesSpilled.add(m.memoryBytesSpilled)
         diskBytesSpilled.add(m.diskBytesSpilled)
+        // CPU nanoseconds actually burned by executor threads — unlike wall
+        // time this is immune to machine load, so cross-run comparisons of
+        // the same plan stay meaningful on a noisy host
+        executorCpuTime.add(m.executorCpuTime)
       }
       tasksCompleted.increment()
     }
@@ -69,6 +74,7 @@ object Observability {
       "shuffleBytesWritten" -> shuffleBytesWritten.sum(),
       "memoryBytesSpilled" -> memoryBytesSpilled.sum(),
       "diskBytesSpilled" -> diskBytesSpilled.sum(),
+      "executorCpuTime" -> executorCpuTime.sum(),
       "tasksCompleted" -> tasksCompleted.sum(),
       "stagesCompleted" -> stagesCompleted.sum())
   }

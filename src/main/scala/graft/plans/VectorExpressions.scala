@@ -268,9 +268,14 @@ case class TopCells(child: Expression, n: Int, cids: Array[Long],
   /** round(x, 6) exactly as Spark's Round does for doubles —
     * BigDecimal.valueOf (decimal-string) semantics, NOT the exact-binary
     * `new BigDecimal(double)` constructor, which rounds differently on
-    * values like 2.675. */
+    * values like 2.675. NaN/Infinity pass through unchanged (Spark's
+    * RoundBase does the same; BigDecimal.valueOf would throw on them) —
+    * a zero-norm vector or cell then yields NaN scores that sort after
+    * every finite score under Double.compare, matching the crossJoin+
+    * window form this expression replaced. */
   private def r6(x: Double): Double =
-    java.math.BigDecimal.valueOf(x)
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) x
+    else java.math.BigDecimal.valueOf(x)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
 
   /** The tight loop; also the codegen target (one virtual call per row). */

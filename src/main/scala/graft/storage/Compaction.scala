@@ -62,12 +62,29 @@ object Compaction {
     * its file list keeps reading the old files it holds. */
   def compactParquet(spark: SparkSession, dir: String,
                      targetFileBytes: Long = 128L * 1024 * 1024): Stats = {
+    val (before, totalBytes, nFiles) = guardAndMeasure(spark, dir, targetFileBytes)
+    if (before.length <= nFiles)
+      return Stats(before.length, totalBytes, before.length)
+    rewriteAndSwap(spark, dir) { tmp =>
+      spark.read.parquet(dir)
+        .repartition(nFiles.toInt)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
+    }
+    Stats(before.length, totalBytes, listDataFiles(spark, dir).length)
+  }
+
+  /** Pre-rewrite guards + measured sizing, shared by both entry points so
+    * the crash-recovery contract cannot drift between them. Refuses a
+    * stranded `__compact_old` FIRST (after a crash between the renames the
+    * source sits there and `dir` is gone — listing `dir` before this check
+    * would throw FileNotFoundException and mask the recovery path), then
+    * refuses Hive-partitioned layouts. Returns (files, totalBytes,
+    * targetFileCount). */
+  private def guardAndMeasure(spark: SparkSession, dir: String,
+      targetFileBytes: Long): (Seq[(String, Long)], Long, Long) = {
     require(targetFileBytes > 0)
     val p = new Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // crash detection FIRST: after a crash between the renames the source
-    // sits at __compact_old and `dir` is gone — listing `dir` before this
-    // check would throw FileNotFoundException and mask the recovery path
     val old = new Path(s"$dir.__compact_old")
     require(!fs.exists(old),
       s"$old exists — a previous compaction crashed mid-swap; verify which " +
@@ -84,12 +101,21 @@ object Compaction {
     val before = listDataFiles(spark, dir)
     val totalBytes = before.map(_._2).sum
     val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)
-    if (before.length <= nFiles)
-      return Stats(before.length, totalBytes, before.length)
+    (before, totalBytes, nFiles)
+  }
+
+  /** The swap half of the crash protocol, shared by both entry points:
+    * `rewrite` lands the new layout in `<dir>.__compact_tmp`, then the
+    * source moves to `<dir>.__compact_old`, the tmp directory is installed
+    * as `dir`, and only then is the old copy deleted — every rename is
+    * CHECKED and a failed install rolls the source back untouched. */
+  private def rewriteAndSwap(spark: SparkSession, dir: String)
+      (rewrite: String => Unit): Unit = {
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(s"$dir.__compact_old")
     val tmp = new Path(s"$dir.__compact_tmp")
-    spark.read.parquet(dir)
-      .repartition(nFiles.toInt)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    rewrite(tmp.toString)
     if (!fs.rename(p, old))
       throw new java.io.IOException(s"compaction aborted: could not move $p aside")
     if (!fs.rename(tmp, p)) {
@@ -98,7 +124,6 @@ object Compaction {
         s"compaction aborted: could not install $tmp; source restored")
     }
     fs.delete(old, true)
-    Stats(before.length, totalBytes, listDataFiles(spark, dir).length)
   }
 
   final case class ClusterStats(filesBefore: Long, bytesBefore: Long,
@@ -130,48 +155,33 @@ object Compaction {
                        xCol: String, yCol: String,
                        targetFileBytes: Long = 128L * 1024 * 1024,
                        bits: Int = 16): ClusterStats = {
-    require(targetFileBytes > 0)
-    val p = new Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(s"$dir.__compact_old")
-    require(!fs.exists(old),
-      s"$old exists — a previous compaction crashed mid-swap; verify which " +
-        s"copy is current (a missing $dir means the crash hit between the " +
-        s"renames: restore with rename($old, $dir) after checking " +
-        s"$dir.__compact_tmp) and remove the stale one before compacting again")
-    val partitioned = listDataFiles(spark, dir).exists { case (path, _) =>
-      path.stripPrefix(fs.makeQualified(p).toString).split('/')
-        .exists(_.contains("="))
+    val (before, totalBytes, nFiles) = guardAndMeasure(spark, dir, targetFileBytes)
+    rewriteAndSwap(spark, dir) { tmp =>
+      ZOrder.cluster(spark.read.parquet(dir), xCol, yCol, nFiles.toInt, bits)
+        .write.mode(SaveMode.Overwrite).parquet(tmp)
     }
-    require(!partitioned,
-      s"$dir is Hive-partitioned; compact each partition directory " +
-        "separately to preserve the layout")
-    val before = listDataFiles(spark, dir)
-    val totalBytes = before.map(_._2).sum
-    val nFiles = math.max(1L, math.ceil(totalBytes.toDouble / targetFileBytes).toLong)
-    val tmp = new Path(s"$dir.__compact_tmp")
-    ZOrder.cluster(spark.read.parquet(dir), xCol, yCol, nFiles.toInt, bits)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (!fs.rename(p, old))
-      throw new java.io.IOException(s"compaction aborted: could not move $p aside")
-    if (!fs.rename(tmp, p)) {
-      fs.rename(old, p) // roll back; source was untouched
-      throw new java.io.IOException(
-        s"compaction aborted: could not install $tmp; source restored")
-    }
-    fs.delete(old, true)
-    // measured z-locality of the installed layout: bounded per-file min/max
+    // measured z-locality of the installed layout: bounded per-file min/max.
+    // Rows with a null x/y have no z position — they cluster into the
+    // trailing files but carry no span information, so they are excluded
+    // from the measurement rather than letting a null aggregate NPE make a
+    // successful (already-swapped) compaction look failed.
     import org.apache.spark.sql.functions._
     val z = ZOrder.zValue(col(xCol), col(yCol), bits)
     val spans = spark.read.parquet(dir)
       .select(input_file_name().as("__f"), z.as("__z"))
+      .where(col("__z").isNotNull)
       .groupBy(col("__f"))
       .agg(min(col("__z")).as("lo"), max(col("__z")).as("hi"))
       .collect()
-    val globalSpan = (spans.map(_.getLong(2)).max - spans.map(_.getLong(1)).min).toDouble
+    val filesAfter = listDataFiles(spark, dir).length.toLong
     val ratio =
-      if (globalSpan == 0 || spans.length <= 1) 1.0
-      else spans.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / globalSpan
-    ClusterStats(before.length, totalBytes, spans.length, ratio)
+      if (spans.length <= 1) 1.0
+      else {
+        val globalSpan =
+          (spans.map(_.getLong(2)).max - spans.map(_.getLong(1)).min).toDouble
+        if (globalSpan == 0) 1.0
+        else spans.map(r => (r.getLong(2) - r.getLong(1)).toDouble).sum / globalSpan
+      }
+    ClusterStats(before.length, totalBytes, filesAfter, ratio)
   }
 }

@@ -90,8 +90,21 @@ object RetrievalProps extends Properties("graft.retrieval") {
   // ---- in-row IVF cell assignment: equals the independent rounded-cosine
   //      argmax (cs desc, cell asc) the window form implemented ----
 
+  // Zero-norm vectors/centroids are a required case, not an exclusion: the
+  // cosine is NaN there, and TopCells must pass it through (sorting last,
+  // tie-broken by cid) rather than crash in BigDecimal rounding. Half the
+  // cases force one all-zero row (which lands as a centroid when its index
+  // falls inside the centroid prefix).
+  private val vecsMaybeZeroGen: Gen[List[(Long, List[Float])]] =
+    Gen.oneOf(
+      vecsGen,
+      for {
+        rows <- vecsGen
+        zi <- Gen.choose(0, rows.length - 1)
+      } yield rows.updated(zi, (rows(zi)._1, List.fill(4)(0f))))
+
   property("in-row cell assignment equals the reference rounded-cosine argmax") =
-    forAll(vecsGen, Gen.choose(1, 4)) { (rows, nCentRaw) =>
+    forAll(vecsMaybeZeroGen, Gen.choose(1, 4)) { (rows, nCentRaw) =>
       import spark.implicits._
       val nCent = math.min(nCentRaw, rows.length)
       val centIds = rows.take(nCent).map(_._1)
@@ -104,17 +117,20 @@ object RetrievalProps extends Properties("graft.retrieval") {
           graft.similarity.CellAssignment.assignedCell(cells, toDouble)
             .getField("cid").as("cell_id"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      def r6(x: Double) = BigDecimal(x)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // NaN passes through r6 like Spark's round; minBy under
+      // TotalOrdering puts -NaN (= NaN) after every finite score with a
+      // cid tie-break, mirroring the struct ordering in the window form
+      def r6(x: Double) =
+        if (x.isNaN || x.isInfinite) x
+        else BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
       val cents = centIds.sorted.map(id => id -> rows.find(_._1 == id).get._2)
-      val allZero = rows.exists(_._2.forall(_ == 0f)) ||
-        cents.exists(_._2.forall(_ == 0f))
-      allZero || rows.forall { case (id, v) =>
+      rows.forall { case (id, v) =>
         val want = cents.map { case (cid, c) =>
           val dp = v.zip(c).map { case (a, b) => a.toDouble * b.toDouble }.sum
           (cid, r6(dp / (nrm(v) * nrm(c))))
-        }.minBy { case (cid, cs) => (-cs, cid) }._1
+        }.minBy { case (cid, cs) => (-cs, cid) }(
+          Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long))._1
         got(id) == want
       }
     }

@@ -82,6 +82,28 @@ class CompactionSpec extends SparkSpec {
       s"swap must clean up, found ${parent.toSeq}")
   }
 
+  test("clustered compaction survives null x/y rows (span measured on the rest)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("compactz3").toString + "/t"
+    // null coordinates carry no z position; the post-swap locality
+    // measurement must skip them instead of NPE-ing on a null aggregate
+    // after the swap already succeeded
+    (0 until 1024).map { i =>
+      if (i % 5 == 0) (i.toLong, None: Option[Long], None: Option[Long])
+      else (i.toLong, Some((i % 32).toLong), Some((i / 32).toLong))
+    }.toDF("id", "x", "y")
+      .repartition(16)
+      .write.parquet(dir)
+    val stats = Compaction.compactClustered(spark, dir, "x", "y",
+      targetFileBytes = 32L * 1024, bits = 8)
+    assert(stats.filesBefore == 16)
+    assert(!stats.zSpanRatio.isNaN && stats.zSpanRatio >= 1.0 - 1e-9,
+      s"ratio must be a real measurement, got ${stats.zSpanRatio}")
+    val after = spark.read.parquet(dir)
+    assert(after.count() == 1024)
+    assert(after.where(col("x").isNull).count() == 205)
+  }
+
   test("clustered compaction refuses a crash-stranded __compact_old first") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("compactz2").toString + "/t"
