@@ -98,4 +98,64 @@ object Multimodal {
     import spark.implicits._
     media.map(r => r.copy(width = w, height = h))
   }
+
+  /** dHash-style perceptual fingerprint over the stub-decoded signal — the
+    * image analogue of SimHash, and the missing dedup modality for a
+    * multimodal corpus: near-identical media get near-identical bit strings
+    * (small Hamming distance), so the Hamming-banded candidate machinery of
+    * the text stack applies unchanged.
+    *
+    * Real dHash: downscale to a (bits+1)-pixel gray strip, bit i = "pixel i
+    * is darker than pixel i+1" — a LOCAL difference code, so a local edit
+    * touches ≤2 bits. Here the "decoded pixels" come from the deterministic
+    * stub decode (the container has no codecs): the content bytes decode to
+    * their utf-8 signal, the signal splits into bits+1 equal slices, and a
+    * slice's "gray value" is the first byte of its md5 (0..255). Everything
+    * downstream of the decode — the difference code, the bit string, the
+    * banded pair join — is exactly what a real decoder would feed, and
+    * because the stub is md5-over-slices the whole hash is reproducible in
+    * the DuckDB oracle. A real codec swaps in at `signal` without touching
+    * the plan: one narrow projection per record, no shuffle.
+    *
+    * Returns `(media_id, phash, ph_long)` — bit string plus its parsed
+    * long, the same fingerprint shape `Dedup.fingerprints` emits, so the
+    * SimHash banding entry points consume it directly. */
+  def perceptualHash(media: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 62, "phash bits must fit a signed long")
+    val nCells = bits + 1
+    val signal = decode(col("content"), "UTF-8")
+    val w = greatest(
+      ceil(length(signal).cast("double") / lit(nCells)).cast("int"), lit(1))
+    // gray value of slice i (1-based): first md5 byte of the slice
+    def cell(i: Int) =
+      conv(substring(md5(signal.substr(lit(i - 1) * w + lit(1), w)), 1, 2),
+        16, 10).cast("int")
+    val bitChars = (1 to bits).map(i =>
+      when(cell(i) < cell(i + 1), lit("1")).otherwise(lit("0")))
+    media.select(col("media_id"), concat(bitChars: _*).as("phash"))
+      .withColumn("ph_long", conv(col("phash"), 2, 10).cast("long"))
+  }
+
+  /** Perceptual near-dup pairs: multi-table Hamming-banded candidates over
+    * [[perceptualHash]] fingerprints, exact Hamming re-score — the image
+    * SimHash. Work is ∝ Σ bucket² per rotation table, never n². Returns
+    * `(media_a, media_b, hamming)`. */
+  def perceptualNearDupPairs(media: DataFrame, bits: Int = 32,
+                             prefixBits: Int = 8, maxHamming: Int = 3,
+                             nTables: Int = 2): DataFrame =
+    perceptualNearDupPairsFromHashes(perceptualHash(media, bits),
+      bits, prefixBits, maxHamming, nTables)
+
+  /** [[perceptualNearDupPairs]] over a prebuilt [[perceptualHash]] table —
+    * the caller owns that table's lifecycle. */
+  def perceptualNearDupPairsFromHashes(fp: DataFrame, bits: Int,
+                                       prefixBits: Int, maxHamming: Int,
+                                       nTables: Int): DataFrame = {
+    val asFingerprints = fp.select(col("media_id").as("doc_id"),
+      col("phash").as("simhash"), col("ph_long").as("sh_long"))
+    graft.dedup.Dedup.simhashPairsMultiTableFromFingerprints(
+        asFingerprints, bits, prefixBits, maxHamming, nTables)
+      .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+        col("hamming"))
+  }
 }

@@ -36,6 +36,12 @@ object ExtQueries {
   private val JaccardMaxDf = 10L
   // simhash multi-table rotation count (e_simhash_multitable)
   private val SimTables = 2
+  // perceptual-hash image near-dup (e_phash_neardup): 32-bit dHash over the
+  // stub-decoded signal, 2 rotation tables × 8-bit prefix buckets
+  private val PhBits = 32
+  private val PhPrefix = 8
+  private val PhMaxHamming = 3
+  private val PhTables = 2
   // count-min sketch geometry (e_heavy_hitters): 4 rows × 256 counters —
   // small enough that collisions actually exercise the min at test scale
   private val CmsDepth = 4
@@ -645,6 +651,33 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Perceptual-hash near-dup over the image slice of the synthesized media
+    * table: 32-bit dHash fingerprints from the stub-decoded content,
+    * multi-table Hamming-banded candidate pairs (the image analogue of
+    * e_simhash_multitable — banded equi-join, never all-pairs), then one
+    * row per image with its fingerprint and near-dup partner stats. The
+    * per-media shape keeps the result non-empty (and the fingerprints
+    * hash-checked) even when a scale factor happens to contain no
+    * image-grain near-dups. */
+  def ePhashNeardup(s: SparkSession, d: String): DataFrame = {
+    val media = graft.multimodal.Multimodal.synthesizeMedia(
+        Tables.documents(s, d)).toDF()
+      .filter(col("media_type") === "image")
+    val fp = graft.multimodal.Multimodal.perceptualHash(media, PhBits)
+    val pairs = graft.multimodal.Multimodal.perceptualNearDupPairsFromHashes(
+      fp, PhBits, PhPrefix, PhMaxHamming, PhTables)
+    val partners = pairs
+      .select(col("media_a").as("media_id"), col("hamming"))
+      .unionAll(pairs.select(col("media_b").as("media_id"), col("hamming")))
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_neardup"), min(col("hamming")).as("min_hamming"))
+    fp.join(partners, Seq("media_id"), "left")
+      .select(col("media_id"), col("phash"),
+        coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
+        coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+      .orderBy("media_id")
+  }
+
   /** Cosine near-dup pairs over the FULL embeddings table — banded sign-LSH
     * candidates (NearDupBandBits × NearDupBands), exact re-score, threshold
     * filter. No all-pairs cross product anywhere in the plan
@@ -1054,6 +1087,52 @@ object ExtQueries {
        |  ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.doc_id < b.doc_id
        |WHERE $hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  /** e_phash_neardup rebuilt relationally from the same constants: the dHash
+    * bit string from md5-over-slices gray values, the rotated prefix
+    * buckets, per-bit Hamming on the banded self-join, then the per-image
+    * partner stats. Mirrors [[graft.multimodal.Multimodal.perceptualHash]]
+    * exactly (the stub decode of the synthesized media content IS the
+    * document text). */
+  private val phashNeardupOracle = {
+    val nCells = PhBits + 1
+    def cellSql(i: Int) =
+      s"('0x' || substring(md5(substring(text, ($i-1)*w+1, w)), 1, 2))::INT"
+    val bitsConcat = (1 to PhBits).map(i =>
+      s"(CASE WHEN ${cellSql(i)} < ${cellSql(i + 1)} THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val hamming = (1 to PhBits).map(j =>
+      s"(CASE WHEN substring(a.phash, $j, 1) <> substring(b.phash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val tables = (0 until PhTables).map { i =>
+      val r = i * PhBits / PhTables
+      val rotated =
+        if (r == 0) "phash"
+        else s"substring(phash, ${r + 1}, ${PhBits - r}) || substring(phash, 1, $r)"
+      s"SELECT media_id, phash, $i AS tbl, substring($rotated, 1, $PhPrefix) AS bucket FROM fp"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+       |cw AS (SELECT media_id, text,
+       |  greatest(CAST(ceil(len(text) / ${nCells}.0) AS INT), 1) AS w FROM img),
+       |fp AS (SELECT media_id, $bitsConcat AS phash FROM cw),
+       |bkt AS (
+       |  $tables),
+       |prs AS (SELECT DISTINCT a.media_id AS ma, b.media_id AS mb,
+       |    CAST($hamming AS BIGINT) AS hamming
+       |  FROM bkt a JOIN bkt b
+       |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.media_id < b.media_id
+       |  WHERE $hamming <= $PhMaxHamming),
+       |pt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_neardup,
+       |    CAST(min(hamming) AS BIGINT) AS min_hamming
+       |  FROM (SELECT ma AS media_id, hamming FROM prs
+       |        UNION ALL SELECT mb AS media_id, hamming FROM prs)
+       |  GROUP BY media_id)
+       |SELECT fp.media_id, fp.phash,
+       |  CAST(coalesce(pt.n_neardup, 0) AS BIGINT) AS n_neardup,
+       |  CAST(coalesce(pt.min_hamming, -1) AS BIGINT) AS min_hamming
+       |FROM fp LEFT JOIN pt ON fp.media_id = pt.media_id
+       |ORDER BY fp.media_id""".stripMargin
   }
 
   private val jaccardOracle =
@@ -1776,6 +1855,7 @@ object ExtQueries {
     "e_tfidf" -> (eTfidf _),
     "e_stratified_sample" -> (eStratifiedSample _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
+    "e_phash_neardup" -> (ePhashNeardup _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
@@ -1937,6 +2017,7 @@ object ExtQueries {
     "e_dedup_simhash" -> simhashOracle,
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
+    "e_phash_neardup" -> phashNeardupOracle,
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,

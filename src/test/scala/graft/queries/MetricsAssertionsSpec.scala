@@ -59,7 +59,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     // budget breach means an embedding array started shuffling
     "e_ivfpq_residual" -> (1L << 20),
     "e_hard_negatives" -> (1L << 20),
-    "e_collocations" -> (1L << 20))
+    "e_collocations" -> (1L << 20),
+    // round-8: the image near-dup shuffles only (media_id, phash, bucket)
+    // rows through the banded self-join + the partner aggregation — the
+    // binary content column must never reach an exchange
+    "e_phash_neardup" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

@@ -141,7 +141,9 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   test("e_ngram_jaccard and e_simhash_multitable: no cartesian/nested-loop") {
-    for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable")) {
+    // e_phash_neardup rides the same multi-table Hamming banding — the
+    // image near-dup must stay a (tbl, bucket) equi-join, never all-pairs
+    for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable", "e_phash_neardup")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
