@@ -42,6 +42,9 @@ object ExtQueries {
   private val PhPrefix = 8
   private val PhMaxHamming = 3
   private val PhTables = 2
+  // IVF recall/cost sweep (e_ann_recall_sweep): probe counts on the curve
+  private val SweepProbes = Seq(1, 2, 4, 8)
+  private val SweepK = 3
   // count-min sketch geometry (e_heavy_hitters): 4 rows × 256 counters —
   // small enough that collisions actually exercise the min at test scale
   private val CmsDepth = 4
@@ -302,6 +305,45 @@ object ExtQueries {
       .agg(count(col("__hit")).as("n_hits"),
         round(count(col("__hit")) / 3.0, 6).as("recall"))
       .orderBy("query_id")
+  }
+
+  /** ANN recall-vs-cost sweep — the tuning curve a deployment actually
+    * reads before picking `nProbe`: for each probe count, micro-averaged
+    * recall@k of the IVF search against the brute-force ground truth AND
+    * the paid cost (scored candidate rows). One centroid-matrix collect
+    * serves every branch; candidate sets nest as nProbe grows (best-first
+    * probes), so recall is provably monotone along the curve — property-
+    * tested, and visible in the result. */
+  def eAnnRecallSweep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isQ = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ,
+        k = SweepK)
+      .select(col("query_id"), col("neighbor_id"))
+    val nQueries = emb.filter(isQ)
+      .agg(count(lit(1)).as("n_queries"))
+    val cells = graft.similarity.CellAssignment.collect(
+      emb, "vec_id", "embedding", col("vec_id") % 50 === 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    val perProbe = SweepProbes.map { p =>
+      val cand = Similarity.ivfScoredCandidatesFromCells(
+        cells, emb, "vec_id", "embedding", isQ, p)
+      val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+      val nHits = cand
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= SweepK)
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(count(lit(1)).as("n_hits"))
+      // three one-row stat frames — the crossJoins are broadcast scalars
+      nQueries.crossJoin(nCand).crossJoin(nHits)
+        .select(lit(p.toLong).as("n_probe"), col("n_queries"),
+          col("n_candidates"), col("n_hits"),
+          round(col("n_hits") / (lit(SweepK.toDouble) * col("n_queries")), 6)
+            .as("recall"))
+    }
+    perProbe.reduce(_ unionAll _).orderBy("n_probe")
   }
 
   /** IVF-flat ANN: deterministic sampled centroids (vec_id % 50 == 1),
@@ -1277,6 +1319,65 @@ object ExtQueries {
        |GROUP BY b.query_id ORDER BY query_id""".stripMargin
   }
 
+  /** e_ann_recall_sweep rebuilt relationally: the shared cell-assignment
+    * and probe-ranking CTEs feed one candidate/ranked/stats chain per probe
+    * count, unioned with the brute-force top-k to grade each branch. */
+  private val annRecallSweepOracle = {
+    val perP = SweepProbes.map { p =>
+      s"""cand$p AS (SELECT pr.qid, a.vid FROM probe_rn pr
+         |  JOIN assigned a ON pr.cell_id = a.cell_id
+         |  WHERE pr.rn <= $p AND pr.qid <> a.vid),
+         |qd$p AS (SELECT c.qid AS query_id, c.vid AS neighbor_id, sum(q.v * t.v) AS dp
+         |  FROM cand$p c
+         |  JOIN e q ON q.vec_id = c.qid
+         |  JOIN e t ON t.vec_id = c.vid AND t.pos = q.pos
+         |  GROUP BY 1, 2),
+         |rk$p AS (SELECT query_id, neighbor_id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY round(dp / (n1.nrm * n2.nrm), 6) DESC, neighbor_id ASC) AS rank
+         |  FROM qd$p JOIN norms n1 ON n1.vec_id = query_id
+         |  JOIN norms n2 ON n2.vec_id = neighbor_id),
+         |st$p AS (SELECT CAST($p AS BIGINT) AS n_probe,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM cand$p) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM rk$p r
+         |     JOIN bf3 b ON r.query_id = b.query_id AND r.neighbor_id = b.neighbor_id
+         |     WHERE r.rank <= $SweepK) AS n_hits)""".stripMargin
+    }.mkString(",\n")
+    val union = SweepProbes.map(p =>
+      s"""SELECT n_probe, nq.n_queries, n_candidates, n_hits,
+         |  round(n_hits / (${SweepK}.0 * nq.n_queries), 6) AS recall
+         |FROM st$p CROSS JOIN nq""".stripMargin).mkString("\n  UNION ALL\n")
+    s"""WITH $embCtes,
+       |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
+       |  WHERE vec_id % 50 = 0),
+       |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
+       |  FROM e v JOIN e c ON v.pos = c.pos
+       |  WHERE c.vec_id % 50 = 1
+       |  GROUP BY 1, 2),
+       |vcs AS (SELECT vid, cell_id, round(dp / (nv.nrm * nc.nrm), 6) AS cs
+       |  FROM vc JOIN norms nv ON nv.vec_id = vid
+       |  JOIN norms nc ON nc.vec_id = cell_id),
+       |assigned AS (SELECT vid, cell_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs) WHERE rn = 1),
+       |probe_rn AS (SELECT vid AS qid, cell_id, rn FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+       |  FROM vcs WHERE vid % 50 = 0)),
+       |bf_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
+       |  FROM (SELECT * FROM e WHERE vec_id % 50 = 0) q
+       |  JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+       |  GROUP BY 1, 2),
+       |bf3 AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY round(dp / (nq2.nrm * nc2.nrm), 6) DESC, neighbor_id ASC) AS rank
+       |  FROM bf_dots JOIN norms nq2 ON nq2.vec_id = query_id
+       |  JOIN norms nc2 ON nc2.vec_id = neighbor_id) WHERE rank <= $SweepK),
+       |$perP
+       |$union
+       |ORDER BY n_probe""".stripMargin
+  }
+
   // IVF search chain parameterized by the final rank predicate: the same
   // SQL serves the top-k oracle (rank <= k) and the hard-negative oracle
   // (a rank BAND below the shortlist head).
@@ -1839,6 +1940,7 @@ object ExtQueries {
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
     "e_ann_multiprobe" -> (eAnnMultiprobe _),
     "e_ann_recall" -> (eAnnRecall _),
+    "e_ann_recall_sweep" -> (eAnnRecallSweep _),
     "e_ivf_topk" -> (eIvfTopk _),
     "e_dedup_apply" -> (eDedupApply _),
     "e_multimodal_frames" -> (eMultimodalFrames _),
@@ -2096,6 +2198,7 @@ object ExtQueries {
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
     "e_ann_multiprobe" -> annMultiprobeOracle,
     "e_ann_recall" -> annRecallOracle,
+    "e_ann_recall_sweep" -> annRecallSweepOracle,
     "e_ivf_topk" -> ivfOracle,
     "e_dedup_apply" -> dedupApplyOracle,
     "e_multimodal_frames" -> framesOracle,

@@ -152,6 +152,23 @@ object Similarity {
     // once, narrowly, instead of materializing and shuffling n×K
     // crossJoin score rows for a per-vector window
     val cells = CellAssignment.collect(vecs, idCol, embCol, isCentroid)
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    ivfScoredCandidatesFromCells(cells, vecs, idCol, embCol, isQuery, nProbe)
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The scored IVF candidate table `(query_id, neighbor_id, cosine_sim)`
+    * BEFORE the top-k cut, for a prebuilt cell matrix — the cost axis of a
+    * recall/cost sweep: its row count IS the number of exact scores an IVF
+    * search pays at the given `nProbe`. Candidate sets NEST as `nProbe`
+    * grows (cells are probed best-first), which is what makes measured
+    * recall monotone in `nProbe`. */
+  def ivfScoredCandidatesFromCells(cells: CellAssignment.Cells,
+                                   vecs: DataFrame, idCol: String,
+                                   embCol: String, isQuery: Column,
+                                   nProbe: Int): DataFrame = {
     val toDouble = transform(col(embCol), x => x.cast("double"))
     val assigned = vecs
       .select(col(idCol).as("vid"), col(embCol).as("v_emb"),
@@ -167,15 +184,11 @@ object Similarity {
         CellAssignment.probeCells(cells, col("__vd"), nProbe))
       .select(col("qid"), col("q_emb"), col("q_norm"),
         col("p").getField("cid").as("cell_id"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
     broadcast(probes).join(assigned, Seq("cell_id"))
       .filter(col("qid") =!= col("vid"))
       .select(col("qid").as("query_id"), col("vid").as("neighbor_id"),
         round(dot(col("q_emb"), col("v_emb")) / (col("q_norm") * col("v_norm")), 6)
           .as("cosine_sim"))
-      .withColumn("rank", row_number().over(wRank).cast("long"))
-      .filter(col("rank") <= k)
   }
 
   /** Per-band sign signatures: band `b` covers dims

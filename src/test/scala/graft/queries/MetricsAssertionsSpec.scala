@@ -63,7 +63,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-8: the image near-dup shuffles only (media_id, phash, bucket)
     // rows through the banded self-join + the partner aggregation — the
     // binary content column must never reach an exchange
-    "e_phash_neardup" -> (1L << 20))
+    "e_phash_neardup" -> (1L << 20),
+    // round-8: four sweep branches × (rank window + stats aggregation) on
+    // id/score rows; the probe side broadcasts, embeddings never shuffle
+    "e_ann_recall_sweep" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

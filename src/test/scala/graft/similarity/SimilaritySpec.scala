@@ -77,6 +77,47 @@ class SimilaritySpec extends SparkSpec {
     assert(multi.size >= single.size)
   }
 
+  test("IVF sweep: candidate sets nest and recall@3 is monotone in nProbe") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus; integer components keep the
+    // double arithmetic exact, zero vectors bumped (cosine undefined)
+    val rnd = new scala.util.Random(42)
+    val rows = (0L until 60L).map { i =>
+      val v = Array.fill(8)((rnd.nextInt(21) - 10).toFloat)
+      (i, if (v.forall(_ == 0f)) v.updated(0, 1.0f) else v)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val isQ = col("vec_id") % 5 === 0
+    val cells = CellAssignment.collect(df, "vec_id", "embedding",
+      col("vec_id") % 5 === 1)
+    val exact = Similarity.bruteForceTopK(df, "vec_id", "embedding", isQ, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    var prevCand = Set.empty[(Long, Long)]
+    var prevHits = -1
+    for (p <- Seq(1, 2, 3, 6, 12)) {
+      val cand = Similarity.ivfScoredCandidatesFromCells(
+        cells, df, "vec_id", "embedding", isQ, p)
+      val candSet = cand.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      assert(prevCand.subsetOf(candSet),
+        s"p=$p candidates must contain every p-1 candidate (best-first probes)")
+      val hits = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .count(exact.contains)
+      assert(hits >= prevHits, s"recall@3 regressed at p=$p: $hits < $prevHits")
+      prevCand = candSet
+      prevHits = hits
+    }
+    // at nProbe = all cells the probe covers everything: recall must be 1
+    assert(prevCand.size >= exact.size)
+    assert(prevHits == exact.size,
+      s"full probe must recover brute force: $prevHits vs ${exact.size}")
+  }
+
   test("near-dup pairs above threshold") {
     import spark.implicits._
     val pairs = Similarity.cosineNearDupPairs(vecs, "vec_id", "embedding", 0.99)
