@@ -45,6 +45,8 @@ object ExtQueries {
   // IVF recall/cost sweep (e_ann_recall_sweep): probe counts on the curve
   private val SweepProbes = Seq(1, 2, 4, 8)
   private val SweepK = 3
+  // BPE vocabulary induction (e_bpe_merges): learned merge-rule count
+  private val BpeMerges = 8
   // count-min sketch geometry (e_heavy_hitters): 4 rows × 256 counters —
   // small enough that collisions actually exercise the min at test scale
   private val CmsDepth = 4
@@ -745,6 +747,16 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
+  /** BPE vocabulary induction: the first `BpeMerges` learned merge rules
+    * over the corpus word frequencies — the tokenizer-training artifact.
+    * Every round is a bounded-vocabulary aggregation; see
+    * [[graft.functions.BpeVocab]] for the scale shape. */
+  def eBpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.functions.BpeVocab.learnedMerges(Tables.documents(s, d), "text",
+        BpeMerges)
+      .select(col("merge_idx"), col("pair"), col("merged"), col("pair_count"))
+      .orderBy("merge_idx")
+
   def eTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -1175,6 +1187,34 @@ object ExtQueries {
        |  CAST(coalesce(pt.min_hamming, -1) AS BIGINT) AS min_hamming
        |FROM fp LEFT JOIN pt ON fp.media_id = pt.media_id
        |ORDER BY fp.media_id""".stripMargin
+  }
+
+  /** e_bpe_merges unrolled relationally: word frequencies, the `(c)`-group
+    * symbol encoding, then one (pair-count → argmax → literal replace) CTE
+    * chain per merge round — the same greedy left-to-right merge semantics
+    * the delimiter encoding guarantees (see [[graft.functions.BpeVocab]]). */
+  private val bpeMergesOracle = {
+    val rounds = (1 to BpeMerges).map { r =>
+      s"""p$r AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS c FROM (
+         |  SELECT wc, unnest(list_transform(range(1, len(l)), i -> l[i] || l[i+1])) AS pr
+         |  FROM (SELECT wc, regexp_extract_all(enc, '\\([a-z]*\\)') AS l FROM enc${r - 1})
+         |) GROUP BY pr),
+         |t$r AS (SELECT pr, replace(pr, ')(', '') AS menc,
+         |    trim(replace(pr, ')(', ''), '()') AS merged, c FROM p$r
+         |  ORDER BY c DESC, pr ASC LIMIT 1),
+         |enc$r AS (SELECT word, wc, replace(enc, t$r.pr, t$r.menc) AS enc
+         |  FROM enc${r - 1} CROSS JOIN t$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to BpeMerges).map(r =>
+      s"SELECT CAST($r AS BIGINT) AS merge_idx, pr AS pair, merged, c AS pair_count FROM t$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |  FROM documents),
+       |wv AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w GROUP BY word),
+       |enc0 AS (SELECT word, wc, regexp_replace(word, '(.)', '(\\1)', 'g') AS enc FROM wv),
+       |$rounds
+       |$union
+       |ORDER BY merge_idx""".stripMargin
   }
 
   private val jaccardOracle =
@@ -1948,6 +1988,7 @@ object ExtQueries {
     "e_text_langid" -> (eTextLangid _),
     "e_text_quality" -> (eTextQuality _),
     "e_token_count" -> (eTokenCount _),
+    "e_bpe_merges" -> (eBpeMerges _),
     "e_fingerprint" -> (eFingerprint _),
     "e_dedup_clusters" -> (eDedupClusters _),
     "e_connected_components" -> (eConnectedComponents _),
@@ -2213,6 +2254,7 @@ object ExtQueries {
         |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e_fingerprint" -> fingerprintOracle,
+    "e_bpe_merges" -> bpeMergesOracle,
     "e_tfidf" ->
       """WITH terms AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),

@@ -1,0 +1,94 @@
+package graft.functions
+
+import graft.SparkSpec
+
+class BpeVocabSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // ---- independent in-JVM reference BPE trainer ----
+  // symbol lists, greedy left-to-right merge, tie-break on (count desc,
+  // rendered "(a)(b)" pair string asc) — the engine's exact contract
+  private def refTrain(words: Seq[(String, Long)],
+                       nMerges: Int): Seq[(String, String, Long)] = {
+    def render(a: String, b: String) = s"($a)($b)"
+    var vocab: Vector[(List[String], Long)] =
+      words.map { case (w, c) => (w.toList.map(_.toString), c) }.toVector
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var rounds = 0
+    var done = false
+    while (rounds < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.zip(syms.tail).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .minBy { case ((x, y), n) => (-n, render(x, y)) }
+        out += ((render(a, b), a + b, c))
+        def applyMerge(syms: List[String]): List[String] = syms match {
+          case x :: y :: rest if x == a && y == b => (a + b) :: applyMerge(rest)
+          case x :: rest => x :: applyMerge(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.map { case (s, n) => (applyMerge(s), n) }
+        rounds += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def engineTrain(words: Seq[(String, Long)],
+                          nMerges: Int): Seq[(String, String, Long)] =
+    BpeVocab.train(words.toDF("word", "wc"), nMerges)
+      .map(m => (m.pair, m.merged, m.pair_count))
+
+  test("greedy left-to-right merge: [a,a,a,a] becomes [aa,aa], not [aa,a,a]") {
+    // one word "aaaa" ×3: round 1 merges (a)(a) with count 3·3 = 9
+    // occurrences counted pairwise, then the WORD holds [aa, aa] — so
+    // round 2's top pair is (aa)(aa), which only exists under correct
+    // non-overlapping greedy application
+    val got = engineTrain(Seq(("aaaa", 3L)), 3)
+    assert(got(0) == ("(a)(a)", "aa", 9L), got)
+    assert(got(1) == ("(aa)(aa)", "aaaa", 3L), got)
+    assert(got.length == 2, s"single-symbol words have no pairs left: $got")
+  }
+
+  test("merged symbols never match inside longer symbols") {
+    // after merging (a)(b), the word "cab" holds [c, ab] — pair (c)(ab) —
+    // while "ab" is exhausted; a naive substring merge would corrupt "cab"
+    val got = engineTrain(Seq(("ab", 5L), ("cab", 2L)), 2)
+    assert(got(0) == ("(a)(b)", "ab", 7L), got)
+    assert(got(1) == ("(c)(ab)", "cab", 2L), got)
+  }
+
+  test("early stop when the vocabulary runs out of pairs") {
+    val got = engineTrain(Seq(("ab", 1L)), 5)
+    assert(got == Seq(("(a)(b)", "ab", 1L)))
+  }
+
+  test("learned merges equal the in-JVM reference on pseudo-random corpora") {
+    // small alphabet forces ties, repeats, and overlapping runs
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val words = (1 to 25).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+          (1 + rnd.nextInt(5)).toLong)
+      }.distinctBy(_._1)
+      val want = refTrain(words, 6)
+      val got = engineTrain(words, 6)
+      assert(got == want, s"trial $trial: corpus $words")
+    }
+  }
+
+  test("wordCounts lowercases and keeps only [a-z]+ runs") {
+    val docs = Seq((1L, "Hello, WORLD 42 hello!")).toDF("doc_id", "text")
+    val got = BpeVocab.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("hello" -> 2L, "world" -> 1L))
+  }
+}

@@ -66,7 +66,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_phash_neardup" -> (1L << 20),
     // round-8: four sweep branches × (rank window + stats aggregation) on
     // id/score rows; the probe side broadcasts, embeddings never shuffle
-    "e_ann_recall_sweep" -> (1L << 20))
+    "e_ann_recall_sweep" -> (1L << 20),
+    // round-8: one corpus word-count shuffle, then 8 vocabulary-sized
+    // pair-count rounds — merge work must never return to corpus scale
+    "e_bpe_merges" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
