@@ -73,41 +73,49 @@ object StreamingKMeans {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (batchId > lastBatch.get()) {
-          val model = ref.get()
-          val toDouble = transform(col(embCol), x => x.cast("double"))
-          val best = VectorExpressions.nearestCentroid(toDouble,
-            model.centroids.map(_._1).toArray,
-            model.centroids.map(_._2).toArray)
-          // per-cluster count + per-dimension sum: map-side combined, one
-          // bounded (k × d) collect — the mini-batch sufficient statistics
-          val aggs = count(lit(1)).cast("double").as("n") +:
-            (1 to dims).map(i =>
-              sum(element_at(toDouble, i)).as(s"s$i"))
-          val stats = batch
-            .select(col(embCol), best.getField("cid").as("cid"))
-            .groupBy(col("cid"))
-            .agg(aggs.head, aggs.tail: _*)
-            .collect()
-            .map(r => r.getLong(0) ->
-              (r.getDouble(1), (1 to dims).map(i => r.getDouble(i + 1)).toArray))
-            .toMap
-          val next = model.centroids.map { case (cid, c) =>
-            stats.get(cid) match {
-              case None => (cid, c) // no members this batch: unchanged
-              case Some((n, sums)) =>
-                val nOld = model.counts(cid) * decay
-                val w = nOld + n
-                (cid, c.zip(sums).map { case (cv, sv) => (cv * nOld + sv) / w })
-            }
-          }
-          val nextCounts = model.counts.map { case (cid, nPrev) =>
-            cid -> (nPrev * decay + stats.get(cid).map(_._1).getOrElse(0.0))
-          }
-          ref.set(Model(next, nextCounts))
+          ref.set(foldBatch(ref.get(), batch, embCol, decay))
           lastBatch.set(batchId)
         }
       }
       .start()
     (query, new Handle(ref))
+  }
+
+  /** One mini-batch model update (the math in the scaladoc above) — shared
+    * with [[StreamingIvfIndex]], which maintains the same centroid state
+    * alongside its cell index. */
+  private[streaming] def foldBatch(model: Model, batch: DataFrame,
+                                   embCol: String, decay: Double): Model = {
+    val dims = model.centroids.head._2.length
+    val toDouble = transform(col(embCol), x => x.cast("double"))
+    val best = VectorExpressions.nearestCentroid(toDouble,
+      model.centroids.map(_._1).toArray,
+      model.centroids.map(_._2).toArray)
+    // per-cluster count + per-dimension sum: map-side combined, one
+    // bounded (k × d) collect — the mini-batch sufficient statistics
+    val aggs = count(lit(1)).cast("double").as("n") +:
+      (1 to dims).map(i =>
+        sum(element_at(toDouble, i)).as(s"s$i"))
+    val stats = batch
+      .select(col(embCol), best.getField("cid").as("cid"))
+      .groupBy(col("cid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getDouble(1), (1 to dims).map(i => r.getDouble(i + 1)).toArray))
+      .toMap
+    val next = model.centroids.map { case (cid, c) =>
+      stats.get(cid) match {
+        case None => (cid, c) // no members this batch: unchanged
+        case Some((n, sums)) =>
+          val nOld = model.counts(cid) * decay
+          val w = nOld + n
+          (cid, c.zip(sums).map { case (cv, sv) => (cv * nOld + sv) / w })
+      }
+    }
+    val nextCounts = model.counts.map { case (cid, nPrev) =>
+      cid -> (nPrev * decay + stats.get(cid).map(_._1).getOrElse(0.0))
+    }
+    Model(next, nextCounts)
   }
 }
