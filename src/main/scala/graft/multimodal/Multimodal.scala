@@ -123,16 +123,28 @@ object Multimodal {
   def perceptualHash(media: DataFrame, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 62, "phash bits must fit a signed long")
     val nCells = bits + 1
+    // STAGED projections, one alias per stage: inlining `signal`/`w` into
+    // every one of the ~2·bits cell references would bloat the generated
+    // code past the whole-stage-codegen method limit (measured: the flat
+    // form fell back to interpreted eval and cost seconds at sf0.1).
+    // CollapseProject keeps multi-use non-cheap aliases staged, so each
+    // row decodes once, sizes once, hashes nCells slices once.
     val signal = decode(col("content"), "UTF-8")
     val w = greatest(
-      ceil(length(signal).cast("double") / lit(nCells)).cast("int"), lit(1))
+      ceil(length(col("__sig")).cast("double") / lit(nCells)).cast("int"),
+      lit(1))
     // gray value of slice i (1-based): first md5 byte of the slice
     def cell(i: Int) =
-      conv(substring(md5(signal.substr(lit(i - 1) * w + lit(1), w)), 1, 2),
-        16, 10).cast("int")
+      conv(substring(md5(col("__sig").substr(
+        lit(i - 1) * col("__w") + lit(1), col("__w"))), 1, 2), 16, 10)
+        .cast("int")
     val bitChars = (1 to bits).map(i =>
-      when(cell(i) < cell(i + 1), lit("1")).otherwise(lit("0")))
-    media.select(col("media_id"), concat(bitChars: _*).as("phash"))
+      when(element_at(col("__cells"), i) < element_at(col("__cells"), i + 1),
+        lit("1")).otherwise(lit("0")))
+    media.select(col("media_id"), signal.as("__sig"))
+      .select(col("media_id"), col("__sig"), w.as("__w"))
+      .select(col("media_id"), array((1 to nCells).map(cell): _*).as("__cells"))
+      .select(col("media_id"), concat(bitChars: _*).as("phash"))
       .withColumn("ph_long", conv(col("phash"), 2, 10).cast("long"))
   }
 

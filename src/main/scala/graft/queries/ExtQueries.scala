@@ -707,7 +707,11 @@ object ExtQueries {
     val media = graft.multimodal.Multimodal.synthesizeMedia(
         Tables.documents(s, d)).toDF()
       .filter(col("media_type") === "image")
-    val fp = graft.multimodal.Multimodal.perceptualHash(media, PhBits)
+    // hash once: the fingerprint table feeds both self-join sides and the
+    // final stats join — without materialization each plan branch would
+    // re-decode and re-hash the content
+    val fp = Dedup.materializeAndRelease(
+      graft.multimodal.Multimodal.perceptualHash(media, PhBits))
     val pairs = graft.multimodal.Multimodal.perceptualNearDupPairsFromHashes(
       fp, PhBits, PhPrefix, PhMaxHamming, PhTables)
     val partners = pairs
