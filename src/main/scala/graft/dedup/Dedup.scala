@@ -702,53 +702,14 @@ object Dedup {
                                       salts: Int): (DataFrame, Seq[DataFrame]) = {
     require(passageTokens >= 1, "passage width must be >= 1")
     require(maxPassageFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
-    val toks = split(trim(col(textCol)), " ")
-    val nChunks = ceil(size(toks).cast("double") / passageTokens).cast("int")
-    // non-overlapping windows: chunk i = tokens [i*w, i*w + w) — slice/
-    // array_join volume is n/w elements per doc (unlike overlapping
-    // shingles, where the HOF form was the bottleneck WordShingles replaced)
-    val chunks = transform(
-      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
-      i => array_join(slice(toks, i * passageTokens + 1, lit(passageTokens)), " "))
-    // ph = the two 56-bit md5 halves of the passage text as a compact
-    // struct<b1,b2> (the codegen Md5Halves expression): 16 bytes of
-    // equi-join/groupBy key instead of a 32-char hex string — smaller
-    // exchange, long-pair comparisons instead of string compares on the
-    // hottest key of the operator. Collision probability ~2^-112 — never
-    // perturbs first-occurrence semantics.
-    val passages = maybePersist(docs
-      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "ptext")))
-      .withColumn("ph", graft.plans.HashExpressions.md5Halves(col("ptext"))))
+    val passages = maybePersist(segmentInstances(docs, idCol, textCol, passageTokens))
     // ONE aggregation delivers both the survivor and the frequency; the
     // compact (ph, first, pf) table is read by three cheap branches.
     val survivors = maybePersist(passages.groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"),
         count(lit(1)).as("pf")))
-    // the hot slice: ≤ |passage instances| / maxPassageFreq keys — tiny
-    val hotFirst = survivors.filter(col("pf") > maxPassageFreq)
-      .select(col("ph"), col("first"))
     val probe = passages.select(col("doc_id"), col("pos"), col("ptext"), col("ph"))
-    // ONE bounded probe of the compact persisted survivor table picks the
-    // plan: in the common no-viral-passage case the guard's two extra
-    // passes over `passages` (anti + semi) and the union are skipped and
-    // the join-back is a single plain equi-join — the guard machinery only
-    // runs when a key is actually hot. (isEmpty is a limit-1 job over
-    // `survivors`, which the main plan materializes anyway.)
-    val joined =
-      if (hotFirst.isEmpty)
-        probe.join(survivors.select(col("ph"), col("first")), Seq("ph"))
-      else {
-        val hotKeys = broadcast(hotFirst.select(col("ph")))
-        // cold path: per-key join input ≤ maxPassageFreq — bounded tasks
-        val coldMarked = probe.join(hotKeys, Seq("ph"), "left_anti")
-          .join(survivors.select(col("ph"), col("first")), Seq("ph"))
-        // hot path: salted join spreads each viral key over `salts` tasks;
-        // only the HOT survivor rows replicate across the salt domain
-        val hotMarked = graft.operators.SkewJoin.saltedInnerJoin(
-          probe.join(hotKeys, Seq("ph"), "left_semi"), hotFirst, "ph", salts)
-        coldMarked.unionByName(hotMarked)
-      }
-    val marked = joined
+    val marked = guardedJoinBack(probe, survivors, maxPassageFreq, salts)
       .withColumn("keep", struct(col("doc_id"), col("pos")) === col("first"))
     val result = marked.groupBy(col("doc_id"))
       .agg(
@@ -761,5 +722,135 @@ object Dedup {
         count(lit(1)).as("n_passages"),
         count(when(!col("keep"), 1)).as("n_dropped"))
     (result, Seq(passages, survivors))
+  }
+
+  /** Instance table of non-overlapping `w`-token segments: one row per
+    * (doc, segment position), shared by [[passageDedup]] and
+    * [[boilerplateRemove]].
+    *
+    * Chunk i = tokens [i·w, i·w + w), last one partial — slice/array_join
+    * volume is n/w elements per doc (unlike overlapping shingles, where
+    * the HOF form was the bottleneck WordShingles replaced).
+    *
+    * `ph` = the two 56-bit md5 halves of the segment text as a compact
+    * struct<b1,b2> (the codegen Md5Halves expression): 16 bytes of
+    * equi-join/groupBy key instead of a 32-char hex string — smaller
+    * exchange, long-pair comparisons instead of string compares on the
+    * hottest key of these operators. Collision probability ~2^-112 —
+    * never perturbs the segment-identity semantics. */
+  private def segmentInstances(docs: DataFrame, idCol: String,
+                               textCol: String, w: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    val nChunks = ceil(size(toks).cast("double") / w).cast("int")
+    val chunks = transform(
+      sequence(lit(0), greatest(nChunks, lit(1)) - 1),
+      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+    docs.select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "ptext")))
+      .withColumn("ph", graft.plans.HashExpressions.md5Halves(col("ptext")))
+  }
+
+  /** Join each instance row of `probe` back to its key's verdict — the
+    * compact per-`ph` table `verdicts`, which must carry an instance count
+    * `pf` — routing VIRAL keys through a salted join.
+    *
+    * The join-back is the one spot a viral segment (billions of identical
+    * instances) would concentrate: all its rows hash to one reducer. Keys
+    * whose `pf` exceeds `hotFreq` therefore take a SALTED join
+    * (`SkewJoin`: probe side salted, the one verdict row replicated across
+    * `salts` buckets), spreading each hot key over `salts` tasks;
+    * everything else takes the plain join, whose per-key input is bounded
+    * by `hotFreq` by construction. The hot set is at most
+    * |instances| / hotFreq keys — broadcastable by definition. Results are
+    * identical with or without the guard (the verdict row is the same);
+    * only task-level placement changes.
+    *
+    * ONE bounded probe of the compact persisted verdict table picks the
+    * plan: in the common no-viral-key case the guard's two extra passes
+    * over `probe` (anti + semi) and the union are skipped and the
+    * join-back is a single plain equi-join — the guard machinery only runs
+    * when a key is actually hot. (isEmpty is a limit-1 job over
+    * `verdicts`, which the main plan materializes anyway.) */
+  private def guardedJoinBack(probe: DataFrame, verdicts: DataFrame,
+                              hotFreq: Long, salts: Int): DataFrame = {
+    val payload = verdicts.drop("pf")
+    val hot = verdicts.filter(col("pf") > hotFreq).drop("pf")
+    if (hot.isEmpty) probe.join(payload, Seq("ph"))
+    else {
+      val hotKeys = broadcast(hot.select(col("ph")))
+      // cold path: per-key join input ≤ hotFreq — bounded tasks
+      val cold = probe.join(hotKeys, Seq("ph"), "left_anti")
+        .join(payload, Seq("ph"))
+      // hot path: salted join spreads each viral key over `salts` tasks;
+      // only the HOT verdict rows replicate across the salt domain
+      val hotJoined = graft.operators.SkewJoin.saltedInnerJoin(
+        probe.join(hotKeys, Seq("ph"), "left_semi"), hot, "ph", salts)
+      cold.unionByName(hotJoined)
+    }
+  }
+
+  /** CCNet-style boilerplate removal: drop EVERY instance of any
+    * `segTokens`-token segment that appears in at least `minDocFreq`
+    * DISTINCT documents, and reassemble the survivors.
+    *
+    * This is the corpus-frequency complement of [[passageDedup]]: passage
+    * dedup keeps one canonical instance of repeated text (dedup
+    * semantics — the text itself is worth one copy), boilerplate removal
+    * keeps NO instance once the text is frequent across documents
+    * (headers, footers, navigation chrome, license blocks — text whose
+    * cross-document ubiquity is evidence it carries no training signal).
+    * Text repeated heavily WITHIN one document but rare across the corpus
+    * survives here (and is the repetition filter's business instead).
+    *
+    * Output per doc: the cleaned text (surviving segments rejoined in
+    * order, '' when everything was boilerplate), segment count, dropped
+    * count — deterministic, no RNG.
+    *
+    * Plan shape: narrow chunk+posexplode; the document frequency per
+    * segment is `count(distinct doc_id)` keyed on the segment hash, which
+    * Spark executes as two partial-aggregation rounds ((ph, doc_id)
+    * dedup, then count) — both map-side combined, so the reducer input
+    * for ANY segment is bounded by one row per (map task, doc) pair.
+    * Instances learn their verdict via the shared [[guardedJoinBack]]
+    * (viral segments — precisely the boilerplate this operator exists to
+    * remove — take the salted path), and one groupBy doc_id reassembles.
+    * Work ∝ corpus tokens, state ∝ distinct segments — both linear. */
+  def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
+                        segTokens: Int = 10, minDocFreq: Long = 3,
+                        maxSegFreq: Long = 1L << 20,
+                        salts: Int = 16): DataFrame = {
+    val (result, intermediates) = boilerplateRemovePlan(
+      docs, idCol, textCol, segTokens, minDocFreq, maxSegFreq, salts)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** The lazy (un-checkpointed) [[boilerplateRemove]] plan plus its
+    * persisted intermediates — split out for plan-shape tests, like
+    * [[passageDedupPlan]]. */
+  private[graft] def boilerplateRemovePlan(docs: DataFrame, idCol: String,
+                                           textCol: String, segTokens: Int,
+                                           minDocFreq: Long, maxSegFreq: Long,
+                                           salts: Int): (DataFrame, Seq[DataFrame]) = {
+    require(segTokens >= 1, "segment width must be >= 1")
+    require(minDocFreq >= 2, "a segment needs >= 2 docs to be boilerplate")
+    require(maxSegFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
+    val segments = maybePersist(segmentInstances(docs, idCol, textCol, segTokens))
+    // ONE aggregation delivers both verdicts: document frequency (the
+    // boilerplate test) and instance frequency (the skew-guard routing).
+    val stats = maybePersist(segments.groupBy(col("ph"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("pf")))
+    val probe = segments.select(col("doc_id"), col("pos"), col("ptext"), col("ph"))
+    val marked = guardedJoinBack(probe, stats, maxSegFreq, salts)
+      .withColumn("keep", col("df") < minDocFreq)
+    val result = marked.groupBy(col("doc_id"))
+      .agg(
+        // collect_list drops nulls, so the unkept branch (no otherwise)
+        // vanishes; sort by pos reassembles the doc deterministically
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("ptext"))))),
+          x => x.getField("ptext")), " ").as("kept_text"),
+        count(lit(1)).as("n_segments"),
+        count(when(!col("keep"), 1)).as("n_boiler"))
+    (result, Seq(segments, stats))
   }
 }

@@ -992,6 +992,14 @@ object ExtQueries {
         passageTokens = 10)
       .orderBy("doc_id")
 
+  /** CCNet-style boilerplate removal: every instance of a 10-token segment
+    * present in >= 3 distinct docs drops (cross-document ubiquity = no
+    * training signal); docs reassemble from the survivors. */
+  def eBoilerplateLines(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Dedup.boilerplateRemove(Tables.documents(s, d), "doc_id", "text",
+        segTokens = 10, minDocFreq = 3)
+      .orderBy("doc_id")
+
   def eMultimodalMeta(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
@@ -2011,6 +2019,7 @@ object ExtQueries {
     "e_mixture_sample" -> (eMixtureSample _),
     "e_bloom_dedup" -> (eBloomDedup _),
     "e_passage_dedup" -> (ePassageDedup _),
+    "e_boilerplate_lines" -> (eBoilerplateLines _),
     "e_kmeans" -> (eKmeans _),
     "e_semantic_dedup" -> (eSemanticDedup _),
     "e_cluster_sample" -> (eClusterSample _),
@@ -2158,6 +2167,28 @@ object ExtQueries {
         |       coalesce(string_agg(ptext, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
         |       count(*) AS n_passages,
         |       count(*) FILTER (WHERE NOT keep) AS n_dropped
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e_boilerplate_lines" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+        |), positions AS (
+        |  SELECT doc_id, t,
+        |         unnest(range(0, greatest(CAST(ceil(len(t)/10.0) AS BIGINT), 1))) AS pos
+        |  FROM toks
+        |), segments AS (
+        |  SELECT doc_id, pos,
+        |         array_to_string(t[pos*10+1 : pos*10+10], ' ') AS ptext
+        |  FROM positions
+        |), docfreq AS (
+        |  SELECT ptext, count(DISTINCT doc_id) AS df FROM segments GROUP BY ptext
+        |), marked AS (
+        |  SELECT s.doc_id, s.pos, s.ptext, d.df < 3 AS keep
+        |  FROM segments s JOIN docfreq d USING (ptext)
+        |)
+        |SELECT doc_id,
+        |       coalesce(string_agg(ptext, ' ' ORDER BY pos) FILTER (WHERE keep), '') AS kept_text,
+        |       count(*) AS n_segments,
+        |       count(*) FILTER (WHERE NOT keep) AS n_boiler
         |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_embed_quantize" -> quantizeOracle,
     // e_approx_percentile: engine-specific sketch — deliberately no oracle

@@ -131,6 +131,46 @@ class DedupSpec extends SparkSpec {
     assert(uncapped > 100L, s"uncapped viral corpus must pair broadly: $uncapped")
   }
 
+  test("boilerplateRemove: frequent segments drop EVERYWHERE, rare repeats survive") {
+    import spark.implicits._
+    // w=3: "h h h" appears in 3 distinct docs (>= minDocFreq) — every
+    // instance drops, including doc 1's. "a b c" appears TWICE but only in
+    // doc 2 (df=1) — within-doc repetition is not boilerplate and survives
+    // both times (the passageDedup contrast). Doc 4 is pure boilerplate.
+    val df = Seq(
+      (1L, "h h h x y z"),
+      (2L, "a b c a b c h h h"),
+      (3L, "p q r s"),
+      (4L, "h h h")
+    ).toDF("doc_id", "text")
+    val got = Dedup.boilerplateRemove(df, "doc_id", "text",
+        segTokens = 3, minDocFreq = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got(0) == ((1L, "x y z", 2L, 1L)), s"doc1 sheds the header: ${got(0)}")
+    assert(got(1) == ((2L, "a b c a b c", 3L, 1L)),
+      s"doc2 keeps its within-doc repeat, sheds the header: ${got(1)}")
+    assert(got(2) == ((3L, "p q r s", 2L, 0L)), s"doc3 untouched: ${got(2)}")
+    assert(got(3) == ((4L, "", 1L, 1L)), s"doc4 is all boilerplate: ${got(3)}")
+  }
+
+  test("boilerplateRemove viral guard: salted hot path returns identical results") {
+    import spark.implicits._
+    // the boilerplate key IS the viral key: a header shared by 200 docs
+    val viral = (0L until 200L).map { i =>
+      (i, s"common viral header here unique $i tail ${i * 3}")
+    }.toDF("doc_id", "text")
+    def run(maxFreq: Long) = Dedup.boilerplateRemove(viral, "doc_id", "text",
+        segTokens = 5, minDocFreq = 3, maxSegFreq = maxFreq, salts = 8)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(10L) == run(1L << 20),
+      "the skew guard may move work between tasks, never change the result")
+    // unlike passageDedup, doc 0 gets NO canonical copy — the 5-token header
+    // window "common viral header here unique" is gone from every doc
+    val r = run(10L)
+    assert(r.head(1) == "0 tail 0", s"header drops everywhere: ${r.head}")
+  }
+
   test("passageDedup viral guard: salted hot path returns identical results") {
     import spark.implicits._
     // one passage repeated across many docs (the viral case) + unique tails

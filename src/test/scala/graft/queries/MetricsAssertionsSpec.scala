@@ -69,7 +69,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_ann_recall_sweep" -> (1L << 20),
     // round-8: one corpus word-count shuffle, then 8 vocabulary-sized
     // pair-count rounds — merge work must never return to corpus scale
-    "e_bpe_merges" -> (2L << 20))
+    "e_bpe_merges" -> (2L << 20),
+    // round-8: the passage-dedup profile at segment grain (chunk explode →
+    // df aggregation → join-back → reassembly), same budget
+    "e_boilerplate_lines" -> (1L << 21))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

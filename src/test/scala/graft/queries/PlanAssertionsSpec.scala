@@ -124,6 +124,29 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     inter.foreach(_.unpersist(false))
   }
 
+  test("boilerplate removal: distinct-doc count aggregates PARTIALLY; equi-joins only; no window") {
+    val docs = graft.Tables.documents(spark, d)
+    val (result, inter) = graft.dedup.Dedup.boilerplateRemovePlan(
+      docs, "doc_id", "text", 10, 3, 1L << 20, 16)
+    result.count() // finalize AQE
+    val plan = result.queryExecution.executedPlan
+    // count(distinct doc_id) must plan as the two-round partial aggregation
+    // ((ph, doc_id) dedup then count, both map-side combined) — reducer
+    // input bounded for ANY segment frequency
+    assert(plan.toString.contains("partial_count"),
+      s"document frequency must combine map-side:\n$plan")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty, s"boilerplate removal must not window:\n$plan")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"boilerplate join-back must stay equi, found: $bad")
+    inter.foreach(_.unpersist(false))
+  }
+
   test("decontamination: the benchmark shingle set joins BROADCAST") {
     // the corpus side must never shuffle for the contamination probe — the
     // tiny eval-set side broadcasts and the join is map-side
