@@ -815,6 +815,25 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Epoch shuffle: seed-stable sharded permutation of the corpus — every
+    * shard a uniform sample, position within shard exact. */
+  def eCorpusShuffle(s: SparkSession, d: String): DataFrame =
+    graft.operators.CorpusShuffle.shuffle(
+        Tables.documents(s, d), "doc_id", "epoch0", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("shard_pos"))
+      .orderBy("doc_id")
+
+  /** Curriculum ordering: short docs first in coarse length stages, seed-
+    * shuffled within each stage; the exact global training position per
+    * doc, computed via the histogram two-pass (no global window). */
+  def eCurriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val stage = least(floor(col("n_chars") / 100), lit(9L))
+    graft.operators.CorpusShuffle.curriculumOrder(
+        Tables.documents(s, d), "doc_id", stage, "epoch0", subBins = 64)
+      .select(col("doc_id"), stage.cast("long").as("stage"), col("global_pos"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition filter over the corpus (CorpusFilters). */
   def eRepetitionFilter(s: SparkSession, d: String): DataFrame =
     graft.functions.CorpusFilters
@@ -2009,6 +2028,8 @@ object ExtQueries {
     "e_approx_percentile" -> (eApproxPercentile _),
     "e_tfidf" -> (eTfidf _),
     "e_stratified_sample" -> (eStratifiedSample _),
+    "e_corpus_shuffle" -> (eCorpusShuffle _),
+    "e_curriculum_order" -> (eCurriculumOrder _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_phash_neardup" -> (ePhashNeardup _),
     "e_repetition_filter" -> (eRepetitionFilter _),
@@ -2308,6 +2329,23 @@ object ExtQueries {
          |WHERE $h % 100 < CASE lang WHEN 'en' THEN 80 WHEN 'de' THEN 50
          |  WHEN 'fr' THEN 50 WHEN 'es' THEN 50 WHEN 'zh' THEN 25 ELSE 0 END
          |ORDER BY doc_id""".stripMargin
+    },
+    "e_corpus_shuffle" -> {
+      val h = hexHashSql("CAST(doc_id AS VARCHAR)", "epoch0|")
+      s"""WITH keyed AS (SELECT doc_id, $h AS key FROM documents)
+         |SELECT doc_id, key % 8 AS shard,
+         |       CAST(row_number() OVER (PARTITION BY key % 8
+         |         ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+         |FROM keyed ORDER BY doc_id""".stripMargin
+    },
+    "e_curriculum_order" -> {
+      val h = hexHashSql("CAST(doc_id AS VARCHAR)", "epoch0|")
+      s"""WITH keyed AS (SELECT doc_id, least(n_chars // 100, 9) AS stage,
+         |  $h AS key FROM documents)
+         |SELECT doc_id, stage,
+         |       CAST(row_number() OVER (ORDER BY stage, key, doc_id)
+         |         AS BIGINT) AS global_pos
+         |FROM keyed ORDER BY doc_id""".stripMargin
     },
     "e_multimodal_meta" ->
       """SELECT doc_id,

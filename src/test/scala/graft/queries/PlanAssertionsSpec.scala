@@ -74,6 +74,21 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"the tail cut must not serialize the corpus through one window task:\n$plan")
   }
 
+  test("corpus shuffle + curriculum order: every window is partitioned (no global sort task)") {
+    // both operators exist to order a 100 TB corpus WITHOUT a single-
+    // partition window: shuffle partitions by shard, curriculum by the
+    // composite histogram bin
+    Seq("e_corpus_shuffle", "e_curriculum_order").foreach { q =>
+      val plan = executedPlan(q)
+      val globalWindows = collectWithSubqueries(plan) {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(globalWindows.isEmpty,
+        s"$q must not serialize the corpus through one window task:\n$plan")
+    }
+  }
+
   test("p1_dynamic_allowlist: narrow map_filter plan (no explode, no aggregate)") {
     val plan = executedPlan("p1_dynamic_allowlist")
     val generates = collectWithSubqueries(plan) {
