@@ -209,6 +209,76 @@ object Dedup {
     materializeAndRelease(result, sigs, bands)
   }
 
+  /** The tables a MinHash-LSH ingest increment produces: the increment's
+    * own signatures and bands (to fold into the index) and the NEW
+    * candidate pairs it surfaced (within-increment ∪ increment-vs-index),
+    * all eagerly materialized. */
+  final case class MinHashIncrement(sigs: DataFrame, bands: DataFrame,
+                                    newPairs: DataFrame)
+
+  /** One daily-ingest increment of the MinHash-LSH near-dup index — the
+    * batch primitive behind [[graft.streaming.StreamingMinHashLsh]] and
+    * the standing pattern for a 100 TB corpus: you near-dup yesterday's
+    * corpus ONCE, persist its (sigs, bands) index, and each day's batch
+    * only shingles/signs ITSELF, probes the index for cross candidates,
+    * and self-joins for within-batch ones. Old-vs-old pairs are never
+    * re-derived, the indexed corpus is never re-shingled — per-ingest work
+    * scales with the batch (× matching bucket occupancy), not the corpus.
+    *
+    * Equivalence: the union of the index's pairs and every increment's
+    * `newPairs` equals the full-batch [[minhashCandidates]] over the union
+    * corpus — signatures are per-doc (grouping-independent) and a banded
+    * pair touching a new doc is, by construction, exactly a within ∪ cross
+    * pair (asserted by the incremental == batch spec and the graded
+    * query's oracle, which is the full-batch SQL restricted to pairs
+    * touching the increment).
+    *
+    * Replay safety: already-indexed doc_ids are dropped before signing
+    * (anti-join against the index signatures), so at-least-once delivery
+    * produces an EMPTY increment — no self-pairs, no duplicate index rows.
+    *
+    * Scale shape: the cross probe is an equi-join on (band_idx, band_key)
+    * and the estimate lookups are equi-joins on doc id — with the index
+    * tables bucketed by those keys (the deployment norm for any standing
+    * index), the batch side alone shuffles. */
+  def minhashIncrement(newDocs: DataFrame, idCol: String, textCol: String,
+                       prevSigs: Option[DataFrame],
+                       prevBands: Option[DataFrame],
+                       k: Int = 12, shingleWidth: Int = 3, bandRows: Int = 2,
+                       minEst: Double = 0.0): MinHashIncrement = {
+    require(prevSigs.isDefined == prevBands.isDefined,
+      "an index is both signatures and bands — supply both or neither")
+    val incoming = newDocs.select(col(idCol).as("doc_id"),
+      col(textCol).as("text"))
+    // replay guard: already-indexed ids are no-ops
+    val fresh = prevSigs.fold(incoming)(p =>
+      incoming.join(p.select(col("doc_id")), Seq("doc_id"), "left_anti"))
+    val bases = shingleBases(fresh, "doc_id", "text", shingleWidth)
+    val sigs = materializeAndRelease(minhashSignaturesFromBases(bases, k))
+    val bands = materializeAndRelease(lshBands(sigs, k, bandRows))
+    // within-increment candidates (a < b) ∪ cross probes against the index
+    // (canonicalized) — disjoint sets by construction
+    val within = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cand = prevBands match {
+      case None => within.distinct()
+      case Some(ob) =>
+        val cross = bands.as("n")
+          .join(ob.as("o"), Seq("band_idx", "band_key"))
+          .select(
+            least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
+            greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
+        within.unionByName(cross).distinct()
+    }
+    val allSigs = prevSigs.fold(sigs)(_.unionByName(sigs))
+    val newPairs = materializeAndRelease(
+      signatureEstimates(cand, allSigs, k)
+        .filter(col("est_jaccard") >= minEst))
+    MinHashIncrement(sigs, bands, newPairs)
+  }
+
   /** Signature-agreement Jaccard estimate for candidate `(doc_a, doc_b)`
     * pairs against a `(doc_id, h0..h{k-1})` signature table — the scoring
     * half of the LSH pipeline, shared by the batch candidates build and

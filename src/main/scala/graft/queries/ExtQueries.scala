@@ -237,6 +237,28 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  /** Daily-ingest near-dup maintenance: docs ending in 0 arrive as today's
+    * batch against a standing (sigs, bands) index of the rest; output =
+    * the NEW candidate pairs only (within-batch ∪ batch-vs-index) — the
+    * old corpus is never re-shingled and old-vs-old never re-pairs. The
+    * oracle is the full-batch minhash SQL restricted to pairs touching
+    * the increment, which the index-probe path must equal exactly. */
+  def eDedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val old = docs.filter(col("doc_id") % 10 =!= 0)
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+    // "yesterday's index": compact materialized signatures + bands — what
+    // a deployment persists between ingests
+    val oldSigs = Dedup.materializeAndRelease(
+      Dedup.minhashSignatures(old, "doc_id", "text", K, W))
+    val oldBands = Dedup.materializeAndRelease(
+      Dedup.lshBands(oldSigs, K, BandRows))
+    Dedup.minhashIncrement(fresh, "doc_id", "text",
+        Some(oldSigs), Some(oldBands), K, W, BandRows)
+      .newPairs
+      .orderBy("doc_a", "doc_b")
+  }
+
   // Three queries (fingerprint listing, single-table pairs, multi-table
   // pairs) read the same SimHash fingerprints; memoize the compact
   // (doc_id, simhash, sh_long) table materialized per sfDir — the token
@@ -1073,7 +1095,10 @@ object ExtQueries {
     s"bands AS (${parts.mkString(" UNION ALL ")})"
   }
 
-  private val minhashOracle = {
+  /** Full-batch minhash candidate SQL; `pairPred` restricts the emitted
+    * pairs (the incremental oracle keeps only pairs touching the
+    * increment — exactly what the index-probe path surfaces). */
+  private def minhashOracleSql(pairPred: String = "TRUE") = {
     val matchSum = (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $toksCte,
@@ -1087,8 +1112,11 @@ object ExtQueries {
        |FROM pairs p
        |JOIN sigs sa ON p.doc_a = sa.doc_id
        |JOIN sigs sb ON p.doc_b = sb.doc_id
+       |WHERE $pairPred
        |ORDER BY doc_a, doc_b""".stripMargin
   }
+
+  private val minhashOracle = minhashOracleSql()
 
   private val simhashVotes = (0 until SimBits).map { j =>
     s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -2003,6 +2031,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
+    "e_dedup_incremental" -> (eDedupIncremental _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -2133,6 +2162,8 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
+    "e_dedup_incremental" ->
+      minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
     "e_dedup_clusters" -> clustersOracle,
     "e_connected_components" -> connectedComponentsOracle,
     // the incremental path must land on the SAME fixpoint as batch CC over

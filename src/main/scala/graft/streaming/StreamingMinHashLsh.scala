@@ -65,42 +65,18 @@ object StreamingMinHashLsh {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val prev = Option(ref.get())
-        val incoming = batch.select(col("doc_id"), col("text"))
-        // replay guard: already-indexed ids are no-ops
-        val fresh = prev.fold(incoming)(p =>
-          incoming.join(p.sigs.select(col("doc_id")), Seq("doc_id"), "left_anti"))
-        val bases = Dedup.shingleBases(fresh, "doc_id", "text", shingleWidth)
-        val sigs = Dedup.materializeAndRelease(
-          Dedup.minhashSignaturesFromBases(bases, k))
-        val bands = Dedup.materializeAndRelease(
-          Dedup.lshBands(sigs, k, bandRows))
-        // within-batch candidates (a < b) ∪ cross-batch probes against the
-        // index (canonicalized) — disjoint sets by construction
-        val within = bands.as("a")
-          .join(bands.as("b"), Seq("band_idx", "band_key"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        val cand = prev match {
-          case None => within.distinct()
-          case Some(p) =>
-            val cross = bands.as("n")
-              .join(p.bands.as("o"), Seq("band_idx", "band_key"))
-              .select(
-                least(col("n.doc_id"), col("o.doc_id")).as("doc_a"),
-                greatest(col("n.doc_id"), col("o.doc_id")).as("doc_b"))
-            within.unionByName(cross).distinct()
-        }
-        val allSigs = prev.fold(sigs)(p => p.sigs.unionByName(sigs))
-        val newPairs = Dedup.signatureEstimates(cand, allSigs, k)
-          .filter(col("est_jaccard") >= minEst)
+        // the batch primitive: replay guard, shingle/sign the batch only,
+        // within ∪ cross candidates, estimates against the union sigs
+        val inc = Dedup.minhashIncrement(batch, "doc_id", "text",
+          prev.map(_.sigs), prev.map(_.bands), k, shingleWidth, bandRows,
+          minEst)
         val next = prev match {
-          case None =>
-            Index(sigs, bands, Dedup.materializeAndRelease(newPairs))
+          case None => Index(inc.sigs, inc.bands, inc.newPairs)
           case Some(p) =>
             Index(
-              Dedup.materializeAndRelease(p.sigs.unionByName(sigs)),
-              Dedup.materializeAndRelease(p.bands.unionByName(bands)),
-              Dedup.materializeAndRelease(p.pairs.unionByName(newPairs)))
+              Dedup.materializeAndRelease(p.sigs.unionByName(inc.sigs)),
+              Dedup.materializeAndRelease(p.bands.unionByName(inc.bands)),
+              Dedup.materializeAndRelease(p.pairs.unionByName(inc.newPairs)))
         }
         ref.set(next)
       }

@@ -131,6 +131,51 @@ class DedupSpec extends SparkSpec {
     assert(uncapped > 100L, s"uncapped viral corpus must pair broadly: $uncapped")
   }
 
+  test("minhashIncrement: index pairs + increment pairs == full batch over the union") {
+    import spark.implicits._
+    // corpus with near-dups both inside the increment and across it
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely different text about spark shuffles and joins")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog today"), // ~doc 1/2
+      (11L, "completely different text about spark shuffles and sorts"), // ~doc 3
+      (12L, "an unrelated brand new document with fresh words only"),
+      (13L, "an unrelated brand new document with fresh words too") // ~doc 12
+    ).toDF("doc_id", "text")
+    val union = old.unionByName(batch)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b", "est_jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = pairSet(Dedup.minhashCandidates(union, "doc_id", "text"))
+    val oldPairs = pairSet(Dedup.minhashCandidates(old, "doc_id", "text"))
+    val oldSigs = Dedup.minhashSignatures(old, "doc_id", "text", 12, 3)
+    val oldBands = Dedup.lshBands(oldSigs, 12, 2)
+    val inc = Dedup.minhashIncrement(batch, "doc_id", "text",
+      Some(oldSigs), Some(oldBands))
+    val incPairs = pairSet(inc.newPairs)
+    assert(incPairs.nonEmpty && (incPairs & oldPairs).isEmpty,
+      "the increment must surface only pairs touching the batch")
+    assert(oldPairs ++ incPairs == full,
+      s"index ∪ increment must equal the full batch:\n old=$oldPairs\n inc=$incPairs\n full=$full")
+  }
+
+  test("minhashIncrement: replaying an ingested batch is a no-op") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", 12, 3)
+    val bands = Dedup.lshBands(sigs, 12, 2)
+    val replay = Dedup.minhashIncrement(docs, "doc_id", "text",
+      Some(sigs), Some(bands))
+    assert(replay.sigs.isEmpty && replay.newPairs.isEmpty,
+      "redelivered doc_ids must produce an empty increment")
+  }
+
   test("boilerplateRemove: frequent segments drop EVERYWHERE, rare repeats survive") {
     import spark.implicits._
     // w=3: "h h h" appears in 3 distinct docs (>= minDocFreq) — every

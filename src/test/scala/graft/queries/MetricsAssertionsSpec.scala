@@ -72,7 +72,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_bpe_merges" -> (2L << 20),
     // round-8: the passage-dedup profile at segment grain (chunk explode →
     // df aggregation → join-back → reassembly), same budget
-    "e_boilerplate_lines" -> (1L << 21))
+    "e_boilerplate_lines" -> (1L << 21),
+    // round-8: index build (90% of the corpus, one shingle/sign pass) +
+    // the increment's band probe and estimate joins — minhash profile
+    "e_dedup_incremental" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
