@@ -106,4 +106,26 @@ object BpeVocab {
     import spark.implicits._
     train(wordCounts(docs, textCol), nMerges).toDF()
   }
+
+  /** The `(sym)`-group encoding of `word` after replaying the learned
+    * merges in training order — encode (tokenizer APPLY, the other half
+    * of the artifact [[train]] produces) is a pure fold of literal
+    * replaces: ONE codegen projection, no UDF, no join, with the same
+    * delimiter guarantees as training (greedy left-to-right,
+    * non-overlapping, never inside a longer symbol).
+    *
+    * Scale: apply this to the DISTINCT-word table and equi-join back to
+    * the token stream — encode work is then ∝ vocabulary (millions), not
+    * corpus tokens (trillions). Inline application is also safe (it is
+    * per-row column arithmetic); the join form just avoids re-encoding a
+    * hot word a billion times. */
+  def encodedCol(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(regexp_replace(word, "(.)", "($1)")) { (c, m) =>
+      replace(c, lit(m.pair), lit(m.pair.replace(")(", "")))
+    }
+
+  /** BPE tokens of `word` (bare symbols, in order) under `merges`. */
+  def tokensCol(word: Column, merges: Seq[Merge]): Column =
+    regexp_extract_all(encodedCol(word, merges),
+      lit("\\(([a-z]*)\\)"), lit(1))
 }

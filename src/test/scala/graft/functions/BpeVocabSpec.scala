@@ -85,6 +85,54 @@ class BpeVocabSpec extends SparkSpec {
     }
   }
 
+  // reference encoder: replay merges in training order, greedy
+  // left-to-right — the encode contract tokensCol must match
+  private def refEncode(word: String,
+                        merges: Seq[(String, String, Long)]): List[String] = {
+    var syms = word.toList.map(_.toString)
+    merges.foreach { case (pair, merged, _) =>
+      val Array(a, b) = pair.stripPrefix("(").stripSuffix(")").split("\\)\\(")
+      def applyMerge(s: List[String]): List[String] = s match {
+        case x :: y :: rest if x == a && y == b => merged :: applyMerge(rest)
+        case x :: rest => x :: applyMerge(rest)
+        case Nil => Nil
+      }
+      syms = applyMerge(syms)
+    }
+    syms
+  }
+
+  test("tokensCol: encode replays the merges — equals the reference encoder") {
+    val rnd = new scala.util.Random(11)
+    val trainWords = (1 to 25).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+        (1 + rnd.nextInt(5)).toLong)
+    }.distinctBy(_._1)
+    val merges = BpeVocab.train(trainWords.toDF("word", "wc"), 6)
+    val raw = merges.map(m => (m.pair, m.merged, m.pair_count))
+    // encode BOTH seen and unseen words (an encoder must be total)
+    val applyWords = trainWords.map(_._1) ++ Seq("abcba", "ccc", "b")
+    val got = applyWords.toDF("word")
+      .select($"word",
+        BpeVocab.tokensCol($"word", merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    applyWords.foreach { w =>
+      assert(got(w) == refEncode(w, raw), s"word '$w': ${got(w)}")
+    }
+  }
+
+  test("tokensCol: merged pair becomes one token, longer symbols untouched") {
+    val merges = BpeVocab.train(
+      Seq(("ab", 5L), ("cab", 2L)).toDF("word", "wc"), 1)
+    val got = Seq("ab", "cab", "bab").toDF("word")
+      .select($"word", BpeVocab.tokensCol($"word", merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("ab") == Seq("ab"))
+    assert(got("cab") == Seq("c", "ab"))
+    assert(got("bab") == Seq("b", "ab"))
+  }
+
   test("wordCounts lowercases and keeps only [a-z]+ runs") {
     val docs = Seq((1L, "Hello, WORLD 42 hello!")).toDF("doc_id", "text")
     val got = BpeVocab.wordCounts(docs, "text")

@@ -75,7 +75,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_boilerplate_lines" -> (1L << 21),
     // round-8: index build (90% of the corpus, one shingle/sign pass) +
     // the increment's band probe and estimate joins — minhash profile
-    "e_dedup_incremental" -> (2L << 20))
+    "e_dedup_incremental" -> (2L << 20),
+    // round-8: tokenizer apply = the training rounds (memo, worst case) +
+    // one word shuffle and a vocab-sized encode/join — corpus text itself
+    // must never shuffle
+    "e_bpe_encode" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
