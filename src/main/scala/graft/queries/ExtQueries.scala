@@ -180,7 +180,9 @@ object ExtQueries {
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
     // simhashFingerprints: e_dedup_simhash, e_simhash_multitable,
     // e_simhash_pairs
-    ("simhashFingerprints", fpCache, "e_simhash_pairs"))
+    ("simhashFingerprints", fpCache, "e_simhash_pairs"),
+    // phashFingerprints: e_phash_clusters, e_phash_neardup
+    ("phashFingerprints", phashFpCache, "e_phash_neardup"))
 
   /** Release every memo whose last name-ordered consumer is `query` —
     * called by Bench after each query completes. Out-of-order callers
@@ -725,15 +727,22 @@ object ExtQueries {
     * per-media shape keeps the result non-empty (and the fingerprints
     * hash-checked) even when a scale factor happens to contain no
     * image-grain near-dups. */
+  // Two queries (near-dup stats, cluster labels) read the same perceptual
+  // fingerprints; memoize the compact materialized (media_id, phash,
+  // ph_long) table per sfDir — the decode + staged hashing runs once. Same
+  // lifecycle as the other memos (released after e_phash_neardup).
+  private val phashFpCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def phashFingerprints(s: SparkSession, d: String): DataFrame =
+    phashFpCache.getOrElseUpdate(d, timedMemo("phashFingerprints") {
+      val media = graft.multimodal.Multimodal.synthesizeMedia(
+          Tables.documents(s, d)).toDF()
+        .filter(col("media_type") === "image")
+      Dedup.materializeAndRelease(
+        graft.multimodal.Multimodal.perceptualHash(media, PhBits))
+    })
+
   def ePhashNeardup(s: SparkSession, d: String): DataFrame = {
-    val media = graft.multimodal.Multimodal.synthesizeMedia(
-        Tables.documents(s, d)).toDF()
-      .filter(col("media_type") === "image")
-    // hash once: the fingerprint table feeds both self-join sides and the
-    // final stats join — without materialization each plan branch would
-    // re-decode and re-hash the content
-    val fp = Dedup.materializeAndRelease(
-      graft.multimodal.Multimodal.perceptualHash(media, PhBits))
+    val fp = phashFingerprints(s, d)
     val pairs = graft.multimodal.Multimodal.perceptualNearDupPairsFromHashes(
       fp, PhBits, PhPrefix, PhMaxHamming, PhTables)
     val partners = pairs
@@ -745,6 +754,21 @@ object ExtQueries {
       .select(col("media_id"), col("phash"),
         coalesce(col("n_neardup"), lit(0L)).as("n_neardup"),
         coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+      .orderBy("media_id")
+  }
+
+  /** Image dedup CLUSTERS: true connected components over the perceptual
+    * near-dup pair graph — the label table a multimodal curation pass
+    * consumes (pick one representative per cluster), composing the image
+    * modality into the same CC machinery as the text near-dup path. */
+  def ePhashClusters(s: SparkSession, d: String): DataFrame = {
+    val fp = phashFingerprints(s, d)
+    val pairs = graft.multimodal.Multimodal.perceptualNearDupPairsFromHashes(
+        fp, PhBits, PhPrefix, PhMaxHamming, PhTables)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    Dedup.connectedComponents(pairs, fp.select(col("media_id").as("doc_id")),
+        "doc_id")
+      .select(col("doc_id").as("media_id"), col("cluster_id"))
       .orderBy("media_id")
   }
 
@@ -1247,7 +1271,10 @@ object ExtQueries {
     * partner stats. Mirrors [[graft.multimodal.Multimodal.perceptualHash]]
     * exactly (the stub decode of the synthesized media content IS the
     * document text). */
-  private val phashNeardupOracle = {
+  /** Shared perceptual-hash CTE chain (`… → fp(media_id, phash),
+    * prs(ma, mb, hamming)`): the near-dup stats oracle aggregates partner
+    * stats from it, the clusters oracle closes it transitively. */
+  private val phashPairCtes = {
     val nCells = PhBits + 1
     def cellSql(i: Int) =
       s"('0x' || substring(md5(substring(text, ($i-1)*w+1, w)), 1, 2))::INT"
@@ -1264,7 +1291,7 @@ object ExtQueries {
         else s"substring(phash, ${r + 1}, ${PhBits - r}) || substring(phash, 1, $r)"
       s"SELECT media_id, phash, $i AS tbl, substring($rotated, 1, $PhPrefix) AS bucket FROM fp"
     }.mkString("\n  UNION ALL ")
-    s"""WITH img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
+    s"""img AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0),
        |cw AS (SELECT media_id, text,
        |  greatest(CAST(ceil(len(text) / ${nCells}.0) AS INT), 1) AS w FROM img),
        |fp AS (SELECT media_id, $bitsConcat AS phash FROM cw),
@@ -1274,7 +1301,11 @@ object ExtQueries {
        |    CAST($hamming AS BIGINT) AS hamming
        |  FROM bkt a JOIN bkt b
        |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.media_id < b.media_id
-       |  WHERE $hamming <= $PhMaxHamming),
+       |  WHERE $hamming <= $PhMaxHamming)""".stripMargin
+  }
+
+  private val phashNeardupOracle =
+    s"""WITH $phashPairCtes,
        |pt AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_neardup,
        |    CAST(min(hamming) AS BIGINT) AS min_hamming
        |  FROM (SELECT ma AS media_id, hamming FROM prs
@@ -1285,7 +1316,17 @@ object ExtQueries {
        |  CAST(coalesce(pt.min_hamming, -1) AS BIGINT) AS min_hamming
        |FROM fp LEFT JOIN pt ON fp.media_id = pt.media_id
        |ORDER BY fp.media_id""".stripMargin
-  }
+
+  private val phashClustersOracle =
+    s"""WITH RECURSIVE $phashPairCtes,
+       |edges AS (SELECT ma AS src, mb AS dst FROM prs
+       |          UNION SELECT mb, ma FROM prs),
+       |cc(media_id, lbl) AS (
+       |  SELECT media_id, media_id FROM fp
+       |  UNION
+       |  SELECT e.src, cc.lbl FROM edges e JOIN cc ON e.dst = cc.media_id)
+       |SELECT media_id, min(lbl) AS cluster_id FROM cc
+       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
   /** e_bpe_merges unrolled relationally: word frequencies, the `(c)`-group
     * symbol encoding, then one (pair-count → argmax → literal replace) CTE
@@ -2121,6 +2162,7 @@ object ExtQueries {
     "e_curriculum_order" -> (eCurriculumOrder _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_phash_neardup" -> (ePhashNeardup _),
+    "e_phash_clusters" -> (ePhashClusters _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
@@ -2308,6 +2350,7 @@ object ExtQueries {
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
     "e_phash_neardup" -> phashNeardupOracle,
+    "e_phash_clusters" -> phashClustersOracle,
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,

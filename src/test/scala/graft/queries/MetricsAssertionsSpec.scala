@@ -79,7 +79,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-8: tokenizer apply = the training rounds (memo, worst case) +
     // one word shuffle and a vocab-sized encode/join — corpus text itself
     // must never shuffle
-    "e_bpe_encode" -> (2L << 20))
+    "e_bpe_encode" -> (2L << 20),
+    // round-8: CC over the image pair graph — the fingerprint memo (worst
+    // case) + banded pairs + the star loop's pair-scale exchanges
+    "e_phash_clusters" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
