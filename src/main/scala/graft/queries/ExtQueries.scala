@@ -797,6 +797,19 @@ object ExtQueries {
         TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
+  /** Per-language quality threshold: keep the top 30% of each language's
+    * docs by the quality score — exact per-group quantile semantics via
+    * the histogram cut (no per-group corpus window; a global threshold
+    * would let the dominant language eat the budget). */
+  def eQualityCut(s: SparkSession, d: String): DataFrame = {
+    val q = TextAnalysis.qualityScore(col("text"))
+    graft.operators.GroupQuantileCut(
+        Tables.documents(s, d).withColumn("quality_score", q),
+        "doc_id", "lang", col("quality_score"), frac = 0.3)
+      .select(col("doc_id"), col("lang"), col("quality_score"))
+      .orderBy("doc_id")
+  }
+
   // Two queries (merge induction, tokenizer apply) share the learned merge
   // table; it is a driver-side Seq of BpeMerges rows — no Spark blocks to
   // release, so a plain per-sfDir memo suffices (narrated like the
@@ -2147,6 +2160,7 @@ object ExtQueries {
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_text_langid" -> (eTextLangid _),
     "e_text_quality" -> (eTextQuality _),
+    "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
@@ -2436,6 +2450,17 @@ object ExtQueries {
     "e_cosine_neardup" -> neardupOracle,
     "e_text_langid" -> langidOracle,
     "e_text_quality" -> qualityOracle,
+    "e_quality_cut" ->
+      s"""WITH $toksCte,
+         |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score
+         |  FROM (SELECT d.*, t FROM documents d, toks WHERE d.doc_id = toks.doc_id)),
+         |ranked AS (SELECT doc_id, lang, quality_score,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality_score DESC, doc_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY lang) AS n FROM q)
+         |SELECT doc_id, lang, quality_score FROM ranked
+         |WHERE rn <= CAST(floor(0.3 * n) AS BIGINT)
+         |ORDER BY doc_id""".stripMargin,
     "e_token_count" ->
       """SELECT doc_id,
         |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class GroupQuantileCutSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def corpus(n: Int, nGroups: Int) =
+    (0L until n.toLong).map { i =>
+      // deterministic pseudo-scores in [0,1] with repeated values (ties)
+      (i, s"g${i % nGroups}", ((i * 37) % 101) / 100.0)
+    }.toDF("doc_id", "grp", "q")
+
+  private def naive(df: org.apache.spark.sql.DataFrame, frac: Double) =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy($"grp").orderBy($"q".desc, $"doc_id")))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy($"grp")))
+      .filter($"__rn" <= floor(lit(frac) * $"__n"))
+      .select($"doc_id").as[Long].collect().toSet
+
+  test("equals the per-group global window for assorted fractions") {
+    val df = corpus(400, 3)
+    for (frac <- Seq(0.0, 0.1, 0.3, 0.5, 0.97, 1.0)) {
+      val got = GroupQuantileCut(df, "doc_id", "grp", $"q", frac, nBins = 16)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got == naive(df, frac), s"frac=$frac")
+    }
+  }
+
+  test("ties at the cut break deterministically on id inside the bin") {
+    // every row the same score: the cut is decided purely by doc_id
+    val df = (0L until 10L).map(i => (i, "g", 0.5)).toDF("doc_id", "grp", "q")
+    val got = GroupQuantileCut(df, "doc_id", "grp", $"q", 0.5, nBins = 8)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == (0L until 5L).toSet, got)
+  }
+
+  test("per-group quotas are independent — a dominant group cannot starve others") {
+    val df = corpus(300, 2).unionByName(
+      (1000L until 1010L).map(i => (i, "small", (i % 7) / 10.0))
+        .toDF("doc_id", "grp", "q"))
+    val got = GroupQuantileCut(df, "doc_id", "grp", $"q", 0.3, nBins = 16)
+    val byGroup = got.groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(byGroup("small") == 3L, byGroup)
+    assert(byGroup("g0") == 45L && byGroup("g1") == 45L, byGroup)
+  }
+}

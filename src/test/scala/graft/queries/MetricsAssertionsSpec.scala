@@ -82,7 +82,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_bpe_encode" -> (2L << 20),
     // round-8: CC over the image pair graph — the fingerprint memo (worst
     // case) + banded pairs + the star loop's pair-scale exchanges
-    "e_phash_clusters" -> (2L << 20))
+    "e_phash_clusters" -> (2L << 20),
+    // round-8: per-group quantile cut = one bounded histogram aggregation
+    // + the straddling-bin window — the corpus never sorts globally
+    "e_quality_cut" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
