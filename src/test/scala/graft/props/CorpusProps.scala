@@ -86,6 +86,52 @@ object CorpusProps extends Properties("graft.corpus") {
       got == want
     }
 
+  property("boilerplateRemove equals the df-threshold reference on random corpora") =
+    forAll(docsGen, Gen.choose(1, 4), Gen.choose(2L, 4L)) { (docsRaw, w, minDf) =>
+      import spark.implicits._
+      val docsU = docsRaw.distinctBy(_._1)
+      val out = graft.dedup.Dedup.boilerplateRemove(
+          docsU.toDF("doc_id", "text"), "doc_id", "text", w, minDf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // reference: chunk every doc, count DISTINCT docs per segment text,
+      // every instance of a segment with df >= minDf drops
+      val segments = docsU.flatMap { case (id, t) =>
+        t.trim.split(" ", -1).grouped(w).zipWithIndex
+          .map { case (c, i) => (id, i, c.mkString(" ")) }
+      }
+      val df = segments.groupBy(_._3).view
+        .mapValues(_.map(_._1).distinct.size.toLong).toMap
+      out.forall { case (id, kept, nSeg, nBoiler) =>
+        val mine = segments.filter(_._1 == id).sortBy(_._2)
+        val keptMine = mine.filter(s => df(s._3) < minDf)
+        nSeg == mine.length && nBoiler == (mine.length - keptMine.length) &&
+          kept == keptMine.map(_._3).mkString(" ")
+      } && out.map(_._3).sum == segments.length
+    }
+
+  property("minhashIncrement: index ∪ increment equals the full batch on ANY split") =
+    forAll(docsGen, Gen.choose(0L, 3L)) { (docsRaw, splitMod) =>
+      import spark.implicits._
+      val docsU = docsRaw.distinctBy(_._1)
+      val (oldRaw, batchRaw) = docsU.partition(d => d._1 % 4 != splitMod)
+      val oldDocs = oldRaw.toDF("doc_id", "text")
+      val batch = batchRaw.toDF("doc_id", "text")
+      def pairSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_a", "doc_b", "est_jaccard")
+          .as[(Long, Long, Double)].collect().toSet
+      val full = pairSet(graft.dedup.Dedup.minhashCandidates(
+        docsU.toDF("doc_id", "text"), "doc_id", "text", k = 8, shingleWidth = 2))
+      val oldPairs = pairSet(graft.dedup.Dedup.minhashCandidates(
+        oldDocs, "doc_id", "text", k = 8, shingleWidth = 2))
+      val sigs = graft.dedup.Dedup.minhashSignatures(oldDocs, "doc_id", "text", 8, 2)
+      val bands = graft.dedup.Dedup.lshBands(sigs, 8, 2)
+      val inc = pairSet(graft.dedup.Dedup.minhashIncrement(
+        batch, "doc_id", "text", Some(sigs), Some(bands),
+        k = 8, shingleWidth = 2).newPairs)
+      (oldPairs & inc).isEmpty && (oldPairs ++ inc) == full
+    }
+
   property("connectedComponents equals union-find on random graphs") =
     forAll(
       Gen.listOf(Gen.zip(Gen.choose(1L, 15L), Gen.choose(1L, 15L))),
