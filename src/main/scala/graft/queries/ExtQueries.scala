@@ -300,6 +300,23 @@ object ExtQueries {
         isQuery = col("vec_id") % 50 === 0, k = 5)
       .orderBy("query_id", "rank")
 
+  /** JL random projection composed into retrieval: 64-dim embeddings
+    * project to 16 dims through the hash-derived ±1 sign matrix (one
+    * narrow codegen scan), then brute-force cosine top-3 runs entirely in
+    * the projected space — the d/k bandwidth cut every downstream exchange
+    * inherits. */
+  def eRandomProjection(s: SparkSession, d: String): DataFrame = {
+    val proj = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("pv"))
+      .select(col("vec_id"),
+        graft.similarity.RandomProjection.projected(
+          col("pv"), dims = 64, k = 16).as("proj"))
+    Similarity.bruteForceTopK(proj, "vec_id", "proj",
+        isQuery = col("vec_id") % 50 === 0, k = 3)
+      .orderBy("query_id", "rank")
+  }
+
   def eAnnLshTopk(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), "vec_id", "embedding",
         isQuery = col("vec_id") % 50 === 0, k = 3, dims = AnnDims)
@@ -2150,6 +2167,7 @@ object ExtQueries {
     "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_cosine_topk" -> (eCosineTopk _),
+    "e_random_projection" -> (eRandomProjection _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
     "e_ann_multiprobe" -> (eAnnMultiprobe _),
     "e_ann_recall" -> (eAnnRecall _),
@@ -2440,6 +2458,31 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
+    "e_random_projection" ->
+      """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+        |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+        |sg AS (SELECT j, r,
+        |    CASE WHEN ('0x' || substring(md5('rp|' || CAST(j AS VARCHAR)
+        |        || '|' || CAST(r AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 64) t1(j), range(0, 16) t2(r)),
+        |p AS (SELECT e.vec_id, sg.r, sum(e.v * sg.s) AS pv
+        |  FROM e JOIN sg ON sg.j = e.pos - 1 GROUP BY 1, 2),
+        |norms AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM p GROUP BY vec_id),
+        |q AS (SELECT * FROM p WHERE vec_id % 50 = 0),
+        |dots AS (SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+        |    sum(q.pv * p.pv) AS dp
+        |  FROM q JOIN p ON q.r = p.r AND q.vec_id <> p.vec_id GROUP BY 1, 2),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms nc ON nc.vec_id = neighbor_id),
+        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
     "e_ann_multiprobe" -> annMultiprobeOracle,
     "e_ann_recall" -> annRecallOracle,

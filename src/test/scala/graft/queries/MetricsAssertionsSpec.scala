@@ -85,7 +85,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_phash_clusters" -> (2L << 20),
     // round-8: per-group quantile cut = one bounded histogram aggregation
     // + the straddling-bin window — the corpus never sorts globally
-    "e_quality_cut" -> (1L << 20))
+    "e_quality_cut" -> (1L << 20),
+    // round-8: JL projection is a narrow scan (k codegen dots); only the
+    // 16-dim projected rows reach the top-k exchange — a budget breach
+    // means the 64-dim embeddings leaked past the projection
+    "e_random_projection" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
