@@ -34,21 +34,34 @@ object WeightedSample {
   def prioritySample(df: DataFrame, idCol: String, weight: Column, n: Int,
                      salt: String = "prio|"): DataFrame = {
     require(n >= 1, "sample size must be >= 1")
+    // the single corpus pass: top n+1 by (priority desc, id asc)
+    val topNp1 = priorities(df, idCol, weight, salt)
+      .orderBy(desc("priority"), asc("doc_id")).limit(n + 1)
+    finalizeSample(topNp1, n)
+  }
+
+  /** The narrow priority scan: (doc_id, weight, priority). `u` in (0, 1]:
+    * 56-bit hash folded to 1..10^6 over 10^6 — coarse enough to stay
+    * exactly representable, fine enough that priority ties are broken by
+    * the id order anyway. Shared with
+    * [[graft.streaming.StreamingWeightedSample]], whose per-batch fold
+    * relies on the priorities being a pure function of the rows. */
+  private[graft] def priorities(df: DataFrame, idCol: String, weight: Column,
+                                salt: String): DataFrame = {
     val id = col(idCol)
-    // u in (0, 1]: 56-bit hash folded to 1..10^6 over 10^6 — coarse enough
-    // to stay exactly representable, fine enough that priority ties are
-    // broken by the id order anyway
     val u = (Dedup.hexHash(id.cast("string"), salt) % 1000000L + 1L)
       .cast("double") / lit(1000000.0)
-    val base = df.select(id.cast("long").as("doc_id"),
+    df.select(id.cast("long").as("doc_id"),
       weight.cast("double").as("weight"),
       round(weight.cast("double") / u, 6).as("priority"))
-    // the single corpus pass: top n+1 by (priority desc, id asc). τ = the
-    // (n+1)-th highest priority — min over the cut when it is full, 0 when
-    // fewer than n+1 rows exist (sample is then the whole input, exact).
-    // Both derive from the same ≤ n+1 cut rows via unbounded windows (the
-    // cut output is one partition already, so no extra exchange).
-    val topNp1 = base.orderBy(desc("priority"), asc("doc_id")).limit(n + 1)
+  }
+
+  /** τ-finalize a ≤ n+1-row top cut: τ = the (n+1)-th highest priority —
+    * min over the cut when it is full, 0 when fewer than n+1 rows exist
+    * (the "sample" is then the whole input, exact, est_weight = weight).
+    * Both derive from the same cut rows via unbounded windows (the cut
+    * output is one partition already, so no extra exchange). */
+  private[graft] def finalizeSample(topNp1: DataFrame, n: Int): DataFrame = {
     val wOrd = Window.orderBy(desc("priority"), asc("doc_id"))
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
