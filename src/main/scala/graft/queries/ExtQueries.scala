@@ -239,6 +239,24 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  /** Cross-source duplication report: how many high-confidence near-dup
+    * pairs join each (source, source) combination — the provenance
+    * diagnostic that shows which sources mirror each other (within-source
+    * pairs on the diagonal). Pure composition over the memoized pair
+    * table; sorts before e_dedup_minhash_lsh, so the shared memo is
+    * still resident under the bench's release-after-last-consumer walk. */
+  def eCrossSourceDup(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** Daily-ingest near-dup maintenance: docs ending in 0 arrive as today's
     * batch against a standing (sigs, bands) index of the rest; output =
     * the NEW candidate pairs only (within-batch ∪ batch-vs-index) — the
@@ -2162,6 +2180,7 @@ object ExtQueries {
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
     "e_dedup_incremental" -> (eDedupIncremental _),
+    "e_cross_source_dup" -> (eCrossSourceDup _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -2298,6 +2317,29 @@ object ExtQueries {
     "e_dedup_minhash_lsh" -> minhashOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
+    "e_cross_source_dup" -> {
+      val matchSum = (0 until K)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$sigsCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.doc_a, p.doc_b, ($matchSum) / $K.0 AS ej
+         |  FROM pairs p
+         |  JOIN sigs sa ON p.doc_a = sa.doc_id
+         |  JOIN sigs sb ON p.doc_b = sb.doc_id),
+         |x AS (SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b
+         |  FROM est
+         |  JOIN documents da ON est.doc_a = da.doc_id
+         |  JOIN documents db ON est.doc_b = db.doc_id
+         |  WHERE ej >= 0.5)
+         |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "e_dedup_clusters" -> clustersOracle,
     "e_connected_components" -> connectedComponentsOracle,
     // the incremental path must land on the SAME fixpoint as batch CC over
