@@ -124,7 +124,10 @@ object BpeVocab {
       replace(c, lit(m.pair), lit(m.pair.replace(")(", "")))
     }
 
-  /** BPE tokens of `word` (bare symbols, in order) under `merges`. */
+  /** BPE tokens of `word` (bare symbols, in order) under `merges`. Like
+    * training, the symbol domain is `[a-z]` — characters outside it are
+    * not extracted as tokens (feed words from [[wordCounts]]'s `[a-z]+`
+    * tokenization, the contract the whole module documents). */
   def tokensCol(word: Column, merges: Seq[Merge]): Column =
     regexp_extract_all(encodedCol(word, merges),
       lit("\\(([a-z]*)\\)"), lit(1))

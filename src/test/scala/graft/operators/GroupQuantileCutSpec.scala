@@ -38,6 +38,18 @@ class GroupQuantileCutSpec extends SparkSpec {
     assert(got == (0L until 5L).toSet, got)
   }
 
+  test("non-string and null group columns work (string-rendered internally)") {
+    val df = (0L until 40L).map(i =>
+      (i, if (i % 10 == 9) None else Some(i % 3), ((i * 7) % 11) / 10.0))
+      .toDF("doc_id", "grp", "q")
+    val got = GroupQuantileCut(df, "doc_id", "grp", $"q", 0.5, nBins = 8)
+    // per-group halves: 3 int groups of 12 and the null group of 4
+    val byGroup = got.groupBy($"grp").count()
+      .collect().map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1)).toMap
+    assert(byGroup == Map(Some("0") -> 6L, Some("1") -> 6L, Some("2") -> 6L,
+      None -> 2L), byGroup)
+  }
+
   test("per-group quotas are independent — a dominant group cannot starve others") {
     val df = corpus(300, 2).unionByName(
       (1000L until 1010L).map(i => (i, "small", (i % 7) / 10.0))
