@@ -368,6 +368,29 @@ object ExtQueries {
       .orderBy("query_id")
   }
 
+  /** Measured JL quality: recall@3 of the PROJECTED-space top-k against
+    * the full-space ground truth per query — the number that says whether
+    * 16 dims are enough before committing the d/k bandwidth saving. */
+  def eRpRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isQ = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val proj = emb
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("pv"))
+      .select(col("vec_id"),
+        graft.similarity.RandomProjection.projected(
+          col("pv"), dims = 64, k = 16).as("proj"))
+    val approx = Similarity.bruteForceTopK(proj, "vec_id", "proj", isQ, k = 3)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+    exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("__hit")).as("n_hits"),
+        round(count(col("__hit")) / 3.0, 6).as("recall"))
+      .orderBy("query_id")
+  }
+
   /** ANN recall-vs-cost sweep — the tuning curve a deployment actually
     * reads before picking `nProbe`: for each probe count, micro-averaged
     * recall@k of the IVF search against the brute-force ground truth AND
@@ -2187,6 +2210,7 @@ object ExtQueries {
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_random_projection" -> (eRandomProjection _),
+    "e_rp_recall" -> (eRpRecall _),
     "e_ann_lsh_topk" -> (eAnnLshTopk _),
     "e_ann_multiprobe" -> (eAnnMultiprobe _),
     "e_ann_recall" -> (eAnnRecall _),
@@ -2525,6 +2549,47 @@ object ExtQueries {
         |  FROM scored)
         |SELECT query_id, neighbor_id, cosine_sim, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+    "e_rp_recall" ->
+      s"""WITH $embCtes,
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |    sum(q.v * e.v) AS dp
+        |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id GROUP BY 1, 2),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    round(dp / (nq.nrm * nc.nrm), 6) AS cs
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = query_id
+        |  JOIN norms nc ON nc.vec_id = neighbor_id),
+        |exact AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id ASC) AS rn FROM scored)
+        |  WHERE rn <= 3),
+        |sg AS (SELECT j, r,
+        |    CASE WHEN ('0x' || substring(md5('rp|' || CAST(j AS VARCHAR)
+        |        || '|' || CAST(r AS VARCHAR)), 1, 14))::BIGINT % 2 = 0
+        |      THEN 1.0 ELSE -1.0 END AS s
+        |  FROM range(0, 64) t1(j), range(0, 16) t2(r)),
+        |p AS (SELECT e.vec_id, sg.r, sum(e.v * sg.s) AS pv
+        |  FROM e JOIN sg ON sg.j = e.pos - 1 GROUP BY 1, 2),
+        |pnorms AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM p GROUP BY vec_id),
+        |pq AS (SELECT * FROM p WHERE vec_id % 50 = 0),
+        |pdots AS (SELECT pq.vec_id AS query_id, p.vec_id AS neighbor_id,
+        |    sum(pq.pv * p.pv) AS dp
+        |  FROM pq JOIN p ON pq.r = p.r AND pq.vec_id <> p.vec_id GROUP BY 1, 2),
+        |pscored AS (SELECT query_id, neighbor_id,
+        |    round(dp / (nq.nrm * nc.nrm), 6) AS cs
+        |  FROM pdots
+        |  JOIN pnorms nq ON nq.vec_id = query_id
+        |  JOIN pnorms nc ON nc.vec_id = neighbor_id),
+        |approx AS (SELECT query_id, neighbor_id FROM (SELECT *,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cs DESC, neighbor_id ASC) AS rn FROM pscored)
+        |  WHERE rn <= 3)
+        |SELECT x.query_id, CAST(count(a.query_id) AS BIGINT) AS n_hits,
+        |       round(count(a.query_id) / 3.0, 6) AS recall
+        |FROM exact x LEFT JOIN approx a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin,
     "e_ann_lsh_topk" -> cosineTopkOracle(k = 3, bucketJoin = true),
     "e_ann_multiprobe" -> annMultiprobeOracle,
     "e_ann_recall" -> annRecallOracle,

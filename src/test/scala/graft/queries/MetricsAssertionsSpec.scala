@@ -89,7 +89,9 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-8: JL projection is a narrow scan (k codegen dots); only the
     // 16-dim projected rows reach the top-k exchange — a budget breach
     // means the 64-dim embeddings leaked past the projection
-    "e_random_projection" -> (1L << 20))
+    "e_random_projection" -> (1L << 20),
+    // round-8: full-space ground truth + projected top-k + the hit join
+    "e_rp_recall" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
