@@ -134,4 +134,46 @@ class StreamingResumeSpec extends SparkSpec {
     // the cross-restart duplicate (1, 4) must be found by the seeded index
     assert(resumed.contains((1L, 4L, 1.0)))
   }
+
+  test("StreamingWeightedSample: kill, resume from checkpoint + seeded state, equal to uninterrupted") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("sws-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("sws-rck").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("sws-st").toString + "/state"
+    val corpus = (1L to 40L).map(i => (i, (i % 13 + 1).toDouble * 10))
+    val schema = corpus.take(1).toDF("doc_id", "weight").schema
+
+    addSourceFile(src, corpus.take(15).toDF("doc_id", "weight"), "b1")
+    addSourceFile(src, corpus.slice(15, 25).toDF("doc_id", "weight"), "b2")
+
+    // phase 1: process b1+b2, persist the top-rows state, KILL
+    val (q1, h1) = StreamingWeightedSample.start(
+      fileStream(src, schema), ckpt, "doc_id", "weight", n = 7)
+    q1.processAllAvailable()
+    h1.currentTopRows.get.write.parquet(stateDir)
+    q1.stop()
+
+    // phase 2: rows land while the sampler is down
+    addSourceFile(src, corpus.drop(25).toDF("doc_id", "weight"), "b3")
+
+    // phase 3: resume — same checkpoint, seeded from the persisted state
+    val (q2, h2) = StreamingWeightedSample.start(
+      fileStream(src, schema), ckpt, "doc_id", "weight", n = 7,
+      initialState = Some(spark.read.parquet(stateDir)))
+    q2.processAllAvailable()
+    val resumed = h2.currentSample.get.collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    val resumedBatches = q2.recentProgress.map(_.batchId).toSet
+    q2.stop()
+    assert(resumedBatches.nonEmpty && resumedBatches.min == 2,
+      s"resume must start at the post-crash batch, ran $resumedBatches")
+    val uninterrupted = graft.operators.WeightedSample.prioritySample(
+        corpus.toDF("doc_id", "weight"), "doc_id", col("weight"), 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(resumed == uninterrupted,
+      s"resumed:\n$resumed\nuninterrupted:\n$uninterrupted")
+  }
 }
