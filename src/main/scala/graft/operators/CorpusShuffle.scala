@@ -100,4 +100,18 @@ object CorpusShuffle {
           .orderBy(col("__key"), col(idCol)))).cast("long"))
       .drop("__bin", "__key", "__off", "__stage")
   }
+
+  /** Materialize the epoch shuffle as shard FILES — the artifact a trainer
+    * actually consumes: `outDir/shard=<s>/` holds one parquet file whose
+    * row order IS the permutation (each shard repartitions wholly into one
+    * task, then sorts by position before writing, so row-group order =
+    * training order). Reading shards in shard order, rows in file order,
+    * replays the permutation exactly; any shard alone is a uniform sample
+    * for smoke evals. */
+  def writeShards(docs: DataFrame, idCol: String, seed: String,
+                  nShards: Int, outDir: String): Unit =
+    shuffle(docs, idCol, seed, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.partitionBy("shard").mode("errorifexists").parquet(outDir)
 }

@@ -34,6 +34,25 @@ class CorpusShuffleSpec extends SparkSpec {
     assert(run("s1") != run("s2"), "a different seed must permute differently")
   }
 
+  test("writeShards: one file per shard, file row order IS the permutation") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString + "/out"
+    CorpusShuffle.writeShards(corpus(200), "doc_id", "s1", nShards = 4, dir)
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shard=")).sortBy(_.getName)
+    assert(shardDirs.nonEmpty && shardDirs.length <= 4)
+    var total = 0L
+    shardDirs.foreach { sd =>
+      val files = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${sd.getName} must hold ONE file, has ${files.length}")
+      // row order within the file must be the shard-position order
+      val rows = spark.read.parquet(files.head.toString)
+        .select("shard_pos").collect().map(_.getLong(0)).toSeq
+      assert(rows == rows.sorted, s"${sd.getName} rows must replay in position order")
+      total += rows.length
+    }
+    assert(total == 200L, "shards must partition the corpus")
+  }
+
   test("curriculumOrder: exact global positions — equals the naive global window") {
     val docs = corpus(300)
     val stage = least(floor(col("n_chars") / 100), lit(9L))
