@@ -239,6 +239,25 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  /** Per-doc novelty / memorization-risk score: the fraction of a doc's
+    * distinct shingles that appear in >= 3 docs corpus-wide — low novelty
+    * means the doc is mostly text the model will see many times anyway
+    * (boilerplate, mirrored passages), the doc-grain signal between
+    * exact-dup (all shingles shared) and decontamination (shared with one
+    * specific set). Rides the SHARED shingle memo — one more consumer of
+    * the tokenize-once artifact, name-ordered before its release point. */
+  def eDocNovelty(s: SparkSession, d: String): DataFrame = {
+    val bases = docShingleBases(s, d).select(col("doc_id"), col("b1"))
+    val dfc = bases.groupBy(col("b1")).agg(count(lit(1)).as("df"))
+    bases.join(dfc, Seq("b1"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("df") >= 3, 1)).as("n_common"),
+        round(lit(1.0) - count(when(col("df") >= 3, 1)) /
+          count(lit(1)).cast("double"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source duplication report: how many high-confidence near-dup
     * pairs join each (source, source) combination — the provenance
     * diagnostic that shows which sources mirror each other (within-source
@@ -2204,6 +2223,7 @@ object ExtQueries {
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
     "e_dedup_incremental" -> (eDedupIncremental _),
     "e_cross_source_dup" -> (eCrossSourceDup _),
+    "e_doc_novelty" -> (eDocNovelty _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -2341,6 +2361,17 @@ object ExtQueries {
     "e_dedup_minhash_lsh" -> minhashOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
+    "e_doc_novelty" ->
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$hshCtes,
+         |dfc AS (SELECT sh, count(*) AS df FROM hsh GROUP BY sh)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(*) FILTER (WHERE df >= 3) AS BIGINT) AS n_common,
+         |  round(1.0 - count(*) FILTER (WHERE df >= 3)
+         |    / CAST(count(*) AS DOUBLE), 6) AS novelty
+         |FROM hsh JOIN dfc USING (sh)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_cross_source_dup" -> {
       val matchSum = (0 until K)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
