@@ -104,4 +104,49 @@ object SparkProps extends Properties("graft.spark") {
           .select("id", "t").as[(Long, Long)].collect().toMap
         actual == expected
     }
+
+  property("curriculumOrder ≡ global window for any stage distribution and subBins") =
+    forAll(Gen.choose(1, 120), Gen.choose(1, 6), Gen.oneOf(4, 16, 256),
+      Gen.choose(0L, 999L)) { (n, nStages, subBins, seedN) =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, lit, row_number}
+      val seed = s"s$seedN"
+      // nullable, skewed stages (many rows share a stage; some null)
+      val df = (1 to n).map { i =>
+        (i.toLong, if (i % 11 == 0) None else Some((i * 31 % 97) % nStages))
+      }.toDF("id", "stg")
+      val stage = org.apache.spark.sql.functions.coalesce(
+        col("stg").cast("long"), lit(0L))
+      val got = graft.operators.CorpusShuffle.curriculumOrder(
+          df, "id", col("stg"), seed, subBins = subBins)
+        .select("id", "global_pos").as[(Long, Long)].collect().toMap
+      val key = graft.dedup.Dedup.hexHash(col("id").cast("string"), s"$seed|")
+      val want = df.withColumn("global_pos",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(stage, key, col("id"))).cast("long"))
+        .select("id", "global_pos").as[(Long, Long)].collect().toMap
+      got == want
+    }
+
+  property("GroupQuantileCut ≡ per-group window ranking for any frac and bins") =
+    forAll(Gen.choose(1, 120), Gen.choose(1, 4),
+      Gen.oneOf(0.0, 0.25, 0.5, 0.9, 1.0), Gen.oneOf(4, 16, 128)) {
+      (n, nGroups, frac, nBins) =>
+        import spark.implicits._
+        import org.apache.spark.sql.functions.{col, count, floor, lit, row_number}
+        // repeated scores force ties across the cut
+        val df = (1 to n).map(i =>
+          (i.toLong, s"g${i % nGroups}", ((i * 13) % 7) / 10.0)).toDF("id", "g", "q")
+        val got = graft.operators.GroupQuantileCut(df, "id", "g", col("q"),
+            frac, nBins).select("id").as[Long].collect().toSet
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("g")).orderBy(col("q").desc, col("id"))
+        val want = df
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+          .filter(col("rn") <= floor(lit(frac) * col("cnt")))
+          .select("id").as[Long].collect().toSet
+        got == want
+    }
 }
