@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic fixed-iteration PageRank — the graph-centrality
+  * complement of connected components: CC says WHICH docs form a
+  * duplication neighborhood, PageRank says which doc sits at its CENTER
+  * (the natural canonical-representative choice, and the influence
+  * measure for any doc/link graph this engine is fed).
+  *
+  * Fixed iteration count, no convergence test: the result is a pure
+  * function of (edges, iterations, damping), reproducible anywhere and
+  * SQL-unrollable for the oracle. Every iteration's ranks are rounded to
+  * 6 dp — the same cross-engine determinism convention as every float
+  * output in this engine, applied per ROUND so floating-point drift can
+  * never compound across iterations between engines.
+  *
+  * Scale shape per iteration: contributions = edges ⋈ ranks ⋈ out-degree
+  * on the source id (the degree table is edge-grain aggregated once,
+  * up-front), then ONE map-side-combined sum keyed on the destination —
+  * work ∝ edges, state ∝ nodes, the textbook Spark PageRank profile. The
+  * node and degree tables persist across iterations; each iteration's
+  * rank table is small (one double per node) and replaces its
+  * predecessor. Dangling nodes (no out-edges) contribute nothing and
+  * still RECEIVE rank via the teleport term — symmetric graphs (the
+  * near-dup use) have none by construction. */
+object PageRank {
+
+  /** `edges` = directed (src, dst) long columns; duplicate edges count as
+    * parallel edges (weight by multiplicity), matching the unrolled SQL. */
+  def apply(edges: DataFrame, iterations: Int,
+            damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id")))
+      .distinct().persist()
+    val n = nodes.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val teleport = 0.15 / n // rendered identically in the oracle SQL
+    var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 6)).persist()
+    ranks.count()
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("outdeg")).as("inflow"))
+      val next = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          round(lit(teleport) +
+            lit(damping) * coalesce(col("inflow"), lit(0.0)), 6).as("rank"))
+        .persist()
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
+    }
+    nodes.unpersist(false)
+    deg.unpersist(false)
+    ranks
+  }
+}

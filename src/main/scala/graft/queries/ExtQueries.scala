@@ -239,6 +239,20 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  /** Duplication authority: 3-iteration PageRank over the symmetrized
+    * high-confidence near-dup graph — CC says which docs form a
+    * duplication neighborhood, this says which doc sits at its center
+    * (the natural canonical-representative choice). Rides the memoized
+    * pair table, name-ordered before its release point. */
+  def eDedupAuthority(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    graft.operators.PageRank(edges, iterations = 3)
+      .select(col("id").as("doc_id"), col("rank"))
+      .orderBy("doc_id")
+  }
+
   /** Per-doc novelty / memorization-risk score: the fraction of a doc's
     * distinct shingles that appear in >= 3 docs corpus-wide — low novelty
     * means the doc is mostly text the model will see many times anyway
@@ -2224,6 +2238,7 @@ object ExtQueries {
     "e_dedup_incremental" -> (eDedupIncremental _),
     "e_cross_source_dup" -> (eCrossSourceDup _),
     "e_doc_novelty" -> (eDocNovelty _),
+    "e_dedup_authority" -> (eDedupAuthority _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -2361,6 +2376,37 @@ object ExtQueries {
     "e_dedup_minhash_lsh" -> minhashOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
+    "e_dedup_authority" -> {
+      val matchSum = (0 until K)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val iters = (1 to 3).map { r =>
+        s"""r$r AS (SELECT nd.id, round(0.15 / nn.n + 0.85 * coalesce(f.inflow, 0), 6) AS r
+           |  FROM nodes nd CROSS JOIN nn
+           |  LEFT JOIN (SELECT ed.dst AS id, sum(rp.r / deg.d) AS inflow
+           |    FROM ed JOIN r${r - 1} rp ON ed.src = rp.id
+           |    JOIN deg ON ed.src = deg.src
+           |    GROUP BY ed.dst) f ON f.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$sigsCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.doc_a, p.doc_b FROM pairs p
+         |  JOIN sigs sa ON p.doc_a = sa.doc_id
+         |  JOIN sigs sb ON p.doc_b = sb.doc_id
+         |  WHERE ($matchSum) / $K.0 >= 0.5),
+         |ed AS (SELECT doc_a AS src, doc_b AS dst FROM est
+         |       UNION ALL SELECT doc_b, doc_a FROM est),
+         |nodes AS (SELECT DISTINCT src AS id FROM ed),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+         |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS d FROM ed GROUP BY src),
+         |r0 AS (SELECT id, round(1.0 / nn.n, 6) AS r FROM nodes CROSS JOIN nn),
+         |$iters
+         |SELECT id AS doc_id, r AS rank FROM r3 ORDER BY doc_id""".stripMargin
+    },
     "e_doc_novelty" ->
       s"""WITH $toksCte,
          |${shCte(distinct = false)},

@@ -91,7 +91,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     // means the 64-dim embeddings leaked past the projection
     "e_random_projection" -> (1L << 20),
     // round-8: full-space ground truth + projected top-k + the hit join
-    "e_rp_recall" -> (1L << 20))
+    "e_rp_recall" -> (1L << 20),
+    // round-8: 3 PageRank iterations over the pair-scale edge table (+ the
+    // pair memo, worst case) — node/edge-grain rows only, never the corpus
+    "e_dedup_authority" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
