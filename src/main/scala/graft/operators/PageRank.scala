@@ -39,25 +39,24 @@ object PageRank {
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
     val teleport = 0.15 / n // rendered identically in the oracle SQL
-    var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 6)).persist()
-    ranks.count()
+    // the iteration chain stays LAZY: each rank table has exactly one
+    // consumer (the next iteration), so nothing recomputes and the final
+    // action runs the whole bounded-depth chain in one pass — per-round
+    // materialization only pays off past the plan-analysis depth where
+    // checkpointing becomes necessary (the CC star loop regime, ~10+
+    // rounds), not at the fixed handful used here
+    var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 6))
     for (_ <- 1 to iterations) {
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("outdeg")).as("inflow"))
-      val next = nodes.join(contribs, Seq("id"), "left")
+      ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           round(lit(teleport) +
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 6).as("rank"))
-        .persist()
-      next.count()
-      ranks.unpersist(false)
-      ranks = next
     }
-    nodes.unpersist(false)
-    deg.unpersist(false)
-    ranks
+    graft.dedup.Dedup.materializeAndRelease(ranks, nodes, deg)
   }
 }
