@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tails Bench's stdout and line-parses for a JSON metric
+// record; sbt's default LoggedOutput prefixes forked-process output with
+// "[info] " (r8 tail: `[info] {"metric":"total",...}` → parsed:null).
+// Route forked output straight through, for run and runMain alike.
+outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
+Compile / runMain / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's "[success] Total time" epilogue so the JSON line
+// stays the LAST line of the captured tail.
+Global / showSuccess := false
+// the broad scoping above is belt-and-braces (run vs runMain consult
+// different scopes); lint flags whichever copy the task didn't read
+Global / excludeLintKeys += outputStrategy
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -38,7 +38,11 @@ object PageRank {
       .distinct().persist()
     val n = nodes.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
-    val teleport = 0.15 / n // rendered identically in the oracle SQL
+    // derived from `damping` so a non-default damping keeps mass
+    // preservation; rendered as the SAME (1.0 - d) expression in the
+    // oracle SQL and the spec reference so all engines share the exact
+    // IEEE double (1.0 - 0.85 != 0.15 bit-for-bit)
+    val teleport = (1.0 - damping) / n
     // the iteration chain stays LAZY: each rank table has exactly one
     // consumer (the next iteration), so nothing recomputes and the final
     // action runs the whole bounded-depth chain in one pass — per-round

@@ -2380,7 +2380,7 @@ object ExtQueries {
       val matchSum = (0 until K)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
       val iters = (1 to 3).map { r =>
-        s"""r$r AS (SELECT nd.id, round(0.15 / nn.n + 0.85 * coalesce(f.inflow, 0), 6) AS r
+        s"""r$r AS (SELECT nd.id, round((1.0 - 0.85) / nn.n + 0.85 * coalesce(f.inflow, 0), 6) AS r
            |  FROM nodes nd CROSS JOIN nn
            |  LEFT JOIN (SELECT ed.dst AS id, sum(rp.r / deg.d) AS inflow
            |    FROM ed JOIN r${r - 1} rp ON ed.src = rp.id

@@ -66,8 +66,12 @@ object StreamingIvfIndex {
     def currentIndex(spark: SparkSession): DataFrame = {
       val cells = currentCells
       val toDouble = transform(col(embCol), x => x.cast("double"))
+      // within one batch a duplicated vec_id ties on `batch`, so break on
+      // a content hash of the embedding — deterministic no matter which
+      // physical row the scan surfaces first (idCol is constant inside
+      // its own partition and useless as a tie-break)
       val latest = Window.partitionBy(col(idCol))
-        .orderBy(desc("batch"), desc(idCol))
+        .orderBy(desc("batch"), xxhash64(col(embCol)).desc)
       spark.read.parquet(corpusDir)
         .withColumn("__rn", row_number().over(latest))
         .filter(col("__rn") === 1)

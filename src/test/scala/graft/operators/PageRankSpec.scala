@@ -18,7 +18,7 @@ class PageRankSpec extends SparkSpec {
       val inflow = edges.groupBy(_._2).view.mapValues(
         _.map(e => rank(e._1) / deg(e._1)).sum).toMap
       rank = nodes.map(v =>
-        v -> r6(0.15 / n + 0.85 * inflow.getOrElse(v, 0.0))).toMap
+        v -> r6((1.0 - 0.85) / n + 0.85 * inflow.getOrElse(v, 0.0))).toMap
     }
     rank
   }
