@@ -719,6 +719,50 @@ object Dedup {
     materializeAndRelease(result, docShingles)
   }
 
+  /** Directional containment — the asymmetric complement of
+    * [[ngramJaccardFromShingles]]: for each candidate pair,
+    * `cont_a = |A∩B| / |A|` and `cont_b = |A∩B| / |B|`. Jaccard misses
+    * doc-in-doc duplication (a page embedded in a larger mirror scores
+    * low because the union is large); containment is the measure that
+    * catches it, and WHICH side is ~1.0 says which doc is the subset —
+    * the quote/excerpt/mirror detector of the dedup stack (Broder's
+    * resemblance vs containment distinction).
+    *
+    * Same scale shape as the Jaccard path: df-capped shingle equi-join
+    * (pair work ≤ maxDf per shingle instance, never all-pairs), map-side
+    * combined counts, and the per-doc size join. Pairs survive when
+    * `greatest(cont_a, cont_b) >= minContainment` — compared on the RAW
+    * ratio (the oracle's WHERE uses the same unrounded expression).
+    * Returns (doc_a, doc_b, cont_a, cont_b) rounded to 6 dp. */
+  def containmentFromShingles(shingleTable: DataFrame, minContainment: Double,
+                              maxDf: Long = Long.MaxValue): DataFrame = {
+    val kept0 =
+      if (maxDf == Long.MaxValue) shingleTable
+      else {
+        val ok = shingleTable.groupBy(col("sh"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= maxDf)
+          .select(col("sh"))
+        shingleTable.join(ok, Seq("sh"))
+      }
+    val docShingles = maybePersist(kept0)
+    val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val inter = docShingles.as("a")
+      .join(docShingles.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val ca = col("n_inter").cast("double") / col("n_a")
+    val cb = col("n_inter").cast("double") / col("n_b")
+    val result = inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .filter(greatest(ca, cb) >= minContainment)
+      .select(col("doc_a"), col("doc_b"),
+        round(ca, 6).as("cont_a"), round(cb, 6).as("cont_b"))
+    materializeAndRelease(result, docShingles)
+  }
+
   /** Cross-document PASSAGE dedup: exact substring-level deduplication at
     * the granularity of non-overlapping `passageTokens`-token windows —
     * the relational form of the published train-data substring-dedup

@@ -34,6 +34,9 @@ object ExtQueries {
   // join's 2.79M pair rows while contributing no near-dup signal; 10 keeps
   // pair work linear (≤ 10 partners per shingle instance) at every scale.
   private val JaccardMaxDf = 10L
+  // containment threshold (e_containment_dup): keep a pair when EITHER
+  // direction's containment clears it (max of the two)
+  private val ContainMin = 0.5
   // simhash multi-table rotation count (e_simhash_multitable)
   private val SimTables = 2
   // perceptual-hash image near-dup (e_phash_neardup): 32-bit dHash over the
@@ -344,6 +347,16 @@ object ExtQueries {
     Dedup.ngramJaccardFromShingles(
         docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
         minJaccard = 0.1, maxDf = JaccardMaxDf)
+      .orderBy("doc_a", "doc_b")
+
+  /** Directional containment (|A∩B|/|A|, |A∩B|/|B|) over the SAME shared
+    * shingle memo — the doc-in-doc / excerpt detector Jaccard misses.
+    * Name-ordered before the shingleBases release point
+    * (e_ngram_jaccard). */
+  def eContainmentDup(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentFromShingles(
+        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
+        minContainment = ContainMin, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
@@ -1499,6 +1512,27 @@ object ExtQueries {
        |WHERE CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) >= 0.1
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  private val containmentOracle =
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$hshCtes,
+       |dfok AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM hsh GROUP BY sh)
+       |  WHERE df <= $JaccardMaxDf),
+       |kept AS (SELECT h.doc_id, h.sh FROM hsh h JOIN dfok USING (sh)),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+       |  FROM kept a JOIN kept b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(CAST(n_inter AS DOUBLE) / na.n, 6) AS cont_a,
+       |  round(CAST(n_inter AS DOUBLE) / nb.n, 6) AS cont_b
+       |FROM inter
+       |JOIN cnts na ON na.doc_id = doc_a
+       |JOIN cnts nb ON nb.doc_id = doc_b
+       |WHERE greatest(CAST(n_inter AS DOUBLE) / na.n,
+       |               CAST(n_inter AS DOUBLE) / nb.n) >= $ContainMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** element/norm CTEs shared by the cosine oracles. */
   private val embCtes =
     """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2243,6 +2277,7 @@ object ExtQueries {
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
+    "e_containment_dup" -> (eContainmentDup _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_random_projection" -> (eRandomProjection _),
     "e_rp_recall" -> (eRpRecall _),
@@ -2600,6 +2635,7 @@ object ExtQueries {
         |SELECT doc_id, perplexity, tile FROM r WHERE tile > 1
         |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
+    "e_containment_dup" -> containmentOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_random_projection" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
