@@ -719,6 +719,19 @@ object Dedup {
     materializeAndRelease(result, docShingles)
   }
 
+  /** [[containmentFromShingles]] from raw text — shingle + hash + measure
+    * in one call (the same b1 long-key convention as [[ngramJaccard]]). */
+  def containment(docs: DataFrame, idCol: String, textCol: String,
+                  shingleWidth: Int = 3, minContainment: Double = 0.8,
+                  maxDf: Long = Long.MaxValue): DataFrame = {
+    val bases = maybePersist(
+      shingleBases(docs, idCol, textCol, shingleWidth)
+        .select(col("doc_id"), col("b1").as("sh")))
+    val result = containmentFromShingles(bases, minContainment, maxDf)
+    bases.unpersist(false) // result is already materialized
+    result
+  }
+
   /** Directional containment — the asymmetric complement of
     * [[ngramJaccardFromShingles]]: for each candidate pair,
     * `cont_a = |A∩B| / |A|` and `cont_b = |A∩B| / |B|`. Jaccard misses

@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data selection via importance resampling (DSIR — Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"):
+  * score every raw-corpus doc by how much its hashed n-gram distribution
+  * resembles a small TARGET set (the high-quality/in-domain sample you
+  * wish the whole corpus looked like), then keep the top of the ranking.
+  *
+  * The published recipe, re-expressed Spark-first:
+  *  - features = word unigrams + bigrams, hashed into a fixed number of
+  *    buckets (feature hashing bounds the model at `buckets` cells no
+  *    matter the corpus vocabulary — the trick that makes the method
+  *    100 TB-safe);
+  *  - bucket unigram models for target and raw with add-1 smoothing;
+  *  - doc weight = Σ over the doc's feature INSTANCES of
+  *    ln(p_target(bucket) / p_raw(bucket)).
+  *
+  * Plan shape: one corpus scan builds the bucket histogram (map-side
+  * combined, ≤ `buckets` rows — both models in ONE aggregation via a
+  * conditional count); a second scan re-derives the feature stream and
+  * scores it through a BROADCAST join against the bucket log-ratio table
+  * (bounded by construction), then one map-side-combined per-doc sum.
+  * Nothing wide ever shuffles; the model never leaves broadcast size.
+  *
+  * Deterministic: the feature hash is the portable 56-bit md5 family
+  * ([[graft.dedup.Dedup.hexHash]]), so DuckDB rebuilds the identical
+  * buckets, models, and scores for the oracle.
+  */
+object ImportanceWeights {
+
+  /** Per-doc DSIR log importance weight. `isTarget` marks the target rows
+    * INSIDE `docs` (target docs score too — they are part of the raw
+    * corpus); the raw model is the whole input. Returns
+    * (doc_id, n_feat, dsir_logratio) with the sum rounded to 6 dp. */
+  def dsirLogRatios(docs: DataFrame, idCol: String, textCol: String,
+                    isTarget: Column, buckets: Int,
+                    salt: String = "dsir|"): DataFrame = {
+    require(buckets >= 2, "need at least two hash buckets")
+    val toks = split(trim(col(textCol)), " ")
+    // native codegen bigrams for n >= 2; a 1-token doc has NO bigram (the
+    // width-2 shingle of a 1-token doc would duplicate its unigram)
+    val bigrams = when(size(toks) >= 2,
+      graft.plans.TextExpressions.wordShingles(toks, 2))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
+        isTarget.cast("boolean").as("__tgt"),
+        explode(concat(toks, bigrams)).as("__f"))
+      .select(col("doc_id"), col("__tgt"),
+        pmod(graft.dedup.Dedup.hexHash(col("__f"), salt),
+          lit(buckets.toLong)).as("__b"))
+    // both models in one pass; bounded at `buckets` rows
+    val hist = feats.groupBy(col("__b"))
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_t"))
+    val tot = hist.agg(sum(col("n_all")).cast("double").as("na"),
+      sum(col("n_t")).cast("double").as("nt"))
+    val lr = hist.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        log(((col("n_t").cast("double") + 1.0) / (col("nt") + buckets)) /
+          ((col("n_all").cast("double") + 1.0) / (col("na") + buckets)))
+          .as("__lr"))
+    feats.join(broadcast(lr), Seq("__b"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_feat"),
+        round(sum(col("__lr")), 6).as("dsir_logratio"))
+  }
+}

@@ -37,6 +37,9 @@ object ExtQueries {
   // containment threshold (e_containment_dup): keep a pair when EITHER
   // direction's containment clears it (max of the two)
   private val ContainMin = 0.5
+  // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
+  // this many cells regardless of corpus vocabulary
+  private val DsirBuckets = 1024
   // simhash multi-table rotation count (e_simhash_multitable)
   private val SimTables = 2
   // perceptual-hash image near-dup (e_phash_neardup): 32-bit dHash over the
@@ -358,6 +361,15 @@ object ExtQueries {
         docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
         minContainment = ContainMin, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
+
+  /** DSIR importance weights: every doc scored by how much its hashed
+    * unigram+bigram distribution resembles the English slice (the target
+    * set a curator would hold up as "more like this, please"). */
+  def eDsirWeights(s: SparkSession, d: String): DataFrame =
+    graft.functions.ImportanceWeights.dsirLogRatios(
+        Tables.documents(s, d), "doc_id", "text",
+        isTarget = col("lang") === "en", buckets = DsirBuckets)
+      .orderBy("doc_id")
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1533,6 +1545,32 @@ object ExtQueries {
        |               CAST(n_inter AS DOUBLE) / nb.n) >= $ContainMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // DSIR: identical feature hashing (56-bit md5 % buckets), add-1
+  // smoothing, and ln ratio as the Spark side; 1-token docs contribute no
+  // bigram (mirrors the width-2 shingle guard).
+  private val dsirOracle =
+    s"""WITH tl AS (SELECT doc_id, lang = 'en' AS tgt,
+       |  str_split(trim(text), ' ') AS t FROM documents),
+       |uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM tl),
+       |big AS (SELECT doc_id, tgt,
+       |  unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS f FROM tl WHERE len(t) >= 2),
+       |feats AS (SELECT doc_id, tgt,
+       |  ${hexHashSql("f", "dsir|")} % $DsirBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |hist AS (SELECT b, count(*) AS n_all,
+       |  sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t FROM feats GROUP BY b),
+       |tot AS (SELECT CAST(sum(n_all) AS DOUBLE) AS na,
+       |  CAST(sum(n_t) AS DOUBLE) AS nt FROM hist),
+       |lr AS (SELECT b,
+       |  ln(((CAST(n_t AS DOUBLE) + 1.0) / (nt + $DsirBuckets))
+       |    / ((CAST(n_all AS DOUBLE) + 1.0) / (na + $DsirBuckets))) AS lr
+       |  FROM hist CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
+       |  round(sum(lr), 6) AS dsir_logratio
+       |FROM feats JOIN lr USING (b)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** element/norm CTEs shared by the cosine oracles. */
   private val embCtes =
     """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2278,6 +2316,7 @@ object ExtQueries {
     "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_containment_dup" -> (eContainmentDup _),
+    "e_dsir_weights" -> (eDsirWeights _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_random_projection" -> (eRandomProjection _),
     "e_rp_recall" -> (eRpRecall _),
@@ -2636,6 +2675,7 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_containment_dup" -> containmentOracle,
+    "e_dsir_weights" -> dsirOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_random_projection" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -76,6 +76,21 @@ class DedupSpec extends SparkSpec {
     assert(!j.keySet.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("containment: the embedded doc scores 1.0 on ITS side; jaccard-low pairs still surface") {
+    import spark.implicits._
+    // doc 11 is entirely contained in doc 10 (every shingle of 11 appears
+    // in 10) but their jaccard is only 3/6 = 0.5 — the doc-in-doc case the
+    // symmetric measure under-reports; doc 12 shares nothing
+    val df = Seq(
+      (10L, "a b c d e f g h"),
+      (11L, "a b c d e"),
+      (12L, "p q r s t u")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containment(df, "doc_id", "text", minContainment = 0.8)
+      .as[(Long, Long, Double, Double)].collect()
+    assert(got.toSeq == Seq((10L, 11L, 0.5, 1.0)), got.toSeq)
+  }
+
   test("passageDedup: first occurrence survives, later instances drop, docs reassemble") {
     import spark.implicits._
     // w=3 passages; doc 1 = [A][B], doc 2 repeats A then fresh C, doc 3 is

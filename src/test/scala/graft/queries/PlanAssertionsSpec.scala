@@ -180,14 +180,30 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("e_ngram_jaccard and e_simhash_multitable: no cartesian/nested-loop") {
     // e_phash_neardup rides the same multi-table Hamming banding — the
-    // image near-dup must stay a (tbl, bucket) equi-join, never all-pairs
-    for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable", "e_phash_neardup")) {
+    // image near-dup must stay a (tbl, bucket) equi-join, never all-pairs;
+    // e_containment_dup shares the jaccard path's df-capped shingle join
+    for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable", "e_phash_neardup",
+                  "e_containment_dup")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
       }
       assert(bad.isEmpty, s"$q must stay on equi-joins, found: $bad")
     }
+  }
+
+  test("e_dsir_weights: the bucket model joins BROADCAST; corpus never shuffle-joins") {
+    // the whole point of feature hashing is a model bounded at `buckets`
+    // cells: scoring must be a broadcast join against the feature stream,
+    // never a shuffle of the corpus onto the model's key
+    val plan = executedPlan("e_dsir_weights")
+    val shuffled = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty, s"DSIR scoring must not shuffle-join:\n$plan")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the log-ratio model must broadcast:\n$plan")
   }
 
   test("e_semantic_dedup and e_curation_funnel: no cartesian/nested-loop anywhere") {
