@@ -30,7 +30,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - null ELEMENTS are skipped in the join (array_join's default);
   *  - a null token ARRAY yields null.
   */
-case class WordShingles(child: Expression, width: Int)
+case class WordShingles(child: Expression, width: Int,
+                        full: Boolean = false)
     extends UnaryExpression {
   require(width >= 1, s"shingle width must be >= 1, got $width")
 
@@ -47,7 +48,9 @@ case class WordShingles(child: Expression, width: Int)
   /** The tight loop; also the codegen target (one virtual call per row). */
   def compute(toks: ArrayData): ArrayData = {
     val n = toks.numElements()
-    val count = math.max(n - (width - 1), 1)
+    // full = one (end-truncated) window at EVERY position — the suffix-
+    // array key shape; default = the classic max(n-w+1, 1) shingle count
+    val count = if (full) n else math.max(n - (width - 1), 1)
     val out = new Array[AnyRef](count)
     var i = 0
     while (i < count) {
@@ -79,19 +82,88 @@ case class WordShingles(child: Expression, width: Int)
   override def prettyName: String = "word_shingles"
 }
 
+/** Native common-prefix length (in CHARACTERS) of two strings — the LCP
+  * primitive of the suffix-array family ([[graft.operators.SuffixArray]]):
+  * rank-adjacent suffix comparison is the inner loop of repeated-span
+  * detection, and the composable alternatives (an `aggregate` over a
+  * zipped char split, or a positional HOF) are interpreted per CHARACTER
+  * and allocate per row. One byte-wise scan, truncated to a UTF-8
+  * character boundary (UTF-8 byte order equals codepoint order, so byte
+  * prefix equality over whole characters IS character prefix equality —
+  * the DuckDB oracle's per-character `substr` compare agrees exactly).
+  *
+  * Null if either side is null; 0 when the strings differ at the first
+  * character (the empty string shares nothing). */
+case class CommonPrefixLen(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"common_prefix_len requires two string arguments, got ${l.sql}, ${r.sql}")
+    }
+
+  /** The tight loop; also the codegen target. */
+  def compute(a: UTF8String, b: UTF8String): Int = {
+    val na = a.numBytes()
+    val nb = b.numBytes()
+    val lim = math.min(na, nb)
+    var p = 0
+    while (p < lim && a.getByte(p) == b.getByte(p)) p += 1
+    // count only characters whose bytes lie wholly inside the common run —
+    // a split multi-byte character is not a shared character
+    var chars = 0
+    var i = 0
+    var done = false
+    while (i < p && !done) {
+      val w = UTF8String.numBytesForFirstByte(a.getByte(i))
+      if (i + w > p) done = true
+      else { chars += 1; i += w }
+    }
+    chars
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    compute(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("commonPrefixLen", this)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CommonPrefixLen =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "common_prefix_len"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge
 
-  /** Column API for native word shingles. */
-  def wordShingles(toks: Column, width: Int): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), width))
+  /** Column API for native word shingles; `full = true` emits an
+    * (end-truncated) window at every position — one key per suffix. */
+  def wordShingles(toks: Column, width: Int, full: Boolean = false): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), width, full))
 
-  /** Register `word_shingles(toks, w)` for SQL use on a session. Width must
-    * be a foldable integer (it shapes the generated code). */
-  def register(spark: SparkSession): Unit =
+  /** Column API for the native character-grain common-prefix length. */
+  def commonPrefixLen(a: Column, b: Column): Column =
+    ColumnBridge.column(CommonPrefixLen(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Register `word_shingles(toks, w)` and `common_prefix_len(a, b)` for
+    * SQL use on a session. Width must be a foldable integer (it shapes
+    * the generated code). */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), foldToInt(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "common_prefix_len", exprs => CommonPrefixLen(exprs(0), exprs(1)), "built-in")
+  }
 
   private[plans] def foldToInt(e: Expression): Int = e.eval(null) match {
     case i: Int => i

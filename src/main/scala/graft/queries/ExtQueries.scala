@@ -40,6 +40,10 @@ object ExtQueries {
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
+  // suffix-array repeated spans (e_lcp_repeats): LCP compare window in
+  // words, and the report depth
+  private val SaWindow = 16
+  private val SaTopK = 25
   // simhash multi-table rotation count (e_simhash_multitable)
   private val SimTables = 2
   // perceptual-hash image near-dup (e_phash_neardup): 32-bit dHash over the
@@ -150,7 +154,7 @@ object ExtQueries {
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
-    ccBaselineCache.clear(); lmScoresCache.clear()
+    ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -188,7 +192,9 @@ object ExtQueries {
     // e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
     // phashFingerprints: e_phash_clusters, e_phash_neardup
-    ("phashFingerprints", phashFpCache, "e_phash_neardup"))
+    ("phashFingerprints", phashFpCache, "e_phash_neardup"),
+    // suffixRanks: e_lcp_repeats, e_suffix_ranks
+    ("suffixRanks", saCache, "e_suffix_ranks"))
 
   /** Release every memo whose last name-ordered consumer is `query` —
     * called by Bench after each query completes. Out-of-order callers
@@ -361,6 +367,36 @@ object ExtQueries {
         docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
         minContainment = ContainMin, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
+
+  // Two queries (suffix ranks, LCP repeats) consume the SAME prefix-
+  // doubling construction; memoize the compact (doc_id, widx, srank,
+  // spos) table per sfDir — already checkpointed by construction (each
+  // doubling round localCheckpoints). Lifecycle matches the other memos.
+  private val saCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def suffixRanksMemo(s: SparkSession, d: String): DataFrame =
+    saCache.getOrElseUpdate(d, timedMemo("suffixRanks")(
+      graft.operators.SuffixArray.suffixRanks(
+        // initOrder 16 + 8-ary fan-out = exactly one doubling round for
+        // this corpus's ~100-word docs (16 → 128)
+        Tables.documents(s, d), "doc_id", "text", initOrder = 16)))
+
+  /** Exact global suffix ranks (word grain, doc-bounded) — the suffix
+    * ARRAY of the corpus, built by prefix-doubling in ⌈log₂ doc-words⌉
+    * bounded rounds. srank ties ⇔ identical suffixes; ordering by spos
+    * lists every suffix lexicographically. */
+  def eSuffixRanks(s: SparkSession, d: String): DataFrame =
+    suffixRanksMemo(s, d)
+      .select(col("doc_id"), col("widx"), col("srank"), col("spos"))
+      .orderBy("doc_id", "widx")
+
+  /** Longest repeated spans via rank-adjacent LCP over the suffix array —
+    * verbatim repeated text at EVERY grain at once (the exact primitive
+    * passage dedup approximates at chunk grain). Rides the suffixRanks
+    * memo, name-ordered before its release point (e_suffix_ranks). */
+  def eLcpRepeats(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.repeatedSpansFromRanks(
+      suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
+      window = SaWindow, topK = SaTopK)
 
   /** DSIR importance weights: every doc scored by how much its hashed
     * unigram+bigram distribution resembles the English slice (the target
@@ -1571,6 +1607,40 @@ object ExtQueries {
        |FROM feats JOIN lr USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // Suffix-array oracles: DuckDB sorts the word-sequence suffixes
+  // DIRECTLY (lists compare lexicographically, element-wise, prefix
+  // first — exactly the doc-bounded suffix order prefix doubling
+  // converges to); rank()/row_number() give srank/spos verbatim.
+  private val suffixCtes =
+    s"""$toksCte,
+       |p AS (SELECT doc_id, unnest(range(1, len(t) + 1)) AS widx, t FROM toks),
+       |sfx AS (SELECT doc_id, CAST(widx AS BIGINT) AS widx, t[widx:] AS s FROM p)""".stripMargin
+
+  private val suffixRanksOracle =
+    s"""WITH $suffixCtes
+       |SELECT doc_id, widx,
+       |  CAST(rank() OVER (ORDER BY s) AS BIGINT) AS srank,
+       |  CAST(row_number() OVER (ORDER BY s, doc_id, widx) AS BIGINT) AS spos
+       |FROM sfx ORDER BY doc_id, widx""".stripMargin
+
+  private val lcpRepeatsOracle =
+    s"""WITH $suffixCtes,
+       |rn AS (SELECT doc_id, widx, s,
+       |  row_number() OVER (ORDER BY s, doc_id, widx) AS rn FROM sfx),
+       |adj AS (SELECT a.doc_id AS doc_a, a.widx AS pos_a,
+       |  b.doc_id AS doc_b, b.widx AS pos_b,
+       |  array_to_string(a.s[1:$SaWindow], ' ') AS sa,
+       |  array_to_string(b.s[1:$SaWindow], ' ') AS sb
+       |  FROM rn a JOIN rn b ON b.rn = a.rn + 1),
+       |l AS (SELECT doc_a, pos_a, doc_b, pos_b,
+       |  CAST(len(list_filter(range(1, least(length(sa), length(sb)) + 1),
+       |    i -> sa[1:i] = sb[1:i])) AS BIGINT) AS lcp, sa
+       |  FROM adj)
+       |SELECT doc_a, pos_a, doc_b, pos_b, lcp,
+       |  substr(sa, 1, CAST(lcp AS INT)) AS prefix
+       |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+       |LIMIT $SaTopK""".stripMargin
+
   /** element/norm CTEs shared by the cosine oracles. */
   private val embCtes =
     """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2317,6 +2387,8 @@ object ExtQueries {
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_containment_dup" -> (eContainmentDup _),
     "e_dsir_weights" -> (eDsirWeights _),
+    "e_suffix_ranks" -> (eSuffixRanks _),
+    "e_lcp_repeats" -> (eLcpRepeats _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_random_projection" -> (eRandomProjection _),
     "e_rp_recall" -> (eRpRecall _),
@@ -2676,6 +2748,8 @@ object ExtQueries {
     "e_ngram_jaccard" -> jaccardOracle,
     "e_containment_dup" -> containmentOracle,
     "e_dsir_weights" -> dsirOracle,
+    "e_suffix_ranks" -> suffixRanksOracle,
+    "e_lcp_repeats" -> lcpRepeatsOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_random_projection" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -94,7 +94,21 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_rp_recall" -> (1L << 20),
     // round-8: 3 PageRank iterations over the pair-scale edge table (+ the
     // pair memo, worst case) — node/edge-grain rows only, never the corpus
-    "e_dedup_authority" -> (2L << 20))
+    "e_dedup_authority" -> (2L << 20),
+    // round-9: containment shares the jaccard path's df-capped shingle
+    // join (+ the shingle memo, worst case)
+    "e_containment_dup" -> (7L << 19),
+    // round-9: DSIR = one bucket histogram + a broadcast-scored feature
+    // stream — only (doc_id, bucket) and per-doc sums ever shuffle
+    "e_dsir_weights" -> (1L << 20),
+    // round-9: suffix-array construction (memo worst case) = round-0 key
+    // rank + one 8-ary doubling round — measured 2.5 MB at sf0.001 (the
+    // rank tuples cross ~5 exchanges by design; the budget catches a
+    // round-count or key-width blowup, not the linear factor)
+    "e_suffix_ranks" -> (3L << 23),
+    // round-9: rank adjacency + the ≤window-word text re-attach on top of
+    // the memo (worst case: builds it) — measured 3.2 MB at sf0.001
+    "e_lcp_repeats" -> (1L << 25))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
