@@ -39,18 +39,8 @@ object ImportanceWeights {
                     isTarget: Column, buckets: Int,
                     salt: String = "dsir|"): DataFrame = {
     require(buckets >= 2, "need at least two hash buckets")
-    val toks = split(trim(col(textCol)), " ")
-    // native codegen bigrams for n >= 2; a 1-token doc has NO bigram (the
-    // width-2 shingle of a 1-token doc would duplicate its unigram)
-    val bigrams = when(size(toks) >= 2,
-      graft.plans.TextExpressions.wordShingles(toks, 2))
-      .otherwise(array().cast("array<string>"))
-    val feats = docs.select(col(idCol).cast("long").as("doc_id"),
-        isTarget.cast("boolean").as("__tgt"),
-        explode(concat(toks, bigrams)).as("__f"))
-      .select(col("doc_id"), col("__tgt"),
-        pmod(graft.dedup.Dedup.hexHash(col("__f"), salt),
-          lit(buckets.toLong)).as("__b"))
+    val feats = featureBuckets(docs, idCol, textCol,
+      Seq("__tgt" -> isTarget.cast("boolean")), buckets, salt)
     // both models in one pass; bounded at `buckets` rows
     val hist = feats.groupBy(col("__b"))
       .agg(count(lit(1)).as("n_all"),
@@ -62,9 +52,51 @@ object ImportanceWeights {
         log(((col("n_t").cast("double") + 1.0) / (col("nt") + buckets)) /
           ((col("n_all").cast("double") + 1.0) / (col("na") + buckets)))
           .as("__lr"))
+    scoreFeatures(feats, lr)
+  }
+
+  /** The hashed feature-bucket stream — one (doc_id, extra…, __b) row per
+    * unigram/bigram INSTANCE. Shared by the batch scorer above and the
+    * running model fold in
+    * [[graft.streaming.StreamingImportanceWeights]]. */
+  private[graft] def featureBuckets(docs: DataFrame, idCol: String,
+      textCol: String, extra: Seq[(String, Column)], buckets: Int,
+      salt: String): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    // native codegen bigrams for n >= 2; a 1-token doc has NO bigram (the
+    // width-2 shingle of a 1-token doc would duplicate its unigram)
+    val bigrams = when(size(toks) >= 2,
+      graft.plans.TextExpressions.wordShingles(toks, 2))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(idCol).cast("long").as("doc_id") +:
+        extra.map { case (n, c) => c.as(n) } :+
+        explode(concat(toks, bigrams)).as("__f"): _*)
+      .select(col("doc_id") +: extra.map { case (n, _) => col(n) } :+
+        pmod(graft.dedup.Dedup.hexHash(col("__f"), salt),
+          lit(buckets.toLong)).as("__b"): _*)
+  }
+
+  /** Per-doc scoring of a feature stream against a (broadcast-bounded)
+    * bucket log-ratio table. */
+  private[graft] def scoreFeatures(feats: DataFrame, lr: DataFrame): DataFrame =
     feats.join(broadcast(lr), Seq("__b"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_feat"),
         round(sum(col("__lr")), 6).as("dsir_logratio"))
+
+  /** The (__b, __lr) table of a count-vector model, computed driver-side
+    * (2·buckets longs of state). StrictMath.log — the same function
+    * Spark's `log` expression applies — so a model folded on the driver
+    * scores identically to the in-plan batch formulation. */
+  private[graft] def logRatioTable(spark: org.apache.spark.sql.SparkSession,
+      nT: Array[Long], nAll: Array[Long]): DataFrame = {
+    import spark.implicits._
+    val b = nAll.length
+    val totT = nT.sum.toDouble
+    val totAll = nAll.sum.toDouble
+    (0 until b).map { i =>
+      (i.toLong, StrictMath.log(((nT(i) + 1.0) / (totT + b)) /
+        ((nAll(i) + 1.0) / (totAll + b))))
+    }.toDF("__b", "__lr")
   }
 }
