@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -139,10 +139,14 @@ object SuffixArray {
       docs, idCol, textCol, window, topK)
 
   /** [[repeatedSpans]] over an already-built rank table — the shape a
-    * caller with a persisted/memoized suffix array uses. */
+    * caller with a persisted/memoized suffix array uses. `pairKeep`
+    * restricts which rank-adjacent pairs report (columns doc_a/pos_a/
+    * doc_b/pos_b are in scope): [[crossSourceSpans]] uses it for the
+    * cross-source contamination read. */
   def repeatedSpansFromRanks(ranks: DataFrame, docs: DataFrame,
                              idCol: String, textCol: String,
-                             window: Int, topK: Int): DataFrame = {
+                             window: Int, topK: Int,
+                             pairKeep: Column = lit(true)): DataFrame = {
     require(window >= 1 && topK >= 1)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       split(trim(col(textCol)), " ").as("t"))
@@ -158,6 +162,7 @@ object SuffixArray {
       col("widx").as("pos_b"), (col("spos") - 1).as("spos"),
       col("__s").as("__sb"))
     a.join(b, Seq("spos"))
+      .filter(pairKeep)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         graft.plans.TextExpressions.commonPrefixLen(col("__sa"), col("__sb"))
           .cast("long").as("lcp"),
@@ -169,4 +174,22 @@ object SuffixArray {
         asc("doc_b"), asc("pos_b"))
       .limit(topK)
   }
+
+  /** Exact-substring contamination read: the longest verbatim spans
+    * shared ACROSS a source boundary (benchmark slice vs corpus) —
+    * decontamination at ANY span length at once, where shingle-based
+    * decontam checks one fixed width. `isHeldOut` marks the benchmark
+    * side by doc id.
+    *
+    * Exactness claim, stated precisely: every reported row is a verbatim
+    * shared substring between a held-out doc and a corpus doc, and the
+    * GLOBAL longest cross-source span is always reported — between the
+    * optimal pair's suffixes, every suffix-array neighbor shares at least
+    * that prefix, so the first source change among them is an adjacent
+    * cross pair with the same (or longer) LCP. */
+  def crossSourceSpans(ranks: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String, isHeldOut: Column => Column,
+                       window: Int, topK: Int): DataFrame =
+    repeatedSpansFromRanks(ranks, docs, idCol, textCol, window, topK,
+      pairKeep = isHeldOut(col("doc_a")) =!= isHeldOut(col("doc_b")))
 }

@@ -398,6 +398,17 @@ object ExtQueries {
       suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
       window = SaWindow, topK = SaTopK)
 
+  /** Exact-substring contamination: the longest verbatim spans shared
+    * between the held-out slice (doc_id % 97 == 0 — the same convention
+    * as e_decontam) and the rest of the corpus, read off rank-adjacent
+    * cross-source suffix pairs. Decontamination at ANY span length where
+    * the shingle path checks one fixed width. Rides the suffixRanks
+    * memo, name-ordered before its release point. */
+  def eExactContamination(s: SparkSession, d: String): DataFrame =
+    graft.operators.SuffixArray.crossSourceSpans(
+      suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
+      isHeldOut = _ % 97 === 0, window = SaWindow, topK = SaTopK)
+
   /** DSIR importance weights: every doc scored by how much its hashed
     * unigram+bigram distribution resembles the English slice (the target
     * set a curator would hold up as "more like this, please"). */
@@ -1641,6 +1652,27 @@ object ExtQueries {
        |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
        |LIMIT $SaTopK""".stripMargin
 
+  // identical chain, pairs restricted to those crossing the held-out
+  // boundary (doc_id % 97 = 0, the e_decontam convention)
+  private val exactContaminationOracle =
+    s"""WITH $suffixCtes,
+       |rn AS (SELECT doc_id, widx, s,
+       |  row_number() OVER (ORDER BY s, doc_id, widx) AS rn FROM sfx),
+       |adj AS (SELECT a.doc_id AS doc_a, a.widx AS pos_a,
+       |  b.doc_id AS doc_b, b.widx AS pos_b,
+       |  array_to_string(a.s[1:$SaWindow], ' ') AS sa,
+       |  array_to_string(b.s[1:$SaWindow], ' ') AS sb
+       |  FROM rn a JOIN rn b ON b.rn = a.rn + 1
+       |  WHERE (a.doc_id % 97 = 0) <> (b.doc_id % 97 = 0)),
+       |l AS (SELECT doc_a, pos_a, doc_b, pos_b,
+       |  CAST(len(list_filter(range(1, least(length(sa), length(sb)) + 1),
+       |    i -> sa[1:i] = sb[1:i])) AS BIGINT) AS lcp, sa
+       |  FROM adj)
+       |SELECT doc_a, pos_a, doc_b, pos_b, lcp,
+       |  substr(sa, 1, CAST(lcp AS INT)) AS prefix
+       |FROM l ORDER BY lcp DESC, doc_a, pos_a, doc_b, pos_b
+       |LIMIT $SaTopK""".stripMargin
+
   /** element/norm CTEs shared by the cosine oracles. */
   private val embCtes =
     """e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
@@ -2389,6 +2421,7 @@ object ExtQueries {
     "e_dsir_weights" -> (eDsirWeights _),
     "e_suffix_ranks" -> (eSuffixRanks _),
     "e_lcp_repeats" -> (eLcpRepeats _),
+    "e_exact_contamination" -> (eExactContamination _),
     "e_cosine_topk" -> (eCosineTopk _),
     "e_random_projection" -> (eRandomProjection _),
     "e_rp_recall" -> (eRpRecall _),
@@ -2750,6 +2783,7 @@ object ExtQueries {
     "e_dsir_weights" -> dsirOracle,
     "e_suffix_ranks" -> suffixRanksOracle,
     "e_lcp_repeats" -> lcpRepeatsOracle,
+    "e_exact_contamination" -> exactContaminationOracle,
     "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
     "e_random_projection" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -88,6 +88,29 @@ class SuffixArraySpec extends SparkSpec {
       Set(1L -> 1L, 2L -> 2L), s"pair: $best")
   }
 
+  test("crossSourceSpans: only cross-boundary pairs; the planted overlap surfaces") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "held out alpha beta gamma delta"),    // held-out (id % 97 == 0)
+      (2L, "corpus alpha beta gamma delta text"), // shares the span with 0
+      (3L, "xx yy zz ww vv uu tt"),
+      (4L, "xx yy zz ww vv uu ss")                // long corpus-only overlap
+    ).toDF("doc_id", "text")
+    val ranks = SuffixArray.suffixRanks(docs, "doc_id", "text")
+    val got = SuffixArray.crossSourceSpans(ranks, docs, "doc_id", "text",
+        isHeldOut = _ % 97 === 0, window = 8, topK = 10)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+    // every reported pair crosses the boundary — the 6-word corpus-only
+    // overlap between docs 3 and 4 must NOT appear
+    got.foreach { r =>
+      assert((r._1 % 97 == 0) != (r._3 % 97 == 0), s"not cross-source: $r")
+    }
+    val best = got.head
+    assert(best._6 == "alpha beta gamma delta", s"planted span: $best")
+    assert(Set(best._1, best._3).contains(0L) &&
+      Set(best._1, best._3).contains(2L), s"pair: $best")
+  }
+
   test("round count is logarithmic in doc length (early exit on distinct ranks)") {
     import spark.implicits._
     // 40 distinct words: ranks separate after the first-word round only if

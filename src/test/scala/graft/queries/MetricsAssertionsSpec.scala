@@ -108,7 +108,9 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_suffix_ranks" -> (3L << 23),
     // round-9: rank adjacency + the ≤window-word text re-attach on top of
     // the memo (worst case: builds it) — measured 3.2 MB at sf0.001
-    "e_lcp_repeats" -> (1L << 25))
+    "e_lcp_repeats" -> (1L << 25),
+    // round-9: the same adjacency shape with the cross-boundary filter
+    "e_exact_contamination" -> (1L << 25))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

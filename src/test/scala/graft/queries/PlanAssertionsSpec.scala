@@ -192,15 +192,17 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("e_lcp_repeats: TakeOrdered final cut; no cartesian in the adjacency join") {
-    val plan = executedPlan("e_lcp_repeats")
-    assert(plan.toString.contains("TakeOrderedAndProject"),
-      s"the top-k repeated spans must not global-sort:\n$plan")
-    val bad = collectWithSubqueries(plan) {
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+  test("LCP family: TakeOrdered final cut; no cartesian in the adjacency join") {
+    for (q <- Seq("e_lcp_repeats", "e_exact_contamination")) {
+      val plan = executedPlan(q)
+      assert(plan.toString.contains("TakeOrderedAndProject"),
+        s"$q top-k spans must not global-sort:\n$plan")
+      val bad = collectWithSubqueries(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$q rank adjacency must stay an equi-join, found: $bad")
     }
-    assert(bad.isEmpty, s"rank adjacency must stay an equi-join, found: $bad")
   }
 
   test("e_dsir_weights: the bucket model joins BROADCAST; corpus never shuffle-joins") {
