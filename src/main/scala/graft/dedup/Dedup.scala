@@ -681,17 +681,24 @@ object Dedup {
     result
   }
 
-  /** [[ngramJaccard]] over a prebuilt per-doc-distinct `(doc_id, sh)`
-    * shingle-hash table (e.g. [[shingleBases]] projected to b1) — the
-    * shared-artifact form: the caller owns the table's lifecycle. */
-  def ngramJaccardFromShingles(shingleTable: DataFrame, minJaccard: Double,
-                               maxDf: Long = Long.MaxValue): DataFrame = {
-    // Hot-shingle cut (see ngramJaccard doc): df per shingle via groupBy —
-    // map-side partial aggregation bounds the reducer input for a viral
-    // shingle to one row per map task, so the cut itself is skew-immune.
-    // The inner join against the kept-shingle set drops viral rows in the
-    // exchange (they hash to a reducer, match nothing, and vanish) — linear,
-    // never quadratic.
+  /** The df-capped candidate-pair scaffold shared by the Jaccard and
+    * containment measures: hot-shingle cut, per-doc shingle counts, and
+    * per-pair intersection sizes — one copy so a fix to the skew-immunity
+    * logic cannot diverge between the two measures.
+    *
+    * Hot-shingle cut (see [[ngramJaccard]] doc): df per shingle via
+    * groupBy — map-side partial aggregation bounds the reducer input for
+    * a viral shingle to one row per map task, so the cut itself is
+    * skew-immune. The inner join against the kept-shingle set drops viral
+    * rows in the exchange (they hash to a reducer, match nothing, and
+    * vanish) — linear, never quadratic.
+    *
+    * Returns (pairs, docShingles): `pairs` carries
+    * (doc_a, doc_b, n_inter, n_a, n_b) per candidate pair; `docShingles`
+    * is the persisted kept-shingle table the caller must release (pass it
+    * to [[materializeAndRelease]]). */
+  private def shinglePairCounts(shingleTable: DataFrame, maxDf: Long)
+      : (DataFrame, DataFrame) = {
     val kept0 =
       if (maxDf == Long.MaxValue) shingleTable
       else {
@@ -709,9 +716,19 @@ object Dedup {
       .filter(col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val result = inter
+    val pairs = inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    (pairs, docShingles)
+  }
+
+  /** [[ngramJaccard]] over a prebuilt per-doc-distinct `(doc_id, sh)`
+    * shingle-hash table (e.g. [[shingleBases]] projected to b1) — the
+    * shared-artifact form: the caller owns the table's lifecycle. */
+  def ngramJaccardFromShingles(shingleTable: DataFrame, minJaccard: Double,
+                               maxDf: Long = Long.MaxValue): DataFrame = {
+    val (pairs, docShingles) = shinglePairCounts(shingleTable, maxDf)
+    val result = pairs
       .select(col("doc_a"), col("doc_b"),
         round(col("n_inter").cast("double") /
           (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
@@ -749,27 +766,10 @@ object Dedup {
     * Returns (doc_a, doc_b, cont_a, cont_b) rounded to 6 dp. */
   def containmentFromShingles(shingleTable: DataFrame, minContainment: Double,
                               maxDf: Long = Long.MaxValue): DataFrame = {
-    val kept0 =
-      if (maxDf == Long.MaxValue) shingleTable
-      else {
-        val ok = shingleTable.groupBy(col("sh"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= maxDf)
-          .select(col("sh"))
-        shingleTable.join(ok, Seq("sh"))
-      }
-    val docShingles = maybePersist(kept0)
-    val counts = docShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = docShingles.as("a")
-      .join(docShingles.as("b"), Seq("sh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val (pairs, docShingles) = shinglePairCounts(shingleTable, maxDf)
     val ca = col("n_inter").cast("double") / col("n_a")
     val cb = col("n_inter").cast("double") / col("n_b")
-    val result = inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val result = pairs
       .filter(greatest(ca, cb) >= minContainment)
       .select(col("doc_a"), col("doc_b"),
         round(ca, 6).as("cont_a"), round(cb, 6).as("cont_b"))

@@ -20,10 +20,14 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: one corpus scan builds the bucket histogram (map-side
   * combined, ≤ `buckets` rows — both models in ONE aggregation via a
-  * conditional count); a second scan re-derives the feature stream and
-  * scores it through a BROADCAST join against the bucket log-ratio table
-  * (bounded by construction), then one map-side-combined per-doc sum.
-  * Nothing wide ever shuffles; the model never leaves broadcast size.
+  * conditional count), collected driver-side into the two count vectors
+  * (the same bounded state the streaming maintainer holds); a second
+  * scan re-derives the feature stream and scores it through a BROADCAST
+  * join against the bucket log-ratio table (bounded by construction),
+  * then one map-side-combined per-doc sum. Nothing wide ever shuffles;
+  * the model never leaves broadcast size — and the log-ratio formula
+  * exists ONCE ([[logRatioTable]]), shared by the batch and streaming
+  * paths, so the two cannot diverge.
   *
   * Deterministic: the feature hash is the portable 56-bit md5 family
   * ([[graft.dedup.Dedup.hexHash]]), so DuckDB rebuilds the identical
@@ -41,18 +45,32 @@ object ImportanceWeights {
     require(buckets >= 2, "need at least two hash buckets")
     val feats = featureBuckets(docs, idCol, textCol,
       Seq("__tgt" -> isTarget.cast("boolean")), buckets, salt)
-    // both models in one pass; bounded at `buckets` rows
-    val hist = feats.groupBy(col("__b"))
+    // both models in one corpus scan, collected at ≤ `buckets` rows; the
+    // scoring scan below re-derives the (cheap, narrow) feature stream
+    // rather than persisting the corpus-sized explode
+    val (nT, nAll) = countVectors(feats, buckets)
+    scoreFeatures(feats, logRatioTable(docs.sparkSession, nT, nAll))
+  }
+
+  /** The two per-bucket count vectors of a feature stream (must carry the
+    * `__tgt` marker column) — ONE map-side-combined aggregation, ≤
+    * `buckets` rows collected. Shared by the batch scorer above and the
+    * per-micro-batch fold in
+    * [[graft.streaming.StreamingImportanceWeights]]. */
+  private[graft] def countVectors(feats: DataFrame, buckets: Int)
+      : (Array[Long], Array[Long]) = {
+    val nT = new Array[Long](buckets)
+    val nAll = new Array[Long](buckets)
+    feats.groupBy(col("__b"))
       .agg(count(lit(1)).as("n_all"),
         sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_t"))
-    val tot = hist.agg(sum(col("n_all")).cast("double").as("na"),
-      sum(col("n_t")).cast("double").as("nt"))
-    val lr = hist.crossJoin(broadcast(tot))
-      .select(col("__b"),
-        log(((col("n_t").cast("double") + 1.0) / (col("nt") + buckets)) /
-          ((col("n_all").cast("double") + 1.0) / (col("na") + buckets)))
-          .as("__lr"))
-    scoreFeatures(feats, lr)
+      .collect() // ≤ buckets rows by construction
+      .foreach { r =>
+        val b = r.getLong(0).toInt
+        nAll(b) = r.getLong(1)
+        nT(b) = r.getLong(2)
+      }
+    (nT, nAll)
   }
 
   /** The hashed feature-bucket stream — one (doc_id, extra…, __b) row per

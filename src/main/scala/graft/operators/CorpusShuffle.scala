@@ -51,15 +51,13 @@ object CorpusShuffle {
     * (easy→hard), seed-shuffled within each stage — without the
     * single-partition global window that ordering naively plans.
     *
-    * Histogram two-pass (the [[ScalableNtile]] recipe, producing a rank
-    * instead of a tile): the composite bin `stage · subBins + hash-prefix`
-    * is monotone in the sort order, so every bin owns a contiguous
-    * global-position interval. One bounded histogram (≤ stages · subBins
-    * rows) collects driver-side into per-bin offsets; rows then learn
-    * `offset + row_number` under a window partitioned by BIN — parallelism
-    * = populated bins, per-task input ≈ corpus/(stages·subBins), with
-    * `subBins` the knob. The offsets join back as a broadcast (the bin
-    * table is bounded by construction).
+    * Histogram two-pass via [[GlobalRank.withRank]] (one mechanism, one
+    * copy): the composite bin `stage · subBins + hash-prefix` is monotone
+    * in the sort order, so every bin owns a contiguous global-position
+    * interval; the bounded (≤ stages · subBins rows) driver histogram
+    * becomes per-bin offsets and rows learn `offset + row_number` under a
+    * window partitioned by BIN — parallelism = populated bins, per-task
+    * input ≈ corpus/(stages·subBins), with `subBins` the knob.
     *
     * `stage` must be a non-negative integer column with stages in
     * [0, maxStages); rows order by it ascending. Deterministic end to end:
@@ -70,8 +68,6 @@ object CorpusShuffle {
     require(subBins >= 1 && Integer.bitCount(subBins) == 1,
       "subBins must be a power of two")
     require(maxStages >= 1, "maxStages must be >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // hash is uniform in [0, 2^56): its top bits are the sub-bin prefix
     val prefixShift = 56 - Integer.numberOfTrailingZeros(subBins)
     // a null stage (null quality/length column) folds to stage 0 — it has
@@ -80,25 +76,14 @@ object CorpusShuffle {
       .withColumn("__stage", coalesce(stage.cast("long"), lit(0L)))
       .withColumn("__key",
         graft.dedup.Dedup.hexHash(col(idCol).cast("string"), s"$seed|"))
-      .withColumn("__bin",
-        col("__stage") * subBins + shiftright(col("__key"), prefixShift))
-    // bounded: ≤ maxStages · subBins rows of (bin, count) — the driver-side
-    // prefix sum is this operator's RangePartitioner-sample analogue,
-    // exact and seedless
-    val hist = keyed.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
-      .as[(Long, Long)].collect().sortBy(_._1)
-    require(hist.length <= maxStages.toLong * subBins,
-      s"stage column exceeded maxStages=$maxStages")
-    var acc = 0L
-    val offsets = hist.map { case (bin, cnt) =>
-      val out = (bin, acc); acc += cnt; out
-    }.toSeq
-    val offsetTable = broadcast(offsets.toDF("__bin", "__off"))
-    keyed.join(offsetTable, Seq("__bin"))
-      .withColumn("global_pos",
-        (col("__off") + row_number().over(Window.partitionBy(col("__bin"))
-          .orderBy(col("__key"), col(idCol)))).cast("long"))
-      .drop("__bin", "__key", "__off", "__stage")
+    GlobalRank.withRank(keyed,
+        bin = col("__stage") * subBins + shiftright(col("__key"), prefixShift),
+        order = Seq(col("__stage"), col("__key")),
+        tieBreak = Seq(col(idCol)),
+        maxBins = maxStages.toLong * subBins,
+        emitRank = false)
+      .withColumn("global_pos", col("__rn"))
+      .drop("__rn", "__key", "__stage")
   }
 
   /** Materialize the epoch shuffle as shard FILES — the artifact a trainer

@@ -42,20 +42,34 @@ object GlobalRank {
         ascii(substring(key, 2, 1)).cast("long") + 1L).otherwise(0L)
 
   /** Adds `__rn` — the exact 1-based global `row_number()` under
-    * `ORDER BY order ++ tieBreak` — and `__grank` — `rank()` semantics
-    * on `order` alone (every tie group shares its minimum row number).
+    * `ORDER BY order ++ tieBreak` — and (when `emitRank`) `__grank` —
+    * `rank()` semantics on `order` alone (every tie group shares its
+    * minimum row number). `emitRank = false` skips the second in-bin sort
+    * for callers that only need the row number ([[CorpusShuffle]]).
     * `maxBins` guards the driver histogram against a caller whose bin
-    * expression is not actually bounded. */
+    * expression is not actually bounded.
+    *
+    * Deliberately NOT used by [[ScalableNtile]]/[[GroupQuantileCut]]:
+    * those need only a bounded set of CUT POINTS, so whole non-straddling
+    * bins take a codegen filter with no window at all — a strictly
+    * cheaper shape than per-row ranking. This primitive is for callers
+    * that need the rank of EVERY row. */
   def withRank(df: DataFrame, bin: Column, order: Seq[Column],
-               tieBreak: Seq[Column], maxBins: Long = 1L << 22): DataFrame = {
+               tieBreak: Seq[Column], maxBins: Long = 1L << 22,
+               emitRank: Boolean = true): DataFrame = {
     require(order.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
     import spark.implicits._
     val binned = df.withColumn("__bin", bin.cast("long"))
+    // the guard LIMIT sits under the collect: a caller whose bin
+    // expression is effectively the row key fails the require with
+    // maxBins+1 rows on the driver, instead of OOMing inside a full
+    // collect before the check could run
+    val lim = math.toIntExact(math.min(maxBins + 1, Int.MaxValue.toLong))
     val hist = binned.groupBy(col("__bin")).agg(count(lit(1)).as("cnt"))
-      .as[(Long, Long)].collect().sortBy(_._1)
+      .limit(lim).as[(Long, Long)].collect().sortBy(_._1)
     require(hist.length <= maxBins,
-      s"bin expression produced ${hist.length} bins (max $maxBins) — " +
+      s"bin expression produced more than $maxBins bins — " +
         "not bounded enough for a driver histogram")
     var acc = 0L
     val offsets = hist.map { case (b, c) => val out = (b, acc); acc += c; out }
@@ -67,11 +81,13 @@ object GlobalRank {
     // offset + bin-local rank() — same partition key as the row-number
     // window, so both ride ONE exchange (two sorts, zero extra shuffles)
     val wTie = Window.partitionBy(col("__bin")).orderBy(order: _*)
-    binned.join(offsetTable, Seq("__bin"))
+    val withRn = binned.join(offsetTable, Seq("__bin"))
       .withColumn("__rn",
         (col("__off") + row_number().over(wRow)).cast("long"))
-      .withColumn("__grank",
+    val ranked =
+      if (emitRank) withRn.withColumn("__grank",
         (col("__off") + rank().over(wTie)).cast("long"))
-      .drop("__bin", "__off")
+      else withRn
+    ranked.drop("__bin", "__off")
   }
 }

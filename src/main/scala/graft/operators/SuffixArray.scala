@@ -42,19 +42,21 @@ object SuffixArray {
     require(initOrder >= 1, "initOrder must be >= 1")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       split(trim(col(textCol)), " ").as("t"))
-    // round 0 ranks by the first `initOrder` words JOINED — space sorts
-    // below every character a split token can contain (tokens are
-    // space-free by construction), so the joined-window string order IS
-    // the element-wise word-sequence order, and split/join invert each
-    // other, so key equality is word-sequence equality. Starting at order
-    // 8 instead of 1 removes the three thinnest doubling rounds outright.
-    // one native codegen pass builds the order-`initOrder` key window at
-    // every position (full-mode WordShingles) — the interpreted
-    // slice+array_join HOF form was the dominant round-0 cost
+    // round 0 ranks by the first `initOrder` words joined with U+0000 —
+    // NUL sorts below every byte a token can contain (tokens are
+    // space-free by construction and may not contain NUL; a space joiner
+    // would mis-order tokens holding sub-space characters like tab), so
+    // the joined-window string order IS the element-wise word-sequence
+    // order, and split/join invert each other, so key equality is
+    // word-sequence equality. Starting at order 8 instead of 1 removes
+    // the three thinnest doubling rounds outright. One native codegen
+    // pass builds the order-`initOrder` key window at every position
+    // (full-mode WordShingles) — the interpreted slice+array_join HOF
+    // form was the dominant round-0 cost
     val pos = toks
       .select(col("doc_id"),
         posexplode(graft.plans.TextExpressions.wordShingles(
-          col("t"), initOrder, full = true)).as(Seq("__i", "__w")))
+          col("t"), initOrder, full = true, sep = "\u0000")).as(Seq("__i", "__w")))
       .select(col("doc_id"), (col("__i") + 1).cast("long").as("widx"),
         col("__w"))
       .persist()

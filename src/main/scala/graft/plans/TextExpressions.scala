@@ -31,7 +31,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - a null token ARRAY yields null.
   */
 case class WordShingles(child: Expression, width: Int,
-                        full: Boolean = false)
+                        full: Boolean = false, sep: String = " ")
     extends UnaryExpression {
   require(width >= 1, s"shingle width must be >= 1, got $width")
 
@@ -43,7 +43,13 @@ case class WordShingles(child: Expression, width: Int,
       s"word_shingles requires an array<string> argument, got ${other.sql}")
   }
 
-  private val space = UTF8String.fromString(" ")
+  // the joiner: a single space for the shingle/n-gram consumers (their
+  // oracles interpolate the same strings); the suffix-array ranking key
+  // joins with U+0000 instead, so that joined-string binary order equals
+  // ELEMENT-WISE word-sequence order even when a token contains a
+  // sub-space character like tab (NUL sorts below every byte a token can
+  // legally contain)
+  private val joiner = UTF8String.fromString(sep)
 
   /** The tight loop; also the codegen target (one virtual call per row). */
   def compute(toks: ArrayData): ArrayData = {
@@ -61,7 +67,7 @@ case class WordShingles(child: Expression, width: Int,
         parts(j - i) = toks.getUTF8String(j) // null elements skipped by concatWs
         j += 1
       }
-      out(i) = UTF8String.concatWs(space, parts: _*)
+      out(i) = UTF8String.concatWs(joiner, parts: _*)
       i += 1
     }
     new GenericArrayData(out)
@@ -146,9 +152,13 @@ object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge
 
   /** Column API for native word shingles; `full = true` emits an
-    * (end-truncated) window at every position — one key per suffix. */
-  def wordShingles(toks: Column, width: Int, full: Boolean = false): Column =
-    ColumnBridge.column(WordShingles(ColumnBridge.expression(toks), width, full))
+    * (end-truncated) window at every position — one key per suffix.
+    * `sep` is the joiner (the suffix-array ranking key uses "\u0000" so
+    * joined order equals element-wise word order). */
+  def wordShingles(toks: Column, width: Int, full: Boolean = false,
+                   sep: String = " "): Column =
+    ColumnBridge.column(
+      WordShingles(ColumnBridge.expression(toks), width, full, sep))
 
   /** Column API for the native character-grain common-prefix length. */
   def commonPrefixLen(a: Column, b: Column): Column =

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.util.concurrent.atomic.{AtomicLong, AtomicReference}
+import java.util.concurrent.atomic.AtomicReference
 
 import graft.functions.ImportanceWeights
 import org.apache.spark.sql.{Column, DataFrame}
@@ -28,15 +28,24 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Replay/resume: foreachBatch is at-least-once and this fold is not
   * idempotent (a re-folded batch would double-count), so redeliveries
-  * are dropped on the last-committed batch id — the [[StreamingKMeans]]
-  * guard. To RESUME after a stop, persist [[Handle.currentModel]]'s two
-  * arrays and pass them back as `init`; the checkpoint skips committed
-  * batches and the seeded fold continues exactly where it stopped. */
+  * are dropped on the last-FOLDED batch id, which the model itself
+  * carries — model and replay cursor commit atomically through the one
+  * `ref.set`, and persisting [[Handle.currentModel]] persists both. That
+  * closes the crash window a session-local cursor leaves open: a batch
+  * folded into the model but not yet committed to Spark's checkpoint is
+  * re-delivered on restart, and only an id INSIDE the persisted snapshot
+  * can know to drop it. To RESUME after a stop, persist
+  * [[Handle.currentModel]] and pass it back as `init`; committed batches
+  * are skipped by the checkpoint, the uncommitted-but-folded one (if
+  * any) by the carried id. */
 object StreamingImportanceWeights {
 
   /** The running model: per-bucket feature-instance counts for the
-    * target slice and the whole stream. */
-  final case class Model(nT: Array[Long], nAll: Array[Long]) {
+    * target slice and the whole stream, plus the id of the last batch
+    * folded in (the replay/resume cursor — part of the model precisely
+    * so the two persist and commit together). */
+  final case class Model(nT: Array[Long], nAll: Array[Long],
+                         lastBatch: Long = -1L) {
     require(nT.length == nAll.length, "model arrays must agree in size")
     def buckets: Int = nAll.length
   }
@@ -71,37 +80,35 @@ object StreamingImportanceWeights {
       s"init model has ${m.buckets} buckets, expected $buckets"))
     val ref = new AtomicReference[Model](init.getOrElse(
       Model(new Array[Long](buckets), new Array[Long](buckets))))
-    val lastBatch = new AtomicLong(-1L)
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (batchId > lastBatch.get()) {
-          ref.set(foldBatch(ref.get(), batch, idCol, textCol, isTarget, salt))
-          lastBatch.set(batchId)
+        // the cursor is read from (and written into) the model, so a
+        // restart seeded with a persisted model also inherits exactly
+        // which batches that model already contains
+        if (batchId > ref.get().lastBatch) {
+          ref.set(foldBatch(ref.get(), batch, idCol, textCol, isTarget, salt)
+            .copy(lastBatch = batchId))
         }
       }
       .start()
     (query, new Handle(ref, salt))
   }
 
-  /** One micro-batch fold: the batch's bounded bucket histogram merged
-    * into the running count vectors. */
+  /** One micro-batch fold: the batch's bounded bucket histogram (the
+    * shared [[ImportanceWeights.countVectors]] aggregation) merged into
+    * the running count vectors. Leaves `lastBatch` untouched — the
+    * foreachBatch closure stamps it as the commit step. */
   private[streaming] def foldBatch(m: Model, batch: DataFrame, idCol: String,
       textCol: String, isTarget: Column, salt: String): Model = {
-    val hist = ImportanceWeights.featureBuckets(batch, idCol, textCol,
-        Seq("__tgt" -> isTarget.cast("boolean")), m.buckets, salt)
-      .groupBy(col("__b"))
-      .agg(count(lit(1)).as("n_all"),
-        sum(when(col("__tgt"), 1L).otherwise(0L)).as("n_t"))
-      .collect() // ≤ buckets rows by construction
+    val (bT, bAll) = ImportanceWeights.countVectors(
+      ImportanceWeights.featureBuckets(batch, idCol, textCol,
+        Seq("__tgt" -> isTarget.cast("boolean")), m.buckets, salt), m.buckets)
     val nT = m.nT.clone()
     val nAll = m.nAll.clone()
-    hist.foreach { r =>
-      val b = r.getLong(0).toInt
-      nAll(b) += r.getLong(1)
-      nT(b) += r.getLong(2)
-    }
-    Model(nT, nAll)
+    var i = 0
+    while (i < m.buckets) { nT(i) += bT(i); nAll(i) += bAll(i); i += 1 }
+    Model(nT, nAll, m.lastBatch)
   }
 }

@@ -41,7 +41,13 @@ class SuffixArraySpec extends SparkSpec {
     (3L, "the cat sat on the mat"), // exact dup of doc 1: every suffix ties
     (4L, "zebra"),                  // 1-word doc
     (5L, ""),                       // empty text: one empty-string token
-    (6L, "on the mat on the mat")   // internal repetition
+    (6L, "on the mat on the mat"),  // internal repetition
+    // tokens holding a sub-space character (tab): element-wise word order
+    // puts ["a","z"] BEFORE ["a\tb","c"] ("a" is a proper prefix of
+    // "a\tb") — a space-joined ranking key would invert this ('\t' < ' '),
+    // the NUL joiner must not
+    (7L, "a\tb c"),
+    (8L, "a z")
   )
 
   private def run() = {

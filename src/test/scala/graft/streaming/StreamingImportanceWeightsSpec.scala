@@ -108,4 +108,44 @@ class StreamingImportanceWeightsSpec extends SparkSpec {
     assert(handleScores(h2, u2) == batchScores(u2),
       "resumed model must equal the uninterrupted batch model")
   }
+
+  test("redelivery of a folded-but-uncommitted batch is dropped by the model's own cursor") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("siw-src2").toString
+    def addFile(df: DataFrame, name: String): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(s"$src/$name.parquet")))
+    }
+    val schema = b1.toDF("doc_id", "text", "tgt").schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    // fold batch 0 (b1), persist the model, then restart against a FRESH
+    // checkpoint — the source replays b1 as batch 0 again, exactly the
+    // shape of a crash between the model fold and the checkpoint commit
+    addFile(b1.toDF("doc_id", "text", "tgt"), "b1")
+    val ck1 = java.nio.file.Files.createTempDirectory("siw-ck1").toString
+    val (q1, h1) = StreamingImportanceWeights.start(stream(), ck1,
+      isTarget = col("tgt"), buckets = B)
+    q1.processAllAvailable()
+    val persisted = h1.currentModel
+    q1.stop()
+    assert(persisted.lastBatch == 0L, "model must carry its fold cursor")
+
+    addFile(b2.toDF("doc_id", "text", "tgt"), "b2")
+    val ck2 = java.nio.file.Files.createTempDirectory("siw-ck2").toString
+    val (q2, h2) = StreamingImportanceWeights.start(stream(), ck2,
+      isTarget = col("tgt"), buckets = B, init = Some(persisted))
+    q2.processAllAvailable()
+    q2.stop()
+
+    // b1 was re-delivered (batch 0 of the fresh checkpoint) and must NOT
+    // fold twice: the final model equals the clean union model
+    val u2 = (b1 ++ b2).toDF("doc_id", "text", "tgt")
+    assert(handleScores(h2, u2) == batchScores(u2),
+      "redelivered batch must not double-count into the model")
+  }
 }
