@@ -1,0 +1,70 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+  * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+  * plagiarism-detector algorithm).
+  *
+  * Where MinHash summarizes a WHOLE document into k signature slots,
+  * winnowing selects a positional subset of shingle hashes with a hard
+  * guarantee: any shared token run of at least `window + shingleWidth - 1`
+  * tokens between two documents contributes at least one IDENTICAL
+  * fingerprint to both, at an expected density of 2/(window+1) of the
+  * shingle stream. That makes it the candidate generator of choice for
+  * "which spans were copied" forensics (attribution, license-contamination
+  * triage) rather than "are these documents similar" scoring — the two
+  * complement each other in a curation pipeline.
+  *
+  * No counterpart exists in the reference (its change-tracking surface has
+  * no similarity operators) — this is part of the [E] LLM-pipeline family
+  * layered on the same corpus tables (SURVEY.md §2.10).
+  *
+  * Scale shape: selection is entirely in-row (one narrow scan via the
+  * native [[graft.plans.WinnowFingerprints]] codegen expression — one md5
+  * per shingle, one O(n·window) pass); the cross-document match is a
+  * hash equi-join over the SELECTED fingerprints only (density ~2/(w+1) of
+  * the shingle table), df-capped like the Jaccard path so pair work stays
+  * linear in corpus size with a bounded per-hash fan-out. No all-pairs
+  * stage anywhere.
+  */
+object Winnowing {
+
+  /** Per-document winnowed fingerprints: `(doc_id, pos, h)` with `pos` the
+    * 0-based shingle index of the selected hash, strictly increasing per
+    * doc. Every document yields at least one fingerprint (a doc with fewer
+    * shingles than the window gets one frame over all of them — mirrors
+    * the one-truncated-shingle floor of [[Dedup.shingles]]). */
+  def fingerprints(docs: DataFrame, idCol: String, textCol: String,
+                   shingleWidth: Int, window: Int): DataFrame = {
+    val toks = split(trim(col(textCol)), " ")
+    docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.plans.TextExpressions.winnowFingerprints(
+          Dedup.shingles(toks, shingleWidth), window)).as("fp"))
+      .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
+  }
+
+  /** Cross-document fingerprint matches off a prebuilt [[fingerprints]]
+    * table: pairs sharing at least `minShared` distinct fingerprint hashes,
+    * with the shared count — the MOSS report row. `maxDf` drops hashes
+    * seen in more than that many documents (boilerplate spans pair
+    * every document containing them with every other; they carry no
+    * copied-span signal — same rationale and cap as the Jaccard path's
+    * hot-shingle cut). */
+  def matchesFromFingerprints(fps: DataFrame, minShared: Long,
+                              maxDf: Long = Long.MaxValue): DataFrame = {
+    // per-doc-distinct hashes: the same span selected at two positions in
+    // one doc counts once toward the pair overlap
+    val hdis = fps.select(col("doc_id"), col("h")).distinct()
+    val dfok = hdis.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select(col("h"))
+    val kept = hdis.join(dfok, Seq("h"))
+    kept.as("a").join(kept.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -1,11 +1,13 @@
 package graft.plans
 
+import java.security.MessageDigest
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native (whole-stage-codegen) word w-shingles of a token array.
@@ -147,6 +149,104 @@ case class CommonPrefixLen(left: Expression, right: Expression)
   override def prettyName: String = "common_prefix_len"
 }
 
+/** Native winnowed fingerprint selection (Schleimer, Wilkerson, Aiken,
+  * SIGMOD 2003 — the MOSS algorithm): hash every k-gram shingle, slide a
+  * `window`-wide frame over the hash sequence, and keep each frame's
+  * minimum (rightmost position on ties). The selection guarantees that any
+  * shared run of at least `window + k - 1` tokens between two documents
+  * yields at least one shared fingerprint, at an expected density of
+  * 2/(window+1) — the positional, guarantee-carrying alternative to
+  * MinHash's whole-document signatures.
+  *
+  * Why a custom Expression: selection is per-position over a per-row hash
+  * array — the composable form is a nested HOF (`transform` over windows,
+  * `aggregate` per window for the argmin) interpreted per ELEMENT per
+  * WINDOW, plus a per-shingle md5 detour through hex strings. Like
+  * [[WordShingles]]/[[Md5Halves]] this sits on the corpus-scan inner loop,
+  * so it drops to one `doGenCode` call: one digest per shingle, one
+  * O(n·window) scan, zero intermediate strings (SURVEY.md §4.3 (b)).
+  *
+  * Semantics (the DuckDB oracles reproduce them exactly):
+  *  - hash = first 56 bits of md5 over the shingle's UTF-8 bytes, i.e.
+  *    [[Md5Halves]].b1 / `('0x' || substring(md5(s),1,14))::BIGINT`;
+  *  - `max(n - window + 1, 1)` frames: a doc with fewer shingles than the
+  *    window yields ONE frame over all of them, never zero (mirrors the
+  *    truncated-shingle floor — every doc stays fingerprintable);
+  *  - per frame, the minimal hash wins; ties go to the RIGHTMOST position
+  *    (`ORDER BY h ASC, pos DESC LIMIT 1`);
+  *  - adjacent frames reselecting the same position record it once, so
+  *    output positions are strictly increasing `struct<pos, h>` rows;
+  *  - null shingle elements hash as the empty string; a null array is null.
+  */
+case class WinnowFingerprints(child: Expression, window: Int)
+    extends UnaryExpression {
+  require(window >= 1, s"winnow window must be >= 1, got $window")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("h", LongType, nullable = false))), containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"winnow_fingerprints requires an array<string> argument, got ${other.sql}")
+  }
+
+  // see Md5Halves: MessageDigest is stateful; one per executor thread
+  @transient private lazy val digests = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The tight loop; also the codegen target (one virtual call per row). */
+  def compute(shs: ArrayData): ArrayData = {
+    val n = shs.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val md = digests.get()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val s = shs.getUTF8String(i)
+      val d = md.digest(if (s == null) Array.empty[Byte] else s.getBytes)
+      var b = 0L
+      var j = 0
+      while (j < 7) { b = (b << 8) | (d(j) & 0xffL); j += 1 }
+      hs(i) = b
+      i += 1
+    }
+    val frames = math.max(n - (window - 1), 1)
+    val buf = new scala.collection.mutable.ArrayBuffer[AnyRef](
+      frames / (window + 1) * 2 + 1)
+    var last = -1
+    var w = 0
+    while (w < frames) {
+      val end = math.min(w + window, n)
+      var best = w
+      var j = w + 1
+      while (j < end) { if (hs(j) <= hs(best)) best = j; j += 1 }
+      if (best != last) {
+        buf += new GenericInternalRow(Array[Any](best, hs(best)))
+        last = best
+      }
+      w += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowFingerprints", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprints"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge
@@ -165,14 +265,23 @@ object TextExpressions {
     ColumnBridge.column(CommonPrefixLen(
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Register `word_shingles(toks, w)` and `common_prefix_len(a, b)` for
-    * SQL use on a session. Width must be a foldable integer (it shapes
-    * the generated code). */
+  /** Column API for the native winnowed `array<struct<pos, h>>`
+    * fingerprint selection over a shingle array. */
+  def winnowFingerprints(shingles: Column, window: Int): Column =
+    ColumnBridge.column(
+      WinnowFingerprints(ColumnBridge.expression(shingles), window))
+
+  /** Register `word_shingles(toks, w)`, `common_prefix_len(a, b)` and
+    * `winnow_fingerprints(shs, v)` for SQL use on a session. Width/window
+    * must be foldable integers (they shape the generated code). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), foldToInt(exprs(1))), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "common_prefix_len", exprs => CommonPrefixLen(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "winnow_fingerprints",
+      exprs => WinnowFingerprints(exprs(0), foldToInt(exprs(1))), "built-in")
   }
 
   private[plans] def foldToInt(e: Expression): Int = e.eval(null) match {

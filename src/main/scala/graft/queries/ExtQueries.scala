@@ -37,6 +37,14 @@ object ExtQueries {
   // containment threshold (e_containment_dup): keep a pair when EITHER
   // direction's containment clears it (max of the two)
   private val ContainMin = 0.5
+  // winnowing (e_winnow_*): frame width over the shingle-hash stream
+  // (guarantee span = window + W − 1 tokens, density 2/(window+1)),
+  // minimum shared fingerprints for a match pair, and the checksum
+  // modulus (keeps the positional checksum far from bigint overflow in
+  // BOTH engines)
+  private val WinnowWindow = 4
+  private val WinnowMinShared = 3L
+  private val WinnowCkMod = 1000003L
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
@@ -155,6 +163,7 @@ object ExtQueries {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
+    winnowCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -194,7 +203,9 @@ object ExtQueries {
     // phashFingerprints: e_phash_clusters, e_phash_neardup
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
-    ("suffixRanks", saCache, "e_suffix_ranks"))
+    ("suffixRanks", saCache, "e_suffix_ranks"),
+    // winnowFps: e_winnow_fingerprints, e_winnow_matches
+    ("winnowFps", winnowCache, "e_winnow_matches"))
 
   /** Release every memo whose last name-ordered consumer is `query` —
     * called by Bench after each query completes. Out-of-order callers
@@ -366,6 +377,39 @@ object ExtQueries {
     Dedup.containmentFromShingles(
         docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
         minContainment = ContainMin, maxDf = JaccardMaxDf)
+      .orderBy("doc_a", "doc_b")
+
+  // Two queries (fingerprint summary, match pairs) consume the SAME
+  // winnowed selection; memoize the compact (doc_id, pos, h) table per
+  // sfDir. Winnowing needs POSITIONAL non-distinct shingles, so it cannot
+  // ride the per-doc-distinct shingleBases memo — but its output is only
+  // ~2/(window+1) of the shingle stream, so the memo is smaller than the
+  // shingle table it derives from. Lifecycle matches the other memos.
+  private val winnowCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def winnowFps(s: SparkSession, d: String): DataFrame =
+    winnowCache.getOrElseUpdate(d, timedMemo("winnowFps")(
+      Dedup.materializeAndRelease(
+        graft.dedup.Winnowing.fingerprints(
+          Tables.documents(s, d), "doc_id", "text", W, WinnowWindow))))
+
+  /** Winnowed fingerprint summary per document (Schleimer et al. 2003 —
+    * the MOSS selection): count and a position-weighted checksum of the
+    * selected `(pos, hash)` set. The guarantee the selection carries:
+    * any copied run of ≥ window+W−1 tokens shares a fingerprint. */
+  def eWinnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFps(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        sum((col("pos") + 1) * (col("h") % WinnowCkMod)).as("fp_checksum"))
+      .orderBy("doc_id")
+
+  /** Cross-document winnowing matches — the MOSS report: pairs sharing
+    * ≥ WinnowMinShared distinct selected hashes, df-capped like the
+    * Jaccard path. Rides the winnowFps memo, name-ordered before its
+    * release point (this query IS the release point). */
+  def eWinnowMatches(s: SparkSession, d: String): DataFrame =
+    graft.dedup.Winnowing.matchesFromFingerprints(
+        winnowFps(s, d), minShared = WinnowMinShared, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
 
   // Two queries (suffix ranks, LCP repeats) consume the SAME prefix-
@@ -1592,6 +1636,48 @@ object ExtQueries {
        |               CAST(n_inter AS DOUBLE) / nb.n) >= $ContainMin
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  // Winnowing oracles: POSITIONAL (non-distinct) shingle hashes, one
+  // frame per position with the same floor-at-one-frame rule as the
+  // expression, rightmost-min selection via ORDER BY h ASC, pos DESC —
+  // exactly WinnowFingerprints' tie rule — then DISTINCT (pos, h) per doc
+  // (adjacent frames reselect; positions are non-decreasing so DISTINCT
+  // equals the expression's skip-if-same-as-last rule).
+  private val winnowFpCtes =
+    s"""$toksCte,
+       |wsh AS (SELECT doc_id, unnest(range(1, greatest(len(t) - ${W - 1}, 1) + 1)) AS i, t
+       |  FROM toks),
+       |wh AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |  ${hexHashSql(s"array_to_string(t[i:i+${W - 1}], ' ')")} AS h FROM wsh),
+       |wcnt AS (SELECT doc_id, count(*) AS n FROM wh GROUP BY doc_id),
+       |wins AS (SELECT doc_id, unnest(range(0, greatest(n - ${WinnowWindow - 1}, 1))) AS w
+       |  FROM wcnt),
+       |sel AS (SELECT doc_id, pos, h FROM (
+       |  SELECT wins.doc_id, wins.w, wh.pos, wh.h,
+       |    row_number() OVER (PARTITION BY wins.doc_id, wins.w
+       |      ORDER BY wh.h ASC, wh.pos DESC) AS rn
+       |  FROM wins JOIN wh ON wh.doc_id = wins.doc_id
+       |    AND wh.pos >= wins.w AND wh.pos < wins.w + $WinnowWindow)
+       |  WHERE rn = 1),
+       |wfp AS (SELECT DISTINCT doc_id, pos, h FROM sel)""".stripMargin
+
+  private val winnowFingerprintsOracle =
+    s"""WITH $winnowFpCtes
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp,
+       |  CAST(sum((pos + 1) * (h % $WinnowCkMod)) AS BIGINT) AS fp_checksum
+       |FROM wfp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private val winnowMatchesOracle =
+    s"""WITH $winnowFpCtes,
+       |whdis AS (SELECT DISTINCT doc_id, h FROM wfp),
+       |wdfok AS (SELECT h FROM (SELECT h, count(*) AS df FROM whdis GROUP BY h)
+       |  WHERE df <= $JaccardMaxDf),
+       |wkept AS (SELECT doc_id, h FROM whdis JOIN wdfok USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM wkept a JOIN wkept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   // DSIR: identical feature hashing (56-bit md5 % buckets), add-1
   // smoothing, and ln ratio as the Spark side; 1-token docs contribute no
   // bigram (mirrors the width-2 shingle guard).
@@ -2418,6 +2504,8 @@ object ExtQueries {
     "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_containment_dup" -> (eContainmentDup _),
+    "e_winnow_fingerprints" -> (eWinnowFingerprints _),
+    "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
     "e_suffix_ranks" -> (eSuffixRanks _),
     "e_lcp_repeats" -> (eLcpRepeats _),
@@ -2780,6 +2868,8 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_containment_dup" -> containmentOracle,
+    "e_winnow_fingerprints" -> winnowFingerprintsOracle,
+    "e_winnow_matches" -> winnowMatchesOracle,
     "e_dsir_weights" -> dsirOracle,
     "e_suffix_ranks" -> suffixRanksOracle,
     "e_lcp_repeats" -> lcpRepeatsOracle,

@@ -110,7 +110,12 @@ class MetricsAssertionsSpec extends SparkSpec {
     // the memo (worst case: builds it) — measured 3.2 MB at sf0.001
     "e_lcp_repeats" -> (1L << 25),
     // round-9: the same adjacency shape with the cross-boundary filter
-    "e_exact_contamination" -> (1L << 25))
+    "e_exact_contamination" -> (1L << 25),
+    // round-9: winnowed selection is in-row (narrow scan); only the
+    // ~2/(window+1)-density (doc_id, pos, h) rows reach the memo
+    // materialization and the df-capped hash equi-join
+    "e_winnow_fingerprints" -> (1L << 20),
+    "e_winnow_matches" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

@@ -182,8 +182,10 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // e_phash_neardup rides the same multi-table Hamming banding — the
     // image near-dup must stay a (tbl, bucket) equi-join, never all-pairs;
     // e_containment_dup shares the jaccard path's df-capped shingle join
+    // e_winnow_matches is the same relational shape over the winnowed
+    // selection: df-capped hash equi-join, never all-pairs
     for (q <- Seq("e_ngram_jaccard", "e_simhash_multitable", "e_phash_neardup",
-                  "e_containment_dup")) {
+                  "e_containment_dup", "e_winnow_matches")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
