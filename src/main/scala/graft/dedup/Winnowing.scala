@@ -46,6 +46,54 @@ object Winnowing {
       .select(col("doc_id"), col("fp.pos").as("pos"), col("fp.h").as("h"))
   }
 
+  /** One daily-ingest increment against a standing fingerprint index: the
+    * batch is fingerprinted ONCE (replayed doc_ids dropped first — an
+    * anti-join against the index makes at-least-once delivery a no-op),
+    * probed against the index for cross matches, self-joined for
+    * within-batch matches. The indexed corpus is never re-fingerprinted;
+    * per-ingest work scales with the increment's selected hashes times
+    * their bucket occupancy.
+    *
+    * Because a document's fingerprint set depends only on its own text —
+    * never on the rest of the corpus — a pair's shared count is FIXED the
+    * moment the later of the two docs arrives. Accumulated increment
+    * matches therefore equal [[matchesFromFingerprints]] over the union
+    * corpus EXACTLY (no df cap here: document frequency is a corpus-level
+    * quantity that would make early emissions depend on later arrivals;
+    * apply the cap downstream where the full index is in hand). */
+  final case class Increment(fps: DataFrame, newMatches: DataFrame)
+
+  def winnowIncrement(batch: DataFrame, idCol: String, textCol: String,
+                      prevFps: Option[DataFrame], shingleWidth: Int,
+                      window: Int, minShared: Long): Increment = {
+    val fresh0 = fingerprints(batch, idCol, textCol, shingleWidth, window)
+    val fresh = prevFps match {
+      case Some(p) => fresh0.join(
+        p.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+      case None => fresh0
+    }
+    val freshM = Dedup.materializeAndRelease(fresh)
+    val freshH = freshM.select(col("doc_id"), col("h")).distinct()
+    val within = freshH.as("a").join(freshH.as("b"),
+      col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+    val candidates = prevFps match {
+      case Some(p) =>
+        // cross probe: ids are disjoint after the replay guard, so
+        // least/greatest canonicalizes without self-pairs
+        val ph = p.select(col("doc_id"), col("h")).distinct()
+        within.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .unionByName(freshH.as("a").join(ph.as("b"), col("a.h") === col("b.h"))
+            .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+              greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b")))
+      case None =>
+        within.select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    }
+    val matches = candidates.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    Increment(freshM, Dedup.materializeAndRelease(matches))
+  }
+
   /** Cross-document fingerprint matches off a prebuilt [[fingerprints]]
     * table: pairs sharing at least `minShared` distinct fingerprint hashes,
     * with the shared count — the MOSS report row. `maxDf` drops hashes

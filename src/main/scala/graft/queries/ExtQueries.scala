@@ -45,6 +45,14 @@ object ExtQueries {
   private val WinnowWindow = 4
   private val WinnowMinShared = 3L
   private val WinnowCkMod = 1000003L
+  // embedding outlier cut (e_embed_outliers): flag a vector when its
+  // squared centroid distance sits ≥ this many population stddevs above
+  // its cluster's mean
+  private val EmbedOutlierZ = 2.0
+  // retrieval chunking (e_chunk_overlap): window size and stride in
+  // tokens (overlap = size − stride)
+  private val ChunkSize = 12
+  private val ChunkStride = 8
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
@@ -193,7 +201,8 @@ object ExtQueries {
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_ngram_jaccard directly
     ("shingleBases", shingleCache, "e_ngram_jaccard"),
-    // kmeansAssigned: e_cluster_sample, e_kmeans, e_semantic_dedup
+    // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
+    // e_semantic_dedup
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
@@ -1209,6 +1218,25 @@ object ExtQueries {
   def eKmeans(s: SparkSession, d: String): DataFrame =
     graft.similarity.KMeans.summarize(kmeansAssigned(s, d))
       .orderBy("vec_id")
+
+  /** Embedding-space outlier filter: z-score of each vector's squared
+    * centroid distance against its cluster's population stats, flagged at
+    * z ≥ EmbedOutlierZ — the far-tail complement to SemDeDup's dense-core
+    * pruning. Rides the kmeansAssigned memo (name-ordered before its
+    * release point, e_semantic_dedup). */
+  def eEmbedOutliers(s: SparkSession, d: String): DataFrame =
+    graft.similarity.KMeans.distanceOutliers(kmeansAssigned(s, d),
+        zCut = EmbedOutlierZ)
+      .orderBy("vec_id")
+
+  /** Overlapping sliding-window chunking — the retrieval-corpus prep
+    * step: ceil-covering `ChunkSize`-token windows advancing by
+    * `ChunkStride`, with provenance and a 56-bit chunk hash. Entirely
+    * in-row (narrow scan, no shuffle). */
+  def eChunkOverlap(s: SparkSession, d: String): DataFrame =
+    graft.operators.SlidingChunks.chunks(
+        Tables.documents(s, d), "doc_id", "text", ChunkSize, ChunkStride)
+      .orderBy("doc_id", "chunk_idx")
 
   /** SemDeDup-style semantic dedup: k-means clusters as the candidate
     * buckets, exact within-cluster cosine >= 0.35 pairs, one representative
@@ -2550,6 +2578,8 @@ object ExtQueries {
     "e_passage_dedup" -> (ePassageDedup _),
     "e_boilerplate_lines" -> (eBoilerplateLines _),
     "e_kmeans" -> (eKmeans _),
+    "e_embed_outliers" -> (eEmbedOutliers _),
+    "e_chunk_overlap" -> (eChunkOverlap _),
     "e_semantic_dedup" -> (eSemanticDedup _),
     "e_cluster_sample" -> (eClusterSample _),
     "e_top_quality_docs" -> (eTopQualityDocs _),
@@ -2726,6 +2756,16 @@ object ExtQueries {
       s"""WITH $kmeansCte
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e_embed_outliers" ->
+      s"""WITH $kmeansCte,
+        |ass AS (SELECT vec_id, cid, d2 FROM a2 WHERE rn = 1),
+        |st AS (SELECT cid, avg(d2) AS mu, stddev_pop(d2) AS sigma
+        |  FROM ass GROUP BY cid)
+        |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2,
+        |  round(CASE WHEN sigma > 0 THEN (d2 - mu) / sigma ELSE 0 END, 6) AS z_score,
+        |  CAST(CASE WHEN sigma > 0 AND (d2 - mu) / sigma >= $EmbedOutlierZ
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        |FROM ass JOIN st USING (cid) ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_top_quality_docs" -> topQualityDocsOracle,
     "e_curation_funnel" -> curationFunnelOracle,
@@ -2870,6 +2910,17 @@ object ExtQueries {
     "e_containment_dup" -> containmentOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
+    "e_chunk_overlap" ->
+      s"""WITH $toksCte,
+        |ch AS (SELECT doc_id, len(t) AS n,
+        |  unnest(range(0, CASE WHEN len(t) <= $ChunkSize THEN 1
+        |    ELSE 1 + CAST(ceil((len(t) - $ChunkSize) / $ChunkStride.0) AS BIGINT) END)) AS i, t
+        |  FROM toks)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * $ChunkStride AS BIGINT) AS start_tok,
+        |  CAST(least($ChunkSize, n - i * $ChunkStride) AS BIGINT) AS n_tokens,
+        |  ${hexHashSql(s"array_to_string(t[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ')")} AS chunk_hash
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "e_dsir_weights" -> dsirOracle,
     "e_suffix_ranks" -> suffixRanksOracle,
     "e_lcp_repeats" -> lcpRepeatsOracle,

@@ -51,6 +51,30 @@ object KMeans {
     assigned.select(col("vec_id"), col("cid").as("cluster_id"),
       round(col("d2"), 6).as("dist2"))
 
+  /** Per-cluster distance outliers over a raw [[assignments]] frame: the
+    * z-score of each vector's squared centroid distance against its
+    * cluster's population mean/stddev, and an `is_outlier` 0/1 flag at
+    * `zCut`. The embedding-space quality filter that complements SemDeDup:
+    * where SemDeDup drops the DENSE duplicated cores, this flags the
+    * sparse far tail — mislabeled, off-distribution, or garbage vectors
+    * that sit far from every semantic neighborhood.
+    *
+    * Scale shape: one k-row stats aggregation (map-side combined),
+    * broadcast back onto the assignment — the embedding column itself is
+    * not touched, so nothing wide shuffles. A singleton or perfectly
+    * tight cluster (σ = 0) defines z = 0: no member of a degenerate
+    * cluster is an outlier by this test. */
+  def distanceOutliers(assigned: DataFrame, zCut: Double): DataFrame = {
+    val stats = assigned.groupBy(col("cid"))
+      .agg(avg(col("d2")).as("mu"), stddev_pop(col("d2")).as("sigma"))
+    val z = when(col("sigma") > 0, (col("d2") - col("mu")) / col("sigma"))
+      .otherwise(lit(0.0))
+    assigned.join(broadcast(stats), Seq("cid"))
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        round(col("d2"), 6).as("dist2"), round(z, 6).as("z_score"),
+        (z >= zCut).cast("long").as("is_outlier"))
+  }
+
   /** The Lloyd rounds, keeping the double-cast vector column `v` on the
     * assignment — (vec_id, v, cid, d2) — so downstream consumers
     * (semanticDedup, a memoizing caller) can reuse one computed assignment

@@ -178,6 +178,15 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       hits.queryExecution.executedPlan)
   }
 
+  test("e_embed_outliers: the k-row cluster stats join BROADCAST") {
+    // the assignment side (n rows) must never shuffle for the z-score —
+    // stats are k rows and ride a broadcast
+    val bhj = collectWithSubqueries(executedPlan("e_embed_outliers")) {
+      case j: BroadcastHashJoinExec => j
+    }
+    assert(bhj.nonEmpty, "cluster stats must broadcast")
+  }
+
   test("e_ngram_jaccard and e_simhash_multitable: no cartesian/nested-loop") {
     // e_phash_neardup rides the same multi-table Hamming banding — the
     // image near-dup must stay a (tbl, bucket) equi-join, never all-pairs;

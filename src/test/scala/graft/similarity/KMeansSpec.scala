@@ -122,4 +122,31 @@ class KMeansSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out(9L) == 2L && out(1L) == 1L && out.size == 4)
   }
+
+  test("distance outliers: z-scores match hand stats; singleton cluster never flags") {
+    import spark.implicits._
+    // cluster 1: three members at d2 = {0, 1, 1} after the update round
+    // is skipped (iterations = 1 assigns against the SEED centroids);
+    // cluster 2: a singleton (sigma 0 -> z 0, never an outlier)
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f)),
+      (9L, Array(100.0f, 100.0f))
+    ).toDF("vec_id", "embedding")
+    val assigned = KMeans.assignments(df, "vec_id", "embedding",
+      isInit = col("vec_id").isin(1L, 9L), iterations = 1)
+    val got = KMeans.distanceOutliers(assigned, zCut = 1.0)
+      .orderBy("vec_id").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(3), r.getLong(4)))).toMap
+    // d2 = {0,1,1}: mu = 2/3, sigma_pop = sqrt(2)/3; z(0) = -sqrt(2),
+    // z(1) = 1/sqrt(2) < 1 -> nothing in cluster 1 flags at zCut 1
+    assert(math.abs(got(1L)._1 - -math.sqrt(2.0)) < 1e-6)
+    assert(math.abs(got(2L)._1 - 1.0 / math.sqrt(2.0)) < 1e-6)
+    assert(got.values.forall(_._2 == 0L))
+    // drop the cut to 0.5: the two d2=1 rows flag, the singleton still not
+    val flagged = KMeans.distanceOutliers(assigned, zCut = 0.5)
+      .filter(col("is_outlier") === 1L).collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(2L, 3L))
+  }
 }
