@@ -980,4 +980,92 @@ object Dedup {
         count(when(!col("keep"), 1)).as("n_boiler"))
     (result, Seq(segments, stats))
   }
+
+  /** Exact-substring dedup APPLY (the removal policy of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): delete
+    * every duplicated token span of at least `spanWords` words except its
+    * globally first occurrence, and reassemble the cleaned corpus.
+    *
+    * Mechanism: any duplicated span of ≥ `spanWords` words contains a
+    * duplicated `spanWords`-gram, so covering removal by duplicated
+    * full-width grams removes every such span. Each positional gram keeps
+    * its tokens iff it is the global first occurrence of its text
+    * (minimum (doc_id, position)); every other occurrence cuts its
+    * `spanWords` token window. Deterministic — no RNG, no sampling.
+    *
+    * Relation to siblings: [[passageDedup]] keeps one copy at fixed
+    * NON-overlapping chunk grain (spans straddling a chunk boundary
+    * escape); this operator's grams slide, so a duplicated span is caught
+    * at EVERY alignment. [[boilerplateRemove]] deletes ALL instances of
+    * corpus-frequent text; here one canonical instance always survives.
+    * Self-periodic text ("x y x y x y …") may lose part of its canonical
+    * window to overlapping later occurrences — covering removal is a
+    * dedup tool; the repetition filter is the periodic-text tool.
+    *
+    * Output per doc: (doc_id, n_tokens, n_removed, clean_text), '' when
+    * everything was duplicate.
+    *
+    * Plan shape: one narrow gram scan (native WordShingles + Md5Halves),
+    * a map-side-combined min-struct/count aggregation per distinct gram,
+    * the [[guardedJoinBack]] verdict join (viral grams take the salted
+    * path), a token-grain anti-join against the cut set, and one groupBy
+    * doc_id reassembly — work ∝ corpus tokens × spanWords worst case
+    * (every gram duplicated), state ∝ distinct grams. Linear, like the
+    * tokenization pass it rides. */
+  def exactSpanDedup(docs: DataFrame, idCol: String, textCol: String,
+                     spanWords: Int = 8, maxGramFreq: Long = 1L << 20,
+                     salts: Int = 16): DataFrame = {
+    val (result, intermediates) = exactSpanDedupPlan(
+      docs, idCol, textCol, spanWords, maxGramFreq, salts)
+    materializeAndRelease(result, intermediates: _*)
+  }
+
+  /** The lazy [[exactSpanDedup]] plan plus its persisted intermediates —
+    * split out for plan-shape tests, like [[boilerplateRemovePlan]]. */
+  private[graft] def exactSpanDedupPlan(docs: DataFrame, idCol: String,
+                                        textCol: String, spanWords: Int,
+                                        maxGramFreq: Long,
+                                        salts: Int): (DataFrame, Seq[DataFrame]) = {
+    require(spanWords >= 1, "span width must be >= 1")
+    require(maxGramFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
+    val toks = split(trim(col(textCol)), " ")
+    // positional FULL-width gram instances — docs shorter than spanWords
+    // have none and pass through untouched (the width-truncated floor
+    // shingle would let whole short docs dedup against prefixes of longer
+    // ones, which is near-dup business, not exact-substring business)
+    val grams = maybePersist(docs
+      .select(col(idCol).as("doc_id"), size(toks).as("__n"),
+        posexplode(graft.plans.TextExpressions.wordShingles(toks, spanWords))
+          .as(Seq("i0", "gtext")))
+      .filter(col("i0") + spanWords <= col("__n"))
+      .select(col("doc_id"), col("i0").cast("long").as("i0"),
+        graft.plans.HashExpressions.md5Halves(col("gtext")).as("ph")))
+    val stats = maybePersist(grams.groupBy(col("ph"))
+      .agg(min(struct(col("doc_id"), col("i0"))).as("fst"),
+        count(lit(1)).as("pf")))
+    val cuts = guardedJoinBack(grams, stats, maxGramFreq, salts)
+      .filter(!(col("fst.doc_id") === col("doc_id") &&
+        col("fst.i0") === col("i0")))
+      .select(col("doc_id"),
+        explode(sequence(col("i0"), col("i0") + (spanWords - 1))).as("pos"))
+      .distinct()
+    val tokens = docs
+      .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("__p", "tok")))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"), col("tok"))
+    val kept = tokens.join(cuts, Seq("doc_id", "pos"), "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    // a fully-duplicate doc loses every token and vanishes from `kept` —
+    // re-attach the corpus spine so it reports ('' , n_removed = n)
+    val base = docs.select(col(idCol).as("doc_id"),
+      size(toks).cast("long").as("n_tokens"))
+    val result = base.join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+    (result, Seq(grams, stats))
+  }
 }

@@ -53,6 +53,10 @@ object ExtQueries {
   // tokens (overlap = size − stride)
   private val ChunkSize = 12
   private val ChunkStride = 8
+  // exact-substring dedup apply (e_span_dedup_apply): minimum duplicated
+  // span width in words — every duplicated run of at least this many
+  // words loses all but its first occurrence
+  private val SpanDedupL = 8
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
@@ -194,12 +198,13 @@ object ExtQueries {
     ("decontamHits", decontamCache, "e_decontam"),
     // minhashPairs: e_cc_incremental, e_connected_components,
     // e_curation_funnel, e_dedup_apply, e_dedup_clusters (builds
-    // nearDupClusters), e_dedup_minhash_lsh
-    ("minhashPairs", pairsCache, "e_dedup_minhash_lsh"),
+    // nearDupClusters), e_dedup_minhash_lsh, e_minhash_calibration
+    ("minhashPairs", pairsCache, "e_minhash_calibration"),
     // nearDupClusters: e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
-    // build (e_curation_funnel), e_ngram_jaccard directly
+    // build (e_curation_funnel), e_minhash_calibration and
+    // e_ngram_jaccard directly
     ("shingleBases", shingleCache, "e_ngram_jaccard"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_semantic_dedup
@@ -270,6 +275,35 @@ object ExtQueries {
   def eDedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
+
+  /** MinHash estimator calibration — the accuracy meter for every
+    * signature-size/band/threshold knob (the LSH analogue of
+    * e_ann_recall): per estimate level, how far the k-slot signature
+    * estimate sits from TRUE shingle-set Jaccard over the candidate
+    * pairs. True Jaccard comes from the shared shingle memo UNCAPPED
+    * (ground truth, not the df-capped operational path); a band-collision
+    * pair with zero shared shingles scores true 0. Work ∝ candidate
+    * pairs × shingles-per-doc — the pair set LSH already bounded. */
+  def eMinhashCalibration(s: SparkSession, d: String): DataFrame = {
+    val pairs = minhashPairs(s, d)
+    val sh = docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
+    val cnts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs.select(col("doc_a"), col("doc_b"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    val ni = coalesce(col("n_inter"), lit(0L))
+    val tr = pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .join(cnts.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(cnts.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("tj", ni.cast("double") / (col("na") + col("nb") - ni))
+    tr.groupBy(col("est_jaccard"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("tj")), 6).as("mean_true"),
+        round(avg(abs(col("est_jaccard") - col("tj"))), 6).as("mean_abs_err"))
+      .orderBy("est_jaccard")
+  }
 
   /** Duplication authority: 3-iteration PageRank over the symmetrized
     * high-confidence near-dup graph — CC says which docs form a
@@ -1229,6 +1263,17 @@ object ExtQueries {
         zCut = EmbedOutlierZ)
       .orderBy("vec_id")
 
+  /** Exact-substring dedup APPLIED (Lee et al. 2022 removal policy):
+    * every duplicated ≥ SpanDedupL-word span loses all but its globally
+    * first occurrence; per-doc removal profile + a hash of the cleaned
+    * text (the text itself stays in the engine). */
+  def eSpanDedupApply(s: SparkSession, d: String): DataFrame =
+    Dedup.exactSpanDedup(Tables.documents(s, d), "doc_id", "text",
+        spanWords = SpanDedupL)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        Dedup.hexHash(col("clean_text")).as("clean_hash"))
+      .orderBy("doc_id")
+
   /** Overlapping sliding-window chunking — the retrieval-corpus prep
     * step: ceil-covering `ChunkSize`-token windows advancing by
     * `ChunkStride`, with provenance and a 56-bit chunk hash. Entirely
@@ -1428,6 +1473,45 @@ object ExtQueries {
   }
 
   private val minhashOracle = minhashOracleSql()
+
+  // Calibration: the candidate pairs with their signature estimates,
+  // joined against TRUE Jaccard from the per-doc-distinct shingle table
+  // (uncapped — calibration grades the estimator against ground truth,
+  // not against the df-capped operational path). A candidate pair can
+  // share zero shingles (band collision): LEFT join, intersection 0.
+  private val minhashCalibrationOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |$hshCtes,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |est AS (SELECT p.doc_a, p.doc_b, round(($matchSum) / $K.0, 6) AS ej
+       |  FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id),
+       |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+       |inter AS (SELECT e.doc_a, e.doc_b, count(*) AS n_inter
+       |  FROM est e
+       |  JOIN hsh a ON a.doc_id = e.doc_a
+       |  JOIN hsh b ON b.doc_id = e.doc_b AND b.sh = a.sh
+       |  GROUP BY 1, 2),
+       |tr AS (SELECT e.ej,
+       |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+       |      / (na.n + nb.n - coalesce(i.n_inter, 0)) AS tj
+       |  FROM est e
+       |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+       |  JOIN cnts na ON na.doc_id = e.doc_a
+       |  JOIN cnts nb ON nb.doc_id = e.doc_b)
+       |SELECT ej AS est_jaccard, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(avg(tj), 6) AS mean_true,
+       |  round(avg(abs(ej - tj)), 6) AS mean_abs_err
+       |FROM tr GROUP BY ej ORDER BY est_jaccard""".stripMargin
+  }
 
   private val simhashVotes = (0 until SimBits).map { j =>
     s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j"
@@ -2523,6 +2607,7 @@ object ExtQueries {
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
+    "e_minhash_calibration" -> (eMinhashCalibration _),
     "e_dedup_incremental" -> (eDedupIncremental _),
     "e_cross_source_dup" -> (eCrossSourceDup _),
     "e_doc_novelty" -> (eDocNovelty _),
@@ -2580,6 +2665,7 @@ object ExtQueries {
     "e_kmeans" -> (eKmeans _),
     "e_embed_outliers" -> (eEmbedOutliers _),
     "e_chunk_overlap" -> (eChunkOverlap _),
+    "e_span_dedup_apply" -> (eSpanDedupApply _),
     "e_semantic_dedup" -> (eSemanticDedup _),
     "e_cluster_sample" -> (eClusterSample _),
     "e_top_quality_docs" -> (eTopQualityDocs _),
@@ -2671,6 +2757,7 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
+    "e_minhash_calibration" -> minhashCalibrationOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
     "e_dedup_authority" -> {
@@ -2910,6 +2997,35 @@ object ExtQueries {
     "e_containment_dup" -> containmentOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
+    "e_span_dedup_apply" -> {
+      val L = SpanDedupL
+      s"""WITH $toksCte,
+        |g0 AS (SELECT doc_id, unnest(range(1, greatest(len(t) - ${L - 1}, 1) + 1)) AS i, t
+        |  FROM toks),
+        |g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS i0,
+        |  md5(array_to_string(t[i:i+${L - 1}], ' ')) AS dig
+        |  FROM g0 WHERE i - 1 + $L <= len(t)),
+        |fst AS (SELECT dig, doc_id AS fdoc, i0 AS fi0 FROM (
+        |  SELECT dig, doc_id, i0,
+        |    row_number() OVER (PARTITION BY dig ORDER BY doc_id, i0) AS rn FROM g)
+        |  WHERE rn = 1),
+        |cuts AS (SELECT DISTINCT doc_id, ti FROM (
+        |  SELECT g.doc_id, unnest(range(g.i0, g.i0 + $L)) AS ti
+        |  FROM g JOIN fst USING (dig)
+        |  WHERE NOT (g.doc_id = fst.fdoc AND g.i0 = fst.fi0))),
+        |tokens AS (SELECT doc_id,
+        |  CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos, unnest(t) AS tok
+        |  FROM toks),
+        |kept AS (SELECT k.doc_id, k.pos, k.tok FROM tokens k
+        |  LEFT JOIN cuts c ON k.doc_id = c.doc_id AND k.pos = c.ti
+        |  WHERE c.doc_id IS NULL),
+        |re AS (SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS clean_text,
+        |  CAST(count(*) AS BIGINT) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |  CAST(len(t.t) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+        |  ${hexHashSql("coalesce(clean_text, '')")} AS clean_hash
+        |FROM toks t LEFT JOIN re USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
     "e_chunk_overlap" ->
       s"""WITH $toksCte,
         |ch AS (SELECT doc_id, len(t) AS n,

@@ -122,6 +122,81 @@ class DedupSpec extends SparkSpec {
     assert(got.getString(1) == "a b" && got.getLong(3) == 1L)
   }
 
+  test("exactSpanDedup: later duplicate spans cut at every alignment, first survives") {
+    import spark.implicits._
+    // L=3: doc 2 copies doc 1 verbatim (fully removed); doc 3 embeds doc
+    // 1's middle run inside fresh text (only the shared run goes); doc 4
+    // is short (< L, untouched); doc 5 empty
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "p q b c d e r s"),
+      (4L, "x y"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.exactSpanDedup(df, "doc_id", "text", spanWords = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got(0) == ((1L, 6L, 0L, "a b c d e f")), s"doc1: ${got(0)}")
+    assert(got(1) == ((2L, 6L, 6L, "")), s"doc2 fully removed: ${got(1)}")
+    // doc 3: grams "b c d" and "c d e" duplicate doc 1 -> tokens b..e cut
+    assert(got(2) == ((3L, 8L, 4L, "p q r s")), s"doc3: ${got(2)}")
+    assert(got(3) == ((4L, 2L, 0L, "x y")), s"doc4 short: ${got(3)}")
+    assert(got(4) == ((5L, 1L, 0L, "")), s"doc5 empty: ${got(4)}")
+  }
+
+  test("exactSpanDedup: within-doc repeat keeps the first occurrence only") {
+    import spark.implicits._
+    val df = Seq((7L, "a b c x a b c")).toDF("doc_id", "text")
+    val got = Dedup.exactSpanDedup(df, "doc_id", "text", spanWords = 3).head()
+    assert(got.getString(3) == "a b c x" && got.getLong(2) == 3L, got.toString)
+  }
+
+  test("exactSpanDedup viral guard: salted hot path returns identical results") {
+    import spark.implicits._
+    // 30 docs share one viral 3-gram head; identical output with the
+    // guard forced on (maxGramFreq 1) and off
+    val docs = (0 until 30).map(i => (i.toLong, s"v i r tail$i end$i"))
+      .toDF("doc_id", "text")
+    def run(maxFreq: Long) =
+      Dedup.exactSpanDedup(docs, "doc_id", "text", spanWords = 3,
+          maxGramFreq = maxFreq, salts = 4)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(run(Long.MaxValue) == run(1L))
+    // doc 0 keeps the head; every later doc loses exactly the viral window
+    val plain = run(Long.MaxValue)
+    assert(plain.head._3 == "v i r tail0 end0")
+    assert(plain(1) == ((1L, 3L, "tail1 end1")))
+  }
+
+  test("exactSpanDedup matches a brute-force reference on random corpora") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val L = 3
+    val texts = (0 until 24).map { _ =>
+      (0 until (1 + rnd.nextInt(14)))
+        .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    // reference: same policy, independent code path
+    val tokd = texts.map(_.trim.split(" ").toSeq)
+    val firsts = scala.collection.mutable.Map.empty[Seq[String], (Int, Int)]
+    for (d <- tokd.indices; i <- 0 to tokd(d).length - L)
+      firsts.getOrElseUpdate(tokd(d).slice(i, i + L), (d, i))
+    val want = tokd.zipWithIndex.map { case (t, d) =>
+      val cut = (0 to t.length - L)
+        .filter(i => firsts(t.slice(i, i + L)) != ((d, i)))
+        .flatMap(i => i until i + L).toSet
+      (d.toLong, t.indices.filterNot(cut).map(t).mkString(" "))
+    }.toMap
+    val got = Dedup.exactSpanDedup(
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"), "doc_id", "text", spanWords = L)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(got == want)
+  }
+
   test("ngram jaccard maxDf: a viral shingle is cut from pairs AND counts") {
     import spark.implicits._
     // 40 docs all share the boilerplate head "x y z" (df=40 ≫ cap); each

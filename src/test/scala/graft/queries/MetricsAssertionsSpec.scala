@@ -115,7 +115,14 @@ class MetricsAssertionsSpec extends SparkSpec {
     // ~2/(window+1)-density (doc_id, pos, h) rows reach the memo
     // materialization and the df-capped hash equi-join
     "e_winnow_fingerprints" -> (1L << 20),
-    "e_winnow_matches" -> (1L << 20))
+    "e_winnow_matches" -> (1L << 20),
+    // round-9: exact-substring apply = gram stats + verdict join + the
+    // token-grain cut anti-join and reassembly — the passage/boilerplate
+    // token-grain profile
+    "e_span_dedup_apply" -> (1L << 22),
+    // round-9: calibration = pair-restricted shingle intersection over
+    // the two shared memos (worst case: builds both) — pair-scale rows
+    "e_minhash_calibration" -> (2L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
