@@ -1024,8 +1024,9 @@ object Dedup {
     * split out for plan-shape tests, like [[boilerplateRemovePlan]]. */
   private[graft] def exactSpanDedupPlan(docs: DataFrame, idCol: String,
                                         textCol: String, spanWords: Int,
-                                        maxGramFreq: Long,
-                                        salts: Int): (DataFrame, Seq[DataFrame]) = {
+                                        maxGramFreq: Long, salts: Int,
+                                        knownGrams: Option[DataFrame] = None)
+      : (DataFrame, Seq[DataFrame]) = {
     require(spanWords >= 1, "span width must be >= 1")
     require(maxGramFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
     val toks = split(trim(col(textCol)), " ")
@@ -1043,9 +1044,21 @@ object Dedup {
     val stats = maybePersist(grams.groupBy(col("ph"))
       .agg(min(struct(col("doc_id"), col("i0"))).as("fst"),
         count(lit(1)).as("pf")))
-    val cuts = guardedJoinBack(grams, stats, maxGramFreq, salts)
+    // an occurrence cuts when it is not the (in-scope) first occurrence
+    // of its gram, OR — the incremental form — when the gram already
+    // exists in a standing index (every in-scope occurrence of an indexed
+    // gram is a later occurrence by definition)
+    val localCuts = guardedJoinBack(grams, stats, maxGramFreq, salts)
       .filter(!(col("fst.doc_id") === col("doc_id") &&
         col("fst.i0") === col("i0")))
+      .select(col("doc_id"), col("i0"))
+    val cutOcc = knownGrams match {
+      case Some(k) => localCuts.unionByName(
+        grams.join(k.select(col("ph")), Seq("ph"), "left_semi")
+          .select(col("doc_id"), col("i0")))
+      case None => localCuts
+    }
+    val cuts = cutOcc
       .select(col("doc_id"),
         explode(sequence(col("i0"), col("i0") + (spanWords - 1))).as("pos"))
       .distinct()
@@ -1067,5 +1080,48 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
     (result, Seq(grams, stats))
+  }
+
+  /** One ingest increment of [[exactSpanDedup]] against a standing gram
+    * index: the batch is gram-scanned ONCE (replayed doc_ids dropped
+    * first), each occurrence cut if its gram is already indexed OR is not
+    * the batch-first occurrence, and the cleaned batch plus the grown
+    * index are returned. Because the policy keeps FIRST occurrences, an
+    * already-emitted document's cleaned text never changes when later
+    * documents arrive — so when documents arrive in (doc_id) order, the
+    * accumulated cleaned output equals the batch [[exactSpanDedup]] over
+    * the union corpus exactly (the streaming spec's invariant). Per-ingest
+    * work ∝ batch tokens; the index holds one row per distinct gram. */
+  final case class SpanDedupIncrement(cleaned: DataFrame,
+                                      gramIndex: DataFrame,
+                                      docIds: DataFrame)
+
+  def exactSpanDedupIncrement(batch: DataFrame, idCol: String,
+                              textCol: String, prevGrams: Option[DataFrame],
+                              prevDocs: Option[DataFrame], spanWords: Int = 8,
+                              maxGramFreq: Long = 1L << 20,
+                              salts: Int = 16): SpanDedupIncrement = {
+    val fresh = prevDocs match {
+      case Some(p) => batch.join(
+        p.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
+      case None => batch
+    }
+    val (cleaned, intermediates) = exactSpanDedupPlan(
+      fresh, idCol, textCol, spanWords, maxGramFreq, salts, prevGrams)
+    // the grown index: previous grams ∪ the batch's distinct grams
+    val batchGrams = intermediates.head.select(col("ph")).distinct()
+    val grownGrams = prevGrams match {
+      case Some(p) => p.select(col("ph")).unionByName(batchGrams).distinct()
+      case None => batchGrams
+    }
+    val freshIds = fresh.select(col(idCol).cast("long").as("doc_id"))
+    val grownDocs = prevDocs match {
+      case Some(p) => p.select(col("doc_id")).unionByName(freshIds)
+      case None => freshIds
+    }
+    SpanDedupIncrement(
+      materializeAndRelease(cleaned, intermediates: _*),
+      materializeAndRelease(grownGrams),
+      materializeAndRelease(grownDocs))
   }
 }
