@@ -48,8 +48,13 @@ object TextAnalysis {
 
   /** Language ID: argmax of stopword hit rate; deterministic alphabetical
     * tie-break; "und" (undetermined) when no stopwords hit at all. */
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdFromToks(tokens(text))
+
+  /** [[langId]] over an already-tokenized array — the segment-grain form
+    * ([[graft.queries.ExtQueries]] code-switch profile slices one token
+    * array into segments; re-joining and re-splitting per segment would
+    * double the scan). */
+  def langIdFromToks(toks: Column): Column = {
     val scores = stopwords.keys.toSeq.sorted.map(l => (l, stopwordHits(toks, l)))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     scores.foldRight(lit("und"): Column) { case ((l, sc), acc) =>

@@ -57,6 +57,9 @@ object ExtQueries {
   // span width in words — every duplicated run of at least this many
   // words loses all but its first occurrence
   private val SpanDedupL = 8
+  // code-switch profile (e_code_switch): language-ID segment width in
+  // tokens (non-overlapping; the mixed-language detection grain)
+  private val CsSegTokens = 10
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
@@ -1038,6 +1041,51 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("predicted"))
       .withColumn("matches_label", col("predicted") === col("labeled"))
       .orderBy("doc_id")
+
+  /** Code-switching / mixed-language profile: language-ID per
+    * non-overlapping CsSegTokens-token segment, then per doc the dominant
+    * language (max segment count, alphabetical tie-break), its share, the
+    * distinct non-'und' language count, and the number of adjacent-segment
+    * language switches — the curation signal that separates genuinely
+    * multilingual documents from mislabeled or concatenation-garbage ones
+    * (a whole-doc langId averages the mixture away).
+    *
+    * Scale shape: the segment explode is in-row (sequence/slice — token
+    * arrays never re-join/re-split); language scoring is a per-segment
+    * codegen membership probe; the doc-grain aggregations and the one
+    * lag window all partition by doc_id — nothing global. */
+  def eCodeSwitch(s: SparkSession, d: String): DataFrame = {
+    val w = CsSegTokens
+    val toks = split(trim(col("text")), " ")
+    val nSeg = greatest(ceil(size(toks).cast("double") / w).cast("int"), lit(1))
+    val segs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nSeg - 1),
+          i => slice(toks, i * w + 1, lit(w)))).as(Seq("pos", "seg")))
+      .select(col("doc_id"), col("pos"),
+        TextAnalysis.langIdFromToks(col("seg")).as("lg"))
+    val counts = segs.groupBy(col("doc_id"), col("lg"))
+      .agg(count(lit(1)).as("c"))
+    // min(struct(-c, lg)) = max count, alphabetically-first tie-break
+    val dom = counts.groupBy(col("doc_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("lg"))).as("d"),
+        sum(col("c")).as("n_segments"),
+        count(when(col("lg") =!= "und", 1)).as("n_langs"))
+    val switches = segs
+      .withColumn("plg", lag(col("lg"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("plg").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(when(col("lg") =!= col("plg"), 1)).as("n_switches"))
+    dom.join(switches, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_segments"), col("n_langs"),
+        col("d.lg").as("dominant_lang"),
+        round((-col("d.nc")).cast("double") / col("n_segments"), 6)
+          .as("dominant_share"),
+        coalesce(col("n_switches"), lit(0L)).as("n_switches"))
+      .orderBy("doc_id")
+  }
 
   def eTextQuality(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -2308,6 +2356,46 @@ object ExtQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // Segment-grain language ID (same stopword lists, same first-match CASE
+  // order as langidOracle), then the doc-grain mixture profile: dominant
+  // language via (count DESC, lang ASC) — exactly the Spark side's
+  // min(struct(-c, lg)) — plus the adjacent-segment switch count.
+  private val codeSwitchOracle = {
+    val w = CsSegTokens
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(x => s"'$x'").mkString(", ")
+      s"len(list_filter(s, x -> x IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH $toksCte,
+       |segs AS (SELECT doc_id,
+       |  unnest(range(0, greatest(CAST(ceil(len(t) / $w.0) AS BIGINT), 1))) AS pos, t
+       |  FROM toks),
+       |st AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+       |  t[pos*$w+1 : pos*$w+$w] AS s FROM segs),
+       |sc AS (SELECT doc_id, pos, $scoreCols FROM st),
+       |lgt AS (SELECT doc_id, pos, CASE $caseArms ELSE 'und' END AS lg
+       |  FROM (SELECT *, $mExpr AS m FROM sc)),
+       |counts AS (SELECT doc_id, lg, count(*) AS c FROM lgt GROUP BY 1, 2),
+       |dom AS (SELECT doc_id, lg AS dominant_lang, c FROM (
+       |  SELECT doc_id, lg, c, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY c DESC, lg ASC) AS rn FROM counts) WHERE rn = 1),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_segments,
+       |  CAST(count(*) FILTER (WHERE lg <> 'und') AS BIGINT) AS n_langs
+       |  FROM counts GROUP BY doc_id),
+       |sw AS (SELECT doc_id,
+       |  CAST(count(*) FILTER (WHERE lg <> plg) AS BIGINT) AS n_switches FROM (
+       |  SELECT doc_id, lg, lag(lg) OVER (PARTITION BY doc_id ORDER BY pos) AS plg
+       |  FROM lgt) WHERE plg IS NOT NULL GROUP BY doc_id)
+       |SELECT a.doc_id, a.n_segments, a.n_langs, d.dominant_lang,
+       |  round(CAST(d.c AS DOUBLE) / a.n_segments, 6) AS dominant_share,
+       |  CAST(coalesce(sw.n_switches, 0) AS BIGINT) AS n_switches
+       |FROM agg a JOIN dom d USING (doc_id) LEFT JOIN sw USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** The quality-score formula as DuckDB SQL over a (documents ⋈ toks)
     * row source — shared by the per-doc quality oracle and the grouped
     * top-k oracle so the two cannot drift. */
@@ -2635,6 +2723,7 @@ object ExtQueries {
     "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_text_langid" -> (eTextLangid _),
+    "e_code_switch" -> (eCodeSwitch _),
     "e_text_quality" -> (eTextQuality _),
     "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
@@ -3117,6 +3206,7 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_text_langid" -> langidOracle,
+    "e_code_switch" -> codeSwitchOracle,
     "e_text_quality" -> qualityOracle,
     "e_quality_cut" ->
       s"""WITH $toksCte,

@@ -73,4 +73,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.FpPowers.head == 1L)
     assert(TextAnalysis.FpPowers(1) == TextAnalysis.FpBase)
   }
+
+  test("langIdFromToks equals langId on the tokenized text") {
+    import spark.implicits._
+    val texts = Seq("the quick brown fox of the day", "el que y en la casa",
+      "zzz qqq", "", "der und die le la de the a")
+    val got = texts.toDF("text").select(
+        TextAnalysis.langId(col("text")).as("a"),
+        TextAnalysis.langIdFromToks(split(trim(col("text")), " ")).as("b"))
+      .as[(String, String)].collect()
+    got.foreach { case (a, b) => assert(a == b) }
+    // deterministic alphabetical tie-break: de/en/es/fr all tie at 0 -> und;
+    // explicit tie between de and en resolves to 'de'
+    val tie = Seq("der the").toDF("text")
+      .select(TextAnalysis.langId(col("text"))).head().getString(0)
+    assert(tie == "de")
+  }
 }

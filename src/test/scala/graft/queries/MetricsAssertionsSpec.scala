@@ -122,7 +122,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_span_dedup_apply" -> (1L << 22),
     // round-9: calibration = pair-restricted shingle intersection over
     // the two shared memos (worst case: builds both) — pair-scale rows
-    "e_minhash_calibration" -> (2L << 20))
+    "e_minhash_calibration" -> (2L << 20),
+    // round-9: code-switch = in-row segment langid, then doc-partitioned
+    // aggregations and one lag window — only (doc_id, lg) rows shuffle
+    "e_code_switch" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
