@@ -60,6 +60,14 @@ object ExtQueries {
   // code-switch profile (e_code_switch): language-ID segment width in
   // tokens (non-overlapping; the mixed-language detection grain)
   private val CsSegTokens = 10
+  // vocabulary analytics: growth-curve bucket count (e_vocab_growth, at
+  // W-shingle grain — the synthetic token vocabulary saturates within the
+  // first few docs, the n-gram space keeps growing like a real corpus's
+  // token space does) and the tokenizer vocabulary head for the OOV meter
+  // (e_oov_rate — sized at half the synthetic vocabulary so the meter has
+  // signal at test scale; a production run sets its real 32k-ish size)
+  private val VocabGrowthBuckets = 20
+  private val OovVocabSize = 16
   // DSIR feature-hash buckets (e_dsir_weights): the model is bounded at
   // this many cells regardless of corpus vocabulary
   private val DsirBuckets = 1024
@@ -1041,6 +1049,58 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("predicted"))
       .withColumn("matches_label", col("predicted") === col("labeled"))
       .orderBy("doc_id")
+
+  /** Vocabulary growth curve (Heaps' law, the tokenizer/vocab-planning
+    * read) at word W-gram grain: docs in id order are cut into
+    * VocabGrowthBuckets equal-width buckets; each bucket reports how many
+    * NEVER-SEEN-BEFORE distinct W-grams it introduces, plus the running
+    * total. A gram's introduction bucket is the bucket of its minimum
+    * doc_id — one shingle explode (native, hashed to a compact 56-bit
+    * key), one map-side-combined min aggregation, one bounded-bucket
+    * count; the running sum windows over ≤ VocabGrowthBuckets rows. */
+  def eVocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // bucket width from the id span — driver scalar, both engines
+    // compute it identically
+    val width = math.ceil((docs.agg(max(col("doc_id"))).head().getLong(0) + 1)
+      / VocabGrowthBuckets.toDouble).toLong
+    val toks = split(trim(col("text")), " ")
+    val firsts = docs
+      .select(col("doc_id"),
+        explode(Dedup.shingles(toks, W)).as("g"))
+      .select(col("doc_id"), graft.plans.HashExpressions.md5Half56(col("g")).as("gh"))
+      .groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
+    val perBucket = firsts
+      .groupBy(floor(col("first_doc") / width).as("bucket"))
+      .agg(count(lit(1)).as("new_grams"))
+    perBucket
+      .withColumn("cum_grams", sum(col("new_grams")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .orderBy("bucket")
+  }
+
+  /** Out-of-vocabulary rate per document against the OovVocabSize most
+    * frequent tokens (count desc, token asc tie-break) — the coverage
+    * meter a fixed-vocab tokenizer deployment reads before committing to
+    * a vocabulary. The vocab head is a TakeOrdered (never a full
+    * vocabulary sort) and broadcasts into the per-doc membership probe. */
+  def eOovRate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(OovVocabSize)
+      .select(col("token"))
+    toks.join(broadcast(vocab.withColumn("__in", lit(1L))), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6).as("oov_rate"))
+      .orderBy("doc_id")
+  }
 
   /** Code-switching / mixed-language profile: language-ID per
     * non-overlapping CsSegTokens-token segment, then per doc the dominant
@@ -2724,6 +2784,8 @@ object ExtQueries {
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_text_langid" -> (eTextLangid _),
     "e_code_switch" -> (eCodeSwitch _),
+    "e_vocab_growth" -> (eVocabGrowth _),
+    "e_oov_rate" -> (eOovRate _),
     "e_text_quality" -> (eTextQuality _),
     "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
@@ -3207,6 +3269,31 @@ object ExtQueries {
     "e_cosine_neardup" -> neardupOracle,
     "e_text_langid" -> langidOracle,
     "e_code_switch" -> codeSwitchOracle,
+    "e_vocab_growth" ->
+      s"""WITH mx AS (SELECT CAST(ceil((max(doc_id) + 1) / $VocabGrowthBuckets.0) AS BIGINT) AS w
+        |  FROM documents),
+        |$toksCte,
+        |${shCte(distinct = false)},
+        |gh AS (SELECT doc_id, ${hexHashSql("sh")} AS gh FROM sh),
+        |firsts AS (SELECT gh, min(doc_id) AS fd FROM gh GROUP BY gh),
+        |pb AS (SELECT CAST(floor(fd / w) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS new_grams FROM firsts, mx GROUP BY 1)
+        |SELECT bucket, new_grams,
+        |  CAST(sum(new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS cum_grams
+        |FROM pb ORDER BY bucket""".stripMargin,
+    "e_oov_rate" ->
+      s"""WITH tok AS (SELECT doc_id, token FROM (
+        |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok
+        |  GROUP BY token ORDER BY n DESC, token ASC LIMIT $OovVocabSize))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) FILTER (WHERE v.token IS NULL) AS BIGINT) AS n_oov,
+        |  round(CAST(count(*) FILTER (WHERE v.token IS NULL) AS DOUBLE)
+        |    / count(*), 6) AS oov_rate
+        |FROM tok LEFT JOIN vocab v ON tok.token = v.token
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_text_quality" -> qualityOracle,
     "e_quality_cut" ->
       s"""WITH $toksCte,

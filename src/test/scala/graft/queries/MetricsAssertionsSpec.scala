@@ -125,7 +125,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_minhash_calibration" -> (2L << 20),
     // round-9: code-switch = in-row segment langid, then doc-partitioned
     // aggregations and one lag window — only (doc_id, lg) rows shuffle
-    "e_code_switch" -> (1L << 20))
+    "e_code_switch" -> (1L << 20),
+    // round-9: vocabulary analytics — gram first-occurrence aggregation /
+    // broadcast vocab membership probe; only (key, count) rows shuffle
+    "e_vocab_growth" -> (1L << 20),
+    "e_oov_rate" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
