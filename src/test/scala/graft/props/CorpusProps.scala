@@ -243,4 +243,48 @@ object CorpusProps extends Properties("graft.corpus") {
         .as[(Long, Long)].collect().toMap
       docs.forall { case (id, _) => out.getOrElse(id, 0L) >= 1L }
     }
+
+  property("winnowing guarantee: a duplicated doc pair ALWAYS shares a fingerprint") =
+    forAll(docsGen, Gen.choose(1, 4), Gen.choose(2, 5)) { (docsRaw, w, v) =>
+      import spark.implicits._
+      // clone every doc under a shifted id: each (original, clone) pair is
+      // a full-length duplicate, far past the window+w-1 guarantee span
+      val docs = docsRaw.distinctBy(_._1)
+      val withClones = (docs ++ docs.map { case (id, t) => (id + 100000L, t) })
+        .toDF("doc_id", "text")
+      val fps = graft.dedup.Winnowing
+        .fingerprints(withClones, "doc_id", "text", w, v)
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+      docs.forall { case (id, _) =>
+        (fps(id) intersect fps(id + 100000L)).nonEmpty
+      }
+    }
+
+  property("exactSpanDedup: token counts reconcile and clean docs contain only kept tokens") =
+    forAll(docsGen, Gen.choose(1, 4)) { (docsRaw, l) =>
+      import spark.implicits._
+      val docs = docsRaw.distinctBy(_._1)
+      val out = graft.dedup.Dedup
+        .exactSpanDedup(docs.toDF("doc_id", "text"), "doc_id", "text", l)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      // reference: first (doc,pos) occurrence of each full-width gram
+      // keeps; every other occurrence cuts its window
+      val tokd = docs.sortBy(_._1).map { case (id, t) => id -> t.trim.split(" ", -1).toSeq }
+      val firsts = scala.collection.mutable.Map.empty[Seq[String], (Long, Int)]
+      for ((id, t) <- tokd; i <- 0 to t.length - l)
+        firsts.getOrElseUpdate(t.slice(i, i + l), (id, i))
+      val wantClean = tokd.map { case (id, t) =>
+        val cut = (0 to t.length - l)
+          .filter(i => firsts(t.slice(i, i + l)) != ((id, i)))
+          .flatMap(i => i until i + l).toSet
+        id -> t.indices.filterNot(cut).map(t).mkString(" ")
+      }.toMap
+      out.forall { case (id, n, removed, clean) =>
+        val t = tokd.find(_._1 == id).get._2
+        n == t.length && clean == wantClean(id) &&
+          removed == (t.length - (if (clean.isEmpty) 0 else clean.split(" ", -1).length))
+      }
+    }
 }
