@@ -1058,13 +1058,23 @@ object Dedup {
           .select(col("doc_id"), col("i0")))
       case None => localCuts
     }
-    val cuts = cutOcc
+    val cuts = maybePersist(cutOcc
       .select(col("doc_id"),
         explode(sequence(col("i0"), col("i0") + (spanWords - 1))).as("pos"))
-      .distinct()
+      .distinct())
+    // only AFFECTED docs pay the token-grain anti-join + reassembly
+    // shuffle; at corpus scale most documents have no duplicated span and
+    // pass through on the narrow branch (canonical tokenization re-join,
+    // no exchange)
+    val cutDocs = cuts.select(col("doc_id")).distinct()
+    val untouched = docs
+      .join(cutDocs.withColumnRenamed("doc_id", idCol), Seq(idCol), "left_anti")
+      .select(col(idCol).as("doc_id"), size(toks).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"), array_join(toks, " ").as("clean_text"))
     val tokens = docs
       .select(col(idCol).as("doc_id"), posexplode(toks).as(Seq("__p", "tok")))
       .select(col("doc_id"), col("__p").cast("long").as("pos"), col("tok"))
+      .join(cutDocs, Seq("doc_id"), "left_semi")
     val kept = tokens.join(cuts, Seq("doc_id", "pos"), "left_anti")
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(array_join(transform(
@@ -1072,14 +1082,15 @@ object Dedup {
           x => x.getField("tok")), " ").as("clean_text"),
         count(lit(1)).as("n_kept"))
     // a fully-duplicate doc loses every token and vanishes from `kept` —
-    // re-attach the corpus spine so it reports ('' , n_removed = n)
+    // re-attach the affected-doc spine so it reports ('' , n_removed = n)
     val base = docs.select(col(idCol).as("doc_id"),
-      size(toks).cast("long").as("n_tokens"))
-    val result = base.join(reassembled, Seq("doc_id"), "left")
+        size(toks).cast("long").as("n_tokens"))
+      .join(cutDocs, Seq("doc_id"), "left_semi")
+    val affected = base.join(reassembled, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
-    (result, Seq(grams, stats))
+    (untouched.unionByName(affected), Seq(grams, stats, cuts))
   }
 
   /** One ingest increment of [[exactSpanDedup]] against a standing gram
