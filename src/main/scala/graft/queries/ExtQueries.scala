@@ -287,6 +287,31 @@ object ExtQueries {
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
 
+  /** IVF cell-balance report — the ops meter an inverted-file deployment
+    * reads before trusting its latency envelope: per-cell occupancy and
+    * corpus share under the production cell assignment (the same native
+    * in-row argmax every IVF query uses). A skewed cell list means one
+    * probe pays a disproportionate scoring bill; the fix (re-train
+    * centroids, split hot cells) starts from this table. One narrow
+    * corpus scan + a cells-bounded aggregation; the share window ranges
+    * over ≤ k rows. */
+  def eIvfBalance(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cells = graft.similarity.CellAssignment.collect(
+      emb, "vec_id", "embedding", col("vec_id") % 50 === 1)
+    val toDouble = transform(col("embedding"), x => x.cast("double"))
+    val counts = emb
+      .select(graft.similarity.CellAssignment.assignedCell(cells, toDouble)
+        .getField("cid").as("cell_id"))
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
+    counts
+      .withColumn("share", round(col("n_vecs").cast("double") /
+        sum(col("n_vecs")).over(org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)), 6))
+      .orderBy("cell_id")
+  }
+
   /** MinHash estimator calibration — the accuracy meter for every
     * signature-size/band/threshold knob (the LSH analogue of
     * e_ann_recall): per estimate level, how far the k-slot signature
@@ -2779,6 +2804,7 @@ object ExtQueries {
     "e_ann_recall" -> (eAnnRecall _),
     "e_ann_recall_sweep" -> (eAnnRecallSweep _),
     "e_ivf_topk" -> (eIvfTopk _),
+    "e_ivf_balance" -> (eIvfBalance _),
     "e_dedup_apply" -> (eDedupApply _),
     "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
@@ -3264,6 +3290,21 @@ object ExtQueries {
     "e_ann_recall" -> annRecallOracle,
     "e_ann_recall_sweep" -> annRecallSweepOracle,
     "e_ivf_topk" -> ivfOracle,
+    "e_ivf_balance" ->
+      s"""WITH $embCtes,
+        |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
+        |  FROM e v JOIN e c ON v.pos = c.pos
+        |  WHERE c.vec_id % 50 = 1
+        |  GROUP BY 1, 2),
+        |vcs AS (SELECT vid, cell_id, round(dp / (nv.nrm * nc.nrm), 6) AS cs
+        |  FROM vc JOIN norms nv ON nv.vec_id = vid
+        |  JOIN norms nc ON nc.vec_id = cell_id),
+        |assigned AS (SELECT vid, cell_id FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
+        |  FROM vcs) WHERE rn = 1)
+        |SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  round(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM assigned), 6) AS share
+        |FROM assigned GROUP BY cell_id ORDER BY cell_id""".stripMargin,
     "e_dedup_apply" -> dedupApplyOracle,
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,

@@ -129,7 +129,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-9: vocabulary analytics — gram first-occurrence aggregation /
     // broadcast vocab membership probe; only (key, count) rows shuffle
     "e_vocab_growth" -> (1L << 20),
-    "e_oov_rate" -> (1L << 20))
+    "e_oov_rate" -> (1L << 20),
+    // round-9: IVF balance = one narrow codegen assignment scan + a
+    // cells-bounded count — an embedding array in the shuffle is a breach
+    "e_ivf_balance" -> (1L << 18))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
