@@ -60,6 +60,9 @@ object ExtQueries {
   // code-switch profile (e_code_switch): language-ID segment width in
   // tokens (non-overlapping; the mixed-language detection grain)
   private val CsSegTokens = 10
+  // distribution drift (e_dist_drift): report depth of the top
+  // JS-divergence-contributing tokens between the en slice and the rest
+  private val DriftTopK = 20
   // vocabulary analytics: growth-curve bucket count (e_vocab_growth, at
   // W-shingle grain — the synthetic token vocabulary saturates within the
   // first few docs, the n-gram space keeps growing like a real corpus's
@@ -1074,6 +1077,33 @@ object ExtQueries {
         TextAnalysis.langId(col("text")).as("predicted"))
       .withColumn("matches_label", col("predicted") === col("labeled"))
       .orderBy("doc_id")
+
+  /** Token-distribution drift report — the monitoring read between two
+    * corpus slices (here the DSIR convention: lang='en' vs the rest):
+    * add-1-smoothed unigram distributions over the union vocabulary, and
+    * the per-token Jensen-Shannon divergence contribution, top
+    * DriftTopK. The production use: run between yesterday's corpus and
+    * today's ingest — a spiking token is the first symptom of a scraper
+    * change, a spam wave, or an upstream re-encode. One corpus count
+    * scan; totals broadcast as a one-row frame; TakeOrdered cut. */
+  def eDistDrift(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("lang"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+    val counts = toks.groupBy(col("token"))
+      .agg(count(when(col("lang") === "en", 1)).as("ca"),
+        count(when(col("lang") =!= "en", 1)).as("cb"))
+    val totals = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
+      count(lit(1)).as("v"))
+    val p = (col("ca") + 1.0) / (col("ta") + col("v"))
+    val q = (col("cb") + 1.0) / (col("tb") + col("v"))
+    val m = (p + q) / 2.0
+    val contrib = (p * log(p / m) + q * log(q / m)) / 2.0
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"), round(p, 6).as("p_en"), round(q, 6).as("p_rest"),
+        round(contrib, 6).as("js_contrib"))
+      .orderBy(desc("js_contrib"), asc("token")).limit(DriftTopK)
+  }
 
   /** Vocabulary growth curve (Heaps' law, the tokenizer/vocab-planning
     * read) at word W-gram grain: docs in id order are cut into
@@ -2812,6 +2842,7 @@ object ExtQueries {
     "e_code_switch" -> (eCodeSwitch _),
     "e_vocab_growth" -> (eVocabGrowth _),
     "e_oov_rate" -> (eOovRate _),
+    "e_dist_drift" -> (eDistDrift _),
     "e_text_quality" -> (eTextQuality _),
     "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
@@ -3323,6 +3354,22 @@ object ExtQueries {
         |  CAST(sum(new_grams) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT)
         |    AS cum_grams
         |FROM pb ORDER BY bucket""".stripMargin,
+    "e_dist_drift" ->
+      s"""WITH tk AS (SELECT lang, token FROM (
+        |  SELECT lang, unnest(str_split(trim(text), ' ')) AS token FROM documents)
+        |  WHERE token <> ''),
+        |c AS (SELECT token,
+        |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
+        |  CAST(count(*) FILTER (WHERE lang <> 'en') AS BIGINT) AS cb
+        |  FROM tk GROUP BY token),
+        |t AS (SELECT sum(ca) AS ta, sum(cb) AS tb, count(*) AS v FROM c),
+        |x AS (SELECT token,
+        |  (ca + 1.0) / (ta + v) AS p, (cb + 1.0) / (tb + v) AS q
+        |  FROM c, t)
+        |SELECT token, round(p, 6) AS p_en, round(q, 6) AS p_rest,
+        |  round((p * ln(p / ((p + q) / 2.0)) + q * ln(q / ((p + q) / 2.0))) / 2.0, 6)
+        |    AS js_contrib
+        |FROM x ORDER BY js_contrib DESC, token ASC LIMIT $DriftTopK""".stripMargin,
     "e_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, token FROM (
         |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS token FROM documents)

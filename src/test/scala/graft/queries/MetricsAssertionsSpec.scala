@@ -132,7 +132,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_oov_rate" -> (1L << 20),
     // round-9: IVF balance = one narrow codegen assignment scan + a
     // cells-bounded count — an embedding array in the shuffle is a breach
-    "e_ivf_balance" -> (1L << 18))
+    "e_ivf_balance" -> (1L << 18),
+    // round-9: drift = one token-count shuffle + a broadcast totals row +
+    // TakeOrdered — vocabulary-sized rows only
+    "e_dist_drift" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
