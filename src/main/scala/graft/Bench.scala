@@ -73,20 +73,21 @@ object Bench {
     // "metric":"total" (the discriminator the driver keys on), printed
     // last (build.sbt routes forked output raw and suppresses sbt's
     // "[success]" epilogue so no prefix or trailer breaks the parse).
-    val outFile = java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
-    // the bench-file write must not be able to suppress the stdout metric
-    // (the driver's only grading signal): an unwritable path degrades to a
-    // stderr note, never a missing line
+    val outName = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json")
+    // NOTHING about the bench file may suppress the stdout metric (the
+    // driver's only grading signal): a malformed path (InvalidPathException
+    // is a RuntimeException, not IOException) or an unwritable one degrades
+    // to a stderr note, never a missing line
     try {
+      val outFile = java.nio.file.Paths.get(outName)
       Option(outFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.writeString(outFile, json + "\n")
     } catch {
-      case e: java.io.IOException =>
-        System.err.println(s"[graft] bench file write failed ($outFile): $e")
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[graft] bench file write failed ($outName): $e")
     }
     val cpuSec = results.map(_._3("executorCpuTime")).sum / 1e9
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuSec,"n_queries":${results.size},"bench_file":"$outFile","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuSec,"n_queries":${results.size},"bench_file":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1130,9 +1130,13 @@ object Dedup {
       case Some(p) => p.select(col("doc_id")).unionByName(freshIds)
       case None => freshIds
     }
-    SpanDedupIncrement(
-      materializeAndRelease(cleaned, intermediates: _*),
-      materializeAndRelease(grownGrams),
-      materializeAndRelease(grownDocs))
+    // every consumer of the persisted gram table (cleaned AND the grown
+    // index) materializes BEFORE the intermediates release — releasing
+    // with the first consumer would re-run the batch's gram scan for the
+    // index build, breaking the gram-scanned-ONCE contract per micro-batch
+    val cleanedM = materializeAndRelease(cleaned)
+    val grownGramsM = materializeAndRelease(grownGrams)
+    val grownDocsM = materializeAndRelease(grownDocs, intermediates: _*)
+    SpanDedupIncrement(cleanedM, grownGramsM, grownDocsM)
   }
 }

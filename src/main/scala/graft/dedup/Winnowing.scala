@@ -66,13 +66,15 @@ object Winnowing {
   def winnowIncrement(batch: DataFrame, idCol: String, textCol: String,
                       prevFps: Option[DataFrame], shingleWidth: Int,
                       window: Int, minShared: Long): Increment = {
-    val fresh0 = fingerprints(batch, idCol, textCol, shingleWidth, window)
-    val fresh = prevFps match {
-      case Some(p) => fresh0.join(
-        p.select(col("doc_id")).distinct(), Seq("doc_id"), "left_anti")
-      case None => fresh0
+    // replay guard BEFORE fingerprinting: a redelivered batch must not
+    // pay the shingle+md5+winnow scan just to discard every row
+    val freshDocs = prevFps match {
+      case Some(p) => batch.join(
+        p.select(col("doc_id").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      case None => batch
     }
-    val freshM = Dedup.materializeAndRelease(fresh)
+    val freshM = Dedup.materializeAndRelease(
+      fingerprints(freshDocs, idCol, textCol, shingleWidth, window))
     val freshH = freshM.select(col("doc_id"), col("h")).distinct()
     val within = freshH.as("a").join(freshH.as("b"),
       col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))

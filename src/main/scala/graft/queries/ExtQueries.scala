@@ -217,9 +217,9 @@ object ExtQueries {
     // nearDupClusters: e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
-    // build (e_curation_funnel), e_minhash_calibration and
-    // e_ngram_jaccard directly
-    ("shingleBases", shingleCache, "e_ngram_jaccard"),
+    // build (e_curation_funnel), e_minhash_calibration, e_ngram_jaccard
+    // and e_vocab_growth directly
+    ("shingleBases", shingleCache, "e_vocab_growth"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_semantic_dedup
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
@@ -1090,16 +1090,24 @@ object ExtQueries {
     val toks = Tables.documents(s, d)
       .select(col("lang"), explode(split(trim(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
-    val counts = toks.groupBy(col("token"))
-      .agg(count(when(col("lang") === "en", 1)).as("ca"),
-        count(when(col("lang") =!= "en", 1)).as("cb"))
-    val totals = counts.agg(sum(col("ca")).as("ta"), sum(col("cb")).as("tb"),
-      count(lit(1)).as("v"))
-    val p = (col("ca") + 1.0) / (col("ta") + col("v"))
-    val q = (col("cb") + 1.0) / (col("tb") + col("v"))
+    // materialize the vocabulary-sized count table ONCE: the totals read
+    // and the contribution scan both consume it — a broadcast-subtree
+    // totals frame would re-run the corpus explode+aggregate a second time
+    val counts = Dedup.materializeAndRelease(
+      toks.groupBy(col("token"))
+        .agg(count(when(col("lang") === "en", 1)).as("ca"),
+          count(when(col("lang") =!= "en", 1)).as("cb")))
+    val tr = counts.agg(sum(col("ca")), sum(col("cb")), count(lit(1))).head()
+    // (ta + v) / (tb + v) as literal longs — the same integer sums the
+    // oracle's scalar subquery forms, so the double arithmetic below is
+    // order-identical in both engines
+    val taV = tr.getLong(0) + tr.getLong(2)
+    val tbV = tr.getLong(1) + tr.getLong(2)
+    val p = (col("ca") + 1.0) / lit(taV)
+    val q = (col("cb") + 1.0) / lit(tbV)
     val m = (p + q) / 2.0
     val contrib = (p * log(p / m) + q * log(q / m)) / 2.0
-    counts.crossJoin(broadcast(totals))
+    counts
       .select(col("token"), round(p, 6).as("p_en"), round(q, 6).as("p_rest"),
         round(contrib, 6).as("js_contrib"))
       .orderBy(desc("js_contrib"), asc("token")).limit(DriftTopK)
@@ -1119,11 +1127,11 @@ object ExtQueries {
     // compute it identically
     val width = math.ceil((docs.agg(max(col("doc_id"))).head().getLong(0) + 1)
       / VocabGrowthBuckets.toDouble).toLong
-    val toks = split(trim(col("text")), " ")
-    val firsts = docs
-      .select(col("doc_id"),
-        explode(Dedup.shingles(toks, W)).as("g"))
-      .select(col("doc_id"), graft.plans.HashExpressions.md5Half56(col("g")).as("gh"))
+    // rides the shared per-doc-distinct shingle memo (its b1 IS the
+    // oracle's 56-bit hash; min(doc_id) over per-doc-distinct rows equals
+    // min over all instances) — no second corpus explode+hash pass
+    val firsts = docShingleBases(s, d)
+      .select(col("doc_id"), col("b1").as("gh"))
       .groupBy(col("gh")).agg(min(col("doc_id")).as("first_doc"))
     val perBucket = firsts
       .groupBy(floor(col("first_doc") / width).as("bucket"))
