@@ -124,6 +124,25 @@ object ExtQueries {
   // HnK as training negatives
   private val HnSkip = 3
   private val HnK = 10
+  // Naive-Bayes classifier (e_nb_classify / e_nb_confusion): feature-hash
+  // buckets (the model is classes × buckets regardless of vocabulary) and
+  // the held-out convention (doc_id % 3 == 0 eval, rest train)
+  private val NbBuckets = 2048
+  // content-defined chunking (e_cdc_chunks / e_cdc_dedup): rolling-hash
+  // window in words and the boundary divisor (expected chunk ≈ divisor
+  // tokens) — boundary-shift-immune dedup grain
+  private val CdcWindow = 3
+  private val CdcDivisor = 8
+  // temperature-scaled mixture weights (e_mixture_temperature): the
+  // multilingual-sampling exponent α (p_i^α renormalized — α=1 keeps the
+  // natural distribution, α→0 flattens it; 0.3 is the published mT5 value)
+  private val MixAlpha = 0.3
+  // kNN label propagation (e_label_prop): seed convention (vec_id % 5 == 0
+  // carries its gold label), cosine-edge threshold over the banded
+  // candidate pairs, and the fixed round count (unrolled in the oracle)
+  private val LpSeedMod = 5
+  private val LpCosMin = 0.5
+  private val LpRounds = 2
 
   // Every memo build narrates its wall time to stdout (and the leveled
   // log): bench entries are name-sorted, so the alphabetically-first
@@ -189,7 +208,7 @@ object ExtQueries {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
-    winnowCache.clear()
+    winnowCache.clear(); nbCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -225,6 +244,8 @@ object ExtQueries {
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
+    // nbScored: e_nb_classify, e_nb_confusion
+    ("nbScored", nbCache, "e_nb_confusion"),
     // simhashFingerprints: e_dedup_simhash, e_simhash_multitable,
     // e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
@@ -279,6 +300,18 @@ object ExtQueries {
       Dedup.materializeAndRelease(
         graft.similarity.KMeans.assignments(Tables.embeddings(s, d), "vec_id",
           "embedding", isInit = col("vec_id") % 50 === 1, iterations = 2))))
+
+  // Two queries (per-doc predictions, confusion matrix) share the same
+  // train-on-the-rest NB scoring of the held-out slice; memoize the
+  // compact scored table (≤ |eval docs| rows × 4 cols) per sfDir. Same
+  // lifecycle as the other memos (releasePairsCache / releaseMemosAfter).
+  private val nbCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def nbScored(s: SparkSession, d: String): DataFrame =
+    nbCache.getOrElseUpdate(d, timedMemo("nbScored")(
+      Dedup.materializeAndRelease(
+        graft.functions.NaiveBayes.classify(Tables.documents(s, d),
+          "doc_id", "text", "lang", isEval = col("doc_id") % 3 === 0,
+          buckets = NbBuckets))))
 
   // ---------------- Spark side ----------------
 
@@ -543,6 +576,63 @@ object ExtQueries {
         Tables.documents(s, d), "doc_id", "text",
         isTarget = col("lang") === "en", buckets = DsirBuckets)
       .orderBy("doc_id")
+
+  /** Naive-Bayes language classifier — the trainable router at the gate
+    * of every published curation pipeline (CCNet/GPT-3's quality
+    * classifier, fastText's langid), trained on the non-held-out slice
+    * and scoring the held-out docs. Model is classes × NbBuckets counts
+    * (broadcast); scoring is one narrow scan + broadcast grid join +
+    * aggregation-only argmax — no window, nothing wide shuffles. */
+  def eNbClassify(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d).select("doc_id", "pred_lang", "nb_score").orderBy("doc_id")
+
+  /** The classifier's confusion matrix on the held-out slice — the
+    * accuracy meter that decides whether the router is trustworthy
+    * before it gates a 100 TB corpus. Bounded at classes² rows. */
+  def eNbConfusion(s: SparkSession, d: String): DataFrame =
+    nbScored(s, d).groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred_lang")
+
+  /** Temperature-scaled mixture weights (the mT5/multilingual sampling
+    * recipe): per-source sampling weight p^α / Σ p^α over natural token
+    * shares. One corpus scan to a sources-bounded frame; the two scalar
+    * renormalizations ride broadcast one-row frames. `boost` = w/p is
+    * the effective oversampling factor a budget planner reads off. */
+  def eMixtureTemperature(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"),
+        size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+      .groupBy("source").agg(sum(col("ntok")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot"))
+    val withP = per.crossJoin(broadcast(tot))
+      .withColumn("__p", col("n_tokens").cast("double") / col("__tot"))
+    val z = withP.agg(sum(pow(col("__p"), MixAlpha)).as("__z"))
+    withP.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"),
+        round(col("__p"), 6).as("p"),
+        round(pow(col("__p"), MixAlpha) / col("__z"), 6).as("w"),
+        round((pow(col("__p"), MixAlpha) / col("__z")) / col("__p"), 6).as("boost"))
+      .orderBy("source")
+  }
+
+  /** Content-defined chunking: rolling-hash boundaries segment every doc
+    * into content-anchored variable chunks (expected ≈ CdcDivisor
+    * tokens). Entirely in-row — a narrow scan partitioned like the
+    * corpus scan. */
+  def eCdcChunks(s: SparkSession, d: String): DataFrame =
+    graft.operators.ContentChunks.chunks(Tables.documents(s, d),
+        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor)
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Chunk-grain duplication under CDC segmentation — the
+    * boundary-shift-immune dedup grain fixed-window passage dedup
+    * misses. One chunk-hash aggregation. */
+  def eCdcDedup(s: SparkSession, d: String): DataFrame =
+    graft.operators.ContentChunks.duplicatedChunks(
+      graft.operators.ContentChunks.chunks(Tables.documents(s, d),
+        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor))
+      .orderBy(desc("n_copies"), col("chunk_hash"))
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
@@ -1987,6 +2077,106 @@ object ExtQueries {
        |FROM feats JOIN lr USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // Naive Bayes: identical feature hashing (56-bit md5 % buckets) and
+  // add-1 smoothing as the Spark side; the (class, bucket) grid is fully
+  // materialized so zero-count cells carry ln(1/(n_c+B)) exactly like the
+  // driver-built broadcast grid. Argmax by pure aggregation: max score
+  // per doc, exact join-back, min-label tie-break — the same three steps
+  // the Spark plan runs.
+  private val nbCtes =
+    s"""tl AS (SELECT doc_id, lang, doc_id % 3 = 0 AS ev,
+       |  str_split(trim(text), ' ') AS t FROM documents),
+       |uni AS (SELECT doc_id, lang, ev, unnest(t) AS f FROM tl),
+       |big AS (SELECT doc_id, lang, ev,
+       |  unnest(list_transform(range(1, len(t)),
+       |    i -> t[i] || ' ' || t[i + 1])) AS f FROM tl WHERE len(t) >= 2),
+       |feats AS (SELECT doc_id, lang, ev,
+       |  ${hexHashSql("f", "nb|")} % $NbBuckets AS b
+       |  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)),
+       |cls AS (SELECT lang AS c, CAST(count(*) AS DOUBLE) AS nd
+       |  FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1),
+       |tot AS (SELECT sum(nd) AS n FROM cls),
+       |cb AS (SELECT lang AS c, b, count(*) AS cnt FROM feats
+       |  WHERE NOT ev GROUP BY 1, 2),
+       |ctot AS (SELECT c, CAST(sum(cnt) AS DOUBLE) AS nc FROM cb GROUP BY 1),
+       |grid AS (SELECT cls.c, r.range AS b, coalesce(cb.cnt, 0) AS cnt
+       |  FROM cls CROSS JOIN range($NbBuckets) r
+       |  LEFT JOIN cb ON cb.c = cls.c AND cb.b = r.range),
+       |lp AS (SELECT g.c, g.b,
+       |  ln((CAST(g.cnt AS DOUBLE) + 1.0) / (ctot.nc + $NbBuckets)) AS lp
+       |  FROM grid g JOIN ctot ON ctot.c = g.c),
+       |pri AS (SELECT c, ln(nd / n) AS pr FROM cls CROSS JOIN tot),
+       |sc AS (SELECT f.doc_id, f.lang, lp.c,
+       |  round(pri.pr + sum(lp.lp), 6) AS score
+       |  FROM feats f JOIN lp ON lp.b = f.b JOIN pri ON pri.c = lp.c
+       |  WHERE f.ev GROUP BY 1, 2, 3, pri.pr),
+       |best AS (SELECT doc_id, max(score) AS m FROM sc GROUP BY 1)""".stripMargin
+
+  private val nbClassifyOracle =
+    s"""WITH $nbCtes
+       |SELECT b.doc_id, min(sc.c) AS pred_lang, b.m AS nb_score
+       |FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
+       |GROUP BY b.doc_id, b.m ORDER BY b.doc_id""".stripMargin
+
+  private val nbConfusionOracle =
+    s"""WITH $nbCtes,
+       |pred AS (SELECT sc.doc_id, sc.lang, min(sc.c) AS pred_lang
+       |  FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
+       |  GROUP BY 1, 2)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+       |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // mixture temperature: token shares and renormalized p^α weights —
+  // every division and pow written in the same shape the Spark columns
+  // compute, α rendered from the Scala double
+  private val mixtureTemperatureOracle =
+    s"""WITH per AS (SELECT source,
+       |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
+       |wp AS (SELECT source, n_tokens,
+       |  CAST(n_tokens AS DOUBLE) / tot AS p FROM per CROSS JOIN tot),
+       |z AS (SELECT sum(pow(p, $MixAlpha)) AS z FROM wp)
+       |SELECT source, n_tokens, round(p, 6) AS p,
+       |  round(pow(p, $MixAlpha) / z, 6) AS w,
+       |  round((pow(p, $MixAlpha) / z) / p, 6) AS boost
+       |FROM wp CROSS JOIN z ORDER BY source""".stripMargin
+
+  // Content-defined chunking: identical rolling boundary rule (56-bit
+  // md5 of the window ending at i, % divisor == 0, i ∈ [window, n-1]) and
+  // chunk hashing; per-doc segmentation via an ordered boundary window —
+  // the oracle-side mirror of the in-row bounds array.
+  private val cdcCtes =
+    s"""toks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+       |pos AS (SELECT doc_id, t, unnest(range($CdcWindow, len(t))) AS i
+       |  FROM toks WHERE len(t) > $CdcWindow),
+       |bnd AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
+       |  WHERE ${hexHashSql(s"array_to_string(t[i - ${CdcWindow - 1}:i], ' ')", "cdc|")}
+       |    % $CdcDivisor = 0),
+       |allb AS (SELECT doc_id, i FROM bnd
+       |  UNION ALL SELECT doc_id, CAST(len(t) AS BIGINT) AS i FROM toks),
+       |ch AS (SELECT doc_id,
+       |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS chunk_idx,
+       |  CAST(lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS BIGINT) AS start_tok,
+       |  CAST(i - lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS n_tok,
+       |  i AS e FROM allb),
+       |chunks AS (SELECT c.doc_id, chunk_idx, start_tok, n_tok,
+       |  ${hexHashSql("array_to_string(t[CAST(start_tok AS INT):CAST(e AS INT)], ' ')", "cdc|")} AS chunk_hash
+       |  FROM ch c JOIN toks USING (doc_id))""".stripMargin
+
+  private val cdcChunksOracle =
+    s"""WITH $cdcCtes
+       |SELECT doc_id, chunk_idx, start_tok, n_tok, chunk_hash
+       |FROM chunks ORDER BY doc_id, chunk_idx""".stripMargin
+
+  private val cdcDedupOracle =
+    s"""WITH $cdcCtes
+       |SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  min(doc_id) AS first_doc
+       |FROM chunks GROUP BY 1 HAVING count(*) > 1
+       |ORDER BY n_copies DESC, chunk_hash""".stripMargin
+
   // Suffix-array oracles: DuckDB sorts the word-sequence suffixes
   // DIRECTLY (lists compare lexicographically, element-wise, prefix
   // first — exactly the doc-bounded suffix order prefix doubling
@@ -2831,6 +3021,11 @@ object ExtQueries {
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
+    "e_nb_classify" -> (eNbClassify _),
+    "e_nb_confusion" -> (eNbConfusion _),
+    "e_mixture_temperature" -> (eMixtureTemperature _),
+    "e_cdc_chunks" -> (eCdcChunks _),
+    "e_cdc_dedup" -> (eCdcDedup _),
     "e_suffix_ranks" -> (eSuffixRanks _),
     "e_lcp_repeats" -> (eLcpRepeats _),
     "e_exact_contamination" -> (eExactContamination _),
@@ -3254,6 +3449,11 @@ object ExtQueries {
         |  ${hexHashSql(s"array_to_string(t[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ')")} AS chunk_hash
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "e_dsir_weights" -> dsirOracle,
+    "e_nb_classify" -> nbClassifyOracle,
+    "e_nb_confusion" -> nbConfusionOracle,
+    "e_mixture_temperature" -> mixtureTemperatureOracle,
+    "e_cdc_chunks" -> cdcChunksOracle,
+    "e_cdc_dedup" -> cdcDedupOracle,
     "e_suffix_ranks" -> suffixRanksOracle,
     "e_lcp_repeats" -> lcpRepeatsOracle,
     "e_exact_contamination" -> exactContaminationOracle,

@@ -135,7 +135,21 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_ivf_balance" -> (1L << 18),
     // round-9: drift = one token-count shuffle + a broadcast totals row +
     // TakeOrdered — vocabulary-sized rows only
-    "e_dist_drift" -> (1L << 20))
+    "e_dist_drift" -> (1L << 20),
+    // round-9: NB = bounded model histogram + broadcast-grid scoring
+    // (per-(doc,class) sums and the argmax join-back) — measured 74 KB at
+    // sf0.001; a breach means the grid stopped broadcasting or the
+    // feature stream started shuffling raw
+    "e_nb_classify" -> (1L << 20),
+    "e_nb_confusion" -> (1L << 20),
+    // round-9: mixture weights = one sources-bounded aggregation + two
+    // broadcast scalar renorms — measured ~1 KB at sf0.001
+    "e_mixture_temperature" -> (1L << 16),
+    // round-9: CDC segmentation is in-row (measured 59 B — only the
+    // output orderBy samples); the dedup consumer shuffles chunk-hash
+    // aggregation rows only, measured 33 KB
+    "e_cdc_chunks" -> (1L << 16),
+    "e_cdc_dedup" -> (1L << 19))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

@@ -230,6 +230,42 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bhj.nonEmpty, s"the log-ratio model must broadcast:\n$plan")
   }
 
+  test("e_nb_classify: the log-likelihood grid joins BROADCAST; corpus never shuffle-joins") {
+    // the point of feature hashing is a classes×buckets model: scoring
+    // must broadcast the grid against the feature stream, never shuffle
+    // the corpus onto the model's key (the e_dsir_weights contract).
+    // The graded query memoizes (checkpoints) the scored table, which
+    // hides the scoring subplan — assert on the direct classify plan.
+    val df = graft.functions.NaiveBayes.classify(
+      graft.Tables.documents(spark, d), "doc_id", "text", "lang",
+      isEval = org.apache.spark.sql.functions.col("doc_id") % 3 === 0,
+      buckets = 64)
+    df.count()
+    val plan = df.queryExecution.executedPlan
+    val shuffled = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty, s"NB scoring must not shuffle-join:\n$plan")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"the log-likelihood grid must broadcast:\n$plan")
+  }
+
+  test("e_cdc_chunks: segmentation is one narrow scan — no join, no aggregation exchange") {
+    // CDC boundaries and chunk assembly are in-row; the only plan nodes
+    // allowed beyond the scan are projections, the generator, and the
+    // output ordering
+    val plan = executedPlan("e_cdc_chunks")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty, s"segmentation must not join:\n$plan")
+    val aggs = collectWithSubqueries(plan) {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }
+    assert(aggs.isEmpty, s"segmentation must not aggregate:\n$plan")
+  }
+
   test("e_semantic_dedup and e_curation_funnel: no cartesian/nested-loop anywhere") {
     for (q <- Seq("e_semantic_dedup", "e_curation_funnel")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
