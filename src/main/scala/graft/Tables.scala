@@ -39,11 +39,27 @@ object Tables {
   }
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS), which Spark 4 only reads via
-    // the legacy long mapping; `ts` is therefore a bigint of epoch-nanos.
+    // events.parquet carries TIMESTAMP(NANOS). The engine-wide contract is
+    // `ts` = bigint of epoch-nanos. Older Spark 4 point releases honor the
+    // legacy long mapping below; Spark >= 4.1.2 ignores it and reads the
+    // column natively as a (NTZ) timestamp truncated to microseconds — the
+    // normalization after the read restores the bigint contract either
+    // way. DuckDB's parquet reader truncates the same nanos to TIMESTAMP
+    // micros, so every oracle grain (epoch_us/epoch_ms/seconds) stays
+    // bit-identical with the `* 1000` re-widening.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache.getOrElseUpdate((sfDir, name), {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      var df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (name == "events" &&
+          df.schema("ts").dataType != org.apache.spark.sql.types.LongType) {
+        // CAST from NTZ interprets the wall clock in the session time zone
+        // — every entry point in this repo (and build.sbt's forked-JVM
+        // javaOptions) pins spark.sql.session.timeZone=UTC, which is what
+        // makes this the stored UTC instant.
+        df = df.withColumn("ts",
+          org.apache.spark.sql.functions.expr(
+            "unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      }
       if (persistEnabled) df.persist() else df
     })
   }
