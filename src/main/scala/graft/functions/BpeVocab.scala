@@ -55,27 +55,76 @@ object BpeVocab {
     * learned merge table in order — `(merge_idx, pair, merged,
     * pair_count)` — which IS the tokenizer artifact BPE training exists to
     * produce. Ties break deterministically on (count desc, pair asc).
-    * Stops early if the vocabulary runs out of pairs. */
-  def train(wordCounts: DataFrame, nMerges: Int): Seq[Merge] = {
+    * Stops early if the vocabulary runs out of pairs.
+    *
+    * The pair-count table is maintained INCREMENTALLY (the classic BPE
+    * trainer optimization): the full vocabulary explodes into adjacent
+    * pairs exactly once; each merge round then re-pairs only the words
+    * that CONTAIN the merged pair (a cheap codegen `contains` scan — no
+    * regex, no explode on the untouched vocabulary) and folds the ±wc
+    * deltas into the standing count table. Per-round work is ∝ affected
+    * words, not vocabulary — on a 100 TB corpus's multi-million-word
+    * vocabulary most rounds touch a sliver of it. The encoding column
+    * itself advances as a LAZY fold of literal replaces over the last
+    * materialized snapshot, re-materialized every [[EncSnapshotEvery]]
+    * rounds so plan depth stays bounded without a per-round persist. */
+  def train(wordCounts: DataFrame, nMerges: Int): Seq[Merge] =
+    // vocabulary-sized rounds on a corpus-sized shuffle-partition count
+    // are pure scheduling overhead — let AQE size the round stages by
+    // measured bytes (single-task at test scale, unchanged at 100 TB)
+    graft.tools.AqeHints.byteSizedStages(wordCounts.sparkSession) {
+      trainInner(wordCounts, nMerges)
+    }
+
+  private def trainInner(wordCounts: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "need at least one merge round")
-    val spark = wordCounts.sparkSession
+    // Every round's `enc` is a (lazily) persisted depth-1 plan over its
+    // cached predecessor — NOT a growing fold of replaces. Structurally
+    // identical round plans mean whole-stage codegen compiles ONCE for
+    // the whole training run (string literals land in the reference
+    // array, not the generated source); the driver-side plan+compile
+    // overhead, not data volume, dominates rounds at any vocabulary size.
+    val tInit = System.nanoTime()
     var enc = wordCounts.select(col("word"), col("wc"),
         regexp_replace(col("word"), "(.)", "($1)").as("enc"))
       .persist()
     enc.count()
+    println(f"[graft] bpe init ${(System.nanoTime() - tInit) / 1e9}%.3f s")
+    // predecessors retire one materialization late: a persisted-but-not-
+    // yet-computed successor still reads them
+    var retiringEnc: Option[DataFrame] = None
+    // the one full-vocabulary pair explode of the whole training run;
+    // persisted LAZILY — the first round's argmax job materializes it
+    var counts = enc
+      // cheap necessary condition for ≥2 symbols (each group is ≥3
+      // chars); the pairsOf guard handles long single-symbol words
+      .filter(length(col("enc")) >= 6)
+      .select(col("wc"), explode(pairsOf(col("enc"))).as("pr"))
+      .groupBy(col("pr")).agg(sum(col("wc")).as("c"))
+      .persist()
+    // the previous round's count table: still referenced by `counts`'
+    // un-materialized delta plan, so its unpersist DEFERS until the argmax
+    // that materializes the successor has run
+    var retiring: Option[DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var exhausted = false
     var i = 1
     while (i <= nMerges && !exhausted) {
-      val top = enc
-        // cheap necessary condition for ≥2 symbols (each group is ≥3
-        // chars); the pairsOf guard handles long single-symbol words
-        .filter(length(col("enc")) >= 6)
-        .select(col("wc"), explode(pairsOf(col("enc"))).as("pr"))
-        .groupBy(col("pr")).agg(sum(col("wc")).as("c"))
+      // ONE job per round: the argmax both reads the current table and —
+      // because it is a fresh persist whose one-delta plan reads the
+      // cached predecessor — populates its cache for the next round.
+      // Deltas can zero a pair out (the merged pair itself always goes to
+      // exactly 0); argmax only over live pairs.
+      val t0 = System.nanoTime()
+      val top = counts.filter(col("c") > 0)
         .orderBy(desc("c"), asc("pr"))
         .limit(1)
         .collect()
+      println(f"[graft] bpe round $i argmax ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      retiring.foreach(_.unpersist(false))
+      retiring = None
+      retiringEnc.foreach(_.unpersist(false))
+      retiringEnc = None
       top.headOption match {
         case None => exhausted = true
         case Some(row) =>
@@ -85,17 +134,34 @@ object BpeVocab {
           val mergedEnc = pair.replace(")(", "")
           merges += Merge(i.toLong, pair,
             mergedEnc.stripPrefix("(").stripSuffix(")"), row.getLong(1))
+          // only words containing the pair change their pair multiset:
+          // -pairs(old encoding) +pairs(new encoding), wc-weighted — the
+          // classic incremental BPE trainer shape: per-round work ∝
+          // affected words, never the whole vocabulary
+          val affected = enc.filter(col("enc").contains(pair))
+          val neg = affected
+            .select((-col("wc")).as("d"), explode(pairsOf(col("enc"))).as("pr"))
           // literal (non-regex) replace; pair text is [a-z()] only
-          val next = enc.withColumn("enc",
-              expr(s"replace(enc, '$pair', '$mergedEnc')"))
+          val replaced = expr(s"replace(enc, '$pair', '$mergedEnc')")
+          val pos = affected.withColumn("enc", replaced)
+            .select(col("wc").as("d"), explode(pairsOf(col("enc"))).as("pr"))
+          val next = counts.select(col("pr"), col("c").as("d"))
+            .unionByName(neg.select(col("pr"), col("d")))
+            .unionByName(pos.select(col("pr"), col("d")))
+            .groupBy(col("pr")).agg(sum(col("d")).as("c"))
+            .filter(col("c") =!= 0)
             .persist()
-          next.count()
-          enc.unpersist(false)
-          enc = next
+          retiring = Some(counts)
+          counts = next
+          retiringEnc = Some(enc)
+          enc = enc.withColumn("enc", replaced).persist()
           i += 1
       }
     }
+    retiringEnc.foreach(_.unpersist(false))
     enc.unpersist(false)
+    retiring.foreach(_.unpersist(false))
+    counts.unpersist(false)
     merges.toSeq
   }
 
