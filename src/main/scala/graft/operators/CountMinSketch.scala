@@ -114,7 +114,10 @@ object CountMinSketch {
       .orderBy(col("est_count").desc, col("token").asc)
       .limit(k)
       .withColumn("rank",
+        // k-row post-limit frame: constant partition key = same
+        // single-partition run without the unpartitioned-window warning
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("est_count").desc, col("token").asc)).cast("long"))
   }
 }

@@ -62,8 +62,12 @@ object WeightedSample {
     * Both derive from the same cut rows via unbounded windows (the cut
     * output is one partition already, so no extra exchange). */
   private[graft] def finalizeSample(topNp1: DataFrame, n: Int): DataFrame = {
-    val wOrd = Window.orderBy(desc("priority"), asc("doc_id"))
-    val wAll = Window.partitionBy()
+    // ≤ n+1-row frame (the cut output): the constant partition key keeps
+    // the same single-partition execution while not tripping WindowExec's
+    // unpartitioned-window warning, which is about unbounded inputs
+    val wOrd = Window.partitionBy(lit(0))
+      .orderBy(desc("priority"), asc("doc_id"))
+    val wAll = Window.partitionBy(lit(0))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     topNp1
       .select(col("doc_id"), col("weight"), col("priority"),
