@@ -129,4 +129,79 @@ object LanguageModel {
         round(col("h"), 6).as("cross_entropy"),
         round(exp(col("h")), 6).as("perplexity"))
   }
+
+  /** Per-document perplexity under an interpolated KNESER-NEY bigram
+    * model — the smoothing the production KenLM stage actually ships
+    * (Kneser & Ney 1995; Chen & Goodman 1999 found it the consistently
+    * best n-gram smoother): instead of backing off to RAW unigram
+    * frequency (which overweights words that are frequent only inside one
+    * collocation — the "San Francisco" pathology), the backoff weight is
+    * the CONTINUATION probability, how many distinct contexts a word
+    * follows:
+    *
+    *   P_KN(w | v) = max(c(v,w) − D, 0) / c(v)
+    *               + (D · N1+(v,·) / c(v)) · P_cont(w),
+    *   P_cont(w)   = (N1+(·,w) + 1) / (B + V + 1)
+    *
+    * with absolute discount `D`, N1+(v,·) = distinct words following v,
+    * N1+(·,w) = distinct contexts preceding w, B = distinct bigram types,
+    * V = unigram types. The +1/(V+1) add-one on the continuation
+    * distribution is this engine's deterministic totality convention (the
+    * same +1 OOV type as the add-α models): P_cont > 0 for every token,
+    * so cross-corpus application is total. Document-initial tokens (and,
+    * cross-corpus, tokens after a never-seen context, where c(v) = 0)
+    * score P_cont alone. Returns (doc_id, n_scored, cross_entropy,
+    * perplexity), 6 dp.
+    *
+    * Plan shape at 100 TB: identical to [[perplexityInterpolated]] — the
+    * (prev, w) stream equi-joins the bigram table on its composite key,
+    * and BOTH context marginals (c(v), N1+(v,·)) come out of ONE
+    * aggregation over that table; the continuation table is one more
+    * vocabulary-sized aggregation joined on the term. Scalars (B, V)
+    * broadcast as a one-row frame. Nothing here is
+    * broadcast-by-assumption. */
+  def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
+                          discount: Double = 0.75): DataFrame = {
+    require(discount > 0 && discount < 1, "discount must be in (0, 1)")
+    val uni = unigramCounts(docs, textCol)
+    val big = bigramCounts(docs, textCol)
+    // both context marginals in one pass over the bigram table
+    val ctx = big.groupBy(col("w1").as("prev"))
+      .agg(sum(col("c12")).as("cv"), count(lit(1)).as("n1fwd"))
+    val cont = big.groupBy(col("w2").as("w"))
+      .agg(count(lit(1)).as("n1bwd"))
+    val stats = big.agg(count(lit(1)).cast("double").as("b_types"))
+      .crossJoin(uni.agg(count(lit(1)).cast("double").as("v_types")))
+    val t = split(trim(col(textCol)), " ")
+    // (doc_id, w, prev): prev = '' at the first position — the same
+    // in-row predecessor resolution as the interpolated scorer
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"), t.as("t"),
+        posexplode(t).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+      .select(col("doc_id"), col("w"),
+        when(col("pos") > 0, element_at(col("t"), col("pos")))
+          .otherwise(lit("")).as("prev"))
+    val pCont = (coalesce(col("n1bwd"), lit(0L)).cast("double") + lit(1.0)) /
+      (col("b_types") + col("v_types") + lit(1.0))
+    val cvD = col("cv").cast("double")
+    val pKn = greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(discount),
+      lit(0.0)) / cvD +
+      (lit(discount) * col("n1fwd").cast("double") / cvD) * pCont
+    // doc-initial or (cross-corpus) unseen context → pure continuation
+    val logp = when(col("prev") === "" || col("cv").isNull, log(pCont))
+      .otherwise(log(pKn))
+    toks
+      .join(cont, Seq("w"), "left")
+      .join(ctx, Seq("prev"), "left")
+      .join(big.select(col("w1").as("prev"), col("w2").as("w"), col("c12")),
+        Seq("prev", "w"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_scored"),
+        (-sum(logp) / count(lit(1))).as("h"))
+      .select(col("doc_id"), col("n_scored"),
+        round(col("h"), 6).as("cross_entropy"),
+        round(exp(col("h")), 6).as("perplexity"))
+  }
 }

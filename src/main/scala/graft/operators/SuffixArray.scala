@@ -148,8 +148,21 @@ object SuffixArray {
   def repeatedSpansFromRanks(ranks: DataFrame, docs: DataFrame,
                              idCol: String, textCol: String,
                              window: Int, topK: Int,
-                             pairKeep: Column = lit(true)): DataFrame = {
-    require(window >= 1 && topK >= 1)
+                             pairKeep: Column = lit(true)): DataFrame =
+    spansFromPairs(adjacentSpanPairs(ranks, docs, idCol, textCol, window),
+      topK, pairKeep)
+
+  /** Every rank-adjacent suffix pair with its window-bounded LCP and the
+    * shared prefix text — the FULL compare table both span reads
+    * ([[repeatedSpansFromRanks]] and [[crossSourceSpans]]) cut from.
+    * Factored out so callers serving several reads can materialize it
+    * once: the span-string build (one doc-grain broadcast join + in-row
+    * window slice per position) and the adjacency equi-join are the whole
+    * cost of a span read, and they are identical across reads. */
+  def adjacentSpanPairs(ranks: DataFrame, docs: DataFrame,
+                        idCol: String, textCol: String,
+                        window: Int): DataFrame = {
+    require(window >= 1)
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
       split(trim(col(textCol)), " ").as("t"))
     // re-attach text ONCE, already truncated to the compare window — the
@@ -164,7 +177,6 @@ object SuffixArray {
       col("widx").as("pos_b"), (col("spos") - 1).as("spos"),
       col("__s").as("__sb"))
     a.join(b, Seq("spos"))
-      .filter(pairKeep)
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         graft.plans.TextExpressions.commonPrefixLen(col("__sa"), col("__sb"))
           .cast("long").as("lcp"),
@@ -172,6 +184,16 @@ object SuffixArray {
       .select(col("doc_a"), col("pos_a"), col("doc_b"), col("pos_b"),
         col("lcp"), col("__sa").substr(lit(1), col("lcp").cast("int"))
           .as("prefix"))
+  }
+
+  /** The report cut over an [[adjacentSpanPairs]] table (possibly
+    * memoized by the caller): filter, then a bounded TakeOrdered — never
+    * a global sort. */
+  def spansFromPairs(pairs: DataFrame, topK: Int,
+                     pairKeep: Column = lit(true)): DataFrame = {
+    require(topK >= 1)
+    pairs
+      .filter(pairKeep)
       .orderBy(desc("lcp"), asc("doc_a"), asc("pos_a"),
         asc("doc_b"), asc("pos_b"))
       .limit(topK)

@@ -119,6 +119,15 @@ object ExtQueries {
   private val LmAlpha = 1.0
   private val LmLambda = 0.7
   private val LmTailTiles = 10L
+  // Kneser-Ney absolute discount (e_lm_kneser_ney)
+  private val KnDiscount = 0.75
+  // near-dup graph k-core (e_dup_kcore): minimum within-core degree and
+  // the bounded peel-round count mirrored in the unrolled oracle
+  private val KcoreK = 3
+  private val KcoreRounds = 8
+  // IVF-PQ exact re-rank (e_ivfpq_rerank): ADC shortlist depth fed to the
+  // refine stage (3× the final k — the FAISS IVFPQR convention)
+  private val PqRerankDepth = 9
   // hard-negative mining (e_hard_negatives): drop the HnSkip likely
   // positives at the head of each query's ANN shortlist, keep the next
   // HnK as training negatives
@@ -208,6 +217,7 @@ object ExtQueries {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
     shingleCache.clear(); fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
+    saPairsCache.clear()
     winnowCache.clear(); nbCache.clear()
   }
 
@@ -253,6 +263,8 @@ object ExtQueries {
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
     ("suffixRanks", saCache, "e_suffix_ranks"),
+    // saSpanPairs: e_exact_contamination (builds), e_lcp_repeats
+    ("saSpanPairs", saPairsCache, "e_lcp_repeats"),
     // winnowFps: e_winnow_fingerprints, e_winnow_matches
     ("winnowFps", winnowCache, "e_winnow_matches"))
 
@@ -342,7 +354,12 @@ object ExtQueries {
       .groupBy(col("cell_id")).agg(count(lit(1)).as("n_vecs"))
     counts
       .withColumn("share", round(col("n_vecs").cast("double") /
+        // cells-bounded frame (≤ IvfCells rows): the constant partition
+        // key keeps the same single-partition execution while not
+        // tripping WindowExec's unpartitioned-window warning, which is
+        // about unbounded inputs
         sum(col("n_vecs")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.unboundedFollowing)), 6))
       .orderBy("cell_id")
@@ -390,6 +407,30 @@ object ExtQueries {
       .select(col("id").as("doc_id"), col("rank"))
       .orderBy("doc_id")
   }
+
+  /** Duplication-graph density: per-node triangle count and local
+    * clustering coefficient over the high-confidence near-dup graph —
+    * cliquish neighborhoods are template/mirror farms (delete the whole
+    * cluster), low-coefficient chains are paraphrase drift (keep one per
+    * hop). Degree-ordered wedge orientation bounds out-degree at O(√m),
+    * so the wedge join never goes quadratic on hub docs. Rides the
+    * memoized pair table, name-ordered before its release point. */
+  def eDupTriangles(s: SparkSession, d: String): DataFrame =
+    graft.operators.Triangles.perNode(
+        minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")))
+      .orderBy("doc_id")
+
+  /** The k-core of the near-dup graph (k = [[KcoreK]]): docs that keep
+    * degree ≥ k after everything sparser is recursively peeled — the
+    * density filter separating mirror farms from incidental matches.
+    * Bounded peel rounds; rides the memoized pair table. */
+  def eDupKcore(s: SparkSession, d: String): DataFrame =
+    graft.operators.KCore.coreMembers(
+        minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+          .select(col("doc_a"), col("doc_b")),
+        k = KcoreK, maxRounds = KcoreRounds)
+      .orderBy("doc_id")
 
   /** Per-doc novelty / memorization-risk score: the fraction of a doc's
     * distinct shingles that appear in >= 3 docs corpus-wide — low novelty
@@ -548,25 +589,43 @@ object ExtQueries {
       .select(col("doc_id"), col("widx"), col("srank"), col("spos"))
       .orderBy("doc_id", "widx")
 
+  // Both span reads (e_exact_contamination, e_lcp_repeats) cut their
+  // report from the IDENTICAL rank-adjacent pair table — the span-string
+  // build plus the adjacency equi-join is the whole cost of a read, so it
+  // materializes once and each query is just a filter + TakeOrdered over
+  // it. Charged to e_exact_contamination (first consumer), released after
+  // e_lcp_repeats. Consumes the suffixRanks memo transitively.
+  // Plain persist, NOT a checkpoint: the pair table is wide (~two window
+  // strings per corpus position) and consumed exactly twice back-to-back,
+  // so a checkpoint WRITE costs more than the one recompute it could ever
+  // save; the in-memory cache serves the second read and releases after
+  // e_lcp_repeats.
+  private val saPairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def saSpanPairs(s: SparkSession, d: String): DataFrame =
+    saPairsCache.getOrElseUpdate(d,
+      graft.operators.SuffixArray.adjacentSpanPairs(
+        suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
+        window = SaWindow).persist())
+
   /** Longest repeated spans via rank-adjacent LCP over the suffix array —
     * verbatim repeated text at EVERY grain at once (the exact primitive
-    * passage dedup approximates at chunk grain). Rides the suffixRanks
-    * memo, name-ordered before its release point (e_suffix_ranks). */
+    * passage dedup approximates at chunk grain). Rides the shared
+    * rank-adjacent pair memo, name-ordered at its release point. */
   def eLcpRepeats(s: SparkSession, d: String): DataFrame =
-    graft.operators.SuffixArray.repeatedSpansFromRanks(
-      suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
-      window = SaWindow, topK = SaTopK)
+    graft.operators.SuffixArray.spansFromPairs(saSpanPairs(s, d),
+      topK = SaTopK)
 
   /** Exact-substring contamination: the longest verbatim spans shared
     * between the held-out slice (doc_id % 97 == 0 — the same convention
     * as e_decontam) and the rest of the corpus, read off rank-adjacent
     * cross-source suffix pairs. Decontamination at ANY span length where
-    * the shingle path checks one fixed width. Rides the suffixRanks
-    * memo, name-ordered before its release point. */
+    * the shingle path checks one fixed width. Rides (and builds) the
+    * shared rank-adjacent pair memo, name-ordered before its release
+    * point. */
   def eExactContamination(s: SparkSession, d: String): DataFrame =
-    graft.operators.SuffixArray.crossSourceSpans(
-      suffixRanksMemo(s, d), Tables.documents(s, d), "doc_id", "text",
-      isHeldOut = _ % 97 === 0, window = SaWindow, topK = SaTopK)
+    graft.operators.SuffixArray.spansFromPairs(saSpanPairs(s, d),
+      topK = SaTopK,
+      pairKeep = (col("doc_a") % 97 === 0) =!= (col("doc_b") % 97 === 0))
 
   /** DSIR importance weights: every doc scored by how much its hashed
     * unigram+bigram distribution resembles the English slice (the target
@@ -791,6 +850,41 @@ object ExtQueries {
         PqM, PqSubDim, PqTopK, nProbe = 2)
       .orderBy("query_id", "rank")
 
+  /** IVF-PQ with exact re-ranking — the refine stage of FAISS's IVFPQR
+    * and the standard production shape: ADC's lossy distances shortlist
+    * [[PqRerankDepth]] candidates, then ONLY those rows fetch their raw
+    * embeddings (equi-join on the id, candidates broadcast — the corpus's
+    * embedding arrays never shuffle) for an exact rounded-cosine re-rank
+    * to the final top-[[PqTopK]]. Fixes ADC's near-boundary inversions at
+    * the cost of depth-per-query exact scores, not corpus-wide ones. */
+  def eIvfPqRerank(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cand = graft.similarity.ProductQuantization.ivfPqTopK(
+        emb, "vec_id", "embedding",
+        isQuery = col("vec_id") % 50 === 0,
+        isCentroid = col("vec_id") % 50 === 1,
+        isCodeword = col("vec_id") % 50 === 1,
+        PqM, PqSubDim, PqRerankDepth, nProbe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val corpus = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"),
+      Similarity.norm(col("embedding")).as("c_norm"))
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_norm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(desc("cosine_sim"), asc("neighbor_id"))
+    corpus.join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Similarity.dot(col("q_emb"), col("c_emb")) /
+          (col("q_norm") * col("c_norm")), 6).as("cosine_sim"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= PqTopK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Hard-negative mining for dense-retriever training: per query, the
     * ANN candidates ranked JUST BELOW the likely-positive shortlist head
     * (ranks HnSkip+1 .. HnSkip+HnK) — the negatives the current embedding
@@ -910,6 +1004,15 @@ object ExtQueries {
   def eLmPerplexity2(s: SparkSession, d: String): DataFrame =
     lmScores(s, d).orderBy("doc_id")
 
+  /** Interpolated Kneser-Ney bigram perplexity per document — the
+    * smoothing the production KenLM filter stage actually ships (backoff
+    * mass goes to CONTINUATION probability, not raw unigram frequency, so
+    * collocation-bound words stop masquerading as generally likely). */
+  def eLmKneserNey(s: SparkSession, d: String): DataFrame =
+    graft.functions.LanguageModel.perplexityKneserNey(
+        Tables.documents(s, d), "doc_id", "text", discount = KnDiscount)
+      .orderBy("doc_id")
+
   /** The CCNet-style tail cut applied: drop the worst (highest-perplexity)
     * decile of the corpus. The decile boundary is exact global NTILE rank —
     * computed with the histogram two-pass [[graft.operators.ScalableNtile]]
@@ -945,7 +1048,10 @@ object ExtQueries {
     * lists are top-`RrfDepth` cuts (bounded by construction, so the rank
     * windows run over ≤ RrfDepth rows); absent ranks contribute 0. */
   def eHybridRrf(s: SparkSession, d: String): DataFrame = {
+    // RrfDepth-bounded frame (post-topK): constant partition key = same
+    // single-partition run without the unpartitioned-window warning
     val lexW = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0))
       .orderBy(desc("bm25"), asc("doc_id"))
     val lex = graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id",
         "text", Bm25Terms, topK = RrfDepth)
@@ -1227,8 +1333,11 @@ object ExtQueries {
       .groupBy(floor(col("first_doc") / width).as("bucket"))
       .agg(count(lit(1)).as("new_grams"))
     perBucket
+      // VocabGrowthBuckets-bounded frame: constant partition key = same
+      // single-partition run without the unpartitioned-window warning
       .withColumn("cum_grams", sum(col("new_grams")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0)).orderBy(col("bucket"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .orderBy("bucket")
   }
@@ -1563,7 +1672,10 @@ object ExtQueries {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
       .withColumn("rank",
+        // 50-row post-limit frame: constant partition key = same
+        // single-partition run without the unpartitioned-window warning
         row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
           .orderBy(col("n").desc, col("token").asc)).cast("long"))
       .orderBy("rank")
 
@@ -1734,6 +1846,26 @@ object ExtQueries {
   }
 
   private val minhashOracle = minhashOracleSql()
+
+  // The high-confidence near-dup graph (est_jaccard >= 0.5 candidate
+  // pairs, doc_a < doc_b) as a reusable CTE chain ending in `est` — the
+  // shared subgraph of the graph-analytics oracles (authority, triangles,
+  // k-core) and the Spark side's minhashPairs(...).filter(est >= 0.5).
+  private lazy val nearDupGraphCtes: String = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |est AS (SELECT p.doc_a, p.doc_b FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id
+       |  WHERE ($matchSum) / $K.0 >= 0.5)""".stripMargin
+  }
 
   // Calibration: the candidate pairs with their signature estimates,
   // joined against TRUE Jaccard from the per-doc-distinct shingle table
@@ -2843,9 +2975,11 @@ object ExtQueries {
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
 
   /** IVF-PQ: the ivfOracle cell-assignment chain (rounded-cosine argmax,
-    * nProbe = 2) composed with the PQ code chain and an ADC rescore. */
-  private val ivfPqOracle =
-    s"""WITH $embCtes,
+    * nProbe = 2) composed with the PQ code chain and an ADC rescore —
+    * everything through the ADC-ranked candidate list `ranked`, shared by
+    * the top-k read and the exact-re-rank stage. */
+  private lazy val ivfPqChainCtes =
+    s"""$embCtes,
        |$pqChain,
        |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
        |  FROM e v JOIN e c ON v.pos = c.pos
@@ -2875,8 +3009,31 @@ object ExtQueries {
        |       JOIN lut l ON l.qid = cand.qid AND l.m = c.m AND l.cid = c.code
        |       GROUP BY 1, 2),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |       ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank FROM adc)
+       |       ORDER BY adc_d2 ASC, neighbor_id ASC) AS BIGINT) AS rank FROM adc)""".stripMargin
+
+  private val ivfPqOracle =
+    s"""WITH $ivfPqChainCtes
        |SELECT query_id, neighbor_id, adc_d2, rank FROM ranked
+       |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
+
+  /** ADC shortlist (depth [[PqRerankDepth]]) re-scored EXACTLY: the
+    * refine stage of IVFPQR — candidates re-rank on the true rounded
+    * cosine read off the raw embeddings. */
+  private val ivfPqRerankOracle =
+    s"""WITH $ivfPqChainCtes,
+       |cnd AS (SELECT query_id, neighbor_id FROM ranked
+       |  WHERE rank <= $PqRerankDepth),
+       |ex AS (SELECT c.query_id, c.neighbor_id,
+       |    round(sum(eq.v * en.v) / (nq.nrm * nn.nrm), 6) AS cosine_sim
+       |  FROM cnd c
+       |  JOIN e eq ON eq.vec_id = c.query_id
+       |  JOIN e en ON en.vec_id = c.neighbor_id AND en.pos = eq.pos
+       |  JOIN norms nq ON nq.vec_id = c.query_id
+       |  JOIN norms nn ON nn.vec_id = c.neighbor_id
+       |  GROUP BY c.query_id, c.neighbor_id, nq.nrm, nn.nrm),
+       |rr AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |  ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM ex)
+       |SELECT query_id, neighbor_id, cosine_sim, rank FROM rr
        |WHERE rank <= $PqTopK ORDER BY query_id, rank""".stripMargin
 
   /** IVFADC residual oracle: the ivfPqOracle assignment/probe chain, then
@@ -3013,6 +3170,8 @@ object ExtQueries {
     "e_cross_source_dup" -> (eCrossSourceDup _),
     "e_doc_novelty" -> (eDocNovelty _),
     "e_dedup_authority" -> (eDedupAuthority _),
+    "e_dup_kcore" -> (eDupKcore _),
+    "e_dup_triangles" -> (eDupTriangles _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -3085,6 +3244,7 @@ object ExtQueries {
     "e_heavy_hitters" -> (eHeavyHitters _),
     "e_pq_encode" -> (ePqEncode _),
     "e_pq_adc_topk" -> (ePqAdcTopk _),
+    "e_ivfpq_rerank" -> (eIvfPqRerank _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_ivfpq_residual" -> (eIvfPqResidual _),
     "e_hard_negatives" -> (eHardNegatives _),
@@ -3092,6 +3252,7 @@ object ExtQueries {
     "e_hybrid_rrf" -> (eHybridRrf _),
     "e_weighted_sample" -> (eWeightedSample _),
     "e_lm_perplexity" -> (eLmPerplexity _),
+    "e_lm_kneser_ney" -> (eLmKneserNey _),
     "e_lm_perplexity2" -> (eLmPerplexity2 _),
     "e_lm_tail_cut" -> (eLmTailCut _),
     "e_collocations" -> (eCollocations _),
@@ -3171,6 +3332,50 @@ object ExtQueries {
     "e_minhash_calibration" -> minhashCalibrationOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
+    "e_dup_triangles" ->
+      s"""WITH $nearDupGraphCtes,
+         |dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+         |  (SELECT doc_a AS doc_id FROM est UNION ALL SELECT doc_b FROM est)
+         |  GROUP BY doc_id),
+         |wd AS (SELECT est.doc_a AS u, est.doc_b AS v,
+         |    du.degree AS du, dv.degree AS dv
+         |  FROM est JOIN dg du ON du.doc_id = est.doc_a
+         |  JOIN dg dv ON dv.doc_id = est.doc_b),
+         |orient AS (SELECT
+         |    CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+         |    CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst
+         |  FROM wd),
+         |wedge AS (SELECT o1.src, o1.dst AS a, o2.dst AS b
+         |  FROM orient o1 JOIN orient o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+         |tri AS (SELECT w.src, w.a, w.b FROM wedge w
+         |  JOIN est ON est.doc_a = w.a AND est.doc_b = w.b),
+         |pnt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles FROM
+         |  (SELECT src AS doc_id FROM tri UNION ALL SELECT a FROM tri
+         |   UNION ALL SELECT b FROM tri) GROUP BY doc_id)
+         |SELECT dg.doc_id, dg.degree,
+         |  CAST(COALESCE(pnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+         |  CASE WHEN dg.degree >= 2
+         |    THEN round(2.0 * COALESCE(pnt.n_triangles, 0)
+         |      / (dg.degree * (dg.degree - 1)), 6)
+         |    ELSE 0.0 END AS clustering
+         |FROM dg LEFT JOIN pnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "e_dup_kcore" -> {
+      // every peel references its predecessor three times — MATERIALIZED
+      // stops DuckDB inlining the whole minhash chain 3^rounds times
+      val peels = (1 to KcoreRounds).map { r =>
+        s"""bad$r AS MATERIALIZED (SELECT s FROM (SELECT s, count(*) AS d
+           |  FROM ed${r - 1} GROUP BY s) WHERE d < $KcoreK),
+           |ed$r AS MATERIALIZED (SELECT s, t FROM ed${r - 1}
+           |  WHERE s NOT IN (SELECT s FROM bad$r)
+           |    AND t NOT IN (SELECT s FROM bad$r))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nearDupGraphCtes,
+         |ed0 AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM est
+         |        UNION ALL SELECT doc_b, doc_a FROM est),
+         |$peels
+         |SELECT s AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+         |FROM ed$KcoreRounds GROUP BY s ORDER BY doc_id""".stripMargin
+    },
     "e_dedup_authority" -> {
       val matchSum = (0 until K)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -3334,6 +3539,7 @@ object ExtQueries {
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,
+    "e_ivfpq_rerank" -> ivfPqRerankOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_ivfpq_residual" -> ivfPqResidualOracle,
     "e_hard_negatives" ->
@@ -3391,6 +3597,45 @@ object ExtQueries {
         |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
         |       round(exp(h), 6) AS perplexity
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "e_lm_kneser_ney" -> {
+      val dd = KnDiscount.toString
+      s"""WITH tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+        |tok AS (SELECT doc_id, t[i] AS w,
+        |        CASE WHEN i > 1 THEN t[i - 1] ELSE '' END AS prev
+        |        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk0)
+        |        WHERE t[i] <> ''),
+        |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+        |uni AS (SELECT term FROM tku WHERE term <> '' GROUP BY term),
+        |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+        |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk0)
+        |       WHERE t[i] <> '' AND t[i + 1] <> ''),
+        |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+        |ctx AS (SELECT w1 AS prev, CAST(sum(c12) AS BIGINT) AS cv,
+        |        CAST(count(*) AS BIGINT) AS n1fwd FROM bc GROUP BY w1),
+        |cont AS (SELECT w2 AS w, CAST(count(*) AS BIGINT) AS n1bwd FROM bc GROUP BY w2),
+        |st AS (SELECT CAST((SELECT count(*) FROM bc) AS DOUBLE) AS b_types,
+        |        CAST((SELECT count(*) FROM uni) AS DOUBLE) AS v_types),
+        |sc AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_scored,
+        |       -sum(CASE WHEN tok.prev = '' OR ctx.cv IS NULL
+        |          THEN ln((CAST(COALESCE(cont.n1bwd, 0) AS DOUBLE) + 1.0)
+        |            / (st.b_types + st.v_types + 1.0))
+        |          ELSE ln(
+        |            greatest(CAST(COALESCE(bc.c12, 0) AS DOUBLE) - $dd, 0.0)
+        |              / CAST(ctx.cv AS DOUBLE)
+        |            + ($dd * CAST(ctx.n1fwd AS DOUBLE) / CAST(ctx.cv AS DOUBLE))
+        |              * ((CAST(COALESCE(cont.n1bwd, 0) AS DOUBLE) + 1.0)
+        |                / (st.b_types + st.v_types + 1.0)))
+        |          END) / count(*) AS h
+        |       FROM tok
+        |       LEFT JOIN cont ON cont.w = tok.w
+        |       LEFT JOIN ctx ON ctx.prev = tok.prev
+        |       LEFT JOIN bc ON bc.w1 = tok.prev AND bc.w2 = tok.w
+        |       CROSS JOIN st
+        |       GROUP BY tok.doc_id)
+        |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
+        |       round(exp(h), 6) AS perplexity
+        |FROM sc ORDER BY doc_id""".stripMargin
+    },
     "e_lm_perplexity2" ->
       s"""WITH $lmInterpCtes
         |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,

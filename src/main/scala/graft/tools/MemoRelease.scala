@@ -23,11 +23,17 @@ import org.apache.spark.sql.execution.LogicalRDD
 object MemoRelease {
 
   /** Release the checkpoint blocks under `df`. Returns true when a
-    * checkpointed RDD was found and unpersisted. */
+    * checkpointed RDD was found and unpersisted. Non-checkpointed memos
+    * (plain `persist()` caches, used where the table is cheap enough that
+    * a checkpoint write would cost more than one recompute) release their
+    * cache entry instead — those stay usable afterwards, they just
+    * recompute. */
   def release(df: DataFrame): Boolean = df.queryExecution.logical match {
     case l: LogicalRDD =>
       l.rdd.unpersist(blocking = false)
       true
-    case _ => false
+    case _ =>
+      df.unpersist(blocking = false)
+      true
   }
 }

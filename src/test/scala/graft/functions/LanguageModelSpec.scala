@@ -87,6 +87,47 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(1L) == out(3L))
   }
 
+  test("Kneser-Ney matches the hand formula (discount + continuation)") {
+    import spark.implicits._
+    // corpus: "a b a" + "a b" → bigrams (a,b)=2, (b,a)=1
+    // contexts: c(a)=2, N1+(a,·)=1; c(b)=1, N1+(b,·)=1
+    // continuations: N1+(·,b)=1, N1+(·,a)=1; B=2 bigram types, V=2
+    val docs = Seq((1L, "a b a"), (2L, "a b")).toDF("doc_id", "text")
+    val D = 0.75
+    val out = LanguageModel.perplexityKneserNey(docs, "doc_id", "text", D)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    def pc(n1bwd: Double) = (n1bwd + 1.0) / (2.0 + 2.0 + 1.0)
+    def pkn(c12: Double, cv: Double, n1fwd: Double, n1bwd: Double) =
+      math.max(c12 - D, 0.0) / cv + (D * n1fwd / cv) * pc(n1bwd)
+    // doc 1: a (init → P_cont(a)) | b after a | a after b
+    val h1 = -(math.log(pc(1)) + math.log(pkn(2, 2, 1, 1)) +
+      math.log(pkn(1, 1, 1, 1))) / 3
+    // doc 2: a (init) | b after a
+    val h2 = -(math.log(pc(1)) + math.log(pkn(2, 2, 1, 1))) / 2
+    assert(out(1L)._1 == 3 && out(2L)._1 == 2)
+    assert(out(1L)._2 == r6(h1), s"doc 1: ${out(1L)._2} vs ${r6(h1)}")
+    assert(out(2L)._2 == r6(h2), s"doc 2: ${out(2L)._2} vs ${r6(h2)}")
+  }
+
+  test("Kneser-Ney separates collocation-bound words from versatile ones") {
+    import spark.implicits._
+    // 'z' appears ONLY after 'x' (one context, like the 'Francisco'
+    // pathology) but frequently; 'c' appears after many contexts with the
+    // same total frequency. After any context v where neither bigram was
+    // seen (here: scoring 'q z' vs 'q c' with context count c(q) > 0),
+    // the continuation term must prefer the versatile 'c'.
+    val docs = Seq(
+      (1L, "x z x z x z x z"),
+      (2L, "a c b c d c e c"),
+      (3L, "q q z"),
+      (4L, "q q c")).toDF("doc_id", "text")
+    val out = LanguageModel.perplexityKneserNey(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(4L) < out(3L),
+      s"many-context word should be less surprising after unseen context: $out")
+  }
+
   test("alpha controls smoothing: alpha -> 0 approaches the MLE estimate") {
     import spark.implicits._
     val docs = Seq((1L, "a a a a b")).toDF("doc_id", "text")

@@ -149,7 +149,21 @@ class MetricsAssertionsSpec extends SparkSpec {
     // output orderBy samples); the dedup consumer shuffles chunk-hash
     // aggregation rows only, measured 33 KB
     "e_cdc_chunks" -> (1L << 16),
-    "e_cdc_dedup" -> (1L << 19))
+    "e_cdc_dedup" -> (1L << 19),
+    // round-10: Kneser-Ney = the bigram-table build + context/continuation
+    // marginals + the composite-key token-pair join — the lm_perplexity2
+    // profile with one more vocabulary-sized aggregation
+    "e_lm_kneser_ney" -> (2L << 20),
+    // round-10: graph density over the pair-scale near-dup graph (+ the
+    // pair memo, worst case) — degree/wedge/triangle rows are node/edge
+    // grain, never corpus rows; a breach means orientation stopped
+    // bounding the wedge fan-out
+    "e_dup_triangles" -> (2L << 20),
+    // round-10: bounded peel rounds over the shrinking symmetric edge set
+    "e_dup_kcore" -> (2L << 20),
+    // round-10: the refine stage — ADC candidate rows + per-query re-rank
+    // tuples only; an embedding array in the shuffle is a breach
+    "e_ivfpq_rerank" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

@@ -345,6 +345,64 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("e_dup_triangles, e_dup_kcore: equi-joins only") {
+    for (q <- Seq("e_dup_triangles", "e_dup_kcore")) {
+      val bad = collectWithSubqueries(executedPlan(q)) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty, s"$q must stay on equi-joins, found: $bad")
+    }
+  }
+
+  test("e_lm_kneser_ney: model joins hash; only the one-row stats frame crosses") {
+    val plan = executedPlan("e_lm_kneser_ney")
+    val cart = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(cart.isEmpty, s"no shuffle cartesian allowed: $cart")
+    // the only nested-loop permitted is the broadcast of the (b_types,
+    // v_types) scalar frame — a one-row cross, the engine's stats
+    // convention (same shape as the interpolated scorer)
+    val bnlj = collectWithSubqueries(plan) {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    // the stats frame itself is assembled from two single-row aggregates,
+    // so both its internal cross and the final attach may appear
+    bnlj.foreach { j =>
+      val build = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+      }
+      val buildCols = build.output.map(_.name).toSet
+      assert(buildCols.nonEmpty &&
+          buildCols.subsetOf(Set("b_types", "v_types")),
+        s"only the scalar stats frame may cross-join, built: $buildCols")
+    }
+  }
+
+  test("e_ivfpq_rerank: shortlist broadcasts; corpus embeddings never shuffle") {
+    val plan = executedPlan("e_ivfpq_rerank")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bad.isEmpty, s"re-rank must stay on equi-joins, found: $bad")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the ADC shortlist (and query vectors) must broadcast:\n$plan")
+    // the exact re-score fetches candidate embeddings via the broadcast
+    // join — no shuffle may carry an embedding array
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"corpus embedding arrays must not shuffle in the refine stage:\n$plan")
+    }
+  }
+
   test("e_bm25: term df broadcasts; top-k is TakeOrderedAndProject") {
     val plan = executedPlan("e_bm25")
     val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
