@@ -68,4 +68,62 @@ object Triangles {
             (col("degree") * (col("degree") - lit(1))), 6))
           .otherwise(lit(0.0)).as("clustering"))
   }
+
+  /** INCREMENTAL [[perNode]] — the daily-ingest form: fold a batch of new
+    * edges into a maintained (edges, per-node metrics) pair without
+    * recomputing the graph. A new edge can only change the counts of
+    * nodes inside triangles that USE it, and all three corners of such a
+    * triangle sit within one hop of the edge's endpoints — so the update
+    * recomputes the 1-hop-affected node set over its 2-hop induced
+    * subgraph (whose edges are exactly the ones those counts can see) and
+    * upserts those rows; everything else passes through frozen. Work ∝
+    * the increment's 2-hop neighborhood, never the graph.
+    *
+    * Replay-safe: already-indexed edges anti-join away, so an empty fresh
+    * set returns the inputs untouched (at-least-once delivery is a
+    * no-op). Returns (unionEdges, updatedPerNode) — `unionEdges` stays
+    * canonical (doc_a < doc_b, distinct). Both results are materialized
+    * (checkpointed) so driver-held references never re-run the fold. */
+  def perNodeIncrement(priorEdges: DataFrame, priorPerNode: DataFrame,
+                       newPairs: DataFrame): (DataFrame, DataFrame) = {
+    def ckpt(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint(eager = true)
+      else df.localCheckpoint(true)
+    val canonNew = newPairs
+      .select(least(col("doc_a"), col("doc_b")).cast("long").as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).cast("long").as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+    val fresh = canonNew.join(priorEdges, Seq("doc_a", "doc_b"), "left_anti")
+    if (fresh.isEmpty) return (priorEdges, priorPerNode)
+    val union = ckpt(priorEdges.unionByName(fresh))
+    val sym = union.select(explode(array(
+        struct(col("doc_a").as("s"), col("doc_b").as("t")),
+        struct(col("doc_b").as("s"), col("doc_a").as("t")))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"))
+    // frontier = the fresh edges' endpoints; affected = frontier + its
+    // union-graph neighbors (every node whose count can change); the
+    // recompute subgraph closes one more hop so affected nodes see their
+    // COMPLETE neighborhoods
+    val frontier = fresh.select(col("doc_a").as("s"))
+      .unionByName(fresh.select(col("doc_b").as("s"))).distinct()
+    val affected = frontier
+      .unionByName(sym.join(frontier, Seq("s")).select(col("t").as("s")))
+      .distinct()
+    val scope = affected
+      .unionByName(sym.join(affected, Seq("s")).select(col("t").as("s")))
+      .distinct()
+      .select(col("s").as("n"))
+    val sub = union
+      .join(scope.select(col("n").as("doc_a")), Seq("doc_a"))
+      .join(scope.select(col("n").as("doc_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    val recomputed = perNode(sub)
+      .join(affected.select(col("s").as("doc_id")), Seq("doc_id"))
+    val updated = ckpt(priorPerNode
+      .join(affected.select(col("s").as("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(recomputed))
+    (union, updated)
+  }
 }

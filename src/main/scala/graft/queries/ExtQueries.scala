@@ -243,13 +243,14 @@ object ExtQueries {
     // e_curation_funnel, e_dedup_apply, e_dedup_clusters (builds
     // nearDupClusters), e_dedup_minhash_lsh, e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
-    // nearDupClusters: e_dedup_clusters, e_leakage_split
+    // nearDupClusters: e_dedup_best, e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_minhash_calibration, e_ngram_jaccard
     // and e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
+    // e_kmeans_silhouette,
     // e_semantic_dedup
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
@@ -431,6 +432,26 @@ object ExtQueries {
           .select(col("doc_a"), col("doc_b")),
         k = KcoreK, maxRounds = KcoreRounds)
       .orderBy("doc_id")
+
+  /** Quality-aware dedup survivor selection: per near-dup cluster, the
+    * member a curator actually wants to KEEP — highest quality score,
+    * min-id tie-break — instead of the arbitrary min-id convention the
+    * plain apply uses. One corpus-grain equi-join + a max_by-style struct
+    * aggregation (map-side combined, no window); reports multi-member
+    * clusters only (singletons have nothing to choose). Rides the
+    * nearDupClusters memo, name-ordered before its release point. */
+  def eDedupBest(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+    nearDupClusters(s, d).join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("b"))
+      .filter(col("n_members") >= 2)
+      .select(col("cluster_id"), col("n_members"),
+        (-col("b.nd")).as("best_doc"), col("b.q").as("best_quality"))
+      .orderBy("cluster_id")
+  }
 
   /** Per-doc novelty / memorization-risk score: the fraction of a doc's
     * distinct shingles that appear in >= 3 docs corpus-wide — low novelty
@@ -849,6 +870,31 @@ object ExtQueries {
         isCodeword = col("vec_id") % 50 === 1,
         PqM, PqSubDim, PqTopK, nProbe = 2)
       .orderBy("query_id", "rank")
+
+  /** NDCG@k of the IVF search against the brute-force ideal ordering —
+    * the graded-relevance retrieval eval (recall says whether the true
+    * neighbors appear; NDCG says whether the ORDER puts the most-similar
+    * ones first, which is what a RAG consumer actually reads). Gain =
+    * (true cosine + 1)/2, discount 1/log₂(rank+1); both lists reuse the
+    * existing IVF and brute-force operators. */
+  def eRetrievalNdcg(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isQ = col("vec_id") % 50 === 0
+    def dcgOf(df: DataFrame, out: String) = df
+      .groupBy(col("query_id"))
+      .agg(sum(((col("cosine_sim") + lit(1.0)) / lit(2.0)) /
+        (log(col("rank") + lit(1.0)) / log(lit(2.0)))).as(out))
+    val dcg = dcgOf(Similarity.ivfTopK(emb, "vec_id", "embedding",
+      isQuery = isQ, isCentroid = col("vec_id") % 50 === 1,
+      k = SweepK, nProbe = 2), "dcg")
+    val idcg = dcgOf(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      isQuery = isQ, k = SweepK), "idcg")
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), round(col("dcg"), 6).as("dcg"),
+        round(col("idcg"), 6).as("idcg"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg"))
+      .orderBy("query_id")
+  }
 
   /** IVF-PQ with exact re-ranking — the refine stage of FAISS's IVFPQR
     * and the standard production shape: ADC's lossy distances shortlist
@@ -1621,6 +1667,16 @@ object ExtQueries {
     * clustering primitive for semantic dedup / diversity sampling. */
   def eKmeans(s: SparkSession, d: String): DataFrame =
     graft.similarity.KMeans.summarize(kmeansAssigned(s, d))
+      .orderBy("vec_id")
+
+  /** Cluster-quality meter: simplified (centroid-based) silhouette per
+    * vector — the number read before trusting k or the seeding, and the
+    * acceptance gate in front of every clustering consumer (SemDeDup,
+    * diversity sampling, IVF cells). Rides the kmeansAssigned memo;
+    * per-vector distances to all k means are k codegen dot products in
+    * one narrow scan (no join, no shuffle). */
+  def eKmeansSilhouette(s: SparkSession, d: String): DataFrame =
+    graft.similarity.KMeans.silhouette(kmeansAssigned(s, d))
       .orderBy("vec_id")
 
   /** Embedding-space outlier filter: z-score of each vector's squared
@@ -2550,6 +2606,15 @@ object ExtQueries {
   // SQL serves the top-k oracle (rank <= k) and the hard-negative oracle
   // (a rank BAND below the shortlist head).
   private def ivfRankedOracle(rankPred: String): String =
+    s"""$ivfRankedChain
+       |SELECT query_id, neighbor_id, cosine_sim, rank
+       |FROM ranked WHERE $rankPred
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The IVF search chain (assignment → nProbe=2 probes → exact-scored
+    * candidates → per-query rank) up through `ranked` — shared by the
+    * top-k read and the NDCG grader. */
+  private val ivfRankedChain =
     s"""WITH $embCtes,
        |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
        |  FROM e v JOIN e c ON v.pos = c.pos
@@ -2575,12 +2640,34 @@ object ExtQueries {
        |  FROM qd JOIN norms nq ON nq.vec_id = query_id
        |  JOIN norms nt ON nt.vec_id = neighbor_id),
        |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
-       |SELECT query_id, neighbor_id, cosine_sim, rank
-       |FROM ranked WHERE $rankPred
-       |ORDER BY query_id, rank""".stripMargin
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)""".stripMargin
 
   private val ivfOracle = ivfRankedOracle("rank <= 3")
+
+  /** NDCG@k of the IVF list against brute-force ideal ordering: gain =
+    * (cosine + 1)/2 (shifted non-negative), discount 1/log2(rank + 1). */
+  private val retrievalNdcgOracle =
+    s"""$ivfRankedChain,
+       |bf_dots AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |    sum(q.v * e2.v) AS dp
+       |  FROM e q JOIN e e2 ON q.pos = e2.pos AND q.vec_id <> e2.vec_id
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |bfs AS (SELECT query_id, neighbor_id,
+       |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
+       |  FROM bf_dots JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id),
+       |bfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM bfs),
+       |dcg AS (SELECT query_id,
+       |    sum(((cosine_sim + 1.0) / 2.0) / (ln(rank + 1.0) / ln(2.0))) AS dcg
+       |  FROM ranked WHERE rank <= $SweepK GROUP BY 1),
+       |idcg AS (SELECT query_id,
+       |    sum(((cosine_sim + 1.0) / 2.0) / (ln(rank + 1.0) / ln(2.0))) AS idcg
+       |  FROM bfr WHERE rank <= $SweepK GROUP BY 1)
+       |SELECT d.query_id, round(d.dcg, 6) AS dcg, round(i.idcg, 6) AS idcg,
+       |  round(d.dcg / i.idcg, 6) AS ndcg
+       |FROM dcg d JOIN idcg i ON d.query_id = i.query_id
+       |ORDER BY d.query_id""".stripMargin
 
   private val dedupApplyOracle = {
     val matchSum = (0 until K)
@@ -3170,6 +3257,7 @@ object ExtQueries {
     "e_cross_source_dup" -> (eCrossSourceDup _),
     "e_doc_novelty" -> (eDocNovelty _),
     "e_dedup_authority" -> (eDedupAuthority _),
+    "e_dedup_best" -> (eDedupBest _),
     "e_dup_kcore" -> (eDupKcore _),
     "e_dup_triangles" -> (eDupTriangles _),
     "e_dedup_simhash" -> (eDedupSimhash _),
@@ -3233,6 +3321,7 @@ object ExtQueries {
     "e_passage_dedup" -> (ePassageDedup _),
     "e_boilerplate_lines" -> (eBoilerplateLines _),
     "e_kmeans" -> (eKmeans _),
+    "e_kmeans_silhouette" -> (eKmeansSilhouette _),
     "e_embed_outliers" -> (eEmbedOutliers _),
     "e_chunk_overlap" -> (eChunkOverlap _),
     "e_span_dedup_apply" -> (eSpanDedupApply _),
@@ -3245,6 +3334,7 @@ object ExtQueries {
     "e_pq_encode" -> (ePqEncode _),
     "e_pq_adc_topk" -> (ePqAdcTopk _),
     "e_ivfpq_rerank" -> (eIvfPqRerank _),
+    "e_retrieval_ndcg" -> (eRetrievalNdcg _),
     "e_ivfpq_topk" -> (eIvfPqTopk _),
     "e_ivfpq_residual" -> (eIvfPqResidual _),
     "e_hard_negatives" -> (eHardNegatives _),
@@ -3442,6 +3532,21 @@ object ExtQueries {
          |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
     "e_dedup_clusters" -> clustersOracle,
+    "e_dedup_best" ->
+      s"""$clustersCte,
+        |q AS (SELECT doc_id, $qualityScoreSql AS quality
+        |      FROM (SELECT d.*, t FROM documents d, toks
+        |            WHERE d.doc_id = toks.doc_id)),
+        |m AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        |      FROM l3 GROUP BY 1),
+        |best AS (SELECT l3.cluster_id, l3.doc_id, q.quality,
+        |         row_number() OVER (PARTITION BY l3.cluster_id
+        |           ORDER BY q.quality DESC, l3.doc_id ASC) AS rn
+        |         FROM l3 JOIN q USING (doc_id))
+        |SELECT b.cluster_id, m.n_members, b.doc_id AS best_doc,
+        |       b.quality AS best_quality
+        |FROM best b JOIN m ON m.cluster_id = b.cluster_id
+        |WHERE b.rn = 1 AND m.n_members >= 2 ORDER BY b.cluster_id""".stripMargin,
     "e_connected_components" -> connectedComponentsOracle,
     // the incremental path must land on the SAME fixpoint as batch CC over
     // the full pair graph — identical oracle by construction
@@ -3459,6 +3564,22 @@ object ExtQueries {
       s"""WITH $kmeansCte
         |SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2
         |FROM a2 WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "e_kmeans_silhouette" ->
+      s"""WITH $kmeansCte,
+        |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+        |c2 AS (SELECT asg.cid, e.pos, avg(e.v) AS v
+        |       FROM asg JOIN e ON e.vec_id = asg.vec_id GROUP BY 1, 2),
+        |dall AS (SELECT e.vec_id, c2.cid, sum((e.v - c2.v) * (e.v - c2.v)) AS d2
+        |         FROM e JOIN c2 ON e.pos = c2.pos GROUP BY 1, 2),
+        |ab AS (SELECT asg.vec_id, asg.cid,
+        |       sqrt(greatest(max(CASE WHEN dall.cid = asg.cid THEN dall.d2 END), 0.0)) AS a,
+        |       sqrt(greatest(min(CASE WHEN dall.cid <> asg.cid THEN dall.d2 END), 0.0)) AS b
+        |       FROM asg JOIN dall ON dall.vec_id = asg.vec_id GROUP BY 1, 2)
+        |SELECT vec_id, cid AS cluster_id, round(a, 6) AS a_dist,
+        |       round(b, 6) AS b_dist,
+        |       round(CASE WHEN greatest(a, b) > 0
+        |         THEN (b - a) / greatest(a, b) ELSE 0.0 END, 6) AS silhouette
+        |FROM ab ORDER BY vec_id""".stripMargin,
     "e_embed_outliers" ->
       s"""WITH $kmeansCte,
         |ass AS (SELECT vec_id, cid, d2 FROM a2 WHERE rn = 1),
@@ -3540,6 +3661,7 @@ object ExtQueries {
     "e_pq_encode" -> pqEncodeOracle,
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_rerank" -> ivfPqRerankOracle,
+    "e_retrieval_ndcg" -> retrievalNdcgOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_ivfpq_residual" -> ivfPqResidualOracle,
     "e_hard_negatives" ->

@@ -75,6 +75,57 @@ object KMeans {
         (z >= zCut).cast("long").as("is_outlier"))
   }
 
+  /** Simplified (centroid-based) silhouette over a raw [[assignments]]
+    * frame — the cluster-quality meter read before trusting k or the
+    * init: per vector, a = distance to its OWN cluster's mean, b = the
+    * nearest OTHER cluster mean, s = (b − a)/max(a, b) ∈ [−1, 1]
+    * (negative = sits closer to another cluster than its own; ~0 =
+    * boundary; → 1 = tight and well separated). The classic silhouette's
+    * O(n²) pairwise form is replaced by the standard centroid
+    * approximation — the only form that scales to a corpus.
+    *
+    * Scale shape: cluster means are one k×d bounded aggregation
+    * (map-side combined, collected like every centroid matrix in this
+    * module); per-vector distances to ALL k means are k codegen
+    * `vec_dot` terms in ONE narrow scan over the memoized assignment —
+    * no join, no shuffle, embeddings never leave the scan. */
+  def silhouette(assigned: DataFrame): DataFrame = {
+    val spark = assigned.sparkSession
+    val dims = assigned.select(size(col("v"))).head().getInt(0)
+    val aggs = (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"c$i"))
+    val means: Seq[(Long, Array[Double])] = assigned.groupBy(col("cid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getLong(0), (1 to dims).map(i => r.getDouble(i)).toArray))
+      .sortBy(_._1).toSeq
+    // d²(v, c) = |v|² − 2·v·c + |c|² — the NearestCentroid expansion, so
+    // 6-dp parity with the assignment path holds
+    val vv = VectorExpressions.vecDot(col("v"), col("v"))
+    val dists = array(means.map { case (cid, c) =>
+      val cNorm = c.map(x => x * x).sum
+      struct(lit(cid).as("mcid"),
+        (vv - lit(2.0) * VectorExpressions.vecDot(col("v"), typedLit(c.toSeq)) +
+          lit(cNorm)).as("md2"))
+    }: _*)
+    // own/other split is in-row over the k-element struct array (k is the
+    // cluster count — tiny; the k dot products above are the real work)
+    val own = element_at(filter(col("dd"), s => s.getField("mcid") === col("cid")), 1)
+      .getField("md2")
+    val other = array_min(transform(
+      filter(col("dd"), s => s.getField("mcid") =!= col("cid")),
+      s => s.getField("md2")))
+    val a = sqrt(greatest(col("a2"), lit(0.0)))
+    val b = sqrt(greatest(col("b2"), lit(0.0)))
+    val s = when(greatest(a, b) > 0, (b - a) / greatest(a, b)).otherwise(lit(0.0))
+    assigned
+      .withColumn("dd", dists)
+      .withColumn("a2", own)
+      .withColumn("b2", other)
+      .select(col("vec_id"), col("cid").as("cluster_id"),
+        round(a, 6).as("a_dist"), round(b, 6).as("b_dist"),
+        round(s, 6).as("silhouette"))
+  }
+
   /** The Lloyd rounds, keeping the double-cast vector column `v` on the
     * assignment — (vec_id, v, cid, d2) — so downstream consumers
     * (semanticDedup, a memoizing caller) can reuse one computed assignment

@@ -163,7 +163,16 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_dup_kcore" -> (2L << 20),
     // round-10: the refine stage — ADC candidate rows + per-query re-rank
     // tuples only; an embedding array in the shuffle is a breach
-    "e_ivfpq_rerank" -> (1L << 20))
+    "e_ivfpq_rerank" -> (1L << 20),
+    // round-10: silhouette is one narrow scan over the assignment memo
+    // (worst case: builds it) — k dot products in-row, no join
+    "e_kmeans_silhouette" -> (1L << 20),
+    // round-10: survivor selection = one doc-grain quality join + a
+    // struct-max aggregation over the cluster memo (worst case: builds it)
+    "e_dedup_best" -> (2L << 20),
+    // round-10: two fenced retrieval lists + per-query DCG sums — only
+    // (query_id, score, rank) rows ever shuffle
+    "e_retrieval_ndcg" -> (1L << 20))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {

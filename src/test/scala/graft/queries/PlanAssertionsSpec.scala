@@ -345,8 +345,25 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
-  test("e_dup_triangles, e_dup_kcore: equi-joins only") {
-    for (q <- Seq("e_dup_triangles", "e_dup_kcore")) {
+  test("e_kmeans_silhouette: one narrow scan — no join, arrays never shuffle") {
+    val plan = executedPlan("e_kmeans_silhouette")
+    val joins = collectWithSubqueries(plan) {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.isEmpty,
+      s"silhouette must be in-row against the collected means, found:\n$joins")
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"embedding arrays must not shuffle in the silhouette scan:\n$plan")
+    }
+  }
+
+  test("e_dup_triangles, e_dup_kcore, e_dedup_best: equi-joins only") {
+    for (q <- Seq("e_dup_triangles", "e_dup_kcore", "e_dedup_best")) {
       val bad = collectWithSubqueries(executedPlan(q)) {
         case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
         case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
