@@ -1020,6 +1020,20 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Hilbert-curve layout key over the same (length-bucket, id-bucket)
+    * plane as [[eZorderKey]] — the locality upgrade: consecutive indices
+    * are always grid-adjacent (no Morton diagonal jumps), strictly better
+    * worst-case box-query locality. Pure unrolled shift/mask/CASE column
+    * arithmetic, one narrow scan. */
+  def eHilbertKey(s: SparkSession, d: String): DataFrame = {
+    val x = (col("n_chars") % 256).cast("long")
+    val y = (col("doc_id") % 256).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), x.as("x"), y.as("y"),
+        graft.storage.Hilbert.hValue(x, y, bits = 8).as("h"))
+      .orderBy("doc_id")
+  }
+
   /** Bigram collocations by PMI (min pair count 10, top 30) — phrase
     * detection over the corpus, in-row bigram extraction. */
   def eCollocations(s: SparkSession, d: String): DataFrame =
@@ -3346,6 +3360,7 @@ object ExtQueries {
     "e_lm_perplexity2" -> (eLmPerplexity2 _),
     "e_lm_tail_cut" -> (eLmTailCut _),
     "e_collocations" -> (eCollocations _),
+    "e_hilbert_key" -> (eHilbertKey _),
     "e_zorder_key" -> (eZorderKey _),
     "e_interval_join" -> (eIntervalJoin _),
     "e_dataset_card" -> (eDatasetCard _),
@@ -3693,6 +3708,32 @@ object ExtQueries {
         |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
         |    / count(*), 6) AS exact_dup_rate
         |FROM documents""".stripMargin,
+    "e_hilbert_key" -> {
+      // the same unrolled xy→d walk as Hilbert.hValue, one CTE per bit
+      // (most significant first); rx/ry recompute inline per step
+      val bits = 8
+      val steps = (bits - 1 to 0 by -1).zipWithIndex.map { case (k, idx) =>
+        val s = 1L << k
+        val rx = s"((x >> $k) & 1)"
+        val ry = s"((y >> $k) & 1)"
+        s"""h${idx + 1} AS (SELECT doc_id,
+           |  CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1
+           |    THEN ${s - 1} - y ELSE y END ELSE x END AS x,
+           |  CASE WHEN $ry = 0 THEN CASE WHEN $rx = 1
+           |    THEN ${s - 1} - x ELSE x END ELSE y END AS y,
+           |  d + ${s * s} * xor(3 * $rx, $ry) AS d
+           |  FROM h$idx)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH h0 AS (SELECT doc_id, n_chars % 256 AS x, doc_id % 256 AS y,
+         |       0 AS d FROM documents),
+         |xy AS (SELECT doc_id, n_chars % 256 AS x, doc_id % 256 AS y
+         |       FROM documents),
+         |$steps
+         |SELECT xy.doc_id, CAST(xy.x AS BIGINT) AS x, CAST(xy.y AS BIGINT) AS y,
+         |       CAST(h$bits.d AS BIGINT) AS h
+         |FROM xy JOIN h$bits ON xy.doc_id = h$bits.doc_id
+         |ORDER BY xy.doc_id""".stripMargin
+    },
     "e_zorder_key" -> {
       val terms = (0 until 8).flatMap { i =>
         Seq(s"(((x >> $i) & 1) * ${1L << (2 * i)})",

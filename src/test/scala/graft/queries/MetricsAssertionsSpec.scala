@@ -172,7 +172,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_dedup_best" -> (2L << 20),
     // round-10: two fenced retrieval lists + per-query DCG sums — only
     // (query_id, score, rank) rows ever shuffle
-    "e_retrieval_ndcg" -> (1L << 20))
+    "e_retrieval_ndcg" -> (1L << 20),
+    // round-10: the Hilbert key is one narrow scan of unrolled column
+    // arithmetic — only the output orderBy samples shuffle
+    "e_hilbert_key" -> (1L << 18))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
