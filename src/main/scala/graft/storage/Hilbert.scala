@@ -23,28 +23,14 @@ import org.apache.spark.sql.functions._
 object Hilbert {
 
   /** Hilbert index of (x, y) on the order-`bits` curve. Both inputs must
-    * lie in [0, 2^bits). */
-  def hValue(x: Column, y: Column, bits: Int = 16): Column = {
-    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
-    var xc = x.cast("long")
-    var yc = y.cast("long")
-    var dc: Column = lit(0L)
-    for (k <- bits - 1 to 0 by -1) {
-      val s = 1L << k
-      val rx = shiftright(xc, k).bitwiseAND(lit(1L))
-      val ry = shiftright(yc, k).bitwiseAND(lit(1L))
-      dc = dc + lit(s * s) * (lit(3L) * rx).bitwiseXOR(ry)
-      // frame rotation: in the lower half (ry = 0), mirror when rx = 1,
-      // then swap the axes
-      val nx = when(ry === 0,
-        when(rx === 1, lit(s - 1) - yc).otherwise(yc)).otherwise(xc)
-      val ny = when(ry === 0,
-        when(rx === 1, lit(s - 1) - xc).otherwise(xc)).otherwise(yc)
-      xc = nx
-      yc = ny
-    }
-    dc
-  }
+    * lie in [0, 2^bits). Backed by the native codegen
+    * [[graft.plans.HilbertIndex]] — the equivalent unrolled column
+    * arithmetic doubles its expression tree per bit (each step's x and y
+    * reference both predecessors), a ~2^bits-node plan that took ~100 s
+    * for 5000 rows; the native loop is O(bits) per row. */
+  def hValue(x: Column, y: Column, bits: Int = 16): Column =
+    graft.plans.HilbertExpression.hilbertIndex(
+      x.cast("long"), y.cast("long"), bits)
 
   /** Cluster `df` for (x, y) locality along the Hilbert curve:
     * range-partition into `numPartitions` by index and sort within each
