@@ -91,13 +91,37 @@ object KMeans {
     * no join, no shuffle, embeddings never leave the scan. */
   def silhouette(assigned: DataFrame): DataFrame = {
     val spark = assigned.sparkSession
-    val dims = assigned.select(size(col("v"))).head().getInt(0)
+    // degenerate inputs: no rows → no scores (head() below would throw);
+    // a single cluster has no "nearest other" — the conventional score is
+    // 0 for every member (not the -1 the b=0 formula would yield)
+    val first = assigned.select(size(col("v"))).take(1)
+    if (first.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id BIGINT, cluster_id BIGINT, a_dist DOUBLE, b_dist DOUBLE, silhouette DOUBLE"))
+    val dims = first.head.getInt(0)
     val aggs = (1 to dims).map(i => avg(element_at(col("v"), i)).as(s"c$i"))
     val means: Seq[(Long, Array[Double])] = assigned.groupBy(col("cid"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .map(r => (r.getLong(0), (1 to dims).map(i => r.getDouble(i)).toArray))
       .sortBy(_._1).toSeq
+    if (means.length == 1) {
+      // k = 1: the own-mean distance exists (same expansion as the main
+      // path) but there is no "nearest other" cluster; score 0 by
+      // convention, b_dist undefined (null) — not the -1 that b = 0
+      // would produce
+      val c = means.head._2
+      val vv1 = VectorExpressions.vecDot(col("v"), col("v"))
+      val md2 = vv1 -
+        lit(2.0) * VectorExpressions.vecDot(col("v"), typedLit(c.toSeq)) +
+        lit(c.map(x => x * x).sum)
+      val a1 = sqrt(greatest(md2, lit(0.0)))
+      return assigned.select(col("vec_id"), col("cid").as("cluster_id"),
+        round(a1, 6).as("a_dist"), lit(null).cast("double").as("b_dist"),
+        lit(0.0).as("silhouette"))
+    }
     // d²(v, c) = |v|² − 2·v·c + |c|² — the NearestCentroid expansion, so
     // 6-dp parity with the assignment path holds
     val vv = VectorExpressions.vecDot(col("v"), col("v"))
@@ -213,17 +237,44 @@ object KMeans {
     * outliers, dense duplicated cores shrink), `false` keeps the most
     * prototypical. Deterministic: rank on (rounded dist2, vec_id).
     *
-    * Plan: one narrow lloyd assignment + ONE shuffle on cluster id for the
-    * per-cluster window — k bounded partitions, never a global sort. */
+    * Plan: one narrow lloyd assignment + [[graft.operators.GroupedTopK]]'s
+    * bounded-buffer Aggregator for the per-cluster cut — the exchange
+    * carries at most perCluster rows per (cluster × map partition), and no
+    * cluster's members ever funnel through a single sort task. (The window
+    * form — `row_number().over(partitionBy(cluster_id))` — caps
+    * parallelism at k tasks each sorting ~n/k rows: a near-global sort at
+    * corpus scale. It survives as [[diversitySampleWindowReference]], the
+    * spec's oracle for this Aggregator.) */
   def diversitySample(vectors: DataFrame, idCol: String, vecCol: String,
                       isInit: Column, iterations: Int, perCluster: Int,
                       farthest: Boolean = true): DataFrame =
     diversitySampleSummarized(
       lloyd(vectors, idCol, vecCol, isInit, iterations), perCluster, farthest)
 
-  /** [[diversitySample]] over a precomputed [[lloyd]]/[[summarize]] frame. */
+  /** [[diversitySample]] over a precomputed [[lloyd]]/[[summarize]] frame.
+    * Returns (vec_id, cluster_id, dist2, rank). */
   def diversitySampleSummarized(assigned: DataFrame, perCluster: Int,
                                 farthest: Boolean = true): DataFrame = {
+    require(perCluster >= 1, "perCluster must be >= 1")
+    // GroupedTopK orders (score desc, id asc); negate for the
+    // nearest-first cut. Double negation restores the sign bit exactly
+    // (-(-0.0) == 0.0 bit-for-bit), so dist2 round-trips unchanged.
+    val score = if (farthest) col("dist2") else -col("dist2")
+    graft.operators.GroupedTopK
+      .topKPerKey(assigned.withColumn("score", score),
+        "cluster_id", "score", "vec_id", perCluster)
+      .select(col("vec_id"), col("cluster_id").cast("long").as("cluster_id"),
+        (if (farthest) col("score") else -col("score")).as("dist2"),
+        col("rank"))
+  }
+
+  /** The windowed form of [[diversitySampleSummarized]] — kept ONLY as the
+    * specs' reference implementation (bit-identical semantics, simpler to
+    * audit). Not a production path: `partitionBy(cluster_id)` bounds
+    * parallelism by k and sorts whole clusters through single tasks. */
+  private[graft] def diversitySampleWindowReference(
+      assigned: DataFrame, perCluster: Int,
+      farthest: Boolean = true): DataFrame = {
     require(perCluster >= 1, "perCluster must be >= 1")
     val ord =
       if (farthest) Seq(col("dist2").desc, col("vec_id").asc)
@@ -231,6 +282,7 @@ object KMeans {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id")).orderBy(ord: _*)
     assigned
+      .select(col("vec_id"), col("cluster_id"), col("dist2"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= perCluster)
   }

@@ -463,6 +463,17 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }
   }
 
+  test("e_cluster_sample: per-cluster cut is the bounded aggregator — no Window anywhere") {
+    val plan = executedPlan("e_cluster_sample")
+    val windows = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"the diversity cut must not sort whole clusters through k window tasks:\n$plan")
+    assert(plan.toString.toLowerCase.contains("partial"),
+      s"map-side partial top-k aggregation missing:\n$plan")
+  }
+
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
     val plan = executedPlan("e_cosine_neardup")
     val bad = collectWithSubqueries(plan) {

@@ -108,6 +108,62 @@ class KMeansSpec extends SparkSpec {
     assert(got == Seq(3L, 4L, 6L), s"got $got")
   }
 
+  test("diversitySample aggregator form matches the window reference, both directions") {
+    import spark.implicits._
+    // ties on dist2 inside a cluster exercise the (dist2, vec_id) tie-break
+    val assigned = Seq(
+      (1L, 1L, 0.0), (2L, 1L, 4.0), (3L, 1L, 4.0), (4L, 1L, 9.0),
+      (5L, 2L, 1.0), (6L, 2L, 1.0), (7L, 2L, 0.0),
+      (8L, 3L, 2.5)
+    ).toDF("vec_id", "cluster_id", "dist2")
+    for (farthest <- Seq(true, false)) {
+      val viaAgg = KMeans.diversitySampleSummarized(assigned, perCluster = 2, farthest)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val viaWin = KMeans.diversitySampleWindowReference(assigned, perCluster = 2, farthest)
+        .select(col("vec_id"), col("cluster_id"), col("dist2"), col("rank"))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      assert(viaAgg.toSeq == viaWin.toSeq, s"farthest=$farthest")
+    }
+  }
+
+  test("diversitySample plan: bounded aggregator, no per-cluster window") {
+    import spark.implicits._
+    val assigned = (1 to 100).map(i => (i.toLong, (i % 5).toLong, (i % 13).toDouble))
+      .toDF("vec_id", "cluster_id", "dist2")
+    val plan = KMeans.diversitySampleSummarized(assigned, perCluster = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"diversity cut must not sort whole clusters through window tasks:\n$plan")
+  }
+
+  test("silhouette: empty input yields an empty result, not an exception") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Double], Long, Double)]
+      .toDF("vec_id", "v", "cid", "d2")
+    val out = KMeans.silhouette(empty)
+    assert(out.columns.toSeq ==
+      Seq("vec_id", "cluster_id", "a_dist", "b_dist", "silhouette"))
+    assert(out.count() == 0)
+  }
+
+  test("silhouette: a single cluster scores 0 by convention, not -1") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(0.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val assigned = KMeans.assignments(df, "vec_id", "embedding",
+      isInit = col("vec_id") === 1L, iterations = 2)
+    val got = KMeans.silhouette(assigned).orderBy("vec_id").collect()
+    assert(got.forall(_.getDouble(4) == 0.0),
+      s"k=1 silhouette must be 0: ${got.mkString(",")}")
+    assert(got.forall(_.isNullAt(3)), "b_dist undefined at k=1")
+    // mean = (1,0): both members sit at distance 1 from it
+    assert(got.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-6))
+  }
+
   test("empty clusters drop out instead of producing NaN centroids") {
     import spark.implicits._
     // centroid 2 seeds far away and captures nobody after the update
