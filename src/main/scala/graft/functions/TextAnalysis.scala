@@ -14,11 +14,40 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (single-space normalized). */
+  /** Whitespace tokenization (single-space normalized). The LEGACY
+    * tokenizer: every query family that predates [[unicodeTokens]] keeps
+    * it for oracle stability, but real corpora (CJK without spaces,
+    * punctuation-glued tokens, NFC/NFKC variants of the same word) break
+    * it silently — prefer [[unicodeTokens]] for new pipelines. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Unicode-aware tokenization: NFKC-normalize (native
+    * [[graft.plans.NfkcNormalize]] — full-width forms, ligatures and
+    * compatibility variants collapse to one spelling), then every maximal
+    * run of letters or digits (`[\p{L}\p{N}]+`) is a token — punctuation
+    * splits, CJK ideographs tokenize without needing spaces (each
+    * contiguous ideograph run is one token; true word segmentation needs
+    * a lexicon this engine deliberately doesn't embed).
+    *
+    * DuckDB-reproducible: RE2's `[\p{L}\p{N}]+` classes agree with
+    * java.util.regex on the general categories, and NFKC is the identity
+    * on ASCII corpora (the oracle side has no normalizer — non-ASCII
+    * NFKC behavior is spec-proven instead).
+    *
+    * Scale shape: both steps are per-row codegen'd scan work — no
+    * shuffle, no UDF; the normalizer short-circuits to a byte scan on
+    * ASCII rows. */
+  def unicodeTokens(text: Column): Column =
+    regexp_extract_all(
+      graft.plans.TextExpressions.nfkcNormalize(text),
+      lit("[\\p{L}\\p{N}]+"), lit(0))
+
+  /** Unicode-aware token count ([[unicodeTokens]] grain). */
+  def unicodeTokenCount(text: Column): Column =
+    size(unicodeTokens(text)).cast("long")
 
   /** BPE-ish subword count: runs of letters, runs of digits, and lone
     * non-alnum symbols each count as one token (a common pre-tokenizer

@@ -62,9 +62,11 @@ object WeightedSample {
     * Both derive from the same cut rows via unbounded windows (the cut
     * output is one partition already, so no extra exchange). */
   private[graft] def finalizeSample(topNp1: DataFrame, n: Int): DataFrame = {
-    // ≤ n+1-row frame (the cut output): the constant partition key keeps
-    // the same single-partition execution while not tripping WindowExec's
-    // unpartitioned-window warning, which is about unbounded inputs
+    // ≤ n+1-row frame (the cut output), so a single-partition window is
+    // the CORRECT plan. Spark 4.1's EliminateWindowPartitions folds the
+    // lit(0) key away and logs its unpartitioned-window warning; that
+    // warning is acceptable here precisely because the input is bounded
+    // by the TakeOrdered cut upstream (PlanAssertionsSpec fences this)
     val wOrd = Window.partitionBy(lit(0))
       .orderBy(desc("priority"), asc("doc_id"))
     val wAll = Window.partitionBy(lit(0))

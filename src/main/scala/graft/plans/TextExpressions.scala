@@ -247,6 +247,56 @@ case class WinnowFingerprints(child: Expression, window: Int)
   override def prettyName: String = "winnow_fingerprints"
 }
 
+/** Native NFKC normalization — the missing half of a unicode-aware
+  * tokenizer (Spark ships no normalizer function; concat of compatibility
+  * variants like full-width ＡＢＣ, ligature ﬁ, or superscript ² would
+  * otherwise fragment the vocabulary). Kept to JUST normalization so the
+  * token split itself stays on the built-in, codegen'd
+  * `regexp_extract_all` — SURVEY.md §4.3 preference (a) for the split,
+  * (b) for the one primitive Spark lacks.
+  *
+  * Fast path: a fully-ASCII string is NFKC-invariant and returns the
+  * input UTF8String unchanged (no JVM String round-trip) — on an ASCII
+  * corpus the normalizer is one byte scan. Null in, null out. */
+case class NfkcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfkc_normalize requires a string argument, got ${other.sql}")
+  }
+
+  /** The tight loop; also the codegen target (one virtual call per row). */
+  def compute(s: UTF8String): UTF8String = {
+    val n = s.numBytes()
+    var i = 0
+    var ascii = true
+    while (ascii && i < n) {
+      if ((s.getByte(i) & 0x80) != 0) ascii = false
+      i += 1
+    }
+    if (ascii) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(
+      s.toString, java.text.Normalizer.Form.NFKC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfkcNormalize", this)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = (org.apache.spark.unsafe.types.UTF8String) $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfkcNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfkc_normalize"
+}
+
 object TextExpressions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.graft.ColumnBridge
@@ -271,9 +321,14 @@ object TextExpressions {
     ColumnBridge.column(
       WinnowFingerprints(ColumnBridge.expression(shingles), window))
 
-  /** Register `word_shingles(toks, w)`, `common_prefix_len(a, b)` and
-    * `winnow_fingerprints(shs, v)` for SQL use on a session. Width/window
-    * must be foldable integers (they shape the generated code). */
+  /** Column API for native NFKC normalization (ASCII passes through). */
+  def nfkcNormalize(text: Column): Column =
+    ColumnBridge.column(NfkcNormalize(ColumnBridge.expression(text)))
+
+  /** Register `word_shingles(toks, w)`, `common_prefix_len(a, b)`,
+    * `winnow_fingerprints(shs, v)` and `nfkc_normalize(s)` for SQL use on
+    * a session. Width/window must be foldable integers (they shape the
+    * generated code). */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_shingles", exprs => WordShingles(exprs(0), foldToInt(exprs(1))), "built-in")
@@ -282,6 +337,8 @@ object TextExpressions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "winnow_fingerprints",
       exprs => WinnowFingerprints(exprs(0), foldToInt(exprs(1))), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfkc_normalize", exprs => NfkcNormalize(exprs(0)), "built-in")
   }
 
   private[plans] def foldToInt(e: Expression): Int = e.eval(null) match {

@@ -1393,8 +1393,11 @@ object ExtQueries {
       .groupBy(floor(col("first_doc") / width).as("bucket"))
       .agg(count(lit(1)).as("new_grams"))
     perBucket
-      // VocabGrowthBuckets-bounded frame: constant partition key = same
-      // single-partition run without the unpartitioned-window warning
+      // the cumulative window reads a VocabGrowthBuckets-bounded frame
+      // (≤ one row per bucket), so one partition is the CORRECT plan —
+      // Spark 4.1's EliminateWindowPartitions folds the lit(0) key away
+      // and logs its unpartitioned-window warning; that warning is
+      // acceptable here precisely because the input is bounded
       .withColumn("cum_grams", sum(col("new_grams")).over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(lit(0)).orderBy(col("bucket"))
@@ -1742,12 +1745,46 @@ object ExtQueries {
       .orderBy(col("n").desc, col("token").asc)
       .limit(50)
       .withColumn("rank",
-        // 50-row post-limit frame: constant partition key = same
-        // single-partition run without the unpartitioned-window warning
+        // the rank window reads the 50-row post-limit frame, so one
+        // partition is the CORRECT plan — Spark 4.1's
+        // EliminateWindowPartitions folds the lit(0) key away and logs
+        // its unpartitioned-window warning; acceptable because the
+        // input is bounded by the limit above
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy(lit(0))
           .orderBy(col("n").desc, col("token").asc)).cast("long"))
       .orderBy("rank")
+
+  /** [[eVocabulary]] under the unicode tokenizer: NFKC + `[\p{L}\p{N}]+`
+    * runs instead of whitespace splits — punctuation-glued spellings
+    * collapse ("word," and "word" count together), so counts differ from
+    * `e_vocabulary` by design. Same scale shape: explode + map-side
+    * count + bounded head. */
+  def eVocabularyUnicode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(
+        graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(50)
+      .withColumn("rank",
+        // bounded 50-row post-limit frame — see eVocabulary's note
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
+          .orderBy(col("n").desc, col("token").asc)).cast("long"))
+      .orderBy("rank")
+
+  /** Per-doc token statistics under the unicode tokenizer — total and
+    * distinct `[\p{L}\p{N}]+` runs after NFKC. One narrow codegen scan
+    * (normalize + regex extraction are in-row; no shuffle at all). */
+  def eTokenUnicode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.TextAnalysis.unicodeTokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+      .orderBy("doc_id")
 
   /** Heavy hitters by count-min estimate: top tokens ranked by the sketch's
     * (one-sided, collision-bounded) frequency estimate — the fixed-memory
@@ -3344,6 +3381,8 @@ object ExtQueries {
     "e_top_quality_docs" -> (eTopQualityDocs _),
     "e_curation_funnel" -> (eCurationFunnel _),
     "e_vocabulary" -> (eVocabulary _),
+    "e_vocabulary_unicode" -> (eVocabularyUnicode _),
+    "e_token_unicode" -> (eTokenUnicode _),
     "e_heavy_hitters" -> (eHeavyHitters _),
     "e_pq_encode" -> (ePqEncode _),
     "e_pq_adc_topk" -> (ePqAdcTopk _),
@@ -3614,6 +3653,22 @@ object ExtQueries {
         |r AS (SELECT token, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
         |SELECT token, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // NFKC is identity on this ASCII corpus, so RE2's \p{L}\p{N} classes
+    // reproduce the Spark tokenizer exactly; non-ASCII NFKC behavior is
+    // proven in TextAnalysisSpec (DuckDB ships no normalizer)
+    "e_vocabulary_unicode" ->
+      """WITH v AS (SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM v GROUP BY token),
+        |r AS (SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
+        |SELECT token, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "e_token_unicode" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(regexp_extract_all(text, '[\p{L}\p{N}]+'))) AS BIGINT)
+        |    AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "e_cluster_sample" ->
       s"""WITH $kmeansCte,
         |scored AS (SELECT vec_id, cid AS cluster_id, round(d2, 6) AS dist2

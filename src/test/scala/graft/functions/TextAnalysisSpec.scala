@@ -17,6 +17,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._2 == 8)
   }
 
+  test("unicodeTokens: punctuation splits, whitespace-glued forms separate") {
+    import spark.implicits._
+    val r = Seq("Hello, world! it's 42.5%—done")
+      .toDF("t")
+      .select(TextAnalysis.unicodeTokens(col("t")).as("toks"))
+      .as[Seq[String]].head()
+    assert(r == Seq("Hello", "world", "it", "s", "42", "5", "done"), s"got $r")
+  }
+
+  test("unicodeTokens: NFKC collapses full-width, ligature and superscript variants") {
+    import spark.implicits._
+    // full-width ＡＢＣ → ABC; ligature ﬁsh → fish; x² → x2; the
+    // whitespace tokenizer would keep all four spellings distinct
+    val r = Seq("ＡＢＣ ﬁsh x² ABC fish x2")
+      .toDF("t")
+      .select(TextAnalysis.unicodeTokens(col("t")).as("toks"))
+      .as[Seq[String]].head()
+    assert(r == Seq("ABC", "fish", "x2", "ABC", "fish", "x2"), s"got $r")
+  }
+
+  test("unicodeTokens: CJK runs tokenize without spaces; null stays null") {
+    import spark.implicits._
+    val r = Seq(Some("世界、今日は abc"), None)
+      .toDF("t")
+      .select(TextAnalysis.unicodeTokens(col("t")).as("toks"))
+      .as[Option[Seq[String]]].collect()
+    // 、 (ideographic comma) splits the run; は is a letter and glues
+    assert(r(0).get == Seq("世界", "今日は", "abc"),
+      s"got ${r(0)}")
+    assert(r(1).isEmpty)
+  }
+
+  test("unicodeTokens: ASCII fast path agrees with the regex slow path bit-for-bit") {
+    import spark.implicits._
+    // same logical text with and without a non-ASCII char forces both
+    // normalizer branches; token sets must agree on the shared suffix
+    val r = Seq("café au lait 123", "cafe au lait 123")
+      .toDF("t")
+      .select(TextAnalysis.unicodeTokens(col("t")).as("toks"))
+      .as[Seq[String]].collect()
+    assert(r(0) == Seq("café", "au", "lait", "123"))
+    assert(r(1) == Seq("cafe", "au", "lait", "123"))
+  }
+
   test("langId picks the stopword-dominant language, und when none") {
     import spark.implicits._
     val r = Seq(
