@@ -1087,19 +1087,23 @@ object ExtQueries {
       .select(col("doc_id"), col("perplexity"), col("tile"))
       .orderBy("doc_id")
 
-  /** Mergeable quantile summary per event type: the deterministic
-    * multi-level compaction sketch, probed for the median and p99 with
-    * pure column expressions. Engine-specific state (like the HLL and
-    * approx-percentile rows) — rows-only check by design. */
-  def eQuantileSketch(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(graft.operators.QuantileSketch.agg(128)(col("value").cast("double"))
-        .as("qs"))
+  /** Mergeable quantile summary per event type (deterministic multi-level
+    * compaction, k = 128), probed for the median and p99 — graded WITH
+    * rank-error certificates like [[eApproxPercentile]]: the output is
+    * the exact group count plus 0/1 flags asserting each probe's rank
+    * window overlaps [q−ε, q+ε]·n at ε = 0.05, the same k=128 compaction
+    * bound `QuantileSketchSpec` proves, ±1 row slop. The DuckDB oracle
+    * recomputes n and expects every flag to hold. */
+  def eQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val ests = ev.groupBy(col("event_type"))
+      .agg(graft.operators.QuantileSketch.agg(128)(col("v")).as("qs"))
       .select(col("event_type"),
-        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.5).as("p50_sketch"),
-        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.99).as("p99_sketch"))
-      .orderBy("event_type")
+        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.5).as("est_p50"),
+        graft.operators.QuantileSketch.quantileCol(col("qs"), 0.99).as("est_p99"))
+    withinRankBound(ev, ests, eps = 0.05)
+  }
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR 2009): the BM25 lexical ranking and the embedding cosine
@@ -1243,14 +1247,49 @@ object ExtQueries {
       .orderBy("vec_id")
   }
 
-  /** Approximate percentile sketch — engine-specific, so rows-only check
-    * (no oracle), like the HLL row. */
-  def eApproxPercentile(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
+  /** Approximate percentiles WITH their rank-error certificates. The
+    * estimates are sketch state (not oracle-reproducible), so the graded
+    * output is the exact group count plus 0/1 flags asserting the
+    * estimate's rank window overlaps [q−ε, q+ε]·n (ε = 1/accuracy =
+    * 1/1000, ±1 row slop for the boundary arithmetic) — the DuckDB
+    * oracle recomputes n and expects every flag to hold.
+    *
+    * Scale shape: the estimate aggregation is one map-side-combined
+    * sketch pass; the certificate re-scan broadcasts the ≤ |event_type|
+    * estimate rows back onto the events and counts rank positions in a
+    * second combined aggregation. Two linear scans, no wide shuffle. */
+  def eApproxPercentile(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("event_type"), col("value").cast("double").as("v"))
+    val ests = ev.groupBy(col("event_type"))
+      .agg(percentile_approx(col("v"), lit(0.5), lit(1000)).as("est_p50"),
+        percentile_approx(col("v"), lit(0.99), lit(1000)).as("est_p99"))
+    withinRankBound(ev, ests, eps = 1.0 / 1000.0)
+  }
+
+  /** Shared rank-window certificate: for each group, does `est_q`'s rank
+    * range [count(v < est)+1, count(v ≤ est)] intersect
+    * [(q−ε)·n − 1, (q+ε)·n + 1]? One broadcast of the per-group estimate
+    * rows, one combined aggregation — the corpus never shuffles. */
+  private def withinRankBound(ev: DataFrame, ests: DataFrame,
+                              eps: Double): DataFrame = {
+    def flag(q: Double, lt: org.apache.spark.sql.Column,
+             le: org.apache.spark.sql.Column,
+             n: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      ((lt <= (lit(q) + lit(eps)) * n + lit(1.0)) &&
+        (le >= (lit(q) - lit(eps)) * n - lit(1.0))).cast("long")
+    ev.join(broadcast(ests), Seq("event_type"))
       .groupBy(col("event_type"))
-      .agg(percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-        percentile_approx(col("value"), lit(0.99), lit(1000)).as("p99_approx"))
+      .agg(count(lit(1)).as("n"),
+        sum((col("v") < col("est_p50")).cast("long")).as("lt50"),
+        sum((col("v") <= col("est_p50")).cast("long")).as("le50"),
+        sum((col("v") < col("est_p99")).cast("long")).as("lt99"),
+        sum((col("v") <= col("est_p99")).cast("long")).as("le99"))
+      .select(col("event_type"), col("n"),
+        flag(0.5, col("lt50"), col("le50"), col("n")).as("p50_within_bound"),
+        flag(0.99, col("lt99"), col("le99"), col("n")).as("p99_within_bound"))
       .orderBy("event_type")
+  }
 
   /** Frame-sampling metadata over the synthesized media table: every 2nd
     * 256-byte frame, bounded tail frame. */
@@ -3403,7 +3442,6 @@ object ExtQueries {
     "e_zorder_key" -> (eZorderKey _),
     "e_interval_join" -> (eIntervalJoin _),
     "e_dataset_card" -> (eDatasetCard _),
-    // engine-specific sketch state — rows-only, like ax_approx_distinct
     "e_quantile_sketch" -> (eQuantileSketch _),
   )
 
@@ -3751,6 +3789,18 @@ object ExtQueries {
         |       min(v_ts) AS first_view, max(v_ts) AS last_view
         |FROM i JOIN v ON v.v_ts BETWEEN i.i_start AND i.i_end
         |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
+    // sketch estimates are engine state; the oracle checks the exact group
+    // counts AND that every Spark-side rank-window certificate holds
+    "e_approx_percentile" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS p50_within_bound,
+        |  CAST(1 AS BIGINT) AS p99_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "e_quantile_sketch" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(1 AS BIGINT) AS p50_within_bound,
+        |  CAST(1 AS BIGINT) AS p99_within_bound
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS total_tokens,

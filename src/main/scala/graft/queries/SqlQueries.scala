@@ -53,7 +53,7 @@ object SqlQueries {
     s.sql("""
       SELECT o_orderkey, o_totalprice
       FROM orders
-      WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+      WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
       ORDER BY o_orderkey""")
   }
 
@@ -218,7 +218,7 @@ object SqlQueries {
     "sql_scalar_subquery" ->
       """SELECT o_orderkey, o_totalprice
         |FROM orders
-        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |WHERE o_totalprice > 1.8 * (SELECT avg(o_totalprice) FROM orders)
         |ORDER BY o_orderkey""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT COALESCE(o_orderstatus, '(all)') AS status,
