@@ -154,16 +154,49 @@ object ExtQueries {
   private val LpRounds = 2
 
   // Every memo build narrates its wall time to stdout (and the leveled
-  // log): bench entries are name-sorted, so the alphabetically-first
-  // consumer's time carries the one-time build — this line makes that
-  // attribution MEASURED, not inferred from ordering.
+  // log), AND records its EXCLUSIVE build seconds in a ledger Bench
+  // drains after each query to emit `memo:<name>` pseudo-entries —
+  // without the split, the alphabetically-first consumer's bench row
+  // carries the one-time build cost and per-query regression diffs
+  // across rounds are unreadable. Exclusive = total minus nested memo
+  // builds (minhashPairs triggers shingleBases inside its own window),
+  // so the ledger entries for one query sum to exactly the build time
+  // subtracted from that query's row.
+  private val memoBuildLedger =
+    scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+  private val memoChildSecs = new ThreadLocal[List[Array[Double]]] {
+    override def initialValue(): List[Array[Double]] = Nil
+  }
+
+  /** Drain (name, exclusive seconds) of memo builds since the last call —
+    * Bench's per-query attribution hook. */
+  def drainMemoBuilds(): Seq[(String, Double)] = memoBuildLedger.synchronized {
+    val out = memoBuildLedger.toList
+    memoBuildLedger.clear()
+    out
+  }
+
   private def timedMemo(name: String)(build: => DataFrame): DataFrame = {
     val t0 = System.nanoTime()
-    val df = build
-    val line = graft.observability.Observability.logLeveled(
-      graft.observability.Observability.Level.Info,
-      f"memo $name built in ${(System.nanoTime() - t0) / 1e9}%.3f s")
-    println(s"[graft] $line")
+    memoChildSecs.set(new Array[Double](1) :: memoChildSecs.get())
+    val df =
+      try build
+      finally {
+        val nested = memoChildSecs.get().head(0)
+        memoChildSecs.set(memoChildSecs.get().tail)
+        val total = (System.nanoTime() - t0) / 1e9
+        memoChildSecs.get() match {
+          case parent :: _ => parent(0) += total
+          case Nil => ()
+        }
+        memoBuildLedger.synchronized {
+          memoBuildLedger += ((name, total - nested))
+        }
+        val line = graft.observability.Observability.logLeveled(
+          graft.observability.Observability.Level.Info,
+          f"memo $name built in $total%.3f s")
+        println(s"[graft] $line")
+      }
     df
   }
 
