@@ -158,6 +158,57 @@ object Multimodal {
     perceptualNearDupPairsFromHashes(perceptualHash(media, bits),
       bits, prefixBits, maxHamming, nTables)
 
+  /** Audio segment fingerprints — the audio member of the near-dup family.
+    * Where [[perceptualHash]] fingerprints a WHOLE image, audio near-dup
+    * must survive time shifts and partial overlap (a clip embedded in a
+    * longer recording), so the unit of matching is the fixed-duration
+    * SEGMENT: the stub-decoded stream splits into `segBytes` windows, and
+    * each window gets its own difference-code fingerprint (the energy
+    * envelope downsampled to bits+1 cells, bit i = "cell i quieter than
+    * cell i+1" — same local difference code as dHash, over time instead
+    * of space). Two recordings are near-dup if ANY segment pair lands
+    * within a small Hamming distance — exactly the shape audio
+    * fingerprinting systems (Shazam-style landmark hashing, Chromaprint)
+    * reduce to.
+    *
+    * Trailing windows shorter than `segBytes / 4` drop (their
+    * mostly-empty hashes would collide across unrelated media); a
+    * record's FIRST window always survives so every audio row stays
+    * fingerprintable — mirroring the truncated-shingle floor of the text
+    * stack. The stub decode is the same md5-over-slices fake as
+    * [[perceptualHash]] (no codecs in the container), so the whole hash
+    * is DuckDB-reproducible; a real decoder swaps in at the signal
+    * column without touching the plan: explode + substr are narrow
+    * in-row ops, no shuffle anywhere before the banded join.
+    *
+    * Returns `(media_id, seg_idx, seg_key, phash, ph_long)`; `seg_key =
+    * media_id * keyMod + seg_idx` is the composite identity the banded
+    * pair join orders on (keyMod just needs to exceed the max segment
+    * count; a production path on unbounded media would band on a
+    * `struct(media_id, seg_idx)` key instead of arithmetic packing). */
+  def audioSegmentHashes(media: DataFrame, segBytes: Int, bits: Int,
+                         keyMod: Long): DataFrame = {
+    require(segBytes >= 8, "segments must hold at least a few samples")
+    val segs = media
+      .withColumn("n_segs",
+        greatest(ceil(length(col("content")) / lit(segBytes.toDouble)),
+          lit(1)).cast("int"))
+      .select(col("media_id").as("src_media"),
+        explode(sequence(lit(0), col("n_segs") - 1)).as("seg_idx"),
+        col("content"))
+      .select(col("src_media"), col("seg_idx"),
+        col("content").substr(col("seg_idx") * segBytes + 1, lit(segBytes))
+          .as("seg_bytes"))
+      .filter(length(col("seg_bytes")) >= segBytes / 4 || col("seg_idx") === 0)
+    val keyed = segs.select(
+      (col("src_media") * keyMod + col("seg_idx")).as("media_id"),
+      col("seg_bytes").as("content"))
+    perceptualHash(keyed, bits)
+      .select(floor(col("media_id") / keyMod).cast("long").as("media_id"),
+        (col("media_id") % keyMod).cast("long").as("seg_idx"),
+        col("media_id").as("seg_key"), col("phash"), col("ph_long"))
+  }
+
   /** [[perceptualNearDupPairs]] over a prebuilt [[perceptualHash]] table —
     * the caller owns that table's lifecycle. */
   def perceptualNearDupPairsFromHashes(fp: DataFrame, bits: Int,

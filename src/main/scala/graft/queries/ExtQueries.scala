@@ -86,6 +86,12 @@ object ExtQueries {
   private val PhPrefix = 8
   private val PhMaxHamming = 3
   private val PhTables = 2
+  // audio segment-hash near-dup (e_audio_neardup): 128-byte segments of
+  // the stub-decoded stream, each with its own 32-bit difference hash;
+  // matching is per SEGMENT (time-shift robust), tighter Hamming cut
+  private val AudioSegBytes = 128
+  private val AudioMaxHamming = 2
+  private val AudioKeyMod = 1L << 20
   // IVF recall/cost sweep (e_ann_recall_sweep): probe counts on the curve
   private val SweepProbes = Seq(1, 2, 4, 8)
   private val SweepK = 3
@@ -1374,6 +1380,57 @@ object ExtQueries {
       .orderBy("media_id")
   }
 
+  /** Audio near-dup by segment hashing: the audio slice of the media table
+    * splits into fixed 128-byte segments of the stub-decoded stream, each
+    * segment carries its own 32-bit difference-code fingerprint, and the
+    * SAME multi-table Hamming banding that serves SimHash and pHash finds
+    * matching segment pairs across recordings (time-shift robust: a clip
+    * shared at any offset still aligns on some segment). Output is one
+    * row per audio record with its segment count and cross-media match
+    * stats — non-empty at every scale factor even when no near-dups
+    * exist. Work ∝ Σ bucket² per rotation table, never segments². */
+  def eAudioNeardup(s: SparkSession, d: String): DataFrame = {
+    val audio = graft.multimodal.Multimodal.synthesizeMedia(
+        Tables.documents(s, d)).toDF()
+      .filter(col("media_type") === "audio")
+    // materialize the compact fingerprint table before fanning out (3
+    // consumers: segment counts, both banded join sides) — beyond the
+    // recompute, the UN-truncated lineage (33 md5 cells × staged
+    // projections UNDER a self-join) costs the optimizer ~50 s of
+    // driver-side analysis; the image path has the same boundary via its
+    // memo (measured, round 11)
+    val fps = Dedup.materializeAndRelease(
+      graft.multimodal.Multimodal.audioSegmentHashes(
+        audio, AudioSegBytes, PhBits, AudioKeyMod))
+    val segCounts = fps.groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        min(when(col("seg_idx") === 0, col("phash"))).as("head_phash"))
+    val pairs = Dedup.simhashPairsMultiTableFromFingerprints(
+      fps.select(col("seg_key").as("doc_id"), col("phash").as("simhash"),
+        col("ph_long").as("sh_long")),
+      PhBits, PhPrefix, AudioMaxHamming, PhTables)
+    // both directions, segment keys unpacked back to media; same-media
+    // segment echoes (adjacent near-identical windows) are not near-DUPS
+    val dir = pairs
+      .select(col("doc_a").as("k_self"), col("doc_b").as("k_other"), col("hamming"))
+      .unionAll(pairs
+        .select(col("doc_b").as("k_self"), col("doc_a").as("k_other"), col("hamming")))
+      .select(floor(col("k_self") / AudioKeyMod).cast("long").as("media_id"),
+        floor(col("k_other") / AudioKeyMod).cast("long").as("partner"),
+        col("hamming"))
+      .filter(col("media_id") =!= col("partner"))
+    val stats = dir.groupBy(col("media_id"))
+      .agg(countDistinct(col("partner")).as("n_partners"),
+        count(lit(1)).as("n_seg_matches"),
+        min(col("hamming")).as("min_hamming"))
+    segCounts.join(stats, Seq("media_id"), "left")
+      .select(col("media_id"), col("head_phash"), col("n_segments"),
+        coalesce(col("n_partners"), lit(0L)).as("n_partners"),
+        coalesce(col("n_seg_matches"), lit(0L)).as("n_seg_matches"),
+        coalesce(col("min_hamming"), lit(-1L)).as("min_hamming"))
+      .orderBy("media_id")
+  }
+
   /** Image dedup CLUSTERS: true connected components over the perceptual
     * near-dup pair graph — the label table a multimodal curation pass
     * consumes (pick one representative per cluster), composing the image
@@ -2220,6 +2277,63 @@ object ExtQueries {
        |  CAST(coalesce(pt.min_hamming, -1) AS BIGINT) AS min_hamming
        |FROM fp LEFT JOIN pt ON fp.media_id = pt.media_id
        |ORDER BY fp.media_id""".stripMargin
+
+  /** e_audio_neardup rebuilt relationally: the audio slice (doc_id % 3 = 1)
+    * splits into [[AudioSegBytes]] windows, each window gets the same
+    * md5-over-slices difference hash as the pHash oracle, rotated-prefix
+    * buckets band SEGMENT pairs, and per-media stats aggregate the
+    * cross-media matches. */
+  private val audioNeardupOracle = {
+    val nCells = PhBits + 1
+    def cellSql(i: Int) =
+      s"('0x' || substring(md5(substring(seg, ($i-1)*w+1, w)), 1, 2))::INT"
+    val bitsConcat = (1 to PhBits).map(i =>
+      s"(CASE WHEN ${cellSql(i)} < ${cellSql(i + 1)} THEN '1' ELSE '0' END)")
+      .mkString(" || ")
+    val hamming = (1 to PhBits).map(j =>
+      s"(CASE WHEN substring(a.phash, $j, 1) <> substring(b.phash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val tables = (0 until PhTables).map { i =>
+      val r = i * PhBits / PhTables
+      val rotated =
+        if (r == 0) "phash"
+        else s"substring(phash, ${r + 1}, ${PhBits - r}) || substring(phash, 1, $r)"
+      s"SELECT media_id, seg_idx, phash, $i AS tbl, substring($rotated, 1, $PhPrefix) AS bucket FROM fp"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH aud AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+       |sg0 AS (SELECT media_id,
+       |  unnest(range(0, greatest(CAST(ceil(len(text) / ${AudioSegBytes}.0) AS BIGINT), 1))) AS seg_idx,
+       |  text FROM aud),
+       |sg AS (SELECT media_id, seg_idx,
+       |    substring(text, CAST(seg_idx * $AudioSegBytes + 1 AS INT), $AudioSegBytes) AS seg
+       |  FROM sg0),
+       |segf AS (SELECT * FROM sg WHERE len(seg) >= ${AudioSegBytes / 4} OR seg_idx = 0),
+       |cw AS (SELECT media_id, seg_idx, seg,
+       |  greatest(CAST(ceil(len(seg) / ${nCells}.0) AS INT), 1) AS w FROM segf),
+       |fp AS (SELECT media_id, seg_idx, $bitsConcat AS phash FROM cw),
+       |bkt AS (
+       |  $tables),
+       |prs AS (SELECT DISTINCT a.media_id AS ma, a.seg_idx AS sa,
+       |    b.media_id AS mb, b.seg_idx AS sb, CAST($hamming AS BIGINT) AS hamming
+       |  FROM bkt a JOIN bkt b ON a.tbl = b.tbl AND a.bucket = b.bucket
+       |    AND a.media_id * $AudioKeyMod + a.seg_idx < b.media_id * $AudioKeyMod + b.seg_idx
+       |  WHERE $hamming <= $AudioMaxHamming),
+       |dir AS (SELECT ma AS media_id, mb AS partner, hamming FROM prs
+       |        UNION ALL SELECT mb AS media_id, ma AS partner, hamming FROM prs),
+       |st AS (SELECT media_id, CAST(count(DISTINCT partner) AS BIGINT) AS n_partners,
+       |    CAST(count(*) AS BIGINT) AS n_seg_matches,
+       |    CAST(min(hamming) AS BIGINT) AS min_hamming
+       |  FROM dir WHERE media_id <> partner GROUP BY media_id),
+       |sc AS (SELECT fp.media_id, CAST(count(*) AS BIGINT) AS n_segments,
+       |    min(CASE WHEN seg_idx = 0 THEN phash END) AS head_phash
+       |  FROM fp GROUP BY fp.media_id)
+       |SELECT sc.media_id, sc.head_phash, sc.n_segments,
+       |  CAST(coalesce(st.n_partners, 0) AS BIGINT) AS n_partners,
+       |  CAST(coalesce(st.n_seg_matches, 0) AS BIGINT) AS n_seg_matches,
+       |  CAST(coalesce(st.min_hamming, -1) AS BIGINT) AS min_hamming
+       |FROM sc LEFT JOIN st ON sc.media_id = st.media_id
+       |ORDER BY sc.media_id""".stripMargin
+  }
 
   private val phashClustersOracle =
     s"""WITH RECURSIVE $phashPairCtes,
@@ -3433,6 +3547,7 @@ object ExtQueries {
     "e_curriculum_order" -> (eCurriculumOrder _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_phash_neardup" -> (ePhashNeardup _),
+    "e_audio_neardup" -> (eAudioNeardup _),
     "e_phash_clusters" -> (ePhashClusters _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_decontam" -> (eDecontam _),
@@ -3797,6 +3912,7 @@ object ExtQueries {
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
     "e_phash_neardup" -> phashNeardupOracle,
+    "e_audio_neardup" -> audioNeardupOracle,
     "e_phash_clusters" -> phashClustersOracle,
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,
