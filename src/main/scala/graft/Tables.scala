@@ -40,13 +40,16 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS). The engine-wide contract is
-    // `ts` = bigint of epoch-nanos. Older Spark 4 point releases honor the
-    // legacy long mapping below; Spark >= 4.1.2 ignores it and reads the
-    // column natively as a (NTZ) timestamp truncated to microseconds — the
-    // normalization after the read restores the bigint contract either
-    // way. DuckDB's parquet reader truncates the same nanos to TIMESTAMP
-    // micros, so every oracle grain (epoch_us/epoch_ms/seconds) stays
-    // bit-identical with the `* 1000` re-widening.
+    // `ts` = bigint of epoch-nanos WITH A MICROSECOND PRECISION FLOOR:
+    // older Spark 4 point releases honor the legacy long mapping below
+    // (true nanos survive); Spark >= 4.1.2 ignores it and reads the column
+    // natively as a (NTZ) timestamp truncated to microseconds — the
+    // normalization after the read re-widens (`* 1000`), so the sub-micro
+    // digits are zeros on those versions. Every oracle grain in this repo
+    // (epoch_us/epoch_ms/seconds) sits at or above the floor and DuckDB's
+    // parquet reader truncates the same way, so grading is version-stable
+    // — but do NOT write a query that reads the ts value at epoch-NANOS
+    // grain: its low digits are Spark-version-dependent.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     cache.getOrElseUpdate((sfDir, name), {
       var df = spark.read.parquet(s"$sfDir/$name.parquet")

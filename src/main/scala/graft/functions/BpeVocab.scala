@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   */
 object BpeVocab {
 
+  // build-time narration goes through the engine's leveled log channel
+  // (stdout echo kept: Bench/Verify transcripts read these lines)
+  private def narrate(msg: String): Unit = {
+    val line = graft.observability.Observability.logLeveled(
+      graft.observability.Observability.Level.Info, msg)
+    println(s"[graft] $line")
+  }
+
   final case class Merge(merge_idx: Long, pair: String, merged: String,
                          pair_count: Long)
 
@@ -89,7 +97,7 @@ object BpeVocab {
         regexp_replace(col("word"), "(.)", "($1)").as("enc"))
       .persist()
     enc.count()
-    println(f"[graft] bpe init ${(System.nanoTime() - tInit) / 1e9}%.3f s")
+    narrate(f"bpe init ${(System.nanoTime() - tInit) / 1e9}%.3f s")
     // predecessors retire one materialization late: a persisted-but-not-
     // yet-computed successor still reads them
     var retiringEnc: Option[DataFrame] = None
@@ -120,7 +128,7 @@ object BpeVocab {
         .orderBy(desc("c"), asc("pr"))
         .limit(1)
         .collect()
-      println(f"[graft] bpe round $i argmax ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      narrate(f"bpe round $i argmax ${(System.nanoTime() - t0) / 1e9}%.3f s")
       retiring.foreach(_.unpersist(false))
       retiring = None
       retiringEnc.foreach(_.unpersist(false))

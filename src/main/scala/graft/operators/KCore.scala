@@ -23,9 +23,18 @@ import org.apache.spark.sql.functions._
   * discipline. */
 object KCore {
 
-  /** Members of the k-core of the undirected graph `pairs`
+  /** Members of the BOUNDED k-core peel of the undirected graph `pairs`
     * ((doc_a, doc_b), doc_a < doc_b, distinct), with their within-core
-    * degree. Returns (doc_id, core_degree), empty when the k-core is. */
+    * degree. Returns (doc_id, core_degree), empty when the k-core is.
+    *
+    * Exact k-core when the peel fixpoint is reached within `maxRounds`
+    * (the usual case — diameter-ish rounds); on adversarial shapes (long
+    * pendant chains peel one node per round) the bounded result is a
+    * SUPERSET of the true k-core and may retain nodes with degree < k.
+    * That truncation is part of the operator's contract (the oracle
+    * unrolls the same bounded rounds), and an unconverged exit is
+    * narrated through the leveled log (Warning) so a caller that needs
+    * the exact core knows to raise `maxRounds`. */
   def coreMembers(pairs: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
     require(k >= 1 && maxRounds >= 1)
     def iterCheckpoint(df: DataFrame): DataFrame =
@@ -50,6 +59,18 @@ object KCore {
         .join(bad.select(col("s").as("t")), Seq("t"), "left_anti")
         .select(col("s"), col("t")))
       r += 1
+    }
+    if (!done) {
+      // loop exited on the round bound, not the fixpoint — check whether
+      // the final edge set actually converged (one cheap aggregation on
+      // the already-checkpointed survivor edges)
+      val unconverged = ed.groupBy(col("s")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).limit(1).count() > 0
+      if (unconverged)
+        graft.observability.Observability.logLeveled(
+          graft.observability.Observability.Level.Warning,
+          s"k-core peel unconverged after $maxRounds rounds (k=$k): " +
+            "result is the bounded-peel superset; raise maxRounds for the exact core")
     }
     ed.groupBy(col("s").as("doc_id"))
       .agg(count(lit(1)).as("core_degree"))

@@ -317,9 +317,14 @@ object ExtQueries {
       val released = cache.values.map(graft.tools.MemoRelease.release).toSeq
       cache.clear()
       if (released.nonEmpty) {
+        // true = checkpoint blocks freed; false = plain cache dropped
+        val kind =
+          if (released.forall(identity)) "released"
+          else if (released.exists(identity)) "released (mixed cache drop)"
+          else "cache dropped"
         val line = graft.observability.Observability.logLeveled(
           graft.observability.Observability.Level.Info,
-          s"memo $name released after $query")
+          s"memo $name $kind after $query")
         println(s"[graft] $line")
       }
     }

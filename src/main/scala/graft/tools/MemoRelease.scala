@@ -22,18 +22,19 @@ import org.apache.spark.sql.execution.LogicalRDD
   * `cleanCheckpoints=true` once unreferenced. */
 object MemoRelease {
 
-  /** Release the checkpoint blocks under `df`. Returns true when a
-    * checkpointed RDD was found and unpersisted. Non-checkpointed memos
-    * (plain `persist()` caches, used where the table is cheap enough that
-    * a checkpoint write would cost more than one recompute) release their
-    * cache entry instead — those stay usable afterwards, they just
-    * recompute. */
+  /** Release the storage under `df`. Returns `true` when a checkpointed
+    * RDD's blocks were unpersisted (the frame is DEAD afterwards — its
+    * lineage was truncated at the checkpoint); `false` for the plain
+    * `persist()` path (cache entry dropped, frame stays usable and just
+    * recomputes — used where a checkpoint write would cost more than one
+    * recompute). Callers that narrate releases can use the flag to
+    * distinguish block frees from cache drops. */
   def release(df: DataFrame): Boolean = df.queryExecution.logical match {
     case l: LogicalRDD =>
       l.rdd.unpersist(blocking = false)
       true
     case _ =>
       df.unpersist(blocking = false)
-      true
+      false
   }
 }
