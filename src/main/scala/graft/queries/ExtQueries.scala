@@ -1738,6 +1738,43 @@ object ExtQueries {
       .select(col("doc_id"), col("shard"), col("shard_pos"))
       .orderBy("doc_id")
 
+  /** Shuffle-quality audit of the epoch ordering: per shard, the rate of
+    * ADJACENT same-source pairs in training order vs the rate an
+    * independent draw would produce (Σ p_source² over the corpus) — the
+    * meter a training run reads before trusting an epoch order (domain
+    * clumping in the batch stream shows up as loss spikes long before
+    * anything else does). clump_ratio ≈ 1 = well mixed; >> 1 = clumped.
+    *
+    * Scale shape: the adjacency lag runs under the SAME shard-partitioned
+    * window discipline as the shuffle itself (parallelism = nShards, the
+    * production knob); source probabilities are one tiny aggregation
+    * crossed in as a broadcast one-row scalar frame. */
+  def eShuffleQuality(s: SparkSession, d: String): DataFrame = {
+    val shuffled = graft.operators.CorpusShuffle.shuffle(
+      Tables.documents(s, d), "doc_id", "epoch0", nShards = 8)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shard_pos"))
+    val perShard = shuffled
+      .withColumn("prev_source", lag(col("source"), 1).over(w))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        // (null === x) is null → first row of each shard never counts
+        coalesce(sum((col("prev_source") === col("source")).cast("long")),
+          lit(0L)).as("n_adj_same"))
+    val pSame = Tables.documents(s, d)
+      .groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg((sum(col("c") * col("c")).cast("double") /
+        (sum(col("c")).cast("double") * sum(col("c")).cast("double")))
+        .as("p_same"))
+    perShard.crossJoin(broadcast(pSame))
+      .select(col("shard"), col("n_rows"), col("n_adj_same"),
+        round(col("n_adj_same") / (col("n_rows") - 1), 6).as("adj_same_rate"),
+        round(col("p_same"), 6).as("expected_rate"),
+        round((col("n_adj_same") / (col("n_rows") - 1)) / col("p_same"), 6)
+          .as("clump_ratio"))
+      .orderBy("shard")
+  }
+
   /** Curriculum ordering: short docs first in coarse length stages, seed-
     * shuffled within each stage; the exact global training position per
     * doc, computed via the histogram two-pass (no global window). */
@@ -3549,6 +3586,7 @@ object ExtQueries {
     "e_tfidf" -> (eTfidf _),
     "e_stratified_sample" -> (eStratifiedSample _),
     "e_corpus_shuffle" -> (eCorpusShuffle _),
+    "e_shuffle_quality" -> (eShuffleQuality _),
     "e_curriculum_order" -> (eCurriculumOrder _),
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_phash_neardup" -> (ePhashNeardup _),
@@ -4305,6 +4343,30 @@ object ExtQueries {
          |       CAST(row_number() OVER (PARTITION BY key % 8
          |         ORDER BY key, doc_id) AS BIGINT) AS shard_pos
          |FROM keyed ORDER BY doc_id""".stripMargin
+    },
+    "e_shuffle_quality" -> {
+      val h = hexHashSql("CAST(doc_id AS VARCHAR)", "epoch0|")
+      s"""WITH keyed AS (SELECT doc_id, source, $h AS key FROM documents),
+         |sh AS (SELECT doc_id, source, key % 8 AS shard,
+         |    row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) AS shard_pos
+         |  FROM keyed),
+         |adj AS (SELECT shard,
+         |    CASE WHEN lag(source) OVER (PARTITION BY shard ORDER BY shard_pos) IS NULL
+         |         THEN NULL
+         |         WHEN lag(source) OVER (PARTITION BY shard ORDER BY shard_pos) = source
+         |         THEN 1 ELSE 0 END AS same
+         |  FROM sh),
+         |ps AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_rows,
+         |    CAST(coalesce(sum(same), 0) AS BIGINT) AS n_adj_same
+         |  FROM adj GROUP BY shard),
+         |es AS (SELECT CAST(sum(c * c) AS DOUBLE) /
+         |    (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)) AS p_same
+         |  FROM (SELECT count(*) AS c FROM documents GROUP BY source))
+         |SELECT shard, n_rows, n_adj_same,
+         |  round(n_adj_same / (n_rows - 1), 6) AS adj_same_rate,
+         |  round(p_same, 6) AS expected_rate,
+         |  round((n_adj_same / (n_rows - 1)) / p_same, 6) AS clump_ratio
+         |FROM ps CROSS JOIN es ORDER BY shard""".stripMargin
     },
     "e_curriculum_order" -> {
       val h = hexHashSql("CAST(doc_id AS VARCHAR)", "epoch0|")
