@@ -204,4 +204,48 @@ object LanguageModel {
         round(col("h"), 6).as("cross_entropy"),
         round(exp(col("h")), 6).as("perplexity"))
   }
+
+  /** Entropy-based bigram pruning losses — the model-compression step a
+    * production n-gram deployment runs before shipping (Stolcke 1998's
+    * relative-entropy criterion; KenLM's `--prune` is the same idea on
+    * counts): for every bigram entry, the expected per-token
+    * log-likelihood LOSS on the training corpus if that entry were
+    * dropped and its tokens scored through the backoff path of
+    * [[perplexityInterpolated]]'s model,
+    *
+    *   loss(v,w) = (c(v,w) / N) · ln( p_keep / p_prune ),
+    *   p_keep  = λ·(c(v,w)+α)/(c(v)+α(V+1)) + (1−λ)·p_U(w),
+    *   p_prune = λ·(    α   )/(c(v)+α(V+1)) + (1−λ)·p_U(w)
+    *
+    * (p_prune is p_keep with the entry's count zeroed — exactly what the
+    * scorer's `coalesce(c12, 0)` computes for an absent entry). Entries
+    * with loss below a threshold are safe to drop: the model shrinks,
+    * corpus perplexity moves by ≈ Σ pruned losses.
+    *
+    * Returns the per-bigram decision table (w1, w2, c12, loss) — loss
+    * UNROUNDED; callers cut/round. Scale shape: one bigram-table-sized
+    * frame, two vocabulary equi-joins, scalars broadcast as a one-row
+    * frame; nothing corpus-sized shuffles. */
+  def bigramPruneLoss(docs: DataFrame, textCol: String,
+                      alpha: Double = 1.0,
+                      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
+    val uni = unigramCounts(docs, textCol)
+    val big = bigramCounts(docs, textCol)
+    val stats = uni.agg(sum(col("c")).cast("double").as("n_tokens"),
+      count(lit(1)).cast("double").as("v_types"))
+    val denomU = col("n_tokens") + lit(alpha) * (col("v_types") + lit(1.0))
+    val pU2 = (col("c2").cast("double") + lit(alpha)) / denomU
+    val denomB = col("c1").cast("double") + lit(alpha) * (col("v_types") + lit(1.0))
+    val pKeep = lit(lambda) * (col("c12").cast("double") + lit(alpha)) / denomB +
+      lit(1.0 - lambda) * pU2
+    val pPrune = lit(lambda) * lit(alpha) / denomB + lit(1.0 - lambda) * pU2
+    big
+      .join(uni.select(col("term").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uni.select(col("term").as("w2"), col("c").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(stats))
+      .select(col("w1"), col("w2"), col("c12"),
+        ((col("c12").cast("double") / col("n_tokens")) * log(pKeep / pPrune))
+          .as("loss"))
+  }
 }

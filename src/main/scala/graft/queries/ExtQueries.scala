@@ -124,6 +124,11 @@ object ExtQueries {
   // double the literal 0.3 parses to).
   private val LmAlpha = 1.0
   private val LmLambda = 0.7
+  // entropy pruning (e_lm_prune): drop bigram entries whose removal costs
+  // the corpus less than theta nats/token; theta sits 6e-6 clear of the
+  // nearest loss value at sf0.01 (no FP-boundary flips)
+  private val LmPruneTheta = 0.0005
+  private val LmPruneTopK = 30
   private val LmTailTiles = 10L
   // Kneser-Ney absolute discount (e_lm_kneser_ney)
   private val KnDiscount = 0.75
@@ -1148,6 +1153,35 @@ object ExtQueries {
         graft.operators.QuantileSketch.quantileCol(col("qs"), 0.99).as("est_p99"))
     withinRankBound(ev, ests, eps = 0.05)
   }
+
+  /** Entropy-based LM pruning report: the [[LmPruneTopK]] bigram entries
+    * the interpolated model can least afford to lose, with their
+    * per-token corpus-likelihood losses and keep/prune decisions at
+    * [[LmPruneTheta]] — the KenLM `--prune` analogue
+    * ([[graft.functions.LanguageModel.bigramPruneLoss]]). TakeOrdered
+    * head over the bigram-sized loss frame; nothing corpus-sized
+    * shuffles. */
+  def eLmPrune(s: SparkSession, d: String): DataFrame =
+    graft.functions.LanguageModel.bigramPruneLoss(
+        Tables.documents(s, d), "text", LmAlpha, LmLambda)
+      .select(col("w1"), col("w2"), col("c12"),
+        round(col("loss"), 6).as("loss"),
+        (col("loss") >= LmPruneTheta).cast("long").as("kept"))
+      .orderBy(desc("loss"), asc("w1"), asc("w2"))
+      .limit(LmPruneTopK)
+
+  /** One-row summary of the pruning decision at [[LmPruneTheta]]: model
+    * rows before/after and the bigram-mass share the kept entries cover
+    * (≈ how much of the corpus still scores through a dedicated entry). */
+  def eLmPruneStats(s: SparkSession, d: String): DataFrame =
+    graft.functions.LanguageModel.bigramPruneLoss(
+        Tables.documents(s, d), "text", LmAlpha, LmLambda)
+      .agg(count(lit(1)).as("b_types"),
+        sum((col("loss") >= LmPruneTheta).cast("long")).as("n_kept"),
+        sum((col("loss") < LmPruneTheta).cast("long")).as("n_pruned"),
+        round(sum(when(col("loss") >= LmPruneTheta, col("c12"))
+            .otherwise(lit(0L))).cast("double") /
+          sum(col("c12")).cast("double"), 6).as("kept_mass"))
 
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR 2009): the BM25 lexical ranking and the embedding cosine
@@ -3626,6 +3660,8 @@ object ExtQueries {
     "e_weighted_sample" -> (eWeightedSample _),
     "e_lm_perplexity" -> (eLmPerplexity _),
     "e_lm_kneser_ney" -> (eLmKneserNey _),
+    "e_lm_prune" -> (eLmPrune _),
+    "e_lm_prune_stats" -> (eLmPruneStats _),
     "e_lm_perplexity2" -> (eLmPerplexity2 _),
     "e_lm_tail_cut" -> (eLmTailCut _),
     "e_collocations" -> (eCollocations _),
@@ -3672,6 +3708,38 @@ object ExtQueries {
       |       LEFT JOIN bc ON bc.w1 = tok.prev AND bc.w2 = tok.w
       |       CROSS JOIN st
       |       GROUP BY tok.doc_id)""".stripMargin
+  }
+
+  // Shared loss CTE of the pruning oracles: bigram/unigram tables + the
+  // per-entry keep-vs-backoff likelihood loss, parenthesized to mirror the
+  // Spark arithmetic term-for-term (quotients formed before the λ
+  // weights, matching bigramPruneLoss's column expression).
+  private lazy val lmPruneLossCtes: String = {
+    val lam = LmLambda.toString
+    val oneMinusLam = (1.0 - LmLambda).toString
+    val a = LmAlpha.toString
+    s"""tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tku
+      |        WHERE term <> '' GROUP BY term),
+      |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
+      |        CAST(count(*) AS DOUBLE) AS v_types FROM uni),
+      |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk0)
+      |       WHERE t[i] <> '' AND t[i + 1] <> ''),
+      |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
+      |ls AS (SELECT bc.w1, bc.w2, bc.c12,
+      |    (CAST(bc.c12 AS DOUBLE) / st.n_tokens) * ln(
+      |      ($lam * ((CAST(bc.c12 AS DOUBLE) + $a)
+      |          / (CAST(u1.c AS DOUBLE) + $a * (st.v_types + 1.0)))
+      |       + $oneMinusLam * ((CAST(u2.c AS DOUBLE) + $a)
+      |          / (st.n_tokens + $a * (st.v_types + 1.0))))
+      |      /
+      |      ($lam * ($a / (CAST(u1.c AS DOUBLE) + $a * (st.v_types + 1.0)))
+      |       + $oneMinusLam * ((CAST(u2.c AS DOUBLE) + $a)
+      |          / (st.n_tokens + $a * (st.v_types + 1.0))))) AS loss
+      |  FROM bc JOIN uni u1 ON bc.w1 = u1.term
+      |  JOIN uni u2 ON bc.w2 = u2.term CROSS JOIN st)""".stripMargin
   }
 
   private val collocationsOracle =
@@ -4057,6 +4125,20 @@ object ExtQueries {
         |SELECT doc_id, n_scored, round(h, 6) AS cross_entropy,
         |       round(exp(h), 6) AS perplexity
         |FROM sc ORDER BY doc_id""".stripMargin,
+    "e_lm_prune" ->
+      s"""WITH $lmPruneLossCtes
+        |SELECT w1, w2, c12, round(loss, 6) AS loss,
+        |  CAST(CASE WHEN loss >= $LmPruneTheta THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM ls
+        |ORDER BY round(loss, 6) DESC, w1 ASC, w2 ASC LIMIT $LmPruneTopK""".stripMargin,
+    "e_lm_prune_stats" ->
+      s"""WITH $lmPruneLossCtes
+        |SELECT CAST(count(*) AS BIGINT) AS b_types,
+        |  CAST(sum(CASE WHEN loss >= $LmPruneTheta THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN loss < $LmPruneTheta THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+        |  round(CAST(sum(CASE WHEN loss >= $LmPruneTheta THEN c12 ELSE 0 END) AS DOUBLE)
+        |    / CAST(sum(c12) AS DOUBLE), 6) AS kept_mass
+        |FROM ls""".stripMargin,
     "e_lm_kneser_ney" -> {
       val dd = KnDiscount.toString
       s"""WITH tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
