@@ -1820,6 +1820,33 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Per-source scorecard: the curation deliverable for deciding which
+    * crawls/sources to keep, grow, or drop — docs, token volume, mean
+    * quality, language spread, and exact-dup rate per source, all in one
+    * corpus scan + one map-side-combined aggregation.
+    *
+    * Determinism note: mean quality aggregates the per-doc 6-dp score as
+    * an exact integer (score·10⁶) so the sum is order-independent —
+    * averaging raw doubles would expose FP summation order between
+    * engines. */
+  def eSourceScorecard(s: SparkSession, d: String): DataFrame = {
+    val q6 = round(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long")
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("toks"), q6.as("q6"),
+        md5(trim(lower(col("text")))).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("total_tokens"),
+        round(sum(col("q6")).cast("double") /
+          (count(lit(1)) * lit(1000000.0)), 6).as("avg_quality"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("h")).as("n_distinct_texts"),
+        round(lit(1.0) - countDistinct(col("h")).cast("double") /
+          count(lit(1)).cast("double"), 6).as("exact_dup_rate"))
+      .orderBy("source")
+  }
+
   /** Gopher-style repetition filter over the corpus (CorpusFilters). */
   def eRepetitionFilter(s: SparkSession, d: String): DataFrame =
     graft.functions.CorpusFilters
@@ -3627,6 +3654,7 @@ object ExtQueries {
     "e_audio_neardup" -> (eAudioNeardup _),
     "e_phash_clusters" -> (ePhashClusters _),
     "e_repetition_filter" -> (eRepetitionFilter _),
+    "e_source_scorecard" -> (eSourceScorecard _),
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
     "e_pii_redact" -> (ePiiRedact _),
@@ -4378,6 +4406,23 @@ object ExtQueries {
         |FROM tok LEFT JOIN vocab v ON tok.token = v.token
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e_text_quality" -> qualityOracle,
+    "e_source_scorecard" ->
+      s"""WITH $toksCte,
+         |j AS (SELECT d.source, d.lang, d.text, toks.t
+         |  FROM documents d JOIN toks ON d.doc_id = toks.doc_id),
+         |q AS (SELECT source, lang,
+         |    CAST(len(t) AS BIGINT) AS toks,
+         |    CAST(round($qualityScoreSql * 1000000) AS BIGINT) AS q6,
+         |    md5(trim(lower(text))) AS h
+         |  FROM j)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS total_tokens,
+         |  round(CAST(sum(q6) AS DOUBLE) / (count(*) * 1000000.0), 6) AS avg_quality,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts,
+         |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+         |    AS exact_dup_rate
+         |FROM q GROUP BY source ORDER BY source""".stripMargin,
     "e_quality_cut" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score
