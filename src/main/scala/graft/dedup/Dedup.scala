@@ -387,21 +387,7 @@ object Dedup {
   def simhashPairsMultiTableFromFingerprints(fp: DataFrame, bits: Int,
                                              prefixBits: Int, maxHamming: Int,
                                              nTables: Int): DataFrame = {
-    require(nTables >= 1 && nTables <= bits, "need 1 <= nTables <= bits")
-    require(prefixBits <= bits, "prefix cannot exceed fingerprint width")
-    // table i buckets on the prefix of the fingerprint rotated left by
-    // i·bits/nTables — bit-string manipulation is on the compact bits-char
-    // string, once per (doc, table)
-    val buckets = (0 until nTables).map { i =>
-      val r = i * bits / nTables
-      val rotated =
-        if (r == 0) col("simhash")
-        else concat(substring(col("simhash"), r + 1, bits - r),
-          substring(col("simhash"), 1, r))
-      substring(rotated, 1, prefixBits)
-    }
-    val banded = fp.select(col("doc_id"), col("sh_long"),
-      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+    val banded = fingerprintBuckets(fp, bits, prefixBits, nTables)
     val a = banded.select(col("doc_id").as("doc_a"), col("sh_long").as("shl_a"),
       col("tbl"), col("bucket"))
     val b = banded.select(col("doc_id").as("doc_b"), col("sh_long").as("shl_b"),
@@ -413,6 +399,77 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may collide in several tables
     materializeAndRelease(result)
+  }
+
+  /** The rotated-prefix bucket table of a `(doc_id, simhash, sh_long)`
+    * fingerprint frame: table i buckets on the prefix of the fingerprint
+    * rotated left by i·bits/nTables — bit-string manipulation on the
+    * compact bits-char string, once per (doc, table). Shared by the batch
+    * pair join above and the streaming incremental index
+    * ([[graft.streaming.StreamingFingerprintIndex]]). */
+  private[graft] def fingerprintBuckets(fp: DataFrame, bits: Int,
+                                        prefixBits: Int,
+                                        nTables: Int): DataFrame = {
+    require(nTables >= 1 && nTables <= bits, "need 1 <= nTables <= bits")
+    require(prefixBits <= bits, "prefix cannot exceed fingerprint width")
+    val buckets = (0 until nTables).map { i =>
+      val r = i * bits / nTables
+      val rotated =
+        if (r == 0) col("simhash")
+        else concat(substring(col("simhash"), r + 1, bits - r),
+          substring(col("simhash"), 1, r))
+      substring(rotated, 1, prefixBits)
+    }
+    fp.select(col("doc_id"), col("sh_long"),
+      posexplode(array(buckets: _*)).as(Seq("tbl", "bucket")))
+  }
+
+  /** One micro-batch step of the incremental Hamming-banded fingerprint
+    * index: replay-guard the batch against the indexed ids, bucket ONLY
+    * the fresh fingerprints, find within-batch and cross-batch (new ×
+    * indexed) candidate pairs, and return the materialized increment.
+    * Per-batch work ∝ batch buckets × matching occupancy — the indexed
+    * corpus is never re-fingerprinted or re-bucketed.
+    *
+    * Union of per-batch `newPairs` over any batch split equals the batch
+    * [[simhashPairsMultiTableFromFingerprints]] over the union corpus:
+    * bucket membership is a pure function of the fingerprint, and each
+    * unordered pair is discovered exactly once — when its later element
+    * arrives (cross) or in its shared batch (within). */
+  final case class FingerprintIncrement(fps: DataFrame, buckets: DataFrame,
+                                        newPairs: DataFrame)
+
+  def fingerprintIncrement(batchFp: DataFrame, prevFps: Option[DataFrame],
+                           prevBuckets: Option[DataFrame], bits: Int,
+                           prefixBits: Int, maxHamming: Int,
+                           nTables: Int): FingerprintIncrement = {
+    val fresh0 = batchFp.select(col("doc_id"), col("simhash"), col("sh_long"))
+    val fresh = prevFps match {
+      case Some(p) =>
+        fresh0.join(p.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      case None => fresh0
+    }
+    val freshM = materializeAndRelease(fresh)
+    val bkts = materializeAndRelease(
+      fingerprintBuckets(freshM, bits, prefixBits, nTables))
+    def side(df: DataFrame, s: String) = df.select(
+      col("doc_id").as(s"doc_$s"), col("sh_long").as(s"shl_$s"),
+      col("tbl"), col("bucket"))
+    val within = side(bkts, "a").join(side(bkts, "b"), Seq("tbl", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+    val candidates = prevBuckets match {
+      case Some(pb) => within.unionByName(
+        side(bkts, "a").join(side(pb, "b"), Seq("tbl", "bucket")))
+      case None => within
+    }
+    val hamming = bit_count(col("shl_a").bitwiseXOR(col("shl_b"))).cast("long")
+    val pairs = candidates
+      .select(least(col("doc_a"), col("doc_b")).as("pa"),
+        greatest(col("doc_a"), col("doc_b")).as("pb"), hamming.as("hamming"))
+      .select(col("pa").as("doc_a"), col("pb").as("doc_b"), col("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+    FingerprintIncrement(freshM, bkts, materializeAndRelease(pairs))
   }
 
   /** Near-dup clusters from candidate pairs by bounded label propagation:
