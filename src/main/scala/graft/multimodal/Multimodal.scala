@@ -209,6 +209,34 @@ object Multimodal {
         col("media_id").as("seg_key"), col("phash"), col("ph_long"))
   }
 
+  /** Video near-dup fingerprints — the third modality member: a video's
+    * matching unit is the SAMPLED FRAME ([[sampleFrames]]' every-Nth
+    * 256-byte block), each frame hashed with the same difference code as
+    * [[perceptualHash]]. Two videos are near-dup if ANY sampled frame
+    * pair lands within a small Hamming distance — shot-level matching
+    * that survives re-cuts and partial reuse, the same reduction
+    * content-ID systems run per keyframe. Frames shorter than a quarter
+    * block drop (their mostly-empty hashes collide across unrelated
+    * media); frame 0 always survives so every video stays
+    * fingerprintable.
+    *
+    * Returns the same `(media_id, seg_idx, seg_key, phash, ph_long)`
+    * shape as [[audioSegmentHashes]] — one shared downstream (banding,
+    * rollups, the streaming fingerprint index) serves all three
+    * modalities. */
+  def videoFrameHashes(media: Dataset[MediaRecord], everyN: Int, bits: Int,
+                       keyMod: Long): DataFrame = {
+    val frames = sampleFrames(media, everyN)
+      .filter(length(col("frame_bytes")) >= 64 || col("frame_idx") === 0)
+    val keyed = frames.select(
+      (col("media_id") * keyMod + col("frame_idx")).as("media_id"),
+      col("frame_bytes").as("content"))
+    perceptualHash(keyed, bits)
+      .select(floor(col("media_id") / keyMod).cast("long").as("media_id"),
+        (col("media_id") % keyMod).cast("long").as("seg_idx"),
+        col("media_id").as("seg_key"), col("phash"), col("ph_long"))
+  }
+
   /** [[perceptualNearDupPairs]] over a prebuilt [[perceptualHash]] table —
     * the caller owns that table's lifecycle. */
   def perceptualNearDupPairsFromHashes(fp: DataFrame, bits: Int,

@@ -92,6 +92,10 @@ object ExtQueries {
   private val AudioSegBytes = 128
   private val AudioMaxHamming = 2
   private val AudioKeyMod = 1L << 20
+  // video near-dup (e_video_neardup): every 2nd 256-byte sampled frame,
+  // same 32-bit difference hash and Hamming cut as the audio segments
+  private val VideoEveryN = 2
+  private val VideoFrameBytes = 256
   // IVF recall/cost sweep (e_ann_recall_sweep): probe counts on the curve
   private val SweepProbes = Seq(1, 2, 4, 8)
   private val SweepK = 3
@@ -1441,21 +1445,51 @@ object ExtQueries {
     val fps = Dedup.materializeAndRelease(
       graft.multimodal.Multimodal.audioSegmentHashes(
         audio, AudioSegBytes, PhBits, AudioKeyMod))
+    segmentNeardupStats(fps, AudioKeyMod, AudioMaxHamming)
+  }
+
+  /** Video near-dup by sampled-frame hashing — the third modality through
+    * the shared banding stack: every 2nd 256-byte "frame" of the
+    * stub-decoded stream carries its own 32-bit difference hash
+    * ([[graft.multimodal.Multimodal.videoFrameHashes]]); matching frame
+    * pairs across videos band through the same rotated-prefix equi-join
+    * as SimHash/pHash/audio. Shot-level matching: a reused clip aligns on
+    * some sampled frame even after re-cuts. Same output shape and
+    * materialization boundary as [[eAudioNeardup]]. */
+  def eVideoNeardup(s: SparkSession, d: String): DataFrame = {
+    val video = graft.multimodal.Multimodal.synthesizeMedia(
+        Tables.documents(s, d))
+      .filter(col("media_type") === "video")
+    val fps = Dedup.materializeAndRelease(
+      graft.multimodal.Multimodal.videoFrameHashes(
+        video, VideoEveryN, PhBits, AudioKeyMod))
+    segmentNeardupStats(fps, AudioKeyMod, AudioMaxHamming)
+  }
+
+  /** Shared per-media rollup of a segment/frame fingerprint table
+    * (media_id, seg_idx, seg_key, phash, ph_long): banded segment pairs →
+    * one row per media with head fingerprint and cross-media match stats.
+    * Serves the audio (contiguous segments) and video (sampled frames)
+    * near-dup queries. */
+  private def segmentNeardupStats(fps: DataFrame, keyMod: Long,
+                                  maxHamming: Int): DataFrame = {
+    // seg_idx 0 always survives the length guard (both producers keep a
+    // record's first window unconditionally), so it is the head everywhere
     val segCounts = fps.groupBy(col("media_id"))
       .agg(count(lit(1)).as("n_segments"),
         min(when(col("seg_idx") === 0, col("phash"))).as("head_phash"))
     val pairs = Dedup.simhashPairsMultiTableFromFingerprints(
       fps.select(col("seg_key").as("doc_id"), col("phash").as("simhash"),
         col("ph_long").as("sh_long")),
-      PhBits, PhPrefix, AudioMaxHamming, PhTables)
+      PhBits, PhPrefix, maxHamming, PhTables)
     // both directions, segment keys unpacked back to media; same-media
     // segment echoes (adjacent near-identical windows) are not near-DUPS
     val dir = pairs
       .select(col("doc_a").as("k_self"), col("doc_b").as("k_other"), col("hamming"))
       .unionAll(pairs
         .select(col("doc_b").as("k_self"), col("doc_a").as("k_other"), col("hamming")))
-      .select(floor(col("k_self") / AudioKeyMod).cast("long").as("media_id"),
-        floor(col("k_other") / AudioKeyMod).cast("long").as("partner"),
+      .select(floor(col("k_self") / keyMod).cast("long").as("media_id"),
+        floor(col("k_other") / keyMod).cast("long").as("partner"),
         col("hamming"))
       .filter(col("media_id") =!= col("partner"))
     val stats = dir.groupBy(col("media_id"))
@@ -2381,12 +2415,14 @@ object ExtQueries {
        |FROM fp LEFT JOIN pt ON fp.media_id = pt.media_id
        |ORDER BY fp.media_id""".stripMargin
 
-  /** e_audio_neardup rebuilt relationally: the audio slice (doc_id % 3 = 1)
-    * splits into [[AudioSegBytes]] windows, each window gets the same
-    * md5-over-slices difference hash as the pHash oracle, rotated-prefix
-    * buckets band SEGMENT pairs, and per-media stats aggregate the
-    * cross-media matches. */
-  private val audioNeardupOracle = {
+  /** e_audio_neardup / e_video_neardup rebuilt relationally: the modality
+    * slice splits into fixed windows (audio: every contiguous 128-byte
+    * segment; video: every `stride`-th 256-byte frame), each window gets
+    * the same md5-over-slices difference hash as the pHash oracle,
+    * rotated-prefix buckets band WINDOW pairs, and per-media stats
+    * aggregate the cross-media matches. */
+  private def segmentNeardupOracleSql(sliceMod: Int, segBytes: Int,
+                                      stride: Int, minLen: Int): String = {
     val nCells = PhBits + 1
     def cellSql(i: Int) =
       s"('0x' || substring(md5(substring(seg, ($i-1)*w+1, w)), 1, 2))::INT"
@@ -2403,14 +2439,14 @@ object ExtQueries {
         else s"substring(phash, ${r + 1}, ${PhBits - r}) || substring(phash, 1, $r)"
       s"SELECT media_id, seg_idx, phash, $i AS tbl, substring($rotated, 1, $PhPrefix) AS bucket FROM fp"
     }.mkString("\n  UNION ALL ")
-    s"""WITH aud AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+    s"""WITH aud AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = $sliceMod),
        |sg0 AS (SELECT media_id,
-       |  unnest(range(0, greatest(CAST(ceil(len(text) / ${AudioSegBytes}.0) AS BIGINT), 1))) AS seg_idx,
+       |  unnest(range(0, greatest(CAST(ceil(len(text) / ${segBytes}.0) AS BIGINT), 1))) AS seg_idx,
        |  text FROM aud),
        |sg AS (SELECT media_id, seg_idx,
-       |    substring(text, CAST(seg_idx * $AudioSegBytes + 1 AS INT), $AudioSegBytes) AS seg
-       |  FROM sg0),
-       |segf AS (SELECT * FROM sg WHERE len(seg) >= ${AudioSegBytes / 4} OR seg_idx = 0),
+       |    substring(text, CAST(seg_idx * $segBytes + 1 AS INT), $segBytes) AS seg
+       |  FROM sg0 WHERE seg_idx % $stride = 0),
+       |segf AS (SELECT * FROM sg WHERE len(seg) >= $minLen OR seg_idx = 0),
        |cw AS (SELECT media_id, seg_idx, seg,
        |  greatest(CAST(ceil(len(seg) / ${nCells}.0) AS INT), 1) AS w FROM segf),
        |fp AS (SELECT media_id, seg_idx, $bitsConcat AS phash FROM cw),
@@ -3652,6 +3688,7 @@ object ExtQueries {
     "e_multimodal_meta" -> (eMultimodalMeta _),
     "e_phash_neardup" -> (ePhashNeardup _),
     "e_audio_neardup" -> (eAudioNeardup _),
+    "e_video_neardup" -> (eVideoNeardup _),
     "e_phash_clusters" -> (ePhashClusters _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_source_scorecard" -> (eSourceScorecard _),
@@ -4051,7 +4088,12 @@ object ExtQueries {
     "e_simhash_pairs" -> simhashPairsOracle,
     "e_simhash_multitable" -> simhashMultitableOracle,
     "e_phash_neardup" -> phashNeardupOracle,
-    "e_audio_neardup" -> audioNeardupOracle,
+    "e_audio_neardup" -> segmentNeardupOracleSql(
+      sliceMod = 1, segBytes = AudioSegBytes, stride = 1,
+      minLen = AudioSegBytes / 4),
+    "e_video_neardup" -> segmentNeardupOracleSql(
+      sliceMod = 2, segBytes = VideoFrameBytes, stride = VideoEveryN,
+      minLen = VideoFrameBytes / 4),
     "e_phash_clusters" -> phashClustersOracle,
     "e_heavy_hitters" -> heavyHittersOracle,
     "e_pq_encode" -> pqEncodeOracle,

@@ -474,14 +474,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       s"map-side partial top-k aggregation missing:\n$plan")
   }
 
-  test("e_audio_neardup: segment banding is an equi-join — no cartesian/nested-loop") {
-    val plan = executedPlan("e_audio_neardup")
-    val bad = collectWithSubqueries(plan) {
-      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
-      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+  test("e_audio_neardup + e_video_neardup: segment banding is an equi-join — no cartesian/nested-loop") {
+    for (q <- Seq("e_audio_neardup", "e_video_neardup")) {
+      val plan = executedPlan(q)
+      val bad = collectWithSubqueries(plan) {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+        case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      }
+      assert(bad.isEmpty,
+        s"$q: segment pairs must route through the rotated-prefix equi-join, found:\n$bad")
     }
-    assert(bad.isEmpty,
-      s"segment pairs must route through the rotated-prefix equi-join, found:\n$bad")
   }
 
   test("e_cosine_neardup: LSH-bucketed, no cartesian product in the plan") {
