@@ -78,7 +78,9 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // both operators exist to order a 100 TB corpus WITHOUT a single-
     // partition window: shuffle partitions by shard, curriculum by the
     // composite histogram bin
-    Seq("e_corpus_shuffle", "e_curriculum_order").foreach { q =>
+    // e_shuffle_quality reads the order back under the same discipline:
+    // its adjacency lag partitions by shard too
+    Seq("e_corpus_shuffle", "e_curriculum_order", "e_shuffle_quality").foreach { q =>
       val plan = executedPlan(q)
       val globalWindows = collectWithSubqueries(plan) {
         case w: org.apache.spark.sql.execution.window.WindowExec
@@ -87,6 +89,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       assert(globalWindows.isEmpty,
         s"$q must not serialize the corpus through one window task:\n$plan")
     }
+  }
+
+  test("e_lm_prune: TakeOrdered report head; the corpus never shuffles into the loss join") {
+    val plan = executedPlan("e_lm_prune")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"the report cut must be a bounded heap pass, not a full sort:\n$plan")
+    val bad = collectWithSubqueries(plan) {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(bad.isEmpty, s"loss join must stay equi/broadcast:\n$bad")
   }
 
   test("p1_dynamic_allowlist: narrow map_filter plan (no explode, no aggregate)") {
