@@ -2052,6 +2052,41 @@ object ExtQueries {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** Tokenizer coverage curve: the fraction of all corpus token INSTANCES
+    * a top-k frequency-ranked vocabulary covers, at several k — the
+    * planning number read next to [[eVocabGrowth]]'s Heaps curve and
+    * [[eOovRate]]'s per-doc misses before committing to a vocabulary
+    * size. Scale shape: one map-side-combined count + ONE TakeOrdered
+    * head of max(k) rows; the k cuts and the total cross in as broadcast
+    * bounded frames — the vocabulary itself is never globally sorted. */
+  def eVocabCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ks = Seq(5L, 10L, 20L, 30L)
+    val counts = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total"))
+    val head = counts
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(ks.max.toInt)
+      .withColumn("rank",
+        // bounded max(k)-row post-limit frame — see eVocabulary's note
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(lit(0))
+          .orderBy(col("n").desc, col("token").asc)).cast("long"))
+    ks.toDF("k")
+      .crossJoin(broadcast(head))
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("n")).as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total"),
+        round(col("covered").cast("double") / col("total").cast("double"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
   /** Heavy hitters by count-min estimate: top tokens ranked by the sketch's
     * (one-sided, collision-bounded) frequency estimate — the fixed-memory
     * alternative to the exact `e_vocabulary` count when the vocabulary
@@ -3710,6 +3745,7 @@ object ExtQueries {
     "e_top_quality_docs" -> (eTopQualityDocs _),
     "e_curation_funnel" -> (eCurationFunnel _),
     "e_vocabulary" -> (eVocabulary _),
+    "e_vocab_coverage" -> (eVocabCoverage _),
     "e_vocabulary_unicode" -> (eVocabularyUnicode _),
     "e_token_unicode" -> (eTokenUnicode _),
     "e_heavy_hitters" -> (eHeavyHitters _),
@@ -4015,6 +4051,18 @@ object ExtQueries {
         |r AS (SELECT token, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
         |SELECT token, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "e_vocab_coverage" ->
+      """WITH v AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS n FROM v WHERE token <> '' GROUP BY token),
+        |r AS (SELECT token, n,
+        |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |ks(k) AS (VALUES (5), (10), (20), (30))
+        |SELECT CAST(ks.k AS BIGINT) AS k, CAST(sum(r.n) AS BIGINT) AS covered,
+        |  t.total,
+        |  round(CAST(sum(r.n) AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS coverage
+        |FROM ks JOIN r ON r.rank <= ks.k CROSS JOIN t
+        |GROUP BY ks.k, t.total ORDER BY k""".stripMargin,
     // NFKC is identity on this ASCII corpus, so RE2's \p{L}\p{N} classes
     // reproduce the Spark tokenizer exactly; non-ASCII NFKC behavior is
     // proven in TextAnalysisSpec (DuckDB ships no normalizer)
