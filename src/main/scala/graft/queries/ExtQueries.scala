@@ -2052,6 +2052,27 @@ object ExtQueries {
         size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
       .orderBy("doc_id")
 
+  /** Language-ID confidence margin: per doc, the gap between the best and
+    * second-best language's stopword hit rate — the number that separates
+    * "confidently English" from "coin-flip between es/fr" (route
+    * low-margin docs to a heavier classifier, or drop them from
+    * monolingual slices). Pure in-row column work over one scan: the k
+    * per-language hit counts sort inside a 4-element array. */
+  def eLangidMargin(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => TextAnalysis.stopwordHits(toks, l).cast("long"))
+    val sorted = sort_array(array(scores: _*), asc = false)
+    val best = element_at(sorted, 1)
+    val second = element_at(sorted, 2)
+    Tables.documents(s, d).select(col("doc_id"),
+      TextAnalysis.langIdFromToks(toks).as("predicted"),
+      best.as("best_hits"), second.as("second_hits"),
+      round((best - second).cast("double") /
+        greatest(size(toks).cast("double"), lit(1.0)), 6).as("margin"))
+      .orderBy("doc_id")
+  }
+
   /** Tokenizer coverage curve: the fraction of all corpus token INSTANCES
     * a top-k frequency-ranked vocabulary covers, at several k — the
     * planning number read next to [[eVocabGrowth]]'s Heaps curve and
@@ -3299,6 +3320,31 @@ object ExtQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // Same stopword scores as langidOracle, plus the best-vs-second gap:
+  // the 4 hit counts sort inside a list, margin normalizes by token count
+  private val langidMarginOracle = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    val sortedList = s"list_sort([${langs.map(l => s"s_$l").mkString(", ")}], 'DESC')"
+    s"""WITH ltoks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, t,
+       |  $scoreCols
+       |FROM ltoks),
+       |scored AS (SELECT *, $mExpr AS m, $sortedList AS srt FROM sc)
+       |SELECT doc_id,
+       |  CASE $caseArms ELSE 'und' END AS predicted,
+       |  CAST(srt[1] AS BIGINT) AS best_hits,
+       |  CAST(srt[2] AS BIGINT) AS second_hits,
+       |  round(CAST(srt[1] - srt[2] AS DOUBLE)
+       |    / greatest(CAST(len(t) AS DOUBLE), 1.0), 6) AS margin
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   // Segment-grain language ID (same stopword lists, same first-match CASE
   // order as langidOracle), then the doc-grain mixture profile: dominant
   // language via (count DESC, lang ASC) — exactly the Spark side's
@@ -3700,6 +3746,7 @@ object ExtQueries {
     "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_text_langid" -> (eTextLangid _),
+    "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
     "e_vocab_growth" -> (eVocabGrowth _),
     "e_oov_rate" -> (eOovRate _),
@@ -4453,6 +4500,7 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_text_langid" -> langidOracle,
+    "e_langid_margin" -> langidMarginOracle,
     "e_code_switch" -> codeSwitchOracle,
     "e_vocab_growth" ->
       s"""WITH mx AS (SELECT CAST(ceil((max(doc_id) + 1) / $VocabGrowthBuckets.0) AS BIGINT) AS w
