@@ -117,4 +117,57 @@ class MultimodalSpec extends SparkSpec {
       s"expected exactly the near pair, got ${pairs.toSeq}")
     assert(pairs.head._3 <= 3)
   }
+
+  test("audioSegmentHashes: segment counts, tail guard, key packing, shared content matches") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 300 chars → segments of 128: idx 0 (128), 1 (128), 2 (44 < 32? no —
+    // 44 >= 128/4=32 keeps); 150 chars → idx 0 (128), 1 (22 < 32 drops);
+    // 10 chars → idx 0 only (short but first window always survives)
+    val m = Multimodal.synthesizeMedia(Seq(
+        (1L, "a" * 300), (4L, "b" * 150), (7L, "c" * 10))
+      .toDF("doc_id", "text")).toDF()
+    val fps = Multimodal.audioSegmentHashes(m, segBytes = 128, bits = 32,
+      keyMod = 1L << 20)
+    val segCounts = fps.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(segCounts == Map(1L -> 3L, 4L -> 1L, 7L -> 1L), s"got $segCounts")
+    // key packing round-trips
+    val keys = fps.select(col("media_id"), col("seg_idx"), col("seg_key"))
+      .collect()
+    keys.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0) * (1L << 20) + r.getLong(1))
+    }
+    // two media sharing identical 128-byte content at the same offset get
+    // identical segment hashes (the time-shift-robust match unit); the
+    // distinct tails carry VARIED content — a difference code over a
+    // constant fill is degenerate (all adjacent cells equal for any char)
+    val shared = (0 until 128).map(i => ('a' + i * 7 % 26).toChar).mkString
+    val tail1 = (0 until 128).map(i => ('a' + (i * 11 + 3) % 26).toChar).mkString
+    val tail2 = (0 until 128).map(i => ('a' + (i * 13 + 5) % 26).toChar).mkString
+    val m2 = Multimodal.synthesizeMedia(Seq(
+        (1L, shared + tail1), (4L, shared + tail2))
+      .toDF("doc_id", "text")).toDF()
+    val h2 = Multimodal.audioSegmentHashes(m2, 128, 32, 1L << 20)
+      .select(col("media_id"), col("seg_idx"), col("phash")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(h2((1L, 0L)) == h2((4L, 0L)), "shared segment must hash equal")
+    assert(h2((1L, 1L)) != h2((4L, 1L)), "distinct segments must differ")
+  }
+
+  test("videoFrameHashes: every-2nd sampling, frame-0 survival, same shape as audio") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 700 chars → frames 0..2 (256,256,188); sampled every 2nd → idx 0, 2;
+    // 100 chars → frame 0 only (short, survives via the head rule)
+    val m = Multimodal.synthesizeMedia(Seq(
+        (2L, "v" * 700), (5L, "w" * 100)).toDF("doc_id", "text"))
+    val fps = Multimodal.videoFrameHashes(m, everyN = 2, bits = 32,
+      keyMod = 1L << 20)
+    assert(fps.columns.toSeq ==
+      Seq("media_id", "seg_idx", "seg_key", "phash", "ph_long"))
+    val idx = fps.select(col("media_id"), col("seg_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(idx == Set((2L, 0L), (2L, 2L), (5L, 0L)), s"got $idx")
+  }
 }
