@@ -37,6 +37,19 @@ object ExtQueries {
   // containment threshold (e_containment_dup): keep a pair when EITHER
   // direction's containment clears it (max of the two)
   private val ContainMin = 0.5
+  // LSH→verify stage (e_edit_verify): chars of text prefix compared per
+  // candidate pair — caps verification at O(EditPrefix²) per pair no
+  // matter how long the documents are — and the normalized-similarity
+  // floor for confirming a candidate as a true duplicate (the corpus's
+  // planted near-dups sit ≥ 0.9, unrelated bucket-mates ≤ 0.4)
+  private val EditPrefix = 160
+  private val EditSimMin = 0.8
+  // sorted-neighborhood blocking (e_sorted_neighborhood): blocking-key
+  // width, sort/compare prefix width, and the max edit distance between
+  // sort-adjacent prefixes that still counts as a candidate pair
+  private val SnBlockChars = 8
+  private val SnPrefix = 120
+  private val SnMaxDist = 40
   // winnowing (e_winnow_*): frame width over the shingle-hash stream
   // (guarantee span = window + W − 1 tokens, density 2/(window+1)),
   // minimum shared fingerprints for a match pair, and the checksum
@@ -294,8 +307,8 @@ object ExtQueries {
     // nearDupClusters: e_dedup_best, e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
-    // build (e_curation_funnel), e_minhash_calibration, e_ngram_jaccard
-    // and e_vocab_growth directly
+    // build (e_curation_funnel), e_minhash_calibration, e_ngram_jaccard,
+    // e_source_jaccard and e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_kmeans_silhouette,
@@ -305,8 +318,8 @@ object ExtQueries {
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
     // nbScored: e_nb_classify, e_nb_confusion
     ("nbScored", nbCache, "e_nb_confusion"),
-    // simhashFingerprints: e_dedup_simhash, e_simhash_multitable,
-    // e_simhash_pairs
+    // simhashFingerprints: e_dedup_simhash, e_edit_verify,
+    // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
     // phashFingerprints: e_phash_clusters, e_phash_neardup
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
@@ -608,6 +621,129 @@ object ExtQueries {
         docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
         minContainment = ContainMin, maxDf = JaccardMaxDf)
       .orderBy("doc_a", "doc_b")
+
+  /** Edit-distance verification of SimHash candidate pairs — the second
+    * stage of the canonical two-phase LSH dedup: cheap banded candidates
+    * first (hamming ≤ 3 on the 16-bit fingerprint), then the expensive
+    * exact measure on ONLY those pairs. Levenshtein runs on a bounded
+    * [[EditPrefix]]-char prefix, so per-pair verification is a constant
+    * O(L²) regardless of document length, and the pair set itself is
+    * banded (work ∝ bucket occupancy, never n²); the text join-back is two
+    * doc_id equi-joins against a two-column projection of the corpus.
+    * Rides the simhashFingerprints memo, name-ordered before its
+    * e_simhash_pairs release point. */
+  def eEditVerify(s: SparkSession, d: String): DataFrame = {
+    val pairs = Dedup.simhashPairsFromFingerprints(
+      simhashFingerprints(s, d), SimPrefix, maxHamming = 3)
+    val pfx = Tables.documents(s, d)
+      .select(col("doc_id"), substring(trim(col("text")), 1, EditPrefix).as("pfx"))
+    // unrounded similarity drives the verdict in BOTH engines; only the
+    // reported column is rounded
+    val sim = lit(1.0) - col("edit_dist") /
+      greatest(length(col("pa")), length(col("pb"))).cast("double")
+    pairs
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
+      .withColumn("edit_dist", levenshtein(col("pa"), col("pb")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
+        round(sim, 6).as("edit_sim"),
+        (sim >= EditSimMin).as("verified"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Sorted-neighborhood blocking dedup (Hernández & Stolfo's merge/purge):
+    * a blocking key buckets the corpus, rows sort within each block by a
+    * normalized prefix, and only ADJACENT rows compare — candidate work is
+    * ∝ corpus, not n², and each comparison is a bounded-prefix Levenshtein.
+    * The complementary blocking family to hash-bucket LSH: near-dups that
+    * differ late in the text sort adjacently even when their fingerprints
+    * land in different LSH buckets. Parallelism = #blocks (the per-block
+    * window sorts block-sized slices); at 100 TB the block key must keep
+    * occupancy bounded — widen [[SnBlockChars]] (or compose with a length
+    * bucket) exactly as merge/purge runs multiple passes with different
+    * keys. */
+  def eSortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d).select(col("doc_id"),
+      substring(trim(col("text")), 1, SnPrefix).as("pfx"),
+      substring(trim(col("text")), 1, SnBlockChars).as("block"))
+    val w = Window.partitionBy("block").orderBy(col("pfx"), col("doc_id"))
+    base
+      .select(col("block"), col("doc_id"), col("pfx"),
+        lag(col("doc_id"), 1).over(w).as("prev_id"),
+        lag(col("pfx"), 1).over(w).as("prev_pfx"))
+      .filter(col("prev_id").isNotNull)
+      .withColumn("edit_dist", levenshtein(col("pfx"), col("prev_pfx")).cast("long"))
+      .filter(col("edit_dist") <= SnMaxDist)
+      .select(least(col("prev_id"), col("doc_id")).as("doc_a"),
+        greatest(col("prev_id"), col("doc_id")).as("doc_b"),
+        col("block"), col("edit_dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Positional posting-list phrase search — the IR primitive behind exact
+    * phrase retrieval: explode (doc_id, pos, w-gram), pick the corpus's
+    * most frequent phrase (count desc, lexicographic tie-break — fully
+    * deterministic), then read its postings back as per-document hit count
+    * and first position. The phrase-frequency pass is a map-side-combined
+    * word-count; the postings read is a broadcast one-row equi-join — no
+    * self-join on positions is needed because the w-gram IS the
+    * position-concatenated phrase. */
+  def ePhraseSearch(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val psh = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(Dedup.shingles(toks, W)).as(Seq("pos", "ph")))
+    val top = psh.groupBy(col("ph")).agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("ph").asc).limit(1)
+    psh.join(broadcast(top), Seq("ph"))
+      .groupBy(col("ph"), col("n_total"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"), min(col("pos")).cast("long").as("first_pos"))
+      .select(col("ph").as("phrase"), col("n_total"), col("doc_id"),
+        col("n_hits"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level source overlap: exact shingle-set Jaccard between every
+    * pair of sources — the dataset-curation report that tells you which
+    * feeds duplicate each other BEFORE document-grain dedup runs. Rides
+    * the shared shingleBases memo (name-ordered before its e_vocab_growth
+    * release point). Scale shape: per-source distinct is one shuffle on
+    * (source, shingle); the intersection is NOT a self-join — each
+    * shingle's ≤ #sources member list (a constant-bounded array) expands
+    * its source pairs IN-ROW, so the upstream runs once and nothing fans
+    * out past shingles × #sources²; the result is #source-pairs rows —
+    * never doc-grain. */
+  def eSourceJaccard(s: SparkSession, d: String): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // ONE shuffle builds the per-shingle sorted source list (collect_set
+    // dedups, so no separate distinct pass); the ≤ #sources arrays are the
+    // whole downstream input, so the checkpoint holds #shingles small rows
+    // and both readers below reread that, not the corpus-grain join.
+    // (A further collapse-by-identical-set pass was measured SLOWER here:
+    // grouping on an array<string> key falls out of whole-stage codegen
+    // and doubled the query's wall time at sf0.1.)
+    val bySh = Dedup.materializeAndRelease(
+      docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
+        .join(src, Seq("doc_id"))
+        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs")))
+    // per-source distinct-shingle counts, read off the membership lists
+    val cnts = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    // pairs expanded in-row via an indexed transform over the tail slices
+    val pairList = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        y => struct(x.as("source_a"), y.as("source_b")))))
+    val inter = bySh
+      .select(explode(pairList).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(cnts.select(col("source").as("source_a"), col("n").as("na")), Seq("source_a"))
+      .join(cnts.select(col("source").as("source_b"), col("n").as("nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_inter"),
+        round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
 
   // Two queries (fingerprint summary, match pairs) consume the SAME
   // winnowed selection; memoize the compact (doc_id, pos, h) table per
@@ -2419,6 +2555,75 @@ object ExtQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val editVerifyOracle = {
+    val hamming = (1 to SimBits)
+      .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $simhashFpCtes,
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($hamming AS BIGINT) AS hamming
+       |  FROM fp a JOIN fp b
+       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |   AND a.doc_id < b.doc_id
+       |  WHERE $hamming <= 3),
+       |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
+       |ev AS (SELECT doc_a, doc_b, hamming,
+       |       CAST(levenshtein(pa.pfx, pb.pfx) AS BIGINT) AS edit_dist,
+       |       1.0 - levenshtein(pa.pfx, pb.pfx)
+       |         / greatest(len(pa.pfx), len(pb.pfx)) AS sim
+       |  FROM pr JOIN dp pa ON pa.doc_id = pr.doc_a
+       |          JOIN dp pb ON pb.doc_id = pr.doc_b)
+       |SELECT doc_a, doc_b, hamming, edit_dist,
+       |       round(sim, 6) AS edit_sim, sim >= $EditSimMin AS verified
+       |FROM ev ORDER BY doc_a, doc_b""".stripMargin
+  }
+
+  private val sortedNeighborhoodOracle =
+    s"""WITH b AS (SELECT doc_id, substr(trim(text), 1, $SnPrefix) AS pfx,
+       |  substr(trim(text), 1, $SnBlockChars) AS block FROM documents),
+       |w AS (SELECT block, doc_id, pfx,
+       |  lag(doc_id) OVER (PARTITION BY block ORDER BY pfx, doc_id) AS prev_id,
+       |  lag(pfx) OVER (PARTITION BY block ORDER BY pfx, doc_id) AS prev_pfx
+       |  FROM b)
+       |SELECT least(prev_id, doc_id) AS doc_a,
+       |       greatest(prev_id, doc_id) AS doc_b, block,
+       |       CAST(levenshtein(pfx, prev_pfx) AS BIGINT) AS edit_dist
+       |FROM w
+       |WHERE prev_id IS NOT NULL AND levenshtein(pfx, prev_pfx) <= $SnMaxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val phraseSearchOracle =
+    s"""WITH $toksCte,
+       |psh AS (SELECT doc_id, unnest(range(1, greatest(len(t) - ${W - 1}, 1) + 1)) AS i, t
+       |  FROM toks),
+       |p2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |  array_to_string(t[i:i+${W - 1}], ' ') AS ph FROM psh),
+       |top AS (SELECT ph, CAST(count(*) AS BIGINT) AS n_total FROM p2
+       |  GROUP BY ph ORDER BY n_total DESC, ph ASC LIMIT 1)
+       |SELECT t.ph AS phrase, t.n_total, doc_id,
+       |       CAST(count(*) AS BIGINT) AS n_hits,
+       |       CAST(min(pos) AS BIGINT) AS first_pos
+       |FROM p2 JOIN top t USING (ph)
+       |GROUP BY 1, 2, 3 ORDER BY doc_id""".stripMargin
+
+  private val sourceJaccardOracle =
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$hshCtes,
+       |ssh AS (SELECT DISTINCT d.source, h.sh FROM hsh h
+       |  JOIN documents d USING (doc_id)),
+       |cnts AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |  CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT source_a, source_b, n_inter,
+       |  round(CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter), 6) AS jaccard
+       |FROM inter
+       |JOIN cnts na ON na.source = source_a
+       |JOIN cnts nb ON nb.source = source_b
+       |ORDER BY source_a, source_b""".stripMargin
+
   /** e_phash_neardup rebuilt relationally from the same constants: the dHash
     * bit string from md5-over-slices gray values, the rotated prefix
     * buckets, per-bit Hamming on the banded self-join, then the per-image
@@ -3722,6 +3927,10 @@ object ExtQueries {
     "e_simhash_multitable" -> (eSimhashMultitable _),
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_containment_dup" -> (eContainmentDup _),
+    "e_edit_verify" -> (eEditVerify _),
+    "e_sorted_neighborhood" -> (eSortedNeighborhood _),
+    "e_phrase_search" -> (ePhraseSearch _),
+    "e_source_jaccard" -> (eSourceJaccard _),
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
@@ -4358,6 +4567,10 @@ object ExtQueries {
         |ORDER BY doc_id""".stripMargin,
     "e_ngram_jaccard" -> jaccardOracle,
     "e_containment_dup" -> containmentOracle,
+    "e_edit_verify" -> editVerifyOracle,
+    "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
+    "e_phrase_search" -> phraseSearchOracle,
+    "e_source_jaccard" -> sourceJaccardOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
     "e_span_dedup_apply" -> {
