@@ -50,6 +50,11 @@ object ExtQueries {
   private val SnBlockChars = 8
   private val SnPrefix = 120
   private val SnMaxDist = 40
+  // Matryoshka truncation eval (e_matryoshka_recall): prefix widths whose
+  // retrieval recall is measured against the full 64-dim ground truth
+  private val MatryoshkaDims = Seq(8, 16, 32)
+  // Zipf fit (e_zipf_slope): frequency-ranked head the OLS line fits over
+  private val ZipfTopN = 100
   // winnowing (e_winnow_*): frame width over the shingle-hash stream
   // (guarantee span = window + W − 1 tokens, density 2/(window+1)),
   // minimum shared fingerprints for a match pair, and the checksum
@@ -743,6 +748,86 @@ object ExtQueries {
       .select(col("source_a"), col("source_b"), col("n_inter"),
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
       .orderBy("source_a", "source_b")
+  }
+
+  /** Matryoshka prefix-truncation recall curve: recall@3 of brute-force
+    * cosine over the FIRST m dims (m ∈ [[MatryoshkaDims]]) against the
+    * full-dim ground truth — the eval that says how few prefix dims a
+    * Matryoshka-style embedding retrieves with before committing to the
+    * d/m bandwidth cut on every downstream exchange (the truncation
+    * analogue of e_rp_recall's random projection). Eval-shaped cost:
+    * ground truth and every prefix pass are bounded by the query slice,
+    * exactly like e_ann_recall. */
+  def eMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isQ = col("vec_id") % 50 === 0
+    val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
+      .select(col("query_id"), col("neighbor_id"))
+    val perDim = MatryoshkaDims.map { m =>
+      val pref = emb.select(col("vec_id"), slice(col("embedding"), 1, m).as("pv"))
+      val approx = Similarity.bruteForceTopK(pref, "vec_id", "pv", isQ, k = 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .agg(count(col("__hit")).as("n_hits"),
+          round(count(col("__hit")) / count(lit(1)).cast("double"), 6).as("recall"))
+        .select(lit(m.toLong).as("prefix_dims"), col("n_hits"), col("recall"))
+    }
+    perDim.reduce(_ unionAll _).orderBy("prefix_dims")
+  }
+
+  /** Distinct-n diversity per source: for n ∈ {1,2,3}, total n-gram
+    * instances, distinct n-grams, and the distinct ratio — the standard
+    * corpus-diversity report (a repetitive feed shows a collapsing
+    * distinct-2/3 ratio long before doc-grain dedup fires). One union of
+    * three in-row explodes and one aggregation; the exact countDistinct
+    * is the sf-truth form — at 100 TB the same query runs with
+    * approx_count_distinct and the certificate pattern the HLL queries
+    * use. */
+  def eDistinctN(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val grams = Seq(1, 2, 3).map { n =>
+      Tables.documents(s, d).select(col("source"),
+        lit(n.toLong).as("n"),
+        explode(Dedup.shingles(toks, n)).as("g"))
+    }.reduce(_ unionAll _)
+    grams.groupBy("source", "n")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("source"), col("n"), col("n_grams"), col("n_distinct"),
+        round(col("n_distinct") / col("n_grams").cast("double"), 6)
+          .as("distinct_ratio"))
+      .orderBy("source", "n")
+  }
+
+  /** Zipf slope of the corpus token-frequency distribution: OLS fit of
+    * ln(freq) on ln(rank) over the top [[ZipfTopN]] tokens — natural text
+    * sits near −1; a synthetic or templated feed shows up immediately as
+    * a flat (or cliff-shaped) slope. The frequency pass is a map-side-
+    * combined word count; the rank window runs over ≤ ZipfTopN rows
+    * post-limit (bounded by construction, not by data volume), and the
+    * fit itself uses explicit Σx/Σy/Σxy/Σxx sums so both engines evaluate
+    * the IDENTICAL formula. */
+  def eZipfSlope(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = Tables.documents(s, d)
+      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(ZipfTopN)
+    // global window over the post-limit frame: ≤ ZipfTopN rows by
+    // construction, so the single-partition sort is constant-sized
+    val w = Window.orderBy(desc("freq"), asc("token"))
+    val xy = top.withColumn("r", row_number().over(w))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val sums = xy.agg(count(lit(1)).as("n_top"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+    val slope = (col("n_top") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_top") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("n_top"),
+      round(slope, 6).as("zipf_slope"),
+      round((col("sy") - slope * col("sx")) / col("n_top"), 6).as("zipf_intercept"))
   }
 
   // Two queries (fingerprint summary, match pairs) consume the SAME
@@ -3911,6 +3996,79 @@ object ExtQueries {
        |SELECT doc_id, lex_rank, sem_rank, rrf_score FROM fused
        |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
 
+  private val matryoshkaRecallOracle = {
+    val gtCtes =
+      s"""gt_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |    sum(q.v * e.v) AS dp
+         |  FROM e q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
+         |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+         |gt AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
+         |  FROM gt_dots
+         |  JOIN norms nq ON nq.vec_id = query_id
+         |  JOIN norms nc ON nc.vec_id = neighbor_id) WHERE rank <= 3)""".stripMargin
+    val perDim = MatryoshkaDims.map { m =>
+      s"""pm$m AS (SELECT vec_id, pos, v FROM e WHERE pos <= $m),
+         |nm$m AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM pm$m GROUP BY 1),
+         |dt$m AS (SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
+         |    sum(q.v * p.v) AS dp
+         |  FROM pm$m q JOIN pm$m p ON q.pos = p.pos AND q.vec_id <> p.vec_id
+         |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+         |rk$m AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
+         |  FROM dt$m
+         |  JOIN nm$m nq ON nq.vec_id = query_id
+         |  JOIN nm$m nc ON nc.vec_id = neighbor_id) WHERE rank <= 3),
+         |rec$m AS (SELECT CAST($m AS BIGINT) AS prefix_dims,
+         |    CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |    round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+         |  FROM gt LEFT JOIN rk$m a
+         |    ON gt.query_id = a.query_id AND gt.neighbor_id = a.neighbor_id)""".stripMargin
+    }.mkString(",\n")
+    val union = MatryoshkaDims.map(m => s"SELECT * FROM rec$m")
+      .mkString("\n  UNION ALL ")
+    s"""WITH $embCtes,
+       |$gtCtes,
+       |$perDim
+       |$union
+       |ORDER BY prefix_dims""".stripMargin
+  }
+
+  private val distinctNOracle = {
+    val perN = Seq(1, 2, 3).map { n =>
+      s"""g$n AS (SELECT source, CAST($n AS BIGINT) AS n,
+         |  unnest(list_transform(range(1, greatest(len(t) - ${n - 1}, 1) + 1),
+         |    i -> array_to_string(t[i:i+${n - 1}], ' '))) AS g FROM td)""".stripMargin
+    }.mkString(",\n")
+    val union = Seq(1, 2, 3).map(n => s"SELECT * FROM g$n")
+      .mkString("\n  UNION ALL ")
+    s"""WITH td AS (SELECT source, str_split(trim(text), ' ') AS t FROM documents),
+       |$perN,
+       |grams AS (
+       |  $union)
+       |SELECT source, n, CAST(count(*) AS BIGINT) AS n_grams,
+       |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+       |  round(CAST(count(DISTINCT g) AS DOUBLE) / count(*), 6) AS distinct_ratio
+       |FROM grams GROUP BY source, n ORDER BY source, n""".stripMargin
+  }
+
+  private val zipfSlopeOracle =
+    s"""WITH tok AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+       |tf AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
+       |top AS (SELECT token, freq,
+       |    row_number() OVER (ORDER BY freq DESC, token ASC) AS r
+       |  FROM tf ORDER BY freq DESC, token ASC LIMIT $ZipfTopN),
+       |xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y FROM top),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_top, sum(x) AS sx, sum(y) AS sy,
+       |  sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+       |SELECT n_top,
+       |  round((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx), 6) AS zipf_slope,
+       |  round((sy - ((n_top * sxy - sx * sy) / (n_top * sxx - sx * sx)) * sx)
+       |    / n_top, 6) AS zipf_intercept
+       |FROM s""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
@@ -3931,6 +4089,9 @@ object ExtQueries {
     "e_sorted_neighborhood" -> (eSortedNeighborhood _),
     "e_phrase_search" -> (ePhraseSearch _),
     "e_source_jaccard" -> (eSourceJaccard _),
+    "e_matryoshka_recall" -> (eMatryoshkaRecall _),
+    "e_distinct_n" -> (eDistinctN _),
+    "e_zipf_slope" -> (eZipfSlope _),
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
@@ -4571,6 +4732,9 @@ object ExtQueries {
     "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "e_phrase_search" -> phraseSearchOracle,
     "e_source_jaccard" -> sourceJaccardOracle,
+    "e_matryoshka_recall" -> matryoshkaRecallOracle,
+    "e_distinct_n" -> distinctNOracle,
+    "e_zipf_slope" -> zipfSlopeOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
     "e_span_dedup_apply" -> {
