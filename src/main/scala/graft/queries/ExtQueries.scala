@@ -55,6 +55,15 @@ object ExtQueries {
   private val MatryoshkaDims = Seq(8, 16, 32)
   // Zipf fit (e_zipf_slope): frequency-ranked head the OLS line fits over
   private val ZipfTopN = 100
+  // concordance (e_concordance): context tokens shown on each side of a hit
+  private val KwicCtx = 3
+  // token dispersion (e_token_dispersion): frequency head reported
+  private val DispTopN = 20
+  // consistent bottom-k sample (e_bottomk_sample): docs kept per source,
+  // and the hash modulus (2^40 — comfortably under 2^53 so the double
+  // score in the bounded-buffer aggregator stays exact)
+  private val BottomK = 5
+  private val BottomKMod = 1L << 40
   // winnowing (e_winnow_*): frame width over the shingle-hash stream
   // (guarantee span = window + W − 1 tokens, density 2/(window+1)),
   // minimum shared fingerprints for a match pair, and the checksum
@@ -828,6 +837,78 @@ object ExtQueries {
     sums.select(col("n_top"),
       round(slope, 6).as("zipf_slope"),
       round((col("sy") - slope * col("sx")) / col("n_top"), 6).as("zipf_intercept"))
+  }
+
+  /** Keyword-in-context (KWIC) concordance for the corpus's top phrase —
+    * the report a curator reads to decide whether a hot phrase is
+    * boilerplate (identical contexts → template) or natural reuse (varied
+    * contexts): every hit with [[KwicCtx]] tokens of context either side.
+    * The hit set is bounded by the one phrase's posting list; contexts
+    * slice IN-ROW from the token array (no positional self-join). */
+  def eConcordance(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
+    val psh = docs
+      .select(col("doc_id"), posexplode(Dedup.shingles(col("t"), W)).as(Seq("pos", "ph")))
+    val top = psh.groupBy(col("ph")).agg(count(lit(1)).as("n_total"))
+      .orderBy(col("n_total").desc, col("ph").asc).limit(1)
+      .select(col("ph"))
+    psh.join(broadcast(top), Seq("ph"))
+      .join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        concat_ws(" ", slice(col("t"),
+          greatest(col("pos") - (KwicCtx - 1), lit(1)),
+          least(col("pos"), lit(KwicCtx)))).as("left_ctx"),
+        col("ph").as("phrase"),
+        concat_ws(" ", slice(col("t"), col("pos") + W + 1, lit(KwicCtx)))
+          .as("right_ctx"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** Token dispersion (burstiness): for the [[DispTopN]] most frequent
+    * tokens, the variance-to-mean ratio of the per-document count —
+    * including the zero-count docs, reconstructed algebraically from
+    * (Σc, Σc², N) so zeros never materialize. Poisson scatter sits at
+    * VMR ≈ 1; spam/template tokens (all mass in few docs) burst far above
+    * it — Church & Gale's burstiness as a curation meter. One
+    * (token, doc) aggregation + a head cut; the corpus-docs total crosses
+    * in as a broadcast one-row frame. */
+  def eTokenDispersion(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val perDoc = docs
+      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
+    val perTok = perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"), sum(col("c")).as("total_count"),
+        sum(col("c") * col("c")).as("sumsq"))
+    val mean = col("total_count") / col("n_docs").cast("double")
+    val vmr = (col("sumsq") / col("n_docs") - mean * mean) / mean
+    perTok.crossJoin(broadcast(nDocs))
+      .select(col("token"), col("total_count"), col("df"),
+        round(vmr, 6).as("vmr"))
+      .orderBy(desc("total_count"), asc("token")).limit(DispTopN)
+  }
+
+  /** Consistent bottom-k sample per source: the [[BottomK]] docs with the
+    * smallest salted hash per source — a deterministic sample that is
+    * STABLE under corpus growth (a new doc enters only by displacing a
+    * larger hash) and doubles as a bottom-k resemblance sketch of the
+    * source. Runs on [[graft.operators.GroupedTopK]]'s bounded-buffer
+    * Aggregator (exchange ≤ k rows per source per map partition — never a
+    * per-source sort), with the hash folded to [[BottomKMod]] so the
+    * buffer's double score is exact. */
+  def eBottomkSample(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        (Dedup.hexHash(col("doc_id").cast("string"), "bk|") % BottomKMod).as("h"))
+    graft.operators.GroupedTopK.topKPerKey(
+        hashed.withColumn("neg_h", -col("h")),
+        "source", "neg_h", "doc_id", BottomK)
+      .select(col("source"), col("doc_id"),
+        (-col("score")).cast("long").as("sample_hash"), col("rank"))
+      .orderBy("source", "rank")
   }
 
   // Two queries (fingerprint summary, match pairs) consume the SAME
@@ -4069,6 +4150,50 @@ object ExtQueries {
        |    / n_top, 6) AS zipf_intercept
        |FROM s""".stripMargin
 
+  private val concordanceOracle =
+    s"""WITH $toksCte,
+       |psh AS (SELECT doc_id, unnest(range(1, greatest(len(t) - ${W - 1}, 1) + 1)) AS i, t
+       |  FROM toks),
+       |p2 AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+       |  array_to_string(t[i:i+${W - 1}], ' ') AS ph FROM psh),
+       |top AS (SELECT ph FROM (SELECT ph, count(*) AS c FROM p2
+       |  GROUP BY ph ORDER BY c DESC, ph ASC LIMIT 1)),
+       |hits AS (SELECT p2.doc_id, p2.pos, p2.ph FROM p2 JOIN top USING (ph))
+       |SELECT h.doc_id, h.pos,
+       |  coalesce(array_to_string(t[greatest(h.pos - ${KwicCtx - 1}, 1):h.pos], ' '),
+       |    '') AS left_ctx,
+       |  h.ph AS phrase,
+       |  coalesce(array_to_string(t[h.pos + ${W + 1}:h.pos + ${W + KwicCtx}], ' '),
+       |    '') AS right_ctx
+       |FROM hits h JOIN toks USING (doc_id)
+       |ORDER BY doc_id, pos""".stripMargin
+
+  private val tokenDispersionOracle =
+    s"""WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS token
+       |  FROM documents),
+       |pd AS (SELECT token, doc_id, count(*) AS c FROM tok
+       |  WHERE token <> '' GROUP BY 1, 2),
+       |pt AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+       |  CAST(sum(c) AS BIGINT) AS total_count, sum(c * c) AS sumsq
+       |  FROM pd GROUP BY token),
+       |nd AS (SELECT count(*) AS n_docs FROM documents)
+       |SELECT token, total_count, df,
+       |  round(((sumsq / n_docs) - (total_count / n_docs) * (total_count / n_docs))
+       |    / (total_count / n_docs), 6) AS vmr
+       |FROM pt CROSS JOIN nd
+       |ORDER BY total_count DESC, token ASC LIMIT $DispTopN""".stripMargin
+
+  private val bottomkSampleOracle =
+    s"""WITH h AS (SELECT source, doc_id,
+       |  ('0x' || substring(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
+       |    % $BottomKMod AS h
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, h, CAST(row_number() OVER (
+       |    PARTITION BY source ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank
+       |  FROM h)
+       |SELECT source, doc_id, h AS sample_hash, rank
+       |FROM r WHERE rank <= $BottomK ORDER BY source, rank""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
@@ -4092,6 +4217,9 @@ object ExtQueries {
     "e_matryoshka_recall" -> (eMatryoshkaRecall _),
     "e_distinct_n" -> (eDistinctN _),
     "e_zipf_slope" -> (eZipfSlope _),
+    "e_concordance" -> (eConcordance _),
+    "e_token_dispersion" -> (eTokenDispersion _),
+    "e_bottomk_sample" -> (eBottomkSample _),
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
@@ -4735,6 +4863,9 @@ object ExtQueries {
     "e_matryoshka_recall" -> matryoshkaRecallOracle,
     "e_distinct_n" -> distinctNOracle,
     "e_zipf_slope" -> zipfSlopeOracle,
+    "e_concordance" -> concordanceOracle,
+    "e_token_dispersion" -> tokenDispersionOracle,
+    "e_bottomk_sample" -> bottomkSampleOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
     "e_span_dedup_apply" -> {

@@ -49,4 +49,61 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.getDouble(1) < 0.0,
       s"token frequencies must fall with rank (slope ${r.getDouble(1)})")
   }
+
+  test("e_concordance: every hit shows the phrase at its position") {
+    val rows = SparkEntry.queries("e_concordance")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, d)
+      .select(col("doc_id"), split(trim(col("text")), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    rows.foreach { r =>
+      val (docId, pos) = (r.getLong(0), r.getLong(1).toInt)
+      val toks = texts(docId)
+      assert(toks.slice(pos, pos + 3).mkString(" ") == r.getString(3),
+        s"phrase mismatch at doc $docId pos $pos")
+      assert(toks.slice(math.max(pos - 3, 0), pos).mkString(" ") == r.getString(2),
+        s"left context mismatch at doc $docId pos $pos")
+      assert(toks.slice(pos + 3, pos + 6).mkString(" ") == r.getString(4),
+        s"right context mismatch at doc $docId pos $pos")
+    }
+  }
+
+  test("e_token_dispersion: VMR is non-negative and df-consistent") {
+    val rows = SparkEntry.queries("e_token_dispersion")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nDocs = Tables.documents(spark, d).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "total_count must be >= df")
+      assert(r.getLong(2) <= nDocs, "df cannot exceed corpus size")
+      assert(r.getDouble(3) >= 0.0, s"VMR negative: ${r.getDouble(3)}")
+    }
+  }
+
+  test("e_bottomk_sample: k smallest hashes per source, rank-ordered") {
+    val rows = SparkEntry.queries("e_bottomk_sample")(spark, d).collect()
+    val bySource = rows.groupBy(_.getString(0))
+    bySource.foreach { case (src, rs) =>
+      assert(rs.length <= 5, s"source $src has ${rs.length} > k rows")
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(2)).toSeq ==
+        sorted.map(_.getLong(2)).sortBy(identity).toSeq,
+        s"hashes not ascending with rank for $src")
+    }
+    // stability: the sample is a pure function of doc_id hashes, so the
+    // same query over the half-corpus keeps every surviving member that
+    // still has a small-enough hash (consistent-sample property)
+    val full = rows.map(r => (r.getString(0), r.getLong(1))).toSet
+    val halfDocs = Tables.documents(spark, d).filter(col("doc_id") % 2 === 0)
+    val halfRows = graft.operators.GroupedTopK.topKPerKey(
+        halfDocs.select(col("source"), col("doc_id"),
+          (-(graft.dedup.Dedup.hexHash(col("doc_id").cast("string"), "bk|")
+            % (1L << 40))).as("neg_h")),
+        "source", "neg_h", "doc_id", 5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // any full-corpus sample member with an even doc_id must reappear in
+    // the half-corpus sample (nothing new can displace it)
+    full.filter(_._2 % 2 == 0).foreach { m =>
+      assert(halfRows.contains(m), s"member $m lost on the sub-corpus")
+    }
+  }
 }
