@@ -294,6 +294,9 @@ object ExtQueries {
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
     winnowCache.clear(); nbCache.clear()
+    simhashPairsCache.clear(); simhashMultiCache.clear()
+    sourceJaccardCache.clear(); dedupIncCache.clear()
+    mediaFpsCache.clear(); distDriftCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -335,6 +338,20 @@ object ExtQueries {
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
+    // simhashPairs (banded candidate table): e_edit_verify, e_simhash_pairs
+    ("simhashPairs", simhashPairsCache, "e_simhash_pairs"),
+    // multitable pair table: single consumer, released after itself
+    ("simhashMultiPairs", simhashMultiCache, "e_simhash_multitable"),
+    // source-membership lists: single consumer, released after itself
+    ("sourceJaccardSets", sourceJaccardCache, "e_source_jaccard"),
+    // incremental-dedup standing index (sigs + bands): released after self
+    ("dedupIncIndex", dedupIncCache, "e_dedup_incremental"),
+    // audio fingerprints release after audio; the video entry (created
+    // later in name order) after video — one cache, two release points
+    ("audioFps", mediaFpsCache, "e_audio_neardup"),
+    ("videoFps", mediaFpsCache, "e_video_neardup"),
+    // drift count table: single consumer, released after itself
+    ("distDriftCounts", distDriftCache, "e_dist_drift"),
     // phashFingerprints: e_phash_clusters, e_phash_neardup
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
@@ -576,16 +593,20 @@ object ExtQueries {
     * old corpus is never re-shingled and old-vs-old never re-pairs. The
     * oracle is the full-batch minhash SQL restricted to pairs touching
     * the increment, which the index-probe path must equal exactly. */
+  private val dedupIncCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def eDedupIncremental(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val old = docs.filter(col("doc_id") % 10 =!= 0)
     val fresh = docs.filter(col("doc_id") % 10 === 0)
     // "yesterday's index": compact materialized signatures + bands — what
-    // a deployment persists between ingests
-    val oldSigs = Dedup.materializeAndRelease(
-      Dedup.minhashSignatures(old, "doc_id", "text", K, W))
-    val oldBands = Dedup.materializeAndRelease(
-      Dedup.lshBands(oldSigs, K, BandRows))
+    // a deployment persists between ingests. Tracked in a released-after-
+    // self cache so the checkpoint blocks never outlive the query.
+    val oldSigs = dedupIncCache.getOrElseUpdate(s"$d|sigs",
+      Dedup.materializeAndRelease(
+        Dedup.minhashSignatures(old, "doc_id", "text", K, W)))
+    val oldBands = dedupIncCache.getOrElseUpdate(s"$d|bands",
+      Dedup.materializeAndRelease(
+        Dedup.lshBands(oldSigs, K, BandRows)))
     Dedup.minhashIncrement(fresh, "doc_id", "text",
         Some(oldSigs), Some(oldBands), K, W, BandRows)
       .newPairs
@@ -608,16 +629,32 @@ object ExtQueries {
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
+  // SimHash candidate pairs (hamming ≤ 3): e_edit_verify and
+  // e_simhash_pairs read the SAME banded pair table — memoized so the
+  // bucket self-join runs once, and RELEASED after its last name-ordered
+  // consumer (an untracked localCheckpoint here measurably inflated the
+  // later lm-family queries via storage/GC pressure — the round-6
+  // interference mode).
+  private val simhashPairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def simhashPairsMemo(s: SparkSession, d: String): DataFrame =
+    simhashPairsCache.getOrElseUpdate(d, timedMemo("simhashPairs")(
+      Dedup.simhashPairsFromFingerprints(simhashFingerprints(s, d),
+        SimPrefix, maxHamming = 3)))
+
   def eSimhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairsFromFingerprints(simhashFingerprints(s, d),
-        SimPrefix, maxHamming = 3)
+    simhashPairsMemo(s, d)
       .orderBy("doc_a", "doc_b")
 
   /** Multi-table SimHash candidates: 2 rotated prefix tables — recall and
-    * bucket size tuned independently (vs the single-table e_simhash_pairs). */
+    * bucket size tuned independently (vs the single-table e_simhash_pairs).
+    * Its materialized pair table is tracked in a released-after-self cache
+    * so the checkpoint blocks never outlive the query (see
+    * [[simhashPairsMemo]]'s interference note). */
+  private val simhashMultiCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def eSimhashMultitable(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairsMultiTableFromFingerprints(simhashFingerprints(s, d),
-        SimBits, SimPrefix, maxHamming = 3, nTables = SimTables)
+    simhashMultiCache.getOrElseUpdate(d,
+      Dedup.simhashPairsMultiTableFromFingerprints(simhashFingerprints(s, d),
+        SimBits, SimPrefix, maxHamming = 3, nTables = SimTables))
       .orderBy("doc_a", "doc_b")
 
   def eNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -647,8 +684,7 @@ object ExtQueries {
     * Rides the simhashFingerprints memo, name-ordered before its
     * e_simhash_pairs release point. */
   def eEditVerify(s: SparkSession, d: String): DataFrame = {
-    val pairs = Dedup.simhashPairsFromFingerprints(
-      simhashFingerprints(s, d), SimPrefix, maxHamming = 3)
+    val pairs = simhashPairsMemo(s, d)
     val pfx = Tables.documents(s, d)
       .select(col("doc_id"), substring(trim(col("text")), 1, EditPrefix).as("pfx"))
     // unrounded similarity drives the verdict in BOTH engines; only the
@@ -727,6 +763,7 @@ object ExtQueries {
     * its source pairs IN-ROW, so the upstream runs once and nothing fans
     * out past shingles × #sources²; the result is #source-pairs rows —
     * never doc-grain. */
+  private val sourceJaccardCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def eSourceJaccard(s: SparkSession, d: String): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
     // ONE shuffle builds the per-shingle sorted source list (collect_set
@@ -736,10 +773,10 @@ object ExtQueries {
     // (A further collapse-by-identical-set pass was measured SLOWER here:
     // grouping on an array<string> key falls out of whole-stage codegen
     // and doubled the query's wall time at sf0.1.)
-    val bySh = Dedup.materializeAndRelease(
+    val bySh = sourceJaccardCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
       docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
         .join(src, Seq("doc_id"))
-        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs")))
+        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))))
     // per-source distinct-shingle counts, read off the membership lists
     val cnts = bySh.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))
@@ -1744,11 +1781,17 @@ object ExtQueries {
     // projections UNDER a self-join) costs the optimizer ~50 s of
     // driver-side analysis; the image path has the same boundary via its
     // memo (measured, round 11)
-    val fps = Dedup.materializeAndRelease(
-      graft.multimodal.Multimodal.audioSegmentHashes(
-        audio, AudioSegBytes, PhBits, AudioKeyMod))
+    val fps = mediaFpsCache.getOrElseUpdate(s"$d|audio",
+      Dedup.materializeAndRelease(
+        graft.multimodal.Multimodal.audioSegmentHashes(
+          audio, AudioSegBytes, PhBits, AudioKeyMod)))
     segmentNeardupStats(fps, AudioKeyMod, AudioMaxHamming)
   }
+
+  // audio/video fingerprint tables: single consumer each, tracked so the
+  // checkpoint blocks release right after their query instead of
+  // pressuring storage/GC for the rest of the suite
+  private val mediaFpsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
 
   /** Video near-dup by sampled-frame hashing — the third modality through
     * the shared banding stack: every 2nd 256-byte "frame" of the
@@ -1762,9 +1805,10 @@ object ExtQueries {
     val video = graft.multimodal.Multimodal.synthesizeMedia(
         Tables.documents(s, d))
       .filter(col("media_type") === "video")
-    val fps = Dedup.materializeAndRelease(
-      graft.multimodal.Multimodal.videoFrameHashes(
-        video, VideoEveryN, PhBits, AudioKeyMod))
+    val fps = mediaFpsCache.getOrElseUpdate(s"$d|video",
+      Dedup.materializeAndRelease(
+        graft.multimodal.Multimodal.videoFrameHashes(
+          video, VideoEveryN, PhBits, AudioKeyMod)))
     segmentNeardupStats(fps, AudioKeyMod, AudioMaxHamming)
   }
 
@@ -1846,17 +1890,20 @@ object ExtQueries {
     * today's ingest — a spiking token is the first symptom of a scraper
     * change, a spam wave, or an upstream re-encode. One corpus count
     * scan; totals broadcast as a one-row frame; TakeOrdered cut. */
+  private val distDriftCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def eDistDrift(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("lang"), explode(split(trim(col("text")), " ")).as("token"))
       .filter(col("token") =!= "")
     // materialize the vocabulary-sized count table ONCE: the totals read
     // and the contribution scan both consume it — a broadcast-subtree
-    // totals frame would re-run the corpus explode+aggregate a second time
-    val counts = Dedup.materializeAndRelease(
+    // totals frame would re-run the corpus explode+aggregate a second
+    // time. Tracked in a released-after-self cache (storage/GC pressure
+    // from untracked checkpoints measurably inflates later suite queries).
+    val counts = distDriftCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
       toks.groupBy(col("token"))
         .agg(count(when(col("lang") === "en", 1)).as("ca"),
-          count(when(col("lang") =!= "en", 1)).as("cb")))
+          count(when(col("lang") =!= "en", 1)).as("cb"))))
     val tr = counts.agg(sum(col("ca")), sum(col("cb")), count(lit(1))).head()
     // (ta + v) / (tb + v) as literal longs — the same integer sums the
     // oracle's scalar subquery forms, so the double arithmetic below is

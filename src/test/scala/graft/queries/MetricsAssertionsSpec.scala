@@ -175,7 +175,42 @@ class MetricsAssertionsSpec extends SparkSpec {
     "e_retrieval_ndcg" -> (1L << 20),
     // round-10: the Hilbert key is one narrow scan of unrolled column
     // arithmetic — only the output orderBy samples shuffle
-    "e_hilbert_key" -> (1L << 18))
+    "e_hilbert_key" -> (1L << 18),
+    // round-11: LSH→verify = the banded pair table (worst case: builds the
+    // fingerprint memo + pair memo) + two doc_id joins carrying only the
+    // bounded 160-char prefixes — measured 27 KB at sf0.001; a breach
+    // means full documents (or an unbanded pair set) reached the exchange
+    "e_edit_verify" -> (1L << 18),
+    // round-11: blocking dedup = one block-partitioned window over
+    // (block, pfx, id) rows — measured 37 KB; corpus text never shuffles
+    "e_sorted_neighborhood" -> (1L << 19),
+    // round-11: positional postings explode + phrase-count aggregation +
+    // broadcast top-1 join — measured 284 KB (the w-gram strings cross
+    // once); a breach means the postings stopped broadcasting
+    "e_phrase_search" -> (2L << 21),
+    // round-11: source overlap = one membership aggregation off the
+    // shingle memo (worst case: builds it) + in-row pair expansion —
+    // measured 395 KB; a breach means a shingle-grain self-join returned
+    "e_source_jaccard" -> (2L << 21),
+    // round-11: truncation recall = per-prefix brute-force over the
+    // broadcast query slice — measured 2.2 KB; embeddings never shuffle
+    "e_matryoshka_recall" -> (1L << 16),
+    // round-11: distinct-n = one union of in-row explodes + a
+    // (source, n)-grain aggregate — measured 1.3 KB
+    "e_distinct_n" -> (1L << 16),
+    // round-11: zipf = word count + a ≤100-row post-limit window +
+    // one-row sums — measured 762 B
+    "e_zipf_slope" -> (1L << 14),
+    // round-11: concordance = the phrase-search profile + the in-row
+    // context slices — measured 284 KB
+    "e_concordance" -> (2L << 21),
+    // round-11: burstiness = (token, doc) counts + per-token moments +
+    // TakeOrdered head — measured 147 KB of count-grain rows
+    "e_token_dispersion" -> (2L << 20),
+    // round-11: bottom-k sample = the bounded-buffer aggregator's ≤ k
+    // rows per source per partition — measured 2 KB; a breach means the
+    // buffer stopped bounding the exchange
+    "e_bottomk_sample" -> (1L << 16))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
