@@ -44,6 +44,10 @@ object ExtQueries {
   // planted near-dups sit ≥ 0.9, unrelated bucket-mates ≤ 0.4)
   private val EditPrefix = 160
   private val EditSimMin = 0.8
+  // Jaro-Winkler verification floor (e_jaro_verify): JW compresses the
+  // scale upward (shared-prefix boost), so the dup/non-dup split sits
+  // higher than the edit-similarity one
+  private val JaroMin = 0.95
   // sorted-neighborhood blocking (e_sorted_neighborhood): blocking-key
   // width, sort/compare prefix width, and the max edit distance between
   // sort-adjacent prefixes that still counts as a candidate pair
@@ -338,7 +342,8 @@ object ExtQueries {
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
-    // simhashPairs (banded candidate table): e_edit_verify, e_simhash_pairs
+    // simhashPairs (banded candidate table): e_edit_verify,
+    // e_jaro_verify, e_simhash_pairs
     ("simhashPairs", simhashPairsCache, "e_simhash_pairs"),
     // multitable pair table: single consumer, released after itself
     ("simhashMultiPairs", simhashMultiCache, "e_simhash_multitable"),
@@ -698,6 +703,28 @@ object ExtQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
         round(sim, 6).as("edit_sim"),
         (sim >= EditSimMin).as("verified"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Jaro-Winkler verification of the SAME SimHash candidate pairs as
+    * [[eEditVerify]] — the record-linkage similarity (Winkler 1990) where
+    * plain edit distance over-penalizes transpositions and under-weights
+    * shared prefixes. Runs the native codegen
+    * [[graft.plans.JaroWinkler]] expression (Spark ships no Jaro family;
+    * DuckDB's built-in `jaro_winkler_similarity` is the oracle) on the
+    * bounded prefix, so the cost shape is identical to the edit pass:
+    * O(L²) per pair over a banded pair set. Rides the shared pair memo,
+    * name-ordered before its e_simhash_pairs release point. */
+  def eJaroVerify(s: SparkSession, d: String): DataFrame = {
+    val pfx = Tables.documents(s, d)
+      .select(col("doc_id"), substring(trim(col("text")), 1, EditPrefix).as("pfx"))
+    val jw = graft.plans.TextExpressions.jaroWinkler(col("pa"), col("pb"))
+    simhashPairsMemo(s, d)
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        round(jw, 6).as("jw_sim"),
+        (jw >= JaroMin).as("verified"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2791,6 +2818,27 @@ object ExtQueries {
        |FROM ev ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val jaroVerifyOracle = {
+    val hamming = (1 to SimBits)
+      .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $simhashFpCtes,
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($hamming AS BIGINT) AS hamming
+       |  FROM fp a JOIN fp b
+       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |   AND a.doc_id < b.doc_id
+       |  WHERE $hamming <= 3),
+       |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
+       |jv AS (SELECT doc_a, doc_b, hamming,
+       |       jaro_winkler_similarity(pa.pfx, pb.pfx) AS jw
+       |  FROM pr JOIN dp pa ON pa.doc_id = pr.doc_a
+       |          JOIN dp pb ON pb.doc_id = pr.doc_b)
+       |SELECT doc_a, doc_b, hamming,
+       |       round(jw, 6) AS jw_sim, jw >= $JaroMin AS verified
+       |FROM jv ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val sortedNeighborhoodOracle =
     s"""WITH b AS (SELECT doc_id, substr(trim(text), 1, $SnPrefix) AS pfx,
        |  substr(trim(text), 1, $SnBlockChars) AS block FROM documents),
@@ -4258,6 +4306,7 @@ object ExtQueries {
     "e_ngram_jaccard" -> (eNgramJaccard _),
     "e_containment_dup" -> (eContainmentDup _),
     "e_edit_verify" -> (eEditVerify _),
+    "e_jaro_verify" -> (eJaroVerify _),
     "e_sorted_neighborhood" -> (eSortedNeighborhood _),
     "e_phrase_search" -> (ePhraseSearch _),
     "e_source_jaccard" -> (eSourceJaccard _),
@@ -4904,6 +4953,7 @@ object ExtQueries {
     "e_ngram_jaccard" -> jaccardOracle,
     "e_containment_dup" -> containmentOracle,
     "e_edit_verify" -> editVerifyOracle,
+    "e_jaro_verify" -> jaroVerifyOracle,
     "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "e_phrase_search" -> phraseSearchOracle,
     "e_source_jaccard" -> sourceJaccardOracle,

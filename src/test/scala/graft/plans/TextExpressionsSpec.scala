@@ -76,3 +76,70 @@ class TextExpressionsSpec extends SparkSpec {
     assert(!plan.contains("transform("), s"HOF must be gone:\n$plan")
   }
 }
+
+/** JaroWinkler must match the DuckDB/RapidFuzz reference values the oracle
+  * computes with — the boundary cases below were probed against DuckDB's
+  * `jaro_winkler_similarity` directly (empty→0, window floor 0, prefix
+  * capped at 4, boost only past jaro 0.7). */
+class JaroWinklerSpec extends SparkSpec {
+
+  private def jw(a: String, b: String): Double =
+    JaroWinkler(
+      org.apache.spark.sql.catalyst.expressions.Literal(a),
+      org.apache.spark.sql.catalyst.expressions.Literal(b))
+      .eval(null).asInstanceOf[Double]
+
+  test("matches the DuckDB-probed reference values") {
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0),
+      ("", "", 0.0),
+      ("a", "b", 0.0),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("DwAyNE", "DuANE", 0.8400000000000001),
+      ("kitten", "sitting", 0.746031746031746),
+      ("hello world", "hello wrold", 0.9818181818181818),
+      // boost threshold: common prefix but jaro <= 0.7 → NO boost
+      ("ABCXXXXX", "ABYYYYY", 0.5119047619047619),
+      ("aaaaaaaaaa", "aabbbbbbbb", 0.4666666666666666),
+      // window floor: adjacent transposition out of reach at len 2
+      ("ab", "ba", 0.0),
+      ("abcd", "badc", 0.8333333333333334),
+      // prefix cap at 4 even with a 7-char shared prefix
+      ("prefixes", "prefixed", 0.95))
+    cases.foreach { case (a, b, want) =>
+      val got = jw(a, b)
+      assert(math.abs(got - want) < 1e-12, s"jw($a, $b) = $got, want $want")
+    }
+  }
+
+  test("symmetric, bounded, and codegen path agrees with interpreted") {
+    import spark.implicits._
+    val pairs = Seq(("alpha beta", "alpha beat"), ("scan table", "table scan"),
+      ("x", "xylophone"), ("same", "same"))
+    val df = pairs.toDF("a", "b")
+    val viaPlan = df.select(
+      TextExpressions.jaroWinkler(col("a"), col("b")).as("ab"),
+      TextExpressions.jaroWinkler(col("b"), col("a")).as("ba"))
+      .collect()
+    viaPlan.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "must be symmetric")
+      assert(r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0)
+    }
+    pairs.zip(viaPlan).foreach { case ((a, b), r) =>
+      assert(math.abs(r.getDouble(0) - jw(a, b)) == 0.0,
+        s"codegen and interpreted disagree on ($a, $b)")
+    }
+  }
+
+  test("rejects non-string arguments at analysis time") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("n", "s")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(TextExpressions.jaroWinkler(col("n"), col("s"))).collect()
+    }
+  }
+}

@@ -31,6 +31,22 @@ class CandidateVerifySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "every candidate verified — threshold not discriminating")
   }
 
+  test("e_jaro_verify: same pair set as the edit pass, verdicts at the JW floor") {
+    val jaro = SparkEntry.queries("e_jaro_verify")(spark, d).collect()
+    val edit = SparkEntry.queries("e_edit_verify")(spark, d).collect()
+    assert(jaro.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      edit.map(r => (r.getLong(0), r.getLong(1))).toSeq,
+      "both verify stages must read the SAME candidate pair table")
+    jaro.foreach { r =>
+      val sim = r.getDouble(3)
+      assert(sim >= 0.0 && sim <= 1.0)
+      if (sim >= 0.95 + 1e-6) assert(r.getBoolean(4))
+      if (sim <= 0.95 - 1e-6) assert(!r.getBoolean(4))
+    }
+    assert(jaro.exists(_.getBoolean(4)) && jaro.exists(r => !r.getBoolean(4)),
+      "JW floor must discriminate on this corpus")
+  }
+
   test("e_sorted_neighborhood: pairs share a block and respect the distance cap") {
     val out = SparkEntry.queries("e_sorted_neighborhood")(spark, d)
     val rows = out.collect()

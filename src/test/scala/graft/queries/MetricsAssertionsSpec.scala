@@ -181,6 +181,9 @@ class MetricsAssertionsSpec extends SparkSpec {
     // bounded 160-char prefixes — measured 27 KB at sf0.001; a breach
     // means full documents (or an unbanded pair set) reached the exchange
     "e_edit_verify" -> (1L << 18),
+    // round-11: same shape as e_edit_verify over the shared pair memo —
+    // the JW compute is in-row codegen, nothing extra shuffles
+    "e_jaro_verify" -> (1L << 18),
     // round-11: blocking dedup = one block-partitioned window over
     // (block, pfx, id) rows — measured 37 KB; corpus text never shuffles
     "e_sorted_neighborhood" -> (1L << 19),
