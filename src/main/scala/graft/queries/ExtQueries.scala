@@ -48,6 +48,8 @@ object ExtQueries {
   // scale upward (shared-prefix boost), so the dup/non-dup split sits
   // higher than the edit-similarity one
   private val JaroMin = 0.95
+  // IDF-weighted set cosine floor (e_idf_cosine)
+  private val IdfCosMin = 0.3
   // sorted-neighborhood blocking (e_sorted_neighborhood): blocking-key
   // width, sort/compare prefix width, and the max edit distance between
   // sort-adjacent prefixes that still counts as a candidate pair
@@ -301,6 +303,7 @@ object ExtQueries {
     simhashPairsCache.clear(); simhashMultiCache.clear()
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
+    idfCosineCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -328,8 +331,8 @@ object ExtQueries {
     // nearDupClusters: e_dedup_best, e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
-    // build (e_curation_funnel), e_minhash_calibration, e_ngram_jaccard,
-    // e_source_jaccard and e_vocab_growth directly
+    // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
+    // e_ngram_jaccard, e_source_jaccard and e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_kmeans_silhouette,
@@ -349,6 +352,8 @@ object ExtQueries {
     ("simhashMultiPairs", simhashMultiCache, "e_simhash_multitable"),
     // source-membership lists: single consumer, released after itself
     ("sourceJaccardSets", sourceJaccardCache, "e_source_jaccard"),
+    // idf-weighted shingle member lists: single consumer, released after itself
+    ("idfCosineSets", idfCosineCache, "e_idf_cosine"),
     // incremental-dedup standing index (sigs + bands): released after self
     ("dedupIncIndex", dedupIncCache, "e_dedup_incremental"),
     // audio fingerprints release after audio; the video entry (created
@@ -703,6 +708,48 @@ object ExtQueries {
       .select(col("doc_a"), col("doc_b"), col("hamming"), col("edit_dist"),
         round(sim, 6).as("edit_sim"),
         (sim >= EditSimMin).as("verified"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** IDF-weighted set cosine between documents — the weighted upgrade of
+    * plain shingle Jaccard: a pair sharing RARE shingles scores far above
+    * a pair sharing common ones, which is exactly the signal set
+    * resemblance throws away (sparse-vector cosine with binary tf and
+    * idf² edge weights). Rides the SAME shared shingle memo and df-cap
+    * discipline as the Jaccard/containment path: the shingle equi-join
+    * fans out ≤ maxDf partners per shingle instance, so pair work stays
+    * linear at any corpus size; the corpus-size scalar crosses in as a
+    * broadcast one-row frame. Name-ordered before the shingleBases
+    * release point (e_vocab_growth). */
+  private val idfCosineCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  def eIdfCosine(s: SparkSession, d: String): DataFrame = {
+    val bases = docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    // ONE aggregation to (shingle, sorted member list ≤ maxDf, idf²) —
+    // norms and pair dots both read this compact table (tracked,
+    // released after self), and pairs expand IN-ROW from the bounded
+    // member arrays exactly like e_source_jaccard: no shingle self-join
+    val bySh = idfCosineCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
+      bases.groupBy("sh")
+        .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc_id"))).as("docs"))
+        .filter(col("df") <= JaccardMaxDf)
+        .crossJoin(broadcast(nDocs))
+        .select(col("sh"), col("docs"),
+          pow(log(col("n_docs").cast("double") / col("df")), 2).as("w2"))))
+    val nrm = bySh.select(explode(col("docs")).as("doc_id"), col("w2"))
+      .groupBy("doc_id").agg(sum(col("w2")).as("n2"))
+    val pairList = flatten(transform(col("docs"), (x, i) =>
+      transform(slice(col("docs"), i + lit(2), size(col("docs"))),
+        y => struct(x.as("doc_a"), y.as("doc_b")))))
+    val dots = bySh.select(explode(pairList).as("p"), col("w2"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("w2"))
+      .groupBy("doc_a", "doc_b").agg(sum(col("w2")).as("dot"))
+    val cos = col("dot") / sqrt(col("na") * col("nb"))
+    dots
+      .join(nrm.select(col("doc_id").as("doc_a"), col("n2").as("na")), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("n2").as("nb")), Seq("doc_b"))
+      .filter(cos >= IdfCosMin)
+      .select(col("doc_a"), col("doc_b"), round(cos, 6).as("idf_cosine"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -2818,6 +2865,28 @@ object ExtQueries {
        |FROM ev ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val idfCosineOracle =
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$hshCtes,
+       |dfok AS (SELECT sh, count(*) AS df FROM hsh GROUP BY sh
+       |  HAVING count(*) <= $JaccardMaxDf),
+       |nd AS (SELECT count(*) AS n_docs FROM documents),
+       |wt AS (SELECT doc_id, h.sh,
+       |    pow(ln(CAST(n_docs AS DOUBLE) / df), 2) AS w2
+       |  FROM hsh h JOIN dfok USING (sh) CROSS JOIN nd),
+       |nrm AS (SELECT doc_id, sum(w2) AS n2 FROM wt GROUP BY doc_id),
+       |dots AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w2) AS dot
+       |  FROM wt a JOIN wt b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  round(dot / sqrt(na.n2 * nb.n2), 6) AS idf_cosine
+       |FROM dots
+       |JOIN nrm na ON na.doc_id = doc_a
+       |JOIN nrm nb ON nb.doc_id = doc_b
+       |WHERE dot / sqrt(na.n2 * nb.n2) >= $IdfCosMin
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   private val jaroVerifyOracle = {
     val hamming = (1 to SimBits)
       .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
@@ -4307,6 +4376,7 @@ object ExtQueries {
     "e_containment_dup" -> (eContainmentDup _),
     "e_edit_verify" -> (eEditVerify _),
     "e_jaro_verify" -> (eJaroVerify _),
+    "e_idf_cosine" -> (eIdfCosine _),
     "e_sorted_neighborhood" -> (eSortedNeighborhood _),
     "e_phrase_search" -> (ePhraseSearch _),
     "e_source_jaccard" -> (eSourceJaccard _),
@@ -4954,6 +5024,7 @@ object ExtQueries {
     "e_containment_dup" -> containmentOracle,
     "e_edit_verify" -> editVerifyOracle,
     "e_jaro_verify" -> jaroVerifyOracle,
+    "e_idf_cosine" -> idfCosineOracle,
     "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "e_phrase_search" -> phraseSearchOracle,
     "e_source_jaccard" -> sourceJaccardOracle,

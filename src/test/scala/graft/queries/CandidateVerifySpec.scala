@@ -47,6 +47,16 @@ class CandidateVerifySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "JW floor must discriminate on this corpus")
   }
 
+  test("e_idf_cosine: canonical pairs, cosine in (0, 1], floor respected") {
+    val rows = SparkEntry.queries("e_idf_cosine")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pair not canonical")
+      val c = r.getDouble(2)
+      assert(c >= 0.3 - 1e-6 && c <= 1.0 + 1e-9, s"cosine out of range: $c")
+    }
+  }
+
   test("e_sorted_neighborhood: pairs share a block and respect the distance cap") {
     val out = SparkEntry.queries("e_sorted_neighborhood")(spark, d)
     val rows = out.collect()

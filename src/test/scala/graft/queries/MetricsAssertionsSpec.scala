@@ -181,6 +181,10 @@ class MetricsAssertionsSpec extends SparkSpec {
     // bounded 160-char prefixes — measured 27 KB at sf0.001; a breach
     // means full documents (or an unbanded pair set) reached the exchange
     "e_edit_verify" -> (1L << 18),
+    // round-11: idf-weighted set cosine = one member-list aggregation off
+    // the shingle memo (worst case: builds it) + in-row pair expansion —
+    // the jaccard-family profile and budget
+    "e_idf_cosine" -> (7L << 19),
     // round-11: same shape as e_edit_verify over the shared pair memo —
     // the JW compute is in-row codegen, nothing extra shuffles
     "e_jaro_verify" -> (1L << 18),
