@@ -147,6 +147,10 @@ object ExtQueries {
   // BM25 probe query (e_bm25): terms present in the synthetic vocabulary
   private val Bm25Terms = Seq("spark", "query", "window")
   private val Bm25TopK = 20
+  // Dirichlet smoothing mass (e_ql_dirichlet): ~mean doc length is the
+  // standard choice; docs here average ~60 tokens so μ=300 smooths hard
+  // enough that document length matters, the classic QL behavior
+  private val QlMu = 300.0
   // priority sample size (e_weighted_sample)
   private val WsN = 50
   // hybrid retrieval (e_hybrid_rrf): RRF constant, per-system list depth,
@@ -1429,6 +1433,48 @@ object ExtQueries {
   def eBm25(s: SparkSession, d: String): DataFrame =
     graft.functions.Bm25.topDocs(Tables.documents(s, d), "doc_id", "text",
       Bm25Terms, topK = Bm25TopK)
+
+  /** Dirichlet query-likelihood retrieval over the SAME probe query as
+    * e_bm25 — the language-model ranking family (Zhai & Lafferty 2001)
+    * next to BM25's probabilistic one; see
+    * [[graft.functions.QueryLikelihood]] for the posting-bounded
+    * factorization. */
+  def eQlDirichlet(s: SparkSession, d: String): DataFrame =
+    graft.functions.QueryLikelihood.topDocs(Tables.documents(s, d),
+      "doc_id", "text", Bm25Terms, mu = QlMu, topK = Bm25TopK)
+
+  /** Spearman rank correlation between the BM25 and query-likelihood
+    * top-k lists — the eval that says whether the two ranking families
+    * actually disagree enough to justify fusing them (read next to
+    * e_hybrid_rrf). Standard depth-k treatment: over the UNION of both
+    * lists, a doc missing from one list takes rank k+1 there; Σd² is
+    * integer-exact, so the only FP step is the final rho division —
+    * order-identical in both engines. Everything is ≤ 2k rows after the
+    * two bounded retrieval cuts. */
+  def eRankCorr(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+    // ranks within each bounded (≤ topK rows, post-limit) list
+    def ranked(df: DataFrame, rankName: String, scoreCol: String) =
+      df.withColumn(rankName,
+        row_number().over(Window.orderBy(desc(scoreCol), asc("doc_id")))
+          .cast("long"))
+        .select(col("doc_id"), col(rankName))
+    val bm = ranked(graft.functions.Bm25.topDocs(docs, "doc_id", "text",
+      Bm25Terms, topK = Bm25TopK), "rb", "bm25")
+    val ql = ranked(graft.functions.QueryLikelihood.topDocs(docs, "doc_id",
+      "text", Bm25Terms, mu = QlMu, topK = Bm25TopK), "rq", "ql")
+    val miss = lit((Bm25TopK + 1).toLong)
+    val joined = bm.join(ql, Seq("doc_id"), "full")
+      .select(coalesce(col("rb"), miss).as("rb"),
+        coalesce(col("rq"), miss).as("rq"))
+    val dd = (col("rb") - col("rq")) * (col("rb") - col("rq"))
+    joined.agg(count(lit(1)).as("n_docs"), sum(dd).as("sum_d2"))
+      .select(col("n_docs"), col("sum_d2"),
+        round(lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n_docs") * (col("n_docs") * col("n_docs") - lit(1L))), 6)
+          .as("spearman_rho"))
+  }
 
   /** The dataset card: corpus-level summary statistics in ONE scan (plus
     * the distinct-hash count for the exact-dup rate) — the standard
@@ -4213,6 +4259,58 @@ object ExtQueries {
        |SELECT doc_id, n_terms, bm25 FROM s
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  // Dirichlet query-likelihood chain — generated from the same constants
+  // as QueryLikelihood.topDocs, with the identical factored formula
+  // (S − |q|·ln(dl+μ) + Σ ln(1 + tf·|C|/(μ·cf))) so the double
+  // arithmetic is order-identical in both engines. CTE names are
+  // q-prefixed so the chain composes with bm25Chain in one WITH block.
+  private val qlChain = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""qk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+       |       FROM documents),
+       |qdl AS (SELECT doc_id, CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS dl
+       |       FROM documents),
+       |qtot AS (SELECT sum(dl) AS totc FROM qdl),
+       |qcf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf
+       |       FROM qk WHERE term IN ($terms) GROUP BY term),
+       |qsc AS (SELECT sum(ln($QlMu * cf / totc)) AS s,
+       |       CAST(count(*) AS DOUBLE) AS nq FROM qcf CROSS JOIN qtot),
+       |qtf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+       |       FROM qk WHERE term IN ($terms) GROUP BY 1, 2),
+       |qct AS (SELECT doc_id, sum(ln(1 + tf * totc / ($QlMu * cf))) AS c,
+       |       CAST(count(*) AS BIGINT) AS n_terms
+       |       FROM qtf JOIN qcf USING (term) CROSS JOIN qtot GROUP BY doc_id),
+       |qs AS (SELECT qdl.doc_id, coalesce(n_terms, 0) AS n_terms,
+       |       round(qsc.s - qsc.nq * ln(qdl.dl + $QlMu) + coalesce(c, 0), 6) AS ql
+       |       FROM qdl CROSS JOIN qsc
+       |       LEFT JOIN qct ON qct.doc_id = qdl.doc_id)""".stripMargin
+  }
+
+  private val qlDirichletOracle =
+    s"""WITH $qlChain
+       |SELECT doc_id, n_terms, ql FROM qs
+       |ORDER BY ql DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+
+  private val rankCorrOracle = {
+    val miss = Bm25TopK + 1
+    s"""WITH $bm25Chain,
+       |$qlChain,
+       |bml AS (SELECT doc_id, CAST(row_number() OVER (
+       |       ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS rb FROM s
+       |       ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+       |qll AS (SELECT doc_id, CAST(row_number() OVER (
+       |       ORDER BY ql DESC, doc_id ASC) AS BIGINT) AS rq FROM qs
+       |       ORDER BY ql DESC, doc_id LIMIT $Bm25TopK),
+       |u AS (SELECT coalesce(b.rb, $miss) AS rb, coalesce(q.rq, $miss) AS rq
+       |       FROM bml b FULL OUTER JOIN qll q ON b.doc_id = q.doc_id),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum((rb - rq) * (rb - rq)) AS BIGINT) AS sum_d2 FROM u)
+       |SELECT n_docs, sum_d2,
+       |       round(1.0 - 6.0 * sum_d2 / (n_docs * (n_docs * n_docs - 1)), 6)
+       |         AS spearman_rho
+       |FROM agg""".stripMargin
+  }
+
   /** RRF fusion of the BM25 chain and the brute-force cosine ranking from
     * vec_id 0 — rank semantics mirror Bm25.topDocs (rounded score desc, id
     * tie-break) and Similarity.bruteForceTopK (rounded cosine desc, id). */
@@ -4377,6 +4475,8 @@ object ExtQueries {
     "e_edit_verify" -> (eEditVerify _),
     "e_jaro_verify" -> (eJaroVerify _),
     "e_idf_cosine" -> (eIdfCosine _),
+    "e_ql_dirichlet" -> (eQlDirichlet _),
+    "e_rank_corr" -> (eRankCorr _),
     "e_sorted_neighborhood" -> (eSortedNeighborhood _),
     "e_phrase_search" -> (ePhraseSearch _),
     "e_source_jaccard" -> (eSourceJaccard _),
@@ -5025,6 +5125,8 @@ object ExtQueries {
     "e_edit_verify" -> editVerifyOracle,
     "e_jaro_verify" -> jaroVerifyOracle,
     "e_idf_cosine" -> idfCosineOracle,
+    "e_ql_dirichlet" -> qlDirichletOracle,
+    "e_rank_corr" -> rankCorrOracle,
     "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "e_phrase_search" -> phraseSearchOracle,
     "e_source_jaccard" -> sourceJaccardOracle,

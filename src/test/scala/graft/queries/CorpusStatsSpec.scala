@@ -50,6 +50,31 @@ class CorpusStatsSpec extends SparkSpec {
       s"token frequencies must fall with rank (slope ${r.getDouble(1)})")
   }
 
+  test("e_ql_dirichlet: bounded list, smoothing keeps scores finite and ordered") {
+    val rows = SparkEntry.queries("e_ql_dirichlet")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.forall(s => !s.isNaN && !s.isInfinite))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+      "list must be score-descending")
+    // matched docs must outrank unmatched ones under the same smoothing
+    val matched = rows.filter(_.getLong(1) > 0).map(_.getDouble(2))
+    val unmatched = rows.filter(_.getLong(1) == 0).map(_.getDouble(2))
+    if (matched.nonEmpty && unmatched.nonEmpty)
+      assert(matched.min >= unmatched.max - 1e-9)
+  }
+
+  test("e_rank_corr: rho within [-1, 1] and consistent with its own sums") {
+    val rows = SparkEntry.queries("e_rank_corr")(spark, d).collect()
+    assert(rows.length == 1)
+    val (n, d2, rho) = (rows.head.getLong(0), rows.head.getLong(1),
+      rows.head.getDouble(2))
+    assert(n >= 2)
+    assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9)
+    val expect = 1.0 - 6.0 * d2 / (n.toDouble * (n.toDouble * n - 1))
+    assert(math.abs(rho - expect) < 1e-6)
+  }
+
   test("e_concordance: every hit shows the phrase at its position") {
     val rows = SparkEntry.queries("e_concordance")(spark, d).collect()
     assert(rows.nonEmpty)

@@ -181,6 +181,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     // bounded 160-char prefixes — measured 27 KB at sf0.001; a breach
     // means full documents (or an unbanded pair set) reached the exchange
     "e_edit_verify" -> (1L << 18),
+    // round-11: QL = one narrow (doc, dl) scan + the query terms' posting
+    // aggregation; scalars broadcast — corpus text never shuffles
+    "e_ql_dirichlet" -> (1L << 20),
+    // round-11: two bounded retrieval cuts + a ≤2k-row rank join
+    "e_rank_corr" -> (1L << 20),
     // round-11: idf-weighted set cosine = one member-list aggregation off
     // the shingle memo (worst case: builds it) + in-row pair expansion —
     // the jaccard-family profile and budget
