@@ -50,6 +50,11 @@ object ExtQueries {
   private val JaroMin = 0.95
   // IDF-weighted set cosine floor (e_idf_cosine)
   private val IdfCosMin = 0.3
+  // bottom-k resemblance sketch (e_bottomk_resemblance): sketch size and
+  // the hash fold (2^40 keeps every downstream double exact); the
+  // certificate bound is the ~3σ envelope 3/√k
+  private val BkK = 128
+  private val BkMod = 1L << 40
   // sorted-neighborhood blocking (e_sorted_neighborhood): blocking-key
   // width, sort/compare prefix width, and the max edit distance between
   // sort-adjacent prefixes that still counts as a candidate pair
@@ -354,7 +359,8 @@ object ExtQueries {
     ("simhashPairs", simhashPairsCache, "e_simhash_pairs"),
     // multitable pair table: single consumer, released after itself
     ("simhashMultiPairs", simhashMultiCache, "e_simhash_multitable"),
-    // source-membership lists: single consumer, released after itself
+    // source-membership lists: e_bottomk_resemblance (builds, name-first),
+    // e_source_jaccard (release point)
     ("sourceJaccardSets", sourceJaccardCache, "e_source_jaccard"),
     // idf-weighted shingle member lists: single consumer, released after itself
     ("idfCosineSets", idfCosineCache, "e_idf_cosine"),
@@ -871,6 +877,77 @@ object ExtQueries {
       .join(cnts.select(col("source").as("source_b"), col("n").as("nb")), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_inter"),
         round(col("n_inter") / (col("na") + col("nb") - col("n_inter")), 6).as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Bottom-k resemblance sketch with an error certificate (Broder 1997):
+    * each source's k smallest shingle hashes ARE a mergeable sketch of
+    * its shingle set, and for any source pair the fraction of the
+    * union-sketch's k smallest hashes present in BOTH sketches estimates
+    * their Jaccard — the streaming-friendly form of [[eSourceJaccard]]'s
+    * exact report (sketches are k rows per source FOREVER; merging is a
+    * sorted k-merge). Rides the same tracked membership table; the
+    * bottom-k cut runs on [[graft.operators.GroupedTopK]]'s bounded
+    * buffer (exchange ≤ k rows per source per map partition); everything
+    * after the sketches is sources²-bounded, and the per-pair union
+    * ranking windows over ≤ 2k sketch rows. Grading follows the HLL
+    * certificate pattern: the estimate ships NEXT TO the exact value and
+    * a |est − exact| ≤ 3/√k boolean both engines compute. */
+  def eBottomkResemblance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val bySh = sourceJaccardCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
+      docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
+        .join(src, Seq("doc_id"))
+        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))))
+    val srcSh = bySh.select(explode(col("srcs")).as("source"), col("sh"))
+      .withColumn("h", col("sh") % BkMod)
+    // bottom-k per source: score = −h (desc ⇒ h asc), sh breaks fold ties
+    val sk = graft.operators.GroupedTopK.topKPerKey(
+        srcSh.withColumn("neg_h", -col("h")), "source", "neg_h", "sh", BkK)
+      .select(col("source"), (-col("score")).cast("long").as("h"))
+    // exact pairwise Jaccard — the same in-row pair expansion as
+    // eSourceJaccard, off the same table
+    val cnts = bySh.select(explode(col("srcs")).as("source"))
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val pairList = flatten(transform(col("srcs"), (x, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        y => struct(x.as("source_a"), y.as("source_b")))))
+    val exact = bySh.select(explode(pairList).as("p"))
+      .select(col("p.source_a"), col("p.source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_inter"))
+      .join(cnts.select(col("source").as("source_a"), col("n").as("na")), Seq("source_a"))
+      .join(cnts.select(col("source").as("source_b"), col("n").as("nb")), Seq("source_b"))
+      .select(col("source_a"), col("source_b"),
+        (col("n_inter") / (col("na") + col("nb") - col("n_inter"))).as("exact"))
+    // union-sketch estimate per pair: rank the union's hashes, keep the
+    // k smallest, estimate = |in both| / min(k, union size)
+    val srcList = sk.select(col("source")).distinct()
+    val pairs = srcList.select(col("source").as("source_a"))
+      .crossJoin(srcList.select(col("source").as("source_b")))
+      .filter(col("source_a") < col("source_b"))
+    val pairRows = broadcast(pairs)
+      .join(sk.select(col("source").as("s"), col("h")),
+        col("s") === col("source_a") || col("s") === col("source_b"))
+    val grouped = pairRows.groupBy("source_a", "source_b", "h")
+      .agg(countDistinct(col("s")).as("ns"))
+    val w = Window.partitionBy("source_a", "source_b").orderBy(col("h"))
+    val est = grouped
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") <= BkK)
+      .groupBy("source_a", "source_b")
+      .agg(sum(when(col("ns") === 2, 1L).otherwise(0L)).as("n_both"),
+        count(lit(1)).as("n_top"))
+      .select(col("source_a"), col("source_b"),
+        (col("n_both") / col("n_top").cast("double")).as("est"))
+    // left join: a pair with an empty true intersection has no exact row
+    val ex = coalesce(col("exact"), lit(0.0))
+    est.join(exact, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        round(col("est"), 6).as("est_jaccard"),
+        round(ex, 6).as("exact_jaccard"),
+        (abs(col("est") - ex) <= lit(3.0 / math.sqrt(BkK.toDouble)))
+          .as("within_bound"))
       .orderBy("source_a", "source_b")
   }
 
@@ -4445,6 +4522,52 @@ object ExtQueries {
        |FROM pt CROSS JOIN nd
        |ORDER BY total_count DESC, token ASC LIMIT $DispTopN""".stripMargin
 
+  private val bottomkResemblanceOracle = {
+    val eps = (3.0 / math.sqrt(BkK.toDouble)).toString
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$hshCtes,
+       |ssh AS (SELECT DISTINCT d.source, h.sh FROM hsh h
+       |  JOIN documents d USING (doc_id)),
+       |hs AS (SELECT source, sh, sh % $BkMod AS h FROM ssh),
+       |sk AS (SELECT source, h FROM (
+       |  SELECT source, h, row_number() OVER (
+       |    PARTITION BY source ORDER BY h ASC, sh ASC) AS rn FROM hs)
+       |  WHERE rn <= $BkK),
+       |cnts AS (SELECT source, count(*) AS n FROM ssh GROUP BY source),
+       |inter AS (SELECT a.source AS source_a, b.source AS source_b,
+       |  count(*) AS n_inter
+       |  FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |exact AS (SELECT source_a, source_b,
+       |  CAST(n_inter AS DOUBLE) / (na.n + nb.n - n_inter) AS exact
+       |  FROM inter
+       |  JOIN cnts na ON na.source = source_a
+       |  JOIN cnts nb ON nb.source = source_b),
+       |srcs AS (SELECT DISTINCT source FROM sk),
+       |prs AS (SELECT a.source AS source_a, b.source AS source_b
+       |  FROM srcs a JOIN srcs b ON a.source < b.source),
+       |pr_rows AS (SELECT p.source_a, p.source_b, s.source AS s, s.h
+       |  FROM prs p JOIN sk s
+       |    ON s.source = p.source_a OR s.source = p.source_b),
+       |grp AS (SELECT source_a, source_b, h, count(DISTINCT s) AS ns
+       |  FROM pr_rows GROUP BY 1, 2, 3),
+       |topu AS (SELECT * FROM (SELECT source_a, source_b, h, ns,
+       |    row_number() OVER (PARTITION BY source_a, source_b
+       |      ORDER BY h ASC) AS r FROM grp) WHERE r <= $BkK),
+       |est AS (SELECT source_a, source_b,
+       |  CAST(sum(CASE WHEN ns = 2 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS est
+       |  FROM topu GROUP BY 1, 2)
+       |SELECT e.source_a, e.source_b,
+       |  round(e.est, 6) AS est_jaccard,
+       |  round(coalesce(x.exact, 0.0), 6) AS exact_jaccard,
+       |  abs(e.est - coalesce(x.exact, 0.0)) <= $eps AS within_bound
+       |FROM est e LEFT JOIN exact x
+       |  ON x.source_a = e.source_a AND x.source_b = e.source_b
+       |ORDER BY e.source_a, e.source_b""".stripMargin
+  }
+
   private val bottomkSampleOracle =
     s"""WITH h AS (SELECT source, doc_id,
        |  ('0x' || substring(md5('bk|' || CAST(doc_id AS VARCHAR)), 1, 14))::BIGINT
@@ -4486,6 +4609,7 @@ object ExtQueries {
     "e_concordance" -> (eConcordance _),
     "e_token_dispersion" -> (eTokenDispersion _),
     "e_bottomk_sample" -> (eBottomkSample _),
+    "e_bottomk_resemblance" -> (eBottomkResemblance _),
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
@@ -5136,6 +5260,7 @@ object ExtQueries {
     "e_concordance" -> concordanceOracle,
     "e_token_dispersion" -> tokenDispersionOracle,
     "e_bottomk_sample" -> bottomkSampleOracle,
+    "e_bottomk_resemblance" -> bottomkResemblanceOracle,
     "e_winnow_fingerprints" -> winnowFingerprintsOracle,
     "e_winnow_matches" -> winnowMatchesOracle,
     "e_span_dedup_apply" -> {

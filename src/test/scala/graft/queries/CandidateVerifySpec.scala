@@ -97,6 +97,19 @@ class CandidateVerifySpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(rows.forall(_.getLong(4) >= 0L), "first_pos must be non-negative")
   }
 
+  test("e_bottomk_resemblance: every pair certified, estimate tracks exact") {
+    val rows = SparkEntry.queries("e_bottomk_resemblance")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pair not canonical")
+      val (est, exact) = (r.getDouble(2), r.getDouble(3))
+      assert(est >= 0.0 && est <= 1.0, s"estimate out of range: $est")
+      assert(r.getBoolean(4),
+        s"pair (${r.getString(0)}, ${r.getString(1)}) outside the 3/sqrt(k) " +
+          s"bound: est $est vs exact $exact")
+    }
+  }
+
   test("e_source_jaccard: canonical source pairs with valid Jaccard") {
     val rows = SparkEntry.queries("e_source_jaccard")(spark, d).collect()
     assert(rows.nonEmpty)

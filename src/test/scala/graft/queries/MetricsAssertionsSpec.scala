@@ -222,7 +222,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-11: bottom-k sample = the bounded-buffer aggregator's ≤ k
     // rows per source per partition — measured 2 KB; a breach means the
     // buffer stopped bounding the exchange
-    "e_bottomk_sample" -> (1L << 16))
+    "e_bottomk_sample" -> (1L << 16),
+    // round-11: resemblance sketch = the membership-list build (worst
+    // case: builds the shingle memo too) + sketch-sized pair work — the
+    // source-jaccard profile plus k-row sketches
+    "e_bottomk_resemblance" -> (2L << 21))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
