@@ -507,4 +507,40 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(bad.isEmpty,
       s"near-dup pairs must route through the band equi-join, found:\n$bad")
   }
+
+  test("e_ql_dirichlet: corpus token arrays never shuffle; scalars broadcast") {
+    val plan = executedPlan("e_ql_dirichlet")
+    // the factored form's corpus-wide work is the narrow (doc_id, dl)
+    // scan — an array column in any exchange means the explode leaked
+    // past the posting filter
+    val exchanges = collectWithSubqueries(plan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      assert(!e.child.output.exists(_.dataType.isInstanceOf[
+          org.apache.spark.sql.types.ArrayType]),
+        s"token arrays must not reach an exchange in the QL plan:\n$plan")
+    }
+    val bx = collectWithSubqueries(plan) { case b: BroadcastExchangeExec => b }
+    assert(bx.nonEmpty, s"the query scalars/cf frames must broadcast:\n$plan")
+    assert(plan.toString.contains("TakeOrderedAndProject"),
+      s"the top-k cut must be a bounded heap pass:\n$plan")
+  }
+
+  test("e_phrase_search: the top-phrase postings read is a broadcast join") {
+    val plan = executedPlan("e_phrase_search")
+    val bhj = collectWithSubqueries(plan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty,
+      s"the one-row top-phrase frame must broadcast into the postings:\n$plan")
+  }
+
+  test("e_bottomk_resemblance: every window is pair-partitioned (sketch-sized)") {
+    val plan = executedPlan("e_bottomk_resemblance")
+    val unpartitioned = collectWithSubqueries(plan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"union-sketch ranking must partition by the source pair:\n$plan")
+  }
 }
