@@ -282,6 +282,20 @@ object RelQueries {
       .orderBy("o_custkey", "rn")
   }
 
+  /** Distribution-position window functions — percent_rank (relative
+    * rank in [0,1]) and cume_dist (fraction of peers at-or-below):
+    * tie-robust by definition (both depend only on the order column's
+    * tie structure, not on a tie-break), so the rounded values are
+    * engine-portable without a deterministic suffix in the ORDER BY. */
+  def wxPercentCume(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy("c_custkey")
+  }
+
   def wxMovingAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 0)
@@ -334,6 +348,7 @@ object RelQueries {
     "w4_backoff_expo" -> (w4BackoffExpo _),
     "wx_rank_funcs" -> (wxRankFuncs _),
     "wx_moving_avg" -> (wxMovingAvg _),
+    "wx_percent_cume" -> (wxPercentCume _),
     "wx_ntile" -> (wxNtile _),
   )
 
@@ -504,6 +519,13 @@ object RelQueries {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
         |ORDER BY o_custkey, rn""".stripMargin,
+    "wx_percent_cume" ->
+      """SELECT c_custkey, c_nationkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
     "wx_moving_avg" ->
       """SELECT event_id,
         |  round(avg(value) OVER w, 6) AS mov_avg,
