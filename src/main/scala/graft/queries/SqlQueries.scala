@@ -153,7 +153,25 @@ object SqlQueries {
       ORDER BY n.n_name, t.c_custkey""")
   }
 
+  /** UNPIVOT — the wide→long melt (Spark's `UNPIVOT ... FOR ... IN`
+    * clause, Catalyst's Unpivot node): per-nation aggregates melted into
+    * (nation, metric, value) rows. Both value columns cast to double —
+    * UNPIVOT requires a common value type, and the oracle's UNPIVOT does
+    * the same widening. */
+  def sqlUnpivot(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "customer")
+    s.sql("""
+      WITH wide AS (
+        SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_cust,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer GROUP BY c_nationkey)
+      SELECT c_nationkey, metric, value
+      FROM wide UNPIVOT (value FOR metric IN (n_cust, total_bal))
+      ORDER BY c_nationkey, metric""")
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_unpivot" -> (sqlUnpivot _),
     "sql_cte" -> (sqlCte _),
     "sql_except_all" -> (sqlExceptAll _),
     "sql_intersect_all" -> (sqlIntersectAll _),
@@ -170,6 +188,14 @@ object SqlQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql_unpivot" ->
+      """WITH wide AS (
+        |  SELECT c_nationkey, CAST(count(*) AS DOUBLE) AS n_cust,
+        |         round(sum(c_acctbal), 2) AS total_bal
+        |  FROM customer GROUP BY c_nationkey)
+        |SELECT c_nationkey, metric, value
+        |FROM (UNPIVOT wide ON n_cust, total_bal INTO NAME metric VALUE value)
+        |ORDER BY c_nationkey, metric""".stripMargin,
     "sql_except_all" ->
       """SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_quantity > 10
         |EXCEPT ALL
