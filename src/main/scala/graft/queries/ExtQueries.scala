@@ -355,8 +355,8 @@ object ExtQueries {
     // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
     // simhashPairs (banded candidate table): e_edit_verify,
-    // e_jaro_verify, e_simhash_pairs
-    ("simhashPairs", simhashPairsCache, "e_simhash_pairs"),
+    // e_jaro_verify, e_simhash_pairs, e_verify_sweep (last)
+    ("simhashPairs", simhashPairsCache, "e_verify_sweep"),
     // multitable pair table: single consumer, released after itself
     ("simhashMultiPairs", simhashMultiCache, "e_simhash_multitable"),
     // source-membership lists: e_bottomk_resemblance (builds, name-first),
@@ -649,12 +649,12 @@ object ExtQueries {
       .select(col("doc_id"), col("simhash"))
       .orderBy("doc_id")
 
-  // SimHash candidate pairs (hamming ≤ 3): e_edit_verify and
-  // e_simhash_pairs read the SAME banded pair table — memoized so the
-  // bucket self-join runs once, and RELEASED after its last name-ordered
-  // consumer (an untracked localCheckpoint here measurably inflated the
-  // later lm-family queries via storage/GC pressure — the round-6
-  // interference mode).
+  // SimHash candidate pairs (hamming ≤ 3): e_edit_verify, e_jaro_verify,
+  // e_simhash_pairs and e_verify_sweep read the SAME banded pair table —
+  // memoized so the bucket self-join runs once, and RELEASED after its
+  // last name-ordered consumer (an untracked localCheckpoint here
+  // measurably inflated the later lm-family queries via storage/GC
+  // pressure — the round-6 interference mode).
   private val simhashPairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def simhashPairsMemo(s: SparkSession, d: String): DataFrame =
     simhashPairsCache.getOrElseUpdate(d, timedMemo("simhashPairs")(
@@ -783,6 +783,41 @@ object ExtQueries {
         round(jw, 6).as("jw_sim"),
         (jw >= JaroMin).as("verified"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** Verification sweep: per fingerprint hamming distance, how many
+    * candidates arrive and what fraction the exact measures confirm —
+    * the tuning table for the banded stage's maxHamming knob (a distance
+    * bucket whose verify rate is ~0 is wasted verification budget; one
+    * near 1 risks recall if cut). Mean similarity aggregates as exact
+    * per-row ·10⁶ integers (the e_source_scorecard discipline), so the
+    * sum is FP-order-independent across engines. Same cost shape as the
+    * verify stages it sweeps; rides the shared pair memo. */
+  def eVerifySweep(s: SparkSession, d: String): DataFrame = {
+    val pfx = Tables.documents(s, d)
+      .select(col("doc_id"), substring(trim(col("text")), 1, EditPrefix).as("pfx"))
+    val editSim = lit(1.0) - levenshtein(col("pa"), col("pb")) /
+      greatest(length(col("pa")), length(col("pb"))).cast("double")
+    val jw = graft.plans.TextExpressions.jaroWinkler(col("pa"), col("pb"))
+    simhashPairsMemo(s, d)
+      .join(pfx.select(col("doc_id").as("doc_a"), col("pfx").as("pa")), Seq("doc_a"))
+      .join(pfx.select(col("doc_id").as("doc_b"), col("pfx").as("pb")), Seq("doc_b"))
+      .select(col("hamming"),
+        round(editSim * 1000000.0, 0).cast("long").as("sim_micro"),
+        (editSim >= EditSimMin).cast("long").as("ev"),
+        (jw >= JaroMin).cast("long").as("jv"))
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("sim_micro")).as("sum_micro"),
+        sum(col("ev")).as("n_edit"), sum(col("jv")).as("n_jw"))
+      .select(col("hamming"), col("n_pairs"),
+        round(col("sum_micro") / (col("n_pairs") * 1000000.0), 6)
+          .as("mean_edit_sim"),
+        round(col("n_edit") / col("n_pairs").cast("double"), 6)
+          .as("edit_verify_rate"),
+        round(col("n_jw") / col("n_pairs").cast("double"), 6)
+          .as("jw_verify_rate"))
+      .orderBy("hamming")
   }
 
   /** Sorted-neighborhood blocking dedup (Hernández & Stolfo's merge/purge):
@@ -3031,6 +3066,36 @@ object ExtQueries {
        |FROM jv ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  private val verifySweepOracle = {
+    val hamming = (1 to SimBits)
+      .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $simhashFpCtes,
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |       CAST($hamming AS BIGINT) AS hamming
+       |  FROM fp a JOIN fp b
+       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |   AND a.doc_id < b.doc_id
+       |  WHERE $hamming <= 3),
+       |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
+       |pv AS (SELECT hamming,
+       |       1.0 - levenshtein(pa.pfx, pb.pfx)
+       |         / greatest(len(pa.pfx), len(pb.pfx)) AS es,
+       |       jaro_winkler_similarity(pa.pfx, pb.pfx) AS jw
+       |  FROM pr JOIN dp pa ON pa.doc_id = pr.doc_a
+       |          JOIN dp pb ON pb.doc_id = pr.doc_b),
+       |mv AS (SELECT hamming,
+       |       CAST(round(es * 1000000.0, 0) AS BIGINT) AS sim_micro,
+       |       CASE WHEN es >= $EditSimMin THEN 1 ELSE 0 END AS ev,
+       |       CASE WHEN jw >= $JaroMin THEN 1 ELSE 0 END AS jv
+       |  FROM pv)
+       |SELECT hamming, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(sum(sim_micro) / (count(*) * 1000000.0), 6) AS mean_edit_sim,
+       |  round(CAST(sum(ev) AS DOUBLE) / count(*), 6) AS edit_verify_rate,
+       |  round(CAST(sum(jv) AS DOUBLE) / count(*), 6) AS jw_verify_rate
+       |FROM mv GROUP BY hamming ORDER BY hamming""".stripMargin
+  }
+
   private val sortedNeighborhoodOracle =
     s"""WITH b AS (SELECT doc_id, substr(trim(text), 1, $SnPrefix) AS pfx,
        |  substr(trim(text), 1, $SnBlockChars) AS block FROM documents),
@@ -4597,6 +4662,7 @@ object ExtQueries {
     "e_containment_dup" -> (eContainmentDup _),
     "e_edit_verify" -> (eEditVerify _),
     "e_jaro_verify" -> (eJaroVerify _),
+    "e_verify_sweep" -> (eVerifySweep _),
     "e_idf_cosine" -> (eIdfCosine _),
     "e_ql_dirichlet" -> (eQlDirichlet _),
     "e_rank_corr" -> (eRankCorr _),
@@ -5248,6 +5314,7 @@ object ExtQueries {
     "e_containment_dup" -> containmentOracle,
     "e_edit_verify" -> editVerifyOracle,
     "e_jaro_verify" -> jaroVerifyOracle,
+    "e_verify_sweep" -> verifySweepOracle,
     "e_idf_cosine" -> idfCosineOracle,
     "e_ql_dirichlet" -> qlDirichletOracle,
     "e_rank_corr" -> rankCorrOracle,
