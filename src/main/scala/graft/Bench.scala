@@ -14,6 +14,7 @@ object Bench {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinPrefilter.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers,
     // whole-stage codegen for scan+agg shapes) so per-query timings measure

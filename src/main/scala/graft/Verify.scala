@@ -15,6 +15,7 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinPrefilter.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for focused iteration (dev only; the

@@ -398,5 +398,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (exprs: Seq[Expression]) =>
         WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
+    ext.injectOptimizerRule(_ => LevenshteinPrefilter)
   }
 }

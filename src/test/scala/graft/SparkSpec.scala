@@ -16,6 +16,7 @@ object TestSpark {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.plans.LevenshteinPrefilter.install(s)
     s
   }
 }
