@@ -883,19 +883,26 @@ object ExtQueries {
     * out past shingles × #sources²; the result is #source-pairs rows —
     * never doc-grain. */
   private val sourceJaccardCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  // ONE shuffle builds the per-shingle sorted source list (collect_set
+  // dedups, so no separate distinct pass); the ≤ #sources arrays are the
+  // whole downstream input, so the checkpoint holds #shingles small rows
+  // and every reader rereads that, not the corpus-grain join. Shared by
+  // e_bottomk_resemblance (first consumer, builds it) and
+  // e_source_jaccard (release point). (A further collapse-by-identical-
+  // set pass was measured SLOWER here: grouping on an array<string> key
+  // falls out of whole-stage codegen and doubled the wall time at sf0.1.)
+  private def sourceMembershipLists(s: SparkSession, d: String): DataFrame =
+    sourceJaccardCache.getOrElseUpdate(d, timedMemo("sourceJaccardSets")(
+      Dedup.materializeAndRelease(
+        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
+          .join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+            Seq("doc_id"))
+          .groupBy("sh")
+          .agg(sort_array(collect_set(col("source"))).as("srcs")))))
+
   def eSourceJaccard(s: SparkSession, d: String): DataFrame = {
-    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    // ONE shuffle builds the per-shingle sorted source list (collect_set
-    // dedups, so no separate distinct pass); the ≤ #sources arrays are the
-    // whole downstream input, so the checkpoint holds #shingles small rows
-    // and both readers below reread that, not the corpus-grain join.
-    // (A further collapse-by-identical-set pass was measured SLOWER here:
-    // grouping on an array<string> key falls out of whole-stage codegen
-    // and doubled the query's wall time at sf0.1.)
-    val bySh = sourceJaccardCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
-      docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
-        .join(src, Seq("doc_id"))
-        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))))
+    val bySh = sourceMembershipLists(s, d)
     // per-source distinct-shingle counts, read off the membership lists
     val cnts = bySh.select(explode(col("srcs")).as("source"))
       .groupBy("source").agg(count(lit(1)).as("n"))
@@ -930,11 +937,7 @@ object ExtQueries {
     * a |est − exact| ≤ 3/√k boolean both engines compute. */
   def eBottomkResemblance(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val bySh = sourceJaccardCache.getOrElseUpdate(d, Dedup.materializeAndRelease(
-      docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh"))
-        .join(src, Seq("doc_id"))
-        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("srcs"))))
+    val bySh = sourceMembershipLists(s, d)
     val srcSh = bySh.select(explode(col("srcs")).as("source"), col("sh"))
       .withColumn("h", col("sh") % BkMod)
     // bottom-k per source: score = −h (desc ⇒ h asc), sh breaks fold ties
