@@ -964,9 +964,13 @@ object ExtQueries {
     val pairs = srcList.select(col("source").as("source_a"))
       .crossJoin(srcList.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))
-    val pairRows = broadcast(pairs)
-      .join(sk.select(col("source").as("s"), col("h")),
-        col("s") === col("source_a") || col("s") === col("source_b"))
+    // each pair explodes into its two member rows so the sketch attach is
+    // a HASH equi-join on the source — an OR-condition here planned a
+    // broadcast nested loop, quadratic in sources (measured 16× on the
+    // 10× probe, whose copies multiply the source count)
+    val pairRows = broadcast(pairs.select(col("source_a"), col("source_b"),
+        explode(array(col("source_a"), col("source_b"))).as("s")))
+      .join(sk.select(col("source").as("s"), col("h")), Seq("s"))
     val grouped = pairRows.groupBy("source_a", "source_b", "h")
       .agg(countDistinct(col("s")).as("ns"))
     val w = Window.partitionBy("source_a", "source_b").orderBy(col("h"))

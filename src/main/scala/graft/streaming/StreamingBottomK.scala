@@ -56,9 +56,12 @@ object StreamingBottomK {
     val pairs = srcList.select(col("source").as("source_a"))
       .crossJoin(srcList.select(col("source").as("source_b")))
       .filter(col("source_a") < col("source_b"))
-    val pairRows = broadcast(pairs)
-      .join(sk.select(col("source").as("s"), col("h")),
-        col("s") === col("source_a") || col("s") === col("source_b"))
+    // explode each pair into its member rows: a HASH equi-join on the
+    // source (an OR-condition would plan a nested loop, quadratic in
+    // sources)
+    val pairRows = broadcast(pairs.select(col("source_a"), col("source_b"),
+        explode(array(col("source_a"), col("source_b"))).as("s")))
+      .join(sk.select(col("source").as("s"), col("h")), Seq("s"))
     val w = Window.partitionBy("source_a", "source_b").orderBy(col("h"))
     pairRows.groupBy("source_a", "source_b", "h")
       .agg(countDistinct(col("s")).as("ns"))
