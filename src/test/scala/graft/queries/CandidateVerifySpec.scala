@@ -47,6 +47,30 @@ class CandidateVerifySpec extends SparkSpec with AdaptiveSparkPlanHelper {
       "JW floor must discriminate on this corpus")
   }
 
+  test("e_dup_explain: diff widths reconstruct the prefix lengths") {
+    val rows = SparkEntry.queries("e_dup_explain")(spark, d).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, d)
+      .select(col("doc_id"), substring(trim(col("text")), 1, 160).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (texts(r.getLong(0)), texts(r.getLong(1)))
+      val (p, sfx) = (r.getLong(3), r.getLong(4))
+      val (midA, midB) = (r.getLong(5), r.getLong(6))
+      assert(p + sfx + midA == a.length, "side A must decompose exactly")
+      assert(p + sfx + midB == b.length, "side B must decompose exactly")
+      assert(a.take(p.toInt) == b.take(p.toInt), "prefix must match")
+      assert(a.takeRight(sfx.toInt) == b.takeRight(sfx.toInt),
+        "suffix must match")
+      assert(midA >= 0 && midB >= 0)
+      if (r.getBoolean(2)) {
+        // a verified near-dup differs in a bounded middle
+        assert(midA <= a.length && midB <= b.length)
+      }
+    }
+    assert(rows.exists(_.getBoolean(2)), "no verified pair explained")
+  }
+
   test("e_idf_cosine: canonical pairs, cosine in (0, 1], floor respected") {
     val rows = SparkEntry.queries("e_idf_cosine")(spark, d).collect()
     assert(rows.nonEmpty)

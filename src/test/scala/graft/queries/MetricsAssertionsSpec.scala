@@ -226,7 +226,11 @@ class MetricsAssertionsSpec extends SparkSpec {
     // round-11: resemblance sketch = the membership-list build (worst
     // case: builds the shingle memo too) + sketch-sized pair work — the
     // source-jaccard profile plus k-row sketches
-    "e_bottomk_resemblance" -> (2L << 21))
+    "e_bottomk_resemblance" -> (2L << 21),
+    // round-11: the e_edit_verify shape plus in-row prefix/suffix scans —
+    // same pair memo, nothing extra shuffles; the verdict is a FLAG (a
+    // filter here regresses 100x via join-condition pushdown)
+    "e_dup_explain" -> (1L << 18))
 
   shuffleBudgets.foreach { case (name, budget) =>
     test(s"$name: shuffle bytes within budget, zero spill at sf0.001") {
