@@ -45,6 +45,7 @@ object SparkEntry {
     graft.queries.ScalarQueries.queries ++
     graft.queries.StreamQueries.queries ++
     graft.queries.ExtQueries.queries ++
+    graft.queries.SeqQueries.queries ++
     graft.queries.SqlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -55,5 +56,6 @@ object SparkEntry {
     graft.queries.ScalarQueries.oracle ++
     graft.queries.StreamQueries.oracle ++
     graft.queries.ExtQueries.oracle ++
+    graft.queries.SeqQueries.oracle ++
     graft.queries.SqlQueries.oracle
 }

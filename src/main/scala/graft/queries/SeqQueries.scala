@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** [E] Event-sequence analytics over the `events` table: the behavioral
+  * layer a training-data pipeline needs when the corpus is interaction
+  * logs rather than documents — next-event transition models, session
+  * path mining, and recency weighting (the events-side analogue of the
+  * documents-side freshness/quality weights in
+  * [[graft.functions.DatasetSplit]]).
+  *
+  * Reference tie-in: the reference's change feed is itself an event log
+  * (README.md:5,19-23 — per-row Insert/Update/Delete operations ordered
+  * by a rowversion); these operators are the analytics a consumer runs
+  * over that delivered log. Everything here is per-user-keyed window or
+  * plain aggregation — the shuffles key on `user_id` (150 per sf0.01;
+  * grows with the corpus), never on a constant, so parallelism scales
+  * with the data.
+  *
+  * Determinism contract (shared with every oracle in this package): event
+  * order is `(et, event_id)` — epoch-second plus the unique id tie-break —
+  * and every floating aggregate is either an exact integer ratio or a
+  * scaled-bigint sum, so DuckDB reproduces the hash bit-for-bit.
+  */
+object SeqQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Session gap: a new session starts after ≥ this many seconds of
+    * user inactivity. 12 h matches the synthetic corpus's ~10.5 h mean
+    * per-user inter-arrival (mean session ≈ 3 events, max 18 at sf0.01),
+    * so path mining has signal; a production click-stream sets ~30 min. */
+  private val SessionGapSec = 43200L
+  /** Path mining: events kept per session path (head of the session). */
+  private val PathLen = 5
+  /** Path mining: report depth (top paths by session count). */
+  private val PathTopN = 20
+  /** Recency weighting: discrete half-life in seconds (1 day). Weight for
+    * an event `age` seconds before the corpus's newest event is
+    * 2^-(age DIV halfLife) — integer bucket decay, so the weighted sum is
+    * an exact scaled-bigint in both engines. */
+  private val DecayHalfLifeSec = 86400L
+  /** Ages beyond this many half-lives contribute 0 at the 1e-6 grain the
+    * scaled sum keeps (2^-40 ≈ 9e-13); also keeps the shift in-range. */
+  private val DecayMaxBuckets = 40
+
+  private def withEt(df: DataFrame): DataFrame =
+    df.withColumn("et", Tables.tsEpochSeconds)
+
+  private val eventOrder = Seq(col("et"), col("event_id"))
+
+  /** Markov next-event transition matrix: P(next event type | previous),
+    * from per-user lag pairs. The window shuffles once on `user_id`
+    * (data-proportional key count); the transition matrix itself is
+    * |types|² — bounded — so the totals join broadcasts. `p` is an exact
+    * int/int double ratio, reproducible across engines. */
+  def eEventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(eventOrder: _*)
+    val prs = withEt(Tables.events(s, d))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"))
+    val cnt = prs.groupBy("prev_type", "next_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("prev_type").agg(sum(col("n")).as("n_from"))
+    cnt.join(broadcast(tot), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 6).as("p"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** Session path mining: sessionize per user on a [[SessionGapSec]]
+    * inactivity gap (lag + running sum — the batch formulation of
+    * `session_window`, keyed identically), render each session's first
+    * [[PathLen]] event types as a `>`-joined path, and report the
+    * [[PathTopN]] most common paths. The per-session path is built from
+    * ONE `collect_list` + `array_sort` inside the (user, session) group —
+    * session sizes are bounded by the gap semantics, so the buffer is
+    * bounded; no second window pass. TakeOrderedAndProject caps the
+    * report. */
+  def eSessionPaths(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(eventOrder: _*)
+    val sessions = withEt(Tables.events(s, d))
+      .withColumn("new_session",
+        when(col("et") - lag(col("et"), 1).over(w) >= SessionGapSec ||
+          lag(col("et"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val paths = sessions
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(
+              struct(col("et"), col("event_id"), col("event_type")))),
+              1, PathLen),
+            x => x.getField("event_type")),
+          ">").as("path"))
+    paths.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(PathTopN)
+  }
+
+  /** Recency-weighted user activity: each event weighted by
+    * 2^-(age DIV halfLife) relative to the corpus's newest event — the
+    * freshness prior a training-data sampler multiplies into its source
+    * weights. The weighted sum is computed as an exact scaled BIGINT
+    * (value·1e6, shifted right by the integer bucket) so the per-user sum
+    * is order-independent and engine-exact; the single max-timestamp
+    * scalar rides a broadcast one-row crossJoin, keeping the whole plan
+    * in two data-proportional aggregations. */
+  def eTimeDecay(s: SparkSession, d: String): DataFrame = {
+    val e = withEt(Tables.events(s, d))
+    val tmax = e.agg(max(col("et")).as("t_max"))
+    e.crossJoin(broadcast(tmax))
+      .withColumn("bucket",
+        least((col("t_max") - col("et")) / lit(DecayHalfLifeSec),
+          lit(DecayMaxBuckets.toLong)).cast("int"))
+      .withColumn("w_scaled", expr(
+        // exact: scaled-int value, integer right-shift by the decay bucket
+        s"CAST(round(value * 1e6) AS BIGINT) DIV shiftleft(CAST(1 AS BIGINT), bucket)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("w_scaled")).cast("double") / lit(1e6), 6)
+          .as("decayed_value"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e_event_transitions" -> (eEventTransitions _),
+    "e_session_paths" -> (eSessionPaths _),
+    "e_time_decay" -> (eTimeDecay _),
+  )
+
+  private val etSql = "epoch_ms(ts) // 1000"
+
+  val oracle: Map[String, String] = Map(
+    "e_event_transitions" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
+         |prs AS (SELECT
+         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY et, event_id) AS prev_type,
+         |    event_type AS next_type
+         |  FROM e),
+         |cnt AS (SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+         |  FROM prs WHERE prev_type IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT prev_type, sum(n) AS n_from FROM cnt GROUP BY 1)
+         |SELECT c.prev_type, c.next_type, c.n,
+         |  round(CAST(c.n AS DOUBLE) / t.n_from, 6) AS p
+         |FROM cnt c JOIN tot t USING (prev_type)
+         |ORDER BY prev_type, next_type""".stripMargin,
+    "e_session_paths" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
+         |flagged AS (SELECT *,
+         |    CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) >= $SessionGapSec
+         |      OR lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) IS NULL
+         |    THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |sessions AS (SELECT *,
+         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY et, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         |  FROM flagged),
+         |rn AS (SELECT *,
+         |    row_number() OVER (PARTITION BY user_id, session_id ORDER BY et, event_id) AS rn
+         |  FROM sessions),
+         |paths AS (SELECT user_id, session_id, count(*) AS n_events,
+         |    string_agg(event_type, '>' ORDER BY et, event_id)
+         |      FILTER (WHERE rn <= $PathLen) AS path
+         |  FROM rn GROUP BY 1, 2)
+         |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions,
+         |  round(avg(n_events), 6) AS avg_events
+         |FROM paths GROUP BY path
+         |ORDER BY n_sessions DESC, path LIMIT $PathTopN""".stripMargin,
+    "e_time_decay" ->
+      s"""WITH e AS (SELECT user_id, value, $etSql AS et FROM events),
+         |tm AS (SELECT max(et) AS t_max FROM e),
+         |wts AS (SELECT user_id,
+         |    CAST(round(value * 1e6) AS BIGINT)
+         |      // CAST(pow(2, least((t_max - et) // $DecayHalfLifeSec,
+         |                           $DecayMaxBuckets)) AS BIGINT) AS w_scaled
+         |  FROM e CROSS JOIN tm)
+         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |  round(CAST(sum(w_scaled) AS DOUBLE) / 1e6, 6) AS decayed_value
+         |FROM wts GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

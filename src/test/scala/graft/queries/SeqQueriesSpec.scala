@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+/** Invariants for the event-sequence analytics queries
+  * ([[graft.queries.SeqQueries]]): Markov transitions, session path
+  * mining, recency-weighted activity. */
+class SeqQueriesSpec extends SparkSpec {
+
+  private val d = "/root/testdata/sf0.001"
+
+  test("e_event_transitions: rows form a row-stochastic matrix") {
+    val rows = SparkEntry.queries("e_event_transitions")(spark, d).collect()
+    assert(rows.nonEmpty)
+    // per prev_type the probabilities sum to ~1 (each p rounded to 6dp,
+    // so the sum can be off by at most 5e-7 per cell)
+    val byPrev = rows.groupBy(_.getString(0))
+    byPrev.foreach { case (prev, rs) =>
+      val pSum = rs.map(_.getDouble(3)).sum
+      assert(math.abs(pSum - 1.0) <= 5e-7 * rs.length,
+        s"P(.|$prev) sums to $pSum")
+      rs.foreach(r => assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0))
+    }
+    // n sums to total lag pairs = events - users-with-events
+    val e = Tables.events(spark, d)
+    val expected = e.count() - e.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
+  test("e_session_paths: paths are capped, counts ordered, sessions conserved") {
+    val rows = SparkEntry.queries("e_session_paths")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val path = r.getString(0)
+      assert(path.nonEmpty && path.split(">").length <= 5,
+        s"path over cap: $path")
+      assert(r.getDouble(2) >= 1.0, "avg session length below 1")
+    }
+    // report is ordered by (n_sessions desc, path asc)
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "report not in (n desc, path) order")
+  }
+
+  test("e_time_decay: per-user decayed mass is bounded by un-decayed mass") {
+    val rows = SparkEntry.queries("e_time_decay")(spark, d).collect()
+    val rawByUser = Tables.events(spark, d).groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(rows.length == rawByUser.size, "one row per active user")
+    rows.foreach { r =>
+      val (user, n, decayed) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val (nRaw, sRaw) = rawByUser(user)
+      assert(n == nRaw)
+      assert(decayed >= 0.0 && decayed <= sRaw + 1e-6,
+        s"user $user decayed $decayed exceeds raw $sRaw")
+    }
+  }
+}
