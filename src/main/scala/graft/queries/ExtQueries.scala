@@ -182,6 +182,10 @@ object ExtQueries {
   // the bounded peel-round count mirrored in the unrolled oracle
   private val KcoreK = 3
   private val KcoreRounds = 8
+  // label propagation (e_label_propagation): synchronous majority-vote
+  // rounds — enough for labels to flow across the diameter of a dup
+  // neighborhood, small enough to SQL-unroll for the oracle
+  private val LpaRounds = 3
   // IVF-PQ exact re-rank (e_ivfpq_rerank): ADC shortlist depth fed to the
   // refine stage (3× the final k — the FAISS IVFPQR convention)
   private val PqRerankDepth = 9
@@ -335,7 +339,9 @@ object ExtQueries {
     ("decontamHits", decontamCache, "e_decontam"),
     // minhashPairs: e_cc_incremental, e_connected_components,
     // e_curation_funnel, e_dedup_apply, e_dedup_clusters (builds
-    // nearDupClusters), e_dedup_minhash_lsh, e_minhash_calibration
+    // nearDupClusters), e_dedup_minhash_lsh, e_dup_kcore,
+    // e_dup_triangles, e_dedup_authority, e_label_propagation,
+    // e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
     // nearDupClusters: e_dedup_best, e_dedup_clusters, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
@@ -549,6 +555,25 @@ object ExtQueries {
           .select(col("doc_a"), col("doc_b")),
         k = KcoreK, maxRounds = KcoreRounds)
       .orderBy("doc_id")
+
+  /** Majority-vote communities of the near-dup graph ([[LpaRounds]]
+    * synchronous rounds, min-label ties): the density-aware refinement of
+    * `e_connected_components` — paraphrase chains that CC glues into one
+    * blob split at their sparse articulation points, mirror farms stay
+    * together. Joined back to community sizes (community-keyed agg,
+    * community count ≤ node count). Rides the memoized pair table,
+    * name-ordered before its `e_minhash_calibration` release point. */
+  def eLabelPropagation(s: SparkSession, d: String): DataFrame = {
+    val labels = graft.operators.LabelPropagation.communities(
+      minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+        .select(col("doc_a"), col("doc_b")),
+      rounds = LpaRounds)
+    val sizes = labels.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, Seq("community"))
+      .select(col("doc_id"), col("community"), col("n_members"))
+      .orderBy("doc_id")
+  }
 
   /** Quality-aware dedup survivor selection: per near-dup cluster, the
     * member a curator actually wants to KEEP — highest quality score,
@@ -4736,6 +4761,7 @@ object ExtQueries {
     "e_dedup_best" -> (eDedupBest _),
     "e_dup_kcore" -> (eDupKcore _),
     "e_dup_triangles" -> (eDupTriangles _),
+    "e_label_propagation" -> (eLabelPropagation _),
     "e_dedup_simhash" -> (eDedupSimhash _),
     "e_simhash_pairs" -> (eSimhashPairs _),
     "e_simhash_multitable" -> (eSimhashMultitable _),
@@ -4984,6 +5010,28 @@ object ExtQueries {
          |      / (dg.degree * (dg.degree - 1)), 6)
          |    ELSE 0.0 END AS clustering
          |FROM dg LEFT JOIN pnt USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "e_label_propagation" -> {
+      // unrolled synchronous rounds; each references its predecessor —
+      // MATERIALIZED stops DuckDB re-inlining the minhash chain per round
+      val rounds = (1 to LpaRounds).map { r =>
+        s"""l$r AS MATERIALIZED (SELECT id, lbl FROM (
+           |  SELECT id, lbl, count(*) AS c FROM (
+           |    SELECT e.s AS id, p.lbl AS lbl
+           |    FROM ed e JOIN l${r - 1} p ON p.id = e.t
+           |    UNION ALL SELECT id, lbl FROM l${r - 1})
+           |  GROUP BY 1, 2)
+           |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl) = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $nearDupGraphCtes,
+         |ed AS MATERIALIZED (SELECT doc_a AS s, doc_b AS t FROM est
+         |       UNION ALL SELECT doc_b, doc_a FROM est),
+         |l0 AS MATERIALIZED (SELECT DISTINCT s AS id, s AS lbl FROM ed),
+         |$rounds,
+         |sz AS (SELECT lbl, CAST(count(*) AS BIGINT) AS n_members
+         |  FROM l$LpaRounds GROUP BY lbl)
+         |SELECT l.id AS doc_id, l.lbl AS community, sz.n_members
+         |FROM l$LpaRounds l JOIN sz USING (lbl) ORDER BY doc_id""".stripMargin
+    },
     "e_dup_kcore" -> {
       // every peel references its predecessor three times — MATERIALIZED
       // stops DuckDB inlining the whole minhash chain 3^rounds times
