@@ -4750,7 +4750,27 @@ object ExtQueries {
        |SELECT source, doc_id, h AS sample_hash, rank
        |FROM r WHERE rank <= $BottomK ORDER BY source, rank""".stripMargin
 
+  /** Schema-dynamic profile of the documents table — per column, nulls /
+    * exact distincts / mean rendered width in ONE scan (unpivoted via
+    * `stack`; see [[graft.operators.TableProfile]] for the 100 TB
+    * approx-cardinality swap note). */
+  def eTableProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.TableProfile(Tables.documents(s, d))
+
+  /** Outlier-robust per-source length stats: mean document length clipped
+    * at the exact rank-based [p05, p95] per source — the report that
+    * stops a handful of pathological documents from moving a source's
+    * quality dial. Percentiles come from the per-source VALUE-COUNT
+    * table (window partitions = distinct lengths, domain-bounded), the
+    * thresholds broadcast back into a codegen clamp; integer-exact sums
+    * throughout ([[graft.operators.Winsorize]]). */
+  def eWinsorize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Winsorize.stats(
+      Tables.documents(s, d), "source", "n_chars", pLo = 0.05, pHi = 0.95)
+
   val queries: Map[String, Q] = Map(
+    "e_table_profile" -> (eTableProfile _),
+    "e_winsorize" -> (eWinsorize _),
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
     "e_minhash_calibration" -> (eMinhashCalibration _),
@@ -4974,6 +4994,35 @@ object ExtQueries {
       |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "e_table_profile" -> {
+      val per = Seq("doc_id", "lang", "n_chars", "source", "text").map { c =>
+        s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(avg(length(CAST($c AS VARCHAR))), 6) AS avg_len
+           |FROM documents""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (
+         |$per
+         |) ORDER BY column_name""".stripMargin
+    },
+    "e_winsorize" ->
+      """WITH vc AS (SELECT source, n_chars AS v, count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2),
+        |tot AS (SELECT source, sum(cnt) AS n FROM vc GROUP BY 1),
+        |run AS (SELECT vc.source, v, cnt, n,
+        |    sum(cnt) OVER (PARTITION BY vc.source ORDER BY v) AS cum
+        |  FROM vc JOIN tot USING (source)),
+        |loc AS (SELECT source, min(v) AS lo FROM run
+        |  WHERE cum >= ceil(0.05 * n) GROUP BY source),
+        |hic AS (SELECT source, min(v) AS hi FROM run
+        |  WHERE cum >= ceil(0.95 * n) GROUP BY source)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows, lo, hi,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_raw,
+        |  round(CAST(sum(least(greatest(n_chars, lo), hi)) AS DOUBLE)
+        |    / count(*), 6) AS mean_winsor
+        |FROM documents d JOIN loc USING (source) JOIN hic USING (source)
+        |GROUP BY d.source, lo, hi ORDER BY source""".stripMargin,
     "e_dedup_exact" ->
       """SELECT md5(trim(lower(text))) AS content_hash,
         |       min(doc_id) AS survivor_id,
