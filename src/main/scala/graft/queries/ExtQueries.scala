@@ -316,7 +316,7 @@ object ExtQueries {
     simhashPairsCache.clear(); simhashMultiCache.clear()
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
-    idfCosineCache.clear()
+    idfCosineCache.clear(); cosineNearDupCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -380,6 +380,8 @@ object ExtQueries {
     ("distDriftCounts", distDriftCache, "e_dist_drift"),
     // phashFingerprints: e_phash_clusters, e_phash_neardup
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
+    // cosineNearDupPairs: e_cosine_neardup, e_mutual_neighbors (last)
+    ("cosineNearDupPairs", cosineNearDupCache, "e_mutual_neighbors"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
     ("suffixRanks", saCache, "e_suffix_ranks"),
     // saSpanPairs: e_exact_contamination (builds), e_lcp_repeats
@@ -2171,9 +2173,28 @@ object ExtQueries {
     * filter. No all-pairs cross product anywhere in the plan
     * (PlanAssertionsSpec enforces this). */
   def eCosineNeardup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-        "vec_id", "embedding", threshold = NearDupThreshold,
-        bandBits = NearDupBandBits, nBands = NearDupBands)
+    cosineNearDupMemo(s, d).orderBy("id_a", "id_b")
+
+  // thresholded banded-LSH cosine pair table, shared by e_cosine_neardup
+  // and e_mutual_neighbors (release point — last name-ordered consumer)
+  private val cosineNearDupCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def cosineNearDupMemo(s: SparkSession, d: String): DataFrame =
+    cosineNearDupCache.getOrElseUpdate(d, timedMemo("cosineNearDupPairs") {
+      Dedup.materializeAndRelease(
+        Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+          "vec_id", "embedding", threshold = NearDupThreshold,
+          bandBits = NearDupBandBits, nBands = NearDupBands))
+    })
+
+  /** Reciprocal-best merge partners over the banded sign-LSH candidate
+    * pairs: (a, b) survives only when each is the other's
+    * highest-cosine partner — the mutual-NN cut that turns a noisy
+    * near-dup candidate list into unambiguous canonical merges (a hub
+    * doc similar to twenty others mutual-matches at most one). Argmax is
+    * a min-struct aggregation (no window); the best table is one row per
+    * id before its self-equi-join. */
+  def eMutualNeighbors(s: SparkSession, d: String): DataFrame =
+    Similarity.mutualBestPairs(cosineNearDupMemo(s, d))
       .orderBy("id_a", "id_b")
 
   def eTextLangid(s: SparkSession, d: String): DataFrame =
@@ -4096,10 +4117,11 @@ object ExtQueries {
       |FROM fr WHERE idx % 2 = 0
       |GROUP BY media_id ORDER BY media_id""".stripMargin
 
-  private val neardupOracle = {
-    // Same banded sign-LSH semantics as Similarity.cosineNearDupPairs,
-    // generated from the same (NearDupBandBits, NearDupBands, threshold)
-    // constants so algorithm and oracle cannot drift.
+  // Same banded sign-LSH semantics as Similarity.cosineNearDupPairs,
+  // generated from the same (NearDupBandBits, NearDupBands, threshold)
+  // constants so algorithm and oracle cannot drift. Ends at `pr`
+  // (id_a, id_b, cosine_sim — thresholded) so consumers can append CTEs.
+  private lazy val neardupPairCtes: String = {
     val sigCols = (0 until NearDupBands).map { b =>
       val bits = (b * NearDupBandBits until (b + 1) * NearDupBandBits)
         .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
@@ -4108,7 +4130,7 @@ object ExtQueries {
     }.mkString(",\n  ")
     val bandMatch = (0 until NearDupBands)
       .map(b => s"a.s$b = b.s$b").mkString(" OR ")
-    s"""WITH sigs AS (SELECT vec_id,
+    s"""sigs AS (SELECT vec_id,
        |  $sigCols
        |FROM embeddings),
        |cand AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -4121,14 +4143,27 @@ object ExtQueries {
        |  FROM cand c
        |  JOIN e a ON a.vec_id = c.id_a
        |  JOIN e b ON b.vec_id = c.id_b AND b.pos = a.pos
-       |  GROUP BY 1, 2)
-       |SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
-       |FROM dots
-       |JOIN norms na ON na.vec_id = id_a
-       |JOIN norms nb ON nb.vec_id = id_b
-       |WHERE round(dp / (na.nrm * nb.nrm), 6) >= $NearDupThreshold
-       |ORDER BY id_a, id_b""".stripMargin
+       |  GROUP BY 1, 2),
+       |pr AS (SELECT id_a, id_b, round(dp / (na.nrm * nb.nrm), 6) AS cosine_sim
+       |  FROM dots
+       |  JOIN norms na ON na.vec_id = id_a
+       |  JOIN norms nb ON nb.vec_id = id_b
+       |  WHERE round(dp / (na.nrm * nb.nrm), 6) >= $NearDupThreshold)""".stripMargin
   }
+
+  private lazy val neardupOracle =
+    s"""WITH $neardupPairCtes
+       |SELECT id_a, id_b, cosine_sim FROM pr ORDER BY id_a, id_b""".stripMargin
+
+  private lazy val mutualNeighborsOracle =
+    s"""WITH $neardupPairCtes,
+       |sym AS (SELECT id_a AS id, id_b AS p, cosine_sim AS s FROM pr
+       |        UNION ALL SELECT id_b, id_a, cosine_sim FROM pr),
+       |best AS (SELECT id, p, s FROM sym
+       |  QUALIFY row_number() OVER (PARTITION BY id ORDER BY s DESC, p) = 1)
+       |SELECT x.id AS id_a, x.p AS id_b, x.s AS cosine_sim
+       |FROM best x JOIN best y ON x.p = y.id AND y.p = x.id AND x.id < y.id
+       |ORDER BY id_a, id_b""".stripMargin
 
   private val langidOracle = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
@@ -4827,6 +4862,7 @@ object ExtQueries {
     "e_dedup_apply" -> (eDedupApply _),
     "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
+    "e_mutual_neighbors" -> (eMutualNeighbors _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5649,6 +5685,7 @@ object ExtQueries {
     "e_dedup_apply" -> dedupApplyOracle,
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
+    "e_mutual_neighbors" -> mutualNeighborsOracle,
     "e_text_langid" -> langidOracle,
     "e_langid_margin" -> langidMarginOracle,
     "e_code_switch" -> codeSwitchOracle,

@@ -260,4 +260,34 @@ object Similarity {
           .as("cosine_sim"))
       .filter(col("cosine_sim") >= threshold)
   }
+
+  /** Reciprocal-best pairs from an undirected scored pair table
+    * ((id_a, id_b, sim), each pair once): keep (a, b) only when b is a's
+    * highest-similarity partner AND a is b's — the mutual-NN criterion
+    * that picks canonical merge partners out of a noisy candidate set
+    * (a hub similar to twenty documents mutual-matches at most one of
+    * them). Ties break to the smallest partner id, so the result is a
+    * pure function of the pair table.
+    *
+    * Scale shape: one symmetrize + one map-side-combined argmax
+    * aggregation (min-struct, no window) down to ONE row per id, then a
+    * self-equi-join of that id-sized best table. Never touches
+    * embeddings — works on whatever bounded candidate table the banded
+    * LSH produced. */
+  def mutualBestPairs(pairs: DataFrame, aCol: String = "id_a",
+                      bCol: String = "id_b",
+                      simCol: String = "cosine_sim"): DataFrame = {
+    val sym = pairs
+      .select(col(aCol).as("id"), col(bCol).as("p"), col(simCol).as("s"))
+      .unionByName(pairs
+        .select(col(bCol).as("id"), col(aCol).as("p"), col(simCol).as("s")))
+    val best = sym.groupBy(col("id"))
+      .agg(min(struct((-col("s")).as("ns"), col("p").as("p"))).as("b"))
+      .select(col("id"), col("b.p").as("p"), (-col("b.ns")).as("s"))
+    best.as("x")
+      .join(best.as("y"),
+        col("x.p") === col("y.id") && col("y.p") === col("x.id") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as(aCol), col("x.p").as(bCol), col("x.s").as(simCol))
+  }
 }
