@@ -2197,6 +2197,21 @@ object ExtQueries {
     Similarity.mutualBestPairs(cosineNearDupMemo(s, d))
       .orderBy("id_a", "id_b")
 
+  /** Embedding-space source similarity: pairwise cosine between
+    * per-source centroid embeddings — which feeds cover the same
+    * semantic region, the semantic counterpart to `e_source_jaccard`'s
+    * token-set overlap (a pair can token-overlap near 0 yet sit in the
+    * same embedding region — translations, paraphrase mirrors). One
+    * per-dimension mean aggregation (sources × dims bounded), pair work
+    * sources²-bounded. */
+  def eSourceCentroids(s: SparkSession, d: String): DataFrame =
+    Similarity.groupCentroidSimilarity(
+        Tables.embeddings(s, d).join(
+          Tables.documents(s, d).select(col("doc_id").as("vec_id"), col("source")),
+          Seq("vec_id")),
+        "source", "embedding")
+      .orderBy("src_a", "src_b")
+
   def eTextLangid(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("lang").as("labeled"),
@@ -4863,6 +4878,7 @@ object ExtQueries {
     "e_multimodal_frames" -> (eMultimodalFrames _),
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_mutual_neighbors" -> (eMutualNeighbors _),
+    "e_source_centroids" -> (eSourceCentroids _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5686,6 +5702,20 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_source_centroids" ->
+      """WITH e AS (SELECT d.source, generate_subscripts(embedding, 1) AS pos,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id),
+        |c AS (SELECT source, pos, round(avg(x), 6) AS m FROM e GROUP BY 1, 2),
+        |n AS (SELECT source, sqrt(sum(m * m)) AS nrm FROM c GROUP BY 1),
+        |dp AS (SELECT a.source AS src_a, b.source AS src_b, sum(a.m * b.m) AS dp
+        |  FROM c a JOIN c b ON a.pos = b.pos AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b,
+        |  round(dp / (na.nrm * nb.nrm), 6) AS centroid_cosine
+        |FROM dp JOIN n na ON na.source = dp.src_a
+        |JOIN n nb ON nb.source = dp.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "e_text_langid" -> langidOracle,
     "e_langid_margin" -> langidMarginOracle,
     "e_code_switch" -> codeSwitchOracle,

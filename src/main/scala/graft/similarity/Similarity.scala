@@ -274,6 +274,35 @@ object Similarity {
     * self-equi-join of that id-sized best table. Never touches
     * embeddings — works on whatever bounded candidate table the banded
     * LSH produced. */
+  /** Pairwise cosine between per-group centroid embeddings — dataset
+    * similarity in embedding space (which sources/feeds cover the same
+    * semantic region), the semantic counterpart to token-set overlap
+    * reports. Centroid components round to 6 dp BEFORE the cosine so
+    * both engines feed identical inputs into the pair arithmetic.
+    *
+    * Scale shape: ONE map-side-combined per-dimension mean aggregation
+    * over the corpus (groups × dims bounded output), then the pair
+    * product over the groups-sized centroid table — the non-equi `<`
+    * self-join is groups²-bounded by construction, never corpus-sized. */
+  def groupCentroidSimilarity(df: DataFrame, groupCol: String,
+                              vecCol: String): DataFrame = {
+    val base = df.select(col(groupCol).as("g"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+    val dims = base.select(size(col("v"))).head().getInt(0)
+    val aggs = (1 to dims)
+      .map(i => round(avg(element_at(col("v"), i)), 6).as(s"c$i"))
+    val cents = base.groupBy(col("g")).agg(aggs.head, aggs.tail: _*)
+      .select(col("g"),
+        array((1 to dims).map(i => col(s"c$i")): _*).as("c"))
+    val withNorm = cents
+      .select(col("g"), col("c"), norm(col("c")).as("nrm"))
+    withNorm.as("a")
+      .join(withNorm.as("b"), col("a.g") < col("b.g"))
+      .select(col("a.g").as("src_a"), col("b.g").as("src_b"),
+        round(dot(col("a.c"), col("b.c")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("centroid_cosine"))
+  }
+
   def mutualBestPairs(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b",
                       simCol: String = "cosine_sim"): DataFrame = {
