@@ -82,14 +82,7 @@ object SeqQueries {
     * bounded; no second window pass. TakeOrderedAndProject caps the
     * report. */
   def eSessionPaths(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(eventOrder: _*)
-    val sessions = withEt(Tables.events(s, d))
-      .withColumn("new_session",
-        when(col("et") - lag(col("et"), 1).over(w) >= SessionGapSec ||
-          lag(col("et"), 1).over(w).isNull, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("new_session"))
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val paths = sessions
+    val paths = sessionized(withEt(Tables.events(s, d)))
       .groupBy(col("user_id"), col("session_id"))
       .agg(count(lit(1)).as("n_events"),
         array_join(
@@ -105,6 +98,63 @@ object SeqQueries {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(PathTopN)
   }
+
+  /** Gap-sessionization: `session_id` per (user, inactivity run) — lag +
+    * running sum over the per-user event order, the batch formulation of
+    * `session_window` (keyed identically). */
+  private def sessionized(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(eventOrder: _*)
+    df.withColumn("new_session",
+        when(col("et") - lag(col("et"), 1).over(w) >= SessionGapSec ||
+          lag(col("et"), 1).over(w).isNull, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Sequential-pattern cap: events considered per session (bounds the
+    * in-session triple candidates at C(cap,3) = 220) and report depth. */
+  private val SeqPatCap = 12
+  private val SeqPatTopN = 20
+
+  /** Frequent ordered event-type triples within sessions (gap-allowed
+    * subsequences — the PrefixSpan question at fixed length 3): which
+    * 3-step journeys recur across sessions, even when other events
+    * intervene. Support counts SESSIONS containing the pattern.
+    *
+    * Scale shape: the triple join is keyed on the session, so candidate
+    * work is sessions × C([[SeqPatCap]], 3) — linear in session count,
+    * never corpus²; the per-session row_number window is session-bounded.
+    * TakeOrdered caps the report. */
+  def eSeqPatterns(s: SparkSession, d: String): DataFrame = {
+    val ev = sessionized(withEt(Tables.events(s, d)))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "session_id").orderBy(eventOrder: _*)))
+      .filter(col("rn") <= SeqPatCap)
+      .select(concat_ws("#", col("user_id"), col("session_id")).as("sk"),
+        col("rn"), col("event_type").as("t"))
+    val trip = ev.as("a")
+      .join(ev.as("b"),
+        col("a.sk") === col("b.sk") && col("a.rn") < col("b.rn"))
+      .join(ev.as("c"),
+        col("b.sk") === col("c.sk") && col("b.rn") < col("c.rn"))
+      .select(col("a.sk").as("sk"),
+        concat_ws(">", col("a.t"), col("b.t"), col("c.t")).as("pattern"))
+      .distinct()
+    trip.groupBy("pattern")
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("pattern"))
+      .limit(SeqPatTopN)
+  }
+
+  /** Robust per-event-type value outliers: median / MAD / Hampel census
+    * on the exact integer-cents domain — see
+    * [[graft.operators.RobustStats]] for the two-pass value-count
+    * histogram shape and the integer-exact 3·1.4826·MAD compare. */
+  def eEventOutliers(s: SparkSession, d: String): DataFrame =
+    graft.operators.RobustStats.medianMadOutliers(
+      Tables.events(s, d)
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
+      "event_type", "cents", scale = 100.0)
 
   /** Recency-weighted user activity: each event weighted by
     * 2^-(age DIV halfLife) relative to the corpus's newest event — the
@@ -135,7 +185,20 @@ object SeqQueries {
     "e_event_transitions" -> (eEventTransitions _),
     "e_session_paths" -> (eSessionPaths _),
     "e_time_decay" -> (eTimeDecay _),
+    "e_seq_patterns" -> (eSeqPatterns _),
+    "e_event_outliers" -> (eEventOutliers _),
   )
+
+  private val sessionCtes =
+    s"""flagged AS (SELECT *,
+       |    CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) >= $SessionGapSec
+       |      OR lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) IS NULL
+       |    THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |sessions AS (SELECT *,
+       |    sum(new_session) OVER (PARTITION BY user_id ORDER BY et, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM flagged)""".stripMargin
 
   private val etSql = "epoch_ms(ts) // 1000"
 
@@ -155,15 +218,7 @@ object SeqQueries {
          |ORDER BY prev_type, next_type""".stripMargin,
     "e_session_paths" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
-         |flagged AS (SELECT *,
-         |    CASE WHEN et - lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) >= $SessionGapSec
-         |      OR lag(et) OVER (PARTITION BY user_id ORDER BY et, event_id) IS NULL
-         |    THEN 1 ELSE 0 END AS new_session
-         |  FROM e),
-         |sessions AS (SELECT *,
-         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY et, event_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
-         |  FROM flagged),
+         |$sessionCtes,
          |rn AS (SELECT *,
          |    row_number() OVER (PARTITION BY user_id, session_id ORDER BY et, event_id) AS rn
          |  FROM sessions),
@@ -186,5 +241,42 @@ object SeqQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  round(CAST(sum(w_scaled) AS DOUBLE) / 1e6, 6) AS decayed_value
          |FROM wts GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_seq_patterns" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
+         |$sessionCtes,
+         |ev AS (SELECT user_id || '#' || session_id AS sk, event_type AS t,
+         |    row_number() OVER (PARTITION BY user_id, session_id
+         |      ORDER BY et, event_id) AS rn
+         |  FROM sessions QUALIFY rn <= $SeqPatCap),
+         |trip AS (SELECT DISTINCT a.sk, a.t || '>' || b.t || '>' || c.t AS pattern
+         |  FROM ev a
+         |  JOIN ev b ON a.sk = b.sk AND a.rn < b.rn
+         |  JOIN ev c ON b.sk = c.sk AND b.rn < c.rn)
+         |SELECT pattern, CAST(count(*) AS BIGINT) AS support
+         |FROM trip GROUP BY pattern
+         |ORDER BY support DESC, pattern LIMIT $SeqPatTopN""".stripMargin,
+    "e_event_outliers" ->
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS v FROM events),
+        |vc AS (SELECT g, v, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |tot AS (SELECT g, sum(cnt) AS n FROM vc GROUP BY 1),
+        |run AS (SELECT vc.g, v, n,
+        |    sum(cnt) OVER (PARTITION BY vc.g ORDER BY v) AS cum
+        |  FROM vc JOIN tot USING (g)),
+        |med AS (SELECT g, min(v) AS med FROM run WHERE cum * 2 >= n GROUP BY g),
+        |dv AS (SELECT e.g, abs(v - med) AS dev, med FROM e JOIN med USING (g)),
+        |dvc AS (SELECT g, dev, count(*) AS cnt FROM dv GROUP BY 1, 2),
+        |dtot AS (SELECT g, sum(cnt) AS n FROM dvc GROUP BY 1),
+        |drun AS (SELECT dvc.g, dev, n,
+        |    sum(cnt) OVER (PARTITION BY dvc.g ORDER BY dev) AS cum
+        |  FROM dvc JOIN dtot USING (g)),
+        |mad AS (SELECT g, min(dev) AS mad FROM drun WHERE cum * 2 >= n GROUP BY g)
+        |SELECT dv.g AS event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(CAST(min(dv.med) AS DOUBLE) / 100, 6) AS median,
+        |  round(CAST(min(mad.mad) AS DOUBLE) / 100, 6) AS mad,
+        |  CAST(sum(CASE WHEN dev * 10000 > mad.mad * 44478 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dv JOIN mad USING (g)
+        |GROUP BY dv.g ORDER BY event_type""".stripMargin,
   )
 }

@@ -42,6 +42,17 @@ class SeqQueriesSpec extends SparkSpec {
     assert(keys == keys.sorted, "report not in (n desc, path) order")
   }
 
+  test("e_seq_patterns: triples are ordered subsequences with sane support") {
+    val rows = SparkEntry.queries("e_seq_patterns")(spark, d).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getString(0).split(">").length == 3, s"not a triple: ${r.getString(0)}")
+      assert(r.getLong(1) >= 1L)
+    }
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys == keys.sorted, "report not in (support desc, pattern) order")
+  }
+
   test("e_time_decay: per-user decayed mass is bounded by un-decayed mass") {
     val rows = SparkEntry.queries("e_time_decay")(spark, d).collect()
     val rawByUser = Tables.events(spark, d).groupBy("user_id")
