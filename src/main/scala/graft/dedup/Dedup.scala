@@ -793,6 +793,69 @@ object Dedup {
     materializeAndRelease(result, docShingles)
   }
 
+  /** Prefix-filtering set-similarity join (the AllPairs/PPJoin candidate
+    * family — Bayardo et al. 2007, Xiao et al. 2008): exact Jaccard ≥ t
+    * pairs found WITHOUT hashing tricks and without the all-pairs
+    * product. Each doc's shingle set is ordered by the GLOBAL
+    * (document-frequency asc, shingle asc) total order; a pair with
+    * Jaccard ≥ t must overlap by at least ceil(t·n) elements, so the
+    * first n − ceil(t·n) + 1 elements of each set (its PREFIX) must
+    * share at least one — candidates come from an equi-join on prefix
+    * shingles only, then verify exactly. The deterministic complement to
+    * MinHash banding: no false negatives AT ALL (banding trades recall
+    * for speed; prefix filtering trades a df sort), and the df-ascending
+    * order puts the RAREST shingles in prefixes, which is precisely what
+    * keeps join-bucket occupancy low on a real corpus.
+    *
+    * Scale shape: one df aggregation; one per-doc rank window (partition
+    * = one doc's distinct shingles — doc-bounded, corpus-independent);
+    * the candidate equi-join touches prefix rows only; verification work
+    * ∝ candidate pairs × set size. Threshold is the exact rational
+    * tNum/tDen so prefix lengths are integer-exact in both engines.
+    *
+    * Returns (doc_a, doc_b, n_a, n_b, n_inter, jaccard ≥ t). */
+  def prefixFilterJoin(shingleTable: DataFrame,
+                       tNum: Long, tDen: Long): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, "threshold must be in (0, 1]")
+    val sets = shingleTable.select(col("doc_id"), col("sh"))
+    val dfc = sets.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val ranked = sets.join(dfc, Seq("sh"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
+    val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // prefix length = n − ceil(t·n) + 1, all-integer
+    val prefix = ranked.join(counts, Seq("doc_id"))
+      .filter(col("rn") <=
+        col("n") - expr(s"CAST((n * $tNum + $tDen - 1) DIV $tDen AS BIGINT)") + 1)
+      .select(col("doc_id"), col("sh"))
+    // the second standard PPJoin prune — length filter: Jaccard ≥ t
+    // forces min(|A|,|B|) ≥ t·max(|A|,|B|), so size-incompatible
+    // candidates are dropped BEFORE the verification join. Pure pruning
+    // of non-qualifying pairs: the result (and the oracle) is unchanged.
+    val cand = prefix.as("a").join(prefix.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
+      .filter(least(col("__na"), col("__nb")) * tDen >=
+        greatest(col("__na"), col("__nb")) * tNum)
+      .select(col("doc_a"), col("doc_b"))
+    val inter = cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .withColumn("jaccard", round(col("n_inter").cast("double") /
+        (col("n_a") + col("n_b") - col("n_inter")), 6))
+      .filter(col("jaccard") * lit(tDen.toDouble) >= lit(tNum.toDouble))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        col("n_inter"), col("jaccard"))
+  }
+
   /** [[containmentFromShingles]] from raw text — shingle + hash + measure
     * in one call (the same b1 long-key convention as [[ngramJaccard]]). */
   def containment(docs: DataFrame, idCol: String, textCol: String,

@@ -347,7 +347,8 @@ object ExtQueries {
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
-    // e_ngram_jaccard, e_source_jaccard and e_vocab_growth directly
+    // e_ngram_jaccard, e_prefix_join, e_source_jaccard and
+    // e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_kmeans_silhouette,
@@ -2196,6 +2197,22 @@ object ExtQueries {
   def eMutualNeighbors(s: SparkSession, d: String): DataFrame =
     Similarity.mutualBestPairs(cosineNearDupMemo(s, d))
       .orderBy("id_a", "id_b")
+
+  // prefix-filtering join threshold as an exact rational (t = 1/2)
+  private val PpjTNum = 1L
+  private val PpjTDen = 2L
+
+  /** Exact Jaccard ≥ 1/2 near-dup pairs via prefix filtering
+    * (AllPairs/PPJoin) — the ZERO-false-negative complement to the
+    * banded MinHash path: candidates come from an equi-join on each
+    * set's df-rarest prefix shingles (a qualifying pair provably shares
+    * one), then verify exactly. Rides the shared shingle memo,
+    * name-ordered before its release point. */
+  def ePrefixJoin(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixFilterJoin(
+        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
+        PpjTNum, PpjTDen)
+      .orderBy("doc_a", "doc_b")
 
   /** Embedding-space source similarity: pairwise cosine between
     * per-source centroid embeddings — which feeds cover the same
@@ -4879,6 +4896,7 @@ object ExtQueries {
     "e_cosine_neardup" -> (eCosineNeardup _),
     "e_mutual_neighbors" -> (eMutualNeighbors _),
     "e_source_centroids" -> (eSourceCentroids _),
+    "e_prefix_join" -> (ePrefixJoin _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5702,6 +5720,33 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_prefix_join" ->
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$hshCtes,
+         |dfc AS (SELECT sh, count(*) AS df FROM hsh GROUP BY sh),
+         |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+         |ranked AS (SELECT h.doc_id, h.sh, n,
+         |    row_number() OVER (PARTITION BY h.doc_id ORDER BY df, h.sh) AS rn
+         |  FROM hsh h JOIN dfc USING (sh) JOIN cnts USING (doc_id)),
+         |pre AS (SELECT doc_id, sh FROM ranked
+         |  WHERE rn <= n - ((n * $PpjTNum + $PpjTDen - 1) // $PpjTDen) + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, na.n AS n_a, nb.n AS n_b,
+         |  CAST(i.n_inter AS BIGINT) AS n_inter,
+         |  round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6) AS jaccard
+         |FROM inter i
+         |JOIN cnts na ON na.doc_id = i.doc_a
+         |JOIN cnts nb ON nb.doc_id = i.doc_b
+         |WHERE round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6)
+         |  * $PpjTDen >= $PpjTNum
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "e_source_centroids" ->
       """WITH e AS (SELECT d.source, generate_subscripts(embedding, 1) AS pos,
         |    CAST(unnest(embedding) AS DOUBLE) AS x
