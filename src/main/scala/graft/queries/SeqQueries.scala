@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -181,7 +181,77 @@ object SeqQueries {
       .orderBy("user_id")
   }
 
+  /** Cohort week grain (seconds) and the ordered funnel step types. */
+  private val CohortWeekSec = 604800L
+  private val FunnelSteps = Seq("view", "click", "purchase")
+
+  /** Weekly cohort retention: users bucketed by first-event week, each
+    * cohort's share still active k weeks later — the longitudinal
+    * engagement report. Weeks are integer offsets from the corpus's
+    * earliest event (scalar broadcast in-plan). One first-event
+    * aggregation + one distinct (user, week) activity table; the
+    * retention matrix is weeks²-bounded. Rates are exact int/int
+    * ratios. */
+  def eCohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = withEt(Tables.events(s, d))
+    val t0 = e.agg(min(col("et")).as("t0"))
+    val weeks = e.crossJoin(broadcast(t0))
+      .select(col("user_id"),
+        ((col("et") - col("t0")) / lit(CohortWeekSec)).cast("long").as("wk"))
+    val firstWk = weeks.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+    val cohortSize = firstWk.groupBy("cohort_week")
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    val active = weeks.distinct()
+      .join(firstWk, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+    active.join(broadcast(cohortSize), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("cohort_users"),
+        col("active_users"),
+        round(col("active_users").cast("double") / col("cohort_users"), 6)
+          .as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Ordered in-session funnel (view → click → purchase): sessions where
+    * each step occurs AFTER the previous one — the conversion report the
+    * unordered per-type counts cannot answer. Step positions resolve by
+    * three session-keyed min-aggregations (p1; then min click rn > p1;
+    * then min purchase rn > p2), each a bounded join back — no window
+    * beyond the shared sessionizer. One summary row; exact ratios. */
+  def eSessionFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = sessionized(withEt(Tables.events(s, d)))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("user_id", "session_id").orderBy(eventOrder: _*)))
+      .select(concat_ws("#", col("user_id"), col("session_id")).as("sk"),
+        col("rn"), col("event_type").as("t"))
+    val Seq(s1, s2, s3) = FunnelSteps
+    val p1 = ev.filter(col("t") === s1).groupBy("sk").agg(min(col("rn")).as("p1"))
+    val p2 = ev.filter(col("t") === s2).join(p1, Seq("sk"))
+      .filter(col("rn") > col("p1"))
+      .groupBy("sk").agg(min(col("rn")).as("p2"))
+    val p3 = ev.filter(col("t") === s3).join(p2, Seq("sk"))
+      .filter(col("rn") > col("p2"))
+      .groupBy("sk").agg(min(col("rn")).as("p3"))
+    def rate(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast("double") / den, 6)).otherwise(lit(0.0))
+    ev.select(col("sk")).distinct()
+      .join(p1, Seq("sk"), "left")
+      .join(p2, Seq("sk"), "left")
+      .join(p3, Seq("sk"), "left")
+      .agg(count(lit(1)).as("n_sessions"),
+        count(col("p1")).as("n_step1"),
+        count(col("p2")).as("n_step2"),
+        count(col("p3")).as("n_step3"))
+      .select(col("n_sessions"), col("n_step1"), col("n_step2"), col("n_step3"),
+        rate(col("n_step1"), col("n_sessions")).as("rate1"),
+        rate(col("n_step2"), col("n_step1")).as("rate2"),
+        rate(col("n_step3"), col("n_step2")).as("rate3"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e_cohort_retention" -> (eCohortRetention _),
+    "e_session_funnel" -> (eSessionFunnel _),
     "e_event_transitions" -> (eEventTransitions _),
     "e_session_paths" -> (eSessionPaths _),
     "e_time_decay" -> (eTimeDecay _),
@@ -241,6 +311,49 @@ object SeqQueries {
          |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
          |  round(CAST(sum(w_scaled) AS DOUBLE) / 1e6, 6) AS decayed_value
          |FROM wts GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "e_cohort_retention" ->
+      s"""WITH e AS (SELECT user_id, $etSql AS et FROM events),
+         |t0 AS (SELECT min(et) AS t0 FROM e),
+         |w AS (SELECT user_id, (et - t0) // $CohortWeekSec AS wk
+         |  FROM e CROSS JOIN t0),
+         |fw AS (SELECT user_id, min(wk) AS cohort_week FROM w GROUP BY 1),
+         |cs AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users
+         |  FROM fw GROUP BY 1),
+         |act AS (SELECT f.cohort_week, wk - f.cohort_week AS week_offset,
+         |    CAST(count(DISTINCT dw.user_id) AS BIGINT) AS active_users
+         |  FROM (SELECT DISTINCT user_id, wk FROM w) dw
+         |  JOIN fw f USING (user_id) GROUP BY 1, 2)
+         |SELECT act.cohort_week, week_offset, cohort_users, active_users,
+         |  round(CAST(active_users AS DOUBLE) / cohort_users, 6) AS retention
+         |FROM act JOIN cs USING (cohort_week)
+         |ORDER BY cohort_week, week_offset""".stripMargin,
+    "e_session_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
+         |$sessionCtes,
+         |ev AS (SELECT user_id || '#' || session_id AS sk, event_type AS t,
+         |    row_number() OVER (PARTITION BY user_id, session_id
+         |      ORDER BY et, event_id) AS rn
+         |  FROM sessions),
+         |p1 AS (SELECT sk, min(rn) AS p1 FROM ev WHERE t = 'view' GROUP BY sk),
+         |p2 AS (SELECT ev.sk, min(rn) AS p2 FROM ev JOIN p1 USING (sk)
+         |  WHERE t = 'click' AND rn > p1 GROUP BY ev.sk),
+         |p3 AS (SELECT ev.sk, min(rn) AS p3 FROM ev JOIN p2 USING (sk)
+         |  WHERE t = 'purchase' AND rn > p2 GROUP BY ev.sk),
+         |sess AS (SELECT DISTINCT sk FROM ev),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+         |    CAST(count(p1) AS BIGINT) AS n_step1,
+         |    CAST(count(p2) AS BIGINT) AS n_step2,
+         |    CAST(count(p3) AS BIGINT) AS n_step3
+         |  FROM sess LEFT JOIN p1 USING (sk) LEFT JOIN p2 USING (sk)
+         |  LEFT JOIN p3 USING (sk))
+         |SELECT n_sessions, n_step1, n_step2, n_step3,
+         |  CASE WHEN n_sessions > 0
+         |    THEN round(CAST(n_step1 AS DOUBLE) / n_sessions, 6) ELSE 0.0 END AS rate1,
+         |  CASE WHEN n_step1 > 0
+         |    THEN round(CAST(n_step2 AS DOUBLE) / n_step1, 6) ELSE 0.0 END AS rate2,
+         |  CASE WHEN n_step2 > 0
+         |    THEN round(CAST(n_step3 AS DOUBLE) / n_step2, 6) ELSE 0.0 END AS rate3
+         |FROM agg""".stripMargin,
     "e_seq_patterns" ->
       s"""WITH e AS (SELECT user_id, event_id, event_type, $etSql AS et FROM events),
          |$sessionCtes,

@@ -53,6 +53,28 @@ class SeqQueriesSpec extends SparkSpec {
     assert(keys == keys.sorted, "report not in (support desc, pattern) order")
   }
 
+  test("e_session_funnel: step counts are monotone and rates consistent") {
+    val r = SparkEntry.queries("e_session_funnel")(spark, d).collect()(0)
+    val (n, n1, n2, n3) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n >= n1 && n1 >= n2 && n2 >= n3, s"funnel not monotone: $n $n1 $n2 $n3")
+    assert(n1 > 0, "no sessions reached step 1 — funnel has no signal")
+    Seq(r.getDouble(4), r.getDouble(5), r.getDouble(6)).foreach(rate =>
+      assert(rate >= 0.0 && rate <= 1.0, s"rate out of range: $rate"))
+  }
+
+  test("e_cohort_retention: offset-0 retention is 1 and rates bounded") {
+    val rows = SparkEntry.queries("e_cohort_retention")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0L)
+      assert(r.getLong(3) <= r.getLong(2), "active exceeds cohort size")
+      val ret = r.getDouble(4)
+      assert(ret > 0.0 && ret <= 1.0, s"retention out of range: $ret")
+      // a user is by definition active in their cohort week
+      if (r.getLong(1) == 0L) assert(ret == 1.0, "offset-0 retention must be 1")
+    }
+  }
+
   test("e_time_decay: per-user decayed mass is bounded by un-decayed mass") {
     val rows = SparkEntry.queries("e_time_decay")(spark, d).collect()
     val rawByUser = Tables.events(spark, d).groupBy("user_id")
