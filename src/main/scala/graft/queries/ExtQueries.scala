@@ -343,7 +343,7 @@ object ExtQueries {
     // e_dup_triangles, e_dedup_authority, e_label_propagation,
     // e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
-    // nearDupClusters: e_dedup_best, e_dedup_clusters, e_leakage_split
+    // nearDupClusters: e_dedup_best, e_dedup_clusters, e_golden_record, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
@@ -595,6 +595,38 @@ object ExtQueries {
       .filter(col("n_members") >= 2)
       .select(col("cluster_id"), col("n_members"),
         (-col("b.nd")).as("best_doc"), col("b.q").as("best_quality"))
+      .orderBy("cluster_id")
+  }
+
+  /** MDM-style survivorship (golden record) per near-dup cluster: where
+    * `e_dedup_best` picks one surviving ROW, this merges the cluster
+    * into one canonical record FIELD BY FIELD — best-quality doc id
+    * (survivor rule), majority language (mode, smallest on ties),
+    * longest text (completeness rule), provenance width (distinct
+    * sources). Two cluster-keyed aggregations (the language mode is a
+    * count + min-struct argmax, never a window); multi-member clusters
+    * only. Rides the nearDupClusters memo, name-ordered before its
+    * release point. */
+  def eGoldenRecord(s: SparkSession, d: String): DataFrame = {
+    val meta = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"), col("n_chars"),
+      graft.functions.TextAnalysis.qualityScore(col("text")).as("quality"))
+    val m = nearDupClusters(s, d).join(meta, Seq("doc_id"))
+    val langMode = m.groupBy(col("cluster_id"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("cluster_id"))
+      .agg(min(struct((-col("c")).as("nc"), col("lang").as("l"))).as("b"))
+      .select(col("cluster_id"), col("b.l").as("lang_majority"))
+    m.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("quality").as("q"), (-col("doc_id")).as("nd"))).as("g"),
+        max(col("n_chars")).as("max_n_chars"),
+        countDistinct(col("source")).as("n_sources"))
+      .filter(col("n_members") >= 2)
+      .join(langMode, Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("g.nd")).as("golden_doc"), col("lang_majority"),
+        col("max_n_chars"), col("n_sources"))
       .orderBy("cluster_id")
   }
 
@@ -4846,6 +4878,7 @@ object ExtQueries {
     "e_doc_novelty" -> (eDocNovelty _),
     "e_dedup_authority" -> (eDedupAuthority _),
     "e_dedup_best" -> (eDedupBest _),
+    "e_golden_record" -> (eGoldenRecord _),
     "e_dup_kcore" -> (eDupKcore _),
     "e_dup_triangles" -> (eDupTriangles _),
     "e_label_propagation" -> (eLabelPropagation _),
@@ -5249,6 +5282,32 @@ object ExtQueries {
         |       b.quality AS best_quality
         |FROM best b JOIN m ON m.cluster_id = b.cluster_id
         |WHERE b.rn = 1 AND m.n_members >= 2 ORDER BY b.cluster_id""".stripMargin,
+    "e_golden_record" ->
+      s"""$clustersCte,
+        |q AS (SELECT doc_id, $qualityScoreSql AS quality
+        |      FROM (SELECT d.*, t FROM documents d, toks
+        |            WHERE d.doc_id = toks.doc_id)),
+        |m AS (SELECT l3.cluster_id, l3.doc_id, d.lang, d.source, d.n_chars,
+        |        q.quality
+        |      FROM l3 JOIN documents d USING (doc_id) JOIN q USING (doc_id)),
+        |lm AS (SELECT cluster_id, lang AS lang_majority FROM (
+        |    SELECT cluster_id, lang, count(*) AS c,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY count(*) DESC, lang) AS rn
+        |    FROM m GROUP BY cluster_id, lang) WHERE rn = 1),
+        |g AS (SELECT cluster_id, doc_id AS golden_doc FROM (
+        |    SELECT cluster_id, doc_id,
+        |      row_number() OVER (PARTITION BY cluster_id
+        |        ORDER BY quality DESC, doc_id) AS rn
+        |    FROM m) WHERE rn = 1),
+        |agg AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+        |    max(n_chars) AS max_n_chars,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        |  FROM m GROUP BY cluster_id)
+        |SELECT a.cluster_id, a.n_members, g.golden_doc, lm.lang_majority,
+        |  a.max_n_chars, a.n_sources
+        |FROM agg a JOIN g USING (cluster_id) JOIN lm USING (cluster_id)
+        |WHERE a.n_members >= 2 ORDER BY a.cluster_id""".stripMargin,
     "e_connected_components" -> connectedComponentsOracle,
     // the incremental path must land on the SAME fixpoint as batch CC over
     // the full pair graph — identical oracle by construction

@@ -156,6 +156,33 @@ object SeqQueries {
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
       "event_type", "cents", scale = 100.0)
 
+  /** Per-user behavioral drift: Jensen-Shannon divergence between each
+    * user's event-type distribution and the corpus-wide one — the
+    * account-anomaly / bot-detection meter (a scraper's distribution
+    * collapses onto one type; JSD spikes long before volume does).
+    * The type domain is bounded, so the per-user grid is users × types —
+    * linear in users; the global distribution broadcasts. Zero-count
+    * types contribute their q·ln2 share exactly (the p=0 limit of the
+    * JSD term), so every user sums the SAME bounded term set. */
+  def eUserDrift(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_type"))
+    val uc = e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val un = uc.groupBy("user_id").agg(sum(col("c")).as("n"))
+    val gc = uc.groupBy("event_type").agg(sum(col("c")).as("gcnt"))
+    val gtot = gc.agg(sum(col("gcnt")).as("gn"))
+    val gdist = gc.crossJoin(broadcast(gtot))
+      .select(col("event_type"), (col("gcnt").cast("double") / col("gn")).as("q"))
+    val grid = un.crossJoin(broadcast(gdist))
+      .join(uc, Seq("user_id", "event_type"), "left")
+      .withColumn("p", coalesce(col("c"), lit(0L)).cast("double") / col("n"))
+    val m = (col("p") + col("q")) / 2
+    val term = (when(col("p") > 0, col("p") * log(col("p") / m)).otherwise(lit(0.0))
+      + col("q") * log(col("q") / m)) / 2
+    grid.groupBy(col("user_id"))
+      .agg(first(col("n")).as("n_events"), round(sum(term), 6).as("js_divergence"))
+      .orderBy("user_id")
+  }
+
   /** Recency-weighted user activity: each event weighted by
     * 2^-(age DIV halfLife) relative to the corpus's newest event — the
     * freshness prior a training-data sampler multiplies into its source
@@ -257,6 +284,7 @@ object SeqQueries {
     "e_time_decay" -> (eTimeDecay _),
     "e_seq_patterns" -> (eSeqPatterns _),
     "e_event_outliers" -> (eEventOutliers _),
+    "e_user_drift" -> (eUserDrift _),
   )
 
   private val sessionCtes =
@@ -368,6 +396,24 @@ object SeqQueries {
          |SELECT pattern, CAST(count(*) AS BIGINT) AS support
          |FROM trip GROUP BY pattern
          |ORDER BY support DESC, pattern LIMIT $SeqPatTopN""".stripMargin,
+    "e_user_drift" ->
+      """WITH uc AS (SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |un AS (SELECT user_id, sum(c) AS n FROM uc GROUP BY 1),
+        |gc AS (SELECT event_type, sum(c) AS gcnt FROM uc GROUP BY 1),
+        |gt AS (SELECT sum(gcnt) AS gn FROM gc),
+        |gd AS (SELECT event_type, CAST(gcnt AS DOUBLE) / gn AS q
+        |  FROM gc CROSS JOIN gt),
+        |grid AS (SELECT un.user_id, un.n, gd.event_type, gd.q,
+        |    CAST(coalesce(uc.c, 0) AS DOUBLE) / un.n AS p
+        |  FROM un CROSS JOIN gd
+        |  LEFT JOIN uc ON uc.user_id = un.user_id
+        |    AND uc.event_type = gd.event_type)
+        |SELECT user_id, CAST(min(n) AS BIGINT) AS n_events,
+        |  round(sum((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+        |             ELSE 0.0 END
+        |             + q * ln(q / ((p + q) / 2))) / 2), 6) AS js_divergence
+        |FROM grid GROUP BY user_id ORDER BY user_id""".stripMargin,
     "e_event_outliers" ->
       """WITH e AS (SELECT event_type AS g,
         |    CAST(round(value * 100) AS BIGINT) AS v FROM events),

@@ -75,6 +75,16 @@ class SeqQueriesSpec extends SparkSpec {
     }
   }
 
+  test("e_user_drift: JSD bounded by ln 2 and zero for a global-matching user") {
+    val rows = SparkEntry.queries("e_user_drift")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val jsd = r.getDouble(2)
+      assert(jsd >= 0.0 && jsd <= math.log(2) + 1e-9,
+        s"JSD out of [0, ln2]: $jsd")
+    }
+  }
+
   test("e_time_decay: per-user decayed mass is bounded by un-decayed mass") {
     val rows = SparkEntry.queries("e_time_decay")(spark, d).collect()
     val rawByUser = Tables.events(spark, d).groupBy("user_id")
