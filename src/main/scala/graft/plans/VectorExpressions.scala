@@ -399,5 +399,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       (exprs: Seq[Expression]) =>
         WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -138,6 +138,29 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  /** The SAME as-of semantics as [[jxAsofJoin]] planned through the
+    * engine's native [[graft.plans.AsOfJoinExec]] physical operator
+    * (custom LogicalPlan + SparkStrategy + SparkPlan) instead of the
+    * union + carry-forward window: one SMJ-shaped merge pass, one
+    * buffered right row, no window state. Graded against DuckDB's
+    * native ASOF LEFT JOIN — both formulations must land on the same
+    * hash. */
+  def jxAsofExec(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_eid"))
+    graft.plans.AsOfJoinExec.asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user",
+        leftTime = "ts", rightTime = "s_ts", rightTieBreak = Some("s_eid"))
+      .select(col("event_id"), col("user_id"),
+        expr("ts DIV 1000").as("purchase_ts"),
+        expr("s_ts DIV 1000").as("last_signup_ts"))
+      .orderBy("event_id")
+  }
+
   // ---- A1-A5, AX aggregations ----
   def a1MaxAggregate(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -332,6 +355,7 @@ object RelQueries {
     "jx_right_join" -> (jxRightJoin _),
     "jx_full_join" -> (jxFullJoin _),
     "jx_asof_join" -> (jxAsofJoin _),
+    "jx_asof_exec" -> (jxAsofExec _),
     "a1_max_aggregate" -> (a1MaxAggregate _),
     "a2_min_max_range" -> (a2MinMaxRange _),
     "a3_count" -> (a3Count _),
@@ -425,6 +449,12 @@ object RelQueries {
         |FROM open FULL OUTER JOIN fin ON open.custkey = fin.custkey
         |ORDER BY custkey""".stripMargin,
     "jx_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts, epoch_us(s.ts) AS last_signup_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND s.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
+    "jx_asof_exec" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts, epoch_us(s.ts) AS last_signup_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s

@@ -12,3 +12,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Same convention for the Dataset↔LogicalPlan bridge: Spark 4's
+  * `Dataset.ofRows` is `private[sql]` on the classic session — custom
+  * logical operators (graft.plans.AsOfJoin) need it to hand a plan back
+  * to the public Dataset API. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
