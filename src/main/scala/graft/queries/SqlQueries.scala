@@ -29,6 +29,29 @@ object SqlQueries {
       ORDER BY c_custkey""")
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE / Catalyst UnionLoop): the
+    * reference's exponential retry ladder (RetryFunctions backoff,
+    * SURVEY §2.5 W4) generated RECURSIVELY per region key — each step
+    * doubles the delay to the 960 s cap and accumulates the schedule,
+    * the recursion the `w4_backoff_expo` closed form unrolls by hand.
+    * Depth bounded by the attempt cap, so the loop terminates in both
+    * engines; DuckDB runs the identical recursive CTE as the oracle. */
+  def sqlRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    withViews(s, d, "region")
+    s.sql("""
+      WITH RECURSIVE sched(key, attempt, delay_s, cum_s) AS (
+        SELECT r_regionkey AS key, CAST(1 AS BIGINT) AS attempt,
+               CAST(30 AS BIGINT) AS delay_s, CAST(30 AS BIGINT) AS cum_s
+        FROM region
+        UNION ALL
+        SELECT key, attempt + 1,
+               least(delay_s * 2, CAST(960 AS BIGINT)),
+               cum_s + least(delay_s * 2, CAST(960 AS BIGINT))
+        FROM sched WHERE attempt < 8)
+      SELECT key, attempt, delay_s, cum_s
+      FROM sched ORDER BY key, attempt""")
+  }
+
   def sqlExistsSubquery(s: SparkSession, d: String): DataFrame = {
     withViews(s, d, "orders", "lineitem")
     s.sql("""
@@ -173,6 +196,7 @@ object SqlQueries {
   val queries: Map[String, Q] = Map(
     "sql_unpivot" -> (sqlUnpivot _),
     "sql_cte" -> (sqlCte _),
+    "sql_recursive_cte" -> (sqlRecursiveCte _),
     "sql_except_all" -> (sqlExceptAll _),
     "sql_intersect_all" -> (sqlIntersectAll _),
     "sql_window_range" -> (sqlWindowRange _),
@@ -230,6 +254,18 @@ object SqlQueries {
         |FROM customer JOIN spend ON c_custkey = custkey
         |WHERE total_spend > 500000
         |ORDER BY c_custkey""".stripMargin,
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE sched(key, attempt, delay_s, cum_s) AS (
+        |  SELECT r_regionkey AS key, CAST(1 AS BIGINT) AS attempt,
+        |         CAST(30 AS BIGINT) AS delay_s, CAST(30 AS BIGINT) AS cum_s
+        |  FROM region
+        |  UNION ALL
+        |  SELECT key, attempt + 1,
+        |         least(delay_s * 2, CAST(960 AS BIGINT)),
+        |         cum_s + least(delay_s * 2, CAST(960 AS BIGINT))
+        |  FROM sched WHERE attempt < 8)
+        |SELECT key, attempt, delay_s, cum_s
+        |FROM sched ORDER BY key, attempt""".stripMargin,
     "sql_exists_subquery" ->
       """SELECT o_orderkey, o_orderstatus
         |FROM orders o
