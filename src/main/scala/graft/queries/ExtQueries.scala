@@ -2230,6 +2230,51 @@ object ExtQueries {
     Similarity.mutualBestPairs(cosineNearDupMemo(s, d))
       .orderBy("id_a", "id_b")
 
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1, thresholds
+    * re-centered on this corpus so every rule has live signal): word
+    * count bounds, mean-word-length band, distinct-word ratio floor
+    * (repetition), required-stopword presence, top-token share cap
+    * (single-token spam). One corpus scan computes every flag in-row
+    * (the top-token share is an in-row O(distinct·n) fold over the ≤100
+    * token array — no shuffle); the report unpivots per-rule failure
+    * counts via stack, plus the any-rule row a curator reads first. */
+  def eGopherRules(s: SparkSession, d: String): DataFrame = {
+    val toks = split(trim(col("text")), " ")
+    val nW = size(toks).cast("double")
+    val meanWlen = length(regexp_replace(trim(col("text")), " ", "")) / nW
+    val distinctRatio = size(array_distinct(toks)) / nW
+    val stopList = "'the','be','to','of','and','that','have','with'"
+    val nStop = expr(
+      s"size(array_distinct(filter(split(trim(text), ' '), x -> x IN ($stopList))))")
+    val topShare = expr(
+      """array_max(transform(array_distinct(split(trim(text), ' ')),
+        |  t -> size(filter(split(trim(text), ' '), x -> x = t))))""".stripMargin)
+      .cast("double") / nW
+    val flagged = Tables.documents(s, d).select(
+      (nW < 12 || nW > 80).cast("long").as("f_wordcount"),
+      (meanWlen < 3.8 || meanWlen > 5.2).cast("long").as("f_wordlen"),
+      (distinctRatio < 0.35).cast("long").as("f_repetition"),
+      (nStop < 1).cast("long").as("f_stopwords"),
+      (topShare > 0.2).cast("long").as("f_topshare"))
+    val agg = flagged.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("f_wordcount")).as("wordcount"),
+      sum(col("f_wordlen")).as("wordlen"),
+      sum(col("f_repetition")).as("repetition"),
+      sum(col("f_stopwords")).as("stopwords"),
+      sum(col("f_topshare")).as("topshare"),
+      sum((col("f_wordcount") + col("f_wordlen") + col("f_repetition") +
+        col("f_stopwords") + col("f_topshare") > 0).cast("long")).as("any_rule"))
+    val rules = Seq("wordcount", "wordlen", "repetition", "stopwords",
+      "topshare", "any_rule")
+    val stackArgs = rules.map(r => s"'$r', `$r`").mkString(", ")
+    agg.select(col("n_docs"),
+        expr(s"stack(${rules.length}, $stackArgs) AS (rule, n_fail)"))
+      .select(col("rule"), col("n_docs"), col("n_fail"),
+        round(col("n_fail").cast("double") / col("n_docs"), 6).as("fail_rate"))
+      .orderBy("rule")
+  }
+
   // prefix-filtering join threshold as an exact rational (t = 1/2)
   private val PpjTNum = 1L
   private val PpjTDen = 2L
@@ -4930,6 +4975,7 @@ object ExtQueries {
     "e_mutual_neighbors" -> (eMutualNeighbors _),
     "e_source_centroids" -> (eSourceCentroids _),
     "e_prefix_join" -> (ePrefixJoin _),
+    "e_gopher_rules" -> (eGopherRules _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5779,6 +5825,45 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text, str_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT
+        |    CAST(len(toks) AS DOUBLE) AS nw,
+        |    length(replace(trim(text), ' ', '')) / CAST(len(toks) AS DOUBLE) AS mean_wlen,
+        |    len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS distinct_ratio,
+        |    len(list_distinct(list_filter(toks, x -> x IN
+        |      ('the','be','to','of','and','that','have','with')))) AS n_stop,
+        |    list_max(list_transform(list_distinct(toks),
+        |      tk -> len(list_filter(toks, x -> x = tk))))
+        |      / CAST(len(toks) AS DOUBLE) AS top_share
+        |  FROM t),
+        |f AS (SELECT
+        |    CASE WHEN nw < 12 OR nw > 80 THEN 1 ELSE 0 END AS f_wordcount,
+        |    CASE WHEN mean_wlen < 3.8 OR mean_wlen > 5.2 THEN 1 ELSE 0 END AS f_wordlen,
+        |    CASE WHEN distinct_ratio < 0.35 THEN 1 ELSE 0 END AS f_repetition,
+        |    CASE WHEN n_stop < 1 THEN 1 ELSE 0 END AS f_stopwords,
+        |    CASE WHEN top_share > 0.2 THEN 1 ELSE 0 END AS f_topshare
+        |  FROM s),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(f_wordcount) AS BIGINT) AS wordcount,
+        |    CAST(sum(f_wordlen) AS BIGINT) AS wordlen,
+        |    CAST(sum(f_repetition) AS BIGINT) AS repetition,
+        |    CAST(sum(f_stopwords) AS BIGINT) AS stopwords,
+        |    CAST(sum(f_topshare) AS BIGINT) AS topshare,
+        |    CAST(sum(CASE WHEN f_wordcount + f_wordlen + f_repetition
+        |      + f_stopwords + f_topshare > 0 THEN 1 ELSE 0 END) AS BIGINT) AS any_rule
+        |  FROM f),
+        |u AS (
+        |  SELECT 'wordcount' AS rule, n_docs, wordcount AS n_fail FROM agg
+        |  UNION ALL SELECT 'wordlen', n_docs, wordlen FROM agg
+        |  UNION ALL SELECT 'repetition', n_docs, repetition FROM agg
+        |  UNION ALL SELECT 'stopwords', n_docs, stopwords FROM agg
+        |  UNION ALL SELECT 'topshare', n_docs, topshare FROM agg
+        |  UNION ALL SELECT 'any_rule', n_docs, any_rule FROM agg)
+        |SELECT rule, n_docs, n_fail,
+        |  round(CAST(n_fail AS DOUBLE) / n_docs, 6) AS fail_rate
+        |FROM u ORDER BY rule""".stripMargin,
     "e_prefix_join" ->
       s"""WITH $toksCte,
          |${shCte(distinct = false)},

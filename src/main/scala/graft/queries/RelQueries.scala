@@ -319,6 +319,25 @@ object RelQueries {
       .orderBy("c_custkey")
   }
 
+  /** WX — value-positional window functions (first_value / last_value /
+    * nth_value over the full-partition frame): each user's first, last
+    * and second event type — the remaining window-function family after
+    * rank/lag/frames/ntile/percent. Deterministic (ts, event_id) order;
+    * one distinct collapses the per-row window results to one row per
+    * user. */
+  def wxValueFuncs(s: SparkSession, d: String): DataFrame = {
+    val wFull = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, d)
+      .select(col("user_id"),
+        first(col("event_type")).over(wFull).as("first_type"),
+        last(col("event_type")).over(wFull).as("last_type"),
+        nth_value(col("event_type"), 2).over(wFull).as("second_type"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   def wxMovingAvg(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       .rowsBetween(-3, 0)
@@ -372,6 +391,7 @@ object RelQueries {
     "w4_backoff_expo" -> (w4BackoffExpo _),
     "wx_rank_funcs" -> (wxRankFuncs _),
     "wx_moving_avg" -> (wxMovingAvg _),
+    "wx_value_funcs" -> (wxValueFuncs _),
     "wx_percent_cume" -> (wxPercentCume _),
     "wx_ntile" -> (wxNtile _),
   )
@@ -564,6 +584,15 @@ object RelQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "wx_value_funcs" ->
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
     "wx_ntile" ->
       """SELECT o_orderkey,
         |  CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
