@@ -2230,6 +2230,50 @@ object ExtQueries {
     Similarity.mutualBestPairs(cosineNearDupMemo(s, d))
       .orderBy("id_a", "id_b")
 
+  // production-width simhash (e_simhash_wide): the probe-flagged knob
+  // demonstrated — 48 fingerprint bits / 16 prefix bits give 2^16
+  // buckets (256× the 16/8 layout's), so 100× the corpus keeps bucket
+  // occupancy cold; same plan shape, parameters only
+  private val SimWideBits = 48
+  private val SimWidePrefix = 16
+
+  /** The SimHash family at PRODUCTION parameterization: same operator
+    * ([[Dedup.simhashPairs]]), [[SimWideBits]]-bit fingerprints bucketed
+    * on a [[SimWidePrefix]]-bit prefix — the concrete answer to "16-bit
+    * fingerprints go quadratic at 10×": bits/prefix grow with
+    * log(corpus) and the equi-join's Σ bucket² work stays flat. Hamming
+    * is still one xor+popcount on the parsed long (48 ≤ 56 usable
+    * bits). */
+  def eSimhashWide(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text",
+        bits = SimWideBits, prefixBits = SimWidePrefix, maxHamming = 3)
+      .orderBy("doc_a", "doc_b")
+
+  /** Per-doc token-distribution entropy: H = ln n − (Σ c·ln c)/n over
+    * the doc's token counts, plus the ln(n_distinct)-normalized form —
+    * the compression-ratio proxy quality signal (templated/spammy text
+    * sits far below natural text's entropy; the n-gram repetition filter
+    * sees REPEATED PHRASES, entropy sees skewed token MASS even without
+    * phrase structure). Fully in-row over the ≤100-token array — one
+    * scan, no shuffle. */
+  def eTextEntropy(s: SparkSession, d: String): DataFrame = {
+    val countsExpr =
+      """transform(array_distinct(split(trim(text), ' ')),
+        |  t -> CAST(size(filter(split(trim(text), ' '), x -> x = t)) AS DOUBLE))""".stripMargin
+    val n = size(split(trim(col("text")), " ")).cast("double")
+    val sumClnC = expr(
+      s"aggregate($countsExpr, 0.0D, (acc, c) -> acc + c * ln(c))")
+    val nDistinct = size(array_distinct(split(trim(col("text")), " "))).cast("double")
+    val h = log(n) - sumClnC / n
+    Tables.documents(s, d).select(
+        col("doc_id"), n.cast("long").as("n_tokens"),
+        nDistinct.cast("long").as("n_distinct"),
+        round(h, 6).as("entropy"),
+        round(when(nDistinct > 1, h / log(nDistinct)).otherwise(lit(0.0)), 6)
+          .as("norm_entropy"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style rule battery (Rae et al. 2021 §A1.1, thresholds
     * re-centered on this corpus so every rule has live signal): word
     * count bounds, mean-word-length band, distinct-word ratio floor
@@ -4976,6 +5020,8 @@ object ExtQueries {
     "e_source_centroids" -> (eSourceCentroids _),
     "e_prefix_join" -> (ePrefixJoin _),
     "e_gopher_rules" -> (eGopherRules _),
+    "e_text_entropy" -> (eTextEntropy _),
+    "e_simhash_wide" -> (eSimhashWide _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5825,6 +5871,46 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_simhash_wide" -> {
+      val votes = (0 until SimWideBits)
+        .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+        .mkString(",\n  ")
+      val bitsExpr = (0 until SimWideBits)
+        .map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
+      val hamming = (1 to SimWideBits)
+        .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |h AS (SELECT doc_id, ${hexHashSql("tok")} AS th FROM tok),
+         |v AS (SELECT doc_id,
+         |  $votes
+         |FROM h GROUP BY doc_id),
+         |fp AS (SELECT doc_id, $bitsExpr AS simhash FROM v)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |  CAST($hamming AS BIGINT) AS hamming
+         |FROM fp a JOIN fp b
+         |  ON substring(a.simhash, 1, $SimWidePrefix) = substring(b.simhash, 1, $SimWidePrefix)
+         | AND a.doc_id < b.doc_id
+         |WHERE $hamming <= 3
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
+    "e_text_entropy" ->
+      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |    CAST(len(toks) AS DOUBLE) AS n,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE) AS nd,
+        |    list_sum(list_transform(list_distinct(toks),
+        |      tk -> CAST(len(list_filter(toks, x -> x = tk)) AS DOUBLE)
+        |            * ln(len(list_filter(toks, x -> x = tk)))))  AS sum_clnc
+        |  FROM t)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(nd AS BIGINT) AS n_distinct,
+        |  round(ln(n) - sum_clnc / n, 6) AS entropy,
+        |  round(CASE WHEN nd > 1 THEN (ln(n) - sum_clnc / n) / ln(nd)
+        |        ELSE 0.0 END, 6) AS norm_entropy
+        |FROM s ORDER BY doc_id""".stripMargin,
     "e_gopher_rules" ->
       """WITH t AS (SELECT doc_id, text, str_split(trim(text), ' ') AS toks
         |  FROM documents),
