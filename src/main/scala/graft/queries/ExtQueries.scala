@@ -2357,6 +2357,91 @@ object ExtQueries {
       .withColumn("matches_label", col("predicted") === col("labeled"))
       .orderBy("doc_id")
 
+  // b-bit minwise hashing (e_bbit_minhash): retained low bits per slot
+  private val BbitLevels = Seq(1, 2, 4, 8)
+
+  /** b-bit minwise hashing calibration (Li & König 2010): keep only the
+    * low b bits of each of the K signature slots — signature storage
+    * shrinks 56/b× — and recover Jaccard through the collision
+    * correction Ĵ = (m − 2⁻ᵇ)/(1 − 2⁻ᵇ). Reports, per b ∈ {1,2,4,8},
+    * the mean |Ĵᵇ − Ĵ⁵⁶| and bias against the full-width estimate over
+    * the candidate pairs — the sketch-bandwidth tuning table next to
+    * `e_minhash_calibration`'s estimator-vs-truth one. Per-pair errors
+    * aggregate as exact ·10⁶ integers so the means are FP-order-free.
+    * Rides the shared shingle + pair memos, name-ordered before their
+    * release points. */
+  def eBbitMinhash(s: SparkSession, d: String): DataFrame = {
+    val sigs = Dedup.minhashSignaturesFromBases(docShingleBases(s, d), K)
+    val sa = sigs.toDF(sigs.columns.map(c =>
+      if (c == "doc_id") "doc_a" else s"a_$c").toIndexedSeq: _*)
+    val sb = sigs.toDF(sigs.columns.map(c =>
+      if (c == "doc_id") "doc_b" else s"b_$c").toIndexedSeq: _*)
+    val joined = minhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+    val errCols = BbitLevels.flatMap { b =>
+      val mask = (1L << b) - 1
+      val matches = (0 until K).map(i =>
+        when(col(s"a_h$i").bitwiseAND(lit(mask)) ===
+          col(s"b_h$i").bitwiseAND(lit(mask)), 1).otherwise(0)).reduce(_ + _)
+      val c = 1.0 / (1L << b)
+      val est = (matches.cast("double") / K - lit(c)) / lit(1.0 - c)
+      Seq(round(abs(est - col("est_jaccard")) * 1e6).cast("long").as(s"ae_$b"),
+        round((est - col("est_jaccard")) * 1e6).cast("long").as(s"se_$b"))
+    }
+    val aggs = count(lit(1)).as("n") +: BbitLevels.flatMap(b =>
+      Seq(sum(col(s"ae_$b")).as(s"sae_$b"), sum(col(s"se_$b")).as(s"sse_$b")))
+    val one = joined.select(errCols: _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = BbitLevels
+      .map(b => s"CAST($b AS BIGINT), `sae_$b`, `sse_$b`").mkString(", ")
+    one.select(col("n"),
+        expr(s"stack(${BbitLevels.length}, $stackArgs) AS (b, sae, sse)"))
+      .select(col("b"), col("n").as("n_pairs"),
+        round(col("sae").cast("double") / col("n") / 1e6, 6).as("mean_abs_err"),
+        round(col("sse").cast("double") / col("n") / 1e6, 6).as("bias"))
+      .orderBy("b")
+  }
+
+  /** Join-key skew report: per key family, total rows / distinct keys /
+    * heaviest key / skew factor (max over mean key occupancy) — the
+    * pre-flight read before choosing a join strategy (skew ≈ 1 → plain
+    * shuffle join; ≫ 1 → salt the hot keys via [[graft.operators.SkewJoin]]
+    * or lean on AQE's skew split). One map-side-combined count per
+    * family, then a one-row summary each — the report is #families
+    * rows. */
+  def eSkewReport(s: SparkSession, d: String): DataFrame = {
+    def family(df: DataFrame, keyCol: String, label: String): DataFrame =
+      df.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_key_rows"))
+        .select(lit(label).as("family"), col("n_rows"), col("n_keys"),
+          col("max_key_rows"),
+          round(col("max_key_rows").cast("double") * col("n_keys") / col("n_rows"), 6)
+            .as("skew_factor"))
+    family(Tables.lineitem(s, d), "l_orderkey", "lineitem.l_orderkey")
+      .unionByName(family(Tables.orders(s, d), "o_custkey", "orders.o_custkey"))
+      .unionByName(family(Tables.events(s, d), "user_id", "events.user_id"))
+      .orderBy("family")
+  }
+
+  /** Language-ID confusion matrix: labeled × predicted counts with
+    * per-cell recall share — the eval grid behind `e_text_langid`'s
+    * per-doc verdicts (which language pairs the n-gram heuristic
+    * actually confuses, the read that decides whether to raise the
+    * classifier's evidence floor). Language domain bounded → the matrix
+    * is |langs|²; one scan + one map-side-combined aggregation. */
+  def eLangConfusion(s: SparkSession, d: String): DataFrame = {
+    val scored = Tables.documents(s, d)
+      .select(col("lang").as("labeled"),
+        TextAnalysis.langId(col("text")).as("predicted"))
+    val totals = scored.groupBy("labeled").agg(count(lit(1)).as("n_labeled"))
+    scored.groupBy("labeled", "predicted").agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("labeled"))
+      .select(col("labeled"), col("predicted"), col("n"),
+        round(col("n").cast("double") / col("n_labeled"), 6).as("share"))
+      .orderBy("labeled", "predicted")
+  }
+
   /** Token-distribution drift report — the monitoring read between two
     * corpus slices (here the DSIR convention: lang='en' vs the rest):
     * add-1-smoothed unigram distributions over the union vocabulary, and
@@ -4337,6 +4422,30 @@ object ExtQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // Same stopword-score prediction as langidOracle, aggregated to the
+  // labeled × predicted confusion grid with per-label recall shares
+  private val langConfusionOracle = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(t, x -> x IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH ltoks AS (SELECT doc_id, lang, str_split(trim(text), ' ') AS t FROM documents),
+       |sc AS (SELECT doc_id, lang,
+       |  $scoreCols
+       |FROM ltoks),
+       |scored AS (SELECT *, $mExpr AS m FROM sc),
+       |p AS (SELECT lang AS labeled,
+       |  CASE $caseArms ELSE 'und' END AS predicted FROM scored),
+       |t AS (SELECT labeled, count(*) AS n_labeled FROM p GROUP BY 1)
+       |SELECT p.labeled, p.predicted, CAST(count(*) AS BIGINT) AS n,
+       |  round(count(*) / CAST(min(t.n_labeled) AS DOUBLE), 6) AS share
+       |FROM p JOIN t USING (labeled)
+       |GROUP BY p.labeled, p.predicted ORDER BY labeled, predicted""".stripMargin
+  }
+
   // Same stopword scores as langidOracle, plus the best-vs-second gap:
   // the 4 hit counts sort inside a list, margin normalizes by token count
   private val langidMarginOracle = {
@@ -5022,6 +5131,9 @@ object ExtQueries {
     "e_gopher_rules" -> (eGopherRules _),
     "e_text_entropy" -> (eTextEntropy _),
     "e_simhash_wide" -> (eSimhashWide _),
+    "e_lang_confusion" -> (eLangConfusion _),
+    "e_skew_report" -> (eSkewReport _),
+    "e_bbit_minhash" -> (eBbitMinhash _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5871,6 +5983,58 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_bbit_minhash" -> {
+      val matchSum = (0 until K)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val ebCols = BbitLevels.map { b =>
+        val mask = (1L << b) - 1
+        val c = 1.0 / (1L << b)
+        val mb = (0 until K)
+          .map(i => s"(CASE WHEN (sa.h$i & $mask) = (sb.h$i & $mask) THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"((($mb) / $K.0) - $c) / ${1.0 - c} AS eb_$b"
+      }.mkString(",\n  ")
+      val sels = BbitLevels.map { b =>
+        s"""SELECT CAST($b AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_pairs,
+           |  round(CAST(sum(CAST(round(abs(eb_$b - ej) * 1e6) AS BIGINT)) AS DOUBLE)
+           |    / count(*) / 1e6, 6) AS mean_abs_err,
+           |  round(CAST(sum(CAST(round((eb_$b - ej) * 1e6) AS BIGINT)) AS DOUBLE)
+           |    / count(*) / 1e6, 6) AS bias
+           |FROM pr""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$sigsCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |pr AS (SELECT p.doc_a, p.doc_b,
+         |  round(($matchSum) / $K.0, 6) AS ej,
+         |  $ebCols
+         |FROM pairs p
+         |JOIN sigs sa ON p.doc_a = sa.doc_id
+         |JOIN sigs sb ON p.doc_b = sb.doc_id)
+         |SELECT * FROM (
+         |$sels
+         |) ORDER BY b""".stripMargin
+    },
+    "e_skew_report" -> {
+      def fam(table: String, key: String): String =
+        s"""SELECT '$table.$key' AS family,
+           |  CAST(sum(c) AS BIGINT) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  CAST(max(c) AS BIGINT) AS max_key_rows,
+           |  round(CAST(max(c) AS DOUBLE) * count(*) / sum(c), 6) AS skew_factor
+           |FROM (SELECT $key, count(*) AS c FROM $table GROUP BY 1)""".stripMargin
+      s"""SELECT * FROM (
+         |${fam("lineitem", "l_orderkey")}
+         |UNION ALL
+         |${fam("orders", "o_custkey")}
+         |UNION ALL
+         |${fam("events", "user_id")}
+         |) ORDER BY family""".stripMargin
+    },
     "e_simhash_wide" -> {
       val votes = (0 until SimWideBits)
         .map(j => s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
@@ -5992,6 +6156,7 @@ object ExtQueries {
         |JOIN n nb ON nb.source = dp.src_b
         |ORDER BY src_a, src_b""".stripMargin,
     "e_text_langid" -> langidOracle,
+    "e_lang_confusion" -> langConfusionOracle,
     "e_langid_margin" -> langidMarginOracle,
     "e_code_switch" -> codeSwitchOracle,
     "e_vocab_growth" ->
