@@ -1908,6 +1908,55 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** What dedup deletes, per source: docs/tokens before and after the
+    * near-dup apply (same survivor convention as `e_dedup_apply` — the
+    * min-id side of every ≥0.5 pair survives), with the removed-token
+    * share. The deliverable a curator signs off on BEFORE running the
+    * destructive apply. One left-anti-shaped flag join + one source
+    * aggregation; rides the memoized pair table. */
+  def eDedupImpact(s: SparkSession, d: String): DataFrame = {
+    val removed = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_removed", lit(1L))
+    Tables.documents(s, d)
+      .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_removed"), lit(0L))).as("n_removed"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("is_removed").isNotNull, col("n_tokens"))
+          .otherwise(lit(0L))).as("tokens_removed"))
+      .select(col("source"), col("n_docs"), col("n_removed"),
+        col("tokens_total"), col("tokens_removed"),
+        round(col("tokens_removed").cast("double") / col("tokens_total"), 6)
+          .as("token_share_removed"))
+      .orderBy("source")
+  }
+
+  /** LSH candidate quality graded against EXACT ground truth: recall and
+    * precision of the banded-MinHash ≥0.5 pair set against the
+    * zero-false-negative prefix-filtering join's exact Jaccard ≥ 1/2
+    * pairs — the eval that was impossible before `e_prefix_join` existed
+    * (the calibration query grades the ESTIMATOR; this grades the
+    * CANDIDATE SET). Both pair tables ride shared memos/operators; the
+    * report is one row. */
+  def eLshRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = graft.dedup.Dedup.prefixFilterJoin(
+        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
+        PpjTNum, PpjTDen)
+      .select(col("doc_a"), col("doc_b"))
+    val cand = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val hits = truth.join(cand, Seq("doc_a", "doc_b"))
+    val summary = truth.agg(count(lit(1)).as("n_truth"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+    summary.select(col("n_truth"), col("n_candidates"), col("n_hits"),
+      round(col("n_hits").cast("double") / col("n_truth"), 6).as("recall"),
+      round(col("n_hits").cast("double") / col("n_candidates"), 6).as("precision"))
+  }
+
   /** TRUE connected components over the minhash candidate graph —
     * large-star/small-star to a fixpoint (vs eDedupClusters' 3 bounded
     * label-propagation rounds): exact for any component diameter.
@@ -5134,6 +5183,8 @@ object ExtQueries {
     "e_lang_confusion" -> (eLangConfusion _),
     "e_skew_report" -> (eSkewReport _),
     "e_bbit_minhash" -> (eBbitMinhash _),
+    "e_dedup_impact" -> (eDedupImpact _),
+    "e_lsh_recall" -> (eLshRecall _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -5983,6 +6034,52 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_dedup_impact" ->
+      s"""WITH $nearDupGraphCtes,
+         |removed AS (SELECT DISTINCT doc_b AS doc_id FROM est),
+         |d AS (SELECT doc_id, source,
+         |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CASE WHEN doc_id IN (SELECT doc_id FROM removed) THEN 1 ELSE 0 END AS r
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(r) AS BIGINT) AS n_removed,
+         |  CAST(sum(n_tokens) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN r = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_removed,
+         |  round(CAST(sum(CASE WHEN r = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
+         |    / sum(n_tokens), 6) AS token_share_removed
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "e_lsh_recall" ->
+      s"""WITH $nearDupGraphCtes,
+         |$hshCtes,
+         |dfc AS (SELECT sh AS shh, count(*) AS df FROM hsh GROUP BY 1),
+         |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+         |ranked AS (SELECT h.doc_id, h.sh AS shh, n,
+         |    row_number() OVER (PARTITION BY h.doc_id ORDER BY df, h.sh) AS rn
+         |  FROM hsh h JOIN dfc ON dfc.shh = h.sh JOIN cnts USING (doc_id)),
+         |pre AS (SELECT doc_id, shh FROM ranked
+         |  WHERE rn <= n - ((n * $PpjTNum + $PpjTDen - 1) // $PpjTDen) + 1),
+         |candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM candp c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT i.doc_a, i.doc_b FROM inter i
+         |  JOIN cnts na ON na.doc_id = i.doc_a
+         |  JOIN cnts nb ON nb.doc_id = i.doc_b
+         |  WHERE round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6)
+         |    * $PpjTDen >= $PpjTNum),
+         |hits AS (SELECT t.doc_a, t.doc_b FROM truth t
+         |  JOIN est e ON e.doc_a = t.doc_a AND e.doc_b = t.doc_b)
+         |SELECT
+         |  (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM est) AS n_candidates,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_hits,
+         |  round((SELECT count(*) FROM hits)
+         |    / CAST((SELECT count(*) FROM truth) AS DOUBLE), 6) AS recall,
+         |  round((SELECT count(*) FROM hits)
+         |    / CAST((SELECT count(*) FROM est) AS DOUBLE), 6) AS precision""".stripMargin,
     "e_bbit_minhash" -> {
       val matchSum = (0 until K)
         .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
