@@ -156,6 +156,39 @@ object SeqQueries {
         .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)")),
       "event_type", "cents", scale = 100.0)
 
+  /** Per-window value percentile bands: exact p50/p95 of event values per
+    * (10-minute window × event type) — the latency/amount SLO report
+    * every observability stack draws, computed EXACTLY on the integer
+    * cents domain via per-group value counts (running-sum window
+    * partitions = distinct values per group, domain-bounded), the same
+    * rank-cut convention as [[graft.operators.Winsorize]] (smallest value
+    * whose cumulative count reaches ceil(p·n) — no interpolation, so the
+    * engines cannot disagree on ties). */
+  def eWindowPercentiles(s: SparkSession, d: String): DataFrame = {
+    val e = withEt(Tables.events(s, d)).select(
+      ((col("et") / lit(600L)).cast("long") * 600L).as("wstart"),
+      col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val vc = e.groupBy(col("wstart"), col("event_type"), col("cents"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = vc.groupBy(col("wstart"), col("event_type"))
+      .agg(sum(col("cnt")).as("n"))
+    val run = vc.withColumn("cum",
+        sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("wstart"), col("event_type")).orderBy(col("cents"))))
+      .join(tot, Seq("wstart", "event_type"))
+    def cut(pNum: Long, pDen: Long, name: String): DataFrame = run
+      .filter(col("cum") * pDen >= col("n") * pNum)
+      .groupBy(col("wstart"), col("event_type"))
+      .agg(min(col("cents")).as(name))
+    cut(1, 2, "p50c").join(cut(19, 20, "p95c"), Seq("wstart", "event_type"))
+      .join(tot, Seq("wstart", "event_type"))
+      .select(col("wstart"), col("event_type"), col("n").as("n_events"),
+        round(col("p50c") / lit(100.0), 6).as("p50"),
+        round(col("p95c") / lit(100.0), 6).as("p95"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** Per-user behavioral drift: Jensen-Shannon divergence between each
     * user's event-type distribution and the corpus-wide one — the
     * account-anomaly / bot-detection meter (a scraper's distribution
@@ -285,6 +318,7 @@ object SeqQueries {
     "e_seq_patterns" -> (eSeqPatterns _),
     "e_event_outliers" -> (eEventOutliers _),
     "e_user_drift" -> (eUserDrift _),
+    "e_window_percentiles" -> (eWindowPercentiles _),
   )
 
   private val sessionCtes =
@@ -396,6 +430,26 @@ object SeqQueries {
          |SELECT pattern, CAST(count(*) AS BIGINT) AS support
          |FROM trip GROUP BY pattern
          |ORDER BY support DESC, pattern LIMIT $SeqPatTopN""".stripMargin,
+    "e_window_percentiles" ->
+      """WITH e AS (SELECT (epoch_ms(ts) // 1000 // 600) * 600 AS wstart,
+        |    event_type, CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |vc AS (SELECT wstart, event_type, cents, count(*) AS cnt
+        |  FROM e GROUP BY 1, 2, 3),
+        |tot AS (SELECT wstart, event_type, sum(cnt) AS n FROM vc GROUP BY 1, 2),
+        |run AS (SELECT vc.wstart, vc.event_type, cents, n,
+        |    sum(cnt) OVER (PARTITION BY vc.wstart, vc.event_type
+        |      ORDER BY cents) AS cum
+        |  FROM vc JOIN tot USING (wstart, event_type)),
+        |p50 AS (SELECT wstart, event_type, min(cents) AS p50c FROM run
+        |  WHERE cum * 2 >= n GROUP BY 1, 2),
+        |p95 AS (SELECT wstart, event_type, min(cents) AS p95c FROM run
+        |  WHERE cum * 20 >= n * 19 GROUP BY 1, 2)
+        |SELECT t.wstart, t.event_type, CAST(t.n AS BIGINT) AS n_events,
+        |  round(p50c / 100.0, 6) AS p50, round(p95c / 100.0, 6) AS p95
+        |FROM tot t JOIN p50 USING (wstart, event_type)
+        |JOIN p95 USING (wstart, event_type)
+        |ORDER BY wstart, event_type""".stripMargin,
     "e_user_drift" ->
       """WITH uc AS (SELECT user_id, event_type, count(*) AS c
         |  FROM events GROUP BY 1, 2),
