@@ -337,13 +337,14 @@ object ExtQueries {
     ("ccBaseline", ccBaselineCache, "e_cc_incremental"),
     // decontamHits: e_curation_funnel, e_decontam
     ("decontamHits", decontamCache, "e_decontam"),
-    // minhashPairs: e_cc_incremental, e_connected_components,
-    // e_curation_funnel, e_dedup_apply, e_dedup_clusters (builds
-    // nearDupClusters), e_dedup_minhash_lsh, e_dup_kcore,
+    // minhashPairs: e_bbit_minhash, e_cc_incremental,
+    // e_connected_components, e_curation_funnel, e_dedup_apply,
+    // e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
+    // e_dedup_impact, e_dedup_minhash_lsh, e_dup_kcore,
     // e_dup_triangles, e_dedup_authority, e_label_propagation,
-    // e_minhash_calibration
+    // e_lsh_recall, e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
-    // nearDupClusters: e_dedup_best, e_dedup_clusters, e_golden_record, e_leakage_split
+    // nearDupClusters: e_cc_sizes, e_dedup_best, e_dedup_clusters, e_golden_record, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
@@ -2701,6 +2702,63 @@ object ExtQueries {
       .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_bpe_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Tokenizer fertility per language: BPE pieces per word under the
+    * trained merge table — THE tokenizer-equity metric (a language at
+    * fertility 2× pays twice the context budget per word; the number
+    * that decides whether the vocabulary needs rebalancing before
+    * training). Rides the bpeMerges build; same encode chain as
+    * `e_bpe_encode`, aggregated to the language grain. */
+  def eBpeFertility(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    val words = Tables.documents(s, d).select(col("lang"),
+      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+    val vocab = words.select(col("word")).distinct()
+      .withColumn("nt",
+        size(graft.functions.BpeVocab.tokensCol(col("word"), merges))
+          .cast("long"))
+    words.join(vocab, Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_pieces"),
+        round(col("n_pieces").cast("double") / col("n_words"), 6).as("fertility"))
+      .orderBy("lang")
+  }
+
+  /** Dedup survivor curve: pairs and removed-doc counts at every
+    * est-Jaccard threshold in 10-point steps — the knob-tuning table
+    * read before fixing the dedup policy's threshold (too low deletes
+    * paraphrases, too high keeps mirrors). ONE pass over the memoized
+    * pair table with conditional aggregates per threshold, unpivoted
+    * via stack. */
+  def eDedupCurve(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Seq(50, 60, 70, 80, 90)
+    val pairs = minhashPairs(s, d)
+    val aggs = thresholds.flatMap { t =>
+      val cond = col("est_jaccard") * 100 >= t
+      Seq(sum(cond.cast("long")).as(s"np_$t"),
+        countDistinct(when(cond, col("doc_b"))).as(s"nr_$t"))
+    }
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val one = pairs.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(nDocs))
+    val stackArgs = thresholds
+      .map(t => s"CAST($t AS BIGINT), `np_$t`, `nr_$t`").mkString(", ")
+    one.select(col("n_docs"),
+        expr(s"stack(${thresholds.length}, $stackArgs) AS (threshold_pct, n_pairs, n_removed)"))
+      .select(col("threshold_pct"), col("n_pairs"), col("n_removed"),
+        (col("n_docs") - col("n_removed")).as("n_survivors"))
+      .orderBy("threshold_pct")
+  }
+
+  /** Near-dup cluster size histogram: how many clusters of each size the
+    * 3-round labeling produced — the shape read that separates "a few
+    * mirror farms" (heavy tail) from "diffuse pairwise noise" (all 2s);
+    * rides the nearDupClusters memo, two bounded aggregations. */
+  def eCcSizes(s: SparkSession, d: String): DataFrame =
+    nearDupClusters(s, d)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .groupBy(col("size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
 
   def eTokenCount(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -5185,6 +5243,9 @@ object ExtQueries {
     "e_bbit_minhash" -> (eBbitMinhash _),
     "e_dedup_impact" -> (eDedupImpact _),
     "e_lsh_recall" -> (eLshRecall _),
+    "e_bpe_fertility" -> (eBpeFertility _),
+    "e_dedup_curve" -> (eDedupCurve _),
+    "e_cc_sizes" -> (eCcSizes _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -6034,6 +6095,51 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_bpe_fertility" ->
+      s"""WITH $bpeTrainCtes,
+         |vocabtok AS (SELECT word,
+         |  CAST(len(regexp_extract_all(enc, '\\([a-z]*\\)')) AS BIGINT) AS nt
+         |  FROM enc$BpeMerges),
+         |dw AS (SELECT d.lang,
+         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |  FROM documents d)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(nt) AS BIGINT) AS n_pieces,
+         |  round(CAST(sum(nt) AS DOUBLE) / count(*), 6) AS fertility
+         |FROM dw JOIN vocabtok USING (word)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_dedup_curve" -> {
+      val matchSum = (0 until K)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val sels = Seq(50, 60, 70, 80, 90).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold_pct,
+           |  CAST(count(*) FILTER (WHERE ej * 100 >= $t) AS BIGINT) AS n_pairs,
+           |  CAST(count(DISTINCT doc_b) FILTER (WHERE ej * 100 >= $t) AS BIGINT) AS n_removed,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM documents)
+           |    - CAST(count(DISTINCT doc_b) FILTER (WHERE ej * 100 >= $t) AS BIGINT) AS n_survivors
+           |FROM est""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$sigsCte,
+         |$bandsCte,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.doc_a, p.doc_b, round(($matchSum) / $K.0, 6) AS ej
+         |  FROM pairs p
+         |  JOIN sigs sa ON p.doc_a = sa.doc_id
+         |  JOIN sigs sb ON p.doc_b = sb.doc_id)
+         |SELECT * FROM (
+         |$sels
+         |) ORDER BY threshold_pct""".stripMargin
+    },
+    "e_cc_sizes" ->
+      s"""$clustersCte,
+         |sz AS (SELECT cluster_id, count(*) AS size FROM l3 GROUP BY 1)
+         |SELECT CAST(size AS BIGINT) AS size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM sz GROUP BY size ORDER BY size""".stripMargin,
     "e_dedup_impact" ->
       s"""WITH $nearDupGraphCtes,
          |removed AS (SELECT DISTINCT doc_b AS doc_id FROM est),
