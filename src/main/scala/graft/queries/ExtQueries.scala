@@ -2703,6 +2703,41 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  // decontamination width sweep (e_decontam_sweep)
+  private val DecontamWidths = Seq(3, 5, 9, 13)
+
+  /** Contamination rate vs n-gram width — the table behind the industry
+    * "13-gram" convention (GPT-3 appendix C): at narrow widths shared
+    * phrases flag almost everything (false contamination), at 13 only
+    * real benchmark overlap survives; the sweep shows where THIS corpus's
+    * curve bends instead of cargo-culting the constant. Per width: one
+    * shingle explode (native word-shingles), the bench slice's distinct
+    * shingle set, and a semi-join hit count — work ∝ corpus × widths. */
+  def eDecontamSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nCorpus = docs.filter(col("doc_id") % 97 =!= 0)
+      .agg(count(lit(1)).as("n_corpus_docs"))
+    DecontamWidths.map { w =>
+      val bases = Dedup.shingleBases(docs, "doc_id", "text", w)
+        .select(col("doc_id"), col("b1").as("sh"))
+      val bench = bases.filter(col("doc_id") % 97 === 0)
+        .select(col("sh")).distinct()
+      val hits = bases.filter(col("doc_id") % 97 =!= 0)
+        .join(bench, Seq("sh"), "left_semi")
+        .select(col("doc_id")).distinct()
+      hits.agg(count(lit(1)).as("n_docs_hit"))
+        .crossJoin(bench.agg(count(lit(1)).as("n_bench_shingles")))
+        .select(lit(w.toLong).as("ngram_width"), col("n_bench_shingles"),
+          col("n_docs_hit"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nCorpus))
+      .select(col("ngram_width"), col("n_bench_shingles"), col("n_docs_hit"),
+        col("n_corpus_docs"),
+        round(col("n_docs_hit").cast("double") / col("n_corpus_docs"), 6)
+          .as("contaminated_share"))
+      .orderBy("ngram_width")
+  }
+
   /** Tokenizer fertility per language: BPE pieces per word under the
     * trained merge table — THE tokenizer-equity metric (a language at
     * fertility 2× pays twice the context budget per word; the number
@@ -5246,6 +5281,7 @@ object ExtQueries {
     "e_bpe_fertility" -> (eBpeFertility _),
     "e_dedup_curve" -> (eDedupCurve _),
     "e_cc_sizes" -> (eCcSizes _),
+    "e_decontam_sweep" -> (eDecontamSweep _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -6095,6 +6131,30 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_decontam_sweep" -> {
+      val perW = DecontamWidths.map { w =>
+        s"""sh$w AS (SELECT DISTINCT doc_id,
+           |  ${hexHashSql(s"array_to_string(t[i:i+${w - 1}], ' ')")} AS sh
+           |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t) - ${w - 1}, 1) + 1)) AS i
+           |        FROM toks)),
+           |b$w AS (SELECT DISTINCT sh FROM sh$w WHERE doc_id % 97 = 0),
+           |h$w AS (SELECT CAST(count(DISTINCT s.doc_id) AS BIGINT) AS n_docs_hit
+           |  FROM sh$w s JOIN b$w USING (sh) WHERE s.doc_id % 97 <> 0)""".stripMargin
+      }.mkString(",\n")
+      val sels = DecontamWidths.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS ngram_width,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM b$w) AS n_bench_shingles,
+           |  (SELECT n_docs_hit FROM h$w) AS n_docs_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte,
+         |$perW,
+         |nc AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus_docs
+         |  FROM documents WHERE doc_id % 97 <> 0)
+         |SELECT ngram_width, n_bench_shingles, n_docs_hit, nc.n_corpus_docs,
+         |  round(CAST(n_docs_hit AS DOUBLE) / nc.n_corpus_docs, 6) AS contaminated_share
+         |FROM ($sels) CROSS JOIN nc
+         |ORDER BY ngram_width""".stripMargin
+    },
     "e_bpe_fertility" ->
       s"""WITH $bpeTrainCtes,
          |vocabtok AS (SELECT word,
