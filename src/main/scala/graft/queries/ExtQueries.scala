@@ -317,6 +317,7 @@ object ExtQueries {
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
     idfCosineCache.clear(); cosineNearDupCache.clear()
+    prefixJoinCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
@@ -384,6 +385,8 @@ object ExtQueries {
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
     // cosineNearDupPairs: e_cosine_neardup, e_mutual_neighbors (last)
     ("cosineNearDupPairs", cosineNearDupCache, "e_mutual_neighbors"),
+    // prefixJoinPairs: e_lsh_recall (builds), e_prefix_join (last)
+    ("prefixJoinPairs", prefixJoinCache, "e_prefix_join"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
     ("suffixRanks", saCache, "e_suffix_ranks"),
     // saSpanPairs: e_exact_contamination (builds), e_lcp_repeats
@@ -1943,10 +1946,7 @@ object ExtQueries {
     * CANDIDATE SET). Both pair tables ride shared memos/operators; the
     * report is one row. */
   def eLshRecall(s: SparkSession, d: String): DataFrame = {
-    val truth = graft.dedup.Dedup.prefixFilterJoin(
-        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
-        PpjTNum, PpjTDen)
-      .select(col("doc_a"), col("doc_b"))
+    val truth = prefixJoinMemo(s, d).select(col("doc_a"), col("doc_b"))
     val cand = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
     val hits = truth.join(cand, Seq("doc_a", "doc_b"))
@@ -2380,10 +2380,18 @@ object ExtQueries {
     * one), then verify exactly. Rides the shared shingle memo,
     * name-ordered before its release point. */
   def ePrefixJoin(s: SparkSession, d: String): DataFrame =
-    Dedup.prefixFilterJoin(
-        docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
-        PpjTNum, PpjTDen)
-      .orderBy("doc_a", "doc_b")
+    prefixJoinMemo(s, d).orderBy("doc_a", "doc_b")
+
+  // exact prefix-filtering pair table, shared by e_lsh_recall (first
+  // name-ordered consumer, builds) and e_prefix_join (release point)
+  private val prefixJoinCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def prefixJoinMemo(s: SparkSession, d: String): DataFrame =
+    prefixJoinCache.getOrElseUpdate(d, timedMemo("prefixJoinPairs") {
+      Dedup.materializeAndRelease(
+        Dedup.prefixFilterJoin(
+          docShingleBases(s, d).select(col("doc_id"), col("b1").as("sh")),
+          PpjTNum, PpjTDen))
+    })
 
   /** Embedding-space source similarity: pairwise cosine between
     * per-source centroid embeddings — which feeds cover the same
