@@ -343,7 +343,7 @@ object ExtQueries {
     // e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
     // e_dedup_impact, e_dedup_minhash_lsh, e_dup_kcore,
     // e_dup_triangles, e_dedup_authority, e_label_propagation,
-    // e_lsh_recall, e_minhash_calibration
+    // e_lsh_recall, e_lsh_recall_sweep, e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
     // nearDupClusters: e_cc_sizes, e_dedup_best, e_dedup_clusters, e_golden_record, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
@@ -385,7 +385,8 @@ object ExtQueries {
     ("phashFingerprints", phashFpCache, "e_phash_neardup"),
     // cosineNearDupPairs: e_cosine_neardup, e_mutual_neighbors (last)
     ("cosineNearDupPairs", cosineNearDupCache, "e_mutual_neighbors"),
-    // prefixJoinPairs: e_lsh_recall (builds), e_prefix_join (last)
+    // prefixJoinPairs: e_lsh_recall (builds), e_lsh_recall_sweep,
+    // e_prefix_join (last)
     ("prefixJoinPairs", prefixJoinCache, "e_prefix_join"),
     // suffixRanks: e_lcp_repeats, e_suffix_ranks
     ("suffixRanks", saCache, "e_suffix_ranks"),
@@ -1945,6 +1946,39 @@ object ExtQueries {
     * (the calibration query grades the ESTIMATOR; this grades the
     * CANDIDATE SET). Both pair tables ride shared memos/operators; the
     * report is one row. */
+  /** [[eLshRecall]] swept across thresholds: recall and precision of the
+    * banded candidates at every 10-point Jaccard threshold — the whole
+    * operating curve from ONE outer join of the exact truth table
+    * against the unthresholded estimate table, conditional aggregates
+    * per level, stack-unpivoted. */
+  def eLshRecallSweep(s: SparkSession, d: String): DataFrame = {
+    val thresholds = Seq(50, 60, 70, 80, 90)
+    val joined = prefixJoinMemo(s, d)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(minhashPairs(s, d)
+        .select(col("doc_a"), col("doc_b"), col("est_jaccard")),
+        Seq("doc_a", "doc_b"), "full_outer")
+    val aggs = thresholds.flatMap { t =>
+      val inTruth = col("jaccard") * 100 >= t
+      val inCand = col("est_jaccard") * 100 >= t
+      Seq(sum(inTruth.cast("long")).as(s"nt_$t"),
+        sum(inCand.cast("long")).as(s"nc_$t"),
+        sum((inTruth && inCand).cast("long")).as(s"nh_$t"))
+    }
+    val one = joined.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = thresholds
+      .map(t => s"CAST($t AS BIGINT), coalesce(`nt_$t`, 0), coalesce(`nc_$t`, 0), coalesce(`nh_$t`, 0)")
+      .mkString(", ")
+    one.select(expr(
+        s"stack(${thresholds.length}, $stackArgs) AS (threshold_pct, n_truth, n_candidates, n_hits)"))
+      .select(col("threshold_pct"), col("n_truth"), col("n_candidates"), col("n_hits"),
+        when(col("n_truth") > 0,
+          round(col("n_hits").cast("double") / col("n_truth"), 6)).otherwise(0.0).as("recall"),
+        when(col("n_candidates") > 0,
+          round(col("n_hits").cast("double") / col("n_candidates"), 6)).otherwise(0.0).as("precision"))
+      .orderBy("threshold_pct")
+  }
+
   def eLshRecall(s: SparkSession, d: String): DataFrame = {
     val truth = prefixJoinMemo(s, d).select(col("doc_a"), col("doc_b"))
     val cand = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
@@ -5286,6 +5320,7 @@ object ExtQueries {
     "e_bbit_minhash" -> (eBbitMinhash _),
     "e_dedup_impact" -> (eDedupImpact _),
     "e_lsh_recall" -> (eLshRecall _),
+    "e_lsh_recall_sweep" -> (eLshRecallSweep _),
     "e_bpe_fertility" -> (eBpeFertility _),
     "e_dedup_curve" -> (eDedupCurve _),
     "e_cc_sizes" -> (eCcSizes _),
@@ -6222,6 +6257,59 @@ object ExtQueries {
          |  round(CAST(sum(CASE WHEN r = 1 THEN n_tokens ELSE 0 END) AS DOUBLE)
          |    / sum(n_tokens), 6) AS token_share_removed
          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "e_lsh_recall_sweep" -> {
+      val matchSum = (0 until K)
+        .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val sels = Seq(50, 60, 70, 80, 90).map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS threshold_pct,
+           |  CAST(count(*) FILTER (WHERE tj * 100 >= $t) AS BIGINT) AS n_truth,
+           |  CAST(count(*) FILTER (WHERE ej * 100 >= $t) AS BIGINT) AS n_candidates,
+           |  CAST(count(*) FILTER (WHERE tj * 100 >= $t AND ej * 100 >= $t) AS BIGINT) AS n_hits
+           |FROM j""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $toksCte,
+         |${shCte(distinct = false)},
+         |$sigsCte,
+         |$bandsCte,
+         |$hshCtes,
+         |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |est AS (SELECT p.doc_a, p.doc_b, round(($matchSum) / $K.0, 6) AS ej
+         |  FROM pairs p
+         |  JOIN sigs sa ON p.doc_a = sa.doc_id
+         |  JOIN sigs sb ON p.doc_b = sb.doc_id),
+         |dfc AS (SELECT sh AS shh, count(*) AS df FROM hsh GROUP BY 1),
+         |cnts AS (SELECT doc_id, count(*) AS n FROM hsh GROUP BY doc_id),
+         |ranked AS (SELECT h.doc_id, h.sh AS shh, n,
+         |    row_number() OVER (PARTITION BY h.doc_id ORDER BY df, h.sh) AS rn
+         |  FROM hsh h JOIN dfc ON dfc.shh = h.sh JOIN cnts USING (doc_id)),
+         |pre AS (SELECT doc_id, shh FROM ranked
+         |  WHERE rn <= n - ((n * $PpjTNum + $PpjTDen - 1) // $PpjTDen) + 1),
+         |candp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM pre a JOIN pre b ON a.shh = b.shh AND a.doc_id < b.doc_id),
+         |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+         |  FROM candp c
+         |  JOIN hsh x ON x.doc_id = c.doc_a
+         |  JOIN hsh y ON y.doc_id = c.doc_b AND y.sh = x.sh
+         |  GROUP BY 1, 2),
+         |truth AS (SELECT i.doc_a, i.doc_b,
+         |    round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6) AS tj
+         |  FROM inter i
+         |  JOIN cnts na ON na.doc_id = i.doc_a
+         |  JOIN cnts nb ON nb.doc_id = i.doc_b
+         |  WHERE round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6)
+         |    * $PpjTDen >= $PpjTNum),
+         |j AS (SELECT t.tj, e.ej FROM truth t
+         |  FULL OUTER JOIN est e ON t.doc_a = e.doc_a AND t.doc_b = e.doc_b)
+         |SELECT threshold_pct, n_truth, n_candidates, n_hits,
+         |  CASE WHEN n_truth > 0
+         |    THEN round(CAST(n_hits AS DOUBLE) / n_truth, 6) ELSE 0.0 END AS recall,
+         |  CASE WHEN n_candidates > 0
+         |    THEN round(CAST(n_hits AS DOUBLE) / n_candidates, 6) ELSE 0.0 END AS precision
+         |FROM ($sels)
+         |ORDER BY threshold_pct""".stripMargin
+    },
     "e_lsh_recall" ->
       s"""WITH $nearDupGraphCtes,
          |$hshCtes,
