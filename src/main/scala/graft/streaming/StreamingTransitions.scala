@@ -25,25 +25,42 @@ object StreamingTransitions {
   case class Pair(user: Long, prevType: String, nextType: String)
   case class Carry(et: Long, eventId: Long, eventType: String)
 
+  private val pairingFunc: (Long, Iterator[Ev], GroupState[Carry]) => Iterator[Pair] =
+    (user: Long, rows: Iterator[Ev], state: GroupState[Carry]) => {
+      // repair within-batch arrival order; across batches the carried
+      // state is the contract's responsibility
+      val sorted = rows.toSeq.sortBy(e => (e.et, e.eventId))
+      var prev = state.getOption
+      val out = Seq.newBuilder[Pair]
+      sorted.foreach { e =>
+        prev.foreach(p => out += Pair(user, p.eventType, e.eventType))
+        prev = Some(Carry(e.et, e.eventId, e.eventType))
+      }
+      prev.foreach(state.update)
+      out.result().iterator
+    }
+
   /** Emit per-user consecutive-event transition pairs, carrying the last
-    * event per user across batches. */
-  def transitions(ds: Dataset[Ev]): Dataset[Pair] = {
+    * event per user across batches. `initial` seeds the per-user carry
+    * state (the restart path: derive each user's last event from the
+    * already-processed prefix and resume — the same seeded-restart
+    * contract the other incremental operators prove). */
+  def transitions(ds: Dataset[Ev],
+                  initial: Option[Dataset[(Long, Carry)]] = None): Dataset[Pair] = {
     implicit val pairEnc = Encoders.product[Pair]
-    ds.groupByKey(_.user)(Encoders.scalaLong)
-      .flatMapGroupsWithState[Carry, Pair](
-        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
-        (user: Long, rows: Iterator[Ev], state: GroupState[Carry]) =>
-          // repair within-batch arrival order; across batches the carried
-          // state is the contract's responsibility
-          val sorted = rows.toSeq.sortBy(e => (e.et, e.eventId))
-          var prev = state.getOption
-          val out = Seq.newBuilder[Pair]
-          sorted.foreach { e =>
-            prev.foreach(p => out += Pair(user, p.eventType, e.eventType))
-            prev = Some(Carry(e.et, e.eventId, e.eventType))
-          }
-          prev.foreach(state.update)
-          out.result().iterator
-      }(Encoders.product[Carry], pairEnc)
+    implicit val carryEnc = Encoders.product[Carry]
+    val grouped = ds.groupByKey(_.user)(Encoders.scalaLong)
+    initial match {
+      case Some(init) =>
+        val initState = init.groupByKey(_._1)(Encoders.scalaLong)
+          .mapValues(_._2)(carryEnc)
+        grouped.flatMapGroupsWithState[Carry, Pair](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout(), initState)(
+          pairingFunc)(carryEnc, pairEnc)
+      case None =>
+        grouped.flatMapGroupsWithState[Carry, Pair](
+          OutputMode.Update(), GroupStateTimeout.NoTimeout())(
+          pairingFunc)(carryEnc, pairEnc)
+    }
   }
 }

@@ -52,6 +52,41 @@ class StreamingTransitionsSpec extends SparkSpec {
       want.groupBy(identity).view.mapValues(_.size).toMap)
   }
 
+  test("seeded restart: resumed stream + prefix pairs == batch on the union") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(29)
+    val types = Seq("view", "click", "purchase")
+    val evs = (1 to 80).map(i => Ev(rnd.nextInt(4).toLong, i * 10L, i.toLong,
+      types(rnd.nextInt(types.length))))
+    val (first, second) = evs.splitAt(47)
+
+    // run 1 over the prefix
+    val pairs1 = run(Seq(first), "st_seed1")
+
+    // restart: carry state = each user's LAST event of the prefix,
+    // derived from the data (the recovery recipe a restart would use)
+    val carries = first.groupBy(_.user).map { case (u, es) =>
+      val last = es.maxBy(e => (e.et, e.eventId))
+      (u, StreamingTransitions.Carry(last.et, last.eventId, last.eventType))
+    }.toSeq
+    val input2 = MemoryStream[Ev]
+    val q2 = StreamingTransitions.transitions(input2.toDS(),
+        initial = Some(carries.toDS()))
+      .writeStream.format("memory").queryName("st_seed2")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+    input2.addData(second); q2.processAllAvailable()
+    val pairs2 = spark.table("st_seed2").as[Pair].collect()
+      .map(p => (p.user, p.prevType, p.nextType)).toSeq
+    q2.stop()
+
+    val want = batchPairs(evs)
+    val got = pairs1 ++ pairs2
+    assert(got.groupBy(identity).view.mapValues(_.size).toMap ==
+      want.groupBy(identity).view.mapValues(_.size).toMap,
+      "seeded resume diverged from the batch union")
+  }
+
   test("within-batch unordered arrival is repaired by the event-order sort") {
     val b = Seq(Ev(1, 300, 3, "c"), Ev(1, 100, 1, "a"), Ev(1, 200, 2, "b"))
     val got = run(Seq(b), "st_unordered")
