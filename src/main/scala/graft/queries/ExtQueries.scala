@@ -2403,6 +2403,34 @@ object ExtQueries {
       .orderBy("rule")
   }
 
+  // elbow sweep (e_elbow_curve): deterministic seed-centroid slices —
+  // vec_id % m == 1 gives corpus-proportional k at each density
+  private val ElbowMods = Seq(125L, 50L, 25L)
+
+  /** The choose-k elbow curve: within-cluster inertia at three seed
+    * densities (deterministic `vec_id % m == 1` centroid slices — k
+    * scales with the corpus at each density, exactly like a production
+    * √n-style heuristic). One zero-exchange assignment pass per k (the
+    * same native argmin as every k-means query; no Lloyd iterations —
+    * the elbow compares SEED densities, refinement happens after k is
+    * chosen). Inertia sums are ~1e6-magnitude doubles rounded at 6 dp,
+    * far above both engines' reorder noise. */
+  def eElbowCurve(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+    ElbowMods.map { m =>
+      val assigned = graft.similarity.KMeans.assignments(
+        vecs, "vec_id", "embedding", col("vec_id") % m === 1, iterations = 1)
+      val k = vecs.filter(col("vec_id") % m === 1)
+        .agg(count(lit(1)).as("k_centroids"))
+      assigned.agg(count(lit(1)).as("n_vectors"),
+          round(sum(col("d2")), 6).as("inertia"))
+        .crossJoin(broadcast(k))
+        .select(col("k_centroids"), col("n_vectors"), col("inertia"),
+          round(col("inertia") / col("n_vectors"), 6).as("mean_d2"))
+    }.reduce(_ unionByName _)
+      .orderBy("k_centroids")
+  }
+
   // prefix-filtering join threshold as an exact rational (t = 1/2)
   private val PpjTNum = 1L
   private val PpjTDen = 2L
@@ -5325,6 +5353,7 @@ object ExtQueries {
     "e_dedup_curve" -> (eDedupCurve _),
     "e_cc_sizes" -> (eCcSizes _),
     "e_decontam_sweep" -> (eDecontamSweep _),
+    "e_elbow_curve" -> (eElbowCurve _),
     "e_text_langid" -> (eTextLangid _),
     "e_langid_margin" -> (eLangidMargin _),
     "e_code_switch" -> (eCodeSwitch _),
@@ -6174,6 +6203,31 @@ object ExtQueries {
     "e_multimodal_frames" -> framesOracle,
     "e_cosine_neardup" -> neardupOracle,
     "e_mutual_neighbors" -> mutualNeighborsOracle,
+    "e_elbow_curve" -> {
+      val perM = ElbowMods.map { m =>
+        s"""c0$m AS (SELECT CAST(dense_rank() OVER (ORDER BY vec_id) AS BIGINT) AS cid, pos, v
+           |  FROM e WHERE vec_id % $m = 1),
+           |d1$m AS (SELECT e.vec_id, c0$m.cid, sum((e.v - c0$m.v) * (e.v - c0$m.v)) AS d2
+           |  FROM e JOIN c0$m ON e.pos = c0$m.pos GROUP BY 1, 2),
+           |a1$m AS (SELECT vec_id, d2 FROM (
+           |  SELECT vec_id, d2, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY d2 ASC, cid ASC) AS rn FROM d1$m) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val sels = ElbowMods.map { m =>
+        s"""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id % $m = 1) AS k_centroids,
+           |  CAST(count(*) AS BIGINT) AS n_vectors,
+           |  round(sum(d2), 6) AS inertia,
+           |  round(round(sum(d2), 6) / count(*), 6) AS mean_d2
+           |FROM a1$m""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+         |$perM
+         |SELECT * FROM (
+         |$sels
+         |) ORDER BY k_centroids""".stripMargin
+    },
     "e_decontam_sweep" -> {
       val perW = DecontamWidths.map { w =>
         s"""sh$w AS (SELECT DISTINCT doc_id,
