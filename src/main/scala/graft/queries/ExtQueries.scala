@@ -340,12 +340,13 @@ object ExtQueries {
     ("decontamHits", decontamCache, "e_decontam"),
     // minhashPairs: e_bbit_minhash, e_cc_incremental,
     // e_connected_components, e_curation_funnel, e_dedup_apply,
-    // e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
+    // e_cluster_density, e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
     // e_dedup_impact, e_dedup_minhash_lsh, e_dup_kcore,
     // e_dup_triangles, e_dedup_authority, e_label_propagation,
     // e_lsh_recall, e_lsh_recall_sweep, e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
-    // nearDupClusters: e_cc_sizes, e_dedup_best, e_dedup_clusters, e_golden_record, e_leakage_split
+    // nearDupClusters: e_cc_sizes, e_cluster_density, e_dedup_best,
+    // e_dedup_clusters, e_golden_record, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
     // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
@@ -2855,6 +2856,30 @@ object ExtQueries {
       .orderBy("threshold_pct")
   }
 
+  /** Per-cluster edge density (cohesion): direct high-confidence pairs
+    * over the C(size, 2) possible — density ≈ 1 is a true clique
+    * (mirror farm: drop whole cluster safely), low density means the
+    * cluster exists only through CHAINED merges (paraphrase drift:
+    * deleting all-but-one risks losing non-duplicates). The per-cluster
+    * read behind `e_dup_triangles`' per-node view. Edges map onto
+    * clusters via two id-keyed joins; multi-member clusters only. */
+  def eClusterDensity(s: SparkSession, d: String): DataFrame = {
+    val labels = nearDupClusters(s, d)
+    val sizes = labels.groupBy(col("cluster_id")).agg(count(lit(1)).as("size"))
+      .filter(col("size") >= 2)
+    val edges = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .join(labels.select(col("doc_id").as("doc_a"), col("cluster_id")), Seq("doc_a"))
+      .join(labels.select(col("doc_id").as("doc_b"), col("cluster_id").as("cb")), Seq("doc_b"))
+      .filter(col("cluster_id") === col("cb"))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("size"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(coalesce(col("n_edges"), lit(0L)).cast("double") * 2 /
+          (col("size") * (col("size") - 1)), 6).as("density"))
+      .orderBy("cluster_id")
+  }
+
   /** Near-dup cluster size histogram: how many clusters of each size the
     * 3-round labeling produced — the shape read that separates "a few
     * mirror farms" (heavy tail) from "diffuse pairwise noise" (all 2s);
@@ -5352,6 +5377,7 @@ object ExtQueries {
     "e_bpe_fertility" -> (eBpeFertility _),
     "e_dedup_curve" -> (eDedupCurve _),
     "e_cc_sizes" -> (eCcSizes _),
+    "e_cluster_density" -> (eClusterDensity _),
     "e_decontam_sweep" -> (eDecontamSweep _),
     "e_elbow_curve" -> (eElbowCurve _),
     "e_text_langid" -> (eTextLangid _),
@@ -6291,6 +6317,19 @@ object ExtQueries {
          |$sels
          |) ORDER BY threshold_pct""".stripMargin
     },
+    "e_cluster_density" ->
+      s"""$clustersCte,
+         |sz AS (SELECT cluster_id, count(*) AS size FROM l3
+         |  GROUP BY 1 HAVING count(*) >= 2),
+         |ed AS (SELECT la.cluster_id, count(*) AS n_edges FROM fpairs f
+         |  JOIN l3 la ON la.doc_id = f.doc_a
+         |  JOIN l3 lb ON lb.doc_id = f.doc_b AND lb.cluster_id = la.cluster_id
+         |  GROUP BY la.cluster_id)
+         |SELECT sz.cluster_id, CAST(size AS BIGINT) AS size,
+         |  CAST(coalesce(n_edges, 0) AS BIGINT) AS n_edges,
+         |  round(CAST(coalesce(n_edges, 0) AS DOUBLE) * 2
+         |    / (size * (size - 1)), 6) AS density
+         |FROM sz LEFT JOIN ed USING (cluster_id) ORDER BY cluster_id""".stripMargin,
     "e_cc_sizes" ->
       s"""$clustersCte,
          |sz AS (SELECT cluster_id, count(*) AS size FROM l3 GROUP BY 1)
