@@ -161,6 +161,28 @@ object RelQueries {
       .orderBy("event_id")
   }
 
+  /** Time-to-convert report powered by the native as-of exec: per
+    * purchase, days since the user's latest prior signup (the as-of
+    * lag), bucketed to a day-grain histogram — the funnel-latency
+    * deliverable that motivates having an as-of join at all.
+    * Purchases with no prior signup report bucket −1. */
+  def eConversionLag(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_eid"))
+    graft.plans.AsOfJoinExec.asof(purchases, signups,
+        leftKey = "user_id", rightKey = "s_user",
+        leftTime = "ts", rightTime = "s_ts", rightTieBreak = Some("s_eid"))
+      .select(when(col("s_ts").isNull, lit(-1L))
+        .otherwise(expr("(ts - s_ts) DIV 86400000000000")).as("lag_days"))
+      .groupBy("lag_days")
+      .agg(count(lit(1)).as("n_purchases"))
+      .orderBy("lag_days")
+  }
+
   // ---- A1-A5, AX aggregations ----
   def a1MaxAggregate(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -375,6 +397,7 @@ object RelQueries {
     "jx_full_join" -> (jxFullJoin _),
     "jx_asof_join" -> (jxAsofJoin _),
     "jx_asof_exec" -> (jxAsofExec _),
+    "e_conversion_lag" -> (eConversionLag _),
     "a1_max_aggregate" -> (a1MaxAggregate _),
     "a2_min_max_range" -> (a2MinMaxRange _),
     "a3_count" -> (a3Count _),
@@ -474,6 +497,16 @@ object RelQueries {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
         |  ON p.user_id = s.user_id AND s.ts <= p.ts
         |ORDER BY p.event_id""".stripMargin,
+    "e_conversion_lag" ->
+      """WITH j AS (
+        |  SELECT p.ts AS pts, s.ts AS sts
+        |  FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |    ON p.user_id = s.user_id AND s.ts <= p.ts)
+        |SELECT CASE WHEN sts IS NULL THEN CAST(-1 AS BIGINT)
+        |  ELSE (epoch_us(pts) - epoch_us(sts)) // 86400000000 END AS lag_days,
+        |  CAST(count(*) AS BIGINT) AS n_purchases
+        |FROM j GROUP BY 1 ORDER BY lag_days""".stripMargin,
     "jx_asof_exec" ->
       """SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts, epoch_us(s.ts) AS last_signup_ts
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
