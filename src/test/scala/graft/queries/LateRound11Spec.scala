@@ -70,6 +70,35 @@ class LateRound11Spec extends SparkSpec {
     assert(r.map(_.getLong(2)).sum > 0, "dedup removed nothing — no signal")
   }
 
+  test("e_cluster_density: density in (0,1], edges bounded by C(size,2)") {
+    val r = rows("e_cluster_density")
+    assert(r.nonEmpty)
+    r.foreach { x =>
+      val (size, edges, dens) = (x.getLong(1), x.getLong(2), x.getDouble(3))
+      assert(size >= 2)
+      assert(edges >= 1 && edges <= size * (size - 1) / 2,
+        s"edges $edges outside [1, C($size,2)]") // every cluster came from ≥1 pair
+      assert(dens > 0.0 && dens <= 1.0 + 1e-9)
+    }
+  }
+
+  test("e_conversion_lag: buckets partition the purchases") {
+    val r = rows("e_conversion_lag")
+    val purchases = graft.Tables.events(spark, d)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "purchase").count()
+    assert(r.map(_.getLong(1)).sum == purchases, "histogram loses purchases")
+    assert(r.map(_.getLong(0)).distinct.length == r.length, "duplicate buckets")
+    assert(r.forall(_.getLong(0) >= -1L))
+  }
+
+  test("e_elbow_curve: inertia decreases as seed density grows") {
+    val r = rows("e_elbow_curve").map(x => (x.getLong(0), x.getDouble(2))).toSeq
+    assert(r.length == 3)
+    assert(r.map(_._1) == r.map(_._1).sorted, "not ordered by k")
+    assert(r.sliding(2).forall(w => w(1)._2 <= w(0)._2 + 1e-6),
+      s"inertia not monotone in k: $r")
+  }
+
   test("e_simhash_wide: ordered pairs within the hamming cap") {
     rows("e_simhash_wide").foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
