@@ -20,6 +20,16 @@ import org.apache.spark.sql.expressions.Window
   * grows with the corpus), never on a constant, so parallelism scales
   * with the data.
   *
+  * The one bounded caveat of per-user sequence semantics: a single
+  * pathological power user (a bot with a billion events) funnels its
+  * history through one task — inherent to ANY per-key ordered
+  * computation, not to these plans. The production guard is upstream:
+  * `e_skew_report` surfaces exactly this key profile, `e_user_drift`
+  * flags the bot-shaped distribution, and the sessionized operators can
+  * pre-split such a user on coarse time buckets (sessions never span a
+  * bucket longer than the gap) before the window — the same
+  * time-sharded trick `CorpusShuffle` uses.
+  *
   * Determinism contract (shared with every oracle in this package): event
   * order is `(et, event_id)` — epoch-second plus the unique id tie-break —
   * and every floating aggregate is either an exact integer ratio or a
