@@ -849,9 +849,15 @@ object Dedup {
     inter
       .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
       .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      // threshold test on exact integers (n_inter·tDen ≥ |A∪B|·tNum) so the
+      // no-false-negative contract holds for EVERY rational t — filtering on
+      // the 6-dp-rounded display jaccard would drop a pair whose true
+      // Jaccard sits just above a threshold not representable at 6 dp
+      // (e.g. t = 1/3); round(…, 6) survives only on the reported column
+      .filter(col("n_inter") * lit(tDen) >=
+        (col("n_a") + col("n_b") - col("n_inter")) * lit(tNum))
       .withColumn("jaccard", round(col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")), 6))
-      .filter(col("jaccard") * lit(tDen.toDouble) >= lit(tNum.toDouble))
       .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
         col("n_inter"), col("jaccard"))
   }

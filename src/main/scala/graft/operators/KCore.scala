@@ -35,7 +35,18 @@ object KCore {
     * unrolls the same bounded rounds), and an unconverged exit is
     * narrated through the leveled log (Warning) so a caller that needs
     * the exact core knows to raise `maxRounds`. */
-  def coreMembers(pairs: DataFrame, k: Int, maxRounds: Int = 8): DataFrame = {
+  def coreMembers(pairs: DataFrame, k: Int, maxRounds: Int = 8): DataFrame =
+    coreMembersWithStatus(pairs, k, maxRounds)._1
+
+  /** [[coreMembers]] plus the CONVERGED flag: `true` iff the peel reached
+    * its fixpoint within `maxRounds` (the returned members ARE the exact
+    * k-core), `false` when the loop exited on the round bound with
+    * under-degree nodes remaining (the bounded-peel SUPERSET — same rows
+    * the oracle's unrolled rounds produce, but not the exact core).
+    * Callers that must not act on a superset (e.g. "delete every member
+    * of the dense core") check this flag instead of parsing logs. */
+  def coreMembersWithStatus(pairs: DataFrame, k: Int,
+                            maxRounds: Int = 8): (DataFrame, Boolean) = {
     require(k >= 1 && maxRounds >= 1)
     def iterCheckpoint(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
@@ -60,19 +71,20 @@ object KCore {
         .select(col("s"), col("t")))
       r += 1
     }
+    var converged = done
     if (!done) {
       // loop exited on the round bound, not the fixpoint — check whether
       // the final edge set actually converged (one cheap aggregation on
       // the already-checkpointed survivor edges)
-      val unconverged = ed.groupBy(col("s")).agg(count(lit(1)).as("d"))
-        .filter(col("d") < k).limit(1).count() > 0
-      if (unconverged)
+      converged = ed.groupBy(col("s")).agg(count(lit(1)).as("d"))
+        .filter(col("d") < k).limit(1).count() == 0
+      if (!converged)
         graft.observability.Observability.logLeveled(
           graft.observability.Observability.Level.Warning,
           s"k-core peel unconverged after $maxRounds rounds (k=$k): " +
             "result is the bounded-peel superset; raise maxRounds for the exact core")
     }
-    ed.groupBy(col("s").as("doc_id"))
-      .agg(count(lit(1)).as("core_degree"))
+    (ed.groupBy(col("s").as("doc_id"))
+      .agg(count(lit(1)).as("core_degree")), converged)
   }
 }

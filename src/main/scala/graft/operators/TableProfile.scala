@@ -23,25 +23,34 @@ object TableProfile {
 
   /** Per-column profile of `df`: (column_name, n_rows, n_null,
     * n_distinct, avg_len), one row per column, avg_len null on all-null
-    * columns. */
+    * columns.
+    *
+    * Schema-dynamic for REAL: no column name is ever string-interpolated
+    * into SQL. Inputs are renamed positionally (`toDF` — no parsing) to
+    * safe internal names, the unpivot is built from typed Columns
+    * (explode over an array of structs — the Expand-based equivalent of
+    * `stack`), and the original names only appear as `lit(...)` string
+    * LITERALS, so names containing quotes, backticks or dots profile
+    * like any other. */
   def apply(df: DataFrame): DataFrame = {
     val cols = df.schema.fieldNames.toSeq
-    val aggs = cols.flatMap { c =>
+    val safe = df.toDF(cols.indices.map(i => s"c$i"): _*)
+    val aggs = cols.indices.flatMap { i =>
       Seq(
-        count(when(col(c).isNull, 1)).as(s"${c}__nnull"),
-        countDistinct(col(c)).as(s"${c}__ndist"),
-        round(avg(length(col(c).cast("string"))), 6).as(s"${c}__avglen"))
+        count(when(col(s"c$i").isNull, 1)).as(s"nnull_$i"),
+        countDistinct(col(s"c$i")).as(s"ndist_$i"),
+        round(avg(length(col(s"c$i").cast("string"))), 6).as(s"avglen_$i"))
     } :+ count(lit(1)).as("__n")
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols
-      .map(c => s"'$c', `${c}__nnull`, `${c}__ndist`, `${c}__avglen`")
-      .mkString(", ")
-    row.select(
-        col("__n").as("n_rows"),
-        expr(s"stack(${cols.length}, $stackArgs) AS " +
-          "(column_name, n_null, n_distinct, avg_len)"))
-      .select(col("column_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("avg_len"))
+    val row = safe.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column_name"), col(s"nnull_$i").as("n_null"),
+        col(s"ndist_$i").as("n_distinct"), col(s"avglen_$i").as("avg_len"))
+    }
+    row.select(col("__n").as("n_rows"),
+        explode(array(entries: _*)).as("p"))
+      .select(col("p.column_name").as("column_name"), col("n_rows"),
+        col("p.n_null").as("n_null"), col("p.n_distinct").as("n_distinct"),
+        col("p.avg_len").as("avg_len"))
       .orderBy("column_name")
   }
 }

@@ -28,11 +28,17 @@ import org.apache.spark.sql.functions._
 object Winsorize {
 
   /** Per-group stats of integer column `value` clipped to its
-    * [pLo, pHi] rank percentiles: (group, n_rows, lo, hi, mean_raw,
-    * mean_winsor), ordered by group. */
+    * [pLoNum/pDen, pHiNum/pDen] rank percentiles: (group, n_rows, lo, hi,
+    * mean_raw, mean_winsor), ordered by group. Percentiles are EXACT
+    * integer rationals (the RobustStats/SeqQueries convention): the rank
+    * cut `cum ≥ ceil(p·n)` is evaluated as `cum·pDen ≥ pNum·n` in pure
+    * long arithmetic — a floating `ceil(lit(p) * n)` is off by one
+    * whenever p·n lands on a representation error (classic 0.07·100 =
+    * 7.000000000000001 → ceil 8). */
   def stats(df: DataFrame, groupCol: String, valueCol: String,
-            pLo: Double, pHi: Double): DataFrame = {
-    require(0.0 < pLo && pLo < pHi && pHi <= 1.0, "need 0 < pLo < pHi <= 1")
+            pLoNum: Long, pHiNum: Long, pDen: Long): DataFrame = {
+    require(pDen > 0 && 0 < pLoNum && pLoNum < pHiNum && pHiNum <= pDen,
+      "need 0 < pLo < pHi <= 1 as exact rationals over pDen")
     val g = col(groupCol)
     val v = col(valueCol).cast("long")
     val vc = df.groupBy(g.as("g"), v.as("v"))
@@ -44,11 +50,12 @@ object Winsorize {
       sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
         .partitionBy(col("g")).orderBy(col("v"))))
       .join(tot, Seq("g"))
-    def cutAt(p: Double): DataFrame = run
-      .filter(col("cum") >= ceil(lit(p) * col("n")))
+    // cum ≥ ceil(pNum/pDen · n)  ⇔  cum·pDen ≥ pNum·n  (all longs, exact)
+    def cutAt(pNum: Long): DataFrame = run
+      .filter(col("cum") * lit(pDen) >= lit(pNum) * col("n"))
       .groupBy(col("g")).agg(min(col("v")).as(s"cut"))
-    val lo = cutAt(pLo).withColumnRenamed("cut", "lo")
-    val hi = cutAt(pHi).withColumnRenamed("cut", "hi")
+    val lo = cutAt(pLoNum).withColumnRenamed("cut", "lo")
+    val hi = cutAt(pHiNum).withColumnRenamed("cut", "hi")
     val cuts = lo.join(hi, Seq("g"))
     df.select(g.as("g"), v.as("v"))
       .join(broadcast(cuts), Seq("g"))

@@ -2847,8 +2847,12 @@ object ExtQueries {
     }
     val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val one = pairs.agg(aggs.head, aggs.tail: _*).crossJoin(broadcast(nDocs))
+    // coalesce: over an EMPTY pair table the conditional sums are NULL
+    // while the oracle's count(*) FILTER yields 0 — same guard as
+    // eLshRecallSweep
     val stackArgs = thresholds
-      .map(t => s"CAST($t AS BIGINT), `np_$t`, `nr_$t`").mkString(", ")
+      .map(t => s"CAST($t AS BIGINT), coalesce(`np_$t`, 0), coalesce(`nr_$t`, 0)")
+      .mkString(", ")
     one.select(col("n_docs"),
         expr(s"stack(${thresholds.length}, $stackArgs) AS (threshold_pct, n_pairs, n_removed)"))
       .select(col("threshold_pct"), col("n_pairs"), col("n_removed"),
@@ -5300,7 +5304,8 @@ object ExtQueries {
     * throughout ([[graft.operators.Winsorize]]). */
   def eWinsorize(s: SparkSession, d: String): DataFrame =
     graft.operators.Winsorize.stats(
-      Tables.documents(s, d), "source", "n_chars", pLo = 0.05, pHi = 0.95)
+      Tables.documents(s, d), "source", "n_chars",
+      pLoNum = 1, pHiNum = 19, pDen = 20) // exact 5% / 95% rank cuts
 
   val queries: Map[String, Q] = Map(
     "e_table_profile" -> (eTableProfile _),
@@ -5567,9 +5572,9 @@ object ExtQueries {
         |    sum(cnt) OVER (PARTITION BY vc.source ORDER BY v) AS cum
         |  FROM vc JOIN tot USING (source)),
         |loc AS (SELECT source, min(v) AS lo FROM run
-        |  WHERE cum >= ceil(0.05 * n) GROUP BY source),
+        |  WHERE cum * 20 >= 1 * n GROUP BY source),
         |hic AS (SELECT source, min(v) AS hi FROM run
-        |  WHERE cum >= ceil(0.95 * n) GROUP BY source)
+        |  WHERE cum * 20 >= 19 * n GROUP BY source)
         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_rows, lo, hi,
         |  round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS mean_raw,
         |  round(CAST(sum(least(greatest(n_chars, lo), hi)) AS DOUBLE)
@@ -6590,8 +6595,7 @@ object ExtQueries {
          |FROM inter i
          |JOIN cnts na ON na.doc_id = i.doc_a
          |JOIN cnts nb ON nb.doc_id = i.doc_b
-         |WHERE round(CAST(i.n_inter AS DOUBLE) / (na.n + nb.n - i.n_inter), 6)
-         |  * $PpjTDen >= $PpjTNum
+         |WHERE i.n_inter * $PpjTDen >= (na.n + nb.n - i.n_inter) * $PpjTNum
          |ORDER BY doc_a, doc_b""".stripMargin,
     "e_source_centroids" ->
       """WITH e AS (SELECT d.source, generate_subscripts(embedding, 1) AS pos,

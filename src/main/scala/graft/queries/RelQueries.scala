@@ -144,7 +144,17 @@ object RelQueries {
     * union + carry-forward window: one SMJ-shaped merge pass, one
     * buffered right row, no window state. Graded against DuckDB's
     * native ASOF LEFT JOIN — both formulations must land on the same
-    * hash. */
+    * hash.
+    *
+    * Tie caveat: on an EXACT (user_id, ts) signup/purchase tie the two
+    * formulations diverge — the exec (and DuckDB ASOF) admits any
+    * `s_ts <= ts`, while [[jxAsofJoin]]'s carry-forward window orders by
+    * (ts, event_id) and so EXCLUDES a same-ts signup whose event_id sorts
+    * after the purchase's. The events fixture has no same-ts
+    * signup/purchase pair per user (event timestamps are distinct at ns
+    * grain), so the cross-formulation equality the spec asserts is
+    * data-dependent; a dataset with such ties would need the window form
+    * to order signups before purchases at equal ts. */
   def jxAsofExec(s: SparkSession, d: String): DataFrame = {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")

@@ -47,6 +47,23 @@ class KCoreSpec extends SparkSpec {
     assert(run(Set((1L, 2L), (2L, 3L), (1L, 3L)), k = 5).isEmpty)
   }
 
+  test("pendant chain: bounded exit reports unconverged, enough rounds converge") {
+    import spark.implicits._
+    // chain 1-2-…-12 peels one node per END per round (≈ n/2 rounds to
+    // empty at k=2) — the adversarial shape for a bounded peel
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (bounded, cb) = KCore.coreMembersWithStatus(chain, k = 2, maxRounds = 2)
+    assert(!cb, "2 rounds cannot reach the chain's peel fixpoint")
+    // the truncated result is a SUPERSET of the (empty) true 2-core
+    assert(bounded.count() > 0)
+    val (exact, ce) = KCore.coreMembersWithStatus(chain, k = 2, maxRounds = 12)
+    assert(ce, "12 rounds reach the fixpoint")
+    assert(exact.isEmpty, "a chain has no 2-core")
+    // a graph whose peel finishes early converges inside the bound
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("doc_a", "doc_b")
+    assert(KCore.coreMembersWithStatus(tri, k = 2, maxRounds = 2)._2)
+  }
+
   test("seeded random graphs: bounded peel matches the fixpoint reference") {
     val rnd = new scala.util.Random(7)
     (1 to 6).foreach { trial =>

@@ -22,6 +22,16 @@ class TableProfileSpec extends SparkSpec {
     assert(rows("s") == ((4L, 1L, 2L, Some(2.666667))))       // 8/3 rounded to 6dp
   }
 
+  test("hostile column names (quotes, backticks, dots) profile fine") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y"))
+      .toDF("it's `quoted`", "dotted.name")
+    val rows = TableProfile(df).collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("it's `quoted`", "dotted.name"))
+    assert(rows("it's `quoted`").getLong(3) == 2L)   // n_distinct
+    assert(rows("dotted.name").getLong(2) == 0L)     // n_null
+  }
+
   test("all-null column: distinct 0, avg_len null") {
     import spark.implicits._
     val df = Seq((1L, Option.empty[String]), (2L, Option.empty[String])).toDF("id", "s")

@@ -6,16 +6,18 @@ import graft.SparkSpec
   * rank-cut (percentile_disc) convention. */
 class WinsorizeSpec extends SparkSpec {
 
-  private def reference(rows: Seq[(String, Long)], pLo: Double, pHi: Double)
+  private def reference(rows: Seq[(String, Long)],
+                        pLoNum: Long, pHiNum: Long, pDen: Long)
       : Map[String, (Long, Long, Long, Double, Double)] =
     rows.groupBy(_._1).map { case (g, rs) =>
       val vs = rs.map(_._2).sorted
       val n = vs.length
-      def cut(p: Double): Long = {
-        val k = math.ceil(p * n).toLong.max(1L)
+      def cut(pNum: Long): Long = {
+        // exact ceil(pNum/pDen · n) in integer arithmetic
+        val k = ((pNum * n + pDen - 1) / pDen).max(1L)
         vs((k - 1).toInt) // k-th smallest = first value whose cum count >= k
       }
-      val (lo, hi) = (cut(pLo), cut(pHi))
+      val (lo, hi) = (cut(pLoNum), cut(pHiNum))
       val w = vs.map(v => math.min(math.max(v, lo), hi))
       g -> ((n.toLong, lo, hi,
         BigDecimal(vs.sum.toDouble / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -31,11 +33,11 @@ class WinsorizeSpec extends SparkSpec {
       (g, v)
     }
     val df = spark.createDataFrame(rows).toDF("source", "n_chars")
-    val got = Winsorize.stats(df, "source", "n_chars", 0.05, 0.95).collect()
+    val got = Winsorize.stats(df, "source", "n_chars", 1, 19, 20).collect()
       .map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
       .toMap
-    val want = reference(rows, 0.05, 0.95)
+    val want = reference(rows, 1, 19, 20)
     assert(got.keySet == want.keySet)
     got.foreach { case (g, (n, lo, hi, mr, mw)) =>
       val (wn, wlo, whi, wmr, wmw) = want(g)
@@ -46,10 +48,21 @@ class WinsorizeSpec extends SparkSpec {
     }
   }
 
+  test("rank cuts are integer-exact where float ceil is off by one") {
+    // 0.07 * 100 = 7.000000000000001 in doubles → ceil 8: the float form
+    // cut at the 8th smallest; the exact rational 7/100 must cut at the 7th
+    val df = spark.createDataFrame((1 to 100).map(i => ("g", i.toLong)))
+      .toDF("source", "n_chars")
+    val r = Winsorize.stats(df, "source", "n_chars", 7, 93, 100).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(2) == 7L, s"lo cut must be the 7th smallest, got ${r(0).getLong(2)}")
+    assert(r(0).getLong(3) == 93L)
+  }
+
   test("degenerate group: constant values clip to themselves") {
     val df = spark.createDataFrame(Seq(("a", 5L), ("a", 5L), ("a", 5L)))
       .toDF("source", "n_chars")
-    val r = Winsorize.stats(df, "source", "n_chars", 0.05, 0.95).collect()
+    val r = Winsorize.stats(df, "source", "n_chars", 1, 19, 20).collect()
     assert(r.length == 1)
     assert(r(0).getLong(2) == 5L && r(0).getLong(3) == 5L)
     assert(r(0).getDouble(4) == 5.0 && r(0).getDouble(5) == 5.0)
