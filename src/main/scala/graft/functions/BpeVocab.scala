@@ -183,10 +183,15 @@ object BpeVocab {
 
   /** The `(sym)`-group encoding of `word` after replaying the learned
     * merges in training order — encode (tokenizer APPLY, the other half
-    * of the artifact [[train]] produces) is a pure fold of literal
-    * replaces: ONE codegen projection, no UDF, no join, with the same
-    * delimiter guarantees as training (greedy left-to-right,
-    * non-overlapping, never inside a longer symbol).
+    * of the artifact [[train]] produces). Backed by the native
+    * [[graft.plans.BpeEncode]] expression: the merge table is a FIELD of
+    * one expression node and the replay is a runtime loop, so plan depth
+    * is constant at any vocabulary size (the per-merge `replace` fold it
+    * replaces — kept as [[encodedColFold]] for the parity spec — grows
+    * the expression tree with the vocabulary and blows the analyzer
+    * stack / Janino method limit at production 30k-50k merge counts).
+    * Same replay semantics bit-for-bit: greedy left-to-right,
+    * non-overlapping, never inside a longer symbol.
     *
     * Scale: apply this to the DISTINCT-word table and equi-join back to
     * the token stream — encode work is then ∝ vocabulary (millions), not
@@ -194,6 +199,21 @@ object BpeVocab {
     * per-row column arithmetic); the join form just avoids re-encoding a
     * hot word a billion times. */
   def encodedCol(word: Column, merges: Seq[Merge]): Column =
+    graft.plans.BpeExpressions.bpeEncode(word, merges.map(symbolPair))
+
+  /** The bare (s1, s2) symbol pair of a merge's rendered `"(s1)(s2)"`
+    * key — `[a-z]+` symbols make the `")("` split unambiguous. */
+  private[graft] def symbolPair(m: Merge): (String, String) = {
+    val parts = m.pair.stripPrefix("(").stripSuffix(")").split("\\)\\(")
+    require(parts.length == 2, s"malformed merge pair: ${m.pair}")
+    (parts(0), parts(1))
+  }
+
+  /** The ORIGINAL per-merge replace fold — identical replay semantics to
+    * [[encodedCol]], expression depth ∝ merges. Kept (test-only) as the
+    * independent reference the native/fold parity spec compares against;
+    * production paths must use [[encodedCol]]. */
+  private[graft] def encodedColFold(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(regexp_replace(word, "(.)", "($1)")) { (c, m) =>
       replace(c, lit(m.pair), lit(m.pair.replace(")(", "")))
     }

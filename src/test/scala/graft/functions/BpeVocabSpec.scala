@@ -133,6 +133,69 @@ class BpeVocabSpec extends SparkSpec {
     assert(got("bab") == Seq("b", "ab"))
   }
 
+  test("native encode equals the replace-fold reference on trained merges") {
+    val rnd = new scala.util.Random(13)
+    val trainWords = (1 to 30).map { _ =>
+      val len = 1 + rnd.nextInt(9)
+      (Seq.fill(len)(('a' + rnd.nextInt(3)).toChar).mkString,
+        (1 + rnd.nextInt(5)).toLong)
+    }.distinctBy(_._1)
+    val merges = BpeVocab.train(trainWords.toDF("word", "wc"), 8)
+    val applyWords = trainWords.map(_._1) ++ Seq("abcba", "ccc", "b", "")
+    val rows = applyWords.toDF("word")
+      .select(
+        BpeVocab.encodedCol($"word", merges).as("native"),
+        BpeVocab.encodedColFold($"word", merges).as("fold"))
+      .as[(String, String)].collect()
+    rows.foreach { case (n, f) => assert(n == f, s"native '$n' != fold '$f'") }
+  }
+
+  test("native encode follows REPLAY, not rank-greedy, when a later merge recreates an earlier pair") {
+    // hand-built list (a trainer can't emit it; the apply contract still
+    // must match the fold): rank 0 ("aa","b") matches nothing in "aab"
+    // until rank 1 ("a","a") creates the "aa" symbol — replay's cursor
+    // has moved past rank 0 by then, so the result stays [aa, b].
+    // A rank-greedy encoder would apply rank 0 afterwards → [aab]. The
+    // replace-fold is replay by construction; native must agree with it.
+    val merges = Seq(
+      BpeVocab.Merge(1L, "(aa)(b)", "aab", 0L),
+      BpeVocab.Merge(2L, "(a)(a)", "aa", 0L))
+    val rows = Seq("aab").toDF("word")
+      .select(
+        BpeVocab.tokensCol($"word", merges).as("toks"),
+        BpeVocab.encodedCol($"word", merges).as("native"),
+        BpeVocab.encodedColFold($"word", merges).as("fold"))
+      .as[(Seq[String], String, String)].collect()
+    val (toks, native, fold) = rows.head
+    assert(native == fold, s"native '$native' != fold '$fold'")
+    assert(toks == Seq("aa", "b"), s"replay must NOT re-fire rank 0: $toks")
+  }
+
+  test("encode at 5000 merges analyzes, compiles and runs (the fold's plan-depth ceiling)") {
+    // production vocabularies carry 30k-50k merges; the fold form blows
+    // the analyzer stack well before that. The native expression holds
+    // the table in ONE node — prove a 5000-entry table flows through
+    // analysis + codegen + execution, with both an EARLY (rank 0) and a
+    // LATE (last rank) merge actually firing.
+    def b26(i: Int): String = {
+      var n = i; val sb = new StringBuilder
+      do { sb.append(('a' + n % 26).toChar); n /= 26 } while (n > 0)
+      sb.result()
+    }
+    val fillers = (1 until 4999).map(i =>
+      BpeVocab.Merge(i + 1L, s"(zz)(z${b26(i)})", "zz" + "z" + b26(i), 0L))
+    val merges =
+      BpeVocab.Merge(1L, "(a)(b)", "ab", 0L) +:
+      fillers :+
+      BpeVocab.Merge(5000L, "(ab)(ab)", "abab", 0L)
+    assert(merges.size == 5000)
+    val got = Seq("abab", "zab").toDF("word")
+      .select($"word", BpeVocab.tokensCol($"word", merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("abab") == Seq("abab"), got) // rank 0 then rank 4999 fired
+    assert(got("zab") == Seq("z", "ab"), got)
+  }
+
   test("wordCounts lowercases and keeps only [a-z]+ runs") {
     val docs = Seq((1L, "Hello, WORLD 42 hello!")).toDF("doc_id", "text")
     val got = BpeVocab.wordCounts(docs, "text")
