@@ -115,14 +115,36 @@ object Dedup {
     * to it (min over a set equals min over the multiset) and the set-based
     * consumers require it. */
   def shingleBases(docs: DataFrame, idCol: String, textCol: String,
-                   shingleWidth: Int): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+                   shingleWidth: Int): DataFrame =
+    // LEGACY single-space tokenization, kept for oracle stability of the
+    // pre-unicode query families; prefer [[shingleBasesUnicode]] for new
+    // pipelines (see TextAnalysis.tokens' caveat)
+    shingleBasesFromTokens(docs, idCol, split(trim(col(textCol)), " "),
+      shingleWidth)
+
+  /** [[shingleBases]] under the engine's unicode tokenizer
+    * ([[graft.functions.TextAnalysis.unicodeTokens]]: NFKC normalize,
+    * then `[\p{L}\p{N}]+` runs) — the tokenize-once artifact for CJK /
+    * punctuation-heavy corpora, where whitespace splitting silently
+    * degrades every shingle consumer (a space-free CJK document is ONE
+    * whitespace token, so MinHash signatures, decontamination and
+    * n-gram Jaccard all collapse to a single shingle). Same scale shape:
+    * normalization and tokenization are per-row codegen'd scan work. */
+  def shingleBasesUnicode(docs: DataFrame, idCol: String, textCol: String,
+                          shingleWidth: Int): DataFrame =
+    shingleBasesFromTokens(docs, idCol,
+      graft.functions.TextAnalysis.unicodeTokens(col(textCol)), shingleWidth)
+
+  /** The tokenizer-generic core of [[shingleBases]]: distinct word
+    * w-shingles of `toks` per doc as 56-bit md5 halves
+    * `(doc_id, b1, b2)`. */
+  def shingleBasesFromTokens(docs: DataFrame, idCol: String, toks: Column,
+                             shingleWidth: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"),
         explode(array_distinct(shingles(toks, shingleWidth))).as("sh"))
       .select(col("doc_id"), graft.plans.HashExpressions.md5Halves(col("sh")).as("h"))
       .select(col("doc_id"), col("h.b1").as("b1"), col("h.b2").as("b2"))
-  }
 
   /** MinHash signatures from a prebuilt [[shingleBases]] table: one row per
     * doc, bigint columns h0..h{k-1}.

@@ -275,6 +275,19 @@ object ExtQueries {
       Dedup.materializeAndRelease(
         Dedup.shingleBases(Tables.documents(s, d), "doc_id", "text", W))))
 
+  // The UNICODE-tokenized sibling of docShingleBases (NFKC +
+  // [\p{L}\p{N}]+ runs instead of single-space splits) — the shingle
+  // base a CJK/punctuation-heavy corpus must use, powering the unicode
+  // variants of the flagship dedup/decontamination queries. Separate
+  // memo because the two tokenizations are different artifacts (the
+  // legacy one is kept for oracle stability of the pre-unicode
+  // families); same materialized lifecycle.
+  private val shingleUniCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def docShingleBasesUnicode(s: SparkSession, d: String): DataFrame =
+    shingleUniCache.getOrElseUpdate(d, timedMemo("shingleBasesUnicode")(
+      Dedup.materializeAndRelease(
+        Dedup.shingleBasesUnicode(Tables.documents(s, d), "doc_id", "text", W))))
+
   // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
   // pair table per sfDir and let each query apply its own minEst filter.
@@ -309,7 +322,8 @@ object ExtQueries {
     * move between scale factors. */
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
-    shingleCache.clear(); fpCache.clear(); clustersCache.clear()
+    shingleCache.clear(); shingleUniCache.clear()
+    fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
     winnowCache.clear(); nbCache.clear()
@@ -353,6 +367,9 @@ object ExtQueries {
     // e_ngram_jaccard, e_prefix_join, e_source_jaccard and
     // e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
+    // shingleBasesUnicode: e_decontam_unicode, e_dedup_unicode (last in
+    // name order)
+    ("shingleBasesUnicode", shingleUniCache, "e_dedup_unicode"),
     // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
     // e_kmeans_silhouette,
     // e_semantic_dedup
@@ -467,6 +484,32 @@ object ExtQueries {
   def eDedupMinhash(s: SparkSession, d: String): DataFrame =
     minhashPairs(s, d)
       .orderBy("doc_a", "doc_b")
+
+  /** The flagship MinHash-LSH near-dup pairs under the UNICODE tokenizer
+    * — [[eDedupMinhash]] with `Dedup.shingleBasesUnicode` as the shingle
+    * base. On this ASCII corpus the two tokenizations agree by design
+    * (NFKC identity, `[\p{L}\p{N}]+` runs = space-separated words); on a
+    * CJK or punctuation-glued corpus only THIS form produces usable
+    * signatures (UnicodeDedupSpec proves the divergence end-to-end).
+    * Identical scale shape: the tokenizer swap is per-row scan work. */
+  def eDedupUnicode(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashCandidatesFromBases(docShingleBasesUnicode(s, d),
+        k = K, bandRows = BandRows)
+      .orderBy("doc_a", "doc_b")
+
+  /** Benchmark decontamination under the UNICODE tokenizer — the
+    * `e_decontam` contract (held-out id % 97 == 0 slice, shared distinct
+    * 3-shingles) over the unicode shingle base, so contamination checks
+    * survive corpora where whitespace splitting would hide overlaps
+    * behind punctuation or missing spaces. */
+  def eDecontamUnicode(s: SparkSession, d: String): DataFrame = {
+    val bases = docShingleBasesUnicode(s, d)
+      .select(col("doc_id"), col("b1").as("sh"))
+    graft.functions.CorpusFilters.decontaminateFromShingles(
+        bases.filter(col("doc_id") % 97 =!= 0),
+        bases.filter(col("doc_id") % 97 === 0).select(col("sh")).distinct())
+      .orderBy("doc_id")
+  }
 
   /** IVF cell-balance report — the ops meter an inverted-file deployment
     * reads before trusting its latency envelope: per-cell occupancy and
@@ -3364,6 +3407,15 @@ object ExtQueries {
   private val toksCte =
     "toks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents)"
 
+  /** The unicode-tokenizer mirror of [[toksCte]]: NFKC is identity on
+    * this ASCII corpus and RE2's `\p{L}\p{N}` general categories agree
+    * with java.util.regex (the `e_token_unicode` precedent), so the CTE
+    * reproduces `TextAnalysis.unicodeTokens` exactly; non-ASCII NFKC
+    * behavior is spec-proven (NfkcNormalizeSpec + UnicodeDedupSpec)
+    * because DuckDB ships no normalizer. */
+  private val toksCteUnicode =
+    """toks AS (SELECT doc_id, regexp_extract_all(text, '[\p{L}\p{N}]+') AS t FROM documents)"""
+
   /** shingle CTE: same floor-at-one-shingle semantics as Dedup.shingles. */
   private def shCte(distinct: Boolean) = {
     val sel = if (distinct) "SELECT DISTINCT" else "SELECT"
@@ -3405,11 +3457,14 @@ object ExtQueries {
 
   /** Full-batch minhash candidate SQL; `pairPred` restricts the emitted
     * pairs (the incremental oracle keeps only pairs touching the
-    * increment — exactly what the index-probe path surfaces). */
-  private def minhashOracleSql(pairPred: String = "TRUE") = {
+    * increment — exactly what the index-probe path surfaces); `toks`
+    * picks the tokenizer CTE ([[toksCte]] legacy whitespace or
+    * [[toksCteUnicode]]). */
+  private def minhashOracleSql(pairPred: String = "TRUE",
+                               toks: String = toksCte) = {
     val matchSum = (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $toksCte,
+    s"""WITH $toks,
        |${shCte(distinct = false)},
        |$sigsCte,
        |$bandsCte,
@@ -5312,6 +5367,8 @@ object ExtQueries {
     "e_winsorize" -> (eWinsorize _),
     "e_dedup_exact" -> (eDedupExact _),
     "e_dedup_minhash_lsh" -> (eDedupMinhash _),
+    "e_dedup_unicode" -> (eDedupUnicode _),
+    "e_decontam_unicode" -> (eDecontamUnicode _),
     "e_minhash_calibration" -> (eMinhashCalibration _),
     "e_dedup_incremental" -> (eDedupIncremental _),
     "e_cross_source_dup" -> (eCrossSourceDup _),
@@ -5587,6 +5644,16 @@ object ExtQueries {
         |       CAST(count(*) AS BIGINT) AS n_dups
         |FROM documents GROUP BY content_hash ORDER BY content_hash""".stripMargin,
     "e_dedup_minhash_lsh" -> minhashOracle,
+    "e_dedup_unicode" -> minhashOracleSql(toks = toksCteUnicode),
+    "e_decontam_unicode" ->
+      s"""WITH $toksCteUnicode,
+         |${shCte(distinct = false)},
+         |$hshCtes,
+         |bench AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0)
+         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+         |FROM hsh h JOIN bench b ON h.sh = b.sh
+         |WHERE h.doc_id % 97 <> 0
+         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "e_minhash_calibration" -> minhashCalibrationOracle,
     "e_dedup_incremental" ->
       minhashOracleSql("(p.doc_a % 10 = 0 OR p.doc_b % 10 = 0)"),
