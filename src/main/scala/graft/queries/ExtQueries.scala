@@ -4,7 +4,7 @@ import graft.Tables
 import graft.dedup.Dedup
 import graft.functions.TextAnalysis
 import graft.similarity.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** [E] LLM-data-pipeline operators (SURVEY.md §2, BASELINE.json north star):
@@ -3074,6 +3074,63 @@ object ExtQueries {
       .orderBy("source")
   }
 
+  // ---------------- URL/host-grain curation ----------------
+
+  // The documents fixture carries no URL column, so the queries derive a
+  // deterministic one from (doc_id, lang, source) — scheme/www/port/query
+  // variation keyed on doc_id residues, host = [www.]<lang>.<source>.org
+  // (domains differentiate by source, subdomains by lang). The OPERATOR
+  // under grade is the host parse + domain rollup, not the fixture.
+  private def syntheticUrl: Column = concat(
+    when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+    when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
+    col("lang"), lit("."), col("source"), lit(".org"),
+    when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
+    lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
+    when(col("doc_id") % 3 === 0, lit("?ref=rss")).otherwise(lit("")))
+
+  /** The same URL, host parse (scheme/path/query/port stripped — the
+    * string-function mirror of Spark's `parse_url(url, 'HOST')`) and
+    * last-two-label registrable domain in DuckDB SQL. */
+  private val urlCtes: String = {
+    val hostExpr = "split_part(split_part(split_part(" +
+      "regexp_replace(url, '^[a-z]+://', ''), '/', 1), '?', 1), ':', 1)"
+    s"""u AS (SELECT doc_id, lang, source, text,
+       |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+       |  (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) ||
+       |  lang || '.' || source || '.org' ||
+       |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
+       |  '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
+       |  (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END) AS url
+       |  FROM documents),
+       |hh AS (SELECT *, $hostExpr AS host FROM u),
+       |hd AS (SELECT *, CASE WHEN len(string_split(host, '.')) >= 2
+       |    THEN array_to_string(string_split(host, '.')[-2:], '.')
+       |    ELSE host END AS domain FROM hh)""".stripMargin
+  }
+
+  /** Blocked registrable domains for the filter query (source-keyed, so
+    * the filter visibly drops whole feeds). */
+  private val BlockedDomains = Seq("src3.org", "src7.org", "src13.org")
+
+  /** Domain blocklist filter over the derived URL column: docs whose
+    * registrable domain is blocked drop; survivors report host + domain.
+    * One scan, InSet probe per row ([[graft.functions.UrlCuration]]). */
+  def eDomainFilter(s: SparkSession, d: String): DataFrame =
+    graft.functions.UrlCuration.domainFilter(
+        Tables.documents(s, d).withColumn("url", syntheticUrl),
+        "url", BlockedDomains)
+      .select(col("doc_id"), col("host"), col("domain"))
+      .orderBy("doc_id")
+
+  /** Per-host curation scorecard — the host-grain sibling of
+    * [[eSourceScorecard]]: docs, tokens, language spread, exact-dup rate
+    * per parsed host, with the registrable domain each host rolls up
+    * to. */
+  def eHostScorecard(s: SparkSession, d: String): DataFrame =
+    graft.functions.UrlCuration.hostScorecard(
+      Tables.documents(s, d).withColumn("url", syntheticUrl), "url", "text")
+
   /** Gopher-style repetition filter over the corpus (CorpusFilters). */
   def eRepetitionFilter(s: SparkSession, d: String): DataFrame =
     graft.functions.CorpusFilters
@@ -5471,6 +5528,8 @@ object ExtQueries {
     "e_phash_clusters" -> (ePhashClusters _),
     "e_repetition_filter" -> (eRepetitionFilter _),
     "e_source_scorecard" -> (eSourceScorecard _),
+    "e_domain_filter" -> (eDomainFilter _),
+    "e_host_scorecard" -> (eHostScorecard _),
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
     "e_pii_redact" -> (ePiiRedact _),
@@ -6741,6 +6800,21 @@ object ExtQueries {
          |  round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
          |    AS exact_dup_rate
          |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "e_domain_filter" ->
+      s"""WITH $urlCtes
+         |SELECT doc_id, host, domain FROM hd
+         |WHERE domain NOT IN (${BlockedDomains.map(b => s"'$b'").mkString(", ")})
+         |ORDER BY doc_id""".stripMargin,
+    "e_host_scorecard" ->
+      s"""WITH $urlCtes
+         |SELECT host, any_value(domain) AS domain,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |  CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS n_distinct_texts,
+         |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
+         |FROM hd GROUP BY host ORDER BY host""".stripMargin,
     "e_quality_cut" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score

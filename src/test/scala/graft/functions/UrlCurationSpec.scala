@@ -1,0 +1,55 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UrlCurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("host parse strips scheme, port, path and query; domain keeps last two labels") {
+    val got = Seq(
+        "https://www.en.src3.org:8080/en/120?ref=rss",
+        "http://de.src7.org/de/55",
+        "http://single/p")
+      .toDF("url")
+      .select($"url", UrlCuration.host($"url").as("host"))
+      .withColumn("domain", UrlCuration.registrableDomain($"host"))
+      .as[(String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("https://www.en.src3.org:8080/en/120?ref=rss") ==
+      (("www.en.src3.org", "src3.org")))
+    assert(got("http://de.src7.org/de/55") == (("de.src7.org", "src7.org")))
+    assert(got("http://single/p") == (("single", "single")))
+  }
+
+  test("domainFilter drops blocked registrable domains, keeps the rest") {
+    val docs = Seq(
+        (1L, "http://a.keep.org/x"),
+        (2L, "http://www.bad.org/y"),
+        (3L, "http://deep.sub.bad.org/z"),
+        (4L, "http://bad.org.keep.org/w")) // domain keep.org — NOT blocked
+      .toDF("doc_id", "url")
+    val kept = UrlCuration.domainFilter(docs, "url", Seq("bad.org"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L), s"blocklist must hit 2 and 3: $kept")
+  }
+
+  test("hostScorecard aggregates docs/tokens/dup-rate per host") {
+    val docs = Seq(
+        (1L, "http://a.x.org/1", "en", "one two three"),
+        (2L, "http://a.x.org/2", "de", "one two three"),   // exact dup of 1
+        (3L, "http://a.x.org/3", "en", "four five"),
+        (4L, "http://b.y.org/1", "fr", "six"))
+      .toDF("doc_id", "url", "lang", "text")
+    val rows = UrlCuration.hostScorecard(docs, "url", "text").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("a.x.org")
+    assert(a.getString(1) == "x.org")
+    assert(a.getLong(2) == 3L && a.getLong(3) == 8L) // 3 docs, 3+3+2 tokens
+    assert(a.getLong(4) == 2L && a.getLong(5) == 2L) // 2 langs, 2 distinct texts
+    assert(math.abs(a.getDouble(6) - 0.333333) < 1e-9)
+    val b = rows("b.y.org")
+    assert(b.getLong(2) == 1L && b.getDouble(6) == 0.0)
+  }
+}
