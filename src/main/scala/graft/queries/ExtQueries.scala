@@ -3250,6 +3250,26 @@ object ExtQueries {
         minCosine = 0.35)
       .orderBy("vec_id")
 
+  /** CLIP-style cross-modal alignment over the shared embedding space:
+    * each multimodal pair binds the text embedding `vec_id` to its image
+    * embedding — the SAME id for aligned pairs, a deterministically
+    * shifted one (`vec_id + 17`, inner-join dropping out-of-range) for
+    * the `% 11` mismatched-caption slice. The pair's cosine agreement and
+    * both sides' IVF cell come from the memoized k-means assignment (the
+    * quantizer trains once for search AND alignment); `aligned` cuts the
+    * rounded cosine at 0.9 — mismatched captions score the cosine of two
+    * unrelated embeddings and fail the cut. */
+  def eCrossmodalAlign(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.embeddings(s, d).select(
+      col("vec_id").as("pair_id"), col("vec_id").as("text_id"),
+      when(col("vec_id") % 11 === 0, col("vec_id") + 17)
+        .otherwise(col("vec_id")).as("img_id"))
+    Similarity.crossModalAlignment(pairs,
+        kmeansAssigned(s, d).select(col("vec_id"), col("v"), col("cid")),
+        minCosine = 0.9)
+      .orderBy("pair_id")
+  }
+
   /** Corpus vocabulary: the 50 most frequent tokens with counts and ranks —
     * one explode + map-side-combining count, then TakeOrdered for the
     * bounded head (never a full sort of the vocabulary). */
@@ -5540,6 +5560,7 @@ object ExtQueries {
     "e_boilerplate_lines" -> (eBoilerplateLines _),
     "e_kmeans" -> (eKmeans _),
     "e_kmeans_silhouette" -> (eKmeansSilhouette _),
+    "e_crossmodal_align" -> (eCrossmodalAlign _),
     "e_embed_outliers" -> (eEmbedOutliers _),
     "e_chunk_overlap" -> (eChunkOverlap _),
     "e_span_dedup_apply" -> (eSpanDedupApply _),
@@ -5933,6 +5954,29 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM ass JOIN st USING (cid) ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
+    "e_crossmodal_align" ->
+      s"""WITH $kmeansCte,
+         |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+         |vnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+         |p AS (SELECT vec_id AS pair_id, vec_id AS text_id,
+         |    CASE WHEN vec_id % 11 = 0 THEN vec_id + 17 ELSE vec_id END AS img_id
+         |  FROM embeddings),
+         |dp AS (SELECT p.pair_id, p.img_id, sum(ta.v * tb.v) AS dp
+         |  FROM p JOIN e ta ON ta.vec_id = p.text_id
+         |  JOIN e tb ON tb.vec_id = p.img_id AND tb.pos = ta.pos
+         |  GROUP BY 1, 2),
+         |r AS (SELECT d.pair_id, d.img_id,
+         |    round(d.dp / (na.nrm * nb.nrm), 6) AS cosine,
+         |    ca.cid AS text_cell, cb.cid AS img_cell
+         |  FROM dp d
+         |  JOIN vnorms na ON na.vec_id = d.pair_id
+         |  JOIN vnorms nb ON nb.vec_id = d.img_id
+         |  JOIN asg ca ON ca.vec_id = d.pair_id
+         |  JOIN asg cb ON cb.vec_id = d.img_id)
+         |SELECT pair_id, img_id, cosine, text_cell, img_cell,
+         |  CAST(text_cell = img_cell AS BIGINT) AS same_cell,
+         |  CAST(cosine >= 0.9 AS BIGINT) AS aligned
+         |FROM r ORDER BY pair_id""".stripMargin,
     "e_top_quality_docs" -> topQualityDocsOracle,
     "e_curation_funnel" -> curationFunnelOracle,
     "e_vocabulary" ->

@@ -303,6 +303,40 @@ object Similarity {
           .as("centroid_cosine"))
   }
 
+  /** CLIP-style cross-modal alignment check — the mismatched-caption
+    * filter of a multimodal corpus: for each (text, image) pair whose
+    * embeddings live in a SHARED space, report the pair's cosine
+    * agreement, both sides' IVF cell under the shared coarse quantizer,
+    * and the aligned verdict. A caption attached to the wrong image
+    * scores low cosine (and usually lands in a different cell); the
+    * curation pipeline drops or re-captions those rows before training.
+    *
+    * `assigned` is the shared `(vec_id, v, cid)` cell-assignment artifact
+    * (the same table the IVF/k-means family memoizes — KMeans.assignments
+    * output), so the quantizer trains ONCE for search AND alignment.
+    * `aligned` compares the 6-dp ROUNDED cosine against `minCosine` so
+    * the verdict is FP-order stable across engines.
+    *
+    * Scale shape: two id-keyed equi-joins of the pair table against the
+    * assignment artifact (each pair fetches its two vectors + cells),
+    * one codegen dot product per pair — work ∝ pairs, embeddings never
+    * shuffle wider than the pair fetch, nothing is pairwise-all. */
+  def crossModalAlignment(pairs: DataFrame, assigned: DataFrame,
+                          minCosine: Double): DataFrame = {
+    val side = assigned.select(col("vec_id"), col("v"),
+      col("cid"), norm(col("v")).as("nrm"))
+    val cos = round(dot(col("tv"), col("iv")) / (col("tn") * col("in_")), 6)
+    pairs
+      .join(side.select(col("vec_id").as("text_id"), col("v").as("tv"),
+        col("cid").as("text_cell"), col("nrm").as("tn")), Seq("text_id"))
+      .join(side.select(col("vec_id").as("img_id"), col("v").as("iv"),
+        col("cid").as("img_cell"), col("nrm").as("in_")), Seq("img_id"))
+      .select(col("pair_id"), col("img_id"), cos.as("cosine"),
+        col("text_cell"), col("img_cell"),
+        (col("text_cell") === col("img_cell")).cast("long").as("same_cell"))
+      .withColumn("aligned", (col("cosine") >= minCosine).cast("long"))
+  }
+
   def mutualBestPairs(pairs: DataFrame, aCol: String = "id_a",
                       bCol: String = "id_b",
                       simCol: String = "cosine_sim"): DataFrame = {
