@@ -1,7 +1,7 @@
 package graft.functions
 
 import graft.dedup.Dedup
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation filters for training-data pipelines: repetition-based
@@ -135,4 +135,36 @@ object CorpusFilters {
       .join(broadcast(benchShingles), Seq("sh"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
+
+  /** Length-bucket padding report — the batching-efficiency read a
+    * training pipeline takes before fixing its bucketed-batching
+    * boundaries: documents bucket to the smallest cap ≥ their token
+    * count (counts above the largest cap CLIP to it, mirroring max-seq-
+    * len truncation), and each bucket reports its document count, kept
+    * tokens, padding tokens (docs·cap − kept) and padding share — the
+    * fraction of the batch matrix a same-cap batching strategy burns on
+    * pad tokens. Read next to `packSequences` (packing removes the waste
+    * this table quantifies).
+    *
+    * `caps` must be strictly ascending. One narrow scan + a
+    * caps-bounded aggregation; the bucket assignment is a literal CASE
+    * chain (integer compares — identical in the DuckDB oracle). */
+  def lengthBuckets(docs: DataFrame, textCol: String,
+                    caps: Seq[Long]): DataFrame = {
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
+      "caps must be strictly ascending")
+    val maxCap = caps.max
+    val clipped = least(TextAnalysis.tokenCount(col(textCol)), lit(maxCap))
+    val bucket = caps.init.foldRight(lit(maxCap): Column) { (c, acc) =>
+      when(clipped <= c, lit(c)).otherwise(acc)
+    }
+    docs.select(bucket.as("bucket_cap"), clipped.as("nt"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("total_tokens"))
+      .select(col("bucket_cap"), col("n_docs"), col("total_tokens"),
+        (col("n_docs") * col("bucket_cap") - col("total_tokens")).as("pad_tokens"),
+        round(lit(1.0) - col("total_tokens").cast("double") /
+          (col("n_docs") * col("bucket_cap")).cast("double"), 6).as("pad_share"))
+      .orderBy("bucket_cap")
+  }
 }

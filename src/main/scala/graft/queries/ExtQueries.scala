@@ -23,6 +23,10 @@ object ExtQueries {
   private val K = 12          // minhash salts
   private val W = 3           // shingle width (words)
   private val BandRows = 2    // signature rows per LSH band
+  private val KnnK = 5        // neighbors in the kNN label-vote eval
+  // bucketed-batching caps for the padding report (strictly ascending;
+  // the largest doubles as the max-seq-len clip)
+  private val LenBucketCaps = Seq(16L, 32L, 64L, 128L, 256L, 512L)
   private val SimBits = 16    // simhash bits
   private val SimPrefix = 8   // simhash bucket prefix
   private val AnnDims = Seq(0, 8, 16, 24)
@@ -356,8 +360,9 @@ object ExtQueries {
     // e_connected_components, e_curation_funnel, e_dedup_apply,
     // e_cluster_density, e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
     // e_dedup_impact, e_dedup_minhash_lsh, e_dup_kcore,
-    // e_dup_triangles, e_dedup_authority, e_label_propagation,
-    // e_lsh_recall, e_lsh_recall_sweep, e_minhash_calibration
+    // e_dup_triangles, e_dedup_authority, e_host_dup_weight,
+    // e_label_propagation, e_lsh_recall, e_lsh_recall_sweep,
+    // e_minhash_calibration
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
     // nearDupClusters: e_cc_sizes, e_cluster_density, e_dedup_best,
     // e_dedup_clusters, e_golden_record, e_leakage_split
@@ -370,8 +375,8 @@ object ExtQueries {
     // shingleBasesUnicode: e_decontam_unicode, e_dedup_unicode (last in
     // name order)
     ("shingleBasesUnicode", shingleUniCache, "e_dedup_unicode"),
-    // kmeansAssigned: e_cluster_sample, e_embed_outliers, e_kmeans,
-    // e_kmeans_silhouette,
+    // kmeansAssigned: e_cluster_sample, e_crossmodal_align,
+    // e_embed_outliers, e_kmeans, e_kmeans_silhouette, e_knn_accuracy,
     // e_semantic_dedup
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
@@ -3131,6 +3136,34 @@ object ExtQueries {
     graft.functions.UrlCuration.hostScorecard(
       Tables.documents(s, d).withColumn("url", syntheticUrl), "url", "text")
 
+  /** Per-host dedup weighting — the RefinedWeb/CCNet-style sampler input:
+    * for each parsed host, how many of its docs the near-dup apply would
+    * drop (the `e_dedup_apply` survivor convention over the memoized
+    * MinHash pairs) and the resulting survivor-share weight a host-aware
+    * sampler multiplies in. Rides the pair memo + the host projection —
+    * one flag join + a hosts-bounded aggregation. */
+  def eHostDupWeight(s: SparkSession, d: String): DataFrame = {
+    val removed = minhashPairs(s, d).filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("is_removed", lit(1L))
+    graft.functions.UrlCuration.withHost(
+        Tables.documents(s, d).withColumn("url", syntheticUrl), "url")
+      .join(removed, Seq("doc_id"), "left")
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("is_removed"), lit(0L))).as("n_removed"))
+      .select(col("host"), col("n_docs"), col("n_removed"),
+        round(lit(1.0) - col("n_removed").cast("double") /
+          col("n_docs").cast("double"), 6).as("host_weight"))
+      .orderBy("host")
+  }
+
+  /** Length-bucket padding report over the fixed power-of-two caps —
+    * [[graft.functions.CorpusFilters.lengthBuckets]]. */
+  def eLengthBuckets(s: SparkSession, d: String): DataFrame =
+    graft.functions.CorpusFilters.lengthBuckets(
+      Tables.documents(s, d), "text", LenBucketCaps)
+
   /** Gopher-style repetition filter over the corpus (CorpusFilters). */
   def eRepetitionFilter(s: SparkSession, d: String): DataFrame =
     graft.functions.CorpusFilters
@@ -3249,6 +3282,49 @@ object ExtQueries {
     graft.similarity.KMeans.semanticDedupAssigned(kmeansAssigned(s, d),
         minCosine = 0.35)
       .orderBy("vec_id")
+
+  /** kNN label-vote accuracy — the embedding-quality eval a retrieval or
+    * clustering deployment reads before trusting the space: each vector's
+    * label against the majority label of its [[KnnK]] nearest
+    * within-cell neighbors (cosine desc, id-asc ties, on the 6-dp
+    * ROUNDED score so the ranking is FP-order stable), aggregated per
+    * label. Neighborhoods come from the memoized k-means cells — the IVF
+    * candidate discipline: pair work ∝ Σ cell², never n²; a vector alone
+    * in its cell abstains (no neighbors, no vote). The top-k cut is the
+    * bounded GroupedTopK Aggregator, not a window. */
+  def eKnnAccuracy(s: SparkSession, d: String): DataFrame = {
+    val withN = kmeansAssigned(s, d)
+      .select(col("vec_id"), col("v"), col("cid"),
+        sqrt(graft.plans.VectorExpressions.vecDot(col("v"), col("v"))).as("nrm"))
+    val a = withN.select(col("vec_id").as("q"), col("v").as("qv"),
+      col("cid"), col("nrm").as("qn"))
+    val b = withN.select(col("vec_id").as("nb"), col("v").as("nv"),
+      col("cid"), col("nrm").as("nn"))
+    val scored = a.join(b, Seq("cid")).filter(col("q") =!= col("nb"))
+      .select(col("q"), col("nb"),
+        round(graft.plans.VectorExpressions.vecDot(col("qv"), col("nv")) /
+          (col("qn") * col("nn")), 6).as("cos"))
+    val top = graft.operators.GroupedTopK.topKPerKey(
+      scored, keyCol = "q", scoreCol = "cos", idCol = "nb", k = KnnK)
+    val labels = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = top.select(col("q").cast("long").as("q"), col("nb"))
+      .join(labels.select(col("vec_id").as("nb"), col("label").as("nl")),
+        Seq("nb"))
+      .groupBy(col("q"), col("nl")).agg(count(lit(1)).as("cnt"))
+    // majority vote, smallest label on ties — min-struct argmax, no window
+    val pred = votes.groupBy(col("q"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("nl").as("nl"))).as("bst"))
+      .select(col("q").as("vec_id"), col("bst.nl").as("predicted"))
+    pred.join(labels, Seq("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum((col("predicted") === col("label")).cast("long")).as("n_correct"))
+      .select(col("label"), col("n_vecs"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_vecs").cast("double"), 6)
+          .as("accuracy"))
+      .orderBy("label")
+  }
 
   /** CLIP-style cross-modal alignment over the shared embedding space:
     * each multimodal pair binds the text embedding `vec_id` to its image
@@ -5550,6 +5626,9 @@ object ExtQueries {
     "e_source_scorecard" -> (eSourceScorecard _),
     "e_domain_filter" -> (eDomainFilter _),
     "e_host_scorecard" -> (eHostScorecard _),
+    "e_host_dup_weight" -> (eHostDupWeight _),
+    "e_length_buckets" -> (eLengthBuckets _),
+    "e_knn_accuracy" -> (eKnnAccuracy _),
     "e_decontam" -> (eDecontam _),
     "e_pack_sequences" -> (ePackSequences _),
     "e_pii_redact" -> (ePiiRedact _),
@@ -6859,6 +6938,59 @@ object ExtQueries {
          |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
          |FROM hd GROUP BY host ORDER BY host""".stripMargin,
+    "e_host_dup_weight" ->
+      s"""WITH $nearDupGraphCtes,
+         |$urlCtes,
+         |rem AS (SELECT DISTINCT doc_b AS doc_id FROM est)
+         |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(rem.doc_id) AS BIGINT) AS n_removed,
+         |  round(1.0 - CAST(count(rem.doc_id) AS DOUBLE) / count(*), 6)
+         |    AS host_weight
+         |FROM hd LEFT JOIN rem ON hd.doc_id = rem.doc_id
+         |GROUP BY host ORDER BY host""".stripMargin,
+    "e_length_buckets" -> {
+      val maxCap = LenBucketCaps.max
+      val chain = LenBucketCaps.init
+        .map(c => s"WHEN nt <= $c THEN $c").mkString(" ")
+      s"""WITH n AS (SELECT least(CAST(len(str_split(trim(text), ' ')) AS BIGINT),
+         |    $maxCap) AS nt FROM documents),
+         |b AS (SELECT nt, CASE $chain ELSE $maxCap END AS cap FROM n)
+         |SELECT CAST(cap AS BIGINT) AS bucket_cap,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  CAST(count(*) * cap - sum(nt) AS BIGINT) AS pad_tokens,
+         |  round(1.0 - CAST(sum(nt) AS DOUBLE) / (count(*) * cap), 6) AS pad_share
+         |FROM b GROUP BY cap ORDER BY bucket_cap""".stripMargin
+    },
+    "e_knn_accuracy" ->
+      s"""WITH $kmeansCte,
+         |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
+         |vnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
+         |cp AS (SELECT a.vec_id AS q, b.vec_id AS nb, sum(ea.v * eb.v) AS dp
+         |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |  JOIN e ea ON ea.vec_id = a.vec_id
+         |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
+         |  GROUP BY 1, 2),
+         |sc AS (SELECT q, nb, round(dp / (na.nrm * nn.nrm), 6) AS cos
+         |  FROM cp JOIN vnorms na ON na.vec_id = q
+         |  JOIN vnorms nn ON nn.vec_id = nb),
+         |rk AS (SELECT q, nb,
+         |    row_number() OVER (PARTITION BY q ORDER BY cos DESC, nb ASC) AS rn
+         |  FROM sc),
+         |votes AS (SELECT r.q, CAST(em.label AS BIGINT) AS nl, count(*) AS cnt
+         |  FROM rk r JOIN embeddings em ON em.vec_id = r.nb
+         |  WHERE r.rn <= $KnnK GROUP BY 1, 2),
+         |pred AS (SELECT q, nl FROM (SELECT q, nl,
+         |    row_number() OVER (PARTITION BY q ORDER BY cnt DESC, nl ASC) AS rn
+         |  FROM votes) WHERE rn = 1)
+         |SELECT CAST(em.label AS BIGINT) AS label,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  CAST(sum(CASE WHEN p.nl = em.label THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_correct,
+         |  round(CAST(sum(CASE WHEN p.nl = em.label THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS accuracy
+         |FROM pred p JOIN embeddings em ON em.vec_id = p.q
+         |GROUP BY 1 ORDER BY label""".stripMargin,
     "e_quality_cut" ->
       s"""WITH $toksCte,
          |q AS (SELECT doc_id, lang, $qualityScoreSql AS quality_score

@@ -85,4 +85,28 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast join for the benchmark side, got:\n$plan")
   }
+
+  test("lengthBuckets: smallest-cap assignment, over-cap docs clip to the max") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, Seq.fill(3)("w").mkString(" ")),    // 3 toks  → cap 4
+      (2L, Seq.fill(4)("w").mkString(" ")),    // 4 toks  → cap 4 (boundary)
+      (3L, Seq.fill(5)("w").mkString(" ")),    // 5 toks  → cap 8
+      (4L, Seq.fill(50)("w").mkString(" "))    // 50 toks → clips to 16
+    ).toDF("doc_id", "text")
+    val got = CorpusFilters.lengthBuckets(docs, "text", Seq(4L, 8L, 16L))
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(got.toSeq == Seq(
+      (4L, 2L, 7L, 1L, 0.125),      // docs 1+2: 3+4 kept, 8-7 padded
+      (8L, 1L, 5L, 3L, 0.375),
+      (16L, 1L, 16L, 0L, 0.0)))     // clipped doc: zero padding at the cap
+  }
+
+  test("lengthBuckets rejects non-ascending caps") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      CorpusFilters.lengthBuckets(docs, "text", Seq(8L, 4L))
+    }
+  }
 }
