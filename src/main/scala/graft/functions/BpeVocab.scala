@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * `[a,a,a,a]` merges to `[aa,aa]`, not `[aa,a,a]`), and a match can never
   * start or end inside a longer symbol (`"(xa)(b)"` does not contain
   * `"(a)(b)"`). That also makes every round reproducible in the DuckDB
-  * oracle as plain string `replace`. Symbols are restricted to `[a-z]+`
-  * words so the delimiters cannot occur inside a symbol.
+  * oracle as plain string `replace`. The delimiter guarantee only needs
+  * symbols FREE OF `(`/`)` — both word extractors ([[wordCounts]]'s
+  * `[a-z]+` and [[wordCountsUnicode]]'s `[\p{L}\p{N}]+` runs) ensure it,
+  * so training runs over CJK/unicode corpora too.
   */
 object BpeVocab {
 
@@ -47,10 +49,31 @@ object BpeVocab {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("wc"))
 
+  /** [[wordCounts]] under the engine's unicode tokenizer: NFKC +
+    * `[\p{L}\p{N}]+` runs ([[TextAnalysis.unicodeTokens]]), lowercased
+    * per token — the word table a CJK or punctuation-heavy corpus must
+    * train on (the `[a-z]+` extractor silently drops every non-ASCII
+    * word). Tokens can never contain the `(`/`)` delimiters (they are
+    * letter/digit runs), so the whole training/apply chain — including
+    * the native [[graft.plans.BpeEncode]] — works unchanged; the
+    * CJK end-to-end behavior is spec-proven (`BpeVocabSpec`), while the
+    * graded queries stay on the legacy extractor for oracle stability. */
+  def wordCountsUnicode(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(transform(
+        TextAnalysis.unicodeTokens(col(textCol)), t => lower(t))).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("wc"))
+
   /** Adjacent symbol pairs of an encoded word, each as the literal
-    * `"(a)(b)"` merge key. */
+    * `"(a)(b)"` merge key. The symbol class is `[^()]*` — any characters
+    * except the delimiters — so training works over the unicode word
+    * extractor too ([[wordCountsUnicode]]); on the `[a-z]+` legacy
+    * corpora it extracts exactly the same groups as the original
+    * `[a-z]*` class (symbols there are lowercase letters by
+    * construction), so oracle parity is untouched. */
   private def pairsOf(enc: Column): Column = {
-    val syms = expr("regexp_extract_all(enc, '\\\\([a-z]*\\\\)', 0)")
+    val syms = expr("regexp_extract_all(enc, '\\\\([^()]*\\\\)', 0)")
     // guard: sequence(1, 0) would DESCEND for a single-symbol word (a long
     // word fully merged into one symbol), so emit no pairs explicitly
     when(size(syms) >= 2,
@@ -218,11 +241,13 @@ object BpeVocab {
       replace(c, lit(m.pair), lit(m.pair.replace(")(", "")))
     }
 
-  /** BPE tokens of `word` (bare symbols, in order) under `merges`. Like
-    * training, the symbol domain is `[a-z]` — characters outside it are
-    * not extracted as tokens (feed words from [[wordCounts]]'s `[a-z]+`
-    * tokenization, the contract the whole module documents). */
+  /** BPE tokens of `word` (bare symbols, in order) under `merges`. The
+    * symbol domain is any delimiter-free text — feed words from
+    * [[wordCounts]] (`[a-z]+`) or [[wordCountsUnicode]]
+    * (`[\p{L}\p{N}]+`); both extractors guarantee symbols can never
+    * contain `(` or `)`, which is what makes the rendered encoding's
+    * literal replaces exact. */
   def tokensCol(word: Column, merges: Seq[Merge]): Column =
     regexp_extract_all(encodedCol(word, merges),
-      lit("\\(([a-z]*)\\)"), lit(1))
+      lit("\\(([^()]*)\\)"), lit(1))
 }

@@ -196,6 +196,35 @@ class BpeVocabSpec extends SparkSpec {
     assert(got("zab") == Seq("z", "ab"), got)
   }
 
+  test("unicode corpus: training + encode work over CJK symbols end-to-end") {
+    // the [a-z] extractor would DROP every one of these words; the
+    // unicode word table trains through the same rounds, and the in-JVM
+    // reference (char-grain, script-agnostic) pins the semantics
+    val words = Seq(("你好", 5L), ("你好吗", 3L), ("再见", 2L), ("好吗", 4L))
+    val want = refTrain(words, 3)
+    val got = engineTrain(words, 3)
+    assert(got == want, s"CJK training must match the reference: $got vs $want")
+    val merges = BpeVocab.train(words.toDF("word", "wc"), 3)
+    val toks = Seq("你好吗", "再见你").toDF("word")
+      .select($"word", BpeVocab.tokensCol($"word", merges).as("toks"))
+      .as[(String, Seq[String])].collect().toMap
+    toks.foreach { case (w, ts) =>
+      assert(ts == refEncode(w, want), s"word '$w': $ts vs ${refEncode(w, want)}")
+    }
+  }
+
+  test("wordCountsUnicode: NFKC + letter/digit runs, lowercased; [a-z] extractor drops them") {
+    val docs = Seq((1L, "你好、世界！ Ｈｅｌｌｏ x² 你好")).toDF("doc_id", "text")
+    val uni = BpeVocab.wordCountsUnicode(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // ideograph runs split at punctuation; full-width Ｈｅｌｌｏ NFKCs to
+    // hello; x² NFKCs to x2 (one letter+digit run)
+    assert(uni == Map("你好" -> 2L, "世界" -> 1L, "hello" -> 1L, "x2" -> 1L), uni)
+    val legacy = BpeVocab.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    assert(legacy == Map("x" -> 1L), s"the [a-z] extractor sees almost nothing: $legacy")
+  }
+
   test("wordCounts lowercases and keeps only [a-z]+ runs") {
     val docs = Seq((1L, "Hello, WORLD 42 hello!")).toDF("doc_id", "text")
     val got = BpeVocab.wordCounts(docs, "text")
