@@ -3158,6 +3158,39 @@ object ExtQueries {
       .orderBy("host")
   }
 
+  // ---------------- HTML/markup extraction ----------------
+
+  /** The documents fixture is plain text, so the query wraps each row in
+    * a deterministic HTML envelope — title, a script block whose payload
+    * contains a bare `<` (the classic naive-tag-regex trap), a style
+    * block, a comment, and entity-encoded spans injected into the body —
+    * then grades the EXTRACTOR: title pull, tag-density count, and the
+    * visible text recovered by [[graft.functions.Markup.stripHtml]]. */
+  private def syntheticHtml: Column = concat(
+    lit("<html><head><title>Doc "), col("doc_id"),
+    lit(" ("), col("lang"), lit(")</title>"),
+    lit("<script type=\"text/javascript\">var n = 1 < 2;</script>"),
+    lit("<style>p { color: red; }</style></head><body><!-- src: "),
+    col("source"), lit(" --><h1>"), upper(col("lang")), lit("</h1><p>"),
+    replace(col("text"), lit(" row "), lit(" &quot;row&quot; ")),
+    lit("</p><p>tail &amp; done</p></body></html>"))
+
+  /** HTML extraction report: per document the parsed `<title>`, the raw
+    * markup's tag count, and the length + md5 of the recovered visible
+    * text — integer/string-exact, so the oracle compare is bit-strict.
+    * Pure per-row codegen'd column work over one scan (no shuffle; at
+    * 100 TB this costs exactly one projection pass). */
+  def eHtmlStrip(s: SparkSession, d: String): DataFrame = {
+    val m = graft.functions.Markup
+    Tables.documents(s, d)
+      .withColumn("html", syntheticHtml)
+      .select(col("doc_id"), m.title(col("html")).as("title"),
+        m.tagCount(col("html")).as("n_tags"),
+        length(m.stripHtml(col("html"))).cast("long").as("clean_chars"),
+        md5(m.stripHtml(col("html"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   /** Length-bucket padding report over the fixed power-of-two caps —
     * [[graft.functions.CorpusFilters.lengthBuckets]]. */
   def eLengthBuckets(s: SparkSession, d: String): DataFrame =
@@ -5627,6 +5660,7 @@ object ExtQueries {
     "e_domain_filter" -> (eDomainFilter _),
     "e_host_scorecard" -> (eHostScorecard _),
     "e_host_dup_weight" -> (eHostDupWeight _),
+    "e_html_strip" -> (eHtmlStrip _),
     "e_length_buckets" -> (eLengthBuckets _),
     "e_knn_accuracy" -> (eKnnAccuracy _),
     "e_decontam" -> (eDecontam _),
@@ -6948,6 +6982,32 @@ object ExtQueries {
          |    AS host_weight
          |FROM hd LEFT JOIN rem ON hd.doc_id = rem.doc_id
          |GROUP BY host ORDER BY host""".stripMargin,
+    "e_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || ' (' ||
+        |    lang || ')</title>' ||
+        |  '<script type="text/javascript">var n = 1 < 2;</script>' ||
+        |  '<style>p { color: red; }</style></head><body><!-- src: ' ||
+        |    source || ' --><h1>' || upper(lang) || '</h1><p>' ||
+        |  replace(text, ' row ', ' &quot;row&quot; ') ||
+        |  '</p><p>tail &amp; done</p></body></html>' AS html FROM documents),
+        |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
+        |    regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+        |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM h),
+        |s2 AS (SELECT doc_id, html,
+        |  regexp_replace(nb, '<[^>]+>', ' ', 'g') AS nt FROM s1),
+        |s3 AS (SELECT doc_id, html, replace(replace(replace(replace(replace(
+        |  replace(nt, '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+        |  '&quot;', '"'), '&#39;', ''''), '&amp;', '&') AS dec FROM s2),
+        |c AS (SELECT doc_id, html,
+        |  trim(regexp_replace(dec, '\s+', ' ', 'g')) AS clean FROM s3)
+        |SELECT doc_id,
+        |  regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1) AS title,
+        |  CAST(len(regexp_extract_all(html, '<[^>]+>')) AS BIGINT) AS n_tags,
+        |  CAST(length(clean) AS BIGINT) AS clean_chars,
+        |  md5(clean) AS clean_hash
+        |FROM c ORDER BY doc_id""".stripMargin,
     "e_length_buckets" -> {
       val maxCap = LenBucketCaps.max
       val chain = LenBucketCaps.init
