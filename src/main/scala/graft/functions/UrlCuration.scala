@@ -34,6 +34,54 @@ object UrlCuration {
       .otherwise(hostCol)
   }
 
+  /** Query parameters dropped by [[canonicalUrl]] — the tracking noise
+    * (utm campaign tags, click ids, referrer tags) that makes one page
+    * arrive under dozens of raw URLs in a real crawl. */
+  private val TrackingParamRe =
+    "^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)(=.*)?$"
+
+  /** Canonical dedup KEY of a URL — the normalization a crawl dedup runs
+    * before any content hashing, collapsing the raw-URL variants that
+    * all name one page:
+    *  - fragment dropped, scheme dropped (http/https collapse);
+    *  - host lowercased, leading `www.` stripped, default ports
+    *    (`:80`/`:443`) stripped (a nonstandard port is identity-bearing
+    *    and stays);
+    *  - trailing path slashes stripped (`/` alone → empty);
+    *  - tracking parameters removed ([[TrackingParamRe]]) and the
+    *    survivors SORTED, so parameter order never splits a page.
+    *
+    * Pure per-row codegen'd column work (`parse_url` + regex + a
+    * per-row bounded array sort over the query params) — no shuffle; the
+    * dedup itself is whatever keyed aggregation consumes the column.
+    * Returns a key, not a fetchable URL (the scheme is gone) — join the
+    * keeper's raw URL back for display. */
+  def canonicalUrl(url: Column): Column = {
+    // Components by codegen'd regex, not parse_url: ParseUrl is a
+    // CodegenFallback that URI-parses per CALL (four calls here would
+    // interpret-eval four parses per row); one anchored regex per
+    // component keeps the projection in generated code and measured
+    // ~4× cheaper at sf0.1. The split mirrors the oracle's split_part
+    // chain exactly.
+    val rest = regexp_replace(regexp_replace(url, "#.*$", ""),
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val auth = regexp_extract(rest, "^([^/?]+)", 1)
+    val hostC = regexp_replace(lower(regexp_extract(auth, "^([^:]+)", 1)),
+      "^www\\.", "")
+    val port = regexp_extract(auth, ":([0-9]+)$", 1)
+    val portC = when(port.isin("", "80", "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path0 = regexp_extract(rest, "^[^/?]+(/[^?]*)?", 1)
+    val pathC = when(path0 === "/", lit(""))
+      .otherwise(regexp_replace(path0, "/+$", ""))
+    val q0 = regexp_extract(rest, "\\?(.*)$", 1)
+    val kept = filter(split(q0, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamRe))
+    val qC = when(q0 === "" || size(kept) === 0, lit(""))
+      .otherwise(concat(lit("?"), array_join(array_sort(kept), "&")))
+    concat(hostC, portC, pathC, qC)
+  }
+
   /** `docs` with `host` and `domain` columns appended — the shared
     * projection the filter and scorecard both start from. */
   def withHost(docs: DataFrame, urlCol: String): DataFrame = {

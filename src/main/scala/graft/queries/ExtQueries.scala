@@ -3158,6 +3158,46 @@ object ExtQueries {
       .orderBy("host")
   }
 
+  /** Raw-URL VARIANT fixture for the canonicalization query: docs
+    * sharing (source, doc_id % 17) name the same page, but the raw URL
+    * varies by scheme, `www.`, an explicit default `:443` port, a
+    * trailing slash, tracking params (sometimes ORDERED before the real
+    * one), and a fragment — exactly the variance
+    * [[graft.functions.UrlCuration.canonicalUrl]] must collapse. */
+  private def syntheticUrlVariant: Column = {
+    val pid = (col("doc_id") % 17).cast("string")
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
+      when(col("doc_id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      col("source"), lit(".org"),
+      when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+      lit("/p/"), pid,
+      when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0,
+        concat(lit("?utm_medium=social&id="), pid))
+        .otherwise(concat(lit("?id="), pid,
+          when(col("doc_id") % 3 === 0, lit("&utm_source=feed"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit("&ref=rss")).otherwise(lit("")))),
+      when(col("doc_id") % 19 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
+  /** URL-canonicalization dedup summary: per canonical key, how many
+    * documents and DISTINCT raw variants collapsed into it and the
+    * keeper (min doc_id) — the crawl-side dedup that runs before any
+    * content hash. Canonicalization is per-row column work; the summary
+    * is one keys-bounded aggregation. */
+  def eUrlCanonical(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("url", syntheticUrlVariant)
+      .select(col("doc_id"), col("url"),
+        graft.functions.UrlCuration.canonicalUrl(col("url")).as("curl"))
+      .groupBy(col("curl").as("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("url")).as("n_variants"),
+        min(col("doc_id")).as("keeper_doc"))
+      .orderBy("canonical_url")
+
   // ---------------- HTML/markup extraction ----------------
 
   /** The documents fixture is plain text, so the query wraps each row in
@@ -5661,6 +5701,7 @@ object ExtQueries {
     "e_host_scorecard" -> (eHostScorecard _),
     "e_host_dup_weight" -> (eHostDupWeight _),
     "e_html_strip" -> (eHtmlStrip _),
+    "e_url_canonical" -> (eUrlCanonical _),
     "e_length_buckets" -> (eLengthBuckets _),
     "e_knn_accuracy" -> (eKnnAccuracy _),
     "e_decontam" -> (eDecontam _),
@@ -7008,6 +7049,52 @@ object ExtQueries {
         |  CAST(length(clean) AS BIGINT) AS clean_chars,
         |  md5(clean) AS clean_hash
         |FROM c ORDER BY doc_id""".stripMargin,
+    "e_url_canonical" ->
+      """WITH u AS (SELECT doc_id, source,
+        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
+        |  (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) ||
+        |  source || '.org' ||
+        |  (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END) ||
+        |  '/p/' || CAST(doc_id % 17 AS VARCHAR) ||
+        |  (CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END) ||
+        |  (CASE WHEN doc_id % 11 = 0
+        |    THEN '?utm_medium=social&id=' || CAST(doc_id % 17 AS VARCHAR)
+        |    ELSE '?id=' || CAST(doc_id % 17 AS VARCHAR) ||
+        |      (CASE WHEN doc_id % 3 = 0 THEN '&utm_source=feed' ELSE '' END) ||
+        |      (CASE WHEN doc_id % 7 = 0 THEN '&ref=rss' ELSE '' END) END) ||
+        |  (CASE WHEN doc_id % 19 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |p1 AS (SELECT doc_id, url,
+        |  regexp_replace(regexp_replace(url, '#.*$', ''),
+        |    '^[a-z]+://', '') AS rest FROM u),
+        |p2 AS (SELECT doc_id, url, rest,
+        |  split_part(split_part(rest, '/', 1), '?', 1) AS auth FROM p1),
+        |p3 AS (SELECT doc_id, url, auth,
+        |  substr(rest, length(auth) + 1) AS pathq FROM p2),
+        |p4 AS (SELECT doc_id, url,
+        |  split_part(auth, ':', 1) AS host,
+        |  CASE WHEN contains(auth, ':') THEN split_part(auth, ':', 2)
+        |    ELSE '' END AS port,
+        |  split_part(pathq, '?', 1) AS path,
+        |  CASE WHEN contains(pathq, '?') THEN split_part(pathq, '?', 2)
+        |    ELSE '' END AS q FROM p3),
+        |p5 AS (SELECT *, list_filter(string_split(q, '&'), p -> p <> ''
+        |    AND NOT regexp_matches(p,
+        |      '^(utm_[^=]*|ref|fbclid|gclid|mc_cid|mc_eid)(=.*)?$'))
+        |    AS kept FROM p4),
+        |cn AS (SELECT doc_id, url,
+        |  regexp_replace(lower(host), '^www\.', '') ||
+        |  (CASE WHEN port IN ('', '80', '443') THEN ''
+        |    ELSE ':' || port END) ||
+        |  (CASE WHEN path = '/' THEN ''
+        |    ELSE regexp_replace(path, '/+$', '') END) ||
+        |  (CASE WHEN q = '' OR len(kept) = 0 THEN ''
+        |    ELSE '?' || array_to_string(list_sort(kept), '&') END) AS curl
+        |  FROM p5)
+        |SELECT curl AS canonical_url, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_variants,
+        |  CAST(min(doc_id) AS BIGINT) AS keeper_doc
+        |FROM cn GROUP BY 1 ORDER BY canonical_url""".stripMargin,
     "e_length_buckets" -> {
       val maxCap = LenBucketCaps.max
       val chain = LenBucketCaps.init

@@ -48,6 +48,25 @@ object Time {
         explode(array_distinct(transform(
           Dedup.shingles(split(trim(col("text")), " "), 3),
           sh => Dedup.hexHash(sh)))).as("sh"))),
+      // url-canonicalization cold-cost dissection
+      "x_url_nohof" -> (() => {
+        val rest = regexp_replace(regexp_replace(col("url"), "#.*$", ""),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+        docs.withColumn("url", concat(col("source"), lit(".org/p/"),
+            (col("doc_id") % 17).cast("string"), lit("?id=1&utm_a=2")))
+          .select(concat(
+            regexp_extract(rest, "^([^/?]+)", 1),
+            regexp_extract(rest, "^[^/?]+(/[^?]*)?", 1),
+            regexp_extract(rest, "\\?(.*)$", 1)).as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      }),
+      "x_url_hofonly" -> (() => {
+        docs.withColumn("q0", concat(lit("id="),
+            (col("doc_id") % 17).cast("string"), lit("&utm_a=2&ref=rss")))
+          .select(array_join(array_sort(filter(split(col("q0"), "&"),
+            p => p =!= "" && !p.rlike("^(utm_[^=]*|ref)(=.*)?$"))), "&").as("c"))
+          .groupBy(col("c")).agg(count(lit(1)).as("n"))
+      }),
       "x_ng_selfjoin" -> (() => {
         val ds = docs.select(col("doc_id"),
           explode(array_distinct(transform(

@@ -52,4 +52,29 @@ class UrlCurationSpec extends SparkSpec {
     val b = rows("b.y.org")
     assert(b.getLong(2) == 1L && b.getDouble(6) == 0.0)
   }
+
+  private def canon(url: String): String =
+    Seq(url).toDF("url")
+      .select(UrlCuration.canonicalUrl($"url").as("c")).as[String].head()
+
+  test("canonicalUrl collapses scheme/www/default-port/slash/fragment variants") {
+    val variants = Seq(
+      "http://a.org/p/3",
+      "https://a.org/p/3",
+      "https://WWW.A.org:443/p/3/",
+      "http://www.a.org:80/p/3#frag")
+    assert(variants.map(canon).distinct == Seq("a.org/p/3"))
+  }
+
+  test("canonicalUrl keeps a nonstandard port — it is identity-bearing") {
+    assert(canon("http://a.org:8080/p") == "a.org:8080/p")
+  }
+
+  test("canonicalUrl drops tracking params, sorts survivors, empties cleanly") {
+    assert(canon("http://a.org/p?utm_source=x&id=7&ref=rss") == "a.org/p?id=7")
+    assert(canon("http://a.org/p?b=2&a=1") == "a.org/p?a=1&b=2")
+    assert(canon("http://a.org/p?utm_medium=social") == "a.org/p")
+    // root path alone normalizes away; bare host is already canonical
+    assert(canon("https://www.a.org/") == "a.org")
+  }
 }
