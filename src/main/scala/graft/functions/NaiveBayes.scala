@@ -104,15 +104,9 @@ object NaiveBayes {
   def predict(docs: DataFrame, m: Model, idCol: String, textCol: String,
               predCol: String, keep: Seq[String] = Nil,
               salt: String = "nb|"): DataFrame = {
-    val feats = ImportanceWeights.featureBuckets(docs, idCol, textCol,
-      keep.map(k => k -> col(k)), m.buckets, salt)
-    val grid = logLikelihoodGrid(docs.sparkSession, m)
-    val scores = feats.join(broadcast(grid), Seq("__b"))
-      .groupBy(col("doc_id") +: keep.map(col) :+ col("__ci") :+ col("__pr"): _*)
-      .agg(sum(col("__lp")).as("__s"))
+    val scores = classScores(docs, m, idCol, textCol, keep, salt)
       .select(col("doc_id") +: keep.map(col) :+
-        struct(round(col("__pr") + col("__s"), 6).as("__score"),
-          (-col("__ci")).as("__nci")).as("__sc"): _*)
+        struct(col("__score"), (-col("__ci")).as("__nci")).as("__sc"): _*)
     scores.groupBy(col("doc_id") +: keep.map(col): _*)
       .agg(max(col("__sc")).as("__m"))
       .select(col("doc_id") +: keep.map(col) :+
@@ -120,6 +114,34 @@ object NaiveBayes {
           (-col("__m.__nci")).cast("int") + 1).as(predCol) :+
         col("__m.__score").as("nb_score"): _*)
   }
+
+  /** Per-(doc, class) rounded scores with the class still as its sorted
+    * index (`__ci`) — the shared scoring subplan of [[predict]] and
+    * [[scoreAll]]. */
+  private def classScores(docs: DataFrame, m: Model, idCol: String,
+                          textCol: String, keep: Seq[String],
+                          salt: String): DataFrame = {
+    val feats = ImportanceWeights.featureBuckets(docs, idCol, textCol,
+      keep.map(k => k -> col(k)), m.buckets, salt)
+    val grid = logLikelihoodGrid(docs.sparkSession, m)
+    feats.join(broadcast(grid), Seq("__b"))
+      .groupBy(col("doc_id") +: keep.map(col) :+ col("__ci") :+ col("__pr"): _*)
+      .agg(sum(col("__lp")).as("__s"))
+      .select(col("doc_id") +: keep.map(col) :+ col("__ci") :+
+        round(col("__pr") + col("__s"), 6).as("__score"): _*)
+  }
+
+  /** EVERY class's score per document — (doc_id, keep…, class, score) —
+    * the input to one-vs-rest margins, PR-curve calibration, and any
+    * consumer that needs more than the argmax. Same plan as [[predict]]
+    * minus the final argmax aggregation; output is |docs| × |classes|
+    * rows. */
+  def scoreAll(docs: DataFrame, m: Model, idCol: String, textCol: String,
+               keep: Seq[String] = Nil, salt: String = "nb|"): DataFrame =
+    classScores(docs, m, idCol, textCol, keep, salt)
+      .select(col("doc_id") +: keep.map(col) :+
+        element_at(typedLit(m.classes.toSeq), col("__ci") + 1).as("class") :+
+        col("__score").as("score"): _*)
 
   /** Train-on-the-rest, score-the-held-out convenience — the graded
     * query shape. */

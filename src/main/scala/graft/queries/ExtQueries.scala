@@ -381,7 +381,8 @@ object ExtQueries {
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
-    // nbScored: e_nb_classify, e_nb_confusion
+    // nbScored: e_classifier_kappa (name-first), e_nb_classify,
+    // e_nb_confusion (last)
     ("nbScored", nbCache, "e_nb_confusion"),
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
@@ -472,13 +473,24 @@ object ExtQueries {
   // train-on-the-rest NB scoring of the held-out slice; memoize the
   // compact scored table (≤ |eval docs| rows × 4 cols) per sfDir. Same
   // lifecycle as the other memos (releasePairsCache / releaseMemosAfter).
+  // The trained model itself is memoized separately: driver-side arrays
+  // (classes × NbBuckets longs — trivial memory, nothing persisted), so
+  // the PR-curve query can re-score per class without re-training.
+  private val nbModelCache =
+    scala.collection.concurrent.TrieMap.empty[String, graft.functions.NaiveBayes.Model]
+  private def nbModel(s: SparkSession, d: String): graft.functions.NaiveBayes.Model =
+    nbModelCache.getOrElseUpdate(d, graft.functions.NaiveBayes.train(
+      Tables.documents(s, d), "doc_id", "text", "lang",
+      isTrain = !(col("doc_id") % 3 === 0), buckets = NbBuckets))
+
   private val nbCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def nbScored(s: SparkSession, d: String): DataFrame =
     nbCache.getOrElseUpdate(d, timedMemo("nbScored")(
       Dedup.materializeAndRelease(
-        graft.functions.NaiveBayes.classify(Tables.documents(s, d),
-          "doc_id", "text", "lang", isEval = col("doc_id") % 3 === 0,
-          buckets = NbBuckets))))
+        graft.functions.NaiveBayes.predict(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+          nbModel(s, d), "doc_id", "text",
+          predCol = "pred_lang", keep = Seq("lang")))))
 
   // ---------------- Spark side ----------------
 
@@ -1413,6 +1425,77 @@ object ExtQueries {
     nbScored(s, d).groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n"))
       .orderBy("lang", "pred_lang")
+
+  /** Data-independent threshold grid for the PR-curve calibration — the
+    * scalable alternative to per-distinct-score thresholds (which would
+    * need a global sort of every margin); spans the observed one-vs-rest
+    * log-margin range with headroom on both sides. */
+  private val PrThresholds = Seq(-5.0, 0.0, 5.0, 10.0, 15.0, 20.0, 25.0, 30.0)
+
+  /** Precision/recall/F1 calibration curve of the NB router as a binary
+    * "is this English?" gate: per held-out doc the one-vs-rest margin
+    * (score_en − best other class), swept over the fixed
+    * [[PrThresholds]] grid — the table a curation team reads to PICK the
+    * gate threshold before filtering a 100 TB corpus. One |eval| ×
+    * |grid| explode + a grid-bounded aggregation; F1 is computed from
+    * raw counts (2·tp / (pp + pos)), never from rounded ratios, so the
+    * 6-dp report is a pure function of integer counts. */
+  def eNbPrCurve(s: SparkSession, d: String): DataFrame = {
+    val sc = graft.functions.NaiveBayes.scoreAll(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+      nbModel(s, d), "doc_id", "text", keep = Seq("lang"))
+    val mg = sc.groupBy(col("doc_id"), col("lang"))
+      .agg(max(when(col("class") === "en", col("score"))).as("s_en"),
+        max(when(col("class") =!= "en", col("score"))).as("s_rest"))
+      .select((col("lang") === "en").cast("long").as("is_en"),
+        round(col("s_en") - col("s_rest"), 6).as("margin"))
+    mg.withColumn("threshold", explode(typedLit(PrThresholds)))
+      .groupBy(col("threshold"))
+      .agg(sum((col("margin") >= col("threshold")).cast("long")).as("pp"),
+        sum(when(col("margin") >= col("threshold"), col("is_en"))
+          .otherwise(lit(0L))).as("tp"),
+        sum(col("is_en")).as("npos"))
+      .select(col("threshold"), col("pp").as("n_pred_pos"),
+        col("tp").as("n_true_pos"),
+        when(col("pp") === 0, lit(0.0))
+          .otherwise(round(col("tp").cast("double") / col("pp"), 6)).as("prec"),
+        round(col("tp").cast("double") / col("npos"), 6).as("rec"),
+        when(col("pp") + col("npos") === 0, lit(0.0))
+          .otherwise(round(lit(2.0) * col("tp") / (col("pp") + col("npos")),
+            6)).as("f1"))
+      .orderBy("threshold")
+  }
+
+  /** Cohen's kappa between the TRAINED router and the stopword-heuristic
+    * language ID over the same held-out docs — the chance-corrected
+    * agreement meter label-quality audits run between two annotators.
+    * po from one narrow join, pe from two classes-bounded marginal
+    * tables; kappa is computed on the raw rationals (exact integer
+    * ratios in double) and rounded once. Output is ONE row. */
+  def eClassifierKappa(s: SparkSession, d: String): DataFrame = {
+    val pairs = nbScored(s, d).select(col("doc_id"), col("pred_lang"))
+      .join(Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("h_pred")), Seq("doc_id"))
+    val m1 = pairs.groupBy(col("pred_lang").as("c"))
+      .agg(count(lit(1)).as("n1"))
+    val m2 = pairs.groupBy(col("h_pred").as("c"))
+      .agg(count(lit(1)).as("n2"))
+    val peRow = m1.join(m2, Seq("c"), "full")
+      .agg(sum(coalesce(col("n1"), lit(0L)) * coalesce(col("n2"), lit(0L)))
+        .as("cross_mass"))
+    pairs
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("pred_lang") === col("h_pred")).cast("long")).as("agree"))
+      .crossJoin(broadcast(peRow))
+      .select(col("n_docs"),
+        round(col("agree").cast("double") / col("n_docs"), 6).as("po"),
+        round(col("cross_mass").cast("double") /
+          (col("n_docs") * col("n_docs")), 6).as("pe"),
+        round((col("agree").cast("double") / col("n_docs") -
+          col("cross_mass").cast("double") / (col("n_docs") * col("n_docs"))) /
+          (lit(1.0) - col("cross_mass").cast("double") /
+            (col("n_docs") * col("n_docs"))), 6).as("kappa"))
+  }
 
   /** Temperature-scaled mixture weights (the mT5/multilingual sampling
     * recipe): per-source sampling weight p^α / Σ p^α over natural token
@@ -4356,6 +4439,69 @@ object ExtQueries {
        |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
        |FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // One-vs-rest margin swept over the fixed threshold grid; F1 from raw
+  // counts (2·tp/(pp+pos)) exactly as the Spark side computes it.
+  private val nbPrCurveOracle = {
+    val grid = PrThresholds.mkString(", ")
+    s"""WITH $nbCtes,
+       |mg AS (SELECT s.doc_id, CAST(s.lang = 'en' AS BIGINT) AS is_en,
+       |  round(max(CASE WHEN s.c = 'en' THEN s.score END)
+       |      - max(CASE WHEN s.c <> 'en' THEN s.score END), 6) AS margin
+       |  FROM sc s GROUP BY 1, 2),
+       |th AS (SELECT unnest([$grid]) AS threshold),
+       |agg AS (SELECT th.threshold,
+       |    sum(CASE WHEN mg.margin >= th.threshold THEN 1 ELSE 0 END) AS pp,
+       |    sum(CASE WHEN mg.margin >= th.threshold THEN mg.is_en
+       |      ELSE 0 END) AS tp,
+       |    sum(mg.is_en) AS npos
+       |  FROM mg CROSS JOIN th GROUP BY 1)
+       |SELECT threshold, CAST(pp AS BIGINT) AS n_pred_pos,
+       |  CAST(tp AS BIGINT) AS n_true_pos,
+       |  CASE WHEN pp = 0 THEN 0.0
+       |    ELSE round(CAST(tp AS DOUBLE) / pp, 6) END AS prec,
+       |  round(CAST(tp AS DOUBLE) / npos, 6) AS rec,
+       |  CASE WHEN pp + npos = 0 THEN 0.0
+       |    ELSE round(2.0 * tp / (pp + npos), 6) END AS f1
+       |FROM agg ORDER BY threshold""".stripMargin
+  }
+
+  // Chance-corrected agreement between the trained router and the
+  // stopword heuristic: po/pe/kappa from exact integer ratios.
+  private val classifierKappaOracle = {
+    val langs = TextAnalysis.stopwords.keys.toSeq.sorted
+    val scoreCols = langs.map { l =>
+      val words = TextAnalysis.stopwords(l).map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(ht, x -> x IN ($words))) AS s_$l"
+    }.mkString(",\n  ")
+    val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
+    val caseArms =
+      langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
+    s"""WITH $nbCtes,
+       |p1 AS (SELECT sc.doc_id, min(sc.c) AS nb_pred
+       |  FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
+       |  GROUP BY 1),
+       |hsc AS (SELECT doc_id, $scoreCols FROM
+       |  (SELECT doc_id, str_split(trim(text), ' ') AS ht FROM documents
+       |   WHERE doc_id % 3 = 0)),
+       |hp AS (SELECT doc_id, CASE $caseArms ELSE 'und' END AS h_pred
+       |  FROM (SELECT *, $mExpr AS m FROM hsc)),
+       |pr AS (SELECT p1.doc_id, p1.nb_pred, hp.h_pred
+       |  FROM p1 JOIN hp ON hp.doc_id = p1.doc_id),
+       |mm AS (SELECT (SELECT count(*) FROM pr) AS n,
+       |  (SELECT count(*) FROM pr WHERE nb_pred = h_pred) AS agree,
+       |  (SELECT coalesce(sum(a.n1 * b.n2), 0) FROM
+       |     (SELECT nb_pred AS c, count(*) AS n1 FROM pr GROUP BY 1) a
+       |     JOIN (SELECT h_pred AS c, count(*) AS n2 FROM pr GROUP BY 1) b
+       |     USING (c)) AS cross_mass)
+       |SELECT CAST(n AS BIGINT) AS n_docs,
+       |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
+       |  round(CAST(cross_mass AS DOUBLE) / (n * n), 6) AS pe,
+       |  round((CAST(agree AS DOUBLE) / n
+       |      - CAST(cross_mass AS DOUBLE) / (n * n))
+       |    / (1.0 - CAST(cross_mass AS DOUBLE) / (n * n)), 6) AS kappa
+       |FROM mm""".stripMargin
+  }
+
   // mixture temperature: token shares and renormalized p^α weights —
   // every division and pow written in the same shape the Spark columns
   // compute, α rendered from the Scala double
@@ -5632,6 +5778,8 @@ object ExtQueries {
     "e_dsir_weights" -> (eDsirWeights _),
     "e_nb_classify" -> (eNbClassify _),
     "e_nb_confusion" -> (eNbConfusion _),
+    "e_nb_pr_curve" -> (eNbPrCurve _),
+    "e_classifier_kappa" -> (eClassifierKappa _),
     "e_mixture_temperature" -> (eMixtureTemperature _),
     "e_cdc_chunks" -> (eCdcChunks _),
     "e_cdc_dedup" -> (eCdcDedup _),
@@ -6461,6 +6609,8 @@ object ExtQueries {
     "e_dsir_weights" -> dsirOracle,
     "e_nb_classify" -> nbClassifyOracle,
     "e_nb_confusion" -> nbConfusionOracle,
+    "e_nb_pr_curve" -> nbPrCurveOracle,
+    "e_classifier_kappa" -> classifierKappaOracle,
     "e_mixture_temperature" -> mixtureTemperatureOracle,
     "e_cdc_chunks" -> cdcChunksOracle,
     "e_cdc_dedup" -> cdcDedupOracle,

@@ -104,4 +104,25 @@ class NaiveBayesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("scoreAll: one row per (doc, class); argmax agrees with predict") {
+    import spark.implicits._
+    val df = corpus.toDF("doc_id", "text", "lang", "ev")
+    val m = NaiveBayes.train(df, "doc_id", "text", "lang",
+      isTrain = !col("ev"), buckets = B)
+    val all = NaiveBayes.scoreAll(df.filter(col("ev")), m, "doc_id", "text")
+      .as[(Long, String, Double)].collect()
+    val ids = corpus.filter(_._4).map(_._1).toSet
+    assert(all.map(_._1).toSet == ids)
+    assert(all.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq("de", "en")))
+    // argmax with min-label tie-break reproduces predict exactly
+    val viaAll = all.groupBy(_._1).map { case (id, rows) =>
+      val best = rows.map(_._3).max
+      id -> rows.filter(_._3 == best).map(_._2).min
+    }
+    val viaPredict = NaiveBayes
+      .predict(df.filter(col("ev")), m, "doc_id", "text", "p")
+      .select("doc_id", "p").as[(Long, String)].collect().toMap
+    assert(viaAll == viaPredict)
+  }
 }
