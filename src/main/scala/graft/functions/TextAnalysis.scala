@@ -49,6 +49,40 @@ object TextAnalysis {
   def unicodeTokenCount(text: Column): Column =
     size(unicodeTokens(text)).cast("long")
 
+  /** Syllable estimate via the vowel-run heuristic (`[aeiouy]+` runs,
+    * lowercase input assumed; every vowel-free word still counts one) —
+    * the standard cheap stand-in where a pronunciation lexicon is
+    * overkill. Runs can never span a word boundary (space is not a
+    * vowel), so one whole-text regex count plus the vowel-free-word
+    * correction equals the per-word sum. */
+  def syllableCount(text: Column): Column =
+    (regexp_count(text, lit("[aeiouy]+")) +
+      size(filter(tokens(text), t => !t.rlike("[aeiouy]")))).cast("long")
+
+  /** Sentence count: runs of terminal punctuation, floored at one (a
+    * fragment with no terminator is one sentence). */
+  def sentenceCount(text: Column): Column =
+    greatest(regexp_count(text, lit("[.!?]+")).cast("long"), lit(1L))
+
+  /** Flesch reading ease: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words). Higher = easier; classic English prose
+    * sits 60-70. */
+  def fleschReadingEase(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    round(lit(206.835)
+      - lit(1.015) * (w / sentenceCount(text).cast("double"))
+      - lit(84.6) * (syllableCount(text).cast("double") / w), 6)
+  }
+
+  /** Flesch-Kincaid grade level: 0.39·(words/sentences) +
+    * 11.8·(syllables/words) − 15.59. */
+  def fkGradeLevel(text: Column): Column = {
+    val w = tokenCount(text).cast("double")
+    round(lit(0.39) * (w / sentenceCount(text).cast("double"))
+      + lit(11.8) * (syllableCount(text).cast("double") / w)
+      - lit(15.59), 6)
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, and lone
     * non-alnum symbols each count as one token (a common pre-tokenizer
     * approximation when no trained BPE vocab is available). */

@@ -3032,6 +3032,21 @@ object ExtQueries {
         TextAnalysis.subwordCount(col("text")).as("subword_tokens"))
       .orderBy("doc_id")
 
+  /** Readability report — the classic prose-difficulty quality signal
+    * (Flesch reading ease + Flesch-Kincaid grade over the vowel-run
+    * syllable heuristic). Counts are integer-exact; the two scores are
+    * single-rounded functions of three integer ratios. Per-row codegen'd
+    * column work, no shuffle. */
+  def eReadability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
+        TextAnalysis.syllableCount(col("text")).as("n_syllables"),
+        TextAnalysis.fleschReadingEase(col("text")).as("flesch"),
+        TextAnalysis.fkGradeLevel(col("text")).as("fk_grade"))
+      .orderBy("doc_id")
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -5825,6 +5840,7 @@ object ExtQueries {
     "e_text_quality" -> (eTextQuality _),
     "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
+    "e_readability" -> (eReadability _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -7306,6 +7322,24 @@ object ExtQueries {
         |    + len(regexp_extract_all(text, '[0-9]+'))
         |    + len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS BIGINT) AS subword_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "e_readability" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    str_split(trim(text), ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+        |    AS BIGINT) AS n_sentences,
+        |  CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+        |    + len(list_filter(toks, x -> NOT regexp_matches(x, '[aeiouy]')))
+        |    AS BIGINT) AS n_syllables FROM t)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  round(206.835
+        |    - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 6) AS flesch,
+        |  round(0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |    - 15.59, 6) AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin,
     "e_fingerprint" -> fingerprintOracle,
     "e_bpe_merges" -> bpeMergesOracle,
     "e_bpe_encode" -> bpeEncodeOracle,

@@ -17,6 +17,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r._2 == 8)
   }
 
+  test("readability: vowel-run syllables, sentence floor, Flesch formulas") {
+    import spark.implicits._
+    val r = Seq("the cat sat. why not xyz!")
+      .toDF("t")
+      .select(TextAnalysis.tokenCount(col("t")).as("w"),
+        TextAnalysis.sentenceCount(col("t")).as("s"),
+        TextAnalysis.syllableCount(col("t")).as("y"),
+        TextAnalysis.fleschReadingEase(col("t")).as("fre"),
+        TextAnalysis.fkGradeLevel(col("t")).as("fk"))
+      .as[(Long, Long, Long, Double, Double)].head()
+    // tokens: the cat sat. why not xyz!  (6 ws tokens)
+    assert(r._1 == 6)
+    assert(r._2 == 2) // ". " and "!" runs
+    // vowel runs: e,a,a,o  = 4 (why/xyz have y-runs: "y" in why, "y" in xyz)
+    // the(e) cat(a) sat.(a) why(y) not(o) xyz!(y) = 6 runs; no vowel-free word
+    assert(r._3 == 6)
+    val fre = 206.835 - 1.015 * (6.0 / 2) - 84.6 * (6.0 / 6)
+    assert(math.abs(r._4 - fre) < 1e-6, s"${r._4} vs $fre")
+    val fk = 0.39 * (6.0 / 2) + 11.8 * (6.0 / 6) - 15.59
+    assert(math.abs(r._5 - fk) < 1e-6)
+    // a vowel-free fragment still counts one syllable and one sentence
+    val v = Seq("tsk").toDF("t")
+      .select(TextAnalysis.syllableCount(col("t")).as("y"),
+        TextAnalysis.sentenceCount(col("t")).as("s"))
+      .as[(Long, Long)].head()
+    assert(v == ((1L, 1L)))
+  }
+
   test("unicodeTokens: punctuation splits, whitespace-glued forms separate") {
     import spark.implicits._
     val r = Seq("Hello, world! it's 42.5%—done")
