@@ -167,4 +167,28 @@ object CorpusFilters {
           (col("n_docs") * col("bucket_cap")).cast("double"), 6).as("pad_share"))
       .orderBy("bucket_cap")
   }
+
+  /** Word-blocklist safety gate (the Dolma/C4-style list filter): per
+    * document the blocked-token hit count and ratio, and the gate
+    * verdict `hits ≥ minHits OR ratio > maxRatio`. The membership probe
+    * is one InSet pass over the token array (O(1) per token); a
+    * production-size lexicon swaps in as a broadcast semi-join on the
+    * exploded token — the report shape is identical. Emits the verdict
+    * as a FLAG column (consumers filter), per the engine's
+    * no-cross-side-filter discipline. */
+  def blockwordGate(docs: DataFrame, idCol: String, textCol: String,
+                    blocked: Seq[String], minHits: Long,
+                    maxRatio: Double): DataFrame = {
+    require(blocked.nonEmpty, "an empty blocklist gates nothing")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val hits = size(filter(toks, t => t.isin(blocked: _*))).cast("long")
+    docs.select(col(idCol), hits.as("blocked_hits"),
+        size(toks).cast("long").as("n_tokens"))
+      .select(col(idCol), col("blocked_hits"), col("n_tokens"),
+        round(col("blocked_hits").cast("double") / col("n_tokens"), 6)
+          .as("blocked_ratio"),
+        (col("blocked_hits") >= minHits ||
+          col("blocked_hits").cast("double") / col("n_tokens") > maxRatio)
+          .as("gated"))
+  }
 }

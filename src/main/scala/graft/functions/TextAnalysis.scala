@@ -83,6 +83,31 @@ object TextAnalysis {
       - lit(15.59), 6)
   }
 
+  /** Unicode script classes profiled by [[scriptCounts]], alphabetical.
+    * Spark (java.util.regex) spells the class `\p{IsHan}`, RE2/DuckDB
+    * spells it `\p{Han}` — same Unicode script property, two syntaxes;
+    * the oracle generator writes the RE2 spelling. */
+  val scriptClasses: Seq[String] = Seq("Arabic", "Cyrillic", "Han", "Latin")
+
+  /** Per-script character counts — the script-mix profile a multilingual
+    * curation pass reads to route documents (a "Latin" corpus with 40%
+    * Han chars is mislabeled or mixed). One codegen'd regex count per
+    * class, per-row, no shuffle. */
+  def scriptCounts(text: Column): Seq[(String, Column)] =
+    scriptClasses.map(sc =>
+      sc -> regexp_count(text, lit(s"\\p{Is$sc}")).cast("long"))
+
+  /** Dominant script of a text: argmax char count over
+    * [[scriptClasses]], alphabetical-first tie-break, "none" when no
+    * scripted character occurs (digits/punctuation only). */
+  def dominantScript(text: Column): Column = {
+    val counts = scriptCounts(text)
+    val best = counts.map(_._2).reduce((a, b) => greatest(a, b))
+    counts.foldRight(lit("none"): Column) { case ((sc, c), acc) =>
+      when(c === best && best > 0, lit(sc.toLowerCase)).otherwise(acc)
+    }
+  }
+
   /** BPE-ish subword count: runs of letters, runs of digits, and lone
     * non-alnum symbols each count as one token (a common pre-tokenizer
     * approximation when no trained BPE vocab is available). */

@@ -3047,6 +3047,35 @@ object ExtQueries {
         TextAnalysis.fkGradeLevel(col("text")).as("fk_grade"))
       .orderBy("doc_id")
 
+  /** Per-document Unicode-script mix (char counts per script class +
+    * dominant script) — the routing profile a multilingual curation pass
+    * reads before trusting a `lang` tag. All-ASCII grade data exercises
+    * the Latin/none paths; CJK/Cyrillic behavior is spec-proven
+    * (`TextAnalysisSpec`) since DuckDB's RE2 spells the same script
+    * property differently. Per-row codegen'd regex counts, no shuffle. */
+  def eScriptProfile(s: SparkSession, d: String): DataFrame = {
+    val counts = TextAnalysis.scriptCounts(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id") +:
+        length(col("text")).cast("long").as("n_chars") +:
+        counts.map { case (n, c) => c.as(s"n_${n.toLowerCase}") } :+
+        TextAnalysis.dominantScript(col("text")).as("dominant"): _*)
+      .orderBy("doc_id")
+  }
+
+  /** Blocked words for the safety-gate query (fixture-meaningful tokens;
+    * a real deployment broadcasts its lexicon) + gate knobs. */
+  private val BlockedWords = Seq("slow", "dup")
+  private val BlockMinHits = 5L
+  private val BlockMaxRatio = 0.08
+
+  /** Dolma/C4-style word-blocklist safety gate: per-doc blocked-token
+    * hits, ratio, and the gate verdict as a FLAG column. */
+  def eBlockwordGate(s: SparkSession, d: String): DataFrame =
+    graft.functions.CorpusFilters.blockwordGate(Tables.documents(s, d),
+        "doc_id", "text", BlockedWords, BlockMinHits, BlockMaxRatio)
+      .orderBy("doc_id")
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -5086,6 +5115,29 @@ object ExtQueries {
        |FROM best x JOIN best y ON x.p = y.id AND y.p = x.id AND x.id < y.id
        |ORDER BY id_a, id_b""".stripMargin
 
+  // Script-mix profile: RE2 spells the script property \p{Han} where
+  // java.util.regex needs \p{IsHan} — same Unicode class, two syntaxes.
+  private val scriptProfileOracle = {
+    val classes = TextAnalysis.scriptClasses
+    val cols = classes.map(c =>
+      s"len(regexp_extract_all(text, '\\p{$c}')) AS n_${c.toLowerCase}")
+      .mkString(",\n  ")
+    val best =
+      s"greatest(${classes.map(c => s"n_${c.toLowerCase}").mkString(", ")})"
+    val arms = classes.map(c =>
+      s"WHEN n_${c.toLowerCase} = m AND m > 0 THEN '${c.toLowerCase}'")
+      .mkString(" ")
+    val outs = classes.map(c =>
+      s"CAST(n_${c.toLowerCase} AS BIGINT) AS n_${c.toLowerCase}")
+      .mkString(", ")
+    s"""WITH sc AS (SELECT doc_id, length(text) AS n_chars, $cols
+       |  FROM documents),
+       |mm AS (SELECT *, $best AS m FROM sc)
+       |SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, $outs,
+       |  CASE $arms ELSE 'none' END AS dominant
+       |FROM mm ORDER BY doc_id""".stripMargin
+  }
+
   private val langidOracle = {
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
     val scoreCols = langs.map { l =>
@@ -5841,6 +5893,8 @@ object ExtQueries {
     "e_quality_cut" -> (eQualityCut _),
     "e_token_count" -> (eTokenCount _),
     "e_readability" -> (eReadability _),
+    "e_script_profile" -> (eScriptProfile _),
+    "e_blockword_gate" -> (eBlockwordGate _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -7340,6 +7394,19 @@ object ExtQueries {
         |    + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
         |    - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
+    "e_script_profile" -> scriptProfileOracle,
+    "e_blockword_gate" ->
+      s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |c AS (SELECT doc_id,
+         |  CAST(len(list_filter(toks, x -> x IN (${BlockedWords
+              .map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS blocked_hits,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens FROM t)
+         |SELECT doc_id, blocked_hits, n_tokens,
+         |  round(CAST(blocked_hits AS DOUBLE) / n_tokens, 6) AS blocked_ratio,
+         |  (blocked_hits >= $BlockMinHits OR
+         |    CAST(blocked_hits AS DOUBLE) / n_tokens > $BlockMaxRatio) AS gated
+         |FROM c ORDER BY doc_id""".stripMargin,
     "e_fingerprint" -> fingerprintOracle,
     "e_bpe_merges" -> bpeMergesOracle,
     "e_bpe_encode" -> bpeEncodeOracle,

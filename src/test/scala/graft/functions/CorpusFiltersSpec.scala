@@ -109,4 +109,21 @@ class CorpusFiltersSpec extends SparkSpec {
       CorpusFilters.lengthBuckets(docs, "text", Seq(8L, 4L))
     }
   }
+
+  test("blockwordGate: hit count, ratio, and the OR of both gate arms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "bad bad bad ok ok"),        // 3 hits, ratio 0.6 → both arms
+      (2L, "bad ok ok ok ok ok ok ok ok ok"), // 1 hit, ratio 0.1 → ratio arm
+      (3L, "ok ok ok ok ok ok ok ok ok ok"))  // clean
+      .toDF("doc_id", "text")
+    val r = CorpusFilters
+      .blockwordGate(docs, "doc_id", "text", Seq("bad"),
+        minHits = 3L, maxRatio = 0.05)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(r(0) == ((1L, 3L, 5L, 0.6, true)))
+    assert(r(1) == ((2L, 1L, 10L, 0.1, true)))  // ratio arm alone fires
+    assert(r(2) == ((3L, 0L, 10L, 0.0, false)))
+  }
 }

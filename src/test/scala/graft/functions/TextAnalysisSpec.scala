@@ -45,6 +45,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == ((1L, 1L)))
   }
 
+  test("scriptCounts/dominantScript: Han, Cyrillic, mixed, and none paths") {
+    import spark.implicits._
+    val rows = Seq(
+      "hello world",          // latin
+      "中文文本", // 中文文本 — han
+      "привет", // привет — cyrillic
+      "abc 中文中文中",   // 3 latin vs 5 han
+      "123 !?")               // no scripted chars
+      .toDF("t")
+    val sel = TextAnalysis.scriptCounts(col("t"))
+      .map { case (n, c) => c.as(n.toLowerCase) } :+
+      TextAnalysis.dominantScript(col("t")).as("dom")
+    val r = rows.select(sel: _*)
+      .as[(Long, Long, Long, Long, String)].collect()
+    assert(r(0) == ((0L, 0L, 0L, 10L, "latin")))
+    assert(r(1) == ((0L, 0L, 4L, 0L, "han")))
+    assert(r(2) == ((0L, 6L, 0L, 0L, "cyrillic")))
+    assert(r(3) == ((0L, 0L, 5L, 3L, "han")))
+    assert(r(4) == ((0L, 0L, 0L, 0L, "none")))
+  }
+
   test("unicodeTokens: punctuation splits, whitespace-glued forms separate") {
     import spark.implicits._
     val r = Seq("Hello, world! it's 42.5%—done")
