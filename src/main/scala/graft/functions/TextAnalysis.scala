@@ -186,6 +186,36 @@ object TextAnalysis {
       regexp_replace(acc, pat, tag)
     }
 
+  /** Luhn checksum validity of an all-digit string (any length) — the
+    * checksum that separates card-SHAPED digit runs from actual card
+    * numbers, so the PII pass neither misses real cards nor shreds
+    * order ids. Pure per-row array arithmetic (digits → position-doubled
+    * values → fold sum); the doubling applies at odd 0-based positions
+    * from the RIGHT, the part regexes cannot express. */
+  def luhnValid(digits: Column): Column = {
+    val ds = split(digits, "")
+    val n = size(ds)
+    val vals = transform(ds, (d, i) => {
+      val v = d.cast("int")
+      when((n - lit(1) - i) % 2 === 1,
+        when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+    })
+    aggregate(vals, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Card-shaped candidates: bare 16-digit runs (separator-tolerant
+    * variants join via a pre-normalization pass; the fixture keeps them
+    * bare so both engines share one regex). */
+  def cardCandidates(text: Column): Column =
+    regexp_extract_all(text, lit("[0-9]{16}"), lit(0))
+
+  /** Redact every Luhn-VALID card candidate to `[CARD]` — a fold of
+    * `replace` over the validated list, so invalid (non-card) digit runs
+    * survive untouched. */
+  def redactCards(text: Column): Column =
+    aggregate(filter(cardCandidates(text), c => luhnValid(c)), text,
+      (acc, c) => replace(acc, c, lit("[CARD]")))
+
   /** Count of PII matches (counted per pattern on the PROGRESSIVELY redacted
     * text, so overlapping patterns never double-count one span). */
   def piiCount(text: Column): Column = {

@@ -3076,6 +3076,26 @@ object ExtQueries {
         "doc_id", "text", BlockedWords, BlockMinHits, BlockMaxRatio)
       .orderBy("doc_id")
 
+  /** Luhn-validated card-number PII: every 4th doc carries a VALID test
+    * card, the next residue an INVALID card-shaped run — the checksum
+    * must redact the first and leave the second (a regex-only pass
+    * cannot tell them apart). Integer counts + md5 of the redacted text:
+    * bit-strict oracle. */
+  def eLuhnPii(s: SparkSession, d: String): DataFrame = {
+    val withCard = Tables.documents(s, d).withColumn("t",
+      concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" card 4532015112830366 end"))
+          .when(col("doc_id") % 4 === 1, lit(" card 4532015112830367 end"))
+          .otherwise(lit(""))))
+    withCard.select(col("doc_id"),
+        size(TextAnalysis.cardCandidates(col("t"))).cast("long")
+          .as("n_candidates"),
+        size(filter(TextAnalysis.cardCandidates(col("t")),
+          c => TextAnalysis.luhnValid(c))).cast("long").as("n_valid"),
+        md5(TextAnalysis.redactCards(col("t"))).as("clean_hash"))
+      .orderBy("doc_id")
+  }
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -5895,6 +5915,7 @@ object ExtQueries {
     "e_readability" -> (eReadability _),
     "e_script_profile" -> (eScriptProfile _),
     "e_blockword_gate" -> (eBlockwordGate _),
+    "e_luhn_pii" -> (eLuhnPii _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -7395,6 +7416,25 @@ object ExtQueries {
         |    - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
     "e_script_profile" -> scriptProfileOracle,
+    "e_luhn_pii" ->
+      """WITH f AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 4 = 0 THEN ' card 4532015112830366 end'
+        |       WHEN doc_id % 4 = 1 THEN ' card 4532015112830367 end'
+        |       ELSE '' END AS t FROM documents),
+        |c AS (SELECT doc_id, t,
+        |  regexp_extract_all(t, '[0-9]{16}') AS cands FROM f),
+        |v AS (SELECT doc_id, t, cands,
+        |  list_filter(cands, c -> list_sum(list_transform(
+        |    string_split(c, ''),
+        |    (x, i) -> CASE WHEN (length(c) - i) % 2 = 1
+        |      THEN CASE WHEN CAST(x AS INT) * 2 > 9
+        |        THEN CAST(x AS INT) * 2 - 9 ELSE CAST(x AS INT) * 2 END
+        |      ELSE CAST(x AS INT) END)) % 10 = 0) AS valid FROM c)
+        |SELECT doc_id, CAST(len(cands) AS BIGINT) AS n_candidates,
+        |  CAST(len(valid) AS BIGINT) AS n_valid,
+        |  md5(list_reduce(list_prepend(t, valid),
+        |    (acc, x) -> replace(acc, x, '[CARD]'))) AS clean_hash
+        |FROM v ORDER BY doc_id""".stripMargin,
     "e_blockword_gate" ->
       s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks
          |  FROM documents),

@@ -45,6 +45,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(v == ((1L, 1L)))
   }
 
+  test("luhnValid separates real cards from card-shaped runs; redact keeps invalid") {
+    import spark.implicits._
+    val r = Seq(
+      ("4532015112830366", true),   // valid test card
+      ("4532015112830367", false),  // last digit off
+      ("79927398713", true),        // the classic 11-digit Luhn example
+      ("79927398710", false))
+      .toDF("d", "expect")
+      .select(TextAnalysis.luhnValid(col("d")).as("got"), col("expect"))
+      .as[(Boolean, Boolean)].collect()
+    assert(r.forall(t => t._1 == t._2), r.toSeq.toString)
+    val red = Seq("a 4532015112830366 b 4532015112830367 c")
+      .toDF("t").select(TextAnalysis.redactCards(col("t")).as("r"))
+      .as[String].head()
+    assert(red == "a [CARD] b 4532015112830367 c")
+  }
+
   test("scriptCounts/dominantScript: Han, Cyrillic, mixed, and none paths") {
     import spark.implicits._
     val rows = Seq(
