@@ -376,8 +376,8 @@ object ExtQueries {
     // name order)
     ("shingleBasesUnicode", shingleUniCache, "e_dedup_unicode"),
     // kmeansAssigned: e_cluster_sample, e_crossmodal_align,
-    // e_embed_outliers, e_kmeans, e_kmeans_silhouette, e_knn_accuracy,
-    // e_semantic_dedup
+    // e_embed_outliers, e_embedding_drift, e_kmeans, e_kmeans_silhouette,
+    // e_knn_accuracy, e_semantic_dedup (last)
     ("kmeansAssigned", kmeansCache, "e_semantic_dedup"),
     // lmScores: e_lm_perplexity2, e_lm_tail_cut
     ("lmScores", lmScoresCache, "e_lm_tail_cut"),
@@ -3096,6 +3096,21 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Snapshot diff between two derived corpus versions: v1 drops the
+    * `% 11` residue, v2 drops `% 13` and rewrites the `% 7` texts —
+    * added / removed / modified must each surface exactly once.
+    * Narrow (id, md5) projections before one full-outer id join
+    * ([[graft.operators.CorpusDiff]]). */
+  def eCorpusDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val v1 = docs.filter(col("doc_id") % 11 =!= 0)
+    val v2 = docs.filter(col("doc_id") % 13 =!= 0)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(col("text"), lit(" v2"))).otherwise(col("text")))
+    graft.operators.CorpusDiff.delta(v1, v2, "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -3564,6 +3579,41 @@ object ExtQueries {
         kmeansAssigned(s, d).select(col("vec_id"), col("v"), col("cid")),
         minCosine = 0.9)
       .orderBy("pair_id")
+  }
+
+  /** Embedding-drift monitor: per IVF cell, the cosine between the
+    * centroid of the even-id slice and the odd-id slice (a stand-in for
+    * "last release" vs "this release") plus both occupancies — the
+    * canary an embedding deployment watches for encoder or corpus drift
+    * before re-indexing. Rides the memoized k-means assignment; all
+    * aggregations are (cells × dims)-bounded. A single-parity cell
+    * reports a null cosine (nothing to compare). */
+  def eEmbeddingDrift(s: SparkSession, d: String): DataFrame = {
+    val a = kmeansAssigned(s, d).select(col("vec_id"), col("v"), col("cid"),
+      (col("vec_id") % 2 === 0).as("even"))
+    val m = a.select(col("cid"), col("even"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cid"), col("even"), col("pos"))
+      .agg(avg(col("x")).as("m"))
+    val me = m.filter(col("even"))
+      .select(col("cid"), col("pos"), col("m").as("m1"))
+    val mo = m.filter(!col("even"))
+      .select(col("cid"), col("pos"), col("m").as("m2"))
+    val cosx = me.join(mo, Seq("cid", "pos"))
+      .groupBy(col("cid"))
+      .agg(sum(col("m1") * col("m2")).as("dp"),
+        sum(col("m1") * col("m1")).as("n1"),
+        sum(col("m2") * col("m2")).as("n2"))
+      .select(col("cid"),
+        round(col("dp") / (sqrt(col("n1")) * sqrt(col("n2"))), 6)
+          .as("centroid_cos"))
+    a.groupBy(col("cid"))
+      .agg(sum(col("even").cast("long")).as("n_even"),
+        sum((!col("even")).cast("long")).as("n_odd"))
+      .join(cosx, Seq("cid"), "left")
+      .select(col("cid").as("cell_id"), col("n_even"), col("n_odd"),
+        col("centroid_cos"))
+      .orderBy("cell_id")
   }
 
   /** Corpus vocabulary: the 50 most frequent tokens with counts and ranks —
@@ -5011,6 +5061,29 @@ object ExtQueries {
       |a2 AS (SELECT vec_id, cid, d2,
       |       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn FROM d2x)""".stripMargin
 
+  private val embeddingDriftOracle =
+    s"""WITH $kmeansCte,
+       |asg AS (SELECT a2.vec_id, cid, vec_id % 2 = 0 AS even
+       |  FROM a2 WHERE rn = 1),
+       |m AS (SELECT asg.cid, asg.even, e.pos, avg(e.v) AS m
+       |  FROM asg JOIN e ON e.vec_id = asg.vec_id GROUP BY 1, 2, 3),
+       |cosx AS (SELECT me.cid,
+       |  round(sum(me.m * mo.m)
+       |    / (sqrt(sum(me.m * me.m)) * sqrt(sum(mo.m * mo.m))), 6)
+       |    AS centroid_cos
+       |  FROM (SELECT * FROM m WHERE even) me
+       |  JOIN (SELECT * FROM m WHERE NOT even) mo
+       |    ON mo.cid = me.cid AND mo.pos = me.pos
+       |  GROUP BY 1),
+       |cnt AS (SELECT cid,
+       |  sum(CASE WHEN even THEN 1 ELSE 0 END) AS n_even,
+       |  sum(CASE WHEN NOT even THEN 1 ELSE 0 END) AS n_odd
+       |  FROM asg GROUP BY 1)
+       |SELECT cnt.cid AS cell_id, CAST(n_even AS BIGINT) AS n_even,
+       |  CAST(n_odd AS BIGINT) AS n_odd, cosx.centroid_cos
+       |FROM cnt LEFT JOIN cosx ON cosx.cid = cnt.cid
+       |ORDER BY cell_id""".stripMargin
+
   private val semanticDedupOracle = {
     val rounds = (1 to 3).map { r =>
       s"""l$r AS (SELECT g.src AS doc_id, min(l.cluster_id) AS cluster_id
@@ -5916,6 +5989,8 @@ object ExtQueries {
     "e_script_profile" -> (eScriptProfile _),
     "e_blockword_gate" -> (eBlockwordGate _),
     "e_luhn_pii" -> (eLuhnPii _),
+    "e_corpus_diff" -> (eCorpusDiff _),
+    "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6347,6 +6422,7 @@ object ExtQueries {
         |    THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
         |FROM ass JOIN st USING (cid) ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
+    "e_embedding_drift" -> embeddingDriftOracle,
     "e_crossmodal_align" ->
       s"""WITH $kmeansCte,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
@@ -7416,6 +7492,22 @@ object ExtQueries {
         |    - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
     "e_script_profile" -> scriptProfileOracle,
+    "e_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+        |  WHERE doc_id % 11 <> 0),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  FROM documents WHERE doc_id % 13 <> 0),
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN h1 IS NULL THEN 'added'
+        |       WHEN h2 IS NULL THEN 'removed'
+        |       WHEN h1 <> h2 THEN 'modified'
+        |       ELSE 'unchanged' END AS status
+        |FROM j
+        |WHERE NOT (h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2)
+        |ORDER BY doc_id""".stripMargin,
     "e_luhn_pii" ->
       """WITH f AS (SELECT doc_id, text ||
         |  CASE WHEN doc_id % 4 = 0 THEN ' card 4532015112830366 end'
