@@ -361,8 +361,8 @@ object ExtQueries {
     // e_cluster_density, e_dedup_clusters (builds nearDupClusters), e_dedup_curve,
     // e_dedup_impact, e_dedup_minhash_lsh, e_dup_kcore,
     // e_dup_triangles, e_dedup_authority, e_host_dup_weight,
-    // e_label_propagation, e_lsh_recall, e_lsh_recall_sweep,
-    // e_minhash_calibration
+    // e_label_propagation, e_linkage_weights, e_lsh_recall,
+    // e_lsh_recall_sweep, e_minhash_calibration (last)
     ("minhashPairs", pairsCache, "e_minhash_calibration"),
     // nearDupClusters: e_cc_sizes, e_cluster_density, e_dedup_best,
     // e_dedup_clusters, e_golden_record, e_leakage_split
@@ -3096,6 +3096,30 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Fellegi-Sunter linkage weights fitted on the LSH candidate pairs:
+    * the signature estimate labels each candidate (`est ≥ 0.5` = match,
+    * the engine's dedup-apply convention), and three cheap field
+    * comparisons (lang equal, source equal, |n_chars| within 10) get
+    * their m/u probabilities and log-likelihood-ratio weights — the
+    * table an entity-resolution scorer multiplies out. Rides the pair
+    * memo; two narrow doc joins + one fields-bounded aggregation. */
+  def eLinkageWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val cmp = minhashPairs(s, d)
+      .join(docs.select(col("doc_id").as("doc_a"), col("lang").as("la"),
+        col("source").as("so_a"), col("n_chars").as("ca")), Seq("doc_a"))
+      .join(docs.select(col("doc_id").as("doc_b"), col("lang").as("lb"),
+        col("source").as("so_b"), col("n_chars").as("cb")), Seq("doc_b"))
+      .select((col("est_jaccard") >= 0.5).as("is_match"),
+        (col("la") === col("lb")).as("f_lang"),
+        (col("so_a") === col("so_b")).as("f_source"),
+        (abs(col("ca") - col("cb")) <= 10).as("f_len"))
+    graft.dedup.RecordLinkage
+      .fsWeights(cmp, "is_match", Seq("f_lang", "f_len", "f_source"))
+      .orderBy("field")
+  }
+
   /** Snapshot diff between two derived corpus versions: v1 drops the
     * `% 11` residue, v2 drops `% 13` and rewrites the `% 7` texts —
     * added / removed / modified must each surface exactly once.
@@ -3922,6 +3946,47 @@ object ExtQueries {
        |  JOIN sigs sa ON p.doc_a = sa.doc_id
        |  JOIN sigs sb ON p.doc_b = sb.doc_id
        |  WHERE ($matchSum) / $K.0 >= 0.5)""".stripMargin
+  }
+
+  // Fellegi-Sunter weights over the SAME candidate pairs + signature
+  // estimate as the dedup-apply convention; add-one smoothing mirrored
+  // term by term.
+  private lazy val linkageWeightsOracle = {
+    val matchSum = (0 until K)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $toksCte,
+       |${shCte(distinct = false)},
+       |$sigsCte,
+       |$bandsCte,
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+       |      AND a.doc_id < b.doc_id),
+       |pv AS (SELECT p.doc_a, p.doc_b, ($matchSum) / $K.0 AS ej FROM pairs p
+       |  JOIN sigs sa ON p.doc_a = sa.doc_id
+       |  JOIN sigs sb ON p.doc_b = sb.doc_id),
+       |cmp AS (SELECT pv.ej >= 0.5 AS mt,
+       |  da.lang = db.lang AS f_lang, da.source = db.source AS f_source,
+       |  abs(da.n_chars - db.n_chars) <= 10 AS f_len
+       |  FROM pv JOIN documents da ON da.doc_id = pv.doc_a
+       |  JOIN documents db ON db.doc_id = pv.doc_b),
+       |u AS (SELECT 'f_lang' AS field, mt, f_lang AS agree FROM cmp
+       |  UNION ALL SELECT 'f_len', mt, f_len FROM cmp
+       |  UNION ALL SELECT 'f_source', mt, f_source FROM cmp),
+       |g AS (SELECT field,
+       |  sum(CASE WHEN mt AND agree THEN 1 ELSE 0 END) AS am,
+       |  sum(CASE WHEN mt THEN 1 ELSE 0 END) AS nm,
+       |  sum(CASE WHEN NOT mt AND agree THEN 1 ELSE 0 END) AS au,
+       |  sum(CASE WHEN NOT mt THEN 1 ELSE 0 END) AS nu FROM u GROUP BY 1)
+       |SELECT field, CAST(nm AS BIGINT) AS n_match,
+       |  CAST(nu AS BIGINT) AS n_unmatch,
+       |  round((am + 1.0) / (nm + 2), 6) AS m_prob,
+       |  round((au + 1.0) / (nu + 2), 6) AS u_prob,
+       |  round(ln(((am + 1.0) / (nm + 2)) / ((au + 1.0) / (nu + 2))), 6)
+       |    AS w_agree,
+       |  round(ln((1.0 - (am + 1.0) / (nm + 2))
+       |    / (1.0 - (au + 1.0) / (nu + 2))), 6) AS w_disagree
+       |FROM g ORDER BY field""".stripMargin
   }
 
   // Calibration: the candidate pairs with their signature estimates,
@@ -5991,6 +6056,7 @@ object ExtQueries {
     "e_luhn_pii" -> (eLuhnPii _),
     "e_corpus_diff" -> (eCorpusDiff _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
+    "e_linkage_weights" -> (eLinkageWeights _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6423,6 +6489,7 @@ object ExtQueries {
         |FROM ass JOIN st USING (cid) ORDER BY vec_id""".stripMargin,
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_embedding_drift" -> embeddingDriftOracle,
+    "e_linkage_weights" -> linkageWeightsOracle,
     "e_crossmodal_align" ->
       s"""WITH $kmeansCte,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),
