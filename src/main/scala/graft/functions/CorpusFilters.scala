@@ -168,6 +168,48 @@ object CorpusFilters {
       .orderBy("bucket_cap")
   }
 
+  /** T5/UL2-style span-corruption pair generation: deterministic
+    * non-overlapping spans (every `every`-th position starting at
+    * `phase`, `spanLen` tokens each) are cut from the document and
+    * replaced by sentinels `<X0> <X1> …`; the target spells each
+    * sentinel followed by its span — the (input, target) pairs a
+    * denoising pretraining objective consumes. Deterministic-by-
+    * arithmetic (position residues, not RNG): results are a pure
+    * function of the text, reproducible across engines and cluster
+    * sizes, per the engine's samplers convention.
+    *
+    * All per-row array work (sequence/transform/filter over the token
+    * array) — no shuffle, work ∝ corpus tokens. A span whose tail would
+    * overrun the document is NOT cut (its tokens pass through). */
+  def spanCorruption(docs: DataFrame, idCol: String, textCol: String,
+                     every: Int, phase: Int, spanLen: Int): DataFrame = {
+    require(spanLen >= 1 && phase >= 0 && every > phase + spanLen - 1,
+      "spans must be non-overlapping by construction: every > phase + spanLen - 1")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val n = size(toks)
+    val pos = sequence(lit(0), n - 1)
+    def sentinel(p: Column): Column =
+      concat(lit("<X"), ((p - phase) / every).cast("int").cast("string"),
+        lit(">"))
+    val isStart = (p: Column) => p % every === phase && p + spanLen <= n
+    val inSpanTail = (p: Column) => {
+      val off = p % every - phase
+      off > 0 && off < spanLen && (p - off) + spanLen <= n
+    }
+    val inputArr = transform(pos, p =>
+      when(isStart(p), sentinel(p))
+        .when(inSpanTail(p), lit(""))
+        .otherwise(element_at(toks, p + 1)))
+    val starts = filter(pos, p => isStart(p))
+    val targetArr = transform(starts, s =>
+      concat(sentinel(s), lit(" "),
+        array_join(slice(toks, s + 1, lit(spanLen)), " ")))
+    docs.select(col(idCol),
+      size(starts).cast("long").as("n_spans"),
+      array_join(filter(inputArr, x => x =!= ""), " ").as("input"),
+      array_join(targetArr, " ").as("target"))
+  }
+
   /** Word-blocklist safety gate (the Dolma/C4-style list filter): per
     * document the blocked-token hit count and ratio, and the gate
     * verdict `hits ≥ minHits OR ratio > maxRatio`. The membership probe

@@ -3096,6 +3096,45 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-corruption knobs: a span of [[SpanCorrLen]] tokens is cut at
+    * every [[SpanCorrEvery]]-th position starting at [[SpanCorrPhase]]. */
+  private val SpanCorrEvery = 7
+  private val SpanCorrPhase = 3
+  private val SpanCorrLen = 3
+
+  /** T5-style span-corruption (input, target) pretraining pairs —
+    * deterministic-by-arithmetic spans, sentinel tokens, full strings
+    * graded bit-exact ([[graft.functions.CorpusFilters.spanCorruption]]). */
+  def eSpanCorruption(s: SparkSession, d: String): DataFrame =
+    graft.functions.CorpusFilters.spanCorruption(Tables.documents(s, d),
+        "doc_id", "text", SpanCorrEvery, SpanCorrPhase, SpanCorrLen)
+      .orderBy("doc_id")
+
+  /** Margin floor above which a disagreeing prediction counts as a
+    * suspected label error (log-likelihood units). */
+  private val LabelErrMargin = 10.0
+
+  /** Confident-learning-lite label-error detection: held-out docs where
+    * the trained router disagrees with the given label AND the score
+    * margin (best class − labeled class) clears [[LabelErrMargin]] —
+    * the suspect list a labeling audit reviews first. One scoreAll pass
+    * + a per-doc argmax aggregation; the filter runs on the ROUNDED
+    * margin in both engines. */
+  def eLabelErrors(s: SparkSession, d: String): DataFrame = {
+    val sc = graft.functions.NaiveBayes.scoreAll(
+      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+      nbModel(s, d), "doc_id", "text", keep = Seq("lang"))
+    sc.groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("neg"), col("class").as("cls")))
+        .as("bst"),
+        max(when(col("class") === col("lang"), col("score"))).as("s_label"))
+      .select(col("doc_id"), col("lang"), col("bst.cls").as("pred_lang"),
+        round(-col("bst.neg") - col("s_label"), 6).as("margin"))
+      .filter(col("pred_lang") =!= col("lang") &&
+        col("margin") >= LabelErrMargin)
+      .orderBy("doc_id")
+  }
+
   /** Fellegi-Sunter linkage weights fitted on the LSH candidate pairs:
     * the signature estimate labels each candidate (`est ≥ 0.5` = match,
     * the engine's dedup-apply convention), and three cheap field
@@ -3947,6 +3986,49 @@ object ExtQueries {
        |  JOIN sigs sb ON p.doc_b = sb.doc_id
        |  WHERE ($matchSum) / $K.0 >= 0.5)""".stripMargin
   }
+
+  // T5 span corruption: identical position arithmetic (0-based residues),
+  // 1-based list indexing on both sides, inclusive DuckDB slices sized
+  // to SpanCorrLen elements.
+  private val spanCorruptionOracle = {
+    val (ev, ph, sl) = (SpanCorrEvery, SpanCorrPhase, SpanCorrLen)
+    s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks,
+       |  len(str_split(trim(text), ' ')) AS n FROM documents),
+       |c AS (SELECT doc_id, toks, n,
+       |  list_filter(range(n), p -> p % $ev = $ph AND p + $sl <= n)
+       |    AS starts,
+       |  list_transform(range(n), p -> CASE
+       |    WHEN p % $ev = $ph AND p + $sl <= n
+       |      THEN '<X' || CAST((p - $ph) // $ev AS VARCHAR) || '>'
+       |    WHEN p % $ev - $ph > 0 AND p % $ev - $ph < $sl
+       |      AND (p - (p % $ev - $ph)) + $sl <= n THEN ''
+       |    ELSE toks[p + 1] END) AS ia FROM t)
+       |SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_spans,
+       |  array_to_string(list_filter(ia, x -> x <> ''), ' ') AS input,
+       |  array_to_string(list_transform(starts, s ->
+       |    '<X' || CAST((s - $ph) // $ev AS VARCHAR) || '> ' ||
+       |    array_to_string(toks[s + 1:s + $sl], ' ')), ' ') AS target
+       |FROM c ORDER BY doc_id""".stripMargin
+  }
+
+  // Confident-learning-lite: argmax + labeled-class score from the shared
+  // NB score CTE; the margin filter runs on the ROUNDED value in both
+  // engines so the cut is FP-order stable.
+  // lazy: nbCtes is declared later in the file (declaration-order init)
+  private lazy val labelErrorsOracle =
+    s"""WITH $nbCtes,
+       |ag AS (SELECT sc.doc_id, sc.lang, b.m,
+       |  max(CASE WHEN sc.c = sc.lang THEN sc.score END) AS s_label
+       |  FROM sc JOIN best b ON b.doc_id = sc.doc_id GROUP BY 1, 2, 3),
+       |pred AS (SELECT sc.doc_id, min(sc.c) AS pred_lang
+       |  FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
+       |  GROUP BY 1)
+       |SELECT a.doc_id, a.lang, p.pred_lang,
+       |  round(a.m - a.s_label, 6) AS margin
+       |FROM ag a JOIN pred p ON p.doc_id = a.doc_id
+       |WHERE p.pred_lang <> a.lang
+       |  AND round(a.m - a.s_label, 6) >= $LabelErrMargin
+       |ORDER BY a.doc_id""".stripMargin
 
   // Fellegi-Sunter weights over the SAME candidate pairs + signature
   // estimate as the dedup-apply convention; add-one smoothing mirrored
@@ -6057,6 +6139,8 @@ object ExtQueries {
     "e_corpus_diff" -> (eCorpusDiff _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
+    "e_span_corruption" -> (eSpanCorruption _),
+    "e_label_errors" -> (eLabelErrors _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6490,6 +6574,8 @@ object ExtQueries {
     "e_semantic_dedup" -> semanticDedupOracle,
     "e_embedding_drift" -> embeddingDriftOracle,
     "e_linkage_weights" -> linkageWeightsOracle,
+    "e_span_corruption" -> spanCorruptionOracle,
+    "e_label_errors" -> labelErrorsOracle,
     "e_crossmodal_align" ->
       s"""WITH $kmeansCte,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),

@@ -110,6 +110,32 @@ class CorpusFiltersSpec extends SparkSpec {
     }
   }
 
+  test("spanCorruption: sentinels, pass-through tail, overrun span kept") {
+    import spark.implicits._
+    // 12 tokens, every=7 phase=3 len=3: span 0 at 3..5, span at 10 would
+    // need 10+3<=12 → false, so t10 t11 pass through untouched.
+    val docs = Seq((1L, (0 to 11).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = CorpusFilters
+      .spanCorruption(docs, "doc_id", "text", every = 7, phase = 3, spanLen = 3)
+      .as[(Long, Long, String, String)].head()
+    assert(r._2 == 1)
+    assert(r._3 == "t0 t1 t2 <X0> t6 t7 t8 t9 t10 t11")
+    assert(r._4 == "<X0> t3 t4 t5")
+    // two spans: 17 tokens → starts at 3 and 10
+    val docs2 = Seq((1L, (0 to 16).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = CorpusFilters
+      .spanCorruption(docs2, "doc_id", "text", 7, 3, 3)
+      .as[(Long, Long, String, String)].head()
+    assert(r2._2 == 2)
+    assert(r2._3 == "t0 t1 t2 <X0> t6 t7 t8 t9 <X1> t13 t14 t15 t16")
+    assert(r2._4 == "<X0> t3 t4 t5 <X1> t10 t11 t12")
+    intercept[IllegalArgumentException] {
+      CorpusFilters.spanCorruption(docs, "doc_id", "text", 3, 2, 3)
+    }
+  }
+
   test("blockwordGate: hit count, ratio, and the OR of both gate arms") {
     import spark.implicits._
     val docs = Seq(
