@@ -35,4 +35,28 @@ object SkewJoin {
       .drop("__salt_arr")
     salted.join(replicated, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Skew report for a join key — the profiler an operator (or a human)
+    * reads BEFORE picking [[saltedInnerJoin]]'s salt count: the `topK`
+    * heaviest keys with their share of the table, the skew ratio vs the
+    * mean key, and the salt count that would spread that key to
+    * mean-sized tasks (`ceil(cnt / mean)`, floored at 1). One map-side-
+    * combined count + a TakeOrdered head + one broadcast scalar frame —
+    * never a full sort. */
+  def skewReport(df: DataFrame, key: String, topK: Int): DataFrame = {
+    require(topK >= 1)
+    val counts = df.groupBy(col(key).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("total"))
+    counts.orderBy(col("cnt").desc, col("key").asc).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key"), col("cnt"),
+        round(col("cnt").cast("double") * col("n_keys") / col("total"), 6)
+          .as("skew_ratio"),
+        greatest(lit(1L),
+          ceil(col("cnt").cast("double") * col("n_keys") / col("total"))
+            .cast("long")).as("rec_salts"))
+      .orderBy(col("cnt").desc, col("key").asc)
+  }
 }

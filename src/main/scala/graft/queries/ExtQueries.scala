@@ -3096,6 +3096,19 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Join-skew advisor over the orders fact table's customer key: the
+    * topK heaviest keys, their skew ratio vs the mean key, and the salt
+    * count [[graft.operators.SkewJoin.saltedInnerJoin]] would need to
+    * spread each to mean-sized tasks. The per-KEY drill-down behind
+    * [[eSkewReport]]'s per-family summary: the report says WHETHER a
+    * family is skewed, this says WHICH keys and what salt fixes each.
+    * Map-side-combined count + TakeOrdered head. */
+  def eSkewAdvisor(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewJoin.skewReport(
+        Tables.read(s, d, "orders"), "o_custkey", topK = 10)
+      .select(col("key").as("o_custkey"), col("cnt"), col("skew_ratio"),
+        col("rec_salts"))
+
   /** Span-corruption knobs: a span of [[SpanCorrLen]] tokens is cut at
     * every [[SpanCorrEvery]]-th position starting at [[SpanCorrPhase]]. */
   private val SpanCorrEvery = 7
@@ -6141,6 +6154,7 @@ object ExtQueries {
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
     "e_label_errors" -> (eLabelErrors _),
+    "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6576,6 +6590,16 @@ object ExtQueries {
     "e_linkage_weights" -> linkageWeightsOracle,
     "e_span_corruption" -> spanCorruptionOracle,
     "e_label_errors" -> labelErrorsOracle,
+    "e_skew_advisor" ->
+      """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders
+        |  GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, sum(cnt) AS total FROM c),
+        |h AS (SELECT key, cnt FROM c ORDER BY cnt DESC, key ASC LIMIT 10)
+        |SELECT h.key AS o_custkey, CAST(h.cnt AS BIGINT) AS cnt,
+        |  round(CAST(h.cnt AS DOUBLE) * s.n_keys / s.total, 6) AS skew_ratio,
+        |  CAST(greatest(1, ceil(CAST(h.cnt AS DOUBLE) * s.n_keys / s.total))
+        |    AS BIGINT) AS rec_salts
+        |FROM h, s ORDER BY cnt DESC, o_custkey ASC""".stripMargin,
     "e_crossmodal_align" ->
       s"""WITH $kmeansCte,
          |asg AS (SELECT vec_id, cid FROM a2 WHERE rn = 1),

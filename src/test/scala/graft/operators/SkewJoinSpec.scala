@@ -48,4 +48,16 @@ class SkewJoinSpec extends SparkSpec {
     val out = SkewJoin.saltedInnerJoin(fact, dim, "k", salts = 8)
     assert(out.count() == 300)
   }
+
+  test("skewReport ranks hot keys and recommends mean-normalizing salts") {
+    import spark.implicits._
+    // keys: 1 → 8 rows, 2 → 2 rows, 3 → 2 rows; mean = 4 rows/key
+    val df = (Seq.fill(8)(1) ++ Seq.fill(2)(2) ++ Seq.fill(2)(3))
+      .toDF("k")
+    val r = SkewJoin.skewReport(df, "k", topK = 2)
+      .as[(Int, Long, Double, Long)].collect()
+    assert(r.length == 2)
+    assert(r(0) == ((1, 8L, 2.0, 2L)))  // 8/(12/3)=2× mean → 2 salts
+    assert(r(1) == ((2, 2L, 0.5, 1L)))  // cold key floors at 1 salt
+  }
 }
