@@ -330,7 +330,7 @@ object ExtQueries {
     fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
-    winnowCache.clear(); nbCache.clear()
+    winnowCache.clear(); nbCache.clear(); nbModelCache.clear()
     simhashPairsCache.clear(); simhashMultiCache.clear()
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
