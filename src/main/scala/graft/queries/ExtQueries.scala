@@ -3096,6 +3096,22 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Bootstrap knobs: 100 Poisson replicas, ranks 3/98 ≈ a 95% CI. */
+  private val BootReplicas = 100
+  private val BootLoRank = 3
+  private val BootHiRank = 98
+
+  /** Poisson-bootstrap 95% CI for the corpus mean token count — the
+    * uncertainty a scorecard should carry next to every point estimate
+    * ([[graft.operators.Bootstrap]]; deterministic-by-hash replica
+    * weights, integer-exact replica means). */
+  def eBootstrapCi(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bootstrap.meanCi(
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("ws_tokens")),
+      "doc_id", "ws_tokens", BootReplicas, BootLoRank, BootHiRank)
+
   /** Join-skew advisor over the orders fact table's customer key: the
     * topK heaviest keys, their skew ratio vs the mean key, and the salt
     * count [[graft.operators.SkewJoin.saltedInnerJoin]] would need to
@@ -6155,6 +6171,7 @@ object ExtQueries {
     "e_span_corruption" -> (eSpanCorruption _),
     "e_label_errors" -> (eLabelErrors _),
     "e_skew_advisor" -> (eSkewAdvisor _),
+    "e_bootstrap_ci" -> (eBootstrapCi _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6590,6 +6607,32 @@ object ExtQueries {
     "e_linkage_weights" -> linkageWeightsOracle,
     "e_span_corruption" -> spanCorruptionOracle,
     "e_label_errors" -> labelErrorsOracle,
+    "e_bootstrap_ci" -> {
+      val cdfArms = graft.operators.Bootstrap.PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      val cap = graft.operators.Bootstrap.PoissonCdf.length
+      val m = graft.operators.Bootstrap.UMod
+      s"""WITH v AS (SELECT CAST(doc_id AS VARCHAR) AS id,
+         |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS v
+         |  FROM documents),
+         |rep AS (SELECT id, v, r.range AS b FROM v
+         |  CROSS JOIN range($BootReplicas) r),
+         |uu AS (SELECT id, v, b,
+         |  (('0x' || substring(md5('bs|' || id || '|' || CAST(b AS VARCHAR)),
+         |    1, 14))::BIGINT % $m) / $m.0 AS u FROM rep),
+         |w AS (SELECT b, v, CASE $cdfArms ELSE $cap END AS w FROM uu),
+         |mr AS (SELECT b, CAST(sum(w * v) AS DOUBLE) / sum(w) AS m FROM w
+         |  GROUP BY b HAVING sum(w) > 0),
+         |r AS (SELECT b, m, row_number() OVER (ORDER BY m ASC, b ASC)
+         |  AS rn FROM mr),
+         |pt AS (SELECT count(*) AS n_docs, avg(v) AS mean FROM v)
+         |SELECT CAST(pt.n_docs AS BIGINT) AS n_docs,
+         |  CAST($BootReplicas AS BIGINT) AS n_replicas,
+         |  round(pt.mean, 6) AS mean,
+         |  round((SELECT m FROM r WHERE rn = $BootLoRank), 6) AS ci_lo,
+         |  round((SELECT m FROM r WHERE rn = $BootHiRank), 6) AS ci_hi
+         |FROM pt""".stripMargin
+    },
     "e_skew_advisor" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders
         |  GROUP BY 1),
