@@ -3112,6 +3112,22 @@ object ExtQueries {
           TextAnalysis.tokenCount(col("text")).as("ws_tokens")),
       "doc_id", "ws_tokens", BootReplicas, BootLoRank, BootHiRank)
 
+  /** Exact two-sample KS drift test on the token-count distribution
+    * between even- and odd-id docs ([[graft.operators.StatTests]]):
+    * D, the α=0.05 critical value, and the reject verdict — the
+    * significance-grade sibling of the JS-divergence drift report. */
+  def eKsDrift(s: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.ksTest(
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("ws_tokens")),
+      "ws_tokens", col("doc_id") % 2 === 0)
+
+  /** Pearson chi-square independence of lang × source — "is language
+    * balanced across feeds?" as a test statistic, domain-bounded. */
+  def eChi2Independence(s: SparkSession, d: String): DataFrame =
+    graft.operators.StatTests.chiSquare(
+      Tables.documents(s, d), "lang", "source")
+
   /** Join-skew advisor over the orders fact table's customer key: the
     * topK heaviest keys, their skew ratio vs the mean key, and the salt
     * count [[graft.operators.SkewJoin.saltedInnerJoin]] would need to
@@ -6172,6 +6188,8 @@ object ExtQueries {
     "e_label_errors" -> (eLabelErrors _),
     "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bootstrap_ci" -> (eBootstrapCi _),
+    "e_ks_drift" -> (eKsDrift _),
+    "e_chi2_independence" -> (eChi2Independence _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
     "e_fingerprint" -> (eFingerprint _),
@@ -6633,6 +6651,44 @@ object ExtQueries {
          |  round((SELECT m FROM r WHERE rn = $BootHiRank), 6) AS ci_hi
          |FROM pt""".stripMargin
     },
+    "e_ks_drift" -> {
+      val k = graft.operators.StatTests.KsAlpha05
+      s"""WITH vv AS (SELECT doc_id % 2 = 0 AS a,
+         |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS v
+         |  FROM documents),
+         |c AS (SELECT v, sum(CASE WHEN a THEN 1 ELSE 0 END) AS c1,
+         |  sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS c2 FROM vv GROUP BY 1),
+         |cum AS (SELECT v,
+         |  sum(c1) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS k1,
+         |  sum(c2) OVER (ORDER BY v ASC ROWS UNBOUNDED PRECEDING) AS k2
+         |  FROM c),
+         |t AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+         |dd AS (SELECT max(abs(CAST(k1 AS DOUBLE) / t.n1
+         |    - CAST(k2 AS DOUBLE) / t.n2)) AS dmax,
+         |  min(t.n1) AS n1, min(t.n2) AS n2 FROM cum, t)
+         |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+         |  round(dmax, 6) AS ks_d,
+         |  round($k * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
+         |    AS ks_crit,
+         |  dmax > $k * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject
+         |FROM dd""".stripMargin
+    },
+    "e_chi2_independence" ->
+      """WITH obs AS (SELECT lang AS a, source AS b, count(*) AS o
+        |  FROM documents GROUP BY 1, 2),
+        |ra AS (SELECT a, sum(o) AS ra FROM obs GROUP BY 1),
+        |rb AS (SELECT b, sum(o) AS rb FROM obs GROUP BY 1),
+        |nn AS (SELECT sum(o) AS n FROM obs),
+        |grid AS (SELECT coalesce(obs.o, 0) AS o,
+        |  CAST(ra.ra AS DOUBLE) * rb.rb / nn.n AS e, nn.n AS n
+        |  FROM ra CROSS JOIN rb CROSS JOIN nn
+        |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b),
+        |dims AS (SELECT (SELECT count(*) FROM ra) AS na,
+        |  (SELECT count(*) FROM rb) AS nb)
+        |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
+        |  CAST((dims.na - 1) * (dims.nb - 1) AS BIGINT) AS dof,
+        |  CAST(min(grid.n) AS BIGINT) AS n
+        |FROM grid, dims GROUP BY dims.na, dims.nb""".stripMargin,
     "e_skew_advisor" ->
       """WITH c AS (SELECT o_custkey AS key, count(*) AS cnt FROM orders
         |  GROUP BY 1),
