@@ -32,11 +32,17 @@ object RecordLinkage {
           struct(lit(fc).as("field"), col(fc).cast("boolean").as("agree"))
         ): _*)).as("x"))
       .select(col("mt"), col("x.field").as("field"), col("x.agree").as("agree"))
+    // A NULL comparison (missing field on either side) is NO EVIDENCE:
+    // it joins neither the agreement numerators nor the denominators —
+    // counting it as disagreement would skew m/u toward 0 for exactly
+    // the fields with the most missing data.
     val g = unpivot.groupBy(col("field")).agg(
       sum(when(col("mt") && col("agree"), 1L).otherwise(0L)).as("am"),
-      sum(when(col("mt"), 1L).otherwise(0L)).as("nm"),
+      sum(when(col("mt") && col("agree").isNotNull, 1L).otherwise(0L))
+        .as("nm"),
       sum(when(!col("mt") && col("agree"), 1L).otherwise(0L)).as("au"),
-      sum(when(!col("mt"), 1L).otherwise(0L)).as("nu"))
+      sum(when(!col("mt") && col("agree").isNotNull, 1L).otherwise(0L))
+        .as("nu"))
     val m = (col("am") + 1).cast("double") / (col("nm") + 2)
     val u = (col("au") + 1).cast("double") / (col("nu") + 2)
     g.select(col("field"), col("nm").as("n_match"), col("nu").as("n_unmatch"),
@@ -62,7 +68,9 @@ object RecordLinkage {
       .join(broadcast(weights.select(col("field"), col("w_agree"),
         col("w_disagree"))), Seq("field"))
       .groupBy(idCols.map(col): _*)
-      .agg(round(sum(when(col("agree"), col("w_agree"))
+      // NULL comparison contributes zero evidence, mirroring fsWeights
+      .agg(round(sum(when(col("agree").isNull, lit(0.0))
+        .when(col("agree"), col("w_agree"))
         .otherwise(col("w_disagree"))), 6).as("link_score"))
   }
 }

@@ -36,8 +36,10 @@ object Markup {
     * tags spaced out, the six ubiquitous entities decoded, whitespace
     * collapsed. */
   def stripHtml(html: Column): Column = {
+    // every removed construct becomes a SPACE (collapse dedups later):
+    // an empty replacement would glue words adjacent across a comment
     val noBlocks = regexp_replace(regexp_replace(regexp_replace(html,
-      CommentRe, ""), ScriptRe, " "), StyleRe, " ")
+      CommentRe, " "), ScriptRe, " "), StyleRe, " ")
     val noTags = regexp_replace(noBlocks, TagRe, " ")
     val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
       "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")

@@ -203,15 +203,24 @@ object TextAnalysis {
     aggregate(vals, lit(0), (acc, x) => acc + x) % 10 === 0
   }
 
-  /** Card-shaped candidates: bare 16-digit runs (separator-tolerant
-    * variants join via a pre-normalization pass; the fixture keeps them
-    * bare so both engines share one regex). */
+  /** Card-shaped candidates: MAXIMAL digit runs of exactly 16 — extract
+    * every `[0-9]+` run, keep length-16 ones. A bare `[0-9]{16}` regex
+    * would surrender the first 16 digits of a 17+-digit order id to the
+    * Luhn check; maximal runs make over-long ids drop out whole, and
+    * need no boundary groups (which would eat the separator between two
+    * adjacent cards). Separator-tolerant variants join via a
+    * pre-normalization pass. */
   def cardCandidates(text: Column): Column =
-    regexp_extract_all(text, lit("[0-9]{16}"), lit(0))
+    filter(regexp_extract_all(text, lit("[0-9]+"), lit(0)),
+      x => length(x) === 16)
 
   /** Redact every Luhn-VALID card candidate to `[CARD]` — a fold of
     * `replace` over the validated list, so invalid (non-card) digit runs
-    * survive untouched. */
+    * survive untouched. Replacement is substring-global per candidate:
+    * if a validated card ALSO occurs as a proper infix of a longer digit
+    * run in the same document, that infix is masked too — deliberate
+    * over-redaction (the safe direction for PII; an occurrence-bounded
+    * replace would need lookarounds RE2 does not have). */
   def redactCards(text: Column): Column =
     aggregate(filter(cardCandidates(text), c => luhnValid(c)), text,
       (acc, c) => replace(acc, c, lit("[CARD]")))

@@ -64,16 +64,18 @@ object Bootstrap {
       .filter(col("__n") > 0)
       .select(col("__b"), (col("__sw").cast("double") / col("__n")).as("__m"))
     // replicas-bounded frame; constant partition key = no unpartitioned-
-    // window warning (the eIvfBalance idiom)
+    // window warning (the eIvfBalance idiom). The rank picks ride a
+    // conditional AGGREGATE (always exactly one row, null on empty
+    // input or out-of-range ranks) — a filter+crossJoin would erase the
+    // whole result row when a pick matches nothing.
     val ranked = repMeans.withColumn("__rn", row_number().over(
       Window.partitionBy(lit(0)).orderBy(col("__m").asc, col("__b").asc)))
-    val lo = ranked.filter(col("__rn") === loRank)
-      .select(col("__m").as("__lo"))
-    val hi = ranked.filter(col("__rn") === hiRank)
-      .select(col("__m").as("__hi"))
+    val picks = ranked.agg(
+      max(when(col("__rn") === loRank, col("__m"))).as("__lo"),
+      max(when(col("__rn") === hiRank, col("__m"))).as("__hi"))
     docs.agg(count(lit(1)).as("n_docs"),
         avg(col(valueCol).cast("long")).as("__mean"))
-      .crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .crossJoin(broadcast(picks))
       .select(col("n_docs"), lit(replicas).cast("long").as("n_replicas"),
         round(col("__mean"), 6).as("mean"),
         round(col("__lo"), 6).as("ci_lo"),

@@ -23,14 +23,21 @@ object CorpusDiff {
     * (doc_id, status ∈ added | removed | modified | unchanged). */
   def snapshotDiff(v1: DataFrame, v2: DataFrame, idCol: String,
                    textCol: String): DataFrame = {
-    val a = v1.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h1"))
-    val b = v2.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h2"))
+    // Presence rides explicit flags, NOT hash nullability: md5(null
+    // text) is null, and a null-hash presence proxy would report a doc
+    // with null text in BOTH snapshots as "added" forever. The content
+    // compare is null-SAFE (<=>) so null→null is unchanged and
+    // null↔non-null is modified.
+    val a = v1.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h1"),
+      lit(1).as("__p1"))
+    val b = v2.select(col(idCol).as("doc_id"), md5(col(textCol)).as("__h2"),
+      lit(1).as("__p2"))
     a.join(b, Seq("doc_id"), "full")
       .select(col("doc_id"),
-        when(col("__h1").isNull, lit("added"))
-          .when(col("__h2").isNull, lit("removed"))
-          .when(col("__h1") =!= col("__h2"), lit("modified"))
-          .otherwise(lit("unchanged")).as("status"))
+        when(col("__p1").isNull, lit("added"))
+          .when(col("__p2").isNull, lit("removed"))
+          .when(col("__h1") <=> col("__h2"), lit("unchanged"))
+          .otherwise(lit("modified")).as("status"))
   }
 
   /** The delta alone (unchanged rows dropped) — what an incremental

@@ -25,7 +25,9 @@ object StatTests {
     * reject). D = sup |CDF_a − CDF_b| evaluated at every distinct value
     * (exact — the supremum of a step-function difference is attained at
     * a step); the cumulative runs over the value DOMAIN (bounded), on a
-    * constant-partition frame. */
+    * constant-partition frame. Degenerate input (one slice empty) yields
+    * NULL ks_d/reject — "no verdict", not "not rejected"; gate on
+    * `reject IS TRUE` downstream. */
   def ksTest(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
     val c = df.select(isA.as("__a"), col(valueCol).cast("long").as("__v"))
       .groupBy(col("__v"))
@@ -36,18 +38,28 @@ object StatTests {
     val cum = c.select(col("__v"), sum(col("__c1")).over(w).as("__k1"),
       sum(col("__c2")).over(w).as("__k2"))
     val tot = c.agg(sum(col("__c1")).as("__n1"), sum(col("__c2")).as("__n2"))
+    // nullif guards: an empty slice must yield a NULL verdict, not an
+    // ANSI divide-by-zero error
     cum.crossJoin(broadcast(tot))
-      .select(abs(col("__k1").cast("double") / col("__n1") -
-        col("__k2").cast("double") / col("__n2")).as("__d"),
+      .select(abs(col("__k1").cast("double") /
+          when(col("__n1") === 0, lit(null)).otherwise(col("__n1")) -
+        col("__k2").cast("double") /
+          when(col("__n2") === 0, lit(null)).otherwise(col("__n2"))).as("__d"),
         col("__n1"), col("__n2"))
       .groupBy(col("__n1").as("n_a"), col("__n2").as("n_b"))
       .agg(max(col("__d")).as("__dmax"))
       .select(col("n_a"), col("n_b"), round(col("__dmax"), 6).as("ks_d"),
+        // n_a·n_b in DOUBLE: a long product overflows at multi-billion-row
+        // slices — exactly the scale this test exists for
         round(lit(KsAlpha05) * sqrt((col("n_a") + col("n_b")).cast("double") /
-          (col("n_a") * col("n_b"))), 6).as("ks_crit"),
+          when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+            .otherwise(col("n_a").cast("double") * col("n_b"))), 6)
+          .as("ks_crit"),
         (col("__dmax") > lit(KsAlpha05) *
           sqrt((col("n_a") + col("n_b")).cast("double") /
-            (col("n_a") * col("n_b")))).as("reject"))
+            when(col("n_a") === 0 || col("n_b") === 0, lit(null))
+              .otherwise(col("n_a").cast("double") * col("n_b"))))
+          .as("reject"))
   }
 
   /** Pearson chi-square independence statistic of two categorical
@@ -62,9 +74,13 @@ object StatTests {
     val rb = obs.groupBy(col("__b")).agg(sum(col("__o")).as("__rb"))
     val n = obs.agg(sum(col("__o")).as("__n"))
     // Expected cells with ZERO observed still contribute E (sum over the
-    // full a×b grid): cross the marginals, left-join observed.
+    // full a×b grid): cross the marginals, left-join observed. The join
+    // is NULL-SAFE (<=>): a null category is a level like any other —
+    // a plain using-columns join would orphan its observed counts while
+    // the marginals still carried them, inflating the statistic.
     val grid = ra.crossJoin(rb).crossJoin(broadcast(n))
-      .join(obs, Seq("__a", "__b"), "left")
+      .join(obs.withColumnRenamed("__a", "__oa").withColumnRenamed("__b", "__ob"),
+        col("__a") <=> col("__oa") && col("__b") <=> col("__ob"), "left")
       .select(coalesce(col("__o"), lit(0L)).as("__o"),
         (col("__ra").cast("double") * col("__rb") / col("__n")).as("__e"),
         col("__n"))

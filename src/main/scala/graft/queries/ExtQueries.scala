@@ -1489,12 +1489,14 @@ object ExtQueries {
       .crossJoin(broadcast(peRow))
       .select(col("n_docs"),
         round(col("agree").cast("double") / col("n_docs"), 6).as("po"),
+        // n² in DOUBLE — the long product overflows at multi-billion rows
         round(col("cross_mass").cast("double") /
-          (col("n_docs") * col("n_docs")), 6).as("pe"),
+          (col("n_docs").cast("double") * col("n_docs")), 6).as("pe"),
         round((col("agree").cast("double") / col("n_docs") -
-          col("cross_mass").cast("double") / (col("n_docs") * col("n_docs"))) /
+          col("cross_mass").cast("double") /
+            (col("n_docs").cast("double") * col("n_docs"))) /
           (lit(1.0) - col("cross_mass").cast("double") /
-            (col("n_docs") * col("n_docs"))), 6).as("kappa"))
+            (col("n_docs").cast("double") * col("n_docs"))), 6).as("kappa"))
   }
 
   /** Temperature-scaled mixture weights (the mT5/multilingual sampling
@@ -4102,9 +4104,10 @@ object ExtQueries {
        |  UNION ALL SELECT 'f_source', mt, f_source FROM cmp),
        |g AS (SELECT field,
        |  sum(CASE WHEN mt AND agree THEN 1 ELSE 0 END) AS am,
-       |  sum(CASE WHEN mt THEN 1 ELSE 0 END) AS nm,
+       |  sum(CASE WHEN mt AND agree IS NOT NULL THEN 1 ELSE 0 END) AS nm,
        |  sum(CASE WHEN NOT mt AND agree THEN 1 ELSE 0 END) AS au,
-       |  sum(CASE WHEN NOT mt THEN 1 ELSE 0 END) AS nu FROM u GROUP BY 1)
+       |  sum(CASE WHEN NOT mt AND agree IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS nu FROM u GROUP BY 1)
        |SELECT field, CAST(nm AS BIGINT) AS n_match,
        |  CAST(nu AS BIGINT) AS n_unmatch,
        |  round((am + 1.0) / (nm + 2), 6) AS m_prob,
@@ -4801,10 +4804,11 @@ object ExtQueries {
        |     USING (c)) AS cross_mass)
        |SELECT CAST(n AS BIGINT) AS n_docs,
        |  round(CAST(agree AS DOUBLE) / n, 6) AS po,
-       |  round(CAST(cross_mass AS DOUBLE) / (n * n), 6) AS pe,
+       |  round(CAST(cross_mass AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6) AS pe,
        |  round((CAST(agree AS DOUBLE) / n
-       |      - CAST(cross_mass AS DOUBLE) / (n * n))
-       |    / (1.0 - CAST(cross_mass AS DOUBLE) / (n * n)), 6) AS kappa
+       |      - CAST(cross_mass AS DOUBLE) / (CAST(n AS DOUBLE) * n))
+       |    / (1.0 - CAST(cross_mass AS DOUBLE) / (CAST(n AS DOUBLE) * n)), 6)
+       |    AS kappa
        |FROM mm""".stripMargin
   }
 
@@ -6668,9 +6672,10 @@ object ExtQueries {
          |  min(t.n1) AS n1, min(t.n2) AS n2 FROM cum, t)
          |SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
          |  round(dmax, 6) AS ks_d,
-         |  round($k * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)), 6)
-         |    AS ks_crit,
-         |  dmax > $k * sqrt(CAST(n1 + n2 AS DOUBLE) / (n1 * n2)) AS reject
+         |  round($k * sqrt(CAST(n1 + n2 AS DOUBLE)
+         |    / (CAST(n1 AS DOUBLE) * n2)), 6) AS ks_crit,
+         |  dmax > $k * sqrt(CAST(n1 + n2 AS DOUBLE)
+         |    / (CAST(n1 AS DOUBLE) * n2)) AS reject
          |FROM dd""".stripMargin
     },
     "e_chi2_independence" ->
@@ -6682,7 +6687,8 @@ object ExtQueries {
         |grid AS (SELECT coalesce(obs.o, 0) AS o,
         |  CAST(ra.ra AS DOUBLE) * rb.rb / nn.n AS e, nn.n AS n
         |  FROM ra CROSS JOIN rb CROSS JOIN nn
-        |  LEFT JOIN obs ON obs.a = ra.a AND obs.b = rb.b),
+        |  LEFT JOIN obs ON obs.a IS NOT DISTINCT FROM ra.a
+        |    AND obs.b IS NOT DISTINCT FROM rb.b),
         |dims AS (SELECT (SELECT count(*) FROM ra) AS na,
         |  (SELECT count(*) FROM rb) AS nb)
         |SELECT round(sum((o - e) * (o - e) / e), 6) AS chi2,
@@ -7626,7 +7632,7 @@ object ExtQueries {
         |  replace(text, ' row ', ' &quot;row&quot; ') ||
         |  '</p><p>tail &amp; done</p></body></html>' AS html FROM documents),
         |s1 AS (SELECT doc_id, html, regexp_replace(regexp_replace(
-        |    regexp_replace(html, '(?s)<!--.*?-->', '', 'g'),
+        |    regexp_replace(html, '(?s)<!--.*?-->', ' ', 'g'),
         |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
         |    '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS nb FROM h),
         |s2 AS (SELECT doc_id, html,
@@ -7769,20 +7775,22 @@ object ExtQueries {
         |FROM c ORDER BY doc_id""".stripMargin,
     "e_script_profile" -> scriptProfileOracle,
     "e_corpus_diff" ->
-      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1, 1 AS p1 FROM documents
         |  WHERE doc_id % 11 <> 0),
         |v2 AS (SELECT doc_id,
-        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h2,
+        |  1 AS p2
         |  FROM documents WHERE doc_id % 13 <> 0),
-        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        |j AS (SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id, h1, h2, p1, p2
         |  FROM v1 FULL JOIN v2 ON v1.doc_id = v2.doc_id)
         |SELECT doc_id,
-        |  CASE WHEN h1 IS NULL THEN 'added'
-        |       WHEN h2 IS NULL THEN 'removed'
-        |       WHEN h1 <> h2 THEN 'modified'
-        |       ELSE 'unchanged' END AS status
+        |  CASE WHEN p1 IS NULL THEN 'added'
+        |       WHEN p2 IS NULL THEN 'removed'
+        |       WHEN h1 IS NOT DISTINCT FROM h2 THEN 'unchanged'
+        |       ELSE 'modified' END AS status
         |FROM j
-        |WHERE NOT (h1 IS NOT NULL AND h2 IS NOT NULL AND h1 = h2)
+        |WHERE NOT (p1 IS NOT NULL AND p2 IS NOT NULL
+        |  AND h1 IS NOT DISTINCT FROM h2)
         |ORDER BY doc_id""".stripMargin,
     "e_luhn_pii" ->
       """WITH f AS (SELECT doc_id, text ||
@@ -7790,7 +7798,8 @@ object ExtQueries {
         |       WHEN doc_id % 4 = 1 THEN ' card 4532015112830367 end'
         |       ELSE '' END AS t FROM documents),
         |c AS (SELECT doc_id, t,
-        |  regexp_extract_all(t, '[0-9]{16}') AS cands FROM f),
+        |  list_filter(regexp_extract_all(t, '[0-9]+'),
+        |    x -> length(x) = 16) AS cands FROM f),
         |v AS (SELECT doc_id, t, cands,
         |  list_filter(cands, c -> list_sum(list_transform(
         |    string_split(c, ''),

@@ -44,4 +44,22 @@ class RecordLinkageSpec extends SparkSpec {
     assert(got((1L, 2L)) == r6(math.log(3.0)))
     assert(got((5L, 6L)) == r6(math.log(0.25 / 0.75)))
   }
+
+  test("null comparisons are no-evidence: excluded from m/u, score 0 contribution") {
+    val withNull = Seq(
+      (1L, 2L, true, Some(true)),
+      (3L, 4L, true, None),         // missing field on a match pair
+      (5L, 6L, false, Some(false)),
+      (7L, 8L, false, None))        // and on a non-match pair
+      .toDF("a", "b", "is_match", "f1")
+    val w = RecordLinkage.fsWeights(withNull, "is_match", Seq("f1"))
+      .as[(String, Long, Long, Double, Double, Double, Double)].head()
+    // denominators count only the NON-NULL comparisons (1 each)
+    assert((w._2, w._3) == ((1L, 1L)))
+    assert(w._4 == r6(2.0 / 3) && w._5 == r6(1.0 / 3)) // (1+1)/(1+2), (0+1)/(1+2)
+    val ws = RecordLinkage.fsWeights(withNull, "is_match", Seq("f1"))
+    val sc = RecordLinkage.scorePairs(withNull, Seq("a", "b"), Seq("f1"), ws)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(sc((3L, 4L)) == 0.0 && sc((7L, 8L)) == 0.0)
+  }
 }

@@ -19,6 +19,8 @@ class MarkupSpec extends SparkSpec {
 
   test("tag boundaries become spaces — adjacent elements never glue words") {
     assert(strip("<p>alpha</p><p>beta</p>") == "alpha beta")
+    // comments space out too — foo<!-- x -->bar must not fuse
+    assert(strip("foo<!-- sep -->bar") == "foo bar")
   }
 
   test("entity decode order: &amp;lt; stays literal &lt;, plain &lt; decodes") {

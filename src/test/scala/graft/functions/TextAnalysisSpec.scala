@@ -60,6 +60,22 @@ class TextAnalysisSpec extends SparkSpec {
       .toDF("t").select(TextAnalysis.redactCards(col("t")).as("r"))
       .as[String].head()
     assert(red == "a [CARD] b 4532015112830367 c")
+    // a 17-digit order id alone NEVER surrenders its first 16 digits
+    // (maximal-run candidates), and adjacent cards both redact
+    val edge = Seq("id 45320151128303667 x")
+      .toDF("t").select(TextAnalysis.redactCards(col("t")).as("r"))
+      .as[String].head()
+    assert(edge == "id 45320151128303667 x")
+    val adj = Seq("4532015112830366 4532015112830366")
+      .toDF("t").select(TextAnalysis.redactCards(col("t")).as("r"))
+      .as[String].head()
+    assert(adj == "[CARD] [CARD]")
+    // documented over-redaction: a VALIDATED card also occurring as an
+    // infix of a longer run masks there too (safe direction for PII)
+    val infix = Seq("id 45320151128303667 x 4532015112830366")
+      .toDF("t").select(TextAnalysis.redactCards(col("t")).as("r"))
+      .as[String].head()
+    assert(infix == "id [CARD]7 x [CARD]")
   }
 
   test("scriptCounts/dominantScript: Han, Cyrillic, mixed, and none paths") {

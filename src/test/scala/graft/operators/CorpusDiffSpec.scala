@@ -27,4 +27,14 @@ class CorpusDiffSpec extends SparkSpec {
   test("identical snapshots produce an empty delta") {
     assert(CorpusDiff.delta(v1, v1, "doc_id", "text").count() == 0)
   }
+
+  test("null text is presence, not absence: null→null unchanged, null↔text modified") {
+    val n1 = Seq((1L, null: String), (2L, "a"), (3L, null: String))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, null: String), (2L, null: String), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = CorpusDiff.snapshotDiff(n1, n2, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "modified", 3L -> "modified"))
+  }
 }

@@ -39,4 +39,23 @@ class StatTestsSpec extends SparkSpec {
       .as[(Double, Long, Long)].head()
     assert(r2._1 == 100.0 && r2._2 == 1L)
   }
+
+  test("chiSquare: a null category is a level, not a dropped count") {
+    // null vs 'x' perfectly independent of b → chi2 must be 0
+    val rows = (Seq.fill(10)((null: String, "p")) ++
+      Seq.fill(10)((null: String, "q")) ++
+      Seq.fill(10)(("x", "p")) ++ Seq.fill(10)(("x", "q")))
+      .toDF("a", "b")
+    val r = StatTests.chiSquare(rows, "a", "b")
+      .as[(Double, Long, Long)].head()
+    assert(r == ((0.0, 1L, 40L)), s"null level mishandled: $r")
+  }
+
+  test("ksTest: one empty slice yields NULL verdict, not 'not rejected'") {
+    val df = (1L to 50L).map(i => (i, i % 5)).toDF("id", "v")
+    val r = StatTests.ksTest(df, "v", col("id") < 0) // empty A slice
+      .select(col("ks_d").isNull.as("dn"), col("reject").isNull.as("rn"))
+      .as[(Boolean, Boolean)].head()
+    assert(r == ((true, true)))
+  }
 }
