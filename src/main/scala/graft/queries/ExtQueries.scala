@@ -3114,6 +3114,19 @@ object ExtQueries {
           TextAnalysis.tokenCount(col("text")).as("ws_tokens")),
       "doc_id", "ws_tokens", BootReplicas, BootLoRank, BootHiRank)
 
+  /** Data-quality contract over the documents table — one verdict row
+    * per declared expectation ([[graft.operators.Expectations]]); the
+    * whole row-grain rule list costs one scan. */
+  def eExpectations(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations._
+    check(Tables.documents(s, d), Seq(
+      NotNull("text"), NotNull("lang"),
+      InSet("lang", Seq("en", "es", "de", "fr", "zh")),
+      InRange("n_chars", 1L, 10000L),
+      Matches("source", "^src[0-9]+$"),
+      Unique(Seq("doc_id"))))
+  }
+
   /** Exact two-sample KS drift test on the token-count distribution
     * between even- and odd-id docs ([[graft.operators.StatTests]]):
     * D, the α=0.05 critical value, and the reject verdict — the
@@ -6193,6 +6206,7 @@ object ExtQueries {
     "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bootstrap_ci" -> (eBootstrapCi _),
     "e_ks_drift" -> (eKsDrift _),
+    "e_expectations" -> (eExpectations _),
     "e_chi2_independence" -> (eChi2Independence _),
     "e_bpe_merges" -> (eBpeMerges _),
     "e_bpe_encode" -> (eBpeEncode _),
@@ -6655,6 +6669,32 @@ object ExtQueries {
          |  round((SELECT m FROM r WHERE rn = $BootHiRank), 6) AS ci_hi
          |FROM pt""".stripMargin
     },
+    "e_expectations" ->
+      """WITH rowr AS (SELECT
+        |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_nn_text,
+        |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS v_nn_lang,
+        |  sum(CASE WHEN lang IS NOT NULL AND lang NOT IN
+        |    ('en', 'es', 'de', 'fr', 'zh') THEN 1 ELSE 0 END) AS v_set_lang,
+        |  sum(CASE WHEN n_chars IS NOT NULL
+        |    AND (n_chars < 1 OR n_chars > 10000) THEN 1 ELSE 0 END)
+        |    AS v_rng_chars,
+        |  sum(CASE WHEN source IS NOT NULL
+        |    AND NOT regexp_matches(source, '^src[0-9]+$') THEN 1 ELSE 0 END)
+        |    AS v_re_source,
+        |  count(*) AS n FROM documents),
+        |uq AS (SELECT count(*) - count(DISTINCT doc_id) AS v,
+        |  count(*) AS n FROM documents),
+        |allr AS (
+        |  SELECT 'not_null' AS rule, 'text' AS target, v_nn_text AS v, n
+        |    FROM rowr
+        |  UNION ALL SELECT 'not_null', 'lang', v_nn_lang, n FROM rowr
+        |  UNION ALL SELECT 'in_set', 'lang', v_set_lang, n FROM rowr
+        |  UNION ALL SELECT 'in_range', 'n_chars', v_rng_chars, n FROM rowr
+        |  UNION ALL SELECT 'matches', 'source', v_re_source, n FROM rowr
+        |  UNION ALL SELECT 'unique', 'doc_id', v, n FROM uq)
+        |SELECT rule, target, CAST(v AS BIGINT) AS n_violations,
+        |  CAST(n AS BIGINT) AS n_rows, v = 0 AS pass
+        |FROM allr ORDER BY rule, target""".stripMargin,
     "e_ks_drift" -> {
       val k = graft.operators.StatTests.KsAlpha05
       s"""WITH vv AS (SELECT doc_id % 2 = 0 AS a,
