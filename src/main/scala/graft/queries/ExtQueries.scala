@@ -331,6 +331,7 @@ object ExtQueries {
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
     winnowCache.clear(); nbCache.clear(); nbModelCache.clear()
+    nbScoresAllCache.clear()
     simhashPairsCache.clear(); simhashMultiCache.clear()
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
@@ -384,6 +385,9 @@ object ExtQueries {
     // nbScored: e_classifier_kappa (name-first), e_nb_classify,
     // e_nb_confusion (last)
     ("nbScored", nbCache, "e_nb_confusion"),
+    // nbScoreAll: e_conformal_coverage, e_label_errors,
+    // e_nb_pr_curve (last)
+    ("nbScoreAll", nbScoresAllCache, "e_nb_pr_curve"),
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
@@ -482,6 +486,19 @@ object ExtQueries {
     nbModelCache.getOrElseUpdate(d, graft.functions.NaiveBayes.train(
       Tables.documents(s, d), "doc_id", "text", "lang",
       isTrain = !(col("doc_id") % 3 === 0), buckets = NbBuckets))
+
+  // Three queries (conformal coverage, label errors, PR curve) derive
+  // from the same per-(doc, class) score table; memoize it MATERIALIZED
+  // (|eval docs| × |classes| rows × 4 cols — compact) so the scoring
+  // subplan runs once, not once per downstream pass (GroupQuantileCut
+  // alone reads its input twice).
+  private val nbScoresAllCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def nbScoreAll(s: SparkSession, d: String): DataFrame =
+    nbScoresAllCache.getOrElseUpdate(d, timedMemo("nbScoreAll")(
+      Dedup.materializeAndRelease(
+        graft.functions.NaiveBayes.scoreAll(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+          nbModel(s, d), "doc_id", "text", keep = Seq("lang")))))
 
   private val nbCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def nbScored(s: SparkSession, d: String): DataFrame =
@@ -1441,9 +1458,7 @@ object ExtQueries {
     * raw counts (2·tp / (pp + pos)), never from rounded ratios, so the
     * 6-dp report is a pure function of integer counts. */
   def eNbPrCurve(s: SparkSession, d: String): DataFrame = {
-    val sc = graft.functions.NaiveBayes.scoreAll(
-      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
-      nbModel(s, d), "doc_id", "text", keep = Seq("lang"))
+    val sc = nbScoreAll(s, d)
     val mg = sc.groupBy(col("doc_id"), col("lang"))
       .agg(max(when(col("class") === "en", col("score"))).as("s_en"),
         max(when(col("class") =!= "en", col("score"))).as("s_rest"))
@@ -3181,9 +3196,7 @@ object ExtQueries {
     * + a per-doc argmax aggregation; the filter runs on the ROUNDED
     * margin in both engines. */
   def eLabelErrors(s: SparkSession, d: String): DataFrame = {
-    val sc = graft.functions.NaiveBayes.scoreAll(
-      Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
-      nbModel(s, d), "doc_id", "text", keep = Seq("lang"))
+    val sc = nbScoreAll(s, d)
     sc.groupBy(col("doc_id"), col("lang"))
       .agg(min(struct((-col("score")).as("neg"), col("class").as("cls")))
         .as("bst"),
@@ -3193,6 +3206,54 @@ object ExtQueries {
       .filter(col("pred_lang") =!= col("lang") &&
         col("margin") >= LabelErrMargin)
       .orderBy("doc_id")
+  }
+
+  /** Split-conformal coverage target: keep the lowest-nonconformity 90%
+    * of each language's calibration slice. */
+  private val ConformalKeep = 0.9
+
+  /** Per-(doc, lang) nonconformity of the NB router on the held-out
+    * slice: best-class score − labeled-class score, ≥ 0, 6-dp rounded —
+    * the shared base of the conformal query and [[eLabelErrors]]. */
+  private def nbNonconformity(s: SparkSession, d: String): DataFrame = {
+    val sc = nbScoreAll(s, d)
+    sc.groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("score")).as("best"),
+        max(when(col("class") === col("lang"), col("score"))).as("s_label"))
+      .select(col("doc_id"), col("lang"),
+        round(col("best") - col("s_label"), 6).as("nc"))
+  }
+
+  /** Split-conformal calibration + coverage check (Vovk et al.; the
+    * "conformal prediction" recipe): the odd-id half of the held-out
+    * slice calibrates a per-language nonconformity threshold (the
+    * lowest-nc [[ConformalKeep]] fraction via [[graft.operators
+    * .GroupQuantileCut]] — exact per-group quantile semantics WITHOUT a
+    * per-group window; the monotone 1/(1+nc) map puts the score in its
+    * [0,1] domain), and the even-id half reports empirical coverage
+    * against that threshold — the guarantee audit a selective-prediction
+    * deployment runs before trusting "90%". */
+  def eConformalCoverage(s: SparkSession, d: String): DataFrame = {
+    val nc = nbNonconformity(s, d)
+    val cal = nc.filter(col("doc_id") % 2 === 1)
+    val tst = nc.filter(col("doc_id") % 2 === 0)
+    val kept = graft.operators.GroupQuantileCut(
+      cal.withColumn("score", lit(1.0) / (lit(1.0) + col("nc"))),
+      "doc_id", "lang", col("score"), frac = ConformalKeep)
+    val thr = kept.groupBy(col("lang"))
+      .agg(max(col("nc")).as("threshold"))
+      .join(cal.groupBy(col("lang")).agg(count(lit(1)).as("n_cal")),
+        Seq("lang"))
+    tst.join(broadcast(thr), Seq("lang"))
+      .groupBy(col("lang"), col("n_cal"), col("threshold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((col("nc") <= col("threshold")).cast("long")).as("n_covered"))
+      .select(col("lang"), col("n_cal"),
+        round(col("threshold"), 6).as("threshold"), col("n_test"),
+        col("n_covered"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy("lang")
   }
 
   /** Fellegi-Sunter linkage weights fitted on the LSH candidate pairs:
@@ -4089,6 +4150,32 @@ object ExtQueries {
        |WHERE p.pred_lang <> a.lang
        |  AND round(a.m - a.s_label, 6) >= $LabelErrMargin
        |ORDER BY a.doc_id""".stripMargin
+
+  // Split conformal: the per-lang rank cut mirrors GroupQuantileCut's
+  // exact convention (row_number by nc asc, id asc ≤ floor(frac·n)).
+  private lazy val conformalCoverageOracle =
+    s"""WITH $nbCtes,
+       |ag AS (SELECT sc.doc_id, sc.lang, b.m,
+       |  max(CASE WHEN sc.c = sc.lang THEN sc.score END) AS s_label
+       |  FROM sc JOIN best b ON b.doc_id = sc.doc_id GROUP BY 1, 2, 3),
+       |ncv AS (SELECT doc_id, lang, round(m - s_label, 6) AS nc FROM ag),
+       |cal AS (SELECT * FROM ncv WHERE doc_id % 2 = 1),
+       |tst AS (SELECT * FROM ncv WHERE doc_id % 2 = 0),
+       |rk AS (SELECT lang, nc,
+       |  row_number() OVER (PARTITION BY lang ORDER BY nc ASC, doc_id ASC)
+       |    AS rn,
+       |  count(*) OVER (PARTITION BY lang) AS n FROM cal),
+       |thr AS (SELECT lang, max(nc) AS threshold,
+       |  CAST(min(n) AS BIGINT) AS n_cal FROM rk
+       |  WHERE rn <= CAST(floor($ConformalKeep * n) AS BIGINT) GROUP BY 1)
+       |SELECT t.lang, thr.n_cal, round(thr.threshold, 6) AS threshold,
+       |  CAST(count(*) AS BIGINT) AS n_test,
+       |  CAST(sum(CASE WHEN t.nc <= thr.threshold THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_covered,
+       |  round(CAST(sum(CASE WHEN t.nc <= thr.threshold THEN 1 ELSE 0 END)
+       |    AS DOUBLE) / count(*), 6) AS coverage
+       |FROM tst t JOIN thr ON thr.lang = t.lang
+       |GROUP BY 1, 2, 3 ORDER BY t.lang""".stripMargin
 
   // Fellegi-Sunter weights over the SAME candidate pairs + signature
   // estimate as the dedup-apply convention; add-one smoothing mirrored
@@ -6203,6 +6290,7 @@ object ExtQueries {
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
     "e_label_errors" -> (eLabelErrors _),
+    "e_conformal_coverage" -> (eConformalCoverage _),
     "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bootstrap_ci" -> (eBootstrapCi _),
     "e_ks_drift" -> (eKsDrift _),
@@ -6643,6 +6731,7 @@ object ExtQueries {
     "e_linkage_weights" -> linkageWeightsOracle,
     "e_span_corruption" -> spanCorruptionOracle,
     "e_label_errors" -> labelErrorsOracle,
+    "e_conformal_coverage" -> conformalCoverageOracle,
     "e_bootstrap_ci" -> {
       val cdfArms = graft.operators.Bootstrap.PoissonCdf.zipWithIndex
         .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
