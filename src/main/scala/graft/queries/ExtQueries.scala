@@ -385,8 +385,8 @@ object ExtQueries {
     // nbScored: e_classifier_kappa (name-first), e_nb_classify,
     // e_nb_confusion (last)
     ("nbScored", nbCache, "e_nb_confusion"),
-    // nbScoreAll: e_conformal_coverage, e_label_errors,
-    // e_nb_pr_curve (last)
+    // nbScoreAll: e_calibration_ece (name-first), e_conformal_coverage,
+    // e_label_errors, e_nb_pr_curve (last)
     ("nbScoreAll", nbScoresAllCache, "e_nb_pr_curve"),
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
@@ -3224,6 +3224,87 @@ object ExtQueries {
         round(col("best") - col("s_label"), 6).as("nc"))
   }
 
+  /** LSH planner knobs: hash budget per signature and the similarity
+    * grid the detection curve is tabulated over. */
+  private val LshPlanBudgets = Seq(12, 24)
+  private val LshPlanGrid = Seq(0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)
+  private val LshPlanTarget = 0.5
+
+  /** Analytic LSH band planner — the design table a dedup deployment
+    * reads BEFORE spending a single shuffle: for every (rows-per-band r,
+    * bands b) split of each hash budget, the detection probability
+    * 1 − (1 − t^r)^b across the similarity grid, the s-curve midpoint
+    * (1/b)^(1/r), and its distance to the target threshold. The
+    * empirical siblings (`e_lsh_recall`, `e_minhash_calibration`)
+    * validate the chosen design; this derives the candidates. Pure
+    * in-row math over a literal frame — zero scan of the corpus. */
+  def eLshPlanner(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val combos = for {
+      k <- LshPlanBudgets
+      r <- 1 to k if k % r == 0
+    } yield (k.toLong, r.toLong, (k / r).toLong)
+    val base = combos.toDF("k_hashes", "rows_per_band", "bands")
+    val grid = typedLit(LshPlanGrid)
+    base
+      .withColumn("midpoint",
+        round(pow(lit(1.0) / col("bands"), lit(1.0) / col("rows_per_band")),
+          6))
+      .withColumn("target_gap",
+        round(abs(pow(lit(1.0) / col("bands"),
+          lit(1.0) / col("rows_per_band")) - LshPlanTarget), 6))
+      .withColumn("t", explode(grid))
+      .withColumn("p_detect",
+        round(lit(1.0) - pow(lit(1.0) -
+          pow(col("t"), col("rows_per_band")), col("bands")), 6))
+      .select(col("k_hashes"), col("rows_per_band"), col("bands"),
+        col("t"), col("p_detect"), col("midpoint"), col("target_gap"))
+      .orderBy("k_hashes", "rows_per_band", "t")
+  }
+
+  /** Reliability-diagram bins (confidence deciles). */
+  private val EceBins = 10
+
+  /** Calibration audit (reliability diagram + ECE): per confidence
+    * decile of the router's softmax-normalized top-class probability,
+    * the average confidence vs the empirical accuracy, plus the
+    * expected calibration error every bin contributes to — the audit
+    * that decides whether "0.9 confident" may gate a corpus. Confidence
+    * is 6-dp rounded BEFORE binning so the bin edges are FP-order
+    * stable; bins are a domain-bounded aggregation off the memoized
+    * score table. */
+  def eCalibrationEce(s: SparkSession, d: String): DataFrame = {
+    val sc = nbScoreAll(s, d)
+    // softmax normalizer in two aggregations (best first, then
+    // Σ exp(score − best) — numerically safe, window-free)
+    val base = sc.groupBy(col("doc_id"), col("lang"))
+      .agg(max(col("score")).as("best"),
+        min(struct((-col("score")).as("neg"), col("class").as("cls")))
+          .as("bst"))
+      .select(col("doc_id"), col("lang"), col("best"),
+        col("bst.cls").as("pred"))
+    val z = sc.join(base.select(col("doc_id"), col("best")), Seq("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sum(exp(col("score") - col("best"))).as("z"))
+    val conf = base.join(z, Seq("doc_id"))
+      .select(col("lang"), col("pred"),
+        round(lit(1.0) / col("z"), 6).as("p"))
+      .select(col("lang"), col("pred"), col("p"),
+        least(floor(col("p") * EceBins).cast("long"),
+          lit(EceBins - 1L)).as("bin"))
+    val bins = conf.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("p")), 6).as("avg_conf"),
+        round(sum((col("pred") === col("lang")).cast("long"))
+          .cast("double") / count(lit(1)), 6).as("accuracy"))
+    val total = conf.agg(count(lit(1)).as("n_total"))
+    bins.crossJoin(broadcast(total))
+      .select(col("bin"), col("n"), col("avg_conf"), col("accuracy"),
+        round(abs(col("avg_conf") - col("accuracy")) *
+          col("n").cast("double") / col("n_total"), 6).as("ece_term"))
+      .orderBy("bin")
+  }
+
   /** Split-conformal calibration + coverage check (Vovk et al.; the
     * "conformal prediction" recipe): the odd-id half of the held-out
     * slice calibrates a per-language nonconformity threshold (the
@@ -4176,6 +4257,29 @@ object ExtQueries {
        |    AS DOUBLE) / count(*), 6) AS coverage
        |FROM tst t JOIN thr ON thr.lang = t.lang
        |GROUP BY 1, 2, 3 ORDER BY t.lang""".stripMargin
+
+  // Reliability diagram / ECE: softmax via Σ exp(score − best), the
+  // confidence 6-dp rounded BEFORE decile binning in both engines.
+  private lazy val calibrationEceOracle =
+    s"""WITH $nbCtes,
+       |dl AS (SELECT DISTINCT doc_id, lang FROM sc),
+       |pred AS (SELECT sc.doc_id, min(sc.c) AS pred
+       |  FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
+       |  GROUP BY 1),
+       |z AS (SELECT sc.doc_id, sum(exp(sc.score - b.m)) AS z
+       |  FROM sc JOIN best b ON b.doc_id = sc.doc_id GROUP BY 1),
+       |conf AS (SELECT dl.lang, p.pred, round(1.0 / z.z, 6) AS p,
+       |  least(CAST(floor(round(1.0 / z.z, 6) * $EceBins) AS BIGINT),
+       |    ${EceBins - 1}) AS bin
+       |  FROM z JOIN pred p ON p.doc_id = z.doc_id
+       |  JOIN dl ON dl.doc_id = z.doc_id),
+       |bins AS (SELECT bin, count(*) AS n, round(avg(p), 6) AS avg_conf,
+       |  round(CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS accuracy FROM conf GROUP BY 1),
+       |etot AS (SELECT count(*) AS nt FROM conf)
+       |SELECT bin, CAST(n AS BIGINT) AS n, avg_conf, accuracy,
+       |  round(abs(avg_conf - accuracy) * n / etot.nt, 6) AS ece_term
+       |FROM bins, etot ORDER BY bin""".stripMargin
 
   // Fellegi-Sunter weights over the SAME candidate pairs + signature
   // estimate as the dedup-apply convention; add-one smoothing mirrored
@@ -6291,6 +6395,8 @@ object ExtQueries {
     "e_span_corruption" -> (eSpanCorruption _),
     "e_label_errors" -> (eLabelErrors _),
     "e_conformal_coverage" -> (eConformalCoverage _),
+    "e_calibration_ece" -> (eCalibrationEce _),
+    "e_lsh_planner" -> (eLshPlanner _),
     "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bootstrap_ci" -> (eBootstrapCi _),
     "e_ks_drift" -> (eKsDrift _),
@@ -6732,6 +6838,25 @@ object ExtQueries {
     "e_span_corruption" -> spanCorruptionOracle,
     "e_label_errors" -> labelErrorsOracle,
     "e_conformal_coverage" -> conformalCoverageOracle,
+    "e_calibration_ece" -> calibrationEceOracle,
+    "e_lsh_planner" -> {
+      val combos = (for {
+        k <- LshPlanBudgets; r <- 1 to k if k % r == 0
+      } yield s"($k, $r, ${k / r})").mkString(", ")
+      val grid = LshPlanGrid.mkString(", ")
+      s"""WITH c(k_hashes, rows_per_band, bands) AS (VALUES $combos),
+         |g AS (SELECT unnest([$grid]) AS t),
+         |e AS (SELECT c.*, g.t FROM c CROSS JOIN g)
+         |SELECT CAST(k_hashes AS BIGINT) AS k_hashes,
+         |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |  CAST(bands AS BIGINT) AS bands, t,
+         |  round(1.0 - pow(1.0 - pow(t, rows_per_band), bands), 6)
+         |    AS p_detect,
+         |  round(pow(1.0 / bands, 1.0 / rows_per_band), 6) AS midpoint,
+         |  round(abs(pow(1.0 / bands, 1.0 / rows_per_band)
+         |    - $LshPlanTarget), 6) AS target_gap
+         |FROM e ORDER BY k_hashes, rows_per_band, t""".stripMargin
+    },
     "e_bootstrap_ci" -> {
       val cdfArms = graft.operators.Bootstrap.PoissonCdf.zipWithIndex
         .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")

@@ -25,6 +25,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
   *  - e_heavy_hitters: rank over the ≤ CmsTopK sketch head.
   *  - e_weighted_sample: 2 windows over the ≤ n-bounded priority sample.
   *  - e_ivf_balance: share-of-total over ≤ IvfCells rows.
+  *  - e_bootstrap_ci: rank over the ≤ BootReplicas replica means.
+  *  - e_ks_drift: cumulative CDF over the value DOMAIN's distinct
+  *    values (value-count histogram grain, corpus-independent).
   */
 class WindowBudgetSpec extends SparkSpec {
 
@@ -35,7 +38,7 @@ class WindowBudgetSpec extends SparkSpec {
     "e_vocabulary" -> 1, "e_vocabulary_unicode" -> 1,
     "e_vocab_coverage" -> 1, "e_vocab_growth" -> 1,
     "e_heavy_hitters" -> 1, "e_weighted_sample" -> 2,
-    "e_ivf_balance" -> 1)
+    "e_ivf_balance" -> 1, "e_bootstrap_ci" -> 1, "e_ks_drift" -> 1)
 
   private def globalWindows(p: LogicalPlan): Int =
     p.collect { case w: Window if w.partitionSpec.isEmpty => w }.size
