@@ -1736,6 +1736,29 @@ object ExtQueries {
       .orderBy("query_id")
   }
 
+  /** MRR of the IVF search: mean reciprocal rank of each query's TRUE
+    * nearest neighbor (brute-force rank 1) inside the IVF top-[[SweepK]]
+    * list — the first-hit retrieval eval beside recall (any hit) and
+    * NDCG (whole-list order). A query whose true NN misses the list
+    * contributes 0. ONE summary row; both lists reuse the existing
+    * operators, brute force confined to the eval. */
+  def eRetrievalMrr(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val isQ = col("vec_id") % 50 === 0
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
+      isQuery = isQ, isCentroid = col("vec_id") % 50 === 1,
+      k = SweepK, nProbe = 2)
+    val nn = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        isQuery = isQ, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("nn_id"))
+    nn.join(ivf.select(col("query_id"), col("neighbor_id").as("nn_id"),
+        col("rank")), Seq("query_id", "nn_id"), "left")
+      .agg(count(lit(1)).as("n_queries"),
+        sum(col("rank").isNotNull.cast("long")).as("n_found"),
+        round(avg(when(col("rank").isNull, lit(0.0))
+          .otherwise(lit(1.0) / col("rank"))), 6).as("mrr"))
+  }
+
   /** IVF-PQ with exact re-ranking — the refine stage of FAISS's IVFPQR
     * and the standard production shape: ADC's lossy distances shortlist
     * [[PqRerankDepth]] candidates, then ONLY those rows fetch their raw
@@ -5371,6 +5394,32 @@ object ExtQueries {
        |FROM dcg d JOIN idcg i ON d.query_id = i.query_id
        |ORDER BY d.query_id""".stripMargin
 
+  /** MRR: reciprocal rank of the brute-force NN inside the IVF list. */
+  private val retrievalMrrOracle =
+    s"""$ivfRankedChain,
+       |bf_dots AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+       |    sum(q.v * e2.v) AS dp
+       |  FROM e q JOIN e e2 ON q.pos = e2.pos AND q.vec_id <> e2.vec_id
+       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |bfs AS (SELECT query_id, neighbor_id,
+       |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
+       |  FROM bf_dots JOIN norms nq ON nq.vec_id = query_id
+       |  JOIN norms nc ON nc.vec_id = neighbor_id),
+       |bfr AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank FROM bfs),
+       |nn AS (SELECT query_id, neighbor_id AS nn_id FROM bfr
+       |  WHERE rank = 1),
+       |hit AS (SELECT nn.query_id, min(r.rank) AS hit_rank
+       |  FROM nn LEFT JOIN ranked r ON r.query_id = nn.query_id
+       |    AND r.neighbor_id = nn.nn_id AND r.rank <= $SweepK
+       |  GROUP BY 1)
+       |SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       |  CAST(sum(CASE WHEN hit_rank IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_found,
+       |  round(avg(CASE WHEN hit_rank IS NULL THEN 0.0
+       |    ELSE 1.0 / hit_rank END), 6) AS mrr
+       |FROM hit""".stripMargin
+
   private val dedupApplyOracle = {
     val matchSum = (0 until K)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
@@ -6397,6 +6446,7 @@ object ExtQueries {
     "e_conformal_coverage" -> (eConformalCoverage _),
     "e_calibration_ece" -> (eCalibrationEce _),
     "e_lsh_planner" -> (eLshPlanner _),
+    "e_retrieval_mrr" -> (eRetrievalMrr _),
     "e_skew_advisor" -> (eSkewAdvisor _),
     "e_bootstrap_ci" -> (eBootstrapCi _),
     "e_ks_drift" -> (eKsDrift _),
@@ -7087,6 +7137,7 @@ object ExtQueries {
     "e_pq_adc_topk" -> pqAdcOracle,
     "e_ivfpq_rerank" -> ivfPqRerankOracle,
     "e_retrieval_ndcg" -> retrievalNdcgOracle,
+    "e_retrieval_mrr" -> retrievalMrrOracle,
     "e_ivfpq_topk" -> ivfPqOracle,
     "e_ivfpq_residual" -> ivfPqResidualOracle,
     "e_hard_negatives" ->
