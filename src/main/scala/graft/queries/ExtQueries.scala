@@ -331,7 +331,7 @@ object ExtQueries {
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
     winnowCache.clear(); nbCache.clear(); nbModelCache.clear()
-    nbScoresAllCache.clear()
+    nbScoresAllCache.clear(); dsirCache.clear()
     simhashPairsCache.clear(); simhashMultiCache.clear()
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
@@ -388,6 +388,8 @@ object ExtQueries {
     // nbScoreAll: e_calibration_ece (name-first), e_conformal_coverage,
     // e_label_errors, e_nb_pr_curve (last)
     ("nbScoreAll", nbScoresAllCache, "e_nb_pr_curve"),
+    // dsirScores: e_dsir_ess (name-first), e_dsir_weights (last)
+    ("dsirScores", dsirCache, "e_dsir_weights"),
     // simhashFingerprints: e_dedup_simhash, e_edit_verify,
     // e_simhash_multitable, e_simhash_pairs
     ("simhashFingerprints", fpCache, "e_simhash_pairs"),
@@ -1417,14 +1419,42 @@ object ExtQueries {
       topK = SaTopK,
       pairKeep = (col("doc_a") % 97 === 0) =!= (col("doc_b") % 97 === 0))
 
+  // Two queries (per-doc weights, ESS diagnostic) share the DSIR scoring;
+  // memoize the compact scored table (|docs| rows × 3 cols) per sfDir.
+  private val dsirCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def dsirScores(s: SparkSession, d: String): DataFrame =
+    dsirCache.getOrElseUpdate(d, timedMemo("dsirScores")(
+      Dedup.materializeAndRelease(
+        graft.functions.ImportanceWeights.dsirLogRatios(
+          Tables.documents(s, d), "doc_id", "text",
+          isTarget = col("lang") === "en", buckets = DsirBuckets))))
+
   /** DSIR importance weights: every doc scored by how much its hashed
     * unigram+bigram distribution resembles the English slice (the target
     * set a curator would hold up as "more like this, please"). */
   def eDsirWeights(s: SparkSession, d: String): DataFrame =
-    graft.functions.ImportanceWeights.dsirLogRatios(
-        Tables.documents(s, d), "doc_id", "text",
-        isTarget = col("lang") === "en", buckets = DsirBuckets)
-      .orderBy("doc_id")
+    dsirScores(s, d).orderBy("doc_id")
+
+  /** Effective sample size of the DSIR weights — the collapse detector
+    * importance sampling REQUIRES before anyone trusts it: ESS =
+    * (Σw)² / Σw² of w = exp(logratio − max) (the shift cancels — ESS is
+    * scale-invariant — and keeps exp in range for any corpus). ESS ≈ n
+    * means weights are flat (resampling changes little); ESS ≪ n means
+    * a few documents dominate and the resample variance explodes. ONE
+    * row with the top-weight share alongside. */
+  def eDsirEss(s: SparkSession, d: String): DataFrame = {
+    val lr = dsirScores(s, d).select(col("doc_id"), col("dsir_logratio"))
+    val mx = lr.agg(max(col("dsir_logratio")).as("mx"))
+    val w = lr.crossJoin(broadcast(mx))
+      .select(exp(col("dsir_logratio") - col("mx")).as("w"))
+    w.agg(count(lit(1)).as("n_docs"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("sw2"), max(col("w")).as("wmax"))
+      .select(col("n_docs"),
+        round(col("sw") * col("sw") / col("sw2"), 6).as("ess"),
+        round(col("sw") * col("sw") / col("sw2") / col("n_docs"), 6)
+          .as("ess_ratio"),
+        round(col("wmax") / col("sw"), 6).as("top_weight_share"))
+  }
 
   /** Naive-Bayes language classifier — the trainable router at the gate
     * of every published curation pipeline (CCNet/GPT-3's quality
@@ -4903,8 +4933,10 @@ object ExtQueries {
   // DSIR: identical feature hashing (56-bit md5 % buckets), add-1
   // smoothing, and ln ratio as the Spark side; 1-token docs contribute no
   // bigram (mirrors the width-2 shingle guard).
-  private val dsirOracle =
-    s"""WITH tl AS (SELECT doc_id, lang = 'en' AS tgt,
+  /** DSIR CTE chain up through the per-bucket log-ratio table —
+    * shared by the weights and ESS oracles. */
+  private val dsirChain =
+    s"""tl AS (SELECT doc_id, lang = 'en' AS tgt,
        |  str_split(trim(text), ' ') AS t FROM documents),
        |uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM tl),
        |big AS (SELECT doc_id, tgt,
@@ -4920,11 +4952,28 @@ object ExtQueries {
        |lr AS (SELECT b,
        |  ln(((CAST(n_t AS DOUBLE) + 1.0) / (nt + $DsirBuckets))
        |    / ((CAST(n_all AS DOUBLE) + 1.0) / (na + $DsirBuckets))) AS lr
-       |  FROM hist CROSS JOIN tot)
+       |  FROM hist CROSS JOIN tot)""".stripMargin
+
+  private val dsirOracle =
+    s"""WITH $dsirChain
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feat,
        |  round(sum(lr), 6) AS dsir_logratio
        |FROM feats JOIN lr USING (b)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ESS of the normalized DSIR weights — shift-by-max before exp (ESS is
+  // scale-invariant), identical rounding grain as the weights oracle.
+  private val dsirEssOracle =
+    s"""WITH $dsirChain,
+       |dw AS (SELECT doc_id, round(sum(lr), 6) AS lrr
+       |  FROM feats JOIN lr USING (b) GROUP BY 1),
+       |mx AS (SELECT max(lrr) AS mx FROM dw),
+       |w AS (SELECT exp(lrr - mx.mx) AS w FROM dw, mx)
+       |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  round(sum(w) * sum(w) / sum(w * w), 6) AS ess,
+       |  round(sum(w) * sum(w) / sum(w * w) / count(*), 6) AS ess_ratio,
+       |  round(max(w) / sum(w), 6) AS top_weight_share
+       |FROM w""".stripMargin
 
   // Naive Bayes: identical feature hashing (56-bit md5 % buckets) and
   // add-1 smoothing as the Spark side; the (class, bucket) grid is fully
@@ -6385,6 +6434,7 @@ object ExtQueries {
     "e_winnow_fingerprints" -> (eWinnowFingerprints _),
     "e_winnow_matches" -> (eWinnowMatches _),
     "e_dsir_weights" -> (eDsirWeights _),
+    "e_dsir_ess" -> (eDsirEss _),
     "e_nb_classify" -> (eNbClassify _),
     "e_nb_confusion" -> (eNbConfusion _),
     "e_nb_pr_curve" -> (eNbPrCurve _),
@@ -7361,6 +7411,7 @@ object ExtQueries {
         |  ${hexHashSql(s"array_to_string(t[i*$ChunkStride+1 : i*$ChunkStride+$ChunkSize], ' ')")} AS chunk_hash
         |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
     "e_dsir_weights" -> dsirOracle,
+    "e_dsir_ess" -> dsirEssOracle,
     "e_nb_classify" -> nbClassifyOracle,
     "e_nb_confusion" -> nbConfusionOracle,
     "e_nb_pr_curve" -> nbPrCurveOracle,

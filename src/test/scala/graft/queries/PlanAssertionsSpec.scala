@@ -231,8 +231,16 @@ class PlanAssertionsSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   test("e_dsir_weights: the bucket model joins BROADCAST; corpus never shuffle-joins") {
     // the whole point of feature hashing is a model bounded at `buckets`
     // cells: scoring must be a broadcast join against the feature stream,
-    // never a shuffle of the corpus onto the model's key
-    val plan = executedPlan("e_dsir_weights")
+    // never a shuffle of the corpus onto the model's key. The graded
+    // query memoizes (checkpoints) the scored table, which hides the
+    // scoring subplan — assert on the direct dsirLogRatios plan (the
+    // e_nb_classify pattern).
+    val df = graft.functions.ImportanceWeights.dsirLogRatios(
+      graft.Tables.documents(spark, d), "doc_id", "text",
+      isTarget = org.apache.spark.sql.functions.col("lang") === "en",
+      buckets = 64)
+    df.count()
+    val plan = df.queryExecution.executedPlan
     val shuffled = collectWithSubqueries(plan) {
       case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
       case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
