@@ -55,24 +55,37 @@ object Expectations {
     * sorted for determinism. */
   def check(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "an empty contract checks nothing")
-    val (uniq, rowRules) = rules.partition(_.isInstanceOf[Unique])
+    // internal aliases key on the rule's LIST INDEX, not (name, target):
+    // two rules on one column (two Matches patterns, say) are a normal
+    // contract and must not collide into an ambiguous reference
+    val indexed = rules.zipWithIndex
+    val (uniq, rowRules) = indexed.partition(_._1.isInstanceOf[Unique])
+    // coalesce to 0 everywhere: an EMPTY table must verdict (0 violations,
+    // pass=true — vacuous), never a NULL a downstream gate filters away
     val rowAgg: Option[DataFrame] = if (rowRules.isEmpty) None else Some {
-      val sums = rowRules.map(r =>
-        sum(when(violation(r), 1L).otherwise(0L))
-          .as(s"__v_${r.name}_${r.target}")) :+ count(lit(1)).as("__n")
+      val sums = rowRules.map { case (r, i) =>
+        coalesce(sum(when(violation(r), 1L).otherwise(0L)), lit(0L))
+          .as(s"__v_$i")
+      } :+ count(lit(1)).as("__n")
       val one = df.agg(sums.head, sums.tail: _*)
-      rowRules.map { r =>
+      rowRules.map { case (r, i) =>
         one.select(lit(r.name).as("rule"), lit(r.target).as("target"),
-          col(s"__v_${r.name}_${r.target}").as("n_violations"),
+          col(s"__v_$i").as("n_violations"),
           col("__n").as("n_rows"))
       }.reduce(_ unionByName _)
     }
     val uniqAgg: Option[DataFrame] = uniq.headOption.map { _ =>
-      uniq.map { case u @ Unique(cols) =>
+      uniq.map { case (u @ Unique(cols), _) =>
+        // null-keyed rows are EXEMPT (the same convention as the value
+        // rules): countDistinct skips them, so the duplicate count must
+        // compare against the non-null-keyed row count, not count(*)
+        val allNonNull = cols.map(col(_).isNotNull).reduce(_ && _)
         df.agg(count(lit(1)).as("__n"),
+            coalesce(sum(when(allNonNull, 1L).otherwise(0L)), lit(0L))
+              .as("__nn"),
             countDistinct(cols.head, cols.tail: _*).as("__d"))
           .select(lit(u.name).as("rule"), lit(u.target).as("target"),
-            (col("__n") - col("__d")).as("n_violations"),
+            (col("__nn") - col("__d")).as("n_violations"),
             col("__n").as("n_rows"))
       }.reduce(_ unionByName _)
     }

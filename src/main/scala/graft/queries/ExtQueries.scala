@@ -3266,8 +3266,9 @@ object ExtQueries {
   private val ConformalKeep = 0.9
 
   /** Per-(doc, lang) nonconformity of the NB router on the held-out
-    * slice: best-class score − labeled-class score, ≥ 0, 6-dp rounded —
-    * the shared base of the conformal query and [[eLabelErrors]]. */
+    * slice: best-class score − labeled-class score, ≥ 0, 6-dp rounded
+    * (the conformal query's base; [[eLabelErrors]] computes the same
+    * quantity inline because it also needs the argmax CLASS). */
   private def nbNonconformity(s: SparkSession, d: String): DataFrame = {
     val sc = nbScoreAll(s, d)
     sc.groupBy(col("doc_id"), col("lang"))
@@ -3331,10 +3332,10 @@ object ExtQueries {
     // softmax normalizer in two aggregations (best first, then
     // Σ exp(score − best) — numerically safe, window-free)
     val base = sc.groupBy(col("doc_id"), col("lang"))
-      .agg(max(col("score")).as("best"),
-        min(struct((-col("score")).as("neg"), col("class").as("cls")))
-          .as("bst"))
-      .select(col("doc_id"), col("lang"), col("best"),
+      .agg(min(struct((-col("score")).as("neg"), col("class").as("cls")))
+        .as("bst"))
+      // best IS the struct argmax's negated key — one aggregate, not two
+      .select(col("doc_id"), col("lang"), (-col("bst.neg")).as("best"),
         col("bst.cls").as("pred"))
     val z = sc.join(base.select(col("doc_id"), col("best")), Seq("doc_id"))
       .groupBy(col("doc_id"))
@@ -3350,7 +3351,8 @@ object ExtQueries {
         round(avg(col("p")), 6).as("avg_conf"),
         round(sum((col("pred") === col("lang")).cast("long"))
           .cast("double") / count(lit(1)), 6).as("accuracy"))
-    val total = conf.agg(count(lit(1)).as("n_total"))
+    // n_total off the ≤ EceBins bins frame — never a second pass of conf
+    val total = bins.agg(sum(col("n")).as("n_total"))
     bins.crossJoin(broadcast(total))
       .select(col("bin"), col("n"), col("avg_conf"), col("accuracy"),
         round(abs(col("avg_conf") - col("accuracy")) *

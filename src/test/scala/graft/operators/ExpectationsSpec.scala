@@ -37,4 +37,22 @@ class ExpectationsSpec extends SparkSpec {
   test("an empty rule list is rejected") {
     intercept[IllegalArgumentException] { check(df, Nil) }
   }
+
+  test("two rules on one column coexist (index-keyed internals)") {
+    val clean = Seq((1L, "srcA"), (2L, "xx")).toDF("id", "s")
+    val got = check(clean, Seq(Matches("s", "^src"), Matches("s", "A$")))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(got.length == 2 && got.forall(_._3 == 1L)) // "xx" fails both
+  }
+
+  test("unique exempts null-keyed rows; empty tables verdict pass, not null") {
+    val withNull = Seq(Some(1L), Some(2L), None).toDF("id")
+    val u = check(withNull, Seq(Unique(Seq("id"))))
+      .as[(String, String, Long, Long, Boolean)].head()
+    assert(u._3 == 0 && u._5, s"null key counted as duplicate: $u")
+    val empty = Seq.empty[(Long, String)].toDF("id", "s")
+    val e = check(empty, Seq(NotNull("s"), Unique(Seq("id"))))
+      .as[(String, String, Long, Long, Boolean)].collect()
+    assert(e.forall(r => r._3 == 0 && r._5), s"empty table must pass: ${e.toSeq}")
+  }
 }
