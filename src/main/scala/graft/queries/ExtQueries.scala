@@ -1866,6 +1866,52 @@ object ExtQueries {
     graft.functions.QueryLikelihood.topDocs(Tables.documents(s, d),
       "doc_id", "text", Bm25Terms, mu = QlMu, topK = Bm25TopK)
 
+  /** RBO persistence parameter (Webber et al. 2010): 0.9 ≈ the top ~10
+    * ranks carry ~86% of the weight. */
+  private val RboP = 0.9
+
+  /** Rank-biased overlap between the BM25 and query-likelihood top-k
+    * lists — the top-WEIGHTED agreement measure (Webber et al., TOIS
+    * 2010) that Spearman cannot give: rank-1 disagreements matter more
+    * than rank-k ones, and non-conjoint lists (each ranker retrieving
+    * docs the other missed) are handled natively instead of through the
+    * rank-(k+1) imputation [[eRankCorr]] documents. Truncated RBO@k:
+    * (1−p)/(1−p^k)-normalized Σ_d p^(d−1)·(overlap@d / d) over the
+    * bounded depth grid — every overlap@d is an exact integer, so the
+    * only FP is the final weighted sum (6-dp rounded). Work = k² pairs
+    * of two ≤ k-row lists. */
+  def eRankOverlap(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bm = graft.functions.Bm25.topDocs(docs, "doc_id", "text",
+      Bm25Terms, topK = Bm25TopK)
+      .select(col("doc_id"), col("bm25").as("score"))
+    val ql = graft.functions.QueryLikelihood.topDocs(docs, "doc_id",
+      "text", Bm25Terms, mu = QlMu, topK = Bm25TopK)
+      .select(col("doc_id"), col("ql").as("score"))
+    def ranked(df: DataFrame, rankName: String) = df
+      .withColumn(rankName, row_number().over(
+        org.apache.spark.sql.expressions.Window
+          // bounded frame: ≤ Bm25TopK post-limit rows (the eRankCorr
+          // convention; budgeted in WindowBudgetSpec)
+          .orderBy(desc("score"), asc("doc_id"))).cast("long"))
+      .select(col("doc_id"), col(rankName))
+    val joined = ranked(bm, "ra").join(ranked(ql, "rb"), Seq("doc_id"), "full")
+    val depths = Seq.range(1, Bm25TopK + 1).map(_.toLong)
+    val byDepth = joined
+      .withColumn("depth", explode(typedLit(depths)))
+      .groupBy(col("depth"))
+      .agg(sum((col("ra") <= col("depth") && col("rb") <= col("depth"))
+        .cast("long")).as("overlap"))
+      .select(col("depth"), col("overlap"),
+        round(col("overlap").cast("double") / col("depth"), 6)
+          .as("agreement"))
+    val norm = (1.0 - RboP) / (1.0 - math.pow(RboP, Bm25TopK))
+    val rbo = byDepth.agg(round(lit(norm) *
+      sum(pow(lit(RboP), col("depth") - 1) *
+        (col("overlap").cast("double") / col("depth"))), 6).as("rbo"))
+    byDepth.crossJoin(broadcast(rbo)).orderBy("depth")
+  }
+
   /** Spearman rank correlation between the BM25 and query-likelihood
     * top-k lists — the eval that says whether the two ranking families
     * actually disagree enough to justify fusing them (read next to
@@ -6184,6 +6230,35 @@ object ExtQueries {
        |FROM agg""".stripMargin
   }
 
+  // Truncated RBO@k: exact integer overlap per depth; only the final
+  // weighted sum is FP (6-dp rounded, norm constant interpolated).
+  private val rankOverlapOracle = {
+    val norm = (1.0 - RboP) / (1.0 - math.pow(RboP, Bm25TopK))
+    s"""WITH $bm25Chain,
+       |$qlChain,
+       |bml AS (SELECT doc_id, CAST(row_number() OVER (
+       |       ORDER BY bm25 DESC, doc_id ASC) AS BIGINT) AS ra FROM s
+       |       ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK),
+       |qll AS (SELECT doc_id, CAST(row_number() OVER (
+       |       ORDER BY ql DESC, doc_id ASC) AS BIGINT) AS rb FROM qs
+       |       ORDER BY ql DESC, doc_id LIMIT $Bm25TopK),
+       |j AS (SELECT b.ra, q.rb FROM bml b
+       |       FULL OUTER JOIN qll q ON b.doc_id = q.doc_id),
+       |dg AS (SELECT unnest(range(1, ${Bm25TopK + 1})) AS depth),
+       |bd AS (SELECT dg.depth,
+       |       sum(CASE WHEN j.ra <= dg.depth AND j.rb <= dg.depth
+       |         THEN 1 ELSE 0 END) AS overlap
+       |       FROM dg CROSS JOIN j GROUP BY 1),
+       |rbo AS (SELECT round($norm *
+       |       sum(pow($RboP, depth - 1) * (CAST(overlap AS DOUBLE) / depth)),
+       |       6) AS rbo FROM bd)
+       |SELECT CAST(bd.depth AS BIGINT) AS depth,
+       |  CAST(bd.overlap AS BIGINT) AS overlap,
+       |  round(CAST(bd.overlap AS DOUBLE) / bd.depth, 6) AS agreement,
+       |  rbo.rbo
+       |FROM bd, rbo ORDER BY depth""".stripMargin
+  }
+
   /** RRF fusion of the BM25 chain and the brute-force cosine ranking from
     * vec_id 0 — rank semantics mirror Bm25.topDocs (rounded score desc, id
     * tie-break) and Similarity.bruteForceTopK (rounded cosine desc, id). */
@@ -6423,6 +6498,7 @@ object ExtQueries {
     "e_idf_cosine" -> (eIdfCosine _),
     "e_ql_dirichlet" -> (eQlDirichlet _),
     "e_rank_corr" -> (eRankCorr _),
+    "e_rank_overlap" -> (eRankOverlap _),
     "e_sorted_neighborhood" -> (eSortedNeighborhood _),
     "e_phrase_search" -> (ePhraseSearch _),
     "e_source_jaccard" -> (eSourceJaccard _),
@@ -7360,6 +7436,7 @@ object ExtQueries {
     "e_idf_cosine" -> idfCosineOracle,
     "e_ql_dirichlet" -> qlDirichletOracle,
     "e_rank_corr" -> rankCorrOracle,
+    "e_rank_overlap" -> rankOverlapOracle,
     "e_sorted_neighborhood" -> sortedNeighborhoodOracle,
     "e_phrase_search" -> phraseSearchOracle,
     "e_source_jaccard" -> sourceJaccardOracle,
