@@ -40,7 +40,7 @@ object Expectations {
     val name = "unique"; def target = columns.mkString(",")
   }
 
-  private def violation(r: Rule): Column = r match {
+  private[graft] def violation(r: Rule): Column = r match {
     case NotNull(c) => col(c).isNull
     case InSet(c, allowed) => col(c).isNotNull && !col(c).isin(allowed: _*)
     case InRange(c, lo, hi) =>
