@@ -116,11 +116,15 @@ object Dedup {
     * consumers require it. */
   def shingleBases(docs: DataFrame, idCol: String, textCol: String,
                    shingleWidth: Int): DataFrame =
-    // LEGACY single-space tokenization, kept for oracle stability of the
-    // pre-unicode query families; prefer [[shingleBasesUnicode]] for new
-    // pipelines (see TextAnalysis.tokens' caveat)
-    shingleBasesFromTokens(docs, idCol, split(trim(col(textCol)), " "),
-      shingleWidth)
+    // UNICODE tokenization is the default (round 13): NFKC + `[\p{L}\p{N}]+`
+    // runs, so CJK / punctuation-glued corpora shingle correctly. The DuckDB
+    // oracles mirror it with `regexp_extract_all(text, '[\p{L}\p{N}]+')`
+    // (RE2 agrees with java.util.regex on the general categories; NFKC is
+    // the identity on the ASCII graded corpus — non-ASCII behavior is
+    // spec-proven in UnicodeDedupSpec). Callers needing the legacy
+    // whitespace grain pass TextAnalysis.tokens to
+    // [[shingleBasesFromTokens]] explicitly.
+    shingleBasesUnicode(docs, idCol, textCol, shingleWidth)
 
   /** [[shingleBases]] under the engine's unicode tokenizer
     * ([[graft.functions.TextAnalysis.unicodeTokens]]: NFKC normalize,
@@ -321,12 +325,20 @@ object Dedup {
 
   /** SimHash fingerprint over `bits` bit positions: bit j votes +1 when bit
     * j of the 56-bit token hash is set, else -1; the fingerprint
-    * concatenates the vote signs. Returns (doc_id, simhash). */
+    * concatenates the vote signs. Returns (doc_id, simhash).
+    *
+    * `tok` picks the tokenizer; the default is the engine's unicode
+    * tokenizer ([[graft.functions.TextAnalysis.unicodeTokens]]) so
+    * space-free CJK text votes per ideograph run instead of collapsing to
+    * one whole-doc token (the round-13 migration; legacy whitespace grain
+    * via `TextAnalysis.tokens`). */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              bits: Int = 16): DataFrame = {
+              bits: Int = 16,
+              tok: Column => Column =
+                graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     require(bits <= 56, "token hash carries 56 usable bits")
     val exploded = docs.select(col(idCol).as("doc_id"),
-      explode(split(trim(col(textCol)), " ")).as("tok"))
+      explode(tok(col(textCol))).as("tok"))
       .withColumn("th", hexHash(col("tok")))
     val votes = (0 until bits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
@@ -345,8 +357,10 @@ object Dedup {
     * of the SimHash family (plain listing, single-table pairs, multi-table
     * pairs) — see `ExtQueries.simhashFingerprints` for the memo. */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   bits: Int): DataFrame =
-    simhash(docs, idCol, textCol, bits)
+                   bits: Int,
+                   tok: Column => Column =
+                     graft.functions.TextAnalysis.unicodeTokens): DataFrame =
+    simhash(docs, idCol, textCol, bits, tok)
       .withColumn("sh_long", conv(col("simhash"), 2, 10).cast("long"))
 
   /** SimHash near-dup pairs: candidates share the first `prefixBits` bits
@@ -962,9 +976,12 @@ object Dedup {
     * crosses the threshold. */
   def passageDedup(docs: DataFrame, idCol: String, textCol: String,
                    passageTokens: Int = 10, maxPassageFreq: Long = 1L << 20,
-                   salts: Int = 16): DataFrame = {
+                   salts: Int = 16,
+                   tok: Column => Column =
+                     graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     val (result, intermediates) =
-      passageDedupPlan(docs, idCol, textCol, passageTokens, maxPassageFreq, salts)
+      passageDedupPlan(docs, idCol, textCol, passageTokens, maxPassageFreq,
+        salts, tok)
     materializeAndRelease(result, intermediates: _*)
   }
 
@@ -974,10 +991,14 @@ object Dedup {
     * and hides it). */
   private[graft] def passageDedupPlan(docs: DataFrame, idCol: String, textCol: String,
                                       passageTokens: Int, maxPassageFreq: Long,
-                                      salts: Int): (DataFrame, Seq[DataFrame]) = {
+                                      salts: Int,
+                                      tok: Column => Column =
+                                        graft.functions.TextAnalysis.unicodeTokens)
+      : (DataFrame, Seq[DataFrame]) = {
     require(passageTokens >= 1, "passage width must be >= 1")
     require(maxPassageFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
-    val passages = maybePersist(segmentInstances(docs, idCol, textCol, passageTokens))
+    val passages = maybePersist(
+      segmentInstances(docs, idCol, textCol, passageTokens, tok))
     // ONE aggregation delivers both the survivor and the frequency; the
     // compact (ph, first, pf) table is read by three cheap branches.
     val survivors = maybePersist(passages.groupBy(col("ph"))
@@ -1014,8 +1035,9 @@ object Dedup {
     * hottest key of these operators. Collision probability ~2^-112 —
     * never perturbs the segment-identity semantics. */
   private def segmentInstances(docs: DataFrame, idCol: String,
-                               textCol: String, w: Int): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+                               textCol: String, w: Int,
+                               tok: Column => Column): DataFrame = {
+    val toks = tok(col(textCol))
     val nChunks = ceil(size(toks).cast("double") / w).cast("int")
     val chunks = transform(
       sequence(lit(0), greatest(nChunks, lit(1)) - 1),
@@ -1092,9 +1114,11 @@ object Dedup {
   def boilerplateRemove(docs: DataFrame, idCol: String, textCol: String,
                         segTokens: Int = 10, minDocFreq: Long = 3,
                         maxSegFreq: Long = 1L << 20,
-                        salts: Int = 16): DataFrame = {
+                        salts: Int = 16,
+                        tok: Column => Column =
+                          graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     val (result, intermediates) = boilerplateRemovePlan(
-      docs, idCol, textCol, segTokens, minDocFreq, maxSegFreq, salts)
+      docs, idCol, textCol, segTokens, minDocFreq, maxSegFreq, salts, tok)
     materializeAndRelease(result, intermediates: _*)
   }
 
@@ -1104,11 +1128,15 @@ object Dedup {
   private[graft] def boilerplateRemovePlan(docs: DataFrame, idCol: String,
                                            textCol: String, segTokens: Int,
                                            minDocFreq: Long, maxSegFreq: Long,
-                                           salts: Int): (DataFrame, Seq[DataFrame]) = {
+                                           salts: Int,
+                                           tok: Column => Column =
+                                             graft.functions.TextAnalysis.unicodeTokens)
+      : (DataFrame, Seq[DataFrame]) = {
     require(segTokens >= 1, "segment width must be >= 1")
     require(minDocFreq >= 2, "a segment needs >= 2 docs to be boilerplate")
     require(maxSegFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
-    val segments = maybePersist(segmentInstances(docs, idCol, textCol, segTokens))
+    val segments = maybePersist(
+      segmentInstances(docs, idCol, textCol, segTokens, tok))
     // ONE aggregation delivers both verdicts: document frequency (the
     // boilerplate test) and instance frequency (the skew-guard routing).
     val stats = maybePersist(segments.groupBy(col("ph"))
@@ -1162,9 +1190,11 @@ object Dedup {
     * tokenization pass it rides. */
   def exactSpanDedup(docs: DataFrame, idCol: String, textCol: String,
                      spanWords: Int = 8, maxGramFreq: Long = 1L << 20,
-                     salts: Int = 16): DataFrame = {
+                     salts: Int = 16,
+                     tok: Column => Column =
+                       graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     val (result, intermediates) = exactSpanDedupPlan(
-      docs, idCol, textCol, spanWords, maxGramFreq, salts)
+      docs, idCol, textCol, spanWords, maxGramFreq, salts, tok = tok)
     materializeAndRelease(result, intermediates: _*)
   }
 
@@ -1173,11 +1203,13 @@ object Dedup {
   private[graft] def exactSpanDedupPlan(docs: DataFrame, idCol: String,
                                         textCol: String, spanWords: Int,
                                         maxGramFreq: Long, salts: Int,
-                                        knownGrams: Option[DataFrame] = None)
+                                        knownGrams: Option[DataFrame] = None,
+                                        tok: Column => Column =
+                                          graft.functions.TextAnalysis.unicodeTokens)
       : (DataFrame, Seq[DataFrame]) = {
     require(spanWords >= 1, "span width must be >= 1")
     require(maxGramFreq >= 1 && salts >= 1, "guard parameters must be >= 1")
-    val toks = split(trim(col(textCol)), " ")
+    val toks = tok(col(textCol))
     // positional FULL-width gram instances — docs shorter than spanWords
     // have none and pass through untouched (the width-truncated floor
     // shingle would let whole short docs dedup against prefixes of longer
@@ -1259,14 +1291,17 @@ object Dedup {
                               textCol: String, prevGrams: Option[DataFrame],
                               prevDocs: Option[DataFrame], spanWords: Int = 8,
                               maxGramFreq: Long = 1L << 20,
-                              salts: Int = 16): SpanDedupIncrement = {
+                              salts: Int = 16,
+                              tok: Column => Column =
+                                graft.functions.TextAnalysis.unicodeTokens)
+      : SpanDedupIncrement = {
     val fresh = prevDocs match {
       case Some(p) => batch.join(
         p.select(col("doc_id").as(idCol)), Seq(idCol), "left_anti")
       case None => batch
     }
     val (cleaned, intermediates) = exactSpanDedupPlan(
-      fresh, idCol, textCol, spanWords, maxGramFreq, salts, prevGrams)
+      fresh, idCol, textCol, spanWords, maxGramFreq, salts, prevGrams, tok)
     // the grown index: previous grams ∪ the batch's distinct grams
     val batchGrams = intermediates.head.select(col("ph")).distinct()
     val grownGrams = prevGrams match {

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
@@ -37,8 +37,10 @@ object Winnowing {
     * shingles than the window gets one frame over all of them — mirrors
     * the one-truncated-shingle floor of [[Dedup.shingles]]). */
   def fingerprints(docs: DataFrame, idCol: String, textCol: String,
-                   shingleWidth: Int, window: Int): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+                   shingleWidth: Int, window: Int,
+                   tok: Column => Column =
+                     graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
+    val toks = tok(col(textCol))
     docs
       .select(col(idCol).as("doc_id"),
         explode(graft.plans.TextExpressions.winnowFingerprints(

@@ -26,10 +26,15 @@ object Bm25 {
     * score, ordered by (bm25 desc, doc_id). */
   def topDocs(docs: DataFrame, idCol: String, textCol: String,
               queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
-              topK: Int = 20): DataFrame = {
+              topK: Int = 20,
+              tok: Column => Column =
+                TextAnalysis.unicodeTokens): DataFrame = {
+    // `tok` defaults to the unicode tokenizer (NFKC + letter/digit runs) so
+    // punctuation-glued and CJK corpora index correctly; supply query terms
+    // at the same grain (NFKC-normalized letter/digit runs)
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(trim(col(textCol)), " ").as("toks"))
+      tok(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("double").as("dl"))
     // postings of the query terms only: the isin filter sits on the explode

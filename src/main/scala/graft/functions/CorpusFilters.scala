@@ -39,9 +39,9 @@ object CorpusFilters {
   def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
                         maxTokenFrac: Double = 0.20,
                         maxBigramFrac: Double = 0.18): DataFrame = {
-    // the one canonical tokenizer — oracle parity depends on every operator
-    // tokenizing identically
-    val toks = TextAnalysis.tokens(col(textCol))
+    // the engine's canonical tokenizer (unicode since round 13) — oracle
+    // parity depends on every operator tokenizing identically
+    val toks = TextAnalysis.unicodeTokens(col(textCol))
 
     def topFrac(grams: DataFrame, out: String): DataFrame =
       grams

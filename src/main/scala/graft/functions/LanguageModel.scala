@@ -24,8 +24,14 @@ object LanguageModel {
 
   /** The smoothed unigram table (term, c) plus scalars as a broadcast-able
     * one-row frame (n_tokens, v_types). */
-  def unigramCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(trim(col(textCol)), " ")).as("term"))
+  def unigramCounts(docs: DataFrame, textCol: String,
+                    tok: Column => Column =
+                      TextAnalysis.unicodeTokens): DataFrame =
+    // unicode tokenizer by default (round-13 migration): a space-free CJK
+    // document contributes per-ideograph-run types instead of one
+    // whole-doc token; the blank filter is a no-op under it (unicode
+    // tokens are non-empty by construction) but guards the legacy grain
+    docs.select(explode(tok(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(col("term")).agg(count(lit(1)).as("c"))
 
@@ -35,8 +41,10 @@ object LanguageModel {
     * token array, so building the table is one narrow pass + one groupBy.
     * Pairs where either side is the empty token are dropped (mirroring the
     * unigram table's blank filter). */
-  def bigramCounts(docs: DataFrame, textCol: String): DataFrame = {
-    val t = split(trim(col(textCol)), " ")
+  def bigramCounts(docs: DataFrame, textCol: String,
+                   tok: Column => Column =
+                     TextAnalysis.unicodeTokens): DataFrame = {
+    val t = tok(col(textCol))
     docs
       .select(explode(zip_with(
         slice(t, lit(1), greatest(size(t) - 1, lit(0))),
@@ -51,13 +59,15 @@ object LanguageModel {
     * add-α unigram model. Returns (doc_id, n_scored, cross_entropy,
     * perplexity), rounded to 6 dp. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
-                 alpha: Double = 1.0): DataFrame = {
-    val uni = unigramCounts(docs, textCol)
+                 alpha: Double = 1.0,
+                 tok: Column => Column =
+                   TextAnalysis.unicodeTokens): DataFrame = {
+    val uni = unigramCounts(docs, textCol, tok)
     val stats = uni.agg(sum(col("c")).cast("double").as("n_tokens"),
       count(lit(1)).cast("double").as("v_types"))
     val toks = docs
       .select(col(idCol).cast("long").as("doc_id"),
-        explode(split(trim(col(textCol)), " ")).as("term"))
+        explode(tok(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val logp = log((col("c").cast("double") + lit(alpha)) /
       (col("n_tokens") + lit(alpha) * (col("v_types") + lit(1.0))))
@@ -91,13 +101,15 @@ object LanguageModel {
     * (no per-doc window or positional self-join). */
   def perplexityInterpolated(docs: DataFrame, idCol: String, textCol: String,
                              alpha: Double = 1.0,
-                             lambda: Double = 0.7): DataFrame = {
+                             lambda: Double = 0.7,
+                             tok: Column => Column =
+                               TextAnalysis.unicodeTokens): DataFrame = {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
-    val uni = unigramCounts(docs, textCol)
-    val big = bigramCounts(docs, textCol)
+    val uni = unigramCounts(docs, textCol, tok)
+    val big = bigramCounts(docs, textCol, tok)
     val stats = uni.agg(sum(col("c")).cast("double").as("n_tokens"),
       count(lit(1)).cast("double").as("v_types"))
-    val t = split(trim(col(textCol)), " ")
+    val t = tok(col(textCol))
     // (doc_id, w, prev): prev = the RAW preceding token ('' for the first
     // position, so an empty-token neighbor also falls back to unigram —
     // matching bigramCounts' blank filter)
@@ -161,10 +173,12 @@ object LanguageModel {
     * broadcast as a one-row frame. Nothing here is
     * broadcast-by-assumption. */
   def perplexityKneserNey(docs: DataFrame, idCol: String, textCol: String,
-                          discount: Double = 0.75): DataFrame = {
+                          discount: Double = 0.75,
+                          tok: Column => Column =
+                            TextAnalysis.unicodeTokens): DataFrame = {
     require(discount > 0 && discount < 1, "discount must be in (0, 1)")
-    val uni = unigramCounts(docs, textCol)
-    val big = bigramCounts(docs, textCol)
+    val uni = unigramCounts(docs, textCol, tok)
+    val big = bigramCounts(docs, textCol, tok)
     // both context marginals in one pass over the bigram table
     val ctx = big.groupBy(col("w1").as("prev"))
       .agg(sum(col("c12")).as("cv"), count(lit(1)).as("n1fwd"))
@@ -172,7 +186,7 @@ object LanguageModel {
       .agg(count(lit(1)).as("n1bwd"))
     val stats = big.agg(count(lit(1)).cast("double").as("b_types"))
       .crossJoin(uni.agg(count(lit(1)).cast("double").as("v_types")))
-    val t = split(trim(col(textCol)), " ")
+    val t = tok(col(textCol))
     // (doc_id, w, prev): prev = '' at the first position — the same
     // in-row predecessor resolution as the interpolated scorer
     val toks = docs
@@ -228,10 +242,12 @@ object LanguageModel {
     * frame; nothing corpus-sized shuffles. */
   def bigramPruneLoss(docs: DataFrame, textCol: String,
                       alpha: Double = 1.0,
-                      lambda: Double = 0.7): DataFrame = {
+                      lambda: Double = 0.7,
+                      tok: Column => Column =
+                        TextAnalysis.unicodeTokens): DataFrame = {
     require(lambda >= 0 && lambda <= 1, "lambda must be in [0, 1]")
-    val uni = unigramCounts(docs, textCol)
-    val big = bigramCounts(docs, textCol)
+    val uni = unigramCounts(docs, textCol, tok)
+    val big = bigramCounts(docs, textCol, tok)
     val stats = uni.agg(sum(col("c")).cast("double").as("n_tokens"),
       count(lit(1)).cast("double").as("v_types"))
     val denomU = col("n_tokens") + lit(alpha) * (col("v_types") + lit(1.0))

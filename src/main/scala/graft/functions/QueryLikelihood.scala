@@ -29,11 +29,15 @@ object QueryLikelihood {
     * log-likelihood, ordered by (ql desc, doc_id). */
   def topDocs(docs: DataFrame, idCol: String, textCol: String,
               queryTerms: Seq[String], mu: Double = 300.0,
-              topK: Int = 20): DataFrame = {
+              topK: Int = 20,
+              tok: Column => Column =
+                TextAnalysis.unicodeTokens): DataFrame = {
+    // `tok` defaults to the unicode tokenizer — same grain contract as
+    // [[Bm25.topDocs]] (query terms must be letter/digit runs)
     require(queryTerms.nonEmpty, "queryTerms must be non-empty")
     require(mu > 0.0, "mu must be positive")
     val base = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(trim(col(textCol)), " ").as("toks"))
+      tok(col(textCol)).as("toks"))
       .select(col("doc_id"), col("toks"),
         size(col("toks")).cast("double").as("dl"))
     val matched = base

@@ -157,7 +157,10 @@ object TextAnalysis {
     * alpha ratio, stopword ratio. Weights are part of the public contract. */
   def qualityScore(text: Column): Column = {
     val nChars = length(text).cast("double")
-    val toks = tokens(text)
+    // unicode token grain (round-13 default flip): the stopword-ratio arm
+    // must see bare words — "the," under the whitespace grain never
+    // matched a stopword; the char-based arms are tokenizer-free
+    val toks = unicodeTokens(text)
     val nToks = size(toks).cast("double")
     val alpha = regexp_count(text, lit("[a-zA-Z]")).cast("double")
     // one membership pass over the token array (a token equals at most one

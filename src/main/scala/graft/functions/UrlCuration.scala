@@ -22,15 +22,80 @@ object UrlCuration {
     * downstream. */
   def host(url: Column): Column = parse_url(url, lit("HOST"))
 
-  /** Registrable-domain HEURISTIC: the last two dot-labels of the host
-    * (`www.news.example.org` → `example.org`); hosts with fewer than two
-    * labels pass through. Public-suffix-list accuracy (co.uk etc.) needs
-    * a broadcast suffix lexicon this engine deliberately doesn't embed —
-    * the column shape is the same when one is supplied. */
+  /** Trimmed public-suffix lexicon (round 13, filling the documented
+    * slot): the widely-used two-label registry suffixes under which
+    * domains are registered — `a.co.uk` and `b.co.uk` are DIFFERENT
+    * registrable domains, which the last-two-label heuristic collapsed.
+    * This is the publicsuffix.org model at broadcast-literal scale: the
+    * full list (~9k rules incl. wildcards/exceptions) would ship as a
+    * broadcast lookup table joined on the candidate suffix without
+    * changing the column shape; the subset below covers the major ccTLD
+    * registries a web crawl actually hits, and every UNLISTED suffix
+    * falls back to the last-two-label rule. */
+  val PublicSuffixes: Seq[String] = Seq(
+    // UK / IE
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
+    // Australia / New Zealand
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
+    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
+    // Japan / Korea / China / Taiwan / Hong Kong / Singapore
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
+    "co.kr", "ne.kr", "or.kr", "ac.kr", "go.kr",
+    "com.cn", "net.cn", "org.cn", "edu.cn", "gov.cn", "ac.cn",
+    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
+    // India / South Africa / Israel / Turkey
+    "co.in", "net.in", "org.in", "ac.in", "gov.in", "res.in",
+    "co.za", "net.za", "org.za", "ac.za", "gov.za", "web.za",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il",
+    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
+    // Latin America
+    "com.br", "net.br", "org.br", "gov.br", "edu.br",
+    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
+    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
+    "com.co", "net.co", "org.co", "edu.co", "gov.co",
+    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
+    "com.ve", "net.ve", "org.ve", "co.ve",
+    "com.cl", "cl.cl",
+    // Europe (multi-label registries)
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
+    "com.pt", "edu.pt", "gov.pt", "org.pt",
+    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
+    "com.ro", "org.ro", "nt.ro",
+    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
+    // Egypt / Saudi / UAE / Indonesia / Malaysia / Philippines /
+    // Thailand / Vietnam / Pakistan / Bangladesh / Nigeria / Kenya
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
+    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
+    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke")
+
+  /** Registrable domain under the [[PublicSuffixes]] lexicon: when the
+    * host's last TWO labels form a listed public suffix (and a third
+    * label exists), the registrable domain is the last THREE labels
+    * (`news.bbc.co.uk` → `bbc.co.uk`); otherwise the last-two-label rule
+    * applies (`www.news.example.org` → `example.org`). Hosts with fewer
+    * than two labels pass through. Pure codegen'd per-row work: the
+    * lexicon probe is an InSet membership over the broadcast literal
+    * list — one O(1) check per row, same cost class as the old
+    * heuristic. */
   def registrableDomain(hostCol: Column): Column = {
     val parts = split(hostCol, "\\.")
-    when(size(parts) >= 2,
-      concat_ws(".", element_at(parts, -2), element_at(parts, -1)))
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
+      element_at(parts, -1))
+    when(size(parts) >= 3 && last2.isin(PublicSuffixes: _*), last3)
+      .when(size(parts) >= 2, last2)
       .otherwise(hostCol)
   }
 

@@ -28,10 +28,12 @@ import org.apache.spark.sql.functions._
 object SlidingChunks {
 
   def chunks(docs: DataFrame, idCol: String, textCol: String,
-             chunkSize: Int, stride: Int): DataFrame = {
+             chunkSize: Int, stride: Int,
+             tok: Column => Column =
+               graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     require(chunkSize >= 1 && stride >= 1 && stride <= chunkSize,
       s"need 1 <= stride <= chunkSize, got size=$chunkSize stride=$stride")
-    val toks: Column = split(trim(col(textCol)), " ")
+    val toks: Column = tok(col(textCol))
     val n = size(toks)
     val nChunks = when(n <= chunkSize, lit(1)).otherwise(
       lit(1) + ceil((n - chunkSize).cast("double") / stride).cast("int"))

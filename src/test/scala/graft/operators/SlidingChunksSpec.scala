@@ -21,7 +21,7 @@ class SlidingChunksSpec extends SparkSpec {
       (1 to 8).map(i => s"t$i").mkString(" "),  // exactly one window
       (1 to 9).map(i => s"t$i").mkString(" "),  // 2 chunks, tail len 3
       "short",                                   // 1 token
-      "")                                        // empty -> [''] = 1 token
+      "")                                        // empty -> 0 unicode tokens
     val got = chunksOf(texts, 8, 6)
     // doc 0: starts 0,6,12 -> n_tokens 8,8,8
     assert(got(0L).map(c => (c._3, c._4)) == Seq((0L, 8L), (6L, 8L), (12L, 8L)))
@@ -29,9 +29,10 @@ class SlidingChunksSpec extends SparkSpec {
     assert(got(1L) == Seq((1L, 0L, 0L, 8L)))
     // doc 2: 9 tokens -> chunks at 0 (8 toks) and 6 (3 toks)
     assert(got(2L).map(c => (c._3, c._4)) == Seq((0L, 8L), (6L, 3L)))
-    // docs 3,4: one short chunk each
+    // docs 3,4: one short chunk each (the empty doc's chunk holds zero
+    // tokens under the round-13 unicode grain)
     assert(got(3L) == Seq((3L, 0L, 0L, 1L)))
-    assert(got(4L) == Seq((4L, 0L, 0L, 1L)))
+    assert(got(4L) == Seq((4L, 0L, 0L, 0L)))
     // coverage: every token index of doc 0 falls inside >= 1 chunk
     val covered = got(0L).flatMap(c => c._3 until (c._3 + c._4)).toSet
     assert(covered == (0L until 20L).toSet)

@@ -19,12 +19,14 @@ class SuffixArraySpec extends SparkSpec {
     }
   }
 
-  /** (doc_id, widx) -> (srank, spos) by brute-force suffix sort. */
+  /** (doc_id, widx) -> (srank, spos) by brute-force suffix sort, at the
+    * engine's default (unicode) token grain — an empty or token-free doc
+    * contributes no suffixes. */
   private def reference(docs: Seq[(Long, String)])
       : Map[(Long, Long), (Long, Long)] = {
     val sfx = for {
       (id, tx) <- docs
-      t = tx.trim.split(" ", -1).toSeq
+      t = "[\\p{L}\\p{N}]+".r.findAllIn(tx).toSeq
       i <- 1 to t.length
     } yield (id, i.toLong, t.drop(i - 1))
     val sorted = sfx.sortBy { case (id, i, s) => (s, id, i) }(
@@ -40,12 +42,11 @@ class SuffixArraySpec extends SparkSpec {
     (2L, "the cat sat on the hat"),
     (3L, "the cat sat on the mat"), // exact dup of doc 1: every suffix ties
     (4L, "zebra"),                  // 1-word doc
-    (5L, ""),                       // empty text: one empty-string token
+    (5L, ""),                       // empty text: NO tokens (unicode grain)
     (6L, "on the mat on the mat"),  // internal repetition
-    // tokens holding a sub-space character (tab): element-wise word order
-    // puts ["a","z"] BEFORE ["a\tb","c"] ("a" is a proper prefix of
-    // "a\tb") — a space-joined ranking key would invert this ('\t' < ' '),
-    // the NUL joiner must not
+    // tab-separated tokens: the unicode grain splits at the tab (tab is
+    // neither letter nor digit) — the sub-space-joiner contract is the
+    // LEGACY grain's business, tested separately below
     (7L, "a\tb c"),
     (8L, "a z")
   )
@@ -72,6 +73,21 @@ class SuffixArraySpec extends SparkSpec {
     assert(got((1L, 6L))._1 != got((2L, 6L))._1)
     val all = got.values.map(_._2).toSeq
     assert(all.sorted == (1L to all.length).toSeq, "spos must be 1..n")
+  }
+
+  test("NUL joiner: sub-space characters inside LEGACY tokens rank element-wise") {
+    import spark.implicits._
+    // tokens holding a sub-space character (tab) exist only at the legacy
+    // whitespace grain: element-wise word order puts ["a","z"] BEFORE
+    // ["a\tb","c"] ("a" is a proper prefix of "a\tb") — a space-joined
+    // ranking key would invert this ('\t' < ' '), the NUL joiner must not
+    val docs = Seq((7L, "a\tb c"), (8L, "a z")).toDF("doc_id", "text")
+    val got = SuffixArray.suffixRanks(docs, "doc_id", "text",
+        tok = graft.functions.TextAnalysis.tokens)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(got((8L, 1L)) < got((7L, 1L)),
+      s"""["a","z"] must sort before ["a\tb","c"]: $got""")
   }
 
   test("repeatedSpans surfaces the verbatim repeated run with its true LCP") {

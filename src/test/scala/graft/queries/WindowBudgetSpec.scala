@@ -17,9 +17,9 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window}
   * empty-spec windows too):
   *  - e_zipf_slope: rank over the ≤ ZipfTopN post-limit head.
   *  - e_rank_corr: 2 rank windows over ≤ Bm25TopK post-limit cuts.
-  *  - e_rank_overlap: the same 2 bounded rank windows, counted TWICE (4)
-  *    because the by-depth subplan feeds both the per-depth table and
-  *    the RBO scalar — plan-tree duplication, not extra data volume.
+  *    (e_rank_overlap had the same 2 windows planned TWICE until round
+  *    13; its by-depth table is now checkpointed once, so the bounded
+  *    subplan no longer appears in the visible plan at all.)
   *  - e_hybrid_rrf: lexical rank over the ≤ RrfDepth post-topK cut.
   *  - e_vocabulary / e_vocabulary_unicode / e_vocab_coverage: rank over
   *    the ≤ 50 / max(k) post-limit head.
@@ -36,7 +36,7 @@ class WindowBudgetSpec extends SparkSpec {
   private val d = "/root/testdata/sf0.001"
 
   private val budget = Map(
-    "e_zipf_slope" -> 1, "e_rank_corr" -> 2, "e_rank_overlap" -> 4,
+    "e_zipf_slope" -> 1, "e_rank_corr" -> 2,
     "e_hybrid_rrf" -> 1,
     "e_vocabulary" -> 1, "e_vocabulary_unicode" -> 1,
     "e_vocab_coverage" -> 1, "e_vocab_growth" -> 1,
