@@ -37,10 +37,19 @@ object TextAnalysis {
     * on ASCII corpora (the oracle side has no normalizer — non-ASCII
     * NFKC behavior is spec-proven instead).
     *
-    * Scale shape: both steps are per-row codegen'd scan work — no
-    * shuffle, no UDF; the normalizer short-circuits to a byte scan on
-    * ASCII rows. */
+    * Scale shape: one per-row codegen'd scan — no shuffle, no UDF. Since
+    * round 13 this is the FUSED native [[graft.plans.UnicodeTokens]]
+    * expression (ASCII rows tokenize in one byte scan with zero regex /
+    * String-decode cost; non-ASCII rows normalize then code-point-scan),
+    * semantics bit-identical to the original
+    * `regexp_extract_all(nfkc_normalize(text), '[\p{L}\p{N}]+')` chain —
+    * parity property-tested in `UnicodeTokensSpec`. */
   def unicodeTokens(text: Column): Column =
+    graft.plans.TextExpressions.unicodeTokens(text)
+
+  /** The pre-fusion regex form of [[unicodeTokens]] — kept as the parity
+    * reference the native expression is property-tested against. */
+  private[graft] def unicodeTokensRegex(text: Column): Column =
     regexp_extract_all(
       graft.plans.TextExpressions.nfkcNormalize(text),
       lit("[\\p{L}\\p{N}]+"), lit(0))

@@ -353,7 +353,7 @@ object ExtQueries {
     sourceJaccardCache.clear(); dedupIncCache.clear()
     mediaFpsCache.clear(); distDriftCache.clear()
     idfCosineCache.clear(); cosineNearDupCache.clear()
-    prefixJoinCache.clear()
+    prefixJoinCache.clear(); rankOverlapCache.clear()
   }
 
   // ---------------- memo lifecycle ----------------
