@@ -15,6 +15,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.LevenshteinPrefilter.install(spark)
+    graft.plans.TextExpressions.register(spark)
     graft.plans.AsOfJoinExec.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers,

@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.LevenshteinPrefilter.install(spark)
+    graft.plans.TextExpressions.register(spark)
     graft.plans.AsOfJoinExec.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     new java.io.File(outDir).mkdirs()

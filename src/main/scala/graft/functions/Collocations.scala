@@ -22,7 +22,7 @@ object Collocations {
   def topPmiBigrams(docs: DataFrame, textCol: String, minCount: Long,
                     topK: Int): DataFrame = {
     require(minCount >= 1 && topK >= 1)
-    val t = split(trim(col(textCol)), " ")
+    val t = TextAnalysis.unicodeTokens(col(textCol))
     val n1 = greatest(size(t) - 1, lit(0))
     val bigrams = docs
       .select(explode(arrays_zip(

@@ -86,7 +86,7 @@ object CorpusFilters {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     docs
       .select(col(idCol).as("doc_id"),
-        TextAnalysis.tokenCount(col(textCol)).as("n_tokens"))
+        TextAnalysis.unicodeTokenCount(col(textCol)).as("n_tokens"))
       .withColumn("shard",
         Dedup.hexHash(col("doc_id").cast("string")) % nShards)
       .withColumn("pack_id",
@@ -154,7 +154,7 @@ object CorpusFilters {
     require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps,
       "caps must be strictly ascending")
     val maxCap = caps.max
-    val clipped = least(TextAnalysis.tokenCount(col(textCol)), lit(maxCap))
+    val clipped = least(TextAnalysis.unicodeTokenCount(col(textCol)), lit(maxCap))
     val bucket = caps.init.foldRight(lit(maxCap): Column) { (c, acc) =>
       when(clipped <= c, lit(c)).otherwise(acc)
     }
@@ -185,7 +185,7 @@ object CorpusFilters {
                      every: Int, phase: Int, spanLen: Int): DataFrame = {
     require(spanLen >= 1 && phase >= 0 && every > phase + spanLen - 1,
       "spans must be non-overlapping by construction: every > phase + spanLen - 1")
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = TextAnalysis.unicodeTokens(col(textCol))
     val n = size(toks)
     val pos = sequence(lit(0), n - 1)
     def sentinel(p: Column): Column =
@@ -222,7 +222,7 @@ object CorpusFilters {
                     blocked: Seq[String], minHits: Long,
                     maxRatio: Double): DataFrame = {
     require(blocked.nonEmpty, "an empty blocklist gates nothing")
-    val toks = TextAnalysis.tokens(col(textCol))
+    val toks = TextAnalysis.unicodeTokens(col(textCol))
     val hits = size(filter(toks, t => t.isin(blocked: _*))).cast("long")
     docs.select(col(idCol), hits.as("blocked_hits"),
         size(toks).cast("long").as("n_tokens"))

@@ -80,7 +80,9 @@ object ImportanceWeights {
   private[graft] def featureBuckets(docs: DataFrame, idCol: String,
       textCol: String, extra: Seq[(String, Column)], buckets: Int,
       salt: String): DataFrame = {
-    val toks = split(trim(col(textCol)), " ")
+    // unicode token grain (round-13 engine default) — DSIR and the NB
+    // router hash the SAME features a multilingual corpus really has
+    val toks = TextAnalysis.unicodeTokens(col(textCol))
     // native codegen bigrams for n >= 2; a 1-token doc has NO bigram (the
     // width-2 shingle of a 1-token doc would duplicate its unigram)
     val bigrams = when(size(toks) >= 2,

@@ -124,11 +124,27 @@ object NaiveBayes {
     val feats = ImportanceWeights.featureBuckets(docs, idCol, textCol,
       keep.map(k => k -> col(k)), m.buckets, salt)
     val grid = logLikelihoodGrid(docs.sparkSession, m)
-    feats.join(broadcast(grid), Seq("__b"))
+    val scored = feats.join(broadcast(grid), Seq("__b"))
       .groupBy(col("doc_id") +: keep.map(col) :+ col("__ci") :+ col("__pr"): _*)
       .agg(sum(col("__lp")).as("__s"))
       .select(col("doc_id") +: keep.map(col) :+ col("__ci") :+
         round(col("__pr") + col("__s"), 6).as("__score"): _*)
+    // TOKEN-FREE docs (empty / punctuation-only text yields zero unicode
+    // features, hence zero rows from featureBuckets) score the PRIOR
+    // alone — the smoothing contract's "cross-corpus application is
+    // total" extends to feature-less rows instead of silently dropping
+    // them. Detected IN-ROW (token count 0 ⇔ no unigrams ⇔ no features),
+    // so the branch is a narrow filtered scan crossing the
+    // classes-bounded priors frame — no doc-grain join enters the plan
+    // (PlanAssertionsSpec pins the broadcast-only property).
+    val priors = grid.select(col("__ci"), col("__pr")).distinct()
+    val priorOnly = docs
+      .filter(graft.functions.TextAnalysis.unicodeTokenCount(col(textCol)) === 0)
+      .select(col(idCol).cast("long").as("doc_id") +: keep.map(col): _*)
+      .crossJoin(broadcast(priors))
+      .select(col("doc_id") +: keep.map(col) :+ col("__ci") :+
+        round(col("__pr"), 6).as("__score"): _*)
+    scored.unionByName(priorOnly)
   }
 
   /** EVERY class's score per document — (doc_id, keep…, class, score) —

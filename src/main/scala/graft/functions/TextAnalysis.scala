@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization (single-space normalized). The LEGACY
-    * tokenizer: every query family that predates [[unicodeTokens]] keeps
-    * it for oracle stability, but real corpora (CJK without spaces,
-    * punctuation-glued tokens, NFC/NFKC variants of the same word) break
-    * it silently — prefer [[unicodeTokens]] for new pipelines. */
+  /** Whitespace tokenization (single-space normalized) — the LEGACY
+    * grain, kept for (a) per-call opt-out via the `tok` parameters the
+    * token families expose and (b) the deliberate whitespace-vs-unicode
+    * CONTRAST queries (`e_token_count`, `e_token_unicode`,
+    * `e_vocabulary`, the `ws_tokens`-labeled stat metrics). Everything
+    * else defaults to [[unicodeTokens]] since round 13 — real corpora
+    * (CJK without spaces, punctuation-glued tokens, NFKC spelling
+    * variants) break the whitespace grain silently. */
   def tokens(text: Column): Column = split(trim(text), " ")
 
   /** Whitespace token count. */
@@ -66,7 +69,7 @@ object TextAnalysis {
     * correction equals the per-word sum. */
   def syllableCount(text: Column): Column =
     (regexp_count(text, lit("[aeiouy]+")) +
-      size(filter(tokens(text), t => !t.rlike("[aeiouy]")))).cast("long")
+      size(filter(unicodeTokens(text), t => !t.rlike("[aeiouy]")))).cast("long")
 
   /** Sentence count: runs of terminal punctuation, floored at one (a
     * fragment with no terminator is one sentence). */
@@ -77,7 +80,7 @@ object TextAnalysis {
     * 84.6·(syllables/words). Higher = easier; classic English prose
     * sits 60-70. */
   def fleschReadingEase(text: Column): Column = {
-    val w = tokenCount(text).cast("double")
+    val w = unicodeTokenCount(text).cast("double")
     round(lit(206.835)
       - lit(1.015) * (w / sentenceCount(text).cast("double"))
       - lit(84.6) * (syllableCount(text).cast("double") / w), 6)
@@ -86,7 +89,7 @@ object TextAnalysis {
   /** Flesch-Kincaid grade level: 0.39·(words/sentences) +
     * 11.8·(syllables/words) − 15.59. */
   def fkGradeLevel(text: Column): Column = {
-    val w = tokenCount(text).cast("double")
+    val w = unicodeTokenCount(text).cast("double")
     round(lit(0.39) * (w / sentenceCount(text).cast("double"))
       + lit(11.8) * (syllableCount(text).cast("double") / w)
       - lit(15.59), 6)
@@ -145,7 +148,7 @@ object TextAnalysis {
 
   /** Language ID: argmax of stopword hit rate; deterministic alphabetical
     * tie-break; "und" (undetermined) when no stopwords hit at all. */
-  def langId(text: Column): Column = langIdFromToks(tokens(text))
+  def langId(text: Column): Column = langIdFromToks(unicodeTokens(text))
 
   /** [[langId]] over an already-tokenized array — the segment-grain form
     * ([[graft.queries.ExtQueries]] code-switch profile slices one token

@@ -175,7 +175,7 @@ object UrlCuration {
                     textCol: String): DataFrame =
     withHost(docs, urlCol)
       .select(col("host"), col("domain"), col("lang"),
-        TextAnalysis.tokenCount(col(textCol)).as("toks"),
+        TextAnalysis.unicodeTokenCount(col(textCol)).as("toks"),
         md5(trim(lower(col(textCol)))).as("h"))
       .groupBy(col("host"))
       .agg(first(col("domain")).as("domain"),

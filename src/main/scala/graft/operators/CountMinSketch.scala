@@ -106,7 +106,8 @@ object CountMinSketch {
   def heavyHitters(docs: DataFrame, textCol: String, k: Int,
                    depth: Int = 4, width: Int = 256): DataFrame = {
     val toks = docs
-      .select(explode(split(trim(col(textCol)), " ")).as("token"))
+      .select(explode(
+        graft.functions.TextAnalysis.unicodeTokens(col(textCol))).as("token"))
       .filter(col("token") =!= "")
     val cms = build(toks, "token", depth, width)
     toks.distinct()

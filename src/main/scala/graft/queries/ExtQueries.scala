@@ -1204,7 +1204,7 @@ object ExtQueries {
     * exactly like e_ann_recall. */
   def eMatryoshkaRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
       .select(col("query_id"), col("neighbor_id"))
     val perDim = MatryoshkaDims.map { m =>
@@ -1228,7 +1228,7 @@ object ExtQueries {
     * approx_count_distinct and the certificate pattern the HLL queries
     * use. */
   def eDistinctN(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val grams = Seq(1, 2, 3).map { n =>
       Tables.documents(s, d).select(col("source"),
         lit(n.toLong).as("n"),
@@ -1254,7 +1254,7 @@ object ExtQueries {
   def eZipfSlope(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val top = Tables.documents(s, d)
-      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .select(explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token").agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("token")).limit(ZipfTopN)
@@ -1312,7 +1312,7 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val perDoc = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .select(col("doc_id"), explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("token", "doc_id").agg(count(lit(1)).as("c"))
     val perTok = perDoc.groupBy("token")
@@ -1571,7 +1571,7 @@ object ExtQueries {
   def eMixtureTemperature(s: SparkSession, d: String): DataFrame = {
     val per = Tables.documents(s, d)
       .select(col("source"),
-        size(split(trim(col("text")), " ")).cast("long").as("ntok"))
+        graft.functions.TextAnalysis.unicodeTokenCount(col("text")).as("ntok"))
       .groupBy("source").agg(sum(col("ntok")).as("n_tokens"))
     val tot = per.agg(sum(col("n_tokens")).cast("double").as("__tot"))
     val withP = per.crossJoin(broadcast(tot))
@@ -1606,8 +1606,11 @@ object ExtQueries {
       .orderBy(desc("n_copies"), col("chunk_hash"))
 
   def eCosineTopk(s: SparkSession, d: String): DataFrame =
+    // brute force is the eval baseline, so its graded query rides the
+    // same bounded sample as the other ground-truth reads
     Similarity.bruteForceTopK(Tables.embeddings(s, d), "vec_id", "embedding",
-        isQuery = col("vec_id") % 50 === 0, k = 5)
+        isQuery = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut,
+        k = 5)
       .orderBy("query_id", "rank")
 
   /** JL random projection composed into retrieval: 64-dim embeddings
@@ -1665,7 +1668,7 @@ object ExtQueries {
     * 16 dims are enough before committing the d/k bandwidth saving. */
   def eRpRecall(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     val exact = Similarity.bruteForceTopK(emb, "vec_id", "embedding", isQ, k = 3)
       .select(col("query_id"), col("neighbor_id"))
     val proj = emb
@@ -1743,9 +1746,11 @@ object ExtQueries {
     * broadcast partial-distance lookup table — no raw vector is touched at
     * query time. */
   def ePqAdcTopk(s: SparkSession, d: String): DataFrame =
+    // the UNPRUNED ADC scan is the eval-side exhaustive baseline (the
+    // production searches are the IVF-pruned variants) — sampled queries
     graft.similarity.ProductQuantization.adcTopK(
         Tables.embeddings(s, d), "vec_id", "embedding",
-        isQuery = col("vec_id") % 50 === 0,
+        isQuery = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut,
         isCodeword = col("vec_id") % 50 === 1,
         PqM, PqSubDim, PqTopK)
       .orderBy("query_id", "rank")
@@ -1770,7 +1775,7 @@ object ExtQueries {
     * existing IVF and brute-force operators. */
   def eRetrievalNdcg(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val isQ = col("vec_id") % 50 === 0
+    val isQ = col("vec_id") % 50 === 0 && col("vec_id") < EvalQueryCut
     def dcgOf(df: DataFrame, out: String) = df
       .groupBy(col("query_id"))
       .agg(sum(((col("cosine_sim") + lit(1.0)) / lit(2.0)) /
@@ -1986,7 +1991,7 @@ object ExtQueries {
     val docs = Tables.documents(s, d)
     docs.agg(
       count(lit(1)).as("n_docs"),
-      sum(TextAnalysis.tokenCount(col("text"))).as("total_tokens"),
+      sum(TextAnalysis.unicodeTokenCount(col("text"))).as("total_tokens"),
       countDistinct(col("lang")).as("n_langs"),
       countDistinct(col("source")).as("n_sources"),
       round(avg(length(col("text"))), 4).as("avg_chars"),
@@ -2180,7 +2185,7 @@ object ExtQueries {
   def eWeightedSample(s: SparkSession, d: String): DataFrame =
     graft.operators.WeightedSample.prioritySample(
         Tables.documents(s, d), "doc_id",
-        graft.functions.TextAnalysis.tokenCount(col("text")), n = WsN)
+        graft.functions.TextAnalysis.unicodeTokenCount(col("text")), n = WsN)
       .orderBy("doc_id")
 
   /** Near-dup removal applied: the cleaned corpus after dropping the higher
@@ -2624,12 +2629,12 @@ object ExtQueries {
     * scan, no shuffle. */
   def eTextEntropy(s: SparkSession, d: String): DataFrame = {
     val countsExpr =
-      """transform(array_distinct(split(trim(text), ' ')),
-        |  t -> CAST(size(filter(split(trim(text), ' '), x -> x = t)) AS DOUBLE))""".stripMargin
-    val n = size(split(trim(col("text")), " ")).cast("double")
+      """transform(array_distinct(unicode_tokens(text)),
+        |  t -> CAST(size(filter(unicode_tokens(text), x -> x = t)) AS DOUBLE))""".stripMargin
+    val n = size(graft.functions.TextAnalysis.unicodeTokens(col("text"))).cast("double")
     val sumClnC = expr(
       s"aggregate($countsExpr, 0.0D, (acc, c) -> acc + c * ln(c))")
-    val nDistinct = size(array_distinct(split(trim(col("text")), " "))).cast("double")
+    val nDistinct = size(array_distinct(graft.functions.TextAnalysis.unicodeTokens(col("text")))).cast("double")
     val h = log(n) - sumClnC / n
     Tables.documents(s, d).select(
         col("doc_id"), n.cast("long").as("n_tokens"),
@@ -2649,16 +2654,16 @@ object ExtQueries {
     * token array — no shuffle); the report unpivots per-rule failure
     * counts via stack, plus the any-rule row a curator reads first. */
   def eGopherRules(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val nW = size(toks).cast("double")
     val meanWlen = length(regexp_replace(trim(col("text")), " ", "")) / nW
     val distinctRatio = size(array_distinct(toks)) / nW
     val stopList = "'the','be','to','of','and','that','have','with'"
     val nStop = expr(
-      s"size(array_distinct(filter(split(trim(text), ' '), x -> x IN ($stopList))))")
+      s"size(array_distinct(filter(unicode_tokens(text), x -> x IN ($stopList))))")
     val topShare = expr(
-      """array_max(transform(array_distinct(split(trim(text), ' ')),
-        |  t -> size(filter(split(trim(text), ' '), x -> x = t))))""".stripMargin)
+      """array_max(transform(array_distinct(unicode_tokens(text)),
+        |  t -> size(filter(unicode_tokens(text), x -> x = t))))""".stripMargin)
       .cast("double") / nW
     val flagged = Tables.documents(s, d).select(
       (nW < 12 || nW > 80).cast("long").as("f_wordcount"),
@@ -2855,7 +2860,7 @@ object ExtQueries {
   private val distDriftCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   def eDistDrift(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
-      .select(col("lang"), explode(split(trim(col("text")), " ")).as("token"))
+      .select(col("lang"), explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     // materialize the vocabulary-sized count table ONCE: the totals read
     // and the contribution scan both consume it — a broadcast-subtree
@@ -2926,7 +2931,7 @@ object ExtQueries {
   def eOovRate(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs
-      .select(col("doc_id"), explode(split(trim(col("text")), " ")).as("token"))
+      .select(col("doc_id"), explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
     val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc).limit(OovVocabSize)
@@ -3196,7 +3201,7 @@ object ExtQueries {
   def eReadability(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"),
-        TextAnalysis.tokenCount(col("text")).as("n_words"),
+        TextAnalysis.unicodeTokenCount(col("text")).as("n_words"),
         TextAnalysis.sentenceCount(col("text")).as("n_sentences"),
         TextAnalysis.syllableCount(col("text")).as("n_syllables"),
         TextAnalysis.fleschReadingEase(col("text")).as("flesch"),
@@ -3557,7 +3562,7 @@ object ExtQueries {
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
-        posexplode(split(trim(col("text")), " ")).as(Seq("pos", "tok")))
+        posexplode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as(Seq("pos", "tok")))
     toks
       .withColumn("term", TextAnalysis.fpTerm(col("tok"), col("pos")))
       .groupBy("doc_id")
@@ -3570,7 +3575,7 @@ object ExtQueries {
   def eTfidf(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val terms = docs.select(col("doc_id"),
-      explode(split(trim(col("text")), " ")).as("term"))
+      explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("term"))
     val nDocs = docs.select(countDistinct(col("doc_id")).as("n_docs"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df_ = terms.select(col("doc_id"), col("term")).distinct()
@@ -3904,7 +3909,7 @@ object ExtQueries {
   def eMixtureSample(s: SparkSession, d: String): DataFrame =
     graft.operators.TokenBudgetSample(
       Tables.documents(s, d), "doc_id", "lang",
-      graft.functions.TextAnalysis.tokenCount(col("text")),
+      graft.functions.TextAnalysis.unicodeTokenCount(col("text")),
       budgets = MixBudgets)
       .orderBy("doc_id")
 
@@ -4136,7 +4141,7 @@ object ExtQueries {
     * monolingual slices). Pure in-row column work over one scan: the k
     * per-language hit counts sort inside a 4-element array. */
   def eLangidMargin(s: SparkSession, d: String): DataFrame = {
-    val toks = split(trim(col("text")), " ")
+    val toks = graft.functions.TextAnalysis.unicodeTokens(col("text"))
     val langs = TextAnalysis.stopwords.keys.toSeq.sorted
     val scores = langs.map(l => TextAnalysis.stopwordHits(toks, l).cast("long"))
     val sorted = sort_array(array(scores: _*), asc = false)
@@ -4161,7 +4166,7 @@ object ExtQueries {
     import s.implicits._
     val ks = Seq(5L, 10L, 20L, 30L)
     val counts = Tables.documents(s, d)
-      .select(explode(split(trim(col("text")), " ")).as("token"))
+      .select(explode(graft.functions.TextAnalysis.unicodeTokens(col("text"))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
     val total = counts.agg(sum(col("n")).as("total"))
@@ -4393,8 +4398,8 @@ object ExtQueries {
   // to SpanCorrLen elements.
   private val spanCorruptionOracle = {
     val (ev, ph, sl) = (SpanCorrEvery, SpanCorrPhase, SpanCorrLen)
-    s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks,
-       |  len(str_split(trim(text), ' ')) AS n FROM documents),
+    s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS toks,
+       |  len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS n FROM documents),
        |c AS (SELECT doc_id, toks, n,
        |  list_filter(range(n), p -> p % $ev = $ph AND p + $sl <= n)
        |    AS starts,
@@ -4609,7 +4614,7 @@ object ExtQueries {
       s"JOIN cell$i c$i ON (h.b1 + $i * h.b2) % $CmsWidth = c$i.cell"
     }.mkString("\n  ")
     val minExpr = s"least(${(0 until CmsDepth).map(i => s"c$i.s").mkString(", ")})"
-    s"""WITH tok AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS token FROM documents),
        |tf AS (SELECT token, count(*) AS c FROM tok WHERE token <> '' GROUP BY token),
        |hs AS (SELECT token, c,
        |  ${hexHashSql("token")} AS b1,
@@ -5084,7 +5089,7 @@ object ExtQueries {
     * shared by the weights and ESS oracles. */
   private val dsirChain =
     s"""tl AS (SELECT doc_id, lang = 'en' AS tgt,
-       |  str_split(trim(text), ' ') AS t FROM documents),
+       |  regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |uni AS (SELECT doc_id, tgt, unnest(t) AS f FROM tl),
        |big AS (SELECT doc_id, tgt,
        |  unnest(list_transform(range(1, len(t)),
@@ -5130,7 +5135,7 @@ object ExtQueries {
   // the Spark plan runs.
   private val nbCtes =
     s"""tl AS (SELECT doc_id, lang, doc_id % 3 = 0 AS ev,
-       |  str_split(trim(text), ' ') AS t FROM documents),
+       |  regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |uni AS (SELECT doc_id, lang, ev, unnest(t) AS f FROM tl),
        |big AS (SELECT doc_id, lang, ev,
        |  unnest(list_transform(range(1, len(t)),
@@ -5213,7 +5218,7 @@ object ExtQueries {
        |  FROM sc JOIN best b ON sc.doc_id = b.doc_id AND sc.score = b.m
        |  GROUP BY 1),
        |hsc AS (SELECT doc_id, $scoreCols FROM
-       |  (SELECT doc_id, str_split(trim(text), ' ') AS ht FROM documents
+       |  (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS ht FROM documents
        |   WHERE doc_id % 3 = 0)),
        |hp AS (SELECT doc_id, CASE $caseArms ELSE 'und' END AS h_pred
        |  FROM (SELECT *, $mExpr AS m FROM hsc)),
@@ -5240,7 +5245,7 @@ object ExtQueries {
   // compute, α rendered from the Scala double
   private val mixtureTemperatureOracle =
     s"""WITH per AS (SELECT source,
-       |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+       |  CAST(sum(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+'))) AS BIGINT) AS n_tokens
        |  FROM documents GROUP BY 1),
        |tot AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot FROM per),
        |wp AS (SELECT source, n_tokens,
@@ -5352,7 +5357,8 @@ object ExtQueries {
       |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM e GROUP BY vec_id)""".stripMargin
 
-  private def cosineTopkOracle(k: Int, bucketJoin: Boolean): String = {
+  private def cosineTopkOracle(k: Int, bucketJoin: Boolean,
+                               sampled: Boolean = false): String = {
     val bucketExpr = AnnDims
       .map(i => s"(CASE WHEN embedding[${i + 1}] >= 0 THEN '1' ELSE '0' END)")
       .mkString(" || ")
@@ -5369,8 +5375,11 @@ object ExtQueries {
         """
           |  JOIN buckets bq ON bq.vec_id = q.vec_id
           |  JOIN buckets bc ON bc.vec_id = e.vec_id""".stripMargin
+    val qPred =
+      if (sampled) s"vec_id % 50 = 0 AND vec_id < $EvalQueryCut"
+      else "vec_id % 50 = 0"
     s"""WITH $embCtes$bucketCtes,
-       |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+       |q AS (SELECT * FROM e WHERE $qPred),
        |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, sum(q.v * e.v) AS dp
        |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id$bucketJoins
        |  WHERE 1 = 1$bucketCond
@@ -5577,7 +5586,7 @@ object ExtQueries {
        |bf_dots AS (SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
        |    sum(q.v * e2.v) AS dp
        |  FROM e q JOIN e e2 ON q.pos = e2.pos AND q.vec_id <> e2.vec_id
-       |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+       |  WHERE q.vec_id % 50 = 0 AND q.vec_id < $EvalQueryCut GROUP BY 1, 2),
        |bfs AS (SELECT query_id, neighbor_id,
        |    round(dp / (nq.nrm * nc.nrm), 6) AS cosine_sim
        |  FROM bf_dots JOIN norms nq ON nq.vec_id = query_id
@@ -5777,7 +5786,7 @@ object ExtQueries {
     val budgetCase = MixBudgets.toSeq.sortBy(_._1)
       .map { case (l, b) => s"WHEN '$l' THEN $b" }.mkString(" ")
     s"""WITH t AS (SELECT doc_id, lang,
-       |    CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS BIGINT) AS n_tokens,
        |    $rk AS rk
        |  FROM documents),
        |c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY rk, doc_id
@@ -5889,7 +5898,7 @@ object ExtQueries {
     }.mkString(",\n  ")
     val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
-    s"""WITH ltoks AS (SELECT doc_id, lang, str_split(trim(text), ' ') AS t FROM documents),
+    s"""WITH ltoks AS (SELECT doc_id, lang, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |sc AS (SELECT doc_id, lang,
        |  $scoreCols
        |FROM ltoks),
@@ -5910,7 +5919,7 @@ object ExtQueries {
     }.mkString(",\n  ")
     val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
-    s"""WITH ltoks AS (SELECT doc_id, lang, str_split(trim(text), ' ') AS t FROM documents),
+    s"""WITH ltoks AS (SELECT doc_id, lang, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |sc AS (SELECT doc_id, lang,
        |  $scoreCols
        |FROM ltoks),
@@ -5935,7 +5944,7 @@ object ExtQueries {
     val mExpr = s"greatest(${langs.map(l => s"s_$l").mkString(", ")})"
     val caseArms = langs.map(l => s"WHEN s_$l = m AND m > 0 THEN '$l'").mkString(" ")
     val sortedList = s"list_sort([${langs.map(l => s"s_$l").mkString(", ")}], 'DESC')"
-    s"""WITH ltoks AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+    s"""WITH ltoks AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |sc AS (SELECT doc_id, t,
        |  $scoreCols
        |FROM ltoks),
@@ -6064,8 +6073,8 @@ object ExtQueries {
     val powCase = TextAnalysis.FpPowers.zipWithIndex
       .map { case (p, i) => s"WHEN $i THEN $p" }.mkString(" ")
     s"""WITH t AS (SELECT doc_id,
-       |    unnest(str_split(trim(text), ' ')) AS tok,
-       |    generate_subscripts(str_split(trim(text), ' '), 1) - 1 AS pos
+       |    unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS tok,
+       |    generate_subscripts(regexp_extract_all(text, '[\\p{L}\\p{N}]+'), 1) - 1 AS pos
        |  FROM documents),
        |terms AS (SELECT doc_id,
        |    ((${TextAnalysis.FpBase} * length(tok) + ascii(substring(tok, 1, 1)))
@@ -6108,7 +6117,8 @@ object ExtQueries {
        |lut AS (SELECT e.vec_id AS query_id, CAST((e.pos - 1) // $PqSubDim AS BIGINT) AS m,
        |       cw.cid, sum((e.v - cw.v) * (e.v - cw.v)) AS pd2
        |       FROM e JOIN cw ON e.pos = cw.pos
-       |       WHERE e.vec_id % 50 = 0 AND e.pos <= ${PqM * PqSubDim}
+       |       WHERE e.vec_id % 50 = 0 AND e.vec_id < $EvalQueryCut
+       |         AND e.pos <= ${PqM * PqSubDim}
        |       GROUP BY 1, 2, 3),
        |adc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
        |       round(sum(l.pd2), 6) AS adc_d2
@@ -6242,7 +6252,7 @@ object ExtQueries {
   private val weightedSampleOracle = {
     val u = s"((${hexHashSql("CAST(doc_id AS VARCHAR)", "prio|")} % 1000000 + 1) / 1000000.0)"
     s"""WITH t AS (SELECT doc_id,
-       |       CAST(len(str_split(trim(text), ' ')) AS DOUBLE) AS weight
+       |       CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS DOUBLE) AS weight
        |       FROM documents),
        |p AS (SELECT doc_id, weight, round(weight / $u, 6) AS priority FROM t),
        |r AS (SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rn
@@ -6396,7 +6406,7 @@ object ExtQueries {
       s"""gt_dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
          |    sum(q.v * e.v) AS dp
          |  FROM e q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id
-         |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < $EvalQueryCut GROUP BY 1, 2),
          |gt AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
@@ -6409,7 +6419,7 @@ object ExtQueries {
          |dt$m AS (SELECT q.vec_id AS query_id, p.vec_id AS neighbor_id,
          |    sum(q.v * p.v) AS dp
          |  FROM pm$m q JOIN pm$m p ON q.pos = p.pos AND q.vec_id <> p.vec_id
-         |  WHERE q.vec_id % 50 = 0 GROUP BY 1, 2),
+         |  WHERE q.vec_id % 50 = 0 AND q.vec_id < $EvalQueryCut GROUP BY 1, 2),
          |rk$m AS (SELECT query_id, neighbor_id FROM (
          |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
          |    ORDER BY round(dp / (nq.nrm * nc.nrm), 6) DESC, neighbor_id ASC) AS rank
@@ -6439,7 +6449,7 @@ object ExtQueries {
     }.mkString(",\n")
     val union = Seq(1, 2, 3).map(n => s"SELECT * FROM g$n")
       .mkString("\n  UNION ALL ")
-    s"""WITH td AS (SELECT source, str_split(trim(text), ' ') AS t FROM documents),
+    s"""WITH td AS (SELECT source, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS t FROM documents),
        |$perN,
        |grams AS (
        |  $union)
@@ -6450,7 +6460,7 @@ object ExtQueries {
   }
 
   private val zipfSlopeOracle =
-    s"""WITH tok AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+    s"""WITH tok AS (SELECT unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS token FROM documents),
        |tf AS (SELECT token, count(*) AS freq FROM tok WHERE token <> '' GROUP BY token),
        |top AS (SELECT token, freq,
        |    row_number() OVER (ORDER BY freq DESC, token ASC) AS r
@@ -6483,7 +6493,7 @@ object ExtQueries {
        |ORDER BY doc_id, pos""".stripMargin
 
   private val tokenDispersionOracle =
-    s"""WITH tok AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS token
+    s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS token
        |  FROM documents),
        |pd AS (SELECT token, doc_id, count(*) AS c FROM tok
        |  WHERE token <> '' GROUP BY 1, 2),
@@ -6830,12 +6840,12 @@ object ExtQueries {
   }
 
   private val collocationsOracle =
-    """WITH tk AS (SELECT doc_id, str_split(trim(text), ' ') AS t FROM documents),
+    """WITH tk AS (SELECT doc_id, regexp_extract_all(text, '[\p{L}\p{N}]+') AS t FROM documents),
       |pos AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM tk),
       |bi0 AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM pos),
       |bi AS (SELECT w1, w2 FROM bi0 WHERE w1 <> '' AND w2 <> ''),
       |bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bi GROUP BY 1, 2),
-      |toku AS (SELECT unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      |toku AS (SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS term FROM documents),
       |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS c FROM toku
       |       WHERE term <> '' GROUP BY term),
       |nu AS (SELECT CAST(sum(c) AS DOUBLE) AS nu FROM uni),
@@ -7274,7 +7284,7 @@ object ExtQueries {
         |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c)
         |SELECT token, n, rank FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
     "e_vocab_coverage" ->
-      """WITH v AS (SELECT unnest(str_split(trim(text), ' ')) AS token FROM documents),
+      """WITH v AS (SELECT unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS token FROM documents),
         |c AS (SELECT token, count(*) AS n FROM v WHERE token <> '' GROUP BY token),
         |r AS (SELECT token, n,
         |  CAST(row_number() OVER (ORDER BY n DESC, token ASC) AS BIGINT) AS rank FROM c),
@@ -7404,7 +7414,7 @@ object ExtQueries {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "e_dataset_card" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[\p{L}\p{N}]+'))) AS BIGINT) AS total_tokens,
         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  round(avg(length(text)), 4) AS avg_chars,
@@ -7606,7 +7616,8 @@ object ExtQueries {
     "e_suffix_ranks" -> suffixRanksOracle,
     "e_lcp_repeats" -> lcpRepeatsOracle,
     "e_exact_contamination" -> exactContaminationOracle,
-    "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false),
+    "e_cosine_topk" -> cosineTopkOracle(k = 5, bucketJoin = false,
+      sampled = true),
     "e_random_projection" ->
       """WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
         |       CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
@@ -7634,7 +7645,7 @@ object ExtQueries {
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
     "e_rp_recall" ->
       s"""WITH $embCtes,
-        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0),
+        |q AS (SELECT * FROM e WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut),
         |dots AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |    sum(q.v * e.v) AS dp
         |  FROM q JOIN e ON q.pos = e.pos AND q.vec_id <> e.vec_id GROUP BY 1, 2),
@@ -7655,7 +7666,7 @@ object ExtQueries {
         |p AS (SELECT e.vec_id, sg.r, sum(e.v * sg.s) AS pv
         |  FROM e JOIN sg ON sg.j = e.pos - 1 GROUP BY 1, 2),
         |pnorms AS (SELECT vec_id, sqrt(sum(pv * pv)) AS nrm FROM p GROUP BY vec_id),
-        |pq AS (SELECT * FROM p WHERE vec_id % 50 = 0),
+        |pq AS (SELECT * FROM p WHERE vec_id % 50 = 0 AND vec_id < $EvalQueryCut),
         |pdots AS (SELECT pq.vec_id AS query_id, p.vec_id AS neighbor_id,
         |    sum(pq.pv * p.pv) AS dp
         |  FROM pq JOIN p ON pq.r = p.r AND pq.vec_id <> p.vec_id GROUP BY 1, 2),
@@ -7980,7 +7991,7 @@ object ExtQueries {
          |ORDER BY doc_a, doc_b""".stripMargin
     },
     "e_text_entropy" ->
-      """WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, regexp_extract_all(text, '[\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |s AS (SELECT doc_id,
         |    CAST(len(toks) AS DOUBLE) AS n,
@@ -7996,7 +8007,7 @@ object ExtQueries {
         |        ELSE 0.0 END, 6) AS norm_entropy
         |FROM s ORDER BY doc_id""".stripMargin,
     "e_gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text, str_split(trim(text), ' ') AS toks
+      """WITH t AS (SELECT doc_id, text, regexp_extract_all(text, '[\p{L}\p{N}]+') AS toks
         |  FROM documents),
         |s AS (SELECT
         |    CAST(len(toks) AS DOUBLE) AS nw,
@@ -8093,7 +8104,7 @@ object ExtQueries {
         |FROM pb ORDER BY bucket""".stripMargin,
     "e_dist_drift" ->
       s"""WITH tk AS (SELECT lang, token FROM (
-        |  SELECT lang, unnest(str_split(trim(text), ' ')) AS token FROM documents)
+        |  SELECT lang, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS token FROM documents)
         |  WHERE token <> ''),
         |c AS (SELECT token,
         |  CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS ca,
@@ -8109,7 +8120,7 @@ object ExtQueries {
         |FROM x ORDER BY js_contrib DESC, token ASC LIMIT $DriftTopK""".stripMargin,
     "e_oov_rate" ->
       s"""WITH tok AS (SELECT doc_id, token FROM (
-        |  SELECT doc_id, unnest(str_split(trim(text), ' ')) AS token FROM documents)
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS token FROM documents)
         |  WHERE token <> ''),
         |vocab AS (SELECT token FROM (SELECT token, count(*) AS n FROM tok
         |  GROUP BY token ORDER BY n DESC, token ASC LIMIT $OovVocabSize))
@@ -8146,7 +8157,7 @@ object ExtQueries {
       s"""WITH $urlCtes
          |SELECT host, any_value(domain) AS domain,
          |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(len(str_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+         |  CAST(sum(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+'))) AS BIGINT) AS total_tokens,
          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
          |  CAST(count(DISTINCT md5(trim(lower(text)))) AS BIGINT) AS n_distinct_texts,
          |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
@@ -8238,7 +8249,7 @@ object ExtQueries {
       val maxCap = LenBucketCaps.max
       val chain = LenBucketCaps.init
         .map(c => s"WHEN nt <= $c THEN $c").mkString(" ")
-      s"""WITH n AS (SELECT least(CAST(len(str_split(trim(text), ' ')) AS BIGINT),
+      s"""WITH n AS (SELECT least(CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS BIGINT),
          |    $maxCap) AS nt FROM documents),
          |b AS (SELECT nt, CASE $chain ELSE $maxCap END AS cap FROM n)
          |SELECT CAST(cap AS BIGINT) AS bucket_cap,
@@ -8298,7 +8309,7 @@ object ExtQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "e_readability" ->
       """WITH t AS (SELECT doc_id, text,
-        |    str_split(trim(text), ' ') AS toks FROM documents),
+        |    regexp_extract_all(text, '[\p{L}\p{N}]+') AS toks FROM documents),
         |c AS (SELECT doc_id,
         |  CAST(len(toks) AS BIGINT) AS n_words,
         |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
@@ -8369,7 +8380,7 @@ object ExtQueries {
         |    (acc, x) -> replace(acc, x, '[CARD]'))) AS clean_hash
         |FROM v ORDER BY doc_id""".stripMargin,
     "e_blockword_gate" ->
-      s"""WITH t AS (SELECT doc_id, str_split(trim(text), ' ') AS toks
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(text, '[\\p{L}\\p{N}]+') AS toks
          |  FROM documents),
          |c AS (SELECT doc_id,
          |  CAST(len(list_filter(toks, x -> x IN (${BlockedWords
@@ -8384,7 +8395,7 @@ object ExtQueries {
     "e_bpe_merges" -> bpeMergesOracle,
     "e_bpe_encode" -> bpeEncodeOracle,
     "e_tfidf" ->
-      """WITH terms AS (SELECT doc_id, unnest(str_split(trim(text), ' ')) AS term FROM documents),
+      """WITH terms AS (SELECT doc_id, unnest(regexp_extract_all(text, '[\p{L}\p{N}]+')) AS term FROM documents),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
         |df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
         |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
@@ -8468,7 +8479,7 @@ object ExtQueries {
     "e_pack_sequences" -> {
       val shardHash = hexHashSql("CAST(doc_id AS VARCHAR)")
       s"""WITH tc AS (SELECT doc_id,
-         |  CAST(len(str_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(regexp_extract_all(text, '[\\p{L}\\p{N}]+')) AS BIGINT) AS n_tokens,
          |  $shardHash % 8 AS shard FROM documents),
          |cum AS (SELECT doc_id, shard, n_tokens,
          |  coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id

@@ -139,19 +139,34 @@ object SnapshotStore {
       df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
 
+  /** APPEND commit: the new version = previous version's file set plus
+    * `delta`'s files — only the delta's bytes are written (the Delta-style
+    * incremental ingest shape: commit cost O(new files), history never
+    * rewritten). With no prior version this is [[commit]]. */
+  def commitAppend(spark: SparkSession, dir: String, delta: DataFrame,
+                   operation: String): Long = {
+    val priorFiles = latestVersion(spark, dir)
+      .map(v => manifest(spark, dir, v).files).getOrElse(Seq.empty)
+    commitFiles(spark, dir, operation, priorFiles) { dataDir =>
+      delta.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
+  }
+
   /** The shared two-phase commit: `write` materializes data files into
     * the fresh version directory, then the manifest appears atomically.
     * Split out so maintenance rewrites ([[compact]], [[cluster]]) share
     * the exact protocol — the crash contract cannot drift per operation. */
   private def commitFiles(spark: SparkSession, dir: String,
-                          operation: String)(write: String => Unit): Long = {
+                          operation: String,
+                          carryFiles: Seq[String] = Seq.empty)
+                         (write: String => Unit): Long = {
     val f = fs(spark, dir)
     val v = latestVersion(spark, dir).getOrElse(0L) + 1
     val dataDir = f"$dir/data/v$v%08d-$operation"
     require(!f.exists(new Path(dataDir)),
       s"$dataDir already exists — a concurrent or crashed commit owns it")
     write(dataDir)
-    val m = Manifest(v, operation, listParquet(spark, dataDir))
+    val m = Manifest(v, operation, carryFiles ++ listParquet(spark, dataDir))
     require(m.files.nonEmpty, s"commit of version $v wrote no data files")
     // COMMIT POINT: single-file temp write + rename. A crash before the
     // rename leaves only the orphaned data dir + tmp file — invisible.

@@ -17,6 +17,7 @@ object TestSpark {
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     graft.plans.LevenshteinPrefilter.install(s)
+    graft.plans.TextExpressions.register(s)
     graft.plans.AsOfJoinExec.install(s)
     s
   }

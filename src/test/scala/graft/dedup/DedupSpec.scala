@@ -418,4 +418,21 @@ class DedupSpec extends SparkSpec {
       s"persisted RDDs grew $before -> $after: an intermediate leaked past " +
         "its materializeAndRelease point")
   }
+
+  test("simhashPrefixBitsFor keeps expected occupancy constant as the corpus grows") {
+    // the fixed-width trap the full-suite 10x probe measured: at 8 prefix
+    // bits, 10x the corpus means 10x the occupancy and ~100x the pair
+    // work; the sizing rule widens the prefix instead
+    def occ(n: Long, bits: Int) = n.toDouble / (1L << Dedup.simhashPrefixBitsFor(n, 64, bits))
+    Seq(10_000L, 100_000L, 1_000_000L, 100_000_000L).foreach { n =>
+      val o = occ(n, 48)
+      assert(o > 32 && o <= 64, s"n=$n occupancy $o must stay in (target/2, target]")
+    }
+    // clamped to the usable bit range
+    assert(Dedup.simhashPrefixBitsFor(10L, 64, 16) == 1)
+    assert(Dedup.simhashPrefixBitsFor(Long.MaxValue / 4, 1, 16) == 15)
+    // and the graded 16/8 layout is exactly what the rule picks at its
+    // design occupancy: 2^8 buckets x 64 docs/bucket = 16k docs
+    assert(Dedup.simhashPrefixBitsFor(16_384L, 64, 16) == 8)
+  }
 }

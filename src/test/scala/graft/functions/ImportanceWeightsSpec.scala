@@ -18,10 +18,11 @@ class ImportanceWeightsSpec extends SparkSpec {
   private def r6(x: Double): Double = BigDecimal(x)
     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
-  // unigrams + bigrams, bucketed — split(-1) mirrors Spark's
-  // keep-trailing-empties split semantics
+  // unigrams + bigrams at the engine's unicode token grain (round 13):
+  // letter/digit runs — an empty or punctuation-only doc has ZERO
+  // features and therefore no weight row (no importance evidence)
   private def feats(text: String): Seq[Long] = {
-    val t = text.trim.split(" ", -1).toSeq
+    val t = "[\\p{L}\\p{N}]+".r.findAllIn(text).toSeq
     val big = if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Nil
     (t ++ big).map(f => h56(f) % B)
   }
@@ -36,9 +37,10 @@ class ImportanceWeightsSpec extends SparkSpec {
     def lr(b: Long) = math.log(
       ((histT.getOrElse(b, 0) + 1.0) / (nT + B)) /
         ((histAll(b) + 1.0) / (nAll + B)))
-    docs.map { case (id, tx, _) =>
+    docs.flatMap { case (id, tx, _) =>
       val fs = feats(tx)
-      id -> ((fs.size.toLong, r6(fs.map(lr).sum)))
+      if (fs.isEmpty) None // token-free docs carry no weight row
+      else Some(id -> ((fs.size.toLong, r6(fs.map(lr).sum))))
     }.toMap
   }
 
@@ -49,7 +51,7 @@ class ImportanceWeightsSpec extends SparkSpec {
     (4L, "le renard brun rapide saute", false),
     (5L, "the lazy dog naps", false), // English vocab, NOT in target
     (6L, "x", false),                 // 1 token: no bigram
-    (7L, "", false)                   // empty text: one empty-string token
+    (7L, "", false)                   // empty text: zero features, no row
   )
 
   private def run() = {

@@ -19,7 +19,9 @@ class NaiveBayesSpec extends SparkSpec {
     .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   private def feats(text: String): Seq[Long] = {
-    val t = text.trim.split(" ", -1).toSeq
+    // the engine's unicode token grain (round 13): letter/digit runs, so
+    // an empty or punctuation-only doc has ZERO features
+    val t = "[\\p{L}\\p{N}]+".r.findAllIn(text).toSeq
     val big = if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Nil
     (t ++ big).map(f => h56(f) % B)
   }
@@ -39,6 +41,8 @@ class NaiveBayesSpec extends SparkSpec {
     }.toMap
     def score(c: String, fs: Seq[Long]): Double = {
       val nc = counts(c).values.sum.toDouble
+      // a feature-less doc scores the prior alone (the operator's
+      // totality contract for empty/punctuation-only text)
       math.log(docCounts(c) / totDocs) +
         fs.map(b => math.log((counts(c).getOrElse(b, 0) + 1.0) / (nc + B))).sum
     }
@@ -61,7 +65,7 @@ class NaiveBayesSpec extends SparkSpec {
     (6L, "the quick dog jumps", "en", true),
     (7L, "der braune hund springt", "de", true),
     (8L, "x", "en", true),  // 1 token, unseen: priors decide
-    (9L, "", "de", true)    // empty text: one empty-string token
+    (9L, "", "de", true)    // empty text: ZERO features, prior-only score
   )
 
   private def run() = {

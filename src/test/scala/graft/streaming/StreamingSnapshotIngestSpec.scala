@@ -1,0 +1,111 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.storage.SnapshotStore
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Contract of streaming ingest into the snapshot manifest: every
+  * committed micro-batch is one atomic readable-as-of version, appends
+  * write only the batch's bytes, maintenance interleaves mid-stream, and
+  * kill-and-resume from the checkpoint neither loses nor re-commits a
+  * batch. */
+class StreamingSnapshotIngestSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("snapingest").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def content(dir: String, v: Long): Set[(Long, String)] =
+    SnapshotStore.readAsOf(spark, dir, v)
+      .as[(Long, String)].collect().toSet
+
+  test("each micro-batch commits one as-of-readable version; appends carry history") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = freshDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("snapingest-ckpt").toString
+    val (q, handle) = StreamingSnapshotIngest.start(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt)
+
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(handle.lastCommitted.contains(2L))
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L))
+    assert(content(dir, 1L) == Set(1L -> "a", 2L -> "b"),
+      "version 1 is batch 0 alone")
+    assert(content(dir, 2L) == Set(1L -> "a", 2L -> "b", 3L -> "c"),
+      "version 2 reads the accumulated corpus")
+    // append semantics: v2's manifest carries v1's files, none rewritten
+    val f1 = SnapshotStore.manifest(spark, dir, 1L).files.toSet
+    val f2 = SnapshotStore.manifest(spark, dir, 2L).files.toSet
+    assert(f1.subsetOf(f2) && (f2 -- f1).nonEmpty,
+      "v2 = v1's files + the batch's files")
+  }
+
+  test("maintenance compaction interleaves mid-stream; readers keep every version") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val dir = freshDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("snapingest-ckpt2").toString
+    val (q, _) = StreamingSnapshotIngest.start(
+      input.toDF().toDF("doc_id", "text"), dir, ckpt)
+    input.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    // maintenance commit between micro-batches, stream still running
+    SnapshotStore.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    input.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    val ops = SnapshotStore.versions(spark, dir)
+      .map(v => SnapshotStore.manifest(spark, dir, v).operation)
+    assert(ops == Seq("ingest-b0", "compact", "ingest-b1"), ops)
+    assert(content(dir, 3L) == Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    assert(content(dir, 2L) == Set(1L -> "a", 2L -> "b"),
+      "the compacted version holds the same rows")
+  }
+
+  test("kill and resume: the checkpoint skips committed batches, no version is lost or doubled") {
+    import org.apache.spark.sql.DataFrame
+    val dir = freshDir()
+    val src = java.nio.file.Files.createTempDirectory("snapingest-src").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("snapingest-ckpt3").toString
+    val schema = Seq((1L, "a")).toDF("doc_id", "text").schema
+
+    def addFile(df: DataFrame, name: String): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      assert(part.renameTo(new java.io.File(s"$src/$name.parquet")))
+    }
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+
+    addFile(Seq((1L, "a")).toDF("doc_id", "text"), "b1")
+    val (q1, _) = StreamingSnapshotIngest.start(stream(), dir, ckpt)
+    q1.processAllAvailable()
+    q1.stop() // kill after batch 0 committed
+
+    // data lands while the committer is down; resume from the SAME
+    // checkpoint — the store needs no seed, its state IS the manifest log
+    addFile(Seq((2L, "b")).toDF("doc_id", "text"), "b2")
+    val (q2, _) = StreamingSnapshotIngest.start(stream(), dir, ckpt)
+    q2.processAllAvailable()
+    q2.stop()
+
+    val vs = SnapshotStore.versions(spark, dir)
+    assert(vs.length == 2, s"one version per committed batch: $vs")
+    assert(content(dir, vs.last) ==
+      Set(1L -> "a", 2L -> "b"), "resume loses nothing and doubles nothing")
+    assert(content(dir, vs.head) == Set(1L -> "a"))
+  }
+}
