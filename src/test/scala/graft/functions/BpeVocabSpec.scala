@@ -231,4 +231,21 @@ class BpeVocabSpec extends SparkSpec {
       .as[(String, Long)].collect().toMap
     assert(got == Map("hello" -> 2L, "world" -> 1L))
   }
+
+  test("local and distributed training paths are merge-for-merge identical") {
+    // ties (both 'ab' and 'bc' pair masses equal), CJK symbols, words
+    // that fully merge (single-symbol early exhaustion pressure), and a
+    // word repeated enough to dominate later rounds
+    val words = Seq(
+      ("abc", 3L), ("abd", 3L), ("bcd", 3L),
+      ("你好你好", 2L), ("aaaa", 4L), ("xy", 1L))
+    val df = words.toDF("word", "wc")
+    val distributed = BpeVocab.trainInner(df, nMerges = 6)
+    val local = BpeVocab.trainLocal(words, nMerges = 6)
+    assert(local == distributed,
+      s"paths diverged:\nlocal:       $local\ndistributed: $distributed")
+    // and the dispatching front door takes the local path here (tiny
+    // vocabulary) yet returns the same artifact
+    assert(BpeVocab.train(df, nMerges = 6) == distributed)
+  }
 }
