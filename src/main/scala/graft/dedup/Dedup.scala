@@ -380,9 +380,12 @@ object Dedup {
   def simhashPrefixBitsFor(n: Long, targetOccupancy: Long = 64,
                            bits: Int = 16): Int = {
     require(n >= 1 && targetOccupancy >= 1 && bits >= 2)
-    val needed = math.ceil(
-      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt
-    math.min(math.max(needed, 1), bits - 1)
+    // integer-exact (no FP log whose ULP at powers of two could diverge
+    // from the SQL oracle's mirror): smallest p in [1, bits-1] with
+    // targetOccupancy · 2^p >= n
+    var p = 1
+    while (p < bits - 1 && (targetOccupancy << p) < n) p += 1
+    p
   }
 
   /** SimHash near-dup pairs: candidates share the first `prefixBits` bits

@@ -28,7 +28,12 @@ object ExtQueries {
   // the largest doubles as the max-seq-len clip)
   private val LenBucketCaps = Seq(16L, 32L, 64L, 128L, 256L, 512L)
   private val SimBits = 16    // simhash bits
-  private val SimPrefix = 8   // simhash bucket prefix
+  /** Oracle-side mirror of `Dedup.simhashPrefixBitsFor(count, 64,
+    * SimBits)`: smallest p in [1, SimBits-1] with 64·2^p ≥ n — integer
+    * arithmetic on both engines, no FP log. */
+  private lazy val simPrefixSql: String =
+    s"(SELECT COALESCE(MIN(p), ${SimBits - 1}) FROM range(1, $SimBits) t(p) " +
+      "WHERE 64 * (1 << p) >= (SELECT COUNT(*) FROM documents))"
   private val AnnDims = Seq(0, 8, 16, 24)
   private val NearDupBandBits = 6   // sign bits per LSH band (near-dup pairs)
   private val NearDupBands = 8      // OR-amplified bands (cover dims 0..47)
@@ -820,10 +825,22 @@ object ExtQueries {
   // measurably inflated the later lm-family queries via storage/GC
   // pressure — the round-6 interference mode).
   private val simhashPairsCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** Prefix width SIZED FROM THE MEASURED CORPUS (round 13:
+    * `Dedup.simhashPrefixBitsFor` at target occupancy 64) — the fixed
+    * 8-bit width was n²/2^prefix at scale (the full-suite 10× probe's
+    * 138× row); sizing keeps expected occupancy, and with it both pair
+    * work per doc and per-table recall, constant as the corpus grows.
+    * The one count() is against the cached documents table; the oracle
+    * mirrors the exact integer rule as a scalar subquery. */
+  private def simPrefixBits(s: SparkSession, d: String): Int =
+    Dedup.simhashPrefixBitsFor(
+      Tables.documents(s, d).count(), targetOccupancy = 64, bits = SimBits)
+
   private def simhashPairsMemo(s: SparkSession, d: String): DataFrame =
     simhashPairsCache.getOrElseUpdate(d, timedMemo("simhashPairs")(
       Dedup.simhashPairsFromFingerprints(simhashFingerprints(s, d),
-        SimPrefix, maxHamming = 3)))
+        simPrefixBits(s, d), maxHamming = 3)))
 
   def eSimhashPairs(s: SparkSession, d: String): DataFrame =
     simhashPairsMemo(s, d)
@@ -838,7 +855,7 @@ object ExtQueries {
   def eSimhashMultitable(s: SparkSession, d: String): DataFrame =
     simhashMultiCache.getOrElseUpdate(d,
       Dedup.simhashPairsMultiTableFromFingerprints(simhashFingerprints(s, d),
-        SimBits, SimPrefix, maxHamming = 3, nTables = SimTables))
+        SimBits, simPrefixBits(s, d), maxHamming = 3, nTables = SimTables))
       .orderBy("doc_a", "doc_b")
 
   def eNgramJaccard(s: SparkSession, d: String): DataFrame =
@@ -4594,7 +4611,7 @@ object ExtQueries {
        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($hamming AS BIGINT) AS hamming
        |FROM fp a JOIN fp b
-       |  ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |  ON substring(a.simhash, 1, $simPrefixSql) = substring(b.simhash, 1, $simPrefixSql)
        | AND a.doc_id < b.doc_id
        |WHERE $hamming <= 3
        |ORDER BY doc_a, doc_b""".stripMargin
@@ -4638,7 +4655,7 @@ object ExtQueries {
       val rotated =
         if (r == 0) "simhash"
         else s"substring(simhash, ${r + 1}, ${SimBits - r}) || substring(simhash, 1, $r)"
-      s"SELECT doc_id, simhash, $i AS tbl, substring($rotated, 1, $SimPrefix) AS bucket FROM fp"
+      s"SELECT doc_id, simhash, $i AS tbl, substring($rotated, 1, $simPrefixSql) AS bucket FROM fp"
     }.mkString("\n  UNION ALL ")
     s"""WITH $simhashFpCtes,
        |bkt AS (
@@ -4659,7 +4676,7 @@ object ExtQueries {
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($hamming AS BIGINT) AS hamming
        |  FROM fp a JOIN fp b
-       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |    ON substring(a.simhash, 1, $simPrefixSql) = substring(b.simhash, 1, $simPrefixSql)
        |   AND a.doc_id < b.doc_id
        |  WHERE $hamming <= 3),
        |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
@@ -4704,7 +4721,7 @@ object ExtQueries {
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($hamming AS BIGINT) AS hamming
        |  FROM fp a JOIN fp b
-       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |    ON substring(a.simhash, 1, $simPrefixSql) = substring(b.simhash, 1, $simPrefixSql)
        |   AND a.doc_id < b.doc_id
        |  WHERE $hamming <= 3),
        |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
@@ -4732,7 +4749,7 @@ object ExtQueries {
     s"""WITH $simhashFpCtes,
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM fp a JOIN fp b
-       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |    ON substring(a.simhash, 1, $simPrefixSql) = substring(b.simhash, 1, $simPrefixSql)
        |   AND a.doc_id < b.doc_id
        |  WHERE $hamming <= 3),
        |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
@@ -4762,7 +4779,7 @@ object ExtQueries {
        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |       CAST($hamming AS BIGINT) AS hamming
        |  FROM fp a JOIN fp b
-       |    ON substring(a.simhash, 1, $SimPrefix) = substring(b.simhash, 1, $SimPrefix)
+       |    ON substring(a.simhash, 1, $simPrefixSql) = substring(b.simhash, 1, $simPrefixSql)
        |   AND a.doc_id < b.doc_id
        |  WHERE $hamming <= 3),
        |dp AS (SELECT doc_id, substr(trim(text), 1, $EditPrefix) AS pfx FROM documents),
