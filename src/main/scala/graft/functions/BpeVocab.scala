@@ -83,23 +83,6 @@ object BpeVocab {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** Run `nMerges` merge rounds over a `(word, wc)` table. Returns the
-    * learned merge table in order — `(merge_idx, pair, merged,
-    * pair_count)` — which IS the tokenizer artifact BPE training exists to
-    * produce. Ties break deterministically on (count desc, pair asc).
-    * Stops early if the vocabulary runs out of pairs.
-    *
-    * The pair-count table is maintained INCREMENTALLY (the classic BPE
-    * trainer optimization): the full vocabulary explodes into adjacent
-    * pairs exactly once; each merge round then re-pairs only the words
-    * that CONTAIN the merged pair (a cheap codegen `contains` scan — no
-    * regex, no explode on the untouched vocabulary) and folds the ±wc
-    * deltas into the standing count table. Per-round work is ∝ affected
-    * words, not vocabulary — on a 100 TB corpus's multi-million-word
-    * vocabulary most rounds touch a sliver of it. The encoding column
-    * itself advances as a LAZY fold of literal replaces over the last
-    * materialized snapshot, re-materialized every [[EncSnapshotEvery]]
-    * rounds so plan depth stays bounded without a per-round persist. */
   /** Vocabulary size below which [[train]] collects the word table and
     * runs the merge rounds DRIVER-SIDE. The broadcast discipline applied
     * to training: the collect is bounded by a CHECKED count (never by
@@ -111,6 +94,11 @@ object BpeVocab {
     * the incremental distributed rounds unchanged. */
   private val MaxLocalVocab = 1L << 20
 
+  /** Learn `nMerges` BPE merge rules over a `(word, wc)` table — the
+    * tokenizer artifact. Dispatches on the MEASURED vocabulary size:
+    * driver-side loop under [[MaxLocalVocab]] (checked-bounded collect),
+    * the incremental distributed rounds above it; the two paths are
+    * merge-for-merge parity-spec'd. */
   def train(wordCounts: DataFrame, nMerges: Int): Seq[Merge] = {
     // one cheap count decides the path — the same measured-size dispatch
     // as a broadcast-vs-shuffle join choice
@@ -210,6 +198,15 @@ object BpeVocab {
     merges.toSeq
   }
 
+  /** The DISTRIBUTED merge rounds — the path a web-scale vocabulary
+    * takes. Returns the learned merge table in order — `(merge_idx,
+    * pair, merged, pair_count)` — ties broken on (count desc, pair asc),
+    * early exhaustion when the vocabulary runs out of pairs. The
+    * pair-count table is maintained INCREMENTALLY (the classic BPE
+    * trainer optimization): the full vocabulary explodes into adjacent
+    * pairs exactly once; each round re-pairs only the words CONTAINING
+    * the merged pair and folds the ±wc deltas into the standing count
+    * table — per-round work ∝ affected words, not vocabulary. */
   private[graft] def trainInner(wordCounts: DataFrame, nMerges: Int): Seq[Merge] = {
     require(nMerges >= 1, "need at least one merge round")
     // Every round's `enc` is a (lazily) persisted depth-1 plan over its

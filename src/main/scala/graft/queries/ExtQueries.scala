@@ -301,18 +301,13 @@ object ExtQueries {
       Dedup.materializeAndRelease(
         Dedup.shingleBases(Tables.documents(s, d), "doc_id", "text", W))))
 
-  // The UNICODE-tokenized sibling of docShingleBases (NFKC +
-  // [\p{L}\p{N}]+ runs instead of single-space splits) — the shingle
-  // base a CJK/punctuation-heavy corpus must use, powering the unicode
-  // variants of the flagship dedup/decontamination queries. Separate
-  // memo because the two tokenizations are different artifacts (the
-  // legacy one is kept for oracle stability of the pre-unicode
-  // families); same materialized lifecycle.
-  private val shingleUniCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // Since the round-13 default flip, Dedup.shingleBases IS the unicode
+  // tokenization — the explicitly-named unicode queries
+  // (e_dedup_unicode / e_decontam_unicode, kept as the documented
+  // contract surface) read the SAME tokenize-once artifact instead of
+  // building an identical second table.
   private def docShingleBasesUnicode(s: SparkSession, d: String): DataFrame =
-    shingleUniCache.getOrElseUpdate(d, timedMemo("shingleBasesUnicode")(
-      Dedup.materializeAndRelease(
-        Dedup.shingleBasesUnicode(Tables.documents(s, d), "doc_id", "text", W))))
+    docShingleBases(s, d)
 
   // Three queries (minhash candidates, dedup-apply, near-dup clusters) share
   // the same signatures→bands→candidate-pairs subplan; memoize the UNFILTERED
@@ -348,7 +343,7 @@ object ExtQueries {
     * move between scale factors. */
   def releasePairsCache(): Unit = {
     pairsCache.clear(); kmeansCache.clear(); decontamCache.clear()
-    shingleCache.clear(); shingleUniCache.clear()
+    shingleCache.clear()
     fpCache.clear(); clustersCache.clear()
     ccBaselineCache.clear(); lmScoresCache.clear(); saCache.clear()
     saPairsCache.clear()
@@ -391,13 +386,12 @@ object ExtQueries {
     // e_dedup_clusters, e_golden_record, e_leakage_split
     ("nearDupClusters", clustersCache, "e_leakage_split"),
     // shingleBases: minhashPairs build (e_cc_incremental), decontamHits
-    // build (e_curation_funnel), e_idf_cosine, e_minhash_calibration,
-    // e_ngram_jaccard, e_prefix_join, e_source_jaccard and
-    // e_vocab_growth directly
+    // build (e_curation_funnel), e_dedup_unicode / e_decontam_unicode
+    // (the unicode alias reads the same artifact since round 13),
+    // e_idf_cosine, e_minhash_calibration, e_ngram_jaccard,
+    // e_prefix_join, e_source_jaccard and e_vocab_growth directly
     ("shingleBases", shingleCache, "e_vocab_growth"),
-    // shingleBasesUnicode: e_decontam_unicode, e_dedup_unicode (last in
-    // name order)
-    ("shingleBasesUnicode", shingleUniCache, "e_dedup_unicode"),
+
     // kmeansAssigned: e_cluster_sample, e_crossmodal_align,
     // e_embed_outliers, e_embedding_drift, e_kmeans, e_kmeans_silhouette,
     // e_knn_accuracy, e_semantic_dedup (last)
