@@ -176,10 +176,14 @@ object SnapshotStore {
     val out = f.create(tmp, false)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
     val fin = manifestPath(dir, v)
-    if (!f.rename(tmp, fin)) {
+    // lost-race guard: on HDFS the rename itself refuses an existing
+    // target; local filesystems overwrite, so the existence check makes
+    // the common lost race DETECTED there too (the residual
+    // check-then-rename window is the single-writer contract's business)
+    if (f.exists(fin) || !f.rename(tmp, fin)) {
       f.delete(tmp, false)
       throw new java.io.IOException(
-        s"commit of version $v lost the manifest rename (concurrent writer?); " +
+        s"commit of version $v lost the manifest race (concurrent writer?); " +
           s"data dir $dataDir is orphaned and reclaimable by vacuum")
     }
     v

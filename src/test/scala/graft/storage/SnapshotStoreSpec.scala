@@ -101,6 +101,41 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("a commit race is DETECTED, never silently absorbed") {
+    // Sequentially observable collision surfaces of the two-phase commit
+    // (a rival manifest that is already FULLY committed simply bumps
+    // latestVersion, so the next writer targets the next slot — no race;
+    // the races live in the staging artifacts):
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (1) a rival mid-commit holds version 2's STAGED manifest: our
+    // create(tmp, overwrite = false) must refuse, loudly
+    val staged = new Path(s"$dir/_manifests/.v00000002.json.tmp")
+    val out = fs.create(staged, false)
+    out.write("{}".getBytes("UTF-8")); out.close()
+    val stagedLen = fs.getFileStatus(staged).getLen
+    intercept[java.io.IOException] {
+      SnapshotStore.commit(spark, dir, docs(9L -> "loser"), "upsert")
+    }
+    assert(fs.getFileStatus(staged).getLen == stagedLen,
+      "the rival's staged manifest must survive untouched")
+    assert(SnapshotStore.latestVersion(spark, dir).contains(1L),
+      "no torn version may surface")
+    fs.delete(staged, false)
+    // (2) our aborted attempt stranded version 2's data dir; the NEXT
+    // committer refuses to reuse it (the dir claim is the other race
+    // guard) until vacuum reclaims the orphan
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commit(spark, dir, docs(9L -> "again"), "upsert")
+    }
+    SnapshotStore.vacuum(spark, dir, retain = 1)
+    assert(SnapshotStore.commit(spark, dir, docs(9L -> "again"), "upsert") == 2L)
+    assert(SnapshotStore.readAsOf(spark, dir, 2L)
+      .as[(Long, String)].collect().toSet == Set(9L -> "again"),
+      "full-snapshot commit semantics")
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
