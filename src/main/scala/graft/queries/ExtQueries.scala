@@ -3542,13 +3542,23 @@ object ExtQueries {
     * ([[graft.storage.SnapshotStore]]; crash atomicity is spec territory,
     * `SnapshotStoreSpec`). The store builds in a scratch dir keyed on the
     * sfDir, wiped first — deterministic per run. */
-  def eSnapshotAsof(s: SparkSession, d: String): DataFrame = {
+  /** Fresh scratch table dir for a snapshot-store query, keyed on the
+    * sfDir AND the Spark application id (plus a per-query tag), so
+    * concurrent runs on the same sfDir — or a hashCode collision between
+    * different sfDirs — can never wipe each other's store mid-query. */
+  private def snapScratch(s: SparkSession, d: String, tag: String): String = {
     val root = new java.io.File(
       sys.props("java.io.tmpdir"),
-      s"graft_snapshot_${math.abs(d.hashCode.toLong)}").getAbsolutePath
+      s"graft_snapshot_${tag}_${math.abs(d.hashCode.toLong)}_" +
+        s.sparkContext.applicationId).getAbsolutePath
     val p = new org.apache.hadoop.fs.Path(root)
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (hfs.exists(p)) hfs.delete(p, true)
+    root
+  }
+
+  def eSnapshotAsof(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "asof")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"), col("source"))
     val store = graft.storage.SnapshotStore
@@ -3568,6 +3578,53 @@ object ExtQueries {
         .select(lit(v).as("version"), lit(m.operation).as("operation"),
           col("n_docs"), col("id_sum"), col("n_distinct_texts"))
     }.reduce(_ unionByName _).orderBy("version")
+  }
+
+  /** Data-skipping read through the snapshot manifest (round 14): commit
+    * the corpus, Z-ORDER it on (doc_id, n_chars), then answer a 2-d
+    * range predicate via [[graft.storage.SnapshotStore.readAsOfWhere]] —
+    * the manifest's per-file min/max stats prune the file list BEFORE
+    * the parquet scan (file-grain skipping is what makes the committed
+    * cluster layout pay off; the pruned-file-count plan assertion is
+    * `SnapshotStoreSpec`'s business). The ANSWER must equal the plain
+    * full-scan filter — which is exactly what the oracle computes. */
+  def eSnapshotSkipping(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "skip")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs, "ingest")
+    val v = store.cluster(s, root, "doc_id", "n_chars", nFiles = 8)
+    import graft.storage.SnapshotStore.FilePredicate._
+    val pred = And(between("doc_id", 100L, 260L),
+      between("n_chars", 50L, 2000L))
+    store.readAsOfWhere(s, root, v, pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** File-grain change feed over the manifest log (round 14): three
+    * content commits with a compaction REWRITE interleaved —
+    * [[graft.storage.SnapshotStore.readChangesSince]] must deliver
+    * exactly the rows the appends added (scanning only their files) and
+    * surface nothing for the rewrite, completing the storage-side CDC
+    * story (reference README.md:19-23 semantics at file grain). */
+  def eSnapshotChanges(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "chg")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 3 === 0), "ingest")
+    store.commitAppend(s, root, docs.filter(col("doc_id") % 3 === 1), "append")
+    store.compact(s, root, targetFileBytes = 4L * 1024 * 1024)
+    val v4 = store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 3 === 2), "append")
+    store.readChangesSince(s, root, 1L, v4)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
   }
 
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
@@ -6693,6 +6750,8 @@ object ExtQueries {
     "e_luhn_pii" -> (eLuhnPii _),
     "e_corpus_diff" -> (eCorpusDiff _),
     "e_snapshot_asof" -> (eSnapshotAsof _),
+    "e_snapshot_skipping" -> (eSnapshotSkipping _),
+    "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8352,6 +8411,16 @@ object ExtQueries {
         |UNION ALL SELECT 2, 'upsert', n_docs, id_sum, n_distinct_texts FROM v2
         |UNION ALL SELECT 3, 'compact', n_docs, id_sum, n_distinct_texts FROM v2
         |ORDER BY version""".stripMargin,
+    "e_snapshot_skipping" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 100 AND 260 AND n_chars BETWEEN 50 AND 2000
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_changes" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
     "e_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1, 1 AS p1 FROM documents
         |  WHERE doc_id % 11 <> 0),

@@ -1,7 +1,11 @@
 package graft.storage
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Transactional snapshot manifest — the commit-log layer that binds
   * ingest ∘ compaction ∘ Z-order into ATOMIC, readable-as-of versions
@@ -17,34 +21,74 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * }}}
   *
   * A manifest lists the FULL data-file set of its version (snapshot
-  * isolation by construction — no log replay needed to read), plus the
-  * operation that produced it. The COMMIT POINT is the manifest's
+  * isolation by construction — no log replay needed to read), the
+  * operation that produced it, and — per data FILE — row count and
+  * per-column min/max statistics collected at commit time, which is what
+  * lets [[readAsOfWhere]] prune the file list BEFORE the parquet scan
+  * (data skipping at file grain — the reader-side payoff of a committed
+  * [[cluster]] Z-order/Hilbert layout; Parquet row-group stats only help
+  * after a file is already opened). The COMMIT POINT is the manifest's
   * temp-write + rename: data files land first in a version-private
   * directory that no committed manifest references, then the manifest
   * file appears atomically (single-file rename — atomic on HDFS and
   * POSIX). A crash before the rename strands an orphaned data directory
   * that NO reader can see (torn commits are invisible — spec-proven by
-  * killing a commit between the two steps); vacuum reclaims orphans.
+  * killing a commit between the two steps); the next commit of that
+  * version RECLAIMS the orphan unattended once it is older than a grace
+  * horizon (younger orphans are refused loudly — they may belong to a
+  * live writer mid-commit), and vacuum reclaims any stragglers.
   *
   * Readers: [[latestVersion]] = max manifest present; [[readAsOf]] reads
   * the listed files of any retained version — time travel is one
-  * manifest read, not a log replay. Writers are single-writer by
-  * contract (the reference deployment's scheduler discipline); the
-  * rename-based commit makes a lost race DETECTABLE (rename onto an
-  * existing manifest fails) rather than corrupting.
+  * manifest read, not a log replay; [[readChangesSince]] is the
+  * file-grain change feed (only files ADDED between two versions, with
+  * rewrite commits excluded — the storage-layer completion of the CDC
+  * story: a downstream consumer follows the log without re-scanning
+  * history). Writers are single-writer by contract (the reference
+  * deployment's scheduler discipline); the rename-based commit makes a
+  * lost race DETECTABLE (rename onto an existing manifest fails), and a
+  * detected loss triggers a BOUNDED optimistic retry at the next free
+  * version, so two interleaved committers serialize with both commits
+  * landing.
   *
   * Scale shape: a manifest holds one line per data FILE (not per row) —
   * a 100 TB table at 128 MB files is ~800k entries, a driver-side JSON
-  * read; data files never rewrite on commit, so commit cost is O(new
-  * files). Maintenance ops ([[compact]], [[cluster]]) rewrite data into
-  * NEW version directories and commit — readers of older versions keep
-  * their files (nothing is deleted until [[vacuum]] drops versions older
-  * than the retention horizon).
+  * read; stats collection at commit reads ONLY the stats columns of the
+  * NEWLY written files (a column-pruned parquet scan, O(new data), the
+  * same cost class as Delta's stats collection); data files never
+  * rewrite on commit, so commit cost is O(new files). Maintenance ops
+  * ([[compact]], [[cluster]]) rewrite data into NEW version directories
+  * and commit — readers of older versions keep their files (nothing is
+  * deleted until [[vacuum]] drops versions older than the retention
+  * horizon).
   */
 object SnapshotStore {
 
+  /** Per-column min/max of one data file. `min`/`max` are None when the
+    * file holds no non-null value for the column. Values are Long
+    * (integral, date = epoch day, timestamp = epoch micros), Double
+    * (fractional), String, or Boolean, keyed by `dataType` (the Spark
+    * `simpleString`). */
+  final case class ColStats(dataType: String, min: Option[Any], max: Option[Any])
+
+  /** Stats of one data file: exact row count + per-column [[ColStats]]. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+
   final case class Manifest(version: Long, operation: String,
-                            files: Seq[String])
+                            files: Seq[String],
+                            stats: Map[String, FileStats] = Map.empty)
+
+  /** Operations whose commits rewrite existing rows into new files
+    * without changing logical content — excluded from the change feed. */
+  val RewriteOps: Set[String] = Set("compact", "zorder")
+
+  /** Orphaned same-version data dirs younger than this are refused (a
+    * live writer may own them); older ones are reclaimed unattended.
+    * Single-writer deployments (e.g. streaming ingest restarting after a
+    * crash) pass 0 to recover immediately. */
+  val DefaultReclaimGraceMs: Long = 10L * 60 * 1000
+
+  private val MaxCommitAttempts = 5
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -54,25 +98,204 @@ object SnapshotStore {
   private def manifestPath(dir: String, v: Long) =
     new Path(f"${manifestDir(dir)}/v$v%08d.json")
 
-  // minimal JSON codec (manifests are engine-internal, schema fixed here;
-  // no external JSON dependency — build.sbt is frozen)
-  private def render(m: Manifest): String = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    s"""{"version": ${m.version}, "operation": ${q(m.operation)},
-       | "files": [${m.files.map(q).mkString(", ")}]}""".stripMargin
+  // ---------------------------------------------------------------- codec
+
+  // Manifests are engine-internal with a fixed schema; the codec rides
+  // Spark's bundled json4s (a real parser — arbitrary path strings,
+  // including ']', '"' and '\', round-trip byte-exactly; property-tested
+  // in SnapshotStoreSpec). No new dependency: json4s ships in
+  // /opt/spark/jars.
+  import org.json4s._
+  import org.json4s.jackson.JsonMethods
+
+  private def jValue(v: Any): JValue = v match {
+    case l: Long    => JLong(l)
+    case d: Double  => JDouble(d)
+    case s: String  => JString(s)
+    case b: Boolean => JBool(b)
+    case other => sys.error(s"unsupported stats value: $other")
   }
 
-  private def parse(json: String): Manifest = {
-    val v = """"version":\s*(\d+)""".r.findFirstMatchIn(json)
-      .getOrElse(sys.error(s"manifest missing version: $json")).group(1).toLong
-    val op = """"operation":\s*"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(json)
-      .getOrElse(sys.error(s"manifest missing operation: $json")).group(1)
-    val filesBlock = """"files":\s*\[([^\]]*)\]""".r.findFirstMatchIn(json)
-      .getOrElse(sys.error(s"manifest missing files: $json")).group(1)
-    val files = """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(filesBlock)
-      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
-    Manifest(v, op.replace("\\\"", "\"").replace("\\\\", "\\"), files)
+  private def anyValue(j: JValue): Any = j match {
+    case JLong(l)    => l
+    case JInt(i)     => i.toLong
+    case JDouble(d)  => d
+    case JDecimal(d) => d.toDouble
+    case JString(s)  => s
+    case JBool(b)    => b
+    case other => sys.error(s"unsupported stats json: $other")
   }
+
+  private def render(m: Manifest): String = {
+    val stats = JObject(m.stats.toSeq.sortBy(_._1).map { case (path, fsx) =>
+      path -> JObject(
+        "rows" -> JLong(fsx.rows),
+        "cols" -> JObject(fsx.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+          c -> JObject(
+            "t" -> JString(cs.dataType),
+            "min" -> cs.min.map(jValue).getOrElse(JNull),
+            "max" -> cs.max.map(jValue).getOrElse(JNull))
+        }.toList))
+    }.toList)
+    JsonMethods.compact(JsonMethods.render(JObject(
+      "version" -> JLong(m.version),
+      "operation" -> JString(m.operation),
+      "files" -> JArray(m.files.map(JString(_)).toList),
+      "stats" -> stats)))
+  }
+
+  private[storage] def parse(json: String): Manifest = {
+    val root = JsonMethods.parse(json)
+    def field(n: String): JValue = root \ n
+    val version = field("version") match {
+      case JLong(l) => l
+      case JInt(i)  => i.toLong
+      case other    => sys.error(s"manifest missing version: $other")
+    }
+    val operation = field("operation") match {
+      case JString(s) => s
+      case other      => sys.error(s"manifest missing operation: $other")
+    }
+    val files = field("files") match {
+      case JArray(xs) => xs.map { case JString(s) => s
+                                  case o => sys.error(s"bad file entry: $o") }
+      case other => sys.error(s"manifest missing files: $other")
+    }
+    val stats = field("stats") match {
+      case JObject(fields) => fields.map { case (path, fv) =>
+        val rows = fv \ "rows" match {
+          case JLong(l) => l; case JInt(i) => i.toLong
+          case o => sys.error(s"bad rows: $o")
+        }
+        val cols = fv \ "cols" match {
+          case JObject(cf) => cf.map { case (c, cv) =>
+            val t = cv \ "t" match { case JString(s) => s
+                                     case o => sys.error(s"bad col type: $o") }
+            def opt(n: String) = cv \ n match {
+              case JNull | JNothing => None
+              case j => Some(anyValue(j))
+            }
+            c -> ColStats(t, opt("min"), opt("max"))
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        path -> FileStats(rows, cols)
+      }.toMap
+      case _ => Map.empty[String, FileStats]
+    }
+    Manifest(version, operation, files, stats)
+  }
+
+  // round-trip hook for the property spec
+  private[storage] def renderForTest(m: Manifest): String = render(m)
+
+  // ------------------------------------------------------------- predicates
+
+  /** File-skipping predicate over per-file min/max stats. Evaluated
+    * conservatively: a file is pruned ONLY when its stats prove no row
+    * can match; missing stats (untracked column, pre-stats manifest)
+    * keep the file. [[FilePredicate.toColumn]] derives the equivalent
+    * row-level Spark filter, so the pruned read + residual filter is
+    * exactly the full scan + filter — one definition, no drift. */
+  sealed trait FilePredicate {
+    def toColumn: Column
+    /** conservative may-match against one file's stats */
+    private[storage] def mightMatch(stats: FileStats): Boolean
+  }
+
+  object FilePredicate {
+    // ordering matches Spark's default binary collation: strings compare
+    // as unsigned UTF-8 bytes (java String.compareTo diverges on
+    // supplementary characters — UTF-16 surrogates sort below U+E000)
+    private def utf8Compare(a: String, b: String): Int = {
+      val x = a.getBytes(UTF_8); val y = b.getBytes(UTF_8)
+      var i = 0
+      val n = math.min(x.length, y.length)
+      while (i < n) {
+        val c = (x(i) & 0xff) - (y(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      x.length - y.length
+    }
+
+    private[storage] def compare(statVal: Any, litVal: Any, t: String): Int =
+      (statVal, litVal) match {
+        case (a: Long, b: Number)
+          if b.isInstanceOf[java.lang.Long] || b.isInstanceOf[Integer] ||
+             b.isInstanceOf[java.lang.Short] || b.isInstanceOf[java.lang.Byte] =>
+          java.lang.Long.compare(a, b.longValue())
+        case (a: Long, b: java.sql.Date) =>
+          java.lang.Long.compare(a, b.toLocalDate.toEpochDay)
+        case (a: Long, b: java.time.LocalDate) =>
+          java.lang.Long.compare(a, b.toEpochDay)
+        case (a: Long, b: java.sql.Timestamp) =>
+          java.lang.Long.compare(a,
+            b.getTime * 1000L + (b.getNanos / 1000L) % 1000L)
+        case (a: Long, b: java.time.Instant) =>
+          java.lang.Long.compare(a,
+            b.getEpochSecond * 1000000L + b.getNano / 1000L)
+        case (a: Double, b: Number) => java.lang.Double.compare(a, b.doubleValue())
+        case (a: String, b: String) => utf8Compare(a, b)
+        case (a: Boolean, b: Boolean) => java.lang.Boolean.compare(a, b)
+        case _ => sys.error(
+          s"predicate value $litVal (${litVal.getClass.getSimpleName}) is not " +
+            s"comparable with $t stats — pass a value of the column's type")
+      }
+
+    private def cmp(col: String, stats: FileStats)
+                   (decide: (Int, Int) => Boolean, v: Any): Boolean =
+      stats.cols.get(col) match {
+        case None => true // column untracked — cannot prune
+        case Some(cs) => (cs.min, cs.max) match {
+          case (Some(mn), Some(mx)) =>
+            decide(compare(mn, v, cs.dataType), compare(mx, v, cs.dataType))
+          case _ => false // no non-null value: comparison matches no row
+        }
+      }
+
+    final case class EqTo(col: String, value: Any) extends FilePredicate {
+      def toColumn: Column = org.apache.spark.sql.functions.col(col) === lit(value)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, value)
+    }
+    final case class GtEq(col: String, value: Any) extends FilePredicate {
+      def toColumn: Column = org.apache.spark.sql.functions.col(col) >= lit(value)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        cmp(col, s)((_, mx) => mx >= 0, value)
+    }
+    final case class Gt(col: String, value: Any) extends FilePredicate {
+      def toColumn: Column = org.apache.spark.sql.functions.col(col) > lit(value)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        cmp(col, s)((_, mx) => mx > 0, value)
+    }
+    final case class LtEq(col: String, value: Any) extends FilePredicate {
+      def toColumn: Column = org.apache.spark.sql.functions.col(col) <= lit(value)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        cmp(col, s)((mn, _) => mn <= 0, value)
+    }
+    final case class Lt(col: String, value: Any) extends FilePredicate {
+      def toColumn: Column = org.apache.spark.sql.functions.col(col) < lit(value)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        cmp(col, s)((mn, _) => mn < 0, value)
+    }
+    final case class And(l: FilePredicate, r: FilePredicate) extends FilePredicate {
+      def toColumn: Column = l.toColumn && r.toColumn
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        l.mightMatch(s) && r.mightMatch(s)
+    }
+    final case class Or(l: FilePredicate, r: FilePredicate) extends FilePredicate {
+      def toColumn: Column = l.toColumn || r.toColumn
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        l.mightMatch(s) || r.mightMatch(s)
+    }
+
+    /** `lo <= col <= hi` */
+    def between(col: String, lo: Any, hi: Any): FilePredicate =
+      And(GtEq(col, lo), LtEq(col, hi))
+  }
+
+  // ---------------------------------------------------------------- readers
 
   /** All committed versions, ascending (empty for an uninitialized dir). */
   def versions(spark: SparkSession, dir: String): Seq[Long] = {
@@ -109,11 +332,235 @@ object SnapshotStore {
     spark.read.parquet(m.files: _*)
   }
 
+  /** The data files of `version` that survive file-skipping under
+    * `pred` — the pruning [[readAsOfWhere]] applies, exposed so specs
+    * (and operators sizing a scan) can assert the pruned count. */
+  def prunedFiles(spark: SparkSession, dir: String, version: Long,
+                  pred: FilePredicate): Seq[String] = {
+    val m = manifest(spark, dir, version)
+    m.files.filter(p => m.stats.get(p).forall(pred.mightMatch))
+  }
+
+  /** Data-skipping read: prune the version's file list by per-file
+    * min/max stats, scan only the survivors, and apply the predicate's
+    * row-level form as the residual filter — the result is EXACTLY
+    * `readAsOf(version).filter(pred.toColumn)`, at a fraction of the
+    * files when the layout clusters the predicate columns (commit via
+    * [[cluster]] and the Z-order locality becomes file-grain pruning
+    * here). Files without stats are conservatively kept. */
+  def readAsOfWhere(spark: SparkSession, dir: String, version: Long,
+                    pred: FilePredicate): DataFrame = {
+    val keep = prunedFiles(spark, dir, version, pred)
+    if (keep.isEmpty) readAsOf(spark, dir, version).filter(pred.toColumn).limit(0)
+    else spark.read.parquet(keep: _*).filter(pred.toColumn)
+  }
+
   /** Read the latest committed version. */
   def read(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir,
       latestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed version at $dir")))
+
+  // ------------------------------------------------------------ change feed
+
+  /** The files ADDED by each commit in `(fromVersion, toVersion]`,
+    * excluding [[RewriteOps]] commits (compaction/clustering rewrite
+    * rows into new files without logical change — surfacing them would
+    * re-deliver the whole table). Every version in the range must still
+    * be retained (not vacuumed): the per-version delta is computed
+    * against its immediate predecessor's manifest. */
+  def changedFiles(spark: SparkSession, dir: String,
+                   fromVersion: Long, toVersion: Long): Seq[String] = {
+    require(fromVersion <= toVersion,
+      s"fromVersion $fromVersion must be <= toVersion $toVersion")
+    val have = versions(spark, dir).toSet
+    val needed = (math.max(1L, fromVersion) to toVersion)
+    needed.find(!have(_)).foreach(v => sys.error(
+      s"version $v in ($fromVersion, $toVersion] is not retained at $dir — " +
+        "the change feed needs every manifest in the range"))
+    (fromVersion + 1 to toVersion).flatMap { v =>
+      val m = manifest(spark, dir, v)
+      if (RewriteOps(m.operation)) Seq.empty
+      else {
+        val prev: Set[String] =
+          if (v - 1 >= 1) manifest(spark, dir, v - 1).files.toSet
+          else Set.empty
+        m.files.filterNot(prev)
+      }
+    }
+  }
+
+  /** File-grain CDC read: the rows added between two committed versions
+    * (`(fromVersion, toVersion]`), delivered by scanning ONLY the files
+    * those commits added — a downstream consumer of
+    * [[graft.streaming.StreamingSnapshotIngest]] follows the table
+    * incrementally without ever re-scanning history (the storage-layer
+    * mirror of the reference's high-water-mark-bounded delivery,
+    * README.md:19-23). Append-grain: full-snapshot `commit`s surface
+    * their newly written files; rewrite commits surface nothing; row
+    * deletions are not represented (this is an ADD feed — the snapshot
+    * diff [[diffVersions]] is the row-grain form). */
+  def readChangesSince(spark: SparkSession, dir: String,
+                       fromVersion: Long, toVersion: Long): DataFrame = {
+    val files = changedFiles(spark, dir, fromVersion, toVersion)
+    if (files.isEmpty) readAsOf(spark, dir, toVersion).limit(0)
+    else spark.read.parquet(files: _*)
+  }
+
+  // ---------------------------------------------------------------- writers
+
+  /** Commit `df` as the next version (full-snapshot semantics: the new
+    * version IS `df`). Data lands in a version-private directory first;
+    * the version exists only once the manifest rename succeeds — the one
+    * atomic step. Returns the committed version. */
+  def commit(spark: SparkSession, dir: String, df: DataFrame,
+             operation: String,
+             reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    commitFiles(spark, dir, operation, reclaimGraceMs = reclaimGraceMs) {
+      dataDir => df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
+
+  /** APPEND commit: the new version = previous version's file set plus
+    * `delta`'s files — only the delta's bytes are written (the Delta-style
+    * incremental ingest shape: commit cost O(new files), history never
+    * rewritten). With no prior version this is [[commit]]. */
+  def commitAppend(spark: SparkSession, dir: String, delta: DataFrame,
+                   operation: String,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    commitFiles(spark, dir, operation,
+      carryFrom = true, reclaimGraceMs = reclaimGraceMs) { dataDir =>
+      delta.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
+
+  // stats-supported column types; decimal is excluded on purpose (a
+  // rounded double bound could prune a boundary file incorrectly)
+  private def statsSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case FloatType | DoubleType => true
+    case StringType | BooleanType => true
+    case DateType | TimestampType => true
+    case _ => false
+  }
+
+  private def statValue(v: Any): Option[Any] = Option(v).map {
+    case n: java.lang.Byte => n.longValue()
+    case n: java.lang.Short => n.longValue()
+    case n: Integer => n.longValue()
+    case n: java.lang.Long => n.longValue()
+    case n: java.lang.Float => n.doubleValue()
+    case n: java.lang.Double => n.doubleValue()
+    case s: String => s
+    case b: java.lang.Boolean => b.booleanValue()
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case other => sys.error(s"unsupported stat value $other")
+  }
+
+  /** normalize `file:/p`, `file:///p`, `/p` to one comparable key */
+  private def pathKey(s: String): String = new Path(s).toUri.getPath
+
+  /** One column-pruned scan of the freshly written `dataDir`, grouped by
+    * file: exact row count + min/max per supported top-level column.
+    * Distributed (no driver loop over files) and reads only the stats
+    * columns — O(new data) in the stats columns' bytes. */
+  private def collectStats(spark: SparkSession, dataDir: String,
+                           files: Seq[String]): Map[String, FileStats] = {
+    if (files.isEmpty) return Map.empty
+    val df = spark.read.parquet(dataDir)
+    val statCols = df.schema.fields.filter(f => statsSupported(f.dataType)).toSeq
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(f => Seq(
+      min(col(f.name)).as(s"__min_${f.name}"),
+      max(col(f.name)).as(s"__max_${f.name}")))
+    val rows = df.groupBy(input_file_name().as("__path"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // bounded: one row per newly written file
+    val byKey = rows.map { r =>
+      val cols = statCols.zipWithIndex.map { case (f, i) =>
+        f.name -> ColStats(f.dataType.simpleString,
+          statValue(r.get(2 + 2 * i)), statValue(r.get(3 + 2 * i)))
+      }.toMap
+      pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols)
+    }.toMap
+    files.flatMap(f => byKey.get(pathKey(f)).map(f -> _)).toMap
+  }
+
+  /** The shared two-phase commit: `write` materializes data files into
+    * the fresh version directory, then the manifest appears atomically.
+    * Split out so maintenance rewrites ([[compact]], [[cluster]]) share
+    * the exact protocol — the crash contract cannot drift per operation.
+    *
+    * Crash/concurrency ergonomics (round 14):
+    *  - an EXISTING data dir for the target version is an orphan iff its
+    *    version has no committed manifest (ours is latest+1, so always);
+    *    it is reclaimed unattended when older than `reclaimGraceMs`
+    *    (crash recovery), refused loudly when younger (a live rival may
+    *    own it — the round-13 contract, now time-bounded);
+    *  - a LOST manifest rename (rival committed our version first)
+    *    triggers a bounded optimistic retry: our uncommitted data dir is
+    *    deleted, the next free version is claimed, and `write` runs
+    *    again — so interleaved committers serialize with every commit
+    *    landing. `write` may therefore run more than once.
+    */
+  private[storage] def commitFiles(spark: SparkSession, dir: String,
+                                   operation: String,
+                                   carryFrom: Boolean = false,
+                                   reclaimGraceMs: Long = DefaultReclaimGraceMs)
+                                  (write: String => Unit): Long = {
+    val f = fs(spark, dir)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val prior = latestVersion(spark, dir)
+      val carryFiles =
+        if (carryFrom) prior.map(v => manifest(spark, dir, v).files).getOrElse(Seq.empty)
+        else Seq.empty
+      val carryStats =
+        if (carryFrom) prior.map(v => manifest(spark, dir, v).stats).getOrElse(Map.empty)
+        else Map.empty[String, FileStats]
+      val v = prior.getOrElse(0L) + 1
+      val dataDir = f"$dir/data/v$v%08d-$operation"
+      val dataPath = new Path(dataDir)
+      if (f.exists(dataPath)) {
+        // v = latest+1 has no committed manifest, so this dir is a torn
+        // commit's orphan — unless a LIVE writer is mid-commit on it,
+        // which the grace horizon bounds
+        val age = System.currentTimeMillis() -
+          f.getFileStatus(dataPath).getModificationTime
+        require(age >= reclaimGraceMs,
+          s"$dataDir already exists and is ${age}ms old (< grace " +
+            s"$reclaimGraceMs ms) — a concurrent or crashed commit owns it; " +
+            "an older orphan would be reclaimed unattended")
+        f.delete(dataPath, true)
+      }
+      write(dataDir)
+      val newFiles = listParquet(spark, dataDir)
+      val m = Manifest(v, operation, carryFiles ++ newFiles,
+        carryStats ++ collectStats(spark, dataDir, newFiles))
+      require(m.files.nonEmpty, s"commit of version $v wrote no data files")
+      // COMMIT POINT: single-file temp write + rename. A crash before the
+      // rename leaves only the orphaned data dir + tmp file — invisible.
+      val md = new Path(manifestDir(dir))
+      if (!f.exists(md)) f.mkdirs(md)
+      val tmp = new Path(f"${manifestDir(dir)}/.v$v%08d.json.tmp")
+      val out = f.create(tmp, false) // a rival's staged manifest refuses here
+      try out.write(render(m).getBytes("UTF-8")) finally out.close()
+      val fin = manifestPath(dir, v)
+      // lost-race guard: on HDFS the rename itself refuses an existing
+      // target; local filesystems overwrite, so the existence check makes
+      // the common lost race DETECTED there too
+      if (!f.exists(fin) && f.rename(tmp, fin)) return v
+      // lost: a rival committed version v first. Clean our artifacts and
+      // re-claim the next free slot.
+      f.delete(tmp, false)
+      f.delete(dataPath, true)
+      if (attempt >= MaxCommitAttempts)
+        throw new java.io.IOException(
+          s"commit of $operation lost the manifest race $attempt times " +
+            s"(last at version $v) — giving up; no partial state remains")
+    }
+    sys.error("unreachable")
+  }
 
   private def listParquet(spark: SparkSession, d: String): Seq[String] = {
     val p = new Path(d)
@@ -129,72 +576,13 @@ object SnapshotStore {
     buf.toSeq.sorted
   }
 
-  /** Commit `df` as the next version (full-snapshot semantics: the new
-    * version IS `df`). Data lands in a version-private directory first;
-    * the version exists only once the manifest rename succeeds — the one
-    * atomic step. Returns the committed version. */
-  def commit(spark: SparkSession, dir: String, df: DataFrame,
-             operation: String): Long =
-    commitFiles(spark, dir, operation) { dataDir =>
-      df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    }
-
-  /** APPEND commit: the new version = previous version's file set plus
-    * `delta`'s files — only the delta's bytes are written (the Delta-style
-    * incremental ingest shape: commit cost O(new files), history never
-    * rewritten). With no prior version this is [[commit]]. */
-  def commitAppend(spark: SparkSession, dir: String, delta: DataFrame,
-                   operation: String): Long = {
-    val priorFiles = latestVersion(spark, dir)
-      .map(v => manifest(spark, dir, v).files).getOrElse(Seq.empty)
-    commitFiles(spark, dir, operation, priorFiles) { dataDir =>
-      delta.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    }
-  }
-
-  /** The shared two-phase commit: `write` materializes data files into
-    * the fresh version directory, then the manifest appears atomically.
-    * Split out so maintenance rewrites ([[compact]], [[cluster]]) share
-    * the exact protocol — the crash contract cannot drift per operation. */
-  private def commitFiles(spark: SparkSession, dir: String,
-                          operation: String,
-                          carryFiles: Seq[String] = Seq.empty)
-                         (write: String => Unit): Long = {
-    val f = fs(spark, dir)
-    val v = latestVersion(spark, dir).getOrElse(0L) + 1
-    val dataDir = f"$dir/data/v$v%08d-$operation"
-    require(!f.exists(new Path(dataDir)),
-      s"$dataDir already exists — a concurrent or crashed commit owns it")
-    write(dataDir)
-    val m = Manifest(v, operation, carryFiles ++ listParquet(spark, dataDir))
-    require(m.files.nonEmpty, s"commit of version $v wrote no data files")
-    // COMMIT POINT: single-file temp write + rename. A crash before the
-    // rename leaves only the orphaned data dir + tmp file — invisible.
-    val md = new Path(manifestDir(dir))
-    if (!f.exists(md)) f.mkdirs(md)
-    val tmp = new Path(f"${manifestDir(dir)}/.v$v%08d.json.tmp")
-    val out = f.create(tmp, false)
-    try out.write(render(m).getBytes("UTF-8")) finally out.close()
-    val fin = manifestPath(dir, v)
-    // lost-race guard: on HDFS the rename itself refuses an existing
-    // target; local filesystems overwrite, so the existence check makes
-    // the common lost race DETECTED there too (the residual
-    // check-then-rename window is the single-writer contract's business)
-    if (f.exists(fin) || !f.rename(tmp, fin)) {
-      f.delete(tmp, false)
-      throw new java.io.IOException(
-        s"commit of version $v lost the manifest race (concurrent writer?); " +
-          s"data dir $dataDir is orphaned and reclaimable by vacuum")
-    }
-    v
-  }
-
   /** Maintenance commit: rewrite the LATEST version's data into
     * ~`targetFileBytes` files as a NEW version (operation `compact`).
     * Logical content is identical; readers of prior versions are
     * untouched (their files still exist). */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = read(spark, dir)
     val bytes = {
       val m = manifest(spark, dir, latestVersion(spark, dir).get)
@@ -202,19 +590,22 @@ object SnapshotStore {
       m.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
     }
     val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)
-    commitFiles(spark, dir, "compact") { dataDir =>
-      cur.repartition(nFiles.toInt)
+    commitFiles(spark, dir, "compact", reclaimGraceMs = reclaimGraceMs) {
+      dataDir => cur.repartition(nFiles.toInt)
         .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
   }
 
   /** Maintenance commit: [[ZOrder.cluster]] the latest version into a new
     * version (operation `zorder`) — scan locality and time travel in one
-    * protocol. */
+    * protocol, and since every commit records per-file min/max stats,
+    * the clustered layout immediately pays off through
+    * [[readAsOfWhere]]'s file skipping. */
   def cluster(spark: SparkSession, dir: String, xCol: String, yCol: String,
-              nFiles: Int, bits: Int = 16): Long =
-    commitFiles(spark, dir, "zorder") { dataDir =>
-      ZOrder.cluster(read(spark, dir), xCol, yCol, nFiles, bits)
+              nFiles: Int, bits: Int = 16,
+              reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    commitFiles(spark, dir, "zorder", reclaimGraceMs = reclaimGraceMs) {
+      dataDir => ZOrder.cluster(read(spark, dir), xCol, yCol, nFiles, bits)
         .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
 

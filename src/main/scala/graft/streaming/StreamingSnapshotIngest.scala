@@ -4,7 +4,6 @@ import java.util.concurrent.atomic.AtomicReference
 
 import graft.storage.SnapshotStore
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming ingest INTO the transactional snapshot store — the piece
@@ -14,27 +13,41 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * reader can time-travel to "the corpus as of batch N" while ingestion
   * keeps running, and maintenance ([[SnapshotStore.compact]] /
   * `cluster`) interleaves through the same commit protocol without
-  * stopping the stream.
+  * stopping the stream. Downstream consumers follow the table WITHOUT
+  * re-scanning history via [[SnapshotStore.readChangesSince]] — each
+  * ingest commit's added files ARE its batch.
   *
-  * Exactly-once versioning without a two-phase dance: the streaming
-  * checkpoint makes batch DELIVERY exactly-once (a replayed batch id is
-  * not re-delivered after restart), and the store's manifest rename makes
-  * each COMMIT atomic. The remaining torn window — data files written,
-  * manifest missing, then a crash — is exactly the store's torn-commit
-  * contract: invisible to every reader, refused (then vacuumed) on the
-  * next commit attempt, so the stream either resumes at the previous
-  * version or the operator vacuums and replays the batch from the
-  * checkpoint. Nothing half-committed is ever readable (spec-proven in
-  * `SnapshotStoreSpec`; the streamed==batch fold is
-  * `StreamingSnapshotIngestSpec`'s business).
+  * Exactly-once versioning without a two-phase dance, against an
+  * at-least-once `foreachBatch`:
+  *  - REPLAY GUARD: each commit's operation tag is `ingest-b<batchId>`;
+  *    at query start the already-committed batch ids are loaded from the
+  *    manifest log, and a redelivered batch id (crash after the manifest
+  *    rename but before the checkpoint offset commit) is SKIPPED instead
+  *    of re-appended — the same replay-guard discipline as the sibling
+  *    streaming-state modules (e.g. `StreamingKMeans`), enforced here at
+  *    the commit-log level so duplicates cannot leak into later versions.
+  *  - the store's manifest rename makes each COMMIT atomic; the torn
+  *    window (data files written, manifest missing, then a crash) is the
+  *    store's torn-commit contract: invisible to every reader, and —
+  *    since the ingest query is single-writer per checkpoint by
+  *    construction — the replayed batch RECLAIMS the orphaned data dir
+  *    unattended (`reclaimGraceMs = 0`) and commits, so a crash never
+  *    wedges the stream into a restart loop. Nothing half-committed is
+  *    ever readable (spec-proven in `SnapshotStoreSpec`; the
+  *    streamed==batch fold and the replay guard are
+  *    `StreamingSnapshotIngestSpec`'s business).
   *
   * Scale shape: each commit is an APPEND ([[SnapshotStore.commitAppend]]):
   * the new manifest carries the prior version's immutable files and only
   * the batch's bytes hit disk — commit cost O(batch), never O(corpus),
-  * and history is never rewritten. Small files accumulate at exactly the
-  * rate micro-batches arrive, which is what the interleaved
+  * and history is never rewritten. The replay-guard set is batch IDS
+  * (one long per commit), loaded once per query start — O(versions)
+  * driver work at start, O(1) per batch. Small files accumulate at
+  * exactly the rate micro-batches arrive, which is what the interleaved
   * [[SnapshotStore.compact]] maintenance commit exists to fold away. */
 object StreamingSnapshotIngest {
+
+  private val IngestOp = "ingest-b(\\d+)".r
 
   final class Handle private[StreamingSnapshotIngest] (
       dir: String, ref: AtomicReference[java.lang.Long]) {
@@ -48,20 +61,38 @@ object StreamingSnapshotIngest {
     * version at `tableDir` (operation `ingest-b<batchId>`, an APPEND
     * commit: the manifest carries the prior version's files and only the
     * batch's bytes are written). Version N always reads as the full
-    * accumulated corpus — dedup/idempotence across redelivery is the
-    * checkpoint's job (exactly-once per batch id), id-level replay the
-    * caller's (anti-join upstream if the source redelivers rows across
-    * batch ids). */
+    * accumulated corpus — a batch id already present in the manifest log
+    * is skipped (replay guard); id-level dedup across DIFFERENT batch
+    * ids is the caller's (anti-join upstream if the source redelivers
+    * rows across batch ids). */
   def start(docs: DataFrame, tableDir: String,
             checkpointLocation: String): (StreamingQuery, Handle) = {
     val ref = new AtomicReference[java.lang.Long](null)
+    // committed batch ids, loaded once from the manifest log: the replay
+    // guard against foreachBatch's at-least-once redelivery. The set is
+    // only appended to by this (single-writer) query, so the one-time
+    // load plus local adds stays exact.
+    val committed = {
+      val spark = docs.sparkSession
+      val ids = scala.collection.mutable.Set.empty[Long]
+      SnapshotStore.versions(spark, tableDir).foreach { v =>
+        SnapshotStore.manifest(spark, tableDir, v).operation match {
+          case IngestOp(b) => ids += b.toLong
+          case _ =>
+        }
+      }
+      ids
+    }
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val v = SnapshotStore.commitAppend(batch.sparkSession, tableDir,
-          batch, f"ingest-b$batchId")
-        ref.set(v)
+        if (!committed.contains(batchId)) {
+          val v = SnapshotStore.commitAppend(batch.sparkSession, tableDir,
+            batch, f"ingest-b$batchId", reclaimGraceMs = 0L)
+          committed += batchId
+          ref.set(v)
+        }
       }
       .start()
     (query, new Handle(tableDir, ref))

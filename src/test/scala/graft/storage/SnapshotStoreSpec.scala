@@ -136,6 +136,145 @@ class SnapshotStoreSpec extends SparkSpec {
       "full-snapshot commit semantics")
   }
 
+  test("crashed-commit-then-commit succeeds unattended past the grace horizon") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    // crash between data write and manifest rename strands v2's data dir
+    docs(9L -> "torn").write.parquet(s"$dir/data/v00000002-upsert")
+    // within the grace horizon: refused loudly (a live writer may own it)
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commit(spark, dir, docs(2L -> "b"), "upsert")
+    }
+    // past the horizon (grace 0): the orphan is reclaimed and the commit
+    // lands unattended — no manual vacuum
+    val v = SnapshotStore.commit(spark, dir, docs(2L -> "b"), "upsert",
+      reclaimGraceMs = 0L)
+    assert(v == 2L)
+    assert(SnapshotStore.readAsOf(spark, dir, 2L)
+      .as[(Long, String)].collect().toSet == Set(2L -> "b"),
+      "the torn data must NOT be absorbed into the recovered commit")
+  }
+
+  test("two interleaved committers serialize: both commits land") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    // rival commits version 2 AFTER we picked our slot but BEFORE our
+    // manifest rename — injected through the write closure, the widest
+    // possible interleave window
+    var rivalDone = false
+    val v = SnapshotStore.commitFiles(spark, dir, "mine") { dataDir =>
+      if (!rivalDone) {
+        rivalDone = true
+        assert(SnapshotStore.commit(spark, dir, docs(2L -> "rival"), "rival") == 2L)
+      }
+      docs(3L -> "mine").write.parquet(dataDir)
+    }
+    assert(v == 3L, "the loser retries at the next free version")
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L, 3L))
+    assert(SnapshotStore.manifest(spark, dir, 2L).operation == "rival")
+    assert(SnapshotStore.manifest(spark, dir, 3L).operation == "mine")
+    assert(SnapshotStore.readAsOf(spark, dir, 3L)
+      .as[(Long, String)].collect().toSet == Set(3L -> "mine"))
+    // the losing attempt's first data dir was cleaned up
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new Path(s"$dir/data")).map(_.getPath.getName).sorted
+      .toSeq == Seq("v00000001-ingest", "v00000002-rival", "v00000003-mine"))
+  }
+
+  test("per-file min/max stats are recorded; readAsOfWhere prunes files and matches the full scan") {
+    val dir = freshDir()
+    val df = (1L to 400L).map(i => (i, s"text $i", (i % 5).toDouble))
+      .toDF("doc_id", "text", "score")
+      .repartitionByRange(8, col("doc_id")) // each file covers a narrow id range
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    assert(m.files.length == 8)
+    assert(m.stats.keySet == m.files.toSet, "every file carries stats")
+    assert(m.stats.values.map(_.rows).sum == 400L)
+    val idStats = m.stats.values.map(_.cols("doc_id"))
+    assert(idStats.forall(cs => cs.min.isDefined && cs.max.isDefined))
+
+    import SnapshotStore.FilePredicate._
+    val pred = between("doc_id", 90L, 110L)
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 1L, pred)
+    assert(pruned.length < m.files.length && pruned.nonEmpty,
+      s"range-partitioned layout must file-skip: ${pruned.length} of ${m.files.length}")
+    val skipped = SnapshotStore.readAsOfWhere(spark, dir, 1L, pred)
+      .as[(Long, String, Double)].collect().toSet
+    val full = SnapshotStore.readAsOf(spark, dir, 1L)
+      .filter(pred.toColumn).as[(Long, String, Double)].collect().toSet
+    assert(skipped == full && full.map(_._1) == (90L to 110L).toSet,
+      "data skipping must be invisible in the answer")
+    // string stats prune too, under binary (UTF-8) ordering
+    val sPred = EqTo("text", "text 7")
+    val sPruned = SnapshotStore.prunedFiles(spark, dir, 1L, sPred)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, sPred).count() == 1L)
+    assert(sPruned.length <= m.files.length)
+    // an empty survivor set still returns the right (empty) answer
+    val none = between("doc_id", 5000L, 6000L)
+    assert(SnapshotStore.prunedFiles(spark, dir, 1L, none).isEmpty)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, none).count() == 0L)
+  }
+
+  test("a z-order cluster commit makes the 2-d range predicate prune at file grain") {
+    val dir = freshDir()
+    val df = (0L until 1024L).map(i => (i, i % 32, i / 32, s"r$i"))
+      .toDF("doc_id", "x", "y", "payload")
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    SnapshotStore.cluster(spark, dir, "x", "y", nFiles = 16)
+    import SnapshotStore.FilePredicate._
+    val pred = And(between("x", 2L, 5L), between("y", 2L, 5L))
+    val m = SnapshotStore.manifest(spark, dir, 2L)
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 2L, pred)
+    assert(pruned.length < m.files.length,
+      s"z-order locality must surface as file skipping: ${pruned.length} of ${m.files.length}")
+    val skipped = SnapshotStore.readAsOfWhere(spark, dir, 2L, pred)
+      .select("doc_id").as[Long].collect().toSet
+    val full = SnapshotStore.readAsOf(spark, dir, 2L).filter(pred.toColumn)
+      .select("doc_id").as[Long].collect().toSet
+    assert(skipped == full && full.size == 16)
+  }
+
+  test("an all-null stats column prunes under comparison predicates") {
+    val dir = freshDir()
+    val withNulls = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text").repartition(1)
+    val withVals = Seq((3L, Option("c")), (4L, Option("d")))
+      .toDF("doc_id", "text").repartition(1)
+    SnapshotStore.commit(spark, dir, withNulls.unionByName(withVals)
+      .repartitionByRange(2, col("doc_id")), "ingest")
+    import SnapshotStore.FilePredicate._
+    val pred = GtEq("text", "a")
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 1L, pred)
+    assert(pruned.length == 1, "the all-null file can match no comparison")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, pred)
+      .select("doc_id").as[Long].collect().toSet == Set(3L, 4L))
+  }
+
+  test("readChangesSince delivers exactly the appended rows, skipping rewrite commits") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a", 2L -> "b"), "ingest")
+    SnapshotStore.commitAppend(spark, dir, docs(3L -> "c"), "append")
+    SnapshotStore.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    SnapshotStore.commitAppend(spark, dir, docs(4L -> "d", 5L -> "e"), "append")
+    // (1, 4]: the two appends' rows, never the compaction's rewrites
+    assert(SnapshotStore.readChangesSince(spark, dir, 1L, 4L)
+      .as[(Long, String)].collect().toSet ==
+      Set(3L -> "c", 4L -> "d", 5L -> "e"))
+    // a rewrite-only range is empty (schema intact)
+    val empty = SnapshotStore.readChangesSince(spark, dir, 2L, 3L)
+    assert(empty.count() == 0L && empty.columns.toSeq == Seq("doc_id", "text"))
+    // from scratch: (0, latest] replays the whole logical history exactly once
+    assert(SnapshotStore.readChangesSince(spark, dir, 0L, 4L)
+      .as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    // a vacuumed range refuses rather than under-delivering
+    SnapshotStore.vacuum(spark, dir, retain = 2)
+    intercept[RuntimeException] {
+      SnapshotStore.changedFiles(spark, dir, 0L, 4L)
+    }
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
