@@ -36,8 +36,20 @@ import org.apache.spark.sql.functions._
   */
 object GroupQuantileCut {
 
+  /** Hard ceiling on driver-histogram cells (groups × nBins). The group
+    * cardinality is MEASURED (one cheap count-distinct) before any
+    * group-sized collect — the bound is checked, never assumed (the
+    * `BpeVocab.train` measured-size idiom). Above the ceiling the exact
+    * per-group window runs instead: a high-cardinality group column
+    * means each group is small, so the per-group window parallelizes
+    * across groups — the single-task serialization the histogram path
+    * exists to avoid only happens with FEW, HUGE groups, which is
+    * exactly when the measured cardinality stays under the ceiling. */
+  val MaxDriverHistogramCells: Long = 1L << 22
+
   def apply(df: DataFrame, idCol: String, groupCol: String, score: Column,
-            frac: Double, nBins: Int = 1024): DataFrame = {
+            frac: Double, nBins: Int = 1024,
+            maxDriverCells: Long = MaxDriverHistogramCells): DataFrame = {
     require(frac >= 0.0 && frac <= 1.0, "frac must be in [0, 1]")
     require(nBins >= 1, "nBins must be >= 1")
     val spark = df.sparkSession
@@ -52,7 +64,11 @@ object GroupQuantileCut {
       .withColumn("__score", coalesce(score.cast("double"), lit(0.0)))
       .withColumn("__bin",
         least(floor(col("__score") * nBins), lit(nBins - 1L)).cast("long"))
-    // bounded driver histogram: groups × nBins
+    // CHECKED bound: measure the group cardinality before collecting
+    // anything group-sized to the driver
+    val nGroups = base.select(countDistinct(col("__grp"))).as[Long].head()
+    if (nGroups * nBins > maxDriverCells) return windowed(base, idCol, frac, cols)
+    // bounded driver histogram: groups × nBins, measured above
     val hist = base.groupBy(col("__grp"), col("__bin"))
       .agg(count(lit(1)).as("cnt"))
       .as[(String, Long, Long)].collect()
@@ -89,6 +105,24 @@ object GroupQuantileCut {
       .filter(col("__rn") <= col("__quota"))
       .drop("__rn")
     whole.unionByName(straddleRows)
+      .select(cols.map(col): _*)
+  }
+
+  /** The exact windowed definition — the high-cardinality fallback:
+    * `row_number over (partition by group order by score desc, id) <=
+    * floor(frac · count(group))`. SAME semantics as the histogram path
+    * (binning is monotone in the score, ties share a bin — spec-proven
+    * equal); distributed because many groups ⇒ small groups ⇒ the
+    * per-group partitions spread across the cluster. */
+  private def windowed(base: DataFrame, idCol: String, frac: Double,
+                       cols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col("__grp"))
+    base
+      .withColumn("__rn", row_number().over(
+        w.orderBy(col("__score").desc, col(idCol))))
+      .withColumn("__k",
+        floor(lit(frac) * count(lit(1)).over(w)).cast("long"))
+      .filter(col("__rn") <= col("__k"))
       .select(cols.map(col): _*)
   }
 }

@@ -43,20 +43,35 @@ object TokenBudgetSample {
   /** Hash salt: keeps the mixture shuffle independent of other hash uses. */
   private val Salt = "mix|"
 
+  /** Hard ceiling on driver-histogram cells (|budgets| × nBuckets). The
+    * budgets map is driver-resident already, so this is a consistency
+    * check, not a scan — the bound is CHECKED, never assumed (the
+    * `BpeVocab.train` measured-size idiom). */
+  val MaxDriverHistogramCells: Long = 1L << 24
+
   def apply(docs: DataFrame, idCol: String, langCol: String, tokenCol: Column,
             budgets: Map[String, Long], nBuckets: Int = 256): DataFrame = {
     require(nBuckets >= 1 && (nBuckets & (nBuckets - 1)) == 0,
       s"nBuckets must be a power of two, got $nBuckets")
     require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    require(budgets.size.toLong * nBuckets <= MaxDriverHistogramCells,
+      s"${budgets.size} budget domains × $nBuckets buckets exceeds the " +
+        s"driver histogram bound $MaxDriverHistogramCells — lower nBuckets")
     val bucketWidth = (1L << 56) / nBuckets
     val base = docs.select(
       col(idCol).as("doc_id"),
       col(langCol).as("lang"),
       tokenCol.cast("long").as("n_tokens"),
       Dedup.hexHash(col(idCol).cast("string"), Salt).as("rk"))
+      // domains absent from `budgets` are dropped (budget 0) — filtering
+      // them BEFORE the histogram is what makes the driver collect
+      // CHECKED-bounded at |budgets| × nBuckets cells regardless of the
+      // data's group cardinality (a caller histogramming on host with a
+      // 10-domain budget must not collect 10M hosts × buckets)
+      .filter(col("lang").isin(budgets.keys.toSeq.sorted: _*))
       .withColumn("__bucket", expr(s"rk div $bucketWidth"))
 
-    // bounded driver histogram: domains × nBuckets
+    // bounded driver histogram: |budgets| × nBuckets, checked above
     val hist = base.groupBy(col("lang"), col("__bucket"))
       .agg(sum(col("n_tokens")).as("toks"))
       .collect()

@@ -50,6 +50,24 @@ class GroupQuantileCutSpec extends SparkSpec {
       None -> 2L), byGroup)
   }
 
+  test("checked-bound dispatch: a high-cardinality group falls back to the window path, same answer") {
+    // group = the id itself — the adversarial caller the histogram path
+    // must NOT collect (groups × nBins would be data-sized). Forcing the
+    // ceiling down proves the dispatch fires; the two paths must agree.
+    val df = corpus(200, 3)
+    val hist = GroupQuantileCut(df, "doc_id", "grp", $"q", 0.4, nBins = 16)
+      .select($"doc_id").as[Long].collect().toSet
+    val fell = GroupQuantileCut(df, "doc_id", "grp", $"q", 0.4, nBins = 16,
+      maxDriverCells = 1L) // everything exceeds: always the window path
+    assert(fell.select($"doc_id").as[Long].collect().toSet == hist,
+      "the fallback must be the same exact semantics")
+    // genuinely high-cardinality group under the DEFAULT ceiling check:
+    // id-as-group with a tiny ceiling still answers exactly
+    val perId = GroupQuantileCut(df.withColumn("g2", $"doc_id"),
+      "doc_id", "g2", $"q", 1.0, nBins = 16, maxDriverCells = 64L)
+    assert(perId.count() == 200L, "frac=1 keeps every row in every group")
+  }
+
   test("per-group quotas are independent — a dominant group cannot starve others") {
     val df = corpus(300, 2).unionByName(
       (1000L until 1010L).map(i => (i, "small", (i % 7) / 10.0))

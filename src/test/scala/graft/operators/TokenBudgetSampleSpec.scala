@@ -41,6 +41,29 @@ class TokenBudgetSampleSpec extends SparkSpec {
     assert(scaled == exact)
   }
 
+  test("high-cardinality group column: the driver histogram stays |budgets|-bounded") {
+    import spark.implicits._
+    // the adversarial caller the round-13 audit flagged: grouping on a
+    // data-cardinality column (here: one 'lang' PER DOC) with a small
+    // budget map. The pre-filter must keep the collect at
+    // |budgets| × nBuckets regardless — and the answer must still match
+    // the windowed definition (non-budgeted domains drop either way).
+    val df = (1 to 500).map { i =>
+      val lang = if (i <= 20) "keep" else s"host$i" // 481 distinct domains
+      (i.toLong, lang, Seq.fill(1 + i % 5)("tok").mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val (scaled, exact) = run(df, Map("keep" -> 30L))
+    assert(scaled == exact)
+    assert(scaled.nonEmpty && scaled.forall(_._2 == "keep"))
+    // the checked ceiling refuses an un-collectable request outright
+    intercept[IllegalArgumentException] {
+      val budgets = (1 to 100000).map(i => s"l$i" -> 10L).toMap
+      TokenBudgetSample(df, "doc_id", "lang",
+        size(split(trim(col("text")), " ")).cast("long"), budgets,
+        nBuckets = 256)
+    }
+  }
+
   test("budget 0 / missing domain drops it; huge budget keeps everything") {
     val (scaled, exact) = run(docs(90),
       Map("aa" -> 0L, "cc" -> 1000000L)) // bb missing
