@@ -22,81 +22,88 @@ object UrlCuration {
     * downstream. */
   def host(url: Column): Column = parse_url(url, lit("HOST"))
 
-  /** Trimmed public-suffix lexicon (round 13, filling the documented
-    * slot): the widely-used two-label registry suffixes under which
-    * domains are registered — `a.co.uk` and `b.co.uk` are DIFFERENT
-    * registrable domains, which the last-two-label heuristic collapsed.
-    * This is the publicsuffix.org model at broadcast-literal scale: the
-    * full list (~9k rules incl. wildcards/exceptions) would ship as a
-    * broadcast lookup table joined on the candidate suffix without
-    * changing the column shape; the subset below covers the major ccTLD
-    * registries a web crawl actually hits, and every UNLISTED suffix
-    * falls back to the last-two-label rule. */
-  val PublicSuffixes: Seq[String] = Seq(
-    // UK / IE
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk", "me.uk",
-    // Australia / New Zealand
-    "com.au", "net.au", "org.au", "edu.au", "gov.au", "id.au",
-    "co.nz", "net.nz", "org.nz", "ac.nz", "govt.nz",
-    // Japan / Korea / China / Taiwan / Hong Kong / Singapore
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp", "ad.jp", "ed.jp",
-    "co.kr", "ne.kr", "or.kr", "ac.kr", "go.kr",
-    "com.cn", "net.cn", "org.cn", "edu.cn", "gov.cn", "ac.cn",
-    "com.tw", "net.tw", "org.tw", "edu.tw", "gov.tw",
-    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk",
-    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg",
-    // India / South Africa / Israel / Turkey
-    "co.in", "net.in", "org.in", "ac.in", "gov.in", "res.in",
-    "co.za", "net.za", "org.za", "ac.za", "gov.za", "web.za",
-    "co.il", "org.il", "net.il", "ac.il", "gov.il",
-    "com.tr", "net.tr", "org.tr", "edu.tr", "gov.tr",
-    // Latin America
-    "com.br", "net.br", "org.br", "gov.br", "edu.br",
-    "com.mx", "net.mx", "org.mx", "edu.mx", "gob.mx",
-    "com.ar", "net.ar", "org.ar", "edu.ar", "gob.ar",
-    "com.co", "net.co", "org.co", "edu.co", "gov.co",
-    "com.pe", "net.pe", "org.pe", "edu.pe", "gob.pe",
-    "com.ve", "net.ve", "org.ve", "co.ve",
-    "com.cl", "cl.cl",
-    // Europe (multi-label registries)
-    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "waw.pl",
-    "com.pt", "edu.pt", "gov.pt", "org.pt",
-    "com.gr", "net.gr", "org.gr", "edu.gr", "gov.gr",
-    "com.ro", "org.ro", "nt.ro",
-    "com.ru", "net.ru", "org.ru", "msk.ru", "spb.ru",
-    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "kiev.ua",
-    // Egypt / Saudi / UAE / Indonesia / Malaysia / Philippines /
-    // Thailand / Vietnam / Pakistan / Bangladesh / Nigeria / Kenya
-    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
-    "com.sa", "net.sa", "org.sa", "edu.sa", "gov.sa",
-    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
-    "co.id", "net.id", "or.id", "ac.id", "go.id", "web.id",
-    "com.my", "net.my", "org.my", "edu.my", "gov.my",
-    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
-    "co.th", "net.th", "or.th", "ac.th", "go.th", "in.th",
-    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
-    "com.pk", "net.pk", "org.pk", "edu.pk", "gov.pk",
-    "com.bd", "net.bd", "org.bd", "edu.bd", "gov.bd",
-    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
-    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke")
+  /** Full public-suffix rule set (round 14): the complete
+    * publicsuffix.org rule GRAMMAR — exact rules up to 4 labels,
+    * wildcard rules (`*.ck` makes every `<label>.ck` a public suffix),
+    * and exception rules (`!www.ck` carves `www.ck` back out as a
+    * registrable domain) — parsed from the shipped snapshot resource
+    * `graft/public_suffix_list.dat` (the published list's own line
+    * format, so swapping in the full ~9k-rule file is a data change
+    * only). Rules are partitioned by label count at class-load; the
+    * per-row probes below are InSet memberships over these broadcast
+    * literal sets. */
+  object PublicSuffixList {
+    val (exactByLabels, wildcardParentsByLabels, exceptionsByLabels):
+        (Map[Int, Seq[String]], Map[Int, Seq[String]], Map[Int, Seq[String]]) = {
+      val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+      require(in != null, "graft/public_suffix_list.dat resource missing")
+      val lines =
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("//")).toVector
+        finally in.close()
+      def byLabels(rs: Seq[String]) =
+        rs.distinct.groupBy(_.count(_ == '.') + 1)
+          .view.mapValues(_.sorted).toMap
+      (byLabels(lines.filterNot(l => l.startsWith("!") || l.startsWith("*."))),
+        byLabels(lines.filter(_.startsWith("*.")).map(_.stripPrefix("*."))),
+        byLabels(lines.filter(_.startsWith("!")).map(_.stripPrefix("!"))))
+    }
+    /** deepest public-suffix label count any rule can produce */
+    val maxSuffixLabels: Int =
+      ((exactByLabels.keySet - 1) ++ wildcardParentsByLabels.keySet.map(_ + 1))
+        .maxOption.getOrElse(1)
+  }
 
-  /** Registrable domain under the [[PublicSuffixes]] lexicon: when the
-    * host's last TWO labels form a listed public suffix (and a third
-    * label exists), the registrable domain is the last THREE labels
-    * (`news.bbc.co.uk` → `bbc.co.uk`); otherwise the last-two-label rule
-    * applies (`www.news.example.org` → `example.org`). Hosts with fewer
-    * than two labels pass through. Pure codegen'd per-row work: the
-    * lexicon probe is an InSet membership over the broadcast literal
-    * list — one O(1) check per row, same cost class as the old
-    * heuristic. */
+  /** Two-label public suffixes — the slice of [[PublicSuffixList]] the
+    * SQL oracle mirrors with a flat IN list (the only rule depth the
+    * derived-URL fixtures exercise; `e_psl_domains` grades the full
+    * grammar against hand-derived expectations). */
+  val PublicSuffixes: Seq[String] =
+    PublicSuffixList.exactByLabels.getOrElse(2, Seq.empty)
+
+  /** Registrable domain under the full [[PublicSuffixList]] rule set,
+    * per the publicsuffix.org algorithm: the prevailing rule is the
+    * matching EXCEPTION if any, else the matching rule with the MOST
+    * labels (wildcard `*` consumes exactly one label), else the default
+    * rule (last label); the registrable domain is the public suffix
+    * plus one label — `news.bbc.co.uk` → `bbc.co.uk`,
+    * `shop.foo.ck` → `shop.foo.ck` (`*.ck` makes `foo.ck` the suffix),
+    * `www.ck` → `www.ck` (the `!www.ck` exception),
+    * `x.pvt.k12.ma.us` → `x.pvt.k12.ma.us` (4-label exact rule). A host
+    * that IS a public suffix (or has a single label) passes through.
+    * Pure codegen'd per-row work: one bounded when-ladder of InSet
+    * probes over the broadcast literal rule sets — O(maxRuleDepth)
+    * checks per row, corpus-size-independent. */
   def registrableDomain(hostCol: Column): Column = {
+    import PublicSuffixList._
     val parts = split(hostCol, "\\.")
-    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
-    val last3 = concat_ws(".", element_at(parts, -3), element_at(parts, -2),
-      element_at(parts, -1))
-    when(size(parts) >= 3 && last2.isin(PublicSuffixes: _*), last3)
-      .when(size(parts) >= 2, last2)
-      .otherwise(hostCol)
+    val n = size(parts)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    val cases = Seq.newBuilder[(Column, Column)]
+    // exception rules outrank everything: the matching exception IS the
+    // registrable domain (its public suffix = the exception minus its
+    // leftmost label)
+    exceptionsByLabels.keys.toSeq.sorted.reverse.foreach { k =>
+      cases += ((n >= k && lastK(k).isin(exceptionsByLabels(k): _*), lastK(k)))
+    }
+    // deepest matching rule wins: suffix length s from an s-label exact
+    // rule or an (s-1)-label wildcard parent
+    (maxSuffixLabels to 2 by -1).foreach { s =>
+      val conds =
+        exactByLabels.get(s).map(v => lastK(s).isin(v: _*)).toSeq ++
+          wildcardParentsByLabels.get(s - 1).map(v => lastK(s - 1).isin(v: _*))
+      if (conds.nonEmpty) {
+        val cond = conds.reduce(_ || _)
+        cases += ((n >= s + 1 && cond, lastK(s + 1)))
+        cases += ((n === s && cond, hostCol)) // host IS a public suffix
+      }
+    }
+    val ladder = cases.result().foldLeft(Option.empty[Column]) {
+      case (None, (c, v)) => Some(when(c, v))
+      case (Some(acc), (c, v)) => Some(acc.when(c, v))
+    }.get
+    ladder.when(n >= 2, lastK(2)).otherwise(hostCol) // default rule '*'
   }
 
   /** Query parameters dropped by [[canonicalUrl]] — the tracking noise

@@ -3829,6 +3829,35 @@ object ExtQueries {
     graft.functions.UrlCuration.hostScorecard(
       Tables.documents(s, d).withColumn("url", syntheticUrl), "url", "text")
 
+  /** Full public-suffix GRAMMAR fixture (round 14): hosts derived from
+    * (lang, source) so every rule KIND of
+    * [[graft.functions.UrlCuration.PublicSuffixList]] fires — the
+    * default rule (.org), a 2-label exact rule (.co.uk/.com.au), a
+    * wildcard rule at two depths (`*.ck`), its exception (`!www.ck`), a
+    * 2-label-parent wildcard (`*.nagoya.jp`) with its exception
+    * (`!city.nagoya.jp`), and a 4-label exact rule (`pvt.k12.ma.us`).
+    * The oracle writes each pattern's expected registrable domain
+    * directly from publicsuffix.org semantics — an independent
+    * derivation, not a mirror of the engine's ladder. */
+  def ePslDomains(s: SparkSession, d: String): DataFrame = {
+    val m = col("doc_id") % 9
+    val host =
+      when(m === 0, concat(col("lang"), lit("."), col("source"), lit(".org")))
+        .when(m === 1, concat(lit("www."), col("source"), lit(".co.uk")))
+        .when(m === 2, concat(lit("shop."), col("source"), lit(".ck")))
+        .when(m === 3, lit("www.ck"))
+        .when(m === 4, concat(lit("a.b."), col("source"), lit(".ck")))
+        .when(m === 5, concat(col("lang"), lit("."), col("source"), lit(".com.au")))
+        .when(m === 6, concat(col("source"), lit(".pvt.k12.ma.us")))
+        .when(m === 7, concat(lit("x.blog."), col("source"), lit(".nagoya.jp")))
+        .otherwise(lit("www.city.nagoya.jp"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), host.as("host"))
+      .withColumn("domain",
+        graft.functions.UrlCuration.registrableDomain(col("host")))
+      .orderBy("doc_id")
+  }
+
   /** Per-host dedup weighting — the RefinedWeb/CCNet-style sampler input:
     * for each parsed host, how many of its docs the near-dup apply would
     * drop (the `e_dedup_apply` survivor convention over the memoized
@@ -6787,6 +6816,7 @@ object ExtQueries {
     "e_source_scorecard" -> (eSourceScorecard _),
     "e_domain_filter" -> (eDomainFilter _),
     "e_host_scorecard" -> (eHostScorecard _),
+    "e_psl_domains" -> (ePslDomains _),
     "e_host_dup_weight" -> (eHostDupWeight _),
     "e_html_strip" -> (eHtmlStrip _),
     "e_url_canonical" -> (eUrlCanonical _),
@@ -8233,6 +8263,30 @@ object ExtQueries {
          |  round(1.0 - CAST(count(DISTINCT md5(trim(lower(text)))) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE), 6) AS exact_dup_rate
          |FROM hd GROUP BY host ORDER BY host""".stripMargin,
+    "e_psl_domains" ->
+      """WITH u AS (SELECT doc_id, lang, source, doc_id % 9 AS m FROM documents)
+        |SELECT doc_id,
+        |  CASE m
+        |    WHEN 0 THEN lang || '.' || source || '.org'
+        |    WHEN 1 THEN 'www.' || source || '.co.uk'
+        |    WHEN 2 THEN 'shop.' || source || '.ck'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'a.b.' || source || '.ck'
+        |    WHEN 5 THEN lang || '.' || source || '.com.au'
+        |    WHEN 6 THEN source || '.pvt.k12.ma.us'
+        |    WHEN 7 THEN 'x.blog.' || source || '.nagoya.jp'
+        |    ELSE 'www.city.nagoya.jp' END AS host,
+        |  CASE m
+        |    WHEN 0 THEN source || '.org'
+        |    WHEN 1 THEN source || '.co.uk'
+        |    WHEN 2 THEN 'shop.' || source || '.ck'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'b.' || source || '.ck'
+        |    WHEN 5 THEN source || '.com.au'
+        |    WHEN 6 THEN source || '.pvt.k12.ma.us'
+        |    WHEN 7 THEN 'blog.' || source || '.nagoya.jp'
+        |    ELSE 'city.nagoya.jp' END AS domain
+        |FROM u ORDER BY doc_id""".stripMargin,
     "e_host_dup_weight" ->
       s"""WITH $nearDupGraphCtes,
          |$urlCtes,

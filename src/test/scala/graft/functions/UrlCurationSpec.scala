@@ -23,6 +23,50 @@ class UrlCurationSpec extends SparkSpec {
     assert(got("http://single/p") == (("single", "single")))
   }
 
+  private def dom(host: String): String =
+    Seq(host).toDF("host")
+      .select(UrlCuration.registrableDomain($"host").as("d")).as[String].head()
+
+  test("full PSL grammar: exact, wildcard, exception, deep rules, passthrough") {
+    // 2-label exact rule
+    assert(dom("news.bbc.co.uk") == "bbc.co.uk")
+    assert(dom("bbc.co.uk") == "bbc.co.uk")
+    assert(dom("co.uk") == "co.uk", "a bare public suffix passes through")
+    // wildcard *.ck: every <label>.ck is a public suffix
+    assert(dom("shop.foo.ck") == "shop.foo.ck")
+    assert(dom("a.b.foo.ck") == "b.foo.ck")
+    assert(dom("foo.ck") == "foo.ck", "foo.ck IS a public suffix under *.ck")
+    // exception !www.ck carves the domain back out
+    assert(dom("www.ck") == "www.ck")
+    assert(dom("sub.www.ck") == "www.ck")
+    // 2-label wildcard parent *.nagoya.jp and its exception
+    assert(dom("x.blog.site.nagoya.jp") == "blog.site.nagoya.jp")
+    assert(dom("www.city.nagoya.jp") == "city.nagoya.jp")
+    assert(dom("city.nagoya.jp") == "city.nagoya.jp")
+    // plain co.jp rule still wins at its depth
+    assert(dom("shop.rakuten.co.jp") == "rakuten.co.jp")
+    // 3- and 4-label exact rules (US K-12 hierarchy)
+    assert(dom("school.district.k12.ma.us") == "district.k12.ma.us")
+    assert(dom("x.academy.pvt.k12.ma.us") == "academy.pvt.k12.ma.us")
+    assert(dom("academy.pvt.k12.ma.us") == "academy.pvt.k12.ma.us")
+    // default rule: unlisted TLD keeps last two labels
+    assert(dom("www.news.example.org") == "example.org")
+    assert(dom("single") == "single")
+  }
+
+  test("the rule tables parse into label-count partitions with every rule kind present") {
+    import UrlCuration.PublicSuffixList._
+    assert(exactByLabels(2).contains("co.uk"))
+    assert(exactByLabels(3).contains("k12.ma.us"))
+    assert(exactByLabels(4).contains("pvt.k12.ma.us"))
+    assert(wildcardParentsByLabels(1).contains("ck"))
+    assert(wildcardParentsByLabels(2).contains("nagoya.jp"))
+    assert(exceptionsByLabels(2) == Seq("www.ck"))
+    assert(exceptionsByLabels(3).contains("city.nagoya.jp"))
+    assert(maxSuffixLabels == 4)
+    assert(UrlCuration.PublicSuffixes.contains("com.au"))
+  }
+
   test("domainFilter drops blocked registrable domains, keeps the rest") {
     val docs = Seq(
         (1L, "http://a.keep.org/x"),
