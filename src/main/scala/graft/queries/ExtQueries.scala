@@ -3554,6 +3554,7 @@ object ExtQueries {
     val p = new org.apache.hadoop.fs.Path(root)
     val hfs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (hfs.exists(p)) hfs.delete(p, true)
+    hfs.deleteOnExit(p) // app-id-keyed dirs must not accumulate across runs
     root
   }
 

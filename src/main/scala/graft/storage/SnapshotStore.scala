@@ -80,7 +80,7 @@ object SnapshotStore {
 
   /** Operations whose commits rewrite existing rows into new files
     * without changing logical content — excluded from the change feed. */
-  val RewriteOps: Set[String] = Set("compact", "zorder")
+  val RewriteOps: Set[String] = Set("compact", "zorder", "hilbert")
 
   /** Orphaned same-version data dirs younger than this are refused (a
     * live writer may own them); older ones are reclaimed unattended.
@@ -89,6 +89,12 @@ object SnapshotStore {
   val DefaultReclaimGraceMs: Long = 10L * 60 * 1000
 
   private val MaxCommitAttempts = 5
+
+  /** Stats are collected for at most this many leading supported columns
+    * (schema order) — the Delta `dataSkippingNumIndexedCols` discipline:
+    * commit-time stats cost must not grow with arbitrary table width.
+    * Untracked columns simply never prune (conservative). */
+  val MaxStatsColumns: Int = 32
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -468,7 +474,8 @@ object SnapshotStore {
                            files: Seq[String]): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     val df = spark.read.parquet(dataDir)
-    val statCols = df.schema.fields.filter(f => statsSupported(f.dataType)).toSeq
+    val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
+      .take(MaxStatsColumns).toSeq
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(f => Seq(
       min(col(f.name)).as(s"__min_${f.name}"),
       max(col(f.name)).as(s"__max_${f.name}")))
@@ -606,6 +613,19 @@ object SnapshotStore {
               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
     commitFiles(spark, dir, "zorder", reclaimGraceMs = reclaimGraceMs) {
       dataDir => ZOrder.cluster(read(spark, dir), xCol, yCol, nFiles, bits)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
+
+  /** Maintenance commit: [[Hilbert.cluster]] the latest version into a
+    * new version (operation `hilbert`) — the locality upgrade over
+    * [[cluster]] (every curve step is distance 1, so file min/max boxes
+    * are tighter), through the same commit protocol and the same
+    * stats-driven file skipping. */
+  def clusterHilbert(spark: SparkSession, dir: String, xCol: String,
+                     yCol: String, nFiles: Int, bits: Int = 16,
+                     reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    commitFiles(spark, dir, "hilbert", reclaimGraceMs = reclaimGraceMs) {
+      dataDir => Hilbert.cluster(read(spark, dir), xCol, yCol, nFiles, bits)
         .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
 

@@ -235,6 +235,25 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(skipped == full && full.size == 16)
   }
 
+  test("a hilbert cluster commit prunes like z-order and is a rewrite op for the change feed") {
+    val dir = freshDir()
+    val df = (0L until 1024L).map(i => (i, i % 32, i / 32, s"r$i"))
+      .toDF("doc_id", "x", "y", "payload")
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val v = SnapshotStore.clusterHilbert(spark, dir, "x", "y", nFiles = 16)
+    assert(SnapshotStore.manifest(spark, dir, v).operation == "hilbert")
+    import SnapshotStore.FilePredicate._
+    val pred = And(between("x", 2L, 5L), between("y", 2L, 5L))
+    val pruned = SnapshotStore.prunedFiles(spark, dir, v, pred)
+    assert(pruned.length < SnapshotStore.manifest(spark, dir, v).files.length)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, v, pred)
+      .select("doc_id").as[Long].collect().toSet ==
+      SnapshotStore.readAsOf(spark, dir, v).filter(pred.toColumn)
+        .select("doc_id").as[Long].collect().toSet)
+    assert(SnapshotStore.changedFiles(spark, dir, 1L, v).isEmpty,
+      "a layout rewrite must surface nothing in the change feed")
+  }
+
   test("an all-null stats column prunes under comparison predicates") {
     val dir = freshDir()
     val withNulls = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
