@@ -96,6 +96,15 @@ object SnapshotStore {
     * Untracked columns simply never prune (conservative). */
   val MaxStatsColumns: Int = 32
 
+  /** String min/max are recorded only for files whose longest value in
+    * the column fits this bound — a document-body column would otherwise
+    * bloat every manifest entry with kilobyte bounds that never prune
+    * anything useful. Dropping the column's stats (not truncating) keeps
+    * the bounds EXACT: a truncated max is not an upper bound without a
+    * code-point rounding step whose UTF-8/UTF-16 edge cases buy nothing
+    * here. Untracked = never prunes = conservative. */
+  val MaxStatsStringLen: Int = 64
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -476,16 +485,29 @@ object SnapshotStore {
     val df = spark.read.parquet(dataDir)
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
       .take(MaxStatsColumns).toSeq
-    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap(f => Seq(
-      min(col(f.name)).as(s"__min_${f.name}"),
-      max(col(f.name)).as(s"__max_${f.name}")))
+    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { f =>
+      Seq(min(col(f.name)).as(s"__min_${f.name}"),
+        max(col(f.name)).as(s"__max_${f.name}")) ++
+        (if (f.dataType == StringType)
+          Seq(max(length(col(f.name))).as(s"__len_${f.name}")) else Seq.empty)
+    }
     val rows = df.groupBy(input_file_name().as("__path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per newly written file
     val byKey = rows.map { r =>
-      val cols = statCols.zipWithIndex.map { case (f, i) =>
-        f.name -> ColStats(f.dataType.simpleString,
-          statValue(r.get(2 + 2 * i)), statValue(r.get(3 + 2 * i)))
+      var i = 2
+      val cols = statCols.flatMap { f =>
+        val (mn, mx) = (statValue(r.get(i)), statValue(r.get(i + 1)))
+        i += 2
+        val keep =
+          if (f.dataType == StringType) {
+            val maxLen = Option(r.get(i)).map(_.asInstanceOf[Number].intValue())
+            i += 1
+            maxLen.forall(_ <= MaxStatsStringLen)
+          } else true
+        if (keep)
+          Some(f.name -> ColStats(f.dataType.simpleString, mn, mx))
+        else None
       }.toMap
       pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols)
     }.toMap

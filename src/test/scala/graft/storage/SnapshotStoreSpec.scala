@@ -216,6 +216,24 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, none).count() == 0L)
   }
 
+  test("long-string columns carry no stats (lean manifests) but still read correctly") {
+    val dir = freshDir()
+    val body = "x" * 200
+    val df = (1L to 20L).map(i => (i, s"$body $i", s"t$i"))
+      .toDF("doc_id", "body", "tag").repartitionByRange(2, col("doc_id"))
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    assert(m.stats.values.forall(!_.cols.contains("body")),
+      "a >64-char string column must be dropped from stats")
+    assert(m.stats.values.forall(_.cols.contains("tag")),
+      "short string columns keep stats")
+    import SnapshotStore.FilePredicate._
+    // untracked column: no pruning, but the residual filter still applies
+    val p = EqTo("body", s"$body 7")
+    assert(SnapshotStore.prunedFiles(spark, dir, 1L, p).length == 2)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, p).count() == 1L)
+  }
+
   test("a z-order cluster commit makes the 2-d range predicate prune at file grain") {
     val dir = freshDir()
     val df = (0L until 1024L).map(i => (i, i % 32, i / 32, s"r$i"))
