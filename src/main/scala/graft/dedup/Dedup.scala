@@ -887,31 +887,55 @@ object Dedup {
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
     val counts = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    // prefix length = n − ceil(t·n) + 1, all-integer
+    // prefix length = n − ceil(t·n) + 1, all-integer; rows keep (rn, n)
+    // so the in-join filters below run BEFORE any pair materializes
     val prefix = ranked.join(counts, Seq("doc_id"))
       .filter(col("rn") <=
         col("n") - expr(s"CAST((n * $tNum + $tDen - 1) DIV $tDen AS BIGINT)") + 1)
-      .select(col("doc_id"), col("sh"))
-    // the second standard PPJoin prune — length filter: Jaccard ≥ t
-    // forces min(|A|,|B|) ≥ t·max(|A|,|B|), so size-incompatible
-    // candidates are dropped BEFORE the verification join. Pure pruning
-    // of non-qualifying pairs: the result (and the oracle) is unchanged.
-    val cand = prefix.as("a").join(prefix.as("b"), Seq("sh"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("doc_id"), col("sh"), col("rn"), col("n"))
+    // the second and third standard PPJoin prunes, applied INSIDE the
+    // pair join — i.e. before the distinct shuffle and the verification
+    // join ever see a pair (on a corpus whose shingle space saturates —
+    // closed vocabulary, df per shingle growing with n — the raw
+    // prefix-bucket pair mass is the dominant cost, so every pair cut
+    // here is cut from the two most expensive downstream exchanges):
+    //  - LENGTH filter: Jaccard ≥ t forces min(|A|,|B|) ≥ t·max(|A|,|B|);
+    //  - POSITIONAL filter (Xiao et al. 2008): a pair first co-occurring
+    //    at prefix positions (i, j) can overlap at most
+    //    1 + min(|A| − i, |B| − j), which must reach the required
+    //    overlap α = ceil(t/(1+t)·(|A|+|B|)) — integer-exact as
+    //    ubound·(tNum+tDen) ≥ tNum·(|A|+|B|).
+    // Pure pruning of non-qualifying pairs: the result (and the oracle)
+    // is unchanged — both bounds are implied by Jaccard ≥ t.
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * lit(tDen) >=
+            greatest(col("a.n"), col("b.n")) * lit(tNum) &&
+          (lit(1) + least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))) *
+            lit(tNum + tDen) >= (col("a.n") + col("b.n")) * lit(tNum))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("__na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("__nb")), Seq("doc_b"))
-      .filter(least(col("__na"), col("__nb")) * tDen >=
-        greatest(col("__na"), col("__nb")) * tNum)
-      .select(col("doc_a"), col("doc_b"))
+    // exact verification on per-doc shingle ARRAYS: two narrow joins of
+    // the candidate pairs against a one-row-per-doc array table, then a
+    // codegen'd array_intersect per pair. The row-explosion alternative
+    // (cand ⋈ sets ⋈ sets → groupBy count) shuffles candidates × set
+    // size rows — two orders of magnitude more exchange volume when the
+    // corpus's shingle space saturates and candidates are dense. Array
+    // size is doc-bounded (a doc's distinct shingles), never corpus-
+    // bounded, so executor memory is safe at any scale.
+    val arrays = sets.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("arr"),
+        count(lit(1)).as("n"))
     val inter = cand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      .join(arrays.select(col("doc_id").as("doc_a"), col("arr").as("arr_a"),
+        col("n").as("n_a")), Seq("doc_a"))
+      .join(arrays.select(col("doc_id").as("doc_b"), col("arr").as("arr_b"),
+        col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        size(array_intersect(col("arr_a"), col("arr_b")))
+          .cast("long").as("n_inter"))
     inter
-      .join(counts.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
       // threshold test on exact integers (n_inter·tDen ≥ |A∪B|·tNum) so the
       // no-false-negative contract holds for EVERY rational t — filtering on
       // the 6-dp-rounded display jaccard would drop a pair whose true

@@ -15,9 +15,9 @@ class PrefixFilterJoinSpec extends SparkSpec {
       i <- ids; j <- ids if i < j
       inter = (sets(i) & sets(j)).size
       uni = (sets(i) | sets(j)).size
-      jac = BigDecimal(inter.toDouble / uni)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      if jac * tDen >= tNum
+      // exact rational compare, like the engine: rounding the display
+      // jaccard first would mis-handle boundary pairs at t = 1/3 etc.
+      if inter.toLong * tDen >= uni.toLong * tNum
     } yield (i, j, inter.toLong)).toSet
   }
 
@@ -32,11 +32,17 @@ class PrefixFilterJoinSpec extends SparkSpec {
     }.toMap
     val rows = sets.toSeq.flatMap { case (id, s) => s.map(v => (id, v)) }
     val df = spark.createDataFrame(rows).toDF("doc_id", "sh")
-    val got = Dedup.prefixFilterJoin(df, 1L, 2L).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
-    val want = bruteForce(sets, 1L, 2L)
-    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
-    assert(want.nonEmpty, "seeded corpus produced no qualifying pairs")
+    // several rationals, so the all-integer prefix/length/positional
+    // bounds are exercised away from the friendly t = 1/2 arithmetic
+    for ((tNum, tDen) <- Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))) {
+      val got = Dedup.prefixFilterJoin(df, tNum, tDen).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).toSet
+      val want = bruteForce(sets, tNum, tDen)
+      assert(got == want,
+        s"t=$tNum/$tDen missing=${want -- got} extra=${got -- want}")
+    }
+    assert(bruteForce(sets, 1L, 2L).nonEmpty,
+      "seeded corpus produced no qualifying pairs")
   }
 
   test("threshold 1 keeps only identical sets") {
