@@ -422,6 +422,27 @@ object SnapshotStore {
     else spark.read.parquet(files: _*)
   }
 
+  /** [[readChangesSince]] with data skipping: the added-file list is
+    * further pruned by each commit's per-file stats before the scan,
+    * and the predicate's row form applies as the residual filter — an
+    * incremental consumer that only wants a slice (one language, one id
+    * range) touches neither history NOR the off-slice files of the new
+    * commits. Exactly `readChangesSince(..).filter(pred.toColumn)`. */
+  def readChangesSinceWhere(spark: SparkSession, dir: String,
+                            fromVersion: Long, toVersion: Long,
+                            pred: FilePredicate): DataFrame = {
+    val files = changedFiles(spark, dir, fromVersion, toVersion)
+    // stats live in each file's OWN commit manifest; toVersion's
+    // manifest carries them all forward for append chains, but rewrite
+    // interleavings can drop carried stats, so consult the whole range
+    val stats = (math.max(1L, fromVersion) to toVersion)
+      .flatMap(v => manifest(spark, dir, v).stats).toMap
+    val keep = files.filter(f => stats.get(f).forall(pred.mightMatch))
+    if (keep.isEmpty) readAsOf(spark, dir, toVersion)
+      .filter(pred.toColumn).limit(0)
+    else spark.read.parquet(keep: _*).filter(pred.toColumn)
+  }
+
   // ---------------------------------------------------------------- writers
 
   /** Commit `df` as the next version (full-snapshot semantics: the new

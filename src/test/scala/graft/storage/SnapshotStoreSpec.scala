@@ -312,6 +312,27 @@ class SnapshotStoreSpec extends SparkSpec {
     }
   }
 
+  test("readChangesSinceWhere prunes added files by stats and matches the filtered feed") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartitionByRange(2, col("doc_id")), "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      (101L to 300L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "append")
+    import SnapshotStore.FilePredicate._
+    val pred = between("doc_id", 120L, 140L)
+    val got = SnapshotStore.readChangesSinceWhere(spark, dir, 1L, 2L, pred)
+    assert(got.select("doc_id").as[Long].collect().toSet ==
+      SnapshotStore.readChangesSince(spark, dir, 1L, 2L)
+        .filter(pred.toColumn).select("doc_id").as[Long].collect().toSet)
+    assert(got.count() == 21L)
+    // the scan itself touched fewer than all four added files
+    val added = SnapshotStore.changedFiles(spark, dir, 1L, 2L)
+    val stats = SnapshotStore.manifest(spark, dir, 2L).stats
+    assert(added.count(f => stats.get(f).forall(pred.mightMatch)) < added.length)
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
