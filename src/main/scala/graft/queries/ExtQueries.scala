@@ -3607,6 +3607,30 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Catalyst-integrated snapshot read (round 14): commit + Z-order,
+    * then answer a range query through
+    * [[graft.storage.SnapshotFileIndex.readAsOfTable]] with a PLAIN
+    * `.filter` — the custom FileIndex receives the pushed-down
+    * predicate from the scan and prunes the manifest's file list by the
+    * committed per-file stats, with no explicit FilePredicate plumbing
+    * (the Delta TahoeFileIndex shape; pruned-count plan assertions are
+    * `SnapshotFileIndexSpec`'s business). Answer ≡ the full scan. */
+  def eSnapshotCatalog(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "cat")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs, "ingest")
+    val v = store.cluster(s, root, "doc_id", "n_chars", nFiles = 8)
+    graft.storage.SnapshotFileIndex.readAsOfTable(s, root, v)
+      .filter(col("doc_id") >= 40 && col("doc_id") <= 310 && col("n_chars") >= 30)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("source")
+  }
+
   /** File-grain change feed over the manifest log (round 14): three
     * content commits with a compaction REWRITE interleaved —
     * [[graft.storage.SnapshotStore.readChangesSince]] must deliver
@@ -6780,6 +6804,7 @@ object ExtQueries {
     "e_luhn_pii" -> (eLuhnPii _),
     "e_corpus_diff" -> (eCorpusDiff _),
     "e_snapshot_asof" -> (eSnapshotAsof _),
+    "e_snapshot_catalog" -> (eSnapshotCatalog _),
     "e_snapshot_skipping" -> (eSnapshotSkipping _),
     "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
@@ -8466,6 +8491,13 @@ object ExtQueries {
         |UNION ALL SELECT 2, 'upsert', n_docs, id_sum, n_distinct_texts FROM v2
         |UNION ALL SELECT 3, 'compact', n_docs, id_sum, n_distinct_texts FROM v2
         |ORDER BY version""".stripMargin,
+    "e_snapshot_catalog" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents
+        |WHERE doc_id BETWEEN 40 AND 310 AND n_chars >= 30
+        |GROUP BY source ORDER BY source""".stripMargin,
     "e_snapshot_skipping" ->
       """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
