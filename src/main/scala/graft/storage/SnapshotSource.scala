@@ -1,9 +1,11 @@
 package graft.storage
 
-import org.apache.spark.sql.SQLContext
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Registered data-source face of the snapshot store:
@@ -12,37 +14,136 @@ import org.apache.spark.sql.types.StructType
   *   spark.read.format("graft-snapshot").load(tableDir)          // latest
   *   spark.read.format("graft-snapshot")
   *     .option("version", 3).load(tableDir)                      // time travel
-  *   // and through SQL DDL:
+  *   // through SQL DDL:
   *   CREATE TABLE t USING `graft-snapshot`
   *     OPTIONS (path '<tableDir>', version '3')
+  *   // and as a STREAM over the manifest log (versions = offsets):
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("startingVersion", 2).load(tableDir)
   * }}}
   *
-  * The relation is the same stats-pruning [[SnapshotFileIndex]]-backed
-  * parquet relation as [[SnapshotFileIndex.readAsOfTable]] — any WHERE
-  * on the table file-skips through the manifest stats, and the plan
-  * stays an ordinary codegen'd parquet FileScan. Registration rides the
-  * standard `RelationProvider` SPI (resolved by class name here — the
-  * engine is a library, not a packaged jar with service files; both the
-  * short name `graft-snapshot` via [[DataSourceRegister]] and the full
-  * class name `graft.storage.SnapshotSource` work once the class is on
-  * the session's classpath). */
-final class SnapshotSource extends RelationProvider with DataSourceRegister {
+  * Batch reads resolve to the same stats-pruning
+  * [[SnapshotFileIndex]]-backed parquet relation as
+  * [[SnapshotFileIndex.readAsOfTable]] — any WHERE file-skips through
+  * the manifest stats, and the plan stays an ordinary codegen'd parquet
+  * FileScan. The streaming form is a V1 [[Source]] whose OFFSETS ARE
+  * MANIFEST VERSIONS: each micro-batch is
+  * [[SnapshotStore.readChangesSince]] over `(startOffset, endOffset]` —
+  * only the files those commits added, rewrite commits excluded — so a
+  * downstream streaming query follows ingest exactly-once (offsets ride
+  * the query's own checkpoint) without ever re-scanning history.
+  * Options: `startingVersion` (first batch starts after
+  * `startingVersion - 1`; default 1 = deliver the full history first),
+  * `maxVersionsPerTrigger` (bound commits per micro-batch). Retention
+  * contract: [[SnapshotStore.vacuum]] must retain at least the
+  * consumer's lag, or recovery refuses loudly (never under-delivers).
+  * Registration rides the standard SPI service file, so both the short
+  * name and the class name resolve. */
+final class SnapshotSource extends RelationProvider with DataSourceRegister
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("graft-snapshot needs a path (load(dir) or OPTIONS(path ...))"))
+
+  private def schemaOf(spark: SparkSession, dir: String,
+                       version: Long): StructType = {
+    val m = SnapshotStore.manifest(spark, dir, version)
+    require(m.files.nonEmpty, s"version $version holds no data files")
+    spark.read.parquet(m.files: _*).schema
+  }
 
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
-    val dir = parameters.getOrElse("path",
-      sys.error("graft-snapshot needs a path (load(dir) or OPTIONS(path ...))"))
+    val dir = pathOf(parameters)
     val version = parameters.get("version").map(_.trim.toLong)
       .orElse(SnapshotStore.latestVersion(spark, dir))
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    val schema = spark.read.parquet(m.files: _*).schema
     val index: FileIndex = new SnapshotFileIndex(spark, dir, m)
-    HadoopFsRelation(index, new StructType(), schema, None,
+    HadoopFsRelation(index, new StructType(),
+      schemaOf(spark, dir, version), None,
       new ParquetFileFormat(), Map.empty)(spark)
   }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    val s = schema.getOrElse {
+      val v = SnapshotStore.latestVersion(spark, dir).getOrElse(
+        sys.error(s"streaming from $dir needs a committed version " +
+          "or an explicit schema"))
+      schemaOf(spark, dir, v)
+    }
+    (shortName(), s)
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    new SnapshotStreamSource(spark, dir, s,
+      startingVersion = parameters.get("startingVersion")
+        .map(_.trim.toLong).getOrElse(1L),
+      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+        .map(_.trim.toLong))
+  }
+}
+
+/** The manifest-log streaming source: offset N = "everything up to and
+  * including version N has been delivered". `getOffset` advances to the
+  * latest committed version (bounded by `maxVersionsPerTrigger`);
+  * `getBatch(from, to)` is the file-grain change feed over
+  * `(from, to]`, marked streaming through the classic-session bridge
+  * (the `FileStreamSource` construction). Driver work per trigger is
+  * one manifest-dir listing; batch cost is the added files only. */
+final class SnapshotStreamSource(spark: SparkSession, dir: String,
+                                 override val schema: StructType,
+                                 startingVersion: Long,
+                                 maxVersionsPerTrigger: Option[Long])
+    extends Source {
+
+  require(startingVersion >= 1, "startingVersion must be >= 1")
+  // versions before startingVersion count as already delivered
+  private val floor = startingVersion - 1
+
+  private def value(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case s: SerializedOffset => s.json.trim.toLong
+    case other => sys.error(s"unexpected offset $other")
+  }
+
+  @volatile private var lastEnd: Long = floor
+
+  override def getOffset: Option[OffsetV1] =
+    SnapshotStore.latestVersion(spark, dir).flatMap { latest =>
+      val capped = maxVersionsPerTrigger
+        .map(m => math.min(latest, lastEnd + m)).getOrElse(latest)
+      if (capped <= floor) None
+      else { lastEnd = math.max(lastEnd, capped); Some(LongOffset(capped)) }
+    }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = math.max(floor, start.map(value).getOrElse(floor))
+    val to = value(end)
+    // recovery replays the pending batch through getBatch before any
+    // getOffset call — learn the restored high-water mark here so a
+    // maxVersionsPerTrigger cap can never regress below the checkpoint
+    lastEnd = math.max(lastEnd, to)
+    val batch =
+      if (to <= from) SnapshotStore.readAsOf(spark, dir, to).limit(0)
+      else SnapshotStore.readChangesSince(spark, dir, from, to)
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(batch)
+  }
+
+  override def stop(): Unit = ()
 }

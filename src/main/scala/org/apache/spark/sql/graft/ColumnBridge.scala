@@ -13,6 +13,22 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Same convention for the batch→streaming Dataset bridge: a V1
+  * streaming `Source.getBatch` must hand back a DataFrame whose plan is
+  * marked `isStreaming` (the engine rejects plain batch frames inside a
+  * streaming query), and the marker is only settable through the
+  * classic session's `private[sql]` `internalCreateDataFrame` — exactly
+  * how Spark's own `FileStreamSource` builds its batches. */
+object StreamingBridge {
+  def asStreaming(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+}
+
 /** Same convention for the Dataset↔LogicalPlan bridge: Spark 4's
   * `Dataset.ofRows` is `private[sql]` on the classic session — custom
   * logical operators (graft.plans.AsOfJoin) need it to hand a plan back

@@ -29,6 +29,61 @@ class SnapshotSourceSpec extends SparkSpec {
       .load(dir).select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 
+  test("readStream: manifest versions are offsets; appends deliver once, rewrites never") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "ingest")
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsrc-ckpt").toString
+    val q = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(Long, String)].collect(); ()
+      }.start()
+    q.processAllAvailable()
+    assert(got == Set(1L -> "a", 2L -> "b"), "history delivered as batch 0")
+    SnapshotStore.commitAppend(spark, dir, Seq((3L, "c")).toDF("doc_id", "text"), "append")
+    SnapshotStore.compact(spark, dir, targetFileBytes = 64L * 1024 * 1024)
+    SnapshotStore.commitAppend(spark, dir, Seq((4L, "d")).toDF("doc_id", "text"), "append")
+    q.processAllAvailable()
+    q.stop()
+    assert(got == Set(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"),
+      "appends delivered exactly once; the compaction rewrite surfaced nothing")
+
+    // kill-and-resume from the same checkpoint: nothing redelivered
+    val got2 = scala.collection.mutable.Buffer.empty[(Long, String)]
+    SnapshotStore.commitAppend(spark, dir, Seq((5L, "e")).toDF("doc_id", "text"), "append")
+    val q2 = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= b.as[(Long, String)].collect(); ()
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got2.toSet == Set(5L -> "e"),
+      s"resume must deliver only the new commit, got $got2")
+  }
+
+  test("readStream options: startingVersion skips history; maxVersionsPerTrigger bounds batches") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    SnapshotStore.commitAppend(spark, dir, Seq((2L, "b")).toDF("doc_id", "text"), "append")
+    SnapshotStore.commitAppend(spark, dir, Seq((3L, "c")).toDF("doc_id", "text"), "append")
+    val batches = scala.collection.mutable.Buffer.empty[Set[Long]]
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsrc-ckpt2").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", 2).option("maxVersionsPerTrigger", 1)
+      .load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.select("doc_id").as[Long].collect().toSet; ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.toList == List(Set(2L), Set(3L)),
+      s"one version per trigger, history before v2 skipped: $batches")
+  }
+
   test("SQL DDL: CREATE TABLE USING graft-snapshot, WHERE prunes files") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
