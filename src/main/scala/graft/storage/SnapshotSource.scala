@@ -5,7 +5,8 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileIndex}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.{SaveMode => SqlSaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 /** Registered data-source face of the snapshot store:
@@ -40,9 +41,40 @@ import org.apache.spark.sql.types.StructType
   * Registration rides the standard SPI service file, so both the short
   * name and the class name resolve. */
 final class SnapshotSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with CreatableRelationProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** Write face: `df.write.format("graft-snapshot").mode(...)` —
+    * `Append` is [[SnapshotStore.commitAppend]] (one new version = prior
+    * files + the frame's bytes), `Overwrite` is a full-snapshot
+    * [[SnapshotStore.commit]]; both ride the atomic manifest protocol
+    * and record per-file stats, so everything written through the
+    * source is immediately time-travelable, skippable, and streamable.
+    * `ErrorIfExists`/`Ignore` follow their contracts against "any
+    * committed version exists". Option `operation` tags the commit. */
+  override def createRelation(sqlContext: SQLContext, mode: SqlSaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val dir = pathOf(parameters)
+    val op = parameters.getOrElse("operation", "write")
+    val exists = SnapshotStore.latestVersion(spark, dir).isDefined
+    mode match {
+      case SqlSaveMode.Append =>
+        SnapshotStore.commitAppend(spark, dir, data, op)
+      case SqlSaveMode.Overwrite =>
+        SnapshotStore.commit(spark, dir, data, op)
+      case SqlSaveMode.ErrorIfExists if exists =>
+        sys.error(s"graft-snapshot table at $dir already has committed " +
+          "versions (mode ErrorIfExists)")
+      case SqlSaveMode.ErrorIfExists =>
+        SnapshotStore.commit(spark, dir, data, op)
+      case SqlSaveMode.Ignore =>
+        if (!exists) SnapshotStore.commit(spark, dir, data, op)
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

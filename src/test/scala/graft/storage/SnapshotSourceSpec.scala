@@ -84,6 +84,37 @@ class SnapshotSourceSpec extends SparkSpec {
       s"one version per trigger, history before v2 skipped: $batches")
   }
 
+  test("write face: mode append/overwrite commit atomic versions; round-trips through read and stream") {
+    val dir = freshDir()
+    Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").option("operation", "seed").save(dir)
+    Seq((3L, "c")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("append").save(dir)
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L))
+    assert(SnapshotStore.manifest(spark, dir, 1L).operation == "seed")
+    assert(spark.read.format("graft-snapshot").load(dir)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    // overwrite = full snapshot; history keeps reading
+    Seq((9L, "z")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("overwrite").save(dir)
+    assert(spark.read.format("graft-snapshot").load(dir)
+      .select("doc_id").as[Long].collect().toSet == Set(9L))
+    assert(spark.read.format("graft-snapshot").option("version", 2).load(dir)
+      .count() == 3L, "older versions stay readable after overwrite")
+    // ErrorIfExists refuses a second seed; Ignore is a no-op
+    intercept[RuntimeException] {
+      Seq((7L, "x")).toDF("doc_id", "text")
+        .write.format("graft-snapshot").save(dir)
+    }
+    Seq((7L, "x")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("ignore").save(dir)
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L, 3L))
+    // and the written stats are live: the appended commit file-skips
+    import SnapshotStore.FilePredicate._
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 2L,
+      EqTo("doc_id", 3L)).count() == 1L)
+  }
+
   test("SQL DDL: CREATE TABLE USING graft-snapshot, WHERE prunes files") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
