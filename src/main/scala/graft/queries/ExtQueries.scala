@@ -3652,6 +3652,56 @@ object ExtQueries {
       .orderBy("doc_id")
   }
 
+  /** Copy-on-write MERGE through the snapshot store (round 14): an
+    * UPDATE merge (narrow key envelope — off-envelope files are carried,
+    * not rewritten) followed by an INSERT merge (envelope past the
+    * table's tail — zero base files rewritten), then one aggregate over
+    * the merged state. Upsert semantics are oracle-checked end to end;
+    * the carried-file / envelope-pruning contract is
+    * `SnapshotStoreSpec`'s business. */
+  def eSnapshotMerge(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "mrg")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    val updates = docs.filter(col("doc_id").between(100L, 300L))
+      .withColumn("text", concat(col("text"), lit(" v2")))
+    store.merge(s, root, updates, Seq("doc_id"))
+    val inserts = docs.filter(col("doc_id") % 17 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000L))
+    val v = store.merge(s, root, inserts, Seq("doc_id"))
+    store.readAsOf(s, root, v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .orderBy("lang")
+  }
+
+  /** Copy-on-write DELETE through the snapshot store (round 14): a
+    * range delete (stats carry the off-range files of the
+    * range-partitioned layout untouched) then a string-equality delete,
+    * chained through the same atomic-manifest protocol; the remaining
+    * state is oracle-checked as a plain filtered aggregate. */
+  def eSnapshotDelete(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "del")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.deleteWhere(s, root, between("doc_id", 150L, 450L))
+    val v = store.deleteWhere(s, root, EqTo("lang", "zh"))
+    store.readAsOf(s, root, v)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("source")
+  }
+
   def eFingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -6807,6 +6857,8 @@ object ExtQueries {
     "e_snapshot_catalog" -> (eSnapshotCatalog _),
     "e_snapshot_skipping" -> (eSnapshotSkipping _),
     "e_snapshot_changes" -> (eSnapshotChanges _),
+    "e_snapshot_merge" -> (eSnapshotMerge _),
+    "e_snapshot_delete" -> (eSnapshotDelete _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8508,6 +8560,25 @@ object ExtQueries {
     "e_snapshot_changes" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,
+    "e_snapshot_merge" ->
+      """WITH upd AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 100 AND 300
+        |      THEN text || ' v2' ELSE text END AS text, lang
+        |  FROM documents),
+        |ins AS (SELECT doc_id + 1000000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id % 17 = 0),
+        |merged AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM merged GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_delete" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
+        |GROUP BY source ORDER BY source""".stripMargin,
     "e_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1, 1 AS p1 FROM documents
         |  WHERE doc_id % 11 <> 0),

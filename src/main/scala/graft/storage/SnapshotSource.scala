@@ -52,7 +52,10 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     * and record per-file stats, so everything written through the
     * source is immediately time-travelable, skippable, and streamable.
     * `ErrorIfExists`/`Ignore` follow their contracts against "any
-    * committed version exists". Option `operation` tags the commit. */
+    * committed version exists". Option `operation` tags the commit;
+    * option `mergeKeys` (comma-separated columns) turns `Append` into a
+    * copy-on-write UPSERT — [[SnapshotStore.merge]]: same-key rows
+    * replaced, new keys appended, off-envelope files carried. */
   override def createRelation(sqlContext: SQLContext, mode: SqlSaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
@@ -62,7 +65,11 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
-        SnapshotStore.commitAppend(spark, dir, data, op)
+        parameters.get("mergeKeys") match {
+          case Some(keys) => SnapshotStore.merge(spark, dir, data,
+            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          case None => SnapshotStore.commitAppend(spark, dir, data, op)
+        }
       case SqlSaveMode.Overwrite =>
         SnapshotStore.commit(spark, dir, data, op)
       case SqlSaveMode.ErrorIfExists if exists =>

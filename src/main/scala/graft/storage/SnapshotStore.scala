@@ -468,6 +468,99 @@ object SnapshotStore {
       delta.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
 
+  /** Copy-on-write row DELETE: commit a new version (operation `delete`)
+    * holding the latest version minus the rows where `pred` is TRUE
+    * (SQL DELETE semantics — null-predicate rows survive). The per-file
+    * stats prune the WRITE side exactly as they prune reads: only files
+    * that MIGHT hold a matching row are rewritten (minus their matches);
+    * every provably-clean file is CARRIED into the new version untouched,
+    * stats and all — so on a clustered layout a narrow delete rewrites a
+    * handful of files out of the table's ~800k, and the commit stays
+    * O(touched bytes), never O(table). A delete the stats prove matches
+    * nothing commits NO new version (returns the current one). Readers of
+    * prior versions keep every file (nothing is deleted until [[vacuum]]);
+    * the change feed surfaces the rewritten files (the standard
+    * copy-on-write CDC grain: surviving rows of a touched file
+    * re-deliver alongside the actual change).
+    *
+    * Deleting EVERY row is refused loudly (a committed version always
+    * holds at least one data file) — drop the table dir instead. */
+  def deleteWhere(spark: SparkSession, dir: String, pred: FilePredicate,
+                  reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    if (m0.files.forall(f => !m0.stats.get(f).forall(pred.mightMatch)))
+      return cur // stats prove no row matches: nothing to rewrite
+    commitStaged(spark, dir, "delete", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+      val untouchedSet = m.files.toSet -- touched
+      if (touched.nonEmpty)
+        spark.read.parquet(touched: _*)
+          // keep rows where pred is NOT TRUE (null keeps, as SQL DELETE)
+          .filter(!coalesce(pred.toColumn, lit(false)))
+          .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
+    }
+  }
+
+  /** Copy-on-write MERGE (upsert) keyed on `keyCols`: rows of `delta`
+    * REPLACE same-key rows of the latest version; new-key rows APPEND —
+    * one new version (operation `merge`), atomic like every commit.
+    *
+    * Write-side file skipping: one bounded aggregation computes the
+    * delta's key ENVELOPE (per-key-column min/max); only prior files
+    * whose committed stats intersect the envelope are rewritten (their
+    * non-matching rows survive via an anti-join on the key), everything
+    * else is carried untouched with its stats. On an ingest keyed by a
+    * clustered or naturally ordered key (time, monotonic id) the
+    * envelope touches the tail files only — the commit is O(touched
+    * bytes + delta), never O(table). The anti-join's delta side is a
+    * key-column projection (broadcast by AQE when small, as upsert
+    * deltas typically are).
+    *
+    * Contracts: `delta` must carry the table's columns (checked by the
+    * union); keys must be non-null and unique within `delta` (same-key
+    * delta rows would all survive — dedup first, e.g.
+    * [[graft.operators.ChangeFeed.dedupLatest]]); an empty delta is a
+    * no-op returning the current version. With no committed version this
+    * is [[commit]]. The change feed surfaces rewritten files (CoW CDC
+    * grain — see [[deleteWhere]]). */
+  def merge(spark: SparkSession, dir: String, delta: DataFrame,
+            keyCols: Seq[String],
+            reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    if (latestVersion(spark, dir).isEmpty)
+      return commit(spark, dir, delta, "merge", reclaimGraceMs)
+    // the delta's key envelope — one bounded (single-row) aggregation
+    val aggs = count(lit(1)).as("__n") +:
+      keyCols.flatMap(k => Seq(
+        min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+        count(when(col(k).isNull, 1)).as(s"__nulls_$k")))
+    val env = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (env.getLong(0) == 0L)
+      return latestVersion(spark, dir).get // empty delta: no-op
+    val pred = keyCols.zipWithIndex.map { case (k, i) =>
+      require(env.getLong(1 + 3 * i + 2) == 0L,
+        s"merge key column $k holds null values — keys must be non-null")
+      FilePredicate.between(k, env.get(1 + 3 * i), env.get(1 + 3 * i + 1))
+        : FilePredicate
+    }.reduce(FilePredicate.And(_, _))
+    commitStaged(spark, dir, "merge", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+      val untouchedSet = m.files.toSet -- touched
+      val survivors =
+        if (touched.isEmpty) delta.limit(0)
+        else spark.read.parquet(touched: _*)
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+      survivors.unionByName(delta)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
+    }
+  }
+
   // stats-supported column types; decimal is excluded on purpose (a
   // rounded double bound could prune a boundary file incorrectly)
   private def statsSupported(dt: DataType): Boolean = dt match {
@@ -556,19 +649,33 @@ object SnapshotStore {
                                    operation: String,
                                    carryFrom: Boolean = false,
                                    reclaimGraceMs: Long = DefaultReclaimGraceMs)
-                                  (write: String => Unit): Long = {
+                                  (write: String => Unit): Long =
+    commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
+      write(dataDir)
+      if (carryFrom) prior.map(m => (m.files, m.stats))
+        .getOrElse((Seq.empty, Map.empty))
+      else (Seq.empty, Map.empty)
+    }
+
+  /** The fully general commit: `stage(priorManifest, dataDir)` writes the
+    * new version's NEW data files into `dataDir` and returns which of the
+    * prior version's files (with their stats) the new version CARRIES —
+    * the shape row-grain copy-on-write ([[deleteWhere]], [[merge]]) needs,
+    * where the carried set is the prior files the operation did NOT have
+    * to rewrite. `stage` receives the prior manifest read INSIDE the
+    * retry loop, so a lost-race retry recomputes its file selection
+    * against the rival's committed state, never a stale view. */
+  private[storage] def commitStaged(spark: SparkSession, dir: String,
+                                    operation: String,
+                                    reclaimGraceMs: Long = DefaultReclaimGraceMs)
+                                   (stage: (Option[Manifest], String) =>
+                                     (Seq[String], Map[String, FileStats])): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (true) {
       attempt += 1
-      val prior = latestVersion(spark, dir)
-      val carryFiles =
-        if (carryFrom) prior.map(v => manifest(spark, dir, v).files).getOrElse(Seq.empty)
-        else Seq.empty
-      val carryStats =
-        if (carryFrom) prior.map(v => manifest(spark, dir, v).stats).getOrElse(Map.empty)
-        else Map.empty[String, FileStats]
-      val v = prior.getOrElse(0L) + 1
+      val prior = latestVersion(spark, dir).map(v => manifest(spark, dir, v))
+      val v = prior.map(_.version).getOrElse(0L) + 1
       val dataDir = f"$dir/data/v$v%08d-$operation"
       val dataPath = new Path(dataDir)
       if (f.exists(dataPath)) {
@@ -583,7 +690,7 @@ object SnapshotStore {
             "an older orphan would be reclaimed unattended")
         f.delete(dataPath, true)
       }
-      write(dataDir)
+      val (carryFiles, carryStats) = stage(prior, dataDir)
       val newFiles = listParquet(spark, dataDir)
       val m = Manifest(v, operation, carryFiles ++ newFiles,
         carryStats ++ collectStats(spark, dataDir, newFiles))
@@ -615,6 +722,7 @@ object SnapshotStore {
   private def listParquet(spark: SparkSession, d: String): Seq[String] = {
     val p = new Path(d)
     val f = fs(spark, d)
+    if (!f.exists(p)) return Seq.empty // a stage may legally write nothing
     val it = f.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[String]
     while (it.hasNext) {

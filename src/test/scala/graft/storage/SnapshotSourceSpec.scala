@@ -115,6 +115,23 @@ class SnapshotSourceSpec extends SparkSpec {
       EqTo("doc_id", 3L)).count() == 1L)
   }
 
+  test("write face: append with mergeKeys is a copy-on-write upsert") {
+    val dir = freshDir()
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").save(dir)
+    Seq((2L, "B2"), (4L, "d")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("append")
+      .option("mergeKeys", "doc_id").save(dir)
+    assert(SnapshotStore.manifest(spark, dir, 2L).operation == "merge")
+    assert(spark.read.format("graft-snapshot").load(dir)
+      .as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"),
+      "same-key rows replaced, new keys appended")
+    assert(spark.read.format("graft-snapshot").option("version", 1).load(dir)
+      .as[(Long, String)].collect().toMap.apply(2L) == "b",
+      "pre-merge version time-travels intact")
+  }
+
   test("SQL DDL: CREATE TABLE USING graft-snapshot, WHERE prunes files") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,

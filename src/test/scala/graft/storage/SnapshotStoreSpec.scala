@@ -333,6 +333,109 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(added.count(f => stats.get(f).forall(pred.mightMatch)) < added.length)
   }
 
+  test("deleteWhere rewrites ONLY might-match files; answer = full-scan filter") {
+    val dir = freshDir()
+    val df = (1L to 400L).map(i => (i, s"t$i", (i % 5).toDouble))
+      .toDF("doc_id", "text", "score")
+      .repartitionByRange(8, col("doc_id")) // narrow id range per file
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val before = SnapshotStore.manifest(spark, dir, 1L)
+    import SnapshotStore.FilePredicate._
+    val v = SnapshotStore.deleteWhere(spark, dir, between("doc_id", 90L, 110L))
+    assert(v == 2L)
+    val after = SnapshotStore.manifest(spark, dir, v)
+    assert(after.operation == "delete")
+    // copy-on-write at file grain: most of the prior files are CARRIED
+    val carried = after.files.toSet.intersect(before.files.toSet)
+    assert(carried.size >= 6,
+      s"a narrow delete on a range layout must carry most files: ${carried.size} of 8")
+    assert(after.stats.keySet == after.files.toSet, "carried files keep stats")
+    assert(SnapshotStore.readAsOf(spark, dir, v)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((1L to 89L) ++ (111L to 400L)).toSet)
+    // prior version untouched
+    assert(SnapshotStore.readAsOf(spark, dir, 1L).count() == 400L)
+    // a provably-no-match delete commits NO new version
+    assert(SnapshotStore.deleteWhere(spark, dir, between("doc_id", 5000L, 6000L)) == v)
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v))
+  }
+
+  test("deleteWhere keeps null-predicate rows (SQL DELETE semantics)") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, Option("a")), (2L, Option.empty[String]), (3L, Option("x")))
+        .toDF("doc_id", "tag").repartition(1), "ingest")
+    import SnapshotStore.FilePredicate._
+    val v = SnapshotStore.deleteWhere(spark, dir, EqTo("tag", "x"))
+    assert(SnapshotStore.readAsOf(spark, dir, v)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L),
+      "a null predicate must KEEP the row, not delete it")
+  }
+
+  test("merge replaces same-key rows, appends new keys, carries off-envelope files") {
+    val dir = freshDir()
+    val base = (1L to 400L).map(i => (i, s"v1-$i"))
+      .toDF("doc_id", "text").repartitionByRange(8, col("doc_id"))
+    SnapshotStore.commit(spark, dir, base, "ingest")
+    val before = SnapshotStore.manifest(spark, dir, 1L)
+    // an UPDATE merge with a narrow key envelope...
+    val updates = Seq((100L, "UPD"), (101L, "UPD")).toDF("doc_id", "text")
+    val v2 = SnapshotStore.merge(spark, dir, updates, Seq("doc_id"))
+    assert(v2 == 2L)
+    val after = SnapshotStore.manifest(spark, dir, v2)
+    assert(after.operation == "merge")
+    val carried = after.files.toSet.intersect(before.files.toSet)
+    assert(carried.size >= 5,
+      s"a narrow-envelope merge must carry off-envelope files: ${carried.size} of 8")
+    // ...then an INSERT merge past the table's tail: the envelope
+    // intersects at most the tail file — nearly everything carries
+    val inserts = Seq((401L, "NEW"), (402L, "NEW")).toDF("doc_id", "text")
+    val v = SnapshotStore.merge(spark, dir, inserts, Seq("doc_id"))
+    val after3 = SnapshotStore.manifest(spark, dir, v)
+    val carried3 = after3.files.toSet.intersect(after.files.toSet)
+    assert(after3.files.size - carried3.size <= 2,
+      s"an insert-only merge past the tail must rewrite at most the tail file")
+    val got = SnapshotStore.readAsOf(spark, dir, v)
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 402)
+    assert(got(100L) == "UPD" && got(101L) == "UPD")
+    assert(got(401L) == "NEW" && got(402L) == "NEW")
+    assert(got(99L) == "v1-99" && got(400L) == "v1-400")
+    // time travel to the pre-merge state still works
+    assert(SnapshotStore.readAsOf(spark, dir, 1L)
+      .as[(Long, String)].collect().toMap.apply(100L) == "v1-100")
+    // empty delta: no-op, no new version
+    assert(SnapshotStore.merge(spark, dir, updates.limit(0), Seq("doc_id")) == v)
+    // null keys refuse loudly
+    intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, dir,
+        Seq((Option.empty[java.lang.Long], "bad")).toDF("doc_id", "text"),
+        Seq("doc_id"))
+    }
+    // first merge into an empty table is a plain commit
+    val dir2 = freshDir()
+    assert(SnapshotStore.merge(spark, dir2,
+      updates.unionByName(inserts), Seq("doc_id")) == 1L)
+    assert(SnapshotStore.read(spark, dir2).count() == 4L)
+  }
+
+  test("merge then deleteWhere chain through one protocol; change feed sees CoW files") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"v1-$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+    SnapshotStore.merge(spark, dir,
+      Seq((50L, "UPD"), (101L, "NEW")).toDF("doc_id", "text"), Seq("doc_id"))
+    import SnapshotStore.FilePredicate._
+    val v3 = SnapshotStore.deleteWhere(spark, dir, between("doc_id", 1L, 10L))
+    assert(SnapshotStore.readAsOf(spark, dir, v3)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((11L to 101L)).toSet)
+    // content commits surface their written files in the ADD feed
+    assert(SnapshotStore.changedFiles(spark, dir, 1L, 2L).nonEmpty)
+    assert(SnapshotStore.changedFiles(spark, dir, 2L, 3L).nonEmpty)
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
