@@ -3679,6 +3679,29 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Additive schema evolution through the snapshot store (round 14):
+    * the first commit has no `score` column; an evolved append adds it.
+    * The manifest records the UNION schema, so the latest read
+    * null-fills `score` for every pre-evolution file with ZERO rewrites
+    * (time travel keeps each version's own shape — spec territory,
+    * `SnapshotStoreSpec`). */
+  def eSnapshotEvolve(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "evo")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 2 === 0), "ingest")
+    val delta = docs.filter(col("doc_id") % 2 === 1)
+      .withColumn("score", (col("doc_id") % 7).cast("double") / 10)
+    val v = store.commitAppend(s, root, delta, "append")
+    store.readAsOf(s, root, v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("score")).as("n_scored"),
+        round(sum(coalesce(col("score"), lit(0.0))), 6).as("sum_score"))
+      .orderBy("lang")
+  }
+
   /** Copy-on-write DELETE through the snapshot store (round 14): a
     * range delete (stats carry the off-range files of the
     * range-partitioned layout untouched) then a string-equality delete,
@@ -6859,6 +6882,7 @@ object ExtQueries {
     "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_snapshot_merge" -> (eSnapshotMerge _),
     "e_snapshot_delete" -> (eSnapshotDelete _),
+    "e_snapshot_evolve" -> (eSnapshotEvolve _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8579,6 +8603,17 @@ object ExtQueries {
         |FROM documents
         |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e_snapshot_evolve" ->
+      """WITH evolved AS (
+        |  SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS score
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, lang, CAST(doc_id % 7 AS DOUBLE) / 10
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(score) AS BIGINT) AS n_scored,
+        |  round(sum(coalesce(score, 0)), 6) AS sum_score
+        |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
     "e_corpus_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1, 1 AS p1 FROM documents
         |  WHERE doc_id % 11 <> 0),

@@ -126,7 +126,8 @@ object SnapshotFileIndex {
                              version: Long): (DataFrame, SnapshotFileIndex) = {
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    val schema = spark.read.parquet(m.files: _*).schema
+    val schema = m.schemaStruct
+      .getOrElse(spark.read.parquet(m.files: _*).schema)
     val index = new SnapshotFileIndex(spark, dir, m)
     val relation = HadoopFsRelation(index, new StructType(), schema, None,
       new ParquetFileFormat(), Map.empty)(spark)

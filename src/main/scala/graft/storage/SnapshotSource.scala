@@ -91,7 +91,7 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
                        version: Long): StructType = {
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    spark.read.parquet(m.files: _*).schema
+    m.schemaStruct.getOrElse(spark.read.parquet(m.files: _*).schema)
   }
 
   override def createRelation(sqlContext: SQLContext,
@@ -181,7 +181,12 @@ final class SnapshotStreamSource(spark: SparkSession, dir: String,
     val batch =
       if (to <= from) SnapshotStore.readAsOf(spark, dir, to).limit(0)
       else SnapshotStore.readChangesSince(spark, dir, from, to)
-    org.apache.spark.sql.graft.StreamingBridge.asStreaming(batch)
+    // pin to the schema declared at stream start: columns added by
+    // mid-stream schema evolution surface after a consumer restart
+    // (the Delta streaming contract), never as a batch shape change
+    val pinned = batch.select(schema.fieldNames.toSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(pinned)
   }
 
   override def stop(): Unit = ()

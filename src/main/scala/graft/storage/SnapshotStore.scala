@@ -44,7 +44,13 @@ import org.apache.spark.sql.types._
   * file-grain change feed (only files ADDED between two versions, with
   * rewrite commits excluded — the storage-layer completion of the CDC
   * story: a downstream consumer follows the log without re-scanning
-  * history). Writers are single-writer by contract (the reference
+  * history). Row-grain mutation is COPY-ON-WRITE through the same
+  * protocol: [[deleteWhere]] and [[merge]] rewrite only the files whose
+  * stats might hold a match / intersect the delta's key envelope and
+  * CARRY everything else, and every manifest records the version's
+  * UNION schema, so appends/merges may ADD columns (type changes refuse
+  * loudly) — pre-evolution files read the new columns as null with zero
+  * rewrites. Writers are single-writer by contract (the reference
   * deployment's scheduler discipline); the rename-based commit makes a
   * lost race DETECTABLE (rename onto an existing manifest fails), and a
   * detected loss triggers a BOUNDED optimistic retry at the next free
@@ -74,9 +80,19 @@ object SnapshotStore {
   /** Stats of one data file: exact row count + per-column [[ColStats]]. */
   final case class FileStats(rows: Long, cols: Map[String, ColStats])
 
+  /** `schema` is the version's LOGICAL schema as Spark StructType JSON
+    * (None on pre-evolution manifests → readers infer from the files).
+    * It is the union of every commit's columns up to this version:
+    * data files written before a column existed simply lack it, and the
+    * explicit-schema parquet read null-fills — additive schema
+    * evolution with zero file rewrites. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
-                            stats: Map[String, FileStats] = Map.empty)
+                            stats: Map[String, FileStats] = Map.empty,
+                            schema: Option[String] = None) {
+    def schemaStruct: Option[StructType] =
+      schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
 
   /** Operations whose commits rewrite existing rows into new files
     * without changing logical content — excluded from the change feed. */
@@ -156,7 +172,8 @@ object SnapshotStore {
       "version" -> JLong(m.version),
       "operation" -> JString(m.operation),
       "files" -> JArray(m.files.map(JString(_)).toList),
-      "stats" -> stats)))
+      "stats" -> stats,
+      "schema" -> m.schema.map(JString(_)).getOrElse(JNothing))))
   }
 
   private[storage] def parse(json: String): Manifest = {
@@ -198,7 +215,11 @@ object SnapshotStore {
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
-    Manifest(version, operation, files, stats)
+    val schema = field("schema") match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+    Manifest(version, operation, files, stats, schema)
   }
 
   // round-trip hook for the property spec
@@ -338,13 +359,23 @@ object SnapshotStore {
     parse(json)
   }
 
+  /** One parquet reader honoring the manifest's recorded schema when
+    * present: files written before a column existed read it as null
+    * (additive evolution), and no footer-inference read happens at all
+    * (at 800k files, schema certainty should not cost a sample read). */
+  private def readFiles(spark: SparkSession, m: Manifest,
+                        files: Seq[String]): DataFrame =
+    m.schemaStruct.map(spark.read.schema(_)).getOrElse(spark.read)
+      .parquet(files: _*)
+
   /** Read the table as of `version` — one manifest read, then a parquet
     * scan of exactly its files (immutable, so the read is consistent no
-    * matter what later commits or maintenance do). */
+    * matter what later commits or maintenance do). Columns appended by
+    * schema evolution read as null from files committed before them. */
   def readAsOf(spark: SparkSession, dir: String, version: Long): DataFrame = {
     val m = manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    spark.read.parquet(m.files: _*)
+    readFiles(spark, m, m.files)
   }
 
   /** The data files of `version` that survive file-skipping under
@@ -365,9 +396,10 @@ object SnapshotStore {
     * here). Files without stats are conservatively kept. */
   def readAsOfWhere(spark: SparkSession, dir: String, version: Long,
                     pred: FilePredicate): DataFrame = {
-    val keep = prunedFiles(spark, dir, version, pred)
+    val m = manifest(spark, dir, version)
+    val keep = m.files.filter(p => m.stats.get(p).forall(pred.mightMatch))
     if (keep.isEmpty) readAsOf(spark, dir, version).filter(pred.toColumn).limit(0)
-    else spark.read.parquet(keep: _*).filter(pred.toColumn)
+    else readFiles(spark, m, keep).filter(pred.toColumn)
   }
 
   /** Read the latest committed version. */
@@ -419,7 +451,7 @@ object SnapshotStore {
                        fromVersion: Long, toVersion: Long): DataFrame = {
     val files = changedFiles(spark, dir, fromVersion, toVersion)
     if (files.isEmpty) readAsOf(spark, dir, toVersion).limit(0)
-    else spark.read.parquet(files: _*)
+    else readFiles(spark, manifest(spark, dir, toVersion), files)
   }
 
   /** [[readChangesSince]] with data skipping: the added-file list is
@@ -440,7 +472,8 @@ object SnapshotStore {
     val keep = files.filter(f => stats.get(f).forall(pred.mightMatch))
     if (keep.isEmpty) readAsOf(spark, dir, toVersion)
       .filter(pred.toColumn).limit(0)
-    else spark.read.parquet(keep: _*).filter(pred.toColumn)
+    else readFiles(spark, manifest(spark, dir, toVersion), keep)
+      .filter(pred.toColumn)
   }
 
   // ---------------------------------------------------------------- writers
@@ -497,7 +530,7 @@ object SnapshotStore {
       val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty)
-        spark.read.parquet(touched: _*)
+        readFiles(spark, m, touched)
           // keep rows where pred is NOT TRUE (null keeps, as SQL DELETE)
           .filter(!coalesce(pred.toColumn, lit(false)))
           .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
@@ -553,9 +586,12 @@ object SnapshotStore {
       val untouchedSet = m.files.toSet -- touched
       val survivors =
         if (touched.isEmpty) delta.limit(0)
-        else spark.read.parquet(touched: _*)
+        else readFiles(spark, m, touched)
           .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-      survivors.unionByName(delta)
+      // allowMissingColumns: an evolved delta's NEW columns null-fill in
+      // survivors; a delta omitting non-key table columns null-fills its
+      // own rows (the Delta automatic-evolution contract)
+      survivors.unionByName(delta, allowMissingColumns = true)
         .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
     }
@@ -657,6 +693,56 @@ object SnapshotStore {
       else (Seq.empty, Map.empty)
     }
 
+  /** Additive schema union: every carried column keeps its type (a type
+    * CHANGE refuses loudly — rewrite via a full-snapshot [[commit]]);
+    * columns only the new files carry append at the end. Nullability is
+    * erased (parquet reads are nullable anyway). */
+  private def asNullableType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullableType(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = asNullableType(a.elementType), containsNull = true)
+    case m: MapType => m.copy(keyType = asNullableType(m.keyType),
+      valueType = asNullableType(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
+  private def asNullableSchema(s: StructType): StructType =
+    asNullableType(s).asInstanceOf[StructType]
+
+  private[storage] def mergeSchemas(base: StructType, add: StructType): StructType = {
+    val b = asNullableSchema(base); val a = asNullableSchema(add)
+    val baseNames = b.fieldNames.toSet
+    val kept = b.fields.map { f =>
+      a.fields.find(_.name == f.name).foreach { g =>
+        if (g.dataType != f.dataType) sys.error(
+          s"schema evolution conflict on column ${f.name}: committed " +
+            s"${f.dataType.simpleString} vs new ${g.dataType.simpleString} — " +
+            "changing a column's type needs a full-snapshot commit")
+      }
+      f
+    }
+    StructType(kept ++ a.fields.filterNot(g => baseNames(g.name)))
+  }
+
+  /** The version's logical schema: carried schema (stored, or inferred
+    * once for pre-evolution manifests) unioned with the new files'. */
+  private def versionSchema(spark: SparkSession, prior: Option[Manifest],
+                            carryFiles: Seq[String],
+                            newFiles: Seq[String], dataDir: String): StructType = {
+    val carried: Option[StructType] =
+      if (carryFiles.isEmpty) None
+      else prior.flatMap(_.schemaStruct)
+        .orElse(Some(asNullableSchema(spark.read.parquet(carryFiles: _*).schema)))
+    val fresh: Option[StructType] =
+      if (newFiles.isEmpty) None
+      else Some(asNullableSchema(spark.read.parquet(dataDir).schema))
+    (carried, fresh) match {
+      case (Some(c), Some(n)) => mergeSchemas(c, n)
+      case (c, n) => c.orElse(n).getOrElse(new StructType())
+    }
+  }
+
   /** The fully general commit: `stage(priorManifest, dataDir)` writes the
     * new version's NEW data files into `dataDir` and returns which of the
     * prior version's files (with their stats) the new version CARRIES —
@@ -692,8 +778,10 @@ object SnapshotStore {
       }
       val (carryFiles, carryStats) = stage(prior, dataDir)
       val newFiles = listParquet(spark, dataDir)
+      val schema = versionSchema(spark, prior, carryFiles, newFiles, dataDir)
       val m = Manifest(v, operation, carryFiles ++ newFiles,
-        carryStats ++ collectStats(spark, dataDir, newFiles))
+        carryStats ++ collectStats(spark, dataDir, newFiles),
+        Some(schema.json))
       require(m.files.nonEmpty, s"commit of version $v wrote no data files")
       // COMMIT POINT: single-file temp write + rename. A crash before the
       // rename leaves only the orphaned data dir + tmp file — invisible.

@@ -44,7 +44,10 @@ object ManifestCodecProps extends Properties("graft.storage.manifest-codec") {
     op <- nonEmptyNasty
     files <- Gen.listOf(nonEmptyNasty).map(_.distinct)
     stats <- Gen.mapOfN(2, Gen.zip(nonEmptyNasty, fileStats))
-  } yield SnapshotStore.Manifest(v, op, files, stats)
+    // the schema field is an opaque string to the codec (StructType JSON
+    // in production) — round-trip it as arbitrary nasty content
+    schema <- Gen.option(nonEmptyNasty)
+  } yield SnapshotStore.Manifest(v, op, files, stats, schema)
 
   property("parse(render(m)) == m for arbitrary path/op/stats strings") =
     forAll(manifest) { m =>

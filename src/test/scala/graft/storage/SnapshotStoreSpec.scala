@@ -436,6 +436,57 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(SnapshotStore.changedFiles(spark, dir, 2L, 3L).nonEmpty)
   }
 
+  test("additive schema evolution: appended column null-fills old files; old versions keep old shape") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a", 2L -> "b"), "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((3L, "c", "en")).toDF("doc_id", "text", "lang"), "append")
+    val v2 = SnapshotStore.read(spark, dir)
+    assert(v2.columns.toSeq == Seq("doc_id", "text", "lang"),
+      "the union schema appends the new column")
+    assert(v2.as[(Long, String, Option[String])].collect().toSet ==
+      Set((1L, "a", None), (2L, "b", None), (3L, "c", Some("en"))),
+      "pre-evolution files read the new column as null — no rewrite")
+    assert(SnapshotStore.readAsOf(spark, dir, 1L).columns.toSeq ==
+      Seq("doc_id", "text"), "time travel keeps the version's own schema")
+    // the change feed reads under the evolved schema too
+    assert(SnapshotStore.readChangesSince(spark, dir, 1L, 2L)
+      .columns.toSeq == Seq("doc_id", "text", "lang"))
+    // a delta omitting an existing column null-fills its own rows
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((4L, "fr")).toDF("doc_id", "lang"), "append")
+    assert(SnapshotStore.read(spark, dir)
+      .filter($"doc_id" === 4L).select("text").as[Option[String]].head().isEmpty)
+  }
+
+  test("a column TYPE change refuses loudly; full-snapshot commit may retype") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    val err = intercept[RuntimeException] {
+      SnapshotStore.commitAppend(spark, dir,
+        Seq((2L, 42)).toDF("doc_id", "text"), "append")
+    }
+    assert(err.getMessage.contains("schema evolution conflict on column text"))
+    assert(SnapshotStore.latestVersion(spark, dir).contains(1L),
+      "the refused commit must not surface a version")
+    // a full snapshot REPLACES the schema (no carried files to conflict)
+    SnapshotStore.commit(spark, dir, Seq((9L, 42)).toDF("doc_id", "text"), "retype")
+    assert(SnapshotStore.read(spark, dir).schema("text").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("merge with an evolved delta: survivors null-fill the new column") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a", 2L -> "b"), "ingest")
+    SnapshotStore.merge(spark, dir,
+      Seq((2L, "B2", 0.9), (3L, "c", 0.5)).toDF("doc_id", "text", "score"),
+      Seq("doc_id"))
+    val rows = SnapshotStore.read(spark, dir)
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "B2", Some(0.9)),
+      (3L, "c", Some(0.5))))
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
