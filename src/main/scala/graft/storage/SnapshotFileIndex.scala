@@ -31,15 +31,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: one driver-side pass over the manifest entries per
   * query (the same cost class as Delta's log-backed index); file sizes
-  * come from one `getFileStatus` per listed file at index construction
-  * — a production hardening would record sizes in the manifest at
-  * commit time, the way rows/stats already are. */
+  * come from the manifest's commit-time records — NO per-file
+  * filesystem RPC (legacy pre-size manifest entries fall back to
+  * `getFileStatus`). */
 final class SnapshotFileIndex(spark: SparkSession, dir: String,
                               m: SnapshotStore.Manifest) extends FileIndex {
 
   private val statuses: Seq[(String, FileStatus)] = {
-    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    m.files.map(f => f -> fs.getFileStatus(new Path(f)))
+    lazy val fs =
+      new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    m.files.map { f =>
+      // manifest-recorded size → no per-file RPC (the ~800k-file case);
+      // legacy entries without sizes fall back to one getFileStatus.
+      // mtime 0 is safe: snapshot data files are immutable and this
+      // index is built fresh per read (no FileStatusCache keying).
+      val status = m.stats.get(f).map(_.bytes).filter(_ > 0L)
+        .map(sz => new FileStatus(sz, false, 1, 128L * 1024 * 1024, 0L,
+          new Path(f)))
+        .getOrElse(fs.getFileStatus(new Path(f)))
+      f -> status
+    }
   }
 
   /** files surfaced by the most recent `listFiles` — lets specs assert

@@ -77,8 +77,15 @@ object SnapshotStore {
     * `simpleString`). */
   final case class ColStats(dataType: String, min: Option[Any], max: Option[Any])
 
-  /** Stats of one data file: exact row count + per-column [[ColStats]]. */
-  final case class FileStats(rows: Long, cols: Map[String, ColStats])
+  /** Stats of one data file: exact row count, size in bytes (0 on
+    * pre-size manifests — a real parquet file is never 0 bytes, so 0 is
+    * a safe absent marker), and per-column [[ColStats]]. Recorded sizes
+    * let readers ([[SnapshotFileIndex]], [[compact]]) plan scans without
+    * one filesystem RPC per listed file — at ~800k files per 100 TB
+    * table, that RPC storm is the difference between a driver-side map
+    * lookup and minutes of NameNode round-trips. */
+  final case class FileStats(rows: Long, cols: Map[String, ColStats],
+                             bytes: Long = 0L)
 
   /** `schema` is the version's LOGICAL schema as Spark StructType JSON
     * (None on pre-evolution manifests → readers infer from the files).
@@ -161,6 +168,7 @@ object SnapshotStore {
     val stats = JObject(m.stats.toSeq.sortBy(_._1).map { case (path, fsx) =>
       path -> JObject(
         "rows" -> JLong(fsx.rows),
+        "bytes" -> JLong(fsx.bytes),
         "cols" -> JObject(fsx.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
           c -> JObject(
             "t" -> JString(cs.dataType),
@@ -199,6 +207,10 @@ object SnapshotStore {
           case JLong(l) => l; case JInt(i) => i.toLong
           case o => sys.error(s"bad rows: $o")
         }
+        val bytes = fv \ "bytes" match {
+          case JLong(l) => l; case JInt(i) => i.toLong
+          case _ => 0L // pre-size manifest
+        }
         val cols = fv \ "cols" match {
           case JObject(cf) => cf.map { case (c, cv) =>
             val t = cv \ "t" match { case JString(s) => s
@@ -211,7 +223,7 @@ object SnapshotStore {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        path -> FileStats(rows, cols)
+        path -> FileStats(rows, cols, bytes)
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
@@ -562,10 +574,11 @@ object SnapshotStore {
     * grain — see [[deleteWhere]]). */
   def merge(spark: SparkSession, dir: String, delta: DataFrame,
             keyCols: Seq[String],
-            reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+            reclaimGraceMs: Long = DefaultReclaimGraceMs,
+            operation: String = "merge"): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
-      return commit(spark, dir, delta, "merge", reclaimGraceMs)
+      return commit(spark, dir, delta, operation, reclaimGraceMs)
     // the delta's key envelope — one bounded (single-row) aggregation
     val aggs = count(lit(1)).as("__n") +:
       keyCols.flatMap(k => Seq(
@@ -580,7 +593,7 @@ object SnapshotStore {
       FilePredicate.between(k, env.get(1 + 3 * i), env.get(1 + 3 * i + 1))
         : FilePredicate
     }.reduce(FilePredicate.And(_, _))
-    commitStaged(spark, dir, "merge", reclaimGraceMs) { (prior, dataDir) =>
+    commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
       val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
       val untouchedSet = m.files.toSet -- touched
@@ -630,7 +643,8 @@ object SnapshotStore {
     * Distributed (no driver loop over files) and reads only the stats
     * columns — O(new data) in the stats columns' bytes. */
   private def collectStats(spark: SparkSession, dataDir: String,
-                           files: Seq[String]): Map[String, FileStats] = {
+                           files: Seq[String],
+                           sizes: Map[String, Long]): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     val df = spark.read.parquet(dataDir)
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
@@ -661,7 +675,8 @@ object SnapshotStore {
       }.toMap
       pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols)
     }.toMap
-    files.flatMap(f => byKey.get(pathKey(f)).map(f -> _)).toMap
+    files.flatMap(f => byKey.get(pathKey(f))
+      .map(st => f -> st.copy(bytes = sizes.getOrElse(f, 0L)))).toMap
   }
 
   /** The shared two-phase commit: `write` materializes data files into
@@ -777,10 +792,11 @@ object SnapshotStore {
         f.delete(dataPath, true)
       }
       val (carryFiles, carryStats) = stage(prior, dataDir)
-      val newFiles = listParquet(spark, dataDir)
+      val sized = listParquetSized(spark, dataDir)
+      val newFiles = sized.map(_._1)
       val schema = versionSchema(spark, prior, carryFiles, newFiles, dataDir)
       val m = Manifest(v, operation, carryFiles ++ newFiles,
-        carryStats ++ collectStats(spark, dataDir, newFiles),
+        carryStats ++ collectStats(spark, dataDir, newFiles, sized.toMap),
         Some(schema.json))
       require(m.files.nonEmpty, s"commit of version $v wrote no data files")
       // COMMIT POINT: single-file temp write + rename. A crash before the
@@ -807,19 +823,25 @@ object SnapshotStore {
     sys.error("unreachable")
   }
 
-  private def listParquet(spark: SparkSession, d: String): Seq[String] = {
+  private def listParquet(spark: SparkSession, d: String): Seq[String] =
+    listParquetSized(spark, d).map(_._1)
+
+  /** data files with their sizes from the SAME directory listing — sizes
+    * reach the manifest without a second per-file RPC */
+  private def listParquetSized(spark: SparkSession,
+                               d: String): Seq[(String, Long)] = {
     val p = new Path(d)
     val f = fs(spark, d)
     if (!f.exists(p)) return Seq.empty // a stage may legally write nothing
     val it = f.listFiles(p, true)
-    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
       val name = st.getPath.getName
       if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
-        buf += st.getPath.toString
+        buf += ((st.getPath.toString, st.getLen))
     }
-    buf.toSeq.sorted
+    buf.toSeq.sortBy(_._1)
   }
 
   /** Maintenance commit: rewrite the LATEST version's data into
@@ -833,7 +855,9 @@ object SnapshotStore {
     val bytes = {
       val m = manifest(spark, dir, latestVersion(spark, dir).get)
       val f = fs(spark, dir)
-      m.files.map(p => f.getFileStatus(new Path(p)).getLen).sum
+      // manifest-recorded sizes when present; RPC only for legacy files
+      m.files.map(p => m.stats.get(p).map(_.bytes).filter(_ > 0L)
+        .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum
     }
     val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)
     commitFiles(spark, dir, "compact", reclaimGraceMs = reclaimGraceMs) {

@@ -37,7 +37,8 @@ object ManifestCodecProps extends Properties("graft.storage.manifest-codec") {
   private val fileStats: Gen[SnapshotStore.FileStats] = for {
     rows <- Gen.choose(0L, Long.MaxValue)
     cols <- Gen.mapOfN(3, colStats)
-  } yield SnapshotStore.FileStats(rows, cols)
+    bytes <- Gen.choose(0L, Long.MaxValue)
+  } yield SnapshotStore.FileStats(rows, cols, bytes)
 
   private val manifest: Gen[SnapshotStore.Manifest] = for {
     v <- Gen.choose(1L, 99999999L)

@@ -191,6 +191,8 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(m.files.length == 8)
     assert(m.stats.keySet == m.files.toSet, "every file carries stats")
     assert(m.stats.values.map(_.rows).sum == 400L)
+    assert(m.stats.values.forall(_.bytes > 0L),
+      "commit records real file sizes — readers must never need a per-file RPC")
     val idStats = m.stats.values.map(_.cols("doc_id"))
     assert(idStats.forall(cs => cs.min.isDefined && cs.max.isDefined))
 
