@@ -66,7 +66,32 @@ object StreamingSnapshotIngest {
     * ids is the caller's (anti-join upstream if the source redelivers
     * rows across batch ids). */
   def start(docs: DataFrame, tableDir: String,
-            checkpointLocation: String): (StreamingQuery, Handle) = {
+            checkpointLocation: String): (StreamingQuery, Handle) =
+    run(docs, tableDir, checkpointLocation) { (batch, op) =>
+      SnapshotStore.commitAppend(batch.sparkSession, tableDir, batch, op,
+        reclaimGraceMs = 0L)
+    }
+
+  /** [[start]]'s UPSERT sibling: each micro-batch is a copy-on-write
+    * [[SnapshotStore.merge]] keyed on `keyCols` — same-key rows in the
+    * table are REPLACED by the batch, new keys append, and only files
+    * intersecting the batch's key envelope are rewritten (the streaming
+    * CDC-apply shape: pipe a change feed in, read a deduplicated table
+    * out, time-travel to any batch boundary). Same replay guard and
+    * crash contract as [[start]]; rows within ONE batch must be unique
+    * on the key (dedup upstream, e.g. `ChangeFeed.dedupLatest`) —
+    * across batches the merge IS the dedup. */
+  def startUpsert(docs: DataFrame, tableDir: String,
+                  checkpointLocation: String,
+                  keyCols: Seq[String]): (StreamingQuery, Handle) =
+    run(docs, tableDir, checkpointLocation) { (batch, op) =>
+      SnapshotStore.merge(batch.sparkSession, tableDir, batch, keyCols,
+        reclaimGraceMs = 0L, operation = op)
+    }
+
+  private def run(docs: DataFrame, tableDir: String,
+                  checkpointLocation: String)
+                 (commit: (DataFrame, String) => Long): (StreamingQuery, Handle) = {
     val ref = new AtomicReference[java.lang.Long](null)
     // committed batch ids, loaded once from the manifest log: the replay
     // guard against foreachBatch's at-least-once redelivery. The set is
@@ -88,8 +113,7 @@ object StreamingSnapshotIngest {
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!committed.contains(batchId)) {
-          val v = SnapshotStore.commitAppend(batch.sparkSession, tableDir,
-            batch, f"ingest-b$batchId", reclaimGraceMs = 0L)
+          val v = commit(batch, f"ingest-b$batchId")
           committed += batchId
           ref.set(v)
         }
