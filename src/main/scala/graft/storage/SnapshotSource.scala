@@ -67,7 +67,8 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       case SqlSaveMode.Append =>
         parameters.get("mergeKeys") match {
           case Some(keys) => SnapshotStore.merge(spark, dir, data,
-            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+            operation = parameters.getOrElse("operation", "merge"))
           case None => SnapshotStore.commitAppend(spark, dir, data, op)
         }
       case SqlSaveMode.Overwrite =>
@@ -183,9 +184,17 @@ final class SnapshotStreamSource(spark: SparkSession, dir: String,
       else SnapshotStore.readChangesSince(spark, dir, from, to)
     // pin to the schema declared at stream start: columns added by
     // mid-stream schema evolution surface after a consumer restart
-    // (the Delta streaming contract), never as a batch shape change
-    val pinned = batch.select(schema.fieldNames.toSeq
-      .map(org.apache.spark.sql.functions.col): _*)
+    // (the Delta streaming contract), never as a batch shape change.
+    // A batch that predates an evolved column (restart into a pending
+    // pre-evolution range, or capped catch-up through old versions,
+    // where the declared schema came from the LATEST manifest)
+    // null-fills it rather than failing resolution.
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = batch.columns.toSet
+    val pinned = batch.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(pinned)
   }
 

@@ -507,11 +507,24 @@ object SnapshotStore {
     * rewritten). With no prior version this is [[commit]]. */
   def commitAppend(spark: SparkSession, dir: String, delta: DataFrame,
                    operation: String,
-                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    preValidateEvolution(spark, dir, delta)
     commitFiles(spark, dir, operation,
       carryFrom = true, reclaimGraceMs = reclaimGraceMs) { dataDir =>
       delta.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
+  }
+
+  /** Fail a detectable schema-evolution conflict BEFORE any data is
+    * written (no wasted delta write, no staged dir to reclaim). The
+    * commit loop re-validates authoritatively against the prior manifest
+    * it actually carries from — this is the cheap early exit, not the
+    * gate. */
+  private def preValidateEvolution(spark: SparkSession, dir: String,
+                                   delta: DataFrame): Unit =
+    latestVersion(spark, dir).map(v => manifest(spark, dir, v))
+      .flatMap(_.schemaStruct)
+      .foreach(s => mergeSchemas(s, delta.schema))
 
   /** Copy-on-write row DELETE: commit a new version (operation `delete`)
     * holding the latest version minus the rows where `pred` is TRUE
@@ -579,6 +592,7 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
       return commit(spark, dir, delta, operation, reclaimGraceMs)
+    preValidateEvolution(spark, dir, delta)
     // the delta's key envelope — one bounded (single-row) aggregation
     val aggs = count(lit(1)).as("__n") +:
       keyCols.flatMap(k => Seq(
@@ -638,15 +652,14 @@ object SnapshotStore {
   /** normalize `file:/p`, `file:///p`, `/p` to one comparable key */
   private def pathKey(s: String): String = new Path(s).toUri.getPath
 
-  /** One column-pruned scan of the freshly written `dataDir`, grouped by
-    * file: exact row count + min/max per supported top-level column.
-    * Distributed (no driver loop over files) and reads only the stats
-    * columns — O(new data) in the stats columns' bytes. */
-  private def collectStats(spark: SparkSession, dataDir: String,
-                           files: Seq[String],
+  /** One column-pruned scan of the freshly written files (`df` = their
+    * already-opened reader), grouped by file: exact row count + min/max
+    * per supported top-level column. Distributed (no driver loop over
+    * files) and reads only the stats columns — O(new data) in the stats
+    * columns' bytes. */
+  private def collectStats(df: DataFrame, files: Seq[String],
                            sizes: Map[String, Long]): Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
-    val df = spark.read.parquet(dataDir)
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
       .take(MaxStatsColumns).toSeq
     val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { f =>
@@ -744,14 +757,11 @@ object SnapshotStore {
     * once for pre-evolution manifests) unioned with the new files'. */
   private def versionSchema(spark: SparkSession, prior: Option[Manifest],
                             carryFiles: Seq[String],
-                            newFiles: Seq[String], dataDir: String): StructType = {
+                            fresh: Option[StructType]): StructType = {
     val carried: Option[StructType] =
       if (carryFiles.isEmpty) None
       else prior.flatMap(_.schemaStruct)
         .orElse(Some(asNullableSchema(spark.read.parquet(carryFiles: _*).schema)))
-    val fresh: Option[StructType] =
-      if (newFiles.isEmpty) None
-      else Some(asNullableSchema(spark.read.parquet(dataDir).schema))
     (carried, fresh) match {
       case (Some(c), Some(n)) => mergeSchemas(c, n)
       case (c, n) => c.orElse(n).getOrElse(new StructType())
@@ -791,13 +801,30 @@ object SnapshotStore {
             "an older orphan would be reclaimed unattended")
         f.delete(dataPath, true)
       }
-      val (carryFiles, carryStats) = stage(prior, dataDir)
-      val sized = listParquetSized(spark, dataDir)
-      val newFiles = sized.map(_._1)
-      val schema = versionSchema(spark, prior, carryFiles, newFiles, dataDir)
-      val m = Manifest(v, operation, carryFiles ++ newFiles,
-        carryStats ++ collectStats(spark, dataDir, newFiles, sized.toMap),
-        Some(schema.json))
+      // Failures in staging or schema/stats derivation (a half-written
+      // data dir, a schema-evolution type conflict) reclaim OUR data dir
+      // before rethrowing — otherwise the writer's own refused commit
+      // would wedge its retry behind the grace horizon. The claim
+      // contracts stay intact: the staged-manifest refusal below is
+      // OUTSIDE this scope, so a LOST race still leaves rival artifacts
+      // untouched.
+      val m = try {
+        val (carryFiles, carryStats) = stage(prior, dataDir)
+        val sized = listParquetSized(spark, dataDir)
+        val newFiles = sized.map(_._1)
+        // ONE footer read of the fresh files serves schema + stats
+        val newDf = if (newFiles.isEmpty) None
+                    else Some(spark.read.parquet(dataDir))
+        val schema = versionSchema(spark, prior, carryFiles,
+          newDf.map(d => asNullableSchema(d.schema)))
+        Manifest(v, operation, carryFiles ++ newFiles,
+          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap))
+            .getOrElse(Map.empty),
+          Some(schema.json))
+      } catch { case e: Throwable =>
+        f.delete(dataPath, true)
+        throw e
+      }
       require(m.files.nonEmpty, s"commit of version $v wrote no data files")
       // COMMIT POINT: single-file temp write + rename. A crash before the
       // rename leaves only the orphaned data dir + tmp file — invisible.

@@ -132,6 +132,39 @@ class SnapshotSourceSpec extends SparkSpec {
       "pre-merge version time-travels intact")
   }
 
+  test("write face: mergeKeys honors the operation tag") {
+    val dir = freshDir()
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").save(dir)
+    Seq((2L, "b")).toDF("doc_id", "text")
+      .write.format("graft-snapshot").mode("append")
+      .option("mergeKeys", "doc_id").option("operation", "cdc-apply").save(dir)
+    assert(SnapshotStore.manifest(spark, dir, 2L).operation == "cdc-apply")
+  }
+
+  test("streaming across a schema-evolution boundary null-fills pre-evolution batches") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    // evolve: v2 adds a score column, so the LATEST manifest's schema
+    // (what a fresh stream declares) includes it — but batch 1 delivers
+    // v1's pre-evolution files
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((2L, "b", 0.5)).toDF("doc_id", "text", "score"), "append")
+    val got = scala.collection.mutable.Set.empty[(Long, String, Option[Double])]
+    val ckpt = java.nio.file.Files.createTempDirectory("snapsrc-evo").toString
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", 1).load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.as[(Long, String, Option[Double])].collect(); ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(got == Set((1L, "a", None), (2L, "b", Some(0.5))),
+      "the pre-evolution batch must null-fill the evolved column, not crash")
+  }
+
   test("SQL DDL: CREATE TABLE USING graft-snapshot, WHERE prunes files") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,

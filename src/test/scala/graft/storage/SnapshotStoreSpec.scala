@@ -471,6 +471,11 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(err.getMessage.contains("schema evolution conflict on column text"))
     assert(SnapshotStore.latestVersion(spark, dir).contains(1L),
       "the refused commit must not surface a version")
+    // the refusal must not wedge the writer: a corrected append with the
+    // SAME operation lands immediately (no orphan dir, no grace wait)
+    assert(SnapshotStore.commitAppend(spark, dir,
+      docs(2L -> "b"), "append") == 2L)
+    assert(SnapshotStore.read(spark, dir).count() == 2L)
     // a full snapshot REPLACES the schema (no carried files to conflict)
     SnapshotStore.commit(spark, dir, Seq((9L, 42)).toDF("doc_id", "text"), "retype")
     assert(SnapshotStore.read(spark, dir).schema("text").dataType ==
