@@ -3702,6 +3702,39 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Expectation-GATED ingest (round 14): one batch of the corpus flows
+    * through the contract gate — passing rows commit to the MAIN
+    * snapshot table, each violating row commits to QUARANTINE carrying
+    * the exact rule labels it failed (nothing silently dropped — the DLT
+    * "expect or quarantine" shape over the snapshot store). Output: the
+    * main side per lang, the quarantine side per violated rule; the
+    * replay-guard / kill-and-resume contracts are
+    * `GatedSnapshotIngestSpec`'s business. */
+  def eSnapshotGated(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "gate")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    import graft.operators.Expectations._
+    val rules = Seq[graft.operators.Expectations.Rule](
+      NotNull("lang"),
+      InRange("n_chars", 20L, 5000L),
+      InSet("lang", Seq("en", "de", "fr", "es")))
+    graft.streaming.GatedSnapshotIngest.gateAndCommit(
+      s, docs, s"$root/main", s"$root/quarantine", rules, "ingest-b0")
+    val store = graft.storage.SnapshotStore
+    val main = store.read(s, s"$root/main")
+      .groupBy(col("lang").as("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("main").as("side"), col("key"), col("n_docs"), col("id_sum"))
+    val quarantine = store.read(s, s"$root/quarantine")
+      .select(col("doc_id"), explode(col("violated_rules")).as("key"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("quarantine").as("side"), col("key"),
+        col("n_docs"), col("id_sum"))
+    main.unionByName(quarantine).orderBy("side", "key")
+  }
+
   /** Copy-on-write DELETE through the snapshot store (round 14): a
     * range delete (stats carry the off-range files of the
     * range-partitioned layout untouched) then a string-equality delete,
@@ -6883,6 +6916,7 @@ object ExtQueries {
     "e_snapshot_merge" -> (eSnapshotMerge _),
     "e_snapshot_delete" -> (eSnapshotDelete _),
     "e_snapshot_evolve" -> (eSnapshotEvolve _),
+    "e_snapshot_gated" -> (eSnapshotGated _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8603,6 +8637,28 @@ object ExtQueries {
         |FROM documents
         |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e_snapshot_gated" ->
+      """WITH flags AS (SELECT doc_id, lang, n_chars,
+        |    (lang IS NULL) AS v1,
+        |    (n_chars IS NOT NULL AND (n_chars < 20 OR n_chars > 5000)) AS v2,
+        |    (lang IS NOT NULL AND lang NOT IN ('en','de','fr','es')) AS v3
+        |  FROM documents),
+        |clean AS (SELECT * FROM flags WHERE NOT v1 AND NOT v2 AND NOT v3),
+        |labeled AS (
+        |  SELECT 'not_null:lang' AS key, doc_id FROM flags WHERE v1
+        |  UNION ALL
+        |  SELECT 'in_range:n_chars', doc_id FROM flags WHERE v2
+        |  UNION ALL
+        |  SELECT 'in_set:lang', doc_id FROM flags WHERE v3)
+        |SELECT 'main' AS side, lang AS key,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM clean GROUP BY lang
+        |UNION ALL
+        |SELECT 'quarantine', key, CAST(count(*) AS BIGINT),
+        |  CAST(sum(doc_id) AS BIGINT)
+        |FROM labeled GROUP BY key
+        |ORDER BY side, key""".stripMargin,
     "e_snapshot_evolve" ->
       """WITH evolved AS (
         |  SELECT doc_id, lang, CAST(NULL AS DOUBLE) AS score
