@@ -3702,6 +3702,26 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Commit-log history through the snapshot store (round 14): an
+    * ingest → append → copy-on-write delete chain, then
+    * [[graft.storage.SnapshotStore.history]] — per-version operation +
+    * EXACT row counts straight from the manifest's per-file stats (no
+    * data scan; the DESCRIBE HISTORY of the store, oracle-checked
+    * against the arithmetic of the chain). */
+  def eSnapshotHistory(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "hist")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 2 === 0), "ingest")
+    store.commitAppend(s, root, docs.filter(col("doc_id") % 2 === 1), "append")
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.deleteWhere(s, root, between("doc_id", 100L, 200L))
+    store.history(s, root)
+      .select(col("version"), col("operation"), col("n_rows"))
+      .orderBy("version")
+  }
+
   /** Expectation-GATED ingest (round 14): one batch of the corpus flows
     * through the contract gate — passing rows commit to the MAIN
     * snapshot table, each violating row commits to QUARANTINE carrying
@@ -6917,6 +6937,7 @@ object ExtQueries {
     "e_snapshot_delete" -> (eSnapshotDelete _),
     "e_snapshot_evolve" -> (eSnapshotEvolve _),
     "e_snapshot_gated" -> (eSnapshotGated _),
+    "e_snapshot_history" -> (eSnapshotHistory _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8637,6 +8658,18 @@ object ExtQueries {
         |FROM documents
         |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e_snapshot_history" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_even,
+        |  CAST(sum(CASE WHEN doc_id BETWEEN 100 AND 200 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_del
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS version, 'ingest' AS operation,
+        |  n_even AS n_rows FROM t
+        |UNION ALL SELECT 2, 'append', n FROM t
+        |UNION ALL SELECT 3, 'delete', n - n_del FROM t
+        |ORDER BY version""".stripMargin,
     "e_snapshot_gated" ->
       """WITH flags AS (SELECT doc_id, lang, n_chars,
         |    (lang IS NULL) AS v1,

@@ -906,6 +906,37 @@ object SnapshotStore {
         .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
     }
 
+  /** [[cluster]] across ANY number of dimensions ([[ZOrder.clusterN]]):
+    * one write-time layout pass makes the per-file stats selective on
+    * every clustered column simultaneously — the (host, lang, length)
+    * or (time, shard, quality) layouts a training-data table actually
+    * wants. Same `zorder` rewrite commit, same reader-side payoff. */
+  def clusterN(spark: SparkSession, dir: String, dims: Seq[String],
+               nFiles: Int, bits: Int = 16,
+               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    commitFiles(spark, dir, "zorder", reclaimGraceMs = reclaimGraceMs) {
+      dataDir => ZOrder.clusterN(read(spark, dir), dims, nFiles, bits)
+        .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    }
+
+  /** The commit log as a DataFrame — one row per RETAINED version:
+    * (version, operation, n_files, n_rows, n_bytes, n_columns). Rows and
+    * bytes sum the manifest's per-file stats (exact for every version
+    * this engine committed; legacy entries without stats contribute 0).
+    * Driver work is one manifest read per retained version — the
+    * DESCRIBE HISTORY of the store. */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    versions(spark, dir).map { v =>
+      val m = manifest(spark, dir, v)
+      (v, m.operation, m.files.length.toLong,
+        m.stats.values.map(_.rows).sum,
+        m.stats.values.map(_.bytes).sum,
+        m.schemaStruct.map(_.fields.length.toLong).getOrElse(0L))
+    }.toDF("version", "operation", "n_files", "n_rows", "n_bytes",
+      "n_columns")
+  }
+
   /** Maintenance commit: [[Hilbert.cluster]] the latest version into a
     * new version (operation `hilbert`) — the locality upgrade over
     * [[cluster]] (every curve step is distance 1, so file min/max boxes

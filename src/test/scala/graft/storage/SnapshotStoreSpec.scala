@@ -494,6 +494,44 @@ class SnapshotStoreSpec extends SparkSpec {
       (3L, "c", Some(0.5))))
   }
 
+  test("clusterN (3-d z-order) prunes at file grain on EVERY clustered dimension") {
+    val dir = freshDir()
+    val df = (0L until 4096L)
+      .map(i => (i, i % 16, (i / 16) % 16, i / 256, s"r$i"))
+      .toDF("doc_id", "x", "y", "w", "payload")
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val v = SnapshotStore.clusterN(spark, dir, Seq("x", "y", "w"),
+      nFiles = 16, bits = 4)
+    import SnapshotStore.FilePredicate._
+    val m = SnapshotStore.manifest(spark, dir, v)
+    Seq("x", "y", "w").foreach { dim =>
+      val pred = between(dim, 2L, 3L)
+      val pruned = SnapshotStore.prunedFiles(spark, dir, v, pred)
+      assert(pruned.length < m.files.length,
+        s"a slice on $dim must file-skip: ${pruned.length} of ${m.files.length}")
+      assert(SnapshotStore.readAsOfWhere(spark, dir, v, pred)
+        .select("doc_id").as[Long].collect().toSet ==
+        SnapshotStore.readAsOf(spark, dir, v).filter(pred.toColumn)
+          .select("doc_id").as[Long].collect().toSet,
+        s"pruning on $dim must be invisible in the answer")
+    }
+  }
+
+  test("history summarizes the retained commit log") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a", 2L -> "b"), "ingest")
+    SnapshotStore.commitAppend(spark, dir, docs(3L -> "c"), "append")
+    import SnapshotStore.FilePredicate._
+    SnapshotStore.deleteWhere(spark, dir, EqTo("doc_id", 2L))
+    val h = SnapshotStore.history(spark, dir)
+      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.map(r => (r._1, r._2, r._4)).toSeq ==
+      Seq((1L, "ingest", 2L), (2L, "append", 3L), (3L, "delete", 2L)),
+      "per-version operation + exact row counts from the manifest stats")
+    assert(h.forall(_._5 > 0L), "recorded byte sums surface")
+    assert(h.forall(_._6 == 2L), "schema width surfaces")
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
