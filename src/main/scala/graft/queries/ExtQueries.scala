@@ -3702,6 +3702,29 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** Row-grain change-data feed (round 14): ingest → upsert merge →
+    * range delete, then [[graft.storage.SnapshotStore.readRowChanges]]
+    * across the whole chain — inserts/deletes once, updates as
+    * pre+post image pairs, unchanged rows never surfacing (the Delta
+    * CDF vocabulary derived from two snapshot reads + ONE full-outer
+    * key join; correct across any operation mix). */
+  def eSnapshotCdf(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "cdf")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 3 =!= 0), "ingest")
+    store.merge(s, root,
+      docs.filter(col("doc_id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      Seq("doc_id"))
+    val v3 = store.deleteWhere(s, root,
+      graft.storage.SnapshotStore.FilePredicate.between("doc_id", 50L, 120L))
+    store.readRowChanges(s, root, 1L, v3, Seq("doc_id"))
+      .select(col("doc_id"), col("_change_type"))
+      .orderBy("doc_id", "_change_type")
+  }
+
   /** Commit-log history through the snapshot store (round 14): an
     * ingest → append → copy-on-write delete chain, then
     * [[graft.storage.SnapshotStore.history]] — per-version operation +
@@ -6938,6 +6961,7 @@ object ExtQueries {
     "e_snapshot_evolve" -> (eSnapshotEvolve _),
     "e_snapshot_gated" -> (eSnapshotGated _),
     "e_snapshot_history" -> (eSnapshotHistory _),
+    "e_snapshot_cdf" -> (eSnapshotCdf _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8658,6 +8682,28 @@ object ExtQueries {
         |FROM documents
         |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e_snapshot_cdf" ->
+      """WITH pre AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
+        |post AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents
+        |  WHERE (doc_id % 3 <> 0 OR doc_id % 5 = 1)
+        |    AND NOT (doc_id BETWEEN 50 AND 120)),
+        |j AS (SELECT coalesce(pre.doc_id, post.doc_id) AS doc_id,
+        |    pre.text AS t1, post.text AS t2,
+        |    (pre.doc_id IS NOT NULL) AS inpre,
+        |    (post.doc_id IS NOT NULL) AS inpost
+        |  FROM pre FULL JOIN post ON pre.doc_id = post.doc_id)
+        |SELECT doc_id, _change_type FROM (
+        |  SELECT doc_id, 'insert' AS _change_type FROM j
+        |    WHERE NOT inpre AND inpost
+        |  UNION ALL SELECT doc_id, 'delete' FROM j
+        |    WHERE inpre AND NOT inpost
+        |  UNION ALL SELECT doc_id, 'update_preimage' FROM j
+        |    WHERE inpre AND inpost AND t1 IS DISTINCT FROM t2
+        |  UNION ALL SELECT doc_id, 'update_postimage' FROM j
+        |    WHERE inpre AND inpost AND t1 IS DISTINCT FROM t2) c
+        |ORDER BY doc_id, _change_type""".stripMargin,
     "e_snapshot_history" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)

@@ -532,6 +532,35 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(h.forall(_._6 == 2L), "schema width surfaces")
   }
 
+  test("readRowChanges: CDF vocabulary across a merge+delete chain; unchanged rows never surface") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+        .toDF("doc_id", "text", "score"), "ingest")
+    SnapshotStore.merge(spark, dir,
+      Seq((2L, "B2", 20L), (4L, "d", 40L)).toDF("doc_id", "text", "score"),
+      Seq("doc_id"))
+    import SnapshotStore.FilePredicate._
+    SnapshotStore.deleteWhere(spark, dir, EqTo("doc_id", 3L))
+    val got = SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("doc_id"))
+      .as[(Long, String, Long, String)].collect().toSet
+    assert(got == Set(
+      (2L, "b", 20L, "update_preimage"),
+      (2L, "B2", 20L, "update_postimage"),
+      (3L, "c", 30L, "delete"),
+      (4L, "d", 40L, "insert")),
+      "per-key CDF rows; key 1 (unchanged) absent")
+    // schema evolution between the versions: the new column's arrival
+    // alone reports as an update with a null preimage
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((5L, "e", 50L, "en")).toDF("doc_id", "text", "score", "lang"),
+      "append")
+    val evo = SnapshotStore.readRowChanges(spark, dir, 3L, 4L, Seq("doc_id"))
+      .as[(Long, String, Long, Option[String], String)].collect().toSet
+    assert(evo == Set((5L, "e", 50L, Some("en"), "insert")),
+      "rows whose evolved column is null on both sides stay unchanged")
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
