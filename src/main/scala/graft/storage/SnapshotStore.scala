@@ -901,10 +901,7 @@ object SnapshotStore {
   def cluster(spark: SparkSession, dir: String, xCol: String, yCol: String,
               nFiles: Int, bits: Int = 16,
               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
-    commitFiles(spark, dir, "zorder", reclaimGraceMs = reclaimGraceMs) {
-      dataDir => ZOrder.cluster(read(spark, dir), xCol, yCol, nFiles, bits)
-        .write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    }
+    clusterN(spark, dir, Seq(xCol, yCol), nFiles, bits, reclaimGraceMs)
 
   /** [[cluster]] across ANY number of dimensions ([[ZOrder.clusterN]]):
     * one write-time layout pass makes the per-file stats selective on
@@ -997,6 +994,9 @@ object SnapshotStore {
       s"fromVersion $fromVersion must precede toVersion $toVersion")
     val post = readAsOf(spark, dir, toVersion)
     val cols = post.columns.toSeq
+    val reserved = Set("__pre", "__post", "__types", "_change_type")
+    cols.filter(reserved).foreach(c => sys.error(
+      s"column $c collides with the change feed's output — rename it"))
     idCols.foreach(c => require(cols.contains(c),
       s"key column $c is not in version $toVersion's schema"))
     val pre = {
@@ -1004,27 +1004,37 @@ object SnapshotStore {
       cols.foldLeft(p0) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(post.schema(c).dataType))
-      }.select(cols.map(col): _*)
+      }
     }
     val dataCols = cols.filterNot(idCols.contains)
     require(dataCols.nonEmpty,
       "the key covers every column — nothing to diff at row grain")
-    val p = pre.select(idCols.map(col) :+
-      struct(dataCols.map(col): _*).as("__pre"): _*)
-    val q = post.select(idCols.map(col) :+
-      struct(dataCols.map(col): _*).as("__post"): _*)
-    val tagged = p.join(q, idCols, "full_outer")
+    // frame-qualified refs + getField resolve EXACT column names
+    // (a name containing '.' must not parse as a nested path)
+    val p = pre.select(idCols.map(pre(_)) :+
+      struct(dataCols.map(pre(_)): _*).as("__pre"): _*)
+    val q = post.select(idCols.map(post(_)) :+
+      struct(dataCols.map(post(_)): _*).as("__post"): _*)
+    // null-SAFE key equality: a null-keyed row present unchanged on both
+    // sides must match itself, not surface as a spurious delete+insert
+    // (keys are unique per version — the merge invariant — so the null
+    // key group is at most 1:1)
+    val joined = p.join(q, idCols.map(c => p(c) <=> q(c)).reduce(_ && _),
+      "full_outer")
+    val tagged = joined
+      .select(idCols.map(c => coalesce(p(c), q(c)).as(c)) :+
+        col("__pre") :+ col("__post"): _*)
       .withColumn("__types",
         when(col("__pre").isNull, array(lit("insert")))
           .when(col("__post").isNull, array(lit("delete")))
           .when(!(col("__pre") <=> col("__post")),
             array(lit("update_preimage"), lit("update_postimage")))
           .otherwise(array().cast("array<string>")))
-      .select(idCols.map(col) :+ col("__pre") :+ col("__post") :+
-        explode(col("__types")).as("_change_type"): _*)
+      .withColumn("_change_type", explode(col("__types")))
     val fromPre = col("_change_type").isin("delete", "update_preimage")
-    tagged.select(idCols.map(col) ++ dataCols.map(c =>
-      when(fromPre, col(s"__pre.$c")).otherwise(col(s"__post.$c")).as(c)) :+
+    tagged.select(idCols.map(c => tagged(c)) ++ dataCols.map(c =>
+      when(fromPre, col("__pre").getField(c))
+        .otherwise(col("__post").getField(c)).as(c)) :+
       col("_change_type"): _*)
   }
 

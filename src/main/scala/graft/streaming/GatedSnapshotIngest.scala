@@ -37,8 +37,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * constraint). */
 object GatedSnapshotIngest {
 
-  private val IngestOp = "ingest-b(\\d+)".r
-
   /** Per-row array of "rule:target" labels this row violates (empty =
     * passes the contract). */
   def violatedRules(rules: Seq[Expectations.Rule]): Column = {
@@ -65,39 +63,30 @@ object GatedSnapshotIngest {
   /** Gate one (batch) frame and commit both sides — the same contract a
     * stream enforces, applied to a backfill/one-shot frame. Returns
     * (mainVersion, quarantineVersion); None for a side whose split was
-    * empty or (when `skipMain`/`skipQuarantine`) already committed. */
+    * empty or (when `skipMain`/`skipQuarantine`) already committed.
+    * `reclaimGraceMs` keeps the store's default concurrent-writer
+    * protection; the streaming path passes 0 because a checkpoint is
+    * single-writer by construction — a one-shot backfill racing a live
+    * gate is not, so don't. */
   def gateAndCommit(spark: SparkSession, df: DataFrame, tableDir: String,
                     quarantineDir: String, rules: Seq[Expectations.Rule],
                     op: String, skipMain: Boolean = false,
-                    skipQuarantine: Boolean = false): (Option[Long], Option[Long]) = {
+                    skipQuarantine: Boolean = false,
+                    reclaimGraceMs: Long = SnapshotStore.DefaultReclaimGraceMs)
+      : (Option[Long], Option[Long]) = {
     val (clean, dirty) = split(df, rules)
     val persisted = df.persist()
     try {
       val vMain =
         if (skipMain || clean.isEmpty) None
         else Some(SnapshotStore.commitAppend(spark, tableDir, clean, op,
-          reclaimGraceMs = 0L))
+          reclaimGraceMs = reclaimGraceMs))
       val vQuar =
         if (skipQuarantine || dirty.isEmpty) None
         else Some(SnapshotStore.commitAppend(spark, quarantineDir, dirty, op,
-          reclaimGraceMs = 0L))
+          reclaimGraceMs = reclaimGraceMs))
       (vMain, vQuar)
     } finally persisted.unpersist()
-  }
-
-  // committed ingest-batch ids of one store, loaded ONCE per query start
-  // (the sibling StreamingSnapshotIngest discipline: O(versions) driver
-  // work at start, O(1) per batch — never a per-trigger manifest sweep)
-  private def ingestIds(spark: SparkSession, dir: String):
-      scala.collection.mutable.Set[Long] = {
-    val ids = scala.collection.mutable.Set.empty[Long]
-    SnapshotStore.versions(spark, dir).foreach { v =>
-      SnapshotStore.manifest(spark, dir, v).operation match {
-        case IngestOp(b) => ids += b.toLong
-        case _ =>
-      }
-    }
-    ids
   }
 
   /** Start gated streaming ingest: each micro-batch splits on `rules`,
@@ -109,8 +98,10 @@ object GatedSnapshotIngest {
             rules: Seq[Expectations.Rule]): StreamingQuery = {
     violatedRules(rules) // validate the contract before starting
     val spark = docs.sparkSession
-    val mainDone = ingestIds(spark, tableDir)
-    val quarDone = ingestIds(spark, quarantineDir)
+    // ONE replay-guard discipline across every ingest path: the shared
+    // loader keeps this gate and the plain/upsert ingest in lockstep
+    val mainDone = StreamingSnapshotIngest.committedIngestBatchIds(spark, tableDir)
+    val quarDone = StreamingSnapshotIngest.committedIngestBatchIds(spark, quarantineDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
@@ -118,7 +109,8 @@ object GatedSnapshotIngest {
         val (vm, vq) = gateAndCommit(batch.sparkSession, batch, tableDir,
           quarantineDir, rules, f"ingest-b$batchId",
           skipMain = mainDone.contains(batchId),
-          skipQuarantine = quarDone.contains(batchId))
+          skipQuarantine = quarDone.contains(batchId),
+          reclaimGraceMs = 0L) // single-writer per checkpoint
         if (vm.isDefined) mainDone += batchId
         if (vq.isDefined) quarDone += batchId
         ()

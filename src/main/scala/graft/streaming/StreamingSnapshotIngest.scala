@@ -89,25 +89,31 @@ object StreamingSnapshotIngest {
         reclaimGraceMs = 0L, operation = op)
     }
 
+  /** Committed ingest-batch ids of one store, loaded ONCE per query
+    * start from the manifest log — THE replay guard every ingest path
+    * ([[start]], [[startUpsert]], [[GatedSnapshotIngest]]) shares, so
+    * the `ingest-b<id>` tag format cannot drift between them. */
+  private[streaming] def committedIngestBatchIds(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): scala.collection.mutable.Set[Long] = {
+    val ids = scala.collection.mutable.Set.empty[Long]
+    SnapshotStore.versions(spark, dir).foreach { v =>
+      SnapshotStore.manifest(spark, dir, v).operation match {
+        case IngestOp(b) => ids += b.toLong
+        case _ =>
+      }
+    }
+    ids
+  }
+
   private def run(docs: DataFrame, tableDir: String,
                   checkpointLocation: String)
                  (commit: (DataFrame, String) => Long): (StreamingQuery, Handle) = {
     val ref = new AtomicReference[java.lang.Long](null)
-    // committed batch ids, loaded once from the manifest log: the replay
-    // guard against foreachBatch's at-least-once redelivery. The set is
-    // only appended to by this (single-writer) query, so the one-time
-    // load plus local adds stays exact.
-    val committed = {
-      val spark = docs.sparkSession
-      val ids = scala.collection.mutable.Set.empty[Long]
-      SnapshotStore.versions(spark, tableDir).foreach { v =>
-        SnapshotStore.manifest(spark, tableDir, v).operation match {
-          case IngestOp(b) => ids += b.toLong
-          case _ =>
-        }
-      }
-      ids
-    }
+    // the replay guard against foreachBatch's at-least-once redelivery:
+    // the set is only appended to by this (single-writer) query, so the
+    // one-time load plus local adds stays exact.
+    val committed = committedIngestBatchIds(docs.sparkSession, tableDir)
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)

@@ -561,6 +561,20 @@ class SnapshotStoreSpec extends SparkSpec {
       "rows whose evolved column is null on both sides stay unchanged")
   }
 
+  test("readRowChanges: a null-keyed row unchanged across versions never surfaces") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((Option(1L), "a"), (Option.empty[Long], "x"))
+        .toDF("doc_id", "text"), "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((Option(2L), "b")).toDF("doc_id", "text"), "append")
+    val got = SnapshotStore.readRowChanges(spark, dir, 1L, 2L, Seq("doc_id"))
+      .as[(Option[Long], String, String)].collect().toSet
+    assert(got == Set((Some(2L), "b", "insert")),
+      "the null-keyed row matches itself (null-safe key join), " +
+        "never a spurious delete+insert pair")
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
