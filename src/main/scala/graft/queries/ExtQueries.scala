@@ -3702,6 +3702,41 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** The registered `graft-snapshot` source end to end (round 14):
+    * documents flow in through `df.write.format("graft-snapshot")`
+    * (seed + upsert via the `mergeKeys` option), back out through
+    * `spark.read.format(...)` — latest AND `version` time travel — with
+    * a plain filter the custom FileIndex prunes against the committed
+    * stats. Grades the whole named-source path the specs exercise,
+    * against a relational oracle. */
+  def eSnapshotSource(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "src")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartitionByRange(4, col("doc_id"))
+      .write.format("graft-snapshot").option("operation", "seed").save(root)
+    docs.filter(col("doc_id") % 3 === 0)
+      .withColumn("text", concat(col("text"), lit(" v2")))
+      .write.format("graft-snapshot").mode("append")
+      .option("mergeKeys", "doc_id").save(root)
+    val latest = s.read.format("graft-snapshot").load(root)
+      .filter(col("n_chars") >= 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .select(lit("latest").as("as_of"), col("lang"),
+        col("n_docs"), col("n_texts"))
+    val v1 = s.read.format("graft-snapshot").option("version", 1).load(root)
+      .filter(col("n_chars") >= 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .select(lit("v1").as("as_of"), col("lang"),
+        col("n_docs"), col("n_texts"))
+    latest.unionByName(v1).orderBy("as_of", "lang")
+  }
+
   /** Row-grain change-data feed (round 14): ingest → upsert merge →
     * range delete, then [[graft.storage.SnapshotStore.readRowChanges]]
     * across the whole chain — inserts/deletes once, updates as
@@ -6962,6 +6997,7 @@ object ExtQueries {
     "e_snapshot_gated" -> (eSnapshotGated _),
     "e_snapshot_history" -> (eSnapshotHistory _),
     "e_snapshot_cdf" -> (eSnapshotCdf _),
+    "e_snapshot_source" -> (eSnapshotSource _),
     "e_embedding_drift" -> (eEmbeddingDrift _),
     "e_linkage_weights" -> (eLinkageWeights _),
     "e_span_corruption" -> (eSpanCorruption _),
@@ -8682,6 +8718,24 @@ object ExtQueries {
         |FROM documents
         |WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'
         |GROUP BY source ORDER BY source""".stripMargin,
+    "e_snapshot_source" ->
+      """WITH v1 AS (SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 0),
+        |merged AS (
+        |  SELECT doc_id, text, lang, n_chars FROM v1 WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, text || ' v2', lang, n_chars FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |agg AS (
+        |  SELECT 'latest' AS as_of, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |  FROM merged WHERE n_chars >= 30 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'v1', lang, CAST(count(*) AS BIGINT),
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT)
+        |  FROM v1 WHERE n_chars >= 30 GROUP BY lang)
+        |SELECT * FROM agg ORDER BY as_of, lang""".stripMargin,
     "e_snapshot_cdf" ->
       """WITH pre AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0),
         |post AS (SELECT doc_id,
