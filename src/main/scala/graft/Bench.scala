@@ -12,11 +12,10 @@ object Bench {
       // ContextCleaner only deletes with this flag — without it a long-lived
       // session with a checkpoint dir leaks checkpoint directories
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.LevenshteinPrefilter.install(spark)
     graft.plans.TextExpressions.register(spark)
-    graft.plans.AsOfJoinExec.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     // Warm the session (Hadoop FS init, codegen compiler, parquet footers,
     // whole-stage codegen for scan+agg shapes) so per-query timings measure

@@ -13,11 +13,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    graft.plans.LevenshteinPrefilter.install(spark)
     graft.plans.TextExpressions.register(spark)
-    graft.plans.AsOfJoinExec.install(spark)
     Tables.evictOtherScaleFactors(sfDir)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for focused iteration (dev only; the

@@ -400,5 +400,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // SQL DML (DELETE FROM / MERGE INTO) over graft-snapshot tables
+    ext.injectResolutionRule(_ => graft.storage.SnapshotDmlRule)
   }
 }

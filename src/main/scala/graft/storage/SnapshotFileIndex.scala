@@ -3,24 +3,38 @@ package graft.storage
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Or => COr}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan, LessThanOrEqual, Literal, Or => COr, Predicate => CPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Catalyst-integrated read path for the snapshot store — the Delta
   * `TahoeFileIndex` shape: a custom [[FileIndex]] whose `listFiles`
-  * receives the query's OWN pushed-down data filters from
-  * `FileSourceScanExec` and prunes the manifest's file list against the
-  * per-file min/max stats before any split is planned. The payoff over
-  * [[SnapshotStore.readAsOfWhere]]: a plain
+  * receives the query's OWN pushed-down filters from
+  * `FileSourceScanExec` and prunes the manifest's file list BEFORE any
+  * split is planned, in two tiers:
+  *
+  *  1. PARTITION pruning — for a partitioned table the index re-derives
+  *     each file's partition values from its hive `col=value` path
+  *     segments (the manifest records the partition COLUMNS; the path is
+  *     the value authority, exactly hive's contract), groups the listing
+  *     by partition, and evaluates Catalyst's partition filters against
+  *     each partition row. A `WHERE date = …` on a date-partitioned
+  *     100 TB table cuts the listing to one partition with ZERO stats
+  *     consulted and zero data I/O — partition columns never occupy
+  *     bytes in the data files at all.
+  *  2. STATS pruning — surviving files are then pruned against the
+  *     per-file min/max/null-count stats via the conservative
+  *     data-filter translation below.
+  *
+  * The payoff over [[SnapshotStore.readAsOfWhere]]: a plain
   * `readAsOfTable(...).filter($"x" > 5)` — or the same predicate
-  * arriving through SQL — skips files with NO explicit
+  * arriving through SQL — skips partitions and files with NO explicit
   * [[SnapshotStore.FilePredicate]] plumbing, while Spark's standard
   * parquet path keeps predicate pushdown (row groups), column pruning,
   * and whole-stage codegen: the plan is an ordinary `FileScan parquet`
-  * whose input files happen to be the stats-surviving subset.
+  * whose input files happen to be the surviving subset.
   *
   * Filter translation is CONSERVATIVE: comparison atoms over bare
   * attributes and foldable literals translate; anything else keeps
@@ -35,12 +49,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * filesystem RPC (legacy pre-size manifest entries fall back to
   * `getFileStatus`). */
 final class SnapshotFileIndex(spark: SparkSession, dir: String,
-                              m: SnapshotStore.Manifest) extends FileIndex {
+                              m: SnapshotStore.Manifest,
+                              subset: Option[Set[String]] = None)
+    extends FileIndex {
+
+  /** the table directory — the DML front door resolves its target here */
+  def tableDir: String = dir
+
+  private val candidateFiles: Seq[String] =
+    subset.map(ss => m.files.filter(ss)).getOrElse(m.files)
 
   private val statuses: Seq[(String, FileStatus)] = {
     lazy val fs =
       new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    m.files.map { f =>
+    candidateFiles.map { f =>
       // manifest-recorded size → no per-file RPC (the ~800k-file case);
       // legacy entries without sizes fall back to one getFileStatus.
       // mtime 0 is safe: snapshot data files are immutable and this
@@ -56,30 +78,111 @@ final class SnapshotFileIndex(spark: SparkSession, dir: String,
   /** files surfaced by the most recent `listFiles` — lets specs assert
     * the pruning that actually reached the scan */
   @volatile var lastListedCount: Int = -1
+  /** files cut by PARTITION pruning alone in the most recent `listFiles`
+    * (before any stats were consulted) */
+  @volatile var lastPartitionPruned: Int = -1
+  /** files cut by stats pruning in the most recent `listFiles` */
+  @volatile var lastStatsPruned: Int = -1
 
   override def rootPaths: Seq[Path] = Seq(new Path(dir))
 
-  override def listFiles(partitionFilters: Seq[Expression],
-                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // every translated conjunct prunes independently (AND semantics)
-    val preds = dataFilters.flatMap(SnapshotFileIndex.fromCatalyst)
-    val kept = statuses.filter { case (f, _) =>
-      m.stats.get(f).forall(st => preds.forall(_.mightMatch(st)))
-    }
-    lastListedCount = kept.length
-    Seq(PartitionDirectory(InternalRow.empty, kept.map(_._2).toArray))
+  override val partitionSchema: StructType =
+    SnapshotFileIndex.partitionSchemaOf(m)
+
+  /** one partition row per distinct partition-value tuple, with the raw
+    * hive strings cast to the manifest schema's column types */
+  private lazy val partitionRows: Map[Seq[String], InternalRow] = {
+    val zone = spark.sessionState.conf.sessionLocalTimeZone
+    filesByPartition.keys.map { raws =>
+      val vals = partitionSchema.fields.zip(raws).map { case (f, raw) =>
+        if (raw == null) null
+        else Cast(Literal(UTF8String.fromString(raw), StringType),
+          f.dataType, Option(zone)).eval(null)
+      }
+      raws -> InternalRow.fromSeq(vals.toSeq)
+    }.toMap
   }
 
-  override def inputFiles: Array[String] = m.files.toArray
+  private lazy val filesByPartition
+      : Map[Seq[String], Seq[(String, FileStatus)]] =
+    if (m.partitionCols.isEmpty) Map(Seq.empty[String] -> statuses)
+    else statuses.groupBy { case (f, _) =>
+      val raw = SnapshotStore.partitionRawValues(f, m.partitionCols)
+      m.partitionCols.map(raw(_))
+    }
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    // tier 1: partition pruning — evaluate each partition filter against
+    // the partition row (bound by name, the standard FileIndex contract)
+    val keptParts =
+      if (m.partitionCols.isEmpty || partitionFilters.isEmpty) filesByPartition
+      else {
+        val preds = partitionFilters.map { e =>
+          val bound = e.transform { case a: AttributeReference =>
+            val idx = partitionSchema.fieldNames
+              .indexWhere(_.equalsIgnoreCase(a.name))
+            require(idx >= 0, s"partition filter references ${a.name}, " +
+              s"not a partition column of $dir")
+            BoundReference(idx, partitionSchema(idx).dataType, nullable = true)
+          }
+          CPredicate.create(bound)
+        }
+        filesByPartition.filter { case (raws, _) =>
+          val row = partitionRows(raws)
+          preds.forall(_.eval(row))
+        }
+      }
+    val afterPartition = keptParts.values.map(_.length).sum
+    lastPartitionPruned = statuses.length - afterPartition
+    // tier 2: stats pruning — every translated conjunct prunes
+    // independently (AND semantics)
+    val preds = dataFilters.flatMap(SnapshotFileIndex.fromCatalyst)
+    val dirs = keptParts.toSeq.map { case (raws, fs0) =>
+      val kept = fs0.filter { case (f, _) =>
+        m.stats.get(f).forall(st => preds.forall(_.mightMatch(st)))
+      }
+      (raws, kept)
+    }
+    val listed = dirs.map(_._2.length).sum
+    lastStatsPruned = afterPartition - listed
+    lastListedCount = listed
+    if (m.partitionCols.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        dirs.flatMap(_._2.map(_._2)).toArray))
+    else dirs.collect { case (raws, kept) if kept.nonEmpty =>
+      PartitionDirectory(partitionRows(raws), kept.map(_._2).toArray)
+    }
+  }
+
+  override def inputFiles: Array[String] = candidateFiles.toArray
   override def refresh(): Unit = ()
   override def sizeInBytes: Long = statuses.map(_._2.getLen).sum
-  override def partitionSchema: StructType = new StructType()
 }
 
 object SnapshotFileIndex {
 
   import SnapshotStore.FilePredicate
   import SnapshotStore.FilePredicate._
+
+  /** partition columns (in `partitionCols` order) typed from the
+    * manifest schema — partitioned manifests always record a schema */
+  private[storage] def partitionSchemaOf(m: SnapshotStore.Manifest): StructType =
+    if (m.partitionCols.isEmpty) new StructType()
+    else {
+      val s = m.schemaStruct.getOrElse(sys.error(
+        "partitioned manifest lacks a recorded schema"))
+      StructType(m.partitionCols.map(c =>
+        s.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(sys.error(
+          s"partition column $c is not in the manifest schema"))))
+    }
+
+  /** the non-partition columns, in manifest-schema order */
+  private[storage] def dataSchemaOf(m: SnapshotStore.Manifest,
+                                    full: StructType): StructType =
+    if (m.partitionCols.isEmpty) full
+    else StructType(full.fields.filterNot(f =>
+      m.partitionCols.exists(_.equalsIgnoreCase(f.name))))
 
   private def litValue(l: Literal): Option[Any] = Option(l.value).map {
     case u: UTF8String => u.toString
@@ -113,6 +216,8 @@ object SnapshotFileIndex {
       litValue(l).map(LtEq(a.name, _))
     case LessThanOrEqual(l: Literal, a: AttributeReference) =>
       litValue(l).map(GtEq(a.name, _))
+    case CIsNull(a: AttributeReference) => Some(IsNull(a.name))
+    case CIsNotNull(a: AttributeReference) => Some(IsNotNull(a.name))
     case CAnd(x, y) =>
       (fromCatalyst(x), fromCatalyst(y)) match {
         case (Some(px), Some(py)) => Some(And(px, py))
@@ -125,7 +230,8 @@ object SnapshotFileIndex {
 
   /** Time-travel read through the Catalyst-integrated index: an
     * ordinary parquet `DataFrame` whose scan lists only the files of
-    * `version` that survive the query's own pushed-down filters. */
+    * `version` that survive the query's own pushed-down filters (and,
+    * on a partitioned table, its partition filters). */
   def readAsOfTable(spark: SparkSession, dir: String,
                     version: Long): DataFrame = {
     val (df, _) = readAsOfTableWithIndex(spark, dir, version)
@@ -137,11 +243,37 @@ object SnapshotFileIndex {
                              version: Long): (DataFrame, SnapshotFileIndex) = {
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
+    relationOf(spark, dir, m, None)
+  }
+
+  /** An index-backed read of an arbitrary FILE SUBSET of one manifest —
+    * how the store's own copy-on-write rewrites read their touched
+    * files on a partitioned table (partition values ride the index, so
+    * the rewritten rows keep their partition columns). */
+  private[storage] def readFilesOf(spark: SparkSession, dir: String,
+                                   m: SnapshotStore.Manifest,
+                                   files: Seq[String]): DataFrame =
+    relationOf(spark, dir, m, Some(files.toSet))._1
+
+  /** the index-backed `HadoopFsRelation` of one manifest (optionally a
+    * file subset) — also the registered source's batch relation */
+  private[storage] def hadoopRelationOf(spark: SparkSession, dir: String,
+                                        m: SnapshotStore.Manifest,
+                                        subset: Option[Set[String]] = None)
+      : (HadoopFsRelation, SnapshotFileIndex) = {
     val schema = m.schemaStruct
       .getOrElse(spark.read.parquet(m.files: _*).schema)
-    val index = new SnapshotFileIndex(spark, dir, m)
-    val relation = HadoopFsRelation(index, new StructType(), schema, None,
-      new ParquetFileFormat(), Map.empty)(spark)
+    val index = new SnapshotFileIndex(spark, dir, m, subset)
+    (HadoopFsRelation(index, index.partitionSchema,
+      dataSchemaOf(m, schema), None, new ParquetFileFormat(), Map.empty)(spark),
+      index)
+  }
+
+  private def relationOf(spark: SparkSession, dir: String,
+                         m: SnapshotStore.Manifest,
+                         subset: Option[Set[String]])
+      : (DataFrame, SnapshotFileIndex) = {
+    val (relation, index) = hadoopRelationOf(spark, dir, m, subset)
     (spark.baseRelationToDataFrame(relation), index)
   }
 }

@@ -1,13 +1,11 @@
 package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, FileIndex}
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.{SaveMode => SqlSaveMode}
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Registered data-source face of the snapshot store:
   *
@@ -18,23 +16,32 @@ import org.apache.spark.sql.types.StructType
   *   // through SQL DDL:
   *   CREATE TABLE t USING `graft-snapshot`
   *     OPTIONS (path '<tableDir>', version '3')
-  *   // and as a STREAM over the manifest log (versions = offsets):
+  *   // as a STREAM over the manifest log (versions = offsets):
   *   spark.readStream.format("graft-snapshot")
   *     .option("startingVersion", 2).load(tableDir)
+  *   // and as a streaming ROW-GRAIN change feed (Delta CDF vocabulary):
+  *   spark.readStream.format("graft-snapshot")
+  *     .option("readChangeFeed", "true").option("idCols", "doc_id")
+  *     .load(tableDir)
   * }}}
   *
-  * Batch reads resolve to the same stats-pruning
+  * Batch reads resolve to the same stats-and-partition-pruning
   * [[SnapshotFileIndex]]-backed parquet relation as
-  * [[SnapshotFileIndex.readAsOfTable]] — any WHERE file-skips through
-  * the manifest stats, and the plan stays an ordinary codegen'd parquet
-  * FileScan. The streaming form is a V1 [[Source]] whose OFFSETS ARE
-  * MANIFEST VERSIONS: each micro-batch is
+  * [[SnapshotFileIndex.readAsOfTable]] — any WHERE partition-prunes and
+  * file-skips through the manifest, and the plan stays an ordinary
+  * codegen'd parquet FileScan. The streaming form is a V1 [[Source]]
+  * whose OFFSETS ARE MANIFEST VERSIONS: each micro-batch is
   * [[SnapshotStore.readChangesSince]] over `(startOffset, endOffset]` —
   * only the files those commits added, rewrite commits excluded — so a
   * downstream streaming query follows ingest exactly-once (offsets ride
-  * the query's own checkpoint) without ever re-scanning history.
-  * Options: `startingVersion` (first batch starts after
-  * `startingVersion - 1`; default 1 = deliver the full history first),
+  * the query's own checkpoint) without ever re-scanning history. With
+  * `readChangeFeed=true` (plus `idCols`) each micro-batch is instead
+  * the ROW-GRAIN feed [[SnapshotStore.readRowChanges]] over the same
+  * version range — inserts/deletes once, updates as pre+post image
+  * pairs in `_change_type` — so a downstream mirror of a merge-mutated
+  * table subscribes to row updates incrementally. Options:
+  * `startingVersion` (first batch starts after `startingVersion - 1`;
+  * default 1 = deliver the full history first),
   * `maxVersionsPerTrigger` (bound commits per micro-batch). Retention
   * contract: [[SnapshotStore.vacuum]] must retain at least the
   * consumer's lag, or recovery refuses loudly (never under-delivers).
@@ -55,31 +62,40 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     * committed version exists". Option `operation` tags the commit;
     * option `mergeKeys` (comma-separated columns) turns `Append` into a
     * copy-on-write UPSERT — [[SnapshotStore.merge]]: same-key rows
-    * replaced, new keys appended, off-envelope files carried. */
+    * replaced, new keys appended, off-envelope files carried. Option
+    * `partitionBy` (comma-separated columns) on a table-creating write
+    * fixes the hive partition layout — appends inherit it. */
   override def createRelation(sqlContext: SQLContext, mode: SqlSaveMode,
                               parameters: Map[String, String],
                               data: org.apache.spark.sql.DataFrame): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     val op = parameters.getOrElse("operation", "write")
+    def cols(key: String): Seq[String] = parameters.get(key).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    val partitionBy = cols("partitionBy")
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
         parameters.get("mergeKeys") match {
-          case Some(keys) => SnapshotStore.merge(spark, dir, data,
-            keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+          case Some(_) => SnapshotStore.merge(spark, dir, data,
+            cols("mergeKeys"),
             operation = parameters.getOrElse("operation", "merge"))
+          case None if !exists && partitionBy.nonEmpty =>
+            SnapshotStore.commit(spark, dir, data, op,
+              partitionBy = partitionBy)
           case None => SnapshotStore.commitAppend(spark, dir, data, op)
         }
       case SqlSaveMode.Overwrite =>
-        SnapshotStore.commit(spark, dir, data, op)
+        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy)
       case SqlSaveMode.ErrorIfExists if exists =>
         sys.error(s"graft-snapshot table at $dir already has committed " +
           "versions (mode ErrorIfExists)")
       case SqlSaveMode.ErrorIfExists =>
-        SnapshotStore.commit(spark, dir, data, op)
+        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy)
       case SqlSaveMode.Ignore =>
-        if (!exists) SnapshotStore.commit(spark, dir, data, op)
+        if (!exists) SnapshotStore.commit(spark, dir, data, op,
+          partitionBy = partitionBy)
     }
     createRelation(sqlContext, parameters)
   }
@@ -95,6 +111,13 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     m.schemaStruct.getOrElse(spark.read.parquet(m.files: _*).schema)
   }
 
+  private def cdfRequested(parameters: Map[String, String]): Boolean =
+    parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+
+  private def idColsOf(parameters: Map[String, String]): Seq[String] =
+    parameters.get("idCols").toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
@@ -104,10 +127,7 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    val index: FileIndex = new SnapshotFileIndex(spark, dir, m)
-    HadoopFsRelation(index, new StructType(),
-      schemaOf(spark, dir, version), None,
-      new ParquetFileFormat(), Map.empty)(spark)
+    SnapshotFileIndex.hadoopRelationOf(spark, dir, m)._1
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -122,7 +142,10 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
           "or an explicit schema"))
       schemaOf(spark, dir, v)
     }
-    (shortName(), s)
+    val out =
+      if (!cdfRequested(parameters)) s
+      else StructType(s.fields :+ StructField("_change_type", StringType))
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -131,38 +154,42 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
-    new SnapshotStreamSource(spark, dir, s,
-      startingVersion = parameters.get("startingVersion")
-        .map(_.trim.toLong).getOrElse(1L),
-      maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
-        .map(_.trim.toLong))
+    val startingVersion = parameters.get("startingVersion")
+      .map(_.trim.toLong).getOrElse(1L)
+    val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
+      .map(_.trim.toLong)
+    if (cdfRequested(parameters)) {
+      val idCols = idColsOf(parameters)
+      require(idCols.nonEmpty,
+        "readChangeFeed needs idCols (comma-separated key columns)")
+      new SnapshotCdfStreamSource(spark, dir, s, startingVersion,
+        maxVersionsPerTrigger, idCols)
+    } else new SnapshotStreamSource(spark, dir, s, startingVersion,
+      maxVersionsPerTrigger)
   }
 }
 
-/** The manifest-log streaming source: offset N = "everything up to and
-  * including version N has been delivered". `getOffset` advances to the
-  * latest committed version (bounded by `maxVersionsPerTrigger`);
-  * `getBatch(from, to)` is the file-grain change feed over
-  * `(from, to]`, marked streaming through the classic-session bridge
-  * (the `FileStreamSource` construction). Driver work per trigger is
-  * one manifest-dir listing; batch cost is the added files only. */
-final class SnapshotStreamSource(spark: SparkSession, dir: String,
-                                 override val schema: StructType,
-                                 startingVersion: Long,
-                                 maxVersionsPerTrigger: Option[Long])
-    extends Source {
+/** Shared offset mechanics of the manifest-log streaming sources:
+  * offset N = "everything up to and including version N has been
+  * delivered". `getOffset` advances to the latest committed version
+  * (bounded by `maxVersionsPerTrigger`) — O(1 + pointer lag) driver
+  * work per trigger through the store's checkpoint pointer. */
+sealed abstract class SnapshotStreamSourceBase(
+    spark: SparkSession, dir: String,
+    startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long]) extends Source {
 
   require(startingVersion >= 1, "startingVersion must be >= 1")
   // versions before startingVersion count as already delivered
-  private val floor = startingVersion - 1
+  protected val floor: Long = startingVersion - 1
 
-  private def value(o: OffsetV1): Long = o match {
+  protected def value(o: OffsetV1): Long = o match {
     case l: LongOffset => l.offset
     case s: SerializedOffset => s.json.trim.toLong
     case other => sys.error(s"unexpected offset $other")
   }
 
-  @volatile private var lastEnd: Long = floor
+  @volatile protected var lastEnd: Long = floor
 
   override def getOffset: Option[OffsetV1] =
     SnapshotStore.latestVersion(spark, dir).flatMap { latest =>
@@ -171,6 +198,33 @@ final class SnapshotStreamSource(spark: SparkSession, dir: String,
       if (capped <= floor) None
       else { lastEnd = math.max(lastEnd, capped); Some(LongOffset(capped)) }
     }
+
+  /** pin a batch to the schema declared at stream start: columns added
+    * by mid-stream schema evolution surface after a consumer restart
+    * (the Delta streaming contract), never as a batch shape change; a
+    * batch predating an evolved column null-fills it. */
+  protected def pinned(batch: DataFrame, schema: StructType): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val have = batch.columns.toSet
+    val out = batch.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(out)
+  }
+
+  override def stop(): Unit = ()
+}
+
+/** The file-grain streaming source: `getBatch(from, to)` is the ADD
+  * feed over `(from, to]` — the files those commits added, rewrite
+  * commits excluded; batch cost is the added files only. */
+final class SnapshotStreamSource(spark: SparkSession, dir: String,
+                                 override val schema: StructType,
+                                 startingVersion: Long,
+                                 maxVersionsPerTrigger: Option[Long])
+    extends SnapshotStreamSourceBase(spark, dir, startingVersion,
+      maxVersionsPerTrigger) {
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = math.max(floor, start.map(value).getOrElse(floor))
@@ -182,21 +236,42 @@ final class SnapshotStreamSource(spark: SparkSession, dir: String,
     val batch =
       if (to <= from) SnapshotStore.readAsOf(spark, dir, to).limit(0)
       else SnapshotStore.readChangesSince(spark, dir, from, to)
-    // pin to the schema declared at stream start: columns added by
-    // mid-stream schema evolution surface after a consumer restart
-    // (the Delta streaming contract), never as a batch shape change.
-    // A batch that predates an evolved column (restart into a pending
-    // pre-evolution range, or capped catch-up through old versions,
-    // where the declared schema came from the LATEST manifest)
-    // null-fills it rather than failing resolution.
-    import org.apache.spark.sql.functions.{col, lit}
-    val have = batch.columns.toSet
-    val pinned = batch.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
-    org.apache.spark.sql.graft.StreamingBridge.asStreaming(pinned)
+    pinned(batch, schema)
   }
+}
 
-  override def stop(): Unit = ()
+/** The ROW-GRAIN streaming change feed (round 15): each micro-batch is
+  * [[SnapshotStore.readRowChanges]] over `(from, to]` — the Delta CDF
+  * vocabulary (`insert` / `delete` / `update_preimage` /
+  * `update_postimage` in `_change_type`), derived from the two snapshot
+  * reads at the batch's version boundaries, so it is correct across ANY
+  * operation mix (merges, deletes, full replaces, compactions). The
+  * initial batch (nothing delivered yet, `from < 1`) is the starting
+  * snapshot delivered wholesale as `insert` rows — the Delta
+  * `startingVersion` contract. Keys must be unique per version (the
+  * [[SnapshotStore.merge]] invariant). */
+final class SnapshotCdfStreamSource(spark: SparkSession, dir: String,
+                                    override val schema: StructType,
+                                    startingVersion: Long,
+                                    maxVersionsPerTrigger: Option[Long],
+                                    idCols: Seq[String])
+    extends SnapshotStreamSourceBase(spark, dir, startingVersion,
+      maxVersionsPerTrigger) {
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = math.max(floor, start.map(value).getOrElse(floor))
+    val to = value(end)
+    lastEnd = math.max(lastEnd, to)
+    val batch =
+      if (to <= from)
+        SnapshotStore.readAsOf(spark, dir, to).limit(0)
+          .withColumn("_change_type", lit(null).cast(StringType))
+      else if (from < 1)
+        // nothing delivered yet: the starting snapshot IS the insert set
+        SnapshotStore.readAsOf(spark, dir, to)
+          .withColumn("_change_type", lit("insert"))
+      else SnapshotStore.readRowChanges(spark, dir, from, to, idCols)
+    pinned(batch, schema)
+  }
 }

@@ -100,19 +100,19 @@ object GatedSnapshotIngest {
     val spark = docs.sparkSession
     // ONE replay-guard discipline across every ingest path: the shared
     // loader keeps this gate and the plain/upsert ingest in lockstep
-    val mainDone = StreamingSnapshotIngest.committedIngestBatchIds(spark, tableDir)
-    val quarDone = StreamingSnapshotIngest.committedIngestBatchIds(spark, quarantineDir)
+    val mainDone = StreamingSnapshotIngest.replayGuard(spark, tableDir)
+    val quarDone = StreamingSnapshotIngest.replayGuard(spark, quarantineDir)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val (vm, vq) = gateAndCommit(batch.sparkSession, batch, tableDir,
           quarantineDir, rules, f"ingest-b$batchId",
-          skipMain = mainDone.contains(batchId),
-          skipQuarantine = quarDone.contains(batchId),
+          skipMain = mainDone.alreadyCommitted(batchId),
+          skipQuarantine = quarDone.alreadyCommitted(batchId),
           reclaimGraceMs = 0L) // single-writer per checkpoint
-        if (vm.isDefined) mainDone += batchId
-        if (vq.isDefined) quarDone += batchId
+        if (vm.isDefined) mainDone.markCommitted(batchId)
+        if (vq.isDefined) quarDone.markCommitted(batchId)
         ()
       }
       .start()

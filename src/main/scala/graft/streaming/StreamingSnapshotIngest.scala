@@ -47,8 +47,6 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * [[SnapshotStore.compact]] maintenance commit exists to fold away. */
 object StreamingSnapshotIngest {
 
-  private val IngestOp = "ingest-b(\\d+)".r
-
   final class Handle private[StreamingSnapshotIngest] (
       dir: String, ref: AtomicReference[java.lang.Long]) {
     /** The table directory versions are committed to. */
@@ -89,38 +87,41 @@ object StreamingSnapshotIngest {
         reclaimGraceMs = 0L, operation = op)
     }
 
-  /** Committed ingest-batch ids of one store, loaded ONCE per query
-    * start from the manifest log — THE replay guard every ingest path
-    * ([[start]], [[startUpsert]], [[GatedSnapshotIngest]]) shares, so
-    * the `ingest-b<id>` tag format cannot drift between them. */
-  private[streaming] def committedIngestBatchIds(
-      spark: org.apache.spark.sql.SparkSession,
-      dir: String): scala.collection.mutable.Set[Long] = {
-    val ids = scala.collection.mutable.Set.empty[Long]
-    SnapshotStore.versions(spark, dir).foreach { v =>
-      SnapshotStore.manifest(spark, dir, v).operation match {
-        case IngestOp(b) => ids += b.toLong
-        case _ =>
-      }
-    }
-    ids
+  /** The replay guard every ingest path ([[start]], [[startUpsert]],
+    * [[GatedSnapshotIngest]]) shares, so the `ingest-b<id>` tag format
+    * cannot drift between them. Batch ids are MONOTONIC per checkpoint
+    * and foreachBatch delivers them in order, so "already committed"
+    * collapses to one comparison against the max committed ingest id —
+    * which the store's checkpoint pointer carries, making the
+    * query-start load O(1 + pointer lag) manifest reads instead of the
+    * round-14 O(versions) scan (a micro-batch table holds one manifest
+    * per trigger; at 100k commits the start-up scan was the last
+    * O(commit-count) read in the ingest path). */
+  private[streaming] final class ReplayGuard(initial: Option[Long]) {
+    private[this] var max: Long = initial.getOrElse(-1L)
+    def alreadyCommitted(batchId: Long): Boolean = batchId <= max
+    def markCommitted(batchId: Long): Unit = max = math.max(max, batchId)
   }
+
+  private[streaming] def replayGuard(
+      spark: org.apache.spark.sql.SparkSession, dir: String): ReplayGuard =
+    new ReplayGuard(SnapshotStore.maxIngestBatchId(spark, dir))
 
   private def run(docs: DataFrame, tableDir: String,
                   checkpointLocation: String)
                  (commit: (DataFrame, String) => Long): (StreamingQuery, Handle) = {
     val ref = new AtomicReference[java.lang.Long](null)
     // the replay guard against foreachBatch's at-least-once redelivery:
-    // the set is only appended to by this (single-writer) query, so the
-    // one-time load plus local adds stays exact.
-    val committed = committedIngestBatchIds(docs.sparkSession, tableDir)
+    // only this (single-writer) query appends, so the one-time load plus
+    // local marks stays exact.
+    val committed = replayGuard(docs.sparkSession, tableDir)
     val query = docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!committed.contains(batchId)) {
+        if (!committed.alreadyCommitted(batchId)) {
           val v = commit(batch, f"ingest-b$batchId")
-          committed += batchId
+          committed.markCommitted(batchId)
           ref.set(v)
         }
       }

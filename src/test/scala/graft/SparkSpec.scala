@@ -14,11 +14,12 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+      // the full extension surface (functions, optimizer rule, as-of
+      // strategy, snapshot DML resolution) — the cluster-deploy path
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
-    graft.plans.LevenshteinPrefilter.install(s)
     graft.plans.TextExpressions.register(s)
-    graft.plans.AsOfJoinExec.install(s)
     s
   }
 }

@@ -575,6 +575,157 @@ class SnapshotStoreSpec extends SparkSpec {
         "never a spurious delete+insert pair")
   }
 
+  test("null-count stats: IS NULL / IS NOT NULL prune at file grain (round 15)") {
+    val dir = freshDir()
+    // file A: no nulls; file B: all null; file C: mixed
+    val a = (1L to 10L).map(i => (i, Option(s"t$i"))).toDF("doc_id", "tag")
+      .repartition(1)
+    val b = (11L to 20L).map(i => (i, Option.empty[String])).toDF("doc_id", "tag")
+      .repartition(1)
+    val c = Seq((21L, Option("x")), (22L, Option.empty[String]))
+      .toDF("doc_id", "tag").repartition(1)
+    // three single-file commits — exact file boundaries per group (a
+    // unioned local frame would fold into one partition)
+    SnapshotStore.commit(spark, dir, a, "ingest")
+    SnapshotStore.commitAppend(spark, dir, b, "append")
+    val v = SnapshotStore.commitAppend(spark, dir, c, "append")
+    val m = SnapshotStore.manifest(spark, dir, v)
+    assert(m.files.length == 3)
+    assert(m.stats.values.forall(_.cols("tag").nulls.isDefined),
+      "commits record exact per-column null counts")
+    import SnapshotStore.FilePredicate._
+    // IS NULL prunes the zero-null file
+    val isNull = IsNull("tag")
+    assert(SnapshotStore.prunedFiles(spark, dir, v, isNull).length == 2,
+      "the no-null file cannot match IS NULL")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, v, isNull)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((11L to 20L) :+ 22L).toSet)
+    // IS NOT NULL prunes the all-null file — the most common cleaning
+    // predicate skips it entirely
+    val notNull = IsNotNull("tag")
+    assert(SnapshotStore.prunedFiles(spark, dir, v, notNull).length == 2,
+      "the all-null file cannot match IS NOT NULL")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, v, notNull)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((1L to 10L) :+ 21L).toSet)
+    // and the same pruning reaches a PLAIN .filter through the Catalyst
+    // index — no FilePredicate plumbing
+    val (df, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, v)
+    assert(df.filter(col("tag").isNotNull).count() == 11L)
+    assert(idx.lastListedCount == 2,
+      s"IS NOT NULL must file-skip through the index: ${idx.lastListedCount}")
+  }
+
+  test("schema evolution resolves names case-insensitively (session default): a re-spelled column is the SAME column") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a", "en")).toDF("doc_id", "text", "lang"), "ingest")
+    // the delta re-spells lang as Lang: matches the committed column —
+    // no duplicate spelling may land in the union schema
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((2L, "b", "de")).toDF("doc_id", "text", "Lang"), "append")
+    val read = SnapshotStore.read(spark, dir)
+    assert(read.columns.toSeq == Seq("doc_id", "text", "lang"),
+      s"committed spelling wins; got ${read.columns.toSeq}")
+    assert(read.select("doc_id", "lang").as[(Long, String)].collect().toSet ==
+      Set((1L, "en"), (2L, "de")),
+      "the re-spelled delta column reads back as the same column")
+    // a case-only TYPE conflict still refuses loudly
+    val err = intercept[RuntimeException] {
+      SnapshotStore.commitAppend(spark, dir,
+        Seq((3L, 42)).toDF("doc_id", "Text"), "append")
+    }
+    assert(err.getMessage.contains("schema evolution conflict"))
+    // a delta whose OWN columns collide case-only refuses loudly
+    val err2 = intercept[RuntimeException] {
+      SnapshotStore.commitAppend(spark, dir,
+        Seq((4L, "x", "y")).toDF("doc_id", "tag", "TAG"), "append")
+    }
+    assert(err2.getMessage.contains("collide"))
+    assert(SnapshotStore.latestVersion(spark, dir).contains(2L),
+      "refused commits surface no version")
+  }
+
+  test("a refused EMPTY commit reclaims its staged dir — the writer's next attempt is not wedged") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    // a stage that writes nothing and carries nothing (Spark's writer
+    // emits a schema-only part file even for empty frames, so the
+    // zero-file refusal is reached through the staging contract) —
+    // the refusal must reclaim the staged dir, not wedge the writer
+    intercept[IllegalArgumentException] {
+      SnapshotStore.commitFiles(spark, dir, "wipe") { dataDir =>
+        // simulate a writer that staged the DIRECTORY but no files
+        val p = new Path(dataDir)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+      }
+    }
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$dir/data/v00000002-wipe")),
+      "the refused commit must reclaim its staged data dir")
+    // same version + operation, immediately: no grace-horizon wedge
+    assert(SnapshotStore.commit(spark, dir, docs(2L -> "b"), "wipe") == 2L)
+  }
+
+  test("merge racing a delete serializes to the serial-equivalent state (both orders)") {
+    // order 1: the DELETE claims its version, then a rival MERGE commits
+    // first — the delete's retry must re-select files against the
+    // merge's manifest and delete the merged rows too (no lost update)
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"v1-$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+    var fired = false
+    SnapshotStore.onAttemptForTest = { (op, _) =>
+      if (op == "delete" && !fired) {
+        fired = true
+        SnapshotStore.merge(spark, dir,
+          Seq((50L, "UPD"), (101L, "NEW")).toDF("doc_id", "text"),
+          Seq("doc_id"))
+      }
+    }
+    try {
+      import SnapshotStore.FilePredicate._
+      val v = SnapshotStore.deleteWhere(spark, dir, between("doc_id", 40L, 60L))
+      assert(v == 3L, "the delete lost the race and landed at the next slot")
+    } finally SnapshotStore.onAttemptForTest = (_, _) => ()
+    val got = SnapshotStore.read(spark, dir).as[(Long, String)].collect().toMap
+    assert(got.size == 80, s"100 + 1 insert - 21 deleted; got ${got.size}")
+    assert(!got.contains(50L), "the merged row inside the delete range is gone")
+    assert(got(101L) == "NEW")
+    assert(SnapshotStore.manifest(spark, dir, 2L).operation == "merge")
+    assert(SnapshotStore.manifest(spark, dir, 3L).operation == "delete")
+
+    // order 2: the MERGE claims its version, then a rival DELETE commits
+    // first — the merge's retry re-reads the delete's manifest, so the
+    // deleted rows stay deleted and the merge applies on top
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2,
+      (1L to 100L).map(i => (i, s"v1-$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+    var fired2 = false
+    SnapshotStore.onAttemptForTest = { (op, _) =>
+      if (op == "merge" && !fired2) {
+        fired2 = true
+        import SnapshotStore.FilePredicate._
+        SnapshotStore.deleteWhere(spark, dir2, between("doc_id", 1L, 20L))
+      }
+    }
+    try {
+      SnapshotStore.merge(spark, dir2,
+        Seq((10L, "RESURRECT"), (50L, "UPD")).toDF("doc_id", "text"),
+        Seq("doc_id"))
+    } finally SnapshotStore.onAttemptForTest = (_, _) => ()
+    val got2 = SnapshotStore.read(spark, dir2).as[(Long, String)].collect().toMap
+    assert(got2.size == 81, s"100 - 20 deleted + 1 re-inserted; got ${got2.size}")
+    assert(got2(10L) == "RESURRECT", "the merge's new-key insert applies " +
+      "on top of the delete (serial order: delete, then merge)")
+    assert(got2(50L) == "UPD" && !got2.contains(11L))
+    assert(SnapshotStore.manifest(spark, dir2, 2L).operation == "delete")
+    assert(SnapshotStore.manifest(spark, dir2, 3L).operation == "merge")
+  }
+
   test("diffVersions composes CorpusDiff across the manifest log") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
