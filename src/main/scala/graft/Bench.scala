@@ -44,31 +44,53 @@ object Bench {
     }
     val tracked = Seq("shuffleBytesWritten", "memoryBytesSpilled",
       "diskBytesSpilled", "recordsRead", "executorCpuTime")
+    // MEDIAN-OF-N per query (round 15; default 3): one-shot timings let a
+    // ~33% host swing mask real plan regressions and manufacture fake ones
+    // (r14's t9 2.58x was run-position noise) — the median is the
+    // regression signal the round-over-round diff needs. Reps share one
+    // JVM and one warmed memo set, so rep 1 carries the memo builds
+    // (split into their pseudo-entries as before) and later reps measure
+    // steady state.
+    val reps = math.max(1,
+      sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.trim.toInt).getOrElse(3))
     // name-sorted so per-query timings are comparable run-to-run
     graft.queries.ExtQueries.drainMemoBuilds() // discard warmup-phase builds
     val zeroDelta = tracked.map(_ -> 0L).toMap
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
-      val before = drainedSnapshot()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      var memoRows = Seq.empty[(String, Double, Map[String, Long])]
+      val times = Seq.newBuilder[Double]
+      var lastDelta = zeroDelta
+      (1 to reps).foreach { r =>
+        val before = drainedSnapshot()
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val after = drainedSnapshot()
+        // engine counters (bytes, cpu) come from the LAST rep: memo-free
+        // steady state, so plan regressions show in bytes even inside
+        // wall-time noise
+        lastDelta = tracked.map(k => k -> (after(k) - before(k))).toMap
+        // one-time shared-memo builds triggered by this query become their
+        // own `memo:<name>` pseudo-entries (rep 1 only — later reps hit
+        // the warm memo) and leave the query's row with ONLY its own work
+        val memoBuilds = graft.queries.ExtQueries.drainMemoBuilds()
+        val memoSec = memoBuilds.map(_._2).sum
+        if (r == 1)
+          memoRows = memoBuilds.map { case (m, s) => (s"memo:$m", s, zeroDelta) }
+        times += math.max(sec - memoSec, 0.0)
+      }
       // release shared memos whose last name-ordered consumer just ran, so
       // their checkpoint blocks don't pressure storage/GC for the rest of
       // the suite (measured: heavy late queries inflate ~3× otherwise);
-      // outside the timed window — teardown, not query work
+      // outside the timed window — teardown, not query work. Released
+      // AFTER the reps: releasing between reps would rebuild the memo
+      // per rep and time the build, not the query.
       graft.queries.ExtQueries.releaseMemosAfter(name)
-      val after = drainedSnapshot()
-      val delta = tracked.map(k => k -> (after(k) - before(k))).toMap
-      // one-time shared-memo builds triggered by this query become their
-      // own `memo:<name>` pseudo-entries and leave the query's row with
-      // ONLY its own work (total unchanged: pseudo + query = measured);
-      // engine counters stay on the query row — bytes aren't splittable
-      val memoBuilds = graft.queries.ExtQueries.drainMemoBuilds()
-      val memoSec = memoBuilds.map(_._2).sum
-      memoBuilds.map { case (m, s) => (s"memo:$m", s, zeroDelta) } :+
-        ((name, math.max(sec - memoSec, 0.0), delta))
+      val sorted = times.result().sorted
+      val med = sorted((sorted.length - 1) / 2)
+      memoRows :+ ((name, med, lastDelta))
     }
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -76,7 +98,7 @@ object Bench {
       "\"" + k + "\":{" + tracked.map(t => s"\"$t\":${d(t)}").mkString(",") + "}"
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queryMetrics":$ms,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"queryMetrics":$ms,"sf":"$sfDir"}"""
     // The full per-query record is far larger than the driver's ~2 KB
     // stdout tail capture, so it lives ONLY in the bench file (the judge
     // reads target/bench.json). stdout carries exactly ONE JSON line —
@@ -100,7 +122,7 @@ object Bench {
     val cpuSec = results.map(_._3("executorCpuTime")).sum / 1e9
     // memo pseudo-entries are attribution rows, not queries
     val nQueries = results.count(r => !r._1.startsWith("memo:"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuSec,"n_queries":$nQueries,"bench_file":"$outName","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpu_sec":$cpuSec,"n_queries":$nQueries,"reps":$reps,"bench_file":"$outName","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -52,7 +52,26 @@ object UrlCuration {
     val maxSuffixLabels: Int =
       ((exactByLabels.keySet - 1) ++ wildcardParentsByLabels.keySet.map(_ + 1))
         .maxOption.getOrElse(1)
+
+    /** total rule count — the ladder/join dispatch reads this */
+    val totalRules: Int =
+      (exactByLabels.values ++ wildcardParentsByLabels.values ++
+        exceptionsByLabels.values).map(_.size).sum
+
+    /** deepest label count any rule TESTS (exceptions included) */
+    val maxProbeLabels: Int =
+      (exactByLabels.keySet ++ wildcardParentsByLabels.keySet ++
+        exceptionsByLabels.keySet).maxOption.getOrElse(1)
   }
+
+  /** Rule-count bound for the codegen InSet ladder: the ladder's one-time
+    * per-plan compile cost grows with the literal count (measured ~0.6 s
+    * at the ~640-rule snapshot list — amortizes fine; the full ~9k-rule
+    * published list would multiply it and bloat generated code), so above
+    * this bound [[withHost]] resolves domains through
+    * [[registrableDomainsByJoin]] instead — same answers, broadcast
+    * lookup join instead of generated branches. */
+  val LadderRuleLimit: Int = 2000
 
   /** Two-label public suffixes — the slice of [[PublicSuffixList]] the
     * SQL oracle mirrors with a flat IN list (the only rule depth the
@@ -106,6 +125,80 @@ object UrlCuration {
     ladder.when(n >= 2, lastK(2)).otherwise(hostCol) // default rule '*'
   }
 
+  /** The SCALE path of the public-suffix resolution (round 15): the same
+    * publicsuffix.org semantics as [[registrableDomain]], computed with a
+    * BROADCAST LOOKUP JOIN instead of a generated InSet ladder — the form
+    * that stays cheap when the rule list grows to the full ~9k published
+    * rules (codegen size is rule-count-independent; the rules ship as one
+    * broadcast table).
+    *
+    * Plan shape: DISTINCT hosts (one shuffle, hosts ≪ docs) → explode
+    * each host's ≤ maxProbeLabels suffix candidates → inner-ish join
+    * against the broadcast rule table → one hosts-grain aggregation
+    * picking the prevailing rule (deepest exception, else deepest
+    * exact/wildcard match, else the default rule) → left join the
+    * host→domain map back onto `df`. Work is O(docs) + O(hosts ×
+    * maxProbeLabels) with every join against broadcast or host-keyed
+    * sides — no step is corpus-quadratic at any scale. */
+  def registrableDomainsByJoin(df: DataFrame, hostCol: String,
+                               out: String = "domain"): DataFrame = {
+    import PublicSuffixList._
+    val spark = df.sparkSession
+    import spark.implicits._
+    // kind: 0 = exact, 1 = wildcard parent (suffix depth k+1), 2 = exception
+    val rules = (
+      exactByLabels.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, 0)) } ++
+        wildcardParentsByLabels.toSeq.flatMap { case (k, rs) =>
+          rs.map(r => (r, k, 1)) } ++
+        exceptionsByLabels.toSeq.flatMap { case (k, rs) => rs.map(r => (r, k, 2)) }
+      ).toDF("__rule", "__rk", "__kind")
+    val hosts = df.select(col(hostCol).as("__host"))
+      .filter(col("__host").isNotNull).distinct()
+    val parts = split(col("__host"), "\\.")
+    val n = size(parts)
+    def lastK(k: Int): Column =
+      concat_ws(".", (k to 1 by -1).map(i => element_at(parts, -i)): _*)
+    val cands = hosts.select(col("__host"), n.as("__n"),
+      // the when() keeps element_at from evaluating past the label count
+      // (ANSI mode refuses out-of-bounds indices); the filter then drops
+      // the null placeholders before the join
+      explode(filter(
+        array((1 to maxProbeLabels).map(k =>
+          struct(lit(k).as("k"),
+            when(n >= k, lastK(k)).otherwise(lit(null).cast("string"))
+              .as("sfx"))): _*),
+        c => c.getField("k") <= n)).as("__c"))
+      .select(col("__host"), col("__n"),
+        col("__c").getField("k").as("__k"), col("__c").getField("sfx").as("__sfx"))
+    // left join: hosts matching NO rule must still resolve (default rule)
+    val matched = cands.join(broadcast(rules),
+      col("__sfx") === col("__rule") && col("__k") === col("__rk"), "left")
+    val agg = matched.groupBy(col("__host"))
+      .agg(max(when(col("__kind") === 2, col("__k"))).as("__exck"),
+        max(when(col("__kind") === 0, col("__k"))
+          .when(col("__kind") === 1, col("__k") + 1)).as("__s"),
+        first(col("__n")).as("__hn"))
+    val p2 = split(col("__host"), "\\.")
+    def lastDyn(k: Column): Column =
+      array_join(slice(p2, size(p2) - k + 1, k), ".")
+    val sfxLen = coalesce(col("__s"), lit(1)) // default rule: last label
+    val resolved = agg.select(col("__host"),
+      when(col("__exck").isNotNull, lastDyn(col("__exck")))
+        .otherwise(when(col("__hn") > sfxLen, lastDyn(sfxLen + lit(1)))
+          .otherwise(col("__host"))).as(out))
+    df.join(resolved, df(hostCol) === resolved("__host"), "left")
+      .drop("__host")
+  }
+
+  /** `df` + a registrable-`domain` column for `hostCol`, dispatched on
+    * rule count: the codegen InSet ladder while the shipped rule list is
+    * small ([[LadderRuleLimit]]), the broadcast lookup join beyond it —
+    * swapping the published full list in changes the PLAN, not the API. */
+  def withDomain(df: DataFrame, hostCol: String): DataFrame =
+    if (PublicSuffixList.totalRules <= LadderRuleLimit)
+      df.withColumn("domain", registrableDomain(col(hostCol)))
+    else registrableDomainsByJoin(df, hostCol)
+
   /** Query parameters dropped by [[canonicalUrl]] — the tracking noise
     * (utm campaign tags, click ids, referrer tags) that makes one page
     * arrive under dozens of raw URLs in a real crawl. */
@@ -156,11 +249,8 @@ object UrlCuration {
 
   /** `docs` with `host` and `domain` columns appended — the shared
     * projection the filter and scorecard both start from. */
-  def withHost(docs: DataFrame, urlCol: String): DataFrame = {
-    val h = host(col(urlCol))
-    docs.withColumn("host", h)
-      .withColumn("domain", registrableDomain(col("host")))
-  }
+  def withHost(docs: DataFrame, urlCol: String): DataFrame =
+    withDomain(docs.withColumn("host", host(col(urlCol))), "host")
 
   /** Domain blocklist filter: drop every document whose registrable
     * domain is blocked. The membership probe is an InSet over the

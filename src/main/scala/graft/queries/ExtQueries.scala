@@ -3593,18 +3593,81 @@ object ExtQueries {
     val root = snapScratch(s, d, "skip")
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      // a nullable derived column: null-count stats make its
+      // IS NOT NULL leg prune at file grain (round 15)
+      .withColumn("quality",
+        when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+          .otherwise(col("n_chars") % 100))
     val store = graft.storage.SnapshotStore
     store.commit(s, root, docs, "ingest")
     val v = store.cluster(s, root, "doc_id", "n_chars", nFiles = 8)
     import graft.storage.SnapshotStore.FilePredicate._
-    val pred = And(between("doc_id", 100L, 260L),
-      between("n_chars", 50L, 2000L))
+    val pred = And(And(between("doc_id", 100L, 260L),
+      between("n_chars", 50L, 2000L)), IsNotNull("quality"))
     store.readAsOfWhere(s, root, v, pred)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("doc_id")).as("id_sum"),
         sum(col("n_chars")).as("sum_chars"))
       .orderBy("lang")
+  }
+
+  /** Hive-partitioned snapshot table (round 15): the first commit fixes
+    * `partitionBy(lang)` — partition values live in the path, never in
+    * the data files — an append INHERITS the layout, and the read's
+    * partition predicate prunes the listing through Catalyst BEFORE any
+    * stats (tier assertions are `SnapshotPartitionSpec`'s business).
+    * Answer ≡ the plain filtered aggregate the oracle computes. */
+  def eSnapshotPartitioned(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "pttn")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 2 === 0), "ingest",
+      partitionBy = Seq("lang"))
+    val v = store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 2 === 1), "append")
+    graft.storage.SnapshotFileIndex.readAsOfTable(s, root, v)
+      .filter(col("lang").isin("en", "de") && col("n_chars") >= 30)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
+  /** SQL DML front door (round 15): the corpus commits once, then ALL
+    * mutation flows through `spark.sql` — a `MERGE INTO ... UPDATE SET *
+    * / INSERT *` upsert and a range `DELETE FROM` — resolved by the
+    * injected rule onto the store's copy-on-write commits
+    * ([[graft.storage.SnapshotDmlRule]]). The oracle replays the same
+    * chain relationally. */
+  def eSnapshotSqlDml(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "sqldml")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    val tbl = s"graft_dml_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      docs.filter(col("doc_id") % 5 === 1)
+        .withColumn("text", concat(col("text"), lit(" v2")))
+        .createOrReplaceTempView("graft_dml_updates")
+      s.sql(
+        s"""MERGE INTO $tbl t USING graft_dml_updates s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"DELETE FROM $tbl WHERE doc_id BETWEEN 100 AND 300")
+      store.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .orderBy("lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
   /** Catalyst-integrated snapshot read (round 14): commit + Z-order,
@@ -4060,10 +4123,16 @@ object ExtQueries {
         .when(m === 6, concat(col("source"), lit(".pvt.k12.ma.us")))
         .when(m === 7, concat(lit("x.blog."), col("source"), lit(".nagoya.jp")))
         .otherwise(lit("www.city.nagoya.jp"))
-    Tables.documents(s, d)
+    val base = Tables.documents(s, d)
       .select(col("doc_id"), host.as("host"))
+      // BOTH resolution paths (round 15): the codegen InSet ladder AND
+      // the broadcast-lookup-join scale path answer in one row — the
+      // oracle's independently derived expectation grades each.
       .withColumn("domain",
         graft.functions.UrlCuration.registrableDomain(col("host")))
+    graft.functions.UrlCuration
+      .registrableDomainsByJoin(base, "host", out = "domain_join")
+      .select(col("doc_id"), col("host"), col("domain"), col("domain_join"))
       .orderBy("doc_id")
   }
 
@@ -6990,6 +7059,8 @@ object ExtQueries {
     "e_snapshot_asof" -> (eSnapshotAsof _),
     "e_snapshot_catalog" -> (eSnapshotCatalog _),
     "e_snapshot_skipping" -> (eSnapshotSkipping _),
+    "e_snapshot_partitioned" -> (eSnapshotPartitioned _),
+    "e_snapshot_sql_dml" -> (eSnapshotSqlDml _),
     "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_snapshot_merge" -> (eSnapshotMerge _),
     "e_snapshot_delete" -> (eSnapshotDelete _),
@@ -8502,7 +8573,17 @@ object ExtQueries {
         |    WHEN 5 THEN source || '.com.au'
         |    WHEN 6 THEN source || '.pvt.k12.ma.us'
         |    WHEN 7 THEN 'blog.' || source || '.nagoya.jp'
-        |    ELSE 'city.nagoya.jp' END AS domain
+        |    ELSE 'city.nagoya.jp' END AS domain,
+        |  CASE m
+        |    WHEN 0 THEN source || '.org'
+        |    WHEN 1 THEN source || '.co.uk'
+        |    WHEN 2 THEN 'shop.' || source || '.ck'
+        |    WHEN 3 THEN 'www.ck'
+        |    WHEN 4 THEN 'b.' || source || '.ck'
+        |    WHEN 5 THEN source || '.com.au'
+        |    WHEN 6 THEN source || '.pvt.k12.ma.us'
+        |    WHEN 7 THEN 'blog.' || source || '.nagoya.jp'
+        |    ELSE 'city.nagoya.jp' END AS domain_join
         |FROM u ORDER BY doc_id""".stripMargin,
     "e_host_dup_weight" ->
       s"""WITH $nearDupGraphCtes,
@@ -8695,7 +8776,26 @@ object ExtQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |WHERE doc_id BETWEEN 100 AND 260 AND n_chars BETWEEN 50 AND 2000
+        |  AND doc_id % 7 <> 0
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_partitioned" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars >= 30
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_sql_dml" ->
+      """WITH merged AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents),
+        |kept AS (SELECT * FROM merged
+        |  WHERE NOT (doc_id BETWEEN 100 AND 300))
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_changes" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE doc_id % 3 <> 0 ORDER BY doc_id""".stripMargin,

@@ -25,7 +25,21 @@ import org.apache.spark.sql.functions._
   * Deterministic: every value is hash-derived from ids — no RNG; two
   * generations produce identical bytes.
   *
-  * Usage: runMain graft.tools.RealScale <srcSfDir> <outDir> [factor]
+  * VOCABULARY MODES (round 15): `closed` replays the testdata's own
+  * 31-token vocabulary — faithful to the source distributions, but the
+  * 3-shingle space (31³ ≈ 30k) SATURATES, so shingle df grows with
+  * corpus size and the similarity families' TRUE pair output grows
+  * super-linearly (the r14 probe measured the generator's artifact, not
+  * the engine). `open` grows the type count with corpus size by Heaps'
+  * law — V(N) = max(31, 30·√N) over N total tokens, each token drawn
+  * half from the 31-word Zipf head (stopword-like mass, df-capped by
+  * the dedup pipeline as in a real corpus) and half from the open tail
+  * — so shingle-space density, and with it duplicate candidate density,
+  * stays constant BY CONSTRUCTION as the corpus scales. Scale ratios
+  * must be taken open-vs-open (generate factor 1 AND factor N with the
+  * same mode).
+  *
+  * Usage: runMain graft.tools.RealScale <srcSfDir> <outDir> [factor] [closed|open]
   * then SPARK_GRAFT_SF_DIR=<outDir> runMain graft.Bench
   */
 object RealScale {
@@ -40,6 +54,7 @@ object RealScale {
     val src = args(0)
     val out = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val openVocab = args.length > 3 && args(3) == "open"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -62,10 +77,20 @@ object RealScale {
     val eff = when(isExact || isDup, id - lit(1) - h(id, lit("b")) % 4)
       .otherwise(id)
     val ntok = (lit(10) + h(eff, lit("n")) % 91).cast("int")
+    // Heaps-law type pool for the open tail: V = 30·√(total tokens),
+    // total tokens ≈ nDocs × 55 (the 10–100 uniform mean)
+    val tailTypes: Long =
+      math.max(31L, (30.0 * math.sqrt(nDocs * 55.0)).toLong)
+    def tok(seed: Column, i: Column, salt: String): Column =
+      if (!openVocab)
+        element_at(vocab, (h(seed, i, lit(salt)) % 31).cast("int") + 1)
+      else when(h(seed, i, lit(salt + "h")) % 2 === 0,
+        element_at(vocab, (h(seed, i, lit(salt)) % 31).cast("int") + 1))
+        .otherwise(concat(lit("w"),
+          (h(seed, i, lit(salt + "t")) % tailTypes).cast("string")))
     val toks = transform(sequence(lit(0), ntok - 1), i =>
-      when(isDup && h(id, i, lit("m")) % 15 === 0,
-        element_at(vocab, (h(id, i, lit("r")) % 31).cast("int") + 1))
-        .otherwise(element_at(vocab, (h(eff, i, lit("t")) % 31).cast("int") + 1)))
+      when(isDup && h(id, i, lit("m")) % 15 === 0, tok(id, i, "r"))
+        .otherwise(tok(eff, i, "t")))
     val text = concat_ws(" ", toks)
     val langPick = h(id, lit("l")) % 100
     val lang = when(langPick < 41, "en").when(langPick < 56, "zh")
@@ -127,7 +152,8 @@ object RealScale {
       spark.read.parquet(s"$src/$name.parquet")
         .write.mode("overwrite").parquet(s"$out/$name.parquet")
     }
-    println(s"[realscale] wrote genuine ${factor}x of $src to $out")
+    println(s"[realscale] wrote genuine ${factor}x of $src to $out " +
+      s"(vocab=${if (openVocab) "open" else "closed"})")
     spark.stop()
   }
 }

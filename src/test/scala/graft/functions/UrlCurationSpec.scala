@@ -121,4 +121,35 @@ class UrlCurationSpec extends SparkSpec {
     // root path alone normalizes away; bare host is already canonical
     assert(canon("https://www.a.org/") == "a.org")
   }
+
+  test("broadcast-lookup-join PSL path == codegen ladder on every rule kind (round 15)") {
+    // one host per rule regime, plus edge shapes: a bare public suffix,
+    // a single label, a host equal to a wildcard parent, deep subdomains
+    val hosts = Seq(
+      "a.b.c.example.org", "example.org", "org",
+      "www.example.co.uk", "example.co.uk", "co.uk",
+      "deep.shop.foo.ck", "shop.foo.ck", "foo.ck", "ck",
+      "www.ck", "sub.www.ck",
+      "x.pvt.k12.ma.us", "y.x.pvt.k12.ma.us", "pvt.k12.ma.us",
+      "a.blog.z.nagoya.jp", "blog.z.nagoya.jp", "z.nagoya.jp", "nagoya.jp",
+      "www.city.nagoya.jp", "city.nagoya.jp",
+      "single", "a.com.au", "b.a.com.au")
+    val df = hosts.toDF("host")
+    val ladder = df
+      .select($"host", UrlCuration.registrableDomain($"host").as("domain"))
+      .as[(String, String)].collect().toMap
+    val joined = UrlCuration.registrableDomainsByJoin(df, "host")
+      .select($"host", $"domain").as[(String, String)].collect().toMap
+    assert(joined == ladder,
+      s"scale path must equal the ladder; diff: ${
+        (ladder.keySet ++ joined.keySet).filter(k =>
+          ladder.get(k) != joined.get(k))
+          .map(k => s"$k: ladder=${ladder.get(k)} join=${joined.get(k)}")
+          .mkString(", ")}")
+    // null hosts survive both paths as null domains
+    val withNull = Seq(Option("example.org"), Option.empty[String]).toDF("host")
+    assert(UrlCuration.registrableDomainsByJoin(withNull, "host")
+      .filter($"host".isNull).select($"domain").as[Option[String]]
+      .collect().toSeq == Seq(None))
+  }
 }
