@@ -3612,6 +3612,56 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** RESTORE (round 15): ingest → corrupting delete → `restore` back to
+    * v1 as a NEW commit (zero data copied — the manifest re-references
+    * v1's immutable files), then one aggregate over the restored state
+    * PLUS the still-readable intermediate version — the rollback story a
+    * bad pipeline release needs, oracled end to end. */
+  def eSnapshotRestore(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "rstr")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.deleteWhere(s, root, between("doc_id", 50L, 400L)) // the bad release
+    val v = store.restore(s, root, 1L)
+    val restored = store.readAsOf(s, root, v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("restored").as("state"), col("lang"),
+        col("n_docs"), col("id_sum"))
+    val bad = store.readAsOf(s, root, 2L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("bad_release").as("state"), col("lang"),
+        col("n_docs"), col("id_sum"))
+    restored.unionByName(bad).orderBy("state", "lang")
+  }
+
+  /** SHALLOW CLONE (round 15): zero-copy sandbox of the corpus table —
+    * the clone mutates (a delete), the SOURCE must read unchanged, and
+    * the clone reads the mutated state; both sides aggregated side by
+    * side against the relational oracle. */
+  def eSnapshotClone(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "clne")
+    val store = graft.storage.SnapshotStore
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    store.commit(s, s"$root/src",
+      docs.repartitionByRange(8, col("doc_id")), "ingest")
+    store.cloneTable(s, s"$root/src", 1L, s"$root/sandbox")
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.deleteWhere(s, s"$root/sandbox", between("doc_id", 100L, 300L))
+    def agg(dir: String, state: String) = store.read(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .select(lit(state).as("state"), col("lang"),
+        col("n_docs"), col("sum_chars"))
+    agg(s"$root/src", "source").unionByName(agg(s"$root/sandbox", "sandbox"))
+      .orderBy("state", "lang")
+  }
+
   /** Hive-partitioned snapshot table (round 15): the first commit fixes
     * `partitionBy(lang)` — partition values live in the path, never in
     * the data files — an append INHERITS the layout, and the read's
@@ -3665,6 +3715,33 @@ object ExtQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("doc_id")).as("id_sum"),
+          countDistinct(md5(col("text"))).as("n_texts"))
+        .orderBy("lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** SQL UPDATE (round 15 — the DML triad's third command): one commit,
+    * then `UPDATE ... SET ... WHERE ...` through the resolution rule —
+    * a copy-on-write rewrite where every right-hand side evaluates
+    * against the PRE-update row and the WHERE lowers to write-side file
+    * skipping ([[graft.storage.SnapshotStore.updateCondition]]). */
+  def eSnapshotSqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "squpd")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    val tbl = s"graft_upd_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      s.sql(
+        s"""UPDATE $tbl SET text = concat(text, ' v2'), n_chars = n_chars + 3
+           |WHERE doc_id BETWEEN 50 AND 150 AND lang = 'en'""".stripMargin)
+      store.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
           countDistinct(md5(col("text"))).as("n_texts"))
         .orderBy("lang")
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
@@ -7061,6 +7138,9 @@ object ExtQueries {
     "e_snapshot_skipping" -> (eSnapshotSkipping _),
     "e_snapshot_partitioned" -> (eSnapshotPartitioned _),
     "e_snapshot_sql_dml" -> (eSnapshotSqlDml _),
+    "e_snapshot_sql_update" -> (eSnapshotSqlUpdate _),
+    "e_snapshot_restore" -> (eSnapshotRestore _),
+    "e_snapshot_clone" -> (eSnapshotClone _),
     "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_snapshot_merge" -> (eSnapshotMerge _),
     "e_snapshot_delete" -> (eSnapshotDelete _),
@@ -8785,6 +8865,42 @@ object ExtQueries {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars >= 30
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_restore" ->
+      """WITH full_t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents GROUP BY lang),
+        |bad AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM documents WHERE NOT (doc_id BETWEEN 50 AND 400)
+        |  GROUP BY lang)
+        |SELECT 'bad_release' AS state, lang, n_docs, id_sum FROM bad
+        |UNION ALL
+        |SELECT 'restored', lang, n_docs, id_sum FROM full_t
+        |ORDER BY state, lang""".stripMargin,
+    "e_snapshot_clone" ->
+      """WITH src AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang),
+        |sb AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents WHERE NOT (doc_id BETWEEN 100 AND 300)
+        |  GROUP BY lang)
+        |SELECT 'sandbox' AS state, lang, n_docs, sum_chars FROM sb
+        |UNION ALL
+        |SELECT 'source', lang, n_docs, sum_chars FROM src
+        |ORDER BY state, lang""".stripMargin,
+    "e_snapshot_sql_update" ->
+      """WITH upd AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 50 AND 150 AND lang = 'en'
+        |      THEN text || ' v2' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id BETWEEN 50 AND 150 AND lang = 'en'
+        |      THEN n_chars + 3 ELSE n_chars END AS n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_sql_dml" ->
       """WITH merged AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text,

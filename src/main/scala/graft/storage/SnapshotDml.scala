@@ -3,7 +3,7 @@ package graft.storage
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
@@ -68,6 +68,16 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       snapshotDir(m.targetTable).map { dir =>
         convertMerge(dir, m): LogicalPlan
       }.getOrElse(m)
+
+    case u @ UpdateTable(target, assignments, condition) if u.resolved =>
+      snapshotDir(target).map { dir =>
+        val assigns = assignments.map {
+          case Assignment(a: AttributeReference, v) => a.name -> v
+          case other => sys.error(
+            s"graft-snapshot UPDATE supports column assignments only: $other")
+        }
+        GraftUpdateCommand(dir, assigns, condition): LogicalPlan
+      }.getOrElse(u)
   }
 
   private def convertMerge(dir: String, m: MergeIntoTable): GraftMergeCommand = {
@@ -143,6 +153,29 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
     SnapshotStore.deleteCondition(spark, dir, rowCond, prune)
+    Seq.empty
+  }
+}
+
+/** Eagerly-run `UPDATE <graft-snapshot table> SET ... [WHERE cond]`: one
+  * copy-on-write [[SnapshotStore.updateCondition]] commit — the WHERE
+  * lowers to FilePredicates for write-side skipping, every assignment's
+  * right-hand side is re-anchored BY NAME (and evaluates against the
+  * pre-update row — the store's staging contract). */
+final case class GraftUpdateCommand(dir: String,
+                                    assignments: Seq[(String, Expression)],
+                                    condition: Option[Expression])
+    extends LeafRunnableCommand {
+  private def byName(e: Expression): org.apache.spark.sql.Column =
+    ColumnBridge.column(e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    })
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.lit
+    val prune = condition.flatMap(SnapshotFileIndex.fromCatalyst)
+    val rowCond = condition.map(byName).getOrElse(lit(true))
+    SnapshotStore.updateCondition(spark, dir, rowCond, prune,
+      assignments.map { case (c, v) => c -> byName(v) })
     Seq.empty
   }
 }

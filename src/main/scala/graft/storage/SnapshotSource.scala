@@ -122,7 +122,12 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
+    require(!(parameters.contains("version") &&
+      parameters.contains("timestampAsOf")),
+      "pass either version or timestampAsOf, not both")
     val version = parameters.get("version").map(_.trim.toLong)
+      .orElse(parameters.get("timestampAsOf").map(t =>
+        SnapshotStore.versionAtTimestamp(spark, dir, t.trim.toLong)))
       .orElse(SnapshotStore.latestVersion(spark, dir))
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = SnapshotStore.manifest(spark, dir, version)

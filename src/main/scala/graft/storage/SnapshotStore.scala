@@ -114,11 +114,17 @@ object SnapshotStore {
     * values from the path and surfaces them to Catalyst's PARTITION
     * pruning — a partition predicate prunes the listing before any
     * stats are consulted. */
+  /** `ts` — commit wall-clock (epoch millis, recorded at the commit
+    * point; 0 on pre-timestamp manifests), serving `TIMESTAMP AS OF`
+    * time travel ([[versionAtTimestamp]]). Monotonicity rides the
+    * single-writer contract; [[versionAtTimestamp]] walks the log, so a
+    * clock blip degrades resolution, never correctness. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
                             schema: Option[String] = None,
-                            partitionCols: Seq[String] = Seq.empty) {
+                            partitionCols: Seq[String] = Seq.empty,
+                            ts: Long = 0L) {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -297,7 +303,8 @@ object SnapshotStore {
       "schema" -> m.schema.map(JString(_)).getOrElse(JNothing),
       "partitionCols" ->
         (if (m.partitionCols.isEmpty) JNothing
-         else JArray(m.partitionCols.map(JString(_)).toList)))))
+         else JArray(m.partitionCols.map(JString(_)).toList)),
+      "ts" -> (if (m.ts == 0L) JNothing else JLong(m.ts)))))
   }
 
   private[storage] def parse(json: String): Manifest = {
@@ -356,7 +363,11 @@ object SnapshotStore {
                                   case o => sys.error(s"bad partition col: $o") }
       case _ => Seq.empty
     }
-    Manifest(version, operation, files, stats, schema, partitionCols)
+    val ts = field("ts") match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case _ => 0L // pre-timestamp manifest
+    }
+    Manifest(version, operation, files, stats, schema, partitionCols, ts)
   }
 
   // round-trip hook for the property spec
@@ -635,6 +646,36 @@ object SnapshotStore {
       latestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed version at $dir")))
 
+  /** The latest version committed AT OR BEFORE `tsMillis` — `TIMESTAMP
+    * AS OF` time travel (Delta's vocabulary). Walks the retained log
+    * BACKWARD from the latest version (pointer-anchored), so the common
+    * ask — "the table as of an hour ago" — reads O(commits since then)
+    * manifests, not the whole log. Refuses loudly when `tsMillis`
+    * precedes every retained commit (vacuumed history must not silently
+    * serve a later state), and when the range is pre-timestamp legacy. */
+  def versionAtTimestamp(spark: SparkSession, dir: String,
+                         tsMillis: Long): Long = {
+    var v = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    while (true) {
+      val m = manifest(spark, dir, v)
+      require(m.ts > 0L,
+        s"version $v predates commit timestamps — TIMESTAMP AS OF needs " +
+          "a timestamped log")
+      if (m.ts <= tsMillis) return v
+      if (!manifestExists(spark, dir, v - 1)) sys.error(
+        s"no retained version at or before timestamp $tsMillis at $dir " +
+          s"(earliest retained commit is at ${m.ts})")
+      v -= 1
+    }
+    sys.error("unreachable")
+  }
+
+  /** [[readAsOf]] at a wall-clock instant — `TIMESTAMP AS OF`. */
+  def readAsOfTimestamp(spark: SparkSession, dir: String,
+                        tsMillis: Long): DataFrame =
+    readAsOf(spark, dir, versionAtTimestamp(spark, dir, tsMillis))
+
   // ------------------------------------------------------------ change feed
 
   /** The files ADDED by each commit in `(fromVersion, toVersion]`,
@@ -810,6 +851,68 @@ object SnapshotStore {
         writeData(readFiles(spark, dir, m, touched)
           // keep rows where the condition is NOT TRUE (null keeps, as SQL)
           .filter(!coalesce(rowCond, lit(false))), dataDir, m.partitionCols)
+      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
+    }
+  }
+
+  /** Copy-on-write row UPDATE (round 15 — the third of the SQL DML triad):
+    * commit a new version (operation `update`) where rows matching
+    * `rowCond` carry the `assignments` (column → new-value expression)
+    * and every other row is byte-identical. SQL UPDATE semantics: every
+    * assignment's right-hand side evaluates against the PRE-update row
+    * (a `SET a = b, b = a` swap works), a null condition leaves the row
+    * untouched, and assigned values cast to the column's committed type.
+    * Write-side file skipping as in [[deleteCondition]]: files `prune`
+    * proves clean are CARRIED with their stats; a provably-no-match
+    * update commits nothing. Updating a PARTITION column moves rows to
+    * their new `col=value` directories naturally (the rewrite is a
+    * partitioned write). */
+  private[graft] def updateCondition(spark: SparkSession, dir: String,
+                                     rowCond: Column,
+                                     prune: Option[FilePredicate],
+                                     assignments: Seq[(String, Column)],
+                                     reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    val cs = caseSensitive(spark)
+    // resolve assignment targets against the committed schema — an
+    // unknown column must refuse, never silently append one
+    val schema0 = m0.schemaStruct.getOrElse(
+      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+    val resolved = assignments.map { case (c, v) =>
+      val f = schema0.fields.find(fl =>
+        if (cs) fl.name == c else fl.name.equalsIgnoreCase(c))
+        .getOrElse(sys.error(s"update assigns unknown column $c — " +
+          "add columns through commitAppend/merge schema evolution"))
+      (f.name, f.dataType, v)
+    }
+    prune.foreach { p =>
+      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+        return cur // stats prove no row matches: nothing to rewrite
+    }
+    commitStaged(spark, dir, "update", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = m.files.filter(f =>
+        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val untouchedSet = m.files.toSet -- touched
+      if (touched.nonEmpty) {
+        val base = readFiles(spark, dir, m, touched)
+        val hit = coalesce(rowCond, lit(false))
+        // ALL right-hand sides evaluate against the pre-update row:
+        // stage them as temp columns first, then swap in
+        val tmp = resolved.zipWithIndex.map { case ((c, t, v), i) =>
+          (c, t, s"__upd_$i", v)
+        }
+        val staged = tmp.foldLeft(base) { case (df, (_, t, tc, v)) =>
+          df.withColumn(tc, v.cast(t))
+        }
+        val applied = tmp.foldLeft(staged) { case (df, (c, _, tc, _)) =>
+          df.withColumn(c, when(hit, col(tc)).otherwise(col(c)))
+        }.drop(tmp.map(_._3): _*)
+        writeData(applied, dataDir, m.partitionCols)
+      }
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
     }
   }
@@ -1064,7 +1167,8 @@ object SnapshotStore {
                                     reclaimGraceMs: Long = DefaultReclaimGraceMs,
                                     partitionBy: Option[Seq[String]] = None,
                                     partitionTypeHint: Map[String, DataType] =
-                                      Map.empty)
+                                      Map.empty,
+                                    schemaOverride: Option[StructType] = None)
                                    (stage: (Option[Manifest], String) =>
                                      (Seq[String], Map[String, FileStats])): Long = {
     val f = fs(spark, dir)
@@ -1128,12 +1232,16 @@ object SnapshotStore {
         val newDf = newDf0.map(d => pinTypes.foldLeft(d) {
           case (df, (c, t)) => df.withColumn(c, col(c).cast(t))
         })
-        val schema = versionSchema(spark, prior, carryFiles,
-          newDf.map(d => asNullableSchema(d.schema)))
+        // schemaOverride: commits whose carried files come from a manifest
+        // OTHER than the prior (restore, shallow clone) must record THAT
+        // manifest's schema, not the prior's evolution state
+        val schema = schemaOverride.getOrElse(
+          versionSchema(spark, prior, carryFiles,
+            newDf.map(d => asNullableSchema(d.schema))))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
           carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap))
             .getOrElse(Map.empty),
-          Some(schema.json), pCols)
+          Some(schema.json), pCols, ts = System.currentTimeMillis())
         require(staged.files.nonEmpty,
           s"commit of version $v wrote no data files")
         staged
@@ -1258,9 +1366,10 @@ object SnapshotStore {
       (v, m.operation, m.files.length.toLong,
         m.stats.values.map(_.rows).sum,
         m.stats.values.map(_.bytes).sum,
-        m.schemaStruct.map(_.fields.length.toLong).getOrElse(0L))
+        m.schemaStruct.map(_.fields.length.toLong).getOrElse(0L),
+        m.ts)
     }.toDF("version", "operation", "n_files", "n_rows", "n_bytes",
-      "n_columns")
+      "n_columns", "ts_millis")
   }
 
   /** Maintenance commit: [[Hilbert.cluster]] the latest version into a
@@ -1277,6 +1386,51 @@ object SnapshotStore {
       dataDir => writeData(
         Hilbert.cluster(read(spark, dir), xCol, yCol, nFiles, bits),
         dataDir, pCols)
+    }
+  }
+
+  /** RESTORE (round 15 — Delta's `RESTORE TABLE ... TO VERSION AS OF`):
+    * commit a NEW version whose content — files, stats, schema,
+    * partition layout — IS that of the retained `toVersion`. Rollback as
+    * an ordinary commit: history is preserved (the bad versions stay
+    * time-travelable until vacuum), readers of intermediate versions are
+    * untouched, the change feed sees a content commit (re-appeared files
+    * surface), and ZERO data is copied — the manifest re-references the
+    * old version's immutable files. */
+  def restore(spark: SparkSession, dir: String, toVersion: Long,
+              reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val m = manifest(spark, dir, toVersion) // refuses if vacuumed
+    commitStaged(spark, dir, "restore", reclaimGraceMs,
+      partitionBy = Some(m.partitionCols),
+      schemaOverride = m.schemaStruct) { (_, _) =>
+      (m.files, m.stats)
+    }
+  }
+
+  /** CLONE (round 15 — the dev/test sandbox primitive): initialize
+    * `targetDir` as a NEW table whose first version holds the content of
+    * `sourceDir`'s `sourceVersion`. SHALLOW by default (`copyData =
+    * false`): the clone's manifest REFERENCES the source's immutable
+    * data files — zero bytes copied; the clone's own commits (appends,
+    * CoW mutations, maintenance) write under ITS directory and never
+    * touch the source, and the clone's vacuum only reclaims its own
+    * data root, never source files. Caveat (Delta's shallow-clone
+    * contract verbatim): vacuuming the SOURCE can reclaim files a
+    * shallow clone still references — pass `copyData = true` (deep
+    * clone) to decouple, at the cost of one data rewrite. */
+  def cloneTable(spark: SparkSession, sourceDir: String, sourceVersion: Long,
+                 targetDir: String, copyData: Boolean = false,
+                 reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(latestVersion(spark, targetDir).isEmpty,
+      s"clone target $targetDir already has committed versions")
+    val m = manifest(spark, sourceDir, sourceVersion)
+    if (copyData)
+      commit(spark, targetDir, readAsOf(spark, sourceDir, sourceVersion),
+        "clone", reclaimGraceMs, partitionBy = m.partitionCols)
+    else commitStaged(spark, targetDir, "clone", reclaimGraceMs,
+      partitionBy = Some(m.partitionCols),
+      schemaOverride = m.schemaStruct) { (_, _) =>
+      (m.files, m.stats)
     }
   }
 

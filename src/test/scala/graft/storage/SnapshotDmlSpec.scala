@@ -114,6 +114,79 @@ class SnapshotDmlSpec extends SparkSpec {
     }
   }
 
+  test("UPDATE rewrites only might-match files; RHS sees the PRE-update row") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 400L).map(i => (i, i * 10L, i * 100L)).toDF("doc_id", "a", "b")
+        .repartitionByRange(8, col("doc_id")), "ingest")
+    val before = SnapshotStore.manifest(spark, dir, 1L)
+    withTable("dml_upd", dir) {
+      // a swap: both RHS must evaluate against the old row
+      spark.sql("UPDATE dml_upd SET a = b, b = a WHERE doc_id BETWEEN 90 AND 110")
+      val after = SnapshotStore.manifest(spark, dir, 2L)
+      assert(after.operation == "update")
+      val carried = after.files.toSet.intersect(before.files.toSet)
+      assert(carried.size >= 6,
+        s"a narrow SQL UPDATE must carry most files: ${carried.size} of 8")
+      val got = SnapshotStore.read(spark, dir)
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(100L) == ((100L * 100L, 100L * 10L)), "swap semantics")
+      assert(got(89L) == ((89L * 10L, 89L * 100L)), "off-range rows untouched")
+      // unconditional update (no WHERE): every row rewrites
+      spark.sql("UPDATE dml_upd SET a = a + 1")
+      assert(SnapshotStore.read(spark, dir)
+        .agg(sum(col("a"))).as[Long].head() ==
+        got.values.map(_._1).sum + 400L)
+    }
+  }
+
+  test("UPDATE keeps null-condition rows untouched and refuses unknown columns") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, Option("aa")), (2L, Option.empty[String]))
+        .toDF("doc_id", "tag"), "ingest")
+    withTable("dml_upd2", dir) {
+      spark.sql("UPDATE dml_upd2 SET tag = 'hit' WHERE length(tag) = 2")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, Option[String])].collect().toSet ==
+        Set((1L, Some("hit")), (2L, None)),
+        "a null condition leaves the row untouched (SQL semantics)")
+      // unknown column refuses at analysis (Spark's resolution refuses
+      // before our rule ever sees it)
+      intercept[Exception] {
+        spark.sql("UPDATE dml_upd2 SET nosuch = 1")
+      }
+      assert(SnapshotStore.latestVersion(spark, dir).contains(2L))
+    }
+  }
+
+  test("TIMESTAMP AS OF: versionAtTimestamp resolves commit instants; source option reads it") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    Thread.sleep(5)
+    SnapshotStore.commitAppend(spark, dir, Seq((2L, "b")).toDF("doc_id", "text"), "append")
+    Thread.sleep(5)
+    SnapshotStore.commitAppend(spark, dir, Seq((3L, "c")).toDF("doc_id", "text"), "append")
+    val ts = (1L to 3L).map(v => SnapshotStore.manifest(spark, dir, v).ts)
+    assert(ts.forall(_ > 0L) && ts.sorted == ts)
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, ts(0)) == 1L)
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, ts(1)) == 2L)
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, (ts(1) + ts(2)) / 2)
+      == 2L, "an instant between commits resolves to the earlier version")
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, ts(2) + 60000L) == 3L)
+    intercept[RuntimeException] {
+      SnapshotStore.versionAtTimestamp(spark, dir, ts(0) - 60000L)
+    }
+    assert(SnapshotStore.readAsOfTimestamp(spark, dir, ts(1)).count() == 2L)
+    // the registered source speaks it too
+    assert(spark.read.format("graft-snapshot")
+      .option("timestampAsOf", ts(1)).load(dir).count() == 2L)
+    intercept[Exception] {
+      spark.read.format("graft-snapshot")
+        .option("version", 1).option("timestampAsOf", ts(1)).load(dir).count()
+    }
+  }
+
   test("DML on a non-snapshot table is untouched by the rule") {
     Seq((1L, "a")).toDF("doc_id", "text").createOrReplaceTempView("plain_v")
     // DELETE against a temp view still fails with Spark's own error, not ours

@@ -524,12 +524,14 @@ class SnapshotStoreSpec extends SparkSpec {
     import SnapshotStore.FilePredicate._
     SnapshotStore.deleteWhere(spark, dir, EqTo("doc_id", 2L))
     val h = SnapshotStore.history(spark, dir)
-      .as[(Long, String, Long, Long, Long, Long)].collect().sortBy(_._1)
+      .as[(Long, String, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
     assert(h.map(r => (r._1, r._2, r._4)).toSeq ==
       Seq((1L, "ingest", 2L), (2L, "append", 3L), (3L, "delete", 2L)),
       "per-version operation + exact row counts from the manifest stats")
     assert(h.forall(_._5 > 0L), "recorded byte sums surface")
     assert(h.forall(_._6 == 2L), "schema width surfaces")
+    assert(h.forall(_._7 > 0L) && h.map(_._7).sorted.toSeq == h.map(_._7).toSeq,
+      "commit timestamps surface, non-decreasing")
   }
 
   test("readRowChanges: CDF vocabulary across a merge+delete chain; unchanged rows never surface") {
@@ -724,6 +726,74 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(got2(50L) == "UPD" && !got2.contains(11L))
     assert(SnapshotStore.manifest(spark, dir2, 2L).operation == "delete")
     assert(SnapshotStore.manifest(spark, dir2, 3L).operation == "merge")
+  }
+
+  test("restore commits the old content (files, schema, layout) as a NEW version — zero data copied") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a", 2L -> "b"), "ingest")
+    val filesV1 = SnapshotStore.manifest(spark, dir, 1L).files.toSet
+    // evolve + mutate past the restore point
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((3L, "c", 0.5)).toDF("doc_id", "text", "score"), "append")
+    import SnapshotStore.FilePredicate._
+    SnapshotStore.deleteWhere(spark, dir, EqTo("doc_id", 1L))
+    val v = SnapshotStore.restore(spark, dir, 1L)
+    assert(v == 4L)
+    val m = SnapshotStore.manifest(spark, dir, v)
+    assert(m.operation == "restore")
+    assert(m.files.toSet == filesV1, "the restored manifest re-references " +
+      "version 1's immutable files — no data copied")
+    val restored = SnapshotStore.read(spark, dir)
+    assert(restored.columns.toSeq == Seq("doc_id", "text"),
+      "restore restores the OLD schema, not the evolved one")
+    assert(restored.as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    // intermediate history is preserved
+    assert(SnapshotStore.readAsOf(spark, dir, 3L).count() == 2L)
+    // and the table keeps evolving normally after the restore
+    SnapshotStore.commitAppend(spark, dir, docs(9L -> "z"), "append")
+    assert(SnapshotStore.read(spark, dir).count() == 3L)
+  }
+
+  test("shallow clone: zero-copy sandbox; mutations on either side never leak to the other") {
+    val src = freshDir()
+    val tgt = freshDir()
+    SnapshotStore.commit(spark, src,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+    val v = SnapshotStore.cloneTable(spark, src, 1L, tgt)
+    assert(v == 1L)
+    val mT = SnapshotStore.manifest(spark, tgt, 1L)
+    assert(mT.operation == "clone")
+    assert(mT.files.toSet ==
+      SnapshotStore.manifest(spark, src, 1L).files.toSet,
+      "shallow: the clone references the SOURCE's files")
+    val fs = new Path(tgt).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new Path(s"$tgt/data")),
+      "zero bytes under the clone until it mutates")
+    // mutate the CLONE: source unaffected; the rewrite lands under tgt
+    import SnapshotStore.FilePredicate._
+    SnapshotStore.deleteWhere(spark, tgt, between("doc_id", 1L, 50L))
+    assert(SnapshotStore.read(spark, tgt).count() == 50L)
+    assert(SnapshotStore.read(spark, src).count() == 100L,
+      "clone mutation never touches the source")
+    // mutate the SOURCE: clone's committed state unaffected
+    SnapshotStore.deleteWhere(spark, src, between("doc_id", 90L, 100L))
+    assert(SnapshotStore.read(spark, tgt).count() == 50L)
+    // the clone's vacuum reclaims only ITS data root
+    SnapshotStore.vacuum(spark, tgt, retain = 1)
+    assert(SnapshotStore.read(spark, src).count() == 89L,
+      "clone vacuum must never reclaim source files")
+    // a second clone into a non-empty table refuses
+    intercept[IllegalArgumentException] {
+      SnapshotStore.cloneTable(spark, src, 1L, tgt)
+    }
+    // deep clone decouples: bytes copied under the target
+    val tgt2 = freshDir()
+    SnapshotStore.cloneTable(spark, src, 1L, tgt2, copyData = true)
+    assert(SnapshotStore.manifest(spark, tgt2, 1L).files
+      .forall(_.contains(tgt2)), "deep clone owns its bytes")
+    assert(SnapshotStore.read(spark, tgt2).count() == 100L)
   }
 
   test("diffVersions composes CorpusDiff across the manifest log") {
