@@ -400,7 +400,12 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    // SQL DML (DELETE FROM / MERGE INTO) over graft-snapshot tables
+    // SQL DML (DELETE FROM / MERGE INTO / UPDATE) over graft-snapshot tables
     ext.injectResolutionRule(_ => graft.storage.SnapshotDmlRule)
+    // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) — parser-level,
+    // because the analyzer refuses v1 time travel before any injected
+    // resolution rule can run
+    ext.injectParser((session, delegate) =>
+      new graft.storage.SnapshotTimeTravelParser(session, delegate))
   }
 }

@@ -3612,6 +3612,42 @@ object ExtQueries {
       .orderBy("lang")
   }
 
+  /** SQL time travel (round 15): `VERSION AS OF` straight from `spark.sql`
+    * over a `USING graft-snapshot` table — the parser hook
+    * ([[graft.storage.SnapshotTimeTravelParser]]) pins the relation to
+    * the asked version before the analyzer's v1 refusal can fire. Both
+    * the travelled and the latest state aggregate in one result, graded
+    * against the relational replay. */
+  def eSnapshotTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "ttsql")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 11 =!= 0), "ingest")
+    store.commit(s, root,
+      docs.filter(col("doc_id") % 13 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+      "upsert")
+    val tbl = s"graft_tt_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      s.sql(
+        s"""SELECT 'v1' AS as_of, lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+           |FROM $tbl VERSION AS OF 1 GROUP BY lang
+           |UNION ALL
+           |SELECT 'latest', lang, CAST(count(*) AS BIGINT),
+           |  CAST(count(DISTINCT md5(text)) AS BIGINT)
+           |FROM $tbl GROUP BY lang
+           |ORDER BY as_of, lang""".stripMargin)
+      // spark.sql analyzes EAGERLY (Dataset.ofRows asserts analysis), so
+      // the returned frame holds the resolved relation — the DROP below
+      // only removes the catalog name, never the plan
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** RESTORE (round 15): ingest → corrupting delete → `restore` back to
     * v1 as a NEW commit (zero data copied — the manifest re-references
     * v1's immutable files), then one aggregate over the restored state
@@ -7141,6 +7177,7 @@ object ExtQueries {
     "e_snapshot_sql_update" -> (eSnapshotSqlUpdate _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
+    "e_snapshot_time_travel" -> (eSnapshotTimeTravel _),
     "e_snapshot_changes" -> (eSnapshotChanges _),
     "e_snapshot_merge" -> (eSnapshotMerge _),
     "e_snapshot_delete" -> (eSnapshotDelete _),
@@ -8865,6 +8902,18 @@ object ExtQueries {
         |FROM documents
         |WHERE lang IN ('en', 'de') AND n_chars >= 30
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_time_travel" ->
+      """WITH v1 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |  FROM documents WHERE doc_id % 11 <> 0 GROUP BY lang),
+        |v2 AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT md5(CASE WHEN doc_id % 7 = 0
+        |      THEN text || ' v2' ELSE text END)) AS BIGINT) AS n_texts
+        |  FROM documents WHERE doc_id % 13 <> 0 GROUP BY lang)
+        |SELECT 'latest' AS as_of, lang, n_docs, n_texts FROM v2
+        |UNION ALL
+        |SELECT 'v1', lang, n_docs, n_texts FROM v1
+        |ORDER BY as_of, lang""".stripMargin,
     "e_snapshot_restore" ->
       """WITH full_t AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
         |    CAST(sum(doc_id) AS BIGINT) AS id_sum

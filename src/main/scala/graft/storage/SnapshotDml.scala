@@ -1,13 +1,16 @@
 package graft.storage
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, AttributeReference, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
+import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
 
 /** SQL DML front door for `graft-snapshot` tables (round 15): makes
   *
@@ -138,6 +141,99 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       targetCols.map(c => Alias(ins(c.name), c.name)()), m.sourceTable)
     GraftMergeCommand(dir, delta, keys)
   }
+}
+
+/** SQL time travel for `graft-snapshot` tables (round 15):
+  *
+  * {{{
+  *   SELECT ... FROM snap VERSION AS OF 3
+  *   SELECT ... FROM snap TIMESTAMP AS OF '2026-08-15 10:00:00'
+  * }}}
+  *
+  * The analyzer REFUSES time travel over v1 relations before any
+  * injected resolution rule can run (measured: `ResolveRelations`
+  * throws `UNSUPPORTED_FEATURE.TIME_TRAVEL` eagerly), so this hooks the
+  * PARSER instead — the Delta `DeltaSqlParser` shape: delegate the
+  * parse, then rewrite `RelationTimeTravel` nodes whose (catalog-looked-
+  * up) table is a `graft-snapshot` table into the version-pinned
+  * index-backed relation. Unknown tables, other providers, and every
+  * other statement pass through untouched. Version = the literal;
+  * timestamp = any expression castable to TIMESTAMP (micros → the
+  * store's millis), with a bare integral literal read as epoch MILLIS
+  * (the store's own unit). */
+final class SnapshotTimeTravelParser(spark: SparkSession,
+                                     delegate: ParserInterface)
+    extends ParserInterface {
+
+  private def snapshotDirOf(nameParts: Seq[String]): Option[String] = {
+    val ident = nameParts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft-snapshot")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  private def resolveVersion(dir: String, ts: Option[Expression],
+                             version: Option[String]): Long =
+    version.map(_.toLong).getOrElse {
+      val e = ts.getOrElse(sys.error(
+        "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+      val millis = e.dataType match {
+        case LongType | IntegerType =>
+          // integral literal: epoch millis, the store's own unit
+          e.eval(null).asInstanceOf[Number].longValue()
+        case _ =>
+          val zone = spark.sessionState.conf.sessionLocalTimeZone
+          val micros = Cast(e, TimestampType, Option(zone)).eval(null)
+          require(micros != null, s"cannot read $e as a timestamp")
+          micros.asInstanceOf[Long] / 1000L
+      }
+      SnapshotStore.versionAtTimestamp(spark, dir, millis)
+    }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, version) =>
+        snapshotDirOf(u.multipartIdentifier) match {
+          case Some(dir) =>
+            val v = resolveVersion(dir, ts, version)
+            SnapshotFileIndex.readAsOfTable(spark, dir, v)
+              .queryExecution.logical
+          case None => tt
+        }
+    }
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    rewrite(delegate.parsePlan(sqlText))
+  override def parseQuery(sqlText: String): LogicalPlan =
+    rewrite(delegate.parseQuery(sqlText))
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String)
+      : org.apache.spark.sql.catalyst.FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String)
+      : org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String)
+      : org.apache.spark.sql.types.StructType =
+    delegate.parseRoutineParam(sqlText)
 }
 
 /** Eagerly-run `DELETE FROM <graft-snapshot table> WHERE cond`: one

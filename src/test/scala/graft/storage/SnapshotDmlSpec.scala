@@ -187,6 +187,51 @@ class SnapshotDmlSpec extends SparkSpec {
     }
   }
 
+  test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF resolve through the parser hook") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    Thread.sleep(5)
+    SnapshotStore.commit(spark, dir,
+      Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text"), "replace")
+    withTable("tt_snap", dir) {
+      assert(spark.sql("SELECT count(*) FROM tt_snap").as[Long].head() == 2L)
+      assert(spark.sql("SELECT doc_id FROM tt_snap VERSION AS OF 1")
+        .as[Long].collect().toSeq == Seq(1L))
+      assert(spark.sql("SELECT count(*) FROM tt_snap VERSION AS OF 2")
+        .as[Long].head() == 2L)
+      // TIMESTAMP AS OF via the store's own recorded instants: a string
+      // timestamp and an epoch-millis integral both resolve
+      val ts1 = SnapshotStore.manifest(spark, dir, 1L).ts
+      assert(spark.sql(s"SELECT doc_id FROM tt_snap TIMESTAMP AS OF $ts1")
+        .as[Long].collect().toSeq == Seq(1L))
+      val s1 = java.time.Instant.ofEpochMilli(ts1)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDateTime.toString.replace('T', ' ')
+      assert(spark.sql(
+        s"SELECT doc_id FROM tt_snap TIMESTAMP AS OF '$s1'")
+        .as[Long].collect().toSeq == Seq(1L),
+        "a string timestamp casts through the session zone (UTC here)")
+      // joins and filters compose over the travelled relation
+      assert(spark.sql(
+        """SELECT a.doc_id FROM tt_snap a
+          |JOIN (SELECT doc_id FROM tt_snap VERSION AS OF 1) b
+          |ON a.doc_id = b.doc_id""".stripMargin).count() == 0L,
+        "v1's row was replaced in v2 — the join across versions is empty")
+      // a vacuumed-away version refuses
+      intercept[Exception] {
+        spark.sql("SELECT * FROM tt_snap VERSION AS OF 99").collect()
+      }
+    }
+    // non-snapshot tables keep Spark's own refusal
+    Seq((1L, "x")).toDF("doc_id", "text").write.mode("overwrite")
+      .saveAsTable("tt_plain")
+    try {
+      val e = intercept[Exception] {
+        spark.sql("SELECT * FROM tt_plain VERSION AS OF 1").collect()
+      }
+      assert(e.getMessage.toLowerCase.contains("time travel"))
+    } finally spark.sql("DROP TABLE IF EXISTS tt_plain")
+  }
+
   test("DML on a non-snapshot table is untouched by the rule") {
     Seq((1L, "a")).toDF("doc_id", "text").createOrReplaceTempView("plain_v")
     // DELETE against a temp view still fails with Spark's own error, not ours
