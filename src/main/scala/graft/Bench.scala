@@ -59,10 +59,10 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .flatMap { case (name, fn) =>
-      var memoRows = Seq.empty[(String, Double, Map[String, Long])]
+      val memoSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val times = Seq.newBuilder[Double]
       var lastDelta = zeroDelta
-      (1 to reps).foreach { r =>
+      (1 to reps).foreach { _ =>
         val before = drainedSnapshot()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -72,14 +72,21 @@ object Bench {
         // steady state, so plan regressions show in bytes even inside
         // wall-time noise
         lastDelta = tracked.map(k => k -> (after(k) - before(k))).toMap
-        // one-time shared-memo builds triggered by this query become their
-        // own `memo:<name>` pseudo-entries (rep 1 only — later reps hit
-        // the warm memo) and leave the query's row with ONLY its own work
+        // shared-memo builds triggered by this query become their own
+        // `memo:<name>` pseudo-entries and leave the query's row with
+        // ONLY its own work. Normally rep 1 only, but an evicted memo
+        // re-demanded on a later rep must not VANISH from the record —
+        // seconds accumulate per memo name (pseudo + query = measured,
+        // summed over the reps that actually built something)
         val memoBuilds = graft.queries.ExtQueries.drainMemoBuilds()
         val memoSec = memoBuilds.map(_._2).sum
-        if (r == 1)
-          memoRows = memoBuilds.map { case (m, s) => (s"memo:$m", s, zeroDelta) }
+        memoBuilds.foreach { case (m, s) =>
+          memoSecs(m) = memoSecs.getOrElse(m, 0.0) + s
+        }
         times += math.max(sec - memoSec, 0.0)
+      }
+      val memoRows = memoSecs.toSeq.map { case (m, s) =>
+        (s"memo:$m", s, zeroDelta)
       }
       // release shared memos whose last name-ordered consumer just ran, so
       // their checkpoint blocks don't pressure storage/GC for the rest of

@@ -166,6 +166,10 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     extends ParserInterface {
 
   private def snapshotDirOf(nameParts: Seq[String]): Option[String] = {
+    // a temp view SHADOWS a same-named catalog table in every other
+    // reference of the session — the rewrite must not resolve past it
+    // (Spark's own time-travel refusal then fires on the view)
+    if (spark.sessionState.catalog.isTempView(nameParts)) return None
     val ident = nameParts match {
       case Seq(t) => TableIdentifier(t)
       case Seq(db, t) => TableIdentifier(t, Some(db))

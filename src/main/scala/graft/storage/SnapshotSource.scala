@@ -148,7 +148,8 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       schemaOf(spark, dir, v)
     }
     val out =
-      if (!cdfRequested(parameters)) s
+      if (!cdfRequested(parameters) ||
+          s.fieldNames.contains("_change_type")) s
       else StructType(s.fields :+ StructField("_change_type", StringType))
     (shortName(), out)
   }

@@ -954,16 +954,23 @@ object SnapshotStore {
     // silently duplicating keys and breaking the unique-key invariant
     // readRowChanges/startUpsert rely on (Delta materializes its MERGE
     // source for exactly this reason). A caller-persisted delta is used
-    // as-is (persist() on an already-persisted frame throws).
-    val weCached =
-      try { delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK); true }
-      catch { case _: UnsupportedOperationException => false }
+    // as-is (Dataset.persist on a cached frame only logs, so "already
+    // cached" must be read off the CacheManager, not an exception).
+    val weCached = !org.apache.spark.sql.graft.CacheBridge.isCached(delta)
+    if (weCached)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the delta's key envelope — one bounded (single-row) aggregation
-      val aggs = count(lit(1)).as("__n") +:
+      // the delta's key envelope — one bounded (single-row) aggregation;
+      // the exact distinct-key count rides it, so duplicate-key deltas
+      // refuse BEFORE any commit (ANSI/Delta MERGE's "cannot update the
+      // same row twice": both copies would survive the anti-join+union
+      // and silently break the unique-key invariant readRowChanges and
+      // startUpsert rely on)
+      val aggs = (count(lit(1)).as("__n") +:
         keyCols.flatMap(k => Seq(
           min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
-          count(when(col(k).isNull, 1)).as(s"__nulls_$k")))
+          count(when(col(k).isNull, 1)).as(s"__nulls_$k")))) :+
+        countDistinct(struct(keyCols.map(col): _*)).as("__kd")
       val env = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
       if (env.getLong(0) == 0L)
         return latestVersion(spark, dir).get // empty delta: no-op
@@ -973,6 +980,9 @@ object SnapshotStore {
         FilePredicate.between(k, env.get(1 + 3 * i), env.get(1 + 3 * i + 1))
           : FilePredicate
       }.reduce(FilePredicate.And(_, _))
+      require(env.getLong(env.length - 1) == env.getLong(0),
+        s"merge delta holds duplicate keys on (${keyCols.mkString(", ")}) — " +
+          "a key may map to ONE row; dedup first (e.g. ChangeFeed.dedupLatest)")
       commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
         val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
         val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
@@ -1263,14 +1273,38 @@ object SnapshotStore {
       if (!f.exists(fin) && f.rename(tmp, fin)) {
         // refresh the checkpoint pointer — a HINT written after the
         // commit point (a crash here only costs the next reader a short
-        // forward probe); maxIngestBatchId folds the tail, so a rival's
-        // interleaved ingest commit is never understated
+        // forward probe). The commit already knows v, its own operation
+        // and batch id, so only the pointer-LAG gap (p.version+1 .. v-1)
+        // is read — never the multi-MB manifest just written, and never
+        // a full scan on a pointered table. A rival's fresher pointer
+        // (version >= v) is left untouched: overwriting it would regress
+        // the hint.
         val myBatch = operation match {
           case IngestOp(b) => b.toLong
           case _ => -1L
         }
-        val prevMax = maxIngestBatchId(spark, dir).getOrElse(-1L)
-        writePointer(spark, dir, Pointer(v, math.max(prevMax, myBatch)))
+        readPointer(spark, dir) match {
+          case Some(p) if p.version >= v => // a fresher rival owns it
+          case Some(p) if manifestExists(spark, dir, p.version) =>
+            var acc = p.maxIngestBatch
+            var w = p.version + 1
+            while (w < v) {
+              acc = math.max(acc, manifest(spark, dir, w).operation match {
+                case IngestOp(b) => b.toLong
+                case _ => -1L
+              })
+              w += 1
+            }
+            writePointer(spark, dir, Pointer(v, math.max(acc, myBatch)))
+          case _ => // legacy/vacuumed pointer: one full scan seeds it
+            val acc = versions(spark, dir).filter(_ < v)
+              .foldLeft(-1L)((m0, w) =>
+                math.max(m0, manifest(spark, dir, w).operation match {
+                  case IngestOp(b) => b.toLong
+                  case _ => -1L
+                }))
+            writePointer(spark, dir, Pointer(v, math.max(acc, myBatch)))
+        }
         return v
       }
       // lost: a rival committed version v first. Clean our artifacts and

@@ -29,6 +29,20 @@ object StreamingBridge {
   }
 }
 
+/** Same convention for the CacheManager: "is this frame already
+  * cached?" is `private[sql]` (SharedState.cacheManager), yet a library
+  * that persists internally must NOT unpersist a CALLER-cached input —
+  * Dataset.persist on a cached frame only logs, it never throws, so the
+  * ownership question has to be answered before persisting. */
+object CacheBridge {
+  def isCached(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.sharedState.cacheManager
+      .lookupCachedData(spark, df.queryExecution.normalized).isDefined
+  }
+}
+
 /** Same convention for the Dataset↔LogicalPlan bridge: Spark 4's
   * `Dataset.ofRows` is `private[sql]` on the classic session — custom
   * logical operators (graft.plans.AsOfJoin) need it to hand a plan back

@@ -232,6 +232,46 @@ class SnapshotDmlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS tt_plain")
   }
 
+  test("a mixed AND condition still file-skips on its translatable conjuncts") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 400L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartitionByRange(8, col("doc_id")), "ingest")
+    val before = SnapshotStore.manifest(spark, dir, 1L)
+    withTable("dml_mix", dir) {
+      // length(text) has no stats form; the doc_id range alone must
+      // still carry the off-range files (fromCatalyst's AND translates
+      // any subset of conjuncts)
+      spark.sql("DELETE FROM dml_mix WHERE doc_id BETWEEN 90 AND 110 " +
+        "AND length(text) >= 3")
+      val after = SnapshotStore.manifest(spark, dir, 2L)
+      val carried = after.files.toSet.intersect(before.files.toSet)
+      assert(carried.size >= 6,
+        s"translatable conjuncts must keep pruning: ${carried.size} of 8")
+      assert(SnapshotStore.read(spark, dir).count() == 400L - 21L)
+    }
+  }
+
+  test("a temp view SHADOWING a snapshot table keeps Spark's own time-travel refusal") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    withTable("tt_shadow", dir) {
+      // shadow the catalog name with a DIFFERENT relation
+      Seq((99L, "view")).toDF("doc_id", "text")
+        .createOrReplaceTempView("tt_shadow")
+      try {
+        assert(spark.sql("SELECT doc_id FROM tt_shadow")
+          .as[Long].head() == 99L, "plain reads resolve the view")
+        val e = intercept[Exception] {
+          spark.sql("SELECT * FROM tt_shadow VERSION AS OF 1").collect()
+        }
+        assert(e.getMessage.toLowerCase.contains("time travel"),
+          "the parser hook must NOT resolve past the shadowing view " +
+            "to the catalog table")
+      } finally spark.catalog.dropTempView("tt_shadow")
+    }
+  }
+
   test("DML on a non-snapshot table is untouched by the rule") {
     Seq((1L, "a")).toDF("doc_id", "text").createOrReplaceTempView("plain_v")
     // DELETE against a temp view still fails with Spark's own error, not ours

@@ -414,6 +414,23 @@ class SnapshotStoreSpec extends SparkSpec {
         Seq((Option.empty[java.lang.Long], "bad")).toDF("doc_id", "text"),
         Seq("doc_id"))
     }
+    // duplicate keys in the delta refuse loudly BEFORE any commit (both
+    // copies would survive the anti-join+union — the ANSI/Delta "cannot
+    // update the same row twice" contract)
+    val dupErr = intercept[IllegalArgumentException] {
+      SnapshotStore.merge(spark, dir,
+        Seq((7L, "x"), (7L, "y")).toDF("doc_id", "text"), Seq("doc_id"))
+    }
+    assert(dupErr.getMessage.contains("duplicate keys"))
+    assert(SnapshotStore.latestVersion(spark, dir).contains(v),
+      "the refused duplicate-key merge must not commit")
+    // a CALLER-persisted delta is used as-is and stays cached afterwards
+    val callerCached = Seq((402L, "CC")).toDF("doc_id", "text").persist()
+    callerCached.count()
+    SnapshotStore.merge(spark, dir, callerCached, Seq("doc_id"))
+    assert(org.apache.spark.sql.graft.CacheBridge.isCached(callerCached),
+      "merge must never unpersist its caller's cache")
+    callerCached.unpersist()
     // first merge into an empty table is a plain commit
     val dir2 = freshDir()
     assert(SnapshotStore.merge(spark, dir2,
