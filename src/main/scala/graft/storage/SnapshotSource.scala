@@ -160,8 +160,22 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val spark = sqlContext.sparkSession
     val dir = pathOf(parameters)
     val s = sourceSchema(sqlContext, schema, providerName, parameters)._2
+    require(!(parameters.contains("startingVersion") &&
+      parameters.contains("startingTimestamp")),
+      "pass either startingVersion or startingTimestamp, not both")
     val startingVersion = parameters.get("startingVersion")
-      .map(_.trim.toLong).getOrElse(1L)
+      .map(_.trim.toLong)
+      .orElse(parameters.get("startingTimestamp").map { t =>
+        // "changes at or after this instant": the version committed AT
+        // the instant starts the stream; otherwise the NEXT commit does.
+        // An instant before all retained history = from the beginning.
+        val ms = t.trim.toLong
+        try {
+          val v = SnapshotStore.versionAtTimestamp(spark, dir, ms)
+          if (SnapshotStore.manifest(spark, dir, v).ts >= ms) v else v + 1
+        } catch { case scala.util.control.NonFatal(_) => 1L }
+      })
+      .getOrElse(1L)
     val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
       .map(_.trim.toLong)
     if (cdfRequested(parameters)) {

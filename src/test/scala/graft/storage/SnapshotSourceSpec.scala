@@ -84,6 +84,39 @@ class SnapshotSourceSpec extends SparkSpec {
       s"one version per trigger, history before v2 skipped: $batches")
   }
 
+  test("readStream option startingTimestamp: commits at or after the instant deliver; earlier instants = full history") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
+    Thread.sleep(5)
+    SnapshotStore.commitAppend(spark, dir, Seq((2L, "b")).toDF("doc_id", "text"), "append")
+    Thread.sleep(5)
+    SnapshotStore.commitAppend(spark, dir, Seq((3L, "c")).toDF("doc_id", "text"), "append")
+    val ts2 = SnapshotStore.manifest(spark, dir, 2L).ts
+    def collect(opts: Map[String, String]): Set[Long] = {
+      val got = scala.collection.mutable.Set.empty[Long]
+      val ckpt = java.nio.file.Files.createTempDirectory("snapsrc-ts").toString
+      val q = opts.foldLeft(spark.readStream.format("graft-snapshot")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          got ++= b.select("doc_id").as[Long].collect(); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      got.toSet
+    }
+    assert(collect(Map("startingTimestamp" -> ts2.toString)) == Set(2L, 3L),
+      "the commit AT the instant starts the stream")
+    assert(collect(Map("startingTimestamp" -> (ts2 + 1).toString)) == Set(3L),
+      "a mid-gap instant starts at the NEXT commit")
+    assert(collect(Map("startingTimestamp" -> "1")) == Set(1L, 2L, 3L),
+      "an instant before retained history = from the beginning")
+    intercept[Exception] {
+      collect(Map("startingTimestamp" -> ts2.toString,
+        "startingVersion" -> "2"))
+    }
+  }
+
   test("write face: mode append/overwrite commit atomic versions; round-trips through read and stream") {
     val dir = freshDir()
     Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
