@@ -138,6 +138,37 @@ class SnapshotPartitionSpec extends SparkSpec {
     assert(SnapshotStore.readAsOf(spark, dir, 1L).count() == 300L)
   }
 
+  test("SQL DML and row-grain CDF compose over a partitioned table") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(), "ingest",
+      partitionBy = Seq("lang"))
+    spark.sql("DROP TABLE IF EXISTS part_dml")
+    spark.sql(s"CREATE TABLE part_dml USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      // DELETE with a PARTITION-column predicate: the partition column's
+      // min=max per-file stats prune the write side too
+      spark.sql("DELETE FROM part_dml WHERE lang = 'fr' AND doc_id <= 30")
+      val m = SnapshotStore.manifest(spark, dir, 2L)
+      assert(m.partitionCols == Seq("lang"), "layout survives SQL DML")
+      assert(m.files.forall(_.contains("lang=")))
+      spark.sql("UPDATE part_dml SET text = concat(text, '!') WHERE doc_id = 60")
+      val got = SnapshotStore.read(spark, dir)
+        .select("doc_id", "text", "lang").as[(Long, String, String)]
+        .collect().map { case (i, t, l) => i -> ((t, l)) }.toMap
+      assert(!got.contains(29L) && got.contains(32L))
+      assert(got(60L)._1 == "t60!" && got(60L)._2 == "en")
+      // row-grain CDF across the partitioned chain restores partition
+      // values on every image row
+      val cdf = SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("doc_id"))
+        .select("doc_id", "lang", "_change_type")
+        .as[(Long, String, String)].collect().toSet
+      assert(cdf.contains((29L, "fr", "delete")))
+      assert(cdf.contains((60L, "en", "update_preimage")) &&
+        cdf.contains((60L, "en", "update_postimage")))
+      assert(!cdf.exists(_._1 == 32L), "untouched rows never surface")
+    } finally spark.sql("DROP TABLE IF EXISTS part_dml")
+  }
+
   test("escaped partition values (spaces, equals) round-trip") {
     val dir = freshDir()
     val df = Seq((1L, "x", "a b"), (2L, "y", "c=d"), (3L, "z", "plain"))
