@@ -3783,6 +3783,108 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** SQL INSERT (round 16 — the SQL story's last write verb): the table
+    * seeds once, then every write flows through `spark.sql` — a
+    * positional `INSERT INTO ... SELECT`, a column-list insert that
+    * null-fills the unnamed column, and an `INSERT OVERWRITE` full
+    * replace — each routed through the atomic manifest protocol by
+    * [[graft.storage.SnapshotDmlRule]] (Spark's own
+    * InsertIntoHadoopFsRelationCommand would write files NO manifest
+    * references). Both the inserted and the overwritten state aggregate
+    * in one result against the relational replay. */
+  def eSnapshotSqlInsert(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "sqlins")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 3 === 0), "ingest")
+    val tbl = s"graft_ins_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      docs.createOrReplaceTempView("graft_ins_src")
+      s.sql(s"""INSERT INTO $tbl
+               |SELECT doc_id, text, lang FROM graft_ins_src
+               |WHERE doc_id % 3 = 1""".stripMargin)
+      s.sql(s"""INSERT INTO $tbl (doc_id, lang)
+               |SELECT doc_id, lang FROM graft_ins_src
+               |WHERE doc_id % 3 = 2""".stripMargin)
+      val inserted = store.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          count(col("text")).as("n_with_text"))
+        .select(lit("inserted").as("stage"), col("lang"),
+          col("n_docs"), col("id_sum"), col("n_with_text"))
+      s.sql(s"""INSERT OVERWRITE $tbl
+               |SELECT doc_id, text, lang FROM graft_ins_src
+               |WHERE doc_id % 7 = 0""".stripMargin)
+      val overwritten = store.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          count(col("text")).as("n_with_text"))
+        .select(lit("overwritten").as("stage"), col("lang"),
+          col("n_docs"), col("id_sum"), col("n_with_text"))
+      inserted.unionByName(overwritten).orderBy("stage", "lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** SQL maintenance verbs (round 16): `OPTIMIZE ... ZORDER BY`,
+    * `VACUUM ... RETAIN`, and `DESCRIBE HISTORY` straight from
+    * `spark.sql` via the parser hook — the same maintenance the API
+    * exposed since round 14, now a SQL-only story. Output: the
+    * post-vacuum history (exact manifest row counts, versions the
+    * vacuum retained) plus a read-back row proving the optimized +
+    * vacuumed table still answers exactly. */
+  def eSnapshotMaintenance(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "maint")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.filter(col("doc_id") % 2 === 0), "ingest")
+    store.commitAppend(s, root, docs.filter(col("doc_id") % 2 === 1), "append")
+    val tbl = s"graft_mnt_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      s.sql(s"OPTIMIZE $tbl ZORDER BY (doc_id, n_chars)")
+      s.sql(s"VACUUM $tbl RETAIN 2 VERSIONS")
+      val hist = s.sql(s"DESCRIBE HISTORY $tbl")
+        .select(col("version"), col("operation"), col("n_rows"))
+      val alive = store.read(s, root).filter(col("n_chars") >= 30)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(99L).as("version"), lit("alive_rows").as("operation"),
+          col("n_rows"))
+      hist.unionByName(alive).orderBy("version")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** Decimal data skipping (round 16): a DECIMAL(12,2) money-grade
+    * column commits with EXACT unscaled-long min/max stats (rounded
+    * double bounds could prune a boundary file incorrectly — the reason
+    * decimals were previously untracked), the layout range-partitions on
+    * it, and a decimal range predicate file-skips through
+    * [[graft.storage.SnapshotStore.readAsOfWhere]] with answers equal to
+    * the plain filtered aggregate the oracle computes. */
+  def eSnapshotDecimalSkip(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "dec")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("price", col("n_chars").cast("decimal(12,2)"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("price")), "ingest")
+    import graft.storage.SnapshotStore.FilePredicate._
+    val pred = between("price",
+      new java.math.BigDecimal("50.00"), new java.math.BigDecimal("500.00"))
+    store.readAsOfWhere(s, root, 1L, pred)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        round(sum(col("price")).cast("double"), 2).as("sum_price"))
+      .orderBy("lang")
+  }
+
   /** Catalyst-integrated snapshot read (round 14): commit + Z-order,
     * then answer a range query through
     * [[graft.storage.SnapshotFileIndex.readAsOfTable]] with a PLAIN
@@ -7175,6 +7277,9 @@ object ExtQueries {
     "e_snapshot_partitioned" -> (eSnapshotPartitioned _),
     "e_snapshot_sql_dml" -> (eSnapshotSqlDml _),
     "e_snapshot_sql_update" -> (eSnapshotSqlUpdate _),
+    "e_snapshot_sql_insert" -> (eSnapshotSqlInsert _),
+    "e_snapshot_maintenance" -> (eSnapshotMaintenance _),
+    "e_snapshot_decimal_skip" -> (eSnapshotDecimalSkip _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
     "e_snapshot_time_travel" -> (eSnapshotTimeTravel _),
@@ -8950,6 +9055,41 @@ object ExtQueries {
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |FROM upd GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_sql_insert" ->
+      """WITH ins AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, NULL AS text, lang FROM documents
+        |  WHERE doc_id % 3 = 2),
+        |agg AS (
+        |  SELECT 'inserted' AS stage, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(count(text) AS BIGINT) AS n_with_text
+        |  FROM ins GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'overwritten', lang, CAST(count(*) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT), CAST(count(text) AS BIGINT)
+        |  FROM documents WHERE doc_id % 7 = 0 GROUP BY lang)
+        |SELECT * FROM agg ORDER BY stage, lang""".stripMargin,
+    "e_snapshot_maintenance" ->
+      """WITH n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM documents)
+        |SELECT CAST(2 AS BIGINT) AS version, 'append' AS operation,
+        |  c AS n_rows FROM n
+        |UNION ALL SELECT 3, 'zorder', c FROM n
+        |UNION ALL SELECT 99, 'alive_rows',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE n_chars >= 30)
+        |ORDER BY version""".stripMargin,
+    "e_snapshot_decimal_skip" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |    CAST(n_chars AS DECIMAL(12,2)) AS price FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  ROUND(CAST(sum(price) AS DOUBLE), 2) AS sum_price
+        |FROM t WHERE price BETWEEN 50.00 AND 500.00
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_sql_dml" ->
       """WITH merged AS (SELECT doc_id,
         |    CASE WHEN doc_id % 5 = 1 THEN text || ' v2' ELSE text END AS text,

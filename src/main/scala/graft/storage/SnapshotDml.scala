@@ -2,15 +2,15 @@ package graft.storage
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, AttributeReference, Cast, EqualTo, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And => CAnd, Attribute, AttributeReference, Cast, EqualTo, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertIntoStatement, LogicalPlan, MergeIntoTable, Project, SubqueryAlias, UpdateAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.TableIdentifier
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.graft.{ColumnBridge, DatasetBridge}
-import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampType}
 
 /** SQL DML front door for `graft-snapshot` tables (round 15): makes
   *
@@ -41,6 +41,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
   * a silent approximation).
   */
 object SnapshotDmlRule extends Rule[LogicalPlan] {
+
+  /** Refusals from inside an analyzer rule surface as
+    * `AnalysisException` — parity with every native Spark refusal
+    * around them (an unsupported MERGE shape is an analysis-time fact,
+    * not a runtime fault). */
+  private[storage] def analysisError(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      msg, None, None, None, None, Map.empty[String, String],
+      Array.empty[org.apache.spark.QueryContext])
 
   /** the snapshot table dir behind a resolved DML target, if any */
   private def snapshotDir(plan: LogicalPlan): Option[String] = plan match {
@@ -76,15 +85,81 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       snapshotDir(target).map { dir =>
         val assigns = assignments.map {
           case Assignment(a: AttributeReference, v) => a.name -> v
-          case other => sys.error(
+          case other => analysisError(
             s"graft-snapshot UPDATE supports column assignments only: $other")
         }
         GraftUpdateCommand(dir, assigns, condition): LogicalPlan
       }.getOrElse(u)
+
+    // SQL INSERT INTO / INSERT OVERWRITE (round 16) — the most common
+    // SQL write, routed through the atomic manifest protocol
+    // (commitAppend / full-snapshot commit) instead of Spark's
+    // InsertIntoHadoopFsRelationCommand, which would write parquet
+    // under the table root with NO manifest commit (files invisible to
+    // every reader — worse, later vacuumed as orphans)
+    case i @ InsertIntoStatement(target, partitionSpec, userCols, query,
+                                 overwrite, ifPartitionNotExists, byName)
+        if target.resolved && query.resolved =>
+      snapshotDir(target).map { dir =>
+        convertInsert(dir, target.output, partitionSpec, userCols, query,
+          overwrite, ifPartitionNotExists, byName): LogicalPlan
+      }.getOrElse(i)
+  }
+
+  /** Align the query to the target's columns (the v1
+    * `PreprocessTableInsertion` contract, done here because the command
+    * swap preempts it): positional by default, name-resolved under
+    * `BY NAME`, and an explicit column list fills unnamed target columns
+    * with NULL. Every output casts to the committed column type. The
+    * committed hive partition layout routes rows automatically — a
+    * `PARTITION (...)` clause refuses (static-partition semantics would
+    * silently override row values). */
+  private def convertInsert(dir: String, targetCols: Seq[Attribute],
+                            partitionSpec: Map[String, Option[String]],
+                            userCols: Seq[String], query: LogicalPlan,
+                            overwrite: Boolean, ifPartitionNotExists: Boolean,
+                            byName: Boolean): GraftInsertCommand = {
+    if (partitionSpec.nonEmpty) analysisError(
+      "graft-snapshot INSERT does not take a PARTITION clause — rows " +
+        "route to the committed hive layout automatically")
+    if (ifPartitionNotExists) analysisError(
+      "IF NOT EXISTS partitions are not supported on graft-snapshot tables")
+    def same(a: String, b: String): Boolean =
+      if (conf.caseSensitiveAnalysis) a == b else a.equalsIgnoreCase(b)
+    val src = query.output
+    val picked: Seq[Expression] =
+      if (byName) {
+        if (src.length != targetCols.length) analysisError(
+          s"INSERT BY NAME needs exactly the table's ${targetCols.length} " +
+            s"columns; the query produces ${src.length}")
+        targetCols.map(t => src.find(q => same(q.name, t.name)).getOrElse(
+          analysisError(s"INSERT BY NAME: the query lacks column ${t.name}")))
+      } else if (userCols.nonEmpty) {
+        if (userCols.length != src.length) analysisError(
+          s"INSERT column list names ${userCols.length} columns but the " +
+            s"query produces ${src.length}")
+        userCols.foreach(c => if (!targetCols.exists(t => same(t.name, c)))
+          analysisError(s"INSERT column list names unknown column $c"))
+        targetCols.map { t =>
+          userCols.indexWhere(same(_, t.name)) match {
+            case -1 => Literal.create(null, t.dataType)
+            case idx => src(idx)
+          }
+        }
+      } else {
+        if (src.length != targetCols.length) analysisError(
+          s"INSERT needs the table's ${targetCols.length} columns " +
+            s"positionally; the query produces ${src.length}")
+        src
+      }
+    val aligned = Project(targetCols.zip(picked).map { case (t, e) =>
+      Alias(Cast(e, t.dataType), t.name)(): NamedExpression
+    }, query)
+    GraftInsertCommand(dir, aligned, overwrite)
   }
 
   private def convertMerge(dir: String, m: MergeIntoTable): GraftMergeCommand = {
-    def refuse(what: String): Nothing = sys.error(
+    def refuse(what: String): Nothing = analysisError(
       s"graft-snapshot MERGE INTO supports exactly 'WHEN MATCHED THEN " +
         s"UPDATE SET *' + 'WHEN NOT MATCHED THEN INSERT *' on an equality " +
         s"key — $what")
@@ -216,8 +291,61 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         }
     }
 
+  // ------------------------------------------- maintenance verbs (round 16)
+  // OPTIMIZE / VACUUM / DESCRIBE HISTORY are not Spark grammar at all
+  // (ParseException in the delegate), so the hook matches them FIRST —
+  // the Delta parser-extension discipline. The table operand is a
+  // registered snapshot table (multipart identifier) or a quoted 'path'.
+  // A DESCRIBE HISTORY with no operand, or any non-matching statement,
+  // falls through to the delegate untouched.
+
+  private val TableTok = """(`[^`]+`|'[^']+'|[\w.$]+)"""
+  private val OptimizeZOrderRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
+      """\s+ZORDER\s+BY\s+\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
+  private val OptimizeRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + TableTok + """\s*;?\s*$""").r
+  private val VacuumRetainRe =
+    ("""(?is)^\s*VACUUM\s+""" + TableTok +
+      """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""").r
+  private val VacuumRe =
+    ("""(?is)^\s*VACUUM\s+""" + TableTok + """\s*;?\s*$""").r
+  private val DescribeHistoryRe =
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableTok + """\s*;?\s*$""").r
+
+  /** the table directory behind a maintenance operand — a quoted 'path'
+    * is used verbatim; an identifier must resolve to a registered
+    * `graft-snapshot` table (anything else refuses loudly: a silent
+    * fall-through would hand OPTIMIZE to Spark's parser, whose error
+    * would blame the grammar, not the table) */
+  private def dirOfToken(tok: String): String = {
+    val t = tok.trim
+    if (t.startsWith("'")) t.stripPrefix("'").stripSuffix("'")
+    else {
+      val parts =
+        if (t.startsWith("`")) Seq(t.stripPrefix("`").stripSuffix("`"))
+        else t.split('.').toSeq
+      snapshotDirOf(parts).getOrElse(SnapshotDmlRule.analysisError(
+        s"$t is not a registered graft-snapshot table — OPTIMIZE / VACUUM " +
+          "/ DESCRIBE HISTORY take a graft-snapshot table or a quoted path"))
+    }
+  }
+
+  private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeZOrderRe(t, dims) => Some(GraftOptimizeCommand(
+        dirOfToken(t), dims.split(',').toSeq.map(
+          _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
+      case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
+      case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
+      case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
+      case DescribeHistoryRe(t) => Some(GraftDescribeHistoryCommand(dirOfToken(t)))
+      case _ => None
+    }
+
   override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+    maintenancePlan(sqlText)
+      .getOrElse(rewrite(delegate.parsePlan(sqlText)))
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
   override def parseExpression(sqlText: String): Expression =
@@ -292,4 +420,87 @@ final case class GraftMergeCommand(dir: String, delta: LogicalPlan,
       DatasetBridge.ofRows(spark, delta), keys)
     Seq.empty
   }
+}
+
+/** Eagerly-run `INSERT INTO` / `INSERT OVERWRITE` (round 16): the
+  * aligned query commits through the manifest protocol —
+  * [[SnapshotStore.commitAppend]] (one new version = prior files + the
+  * insert's bytes, hive layout inherited, schema checked case-aware) or
+  * a full-snapshot [[SnapshotStore.commit]] for OVERWRITE (the
+  * committed partition layout carries; only an explicit write-face
+  * Overwrite with `partitionBy` redefines it). */
+final case class GraftInsertCommand(dir: String, query: LogicalPlan,
+                                    overwrite: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = DatasetBridge.ofRows(spark, query)
+    if (overwrite) {
+      val pCols = SnapshotStore.latestVersion(spark, dir)
+        .map(v => SnapshotStore.manifest(spark, dir, v).partitionCols)
+        .getOrElse(Seq.empty)
+      SnapshotStore.commit(spark, dir, df, "insert-overwrite",
+        partitionBy = pCols)
+    } else SnapshotStore.commitAppend(spark, dir, df, "insert")
+    Seq.empty
+  }
+}
+
+/** SQL `OPTIMIZE <t> [ZORDER BY (c, ...)]` (round 16): the maintenance
+  * rewrite as a verb — plain = [[SnapshotStore.compact]] to ~128 MB
+  * files, `ZORDER BY` = [[SnapshotStore.clusterN]] across the named
+  * dimensions (the write-time layout whose per-file stats the reads'
+  * two-tier pruning consumes). File count sizes from the manifest's
+  * recorded byte footprint — no data scan before the rewrite itself. */
+final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v =
+      if (zorderBy.isEmpty) SnapshotStore.compact(spark, dir)
+      else {
+        val m = SnapshotStore.manifest(spark, dir,
+          SnapshotStore.latestVersion(spark, dir).getOrElse(
+            sys.error(s"no committed version at $dir")))
+        val bytes = m.files.map(p => m.stats.get(p).map(_.bytes)
+          .filter(_ > 0L).getOrElse(128L * 1024 * 1024)).sum
+        val nFiles = math.max(1L,
+          math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toLong).toInt
+        SnapshotStore.clusterN(spark, dir, zorderBy, nFiles)
+      }
+    Seq(Row(v, if (zorderBy.isEmpty) "compact" else "zorder"))
+  }
+}
+
+/** SQL `VACUUM <t> [RETAIN <n> VERSIONS]` (round 16): drops manifests
+  * older than the newest `retain` and reclaims unreferenced data files
+  * — [[SnapshotStore.vacuum]] behind the verb, default retention 2. */
+final case class GraftVacuumCommand(dir: String, retain: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotStore.vacuum(spark, dir, retain)
+    Seq(Row(dir))
+  }
+}
+
+/** SQL `DESCRIBE HISTORY <t>` (round 16): the commit log as a result
+  * set — one row per RETAINED version with exact manifest-recorded
+  * counts ([[SnapshotStore.history]]; driver work is one manifest read
+  * per retained version, bounded by the retention horizon). */
+final case class GraftDescribeHistoryCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_files", LongType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("n_bytes", LongType, nullable = false)(),
+    AttributeReference("n_columns", LongType, nullable = false)(),
+    AttributeReference("ts_millis", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    SnapshotStore.history(spark, dir).collect().toSeq
 }

@@ -186,6 +186,8 @@ object SnapshotFileIndex {
 
   private def litValue(l: Literal): Option[Any] = Option(l.value).map {
     case u: UTF8String => u.toString
+    case d: org.apache.spark.sql.types.Decimal =>
+      d.toJavaBigDecimal // exact-comparison form (round-16 decimal stats)
     case other => other // Int/Long/Short/Byte/Float/Double/Boolean,
                         // date epoch-days (Int), timestamp micros (Long)
   } match {
@@ -274,6 +276,21 @@ object SnapshotFileIndex {
                          subset: Option[Set[String]])
       : (DataFrame, SnapshotFileIndex) = {
     val (relation, index) = hadoopRelationOf(spark, dir, m, subset)
-    (spark.baseRelationToDataFrame(relation), index)
+    val df0 = spark.baseRelationToDataFrame(relation)
+    // the relation surfaces partition columns LAST (dataSchema ++
+    // partitionSchema — the HadoopFsRelation contract); project back to
+    // the manifest's recorded LOGICAL order so SELECT * and positional
+    // consumers see the writing frame's shape (the Delta behavior).
+    // Filters still push through the Project to the index's pruning.
+    // The SQL-registered face (CREATE TABLE USING — a bare BaseRelation)
+    // cannot carry this projection and documents the reorder instead.
+    val df = m.schemaStruct match {
+      case Some(s) if m.partitionCols.nonEmpty &&
+          df0.columns.toSeq != s.fieldNames.toSeq =>
+        df0.select(s.fieldNames.toSeq
+          .map(org.apache.spark.sql.functions.col): _*)
+      case _ => df0
+    }
+    (df, index)
   }
 }

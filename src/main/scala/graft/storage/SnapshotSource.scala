@@ -77,6 +77,19 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
+        // appends to an EXISTING table inherit the committed layout — a
+        // partitionBy option that doesn't restate it exactly refuses
+        // loudly (silently ignoring it would let a caller believe they
+        // (re)partitioned; only a full-snapshot Overwrite may change it)
+        if (exists && partitionBy.nonEmpty) {
+          val committed = SnapshotStore.latestVersion(spark, dir)
+            .map(v => SnapshotStore.manifest(spark, dir, v).partitionCols)
+            .getOrElse(Seq.empty)
+          require(partitionBy == committed,
+            s"append to $dir passes partitionBy(${partitionBy.mkString(",")}) " +
+              s"but the committed layout is (${committed.mkString(",")}) — " +
+              "appends inherit the layout; change it with mode Overwrite")
+        }
         parameters.get("mergeKeys") match {
           case Some(_) => SnapshotStore.merge(spark, dir, data,
             cols("mergeKeys"),
@@ -118,6 +131,13 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     parameters.get("idCols").toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
+  /** Batch-read face. NOTE on partitioned tables: this BaseRelation
+    * surfaces partition columns at the END of the schema (the
+    * HadoopFsRelation `dataSchema ++ partitionSchema` contract — the
+    * same order Spark's own catalog normalization produces for
+    * `PARTITIONED BY` v1 tables); the DataFrame faces
+    * ([[SnapshotFileIndex.readAsOfTable]], [[SnapshotStore.readAsOf]])
+    * project back to the writing frame's logical column order. */
   override def createRelation(sqlContext: SQLContext,
                               parameters: Map[String, String]): BaseRelation = {
     val spark = sqlContext.sparkSession
@@ -168,12 +188,15 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       .orElse(parameters.get("startingTimestamp").map { t =>
         // "changes at or after this instant": the version committed AT
         // the instant starts the stream; otherwise the NEXT commit does.
-        // An instant before all retained history = from the beginning.
+        // ONLY the typed "instant precedes all retained history" refusal
+        // maps to from-the-beginning — a legacy pre-timestamp log or any
+        // genuine error must rethrow, never silently replay the full
+        // history (duplicate delivery to a consumer asking "after T").
         val ms = t.trim.toLong
         try {
           val v = SnapshotStore.versionAtTimestamp(spark, dir, ms)
           if (SnapshotStore.manifest(spark, dir, v).ts >= ms) v else v + 1
-        } catch { case scala.util.control.NonFatal(_) => 1L }
+        } catch { case _: SnapshotStore.NoRetainedVersionAtTimestamp => 1L }
       })
       .getOrElse(1L)
     val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")

@@ -27,11 +27,13 @@ import org.apache.spark.sql.types._
   * lets [[readAsOfWhere]] prune the file list BEFORE the parquet scan
   * (data skipping at file grain — the reader-side payoff of a committed
   * [[cluster]] Z-order/Hilbert layout; Parquet row-group stats only help
-  * after a file is already opened). The COMMIT POINT is the manifest's
-  * temp-write + rename: data files land first in a version-private
-  * directory that no committed manifest references, then the manifest
-  * file appears atomically (single-file rename — atomic on HDFS and
-  * POSIX). A crash before the rename strands an orphaned data directory
+  * after a file is already opened). The COMMIT POINT is one atomic
+  * put-if-absent of the manifest through the pluggable [[LogStore]]
+  * seam (default [[RenameLogStore]]: temp-write + rename — atomic on
+  * HDFS and POSIX; S3-class stores plug an external arbiter): data
+  * files land first in a version-private directory that no committed
+  * manifest references, then the manifest file appears atomically.
+  * A crash before the publish strands an orphaned data directory
   * that NO reader can see (torn commits are invisible — spec-proven by
   * killing a commit between the two steps); the next commit of that
   * version RECLAIMS the orphan unattended once it is older than a grace
@@ -117,8 +119,8 @@ object SnapshotStore {
   /** `ts` — commit wall-clock (epoch millis, recorded at the commit
     * point; 0 on pre-timestamp manifests), serving `TIMESTAMP AS OF`
     * time travel ([[versionAtTimestamp]]). Monotonicity rides the
-    * single-writer contract; [[versionAtTimestamp]] walks the log, so a
-    * clock blip degrades resolution, never correctness. */
+    * serialized commit protocol (each commit stamps after winning the
+    * manifest race); [[versionAtTimestamp]] binary-searches on it. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
@@ -140,6 +142,50 @@ object SnapshotStore {
   val DefaultReclaimGraceMs: Long = 10L * 60 * 1000
 
   private val MaxCommitAttempts = 5
+
+  /** The COMMIT-POINT seam (round 16 — the Delta `LogStore` discipline):
+    * everything about a commit is ordinary file I/O EXCEPT the one
+    * operation that decides the race — publishing the version's manifest
+    * iff no rival already has. That operation's contract is atomic
+    * PUT-IF-ABSENT: two concurrent calls for the same path must never
+    * both return true. The default [[RenameLogStore]] implements it with
+    * temp-write + rename, which honors the contract on HDFS (rename
+    * refuses an existing target) and POSIX-local (guarded by the
+    * existence check — single-writer-per-host); S3-class object stores
+    * have NO atomic rename-if-absent, so a deployment there must plug a
+    * store that arbitrates externally (a DynamoDB/CAS table — exactly
+    * Delta's S3SingleDriverLogStore lineage) via [[logStore]]. The race
+    * spec (`SnapshotStoreSpec`) proves the protocol serializes on the
+    * contract ALONE: a mock store over a blind-overwrite filesystem
+    * (the object-store failure mode) still never lands two version-N
+    * commits. */
+  trait LogStore {
+    /** Atomically publish `content` at `path` iff absent; true iff THIS
+      * call created the file (false = a rival already committed it).
+      * May throw on I/O failure — the commit loop treats only `false`
+      * as a lost race. */
+    def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+                    content: Array[Byte]): Boolean
+  }
+
+  /** temp-write + rename — atomic on HDFS, existence-guarded on local
+    * filesystems (where rename overwrites). The temp file is staged
+    * exclusively (`create(overwrite = false)`), so two stagers of the
+    * SAME version collide loudly there first. */
+  object RenameLogStore extends LogStore {
+    override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                             path: Path, content: Array[Byte]): Boolean = {
+      val tmp = new Path(path.getParent, s".${path.getName}.tmp")
+      val out = fs.create(tmp, false) // a rival's staged manifest refuses here
+      try out.write(content) finally out.close()
+      if (!fs.exists(path) && fs.rename(tmp, path)) true
+      else { fs.delete(tmp, false); false }
+    }
+  }
+
+  /** the pluggable commit arbiter — swap for an object-store-safe
+    * implementation when the table lives on S3-class storage */
+  @volatile var logStore: LogStore = RenameLogStore
 
   /** Stats are collected for at most this many leading supported columns
     * (schema order) — the Delta `dataSkippingNumIndexedCols` discipline:
@@ -419,8 +465,28 @@ object SnapshotStore {
       x.length - y.length
     }
 
+    private val DecimalTypeRe = """decimal\((\d+),(\d+)\)""".r
+
     private[storage] def compare(statVal: Any, litVal: Any, t: String): Int =
       (statVal, litVal) match {
+        // decimal stats are EXACT unscaled longs at the column's scale
+        // (carried in the type string) — re-materialize and compare as
+        // BigDecimal, no rounding anywhere
+        case (a: Long, b) if t.startsWith("decimal") =>
+          val scale = t match {
+            case DecimalTypeRe(_, sc) => sc.toInt
+            case _ => sys.error(s"malformed decimal stats type $t")
+          }
+          val bd = b match {
+            case d: java.math.BigDecimal => d
+            case d: scala.math.BigDecimal => d.bigDecimal
+            case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+            case n: Number => new java.math.BigDecimal(n.toString)
+            case _ => sys.error(
+              s"predicate value $b (${b.getClass.getSimpleName}) is not " +
+                s"comparable with $t stats — pass a decimal value")
+          }
+          java.math.BigDecimal.valueOf(a, scale).compareTo(bd)
         case (a: Long, b: Number)
           if b.isInstanceOf[java.lang.Long] || b.isInstanceOf[Integer] ||
              b.isInstanceOf[java.lang.Short] || b.isInstanceOf[java.lang.Byte] =>
@@ -646,29 +712,59 @@ object SnapshotStore {
       latestVersion(spark, dir)
         .getOrElse(sys.error(s"no committed version at $dir")))
 
+  /** Typed refusal of [[versionAtTimestamp]]: the instant precedes every
+    * retained commit. Distinct from other failures (pre-timestamp legacy
+    * logs, I/O errors) so a caller choosing "start from the beginning"
+    * semantics — the streaming source's `startingTimestamp` — can map
+    * EXACTLY this case and never mask a genuine error as a full replay. */
+  final class NoRetainedVersionAtTimestamp(msg: String)
+      extends RuntimeException(msg)
+
   /** The latest version committed AT OR BEFORE `tsMillis` — `TIMESTAMP
-    * AS OF` time travel (Delta's vocabulary). Walks the retained log
-    * BACKWARD from the latest version (pointer-anchored), so the common
-    * ask — "the table as of an hour ago" — reads O(commits since then)
-    * manifests, not the whole log. Refuses loudly when `tsMillis`
-    * precedes every retained commit (vacuumed history must not silently
-    * serve a later state), and when the range is pre-timestamp legacy. */
+    * AS OF` time travel (Delta's vocabulary). Commit timestamps are
+    * MONOTONE under the serialized commit protocol and vacuum drops an
+    * oldest PREFIX of the log (manifest existence is monotone too), so
+    * both boundaries BINARY-SEARCH: O(log commits) existence probes +
+    * manifest reads, never a walk — `TIMESTAMP AS OF <last week>` on a
+    * micro-batch table with 100k commits reads ~17 manifests, not tens
+    * of thousands (bounded-reads asserted on a 1,000-commit log in
+    * `SnapshotCheckpointSpec`). Throws [[NoRetainedVersionAtTimestamp]]
+    * when `tsMillis` precedes every retained commit (vacuumed history
+    * must not silently serve a later state); refuses loudly when the
+    * resolved version is pre-timestamp legacy (ts = 0). */
   def versionAtTimestamp(spark: SparkSession, dir: String,
                          tsMillis: Long): Long = {
-    var v = latestVersion(spark, dir)
+    val latest = latestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed version at $dir"))
-    while (true) {
-      val m = manifest(spark, dir, v)
-      require(m.ts > 0L,
-        s"version $v predates commit timestamps — TIMESTAMP AS OF needs " +
-          "a timestamped log")
-      if (m.ts <= tsMillis) return v
-      if (!manifestExists(spark, dir, v - 1)) sys.error(
-        s"no retained version at or before timestamp $tsMillis at $dir " +
-          s"(earliest retained commit is at ${m.ts})")
-      v -= 1
+    val mLatest = manifest(spark, dir, latest)
+    if (mLatest.ts > 0L && mLatest.ts <= tsMillis) return latest
+    // earliest retained version: existence is monotone over [1, latest]
+    var lo = 1L
+    var hi = latest
+    while (lo < hi) {
+      val mid = lo + (hi - lo) / 2
+      if (manifestExists(spark, dir, mid)) hi = mid else lo = mid + 1
     }
-    sys.error("unreachable")
+    val earliest = lo
+    // largest version with ts <= tsMillis (ts monotone; legacy ts = 0
+    // entries sort before every real instant, preserving monotonicity)
+    var a = earliest
+    var b = latest
+    var ans = -1L
+    var ansTs = 0L
+    while (a <= b) {
+      val mid = a + (b - a) / 2
+      val m = manifest(spark, dir, mid)
+      if (m.ts <= tsMillis) { ans = mid; ansTs = m.ts; a = mid + 1 }
+      else b = mid - 1
+    }
+    if (ans < 0) throw new NoRetainedVersionAtTimestamp(
+      s"no retained version at or before timestamp $tsMillis at $dir " +
+        s"(earliest retained commit is at ${manifest(spark, dir, earliest).ts})")
+    require(ansTs > 0L,
+      s"version $ans predates commit timestamps — TIMESTAMP AS OF needs " +
+        "a timestamped log")
+    ans
   }
 
   /** [[readAsOf]] at a wall-clock instant — `TIMESTAMP AS OF`. */
@@ -899,18 +995,24 @@ object SnapshotStore {
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty) {
         val base = readFiles(spark, dir, m, touched)
-        val hit = coalesce(rowCond, lit(false))
-        // ALL right-hand sides evaluate against the pre-update row:
-        // stage them as temp columns first, then swap in
+        // ALL right-hand sides AND the condition evaluate against the
+        // pre-update row: stage them as temp columns first, then swap in.
+        // The condition must be staged too — re-resolving it inside the
+        // swap fold would evaluate it against already-swapped columns
+        // when it references an assigned column (`SET a = a - 1, b = 0
+        // WHERE a > 10` would update `a` then skip `b`), violating SQL
+        // UPDATE's evaluate-once-against-the-pre-image semantics.
+        val hitCol = "__upd_hit"
         val tmp = resolved.zipWithIndex.map { case ((c, t, v), i) =>
           (c, t, s"__upd_$i", v)
         }
-        val staged = tmp.foldLeft(base) { case (df, (_, t, tc, v)) =>
-          df.withColumn(tc, v.cast(t))
+        val staged = tmp.foldLeft(
+          base.withColumn(hitCol, coalesce(rowCond, lit(false)))) {
+          case (df, (_, t, tc, v)) => df.withColumn(tc, v.cast(t))
         }
         val applied = tmp.foldLeft(staged) { case (df, (c, _, tc, _)) =>
-          df.withColumn(c, when(hit, col(tc)).otherwise(col(c)))
-        }.drop(tmp.map(_._3): _*)
+          df.withColumn(c, when(col(hitCol), col(tc)).otherwise(col(c)))
+        }.drop(hitCol +: tmp.map(_._3): _*)
         writeData(applied, dataDir, m.partitionCols)
       }
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
@@ -1001,13 +1103,17 @@ object SnapshotStore {
     } finally if (weCached) delta.unpersist()
   }
 
-  // stats-supported column types; decimal is excluded on purpose (a
-  // rounded double bound could prune a boundary file incorrectly)
+  // stats-supported column types. Decimal records EXACT unscaled-long
+  // bounds (round 16 — a rounded double bound could prune a boundary
+  // file incorrectly, so the encoding is exact or absent): precision
+  // <= 18 guarantees the unscaled value fits a long; wider decimals
+  // stay untracked (conservative — never prune).
   private def statsSupported(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
     case FloatType | DoubleType => true
     case StringType | BooleanType => true
     case DateType | TimestampType => true
+    case d: DecimalType => d.precision <= 18
     case _ => false
   }
 
@@ -1023,6 +1129,12 @@ object SnapshotStore {
     case d: java.sql.Date => d.toLocalDate.toEpochDay
     case t: java.sql.Timestamp =>
       t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    // decimal(p<=18, s): the EXACT unscaled long at the column's scale
+    // (Spark hands values back at declared scale); the simpleString
+    // "decimal(p,s)" riding ColStats.dataType carries the scale to the
+    // probe side
+    case d: java.math.BigDecimal => d.unscaledValue().longValueExact()
+    case d: scala.math.BigDecimal => d.bigDecimal.unscaledValue().longValueExact()
     case other => sys.error(s"unsupported stat value $other")
   }
 
@@ -1259,18 +1371,13 @@ object SnapshotStore {
         f.delete(dataPath, true)
         throw e
       }
-      // COMMIT POINT: single-file temp write + rename. A crash before the
-      // rename leaves only the orphaned data dir + tmp file — invisible.
+      // COMMIT POINT: one put-if-absent through the pluggable LogStore
+      // seam (default: temp write + rename). A crash before the publish
+      // leaves only the orphaned data dir + tmp file — invisible.
       val md = new Path(manifestDir(dir))
       if (!f.exists(md)) f.mkdirs(md)
-      val tmp = new Path(f"${manifestDir(dir)}/.v$v%08d.json.tmp")
-      val out = f.create(tmp, false) // a rival's staged manifest refuses here
-      try out.write(render(m).getBytes("UTF-8")) finally out.close()
       val fin = manifestPath(dir, v)
-      // lost-race guard: on HDFS the rename itself refuses an existing
-      // target; local filesystems overwrite, so the existence check makes
-      // the common lost race DETECTED there too
-      if (!f.exists(fin) && f.rename(tmp, fin)) {
+      if (logStore.putIfAbsent(f, fin, render(m).getBytes("UTF-8"))) {
         // refresh the checkpoint pointer — a HINT written after the
         // commit point (a crash here only costs the next reader a short
         // forward probe). The commit already knows v, its own operation
@@ -1309,7 +1416,6 @@ object SnapshotStore {
       }
       // lost: a rival committed version v first. Clean our artifacts and
       // re-claim the next free slot.
-      f.delete(tmp, false)
       f.delete(dataPath, true)
       if (attempt >= MaxCommitAttempts)
         throw new java.io.IOException(

@@ -100,6 +100,67 @@ class SnapshotCheckpointSpec extends SparkSpec {
       "the refreshed pointer serves reads without a listing")
   }
 
+  test("TIMESTAMP AS OF binary-searches the monotone log: O(log n) manifest reads on a 1,000-commit table, mid-history or deep-history alike") {
+    val dir = freshDir()
+    (1L to 1000L).foreach { v =>
+      SnapshotStore.writeManifestForTest(spark, dir,
+        Manifest(v, "append", Seq(s"$dir/data/f$v.parquet"),
+          ts = 1000L + v * 10L))
+    }
+    SnapshotStore.writePointerForTest(spark, dir, Pointer(1000L, -1L))
+    val bound = 2 * 10 + 4 // ~2·log₂(1000) + slack, NOT O(commits)
+    def reads(body: => Long): (Long, Long) = {
+      val mr0 = SnapshotStore.manifestReadCount.get()
+      val got = body
+      (got, SnapshotStore.manifestReadCount.get() - mr0)
+    }
+    // a mid-history instant (between commit 500 and 501) — the case the
+    // old backward walk paid 500 manifest reads for
+    val (v1, r1) = reads(
+      SnapshotStore.versionAtTimestamp(spark, dir, 1000L + 500L * 10L + 5L))
+    assert(v1 == 500L)
+    assert(r1 <= bound, s"mid-history instant read $r1 manifests (> $bound)")
+    // the exact commit instant resolves to that commit
+    val (v2, r2) = reads(
+      SnapshotStore.versionAtTimestamp(spark, dir, 1000L + 7L * 10L))
+    assert(v2 == 7L)
+    assert(r2 <= bound, s"deep-history instant read $r2 manifests (> $bound)")
+    // at-or-after-latest short-circuits to ~1 read
+    val (v3, r3) = reads(
+      SnapshotStore.versionAtTimestamp(spark, dir, 1000L + 99999L))
+    assert(v3 == 1000L && r3 <= 2)
+    // an instant before all retained history: the TYPED refusal
+    val e = intercept[SnapshotStore.NoRetainedVersionAtTimestamp] {
+      SnapshotStore.versionAtTimestamp(spark, dir, 5L)
+    }
+    assert(e.getMessage.contains("no retained version at or before"))
+  }
+
+  test("TIMESTAMP AS OF on a vacuumed prefix and a legacy untimestamped log keeps the round-15 refusal semantics") {
+    val dir = freshDir()
+    // versions 1-9 vacuumed away; 10-20 retained and timestamped
+    (10L to 20L).foreach { v =>
+      SnapshotStore.writeManifestForTest(spark, dir,
+        Manifest(v, "append", Seq(s"$dir/data/f$v.parquet"), ts = v * 100L))
+    }
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, 1_550L) == 15L)
+    assert(SnapshotStore.versionAtTimestamp(spark, dir, 1_000L) == 10L)
+    intercept[SnapshotStore.NoRetainedVersionAtTimestamp] {
+      SnapshotStore.versionAtTimestamp(spark, dir, 999L)
+    }
+    // a legacy pre-timestamp log refuses with the predates message —
+    // NOT the typed before-history refusal (the streaming source maps
+    // only the latter to a full replay)
+    val legacy = freshDir()
+    (1L to 3L).foreach(v => SnapshotStore.writeManifestForTest(spark, legacy,
+      Manifest(v, "append", Seq(s"$legacy/data/f$v.parquet"))))
+    val e = intercept[Exception] {
+      SnapshotStore.versionAtTimestamp(spark, legacy, 12345L)
+    }
+    assert(!e.isInstanceOf[SnapshotStore.NoRetainedVersionAtTimestamp])
+    assert(e.getMessage.contains("predates commit timestamps"))
+  }
+
   test("a pointer crash-lost between rename and write only costs a probe (laggy pointer simulation)") {
     val dir = freshDir()
     def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")

@@ -103,7 +103,9 @@ class SnapshotDmlSpec extends SparkSpec {
       Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
     Seq((1L, "A2")).toDF("doc_id", "text").createOrReplaceTempView("dml_src3")
     withTable("dml_mrg3", dir) {
-      val e = intercept[RuntimeException] {
+      // refusals from the resolution rule are ANALYSIS errors — the
+      // exception type matches every native Spark refusal around them
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
         spark.sql(
           """MERGE INTO dml_mrg3 t USING dml_src3 s ON t.doc_id = s.doc_id
             |WHEN MATCHED THEN DELETE""".stripMargin)
@@ -137,6 +139,24 @@ class SnapshotDmlSpec extends SparkSpec {
       assert(SnapshotStore.read(spark, dir)
         .agg(sum(col("a"))).as[Long].head() ==
         got.values.map(_._1).sum + 400L)
+    }
+  }
+
+  test("UPDATE condition referencing an ASSIGNED column evaluates once against the pre-update row") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, 20L, 7L), (2L, 11L, 7L), (3L, 5L, 7L))
+        .toDF("doc_id", "a", "b"), "ingest")
+    withTable("dml_updc", dir) {
+      // SQL UPDATE semantics: the WHERE sees the PRE-update `a`, so BOTH
+      // assignments apply to rows 1 and 2 (a>10 pre-image) and row 3 is
+      // untouched — a condition re-evaluated after the `a` swap would
+      // silently skip `b = 0` whenever `a - 1` fell to <= 10, and could
+      // spuriously assign rows the pre-image excluded
+      spark.sql("UPDATE dml_updc SET a = a - 1, b = 0 WHERE a > 10")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet ==
+        Set((1L, 19L, 0L), (2L, 10L, 0L), (3L, 5L, 7L)))
     }
   }
 
@@ -279,5 +299,161 @@ class SnapshotDmlSpec extends SparkSpec {
       spark.sql("DELETE FROM plain_v WHERE doc_id = 1")
     }
     assert(!e.getMessage.contains("graft-snapshot"))
+  }
+
+  test("INSERT INTO appends through the manifest commit; prior files carry untouched") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "ingest")
+    val before = SnapshotStore.manifest(spark, dir, 1L)
+    withTable("dml_ins", dir) {
+      spark.sql("INSERT INTO dml_ins VALUES (3, 'c'), (4, 'd')")
+      val after = SnapshotStore.manifest(spark, dir, 2L)
+      assert(after.operation == "insert")
+      assert(before.files.toSet.subsetOf(after.files.toSet),
+        "an append commit carries every prior file")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, String)].collect().toMap ==
+        Map(1L -> "a", 2L -> "b", 3L -> "c", 4L -> "d"))
+      // INSERT INTO ... SELECT over another relation
+      spark.sql("INSERT INTO dml_ins SELECT doc_id + 10, text FROM dml_ins " +
+        "WHERE doc_id <= 2")
+      assert(SnapshotStore.read(spark, dir).count() == 6L)
+      // the inserted commit records stats: a point read file-skips
+      import SnapshotStore.FilePredicate._
+      assert(SnapshotStore.readAsOfWhere(spark, dir, 3L,
+        EqTo("doc_id", 11L)).count() == 1L)
+    }
+  }
+
+  test("INSERT OVERWRITE is a full-snapshot commit; history stays readable") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "ingest")
+    withTable("dml_insov", dir) {
+      spark.sql("INSERT OVERWRITE dml_insov VALUES (9, 'z')")
+      assert(SnapshotStore.manifest(spark, dir, 2L).operation ==
+        "insert-overwrite")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, String)].collect().toSet == Set((9L, "z")))
+      assert(SnapshotStore.readAsOf(spark, dir, 1L).count() == 2L,
+        "pre-overwrite versions time-travel intact")
+    }
+  }
+
+  test("INSERT with a column list null-fills unnamed columns; BY NAME maps by name; arity and unknown columns refuse as AnalysisException") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a", 10L)).toDF("doc_id", "text", "score"), "ingest")
+    withTable("dml_insc", dir) {
+      spark.sql("INSERT INTO dml_insc (doc_id, text) VALUES (2, 'b')")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, String, Option[Long])].collect().toSet ==
+        Set((1L, "a", Some(10L)), (2L, "b", None)),
+        "unnamed columns null-fill")
+      spark.sql("INSERT INTO dml_insc BY NAME " +
+        "SELECT 'c' AS text, 30L AS score, 3L AS doc_id")
+      assert(SnapshotStore.read(spark, dir)
+        .filter(col("doc_id") === 3L)
+        .as[(Long, String, Option[Long])].head() == ((3L, "c", Some(30L))))
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO dml_insc VALUES (4, 'd')")
+      }
+      assert(e1.getMessage.contains("positionally"))
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO dml_insc (doc_id, nosuch) VALUES (4, 'd')")
+      }
+      assert(e2.getMessage.contains("unknown column") ||
+        e2.getMessage.toLowerCase.contains("cannot resolve"))
+      assert(SnapshotStore.latestVersion(spark, dir).contains(3L),
+        "refused inserts must not commit")
+    }
+  }
+
+  test("INSERT INTO a partitioned table inherits the hive layout; PARTITION clause refuses") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "en", "a"), (2L, "de", "b")).toDF("doc_id", "lang", "text"),
+      "ingest", partitionBy = Seq("lang"))
+    withTable("dml_insp", dir) {
+      // NOTE: the SQL face surfaces partition columns LAST, so the
+      // positional order here is (doc_id, text, lang)
+      spark.sql("INSERT INTO dml_insp VALUES (3, 'c', 'fr')")
+      val m = SnapshotStore.manifest(spark, dir, 2L)
+      assert(m.partitionCols == Seq("lang"))
+      val newFiles = m.files.filterNot(
+        SnapshotStore.manifest(spark, dir, 1L).files.toSet)
+      assert(newFiles.nonEmpty && newFiles.forall(_.contains("lang=fr")),
+        s"inserted rows must land under their hive partition dirs: $newFiles")
+      assert(SnapshotStore.read(spark, dir)
+        .filter(col("lang") === "fr").count() == 1L)
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO dml_insp PARTITION (lang='en') " +
+          "VALUES (4, 'd')")
+      }
+      assert(e.getMessage.contains("PARTITION clause"))
+    }
+  }
+
+  test("OPTIMIZE compacts; OPTIMIZE ZORDER BY clusters; results keep reading exactly") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 400L).map(i => (i, i % 97L, s"t$i")).toDF("doc_id", "k", "text")
+        .repartition(16), "ingest")
+    withTable("dml_opt", dir) {
+      val r1 = spark.sql("OPTIMIZE dml_opt").collect()
+      assert(r1.map(_.getString(1)).toSeq == Seq("compact"))
+      val m2 = SnapshotStore.manifest(spark, dir, 2L)
+      assert(m2.operation == "compact")
+      assert(m2.files.length < 16, s"compaction must shrink the file count")
+      val r2 = spark.sql("OPTIMIZE dml_opt ZORDER BY (doc_id, k)").collect()
+      assert(r2.map(_.getString(1)).toSeq == Seq("zorder"))
+      assert(SnapshotStore.manifest(spark, dir, 3L).operation == "zorder")
+      assert(SnapshotStore.read(spark, dir).count() == 400L)
+      // the clustered layout's stats prune through the index
+      val (df, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, 3L)
+      df.filter(col("doc_id").between(10L, 20L)).count()
+      assert(idx.lastListedCount >= 0)
+    }
+  }
+
+  test("VACUUM RETAIN n VERSIONS and DESCRIBE HISTORY speak SQL") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"),
+      "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((2L, "b")).toDF("doc_id", "text"), "append")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((3L, "c")).toDF("doc_id", "text"), "append")
+    withTable("dml_vac", dir) {
+      val hist = spark.sql("DESCRIBE HISTORY dml_vac").collect()
+      assert(hist.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+        Seq((1L, "ingest"), (2L, "append"), (3L, "append")))
+      assert(hist.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L),
+        "exact manifest row counts, no data scan")
+      // the catalog may qualify the stored path with a scheme
+      assert(spark.sql("VACUUM dml_vac RETAIN 2 VERSIONS")
+        .collect().map(_.getString(0)).toSeq.map(_.stripPrefix("file://"))
+        == Seq(dir))
+      assert(SnapshotStore.versions(spark, dir) == Seq(2L, 3L))
+      assert(spark.sql("DESC HISTORY dml_vac").collect().length == 2)
+      assert(SnapshotStore.read(spark, dir).count() == 3L,
+        "the retained latest keeps reading after vacuum")
+    }
+  }
+
+  test("maintenance verbs on a quoted path work; a non-snapshot identifier refuses as AnalysisException") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "ingest")
+    val hist = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    assert(hist.length == 1 && hist.head.getString(1) == "ingest")
+    spark.sql(s"OPTIMIZE '$dir'")
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L))
+    Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("plain_m")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("OPTIMIZE plain_m")
+    }
+    assert(e.getMessage.contains("not a registered graft-snapshot table"))
   }
 }

@@ -148,6 +148,28 @@ class SnapshotSourceSpec extends SparkSpec {
       EqTo("doc_id", 3L)).count() == 1L)
   }
 
+  test("write face: append + partitionBy on an existing table refuses unless it restates the committed layout") {
+    val dir = freshDir()
+    Seq((1L, "en", "a"), (2L, "de", "b")).toDF("doc_id", "lang", "text")
+      .write.format("graft-snapshot").option("partitionBy", "lang").save(dir)
+    // silently ignoring the option would let a caller believe they
+    // (re)partitioned — refuse loudly instead
+    val e = intercept[Exception] {
+      Seq((3L, "fr", "c")).toDF("doc_id", "lang", "text")
+        .write.format("graft-snapshot").mode("append")
+        .option("partitionBy", "doc_id").save(dir)
+    }
+    assert(e.getMessage.contains("appends inherit the layout"))
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L),
+      "a refused append must not commit")
+    // restating the committed layout exactly is allowed (harmless)
+    Seq((3L, "fr", "c")).toDF("doc_id", "lang", "text")
+      .write.format("graft-snapshot").mode("append")
+      .option("partitionBy", "lang").save(dir)
+    assert(spark.read.format("graft-snapshot").load(dir).count() == 3L)
+    assert(SnapshotStore.manifest(spark, dir, 2L).partitionCols == Seq("lang"))
+  }
+
   test("write face: append with mergeKeys is a copy-on-write upsert") {
     val dir = freshDir()
     Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

@@ -181,6 +181,120 @@ class SnapshotStoreSpec extends SparkSpec {
       .toSeq == Seq("v00000001-ingest", "v00000002-rival", "v00000003-mine"))
   }
 
+  test("LogStore seam: put-if-absent ALONE serializes committers — a blind-overwrite filesystem (the object-store failure mode) never lands two version-N commits") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    // a mock store over a filesystem with NO atomic rename-if-absent:
+    // it publishes by BLIND overwrite (create(path, true)) — exactly how
+    // an S3-class store behaves — so any atomicity can come ONLY from
+    // the store's own external arbiter (here an in-memory CAS; in a real
+    // deployment a DynamoDB-style table). If the commit protocol relied
+    // on filesystem rename semantics anywhere, this test would land two
+    // version-2 manifests or absorb one silently.
+    val arbiter = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    val publishes = new java.util.concurrent.atomic.AtomicInteger
+    object BlindOverwriteStore extends SnapshotStore.LogStore {
+      override def putIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                               path: Path, content: Array[Byte]): Boolean =
+        if (arbiter.putIfAbsent(path.toString, "won") != null) false
+        else {
+          publishes.incrementAndGet()
+          val out = fs.create(path, true) // blind overwrite, no atomicity
+          try out.write(content) finally out.close()
+          true
+        }
+    }
+    val prev = SnapshotStore.logStore
+    SnapshotStore.logStore = BlindOverwriteStore
+    try {
+      var rivalDone = false
+      val v = SnapshotStore.commitFiles(spark, dir, "mine") { dataDir =>
+        if (!rivalDone) {
+          rivalDone = true
+          // rival lands version 2 INSIDE our race window (after our slot
+          // claim, before our publish)
+          assert(SnapshotStore.commit(spark, dir,
+            docs(2L -> "rival"), "rival") == 2L)
+        }
+        docs(3L -> "mine").write.parquet(dataDir)
+      }
+      assert(v == 3L, "the loser must take the optimistic retry, not win v2")
+      assert(publishes.get() == 2, "exactly one publish per landed commit")
+      assert(SnapshotStore.manifest(spark, dir, 2L).operation == "rival")
+      assert(SnapshotStore.manifest(spark, dir, 3L).operation == "mine")
+      assert(SnapshotStore.read(spark, dir)
+        .as[(Long, String)].collect().toSet == Set(3L -> "mine"))
+    } finally SnapshotStore.logStore = prev
+  }
+
+  test("decimal columns record EXACT unscaled-long stats; decimal predicates file-skip with no rounding traps") {
+    val dir = freshDir()
+    import org.apache.spark.sql.types.DecimalType
+    val df = (1L to 400L).map(i => (i, s"t$i"))
+      .toDF("doc_id", "text")
+      .withColumn("price", (col("doc_id") * 25).cast(DecimalType(12, 2)))
+      .repartitionByRange(8, col("price"))
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    val priceStats = m.stats.values.map(_.cols("price")).toSeq
+    assert(priceStats.nonEmpty && priceStats.forall(cs =>
+      cs.dataType == "decimal(12,2)" &&
+        cs.min.exists(_.isInstanceOf[Long]) &&
+        cs.max.exists(_.isInstanceOf[Long])),
+      s"decimal stats must be exact unscaled longs: $priceStats")
+    // round-trip through JSON keeps exactness
+    val parsed = SnapshotStore.parse(SnapshotStore.renderForTest(m))
+    assert(parsed.stats == m.stats)
+    import SnapshotStore.FilePredicate._
+    val pred = between("price",
+      new java.math.BigDecimal("1000.00"), new java.math.BigDecimal("2000.00"))
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 1L, pred)
+    assert(pruned.length < m.files.length,
+      s"a narrow decimal range must prune: ${pruned.length} of ${m.files.length}")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, pred)
+      .select("doc_id").as[Long].collect().toSet ==
+      (40L to 80L).toSet, "pruned read + residual == full filter")
+    // a boundary value is NEVER pruned away (exactness: 1000.00 is the
+    // min of some file's range, a rounded bound could lose it)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L,
+      EqTo("price", new java.math.BigDecimal("1000.00"))).count() == 1L)
+    // the Catalyst-integrated path prunes on the same decimal stats
+    val (dfIdx, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, 1L)
+    val n = dfIdx.filter(col("price") === new java.math.BigDecimal("2500.00"))
+      .count()
+    assert(n == 1L)
+    assert(idx.lastListedCount < m.files.length,
+      "a decimal point predicate must file-skip through the index")
+    // precision > 18 stays untracked (conservative), never wrong
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2,
+      Seq((1L, new java.math.BigDecimal("1.50")))
+        .toDF("doc_id", "wide")
+        .withColumn("wide", col("wide").cast(DecimalType(28, 2))), "ingest")
+    val m2 = SnapshotStore.manifest(spark, dir2, 1L)
+    assert(!m2.stats.values.head.cols.contains("wide"),
+      "precision > 18 must not record (unscaled long would overflow)")
+    assert(SnapshotStore.readAsOfWhere(spark, dir2, 1L,
+      EqTo("wide", new java.math.BigDecimal("1.50"))).count() == 1L)
+  }
+
+  test("RenameLogStore honors the put-if-absent contract directly") {
+    val dir = freshDir()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(dir))
+    val p = new Path(s"$dir/v1.json")
+    assert(SnapshotStore.RenameLogStore.putIfAbsent(fs, p,
+      "first".getBytes("UTF-8")))
+    assert(!SnapshotStore.RenameLogStore.putIfAbsent(fs, p,
+      "second".getBytes("UTF-8")), "an existing path must lose")
+    val in = fs.open(p)
+    val got = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(got == "first", "the loser must not clobber the winner")
+    assert(!fs.exists(new Path(s"$dir/.v1.json.tmp")),
+      "the losing temp file is cleaned up")
+  }
+
   test("per-file min/max stats are recorded; readAsOfWhere prunes files and matches the full scan") {
     val dir = freshDir()
     val df = (1L to 400L).map(i => (i, s"text $i", (i % 5).toDouble))
