@@ -400,8 +400,13 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
         WordShingles(exprs(0), TextExpressions.foldToInt(exprs(1)))))
     ext.injectOptimizerRule(_ => LevenshteinPrefilter)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
-    // SQL DML (DELETE FROM / MERGE INTO / UPDATE) over graft-snapshot tables
+    // SQL DML (DELETE FROM / MERGE INTO / UPDATE / INSERT) over
+    // graft-snapshot tables
     ext.injectResolutionRule(_ => graft.storage.SnapshotDmlRule)
+    // deletion-vector overlay on the bare catalog relation — POST-HOC so
+    // the DML rule claims mutation targets first
+    ext.injectPostHocResolutionRule(session =>
+      new graft.storage.SnapshotDvReadRule(session))
     // SQL time travel (VERSION AS OF / TIMESTAMP AS OF) — parser-level,
     // because the analyzer refuses v1 time travel before any injected
     // resolution rule can run

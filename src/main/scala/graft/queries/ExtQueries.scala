@@ -3860,6 +3860,61 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** Merge-on-read deletion vectors (round 16): the SAME delete chain —
+    * a range delete then a language delete — runs once through the DV
+    * path ([[graft.storage.SnapshotStore.deleteWhereDv]]: every data
+    * file carried, O(marked positions) bytes written, readers apply the
+    * vector by broadcast anti-join) and once through the copy-on-write
+    * path; both states aggregate side by side and must equal the
+    * relational replay — DV ≡ CoW ≡ oracle. Write-amp and
+    * materialization fences are `SnapshotDvSpec`'s business. */
+  def eSnapshotDv(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "dv")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    import graft.storage.SnapshotStore.FilePredicate._
+    Seq("dv", "cow").foreach(side => store.commit(s, s"$root/$side",
+      docs.repartitionByRange(8, col("doc_id")), "ingest"))
+    store.deleteWhereDv(s, s"$root/dv", between("doc_id", 150L, 450L))
+    store.deleteWhereDv(s, s"$root/dv", EqTo("lang", "zh")) // chained fold
+    store.deleteWhere(s, s"$root/cow", between("doc_id", 150L, 450L))
+    store.deleteWhere(s, s"$root/cow", EqTo("lang", "zh"))
+    def agg(side: String) = store.read(s, s"$root/$side")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .select(lit(side).as("side"), col("lang"),
+        col("n_docs"), col("id_sum"), col("sum_chars"), col("n_texts"))
+    agg("dv").unionByName(agg("cow")).orderBy("side", "lang")
+  }
+
+  /** Point-lookup data skipping via declared bloom columns (round 16):
+    * the corpus commits with ids SHUFFLED across files — every file's
+    * (min, max) spans the whole id range, so range stats prune NOTHING
+    * — and `bloomCols = doc_id` recorded at commit lets an `IN` point
+    * lookup prune to ~|IN| files through
+    * [[graft.storage.SnapshotStore.FilePredicate.InSet]] (pruned-count
+    * fences are `SnapshotStoreSpec`'s business; a never-present id
+    * proves definite-absence). Answer ≡ the plain IN filter. */
+  def eSnapshotPointSkip(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "pnt")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("shuffle", pmod(hash(col("doc_id")), lit(8)))
+      .repartitionByRange(8, col("shuffle"))
+      .drop("shuffle")
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs, "ingest", bloomCols = Seq("doc_id"))
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.readAsOfWhere(s, root, 1L,
+      InSet("doc_id", Seq(3L, 41L, 97L, 123L, 250L, 999999L)))
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long").as("n_chars"))
+      .orderBy("doc_id")
+  }
+
   /** Decimal data skipping (round 16): a DECIMAL(12,2) money-grade
     * column commits with EXACT unscaled-long min/max stats (rounded
     * double bounds could prune a boundary file incorrectly — the reason
@@ -7280,6 +7335,8 @@ object ExtQueries {
     "e_snapshot_sql_insert" -> (eSnapshotSqlInsert _),
     "e_snapshot_maintenance" -> (eSnapshotMaintenance _),
     "e_snapshot_decimal_skip" -> (eSnapshotDecimalSkip _),
+    "e_snapshot_point_skip" -> (eSnapshotPointSkip _),
+    "e_snapshot_dv" -> (eSnapshotDv _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
     "e_snapshot_time_travel" -> (eSnapshotTimeTravel _),
@@ -9082,6 +9139,24 @@ object ExtQueries {
         |UNION ALL SELECT 99, 'alive_rows',
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE n_chars >= 30)
         |ORDER BY version""".stripMargin,
+    "e_snapshot_dv" ->
+      """WITH kept AS (SELECT doc_id, text, lang, n_chars FROM documents
+        |  WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |  FROM kept GROUP BY lang)
+        |SELECT 'cow' AS side, lang, n_docs, id_sum, sum_chars, n_texts
+        |FROM agg
+        |UNION ALL
+        |SELECT 'dv', lang, n_docs, id_sum, sum_chars, n_texts FROM agg
+        |ORDER BY side, lang""".stripMargin,
+    "e_snapshot_point_skip" ->
+      """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents
+        |WHERE doc_id IN (3, 41, 97, 123, 250, 999999)
+        |ORDER BY doc_id""".stripMargin,
     "e_snapshot_decimal_skip" ->
       """WITH t AS (SELECT doc_id, lang,
         |    CAST(n_chars AS DECIMAL(12,2)) AS price FROM documents)

@@ -218,6 +218,45 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
   }
 }
 
+/** Deletion-vector overlay for the SQL catalog face (round 16): the
+  * bare `BaseRelation` a `CREATE TABLE USING graft-snapshot` (or
+  * `spark.read.format`) resolves to cannot carry the vector anti-join
+  * itself, so this POST-HOC resolution rule rewrites any analyzed
+  * `LogicalRelation` whose [[SnapshotFileIndex]] is marked
+  * `dvApplied = false` and whose manifest HAS vectors into the
+  * vector-applied plan ([[SnapshotStore.applyDvOverlay]] — one
+  * broadcast anti-join on the physical row identity), re-aliased onto
+  * the original output attribute ids so consumers above are untouched.
+  * Post-hoc (not main-batch) so the DML rule has already claimed
+  * DELETE/UPDATE/MERGE/INSERT targets — those route to the store's own
+  * vector-aware reads. Runs once per relation: the rewritten plan's
+  * inner relations are built `dvApplied = true`. */
+final class SnapshotDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case lr: LogicalRelation => lr.relation match {
+      case h: HadoopFsRelation => h.location match {
+        case idx: SnapshotFileIndex
+            if !idx.dvApplied && idx.manifestOf.dvs.nonEmpty =>
+          val m = idx.manifestOf
+          val (raw, _) = SnapshotFileIndex.hadoopRelationOf(
+            spark, idx.tableDir, m)
+          val applied = SnapshotStore.applyDvOverlay(spark, m,
+            spark.baseRelationToDataFrame(raw)).queryExecution.analyzed
+          Project(lr.output.map { o =>
+            val n = applied.output.find(a =>
+              spark.sessionState.conf.resolver(a.name, o.name)).getOrElse(
+              SnapshotDmlRule.analysisError(
+                s"deletion-vector overlay lost column ${o.name}"))
+            Alias(n, o.name)(exprId = o.exprId): NamedExpression
+          }, applied)
+        case _ => lr
+      }
+      case _ => lr
+    }
+  }
+}
+
 /** SQL time travel for `graft-snapshot` tables (round 15):
   *
   * {{{

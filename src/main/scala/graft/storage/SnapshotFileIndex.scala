@@ -3,7 +3,7 @@ package graft.storage
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan, LessThanOrEqual, Literal, Or => COr, Predicate => CPredicate}
+import org.apache.spark.sql.catalyst.expressions.{And => CAnd, AttributeReference, BoundReference, Cast, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In => CIn, InSet => CInSet, IsNotNull => CIsNotNull, IsNull => CIsNull, LessThan, LessThanOrEqual, Literal, Or => COr, Predicate => CPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{StringType, StructType}
@@ -50,11 +50,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * `getFileStatus`). */
 final class SnapshotFileIndex(spark: SparkSession, dir: String,
                               m: SnapshotStore.Manifest,
-                              subset: Option[Set[String]] = None)
+                              subset: Option[Set[String]] = None,
+                              val dvApplied: Boolean = true)
     extends FileIndex {
 
   /** the table directory — the DML front door resolves its target here */
   def tableDir: String = dir
+
+  /** the backing manifest — [[SnapshotDvReadRule]] consults its deletion
+    * vectors; `dvApplied = false` marks the ONE face (the SQL catalog's
+    * bare BaseRelation) whose vectors a post-hoc rule must still apply */
+  private[graft] def manifestOf: SnapshotStore.Manifest = m
 
   private val candidateFiles: Seq[String] =
     subset.map(ss => m.files.filter(ss)).getOrElse(m.files)
@@ -220,6 +226,25 @@ object SnapshotFileIndex {
       litValue(l).map(GtEq(a.name, _))
     case CIsNull(a: AttributeReference) => Some(IsNull(a.name))
     case CIsNotNull(a: AttributeReference) => Some(IsNotNull(a.name))
+    // bounded IN lists — each candidate probes min/max AND the declared
+    // bloom (the point-lookup pruning blooms exist for); unbounded lists
+    // keep every file (conservative)
+    case CIn(a: AttributeReference, list)
+        if list.nonEmpty && list.length <= 32 &&
+          list.forall(_.isInstanceOf[Literal]) =>
+      val vs = list.map(l => litValue(l.asInstanceOf[Literal]))
+      if (vs.forall(_.isDefined)) Some(InSet(a.name, vs.map(_.get)))
+      else None
+    case CInSet(a: AttributeReference, hset)
+        if hset.nonEmpty && hset.size <= 32 =>
+      // InSet holds INTERNAL values (the optimizer's large-list form)
+      val vs = hset.toSeq.map {
+        case u: UTF8String => u.toString
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case n: java.lang.Float => n.doubleValue(): Any
+        case other => other
+      }
+      if (vs.forall(_ != null)) Some(InSet(a.name, vs)) else None
     case CAnd(x, y) =>
       (fromCatalyst(x), fromCatalyst(y)) match {
         case (Some(px), Some(py)) => Some(And(px, py))
@@ -240,12 +265,15 @@ object SnapshotFileIndex {
     df
   }
 
-  /** [[readAsOfTable]] plus the index, for pruning assertions. */
+  /** [[readAsOfTable]] plus the index, for pruning assertions. Deletion
+    * vectors apply as one broadcast anti-join OVER the index-backed scan
+    * (pushdown and pruning untouched underneath). */
   def readAsOfTableWithIndex(spark: SparkSession, dir: String,
                              version: Long): (DataFrame, SnapshotFileIndex) = {
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    relationOf(spark, dir, m, None)
+    val (df, index) = relationOf(spark, dir, m, None)
+    (SnapshotStore.applyDvOverlay(spark, m, df), index)
   }
 
   /** An index-backed read of an arbitrary FILE SUBSET of one manifest —
@@ -258,14 +286,18 @@ object SnapshotFileIndex {
     relationOf(spark, dir, m, Some(files.toSet))._1
 
   /** the index-backed `HadoopFsRelation` of one manifest (optionally a
-    * file subset) — also the registered source's batch relation */
+    * file subset) — also the registered source's batch relation.
+    * `dvApplied = false` marks a relation whose deletion vectors are
+    * NOT yet applied (the bare SQL catalog face) so
+    * [[SnapshotDvReadRule]] overlays them post-resolution. */
   private[storage] def hadoopRelationOf(spark: SparkSession, dir: String,
                                         m: SnapshotStore.Manifest,
-                                        subset: Option[Set[String]] = None)
+                                        subset: Option[Set[String]] = None,
+                                        dvApplied: Boolean = true)
       : (HadoopFsRelation, SnapshotFileIndex) = {
     val schema = m.schemaStruct
       .getOrElse(spark.read.parquet(m.files: _*).schema)
-    val index = new SnapshotFileIndex(spark, dir, m, subset)
+    val index = new SnapshotFileIndex(spark, dir, m, subset, dvApplied)
     (HadoopFsRelation(index, index.partitionSchema,
       dataSchemaOf(m, schema), None, new ParquetFileFormat(), Map.empty)(spark),
       index)

@@ -74,6 +74,9 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     def cols(key: String): Seq[String] = parameters.get(key).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val partitionBy = cols("partitionBy")
+    // declared bloom-filter columns (round 16) — layout-defining writes
+    // fix them; appends/merges inherit the committed declaration
+    val bloomCols = cols("bloomCols")
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
@@ -94,21 +97,23 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
           case Some(_) => SnapshotStore.merge(spark, dir, data,
             cols("mergeKeys"),
             operation = parameters.getOrElse("operation", "merge"))
-          case None if !exists && partitionBy.nonEmpty =>
+          case None if !exists && (partitionBy.nonEmpty || bloomCols.nonEmpty) =>
             SnapshotStore.commit(spark, dir, data, op,
-              partitionBy = partitionBy)
+              partitionBy = partitionBy, bloomCols = bloomCols)
           case None => SnapshotStore.commitAppend(spark, dir, data, op)
         }
       case SqlSaveMode.Overwrite =>
-        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy)
+        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy,
+          bloomCols = bloomCols)
       case SqlSaveMode.ErrorIfExists if exists =>
         sys.error(s"graft-snapshot table at $dir already has committed " +
           "versions (mode ErrorIfExists)")
       case SqlSaveMode.ErrorIfExists =>
-        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy)
+        SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy,
+          bloomCols = bloomCols)
       case SqlSaveMode.Ignore =>
         if (!exists) SnapshotStore.commit(spark, dir, data, op,
-          partitionBy = partitionBy)
+          partitionBy = partitionBy, bloomCols = bloomCols)
     }
     createRelation(sqlContext, parameters)
   }
@@ -152,7 +157,10 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = SnapshotStore.manifest(spark, dir, version)
     require(m.files.nonEmpty, s"version $version holds no data files")
-    SnapshotFileIndex.hadoopRelationOf(spark, dir, m)._1
+    // dvApplied = false: a bare BaseRelation cannot carry the deletion-
+    // vector anti-join — SnapshotDvReadRule (post-hoc, GraftExtensions)
+    // overlays it on every analyzed read of this relation
+    SnapshotFileIndex.hadoopRelationOf(spark, dir, m, dvApplied = false)._1
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -91,15 +91,34 @@ object SnapshotStore {
   final case class ColStats(dataType: String, min: Option[Any], max: Option[Any],
                             nulls: Option[Long] = None)
 
+  /** Per-file bloom filter of one DECLARED key column (round 16 — the
+    * point-lookup answer min/max can't give: `WHERE doc_id = x` on a
+    * column the layout isn't sorted by prunes nothing from range stats,
+    * but a per-file bloom proves absence for ~99% of files at any
+    * layout). `dataType` types the probe-side hash (XxHash64 of the
+    * value AT the column's type — hashing 5 as int and as long differ);
+    * `b64` is the serialized `org.apache.spark.util.sketch.BloomFilter`,
+    * base64. Sized [[BloomNumBits]] bits per (file, column) — 8 KB, ~1%
+    * fpp to ~5k distinct values per file, degrading gracefully (a
+    * saturated bloom keeps files, never drops them). Only columns the
+    * table DECLARES (`bloomCols` — the Delta bloom-index discipline)
+    * pay the bytes; at 800k-file scale a deployment declares its one or
+    * two id columns, bounding manifest growth to ~O(files × 10 KB) —
+    * past that, the same map would point into per-commit sidecar files
+    * (the Delta `_delta_index` shape) with zero reader-contract change. */
+  final case class BloomStats(dataType: String, b64: String)
+
   /** Stats of one data file: exact row count, size in bytes (0 on
     * pre-size manifests — a real parquet file is never 0 bytes, so 0 is
-    * a safe absent marker), and per-column [[ColStats]]. Recorded sizes
-    * let readers ([[SnapshotFileIndex]], [[compact]]) plan scans without
-    * one filesystem RPC per listed file — at ~800k files per 100 TB
-    * table, that RPC storm is the difference between a driver-side map
-    * lookup and minutes of NameNode round-trips. */
+    * a safe absent marker), per-column [[ColStats]], and per-declared-
+    * column [[BloomStats]]. Recorded sizes let readers
+    * ([[SnapshotFileIndex]], [[compact]]) plan scans without one
+    * filesystem RPC per listed file — at ~800k files per 100 TB table,
+    * that RPC storm is the difference between a driver-side map lookup
+    * and minutes of NameNode round-trips. */
   final case class FileStats(rows: Long, cols: Map[String, ColStats],
-                             bytes: Long = 0L)
+                             bytes: Long = 0L,
+                             blooms: Map[String, BloomStats] = Map.empty)
 
   /** `schema` is the version's LOGICAL schema as Spark StructType JSON
     * (None on pre-evolution manifests → readers infer from the files).
@@ -121,12 +140,38 @@ object SnapshotStore {
     * time travel ([[versionAtTimestamp]]). Monotonicity rides the
     * serialized commit protocol (each commit stamps after winning the
     * manifest race); [[versionAtTimestamp]] binary-searches on it. */
+  /** A data file's DELETION VECTOR reference (round 16 — merge-on-read
+    * point deletes, the Delta DV / Iceberg v2 position-delete shape):
+    * `path` = the parquet DV file (schema `(file string, pos long)` —
+    * one row per deleted PHYSICAL row position, `file` in the
+    * `_metadata.file_path` spelling so the read-side anti-join compares
+    * same-provenance strings), `rows` = how many of THIS data file's
+    * positions it holds. A copy-on-write delete of one row in a 128 MB
+    * file costs ~10⁶× write amplification; a DV delete writes O(marked
+    * positions) bytes and readers apply the vector — rewrites happen
+    * when compaction (or any CoW touch of the file) materializes the
+    * deletes away. */
+  final case class DvRef(path: String, rows: Long)
+
+  /** `bloomCols` — the table's DECLARED bloom-filter columns (round 16;
+    * empty = none). Fixed at layout-defining commits (full-snapshot
+    * `commit`), inherited by every carry-style commit, which records a
+    * per-file bloom for each declared column over its NEWLY written
+    * files.
+    *
+    * `dvs` — per data file, the [[DvRef]] masking its deleted rows
+    * (round 16; absent = the file is fully live). Carried files keep
+    * their vectors; any commit that REWRITES a file (CoW delete/update/
+    * merge, compaction, clustering) materializes the vector away and
+    * drops the entry. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
                             schema: Option[String] = None,
                             partitionCols: Seq[String] = Seq.empty,
-                            ts: Long = 0L) {
+                            ts: Long = 0L,
+                            bloomCols: Seq[String] = Seq.empty,
+                            dvs: Map[String, DvRef] = Map.empty) {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -201,6 +246,23 @@ object SnapshotStore {
     * code-point rounding step whose UTF-8/UTF-16 edge cases buy nothing
     * here. Untracked = never prunes = conservative. */
   val MaxStatsStringLen: Int = 64
+
+  /** Per-(file, declared column) bloom size: 2^16 bits = 8 KB — ~1% fpp
+    * to ~5k distinct values per file, degrading gracefully above (a
+    * saturated bloom keeps files, never drops them; re-[[compact]] to
+    * fewer, larger files restores selectivity per byte). Fixed rather
+    * than per-file-sized so one distributed aggregation collects every
+    * file's bloom in the commit's single stats pass. */
+  val BloomNumBits: Long = 1L << 16
+  private val BloomEstItems: Long = 4096L
+
+  /** bloom-supported column types — the int/long/string id-column cases
+    * point lookups actually hit; the probe side hashes ONLY values it
+    * can type losslessly to the same width */
+  private def bloomSupported(dt: DataType): Boolean = dt match {
+    case IntegerType | LongType | StringType => true
+    case _ => false
+  }
 
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -339,7 +401,13 @@ object SnapshotStore {
             "min" -> cs.min.map(jValue).getOrElse(JNull),
             "max" -> cs.max.map(jValue).getOrElse(JNull),
             "nulls" -> cs.nulls.map(JLong(_)).getOrElse(JNothing))
-        }.toList))
+        }.toList),
+        "blooms" ->
+          (if (fsx.blooms.isEmpty) JNothing
+           else JObject(fsx.blooms.toSeq.sortBy(_._1).map { case (c, bs) =>
+             c -> JObject("t" -> JString(bs.dataType),
+               "b" -> JString(bs.b64))
+           }.toList)))
     }.toList)
     JsonMethods.compact(JsonMethods.render(JObject(
       "version" -> JLong(m.version),
@@ -350,7 +418,15 @@ object SnapshotStore {
       "partitionCols" ->
         (if (m.partitionCols.isEmpty) JNothing
          else JArray(m.partitionCols.map(JString(_)).toList)),
-      "ts" -> (if (m.ts == 0L) JNothing else JLong(m.ts)))))
+      "ts" -> (if (m.ts == 0L) JNothing else JLong(m.ts)),
+      "bloomCols" ->
+        (if (m.bloomCols.isEmpty) JNothing
+         else JArray(m.bloomCols.map(JString(_)).toList)),
+      "dvs" ->
+        (if (m.dvs.isEmpty) JNothing
+         else JObject(m.dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
+           f -> JObject("p" -> JString(dv.path), "n" -> JLong(dv.rows))
+         }.toList)))))
   }
 
   private[storage] def parse(json: String): Manifest = {
@@ -396,7 +472,17 @@ object SnapshotStore {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        path -> FileStats(rows, cols, bytes)
+        val blooms = fv \ "blooms" match {
+          case JObject(bf) => bf.map { case (c, bv) =>
+            val t = bv \ "t" match { case JString(s) => s
+                                     case o => sys.error(s"bad bloom type: $o") }
+            val b = bv \ "b" match { case JString(s) => s
+                                     case o => sys.error(s"bad bloom bits: $o") }
+            c -> BloomStats(t, b)
+          }.toMap
+          case _ => Map.empty[String, BloomStats]
+        }
+        path -> FileStats(rows, cols, bytes, blooms)
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
@@ -413,7 +499,23 @@ object SnapshotStore {
       case JLong(l) => l; case JInt(i) => i.toLong
       case _ => 0L // pre-timestamp manifest
     }
-    Manifest(version, operation, files, stats, schema, partitionCols, ts)
+    val bloomCols = field("bloomCols") match {
+      case JArray(xs) => xs.map { case JString(s) => s
+                                  case o => sys.error(s"bad bloom col: $o") }
+      case _ => Seq.empty
+    }
+    val dvs = field("dvs") match {
+      case JObject(fields) => fields.map { case (f, dv) =>
+        val p = dv \ "p" match { case JString(s) => s
+                                 case o => sys.error(s"bad dv path: $o") }
+        val n = dv \ "n" match { case JLong(l) => l; case JInt(i) => i.toLong
+                                 case o => sys.error(s"bad dv rows: $o") }
+        f -> DvRef(p, n)
+      }.toMap
+      case _ => Map.empty[String, DvRef]
+    }
+    Manifest(version, operation, files, stats, schema, partitionCols, ts,
+      bloomCols, dvs)
   }
 
   // round-trip hook for the property spec
@@ -520,10 +622,56 @@ object SnapshotStore {
         }
       }
 
+    /** XxHash64 of `v` AT the column's declared type — it must match the
+      * write-side hash bit-for-bit (hashing 5 as int and as long give
+      * different words), so only loss-free typings hash; anything else
+      * skips bloom pruning (None = conservative). */
+    private def bloomHash(v: Any, t: String): Option[Long] = {
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+      val typed: Option[CLit] = (v, t) match {
+        case (x: Long, "bigint") => Some(CLit(x))
+        case (x: Int, "bigint") => Some(CLit(x.toLong))
+        case (x: Long, "int") if x.isValidInt => Some(CLit(x.toInt))
+        case (x: Int, "int") => Some(CLit(x))
+        case (x: String, "string") => Some(CLit(
+          org.apache.spark.unsafe.types.UTF8String.fromString(x), StringType))
+        case _ => None
+      }
+      typed.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+    }
+
+    /** bloom probe of one file's declared-column filter: definite-absent
+      * prunes; missing bloom / untypeable probe keeps the file */
+    private def bloomMightContain(s: FileStats, col: String,
+                                  v: Any): Boolean =
+      s.blooms.get(col) match {
+        case None => true
+        case Some(bs) => bloomHash(v, bs.dataType) match {
+          case None => true
+          case Some(h) => org.apache.spark.util.sketch.BloomFilter
+            .readFrom(java.util.Base64.getDecoder.decode(bs.b64))
+            .mightContainLong(h)
+        }
+      }
+
     final case class EqTo(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) === lit(value)
       private[storage] def mightMatch(s: FileStats): Boolean =
-        cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, value)
+        cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, value) &&
+          bloomMightContain(s, col, value)
+    }
+
+    /** `col IN (vs)` — each candidate probes min/max AND the bloom; the
+      * file survives iff ANY candidate might be present (the Delta
+      * In-pruning shape; bounded lists only — [[SnapshotFileIndex]]
+      * translates Catalyst IN up to 32 values). */
+    final case class InSet(col: String, values: Seq[Any]) extends FilePredicate {
+      def toColumn: Column =
+        org.apache.spark.sql.functions.col(col).isin(values: _*)
+      private[storage] def mightMatch(s: FileStats): Boolean =
+        values.exists(v =>
+          cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, v) &&
+            bloomMightContain(s, col, v))
     }
     final case class GtEq(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) >= lit(value)
@@ -628,6 +776,12 @@ object SnapshotStore {
     parse(json)
   }
 
+  /** the deletion-vector parquet schema: one row per deleted PHYSICAL
+    * position, `file` in `_metadata.file_path` spelling */
+  private[storage] val DvSchema = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
   /** One parquet reader honoring the manifest's recorded schema when
     * present: files written before a column existed read it as null
     * (additive evolution), and no footer-inference read happens at all
@@ -636,13 +790,62 @@ object SnapshotStore {
     * files elide the partition columns, whose values the index re-derives
     * from the hive path segments (files committed by different versions
     * live under different roots, so Spark's own single-basePath discovery
-    * can't merge them). */
-  private def readFiles(spark: SparkSession, dir: String, m: Manifest,
-                        files: Seq[String]): DataFrame =
+    * can't merge them). Raw form: deletion vectors NOT applied. */
+  private def rawReadFiles(spark: SparkSession, dir: String, m: Manifest,
+                           files: Seq[String]): DataFrame =
     if (m.partitionCols.nonEmpty)
       SnapshotFileIndex.readFilesOf(spark, dir, m, files)
     else m.schemaStruct.map(spark.read.schema(_)).getOrElse(spark.read)
       .parquet(files: _*)
+
+  /** Apply a manifest's deletion vectors OVER an already-built frame of
+    * its files (metadata columns must still resolve on `df`): one
+    * broadcast anti-join on the physical row identity, projected back to
+    * the frame's own columns. The SQL catalog face uses this (via
+    * [[SnapshotDvReadRule]]) where the file-split of [[readFiles]] can't
+    * reach — every row pays one bounded hash probe, which a compaction
+    * of the vectored files retires. */
+  private[storage] def applyDvOverlay(spark: SparkSession, m: Manifest,
+                                      df: DataFrame): DataFrame =
+    if (m.dvs.isEmpty) df
+    else {
+      val cols = df.columns.toSeq
+      val entries = spark.read.schema(DvSchema)
+        .parquet(m.dvs.values.map(_.path).toSeq.distinct: _*)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+      df.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(entries), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+
+  /** [[rawReadFiles]] with the manifest's DELETION VECTORS applied: files
+    * without a vector scan untouched; files WITH one read alongside their
+    * `_metadata` row positions and anti-join the (broadcast) vector —
+    * the merge-on-read plan shape. DV bytes ∝ deleted positions (point
+    * deletes ⇒ tiny broadcast side); the vectored file subset is usually
+    * a sliver of the table, so the plan is the plain scan plus one
+    * bounded hash-probe stage over that sliver. */
+  private[storage] def readFiles(spark: SparkSession, dir: String,
+                                 m: Manifest, files: Seq[String]): DataFrame = {
+    val dvd = files.filter(m.dvs.contains)
+    if (dvd.isEmpty) rawReadFiles(spark, dir, m, files)
+    else {
+      val clean = files.filterNot(m.dvs.contains)
+      val dvFiles = dvd.map(f => m.dvs(f).path).distinct
+      val entries = spark.read.schema(DvSchema).parquet(dvFiles: _*)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+      val live = rawReadFiles(spark, dir, m, dvd)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(entries), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .drop("__dv_file", "__dv_pos")
+      if (clean.isEmpty) live
+      else rawReadFiles(spark, dir, m, clean).unionByName(live)
+    }
+  }
 
   /** Raw hive `col=value` path-segment values of one data file, in
     * `cols` order; the hive null marker decodes to null. Refuses loudly
@@ -855,7 +1058,8 @@ object SnapshotStore {
   def commit(spark: SparkSession, dir: String, df: DataFrame,
              operation: String,
              reclaimGraceMs: Long = DefaultReclaimGraceMs,
-             partitionBy: Seq[String] = Seq.empty): Long =
+             partitionBy: Seq[String] = Seq.empty,
+             bloomCols: Seq[String] = Seq.empty): Long =
     commitStaged(spark, dir, operation, reclaimGraceMs,
       partitionBy = Some(partitionBy),
       // the WRITING frame's partition column types are authoritative —
@@ -863,7 +1067,8 @@ object SnapshotStore {
       // a later append's in-memory type would then spuriously conflict
       partitionTypeHint = partitionBy.flatMap(c =>
         df.schema.fields.find(_.name.equalsIgnoreCase(c))
-          .map(f => c -> f.dataType)).toMap) { (_, dataDir) =>
+          .map(f => c -> f.dataType)).toMap,
+      bloomColsOpt = Some(bloomCols)) { (_, dataDir) =>
       writeData(df, dataDir, partitionBy)
       (Seq.empty, Map.empty)
     }
@@ -948,6 +1153,98 @@ object SnapshotStore {
           // keep rows where the condition is NOT TRUE (null keeps, as SQL)
           .filter(!coalesce(rowCond, lit(false))), dataDir, m.partitionCols)
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
+    }
+  }
+
+  /** MERGE-ON-READ row DELETE (round 16 — deletion vectors): instead of
+    * rewriting every file that might hold a match ([[deleteWhere]]'s
+    * copy-on-write), commit a new version whose data files are ALL
+    * CARRIED and whose touched files gain a [[DvRef]] masking the
+    * matched PHYSICAL row positions. A 1-row delete in a 128 MB file
+    * writes O(marked positions) bytes, not O(file) — the write-
+    * amplification fix for point deletes (write-amp spec fenced in
+    * `SnapshotDvSpec`). Readers ([[readFiles]] and every face above it,
+    * including [[readRowChanges]]' CDF derivation) apply vectors via a
+    * broadcast anti-join on `(_metadata.file_path, _metadata.row_index)`;
+    * any later rewrite of a vectored file — [[compact]], [[cluster]],
+    * CoW [[deleteWhere]]/[[merge]]/[[updateCondition]] — reads it
+    * vector-applied and MATERIALIZES the deletes away. Chained DV
+    * deletes fold: the new vector carries the touched files' prior
+    * entries, so each file references exactly ONE vector file. Same SQL
+    * DELETE semantics as the CoW path (null-condition rows survive);
+    * same stats-driven write-side skipping (only might-match files are
+    * even scanned); a provably-no-match delete commits nothing. Prefer
+    * this for narrow deletes and [[deleteWhere]] for wide ones (a
+    * vector masking most of a file costs a probe per row at every read
+    * until compaction). */
+  def deleteWhereDv(spark: SparkSession, dir: String, pred: FilePredicate,
+                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    deleteConditionDv(spark, dir, pred.toColumn, Some(pred), reclaimGraceMs)
+
+  /** [[deleteWhereDv]] generalized to an arbitrary row condition (the
+    * SQL front door's shape, mirroring [[deleteCondition]]). */
+  private[graft] def deleteConditionDv(spark: SparkSession, dir: String,
+                                       rowCond: Column,
+                                       prune: Option[FilePredicate],
+                                       reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    prune.foreach { p =>
+      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+        return cur // stats prove no row matches: nothing to mark
+    }
+    commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = m.files.filter(f =>
+        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touchedSet = touched.toSet
+      val newDvDir = s"$dataDir/_dv"
+      val countsByKey: Map[String, Long] =
+        if (touched.isEmpty) Map.empty
+        else {
+          // physical (file, pos) of rows the condition marks among the
+          // LIVE rows (prior vectors applied by anti-join below); the
+          // metadata columns materialize BEFORE any join so provenance
+          // stays the scanned file's
+          val withMeta = rawReadFiles(spark, dir, m, touched)
+            .withColumn("__dv_file", col("_metadata.file_path"))
+            .withColumn("__dv_pos", col("_metadata.row_index"))
+          val oldDvFiles = touched.flatMap(f => m.dvs.get(f).map(_.path)).distinct
+          lazy val oldEntries = spark.read.schema(DvSchema)
+            .parquet(oldDvFiles: _*) // only forced when oldDvFiles nonempty
+          val live =
+            if (oldDvFiles.isEmpty) withMeta
+            else withMeta.join(broadcast(oldEntries
+              .withColumnRenamed("file", "__dv_file")
+              .withColumnRenamed("pos", "__dv_pos")),
+              Seq("__dv_file", "__dv_pos"), "left_anti")
+          val newMarks = live.filter(coalesce(rowCond, lit(false)))
+            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          // the new vector file = prior entries of the touched files'
+          // vectors plus the fresh marks (chained deletes FOLD — each
+          // data file references exactly one vector); entries a shared
+          // old vector holds for untouched files copy along harmlessly
+          // (their refs still point at the old file; the anti-join is
+          // equality-keyed)
+          val allMarks =
+            (if (oldDvFiles.isEmpty) newMarks
+             else oldEntries.unionByName(newMarks)).distinct()
+          // DV bytes ∝ marked positions — one small file by design
+          // (wide deletes belong on the CoW path)
+          allMarks.repartition(1).write.parquet(newDvDir)
+          spark.read.schema(DvSchema).parquet(newDvDir)
+            .groupBy(col("file")).agg(count(lit(1)).as("n"))
+            .collect() // bounded: one row per marked file
+            .map(r => pathKey(r.getString(0)) -> r.getLong(1)).toMap
+        }
+      val updated: Map[String, DvRef] = m.files.flatMap { f =>
+        countsByKey.get(pathKey(f)) match {
+          case Some(n) if touchedSet(f) => Some(f -> DvRef(newDvDir, n))
+          case _ => m.dvs.get(f).map(f -> _)
+        }
+      }.toMap
+      Staged(m.files, m.stats, Some(updated))
     }
   }
 
@@ -1143,21 +1440,40 @@ object SnapshotStore {
 
   /** One column-pruned scan of the freshly written files (`df` = their
     * already-opened reader), grouped by file: exact row count + min/max
-    * per supported top-level column. Distributed (no driver loop over
-    * files) and reads only the stats columns — O(new data) in the stats
-    * columns' bytes. */
+    * per supported top-level column, plus one [[BloomStats]] per
+    * DECLARED bloom column (`BloomFilterAggregate` over the XxHash64 of
+    * the column — Spark's own runtime-filter machinery, map-side
+    * combined like every other aggregate here). Distributed (no driver
+    * loop over files) and reads only the stats columns — O(new data) in
+    * the stats columns' bytes. */
   private def collectStats(df: DataFrame, files: Seq[String],
-                           sizes: Map[String, Long]): Map[String, FileStats] = {
+                           sizes: Map[String, Long],
+                           bloomCols: Seq[String] = Seq.empty)
+      : Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
       .take(MaxStatsColumns).toSeq
-    val aggs = count(lit(1)).as("__rows") +: statCols.flatMap { f =>
+    // declared bloom columns present in this commit's schema at a
+    // supported type; a declared-but-absent column simply records none
+    val bCols = bloomCols.flatMap(c => df.schema.fields.find(f =>
+      f.name.equalsIgnoreCase(c) && bloomSupported(f.dataType)))
+    val bloomAggs = bCols.map { f =>
+      import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+      org.apache.spark.sql.graft.ColumnBridge.column(
+        new BloomFilterAggregate(
+          new XxHash64(Seq(org.apache.spark.sql.graft.ColumnBridge
+            .expression(col(f.name)))),
+          CLit(BloomEstItems), CLit(BloomNumBits)).toAggregateExpression())
+        .as(s"__bloom_${f.name}")
+    }
+    val aggs = (count(lit(1)).as("__rows") +: statCols.flatMap { f =>
       Seq(min(col(f.name)).as(s"__min_${f.name}"),
         max(col(f.name)).as(s"__max_${f.name}"),
         count(when(col(f.name).isNull, 1)).as(s"__nulls_${f.name}")) ++
         (if (f.dataType == StringType)
           Seq(max(length(col(f.name))).as(s"__len_${f.name}")) else Seq.empty)
-    }
+    }) ++ bloomAggs
     val rows = df.groupBy(input_file_name().as("__path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per newly written file
@@ -1177,7 +1493,15 @@ object SnapshotStore {
           Some(f.name -> ColStats(f.dataType.simpleString, mn, mx, Some(nulls)))
         else None
       }.toMap
-      pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols)
+      val blooms = bCols.flatMap { f =>
+        val v = r.get(i)
+        i += 1
+        Option(v).map(b => f.name -> BloomStats(f.dataType.simpleString,
+          java.util.Base64.getEncoder.encodeToString(
+            b.asInstanceOf[Array[Byte]])))
+      }.toMap
+      pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols,
+        blooms = blooms)
     }.toMap
     files.flatMap(f => byKey.get(pathKey(f))
       .map(st => f -> st.copy(bytes = sizes.getOrElse(f, 0L)))).toMap
@@ -1276,6 +1600,39 @@ object SnapshotStore {
     }
   }
 
+  /** What one staged commit carries and creates: the prior files (with
+    * stats) the new version KEEPS, and the new version's deletion-vector
+    * map. `dvs = None` (the default for every 2-tuple [[commitStaged]]
+    * caller) derives the map from the prior manifest by CARRY: a carried
+    * file keeps its vector, a rewritten or fresh file has none — exactly
+    * right for append (all carried), CoW mutation (touched files
+    * materialize their vectors in the rewrite), and maintenance rewrites
+    * (nothing carried → no vectors). Explicit `Some(...)` is for the
+    * operations whose vectors do NOT derive from the prior manifest:
+    * [[deleteWhereDv]] (adds vectors), [[restore]]/[[cloneTable]]
+    * (another manifest's vectors). */
+  private[storage] final case class Staged(
+      carryFiles: Seq[String], carryStats: Map[String, FileStats],
+      dvs: Option[Map[String, DvRef]] = None)
+
+  /** Back-compat shape of [[commitStagedFull]] for the carry-derived-dv
+    * callers. */
+  private[storage] def commitStaged(spark: SparkSession, dir: String,
+                                    operation: String,
+                                    reclaimGraceMs: Long = DefaultReclaimGraceMs,
+                                    partitionBy: Option[Seq[String]] = None,
+                                    partitionTypeHint: Map[String, DataType] =
+                                      Map.empty,
+                                    schemaOverride: Option[StructType] = None,
+                                    bloomColsOpt: Option[Seq[String]] = None)
+                                   (stage: (Option[Manifest], String) =>
+                                     (Seq[String], Map[String, FileStats])): Long =
+    commitStagedFull(spark, dir, operation, reclaimGraceMs, partitionBy,
+      partitionTypeHint, schemaOverride, bloomColsOpt) { (prior, dataDir) =>
+      val (f, s) = stage(prior, dataDir)
+      Staged(f, s)
+    }
+
   /** The fully general commit: `stage(priorManifest, dataDir)` writes the
     * new version's NEW data files into `dataDir` and returns which of the
     * prior version's files (with their stats) the new version CARRIES —
@@ -1284,15 +1641,16 @@ object SnapshotStore {
     * to rewrite. `stage` receives the prior manifest read INSIDE the
     * retry loop, so a lost-race retry recomputes its file selection
     * against the rival's committed state, never a stale view. */
-  private[storage] def commitStaged(spark: SparkSession, dir: String,
+  private[storage] def commitStagedFull(spark: SparkSession, dir: String,
                                     operation: String,
                                     reclaimGraceMs: Long = DefaultReclaimGraceMs,
                                     partitionBy: Option[Seq[String]] = None,
                                     partitionTypeHint: Map[String, DataType] =
                                       Map.empty,
-                                    schemaOverride: Option[StructType] = None)
+                                    schemaOverride: Option[StructType] = None,
+                                    bloomColsOpt: Option[Seq[String]] = None)
                                    (stage: (Option[Manifest], String) =>
-                                     (Seq[String], Map[String, FileStats])): Long = {
+                                     Staged): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (true) {
@@ -1302,6 +1660,9 @@ object SnapshotStore {
       // carry-style commits (append/merge/delete/maintenance) inherit it
       val pCols = partitionBy
         .getOrElse(prior.map(_.partitionCols).getOrElse(Seq.empty))
+      // declared bloom columns follow the same (re)define-or-inherit rule
+      val bCols = bloomColsOpt
+        .getOrElse(prior.map(_.bloomCols).getOrElse(Seq.empty))
       val v = prior.map(_.version).getOrElse(0L) + 1
       onAttemptForTest(operation, v)
       val dataDir = f"$dir/data/v$v%08d-$operation"
@@ -1326,7 +1687,13 @@ object SnapshotStore {
       // staged-manifest refusal below is OUTSIDE this scope, so a LOST
       // race still leaves rival artifacts untouched.
       val m = try {
-        val (carryFiles, carryStats) = stage(prior, dataDir)
+        val staged0 = stage(prior, dataDir)
+        val (carryFiles, carryStats) = (staged0.carryFiles, staged0.carryStats)
+        // deletion vectors: explicit, or derived by carry (see [[Staged]])
+        val dvMap = staged0.dvs.getOrElse {
+          val carried = carryFiles.toSet
+          prior.map(_.dvs.filter(kv => carried(kv._1))).getOrElse(Map.empty)
+        }
         val sized = listParquetSized(spark, dataDir)
         val newFiles = sized.map(_._1)
         // layout invariant before the manifest can rename: every fresh
@@ -1361,9 +1728,10 @@ object SnapshotStore {
           versionSchema(spark, prior, carryFiles,
             newDf.map(d => asNullableSchema(d.schema))))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
-          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap))
+          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap, bCols))
             .getOrElse(Map.empty),
-          Some(schema.json), pCols, ts = System.currentTimeMillis())
+          Some(schema.json), pCols, ts = System.currentTimeMillis(),
+          bloomCols = bCols, dvs = dvMap)
         require(staged.files.nonEmpty,
           s"commit of version $v wrote no data files")
         staged
@@ -1429,18 +1797,25 @@ object SnapshotStore {
     listParquetSized(spark, d).map(_._1)
 
   /** data files with their sizes from the SAME directory listing — sizes
-    * reach the manifest without a second per-file RPC */
+    * reach the manifest without a second per-file RPC. Hidden files AND
+    * files under hidden directories (any `_`/`.`-prefixed path segment
+    * below `d` — Spark's own convention) are excluded: the version-
+    * private `_dv` deletion-vector directory must never list as table
+    * data. */
   private def listParquetSized(spark: SparkSession,
                                d: String): Seq[(String, Long)] = {
     val p = new Path(d)
     val f = fs(spark, d)
     if (!f.exists(p)) return Seq.empty // a stage may legally write nothing
+    val rootPath = p.toUri.getPath
     val it = f.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
       val st = it.next()
-      val name = st.getPath.getName
-      if (st.isFile && !name.startsWith("_") && !name.startsWith("."))
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath)
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (st.isFile && !hidden)
         buf += ((st.getPath.toString, st.getLen))
     }
     buf.toSeq.sortBy(_._1)
@@ -1503,8 +1878,9 @@ object SnapshotStore {
     import spark.implicits._
     versions(spark, dir).map { v =>
       val m = manifest(spark, dir, v)
+      // live rows = physical rows minus deletion-vector masks
       (v, m.operation, m.files.length.toLong,
-        m.stats.values.map(_.rows).sum,
+        m.stats.values.map(_.rows).sum - m.dvs.values.map(_.rows).sum,
         m.stats.values.map(_.bytes).sum,
         m.schemaStruct.map(_.fields.length.toLong).getOrElse(0L),
         m.ts)
@@ -1540,10 +1916,11 @@ object SnapshotStore {
   def restore(spark: SparkSession, dir: String, toVersion: Long,
               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val m = manifest(spark, dir, toVersion) // refuses if vacuumed
-    commitStaged(spark, dir, "restore", reclaimGraceMs,
+    commitStagedFull(spark, dir, "restore", reclaimGraceMs,
       partitionBy = Some(m.partitionCols),
-      schemaOverride = m.schemaStruct) { (_, _) =>
-      (m.files, m.stats)
+      schemaOverride = m.schemaStruct,
+      bloomColsOpt = Some(m.bloomCols)) { (_, _) =>
+      Staged(m.files, m.stats, Some(m.dvs))
     }
   }
 
@@ -1566,11 +1943,13 @@ object SnapshotStore {
     val m = manifest(spark, sourceDir, sourceVersion)
     if (copyData)
       commit(spark, targetDir, readAsOf(spark, sourceDir, sourceVersion),
-        "clone", reclaimGraceMs, partitionBy = m.partitionCols)
-    else commitStaged(spark, targetDir, "clone", reclaimGraceMs,
+        "clone", reclaimGraceMs, partitionBy = m.partitionCols,
+        bloomCols = m.bloomCols)
+    else commitStagedFull(spark, targetDir, "clone", reclaimGraceMs,
       partitionBy = Some(m.partitionCols),
-      schemaOverride = m.schemaStruct) { (_, _) =>
-      (m.files, m.stats)
+      schemaOverride = m.schemaStruct,
+      bloomColsOpt = Some(m.bloomCols)) { (_, _) =>
+      Staged(m.files, m.stats, Some(m.dvs))
     }
   }
 
@@ -1593,12 +1972,22 @@ object SnapshotStore {
       writePointer(spark, dir, Pointer(latest, maxIngest))
     }
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    val referenced = keep.flatMap(v => manifest(spark, dir, v).files).toSet
+    val keptManifests = keep.map(v => manifest(spark, dir, v))
+    val referenced = keptManifests.flatMap(_.files).toSet
+    // deletion-vector files referenced by retained manifests must
+    // survive too — a DV-only commit's version dir holds NO data files
+    // (only the hidden `_dv`), so the reclaim check consults dv paths
+    // by URI prefix, not the (hidden-filtered) data listing
+    val referencedDvPaths = keptManifests
+      .flatMap(_.dvs.values.map(dv => new Path(dv.path).toUri.getPath)).toSet
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { st =>
         val files = listParquet(spark, st.getPath.toString)
-        if (files.forall(p => !referenced.contains(p)))
+        val dirPath = st.getPath.toUri.getPath
+        val holdsDv = referencedDvPaths.exists(p =>
+          p == dirPath || p.startsWith(dirPath + "/"))
+        if (files.forall(p => !referenced.contains(p)) && !holdsDv)
           f.delete(st.getPath, true) // whole version dir unreferenced
       }
     }

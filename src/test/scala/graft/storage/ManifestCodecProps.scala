@@ -34,11 +34,20 @@ object ManifestCodecProps extends Properties("graft.storage.manifest-codec") {
     mx <- statVal
   } yield name -> SnapshotStore.ColStats(t, mn, mx)
 
+  // bloom payloads are base64 in production; the codec must round-trip
+  // ANY string there too (it is opaque bytes to the codec)
+  private val bloomStats: Gen[(String, SnapshotStore.BloomStats)] = for {
+    name <- nonEmptyNasty
+    t <- Gen.oneOf("bigint", "int", "string")
+    b <- nonEmptyNasty
+  } yield name -> SnapshotStore.BloomStats(t, b)
+
   private val fileStats: Gen[SnapshotStore.FileStats] = for {
     rows <- Gen.choose(0L, Long.MaxValue)
     cols <- Gen.mapOfN(3, colStats)
     bytes <- Gen.choose(0L, Long.MaxValue)
-  } yield SnapshotStore.FileStats(rows, cols, bytes)
+    blooms <- Gen.mapOfN(2, bloomStats)
+  } yield SnapshotStore.FileStats(rows, cols, bytes, blooms)
 
   private val manifest: Gen[SnapshotStore.Manifest] = for {
     v <- Gen.choose(1L, 99999999L)
@@ -48,7 +57,9 @@ object ManifestCodecProps extends Properties("graft.storage.manifest-codec") {
     // the schema field is an opaque string to the codec (StructType JSON
     // in production) — round-trip it as arbitrary nasty content
     schema <- Gen.option(nonEmptyNasty)
-  } yield SnapshotStore.Manifest(v, op, files, stats, schema)
+    bloomCols <- Gen.listOf(nonEmptyNasty).map(_.distinct)
+  } yield SnapshotStore.Manifest(v, op, files, stats, schema,
+    bloomCols = bloomCols)
 
   property("parse(render(m)) == m for arbitrary path/op/stats strings") =
     forAll(manifest) { m =>

@@ -278,6 +278,78 @@ class SnapshotStoreSpec extends SparkSpec {
       EqTo("wide", new java.math.BigDecimal("1.50"))).count() == 1L)
   }
 
+  test("declared bloom columns prune point lookups on an UNSORTED id-keyed table; min/max alone could not") {
+    val dir = freshDir()
+    // ids SHUFFLED across files: every file's (min, max) spans nearly the
+    // whole range, so range stats prune nothing — the exact case blooms
+    // exist for
+    val df = (1L to 4000L).map(i => (i, s"body $i", s"u$i"))
+      .toDF("doc_id", "text", "uid")
+      .withColumn("shuffle", pmod(hash(col("doc_id")), lit(16)))
+      .repartitionByRange(16, col("shuffle"))
+      .drop("shuffle")
+    SnapshotStore.commit(spark, dir, df, "ingest",
+      bloomCols = Seq("doc_id", "uid"))
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    assert(m.bloomCols == Seq("doc_id", "uid"))
+    assert(m.stats.values.forall(fs =>
+      fs.blooms.keySet == Set("doc_id", "uid") &&
+        fs.blooms("doc_id").dataType == "bigint" &&
+        fs.blooms("uid").dataType == "string"))
+    import SnapshotStore.FilePredicate._
+    // range stats CANNOT prune this layout (sanity: the bloom is doing
+    // the work, not min/max)
+    val rangeOnly = SnapshotStore.prunedFiles(spark, dir, 1L,
+      between("doc_id", 777L, 777L))
+    assert(rangeOnly.length > 12,
+      s"shuffled layout must defeat min/max: ${rangeOnly.length} of 16 kept")
+    // a point lookup prunes to ~1 file (1% fpp at this density)
+    val hit = SnapshotStore.prunedFiles(spark, dir, 1L, EqTo("doc_id", 777L))
+    assert(hit.length <= 3,
+      s"bloom must prune a point lookup to ~1 file: kept ${hit.length} of 16")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, EqTo("doc_id", 777L))
+      .select("text").as[String].head() == "body 777")
+    // a MISSING id prunes everything yet answers exactly (empty)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L,
+      EqTo("doc_id", 999999L)).count() == 0L)
+    // string key probes work and type-mismatched probes stay conservative
+    assert(SnapshotStore.prunedFiles(spark, dir, 1L,
+      EqTo("uid", "u777")).length <= 3)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, EqTo("uid", "u777"))
+      .select("doc_id").as[Long].head() == 777L)
+    // IN lists prune per-candidate through the same blooms
+    val inKept = SnapshotStore.prunedFiles(spark, dir, 1L,
+      InSet("doc_id", Seq(777L, 1234L, 999999L)))
+    assert(inKept.length <= 5,
+      s"a 3-candidate IN must keep <= ~3 files: ${inKept.length}")
+    // appends inherit the declaration
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((9001L, "body 9001", "u9001")).toDF("doc_id", "text", "uid"),
+      "append")
+    val m2 = SnapshotStore.manifest(spark, dir, 2L)
+    assert(m2.bloomCols == Seq("doc_id", "uid"))
+    val newFile = m2.files.filterNot(m.files.toSet)
+    assert(newFile.forall(f => m2.stats(f).blooms.contains("doc_id")),
+      "appended files must record blooms for the inherited declaration")
+  }
+
+  test("the Catalyst index consults blooms: an equality SQL filter on an unsorted key lists ~1 file") {
+    val dir = freshDir()
+    val df = (1L to 4000L).map(i => (i, s"b$i"))
+      .toDF("doc_id", "text")
+      .withColumn("shuffle", pmod(hash(col("doc_id")), lit(16)))
+      .repartitionByRange(16, col("shuffle"))
+      .drop("shuffle")
+    SnapshotStore.commit(spark, dir, df, "ingest", bloomCols = Seq("doc_id"))
+    val (dfIdx, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, 1L)
+    assert(dfIdx.filter(col("doc_id") === 777L)
+      .select("text").as[String].head() == "b777")
+    assert(idx.lastListedCount <= 3,
+      s"the index must bloom-prune the equality scan: ${idx.lastListedCount} of 16")
+    assert(dfIdx.filter(col("doc_id").isin(777L, 1234L)).count() == 2L)
+    assert(idx.lastListedCount <= 5)
+  }
+
   test("RenameLogStore honors the put-if-absent contract directly") {
     val dir = freshDir()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
