@@ -351,6 +351,9 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*VACUUM\s+""" + TableTok + """\s*;?\s*$""").r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableTok + """\s*;?\s*$""").r
+  private val ReorgPurgeRe =
+    ("""(?is)^\s*REORG\s+TABLE\s+""" + TableTok +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
 
   /** the table directory behind a maintenance operand — a quoted 'path'
     * is used verbatim; an identifier must resolve to a registered
@@ -379,6 +382,7 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
       case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
       case DescribeHistoryRe(t) => Some(GraftDescribeHistoryCommand(dirOfToken(t)))
+      case ReorgPurgeRe(t) => Some(GraftReorgPurgeCommand(dirOfToken(t)))
       case _ => None
     }
 
@@ -524,6 +528,17 @@ final case class GraftVacuumCommand(dir: String, retain: Int)
     SnapshotStore.vacuum(spark, dir, retain)
     Seq(Row(dir))
   }
+}
+
+/** SQL `REORG TABLE <t> APPLY (PURGE)` (round 16 — the Delta spelling):
+  * materialize deletion vectors by rewriting ONLY the vectored files
+  * ([[SnapshotStore.purgeVectors]]); clean files carry untouched. */
+final case class GraftReorgPurgeCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotStore.purgeVectors(spark, dir)))
 }
 
 /** SQL `DESCRIBE HISTORY <t>` (round 16): the commit log as a result

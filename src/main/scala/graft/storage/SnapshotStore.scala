@@ -177,8 +177,11 @@ object SnapshotStore {
   }
 
   /** Operations whose commits rewrite existing rows into new files
-    * without changing logical content — excluded from the change feed. */
-  val RewriteOps: Set[String] = Set("compact", "zorder", "hilbert")
+    * without changing logical content — excluded from the change feed.
+    * `purge` qualifies: the deletions it materializes were ALREADY
+    * logical (readers applied the vectors), so the rewrite is
+    * content-neutral. */
+  val RewriteOps: Set[String] = Set("compact", "zorder", "hilbert", "purge")
 
   /** Orphaned same-version data dirs younger than this are refused (a
     * live writer may own them); older ones are reclaimed unattended.
@@ -1819,6 +1822,31 @@ object SnapshotStore {
         buf += ((st.getPath.toString, st.getLen))
     }
     buf.toSeq.sortBy(_._1)
+  }
+
+  /** Targeted maintenance commit (round 16 — Delta's `REORG TABLE ...
+    * APPLY (PURGE)`): materialize deletion vectors WITHOUT a full
+    * compaction — rewrite ONLY the vectored files (vector-applied, so
+    * their masked rows drop), CARRY every clean file with its stats.
+    * Content-neutral ([[RewriteOps]] — the change feed stays silent),
+    * cost O(vectored bytes), and the probe-per-row read overhead of the
+    * vectors retires. No vectors = no-op returning the current version.
+    * A fully-masked file purges to nothing (its empty rewrite lists with
+    * zero rows). */
+  def purgeVectors(spark: SparkSession, dir: String,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    if (manifest(spark, dir, cur).dvs.isEmpty) return cur
+    commitStagedFull(spark, dir, "purge", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val vectored = m.files.filter(m.dvs.contains)
+      val untouchedSet = m.files.toSet -- vectored
+      if (vectored.nonEmpty)
+        writeData(readFiles(spark, dir, m, vectored), dataDir, m.partitionCols)
+      Staged(m.files.filter(untouchedSet),
+        m.stats.filter(kv => untouchedSet(kv._1)), Some(Map.empty))
+    }
   }
 
   /** Maintenance commit: rewrite the LATEST version's data into

@@ -246,6 +246,42 @@ class SnapshotDvSpec extends SparkSpec {
       "the merge rewrite of the vectored file materializes its vector")
   }
 
+  test("purgeVectors rewrites ONLY the vectored files; the change feed stays silent; SQL REORG TABLE ... APPLY (PURGE) speaks it") {
+    val dir = freshDir()
+    seed(dir)
+    SnapshotStore.deleteWhereDv(spark, dir, EqTo("doc_id", 123L))
+    val m2 = SnapshotStore.manifest(spark, dir, 2L)
+    val vectored = m2.files.filter(m2.dvs.contains).toSet
+    assert(vectored.size == 1)
+    val v3 = SnapshotStore.purgeVectors(spark, dir)
+    val m3 = SnapshotStore.manifest(spark, dir, v3)
+    assert(m3.operation == "purge" && m3.dvs.isEmpty)
+    // every CLEAN file carried byte-identically; only the vectored one
+    // rewrote
+    assert((m2.files.toSet -- vectored).subsetOf(m3.files.toSet),
+      "clean files must carry untouched")
+    assert(m3.files.toSet.intersect(vectored).isEmpty,
+      "the vectored file must be replaced")
+    assert(SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((1L to 400L).toSet - 123L))
+    // content-neutral: the change feed surfaces nothing for the purge
+    assert(SnapshotStore.changedFiles(spark, dir, 2L, v3).isEmpty)
+    // idempotent: no vectors -> no new version
+    assert(SnapshotStore.purgeVectors(spark, dir) == v3)
+    // the SQL spelling
+    val tbl = "dv_reorg"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      SnapshotStore.deleteWhereDv(spark, dir, EqTo("doc_id", 200L))
+      val out = spark.sql(s"REORG TABLE $tbl APPLY (PURGE)").collect()
+      assert(out.map(_.getLong(0)).toSeq == Seq(5L))
+      assert(SnapshotStore.manifest(spark, dir, 5L).dvs.isEmpty)
+      assert(SnapshotStore.read(spark, dir).count() == 398L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("history reports LIVE rows (physical minus vector masks)") {
     val dir = freshDir()
     seed(dir, 100L)
