@@ -412,10 +412,12 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
 }
 
 /** Eagerly-run `DELETE FROM <graft-snapshot table> WHERE cond`: one
-  * copy-on-write [[SnapshotStore.deleteCondition]] commit. The resolved
-  * condition serves twice — lowered to a [[SnapshotStore.FilePredicate]]
-  * for write-side file skipping, and re-anchored BY NAME onto the
-  * store's own read of the touched files for the row-level filter. */
+  * MEASURED auto-dispatch commit ([[SnapshotStore.deleteConditionAuto]]
+  * — a point delete writes a deletion vector, a wide one rewrites
+  * copy-on-write; round 16). The resolved condition serves twice —
+  * lowered to a [[SnapshotStore.FilePredicate]] for write-side file
+  * skipping, and re-anchored BY NAME onto the store's own read of the
+  * touched files for the row-level filter. */
 final case class GraftDeleteCommand(dir: String, cond: Expression)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
@@ -423,7 +425,7 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
     val rowCond = ColumnBridge.column(cond.transform {
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
-    SnapshotStore.deleteCondition(spark, dir, rowCond, prune)
+    SnapshotStore.deleteConditionAuto(spark, dir, rowCond, prune)
     Seq.empty
   }
 }

@@ -1159,6 +1159,43 @@ object SnapshotStore {
     }
   }
 
+  /** Marked-row fraction at or below which [[deleteConditionAuto]] picks
+    * the deletion-vector path: a narrow delete writes O(marks) vector
+    * bytes; past the threshold the vector would mask a meaningful slice
+    * of every touched file — each read then pays a probe per row for
+    * little byte savings, and copy-on-write is the better trade. 5% is
+    * the Delta-ish operating point. */
+  val DvAutoThreshold: Double = 0.05
+
+  /** Measured AUTO-dispatch between the DV and CoW delete paths — the
+    * SQL `DELETE FROM` route: one counting scan of the stats-pruned
+    * touched files decides (marked == 0 → no commit at all, a STRONGER
+    * short-circuit than the stats-only one; marked ≤ [[DvAutoThreshold]]
+    * of touched rows → [[deleteConditionDv]]; else [[deleteCondition]]).
+    * The count costs one column-pruned read of the touched files — the
+    * same cost class as either path's own read — and buys point deletes
+    * their O(marks) write instead of a 128 MB-per-row rewrite. */
+  private[graft] def deleteConditionAuto(spark: SparkSession, dir: String,
+                                         rowCond: Column,
+                                         prune: Option[FilePredicate],
+                                         reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m = manifest(spark, dir, cur)
+    val touched = m.files.filter(f =>
+      prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+    if (touched.isEmpty) return cur
+    val marked = readFiles(spark, dir, m, touched)
+      .filter(coalesce(rowCond, lit(false))).count()
+    if (marked == 0L) return cur
+    val total = math.max(1L, touched.map(f =>
+      m.stats.get(f).map(_.rows).getOrElse(Long.MaxValue / touched.length))
+      .sum - touched.flatMap(m.dvs.get).map(_.rows).sum)
+    if (marked.toDouble / total <= DvAutoThreshold)
+      deleteConditionDv(spark, dir, rowCond, prune, reclaimGraceMs)
+    else deleteCondition(spark, dir, rowCond, prune, reclaimGraceMs)
+  }
+
   /** MERGE-ON-READ row DELETE (round 16 — deletion vectors): instead of
     * rewriting every file that might hold a match ([[deleteWhere]]'s
     * copy-on-write), commit a new version whose data files are ALL

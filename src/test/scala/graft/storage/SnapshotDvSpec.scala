@@ -282,6 +282,29 @@ class SnapshotDvSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("SQL DELETE auto-dispatches: a point delete writes a vector, a wide delete rewrites copy-on-write, a no-match delete commits nothing") {
+    val dir = freshDir()
+    seed(dir)
+    val tbl = "dv_auto"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE doc_id = 123")
+      assert(SnapshotStore.manifest(spark, dir, 2L).operation == "delete-dv",
+        "a 1-of-400 delete must take the vector path")
+      spark.sql(s"DELETE FROM $tbl WHERE doc_id BETWEEN 200 AND 350")
+      assert(SnapshotStore.manifest(spark, dir, 3L).operation == "delete",
+        "a ~38% delete must take the copy-on-write path")
+      // a condition matching NOTHING (but not stats-provably so) commits
+      // no version — the measured count is a stronger short-circuit
+      spark.sql(s"DELETE FROM $tbl WHERE doc_id = 180 AND text = 'nope'")
+      assert(SnapshotStore.latestVersion(spark, dir).contains(3L))
+      assert(SnapshotStore.read(spark, dir)
+        .select("doc_id").as[Long].collect().toSet ==
+        ((1L to 400L).toSet - 123L -- (200L to 350L)))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("history reports LIVE rows (physical minus vector masks)") {
     val dir = freshDir()
     seed(dir, 100L)
