@@ -140,6 +140,12 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
             s"query produces ${src.length}")
         userCols.foreach(c => if (!targetCols.exists(t => same(t.name, c)))
           analysisError(s"INSERT column list names unknown column $c"))
+        // a duplicate name would silently drop all but the first value
+        // (indexWhere picks the first occurrence) — refuse like Spark
+        userCols.zipWithIndex.foreach { case (c, i) =>
+          if (userCols.indexWhere(same(_, c)) != i) analysisError(
+            s"INSERT column list names column $c more than once")
+        }
         targetCols.map { t =>
           userCols.indexWhere(same(_, t.name)) match {
             case -1 => Literal.create(null, t.dataType)
@@ -381,7 +387,18 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
       case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
       case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
-      case DescribeHistoryRe(t) => Some(GraftDescribeHistoryCommand(dirOfToken(t)))
+      // DESCRIBE HISTORY collides with real Spark grammar (`DESCRIBE
+      // <table> <column>` where the table is literally named `history`),
+      // so an identifier that is NOT a snapshot table falls through to
+      // the delegate instead of refusing — unlike OPTIMIZE/VACUUM/REORG,
+      // which are no statement of Spark's at all
+      case DescribeHistoryRe(t) =>
+        val tok = t.trim
+        if (tok.startsWith("'")) Some(GraftDescribeHistoryCommand(dirOfToken(t)))
+        else snapshotDirOf(
+          if (tok.startsWith("`")) Seq(tok.stripPrefix("`").stripSuffix("`"))
+          else tok.split('.').toSeq)
+          .map(GraftDescribeHistoryCommand(_))
       case ReorgPurgeRe(t) => Some(GraftReorgPurgeCommand(dirOfToken(t)))
       case _ => None
     }
@@ -411,6 +428,22 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     delegate.parseRoutineParam(sqlText)
 }
 
+/** Shared plumbing of the eagerly-run snapshot SQL commands. */
+object GraftSqlCommands {
+  /** Spark's `FindDataSourceTable` caches the resolved relation — pinned
+    * to ONE SnapshotFileIndex/manifest — per table name; after any
+    * mutation through these commands a cached entry would serve the
+    * PRE-mutation version (or, after VACUUM, list reclaimed files).
+    * Every mutating command drops the relation cache on success. Coarse
+    * (all names) because only the table DIR is known here; the next
+    * reference re-resolves in one catalog lookup. NOTE: mutations
+    * through the Scala store API don't pass here — a SQL session mixing
+    * both refreshes with `REFRESH TABLE t` (the Delta contract for
+    * external writers). */
+  private[storage] def invalidateRelationCache(spark: SparkSession): Unit =
+    spark.sessionState.catalog.invalidateAllCachedTables()
+}
+
 /** Eagerly-run `DELETE FROM <graft-snapshot table> WHERE cond`: one
   * MEASURED auto-dispatch commit ([[SnapshotStore.deleteConditionAuto]]
   * — a point delete writes a deletion vector, a wide one rewrites
@@ -426,6 +459,7 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
       case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
     })
     SnapshotStore.deleteConditionAuto(spark, dir, rowCond, prune)
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
 }
@@ -449,6 +483,7 @@ final case class GraftUpdateCommand(dir: String,
     val rowCond = condition.map(byName).getOrElse(lit(true))
     SnapshotStore.updateCondition(spark, dir, rowCond, prune,
       assignments.map { case (c, v) => c -> byName(v) })
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
 }
@@ -463,6 +498,7 @@ final case class GraftMergeCommand(dir: String, delta: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotStore.merge(spark, dir,
       DatasetBridge.ofRows(spark, delta), keys)
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
 }
@@ -481,12 +517,15 @@ final case class GraftInsertCommand(dir: String, query: LogicalPlan,
   override def run(spark: SparkSession): Seq[Row] = {
     val df = DatasetBridge.ofRows(spark, query)
     if (overwrite) {
-      val pCols = SnapshotStore.latestVersion(spark, dir)
-        .map(v => SnapshotStore.manifest(spark, dir, v).partitionCols)
-        .getOrElse(Seq.empty)
+      // the committed partition layout AND bloom declaration both carry
+      // — only an explicit write-face Overwrite redefines them
+      val prior = SnapshotStore.latestVersion(spark, dir)
+        .map(v => SnapshotStore.manifest(spark, dir, v))
       SnapshotStore.commit(spark, dir, df, "insert-overwrite",
-        partitionBy = pCols)
+        partitionBy = prior.map(_.partitionCols).getOrElse(Seq.empty),
+        bloomCols = prior.map(_.bloomCols).getOrElse(Seq.empty))
     } else SnapshotStore.commitAppend(spark, dir, df, "insert")
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
 }
@@ -515,6 +554,7 @@ final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String])
           math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toLong).toInt
         SnapshotStore.clusterN(spark, dir, zorderBy, nFiles)
       }
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq(Row(v, if (zorderBy.isEmpty) "compact" else "zorder"))
   }
 }
@@ -528,6 +568,7 @@ final case class GraftVacuumCommand(dir: String, retain: Int)
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     SnapshotStore.vacuum(spark, dir, retain)
+    GraftSqlCommands.invalidateRelationCache(spark)
     Seq(Row(dir))
   }
 }
@@ -539,8 +580,11 @@ final case class GraftReorgPurgeCommand(dir: String)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
-  override def run(spark: SparkSession): Seq[Row] =
-    Seq(Row(SnapshotStore.purgeVectors(spark, dir)))
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = SnapshotStore.purgeVectors(spark, dir)
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
 }
 
 /** SQL `DESCRIBE HISTORY <t>` (round 16): the commit log as a result

@@ -80,18 +80,24 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
-        // appends to an EXISTING table inherit the committed layout — a
-        // partitionBy option that doesn't restate it exactly refuses
-        // loudly (silently ignoring it would let a caller believe they
-        // (re)partitioned; only a full-snapshot Overwrite may change it)
-        if (exists && partitionBy.nonEmpty) {
+        // appends to an EXISTING table inherit the committed layout AND
+        // bloom declaration — an option that doesn't restate them
+        // exactly refuses loudly (silently ignoring it would let a
+        // caller believe they (re)declared; only a full-snapshot
+        // Overwrite may change either)
+        if (exists && (partitionBy.nonEmpty || bloomCols.nonEmpty)) {
           val committed = SnapshotStore.latestVersion(spark, dir)
-            .map(v => SnapshotStore.manifest(spark, dir, v).partitionCols)
-            .getOrElse(Seq.empty)
-          require(partitionBy == committed,
+            .map(v => SnapshotStore.manifest(spark, dir, v))
+          val cP = committed.map(_.partitionCols).getOrElse(Seq.empty)
+          val cB = committed.map(_.bloomCols).getOrElse(Seq.empty)
+          require(partitionBy.isEmpty || partitionBy == cP,
             s"append to $dir passes partitionBy(${partitionBy.mkString(",")}) " +
-              s"but the committed layout is (${committed.mkString(",")}) — " +
+              s"but the committed layout is (${cP.mkString(",")}) — " +
               "appends inherit the layout; change it with mode Overwrite")
+          require(bloomCols.isEmpty || bloomCols == cB,
+            s"append to $dir passes bloomCols(${bloomCols.mkString(",")}) " +
+              s"but the committed declaration is (${cB.mkString(",")}) — " +
+              "appends inherit it; change it with mode Overwrite")
         }
         parameters.get("mergeKeys") match {
           case Some(_) => SnapshotStore.merge(spark, dir, data,

@@ -643,25 +643,48 @@ object SnapshotStore {
       typed.map(l => new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
     }
 
-    /** bloom probe of one file's declared-column filter: definite-absent
-      * prunes; missing bloom / untypeable probe keeps the file */
-    private def bloomMightContain(s: FileStats, col: String,
-                                  v: Any): Boolean =
+    /** Deserialized blooms, weak-keyed by the manifest's own base64
+      * String instance: a manifest is parsed once per read and its
+      * strings live exactly as long as it does, so each file's bloom
+      * decodes ONCE per query (not once per (file, candidate) probe —
+      * a 32-value IN over an 800k-file manifest would otherwise pay
+      * 25M decodes) and the cache empties with the manifest. */
+    private val bloomCache = java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[String,
+        org.apache.spark.util.sketch.BloomFilter]())
+
+    private def bloomOf(bs: BloomStats)
+        : org.apache.spark.util.sketch.BloomFilter = {
+      val got = bloomCache.get(bs.b64)
+      if (got != null) got
+      else {
+        val bf = org.apache.spark.util.sketch.BloomFilter
+          .readFrom(java.util.Base64.getDecoder.decode(bs.b64))
+        bloomCache.put(bs.b64, bf)
+        bf
+      }
+    }
+
+    /** bloom probe of one file's declared-column filter against any of
+      * `vs`: definite-absent-for-all prunes; missing bloom / untypeable
+      * probes keep the file. One decode per file, however many values. */
+    private def bloomMightContainAny(s: FileStats, col: String,
+                                     vs: Seq[Any]): Boolean =
       s.blooms.get(col) match {
         case None => true
-        case Some(bs) => bloomHash(v, bs.dataType) match {
-          case None => true
-          case Some(h) => org.apache.spark.util.sketch.BloomFilter
-            .readFrom(java.util.Base64.getDecoder.decode(bs.b64))
-            .mightContainLong(h)
-        }
+        case Some(bs) =>
+          lazy val bf = bloomOf(bs)
+          vs.exists(v => bloomHash(v, bs.dataType) match {
+            case None => true
+            case Some(h) => bf.mightContainLong(h)
+          })
       }
 
     final case class EqTo(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) === lit(value)
       private[storage] def mightMatch(s: FileStats): Boolean =
         cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, value) &&
-          bloomMightContain(s, col, value)
+          bloomMightContainAny(s, col, Seq(value))
     }
 
     /** `col IN (vs)` — each candidate probes min/max AND the bloom; the
@@ -671,10 +694,11 @@ object SnapshotStore {
     final case class InSet(col: String, values: Seq[Any]) extends FilePredicate {
       def toColumn: Column =
         org.apache.spark.sql.functions.col(col).isin(values: _*)
-      private[storage] def mightMatch(s: FileStats): Boolean =
-        values.exists(v =>
-          cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, v) &&
-            bloomMightContain(s, col, v))
+      private[storage] def mightMatch(s: FileStats): Boolean = {
+        val rangeHits = values.filter(v =>
+          cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, v))
+        rangeHits.nonEmpty && bloomMightContainAny(s, col, rangeHits)
+      }
     }
     final case class GtEq(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) >= lit(value)
@@ -1847,7 +1871,10 @@ object SnapshotStore {
     val p = new Path(d)
     val f = fs(spark, d)
     if (!f.exists(p)) return Seq.empty // a stage may legally write nothing
-    val rootPath = p.toUri.getPath
+    // fully-qualified root: a RELATIVE table dir must not let hidden
+    // segments of the cwd's ancestors (e.g. /root/.cache/...) leak into
+    // the relative-path check below
+    val rootPath = f.makeQualified(p).toUri.getPath
     val it = f.listFiles(p, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {

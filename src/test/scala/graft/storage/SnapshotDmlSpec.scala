@@ -442,6 +442,71 @@ class SnapshotDmlSpec extends SparkSpec {
     }
   }
 
+  test("SQL reads see SQL mutations immediately: the relation cache invalidates after DML and maintenance verbs") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(4), "ingest")
+    withTable("dml_cache", dir) {
+      // prime Spark's per-name relation cache (FindDataSourceTable)
+      assert(spark.sql("SELECT count(*) AS n FROM dml_cache")
+        .as[Long].head() == 100L)
+      spark.sql("INSERT INTO dml_cache VALUES (101, 'new')")
+      assert(spark.sql("SELECT count(*) AS n FROM dml_cache")
+        .as[Long].head() == 101L,
+        "a cached pre-INSERT relation must not serve after the INSERT")
+      spark.sql("DELETE FROM dml_cache WHERE doc_id = 5")
+      assert(spark.sql("SELECT count(*) AS n FROM dml_cache")
+        .as[Long].head() == 100L,
+        "a cached relation must not resurrect a deleted row")
+      // the nastiest case: a cached relation listing files VACUUM
+      // reclaimed would throw FileNotFoundException
+      spark.sql("OPTIMIZE dml_cache")
+      spark.sql("VACUUM dml_cache RETAIN 1 VERSIONS")
+      assert(spark.sql("SELECT count(*) AS n FROM dml_cache")
+        .as[Long].head() == 100L,
+        "post-vacuum SQL reads must re-resolve, not list reclaimed files")
+    }
+  }
+
+  test("INSERT with a DUPLICATE column list refuses (a silent first-wins mapping would drop data)") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a", 1L)).toDF("doc_id", "text", "score"), "ingest")
+    withTable("dml_insd", dir) {
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql("INSERT INTO dml_insd (doc_id, doc_id) VALUES (2, 3)")
+      }
+      assert(e.getMessage.contains("more than once"))
+      assert(SnapshotStore.latestVersion(spark, dir).contains(1L))
+    }
+  }
+
+  test("INSERT OVERWRITE carries the bloom declaration like the partition layout") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "ingest",
+      bloomCols = Seq("doc_id"))
+    withTable("dml_insb", dir) {
+      spark.sql("INSERT OVERWRITE dml_insb SELECT doc_id + 100, text " +
+        "FROM dml_insb")
+      val m = SnapshotStore.manifest(spark, dir, 2L)
+      assert(m.bloomCols == Seq("doc_id"),
+        "OVERWRITE must not silently clear the declared bloom columns")
+      assert(m.stats.values.forall(_.blooms.contains("doc_id")))
+    }
+  }
+
+  test("DESCRIBE over an ordinary table literally named 'history' falls through to Spark's grammar") {
+    Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("history")
+    try {
+      // `DESCRIBE history doc_id` is Spark's describe-one-column syntax;
+      // our DESCRIBE HISTORY pattern must not hijack it
+      val rows = spark.sql("DESCRIBE history doc_id").collect()
+      assert(rows.nonEmpty)
+    } finally spark.catalog.dropTempView("history")
+  }
+
   test("maintenance verbs on a quoted path work; a non-snapshot identifier refuses as AnalysisException") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,

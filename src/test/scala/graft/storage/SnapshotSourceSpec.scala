@@ -168,6 +168,14 @@ class SnapshotSourceSpec extends SparkSpec {
       .option("partitionBy", "lang").save(dir)
     assert(spark.read.format("graft-snapshot").load(dir).count() == 3L)
     assert(SnapshotStore.manifest(spark, dir, 2L).partitionCols == Seq("lang"))
+    // same discipline for the bloom declaration
+    val e2 = intercept[Exception] {
+      Seq((4L, "es", "d")).toDF("doc_id", "lang", "text")
+        .write.format("graft-snapshot").mode("append")
+        .option("bloomCols", "doc_id").save(dir)
+    }
+    assert(e2.getMessage.contains("appends inherit it"))
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L, 2L))
   }
 
   test("write face: append with mergeKeys is a copy-on-write upsert") {
