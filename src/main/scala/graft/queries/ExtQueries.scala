@@ -3860,6 +3860,39 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** In-place parquet conversion (round 16 — the CONVERT TO DELTA
+    * migration shape): documents land as a PLAIN hive-partitioned
+    * parquet directory first (the pre-migration state), then
+    * [[graft.storage.SnapshotStore.convertParquet]] adopts it with ZERO
+    * rewrite — the manifest references the existing files, stats and
+    * partition layout included — and the table immediately answers a
+    * partition-pruned aggregate, takes an append, and time-travels to
+    * the converted version. Answer ≡ the relational replay. */
+  def eSnapshotConvert(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "conv")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.write.partitionBy("lang").parquet(root) // the pre-migration dir
+    val store = graft.storage.SnapshotStore
+    store.convertParquet(s, root, partitionBy = Seq("lang"))
+    store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 9 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L), "append")
+    val latest = store.read(s, root)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("latest").as("as_of"), col("lang"),
+        col("n_docs"), col("id_sum"))
+    val converted = store.readAsOf(s, root, 1L)
+      .filter(col("lang").isin("en", "de"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .select(lit("converted").as("as_of"), col("lang"),
+        col("n_docs"), col("id_sum"))
+    latest.unionByName(converted).orderBy("as_of", "lang")
+  }
+
   /** Merge-on-read deletion vectors (round 16): the SAME delete chain —
     * a range delete then a language delete — runs once through the DV
     * path ([[graft.storage.SnapshotStore.deleteWhereDv]]: every data
@@ -7337,6 +7370,7 @@ object ExtQueries {
     "e_snapshot_decimal_skip" -> (eSnapshotDecimalSkip _),
     "e_snapshot_point_skip" -> (eSnapshotPointSkip _),
     "e_snapshot_dv" -> (eSnapshotDv _),
+    "e_snapshot_convert" -> (eSnapshotConvert _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
     "e_snapshot_time_travel" -> (eSnapshotTimeTravel _),
@@ -9139,6 +9173,21 @@ object ExtQueries {
         |UNION ALL SELECT 99, 'alive_rows',
         |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE n_chars >= 30)
         |ORDER BY version""".stripMargin,
+    "e_snapshot_convert" ->
+      """WITH conv AS (SELECT doc_id, lang FROM documents),
+        |appended AS (SELECT doc_id, lang FROM conv
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, lang FROM documents WHERE doc_id % 9 = 0),
+        |agg AS (
+        |  SELECT 'latest' AS as_of, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |  FROM appended WHERE lang IN ('en', 'de') GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'converted', lang, CAST(count(*) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT)
+        |  FROM conv WHERE lang IN ('en', 'de') GROUP BY lang)
+        |SELECT * FROM agg ORDER BY as_of, lang""".stripMargin,
     "e_snapshot_dv" ->
       """WITH kept AS (SELECT doc_id, text, lang, n_chars FROM documents
         |  WHERE NOT (doc_id BETWEEN 150 AND 450) AND lang <> 'zh'),

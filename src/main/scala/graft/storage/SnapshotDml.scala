@@ -353,6 +353,12 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val VacuumRetainRe =
     ("""(?is)^\s*VACUUM\s+""" + TableTok +
       """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""").r
+  private val VacuumHoursRe =
+    ("""(?is)^\s*VACUUM\s+""" + TableTok +
+      """\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""").r
+  private val ConvertRe =
+    ("""(?is)^\s*CONVERT\s+TO\s+SNAPSHOT\s+('[^']+')""" +
+      """(?:\s+PARTITIONED\s+BY\s+\(\s*([^()]+?)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + TableTok + """\s*;?\s*$""").r
   private val DescribeHistoryRe =
@@ -386,7 +392,13 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
           _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
       case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
       case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
+      case VacuumHoursRe(t, h) =>
+        Some(GraftVacuumHoursCommand(dirOfToken(t), h.toLong))
       case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
+      case ConvertRe(p, cols) => Some(GraftConvertCommand(
+        p.stripPrefix("'").stripSuffix("'"),
+        Option(cols).toSeq.flatMap(_.split(',').toSeq
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
       // DESCRIBE HISTORY collides with real Spark grammar (`DESCRIBE
       // <table> <column>` where the table is literally named `history`),
       // so an identifier that is NOT a snapshot table falls through to
@@ -571,6 +583,34 @@ final case class GraftVacuumCommand(dir: String, retain: Int)
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq(Row(dir))
   }
+}
+
+/** SQL `VACUUM <t> RETAIN <n> HOURS` (round 16 — the Delta retention
+  * spelling): age-based retention via
+  * [[SnapshotStore.vacuumOlderThan]] — every version committed within
+  * the window survives, always at least the latest. */
+final case class GraftVacuumHoursCommand(dir: String, hours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotStore.vacuumOlderThan(spark, dir,
+      System.currentTimeMillis() - hours * 3600L * 1000L)
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq(Row(dir))
+  }
+}
+
+/** SQL `CONVERT TO SNAPSHOT '<dir>' [PARTITIONED BY (a, b)]` (round 16
+  * — the Delta `CONVERT TO DELTA` shape): in-place, zero-rewrite
+  * conversion of an existing parquet directory
+  * ([[SnapshotStore.convertParquet]]). */
+final case class GraftConvertCommand(dir: String, partitionBy: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotStore.convertParquet(spark, dir, partitionBy)))
 }
 
 /** SQL `REORG TABLE <t> APPLY (PURGE)` (round 16 — the Delta spelling):

@@ -2045,6 +2045,20 @@ object SnapshotStore {
     }
   }
 
+  /** [[vacuum]] by AGE (round 16 — the Delta `RETAIN n HOURS` spelling):
+    * retain every version committed AT OR AFTER `cutoffMs` (always at
+    * least the latest). Commit timestamps are monotone, so the retained
+    * set is a suffix — exactly the prefix-drop contract [[vacuum]] and
+    * the time-travel binary search rely on. Pre-timestamp legacy
+    * versions (ts = 0) count as older than any cutoff. */
+  def vacuumOlderThan(spark: SparkSession, dir: String,
+                      cutoffMs: Long): Unit = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return
+    val retained = vs.count(v => manifest(spark, dir, v).ts >= cutoffMs)
+    vacuum(spark, dir, math.max(1, retained))
+  }
+
   /** Drop versions older than the newest `retain`, then delete every
     * data file (and version directory) no RETAINED manifest references —
     * orphans from torn commits included. Manifest deletion happens
@@ -2082,6 +2096,51 @@ object SnapshotStore {
         if (files.forall(p => !referenced.contains(p)) && !holdsDv)
           f.delete(st.getPath, true) // whole version dir unreferenced
       }
+    }
+  }
+
+  /** IN-PLACE conversion of an existing plain-parquet directory into a
+    * snapshot table (round 16 — Delta's `CONVERT TO DELTA` shape): the
+    * first manifest REFERENCES the directory's existing files where they
+    * lie — ZERO bytes rewritten on a 100 TB migration — with stats (and
+    * declared blooms) collected in the usual single column-pruned pass,
+    * so the converted table immediately time-travels, file-skips, and
+    * streams. A hive-partitioned source passes `partitionBy` (values
+    * come from the `col=value` path segments exactly as native commits;
+    * types from the directory read's inference — re-commit full-snapshot
+    * to pin them if inference ever flips). Later commits write under
+    * `<dir>/data` as usual; CoW mutations rewrite referenced files into
+    * version dirs and drop the references naturally. Caveat (documented,
+    * matching the in-place contract): the ORIGINAL files live at the
+    * directory root, outside the `data/` tree [[vacuum]] manages — after
+    * a full rewrite (compaction) they become unreferenced but are left
+    * for the caller to reclaim. */
+  def convertParquet(spark: SparkSession, dir: String,
+                     partitionBy: Seq[String] = Seq.empty,
+                     bloomCols: Seq[String] = Seq.empty): Long = {
+    require(latestVersion(spark, dir).isEmpty,
+      s"convert target $dir already has committed versions")
+    val sized = listParquetSized(spark, dir)
+    require(sized.nonEmpty, s"no parquet files under $dir to convert")
+    val files = sized.map(_._1)
+    if (partitionBy.nonEmpty) files.foreach(partitionRawValues(_, partitionBy))
+    // unpartitioned: schema from the FILES (a stray hive-looking segment
+    // must not inject a discovered column the files don't hold — an
+    // explicit-schema read would null-fill it); partitioned: the
+    // directory read derives the hive layout
+    val reader =
+      if (partitionBy.isEmpty) spark.read.parquet(files: _*)
+      else spark.read.parquet(dir)
+    val schema = asNullableSchema(reader.schema)
+    partitionBy.foreach(c => require(
+      schema.fields.exists(_.name.equalsIgnoreCase(c)),
+      s"partition column $c not found in the source layout"))
+    val stats = collectStats(reader, files, sized.toMap, bloomCols)
+    commitStagedFull(spark, dir, "convert",
+      partitionBy = Some(partitionBy),
+      schemaOverride = Some(schema),
+      bloomColsOpt = Some(bloomCols)) { (_, _) =>
+      Staged(files, stats, Some(Map.empty))
     }
   }
 

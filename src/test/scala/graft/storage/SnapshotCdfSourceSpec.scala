@@ -113,6 +113,37 @@ class SnapshotCdfSourceSpec extends SparkSpec {
       "applying the CDF stream reconstructs the table exactly")
   }
 
+  test("a deletion-vector delete streams through the CDF exactly like a CoW delete") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 40L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+    val batches = scala.collection.mutable.Buffer.empty[Set[Row3]]
+    val ckpt = java.nio.file.Files.createTempDirectory("snapcdf-dv").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("idCols", "doc_id")
+        .load(dir)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          batches += b.select("doc_id", "text", "_change_type")
+            .as[Row3].collect().toSet; ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    drain() // initial snapshot
+    batches.clear()
+    // a vector delete, then a purge rewrite (content-neutral — nothing
+    // row-grain may surface for it)
+    SnapshotStore.deleteWhereDv(spark, dir,
+      SnapshotStore.FilePredicate.between("doc_id", 10L, 12L))
+    SnapshotStore.purgeVectors(spark, dir)
+    drain()
+    val got = batches.filter(_.nonEmpty).foldLeft(Set.empty[Row3])(_ ++ _)
+    assert(got == Set(10L, 11L, 12L).map(i => (i, s"t$i", "delete")),
+      s"a DV delete must stream as plain deletes and a purge as nothing: $got")
+  }
+
   test("readChangeFeed without idCols refuses loudly") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,

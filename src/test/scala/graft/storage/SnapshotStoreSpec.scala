@@ -350,6 +350,98 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(idx.lastListedCount <= 5)
   }
 
+  test("convertParquet adopts an existing parquet dir in place with ZERO rewrite; full lifecycle continues on top") {
+    val dir = freshDir()
+    // a plain pre-existing parquet directory, as a migration would find it
+    (1L to 300L).map(i => (i, s"t$i", (i % 7).toDouble))
+      .toDF("doc_id", "text", "score")
+      .repartitionByRange(6, col("doc_id"))
+      .write.parquet(dir)
+    val originals = {
+      val f = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(new Path(dir)).map(_.getPath.toString)
+        .filter(_.endsWith(".parquet")).toSet
+    }
+    val v = SnapshotStore.convertParquet(spark, dir,
+      bloomCols = Seq("doc_id"))
+    assert(v == 1L)
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    assert(m.operation == "convert")
+    assert(m.files.toSet == originals,
+      "conversion must REFERENCE the existing files, not copy them")
+    assert(m.stats.nonEmpty && m.stats.values.forall(fs =>
+      fs.rows > 0 && fs.blooms.contains("doc_id")))
+    assert(SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet == (1L to 300L).toSet)
+    // stats prune immediately on the converted layout
+    import SnapshotStore.FilePredicate._
+    assert(SnapshotStore.prunedFiles(spark, dir, 1L,
+      between("doc_id", 10L, 20L)).length < m.files.length)
+    // the lifecycle continues: append, DV delete, compact, time travel
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((301L, "new", 0.0)).toDF("doc_id", "text", "score"), "append")
+    SnapshotStore.deleteWhereDv(spark, dir, EqTo("doc_id", 7L))
+    assert(SnapshotStore.read(spark, dir).count() == 300L)
+    SnapshotStore.compact(spark, dir, targetFileBytes = 8L * 1024 * 1024)
+    assert(SnapshotStore.read(spark, dir).count() == 300L)
+    assert(SnapshotStore.readAsOf(spark, dir, 1L).count() == 300L,
+      "the converted version itself stays time-travelable")
+    // converting an existing table refuses
+    intercept[Exception] { SnapshotStore.convertParquet(spark, dir) }
+  }
+
+  test("convertParquet adopts a hive-partitioned dir; partition pruning fires; SQL CONVERT TO SNAPSHOT speaks it") {
+    val dir = freshDir()
+    (1L to 200L).map(i => (i, if (i % 2 == 0) "en" else "de", s"t$i"))
+      .toDF("doc_id", "lang", "text")
+      .write.partitionBy("lang").parquet(dir)
+    val sqlDir = freshDir()
+    (1L to 50L).map(i => (i, s"x$i")).toDF("doc_id", "text")
+      .write.parquet(sqlDir)
+    val v = SnapshotStore.convertParquet(spark, dir, Seq("lang"))
+    assert(v == 1L)
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    assert(m.partitionCols == Seq("lang"))
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("lang") === "en").count() == 100L)
+    val (df, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, 1L)
+    df.filter(col("lang") === "en").count()
+    assert(idx.lastPartitionPruned > 0,
+      "partition predicates must prune the converted hive layout")
+    // the SQL spelling on the flat dir
+    val out = spark.sql(s"CONVERT TO SNAPSHOT '$sqlDir'").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+    assert(spark.read.format("graft-snapshot").load(sqlDir).count() == 50L)
+  }
+
+  test("vacuumOlderThan retains by commit age (always at least the latest); SQL RETAIN n HOURS speaks it") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    SnapshotStore.commitAppend(spark, dir, docs(2L -> "b"), "append")
+    Thread.sleep(30)
+    val cutoff = System.currentTimeMillis()
+    Thread.sleep(30)
+    SnapshotStore.commitAppend(spark, dir, docs(3L -> "c"), "append")
+    SnapshotStore.vacuumOlderThan(spark, dir, cutoff)
+    assert(SnapshotStore.versions(spark, dir) == Seq(3L),
+      "only versions committed at or after the cutoff survive")
+    assert(SnapshotStore.read(spark, dir).count() == 3L)
+    // a future cutoff still retains the latest
+    SnapshotStore.vacuumOlderThan(spark, dir,
+      System.currentTimeMillis() + 1000000L)
+    assert(SnapshotStore.versions(spark, dir) == Seq(3L))
+    // SQL: RETAIN n HOURS (a generous window keeps everything)
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2, docs(1L -> "a"), "ingest")
+    SnapshotStore.commitAppend(spark, dir2, docs(2L -> "b"), "append")
+    spark.sql(s"VACUUM '$dir2' RETAIN 168 HOURS")
+    assert(SnapshotStore.versions(spark, dir2) == Seq(1L, 2L),
+      "commits inside the retention window all survive")
+    spark.sql(s"VACUUM '$dir2' RETAIN 0 HOURS")
+    assert(SnapshotStore.versions(spark, dir2) == Seq(2L),
+      "a zero-hour window keeps only the latest")
+  }
+
   test("RenameLogStore honors the put-if-absent contract directly") {
     val dir = freshDir()
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
