@@ -400,17 +400,29 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         Option(cols).toSeq.flatMap(_.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
       // DESCRIBE HISTORY collides with real Spark grammar (`DESCRIBE
-      // <table> <column>` where the table is literally named `history`),
-      // so an identifier that is NOT a snapshot table falls through to
-      // the delegate instead of refusing — unlike OPTIMIZE/VACUUM/REORG,
-      // which are no statement of Spark's at all
+      // <table> <column>` where the table is literally named `history`).
+      // An identifier that is NOT a snapshot table falls through to the
+      // delegate ONLY when a relation named `history` actually exists in
+      // the session (the one case the statement can be valid grammar);
+      // otherwise the refusal stays loud — a typo'd table name must not
+      // surface as "table `history` not found".
       case DescribeHistoryRe(t) =>
         val tok = t.trim
         if (tok.startsWith("'")) Some(GraftDescribeHistoryCommand(dirOfToken(t)))
         else snapshotDirOf(
           if (tok.startsWith("`")) Seq(tok.stripPrefix("`").stripSuffix("`"))
-          else tok.split('.').toSeq)
-          .map(GraftDescribeHistoryCommand(_))
+          else tok.split('.').toSeq) match {
+          case Some(dir) => Some(GraftDescribeHistoryCommand(dir))
+          case None =>
+            val historyRelationExists = try {
+              spark.sessionState.catalog.isTempView(Seq("history")) ||
+                spark.sessionState.catalog.tableExists(TableIdentifier("history"))
+            } catch { case scala.util.control.NonFatal(_) => false }
+            if (historyRelationExists) None // valid DESCRIBE history <col>
+            else SnapshotDmlRule.analysisError(
+              s"$tok is not a registered graft-snapshot table — DESCRIBE " +
+                "HISTORY takes a graft-snapshot table or a quoted path")
+        }
       case ReorgPurgeRe(t) => Some(GraftReorgPurgeCommand(dirOfToken(t)))
       case _ => None
     }
@@ -594,8 +606,13 @@ final case class GraftVacuumHoursCommand(dir: String, hours: Long)
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotStore.vacuumOlderThan(spark, dir,
-      System.currentTimeMillis() - hours * 3600L * 1000L)
+    // an absurd RETAIN value must saturate to keep-everything, never
+    // overflow into a future cutoff that vacuums ALL history away
+    val cutoff = try {
+      Math.subtractExact(System.currentTimeMillis(),
+        Math.multiplyExact(hours, 3600L * 1000L))
+    } catch { case _: ArithmeticException => Long.MinValue }
+    SnapshotStore.vacuumOlderThan(spark, dir, cutoff)
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq(Row(dir))
   }

@@ -2055,8 +2055,18 @@ object SnapshotStore {
                       cutoffMs: Long): Unit = {
     val vs = versions(spark, dir)
     if (vs.isEmpty) return
-    val retained = vs.count(v => manifest(spark, dir, v).ts >= cutoffMs)
-    vacuum(spark, dir, math.max(1, retained))
+    // first in-window version — the monotone timestamps admit a binary
+    // search (O(log n) manifest reads, not one per retained version; on
+    // the 100k-commit streaming table that is ~17 reads, the same class
+    // as TIMESTAMP AS OF)
+    var lo = 0
+    var hi = vs.length
+    while (lo < hi) {
+      val mid = (lo + hi) / 2
+      if (manifest(spark, dir, vs(mid)).ts >= cutoffMs) hi = mid
+      else lo = mid + 1
+    }
+    vacuum(spark, dir, math.max(1, vs.length - lo))
   }
 
   /** Drop versions older than the newest `retain`, then delete every
@@ -2124,13 +2134,30 @@ object SnapshotStore {
     require(sized.nonEmpty, s"no parquet files under $dir to convert")
     val files = sized.map(_._1)
     if (partitionBy.nonEmpty) files.foreach(partitionRawValues(_, partitionBy))
+    // EVERY hive `k=v` level of the source must be declared: a partial
+    // declaration would commit the undeclared level as a DATA column no
+    // file physically holds — every read would null-fill it silently
+    val rootPath = fs(spark, dir).makeQualified(new Path(dir)).toUri.getPath
+    val discovered = files.flatMap { f =>
+      new Path(f).toUri.getPath.stripPrefix(rootPath).split('/')
+        .filter(_.indexOf('=') > 0).map(_.takeWhile(_ != '='))
+    }.distinct
+    val undeclared = discovered.filterNot(k =>
+      partitionBy.exists(_.equalsIgnoreCase(k)))
+    require(undeclared.isEmpty,
+      s"source layout has hive partition levels (${discovered.mkString(", ")}) " +
+        s"but partitionBy declares only (${partitionBy.mkString(", ")}) — " +
+        "declare every level")
     // unpartitioned: schema from the FILES (a stray hive-looking segment
-    // must not inject a discovered column the files don't hold — an
-    // explicit-schema read would null-fill it); partitioned: the
-    // directory read derives the hive layout
+    // must not inject a discovered column the files don't hold);
+    // partitioned: the directory read derives the hive layout. Merge ALL
+    // footers — a schema-evolved source dir's newest columns must not
+    // depend on which single footer inference samples (the CONVERT TO
+    // DELTA read-all-footers discipline).
     val reader =
-      if (partitionBy.isEmpty) spark.read.parquet(files: _*)
-      else spark.read.parquet(dir)
+      if (partitionBy.isEmpty)
+        spark.read.option("mergeSchema", "true").parquet(files: _*)
+      else spark.read.option("mergeSchema", "true").parquet(dir)
     val schema = asNullableSchema(reader.schema)
     partitionBy.foreach(c => require(
       schema.fields.exists(_.name.equalsIgnoreCase(c)),

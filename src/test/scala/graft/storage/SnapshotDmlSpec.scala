@@ -497,7 +497,7 @@ class SnapshotDmlSpec extends SparkSpec {
     }
   }
 
-  test("DESCRIBE over an ordinary table literally named 'history' falls through to Spark's grammar") {
+  test("DESCRIBE over an ordinary table literally named 'history' falls through to Spark's grammar; a typo'd DESCRIBE HISTORY still refuses loudly") {
     Seq((1L, "x")).toDF("doc_id", "text").createOrReplaceTempView("history")
     try {
       // `DESCRIBE history doc_id` is Spark's describe-one-column syntax;
@@ -505,6 +505,13 @@ class SnapshotDmlSpec extends SparkSpec {
       val rows = spark.sql("DESCRIBE history doc_id").collect()
       assert(rows.nonEmpty)
     } finally spark.catalog.dropTempView("history")
+    // with NO relation named `history` in the session, an unknown
+    // identifier keeps the loud snapshot refusal (not "table `history`
+    // not found")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("DESCRIBE HISTORY no_such_snapshot_tbl")
+    }
+    assert(e.getMessage.contains("not a registered graft-snapshot table"))
   }
 
   test("maintenance verbs on a quoted path work; a non-snapshot identifier refuses as AnalysisException") {

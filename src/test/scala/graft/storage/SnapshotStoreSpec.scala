@@ -414,6 +414,45 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(spark.read.format("graft-snapshot").load(sqlDir).count() == 50L)
   }
 
+  test("convertParquet refuses a PARTIAL partition declaration and merges evolved footers") {
+    // partial declaration over a two-level hive dir: the undeclared
+    // level would silently read as NULL — must refuse
+    val dir = freshDir()
+    Seq((1L, "en", "2024-01-01", "a"), (2L, "de", "2024-01-02", "b"))
+      .toDF("doc_id", "lang", "day", "text")
+      .write.partitionBy("lang", "day").parquet(dir)
+    val e = intercept[Exception] {
+      SnapshotStore.convertParquet(spark, dir, Seq("lang"))
+    }
+    assert(e.getMessage.contains("declare every level"))
+    assert(SnapshotStore.convertParquet(spark, dir, Seq("lang", "day")) == 1L)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("day") === "2024-01-02").count() == 1L)
+    // schema-evolved source: a column present only in SOME files must
+    // survive conversion regardless of which footer inference samples
+    val dir2 = freshDir()
+    Seq((1L, "a")).toDF("doc_id", "text")
+      .write.parquet(s"$dir2/batch1") // old shape
+    Seq((2L, "b", 0.5)).toDF("doc_id", "text", "score")
+      .write.parquet(s"$dir2/batch2") // evolved shape
+    val f = new Path(dir2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // flatten into one dir (a migration dir accreted over time)
+    Seq("batch1", "batch2").foreach { b =>
+      f.listStatus(new Path(s"$dir2/$b")).filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_")).foreach { st =>
+          f.rename(st.getPath, new Path(s"$dir2/${b}_${st.getPath.getName}"))
+        }
+      f.delete(new Path(s"$dir2/$b"), true)
+    }
+    SnapshotStore.convertParquet(spark, dir2)
+    val m2 = SnapshotStore.manifest(spark, dir2, 1L)
+    assert(m2.schemaStruct.exists(_.fieldNames.contains("score")),
+      "an evolved column must survive conversion (merged footers)")
+    assert(SnapshotStore.read(spark, dir2)
+      .select("doc_id", "score").as[(Long, Option[Double])].collect().toMap ==
+      Map(1L -> None, 2L -> Some(0.5)))
+  }
+
   test("vacuumOlderThan retains by commit age (always at least the latest); SQL RETAIN n HOURS speaks it") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
@@ -440,6 +479,14 @@ class SnapshotStoreSpec extends SparkSpec {
     spark.sql(s"VACUUM '$dir2' RETAIN 0 HOURS")
     assert(SnapshotStore.versions(spark, dir2) == Seq(2L),
       "a zero-hour window keeps only the latest")
+    // an absurd retention saturates to keep-everything — an overflowed
+    // cutoff must never invert into vacuum-everything
+    val dir3 = freshDir()
+    SnapshotStore.commit(spark, dir3, docs(1L -> "a"), "ingest")
+    SnapshotStore.commitAppend(spark, dir3, docs(2L -> "b"), "append")
+    spark.sql(s"VACUUM '$dir3' RETAIN 99999999999999 HOURS")
+    assert(SnapshotStore.versions(spark, dir3) == Seq(1L, 2L),
+      "a keep-everything intent must keep everything, not overflow")
   }
 
   test("RenameLogStore honors the put-if-absent contract directly") {
