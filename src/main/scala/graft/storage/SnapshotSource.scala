@@ -1,10 +1,11 @@
 package graft.storage
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.{SaveMode => SqlSaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** Registered data-source face of the snapshot store:
@@ -48,9 +49,38 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * Registration rides the standard SPI service file, so both the short
   * name and the class name resolve. */
 final class SnapshotSource extends RelationProvider with DataSourceRegister
-    with StreamSourceProvider with CreatableRelationProvider {
+    with StreamSourceProvider with CreatableRelationProvider
+    with StreamSinkProvider {
 
   override def shortName(): String = "graft-snapshot"
+
+  /** STREAMING WRITE face (round 16 — the surface's last missing
+    * quadrant: batch read/write and stream read already spoke the
+    * registered name):
+    * {{{
+    *   df.writeStream.format("graft-snapshot")
+    *     .option("checkpointLocation", ckpt).start(tableDir)
+    * }}}
+    * Each micro-batch is ONE atomic `ingest-b<batchId>` commit (append
+    * by default; `mergeKeys` upserts per batch — the CDC-apply shape:
+    * a `readChangeFeed` stream of one table mirrors into another), with
+    * the same replay guard as [[graft.streaming.StreamingSnapshotIngest]]
+    * — a redelivered batch id (crash between manifest rename and offset
+    * commit) is SKIPPED, so at-least-once delivery never double-appends.
+    * `partitionBy` on a table-creating stream fixes the hive layout;
+    * Append output mode only (the store IS the changelog). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-snapshot sink supports Append output mode only, got $outputMode")
+    def cols(key: String): Seq[String] = parameters.get(key).toSeq
+      .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+    new SnapshotSink(sqlContext.sparkSession, pathOf(parameters),
+      cols("mergeKeys"), partitionColumns ++ cols("partitionBy"),
+      cols("bloomCols"))
+  }
 
   /** Write face: `df.write.format("graft-snapshot").mode(...)` —
     * `Append` is [[SnapshotStore.commitAppend]] (one new version = prior
@@ -224,6 +254,41 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     } else new SnapshotStreamSource(spark, dir, s, startingVersion,
       maxVersionsPerTrigger)
   }
+}
+
+/** The registered streaming SINK: one atomic `ingest-b<batchId>` commit
+  * per micro-batch, replay-guarded against at-least-once redelivery
+  * (single-writer-per-checkpoint contract, like every ingest path).
+  * Empty upsert batches commit nothing (the merge no-op), so their
+  * redelivery is naturally idempotent. */
+final class SnapshotSink(spark: SparkSession, dir: String,
+                         mergeKeys: Seq[String],
+                         partitionBy: Seq[String],
+                         bloomCols: Seq[String]) extends Sink {
+
+  // max committed ingest batch id, loaded once (O(1 + pointer lag) off
+  // the checkpoint pointer); batch ids are monotonic per checkpoint
+  private var maxCommitted: Long =
+    SnapshotStore.maxIngestBatchId(spark, dir).getOrElse(-1L)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = synchronized {
+    if (batchId <= maxCommitted) return // redelivered: already committed
+    val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(data)
+    val op = f"ingest-b$batchId"
+    if (mergeKeys.nonEmpty)
+      SnapshotStore.merge(spark, dir, batch, mergeKeys,
+        reclaimGraceMs = 0L, operation = op)
+    else if (SnapshotStore.latestVersion(spark, dir).isEmpty)
+      // table-creating batch fixes the declared layout
+      SnapshotStore.commit(spark, dir, batch, op,
+        reclaimGraceMs = 0L, partitionBy = partitionBy,
+        bloomCols = bloomCols)
+    else SnapshotStore.commitAppend(spark, dir, batch, op,
+      reclaimGraceMs = 0L)
+    maxCommitted = math.max(maxCommitted, batchId)
+  }
+
+  override def toString: String = s"SnapshotSink[$dir]"
 }
 
 /** Shared offset mechanics of the manifest-log streaming sources:

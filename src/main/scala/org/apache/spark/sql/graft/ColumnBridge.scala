@@ -27,6 +27,18 @@ object StreamingBridge {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
+
+  /** The converse bridge for a V1 `Sink.addBatch`: the incoming frame
+    * rides an IncrementalExecution plan that ordinary batch writes must
+    * not re-analyze — re-wrap its executed RDD as a plain batch frame
+    * (exactly Spark's own `ForeachBatchSink` discipline). */
+  def asBatch(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+      .asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
 }
 
 /** Same convention for the CacheManager: "is this frame already
