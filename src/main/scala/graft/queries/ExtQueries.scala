@@ -3924,6 +3924,49 @@ object ExtQueries {
     agg("dv").unionByName(agg("cow")).orderBy("side", "lang")
   }
 
+  /** Merge-on-read UPDATE via deletion vectors (round 17 — DVs extended
+    * from DELETE to the full DML triad): the SAME update chain — a
+    * range update rewriting text and recomputing a numeric column, then
+    * a language-scoped touch-up — runs once through the DV path
+    * ([[graft.storage.SnapshotStore.updateConditionDv]]: every data
+    * file carried, pre-image positions vectored, only post-image rows
+    * appended) and once through copy-on-write; both states aggregate
+    * side by side and must equal the relational replay — DV ≡ CoW ≡
+    * oracle. Write-amp, CDF-parity, and SQL auto-dispatch fences are
+    * `SnapshotDvMutationSpec`'s business. */
+  def eSnapshotDvUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "dvu")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    import graft.storage.SnapshotStore.FilePredicate._
+    Seq("dv", "cow").foreach(side => store.commit(s, s"$root/$side",
+      docs.repartitionByRange(8, col("doc_id")), "ingest"))
+    val a1 = Seq(
+      "text" -> concat(col("text"), lit(" r17")),
+      "n_chars" -> (col("n_chars") + 4))
+    val a2 = Seq("text" -> concat(lit("zh:"), col("text")))
+    store.updateConditionDv(s, s"$root/dv",
+      col("doc_id").between(150L, 250L), Some(between("doc_id", 150L, 250L)),
+      a1)
+    store.updateConditionDv(s, s"$root/dv",
+      col("lang") === "zh", Some(EqTo("lang", "zh")), a2)
+    store.updateCondition(s, s"$root/cow",
+      col("doc_id").between(150L, 250L), Some(between("doc_id", 150L, 250L)),
+      a1)
+    store.updateCondition(s, s"$root/cow",
+      col("lang") === "zh", Some(EqTo("lang", "zh")), a2)
+    def agg(side: String) = store.read(s, s"$root/$side")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_texts"))
+      .select(lit(side).as("side"), col("lang"),
+        col("n_docs"), col("id_sum"), col("sum_chars"), col("n_texts"))
+    agg("dv").unionByName(agg("cow")).orderBy("side", "lang")
+  }
+
   /** Point-lookup data skipping via declared bloom columns (round 16):
     * the corpus commits with ids SHUFFLED across files — every file's
     * (min, max) spans the whole id range, so range stats prune NOTHING
@@ -7370,6 +7413,7 @@ object ExtQueries {
     "e_snapshot_decimal_skip" -> (eSnapshotDecimalSkip _),
     "e_snapshot_point_skip" -> (eSnapshotPointSkip _),
     "e_snapshot_dv" -> (eSnapshotDv _),
+    "e_snapshot_dv_update" -> (eSnapshotDvUpdate _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
@@ -9196,6 +9240,28 @@ object ExtQueries {
         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
         |  FROM kept GROUP BY lang)
+        |SELECT 'cow' AS side, lang, n_docs, id_sum, sum_chars, n_texts
+        |FROM agg
+        |UNION ALL
+        |SELECT 'dv', lang, n_docs, id_sum, sum_chars, n_texts FROM agg
+        |ORDER BY side, lang""".stripMargin,
+    "e_snapshot_dv_update" ->
+      """WITH u1 AS (SELECT doc_id,
+        |    CASE WHEN doc_id BETWEEN 150 AND 250
+        |      THEN text || ' r17' ELSE text END AS text,
+        |    lang,
+        |    CASE WHEN doc_id BETWEEN 150 AND 250
+        |      THEN n_chars + 4 ELSE n_chars END AS n_chars
+        |  FROM documents),
+        |u2 AS (SELECT doc_id,
+        |    CASE WHEN lang = 'zh' THEN 'zh:' || text ELSE text END AS text,
+        |    lang, n_chars
+        |  FROM u1),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_texts
+        |  FROM u2 GROUP BY lang)
         |SELECT 'cow' AS side, lang, n_docs, id_sum, sum_chars, n_texts
         |FROM agg
         |UNION ALL

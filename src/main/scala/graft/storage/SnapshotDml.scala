@@ -309,7 +309,7 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private def resolveVersion(dir: String, ts: Option[Expression],
                              version: Option[String]): Long =
     version.map(_.toLong).getOrElse {
-      val e = ts.getOrElse(sys.error(
+      val e = ts.getOrElse(SnapshotDmlRule.analysisError(
         "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
       val millis = e.dataType match {
         case LongType | IntegerType =>
@@ -362,7 +362,8 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val VacuumRe =
     ("""(?is)^\s*VACUUM\s+""" + TableTok + """\s*;?\s*$""").r
   private val DescribeHistoryRe =
-    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableTok + """\s*;?\s*$""").r
+    ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableTok +
+      """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
   private val ReorgPurgeRe =
     ("""(?is)^\s*REORG\s+TABLE\s+""" + TableTok +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
@@ -406,13 +407,15 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       // the session (the one case the statement can be valid grammar);
       // otherwise the refusal stays loud — a typo'd table name must not
       // surface as "table `history` not found".
-      case DescribeHistoryRe(t) =>
+      case DescribeHistoryRe(t, limitTok) =>
         val tok = t.trim
-        if (tok.startsWith("'")) Some(GraftDescribeHistoryCommand(dirOfToken(t)))
+        val limit = Option(limitTok).map(_.toInt)
+        if (tok.startsWith("'"))
+          Some(GraftDescribeHistoryCommand(dirOfToken(t), limit))
         else snapshotDirOf(
           if (tok.startsWith("`")) Seq(tok.stripPrefix("`").stripSuffix("`"))
           else tok.split('.').toSeq) match {
-          case Some(dir) => Some(GraftDescribeHistoryCommand(dir))
+          case Some(dir) => Some(GraftDescribeHistoryCommand(dir, limit))
           case None =>
             val historyRelationExists = try {
               spark.sessionState.catalog.isTempView(Seq("history")) ||
@@ -489,8 +492,10 @@ final case class GraftDeleteCommand(dir: String, cond: Expression)
 }
 
 /** Eagerly-run `UPDATE <graft-snapshot table> SET ... [WHERE cond]`: one
-  * copy-on-write [[SnapshotStore.updateCondition]] commit — the WHERE
-  * lowers to FilePredicates for write-side skipping, every assignment's
+  * MEASURED auto-dispatch commit ([[SnapshotStore.updateConditionAuto]]
+  * — a point update vectors the pre-images and appends the post-images,
+  * a wide one rewrites copy-on-write; round 17). The WHERE lowers to
+  * FilePredicates for write-side skipping, every assignment's
   * right-hand side is re-anchored BY NAME (and evaluates against the
   * pre-update row — the store's staging contract). */
 final case class GraftUpdateCommand(dir: String,
@@ -505,7 +510,7 @@ final case class GraftUpdateCommand(dir: String,
     import org.apache.spark.sql.functions.lit
     val prune = condition.flatMap(SnapshotFileIndex.fromCatalyst)
     val rowCond = condition.map(byName).getOrElse(lit(true))
-    SnapshotStore.updateCondition(spark, dir, rowCond, prune,
+    SnapshotStore.updateConditionAuto(spark, dir, rowCond, prune,
       assignments.map { case (c, v) => c -> byName(v) })
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
@@ -513,14 +518,18 @@ final case class GraftUpdateCommand(dir: String,
 }
 
 /** Eagerly-run canonical-upsert `MERGE INTO`: materializes the source
-  * projection and hands it to [[SnapshotStore.merge]] — same-key rows
-  * replaced, new keys appended, off-envelope files carried untouched. */
+  * projection and hands it to the MEASURED dispatch
+  * [[SnapshotStore.mergeAuto]] (round 17) — a delta whose keys hit a
+  * sliver of the touched files' rows commits merge-on-read (carry +
+  * vector the replaced pre-images + append the delta); a wide one takes
+  * the copy-on-write rewrite. Same-key rows replaced, new keys
+  * appended, off-envelope files carried untouched either way. */
 final case class GraftMergeCommand(dir: String, delta: LogicalPlan,
                                    keys: Seq[String])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(delta)
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotStore.merge(spark, dir,
+    SnapshotStore.mergeAuto(spark, dir,
       DatasetBridge.ofRows(spark, delta), keys)
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
@@ -571,7 +580,8 @@ final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String])
       else {
         val m = SnapshotStore.manifest(spark, dir,
           SnapshotStore.latestVersion(spark, dir).getOrElse(
-            sys.error(s"no committed version at $dir")))
+            SnapshotDmlRule.analysisError(
+              s"OPTIMIZE ZORDER needs a committed version at $dir")))
         val bytes = m.files.map(p => m.stats.get(p).map(_.bytes)
           .filter(_ > 0L).getOrElse(128L * 1024 * 1024)).sum
         val nFiles = math.max(1L,
@@ -644,11 +654,15 @@ final case class GraftReorgPurgeCommand(dir: String)
   }
 }
 
-/** SQL `DESCRIBE HISTORY <t>` (round 16): the commit log as a result
-  * set — one row per RETAINED version with exact manifest-recorded
-  * counts ([[SnapshotStore.history]]; driver work is one manifest read
-  * per retained version, bounded by the retention horizon). */
-final case class GraftDescribeHistoryCommand(dir: String)
+/** SQL `DESCRIBE HISTORY <t> [LIMIT n]` (round 16; LIMIT round 17 —
+  * the Delta spelling): the commit log as a result set — one row per
+  * RETAINED version with exact manifest-recorded counts
+  * ([[SnapshotStore.history]]). `LIMIT n` restricts to the NEWEST n
+  * versions and, crucially, stops the driver-side collect there: only
+  * n manifests load, so the micro-batch-ingested 100k-commit table
+  * answers `DESCRIBE HISTORY t LIMIT 20` in 20 manifest reads. */
+final case class GraftDescribeHistoryCommand(dir: String,
+                                             limit: Option[Int] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
@@ -659,5 +673,5 @@ final case class GraftDescribeHistoryCommand(dir: String)
     AttributeReference("n_columns", LongType, nullable = false)(),
     AttributeReference("ts_millis", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
-    SnapshotStore.history(spark, dir).collect().toSeq
+    SnapshotStore.history(spark, dir, limit).collect().toSeq
 }

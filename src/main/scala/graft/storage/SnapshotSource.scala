@@ -67,14 +67,26 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     * the same replay guard as [[graft.streaming.StreamingSnapshotIngest]]
     * — a redelivered batch id (crash between manifest rename and offset
     * commit) is SKIPPED, so at-least-once delivery never double-appends.
-    * `partitionBy` on a table-creating stream fixes the hive layout;
-    * Append output mode only (the store IS the changelog). */
+    * `partitionBy` on a table-creating stream fixes the hive layout
+    * (append AND `mergeKeys` streams alike); Append output mode only —
+    * Update/Complete refuse as an `AnalysisException` (the store IS the
+    * changelog: an aggregation wanting Update mode should mirror
+    * through `mergeKeys` over `readChangeFeed` instead).
+    *
+    * NOTE on `maxVersionsPerTrigger` when a mirror reads its OWN output
+    * table (self-composition): each sink batch commits exactly one
+    * version, so a downstream reader capped at `maxVersionsPerTrigger=n`
+    * lags by at most `ceil(pending/n)` triggers and never skips —
+    * offsets are versions, and the cap only bounds how many commit
+    * deltas one micro-batch folds. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
-    require(outputMode == OutputMode.Append(),
-      s"graft-snapshot sink supports Append output mode only, got $outputMode")
+    if (outputMode != OutputMode.Append()) SnapshotDmlRule.analysisError(
+      s"graft-snapshot sink supports Append output mode only, got " +
+        s"$outputMode — the snapshot log IS the changelog; mirror Update-" +
+        "mode semantics with mergeKeys over a readChangeFeed stream")
     def cols(key: String): Seq[String] = parameters.get(key).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     new SnapshotSink(sqlContext.sparkSession, pathOf(parameters),
@@ -132,7 +144,10 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
         parameters.get("mergeKeys") match {
           case Some(_) => SnapshotStore.merge(spark, dir, data,
             cols("mergeKeys"),
-            operation = parameters.getOrElse("operation", "merge"))
+            operation = parameters.getOrElse("operation", "merge"),
+            // table-CREATING merge fixes the declared layout (the
+            // append-guard above already proved inheritance otherwise)
+            partitionBy = partitionBy, bloomCols = bloomCols)
           case None if !exists && (partitionBy.nonEmpty || bloomCols.nonEmpty) =>
             SnapshotStore.commit(spark, dir, data, op,
               partitionBy = partitionBy, bloomCols = bloomCols)
@@ -239,7 +254,7 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
         val ms = t.trim.toLong
         try {
           val v = SnapshotStore.versionAtTimestamp(spark, dir, ms)
-          if (SnapshotStore.manifest(spark, dir, v).ts >= ms) v else v + 1
+          if (SnapshotStore.commitInfo(spark, dir, v)._2 >= ms) v else v + 1
         } catch { case _: SnapshotStore.NoRetainedVersionAtTimestamp => 1L }
       })
       .getOrElse(1L)
@@ -276,8 +291,13 @@ final class SnapshotSink(spark: SparkSession, dir: String,
     val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(data)
     val op = f"ingest-b$batchId"
     if (mergeKeys.nonEmpty)
+      // a table-CREATING first batch fixes the declared layout here too
+      // (merge's empty-table path is a plain commit) — a CDC-mirror
+      // stream must not silently freeze an unpartitioned, bloom-less
+      // layout just because it upserts
       SnapshotStore.merge(spark, dir, batch, mergeKeys,
-        reclaimGraceMs = 0L, operation = op)
+        reclaimGraceMs = 0L, operation = op,
+        partitionBy = partitionBy, bloomCols = bloomCols)
     else if (SnapshotStore.latestVersion(spark, dir).isEmpty)
       // table-creating batch fixes the declared layout
       SnapshotStore.commit(spark, dir, batch, op,

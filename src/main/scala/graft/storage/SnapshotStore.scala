@@ -17,11 +17,27 @@ import org.apache.spark.sql.types._
   * Layout:
   * {{{
   *   <table>/data/v<version>-<op>/part-*.parquet   (immutable once committed)
-  *   <table>/_manifests/v<%08d-version>.json       (the commit log)
+  *   <table>/_manifests/v<%08d-version>.json       (the commit log: action deltas)
+  *   <table>/_manifests/v<%08d-version>.ckpt.json  (periodic full-state checkpoints)
   * }}}
   *
-  * A manifest lists the FULL data-file set of its version (snapshot
-  * isolation by construction — no log replay needed to read), the
+  * THE LOG IS INCREMENTAL (round 17 — the Delta/Iceberg action-log
+  * model): each commit's log entry records only its ACTION DELTA —
+  * added files (with their stats), removed files, and the small header
+  * (schema, layout, deletion-vector map) — so commit bytes scale with
+  * the CHANGED files, never the table's: a micro-batch append to an
+  * 800k-file table writes O(batch files) log bytes, and the log's
+  * total footprint is O(Σ changes + checkpoints), not
+  * O(commits × table files). The first commit is self-contained, a
+  * full-state checkpoint rides every [[CheckpointInterval]]-th commit
+  * (best-effort, torn-safe — a corrupt checkpoint is skipped and the
+  * replay walks one base further), and vacuum pins a strict checkpoint
+  * at the earliest retained version before dropping history, so
+  * [[manifest]] reconstructs ANY retained version from at most
+  * `CheckpointInterval` small reads.
+  *
+  * The reconstructed [[Manifest]] lists the FULL data-file set of its
+  * version (snapshot isolation — readers hold a closed state), the
   * operation that produced it, and — per data FILE — row count and
   * per-column min/max statistics collected at commit time, which is what
   * lets [[readAsOfWhere]] prune the file list BEFORE the parquet scan
@@ -59,12 +75,14 @@ import org.apache.spark.sql.types._
   * version, so two interleaved committers serialize with both commits
   * landing.
   *
-  * Scale shape: a manifest holds one line per data FILE (not per row) —
-  * a 100 TB table at 128 MB files is ~800k entries, a driver-side JSON
-  * read; stats collection at commit reads ONLY the stats columns of the
+  * Scale shape: a reconstructed state holds one entry per data FILE
+  * (not per row) — a 100 TB table at 128 MB files is ~800k entries, a
+  * driver-side fold of one checkpoint + ≤[[CheckpointInterval]] deltas;
+  * stats collection at commit reads ONLY the stats columns of the
   * NEWLY written files (a column-pruned parquet scan, O(new data), the
   * same cost class as Delta's stats collection); data files never
-  * rewrite on commit, so commit cost is O(new files). Maintenance ops
+  * rewrite on commit, so commit cost — data AND log bytes — is
+  * O(new files). Maintenance ops
   * ([[compact]], [[cluster]]) rewrite data into NEW version directories
   * and commit — readers of older versions keep their files (nothing is
   * deleted until [[vacuum]] drops versions older than the retention
@@ -102,10 +120,10 @@ object SnapshotStore {
     * fpp to ~5k distinct values per file, degrading gracefully (a
     * saturated bloom keeps files, never drops them). Only columns the
     * table DECLARES (`bloomCols` — the Delta bloom-index discipline)
-    * pay the bytes; at 800k-file scale a deployment declares its one or
-    * two id columns, bounding manifest growth to ~O(files × 10 KB) —
-    * past that, the same map would point into per-commit sidecar files
-    * (the Delta `_delta_index` shape) with zero reader-contract change. */
+    * pay the bytes, and under the round-17 action-delta log each file's
+    * bloom is written ONCE (in its add entry) plus once per periodic
+    * checkpoint — amortized O(files × 10 KB / CheckpointInterval) log
+    * bytes per commit, not a per-commit copy of every bloom. */
   final case class BloomStats(dataType: String, b64: String)
 
   /** Stats of one data file: exact row count, size in bytes (0 on
@@ -137,9 +155,14 @@ object SnapshotStore {
     * stats are consulted. */
   /** `ts` — commit wall-clock (epoch millis, recorded at the commit
     * point; 0 on pre-timestamp manifests), serving `TIMESTAMP AS OF`
-    * time travel ([[versionAtTimestamp]]). Monotonicity rides the
-    * serialized commit protocol (each commit stamps after winning the
-    * manifest race); [[versionAtTimestamp]] binary-searches on it. */
+    * time travel ([[versionAtTimestamp]]). Monotonicity is ENFORCED at
+    * the stamp, never assumed of the clock: each commit records
+    * `max(now, prior.ts + 1)` (the Delta history-manager
+    * monotonization), so an NTP step backwards or cross-host skew
+    * between the multi-writer deployments the [[LogStore]] seam targets
+    * cannot produce a non-monotone log — which is what lets
+    * [[versionAtTimestamp]] and [[vacuumOlderThan]] binary-search on it
+    * soundly. */
   /** A data file's DELETION VECTOR reference (round 16 — merge-on-read
     * point deletes, the Delta DV / Iceberg v2 position-delete shape):
     * `path` = the parquet DV file (schema `(file string, pos long)` —
@@ -175,6 +198,35 @@ object SnapshotStore {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
+
+  /** One commit's INCREMENTAL action record (round 17 — the Delta
+    * add/remove-action log model): what the version CHANGED, not what it
+    * holds. `adds` = files (re)appearing in this version with their
+    * commit-time stats, in manifest order; `removes` = prior files the
+    * version no longer references. The header fields (schema, layout,
+    * dv map) are small and copied whole — reconstruction of any version
+    * never depends on walking past its own delta for them. A commit of
+    * k new files against an 800k-file table writes O(k) bytes, and the
+    * log's total footprint is O(Σ changed files + checkpoints), not
+    * O(commits × table files) — the write-side completion of the O(1)
+    * `_latest` pointer. */
+  private[storage] final case class CommitDelta(
+      version: Long, operation: String, ts: Long,
+      schema: Option[String], partitionCols: Seq[String],
+      bloomCols: Seq[String],
+      adds: Seq[(String, Option[FileStats])], removes: Seq[String],
+      dvs: Map[String, DvRef])
+
+  /** A full-state CHECKPOINT rides every `CheckpointInterval`-th commit
+    * (`v%08d.ckpt.json`, the legacy self-contained encoding): readers
+    * reconstruct `manifest(v)` from the nearest checkpoint (or the
+    * self-contained first commit) plus at most `CheckpointInterval`
+    * action deltas — never a full log replay. Checkpoints are DERIVED
+    * data, written best-effort after the commit point and verified at
+    * read (a torn/corrupt checkpoint is skipped and the action replay
+    * walks one base further back), so they can never break a committed
+    * version — only speed it up. */
+  val CheckpointInterval: Long = 10L
 
   /** Operations whose commits rewrite existing rows into new files
     * without changing logical content — excluded from the change feed.
@@ -275,6 +327,11 @@ object SnapshotStore {
   private def manifestPath(dir: String, v: Long) =
     new Path(f"${manifestDir(dir)}/v$v%08d.json")
 
+  // `.ckpt.json` deliberately misses the `v\d{8}\.json` version-listing
+  // regex: checkpoints are derived acceleration, never commits
+  private def checkpointPath(dir: String, v: Long) =
+    new Path(f"${manifestDir(dir)}/v$v%08d.ckpt.json")
+
   private def pointerPath(dir: String) =
     new Path(s"${manifestDir(dir)}/_latest")
 
@@ -357,7 +414,8 @@ object SnapshotStore {
     * write missed are opened), one full scan on a legacy table. */
   private[graft] def maxIngestBatchId(spark: SparkSession,
                                       dir: String): Option[Long] = {
-    def op(v: Long): Long = manifest(spark, dir, v).operation match {
+    // header-only reads: the operation rides both encodings' top level
+    def op(v: Long): Long = commitInfo(spark, dir, v)._1 match {
       case IngestOp(b) => b.toLong
       case _ => -1L
     }
@@ -393,132 +451,234 @@ object SnapshotStore {
     case other => sys.error(s"unsupported stats json: $other")
   }
 
-  private def render(m: Manifest): String = {
-    val stats = JObject(m.stats.toSeq.sortBy(_._1).map { case (path, fsx) =>
-      path -> JObject(
-        "rows" -> JLong(fsx.rows),
-        "bytes" -> JLong(fsx.bytes),
-        "cols" -> JObject(fsx.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-          c -> JObject(
-            "t" -> JString(cs.dataType),
-            "min" -> cs.min.map(jValue).getOrElse(JNull),
-            "max" -> cs.max.map(jValue).getOrElse(JNull),
-            "nulls" -> cs.nulls.map(JLong(_)).getOrElse(JNothing))
-        }.toList),
-        "blooms" ->
-          (if (fsx.blooms.isEmpty) JNothing
-           else JObject(fsx.blooms.toSeq.sortBy(_._1).map { case (c, bs) =>
-             c -> JObject("t" -> JString(bs.dataType),
-               "b" -> JString(bs.b64))
-           }.toList)))
+  private def fileStatsJson(fsx: FileStats): JObject = JObject(
+    "rows" -> JLong(fsx.rows),
+    "bytes" -> JLong(fsx.bytes),
+    "cols" -> JObject(fsx.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      c -> JObject(
+        "t" -> JString(cs.dataType),
+        "min" -> cs.min.map(jValue).getOrElse(JNull),
+        "max" -> cs.max.map(jValue).getOrElse(JNull),
+        "nulls" -> cs.nulls.map(JLong(_)).getOrElse(JNothing))
+    }.toList),
+    "blooms" ->
+      (if (fsx.blooms.isEmpty) JNothing
+       else JObject(fsx.blooms.toSeq.sortBy(_._1).map { case (c, bs) =>
+         c -> JObject("t" -> JString(bs.dataType),
+           "b" -> JString(bs.b64))
+       }.toList)))
+
+  private def dvsJson(dvs: Map[String, DvRef]): JValue =
+    if (dvs.isEmpty) JNothing
+    else JObject(dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
+      f -> JObject("p" -> JString(dv.path), "n" -> JLong(dv.rows))
     }.toList)
+
+  private def headerJson(operation: String, ts: Long, schema: Option[String],
+                         partitionCols: Seq[String],
+                         bloomCols: Seq[String]): List[(String, JValue)] = List(
+    "operation" -> JString(operation),
+    "schema" -> schema.map(JString(_)).getOrElse(JNothing),
+    "partitionCols" ->
+      (if (partitionCols.isEmpty) JNothing
+       else JArray(partitionCols.map(JString(_)).toList)),
+    "ts" -> (if (ts == 0L) JNothing else JLong(ts)),
+    "bloomCols" ->
+      (if (bloomCols.isEmpty) JNothing
+       else JArray(bloomCols.map(JString(_)).toList)))
+
+  /** the SELF-CONTAINED encoding — first commits, checkpoints, and every
+    * pre-round-17 (legacy) manifest */
+  private def render(m: Manifest): String =
     JsonMethods.compact(JsonMethods.render(JObject(
-      "version" -> JLong(m.version),
-      "operation" -> JString(m.operation),
-      "files" -> JArray(m.files.map(JString(_)).toList),
-      "stats" -> stats,
-      "schema" -> m.schema.map(JString(_)).getOrElse(JNothing),
-      "partitionCols" ->
-        (if (m.partitionCols.isEmpty) JNothing
-         else JArray(m.partitionCols.map(JString(_)).toList)),
-      "ts" -> (if (m.ts == 0L) JNothing else JLong(m.ts)),
-      "bloomCols" ->
-        (if (m.bloomCols.isEmpty) JNothing
-         else JArray(m.bloomCols.map(JString(_)).toList)),
-      "dvs" ->
-        (if (m.dvs.isEmpty) JNothing
-         else JObject(m.dvs.toSeq.sortBy(_._1).map { case (f, dv) =>
-           f -> JObject("p" -> JString(dv.path), "n" -> JLong(dv.rows))
-         }.toList)))))
+      ("version" -> JLong(m.version): (String, JValue)) ::
+        ("files" -> (JArray(m.files.map(JString(_)).toList): JValue)) ::
+        ("stats" -> (JObject(m.stats.toSeq.sortBy(_._1).map { case (p, fsx) =>
+          p -> (fileStatsJson(fsx): JValue)
+        }.toList): JValue)) ::
+        ("dvs" -> dvsJson(m.dvs)) ::
+        headerJson(m.operation, m.ts, m.schema, m.partitionCols, m.bloomCols))))
+
+  /** the ACTION-DELTA encoding (round 17) — every non-first commit.
+    * `adds` is an ARRAY (order is the manifest's file order, which a
+    * JSON object would lose); each entry carries the file's stats
+    * inline, so the change feed and the incremental readers never
+    * reconstruct a full manifest just to learn what one commit added. */
+  private def renderDelta(d: CommitDelta): String =
+    JsonMethods.compact(JsonMethods.render(JObject(
+      ("version" -> JLong(d.version): (String, JValue)) ::
+        ("adds" -> (JArray(d.adds.map { case (f, st) =>
+          JObject(("f" -> (JString(f): JValue)) ::
+            st.map(s => "s" -> (fileStatsJson(s): JValue)).toList)
+        }.toList): JValue)) ::
+        ("removes" ->
+          (if (d.removes.isEmpty) JNothing
+           else JArray(d.removes.map(JString(_)).toList): JValue)) ::
+        ("dvs" -> dvsJson(d.dvs)) ::
+        headerJson(d.operation, d.ts, d.schema, d.partitionCols,
+          d.bloomCols))))
+
+  private def fileStatsOf(fv: JValue): FileStats = {
+    val rows = fv \ "rows" match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case o => sys.error(s"bad rows: $o")
+    }
+    val bytes = fv \ "bytes" match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case _ => 0L // pre-size manifest
+    }
+    val cols = fv \ "cols" match {
+      case JObject(cf) => cf.map { case (c, cv) =>
+        val t = cv \ "t" match { case JString(s) => s
+                                 case o => sys.error(s"bad col type: $o") }
+        def opt(n: String) = cv \ n match {
+          case JNull | JNothing => None
+          case j => Some(anyValue(j))
+        }
+        val nulls = cv \ "nulls" match {
+          case JLong(l) => Some(l); case JInt(i) => Some(i.toLong)
+          case _ => None // pre-null-count manifest
+        }
+        c -> ColStats(t, opt("min"), opt("max"), nulls)
+      }.toMap
+      case _ => Map.empty[String, ColStats]
+    }
+    val blooms = fv \ "blooms" match {
+      case JObject(bf) => bf.map { case (c, bv) =>
+        val t = bv \ "t" match { case JString(s) => s
+                                 case o => sys.error(s"bad bloom type: $o") }
+        val b = bv \ "b" match { case JString(s) => s
+                                 case o => sys.error(s"bad bloom bits: $o") }
+        c -> BloomStats(t, b)
+      }.toMap
+      case _ => Map.empty[String, BloomStats]
+    }
+    FileStats(rows, cols, bytes, blooms)
   }
 
+  private def dvsOf(root: JValue): Map[String, DvRef] = root \ "dvs" match {
+    case JObject(fields) => fields.map { case (f, dv) =>
+      val p = dv \ "p" match { case JString(s) => s
+                               case o => sys.error(s"bad dv path: $o") }
+      val n = dv \ "n" match { case JLong(l) => l; case JInt(i) => i.toLong
+                               case o => sys.error(s"bad dv rows: $o") }
+      f -> DvRef(p, n)
+    }.toMap
+    case _ => Map.empty[String, DvRef]
+  }
+
+  private def versionOf(root: JValue): Long = root \ "version" match {
+    case JLong(l) => l
+    case JInt(i)  => i.toLong
+    case other    => sys.error(s"manifest missing version: $other")
+  }
+
+  private def operationOf(root: JValue): String = root \ "operation" match {
+    case JString(s) => s
+    case other      => sys.error(s"manifest missing operation: $other")
+  }
+
+  private def tsOf(root: JValue): Long = root \ "ts" match {
+    case JLong(l) => l; case JInt(i) => i.toLong
+    case _ => 0L // pre-timestamp manifest
+  }
+
+  private def strArrayOf(root: JValue, n: String): Seq[String] =
+    root \ n match {
+      case JArray(xs) => xs.map { case JString(s) => s
+                                  case o => sys.error(s"bad $n entry: $o") }
+      case _ => Seq.empty
+    }
+
+  private def schemaFieldOf(root: JValue): Option[String] =
+    root \ "schema" match {
+      case JString(s) => Some(s)
+      case _ => None
+    }
+
+  /** parse the SELF-CONTAINED encoding (legacy manifests, first commits,
+    * checkpoints) */
   private[storage] def parse(json: String): Manifest = {
     val root = JsonMethods.parse(json)
-    def field(n: String): JValue = root \ n
-    val version = field("version") match {
-      case JLong(l) => l
-      case JInt(i)  => i.toLong
-      case other    => sys.error(s"manifest missing version: $other")
-    }
-    val operation = field("operation") match {
-      case JString(s) => s
-      case other      => sys.error(s"manifest missing operation: $other")
-    }
-    val files = field("files") match {
+    val files = root \ "files" match {
       case JArray(xs) => xs.map { case JString(s) => s
                                   case o => sys.error(s"bad file entry: $o") }
       case other => sys.error(s"manifest missing files: $other")
     }
-    val stats = field("stats") match {
+    val stats = root \ "stats" match {
       case JObject(fields) => fields.map { case (path, fv) =>
-        val rows = fv \ "rows" match {
-          case JLong(l) => l; case JInt(i) => i.toLong
-          case o => sys.error(s"bad rows: $o")
-        }
-        val bytes = fv \ "bytes" match {
-          case JLong(l) => l; case JInt(i) => i.toLong
-          case _ => 0L // pre-size manifest
-        }
-        val cols = fv \ "cols" match {
-          case JObject(cf) => cf.map { case (c, cv) =>
-            val t = cv \ "t" match { case JString(s) => s
-                                     case o => sys.error(s"bad col type: $o") }
-            def opt(n: String) = cv \ n match {
-              case JNull | JNothing => None
-              case j => Some(anyValue(j))
-            }
-            val nulls = cv \ "nulls" match {
-              case JLong(l) => Some(l); case JInt(i) => Some(i.toLong)
-              case _ => None // pre-null-count manifest
-            }
-            c -> ColStats(t, opt("min"), opt("max"), nulls)
-          }.toMap
-          case _ => Map.empty[String, ColStats]
-        }
-        val blooms = fv \ "blooms" match {
-          case JObject(bf) => bf.map { case (c, bv) =>
-            val t = bv \ "t" match { case JString(s) => s
-                                     case o => sys.error(s"bad bloom type: $o") }
-            val b = bv \ "b" match { case JString(s) => s
-                                     case o => sys.error(s"bad bloom bits: $o") }
-            c -> BloomStats(t, b)
-          }.toMap
-          case _ => Map.empty[String, BloomStats]
-        }
-        path -> FileStats(rows, cols, bytes, blooms)
+        path -> fileStatsOf(fv)
       }.toMap
       case _ => Map.empty[String, FileStats]
     }
-    val schema = field("schema") match {
-      case JString(s) => Some(s)
-      case _ => None
+    Manifest(versionOf(root), operationOf(root), files, stats,
+      schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
+      strArrayOf(root, "bloomCols"), dvsOf(root))
+  }
+
+  private def parseDelta(root: JValue): CommitDelta = {
+    val adds = root \ "adds" match {
+      case JArray(xs) => xs.map { av =>
+        val f = av \ "f" match { case JString(s) => s
+                                 case o => sys.error(s"bad add entry: $o") }
+        val st = av \ "s" match {
+          case JNothing | JNull => None
+          case sv => Some(fileStatsOf(sv))
+        }
+        f -> st
+      }
+      case other => sys.error(s"commit delta missing adds: $other")
     }
-    val partitionCols = field("partitionCols") match {
-      case JArray(xs) => xs.map { case JString(s) => s
-                                  case o => sys.error(s"bad partition col: $o") }
-      case _ => Seq.empty
+    CommitDelta(versionOf(root), operationOf(root), tsOf(root),
+      schemaFieldOf(root), strArrayOf(root, "partitionCols"),
+      strArrayOf(root, "bloomCols"), adds, strArrayOf(root, "removes"),
+      dvsOf(root))
+  }
+
+  /** Parse either encoding: `files` marks the self-contained form,
+    * `adds` the action delta. */
+  private[storage] def parseRaw(json: String): Either[Manifest, CommitDelta] = {
+    val root = JsonMethods.parse(json)
+    root \ "files" match {
+      case JArray(_) => Left(parse(json))
+      case _ => root \ "adds" match {
+        case JArray(_) => Right(parseDelta(root))
+        case _ => sys.error("manifest holds neither files nor adds")
+      }
     }
-    val ts = field("ts") match {
-      case JLong(l) => l; case JInt(i) => i.toLong
-      case _ => 0L // pre-timestamp manifest
-    }
-    val bloomCols = field("bloomCols") match {
-      case JArray(xs) => xs.map { case JString(s) => s
-                                  case o => sys.error(s"bad bloom col: $o") }
-      case _ => Seq.empty
-    }
-    val dvs = field("dvs") match {
-      case JObject(fields) => fields.map { case (f, dv) =>
-        val p = dv \ "p" match { case JString(s) => s
-                                 case o => sys.error(s"bad dv path: $o") }
-        val n = dv \ "n" match { case JLong(l) => l; case JInt(i) => i.toLong
-                                 case o => sys.error(s"bad dv rows: $o") }
-        f -> DvRef(p, n)
-      }.toMap
-      case _ => Map.empty[String, DvRef]
-    }
-    Manifest(version, operation, files, stats, schema, partitionCols, ts,
-      bloomCols, dvs)
+  }
+
+  /** Fold one action delta over its predecessor's full state. Carried
+    * files keep their (immutable) stats and prior order; adds append in
+    * their recorded order; the header fields are the delta's own. */
+  private[storage] def applyDelta(prior: Manifest, d: CommitDelta): Manifest = {
+    require(d.version == prior.version + 1,
+      s"delta v${d.version} cannot apply over v${prior.version} — " +
+        "reconstruction must fold contiguous versions")
+    val removed = d.removes.toSet
+    val addKeys = d.adds.map(_._1).toSet
+    val kept = prior.files.filterNot(f => removed(f) || addKeys(f))
+    val files = kept ++ d.adds.map(_._1)
+    val keptSet = kept.toSet
+    val stats = prior.stats.filter(kv => keptSet(kv._1)) ++
+      d.adds.flatMap { case (f, st) => st.map(f -> _) }
+    Manifest(d.version, d.operation, files, stats, d.schema,
+      d.partitionCols, d.ts, d.bloomCols, d.dvs)
+  }
+
+  /** The action delta between two consecutive manifests — exactly what
+    * [[applyDelta]] inverts: `applyDelta(prior, deltaOf(m, prior))`
+    * reproduces `m` up to file ORDER (carried files settle into prior
+    * order), which is why the commit loop canonicalizes through this
+    * pair before rendering anything. */
+  private[storage] def deltaOf(m: Manifest, prior: Manifest): CommitDelta = {
+    val priorSet = prior.files.toSet
+    val curSet = m.files.toSet
+    CommitDelta(m.version, m.operation, m.ts, m.schema, m.partitionCols,
+      m.bloomCols,
+      adds = m.files.filterNot(priorSet).map(f => f -> m.stats.get(f)),
+      removes = prior.files.filterNot(curSet),
+      dvs = m.dvs)
   }
 
   // round-trip hook for the property spec
@@ -791,16 +951,112 @@ object SnapshotStore {
       case _ => versions(spark, dir).lastOption
     }
 
-  /** The committed manifest of `version`. */
-  def manifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+  private def readText(f: org.apache.hadoop.fs.FileSystem,
+                       p: Path): String = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** one committed log entry, whichever encoding it carries */
+  private def readRaw(spark: SparkSession, dir: String,
+                      version: Long): Either[Manifest, CommitDelta] = {
     manifestReadCount.incrementAndGet()
     val p = manifestPath(dir, version)
     val f = fs(spark, dir)
     require(f.exists(p), s"version $version is not committed at $dir")
-    val in = f.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    parse(json)
+    parseRaw(readText(f, p))
+  }
+
+  /** the checkpoint of `version`, if present AND readable — checkpoints
+    * are derived data written best-effort, so a torn or corrupt one is
+    * skipped (the action replay walks to an earlier base), never an
+    * error */
+  private def readCheckpoint(spark: SparkSession, dir: String,
+                             version: Long): Option[Manifest] =
+    try {
+      val p = checkpointPath(dir, version)
+      val f = fs(spark, dir)
+      if (!f.exists(p)) None
+      else {
+        manifestReadCount.incrementAndGet()
+        val m = parse(readText(f, p))
+        if (m.version == version) Some(m) else None // torn/misplaced
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** deterministic full-state checkpoint of a committed version —
+    * last-writer-wins overwrite is safe because every writer renders
+    * the same bytes */
+  private def writeCheckpoint(spark: SparkSession, dir: String,
+                              m: Manifest): Unit = {
+    val out = fs(spark, dir).create(checkpointPath(dir, m.version), true)
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** HEADER-ONLY read of one commit — (operation, ts) without any state
+    * reconstruction: both encodings carry the header at top level, so
+    * the timestamp binary searches ([[versionAtTimestamp]],
+    * [[vacuumOlderThan]]) and the ingest replay guard cost one small
+    * file read per probe, not a checkpoint + delta fold. */
+  private[storage] def commitInfo(spark: SparkSession, dir: String,
+                                  version: Long): (String, Long) = {
+    manifestReadCount.incrementAndGet()
+    val p = manifestPath(dir, version)
+    val f = fs(spark, dir)
+    require(f.exists(p), s"version $version is not committed at $dir")
+    val root = JsonMethods.parse(readText(f, p))
+    (operationOf(root), tsOf(root))
+  }
+
+  /** The committed manifest of `version` — reconstructed from the
+    * nearest base at or below it: the version's own checkpoint, else
+    * walk back through action deltas to the first checkpoint or
+    * self-contained commit and fold forward. Bounded by construction:
+    * a base exists every [[CheckpointInterval]] versions (and vacuum
+    * pins one at the earliest retained version), so reconstruction
+    * reads O(interval) small files — never a log replay. */
+  def manifest(spark: SparkSession, dir: String, version: Long): Manifest =
+    readCheckpoint(spark, dir, version).getOrElse {
+      readRaw(spark, dir, version) match {
+        case Left(full) => full
+        case Right(delta) =>
+          var deltas: List[CommitDelta] = delta :: Nil
+          var w = version - 1
+          var base: Option[Manifest] = None
+          while (base.isEmpty) {
+            require(w >= 1,
+              s"version $version at $dir has no reconstruction base — " +
+                "the action log reaches below the first commit (corrupt log)")
+            base = readCheckpoint(spark, dir, w)
+            if (base.isEmpty) readRaw(spark, dir, w) match {
+              case Left(full) => base = Some(full)
+              case Right(d) => deltas = d :: deltas; w -= 1
+            }
+          }
+          deltas.foldLeft(base.get)(applyDelta)
+      }
+    }
+
+  /** The manifests of a CONTIGUOUS ascending version range, at
+    * O(range + interval) log reads: reconstruct the first, then fold
+    * each following delta forward — the shape [[history]] and
+    * [[vacuum]] need (per-version [[manifest]] calls would pay the
+    * walk-back once per version). */
+  private[storage] def manifestRange(spark: SparkSession, dir: String,
+                                     vs: Seq[Long]): Seq[Manifest] = {
+    if (vs.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer(
+      manifest(spark, dir, vs.head))
+    vs.tail.foreach { v =>
+      require(v == out.last.version + 1,
+        s"manifestRange needs contiguous versions, got $v after ${out.last.version}")
+      out += (readRaw(spark, dir, v) match {
+        case Left(full) => full
+        case Right(d) => applyDelta(out.last, d)
+      })
+    }
+    out.toSeq
   }
 
   /** the deletion-vector parquet schema: one row per deleted PHYSICAL
@@ -895,9 +1151,16 @@ object SnapshotStore {
     }.toMap
   }
 
+  /** `append = true` is for stages that ALREADY created the version dir
+    * themselves (the merge-on-read writers land their hidden `_dv`
+    * first) — the exclusive claim on the dir is the commit protocol's
+    * orphan-reclaim, not the save mode, so appending into our own
+    * freshly-claimed dir is safe. */
   private def writeData(df: DataFrame, dataDir: String,
-                        partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.ErrorIfExists)
+                        partitionCols: Seq[String],
+                        append: Boolean = false): Unit = {
+    val w = df.write.mode(
+      if (append) SaveMode.Append else SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir)
   }
@@ -966,8 +1229,10 @@ object SnapshotStore {
                          tsMillis: Long): Long = {
     val latest = latestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed version at $dir"))
-    val mLatest = manifest(spark, dir, latest)
-    if (mLatest.ts > 0L && mLatest.ts <= tsMillis) return latest
+    // HEADER-ONLY probes throughout: the binary searches need only ts,
+    // which both encodings carry at top level — no state reconstruction
+    val tsLatest = commitInfo(spark, dir, latest)._2
+    if (tsLatest > 0L && tsLatest <= tsMillis) return latest
     // earliest retained version: existence is monotone over [1, latest]
     var lo = 1L
     var hi = latest
@@ -976,21 +1241,22 @@ object SnapshotStore {
       if (manifestExists(spark, dir, mid)) hi = mid else lo = mid + 1
     }
     val earliest = lo
-    // largest version with ts <= tsMillis (ts monotone; legacy ts = 0
-    // entries sort before every real instant, preserving monotonicity)
+    // largest version with ts <= tsMillis (ts monotone — ENFORCED at
+    // the stamp; legacy ts = 0 entries sort before every real instant,
+    // preserving monotonicity)
     var a = earliest
     var b = latest
     var ans = -1L
     var ansTs = 0L
     while (a <= b) {
       val mid = a + (b - a) / 2
-      val m = manifest(spark, dir, mid)
-      if (m.ts <= tsMillis) { ans = mid; ansTs = m.ts; a = mid + 1 }
+      val midTs = commitInfo(spark, dir, mid)._2
+      if (midTs <= tsMillis) { ans = mid; ansTs = midTs; a = mid + 1 }
       else b = mid - 1
     }
     if (ans < 0) throw new NoRetainedVersionAtTimestamp(
       s"no retained version at or before timestamp $tsMillis at $dir " +
-        s"(earliest retained commit is at ${manifest(spark, dir, earliest).ts})")
+        s"(earliest retained commit is at ${commitInfo(spark, dir, earliest)._2})")
     require(ansTs > 0L,
       s"version $ans predates commit timestamps — TIMESTAMP AS OF needs " +
         "a timestamped log")
@@ -1022,13 +1288,20 @@ object SnapshotStore {
       s"version $v in ($fromVersion, $toVersion] is not retained at $dir — " +
         "the change feed needs every manifest in the range"))
     (fromVersion + 1 to toVersion).flatMap { v =>
-      val m = manifest(spark, dir, v)
-      if (RewriteOps(m.operation)) Seq.empty
-      else {
-        val prev: Set[String] =
-          if (v - 1 >= 1) manifest(spark, dir, v - 1).files.toSet
-          else Set.empty
-        m.files.filterNot(prev)
+      // the action-delta encoding answers "what did v add" in ONE small
+      // read; only legacy self-contained entries still diff against the
+      // predecessor's reconstructed state
+      readRaw(spark, dir, v) match {
+        case Right(d) =>
+          if (RewriteOps(d.operation)) Seq.empty else d.adds.map(_._1)
+        case Left(m) =>
+          if (RewriteOps(m.operation)) Seq.empty
+          else {
+            val prev: Set[String] =
+              if (v - 1 >= 1) manifest(spark, dir, v - 1).files.toSet
+              else Set.empty
+            m.files.filterNot(prev)
+          }
       }
     }
   }
@@ -1060,11 +1333,15 @@ object SnapshotStore {
                             fromVersion: Long, toVersion: Long,
                             pred: FilePredicate): DataFrame = {
     val files = changedFiles(spark, dir, fromVersion, toVersion)
-    // stats live in each file's OWN commit manifest; toVersion's
-    // manifest carries them all forward for append chains, but rewrite
-    // interleavings can drop carried stats, so consult the whole range
+    // stats live in each file's OWN commit entry; toVersion's state
+    // carries them forward for append chains, but rewrite interleavings
+    // can drop carried stats, so consult the whole range — one small
+    // read per version (the delta's adds carry their stats inline)
     val stats = (math.max(1L, fromVersion) to toVersion)
-      .flatMap(v => manifest(spark, dir, v).stats).toMap
+      .flatMap(v => readRaw(spark, dir, v) match {
+        case Right(d) => d.adds.flatMap { case (f, st) => st.map(f -> _) }
+        case Left(m) => m.stats.toSeq
+      }).toMap
     val keep = files.filter(f => stats.get(f).forall(pred.mightMatch))
     if (keep.isEmpty) readAsOf(spark, dir, toVersion)
       .filter(pred.toColumn).limit(0)
@@ -1212,10 +1489,16 @@ object SnapshotStore {
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
     if (marked == 0L) return cur
-    val total = math.max(1L, touched.map(f =>
-      m.stats.get(f).map(_.rows).getOrElse(Long.MaxValue / touched.length))
-      .sum - touched.flatMap(m.dvs.get).map(_.rows).sum)
-    if (marked.toDouble / total <= DvAutoThreshold)
+    // a touched file without row stats (legacy pre-stats manifest)
+    // makes the marked fraction unmeasurable — fall back to
+    // copy-on-write (correct at any width) rather than guess: a
+    // substituted ceiling would drive marked/total towards 0 and route
+    // even a delete-everything onto the vector path, where every later
+    // read pays a probe per row for no byte savings
+    val statless = touched.exists(f => !m.stats.contains(f))
+    val total = math.max(1L, touched.flatMap(m.stats.get).map(_.rows).sum -
+      touched.flatMap(m.dvs.get).map(_.rows).sum)
+    if (!statless && marked.toDouble / total <= DvAutoThreshold)
       deleteConditionDv(spark, dir, rowCond, prune, reclaimGraceMs)
     else deleteCondition(spark, dir, rowCond, prune, reclaimGraceMs)
   }
@@ -1263,54 +1546,107 @@ object SnapshotStore {
       val touched = m.files.filter(f =>
         prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
       val touchedSet = touched.toSet
-      val newDvDir = s"$dataDir/_dv"
+      // the DvRef path is recorded fs-QUALIFIED: a relative table dir
+      // would otherwise record a relative vector path that vacuum's
+      // qualified-listing prefix check could never match — and the
+      // version dir of a DV-only commit (no data files) would be
+      // reclaimed out from under the retained manifest's vector
+      val newDvDir = fs(spark, dir)
+        .makeQualified(new Path(s"$dataDir/_dv")).toString
       val countsByKey: Map[String, Long] =
         if (touched.isEmpty) Map.empty
         else {
-          // physical (file, pos) of rows the condition marks among the
-          // LIVE rows (prior vectors applied by anti-join below); the
-          // metadata columns materialize BEFORE any join so provenance
-          // stays the scanned file's
-          val withMeta = rawReadFiles(spark, dir, m, touched)
-            .withColumn("__dv_file", col("_metadata.file_path"))
-            .withColumn("__dv_pos", col("_metadata.row_index"))
-          val oldDvFiles = touched.flatMap(f => m.dvs.get(f).map(_.path)).distinct
-          lazy val oldEntries = spark.read.schema(DvSchema)
-            .parquet(oldDvFiles: _*) // only forced when oldDvFiles nonempty
-          val live =
-            if (oldDvFiles.isEmpty) withMeta
-            else withMeta.join(broadcast(oldEntries
-              .withColumnRenamed("file", "__dv_file")
-              .withColumnRenamed("pos", "__dv_pos")),
-              Seq("__dv_file", "__dv_pos"), "left_anti")
-          val newMarks = live.filter(coalesce(rowCond, lit(false)))
-            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-          // the new vector file = prior entries of the touched files'
-          // vectors plus the fresh marks (chained deletes FOLD — each
-          // data file references exactly one vector); entries a shared
-          // old vector holds for untouched files copy along harmlessly
-          // (their refs still point at the old file; the anti-join is
-          // equality-keyed)
-          val allMarks =
-            (if (oldDvFiles.isEmpty) newMarks
-             else oldEntries.unionByName(newMarks)).distinct()
-          // DV bytes ∝ marked positions — one small file by design
-          // (wide deletes belong on the CoW path)
-          allMarks.repartition(1).write.parquet(newDvDir)
-          spark.read.schema(DvSchema).parquet(newDvDir)
-            .groupBy(col("file")).agg(count(lit(1)).as("n"))
-            .collect() // bounded: one row per marked file
-            .map(r => pathKey(r.getString(0)) -> r.getLong(1)).toMap
+          val live = liveWithProvenance(spark, dir, m, touched)
+          writeFoldedVector(spark, m, touched,
+            live.filter(coalesce(rowCond, lit(false)))
+              .select(col("__dv_file").as("file"),
+                col("__dv_pos").as("pos")), newDvDir)
         }
-      val updated: Map[String, DvRef] = m.files.flatMap { f =>
-        countsByKey.get(pathKey(f)) match {
-          case Some(n) if touchedSet(f) => Some(f -> DvRef(newDvDir, n))
-          case _ => m.dvs.get(f).map(f -> _)
-        }
-      }.toMap
+      val updated = foldDvRefs(m, touchedSet, countsByKey, newDvDir)
+      // a delete that would mask EVERY live row is refused like the
+      // copy-on-write path refuses it (a committed version holds at
+      // least one data file with live rows) — committing it would wedge
+      // the table: purgeVectors and compact rewrite to zero files and
+      // cannot commit, so the all-masking vector could never retire
+      if (m.files.forall(m.stats.contains)) {
+        val physical = m.files.map(f => m.stats(f).rows).sum
+        val masked = m.files.flatMap(updated.get).map(_.rows).sum
+        require(masked < physical,
+          s"delete would mask every live row of $dir — deleting the whole " +
+            "table is refused (drop the table directory instead)")
+      }
       Staged(m.files, m.stats, Some(updated))
     }
   }
+
+  /** LIVE rows of `touched` files with their physical provenance as
+    * ordinary columns (`__dv_file`, `__dv_pos`): metadata materializes
+    * BEFORE any join so provenance stays the scanned file's, and the
+    * files' prior vectors are applied by the standard broadcast
+    * anti-join — the shared front half of every merge-on-read WRITE
+    * (DV delete / update / merge). */
+  private def liveWithProvenance(spark: SparkSession, dir: String,
+                                 m: Manifest,
+                                 touched: Seq[String]): DataFrame = {
+    val withMeta = rawReadFiles(spark, dir, m, touched)
+      .withColumn("__dv_file", col("_metadata.file_path"))
+      .withColumn("__dv_pos", col("_metadata.row_index"))
+    val oldDvFiles = touched.flatMap(f => m.dvs.get(f).map(_.path)).distinct
+    if (oldDvFiles.isEmpty) withMeta
+    else withMeta.join(broadcast(spark.read.schema(DvSchema)
+      .parquet(oldDvFiles: _*)
+      .withColumnRenamed("file", "__dv_file")
+      .withColumnRenamed("pos", "__dv_pos")),
+      Seq("__dv_file", "__dv_pos"), "left_anti")
+  }
+
+  /** Write the FOLDED vector of `touched` files into `newDvDir`: prior
+    * entries of the touched files' vectors plus the fresh `newMarks`
+    * (`(file, pos)` in `_metadata` spelling) — chained merge-on-read
+    * commits FOLD, so each data file references exactly ONE vector.
+    * Entries a SHARED old vector holds for untouched files are filtered
+    * out first: those files keep referencing the old vector, and
+    * copying their entries forward would duplicate them into every
+    * later fold — unbounded growth across chained mutations. The filter
+    * set is bounded (one distinct spelling per marked file, matched
+    * through pathKey — manifest vs `_metadata` spellings differ only in
+    * scheme). Returns per-file mark counts keyed by pathKey. DV bytes
+    * ∝ marked positions — one small file by design (wide mutations
+    * belong on the copy-on-write path). */
+  private def writeFoldedVector(spark: SparkSession, m: Manifest,
+                                touched: Seq[String], newMarks: DataFrame,
+                                newDvDir: String): Map[String, Long] = {
+    val oldDvFiles = touched.flatMap(f => m.dvs.get(f).map(_.path)).distinct
+    val touchedKeys = touched.map(pathKey).toSet
+    val allMarks =
+      (if (oldDvFiles.isEmpty) newMarks
+       else {
+         val oldEntries = spark.read.schema(DvSchema).parquet(oldDvFiles: _*)
+         val keptSpellings = oldEntries.select(col("file")).distinct()
+           .collect() // bounded: one row per marked file
+           .map(_.getString(0)).filter(s => touchedKeys(pathKey(s)))
+         if (keptSpellings.isEmpty) newMarks
+         else oldEntries.filter(col("file").isin(
+           keptSpellings.toSeq: _*)).unionByName(newMarks)
+       }).distinct()
+    allMarks.repartition(1).write.parquet(newDvDir)
+    spark.read.schema(DvSchema).parquet(newDvDir)
+      .groupBy(col("file")).agg(count(lit(1)).as("n"))
+      .collect() // bounded: one row per marked file
+      .map(r => pathKey(r.getString(0)) -> r.getLong(1)).toMap
+  }
+
+  /** the new version's dv map: touched files with fresh marks point at
+    * the new folded vector; everything else carries its prior ref */
+  private def foldDvRefs(m: Manifest, touchedSet: Set[String],
+                         countsByKey: Map[String, Long],
+                         newDvDir: String): Map[String, DvRef] =
+    m.files.flatMap { f =>
+      countsByKey.get(pathKey(f)) match {
+        case Some(n) if touchedSet(f) => Some(f -> DvRef(newDvDir, n))
+        case _ => m.dvs.get(f).map(f -> _)
+      }
+    }.toMap
 
   /** Copy-on-write row UPDATE (round 15 — the third of the SQL DML triad):
     * commit a new version (operation `update`) where rows matching
@@ -1324,6 +1660,23 @@ object SnapshotStore {
     * update commits nothing. Updating a PARTITION column moves rows to
     * their new `col=value` directories naturally (the rewrite is a
     * partitioned write). */
+  /** resolve UPDATE assignment targets against the committed schema —
+    * an unknown column must refuse, never silently append one */
+  private def resolveAssignments(spark: SparkSession, m0: Manifest,
+                                 assignments: Seq[(String, Column)])
+      : Seq[(String, DataType, Column)] = {
+    val cs = caseSensitive(spark)
+    val schema0 = m0.schemaStruct.getOrElse(
+      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+    assignments.map { case (c, v) =>
+      val f = schema0.fields.find(fl =>
+        if (cs) fl.name == c else fl.name.equalsIgnoreCase(c))
+        .getOrElse(sys.error(s"update assigns unknown column $c — " +
+          "add columns through commitAppend/merge schema evolution"))
+      (f.name, f.dataType, v)
+    }
+  }
+
   private[graft] def updateCondition(spark: SparkSession, dir: String,
                                      rowCond: Column,
                                      prune: Option[FilePredicate],
@@ -1333,18 +1686,7 @@ object SnapshotStore {
     val cur = latestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
-    val cs = caseSensitive(spark)
-    // resolve assignment targets against the committed schema — an
-    // unknown column must refuse, never silently append one
-    val schema0 = m0.schemaStruct.getOrElse(
-      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
-    val resolved = assignments.map { case (c, v) =>
-      val f = schema0.fields.find(fl =>
-        if (cs) fl.name == c else fl.name.equalsIgnoreCase(c))
-        .getOrElse(sys.error(s"update assigns unknown column $c — " +
-          "add columns through commitAppend/merge schema evolution"))
-      (f.name, f.dataType, v)
-    }
+    val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
       if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
         return cur // stats prove no row matches: nothing to rewrite
@@ -1380,6 +1722,102 @@ object SnapshotStore {
     }
   }
 
+  /** MERGE-ON-READ row UPDATE (round 17 — deletion vectors extended to
+    * the second DML verb): instead of rewriting every file that might
+    * hold a match, commit a version that CARRIES every data file,
+    * vectors the matched PRE-IMAGE positions (folded like
+    * [[deleteWhereDv]]'s), and APPENDS only the POST-IMAGE rows as new
+    * files — a 1-row UPDATE in a 128 MB file writes O(1) data rows +
+    * O(marks) vector bytes, not O(file). Same SQL UPDATE semantics as
+    * the copy-on-write path: every right-hand side (and the condition)
+    * evaluates against the pre-update row, null conditions leave rows
+    * untouched, values cast to committed types; updating a PARTITION
+    * column lands post-images under their new `col=value` dirs
+    * naturally. The row-grain CDF derives from snapshots, so
+    * update_preimage/postimage surface identically on both paths
+    * (parity spec'd). Any later rewrite of a vectored file materializes
+    * the masks away, exactly as for DV deletes. */
+  private[graft] def updateConditionDv(spark: SparkSession, dir: String,
+                                       rowCond: Column,
+                                       prune: Option[FilePredicate],
+                                       assignments: Seq[(String, Column)],
+                                       reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(assignments.nonEmpty, "update needs at least one assignment")
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    val resolved = resolveAssignments(spark, m0, assignments)
+    prune.foreach { p =>
+      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+        return cur // stats prove no row matches: nothing to mark
+    }
+    commitStagedFull(spark, dir, "update-dv", reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = m.files.filter(f =>
+        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touchedSet = touched.toSet
+      val newDvDir = fs(spark, dir)
+        .makeQualified(new Path(s"$dataDir/_dv")).toString
+      val countsByKey: Map[String, Long] =
+        if (touched.isEmpty) Map.empty
+        else {
+          val hit = liveWithProvenance(spark, dir, m, touched)
+            .filter(coalesce(rowCond, lit(false)))
+          val counts = writeFoldedVector(spark, m, touched,
+            hit.select(col("__dv_file").as("file"),
+              col("__dv_pos").as("pos")), newDvDir)
+          if (counts.nonEmpty) {
+            // POST-IMAGE rows append as the version's new data files.
+            // Right-hand sides evaluate against the pre-image: stage
+            // them as temp columns FIRST, then swap in (`SET a = b,
+            // b = a` must exchange, not chain).
+            val tmp = resolved.zipWithIndex.map { case ((c, t, v), i) =>
+              (c, t, s"__upd_$i", v)
+            }
+            val stagedDf = tmp.foldLeft(hit) {
+              case (df, (_, t, tc, v)) => df.withColumn(tc, v.cast(t))
+            }
+            val post = tmp.foldLeft(stagedDf) { case (df, (c, _, tc, _)) =>
+              df.withColumn(c, col(tc))
+            }.drop(tmp.map(_._3): _*).drop("__dv_file", "__dv_pos")
+            writeData(post, dataDir, m.partitionCols, append = true)
+          }
+          counts
+        }
+      Staged(m.files, m.stats,
+        Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
+    }
+  }
+
+  /** Measured AUTO-dispatch between the DV and CoW update paths — the
+    * SQL `UPDATE` route, mirroring [[deleteConditionAuto]]: one counting
+    * scan of the stats-pruned touched files decides (matched == 0 → no
+    * commit at all; matched ≤ [[DvAutoThreshold]] of the touched live
+    * rows → [[updateConditionDv]]; else, or when any touched file lacks
+    * row stats, → copy-on-write [[updateCondition]]). */
+  private[graft] def updateConditionAuto(spark: SparkSession, dir: String,
+                                         rowCond: Column,
+                                         prune: Option[FilePredicate],
+                                         assignments: Seq[(String, Column)],
+                                         reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m = manifest(spark, dir, cur)
+    resolveAssignments(spark, m, assignments) // refuse unknown targets first
+    val touched = m.files.filter(f =>
+      prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+    if (touched.isEmpty) return cur
+    val marked = readFiles(spark, dir, m, touched)
+      .filter(coalesce(rowCond, lit(false))).count()
+    if (marked == 0L) return cur
+    val statless = touched.exists(f => !m.stats.contains(f))
+    val total = math.max(1L, touched.flatMap(m.stats.get).map(_.rows).sum -
+      touched.flatMap(m.dvs.get).map(_.rows).sum)
+    if (!statless && marked.toDouble / total <= DvAutoThreshold)
+      updateConditionDv(spark, dir, rowCond, prune, assignments, reclaimGraceMs)
+    else updateCondition(spark, dir, rowCond, prune, assignments, reclaimGraceMs)
+  }
+
   /** Copy-on-write MERGE (upsert) keyed on `keyCols`: rows of `delta`
     * REPLACE same-key rows of the latest version; new-key rows APPEND —
     * one new version (operation `merge`), atomic like every commit.
@@ -1400,15 +1838,22 @@ object SnapshotStore {
     * delta rows would all survive — dedup first, e.g.
     * [[graft.operators.ChangeFeed.dedupLatest]]); an empty delta is a
     * no-op returning the current version. With no committed version this
-    * is [[commit]]. The change feed surfaces rewritten files (CoW CDC
-    * grain — see [[deleteWhere]]). */
+    * is [[commit]] — `partitionBy`/`bloomCols` apply to exactly that
+    * table-CREATING case (a CDC-mirror stream's first batch fixes the
+    * hive layout and bloom declaration) and are ignored once a layout
+    * is committed (inheritance, like every carry-style commit). The
+    * change feed surfaces rewritten files (CoW CDC grain — see
+    * [[deleteWhere]]). */
   def merge(spark: SparkSession, dir: String, delta: DataFrame,
             keyCols: Seq[String],
             reclaimGraceMs: Long = DefaultReclaimGraceMs,
-            operation: String = "merge"): Long = {
+            operation: String = "merge",
+            partitionBy: Seq[String] = Seq.empty,
+            bloomCols: Seq[String] = Seq.empty): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
-      return commit(spark, dir, delta, operation, reclaimGraceMs)
+      return commit(spark, dir, delta, operation, reclaimGraceMs,
+        partitionBy = partitionBy, bloomCols = bloomCols)
     preValidateEvolution(spark, dir, delta)
     // MATERIALIZE the delta before anything reads it: the plan evaluates
     // several times (key envelope, anti-join, union write, lost-race
@@ -1423,29 +1868,8 @@ object SnapshotStore {
     if (weCached)
       delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      // the delta's key envelope — one bounded (single-row) aggregation;
-      // the exact distinct-key count rides it, so duplicate-key deltas
-      // refuse BEFORE any commit (ANSI/Delta MERGE's "cannot update the
-      // same row twice": both copies would survive the anti-join+union
-      // and silently break the unique-key invariant readRowChanges and
-      // startUpsert rely on)
-      val aggs = (count(lit(1)).as("__n") +:
-        keyCols.flatMap(k => Seq(
-          min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
-          count(when(col(k).isNull, 1)).as(s"__nulls_$k")))) :+
-        countDistinct(struct(keyCols.map(col): _*)).as("__kd")
-      val env = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
-      if (env.getLong(0) == 0L)
-        return latestVersion(spark, dir).get // empty delta: no-op
-      val pred = keyCols.zipWithIndex.map { case (k, i) =>
-        require(env.getLong(1 + 3 * i + 2) == 0L,
-          s"merge key column $k holds null values — keys must be non-null")
-        FilePredicate.between(k, env.get(1 + 3 * i), env.get(1 + 3 * i + 1))
-          : FilePredicate
-      }.reduce(FilePredicate.And(_, _))
-      require(env.getLong(env.length - 1) == env.getLong(0),
-        s"merge delta holds duplicate keys on (${keyCols.mkString(", ")}) — " +
-          "a key may map to ONE row; dedup first (e.g. ChangeFeed.dedupLatest)")
+      val pred = mergeEnvelope(delta, keyCols).getOrElse(
+        return latestVersion(spark, dir).get) // empty delta: no-op
       commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
         val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
         val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
@@ -1461,6 +1885,129 @@ object SnapshotStore {
           dataDir, m.partitionCols)
         (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
       }
+    } finally if (weCached) delta.unpersist()
+  }
+
+  /** The delta's key ENVELOPE as a write-side file predicate — one
+    * bounded (single-row) aggregation. The exact distinct-key count
+    * rides it, so duplicate-key deltas refuse BEFORE any commit
+    * (ANSI/Delta MERGE's "cannot update the same row twice": both
+    * copies would survive and silently break the unique-key invariant
+    * readRowChanges and startUpsert rely on); null keys refuse too.
+    * None = empty delta (a no-op at every call site). */
+  private def mergeEnvelope(delta: DataFrame,
+                            keyCols: Seq[String]): Option[FilePredicate] = {
+    val aggs = (count(lit(1)).as("__n") +:
+      keyCols.flatMap(k => Seq(
+        min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k"),
+        count(when(col(k).isNull, 1)).as(s"__nulls_$k")))) :+
+      countDistinct(struct(keyCols.map(col): _*)).as("__kd")
+    val env = delta.agg(aggs.head, aggs.tail: _*).collect()(0)
+    if (env.getLong(0) == 0L) return None
+    val pred = keyCols.zipWithIndex.map { case (k, i) =>
+      require(env.getLong(1 + 3 * i + 2) == 0L,
+        s"merge key column $k holds null values — keys must be non-null")
+      FilePredicate.between(k, env.get(1 + 3 * i), env.get(1 + 3 * i + 1))
+        : FilePredicate
+    }.reduce(FilePredicate.And(_, _))
+    require(env.getLong(env.length - 1) == env.getLong(0),
+      s"merge delta holds duplicate keys on (${keyCols.mkString(", ")}) — " +
+        "a key may map to ONE row; dedup first (e.g. ChangeFeed.dedupLatest)")
+    Some(pred)
+  }
+
+  /** MERGE-ON-READ upsert (round 17 — deletion vectors extended to the
+    * third DML verb): the same contract as [[merge]], executed as ONE
+    * commit that CARRIES every data file, vectors the matched (replaced)
+    * rows' pre-image positions in the envelope-touched files, and
+    * appends the WHOLE delta as new files — an upsert whose keys hit a
+    * sliver of each touched file writes O(delta + marks) bytes instead
+    * of rewriting every touched file. Readers, CDF, and purge behave
+    * exactly as for DV deletes; prefer [[merge]] (copy-on-write) when
+    * the delta replaces most rows of the files it touches —
+    * [[mergeAuto]] measures and picks. */
+  def mergeDv(spark: SparkSession, dir: String, delta: DataFrame,
+              keyCols: Seq[String],
+              reclaimGraceMs: Long = DefaultReclaimGraceMs,
+              operation: String = "merge-dv"): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    if (latestVersion(spark, dir).isEmpty)
+      return commit(spark, dir, delta, operation, reclaimGraceMs)
+    preValidateEvolution(spark, dir, delta)
+    val weCached = !org.apache.spark.sql.graft.CacheBridge.isCached(delta)
+    if (weCached)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pred = mergeEnvelope(delta, keyCols).getOrElse(
+        return latestVersion(spark, dir).get) // empty delta: no-op
+      commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
+        val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+        val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+        val touchedSet = touched.toSet
+        val newDvDir = fs(spark, dir)
+          .makeQualified(new Path(s"$dataDir/_dv")).toString
+        val countsByKey: Map[String, Long] =
+          if (touched.isEmpty) Map.empty
+          else {
+            // pre-image positions of the REPLACED rows: live rows of the
+            // touched files whose key appears in the delta (semi-join on
+            // the key projection — broadcast by AQE for typical deltas)
+            val marks = liveWithProvenance(spark, dir, m, touched)
+              .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
+              .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+            writeFoldedVector(spark, m, touched, marks, newDvDir)
+          }
+        // the whole delta appends — replacements AND new keys — exactly
+        // the bytes the caller handed in (append mode: the hidden `_dv`
+        // write above already created our claimed version dir)
+        writeData(delta, dataDir, m.partitionCols, append = true)
+        Staged(m.files, m.stats,
+          Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
+      }
+    } finally if (weCached) delta.unpersist()
+  }
+
+  /** Measured AUTO-dispatch between the DV and CoW merge paths — the
+    * SQL `MERGE INTO` route, completing the DML triad's dispatch
+    * symmetry ([[deleteConditionAuto]], [[updateConditionAuto]]): one
+    * key-projection counting join over the envelope-touched files
+    * decides — matched ≤ [[DvAutoThreshold]] of their live rows →
+    * [[mergeDv]] (carry + vector + append); wider, stats-less touched
+    * files, or an empty touched set → copy-on-write [[merge]]. The
+    * count costs one column-pruned scan + semi-join, the same class as
+    * either path's own anti/semi-join. */
+  def mergeAuto(spark: SparkSession, dir: String, delta: DataFrame,
+                keyCols: Seq[String],
+                reclaimGraceMs: Long = DefaultReclaimGraceMs,
+                operation: String = "merge",
+                partitionBy: Seq[String] = Seq.empty,
+                bloomCols: Seq[String] = Seq.empty): Long = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    if (latestVersion(spark, dir).isEmpty)
+      return merge(spark, dir, delta, keyCols, reclaimGraceMs, operation,
+        partitionBy, bloomCols)
+    val weCached = !org.apache.spark.sql.graft.CacheBridge.isCached(delta)
+    if (weCached)
+      delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cur = latestVersion(spark, dir).get
+      val m = manifest(spark, dir, cur)
+      val pred = mergeEnvelope(delta, keyCols).getOrElse(return cur)
+      val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+      val statless = touched.exists(f => !m.stats.contains(f))
+      val dv = touched.nonEmpty && !statless && {
+        val matched = liveWithProvenance(spark, dir, m, touched)
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
+          .count()
+        val total = math.max(1L,
+          touched.flatMap(m.stats.get).map(_.rows).sum -
+            touched.flatMap(m.dvs.get).map(_.rows).sum)
+        matched.toDouble / total <= DvAutoThreshold
+      }
+      if (dv)
+        mergeDv(spark, dir, delta, keyCols, reclaimGraceMs,
+          if (operation == "merge") "merge-dv" else operation)
+      else merge(spark, dir, delta, keyCols, reclaimGraceMs, operation)
     } finally if (weCached) delta.unpersist()
   }
 
@@ -1791,14 +2338,32 @@ object SnapshotStore {
         val schema = schemaOverride.getOrElse(
           versionSchema(spark, prior, carryFiles,
             newDf.map(d => asNullableSchema(d.schema))))
+        // monotonized stamp: a clock step backwards (NTP, cross-host
+        // skew) must never yield ts <= the prior commit's — the
+        // TIMESTAMP AS OF binary search and age-based vacuum both rely
+        // on monotone timestamps (the Delta monotonization)
+        val tsNow = math.max(System.currentTimeMillis(),
+          prior.map(_.ts + 1).getOrElse(1L))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
           carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap, bCols))
             .getOrElse(Map.empty),
-          Some(schema.json), pCols, ts = System.currentTimeMillis(),
+          Some(schema.json), pCols, ts = tsNow,
           bloomCols = bCols, dvs = dvMap)
         require(staged.files.nonEmpty,
           s"commit of version $v wrote no data files")
-        staged
+        // ENCODING (round 17): the first commit is self-contained (the
+        // base every replay bottoms out on); every later commit logs
+        // only its ACTION DELTA — O(changed files) bytes, never
+        // O(table files). The in-memory manifest is canonicalized
+        // through the same delta application readers use, so the state
+        // this commit acts on and the state any later reconstruction
+        // yields are one and the same by construction.
+        prior match {
+          case Some(p0) =>
+            val d = deltaOf(staged, p0)
+            (applyDelta(p0, d), renderDelta(d))
+          case None => (staged, render(staged))
+        }
       } catch { case e: Throwable =>
         f.delete(dataPath, true)
         throw e
@@ -1809,7 +2374,14 @@ object SnapshotStore {
       val md = new Path(manifestDir(dir))
       if (!f.exists(md)) f.mkdirs(md)
       val fin = manifestPath(dir, v)
-      if (logStore.putIfAbsent(f, fin, render(m).getBytes("UTF-8"))) {
+      if (logStore.putIfAbsent(f, fin, m._2.getBytes("UTF-8"))) {
+        // best-effort full-state checkpoint every CheckpointInterval
+        // commits — derived acceleration written AFTER the commit
+        // point (a crash here costs the next reader a slightly longer
+        // action replay, never a committed version)
+        if (v % CheckpointInterval == 0L)
+          try writeCheckpoint(spark, dir, m._1)
+          catch { case scala.util.control.NonFatal(_) => () }
         // refresh the checkpoint pointer — a HINT written after the
         // commit point (a crash here only costs the next reader a short
         // forward probe). The commit already knows v, its own operation
@@ -1828,7 +2400,7 @@ object SnapshotStore {
             var acc = p.maxIngestBatch
             var w = p.version + 1
             while (w < v) {
-              acc = math.max(acc, manifest(spark, dir, w).operation match {
+              acc = math.max(acc, commitInfo(spark, dir, w)._1 match {
                 case IngestOp(b) => b.toLong
                 case _ => -1L
               })
@@ -1838,7 +2410,7 @@ object SnapshotStore {
           case _ => // legacy/vacuumed pointer: one full scan seeds it
             val acc = versions(spark, dir).filter(_ < v)
               .foldLeft(-1L)((m0, w) =>
-                math.max(m0, manifest(spark, dir, w).operation match {
+                math.max(m0, commitInfo(spark, dir, w)._1 match {
                   case IngestOp(b) => b.toLong
                   case _ => -1L
                 }))
@@ -1964,14 +2536,23 @@ object SnapshotStore {
     * (version, operation, n_files, n_rows, n_bytes, n_columns). Rows and
     * bytes sum the manifest's per-file stats (exact for every version
     * this engine committed; legacy entries without stats contribute 0).
-    * Driver work is one manifest read per retained version — the
-    * DESCRIBE HISTORY of the store. */
-  def history(spark: SparkSession, dir: String): DataFrame = {
+    * Driver work is one manifest read per SURFACED version — `limit`
+    * (the `DESCRIBE HISTORY ... LIMIT n` operand, matching Delta)
+    * restricts to the NEWEST n versions and reads only those, so the
+    * 100k-commit streaming table answers a `LIMIT 20` without loading
+    * 100k manifests into the driver. */
+  def history(spark: SparkSession, dir: String,
+              limit: Option[Int] = None): DataFrame = {
     import spark.implicits._
-    versions(spark, dir).map { v =>
-      val m = manifest(spark, dir, v)
+    limit.foreach(n => require(n >= 1, s"LIMIT must be >= 1, got $n"))
+    val all = versions(spark, dir)
+    val vs = limit.map(n => all.takeRight(n)).getOrElse(all)
+    // forward reconstruction: first version pays the walk-back once,
+    // each following version is one delta fold — O(surfaced + interval)
+    // log reads, never one walk-back per version
+    manifestRange(spark, dir, vs).map { m =>
       // live rows = physical rows minus deletion-vector masks
-      (v, m.operation, m.files.length.toLong,
+      (m.version, m.operation, m.files.length.toLong,
         m.stats.values.map(_.rows).sum - m.dvs.values.map(_.rows).sum,
         m.stats.values.map(_.bytes).sum,
         m.schemaStruct.map(_.fields.length.toLong).getOrElse(0L),
@@ -2063,7 +2644,7 @@ object SnapshotStore {
     var hi = vs.length
     while (lo < hi) {
       val mid = (lo + hi) / 2
-      if (manifest(spark, dir, vs(mid)).ts >= cutoffMs) hi = mid
+      if (commitInfo(spark, dir, vs(mid))._2 >= cutoffMs) hi = mid
       else lo = mid + 1
     }
     vacuum(spark, dir, math.max(1, vs.length - lo))
@@ -2087,20 +2668,36 @@ object SnapshotStore {
       val maxIngest = maxIngestBatchId(spark, dir).getOrElse(-1L)
       writePointer(spark, dir, Pointer(latest, maxIngest))
     }
-    drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    val keptManifests = keep.map(v => manifest(spark, dir, v))
+    // reconstruct the retained states BEFORE any log entry is dropped
+    val keptManifests = manifestRange(spark, dir, keep)
+    // the earliest retained version becomes the log's new replay BASE:
+    // its action delta (if any) references predecessors about to drop,
+    // so a full-state checkpoint is pinned there FIRST — and unlike the
+    // interval checkpoints this one is load-bearing, so its write is
+    // strict (any failure aborts the vacuum with the log intact)
+    if (drop.nonEmpty) keptManifests.headOption.foreach { base =>
+      if (readCheckpoint(spark, dir, base.version).isEmpty)
+        writeCheckpoint(spark, dir, base)
+    }
+    drop.foreach { v =>
+      f.delete(manifestPath(dir, v), false)
+      f.delete(checkpointPath(dir, v), false) // derived; drops with it
+    }
     val referenced = keptManifests.flatMap(_.files).toSet
     // deletion-vector files referenced by retained manifests must
     // survive too — a DV-only commit's version dir holds NO data files
     // (only the hidden `_dv`), so the reclaim check consults dv paths
-    // by URI prefix, not the (hidden-filtered) data listing
+    // by URI prefix, not the (hidden-filtered) data listing. BOTH sides
+    // qualify through the filesystem first: legacy refs recorded from a
+    // relative table dir must still match the qualified listing paths.
     val referencedDvPaths = keptManifests
-      .flatMap(_.dvs.values.map(dv => new Path(dv.path).toUri.getPath)).toSet
+      .flatMap(_.dvs.values.map(dv =>
+        f.makeQualified(new Path(dv.path)).toUri.getPath)).toSet
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { st =>
         val files = listParquet(spark, st.getPath.toString)
-        val dirPath = st.getPath.toUri.getPath
+        val dirPath = f.makeQualified(st.getPath).toUri.getPath
         val holdsDv = referencedDvPaths.exists(p =>
           p == dirPath || p.startsWith(dirPath + "/"))
         if (files.forall(p => !referenced.contains(p)) && !holdsDv)

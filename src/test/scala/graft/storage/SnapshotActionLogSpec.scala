@@ -1,0 +1,179 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+/** Contract of the INCREMENTAL action log + periodic checkpoints
+  * (round 17 — the Delta add/remove-action model):
+  *
+  *  - commit bytes scale with the CHANGED files, never the table's
+  *    accumulated file count (the bounded-commit-bytes fence);
+  *  - every retained version reconstructs identically from a checkpoint
+  *    or from pure action replay (checkpoints are acceleration, never
+  *    state) — torn/corrupt/missing checkpoints degrade, never corrupt;
+  *  - vacuum pins a strict replay base at the earliest retained version
+  *    before history drops, so a post-vacuum log whose oldest entry is
+  *    an action delta still reconstructs.
+  */
+class SnapshotActionLogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("snapactlog").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def frame(lo: Int, hi: Int) =
+    spark.sparkContext.parallelize(lo to hi, 2).toDF("id")
+      .withColumn("grp", pmod(col("id"), lit(5)))
+      .withColumn("txt", concat(lit("row-"), col("id")))
+
+  private def logSize(dir: String, v: Long): Long = {
+    val p = new Path(f"$dir/_manifests/v$v%08d.json")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getLen
+  }
+
+  private def ckptPath(dir: String, v: Long): Path =
+    new Path(f"$dir/_manifests/v$v%08d.ckpt.json")
+
+  /** a mixed-operation chain long enough to cross two checkpoint
+    * boundaries: ingest, appends, CoW delete, DV delete, merge, zorder,
+    * restore — every delta shape the encoding must carry */
+  private def buildMixedChain(dir: String): Long = {
+    val store = SnapshotStore
+    store.commit(spark, dir, frame(1, 100), "ingest")
+    (1 to 8).foreach(i => store.commitAppend(spark, dir,
+      frame(100 + i * 50, 149 + i * 50), s"append-$i"))          // v2..v9
+    store.deleteWhere(spark, dir,
+      SnapshotStore.FilePredicate.between("id", 30L, 60L))        // v10 (+ckpt)
+    store.deleteWhereDv(spark, dir,
+      SnapshotStore.FilePredicate.between("id", 200L, 205L))      // v11
+    store.merge(spark, dir,
+      frame(90, 110).withColumn("txt", lit("merged")), Seq("id")) // v12
+    store.clusterN(spark, dir, Seq("id", "grp"), nFiles = 4)      // v13
+    store.restore(spark, dir, 11L)                                // v14
+    (1 to 7).foreach(i => store.commitAppend(spark, dir,
+      frame(1000 + i * 10, 1009 + i * 10), s"tail-$i"))           // v15..v21
+    store.latestVersion(spark, dir).get
+  }
+
+  test("commit log bytes scale with the CHANGED files, not the table: " +
+    "a late small append's entry stays flat while the table grows") {
+    val dir = freshDir()
+    val store = SnapshotStore
+    // 25 identical-shape small appends — table file count grows 25x,
+    // per-commit change stays constant
+    store.commit(spark, dir, frame(1, 40).repartition(4), "ingest")
+    (2L to 25L).foreach(v => store.commitAppend(spark, dir,
+      frame(v.toInt * 100, v.toInt * 100 + 39).repartition(4), s"append-$v"))
+    val early = logSize(dir, 3L)
+    val late = logSize(dir, 25L)
+    assert(late <= early * 2,
+      s"late append entry ($late B) must not grow with table files " +
+        s"(early entry $early B) — the O(commits x files) log is back")
+    // while the CHECKPOINT (full state) does grow with the table — the
+    // amortized O(table)/interval cost the model accepts
+    val fs = ckptPath(dir, 20L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(ckptPath(dir, 20L)),
+      "interval checkpoint must exist at v20")
+    val ckptLen = fs.getFileStatus(ckptPath(dir, 20L)).getLen
+    assert(ckptLen > late * 5,
+      s"checkpoint ($ckptLen B) holds full state; the delta ($late B) " +
+        "holds only the change — sizes must reflect that")
+    // first commit is self-contained: the log's replay base
+    assert(logSize(dir, 1L) > late,
+      "v1 is self-contained (full) — larger than a 4-file delta")
+  }
+
+  test("every version reconstructs IDENTICALLY from checkpoints and from " +
+    "pure action replay (checkpoints deleted) — including across " +
+    "delete/DV/merge/zorder/restore deltas") {
+    val dir = freshDir()
+    val latest = buildMixedChain(dir)
+    val store = SnapshotStore
+    val withCkpt = (1L to latest).map(v => store.manifest(spark, dir, v))
+    // delete EVERY checkpoint: reconstruction must fall back to replay
+    val fs = ckptPath(dir, 10L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (1L to latest).foreach(v => fs.delete(ckptPath(dir, v), false))
+    val replayed = (1L to latest).map(v => store.manifest(spark, dir, v))
+    withCkpt.zip(replayed).foreach { case (a, b) =>
+      assert(a == b, s"v${a.version}: checkpoint and replay disagree")
+    }
+    // and the reconstructed states answer reads correctly across ops
+    assert(store.readAsOf(spark, dir, latest).count() ==
+      store.readAsOf(spark, dir, 11L).count() + 70,
+      "restore(11) + 7x10-row tail appends")
+    val v11 = store.readAsOf(spark, dir, 11L)
+    assert(v11.filter(col("id").between(200, 205)).count() == 0,
+      "the DV delete's masks survive reconstruction")
+    assert(v11.filter(col("id").between(30, 60)).count() == 0,
+      "the CoW delete survives reconstruction")
+  }
+
+  test("a TORN checkpoint is skipped (replay walks further back), never " +
+    "served or fatal") {
+    val dir = freshDir()
+    val latest = buildMixedChain(dir)
+    val store = SnapshotStore
+    val expected = (1L to latest).map(v => store.manifest(spark, dir, v))
+    val fs = ckptPath(dir, 10L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // corrupt v10's checkpoint (truncated write), garbage into v20's
+    val out10 = fs.create(ckptPath(dir, 10L), true)
+    out10.write("""{"version":10,"operation":"tor""".getBytes("UTF-8"))
+    out10.close()
+    val out20 = fs.create(ckptPath(dir, 20L), true)
+    out20.write("not json at all".getBytes("UTF-8"))
+    out20.close()
+    val again = (1L to latest).map(v => store.manifest(spark, dir, v))
+    expected.zip(again).foreach { case (a, b) =>
+      assert(a == b, s"v${a.version}: torn checkpoint changed the state")
+    }
+  }
+
+  test("vacuum pins a strict replay base at the earliest retained " +
+    "version: a post-vacuum log whose oldest entries were action deltas " +
+    "still reconstructs, reads, and time-travels") {
+    val dir = freshDir()
+    val latest = buildMixedChain(dir) // 21 versions; v15..v21 are deltas
+    val store = SnapshotStore
+    val expect = (16L to latest).map(v =>
+      store.readAsOf(spark, dir, v).count())
+    store.vacuum(spark, dir, retain = 6) // keep v16..v21 — ALL deltas
+    val fs = ckptPath(dir, 16L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(ckptPath(dir, 16L)),
+      "vacuum must pin a checkpoint at the new replay base v16")
+    assert(!fs.exists(ckptPath(dir, 10L)),
+      "dropped versions' checkpoints are reclaimed")
+    (16L to latest).zip(expect).foreach { case (v, n) =>
+      assert(store.readAsOf(spark, dir, v).count() == n,
+        s"v$v must read identically after the vacuum re-base")
+    }
+    intercept[IllegalArgumentException](store.manifest(spark, dir, 15L))
+  }
+
+  test("DESCRIBE HISTORY LIMIT n reads O(n + interval) log entries, " +
+    "newest-first bounded, and matches the unlimited tail") {
+    val dir = freshDir()
+    val store = SnapshotStore
+    store.commit(spark, dir, frame(1, 20), "ingest")
+    (2L to 40L).foreach(v => store.commitAppend(spark, dir,
+      frame(v.toInt * 100, v.toInt * 100 + 9), s"append-$v"))
+    val full = store.history(spark, dir).collect()
+    val mr0 = SnapshotStore.manifestReadCount.get()
+    val limited = store.history(spark, dir, limit = Some(5)).collect()
+    val reads = SnapshotStore.manifestReadCount.get() - mr0
+    assert(limited.toSeq == full.takeRight(5).toSeq,
+      "LIMIT n must be exactly the newest n rows of the full history")
+    assert(reads <= 5 + SnapshotStore.CheckpointInterval + 2,
+      s"LIMIT 5 on a 40-commit log read $reads entries — the collect " +
+        "must stop at n + one walk-back, not load the whole log")
+  }
+}

@@ -75,8 +75,10 @@ class SnapshotDmlSpec extends SparkSpec {
         .as[(Long, String)].collect().toMap
       assert(got.size == 101)
       assert(got(50L) == "UPD" && got(101L) == "NEW" && got(1L) == "v1-1")
+      // round 17: a 1-matched-key upsert auto-dispatches to merge-on-read
+      // (SnapshotDvMutationSpec pins both sides of the threshold)
       assert(SnapshotStore.manifest(spark, dir,
-        SnapshotStore.latestVersion(spark, dir).get).operation == "merge")
+        SnapshotStore.latestVersion(spark, dir).get).operation == "merge-dv")
     }
   }
 
@@ -527,5 +529,33 @@ class SnapshotDmlSpec extends SparkSpec {
       spark.sql("OPTIMIZE plain_m")
     }
     assert(e.getMessage.contains("not a registered graft-snapshot table"))
+  }
+
+  test("DESCRIBE HISTORY LIMIT n returns exactly the newest n rows") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 20L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "ingest")
+    (1 to 6).foreach(i => SnapshotStore.commitAppend(spark, dir,
+      Seq((100L + i, "x")).toDF("doc_id", "text"), s"append-$i"))
+    val all = spark.sql(s"DESCRIBE HISTORY '$dir'").collect()
+    val lim = spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 3").collect()
+    assert(all.length == 7)
+    assert(lim.toSeq == all.takeRight(3).toSeq,
+      "LIMIT must surface the newest n versions, values identical")
+    // LIMIT 0 is not grammar here — the regex wants a positive count
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 0")
+    }
+    assert(e.getMessage.contains("LIMIT must be >= 1"))
+  }
+
+  test("refusals surface as AnalysisException, never bare RuntimeException: " +
+    "OPTIMIZE ZORDER on an empty target, time travel with no operand") {
+    val dir = freshDir()
+    // no committed version at all
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"OPTIMIZE '$dir' ZORDER BY (doc_id)")
+    }
+    assert(e1.getMessage.contains("OPTIMIZE ZORDER needs a committed version"))
   }
 }

@@ -313,4 +313,83 @@ class SnapshotDvSpec extends SparkSpec {
       .select("version", "n_rows").as[(Long, Long)].collect().toMap
     assert(rows(1L) == 100L && rows(2L) == 90L)
   }
+
+  test("a DV delete that would mask EVERY live row refuses (like CoW's " +
+    "delete-everything) — never a table purge/compact can't retire") {
+    val dir = freshDir()
+    seed(dir, 50L)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.deleteWhereDv(spark, dir, GtEq("doc_id", 0L))
+    }
+    assert(e.getMessage.contains("mask every live row"))
+    assert(SnapshotStore.versions(spark, dir) == Seq(1L),
+      "the refused delete must commit nothing")
+    // chained to the brink: mask all but one row, then the final row's
+    // delete refuses too (the earlier vectors count)
+    SnapshotStore.deleteWhereDv(spark, dir, between("doc_id", 2L, 50L))
+    val e2 = intercept[IllegalArgumentException] {
+      SnapshotStore.deleteWhereDv(spark, dir, EqTo("doc_id", 1L))
+    }
+    assert(e2.getMessage.contains("mask every live row"))
+    assert(SnapshotStore.read(spark, dir).count() == 1L)
+  }
+
+  test("chained DV deletes do NOT copy a shared vector's entries for " +
+    "UNTOUCHED files forward (no duplicate growth across folds)") {
+    val dir = freshDir()
+    // two files with disjoint id ranges via separate commits
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"a$i")).toDF("doc_id", "text")
+        .repartition(1), "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      (1000L to 1100L).map(i => (i, s"b$i")).toDF("doc_id", "text")
+        .repartition(1), "append")
+    // one SHARED vector masking rows in BOTH files
+    SnapshotStore.deleteWhereDv(spark, dir,
+      Or(between("doc_id", 10L, 14L), between("doc_id", 1010L, 1014L)))
+    val m3pre = SnapshotStore.manifest(spark, dir, 3L)
+    // second DV delete touches ONLY the low file (stats prune the high)
+    SnapshotStore.deleteWhereDv(spark, dir, between("doc_id", 20L, 24L))
+    val m = SnapshotStore.manifest(spark, dir, 4L)
+    val lowFile = m.files.find(f =>
+      m.stats(f).cols("doc_id").max.contains(100L)).get
+    val highFile = m.files.find(f =>
+      m.stats(f).cols("doc_id").min.contains(1000L)).get
+    assert(m.dvs(lowFile).rows == 10L, "5 folded + 5 fresh marks")
+    assert(m.dvs(highFile) == m3pre.dvs(highFile),
+      "the untouched file must keep referencing the OLD shared vector")
+    assert(m.dvs(lowFile).path != m.dvs(highFile).path)
+    // the NEW vector file holds ONLY the touched file's entries — the
+    // untouched file's 5 entries were filtered, not copied forward
+    val newVec = spark.read.parquet(m.dvs(lowFile).path)
+    assert(newVec.count() == 10L,
+      s"new vector must hold exactly the folded+fresh marks of the " +
+        s"touched file, found ${newVec.count()}")
+    assert(SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().toSet ==
+      ((1L to 100L).toSet ++ (1000L to 1100L).toSet --
+        (10L to 14L) -- (20L to 24L) -- (1010L to 1014L)))
+  }
+
+  test("SQL DELETE auto-dispatch falls back to copy-on-write when a " +
+    "touched file lacks row stats (unmeasurable fraction never guesses DV)") {
+    val dir = freshDir()
+    seed(dir, 100L)
+    // strip stats from the latest manifest — a legacy pre-stats log
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    SnapshotStore.writeManifestForTest(spark, dir,
+      m.copy(version = 2L, operation = "legacy", stats = Map.empty))
+    val tbl = "graft_statless_auto"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` " +
+      s"OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"DELETE FROM $tbl WHERE doc_id = 7")
+      val after = SnapshotStore.manifest(spark, dir,
+        SnapshotStore.latestVersion(spark, dir).get)
+      assert(after.operation == "delete" && after.dvs.isEmpty,
+        "stats-less targets must take the CoW path, not a blind vector")
+      assert(SnapshotStore.read(spark, dir).count() == 99L)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }

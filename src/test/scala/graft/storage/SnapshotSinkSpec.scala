@@ -131,10 +131,11 @@ class SnapshotSinkSpec extends SparkSpec {
       "the mirror applies updates and inserts from the row-grain feed")
   }
 
-  test("non-append output modes refuse loudly") {
+  test("non-append output modes refuse as AnalysisException (Complete AND " +
+    "Update), with the mergeKeys-mirror guidance in the message") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[(Long, String)]
-    val e = intercept[Exception] {
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       input.toDF().toDF("doc_id", "text")
         .groupBy("text").count()
         .writeStream.format("graft-snapshot")
@@ -142,5 +143,44 @@ class SnapshotSinkSpec extends SparkSpec {
         .option("checkpointLocation", ckptDir()).start(freshDir())
     }
     assert(e.getMessage.contains("Append output mode only"))
+    assert(e.getMessage.contains("mergeKeys"),
+      "the refusal should point at the supported Update-shaped route")
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      input.toDF().toDF("doc_id", "text")
+        .groupBy("text").count()
+        .writeStream.format("graft-snapshot")
+        .outputMode("update")
+        .option("checkpointLocation", ckptDir()).start(freshDir())
+    }
+    assert(e2.getMessage.contains("Append output mode only"))
+  }
+
+  test("a table-creating mergeKeys (CDC-mirror) first batch fixes the " +
+    "declared hive layout and bloom columns — not a frozen bare layout") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val dir = freshDir()
+    val q = input.toDF().toDF("doc_id", "grp", "text")
+      .writeStream.format("graft-snapshot")
+      .option("mergeKeys", "doc_id")
+      .option("partitionBy", "grp")
+      .option("bloomCols", "doc_id")
+      .option("checkpointLocation", ckptDir()).start(dir)
+    input.addData((1L, "a", "x"), (2L, "b", "y"))
+    q.processAllAvailable()
+    // a second batch exercises the upsert path over the fixed layout
+    input.addData((2L, "b", "y2"), (3L, "a", "z"))
+    q.processAllAvailable()
+    q.stop()
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    assert(m.partitionCols == Seq("grp"),
+      "the first (table-creating) upsert batch must fix partitionBy")
+    assert(m.bloomCols == Seq("doc_id"),
+      "…and the bloom declaration")
+    assert(SnapshotStore.read(spark, dir)
+      .select("doc_id", "grp", "text")
+      .as[(Long, String, String)].collect().toSet ==
+      Set((1L, "a", "x"), (2L, "b", "y2"), (3L, "a", "z")))
   }
 }
