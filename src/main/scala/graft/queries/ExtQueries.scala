@@ -3967,6 +3967,77 @@ object ExtQueries {
     agg("dv").unionByName(agg("cow")).orderBy("side", "lang")
   }
 
+  /** SQL DDL story end-to-end (round 17): the table is BORN through SQL
+    * — `CREATE TABLE ... USING graft-snapshot AS SELECT` (CTAS through
+    * the registered `CreatableRelationProvider`) — then evolves through
+    * `ALTER TABLE ... ADD COLUMNS` (a zero-data-rewrite metadata commit,
+    * [[graft.storage.SnapshotStore.addColumns]]), takes an INSERT whose
+    * rows carry the new column while pre-evolution rows null-fill it,
+    * and answers an aggregate over the mixed-evolution state ≡ the
+    * relational replay. Refusal/catalog-sync fences are
+    * `SnapshotDdlSpec`'s business. */
+  def eSnapshotDdl(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "ddl")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.createOrReplaceTempView("graft_ddl_src")
+    val tbl = s"graft_ddl_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')
+           |AS SELECT doc_id, text, lang FROM graft_ddl_src
+           |WHERE doc_id % 2 = 0""".stripMargin)
+      s.sql(s"ALTER TABLE $tbl ADD COLUMNS (quality BIGINT)")
+      s.sql(
+        s"""INSERT INTO $tbl
+           |SELECT doc_id, text, lang, CAST(n_chars AS BIGINT)
+           |FROM graft_ddl_src WHERE doc_id % 2 = 1""".stripMargin)
+      s.sql(
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |  CAST(count(quality) AS BIGINT) AS n_quality,
+           |  CAST(sum(quality) AS BIGINT) AS sum_quality
+           |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** Column mapping (round 17 — Delta's name-mode mapping):
+    * `RENAME COLUMN` as a metadata-only commit
+    * ([[graft.storage.SnapshotStore.renameColumn]] — the physical name
+    * every committed parquet file carries rides the field metadata, so
+    * zero bytes move), then an APPEND under the new logical name, a
+    * predicate on the renamed column (which must still stats-prune
+    * through the logical→physical translation), and a time travel to
+    * the pre-rename version under its OLD name — all in one result ≡
+    * the relational replay. Write-path and SQL fences are
+    * `SnapshotRenameSpec`'s business. */
+  def eSnapshotRename(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "ren")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    store.renameColumn(s, root, "n_chars", "doc_len")
+    store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 13 === 0)
+        .withColumn("doc_id", col("doc_id") + 500000L)
+        .withColumnRenamed("n_chars", "doc_len"), "append")
+    val renamed = store.readAsOfWhere(s, root, 3L, GtEq("doc_len", 40L))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_len")).as("len_sum"))
+      .select(lit("renamed").as("era"), col("lang"),
+        col("n_docs"), col("len_sum"))
+    val preRename = store.readAsOf(s, root, 1L)
+      .filter(col("n_chars") >= 40L) // the OLD name, pre-rename
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("len_sum"))
+      .select(lit("original").as("era"), col("lang"),
+        col("n_docs"), col("len_sum"))
+    renamed.unionByName(preRename).orderBy("era", "lang")
+  }
+
   /** Point-lookup data skipping via declared bloom columns (round 16):
     * the corpus commits with ids SHUFFLED across files — every file's
     * (min, max) spans the whole id range, so range stats prune NOTHING
@@ -7414,6 +7485,8 @@ object ExtQueries {
     "e_snapshot_point_skip" -> (eSnapshotPointSkip _),
     "e_snapshot_dv" -> (eSnapshotDv _),
     "e_snapshot_dv_update" -> (eSnapshotDvUpdate _),
+    "e_snapshot_ddl" -> (eSnapshotDdl _),
+    "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
@@ -9267,6 +9340,34 @@ object ExtQueries {
         |UNION ALL
         |SELECT 'dv', lang, n_docs, id_sum, sum_chars, n_texts FROM agg
         |ORDER BY side, lang""".stripMargin,
+    "e_snapshot_ddl" ->
+      """WITH evolved AS (
+        |  SELECT doc_id, text, lang, CAST(NULL AS BIGINT) AS quality
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, text, lang, CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(quality) AS BIGINT) AS n_quality,
+        |  CAST(sum(quality) AS BIGINT) AS sum_quality
+        |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_rename" ->
+      """WITH appended AS (
+        |  SELECT doc_id, lang, n_chars FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000, lang, n_chars FROM documents
+        |  WHERE doc_id % 13 = 0),
+        |agg AS (
+        |  SELECT 'renamed' AS era, lang,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS len_sum
+        |  FROM appended WHERE n_chars >= 40 GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'original', lang, CAST(count(*) AS BIGINT),
+        |    CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents WHERE n_chars >= 40 GROUP BY lang)
+        |SELECT * FROM agg ORDER BY era, lang""".stripMargin,
     "e_snapshot_point_skip" ->
       """SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
         |FROM documents

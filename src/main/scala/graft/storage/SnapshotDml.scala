@@ -224,36 +224,41 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Deletion-vector overlay for the SQL catalog face (round 16): the
-  * bare `BaseRelation` a `CREATE TABLE USING graft-snapshot` (or
-  * `spark.read.format`) resolves to cannot carry the vector anti-join
-  * itself, so this POST-HOC resolution rule rewrites any analyzed
-  * `LogicalRelation` whose [[SnapshotFileIndex]] is marked
-  * `dvApplied = false` and whose manifest HAS vectors into the
-  * vector-applied plan ([[SnapshotStore.applyDvOverlay]] — one
-  * broadcast anti-join on the physical row identity), re-aliased onto
-  * the original output attribute ids so consumers above are untouched.
-  * Post-hoc (not main-batch) so the DML rule has already claimed
+/** Read overlay for the SQL catalog face (round 16; column mapping
+  * round 17): the bare `BaseRelation` a `CREATE TABLE USING
+  * graft-snapshot` (or `spark.read.format`) resolves to cannot carry
+  * the deletion-vector anti-join OR the physical→logical column-
+  * mapping projection itself, so this POST-HOC resolution rule
+  * rewrites any analyzed `LogicalRelation` whose [[SnapshotFileIndex]]
+  * is marked `dvApplied = false` and whose manifest has vectors or a
+  * column mapping into the applied plan (the physical-name scan
+  * aliased back to logical through
+  * [[SnapshotFileIndex.relationOf]], then
+  * [[SnapshotStore.applyDvOverlay]] — one broadcast anti-join on the
+  * physical row identity), re-aliased onto the original output
+  * attribute ids so consumers above are untouched. Post-hoc (not
+  * main-batch) so the DML rule has already claimed
   * DELETE/UPDATE/MERGE/INSERT targets — those route to the store's own
-  * vector-aware reads. Runs once per relation: the rewritten plan's
-  * inner relations are built `dvApplied = true`. */
+  * vector-and-mapping-aware reads. Runs once per relation: the
+  * rewritten plan's inner relations are built `dvApplied = true`. */
 final class SnapshotDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => h.location match {
         case idx: SnapshotFileIndex
-            if !idx.dvApplied && idx.manifestOf.dvs.nonEmpty =>
+            if !idx.dvApplied && (idx.manifestOf.dvs.nonEmpty ||
+              idx.manifestOf.schemaStruct
+                .exists(s => SnapshotStore.physicalOf(s).nonEmpty)) =>
           val m = idx.manifestOf
-          val (raw, _) = SnapshotFileIndex.hadoopRelationOf(
-            spark, idx.tableDir, m)
           val applied = SnapshotStore.applyDvOverlay(spark, m,
-            spark.baseRelationToDataFrame(raw)).queryExecution.analyzed
+            SnapshotFileIndex.relationOf(spark, idx.tableDir, m, None)._1)
+            .queryExecution.analyzed
           Project(lr.output.map { o =>
             val n = applied.output.find(a =>
               spark.sessionState.conf.resolver(a.name, o.name)).getOrElse(
               SnapshotDmlRule.analysisError(
-                s"deletion-vector overlay lost column ${o.name}"))
+                s"snapshot read overlay lost column ${o.name}"))
             Alias(n, o.name)(exprId = o.exprId): NamedExpression
           }, applied)
         case _ => lr
@@ -367,6 +372,19 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val ReorgPurgeRe =
     ("""(?is)^\s*REORG\s+TABLE\s+""" + TableTok +
       """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*$""").r
+  // ALTER TABLE ... ADD COLUMNS IS Spark grammar, but its v1 command
+  // refuses non-builtin providers ("does not support datasource table
+  // with type ...") — snapshot targets are claimed here FIRST (the
+  // parser-extension discipline, like time travel); everything else
+  // falls through to the delegate so Spark's own tables keep Spark's
+  // own behavior.
+  private val AddColumnsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+ADD\s+COLUMNS?\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val RenameColumnRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)""" +
+      """\s*;?\s*$""").r
 
   /** the table directory behind a maintenance operand — a quoted 'path'
     * is used verbatim; an identifier must resolve to a registered
@@ -427,8 +445,44 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
                 "HISTORY takes a graft-snapshot table or a quoted path")
         }
       case ReorgPurgeRe(t) => Some(GraftReorgPurgeCommand(dirOfToken(t)))
+      // only SNAPSHOT targets are claimed; any other ALTER TABLE falls
+      // through to Spark's own grammar and provider rules
+      case AddColumnsRe(t, colsText) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftAddColumnsCommand(dir, ident,
+            delegate.parseTableSchema(colsText).fields.toSeq)
+        }
+      case RenameColumnRe(t, oldTok, newTok) =>
+        def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+        alterTarget(t).map { case (dir, ident) =>
+          GraftRenameColumnCommand(dir, ident, bare(oldTok), bare(newTok))
+        }
       case _ => None
     }
+
+  /** an ALTER TABLE operand: a quoted path verbatim (no catalog entry),
+    * or a registered snapshot table (dir + identifier for the catalog
+    * schema lockstep); None = not a snapshot target, fall through */
+  private def alterTarget(t: String)
+      : Option[(String, Option[TableIdentifier])] = {
+    val tok = t.trim
+    if (tok.startsWith("'"))
+      Some((tok.stripPrefix("'").stripSuffix("'"), None))
+    else {
+      val parts =
+        if (tok.startsWith("`")) Seq(tok.stripPrefix("`").stripSuffix("`"))
+        else tok.split('.').toSeq
+      snapshotDirOf(parts).map { dir =>
+        val ident = parts match {
+          case Seq(n) => Some(TableIdentifier(n))
+          case Seq(db, n) => Some(TableIdentifier(n, Some(db)))
+          case Seq(_, db, n) => Some(TableIdentifier(n, Some(db)))
+          case _ => None
+        }
+        (dir, ident)
+      }
+    }
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan =
     maintenancePlan(sqlText)
@@ -674,4 +728,72 @@ final case class GraftDescribeHistoryCommand(dir: String,
     AttributeReference("ts_millis", LongType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] =
     SnapshotStore.history(spark, dir, limit).collect().toSeq
+}
+
+/** SQL `ALTER TABLE <t> ADD COLUMNS (name type, ...)` (round 17): pure
+  * metadata schema evolution — one zero-data-rewrite `add-columns`
+  * commit through [[SnapshotStore.addColumns]] (pre-evolution files
+  * read the new columns as null), plus the session-catalog data-schema
+  * update for a REGISTERED table so the catalog face resolves the
+  * evolved shape immediately (the v1 `AlterTableAddColumnsCommand`
+  * contract, which refuses custom providers — hence this command).
+  * Refusals — existing/case-colliding names, empty column list —
+  * surface as `AnalysisException`. */
+final case class GraftAddColumnsCommand(dir: String,
+                                        table: Option[TableIdentifier],
+                                        cols: Seq[org.apache.spark.sql.types.StructField])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    try SnapshotStore.addColumns(spark, dir, cols)
+    catch { case e: RuntimeException
+        if e.getMessage != null && e.getMessage.contains("already exists") =>
+      SnapshotDmlRule.analysisError(e.getMessage)
+    }
+    table.foreach { ident =>
+      val cat = spark.sessionState.catalog
+      val meta = cat.getTableMetadata(ident)
+      cat.alterTableDataSchema(ident,
+        org.apache.spark.sql.types.StructType(
+          meta.dataSchema.fields ++ cols.map(_.copy(nullable = true))))
+    }
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> RENAME COLUMN a TO b` (round 17 — column
+  * mapping): a metadata-only `rename-column` commit through
+  * [[SnapshotStore.renameColumn]] — the physical name every committed
+  * file carries rides the field's metadata, so ZERO data bytes move,
+  * old versions keep reading under their recorded names, and future
+  * writes keep spelling the physical name. For a REGISTERED table the
+  * session catalog's schema follows in lockstep (`alterTable` — the
+  * data-schema helper refuses removed names, and a rename removes one).
+  * Refusals (unknown column, occupied target, partition column) surface
+  * as `AnalysisException`. */
+final case class GraftRenameColumnCommand(dir: String,
+                                          table: Option[TableIdentifier],
+                                          oldName: String, newName: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    try SnapshotStore.renameColumn(spark, dir, oldName, newName)
+    catch { case e: RuntimeException if e.getMessage != null &&
+        (e.getMessage.contains("does not exist") ||
+          e.getMessage.contains("already exists") ||
+          e.getMessage.contains("PARTITION column")) =>
+      SnapshotDmlRule.analysisError(e.getMessage)
+    }
+    table.foreach { ident =>
+      val cat = spark.sessionState.catalog
+      val meta = cat.getTableMetadata(ident)
+      val renamed = org.apache.spark.sql.types.StructType(
+        meta.schema.fields.map(f =>
+          if (spark.sessionState.conf.resolver(f.name, oldName))
+            f.copy(name = newName)
+          else f))
+      cat.alterTable(meta.copy(schema = renamed))
+    }
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
 }

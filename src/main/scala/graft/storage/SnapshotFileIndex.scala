@@ -287,9 +287,14 @@ object SnapshotFileIndex {
 
   /** the index-backed `HadoopFsRelation` of one manifest (optionally a
     * file subset) — also the registered source's batch relation.
-    * `dvApplied = false` marks a relation whose deletion vectors are
-    * NOT yet applied (the bare SQL catalog face) so
-    * [[SnapshotDvReadRule]] overlays them post-resolution. */
+    * `dvApplied = false` marks a relation whose deletion vectors /
+    * column mapping are NOT yet applied (the bare SQL catalog face) so
+    * [[SnapshotDvReadRule]] overlays them post-resolution; that facade
+    * surfaces LOGICAL names (metadata stripped) so the session
+    * catalog's stored schema matches it — it never executes (the rule
+    * always swaps it when a mapping or vectors exist). The EXECUTING
+    * relation's dataSchema spells the PHYSICAL names the parquet files
+    * carry; [[relationOf]] aliases back to logical above it. */
   private[storage] def hadoopRelationOf(spark: SparkSession, dir: String,
                                         m: SnapshotStore.Manifest,
                                         subset: Option[Set[String]] = None,
@@ -298,29 +303,40 @@ object SnapshotFileIndex {
     val schema = m.schemaStruct
       .getOrElse(spark.read.parquet(m.files: _*).schema)
     val index = new SnapshotFileIndex(spark, dir, m, subset, dvApplied)
+    val data = dataSchemaOf(m, schema)
+    val dataSchema =
+      if (dvApplied) SnapshotStore.toPhysicalSchema(data)
+      else StructType(data.fields.map(f => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .remove(SnapshotStore.PhysicalNameKey).build())))
     (HadoopFsRelation(index, index.partitionSchema,
-      dataSchemaOf(m, schema), None, new ParquetFileFormat(), Map.empty)(spark),
+      dataSchema, None, new ParquetFileFormat(), Map.empty)(spark),
       index)
   }
 
-  private def relationOf(spark: SparkSession, dir: String,
-                         m: SnapshotStore.Manifest,
-                         subset: Option[Set[String]])
+  private[storage] def relationOf(spark: SparkSession, dir: String,
+                                  m: SnapshotStore.Manifest,
+                                  subset: Option[Set[String]])
       : (DataFrame, SnapshotFileIndex) = {
     val (relation, index) = hadoopRelationOf(spark, dir, m, subset)
     val df0 = spark.baseRelationToDataFrame(relation)
     // the relation surfaces partition columns LAST (dataSchema ++
-    // partitionSchema — the HadoopFsRelation contract); project back to
-    // the manifest's recorded LOGICAL order so SELECT * and positional
-    // consumers see the writing frame's shape (the Delta behavior).
-    // Filters still push through the Project to the index's pruning.
-    // The SQL-registered face (CREATE TABLE USING — a bare BaseRelation)
-    // cannot carry this projection and documents the reorder instead.
+    // partitionSchema — the HadoopFsRelation contract) and spells
+    // PHYSICAL names; project back to the manifest's recorded LOGICAL
+    // names and order so SELECT * and positional consumers see the
+    // writing frame's shape (the Delta behavior). Filters still push
+    // through the Project to the index's pruning (Catalyst rewrites
+    // the aliased attributes into the child's). The SQL-registered
+    // face (CREATE TABLE USING — a bare BaseRelation) cannot carry
+    // this projection; the post-hoc rule rebuilds through here.
     val df = m.schemaStruct match {
-      case Some(s) if m.partitionCols.nonEmpty &&
-          df0.columns.toSeq != s.fieldNames.toSeq =>
-        df0.select(s.fieldNames.toSeq
-          .map(org.apache.spark.sql.functions.col): _*)
+      case Some(s) if SnapshotStore.physicalOf(s).nonEmpty ||
+          (m.partitionCols.nonEmpty &&
+            df0.columns.toSeq != s.fieldNames.toSeq) =>
+        df0.select(s.fields.toSeq.map(f =>
+          org.apache.spark.sql.functions
+            .col(s"`${SnapshotStore.physicalName(f)}`").as(f.name)): _*)
       case _ => df0
     }
     (df, index)

@@ -1078,8 +1078,16 @@ object SnapshotStore {
                            files: Seq[String]): DataFrame =
     if (m.partitionCols.nonEmpty)
       SnapshotFileIndex.readFilesOf(spark, dir, m, files)
-    else m.schemaStruct.map(spark.read.schema(_)).getOrElse(spark.read)
-      .parquet(files: _*)
+    else m.schemaStruct match {
+      case Some(s) =>
+        // files spell PHYSICAL names (column mapping); read physically,
+        // alias back to the logical schema — identity when unmapped
+        val df = spark.read.schema(toPhysicalSchema(s)).parquet(files: _*)
+        if (physicalOf(s).isEmpty) df
+        else df.select(s.fields.toSeq.map(f =>
+          col(physicalName(f)).as(f.name)): _*)
+      case None => spark.read.parquet(files: _*)
+    }
 
   /** Apply a manifest's deletion vectors OVER an already-built frame of
     * its files (metadata columns must still resolve on `df`): one
@@ -1156,10 +1164,20 @@ object SnapshotStore {
     * first) — the exclusive claim on the dir is the commit protocol's
     * orphan-reclaim, not the save mode, so appending into our own
     * freshly-claimed dir is safe. */
+  /** `toPhysical` (column mapping): frames arrive in LOGICAL names;
+    * data files always spell PHYSICAL — rename at this one choke point
+    * so no rewrite path can forget. Partition columns never map
+    * (renaming one is refused — their values live in the physical
+    * `col=value` layout). */
   private def writeData(df: DataFrame, dataDir: String,
                         partitionCols: Seq[String],
-                        append: Boolean = false): Unit = {
-    val w = df.write.mode(
+                        append: Boolean = false,
+                        toPhysical: Map[String, String] = Map.empty): Unit = {
+    val out =
+      if (toPhysical.isEmpty) df
+      else df.select(df.columns.toSeq.map(c =>
+        col(s"`$c`").as(toPhysical.getOrElse(c, c))): _*)
+    val w = out.write.mode(
       if (append) SaveMode.Append else SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
       .parquet(dataDir)
@@ -1181,7 +1199,7 @@ object SnapshotStore {
   def prunedFiles(spark: SparkSession, dir: String, version: Long,
                   pred: FilePredicate): Seq[String] = {
     val m = manifest(spark, dir, version)
-    m.files.filter(p => m.stats.get(p).forall(pred.mightMatch))
+    mightMatchFiles(m, Some(pred))
   }
 
   /** Data-skipping read: prune the version's file list by per-file
@@ -1194,7 +1212,7 @@ object SnapshotStore {
   def readAsOfWhere(spark: SparkSession, dir: String, version: Long,
                     pred: FilePredicate): DataFrame = {
     val m = manifest(spark, dir, version)
-    val keep = m.files.filter(p => m.stats.get(p).forall(pred.mightMatch))
+    val keep = mightMatchFiles(m, Some(pred))
     if (keep.isEmpty) readAsOf(spark, dir, version).filter(pred.toColumn).limit(0)
     else readFiles(spark, dir, m, keep).filter(pred.toColumn)
   }
@@ -1342,7 +1360,9 @@ object SnapshotStore {
         case Right(d) => d.adds.flatMap { case (f, st) => st.map(f -> _) }
         case Left(m) => m.stats.toSeq
       }).toMap
-    val keep = files.filter(f => stats.get(f).forall(pred.mightMatch))
+    val toM = manifest(spark, dir, toVersion)
+    val physPred = toPhysicalPred(pred, mappingOf(toM))
+    val keep = files.filter(f => stats.get(f).forall(physPred.mightMatch))
     if (keep.isEmpty) readAsOf(spark, dir, toVersion)
       .filter(pred.toColumn).limit(0)
     else readFiles(spark, dir, manifest(spark, dir, toVersion), keep)
@@ -1389,7 +1409,8 @@ object SnapshotStore {
     preValidateEvolution(spark, dir, delta)
     commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
       writeData(delta, dataDir,
-        prior.map(_.partitionCols).getOrElse(Seq.empty))
+        prior.map(_.partitionCols).getOrElse(Seq.empty),
+        toPhysical = prior.map(mappingOf).getOrElse(Map.empty))
       prior.map(m => (m.files, m.stats)).getOrElse((Seq.empty, Map.empty))
     }
   }
@@ -1444,18 +1465,18 @@ object SnapshotStore {
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+      if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "delete", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-      val touched = m.files.filter(f =>
-        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touched = mightMatchFiles(m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty)
         writeData(readFiles(spark, dir, m, touched)
           // keep rows where the condition is NOT TRUE (null keeps, as SQL)
-          .filter(!coalesce(rowCond, lit(false))), dataDir, m.partitionCols)
+          .filter(!coalesce(rowCond, lit(false))), dataDir, m.partitionCols,
+          toPhysical = mappingOf(m))
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
     }
   }
@@ -1483,8 +1504,7 @@ object SnapshotStore {
     val cur = latestVersion(spark, dir)
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
-    val touched = m.files.filter(f =>
-      prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+    val touched = mightMatchFiles(m, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -1538,13 +1558,12 @@ object SnapshotStore {
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+      if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-      val touched = m.files.filter(f =>
-        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touched = mightMatchFiles(m, prune)
       val touchedSet = touched.toSet
       // the DvRef path is recorded fs-QUALIFIED: a relative table dir
       // would otherwise record a relative vector path that vacuum's
@@ -1688,13 +1707,12 @@ object SnapshotStore {
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
-      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+      if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "update", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-      val touched = m.files.filter(f =>
-        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touched = mightMatchFiles(m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty) {
         val base = readFiles(spark, dir, m, touched)
@@ -1716,7 +1734,8 @@ object SnapshotStore {
         val applied = tmp.foldLeft(staged) { case (df, (c, _, tc, _)) =>
           df.withColumn(c, when(col(hitCol), col(tc)).otherwise(col(c)))
         }.drop(hitCol +: tmp.map(_._3): _*)
-        writeData(applied, dataDir, m.partitionCols)
+        writeData(applied, dataDir, m.partitionCols,
+          toPhysical = mappingOf(m))
       }
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
     }
@@ -1748,13 +1767,12 @@ object SnapshotStore {
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
-      if (m0.files.forall(f => !m0.stats.get(f).forall(p.mightMatch)))
+      if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "update-dv", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-      val touched = m.files.filter(f =>
-        prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+      val touched = mightMatchFiles(m, prune)
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
@@ -1780,7 +1798,8 @@ object SnapshotStore {
             val post = tmp.foldLeft(stagedDf) { case (df, (c, _, tc, _)) =>
               df.withColumn(c, col(tc))
             }.drop(tmp.map(_._3): _*).drop("__dv_file", "__dv_pos")
-            writeData(post, dataDir, m.partitionCols, append = true)
+            writeData(post, dataDir, m.partitionCols, append = true,
+              toPhysical = mappingOf(m))
           }
           counts
         }
@@ -1804,8 +1823,7 @@ object SnapshotStore {
       .getOrElse(sys.error(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
     resolveAssignments(spark, m, assignments) // refuse unknown targets first
-    val touched = m.files.filter(f =>
-      prune.forall(p => m.stats.get(f).forall(p.mightMatch)))
+    val touched = mightMatchFiles(m, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -1872,7 +1890,7 @@ object SnapshotStore {
         return latestVersion(spark, dir).get) // empty delta: no-op
       commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
         val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-        val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+        val touched = mightMatchFiles(m, Some(pred))
         val untouchedSet = m.files.toSet -- touched
         val survivors =
           if (touched.isEmpty) delta.limit(0)
@@ -1882,7 +1900,7 @@ object SnapshotStore {
         // survivors; a delta omitting non-key table columns null-fills its
         // own rows (the Delta automatic-evolution contract)
         writeData(survivors.unionByName(delta, allowMissingColumns = true),
-          dataDir, m.partitionCols)
+          dataDir, m.partitionCols, toPhysical = mappingOf(m))
         (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
       }
     } finally if (weCached) delta.unpersist()
@@ -1942,7 +1960,7 @@ object SnapshotStore {
         return latestVersion(spark, dir).get) // empty delta: no-op
       commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
         val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-        val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+        val touched = mightMatchFiles(m, Some(pred))
         val touchedSet = touched.toSet
         val newDvDir = fs(spark, dir)
           .makeQualified(new Path(s"$dataDir/_dv")).toString
@@ -1960,7 +1978,8 @@ object SnapshotStore {
         // the whole delta appends — replacements AND new keys — exactly
         // the bytes the caller handed in (append mode: the hidden `_dv`
         // write above already created our claimed version dir)
-        writeData(delta, dataDir, m.partitionCols, append = true)
+        writeData(delta, dataDir, m.partitionCols, append = true,
+          toPhysical = mappingOf(m))
         Staged(m.files, m.stats,
           Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
       }
@@ -1993,7 +2012,7 @@ object SnapshotStore {
       val cur = latestVersion(spark, dir).get
       val m = manifest(spark, dir, cur)
       val pred = mergeEnvelope(delta, keyCols).getOrElse(return cur)
-      val touched = m.files.filter(f => m.stats.get(f).forall(pred.mightMatch))
+      val touched = mightMatchFiles(m, Some(pred))
       val statless = touched.exists(f => !m.stats.contains(f))
       val dv = touched.nonEmpty && !statless && {
         val matched = liveWithProvenance(spark, dir, m, touched)
@@ -2048,6 +2067,68 @@ object SnapshotStore {
 
   /** normalize `file:/p`, `file:///p`, `/p` to one comparable key */
   private def pathKey(s: String): String = new Path(s).toUri.getPath
+
+  // ------------------------------------------------- column mapping (r17)
+
+  /** COLUMN MAPPING (round 17 — Delta's name-mode mapping): a renamed
+    * column's PHYSICAL (parquet) name rides its StructField metadata
+    * under this key; absent = physical == logical. Data files ALWAYS
+    * spell physical names (the original name at column birth — so every
+    * file ever written stays readable), stats and blooms key by
+    * physical, reads alias physical → logical, and a rename is a
+    * metadata-only commit that touches zero data bytes. */
+  private[storage] val PhysicalNameKey = "graft.physical"
+
+  private[storage] def physicalName(f: StructField): String =
+    if (f.metadata.contains(PhysicalNameKey))
+      f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** logical → physical for the fields that differ (empty = unmapped
+    * table — every pre-rename table, where the translation is free) */
+  private[storage] def physicalOf(schema: StructType): Map[String, String] =
+    schema.fields.iterator
+      .filter(f => physicalName(f) != f.name)
+      .map(f => f.name -> physicalName(f)).toMap
+
+  private[storage] def mappingOf(m: Manifest): Map[String, String] =
+    m.schemaStruct.map(physicalOf).getOrElse(Map.empty)
+
+  /** the schema as the parquet files spell it */
+  private[storage] def toPhysicalSchema(s: StructType): StructType =
+    StructType(s.fields.map(f => f.copy(name = physicalName(f))))
+
+  /** a [[FilePredicate]] over LOGICAL names rewritten to the PHYSICAL
+    * names the stats are keyed by — identity for unmapped tables */
+  private[storage] def toPhysicalPred(p: FilePredicate,
+                                      m: Map[String, String]): FilePredicate = {
+    import FilePredicate._
+    if (m.isEmpty) p
+    else {
+      def go(q: FilePredicate): FilePredicate = q match {
+        case EqTo(c, v) => EqTo(m.getOrElse(c, c), v)
+        case InSet(c, vs) => InSet(m.getOrElse(c, c), vs)
+        case GtEq(c, v) => GtEq(m.getOrElse(c, c), v)
+        case Gt(c, v) => Gt(m.getOrElse(c, c), v)
+        case LtEq(c, v) => LtEq(m.getOrElse(c, c), v)
+        case Lt(c, v) => Lt(m.getOrElse(c, c), v)
+        case IsNull(c) => IsNull(m.getOrElse(c, c))
+        case IsNotNull(c) => IsNotNull(m.getOrElse(c, c))
+        case And(l, r) => And(go(l), go(r))
+        case Or(l, r) => Or(go(l), go(r))
+      }
+      go(p)
+    }
+  }
+
+  /** the might-match file set of `prune` against one manifest — EVERY
+    * write-side skipping site routes here, so the logical→physical
+    * translation can never be forgotten at one of them */
+  private def mightMatchFiles(m: Manifest,
+                              prune: Option[FilePredicate]): Seq[String] = {
+    val mapped = prune.map(toPhysicalPred(_, mappingOf(m)))
+    m.files.filter(f => mapped.forall(p => m.stats.get(f).forall(p.mightMatch)))
+  }
 
   /** One column-pruned scan of the freshly written files (`df` = their
     * already-opened reader), grouped by file: exact row count + min/max
@@ -2334,10 +2415,33 @@ object SnapshotStore {
         })
         // schemaOverride: commits whose carried files come from a manifest
         // OTHER than the prior (restore, shallow clone) must record THAT
-        // manifest's schema, not the prior's evolution state
+        // manifest's schema, not the prior's evolution state.
+        // Column mapping: freshly written files spell PHYSICAL names —
+        // translate back to the carried logical spelling BEFORE the
+        // schema union, or a renamed column would union as a duplicate.
+        val logicalByPhysical: Map[String, String] =
+          prior.flatMap(_.schemaStruct).map(ps =>
+            ps.fields.iterator.filter(fl => physicalName(fl) != fl.name)
+              .map(fl => physicalName(fl) -> fl.name).toMap)
+            .getOrElse(Map.empty)
+        // A translated field KEEPS its mapping (the file really does
+        // spell the physical name — a full rewrite like compact has no
+        // carried side to supply it); an untranslated fresh field is
+        // STRIPPED of the key: a NEW column must never inherit a stale
+        // physical name through an alias's metadata propagation (it
+        // would record a mapping no data file satisfies).
         val schema = schemaOverride.getOrElse(
           versionSchema(spark, prior, carryFiles,
-            newDf.map(d => asNullableSchema(d.schema))))
+            newDf.map(d => asNullableSchema(StructType(d.schema.fields.map {
+              fl => logicalByPhysical.get(fl.name) match {
+                case Some(logical) => fl.copy(name = logical,
+                  metadata = new MetadataBuilder().withMetadata(fl.metadata)
+                    .putString(PhysicalNameKey, fl.name).build())
+                case None => fl.copy(
+                  metadata = new MetadataBuilder().withMetadata(fl.metadata)
+                    .remove(PhysicalNameKey).build())
+              }
+            })))))
         // monotonized stamp: a clock step backwards (NTP, cross-host
         // skew) must never yield ts <= the prior commit's — the
         // TIMESTAMP AS OF binary search and age-based vacuum both rely
@@ -2479,7 +2583,8 @@ object SnapshotStore {
       val vectored = m.files.filter(m.dvs.contains)
       val untouchedSet = m.files.toSet -- vectored
       if (vectored.nonEmpty)
-        writeData(readFiles(spark, dir, m, vectored), dataDir, m.partitionCols)
+        writeData(readFiles(spark, dir, m, vectored), dataDir,
+          m.partitionCols, toPhysical = mappingOf(m))
       Staged(m.files.filter(untouchedSet),
         m.stats.filter(kv => untouchedSet(kv._1)), Some(Map.empty))
     }
@@ -2493,16 +2598,18 @@ object SnapshotStore {
               targetFileBytes: Long = 128L * 1024 * 1024,
               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = read(spark, dir)
-    val (bytes, pCols) = {
+    val (bytes, pCols, mapping) = {
       val m = manifest(spark, dir, latestVersion(spark, dir).get)
       val f = fs(spark, dir)
       // manifest-recorded sizes when present; RPC only for legacy files
       (m.files.map(p => m.stats.get(p).map(_.bytes).filter(_ > 0L)
-        .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum, m.partitionCols)
+        .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum, m.partitionCols,
+        mappingOf(m))
     }
     val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)
     commitFiles(spark, dir, "compact", reclaimGraceMs = reclaimGraceMs) {
-      dataDir => writeData(cur.repartition(nFiles.toInt), dataDir, pCols)
+      dataDir => writeData(cur.repartition(nFiles.toInt), dataDir, pCols,
+        toPhysical = mapping)
     }
   }
 
@@ -2524,11 +2631,12 @@ object SnapshotStore {
   def clusterN(spark: SparkSession, dir: String, dims: Seq[String],
                nFiles: Int, bits: Int = 16,
                reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
-    val pCols = latestVersion(spark, dir)
-      .map(v => manifest(spark, dir, v).partitionCols).getOrElse(Seq.empty)
+    val m0 = latestVersion(spark, dir).map(v => manifest(spark, dir, v))
+    val pCols = m0.map(_.partitionCols).getOrElse(Seq.empty)
     commitFiles(spark, dir, "zorder", reclaimGraceMs = reclaimGraceMs) {
       dataDir => writeData(
-        ZOrder.clusterN(read(spark, dir), dims, nFiles, bits), dataDir, pCols)
+        ZOrder.clusterN(read(spark, dir), dims, nFiles, bits), dataDir, pCols,
+        toPhysical = m0.map(mappingOf).getOrElse(Map.empty))
     }
   }
 
@@ -2569,12 +2677,96 @@ object SnapshotStore {
   def clusterHilbert(spark: SparkSession, dir: String, xCol: String,
                      yCol: String, nFiles: Int, bits: Int = 16,
                      reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
-    val pCols = latestVersion(spark, dir)
-      .map(v => manifest(spark, dir, v).partitionCols).getOrElse(Seq.empty)
+    val m0 = latestVersion(spark, dir).map(v => manifest(spark, dir, v))
+    val pCols = m0.map(_.partitionCols).getOrElse(Seq.empty)
     commitFiles(spark, dir, "hilbert", reclaimGraceMs = reclaimGraceMs) {
       dataDir => writeData(
         Hilbert.cluster(read(spark, dir), xCol, yCol, nFiles, bits),
-        dataDir, pCols)
+        dataDir, pCols,
+        toPhysical = m0.map(mappingOf).getOrElse(Map.empty))
+    }
+  }
+
+  /** SQL-grade schema evolution WITHOUT a data rewrite (round 17 —
+    * `ALTER TABLE ... ADD COLUMNS`): commit a METADATA-ONLY version
+    * (operation `add-columns`) whose schema is the committed schema
+    * with `newCols` appended — every data file CARRIES with its stats
+    * and vectors, zero bytes move, and pre-evolution files read the new
+    * columns as null (the additive contract every read already honors).
+    * Refuses an existing or case-colliding column name, and normalizes
+    * the new columns nullable (old files MUST null-fill them). The log
+    * entry is a pure-header action delta: adds/removes empty, commit
+    * bytes O(schema). */
+  def addColumns(spark: SparkSession, dir: String,
+                 newCols: Seq[StructField],
+                 reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    val cs = caseSensitive(spark)
+    val schema0 = m0.schemaStruct.getOrElse(
+      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+    newCols.foreach { f =>
+      val clash = schema0.fields.find(g =>
+        if (cs) g.name == f.name else g.name.equalsIgnoreCase(f.name))
+      clash.foreach(g => sys.error(
+        s"column ${f.name} already exists as ${g.name} " +
+          s"(${g.dataType.simpleString}) — ADD COLUMNS appends new columns " +
+          "only"))
+    }
+    val merged = mergeSchemas(schema0,
+      StructType(newCols.map(_.copy(nullable = true))), cs)
+    commitStagedFull(spark, dir, "add-columns", reclaimGraceMs,
+      schemaOverride = Some(merged)) { (prior, _) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // dvs derive by carry — everything carries
+    }
+  }
+
+  /** `ALTER TABLE ... RENAME COLUMN` survival (round 17 — Delta's
+    * name-mode COLUMN MAPPING): a metadata-only commit (operation
+    * `rename-column`) that renames the LOGICAL column while the field's
+    * metadata pins its PHYSICAL name — the name every committed parquet
+    * file (and every per-file stat and bloom) already carries and every
+    * FUTURE file keeps spelling ([[writeData]] translates at its one
+    * choke point). Zero data bytes move; old versions keep reading
+    * under their own recorded names (time travel across the rename is
+    * exact); stats pruning keeps firing on the renamed column (every
+    * skipping site translates logical → physical through
+    * [[toPhysicalPred]]). Refusals: unknown column, occupied/case-
+    * colliding target, and PARTITION columns (their values live in the
+    * physical `col=value` path layout — rewrite via a full-snapshot
+    * commit instead). */
+  def renameColumn(spark: SparkSession, dir: String,
+                   oldName: String, newName: String,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(sys.error(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    val cs = caseSensitive(spark)
+    val schema0 = m0.schemaStruct.getOrElse(
+      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+    def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
+    val idx = schema0.fields.indexWhere(f => same(f.name, oldName))
+    require(idx >= 0,
+      s"column $oldName does not exist — RENAME COLUMN takes a committed " +
+        "column")
+    val f0 = schema0.fields(idx)
+    require(!m0.partitionCols.exists(same(_, f0.name)),
+      s"column ${f0.name} is a PARTITION column — its values live in the " +
+        "physical col=value layout; renaming it needs a full-snapshot rewrite")
+    require(!schema0.fields.zipWithIndex.exists { case (g, i) =>
+      i != idx && same(g.name, newName) },
+      s"column $newName already exists — RENAME COLUMN cannot collide")
+    val renamed = f0.copy(name = newName,
+      metadata = new MetadataBuilder().withMetadata(f0.metadata)
+        .putString(PhysicalNameKey, physicalName(f0)).build())
+    commitStagedFull(spark, dir, "rename-column", reclaimGraceMs,
+      schemaOverride = Some(StructType(schema0.fields.updated(idx, renamed)))) {
+      (prior, _) =>
+        val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+        Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
 

@@ -1,0 +1,171 @@
+package graft.storage
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Contract of COLUMN MAPPING (round 17 — Delta's name-mode mapping):
+  * `RENAME COLUMN` is a metadata-only commit; every committed parquet
+  * file keeps its physical spelling and stays readable, old versions
+  * time-travel under their own names, stats pruning keeps firing on
+  * the renamed column, and every write path (append, CoW and DV
+  * mutation, compaction) keeps spelling the physical name. */
+class SnapshotRenameSpec extends SparkSpec {
+
+  import spark.implicits._
+  import SnapshotStore.FilePredicate._
+
+  private def freshDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("snapren").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def seed(dir: String, n: Long = 200L): Unit =
+    SnapshotStore.commit(spark, dir,
+      (1L to n).map(i => (i, s"t$i", i % 5))
+        .toDF("doc_id", "text", "score")
+        .repartitionByRange(4, col("doc_id")), "ingest")
+
+  test("rename is a metadata-only commit: zero files move, reads surface " +
+    "the new name, time travel keeps the OLD name, values intact") {
+    val dir = freshDir()
+    seed(dir)
+    val files1 = SnapshotStore.manifest(spark, dir, 1L).files
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    val m2 = SnapshotStore.manifest(spark, dir, 2L)
+    assert(m2.operation == "rename-column")
+    assert(m2.files == files1, "zero data files may move")
+    assert(SnapshotStore.read(spark, dir).columns.toSeq ==
+      Seq("doc_id", "body", "score"))
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("doc_id") === 7L).select("body").as[String].head() == "t7")
+    // the OLD version still reads under its own recorded name
+    assert(SnapshotStore.readAsOf(spark, dir, 1L).columns.toSeq ==
+      Seq("doc_id", "text", "score"))
+    // the physical files still spell the ORIGINAL name
+    val raw = spark.read.parquet(m2.files: _*)
+    assert(raw.columns.contains("text") && !raw.columns.contains("body"))
+  }
+
+  test("stats pruning keeps firing on a renamed column (logical predicate " +
+    "translates to the physical stats key)") {
+    val dir = freshDir()
+    seed(dir, 400L)
+    SnapshotStore.renameColumn(spark, dir, "doc_id", "id")
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 2L, EqTo("id", 42L))
+    val all = SnapshotStore.manifest(spark, dir, 2L).files
+    assert(pruned.length < all.length,
+      s"renamed-column predicate must still prune (kept ${pruned.length} " +
+        s"of ${all.length})")
+    val got = SnapshotStore.readAsOfWhere(spark, dir, 2L,
+      between("id", 10L, 12L)).select("id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L, 12L))
+    // the Catalyst index face prunes too: plain .filter on the new name
+    val (df, idx) = SnapshotFileIndex.readAsOfTableWithIndex(spark, dir, 2L)
+    assert(df.filter(col("id") === 42L).count() == 1L)
+    assert(idx.lastListedCount < all.length,
+      "pushed-down filters on the logical name must reach the stats")
+  }
+
+  test("every write path keeps spelling the PHYSICAL name after a rename: " +
+    "append, CoW update, DV delete, merge, compact — all read back exactly") {
+    val dir = freshDir()
+    seed(dir)
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    // append uses the LOGICAL schema
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((500L, "new", 0L)).toDF("doc_id", "body", "score"), "append")
+    // CoW update on the renamed column
+    SnapshotStore.updateCondition(spark, dir, col("doc_id") === 500L,
+      Some(EqTo("doc_id", 500L)), Seq("body" -> lit("patched")))
+    // DV delete predicated on the renamed column
+    SnapshotStore.deleteWhereDv(spark, dir, EqTo("body", "t13"))
+    // merge replacing one key
+    SnapshotStore.merge(spark, dir,
+      Seq((7L, "merged", 9L)).toDF("doc_id", "body", "score"), Seq("doc_id"))
+    // compact materializes everything
+    SnapshotStore.compact(spark, dir)
+    val got = SnapshotStore.read(spark, dir)
+      .select("doc_id", "body").as[(Long, String)].collect().toMap
+    assert(got.size == 200L, "200 seeded + 1 appended - 1 deleted")
+    assert(got(500L) == "patched" && got(7L) == "merged" && !got.contains(13L))
+    // all data files — new and old — spell the physical name
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    val raw = spark.read.parquet(m.files: _*)
+    assert(raw.columns.contains("text") && !raw.columns.contains("body"))
+    // and the recorded schema still maps body -> text
+    assert(SnapshotStore.physicalOf(m.schemaStruct.get) == Map("body" -> "text"))
+  }
+
+  test("SQL: ALTER TABLE RENAME COLUMN on a registered table keeps the " +
+    "catalog in lockstep; SELECT/UPDATE on the new name; refusals typed") {
+    val dir = freshDir()
+    seed(dir)
+    val tbl = "graft_ren_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN text TO body")
+      assert(spark.table(tbl).columns.toSeq == Seq("doc_id", "body", "score"))
+      assert(spark.sql(s"SELECT body FROM $tbl WHERE doc_id = 7")
+        .as[String].head() == "t7")
+      spark.sql(s"UPDATE $tbl SET body = 'sql-upd' WHERE doc_id = 9")
+      assert(spark.sql(s"SELECT body FROM $tbl WHERE doc_id = 9")
+        .as[String].head() == "sql-upd")
+      // time travel across the rename: the old version, old names
+      assert(spark.sql(s"SELECT * FROM $tbl VERSION AS OF 1")
+        .columns.toSeq == Seq("doc_id", "text", "score"))
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN nope TO x")
+      }
+      assert(e1.getMessage.contains("does not exist"))
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN body TO score")
+      }
+      assert(e2.getMessage.contains("already exists"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("renaming a PARTITION column refuses (values live in the physical " +
+    "col=value layout); rename then rename-back round-trips") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 40L).map(i => (i, s"t$i", if (i % 2 == 0) "a" else "b"))
+        .toDF("doc_id", "text", "grp"),
+      "ingest", partitionBy = Seq("grp"))
+    val e = intercept[IllegalArgumentException] {
+      SnapshotStore.renameColumn(spark, dir, "grp", "bucket")
+    }
+    assert(e.getMessage.contains("PARTITION column"))
+    // non-partition renames on a partitioned table still work
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("grp") === "a").count() == 20L)
+    SnapshotStore.renameColumn(spark, dir, "body", "text")
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    assert(SnapshotStore.physicalOf(m.schemaStruct.get).isEmpty,
+      "rename-back restores physical == logical (no residual mapping)")
+    assert(SnapshotStore.read(spark, dir).columns.contains("text"))
+  }
+
+  test("bloom point-skipping survives a rename of the declared column") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 400L).map(i => (i, i % 7))
+        .toDF("doc_id", "grp")
+        .withColumn("shuffle", pmod(hash(col("doc_id")), lit(8)))
+        .repartitionByRange(8, col("shuffle")).drop("shuffle"),
+      "ingest", bloomCols = Seq("doc_id"))
+    SnapshotStore.renameColumn(spark, dir, "doc_id", "id")
+    val pruned = SnapshotStore.prunedFiles(spark, dir, 2L,
+      InSet("id", Seq(3L, 41L, 999999L)))
+    val all = SnapshotStore.manifest(spark, dir, 2L).files
+    assert(pruned.length <= 3 && pruned.length < all.length,
+      s"bloom must prune on the renamed name (kept ${pruned.length}/${all.length})")
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 2L,
+      InSet("id", Seq(3L, 41L, 999999L)))
+      .select("id").as[Long].collect().toSet == Set(3L, 41L))
+  }
+}
