@@ -427,7 +427,16 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       // surface as "table `history` not found".
       case DescribeHistoryRe(t, limitTok) =>
         val tok = t.trim
-        val limit = Option(limitTok).map(_.toInt)
+        val limit = Option(limitTok).map { s =>
+          // refusals surface as AnalysisException, never a raw
+          // NumberFormatException (overflow) or IllegalArgumentException
+          val v = try s.toLong catch {
+            case _: NumberFormatException => Long.MaxValue
+          }
+          if (v < 1L || v > Int.MaxValue) SnapshotDmlRule.analysisError(
+            s"DESCRIBE HISTORY LIMIT must be a positive 32-bit count, got $s")
+          v.toInt
+        }
         if (tok.startsWith("'"))
           Some(GraftDescribeHistoryCommand(dirOfToken(t), limit))
         else snapshotDirOf(
@@ -786,12 +795,18 @@ final case class GraftRenameColumnCommand(dir: String,
     table.foreach { ident =>
       val cat = spark.sessionState.catalog
       val meta = cat.getTableMetadata(ident)
-      val renamed = org.apache.spark.sql.types.StructType(
-        meta.schema.fields.map(f =>
+      val renamedData = org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields.map(f =>
           if (spark.sessionState.conf.resolver(f.name, oldName))
             f.copy(name = newName)
           else f))
-      cat.alterTable(meta.copy(schema = renamed))
+      // the EXTERNAL catalog's data-schema API: persisted on Hive
+      // metastores too (SessionCatalog.alterTable does NOT persist
+      // schema changes there, and its alterTableDataSchema helper
+      // refuses removed names — a rename removes one)
+      cat.externalCatalog.alterTableDataSchema(
+        meta.identifier.database.getOrElse(cat.getCurrentDatabase),
+        meta.identifier.table, renamedData)
     }
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty

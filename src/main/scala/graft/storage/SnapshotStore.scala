@@ -1173,10 +1173,18 @@ object SnapshotStore {
                         partitionCols: Seq[String],
                         append: Boolean = false,
                         toPhysical: Map[String, String] = Map.empty): Unit = {
+    // the mapping lookup resolves by the SESSION's case sensitivity —
+    // a re-spelled delta column (`Body` for renamed `body`) matches the
+    // committed column under case-insensitive analysis, so its physical
+    // translation must too, or the file would spell the respelling and
+    // every read of it would null-fill the renamed column
+    val cs = df.sparkSession.sessionState.conf.caseSensitiveAnalysis
+    def phys(c: String): String = toPhysical.collectFirst {
+      case (l, p) if (if (cs) l == c else l.equalsIgnoreCase(c)) => p
+    }.getOrElse(c)
     val out =
       if (toPhysical.isEmpty) df
-      else df.select(df.columns.toSeq.map(c =>
-        col(s"`$c`").as(toPhysical.getOrElse(c, c))): _*)
+      else df.select(df.columns.toSeq.map(c => col(s"`$c`").as(phys(c))): _*)
     val w = out.write.mode(
       if (append) SaveMode.Append else SaveMode.ErrorIfExists)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
@@ -1392,7 +1400,10 @@ object SnapshotStore {
       partitionTypeHint = partitionBy.flatMap(c =>
         df.schema.fields.find(_.name.equalsIgnoreCase(c))
           .map(f => c -> f.dataType)).toMap,
-      bloomColsOpt = Some(bloomCols)) { (_, dataDir) =>
+      bloomColsOpt = Some(bloomCols),
+      // a full snapshot REDEFINES the schema: the frame's own names are
+      // the authority (no resurrected column mapping — see the flag doc)
+      freshArePhysical = false) { (_, dataDir) =>
       writeData(df, dataDir, partitionBy)
       (Seq.empty, Map.empty)
     }
@@ -1888,23 +1899,32 @@ object SnapshotStore {
     try {
       val pred = mergeEnvelope(delta, keyCols).getOrElse(
         return latestVersion(spark, dir).get) // empty delta: no-op
-      commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-        val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-        val touched = mightMatchFiles(m, Some(pred))
-        val untouchedSet = m.files.toSet -- touched
-        val survivors =
-          if (touched.isEmpty) delta.limit(0)
-          else readFiles(spark, dir, m, touched)
-            .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-        // allowMissingColumns: an evolved delta's NEW columns null-fill in
-        // survivors; a delta omitting non-key table columns null-fills its
-        // own rows (the Delta automatic-evolution contract)
-        writeData(survivors.unionByName(delta, allowMissingColumns = true),
-          dataDir, m.partitionCols, toPhysical = mappingOf(m))
-        (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
-      }
+      mergeCowImpl(spark, dir, delta, keyCols, pred, reclaimGraceMs, operation)
     } finally if (weCached) delta.unpersist()
   }
+
+  /** the copy-on-write merge commit, with the envelope already computed
+    * (and the delta already persisted) by the caller — [[merge]] and
+    * [[mergeAuto]] share it so the dispatch never re-runs the envelope
+    * aggregation */
+  private def mergeCowImpl(spark: SparkSession, dir: String, delta: DataFrame,
+                           keyCols: Seq[String], pred: FilePredicate,
+                           reclaimGraceMs: Long, operation: String): Long =
+    commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = mightMatchFiles(m, Some(pred))
+      val untouchedSet = m.files.toSet -- touched
+      val survivors =
+        if (touched.isEmpty) delta.limit(0)
+        else readFiles(spark, dir, m, touched)
+          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+      // allowMissingColumns: an evolved delta's NEW columns null-fill in
+      // survivors; a delta omitting non-key table columns null-fills its
+      // own rows (the Delta automatic-evolution contract)
+      writeData(survivors.unionByName(delta, allowMissingColumns = true),
+        dataDir, m.partitionCols, toPhysical = mappingOf(m))
+      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
+    }
 
   /** The delta's key ENVELOPE as a write-side file predicate — one
     * bounded (single-row) aggregation. The exact distinct-key count
@@ -1958,33 +1978,43 @@ object SnapshotStore {
     try {
       val pred = mergeEnvelope(delta, keyCols).getOrElse(
         return latestVersion(spark, dir).get) // empty delta: no-op
-      commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-        val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-        val touched = mightMatchFiles(m, Some(pred))
-        val touchedSet = touched.toSet
-        val newDvDir = fs(spark, dir)
-          .makeQualified(new Path(s"$dataDir/_dv")).toString
-        val countsByKey: Map[String, Long] =
-          if (touched.isEmpty) Map.empty
-          else {
-            // pre-image positions of the REPLACED rows: live rows of the
-            // touched files whose key appears in the delta (semi-join on
-            // the key projection — broadcast by AQE for typical deltas)
-            val marks = liveWithProvenance(spark, dir, m, touched)
-              .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
-              .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-            writeFoldedVector(spark, m, touched, marks, newDvDir)
-          }
-        // the whole delta appends — replacements AND new keys — exactly
-        // the bytes the caller handed in (append mode: the hidden `_dv`
-        // write above already created our claimed version dir)
-        writeData(delta, dataDir, m.partitionCols, append = true,
-          toPhysical = mappingOf(m))
-        Staged(m.files, m.stats,
-          Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
-      }
+      mergeDvImpl(spark, dir, delta, keyCols, pred, reclaimGraceMs, operation)
     } finally if (weCached) delta.unpersist()
   }
+
+  /** the merge-on-read merge commit, envelope precomputed (see
+    * [[mergeCowImpl]]) — the marks semi-join runs INSIDE the commit
+    * loop against the in-loop prior (a lost-race retry must re-mark
+    * against the rival's committed state), so only the envelope is
+    * shareable with the dispatch */
+  private def mergeDvImpl(spark: SparkSession, dir: String, delta: DataFrame,
+                          keyCols: Seq[String], pred: FilePredicate,
+                          reclaimGraceMs: Long, operation: String): Long =
+    commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val touched = mightMatchFiles(m, Some(pred))
+      val touchedSet = touched.toSet
+      val newDvDir = fs(spark, dir)
+        .makeQualified(new Path(s"$dataDir/_dv")).toString
+      val countsByKey: Map[String, Long] =
+        if (touched.isEmpty) Map.empty
+        else {
+          // pre-image positions of the REPLACED rows: live rows of the
+          // touched files whose key appears in the delta (semi-join on
+          // the key projection — broadcast by AQE for typical deltas)
+          val marks = liveWithProvenance(spark, dir, m, touched)
+            .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
+            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+          writeFoldedVector(spark, m, touched, marks, newDvDir)
+        }
+      // the whole delta appends — replacements AND new keys — exactly
+      // the bytes the caller handed in (append mode: the hidden `_dv`
+      // write above already created our claimed version dir)
+      writeData(delta, dataDir, m.partitionCols, append = true,
+        toPhysical = mappingOf(m))
+      Staged(m.files, m.stats,
+        Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
+    }
 
   /** Measured AUTO-dispatch between the DV and CoW merge paths — the
     * SQL `MERGE INTO` route, completing the DML triad's dispatch
@@ -2011,6 +2041,9 @@ object SnapshotStore {
     try {
       val cur = latestVersion(spark, dir).get
       val m = manifest(spark, dir, cur)
+      preValidateEvolution(spark, dir, delta) // cheap early exit, both paths
+      // ONE envelope aggregation serves dispatch AND commit (the impls
+      // take the precomputed predicate — no re-run)
       val pred = mergeEnvelope(delta, keyCols).getOrElse(return cur)
       val touched = mightMatchFiles(m, Some(pred))
       val statless = touched.exists(f => !m.stats.contains(f))
@@ -2024,9 +2057,10 @@ object SnapshotStore {
         matched.toDouble / total <= DvAutoThreshold
       }
       if (dv)
-        mergeDv(spark, dir, delta, keyCols, reclaimGraceMs,
+        mergeDvImpl(spark, dir, delta, keyCols, pred, reclaimGraceMs,
           if (operation == "merge") "merge-dv" else operation)
-      else merge(spark, dir, delta, keyCols, reclaimGraceMs, operation)
+      else mergeCowImpl(spark, dir, delta, keyCols, pred, reclaimGraceMs,
+        operation)
     } finally if (weCached) delta.unpersist()
   }
 
@@ -2274,7 +2308,16 @@ object SnapshotStore {
       }
       f
     }
-    StructType(kept ++ a.fields.filterNot(g => baseKeys(key(g.name))))
+    val appended = a.fields.filterNot(g => baseKeys(key(g.name)))
+    // column mapping: a NEW column (its own physical name) must not
+    // collide with an existing column's PHYSICAL name — the physical
+    // schema would hold duplicate parquet fields and no file could read
+    val basePhysical = b.fields.map(f => key(physicalName(f))).toSet
+    appended.foreach(g => if (basePhysical(key(g.name))) sys.error(
+      s"schema evolution conflict: new column ${g.name} collides with the " +
+        "PHYSICAL name of a renamed column — pick another name (the " +
+        "physical schema would hold duplicate parquet fields)"))
+    StructType(kept ++ appended)
   }
 
   /** The version's logical schema: carried schema (stored, or inferred
@@ -2316,13 +2359,15 @@ object SnapshotStore {
                                     partitionTypeHint: Map[String, DataType] =
                                       Map.empty,
                                     schemaOverride: Option[StructType] = None,
-                                    bloomColsOpt: Option[Seq[String]] = None)
+                                    bloomColsOpt: Option[Seq[String]] = None,
+                                    freshArePhysical: Boolean = true)
                                    (stage: (Option[Manifest], String) =>
                                      (Seq[String], Map[String, FileStats])): Long =
     commitStagedFull(spark, dir, operation, reclaimGraceMs, partitionBy,
-      partitionTypeHint, schemaOverride, bloomColsOpt) { (prior, dataDir) =>
-      val (f, s) = stage(prior, dataDir)
-      Staged(f, s)
+      partitionTypeHint, schemaOverride, bloomColsOpt, freshArePhysical) {
+      (prior, dataDir) =>
+        val (f, s) = stage(prior, dataDir)
+        Staged(f, s)
     }
 
   /** The fully general commit: `stage(priorManifest, dataDir)` writes the
@@ -2333,6 +2378,20 @@ object SnapshotStore {
     * to rewrite. `stage` receives the prior manifest read INSIDE the
     * retry loop, so a lost-race retry recomputes its file selection
     * against the rival's committed state, never a stale view. */
+  /** `freshArePhysical` (column mapping): true for every stage whose
+    * fresh files were written through [[writeData]]'s logical→physical
+    * translation (all carry-style and maintenance commits) — their
+    * parquet spellings translate back to the carried logical names for
+    * the schema union; false for a layout-REDEFINING full snapshot,
+    * whose frame's own names are the new authority (a user reintroducing
+    * a column spelled like an old physical name must get exactly that
+    * name, not a resurrected mapping). */
+  /** `schemaOverride` records a FIXED schema (restore/clone — the target
+    * manifest's own, correct regardless of rival evolution);
+    * `schemaOverrideFn` recomputes from the IN-LOOP prior (metadata-only
+    * DDL — a lost-race retry must fold a rival's concurrent schema
+    * evolution in, never commit a stale view; the function may refuse,
+    * and refusals reclaim the staged dir like any stage failure). */
   private[storage] def commitStagedFull(spark: SparkSession, dir: String,
                                     operation: String,
                                     reclaimGraceMs: Long = DefaultReclaimGraceMs,
@@ -2340,7 +2399,11 @@ object SnapshotStore {
                                     partitionTypeHint: Map[String, DataType] =
                                       Map.empty,
                                     schemaOverride: Option[StructType] = None,
-                                    bloomColsOpt: Option[Seq[String]] = None)
+                                    bloomColsOpt: Option[Seq[String]] = None,
+                                    freshArePhysical: Boolean = true,
+                                    schemaOverrideFn:
+                                      Option[Option[Manifest] => StructType] =
+                                        None)
                                    (stage: (Option[Manifest], String) =>
                                      Staged): Long = {
     val f = fs(spark, dir)
@@ -2420,28 +2483,38 @@ object SnapshotStore {
         // translate back to the carried logical spelling BEFORE the
         // schema union, or a renamed column would union as a duplicate.
         val logicalByPhysical: Map[String, String] =
-          prior.flatMap(_.schemaStruct).map(ps =>
+          if (!freshArePhysical) Map.empty
+          else prior.flatMap(_.schemaStruct).map(ps =>
             ps.fields.iterator.filter(fl => physicalName(fl) != fl.name)
               .map(fl => physicalName(fl) -> fl.name).toMap)
             .getOrElse(Map.empty)
+        // physical → logical, resolved by the session's case sensitivity
+        // (the file spelling came through writeData's case-aware phys())
+        def logicalFor(n: String): Option[String] =
+          if (logicalByPhysical.isEmpty) None
+          else if (caseSensitive(spark)) logicalByPhysical.get(n)
+          else logicalByPhysical.collectFirst {
+            case (p, l) if p.equalsIgnoreCase(n) => l
+          }
         // A translated field KEEPS its mapping (the file really does
         // spell the physical name — a full rewrite like compact has no
         // carried side to supply it); an untranslated fresh field is
         // STRIPPED of the key: a NEW column must never inherit a stale
         // physical name through an alias's metadata propagation (it
         // would record a mapping no data file satisfies).
-        val schema = schemaOverride.getOrElse(
-          versionSchema(spark, prior, carryFiles,
-            newDf.map(d => asNullableSchema(StructType(d.schema.fields.map {
-              fl => logicalByPhysical.get(fl.name) match {
-                case Some(logical) => fl.copy(name = logical,
-                  metadata = new MetadataBuilder().withMetadata(fl.metadata)
-                    .putString(PhysicalNameKey, fl.name).build())
-                case None => fl.copy(
-                  metadata = new MetadataBuilder().withMetadata(fl.metadata)
-                    .remove(PhysicalNameKey).build())
-              }
-            })))))
+        val schema = schemaOverrideFn.map(_(prior)).orElse(schemaOverride)
+          .getOrElse(
+            versionSchema(spark, prior, carryFiles,
+              newDf.map(d => asNullableSchema(StructType(d.schema.fields.map {
+                fl => logicalFor(fl.name) match {
+                  case Some(logical) => fl.copy(name = logical,
+                    metadata = new MetadataBuilder().withMetadata(fl.metadata)
+                      .putString(PhysicalNameKey, fl.name).build())
+                  case None => fl.copy(
+                    metadata = new MetadataBuilder().withMetadata(fl.metadata)
+                      .remove(PhysicalNameKey).build())
+                }
+              })))))
         // monotonized stamp: a clock step backwards (NTP, cross-host
         // skew) must never yield ts <= the prior commit's — the
         // TIMESTAMP AS OF binary search and age-based vacuum both rely
@@ -2701,24 +2774,29 @@ object SnapshotStore {
                  newCols: Seq[StructField],
                  reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     require(newCols.nonEmpty, "ADD COLUMNS needs at least one column")
-    val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
+    require(latestVersion(spark, dir).isDefined,
+      s"no committed version at $dir")
     val cs = caseSensitive(spark)
-    val schema0 = m0.schemaStruct.getOrElse(
-      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
-    newCols.foreach { f =>
-      val clash = schema0.fields.find(g =>
-        if (cs) g.name == f.name else g.name.equalsIgnoreCase(f.name))
-      clash.foreach(g => sys.error(
-        s"column ${f.name} already exists as ${g.name} " +
-          s"(${g.dataType.simpleString}) — ADD COLUMNS appends new columns " +
-          "only"))
+    // validate + build against the IN-LOOP prior: a lost-race retry must
+    // fold a rival's concurrent evolution in, never commit a stale view
+    def evolved(prior: Option[Manifest]): StructType = {
+      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val schema0 = m0.schemaStruct.getOrElse(
+        asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+      newCols.foreach { f =>
+        val clash = schema0.fields.find(g =>
+          if (cs) g.name == f.name else g.name.equalsIgnoreCase(f.name))
+        clash.foreach(g => sys.error(
+          s"column ${f.name} already exists as ${g.name} " +
+            s"(${g.dataType.simpleString}) — ADD COLUMNS appends new " +
+            "columns only"))
+      }
+      mergeSchemas(schema0, StructType(newCols.map(_.copy(nullable = true))),
+        cs)
     }
-    val merged = mergeSchemas(schema0,
-      StructType(newCols.map(_.copy(nullable = true))), cs)
+    evolved(Some(manifest(spark, dir, latestVersion(spark, dir).get))) // fail fast
     commitStagedFull(spark, dir, "add-columns", reclaimGraceMs,
-      schemaOverride = Some(merged)) { (prior, _) =>
+      schemaOverrideFn = Some(evolved _)) { (prior, _) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
       Staged(m.files, m.stats) // dvs derive by carry — everything carries
     }
@@ -2741,32 +2819,38 @@ object SnapshotStore {
   def renameColumn(spark: SparkSession, dir: String,
                    oldName: String, newName: String,
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
-    val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
+    require(latestVersion(spark, dir).isDefined,
+      s"no committed version at $dir")
     val cs = caseSensitive(spark)
-    val schema0 = m0.schemaStruct.getOrElse(
-      asNullableSchema(spark.read.parquet(m0.files: _*).schema))
     def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
-    val idx = schema0.fields.indexWhere(f => same(f.name, oldName))
-    require(idx >= 0,
-      s"column $oldName does not exist — RENAME COLUMN takes a committed " +
-        "column")
-    val f0 = schema0.fields(idx)
-    require(!m0.partitionCols.exists(same(_, f0.name)),
-      s"column ${f0.name} is a PARTITION column — its values live in the " +
-        "physical col=value layout; renaming it needs a full-snapshot rewrite")
-    require(!schema0.fields.zipWithIndex.exists { case (g, i) =>
-      i != idx && same(g.name, newName) },
-      s"column $newName already exists — RENAME COLUMN cannot collide")
-    val renamed = f0.copy(name = newName,
-      metadata = new MetadataBuilder().withMetadata(f0.metadata)
-        .putString(PhysicalNameKey, physicalName(f0)).build())
+    // validate + build against the IN-LOOP prior (see [[addColumns]])
+    def renamedSchema(prior: Option[Manifest]): StructType = {
+      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val schema0 = m0.schemaStruct.getOrElse(
+        asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+      val idx = schema0.fields.indexWhere(f => same(f.name, oldName))
+      require(idx >= 0,
+        s"column $oldName does not exist — RENAME COLUMN takes a committed " +
+          "column")
+      val f0 = schema0.fields(idx)
+      require(!m0.partitionCols.exists(same(_, f0.name)),
+        s"column ${f0.name} is a PARTITION column — its values live in the " +
+          "physical col=value layout; renaming it needs a full-snapshot " +
+          "rewrite")
+      require(!schema0.fields.zipWithIndex.exists { case (g, i) =>
+        i != idx && same(g.name, newName) },
+        s"column $newName already exists — RENAME COLUMN cannot collide")
+      val renamed = f0.copy(name = newName,
+        metadata = new MetadataBuilder().withMetadata(f0.metadata)
+          .putString(PhysicalNameKey, physicalName(f0)).build())
+      StructType(schema0.fields.updated(idx, renamed))
+    }
+    renamedSchema(Some(manifest(spark, dir,
+      latestVersion(spark, dir).get))) // fail fast, before any staging
     commitStagedFull(spark, dir, "rename-column", reclaimGraceMs,
-      schemaOverride = Some(StructType(schema0.fields.updated(idx, renamed)))) {
-      (prior, _) =>
-        val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
-        Staged(m.files, m.stats) // pure metadata — everything carries
+      schemaOverrideFn = Some(renamedSchema _)) { (prior, _) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
 

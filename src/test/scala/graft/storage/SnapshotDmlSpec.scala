@@ -542,11 +542,15 @@ class SnapshotDmlSpec extends SparkSpec {
     assert(all.length == 7)
     assert(lim.toSeq == all.takeRight(3).toSeq,
       "LIMIT must surface the newest n versions, values identical")
-    // LIMIT 0 is not grammar here — the regex wants a positive count
-    val e = intercept[IllegalArgumentException] {
+    // bad counts refuse as AnalysisException — zero AND overflow
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 0")
     }
-    assert(e.getMessage.contains("LIMIT must be >= 1"))
+    assert(e.getMessage.contains("positive 32-bit count"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"DESCRIBE HISTORY '$dir' LIMIT 99999999999")
+    }
+    assert(e2.getMessage.contains("positive 32-bit count"))
   }
 
   test("refusals surface as AnalysisException, never bare RuntimeException: " +

@@ -150,6 +150,92 @@ class SnapshotRenameSpec extends SparkSpec {
     assert(SnapshotStore.read(spark, dir).columns.contains("text"))
   }
 
+  test("a NEW column colliding with a renamed column's PHYSICAL name " +
+    "refuses (the physical schema would hold duplicate parquet fields); " +
+    "a full-snapshot overwrite reintroducing the physical spelling gets " +
+    "exactly the user's name — no resurrected mapping") {
+    val dir = freshDir()
+    seed(dir, 20L)
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    // evolution collision: adding a column named like the physical name
+    val e = intercept[RuntimeException] {
+      SnapshotStore.commitAppend(spark, dir,
+        Seq((900L, "b", 1L, "poison"))
+          .toDF("doc_id", "body", "score", "text"), "append")
+    }
+    assert(e.getMessage.contains("PHYSICAL name"))
+    // ADD COLUMNS hits the same guard
+    val e2 = intercept[RuntimeException] {
+      SnapshotStore.addColumns(spark, dir,
+        Seq(org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+    }
+    assert(e2.getMessage.contains("PHYSICAL name"))
+    // full-snapshot overwrite: the frame's names are the new authority
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "fresh")).toDF("doc_id", "text"), "rebuild")
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    assert(m.schemaStruct.get.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(SnapshotStore.physicalOf(m.schemaStruct.get).isEmpty,
+      "a layout-redefining commit must not resurrect the old mapping")
+    assert(SnapshotStore.read(spark, dir)
+      .select("text").as[String].collect().toSeq == Seq("fresh"))
+  }
+
+  test("a metadata-only DDL that LOSES the commit race folds the rival's " +
+    "concurrent schema evolution in — never a stale schema") {
+    val dir = freshDir()
+    seed(dir, 30L)
+    // interleave: when the rename claims its version, a rival append
+    // lands FIRST with a brand-new column — the rename's retry must
+    // carry that column into its renamed schema
+    var fired = false
+    SnapshotStore.onAttemptForTest = { (op, _) =>
+      if (op == "rename-column" && !fired) {
+        fired = true
+        SnapshotStore.commitAppend(spark, dir,
+          Seq((900L, "x", 1L, "fresh"))
+            .toDF("doc_id", "text", "score", "extra"), "append")
+      }
+    }
+    try SnapshotStore.renameColumn(spark, dir, "text", "body")
+    finally SnapshotStore.onAttemptForTest = (_, _) => ()
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    assert(m.operation == "rename-column")
+    assert(m.schemaStruct.get.fieldNames.toSeq ==
+      Seq("doc_id", "body", "score", "extra"),
+      "the retry must fold the rival's new column AND apply the rename")
+    val got = SnapshotStore.read(spark, dir)
+      .filter(col("doc_id") === 900L)
+      .select("body", "extra").as[(String, String)].head()
+    assert(got == (("x", "fresh")))
+  }
+
+  test("a case-RESPELLED delta column on a renamed table still writes the " +
+    "physical spelling (case-insensitive mapping lookup)") {
+    val dir = freshDir()
+    seed(dir, 20L)
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    // the delta spells `Body` — committed spelling wins in the schema,
+    // and the FILE must spell the physical `text`, not `Body`
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((900L, "respelled", 1L)).toDF("doc_id", "Body", "score"), "append")
+    val m = SnapshotStore.manifest(spark, dir, 3L)
+    assert(m.schemaStruct.get.fieldNames.toSeq ==
+      Seq("doc_id", "body", "score"), "committed spelling wins")
+    val fresh = m.files.filterNot(
+      SnapshotStore.manifest(spark, dir, 2L).files.toSet)
+    val raw = spark.read.parquet(fresh: _*)
+    assert(raw.columns.contains("text") && !raw.columns.exists(
+      _.equalsIgnoreCase("body")),
+      s"the respelled delta must write the physical name, got ${raw.columns.toSeq}")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("doc_id") === 900L).select("body").as[String].head() ==
+      "respelled")
+  }
+
   test("bloom point-skipping survives a rename of the declared column") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
