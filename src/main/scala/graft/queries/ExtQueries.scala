@@ -4002,6 +4002,36 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
+    * verb over column mapping): the table drops a column (metadata-only
+    * — retained files keep dead bytes, reads project them away), then
+    * RE-ADDS the same name via `ALTER TABLE ADD COLUMNS` (which takes a
+    * FRESH physical name — old bytes must NOT resurrect: pre-existing
+    * rows read NULL) and inserts rows carrying the new column. The
+    * mixed-evolution aggregate ≡ the relational replay where the
+    * re-added column is null for the original rows. */
+  def eSnapshotDropColumn(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "drp")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    store.commit(s, root, docs.repartitionByRange(8, col("doc_id")), "ingest")
+    store.dropColumn(s, root, "n_chars")
+    store.addColumns(s, root, Seq(org.apache.spark.sql.types.StructField(
+      "n_chars", org.apache.spark.sql.types.LongType)))
+    store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 11 === 0)
+        .withColumn("doc_id", col("doc_id") + 700000L)
+        .withColumn("n_chars", col("n_chars").cast("long") * 2), "append")
+    store.read(s, root)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        count(col("n_chars")).as("n_with_chars"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy("lang")
+  }
+
   /** Column mapping (round 17 — Delta's name-mode mapping):
     * `RENAME COLUMN` as a metadata-only commit
     * ([[graft.storage.SnapshotStore.renameColumn]] — the physical name
@@ -7487,6 +7517,7 @@ object ExtQueries {
     "e_snapshot_dv_update" -> (eSnapshotDvUpdate _),
     "e_snapshot_ddl" -> (eSnapshotDdl _),
     "e_snapshot_rename" -> (eSnapshotRename _),
+    "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
     "e_snapshot_restore" -> (eSnapshotRestore _),
     "e_snapshot_clone" -> (eSnapshotClone _),
@@ -9351,6 +9382,18 @@ object ExtQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(count(quality) AS BIGINT) AS n_quality,
         |  CAST(sum(quality) AS BIGINT) AS sum_quality
+        |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_drop_column" ->
+      """WITH evolved AS (
+        |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, lang, CAST(n_chars AS BIGINT) * 2
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(count(n_chars) AS BIGINT) AS n_with_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_rename" ->
       """WITH appended AS (

@@ -385,6 +385,10 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+RENAME\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TO\s+(`[^`]+`|[\w$]+)""" +
       """\s*;?\s*$""").r
+  private val DropColumnsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+DROP\s+COLUMNS?\s+\(?\s*((?:`[^`]+`|[\w$]+)""" +
+      """(?:\s*,\s*(?:`[^`]+`|[\w$]+))*)\s*\)?\s*;?\s*$""").r
 
   /** the table directory behind a maintenance operand — a quoted 'path'
     * is used verbatim; an identifier must resolve to a registered
@@ -465,6 +469,12 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
         alterTarget(t).map { case (dir, ident) =>
           GraftRenameColumnCommand(dir, ident, bare(oldTok), bare(newTok))
+        }
+      case DropColumnsRe(t, colsTok) =>
+        def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
+        alterTarget(t).map { case (dir, ident) =>
+          GraftDropColumnsCommand(dir, ident,
+            colsTok.split(',').toSeq.map(bare).filter(_.nonEmpty))
         }
       case _ => None
     }
@@ -807,6 +817,67 @@ final case class GraftRenameColumnCommand(dir: String,
       cat.externalCatalog.alterTableDataSchema(
         meta.identifier.database.getOrElse(cat.getCurrentDatabase),
         meta.identifier.table, renamedData)
+    }
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> DROP COLUMN[S] (a, b)` (round 17 — the DDL
+  * triad's third verb, on top of column mapping): one metadata-only
+  * `drop-column` commit per named column through
+  * [[SnapshotStore.dropColumn]] — retained files keep the physical
+  * bytes (any rewrite retires them), the dropped physical name is
+  * TOMBSTONED so a later same-named ADD takes a fresh physical name
+  * instead of resurrecting old bytes. The session catalog follows for
+  * registered tables (external-catalog data-schema update, persisted on
+  * Hive too). Refusals (unknown column, partition column, last column)
+  * surface as `AnalysisException`. */
+final case class GraftDropColumnsCommand(dir: String,
+                                         table: Option[TableIdentifier],
+                                         names: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (names.isEmpty) SnapshotDmlRule.analysisError(
+      "DROP COLUMNS names at least one column")
+    // validate the WHOLE list before any commit — one commit lands per
+    // column, and a mid-list refusal must not leave a partial DDL
+    val resolver = spark.sessionState.conf.resolver
+    SnapshotStore.latestVersion(spark, dir)
+      .map(v => SnapshotStore.manifest(spark, dir, v)).foreach { m =>
+      m.schemaStruct.foreach { s =>
+        names.foreach { n =>
+          if (!s.fields.exists(f => resolver(f.name, n)))
+            SnapshotDmlRule.analysisError(
+              s"column $n does not exist — DROP COLUMN takes a committed " +
+                "column")
+          if (m.partitionCols.exists(resolver(_, n)))
+            SnapshotDmlRule.analysisError(
+              s"column $n is a PARTITION column — dropping it needs a " +
+                "full-snapshot rewrite")
+        }
+        if (names.length >= s.fields.length) SnapshotDmlRule.analysisError(
+          "cannot drop the table's last column")
+      }
+    }
+    names.foreach { n =>
+      try SnapshotStore.dropColumn(spark, dir, n)
+      catch { case e: RuntimeException if e.getMessage != null &&
+          (e.getMessage.contains("does not exist") ||
+            e.getMessage.contains("PARTITION column") ||
+            e.getMessage.contains("last column")) =>
+        SnapshotDmlRule.analysisError(e.getMessage)
+      }
+    }
+    table.foreach { ident =>
+      val cat = spark.sessionState.catalog
+      val meta = cat.getTableMetadata(ident)
+      val keep = org.apache.spark.sql.types.StructType(
+        meta.dataSchema.fields.filterNot(f =>
+          names.exists(spark.sessionState.conf.resolver(f.name, _))))
+      cat.externalCatalog.alterTableDataSchema(
+        meta.identifier.database.getOrElse(cat.getCurrentDatabase),
+        meta.identifier.table, keep)
     }
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty

@@ -187,6 +187,13 @@ object SnapshotStore {
     * their vectors; any commit that REWRITES a file (CoW delete/update/
     * merge, compaction, clustering) materializes the vector away and
     * drops the entry. */
+  /** `droppedCols` — TOMBSTONED physical column names (round 17, `DROP
+    * COLUMN`): retained data files may still carry these parquet
+    * columns, so a later same-named ADD must take a FRESH physical name
+    * (or old bytes would silently resurrect under the new column).
+    * Carried forward by every commit; reset by layout-redefining full
+    * snapshots (nothing old is referenced). Small by construction: one
+    * entry per ever-dropped column. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
@@ -194,7 +201,8 @@ object SnapshotStore {
                             partitionCols: Seq[String] = Seq.empty,
                             ts: Long = 0L,
                             bloomCols: Seq[String] = Seq.empty,
-                            dvs: Map[String, DvRef] = Map.empty) {
+                            dvs: Map[String, DvRef] = Map.empty,
+                            droppedCols: Seq[String] = Seq.empty) {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -215,7 +223,7 @@ object SnapshotStore {
       schema: Option[String], partitionCols: Seq[String],
       bloomCols: Seq[String],
       adds: Seq[(String, Option[FileStats])], removes: Seq[String],
-      dvs: Map[String, DvRef])
+      dvs: Map[String, DvRef], droppedCols: Seq[String] = Seq.empty)
 
   /** A full-state CHECKPOINT rides every `CheckpointInterval`-th commit
     * (`v%08d.ckpt.json`, the legacy self-contained encoding): readers
@@ -476,7 +484,8 @@ object SnapshotStore {
 
   private def headerJson(operation: String, ts: Long, schema: Option[String],
                          partitionCols: Seq[String],
-                         bloomCols: Seq[String]): List[(String, JValue)] = List(
+                         bloomCols: Seq[String],
+                         droppedCols: Seq[String]): List[(String, JValue)] = List(
     "operation" -> JString(operation),
     "schema" -> schema.map(JString(_)).getOrElse(JNothing),
     "partitionCols" ->
@@ -485,7 +494,10 @@ object SnapshotStore {
     "ts" -> (if (ts == 0L) JNothing else JLong(ts)),
     "bloomCols" ->
       (if (bloomCols.isEmpty) JNothing
-       else JArray(bloomCols.map(JString(_)).toList)))
+       else JArray(bloomCols.map(JString(_)).toList)),
+    "droppedCols" ->
+      (if (droppedCols.isEmpty) JNothing
+       else JArray(droppedCols.map(JString(_)).toList)))
 
   /** the SELF-CONTAINED encoding — first commits, checkpoints, and every
     * pre-round-17 (legacy) manifest */
@@ -497,7 +509,8 @@ object SnapshotStore {
           p -> (fileStatsJson(fsx): JValue)
         }.toList): JValue)) ::
         ("dvs" -> dvsJson(m.dvs)) ::
-        headerJson(m.operation, m.ts, m.schema, m.partitionCols, m.bloomCols))))
+        headerJson(m.operation, m.ts, m.schema, m.partitionCols, m.bloomCols,
+          m.droppedCols))))
 
   /** the ACTION-DELTA encoding (round 17) — every non-first commit.
     * `adds` is an ARRAY (order is the manifest's file order, which a
@@ -516,7 +529,7 @@ object SnapshotStore {
            else JArray(d.removes.map(JString(_)).toList): JValue)) ::
         ("dvs" -> dvsJson(d.dvs)) ::
         headerJson(d.operation, d.ts, d.schema, d.partitionCols,
-          d.bloomCols))))
+          d.bloomCols, d.droppedCols))))
 
   private def fileStatsOf(fv: JValue): FileStats = {
     val rows = fv \ "rows" match {
@@ -613,7 +626,8 @@ object SnapshotStore {
     }
     Manifest(versionOf(root), operationOf(root), files, stats,
       schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
-      strArrayOf(root, "bloomCols"), dvsOf(root))
+      strArrayOf(root, "bloomCols"), dvsOf(root),
+      strArrayOf(root, "droppedCols"))
   }
 
   private def parseDelta(root: JValue): CommitDelta = {
@@ -632,7 +646,7 @@ object SnapshotStore {
     CommitDelta(versionOf(root), operationOf(root), tsOf(root),
       schemaFieldOf(root), strArrayOf(root, "partitionCols"),
       strArrayOf(root, "bloomCols"), adds, strArrayOf(root, "removes"),
-      dvsOf(root))
+      dvsOf(root), strArrayOf(root, "droppedCols"))
   }
 
   /** Parse either encoding: `files` marks the self-contained form,
@@ -663,7 +677,7 @@ object SnapshotStore {
     val stats = prior.stats.filter(kv => keptSet(kv._1)) ++
       d.adds.flatMap { case (f, st) => st.map(f -> _) }
     Manifest(d.version, d.operation, files, stats, d.schema,
-      d.partitionCols, d.ts, d.bloomCols, d.dvs)
+      d.partitionCols, d.ts, d.bloomCols, d.dvs, d.droppedCols)
   }
 
   /** The action delta between two consecutive manifests — exactly what
@@ -678,7 +692,7 @@ object SnapshotStore {
       m.bloomCols,
       adds = m.files.filterNot(priorSet).map(f => f -> m.stats.get(f)),
       removes = prior.files.filterNot(curSet),
-      dvs = m.dvs)
+      dvs = m.dvs, droppedCols = m.droppedCols)
   }
 
   // round-trip hook for the property spec
@@ -1402,8 +1416,10 @@ object SnapshotStore {
           .map(f => c -> f.dataType)).toMap,
       bloomColsOpt = Some(bloomCols),
       // a full snapshot REDEFINES the schema: the frame's own names are
-      // the authority (no resurrected column mapping — see the flag doc)
-      freshArePhysical = false) { (_, dataDir) =>
+      // the authority (no resurrected column mapping — see the flag doc),
+      // and no old file is referenced, so the tombstones reset too
+      freshArePhysical = false,
+      droppedColsFn = Some(_ => Seq.empty)) { (_, dataDir) =>
       writeData(df, dataDir, partitionBy)
       (Seq.empty, Map.empty)
     }
@@ -1436,9 +1452,9 @@ object SnapshotStore {
 
   private def preValidateEvolution(spark: SparkSession, dir: String,
                                    delta: DataFrame): Unit =
-    latestVersion(spark, dir).map(v => manifest(spark, dir, v))
-      .flatMap(_.schemaStruct)
-      .foreach(s => mergeSchemas(s, delta.schema, caseSensitive(spark)))
+    latestVersion(spark, dir).map(v => manifest(spark, dir, v)).foreach(m =>
+      m.schemaStruct.foreach(s => mergeSchemas(s, delta.schema,
+        caseSensitive(spark), m.droppedCols.toSet)))
 
   /** Copy-on-write row DELETE: commit a new version (operation `delete`)
     * holding the latest version minus the rows where `pred` is TRUE
@@ -2288,7 +2304,9 @@ object SnapshotStore {
     * explicit-schema read would refuse as a duplicate column. A delta
     * whose OWN columns collide case-only refuses loudly. */
   private[storage] def mergeSchemas(base: StructType, add: StructType,
-                                    caseSensitive: Boolean): StructType = {
+                                    caseSensitive: Boolean,
+                                    droppedPhysical: Set[String] =
+                                      Set.empty): StructType = {
     val b = asNullableSchema(base); val a = asNullableSchema(add)
     def key(n: String): String =
       if (caseSensitive) n else n.toLowerCase(java.util.Locale.ROOT)
@@ -2309,14 +2327,25 @@ object SnapshotStore {
       f
     }
     val appended = a.fields.filterNot(g => baseKeys(key(g.name)))
-    // column mapping: a NEW column (its own physical name) must not
-    // collide with an existing column's PHYSICAL name — the physical
-    // schema would hold duplicate parquet fields and no file could read
+    // column mapping: a NEW column's PHYSICAL name must not collide with
+    // an existing column's PHYSICAL name (duplicate parquet fields — no
+    // file could read) nor with a TOMBSTONED dropped column (retained
+    // files still carry those bytes — they would silently resurrect;
+    // ALTER TABLE ADD COLUMNS re-adds such names under a FRESH physical)
     val basePhysical = b.fields.map(f => key(physicalName(f))).toSet
-    appended.foreach(g => if (basePhysical(key(g.name))) sys.error(
-      s"schema evolution conflict: new column ${g.name} collides with the " +
-        "PHYSICAL name of a renamed column — pick another name (the " +
-        "physical schema would hold duplicate parquet fields)"))
+    val droppedKeys = droppedPhysical.map(key)
+    appended.foreach { g =>
+      val gp = key(physicalName(g))
+      if (basePhysical(gp)) sys.error(
+        s"schema evolution conflict: new column ${g.name} collides with the " +
+          "PHYSICAL name of a renamed column — pick another name (the " +
+          "physical schema would hold duplicate parquet fields)")
+      if (droppedKeys(gp)) sys.error(
+        s"schema evolution conflict: new column ${g.name} collides with a " +
+          "DROPPED column's physical name — retained files still carry " +
+          "those bytes; re-add it through ALTER TABLE ADD COLUMNS (which " +
+          "assigns a fresh physical name)")
+    }
     StructType(kept ++ appended)
   }
 
@@ -2330,7 +2359,8 @@ object SnapshotStore {
       else prior.flatMap(_.schemaStruct)
         .orElse(Some(asNullableSchema(spark.read.parquet(carryFiles: _*).schema)))
     (carried, fresh) match {
-      case (Some(c), Some(n)) => mergeSchemas(c, n, caseSensitive(spark))
+      case (Some(c), Some(n)) => mergeSchemas(c, n, caseSensitive(spark),
+        prior.map(_.droppedCols.toSet).getOrElse(Set.empty))
       case (c, n) => c.orElse(n).getOrElse(new StructType())
     }
   }
@@ -2360,11 +2390,15 @@ object SnapshotStore {
                                       Map.empty,
                                     schemaOverride: Option[StructType] = None,
                                     bloomColsOpt: Option[Seq[String]] = None,
-                                    freshArePhysical: Boolean = true)
+                                    freshArePhysical: Boolean = true,
+                                    droppedColsFn:
+                                      Option[Option[Manifest] => Seq[String]] =
+                                        None)
                                    (stage: (Option[Manifest], String) =>
                                      (Seq[String], Map[String, FileStats])): Long =
     commitStagedFull(spark, dir, operation, reclaimGraceMs, partitionBy,
-      partitionTypeHint, schemaOverride, bloomColsOpt, freshArePhysical) {
+      partitionTypeHint, schemaOverride, bloomColsOpt, freshArePhysical,
+      droppedColsFn = droppedColsFn) {
       (prior, dataDir) =>
         val (f, s) = stage(prior, dataDir)
         Staged(f, s)
@@ -2403,6 +2437,9 @@ object SnapshotStore {
                                     freshArePhysical: Boolean = true,
                                     schemaOverrideFn:
                                       Option[Option[Manifest] => StructType] =
+                                        None,
+                                    droppedColsFn:
+                                      Option[Option[Manifest] => Seq[String]] =
                                         None)
                                    (stage: (Option[Manifest], String) =>
                                      Staged): Long = {
@@ -2521,11 +2558,16 @@ object SnapshotStore {
         // on monotone timestamps (the Delta monotonization)
         val tsNow = math.max(System.currentTimeMillis(),
           prior.map(_.ts + 1).getOrElse(1L))
+        // dropped-column tombstones carry forward by default; explicit
+        // fn for the operations that reset (full snapshot) or append
+        // (DROP COLUMN) them — evaluated against the IN-LOOP prior
+        val dropped = droppedColsFn.map(_(prior))
+          .getOrElse(prior.map(_.droppedCols).getOrElse(Seq.empty))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
           carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap, bCols))
             .getOrElse(Map.empty),
           Some(schema.json), pCols, ts = tsNow,
-          bloomCols = bCols, dvs = dvMap)
+          bloomCols = bCols, dvs = dvMap, droppedCols = dropped)
         require(staged.files.nonEmpty,
           s"commit of version $v wrote no data files")
         // ENCODING (round 17): the first commit is self-contained (the
@@ -2783,22 +2825,91 @@ object SnapshotStore {
       val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
       val schema0 = m0.schemaStruct.getOrElse(
         asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+      def same(a: String, b: String) =
+        if (cs) a == b else a.equalsIgnoreCase(b)
       newCols.foreach { f =>
-        val clash = schema0.fields.find(g =>
-          if (cs) g.name == f.name else g.name.equalsIgnoreCase(f.name))
+        val clash = schema0.fields.find(g => same(g.name, f.name))
         clash.foreach(g => sys.error(
           s"column ${f.name} already exists as ${g.name} " +
             s"(${g.dataType.simpleString}) — ADD COLUMNS appends new " +
             "columns only"))
       }
-      mergeSchemas(schema0, StructType(newCols.map(_.copy(nullable = true))),
-        cs)
+      // re-adding a DROPPED name takes a FRESH physical name: retained
+      // files still carry the tombstoned physical column, and reading
+      // old bytes under the new column would be silent resurrection
+      def key(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
+      val taken = (schema0.fields.flatMap(f =>
+        Seq(key(f.name), key(physicalName(f)))) ++
+        m0.droppedCols.map(key)).toSet
+      def freshPhysical(n: String): String = {
+        var i = m0.version + 1
+        while (taken(key(s"${n}_r$i"))) i += 1
+        s"${n}_r$i"
+      }
+      val prepared = newCols.map { f =>
+        val base = f.copy(nullable = true)
+        if (m0.droppedCols.exists(same(_, f.name)))
+          base.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putString(PhysicalNameKey, freshPhysical(f.name)).build())
+        else base
+      }
+      mergeSchemas(schema0, StructType(prepared), cs, m0.droppedCols.toSet)
     }
     evolved(Some(manifest(spark, dir, latestVersion(spark, dir).get))) // fail fast
     commitStagedFull(spark, dir, "add-columns", reclaimGraceMs,
       schemaOverrideFn = Some(evolved _)) { (prior, _) =>
       val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
       Staged(m.files, m.stats) // dvs derive by carry — everything carries
+    }
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` (round 17 — completing the DDL triad
+    * on top of column mapping): a METADATA-ONLY commit (operation
+    * `drop-column`) that removes the field from the LOGICAL schema —
+    * retained data files keep the physical column as dead bytes until
+    * any rewrite (compaction, CoW mutation) naturally retires them
+    * (rewrites read the logical schema, so the dropped bytes never
+    * copy forward). The dropped PHYSICAL name is TOMBSTONED in the
+    * manifest: a later same-named ADD takes a fresh physical name
+    * (see [[addColumns]]) instead of silently resurrecting old files'
+    * bytes, and implicit append-evolution of a tombstoned name refuses.
+    * Refusals: unknown column, PARTITION columns (their values are the
+    * layout), and dropping the last data column. A dropped
+    * bloom-declared column leaves the declaration (physical names never
+    * collide again, and carried files' blooms stay harmless). */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+                 reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(latestVersion(spark, dir).isDefined,
+      s"no committed version at $dir")
+    val cs = caseSensitive(spark)
+    def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
+    def resolve(prior: Option[Manifest]): (StructType, StructField) = {
+      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val schema0 = m0.schemaStruct.getOrElse(
+        asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+      val idx = schema0.fields.indexWhere(f => same(f.name, name))
+      require(idx >= 0,
+        s"column $name does not exist — DROP COLUMN takes a committed column")
+      val f0 = schema0.fields(idx)
+      require(!m0.partitionCols.exists(same(_, f0.name)),
+        s"column ${f0.name} is a PARTITION column — dropping it needs a " +
+          "full-snapshot rewrite")
+      require(schema0.fields.length > 1,
+        "cannot drop the table's last column")
+      (StructType(schema0.fields.patch(idx, Nil, 1)), f0)
+    }
+    resolve(Some(manifest(spark, dir,
+      latestVersion(spark, dir).get))) // fail fast, before any staging
+    commitStagedFull(spark, dir, "drop-column", reclaimGraceMs,
+      schemaOverrideFn = Some(p => resolve(p)._1),
+      droppedColsFn = Some { p =>
+        val m0 = p.getOrElse(sys.error(s"no committed version at $dir"))
+        val phys = physicalName(resolve(p)._2)
+        if (m0.droppedCols.exists(same(_, phys))) m0.droppedCols
+        else m0.droppedCols :+ phys
+      }) { (prior, _) =>
+      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
 
@@ -2868,7 +2979,8 @@ object SnapshotStore {
     commitStagedFull(spark, dir, "restore", reclaimGraceMs,
       partitionBy = Some(m.partitionCols),
       schemaOverride = m.schemaStruct,
-      bloomColsOpt = Some(m.bloomCols)) { (_, _) =>
+      bloomColsOpt = Some(m.bloomCols),
+      droppedColsFn = Some(_ => m.droppedCols)) { (_, _) =>
       Staged(m.files, m.stats, Some(m.dvs))
     }
   }
@@ -2897,7 +3009,8 @@ object SnapshotStore {
     else commitStagedFull(spark, targetDir, "clone", reclaimGraceMs,
       partitionBy = Some(m.partitionCols),
       schemaOverride = m.schemaStruct,
-      bloomColsOpt = Some(m.bloomCols)) { (_, _) =>
+      bloomColsOpt = Some(m.bloomCols),
+      droppedColsFn = Some(_ => m.droppedCols)) { (_, _) =>
       Staged(m.files, m.stats, Some(m.dvs))
     }
   }
@@ -3075,7 +3188,33 @@ object SnapshotStore {
     idCols.foreach(c => require(cols.contains(c),
       s"key column $c is not in version $toVersion's schema"))
     val pre = {
-      val p0 = readAsOf(spark, dir, fromVersion)
+      val p1 = readAsOf(spark, dir, fromVersion)
+      // RENAME-transparent (round 17, column mapping): a renamed column
+      // is the SAME column — align the pre side's logical names to the
+      // post side's through their shared PHYSICAL identity, so the feed
+      // never reports a rename as a whole-table update storm (a dropped
+      // -and-re-added column gets a FRESH physical, so it correctly
+      // null-fills below — a genuine pre-image of null)
+      val toPhys: Map[String, String] =
+        manifest(spark, dir, toVersion).schemaStruct.map(s =>
+          s.fields.iterator.map(f => physicalName(f) -> f.name).toMap)
+          .getOrElse(Map.empty)
+      val p0 = manifest(spark, dir, fromVersion).schemaStruct match {
+        case Some(ps) if toPhys.nonEmpty =>
+          ps.fields.foldLeft(p1) { (df, f) =>
+            toPhys.get(physicalName(f)) match {
+              case Some(postName) if postName != f.name =>
+                df.withColumnRenamed(f.name, postName)
+              case Some(_) => df
+              // the column was DROPPED between the versions: remove it
+              // from the pre side — a same-named re-add is a DIFFERENT
+              // column (fresh physical), and diffing against the dead
+              // bytes would resurrect them as pre-images
+              case None => df.drop(f.name)
+            }
+          }
+        case _ => p1
+      }
       cols.foldLeft(p0) { (df, c) =>
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(post.schema(c).dataType))

@@ -58,8 +58,9 @@ object ManifestCodecProps extends Properties("graft.storage.manifest-codec") {
     // in production) — round-trip it as arbitrary nasty content
     schema <- Gen.option(nonEmptyNasty)
     bloomCols <- Gen.listOf(nonEmptyNasty).map(_.distinct)
+    droppedCols <- Gen.listOf(nonEmptyNasty).map(_.distinct)
   } yield SnapshotStore.Manifest(v, op, files, stats, schema,
-    bloomCols = bloomCols)
+    bloomCols = bloomCols, droppedCols = droppedCols)
 
   property("parse(render(m)) == m for arbitrary path/op/stats strings") =
     forAll(manifest) { m =>

@@ -95,6 +95,101 @@ class SnapshotDdlSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_ddl_plain")
   }
 
+  test("DROP COLUMN is metadata-only: files keep the physical bytes, reads " +
+    "project the column away, a rewrite retires the bytes, and time travel " +
+    "to the pre-drop version still reads it") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 50L).map(i => (i, s"t$i", i % 3)).toDF("doc_id", "text", "junk"),
+      "ingest")
+    val filesBefore = SnapshotStore.manifest(spark, dir, 1L).files
+    SnapshotStore.dropColumn(spark, dir, "junk")
+    val m2 = SnapshotStore.manifest(spark, dir, 2L)
+    assert(m2.operation == "drop-column" && m2.files == filesBefore)
+    assert(m2.droppedCols == Seq("junk"))
+    assert(SnapshotStore.read(spark, dir).columns.toSeq ==
+      Seq("doc_id", "text"))
+    // pre-drop version still reads the column
+    assert(SnapshotStore.readAsOf(spark, dir, 1L)
+      .filter(col("doc_id") === 3L).select("junk").as[Long].head() == 0L)
+    // the physical bytes still exist in the carried files…
+    assert(spark.read.parquet(m2.files: _*).columns.contains("junk"))
+    // …until a rewrite retires them
+    SnapshotStore.compact(spark, dir)
+    val m3 = SnapshotStore.manifest(spark, dir, 3L)
+    assert(!spark.read.parquet(m3.files: _*).columns.contains("junk"),
+      "a rewrite reads the logical schema — dropped bytes never copy forward")
+    assert(m3.droppedCols == Seq("junk"), "tombstones carry through rewrites")
+  }
+
+  test("re-adding a DROPPED name takes a FRESH physical name — old files' " +
+    "bytes never resurrect; implicit append-evolution of the name refuses") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 30L).map(i => (i, s"t$i", 100L + i)).toDF("doc_id", "text", "score"),
+      "ingest")
+    SnapshotStore.dropColumn(spark, dir, "score")
+    // implicit evolution via append refuses (silent resurrection risk)
+    val e = intercept[RuntimeException] {
+      SnapshotStore.commitAppend(spark, dir,
+        Seq((900L, "x", 7L)).toDF("doc_id", "text", "score"), "append")
+    }
+    assert(e.getMessage.contains("DROPPED column"))
+    // explicit ADD COLUMNS re-adds under a fresh physical name
+    SnapshotStore.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    val f = m.schemaStruct.get.fields.find(_.name == "score").get
+    assert(SnapshotStore.physicalName(f) != "score",
+      s"re-added column must take a fresh physical, got ${SnapshotStore.physicalName(f)}")
+    // old rows read NULL for the re-added column (never the old bytes)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("score").isNotNull).count() == 0L,
+      "old files' dropped bytes must not resurrect under the new column")
+    // and writes under the new column land + read back
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((900L, "x", 7L)).toDF("doc_id", "text", "score"), "append")
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("doc_id") === 900L).select("score").as[Long].head() == 7L)
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("score").isNotNull).count() == 1L)
+  }
+
+  test("SQL DROP COLUMN: registered table + catalog lockstep + refusals; " +
+    "DROP of a renamed column tombstones its PHYSICAL name") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 20L).map(i => (i, s"t$i", i % 2, i % 5))
+        .toDF("doc_id", "text", "a", "b"), "ingest")
+    val tbl = "graft_drop_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl RENAME COLUMN a TO alpha")
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN alpha")
+      assert(spark.table(tbl).columns.toSeq == Seq("doc_id", "text", "b"))
+      val m = SnapshotStore.manifest(spark, dir,
+        SnapshotStore.latestVersion(spark, dir).get)
+      assert(m.droppedCols == Seq("a"),
+        "the tombstone records the PHYSICAL name of the renamed column")
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMNS (b)")
+      assert(spark.sql(s"SELECT * FROM $tbl").columns.toSeq ==
+        Seq("doc_id", "text"))
+      val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMN nope")
+      }
+      assert(e1.getMessage.contains("does not exist"))
+      // dropping down to one column is fine; dropping the LAST refuses
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMN text")
+      val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+        spark.sql(s"ALTER TABLE $tbl DROP COLUMN doc_id")
+      }
+      assert(e2.getMessage.contains("last column"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("CTAS: CREATE TABLE ... USING graft-snapshot AS SELECT commits the " +
     "query as version 1 and registers a queryable, mutable table") {
     val dir = freshDir()

@@ -236,6 +236,39 @@ class SnapshotRenameSpec extends SparkSpec {
       "respelled")
   }
 
+  test("the row-grain CDF is RENAME-transparent: a rename alone reports " +
+    "zero changes, and mutations across the boundary report real diffs " +
+    "under the POST names — while a drop+re-add correctly null-fills") {
+    val dir = freshDir()
+    seed(dir, 40L)
+    SnapshotStore.renameColumn(spark, dir, "text", "body")    // v2
+    // rename alone: NO row changed
+    assert(SnapshotStore.readRowChanges(spark, dir, 1L, 2L, Seq("doc_id"))
+      .count() == 0L,
+      "a rename is metadata — the CDF must not report an update storm")
+    // a real mutation across the rename boundary reports under post names
+    SnapshotStore.updateCondition(spark, dir, col("doc_id") === 5L,
+      Some(EqTo("doc_id", 5L)), Seq("body" -> lit("v2")))      // v3
+    val chg = SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("doc_id"))
+      .orderBy("_change_type").collect()
+    assert(chg.length == 2, s"one pre+post pair, got ${chg.toSeq}")
+    assert(chg.map(_.getString(3)).toSeq ==
+      Seq("update_postimage", "update_preimage"))
+    assert(chg.forall(r => r.getLong(0) == 5L))
+    // drop + re-add = a DIFFERENT column: pre-images are genuinely null
+    SnapshotStore.dropColumn(spark, dir, "score")              // v4
+    SnapshotStore.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType)))                 // v5
+    SnapshotStore.updateCondition(spark, dir, col("doc_id") === 7L,
+      Some(EqTo("doc_id", 7L)), Seq("score" -> lit(99L)))      // v6
+    val chg2 = SnapshotStore.readRowChanges(spark, dir, 3L, 6L, Seq("doc_id"))
+    val pre7 = chg2.filter(col("_change_type") === "update_preimage" &&
+      col("doc_id") === 7L).select("score").collect()
+    assert(pre7.length == 1 && pre7.head.isNullAt(0),
+      "the re-added column's pre-image is null — old bytes never resurrect")
+  }
+
   test("bloom point-skipping survives a rename of the declared column") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
