@@ -408,11 +408,29 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     }
   }
 
+  /** split a comma-separated column list respecting BACKQUOTED
+    * identifiers — a `a,b` column name must resolve as one column, not
+    * silently target two real columns (destructive on DROP) */
+  private def splitColumnList(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var tick = false
+    s.foreach {
+      case '`' => tick = !tick; sb += '`'
+      case ',' if !tick => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty).map(t =>
+      if (t.length >= 2 && t.startsWith("`") && t.endsWith("`"))
+        t.substring(1, t.length - 1)
+      else t)
+  }
+
   private def maintenancePlan(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case OptimizeZOrderRe(t, dims) => Some(GraftOptimizeCommand(
-        dirOfToken(t), dims.split(',').toSeq.map(
-          _.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty)))
+        dirOfToken(t), splitColumnList(dims)))
       case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
       case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
       case VacuumHoursRe(t, h) =>
@@ -420,8 +438,7 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
       case ConvertRe(p, cols) => Some(GraftConvertCommand(
         p.stripPrefix("'").stripSuffix("'"),
-        Option(cols).toSeq.flatMap(_.split(',').toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))))
+        Option(cols).toSeq.flatMap(splitColumnList)))
       // DESCRIBE HISTORY collides with real Spark grammar (`DESCRIBE
       // <table> <column>` where the table is literally named `history`).
       // An identifier that is NOT a snapshot table falls through to the
@@ -471,10 +488,8 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
           GraftRenameColumnCommand(dir, ident, bare(oldTok), bare(newTok))
         }
       case DropColumnsRe(t, colsTok) =>
-        def bare(s: String) = s.trim.stripPrefix("`").stripSuffix("`")
         alterTarget(t).map { case (dir, ident) =>
-          GraftDropColumnsCommand(dir, ident,
-            colsTok.split(',').toSeq.map(bare).filter(_.nonEmpty))
+          GraftDropColumnsCommand(dir, ident, splitColumnList(colsTok))
         }
       case _ => None
     }
@@ -542,6 +557,22 @@ object GraftSqlCommands {
     * external writers). */
   private[storage] def invalidateRelationCache(spark: SparkSession): Unit =
     spark.sessionState.catalog.invalidateAllCachedTables()
+
+  /** Catalog data-schema lockstep for the DDL verbs, through the
+    * EXTERNAL catalog's data-schema API — persisted on Hive metastores
+    * too (SessionCatalog.alterTable does not persist schema changes
+    * there, and its alterTableDataSchema helper refuses removed names —
+    * renames and drops remove one). */
+  private[storage] def updateCatalogDataSchema(
+      spark: SparkSession, ident: TableIdentifier,
+      transform: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    cat.externalCatalog.alterTableDataSchema(
+      meta.identifier.database.getOrElse(cat.getCurrentDatabase),
+      meta.identifier.table, transform(meta.dataSchema))
+  }
 }
 
 /** Eagerly-run `DELETE FROM <graft-snapshot table> WHERE cond`: one
@@ -768,13 +799,9 @@ final case class GraftAddColumnsCommand(dir: String,
         if e.getMessage != null && e.getMessage.contains("already exists") =>
       SnapshotDmlRule.analysisError(e.getMessage)
     }
-    table.foreach { ident =>
-      val cat = spark.sessionState.catalog
-      val meta = cat.getTableMetadata(ident)
-      cat.alterTableDataSchema(ident,
-        org.apache.spark.sql.types.StructType(
-          meta.dataSchema.fields ++ cols.map(_.copy(nullable = true))))
-    }
+    table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
+      spark, ident, ds => org.apache.spark.sql.types.StructType(
+        ds.fields ++ cols.map(_.copy(nullable = true)))))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
@@ -802,22 +829,12 @@ final case class GraftRenameColumnCommand(dir: String,
           e.getMessage.contains("PARTITION column")) =>
       SnapshotDmlRule.analysisError(e.getMessage)
     }
-    table.foreach { ident =>
-      val cat = spark.sessionState.catalog
-      val meta = cat.getTableMetadata(ident)
-      val renamedData = org.apache.spark.sql.types.StructType(
-        meta.dataSchema.fields.map(f =>
+    table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
+      spark, ident, ds => org.apache.spark.sql.types.StructType(
+        ds.fields.map(f =>
           if (spark.sessionState.conf.resolver(f.name, oldName))
             f.copy(name = newName)
-          else f))
-      // the EXTERNAL catalog's data-schema API: persisted on Hive
-      // metastores too (SessionCatalog.alterTable does NOT persist
-      // schema changes there, and its alterTableDataSchema helper
-      // refuses removed names — a rename removes one)
-      cat.externalCatalog.alterTableDataSchema(
-        meta.identifier.database.getOrElse(cat.getCurrentDatabase),
-        meta.identifier.table, renamedData)
-    }
+          else f))))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
@@ -840,13 +857,16 @@ final case class GraftDropColumnsCommand(dir: String,
   override def run(spark: SparkSession): Seq[Row] = {
     if (names.isEmpty) SnapshotDmlRule.analysisError(
       "DROP COLUMNS names at least one column")
-    // validate the WHOLE list before any commit — one commit lands per
-    // column, and a mid-list refusal must not leave a partial DDL
+    // validate the WHOLE (resolver-DEDUPED) list before any commit — one
+    // commit lands per column, and a mid-list refusal (including a
+    // duplicate or case-variant repeat) must not leave a partial DDL
     val resolver = spark.sessionState.conf.resolver
+    val unique = names.foldLeft(Vector.empty[String])((acc, n) =>
+      if (acc.exists(resolver(_, n))) acc else acc :+ n)
     SnapshotStore.latestVersion(spark, dir)
       .map(v => SnapshotStore.manifest(spark, dir, v)).foreach { m =>
       m.schemaStruct.foreach { s =>
-        names.foreach { n =>
+        unique.foreach { n =>
           if (!s.fields.exists(f => resolver(f.name, n)))
             SnapshotDmlRule.analysisError(
               s"column $n does not exist — DROP COLUMN takes a committed " +
@@ -856,11 +876,11 @@ final case class GraftDropColumnsCommand(dir: String,
               s"column $n is a PARTITION column — dropping it needs a " +
                 "full-snapshot rewrite")
         }
-        if (names.length >= s.fields.length) SnapshotDmlRule.analysisError(
+        if (unique.length >= s.fields.length) SnapshotDmlRule.analysisError(
           "cannot drop the table's last column")
       }
     }
-    names.foreach { n =>
+    unique.foreach { n =>
       try SnapshotStore.dropColumn(spark, dir, n)
       catch { case e: RuntimeException if e.getMessage != null &&
           (e.getMessage.contains("does not exist") ||
@@ -869,16 +889,9 @@ final case class GraftDropColumnsCommand(dir: String,
         SnapshotDmlRule.analysisError(e.getMessage)
       }
     }
-    table.foreach { ident =>
-      val cat = spark.sessionState.catalog
-      val meta = cat.getTableMetadata(ident)
-      val keep = org.apache.spark.sql.types.StructType(
-        meta.dataSchema.fields.filterNot(f =>
-          names.exists(spark.sessionState.conf.resolver(f.name, _))))
-      cat.externalCatalog.alterTableDataSchema(
-        meta.identifier.database.getOrElse(cat.getCurrentDatabase),
-        meta.identifier.table, keep)
-    }
+    table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
+      spark, ident, ds => org.apache.spark.sql.types.StructType(
+        ds.fields.filterNot(f => unique.exists(resolver(f.name, _))))))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }

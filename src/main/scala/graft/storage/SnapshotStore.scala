@@ -2346,6 +2346,12 @@ object SnapshotStore {
           "those bytes; re-add it through ALTER TABLE ADD COLUMNS (which " +
           "assigns a fresh physical name)")
     }
+    // …and appended fields must not collide with EACH OTHER physically
+    appended.groupBy(g => key(physicalName(g))).foreach { case (_, gs) =>
+      if (gs.length > 1) sys.error(
+        s"schema evolution conflict: new columns ${gs.map(_.name).mkString(", ")} " +
+          "share one physical parquet name — no file could carry both")
+    }
     StructType(kept ++ appended)
   }
 
@@ -2836,15 +2842,23 @@ object SnapshotStore {
       }
       // re-adding a DROPPED name takes a FRESH physical name: retained
       // files still carry the tombstoned physical column, and reading
-      // old bytes under the new column would be silent resurrection
+      // old bytes under the new column would be silent resurrection.
+      // The taken set seeds with every sibling's OWN name too and grows
+      // as fresh names are assigned — one batch can never mint two
+      // fields sharing a physical spelling.
       def key(n: String) = if (cs) n else n.toLowerCase(java.util.Locale.ROOT)
-      val taken = (schema0.fields.flatMap(f =>
-        Seq(key(f.name), key(physicalName(f)))) ++
-        m0.droppedCols.map(key)).toSet
+      val taken = scala.collection.mutable.Set.empty[String]
+      schema0.fields.foreach { f =>
+        taken += key(f.name); taken += key(physicalName(f))
+      }
+      m0.droppedCols.foreach(taken += key(_))
+      newCols.foreach(f => taken += key(f.name))
       def freshPhysical(n: String): String = {
         var i = m0.version + 1
         while (taken(key(s"${n}_r$i"))) i += 1
-        s"${n}_r$i"
+        val fresh = s"${n}_r$i"
+        taken += key(fresh)
+        fresh
       }
       val prepared = newCols.map { f =>
         val base = f.copy(nullable = true)
@@ -3180,7 +3194,14 @@ object SnapshotStore {
     require(idCols.nonEmpty, "the change feed needs key columns")
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
-    val post = readAsOf(spark, dir, toVersion)
+    // both manifests read ONCE — the snapshot scans and the rename
+    // alignment below share them (an action-log reconstruction is a
+    // checkpoint + delta fold; no reason to pay it twice per side)
+    val mTo = manifest(spark, dir, toVersion)
+    val mFrom = manifest(spark, dir, fromVersion)
+    require(mTo.files.nonEmpty, s"version $toVersion holds no data files")
+    require(mFrom.files.nonEmpty, s"version $fromVersion holds no data files")
+    val post = readFiles(spark, dir, mTo, mTo.files)
     val cols = post.columns.toSeq
     val reserved = Set("__pre", "__post", "__types", "_change_type")
     cols.filter(reserved).foreach(c => sys.error(
@@ -3188,31 +3209,29 @@ object SnapshotStore {
     idCols.foreach(c => require(cols.contains(c),
       s"key column $c is not in version $toVersion's schema"))
     val pre = {
-      val p1 = readAsOf(spark, dir, fromVersion)
+      val p1 = readFiles(spark, dir, mFrom, mFrom.files)
       // RENAME-transparent (round 17, column mapping): a renamed column
       // is the SAME column — align the pre side's logical names to the
       // post side's through their shared PHYSICAL identity, so the feed
-      // never reports a rename as a whole-table update storm (a dropped
-      // -and-re-added column gets a FRESH physical, so it correctly
-      // null-fills below — a genuine pre-image of null)
-      val toPhys: Map[String, String] =
-        manifest(spark, dir, toVersion).schemaStruct.map(s =>
-          s.fields.iterator.map(f => physicalName(f) -> f.name).toMap)
-          .getOrElse(Map.empty)
-      val p0 = manifest(spark, dir, fromVersion).schemaStruct match {
+      // never reports a rename as a whole-table update storm. ONE select
+      // does the whole alignment: rename CHAINS that reuse a freed name
+      // resolve simultaneously (a sequential rename/drop fold would act
+      // on both same-named columns mid-flight), and a column DROPPED
+      // between the versions is simply omitted — a same-named re-add is
+      // a DIFFERENT column (fresh physical), so it correctly null-fills
+      // below (a genuine pre-image of null), never the dead bytes.
+      val toPhys: Map[String, String] = mTo.schemaStruct.map(s =>
+        s.fields.iterator.map(f => physicalName(f) -> f.name).toMap)
+        .getOrElse(Map.empty)
+      val p0 = mFrom.schemaStruct match {
         case Some(ps) if toPhys.nonEmpty =>
-          ps.fields.foldLeft(p1) { (df, f) =>
-            toPhys.get(physicalName(f)) match {
-              case Some(postName) if postName != f.name =>
-                df.withColumnRenamed(f.name, postName)
-              case Some(_) => df
-              // the column was DROPPED between the versions: remove it
-              // from the pre side — a same-named re-add is a DIFFERENT
-              // column (fresh physical), and diffing against the dead
-              // bytes would resurrect them as pre-images
-              case None => df.drop(f.name)
-            }
-          }
+          val aligned = ps.fields.toSeq.flatMap(f =>
+            toPhys.get(physicalName(f)).map(postName =>
+              p1(f.name).as(postName)))
+          // ZERO shared physical identity = a wholesale schema replace:
+          // keep the pre side as-is (rows surface as deletes + inserts,
+          // the pre-mapping behavior) rather than a zero-column frame
+          if (aligned.isEmpty) p1 else p1.select(aligned: _*)
         case _ => p1
       }
       cols.foldLeft(p0) { (df, c) =>

@@ -190,6 +190,47 @@ class SnapshotDdlSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("DROP COLUMNS dedupes case-variant repeats (one commit, no partial " +
+    "DDL); a same-batch ADD cannot mint two fields sharing a physical name") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 10L).map(i => (i, s"t$i", i % 2, i % 3))
+        .toDF("doc_id", "text", "a", "b"), "ingest")
+    val tbl = "graft_dropdedupe_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl DROP COLUMNS (a, A)")
+      assert(SnapshotStore.latestVersion(spark, dir).contains(2L),
+        "the case-variant repeat dedupes to ONE drop-column commit")
+      assert(spark.table(tbl).columns.toSeq == Seq("doc_id", "text", "b"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    // same-batch physical collision: after dropping `score` at v… the
+    // fresh name would be score_r<n>; adding BOTH score and the literal
+    // score_r<n> in one batch must still yield DISTINCT physicals
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2,
+      (1L to 5L).map(i => (i, s"t$i", i)).toDF("doc_id", "text", "score"),
+      "ingest")
+    SnapshotStore.dropColumn(spark, dir2, "score") // v2 → fresh would be _r3
+    SnapshotStore.addColumns(spark, dir2, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score_r3",
+        org.apache.spark.sql.types.LongType)))
+    val m = SnapshotStore.manifest(spark, dir2,
+      SnapshotStore.latestVersion(spark, dir2).get)
+    val phys = m.schemaStruct.get.fields.map(SnapshotStore.physicalName)
+    assert(phys.distinct.length == phys.length,
+      s"physical names must be pairwise distinct, got ${phys.toSeq}")
+    SnapshotStore.commitAppend(spark, dir2,
+      Seq((90L, "x", 1L, 2L)).toDF("doc_id", "text", "score", "score_r3"),
+      "append")
+    assert(SnapshotStore.read(spark, dir2)
+      .filter(col("doc_id") === 90L)
+      .select("score", "score_r3").as[(Long, Long)].head() == ((1L, 2L)))
+  }
+
   test("CTAS: CREATE TABLE ... USING graft-snapshot AS SELECT commits the " +
     "query as version 1 and registers a queryable, mutable table") {
     val dir = freshDir()

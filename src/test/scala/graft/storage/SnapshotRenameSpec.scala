@@ -269,6 +269,34 @@ class SnapshotRenameSpec extends SparkSpec {
       "the re-added column's pre-image is null — old bytes never resurrect")
   }
 
+  test("CDF alignment survives rename CHAINS that reuse a freed name, and " +
+    "a drop + rename-into-the-freed-name — one select, no mid-flight " +
+    "ambiguity") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 20L).map(i => (i, s"a$i", s"b$i")).toDF("doc_id", "a", "b"),
+      "ingest")
+    SnapshotStore.renameColumn(spark, dir, "b", "c")  // v2
+    SnapshotStore.renameColumn(spark, dir, "a", "b")  // v3: a takes b's old name
+    assert(SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("doc_id"))
+      .count() == 0L,
+      "a pure rename chain — even one reusing a freed name — changes no row")
+    // drop + rename INTO the freed name: the physical identities keep
+    // the columns straight (post `c` is old b; post `b` is old a)
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2,
+      (1L to 20L).map(i => (i, s"t$i", i * 10)).toDF("doc_id", "text", "score"),
+      "ingest")
+    SnapshotStore.dropColumn(spark, dir2, "text")            // v2
+    SnapshotStore.renameColumn(spark, dir2, "score", "text") // v3
+    assert(SnapshotStore.readRowChanges(spark, dir2, 1L, 3L, Seq("doc_id"))
+      .count() == 0L,
+      "old score aligns to post 'text' via physical identity; the dropped " +
+        "text column is omitted — no spurious changes, no dead bytes")
+    assert(SnapshotStore.read(spark, dir2)
+      .filter(col("doc_id") === 3L).select("text").as[Long].head() == 30L)
+  }
+
   test("bloom point-skipping survives a rename of the declared column") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
