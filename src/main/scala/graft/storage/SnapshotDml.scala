@@ -341,6 +341,38 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         }
     }
 
+  /** `CREATE TABLE ... USING graft-snapshot TBLPROPERTIES
+    * ('graft.…'='…')` routing (round 18): TBLPROPERTIES live in the
+    * CATALOG entry, which a v1 `CreatableRelationProvider` never sees —
+    * so the engine's own `graft.*` keys are COPIED into the table
+    * spec's OPTIONS at parse time, where [[SnapshotSource]] already
+    * reads them and records them in the table-creating commit's
+    * manifest header. The catalog entry keeps the properties too
+    * (`SHOW TBLPROPERTIES` round-trips); non-graft properties stay
+    * catalog-only user metadata; other providers are untouched. */
+  private def routeCreateTblProperties(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.plans.logical.{OptionList, UnresolvedTableSpec}
+    plan.transformAllExpressions {
+      case ts: UnresolvedTableSpec
+          if ts.provider.exists(_.equalsIgnoreCase("graft-snapshot")) &&
+            ts.properties.keys.exists(
+              _.toLowerCase(java.util.Locale.ROOT).startsWith("graft.")) =>
+        val graftProps = ts.properties.filter(
+          _._1.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
+        val present = ts.optionExpression.options
+          .map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
+        val added = graftProps.toSeq.collect {
+          case (k, v) if !present(k.toLowerCase(java.util.Locale.ROOT)) =>
+            k -> (Literal(
+              org.apache.spark.unsafe.types.UTF8String.fromString(v),
+              StringType): Expression)
+        }
+        if (added.isEmpty) ts
+        else ts.copy(optionExpression =
+          OptionList(ts.optionExpression.options ++ added))
+    }
+  }
+
   // ------------------------------------------- maintenance verbs (round 16)
   // OPTIMIZE / VACUUM / DESCRIBE HISTORY are not Spark grammar at all
   // (ParseException in the delegate), so the hook matches them FIRST —
@@ -389,6 +421,67 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+DROP\s+COLUMNS?\s+\(?\s*((?:`[^`]+`|[\w$]+)""" +
       """(?:\s*,\s*(?:`[^`]+`|[\w$]+))*)\s*\)?\s*;?\s*$""").r
+  // TBLPROPERTIES / constraints (round 18) — ALTER TABLE SET/UNSET
+  // TBLPROPERTIES and ADD/DROP CONSTRAINT are Spark grammar, but the v1
+  // commands either refuse custom providers or never reach the manifest;
+  // snapshot targets are claimed here FIRST, everything else falls
+  // through to the delegate (same discipline as ADD COLUMNS above).
+  private val SetTblPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val UnsetTblPropsRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+UNSET\s+TBLPROPERTIES\s*(?:IF\s+EXISTS\s*)?""" +
+      """\(\s*(.+?)\s*\)\s*;?\s*$""").r
+  private val AddConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+ADD\s+CONSTRAINT\s+(`[^`]+`|[\w$]+)\s+CHECK\s*\((.+)\)""" +
+      """\s*;?\s*$""").r
+  private val DropConstraintRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+DROP\s+CONSTRAINT\s+(IF\s+EXISTS\s+)?(`[^`]+`|[\w$]+)""" +
+      """\s*;?\s*$""").r
+  private val ShowTblPropsRe =
+    ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + TableTok + """\s*;?\s*$""").r
+
+  /** split `'k'='v', ...` (or a bare `'k', ...` list) on top-level
+    * commas — commas INSIDE the single-quoted tokens must not split */
+  private def splitQuotedList(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var q = false
+    s.foreach {
+      case '\'' => q = !q; sb += '\''
+      case ',' if !q => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unquote(t: String): String = {
+    val s = t.trim
+    if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
+      s.substring(1, s.length - 1)
+    else if (s.length >= 2 && s.startsWith("`") && s.endsWith("`"))
+      s.substring(1, s.length - 1)
+    else s
+  }
+
+  /** `'k'='v'` pairs → map; refuses a token without `=` loudly */
+  private def parsePropPairs(s: String): Map[String, String] =
+    splitQuotedList(s).map { tok =>
+      // the = separating key from value is the first one OUTSIDE quotes
+      var q = false
+      var i = -1
+      tok.zipWithIndex.foreach { case (c, j) =>
+        if (c == '\'') q = !q
+        else if (c == '=' && !q && i < 0) i = j
+      }
+      if (i < 0) SnapshotDmlRule.analysisError(
+        s"TBLPROPERTIES pair '$tok' lacks '=' — expected 'key'='value'")
+      unquote(tok.substring(0, i)) -> unquote(tok.substring(i + 1))
+    }.toMap
 
   /** the table directory behind a maintenance operand — a quoted 'path'
     * is used verbatim; an identifier must resolve to a registered
@@ -491,6 +584,34 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         alterTarget(t).map { case (dir, ident) =>
           GraftDropColumnsCommand(dir, ident, splitColumnList(colsTok))
         }
+      case SetTblPropsRe(t, pairs) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftSetTblPropertiesCommand(dir, ident, parsePropPairs(pairs))
+        }
+      case UnsetTblPropsRe(t, keysTok) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftUnsetTblPropertiesCommand(dir, ident,
+            splitQuotedList(keysTok).map(unquote))
+        }
+      case AddConstraintRe(t, nameTok, check) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftAddConstraintCommand(dir, ident, unquote(nameTok), check.trim)
+        }
+      case DropConstraintRe(t, ifExistsTok, nameTok) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftDropConstraintCommand(dir, ident, unquote(nameTok),
+            ifExists = ifExistsTok != null)
+        }
+      case ShowTblPropsRe(t) =>
+        // claim only snapshot targets — SHOW TBLPROPERTIES on any other
+        // table keeps Spark's own catalog behavior
+        val tok = t.trim
+        if (tok.startsWith("'"))
+          Some(GraftShowTblPropertiesCommand(dirOfToken(t)))
+        else snapshotDirOf(
+          if (tok.startsWith("`")) Seq(tok.stripPrefix("`").stripSuffix("`"))
+          else tok.split('.').toSeq)
+          .map(GraftShowTblPropertiesCommand(_))
       case _ => None
     }
 
@@ -520,7 +641,7 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
 
   override def parsePlan(sqlText: String): LogicalPlan =
     maintenancePlan(sqlText)
-      .getOrElse(rewrite(delegate.parsePlan(sqlText)))
+      .getOrElse(routeCreateTblProperties(rewrite(delegate.parsePlan(sqlText))))
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
   override def parseExpression(sqlText: String): Expression =
@@ -572,6 +693,19 @@ object GraftSqlCommands {
     cat.externalCatalog.alterTableDataSchema(
       meta.identifier.database.getOrElse(cat.getCurrentDatabase),
       meta.identifier.table, transform(meta.dataSchema))
+  }
+
+  /** Catalog TABLE-PROPERTIES lockstep for the property verbs
+    * (round 18) — through `alterTable`, which persists property changes
+    * on Hive metastores too (properties are not the data schema, so the
+    * data-schema caveat above does not bite here). */
+  private[storage] def updateCatalogProperties(
+      spark: SparkSession, ident: TableIdentifier,
+      transform: Map[String, String] => Map[String, String]): Unit = {
+    val cat = spark.sessionState.catalog
+    val meta = cat.getTableMetadata(ident)
+    cat.externalCatalog.alterTable(
+      meta.copy(properties = transform(meta.properties)))
   }
 }
 
@@ -794,9 +928,13 @@ final case class GraftAddColumnsCommand(dir: String,
                                         cols: Seq[org.apache.spark.sql.types.StructField])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    // every DDL-grade refusal surfaces as AnalysisException — including
+    // the mergeSchemas tombstone/physical-collision conflicts, which
+    // would otherwise escape SQL as bare RuntimeException
     try SnapshotStore.addColumns(spark, dir, cols)
-    catch { case e: RuntimeException
-        if e.getMessage != null && e.getMessage.contains("already exists") =>
+    catch { case e: RuntimeException if e.getMessage != null &&
+        (e.getMessage.contains("already exists") ||
+          e.getMessage.contains("schema evolution conflict")) =>
       SnapshotDmlRule.analysisError(e.getMessage)
     }
     table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
@@ -880,19 +1018,146 @@ final case class GraftDropColumnsCommand(dir: String,
           "cannot drop the table's last column")
       }
     }
-    unique.foreach { n =>
-      try SnapshotStore.dropColumn(spark, dir, n)
-      catch { case e: RuntimeException if e.getMessage != null &&
-          (e.getMessage.contains("does not exist") ||
-            e.getMessage.contains("PARTITION column") ||
-            e.getMessage.contains("last column")) =>
-        SnapshotDmlRule.analysisError(e.getMessage)
-      }
+    // ONE commit drops the whole list (all-or-nothing): a concurrent
+    // writer racing a mid-list column can refuse the statement, never
+    // leave it half-applied
+    try SnapshotStore.dropColumns(spark, dir, unique)
+    catch { case e: RuntimeException if e.getMessage != null &&
+        (e.getMessage.contains("does not exist") ||
+          e.getMessage.contains("PARTITION column") ||
+          e.getMessage.contains("last column")) =>
+      SnapshotDmlRule.analysisError(e.getMessage)
     }
     table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
       spark, ident, ds => org.apache.spark.sql.types.StructType(
         ds.fields.filterNot(f => unique.exists(resolver(f.name, _))))))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> SET TBLPROPERTIES ('k'='v', ...)` (round 18):
+  * one metadata-only `set-tblproperties` commit merging the pairs into
+  * the manifest's property map ([[SnapshotStore.setTableProperties]]).
+  * The engine's own knobs take effect at once (`graft.bloomColumns`,
+  * `graft.checkpointInterval`, `graft.constraints.<name>`); unknown
+  * `graft.*` keys, malformed values, and a new constraint the current
+  * rows already violate all refuse as `AnalysisException`. The session
+  * catalog's table properties follow in lockstep for registered
+  * tables, so `SHOW TBLPROPERTIES` round-trips. */
+final case class GraftSetTblPropertiesCommand(dir: String,
+                                              table: Option[TableIdentifier],
+                                              props: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (props.isEmpty) SnapshotDmlRule.analysisError(
+      "SET TBLPROPERTIES needs at least one 'key'='value' pair")
+    try SnapshotStore.setTableProperties(spark, dir, props)
+    catch {
+      case e: SnapshotStore.SnapshotPropertyException =>
+        SnapshotDmlRule.analysisError(e.getMessage)
+      case e: SnapshotStore.ConstraintViolationException =>
+        SnapshotDmlRule.analysisError(e.getMessage)
+    }
+    table.foreach(ident =>
+      GraftSqlCommands.updateCatalogProperties(spark, ident, _ ++ props))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> UNSET TBLPROPERTIES [IF EXISTS] ('k', ...)`:
+  * the removal face — dropping `graft.constraints.<name>` retires the
+  * constraint, dropping `graft.bloomColumns` stops declaring blooms for
+  * future files. Lenient on unknown keys (Spark's own UNSET temper). */
+final case class GraftUnsetTblPropertiesCommand(dir: String,
+                                                table: Option[TableIdentifier],
+                                                keys: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (keys.isEmpty) SnapshotDmlRule.analysisError(
+      "UNSET TBLPROPERTIES needs at least one key")
+    SnapshotStore.unsetTableProperties(spark, dir, keys)
+    val lkeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    table.foreach(ident =>
+      GraftSqlCommands.updateCatalogProperties(spark, ident,
+        _.filterNot(kv => lkeys(kv._1.toLowerCase(java.util.Locale.ROOT)))))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> ADD CONSTRAINT <name> CHECK (<expr>)` (round 18
+  * — Delta invariants): records `graft.constraints.<name>` in the
+  * manifest header after validating the CURRENT rows satisfy it; every
+  * later write on every face (append, merge, UPDATE/MERGE post-images,
+  * SQL INSERT, streaming sink) validates at the commit choke point and
+  * refuses violating commits wholesale. Duplicate names refuse. */
+final case class GraftAddConstraintCommand(dir: String,
+                                           table: Option[TableIdentifier],
+                                           name: String, check: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = s"graft.constraints.$name"
+    val cur = SnapshotStore.latestVersion(spark, dir).getOrElse(
+      SnapshotDmlRule.analysisError(s"no committed version at $dir"))
+    if (SnapshotStore.manifest(spark, dir, cur).properties.keys
+        .exists(_.equalsIgnoreCase(key)))
+      SnapshotDmlRule.analysisError(
+        s"constraint $name already exists on $dir — DROP CONSTRAINT first")
+    try SnapshotStore.setTableProperties(spark, dir, Map(key -> check))
+    catch {
+      case e: SnapshotStore.ConstraintViolationException =>
+        SnapshotDmlRule.analysisError(
+          s"cannot ADD CONSTRAINT $name: ${e.getMessage}")
+      case e: SnapshotStore.SnapshotPropertyException =>
+        SnapshotDmlRule.analysisError(e.getMessage)
+    }
+    table.foreach(ident =>
+      GraftSqlCommands.updateCatalogProperties(spark, ident,
+        _ + (key -> check)))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> DROP CONSTRAINT [IF EXISTS] <name>`. */
+final case class GraftDropConstraintCommand(dir: String,
+                                            table: Option[TableIdentifier],
+                                            name: String, ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val key = s"graft.constraints.$name"
+    val cur = SnapshotStore.latestVersion(spark, dir).getOrElse(
+      SnapshotDmlRule.analysisError(s"no committed version at $dir"))
+    val exists = SnapshotStore.manifest(spark, dir, cur).properties.keys
+      .exists(_.equalsIgnoreCase(key))
+    if (!exists) {
+      if (ifExists) return Seq.empty
+      SnapshotDmlRule.analysisError(
+        s"constraint $name does not exist on $dir")
+    }
+    SnapshotStore.unsetTableProperties(spark, dir, Seq(key))
+    table.foreach(ident =>
+      GraftSqlCommands.updateCatalogProperties(spark, ident,
+        _.filterNot(_._1.equalsIgnoreCase(key))))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `SHOW TBLPROPERTIES <t>` for snapshot targets: the MANIFEST's
+  * property map (the commit-log authority — a catalog entry may lag an
+  * external writer), one (key, value) row each, key-sorted. */
+final case class GraftShowTblPropertiesCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = SnapshotStore.latestVersion(spark, dir).getOrElse(
+      SnapshotDmlRule.analysisError(s"no committed version at $dir"))
+    SnapshotStore.manifest(spark, dir, cur).properties.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
   }
 }

@@ -116,9 +116,21 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     def cols(key: String): Seq[String] = parameters.get(key).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val partitionBy = cols("partitionBy")
+    // TABLE PROPERTIES arrive as `graft.*` options (round 18): the SQL
+    // parser hook routes `TBLPROPERTIES ('graft.…'='…')` of a
+    // graft-snapshot CREATE TABLE here, and a programmatic writer may
+    // pass them directly — validated and recorded in the manifest
+    // header by the table-creating commit
+    val tblProps: Map[String, String] = parameters.filter(
+      _._1.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
     // declared bloom-filter columns (round 16) — layout-defining writes
-    // fix them; appends/merges inherit the committed declaration
-    val bloomCols = cols("bloomCols")
+    // fix them (via the option or the graft.bloomColumns property);
+    // appends/merges inherit the committed declaration
+    val bloomCols = (cols("bloomCols") ++
+      tblProps.collectFirst {
+        case (k, v) if k.equalsIgnoreCase(SnapshotStore.BloomColumnsKey) =>
+          v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      }.getOrElse(Seq.empty)).distinct
     val exists = SnapshotStore.latestVersion(spark, dir).isDefined
     mode match {
       case SqlSaveMode.Append =>
@@ -147,24 +159,28 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
             operation = parameters.getOrElse("operation", "merge"),
             // table-CREATING merge fixes the declared layout (the
             // append-guard above already proved inheritance otherwise)
-            partitionBy = partitionBy, bloomCols = bloomCols)
-          case None if !exists && (partitionBy.nonEmpty || bloomCols.nonEmpty) =>
+            partitionBy = partitionBy, bloomCols = bloomCols,
+            tblProperties = tblProps)
+          case None if !exists && (partitionBy.nonEmpty ||
+              bloomCols.nonEmpty || tblProps.nonEmpty) =>
             SnapshotStore.commit(spark, dir, data, op,
-              partitionBy = partitionBy, bloomCols = bloomCols)
+              partitionBy = partitionBy, bloomCols = bloomCols,
+              tblProperties = tblProps)
           case None => SnapshotStore.commitAppend(spark, dir, data, op)
         }
       case SqlSaveMode.Overwrite =>
         SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy,
-          bloomCols = bloomCols)
+          bloomCols = bloomCols, tblProperties = tblProps)
       case SqlSaveMode.ErrorIfExists if exists =>
         sys.error(s"graft-snapshot table at $dir already has committed " +
           "versions (mode ErrorIfExists)")
       case SqlSaveMode.ErrorIfExists =>
         SnapshotStore.commit(spark, dir, data, op, partitionBy = partitionBy,
-          bloomCols = bloomCols)
+          bloomCols = bloomCols, tblProperties = tblProps)
       case SqlSaveMode.Ignore =>
         if (!exists) SnapshotStore.commit(spark, dir, data, op,
-          partitionBy = partitionBy, bloomCols = bloomCols)
+          partitionBy = partitionBy, bloomCols = bloomCols,
+          tblProperties = tblProps)
     }
     createRelation(sqlContext, parameters)
   }

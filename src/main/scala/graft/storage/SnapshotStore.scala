@@ -194,6 +194,19 @@ object SnapshotStore {
     * Carried forward by every commit; reset by layout-redefining full
     * snapshots (nothing old is referenced). Small by construction: one
     * entry per ever-dropped column. */
+  /** `properties` — TABLE PROPERTIES (round 18, the Delta
+    * `TBLPROPERTIES` discipline): free-form string pairs riding every
+    * manifest header, carried forward by EVERY commit (full snapshots
+    * included — a layout redefine does not erase governance knobs),
+    * changed only by the explicit property verbs
+    * ([[setTableProperties]] / [[unsetTableProperties]] and their SQL
+    * faces) or a table-creating commit's declaration. `graft.`-prefixed
+    * keys are the engine's own (validated — a typo'd knob refuses
+    * loudly, never silently no-ops): `graft.bloomColumns` mirrors the
+    * bloom declaration, `graft.checkpointInterval` overrides
+    * [[CheckpointInterval]] per table, `graft.constraints.<name>`
+    * holds CHECK constraint expression text every write validates.
+    * Non-graft keys are opaque user metadata. */
   final case class Manifest(version: Long, operation: String,
                             files: Seq[String],
                             stats: Map[String, FileStats] = Map.empty,
@@ -202,7 +215,8 @@ object SnapshotStore {
                             ts: Long = 0L,
                             bloomCols: Seq[String] = Seq.empty,
                             dvs: Map[String, DvRef] = Map.empty,
-                            droppedCols: Seq[String] = Seq.empty) {
+                            droppedCols: Seq[String] = Seq.empty,
+                            properties: Map[String, String] = Map.empty) {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -223,7 +237,8 @@ object SnapshotStore {
       schema: Option[String], partitionCols: Seq[String],
       bloomCols: Seq[String],
       adds: Seq[(String, Option[FileStats])], removes: Seq[String],
-      dvs: Map[String, DvRef], droppedCols: Seq[String] = Seq.empty)
+      dvs: Map[String, DvRef], droppedCols: Seq[String] = Seq.empty,
+      properties: Map[String, String] = Map.empty)
 
   /** A full-state CHECKPOINT rides every `CheckpointInterval`-th commit
     * (`v%08d.ckpt.json`, the legacy self-contained encoding): readers
@@ -327,6 +342,17 @@ object SnapshotStore {
     case _ => false
   }
 
+  /** Typed refusal of a USER-REACHABLE API contract (round 18 —
+    * unknown assignment column, no committed version, property
+    * violations): the same `AnalysisException` class the SQL face
+    * throws, so a programmatic caller catches ONE type whichever door
+    * the statement came through. Internal corruption guards (manifest
+    * codec) stay `sys.error` — they are never a caller's fault. */
+  private[storage] def refuse(msg: String): Nothing =
+    throw new org.apache.spark.sql.AnalysisException(
+      msg, None, None, None, None, Map.empty[String, String],
+      Array.empty[org.apache.spark.QueryContext])
+
   private def fs(spark: SparkSession, dir: String) =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -412,6 +438,12 @@ object SnapshotStore {
   @volatile private[storage] var onAttemptForTest: (String, Long) => Unit =
     (_, _) => ()
 
+  /** Spec instrumentation: fired before each dropped-zone manifest
+    * deletion during [[vacuum]] (descending order) — lets a spec crash
+    * the sweep mid-loop and assert every still-listed version stays
+    * reconstructable. No-op outside tests. */
+  @volatile private[storage] var onVacuumDropForTest: Long => Unit = _ => ()
+
   private val IngestOp = "ingest-b(\\d+)".r
 
   /** Max committed `ingest-b<id>` batch id — THE streaming replay
@@ -485,7 +517,8 @@ object SnapshotStore {
   private def headerJson(operation: String, ts: Long, schema: Option[String],
                          partitionCols: Seq[String],
                          bloomCols: Seq[String],
-                         droppedCols: Seq[String]): List[(String, JValue)] = List(
+                         droppedCols: Seq[String],
+                         properties: Map[String, String]): List[(String, JValue)] = List(
     "operation" -> JString(operation),
     "schema" -> schema.map(JString(_)).getOrElse(JNothing),
     "partitionCols" ->
@@ -497,7 +530,12 @@ object SnapshotStore {
        else JArray(bloomCols.map(JString(_)).toList)),
     "droppedCols" ->
       (if (droppedCols.isEmpty) JNothing
-       else JArray(droppedCols.map(JString(_)).toList)))
+       else JArray(droppedCols.map(JString(_)).toList)),
+    "properties" ->
+      (if (properties.isEmpty) JNothing
+       else JObject(properties.toSeq.sortBy(_._1).map { case (k, v) =>
+         k -> (JString(v): JValue)
+       }.toList)))
 
   /** the SELF-CONTAINED encoding — first commits, checkpoints, and every
     * pre-round-17 (legacy) manifest */
@@ -510,7 +548,7 @@ object SnapshotStore {
         }.toList): JValue)) ::
         ("dvs" -> dvsJson(m.dvs)) ::
         headerJson(m.operation, m.ts, m.schema, m.partitionCols, m.bloomCols,
-          m.droppedCols))))
+          m.droppedCols, m.properties))))
 
   /** the ACTION-DELTA encoding (round 17) — every non-first commit.
     * `adds` is an ARRAY (order is the manifest's file order, which a
@@ -529,7 +567,7 @@ object SnapshotStore {
            else JArray(d.removes.map(JString(_)).toList): JValue)) ::
         ("dvs" -> dvsJson(d.dvs)) ::
         headerJson(d.operation, d.ts, d.schema, d.partitionCols,
-          d.bloomCols, d.droppedCols))))
+          d.bloomCols, d.droppedCols, d.properties))))
 
   private def fileStatsOf(fv: JValue): FileStats = {
     val rows = fv \ "rows" match {
@@ -609,6 +647,15 @@ object SnapshotStore {
       case _ => None
     }
 
+  private def propertiesOf(root: JValue): Map[String, String] =
+    root \ "properties" match {
+      case JObject(fields) => fields.map {
+        case (k, JString(v)) => k -> v
+        case (k, o) => sys.error(s"bad property $k: $o")
+      }.toMap
+      case _ => Map.empty
+    }
+
   /** parse the SELF-CONTAINED encoding (legacy manifests, first commits,
     * checkpoints) */
   private[storage] def parse(json: String): Manifest = {
@@ -627,7 +674,7 @@ object SnapshotStore {
     Manifest(versionOf(root), operationOf(root), files, stats,
       schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
       strArrayOf(root, "bloomCols"), dvsOf(root),
-      strArrayOf(root, "droppedCols"))
+      strArrayOf(root, "droppedCols"), propertiesOf(root))
   }
 
   private def parseDelta(root: JValue): CommitDelta = {
@@ -646,7 +693,7 @@ object SnapshotStore {
     CommitDelta(versionOf(root), operationOf(root), tsOf(root),
       schemaFieldOf(root), strArrayOf(root, "partitionCols"),
       strArrayOf(root, "bloomCols"), adds, strArrayOf(root, "removes"),
-      dvsOf(root), strArrayOf(root, "droppedCols"))
+      dvsOf(root), strArrayOf(root, "droppedCols"), propertiesOf(root))
   }
 
   /** Parse either encoding: `files` marks the self-contained form,
@@ -677,7 +724,8 @@ object SnapshotStore {
     val stats = prior.stats.filter(kv => keptSet(kv._1)) ++
       d.adds.flatMap { case (f, st) => st.map(f -> _) }
     Manifest(d.version, d.operation, files, stats, d.schema,
-      d.partitionCols, d.ts, d.bloomCols, d.dvs, d.droppedCols)
+      d.partitionCols, d.ts, d.bloomCols, d.dvs, d.droppedCols,
+      d.properties)
   }
 
   /** The action delta between two consecutive manifests — exactly what
@@ -692,7 +740,7 @@ object SnapshotStore {
       m.bloomCols,
       adds = m.files.filterNot(priorSet).map(f => f -> m.stats.get(f)),
       removes = prior.files.filterNot(curSet),
-      dvs = m.dvs, droppedCols = m.droppedCols)
+      dvs = m.dvs, droppedCols = m.droppedCols, properties = m.properties)
   }
 
   // round-trip hook for the property spec
@@ -1052,20 +1100,24 @@ object SnapshotStore {
       }
     }
 
-  /** The manifests of a CONTIGUOUS ascending version range, at
-    * O(range + interval) log reads: reconstruct the first, then fold
-    * each following delta forward — the shape [[history]] and
-    * [[vacuum]] need (per-version [[manifest]] calls would pay the
-    * walk-back once per version). */
+  /** The manifests of an ascending version range, at O(range + interval)
+    * log reads: reconstruct the first, then fold each following delta
+    * forward — the shape [[history]] and [[vacuum]] need (per-version
+    * [[manifest]] calls would pay the walk-back once per version). A
+    * GAP in the range (the listed state a crash mid-[[vacuum]] leaves:
+    * a [1..k] prefix plus the retained suffix) re-bases with one full
+    * [[manifest]] reconstruction at the gap — every listed version
+    * stays servable, never a refusal until a vacuum re-run. */
   private[storage] def manifestRange(spark: SparkSession, dir: String,
                                      vs: Seq[Long]): Seq[Manifest] = {
     if (vs.isEmpty) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer(
       manifest(spark, dir, vs.head))
     vs.tail.foreach { v =>
-      require(v == out.last.version + 1,
-        s"manifestRange needs contiguous versions, got $v after ${out.last.version}")
-      out += (readRaw(spark, dir, v) match {
+      require(v > out.last.version,
+        s"manifestRange needs ascending versions, got $v after ${out.last.version}")
+      out += (if (v != out.last.version + 1) manifest(spark, dir, v)
+      else readRaw(spark, dir, v) match {
         case Left(full) => full
         case Right(d) => applyDelta(out.last, d)
       })
@@ -1097,9 +1149,12 @@ object SnapshotStore {
         // files spell PHYSICAL names (column mapping); read physically,
         // alias back to the logical schema — identity when unmapped
         val df = spark.read.schema(toPhysicalSchema(s)).parquet(files: _*)
+        // backquoted: a physical name born with a dot (legal via
+        // backticks) must resolve as ONE column, not a nested-field
+        // path — same quoting as writeData and relationOf
         if (physicalOf(s).isEmpty) df
         else df.select(s.fields.toSeq.map(f =>
-          col(physicalName(f)).as(f.name)): _*)
+          col(s"`${physicalName(f)}`").as(f.name)): _*)
       case None => spark.read.parquet(files: _*)
     }
 
@@ -1243,7 +1298,7 @@ object SnapshotStore {
   def read(spark: SparkSession, dir: String): DataFrame =
     readAsOf(spark, dir,
       latestVersion(spark, dir)
-        .getOrElse(sys.error(s"no committed version at $dir")))
+        .getOrElse(refuse(s"no committed version at $dir")))
 
   /** Typed refusal of [[versionAtTimestamp]]: the instant precedes every
     * retained commit. Distinct from other failures (pre-timestamp legacy
@@ -1268,7 +1323,7 @@ object SnapshotStore {
   def versionAtTimestamp(spark: SparkSession, dir: String,
                          tsMillis: Long): Long = {
     val latest = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     // HEADER-ONLY probes throughout: the binary searches need only ts,
     // which both encodings carry at top level — no state reconstruction
     val tsLatest = commitInfo(spark, dir, latest)._2
@@ -1405,9 +1460,13 @@ object SnapshotStore {
              operation: String,
              reclaimGraceMs: Long = DefaultReclaimGraceMs,
              partitionBy: Seq[String] = Seq.empty,
-             bloomCols: Seq[String] = Seq.empty): Long =
+             bloomCols: Seq[String] = Seq.empty,
+             tblProperties: Map[String, String] = Map.empty): Long =
     commitStaged(spark, dir, operation, reclaimGraceMs,
       partitionBy = Some(partitionBy),
+      // declared table properties MERGE over the carried map (a
+      // table-creating commit simply sets them); omitted = carry
+      tblProperties = tblProperties,
       // the WRITING frame's partition column types are authoritative —
       // hive path inference would re-type (long 0..3 reads back int) and
       // a later append's in-memory type would then spuriously conflict
@@ -1489,14 +1548,14 @@ object SnapshotStore {
                                      prune: Option[FilePredicate],
                                      reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
       if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "delete", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty)
@@ -1529,7 +1588,7 @@ object SnapshotStore {
                                          prune: Option[FilePredicate],
                                          reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
     val touched = mightMatchFiles(m, prune)
     if (touched.isEmpty) return cur
@@ -1582,14 +1641,14 @@ object SnapshotStore {
                                        prune: Option[FilePredicate],
                                        reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
       if (mightMatchFiles(m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, prune)
       val touchedSet = touched.toSet
       // the DvRef path is recorded fs-QUALIFIED: a relative table dir
@@ -1717,7 +1776,7 @@ object SnapshotStore {
     assignments.map { case (c, v) =>
       val f = schema0.fields.find(fl =>
         if (cs) fl.name == c else fl.name.equalsIgnoreCase(c))
-        .getOrElse(sys.error(s"update assigns unknown column $c — " +
+        .getOrElse(refuse(s"update assigns unknown column $c — " +
           "add columns through commitAppend/merge schema evolution"))
       (f.name, f.dataType, v)
     }
@@ -1730,7 +1789,7 @@ object SnapshotStore {
                                      reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     require(assignments.nonEmpty, "update needs at least one assignment")
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
@@ -1738,7 +1797,7 @@ object SnapshotStore {
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "update", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty) {
@@ -1790,7 +1849,7 @@ object SnapshotStore {
                                        reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     require(assignments.nonEmpty, "update needs at least one assignment")
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
@@ -1798,7 +1857,7 @@ object SnapshotStore {
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "update-dv", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, prune)
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
@@ -1806,8 +1865,17 @@ object SnapshotStore {
       val countsByKey: Map[String, Long] =
         if (touched.isEmpty) Map.empty
         else {
+          // PERSIST the marked pre-image rows: this plan evaluates twice
+          // (the vector write below, the post-image write after) and a
+          // non-deterministic condition (rand(), current_timestamp)
+          // would otherwise mask one row set and append post-images for
+          // a DIFFERENT one — silently losing or duplicating rows. The
+          // same multi-evaluation reason merge/mergeAuto persist their
+          // delta.
           val hit = liveWithProvenance(spark, dir, m, touched)
             .filter(coalesce(rowCond, lit(false)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
           val counts = writeFoldedVector(spark, m, touched,
             hit.select(col("__dv_file").as("file"),
               col("__dv_pos").as("pos")), newDvDir)
@@ -1829,6 +1897,7 @@ object SnapshotStore {
               toPhysical = mappingOf(m))
           }
           counts
+          } finally hit.unpersist()
         }
       Staged(m.files, m.stats,
         Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
@@ -1847,7 +1916,7 @@ object SnapshotStore {
                                          assignments: Seq[(String, Column)],
                                          reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
     resolveAssignments(spark, m, assignments) // refuse unknown targets first
     val touched = mightMatchFiles(m, prune)
@@ -1894,11 +1963,13 @@ object SnapshotStore {
             reclaimGraceMs: Long = DefaultReclaimGraceMs,
             operation: String = "merge",
             partitionBy: Seq[String] = Seq.empty,
-            bloomCols: Seq[String] = Seq.empty): Long = {
+            bloomCols: Seq[String] = Seq.empty,
+            tblProperties: Map[String, String] = Map.empty): Long = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
       return commit(spark, dir, delta, operation, reclaimGraceMs,
-        partitionBy = partitionBy, bloomCols = bloomCols)
+        partitionBy = partitionBy, bloomCols = bloomCols,
+        tblProperties = tblProperties)
     preValidateEvolution(spark, dir, delta)
     // MATERIALIZE the delta before anything reads it: the plan evaluates
     // several times (key envelope, anti-join, union write, lost-race
@@ -1927,7 +1998,7 @@ object SnapshotStore {
                            keyCols: Seq[String], pred: FilePredicate,
                            reclaimGraceMs: Long, operation: String): Long =
     commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, Some(pred))
       val untouchedSet = m.files.toSet -- touched
       val survivors =
@@ -2007,7 +2078,7 @@ object SnapshotStore {
                           keyCols: Seq[String], pred: FilePredicate,
                           reclaimGraceMs: Long, operation: String): Long =
     commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val touched = mightMatchFiles(m, Some(pred))
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
@@ -2199,22 +2270,25 @@ object SnapshotStore {
     // supported type; a declared-but-absent column simply records none
     val bCols = bloomCols.flatMap(c => df.schema.fields.find(f =>
       f.name.equalsIgnoreCase(c) && bloomSupported(f.dataType)))
+    // backquoted references: a column name carrying a dot (legal via
+    // backticks) must resolve as ONE column here, not a nested path
+    def ref(n: String): Column = col(s"`$n`")
     val bloomAggs = bCols.map { f =>
       import org.apache.spark.sql.catalyst.expressions.{Literal => CLit, XxHash64}
       import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
       org.apache.spark.sql.graft.ColumnBridge.column(
         new BloomFilterAggregate(
           new XxHash64(Seq(org.apache.spark.sql.graft.ColumnBridge
-            .expression(col(f.name)))),
+            .expression(ref(f.name)))),
           CLit(BloomEstItems), CLit(BloomNumBits)).toAggregateExpression())
         .as(s"__bloom_${f.name}")
     }
     val aggs = (count(lit(1)).as("__rows") +: statCols.flatMap { f =>
-      Seq(min(col(f.name)).as(s"__min_${f.name}"),
-        max(col(f.name)).as(s"__max_${f.name}"),
-        count(when(col(f.name).isNull, 1)).as(s"__nulls_${f.name}")) ++
+      Seq(min(ref(f.name)).as(s"__min_${f.name}"),
+        max(ref(f.name)).as(s"__max_${f.name}"),
+        count(when(ref(f.name).isNull, 1)).as(s"__nulls_${f.name}")) ++
         (if (f.dataType == StringType)
-          Seq(max(length(col(f.name))).as(s"__len_${f.name}")) else Seq.empty)
+          Seq(max(length(ref(f.name))).as(s"__len_${f.name}")) else Seq.empty)
     }) ++ bloomAggs
     val rows = df.groupBy(input_file_name().as("__path"))
       .agg(aggs.head, aggs.tail: _*)
@@ -2399,12 +2473,18 @@ object SnapshotStore {
                                     freshArePhysical: Boolean = true,
                                     droppedColsFn:
                                       Option[Option[Manifest] => Seq[String]] =
-                                        None)
+                                        None,
+                                    tblProperties: Map[String, String] =
+                                      Map.empty)
                                    (stage: (Option[Manifest], String) =>
                                      (Seq[String], Map[String, FileStats])): Long =
     commitStagedFull(spark, dir, operation, reclaimGraceMs, partitionBy,
       partitionTypeHint, schemaOverride, bloomColsOpt, freshArePhysical,
-      droppedColsFn = droppedColsFn) {
+      droppedColsFn = droppedColsFn,
+      propertiesFn =
+        if (tblProperties.isEmpty) None
+        else Some(p => p.map(_.properties).getOrElse(Map.empty) ++
+          tblProperties)) {
       (prior, dataDir) =>
         val (f, s) = stage(prior, dataDir)
         Staged(f, s)
@@ -2446,7 +2526,10 @@ object SnapshotStore {
                                         None,
                                     droppedColsFn:
                                       Option[Option[Manifest] => Seq[String]] =
-                                        None)
+                                        None,
+                                    propertiesFn:
+                                      Option[Option[Manifest] =>
+                                        Map[String, String]] = None)
                                    (stage: (Option[Manifest], String) =>
                                      Staged): Long = {
     val f = fs(spark, dir)
@@ -2569,11 +2652,34 @@ object SnapshotStore {
         // (DROP COLUMN) them — evaluated against the IN-LOOP prior
         val dropped = droppedColsFn.map(_(prior))
           .getOrElse(prior.map(_.droppedCols).getOrElse(Seq.empty))
+        // table properties carry forward by default (full snapshots
+        // included — governance knobs survive a layout redefine);
+        // explicit fn only for the property verbs and table-creating
+        // declarations — evaluated against the IN-LOOP prior
+        val props = propertiesFn.map(fn => validatedProperties(fn(prior)))
+          .getOrElse(prior.map(_.properties).getOrElse(Map.empty))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
           carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap, bCols))
             .getOrElse(Map.empty),
           Some(schema.json), pCols, ts = tsNow,
-          bloomCols = bCols, dvs = dvMap, droppedCols = dropped)
+          bloomCols = bCols, dvs = dvMap, droppedCols = dropped,
+          properties = props)
+        // table-level CHECK constraints (round 18 — Delta invariants)
+        // gate EVERY write face at this one choke point: the freshly
+        // written files are scanned once and a violating commit refuses
+        // BEFORE the manifest can rename (the staged dir reclaims like
+        // any stage failure) — append, merge, CoW/DV mutation
+        // post-images, SQL INSERT, and the streaming sink all pass
+        // through here. Content-neutral rewrites (compact/zorder/purge)
+        // skip: they re-encode rows that already passed. Constraints
+        // spell LOGICAL column names; fresh files spell physical —
+        // alias through the same mapping the schema union used.
+        if (!RewriteOps(operation))
+          newDf.foreach { d =>
+            val logical = d.select(d.columns.toSeq.map(c =>
+              col(s"`$c`").as(logicalFor(c).getOrElse(c))): _*)
+            validateConstraints(props, logical, operation)
+          }
         require(staged.files.nonEmpty,
           s"commit of version $v wrote no data files")
         // ENCODING (round 17): the first commit is self-contained (the
@@ -2600,11 +2706,16 @@ object SnapshotStore {
       if (!f.exists(md)) f.mkdirs(md)
       val fin = manifestPath(dir, v)
       if (logStore.putIfAbsent(f, fin, m._2.getBytes("UTF-8"))) {
-        // best-effort full-state checkpoint every CheckpointInterval
-        // commits — derived acceleration written AFTER the commit
-        // point (a crash here costs the next reader a slightly longer
-        // action replay, never a committed version)
-        if (v % CheckpointInterval == 0L)
+        // best-effort full-state checkpoint every checkpoint-interval
+        // commits (the `graft.checkpointInterval` table property when
+        // set — heavy-commit tables want denser checkpoints, huge-file
+        // tables sparser — else [[CheckpointInterval]]) — derived
+        // acceleration written AFTER the commit point (a crash here
+        // costs the next reader a slightly longer action replay, never
+        // a committed version). Reconstruction never assumes a cadence
+        // (it walks to the nearest base), so mixed intervals across a
+        // table's history are sound by construction.
+        if (v % checkpointIntervalOf(m._1) == 0L)
           try writeCheckpoint(spark, dir, m._1)
           catch { case scala.util.control.NonFatal(_) => () }
         // refresh the checkpoint pointer — a HINT written after the
@@ -2697,10 +2808,10 @@ object SnapshotStore {
   def purgeVectors(spark: SparkSession, dir: String,
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
-      .getOrElse(sys.error(s"no committed version at $dir"))
+      .getOrElse(refuse(s"no committed version at $dir"))
     if (manifest(spark, dir, cur).dvs.isEmpty) return cur
     commitStagedFull(spark, dir, "purge", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       val vectored = m.files.filter(m.dvs.contains)
       val untouchedSet = m.files.toSet -- vectored
       if (vectored.nonEmpty)
@@ -2828,7 +2939,7 @@ object SnapshotStore {
     // validate + build against the IN-LOOP prior: a lost-race retry must
     // fold a rival's concurrent evolution in, never commit a stale view
     def evolved(prior: Option[Manifest]): StructType = {
-      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m0 = prior.getOrElse(refuse(s"no committed version at $dir"))
       val schema0 = m0.schemaStruct.getOrElse(
         asNullableSchema(spark.read.parquet(m0.files: _*).schema))
       def same(a: String, b: String) =
@@ -2872,7 +2983,7 @@ object SnapshotStore {
     evolved(Some(manifest(spark, dir, latestVersion(spark, dir).get))) // fail fast
     commitStagedFull(spark, dir, "add-columns", reclaimGraceMs,
       schemaOverrideFn = Some(evolved _)) { (prior, _) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       Staged(m.files, m.stats) // dvs derive by carry — everything carries
     }
   }
@@ -2892,37 +3003,57 @@ object SnapshotStore {
     * bloom-declared column leaves the declaration (physical names never
     * collide again, and carried files' blooms stay harmless). */
   def dropColumn(spark: SparkSession, dir: String, name: String,
-                 reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+                 reclaimGraceMs: Long = DefaultReclaimGraceMs): Long =
+    dropColumns(spark, dir, Seq(name), reclaimGraceMs)
+
+  /** [[dropColumn]] over a COLUMN LIST, as ONE metadata commit — `ALTER
+    * TABLE t DROP COLUMNS (a, b)` must be all-or-nothing: with one
+    * commit per column, a concurrent writer dropping/renaming a
+    * mid-list column would refuse the rest AFTER earlier columns
+    * already committed — a partially-applied DDL no reader asked for.
+    * All names resolve against the IN-LOOP prior, all fields leave the
+    * schema together, and every dropped physical name tombstones in the
+    * same commit. */
+  def dropColumns(spark: SparkSession, dir: String, names: Seq[String],
+                  reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(names.nonEmpty, "DROP COLUMNS needs at least one column")
     require(latestVersion(spark, dir).isDefined,
       s"no committed version at $dir")
     val cs = caseSensitive(spark)
     def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
-    def resolve(prior: Option[Manifest]): (StructType, StructField) = {
-      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+    // resolver-level dedup: DROP COLUMNS (a, A) names one column
+    val unique = names.foldLeft(Vector.empty[String])((acc, n) =>
+      if (acc.exists(same(_, n))) acc else acc :+ n)
+    def resolve(prior: Option[Manifest]): (StructType, Seq[StructField]) = {
+      val m0 = prior.getOrElse(refuse(s"no committed version at $dir"))
       val schema0 = m0.schemaStruct.getOrElse(
         asNullableSchema(spark.read.parquet(m0.files: _*).schema))
-      val idx = schema0.fields.indexWhere(f => same(f.name, name))
-      require(idx >= 0,
-        s"column $name does not exist — DROP COLUMN takes a committed column")
-      val f0 = schema0.fields(idx)
-      require(!m0.partitionCols.exists(same(_, f0.name)),
-        s"column ${f0.name} is a PARTITION column — dropping it needs a " +
-          "full-snapshot rewrite")
-      require(schema0.fields.length > 1,
+      val dropped = unique.map { n =>
+        val f0 = schema0.fields.find(f => same(f.name, n)).getOrElse(
+          sys.error(s"column $n does not exist — DROP COLUMN takes a " +
+            "committed column"))
+        require(!m0.partitionCols.exists(same(_, f0.name)),
+          s"column ${f0.name} is a PARTITION column — dropping it needs a " +
+            "full-snapshot rewrite")
+        f0
+      }
+      require(dropped.length < schema0.fields.length,
         "cannot drop the table's last column")
-      (StructType(schema0.fields.patch(idx, Nil, 1)), f0)
+      (StructType(schema0.fields.filterNot(f =>
+        dropped.exists(d => same(d.name, f.name)))), dropped)
     }
     resolve(Some(manifest(spark, dir,
       latestVersion(spark, dir).get))) // fail fast, before any staging
     commitStagedFull(spark, dir, "drop-column", reclaimGraceMs,
       schemaOverrideFn = Some(p => resolve(p)._1),
       droppedColsFn = Some { p =>
-        val m0 = p.getOrElse(sys.error(s"no committed version at $dir"))
-        val phys = physicalName(resolve(p)._2)
-        if (m0.droppedCols.exists(same(_, phys))) m0.droppedCols
-        else m0.droppedCols :+ phys
+        val m0 = p.getOrElse(refuse(s"no committed version at $dir"))
+        resolve(p)._2.map(physicalName).foldLeft(m0.droppedCols) {
+          (acc, phys) =>
+            if (acc.exists(same(_, phys))) acc else acc :+ phys
+        }
       }) { (prior, _) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
@@ -2950,7 +3081,7 @@ object SnapshotStore {
     def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
     // validate + build against the IN-LOOP prior (see [[addColumns]])
     def renamedSchema(prior: Option[Manifest]): StructType = {
-      val m0 = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m0 = prior.getOrElse(refuse(s"no committed version at $dir"))
       val schema0 = m0.schemaStruct.getOrElse(
         asNullableSchema(spark.read.parquet(m0.files: _*).schema))
       val idx = schema0.fields.indexWhere(f => same(f.name, oldName))
@@ -2974,7 +3105,161 @@ object SnapshotStore {
       latestVersion(spark, dir).get))) // fail fast, before any staging
     commitStagedFull(spark, dir, "rename-column", reclaimGraceMs,
       schemaOverrideFn = Some(renamedSchema _)) { (prior, _) =>
-      val m = prior.getOrElse(sys.error(s"no committed version at $dir"))
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // pure metadata — everything carries
+    }
+  }
+
+  // ------------------------------------------ table properties (round 18)
+
+  /** Keys under the engine's own `graft.` namespace that a table may
+    * set. Everything else under `graft.` refuses loudly (a typo'd knob
+    * must never silently no-op — the Delta `delta.`-prefix discipline);
+    * non-graft keys are opaque user metadata. */
+  private val ConstraintKeyPrefix = "graft.constraints."
+  private[storage] val BloomColumnsKey = "graft.bloomColumns"
+  private[storage] val CheckpointIntervalKey = "graft.checkpointInterval"
+
+  /** typed refusal of table-property and constraint validation — the
+    * same class the SQL face surfaces, so programmatic callers catch
+    * one thing */
+  final class SnapshotPropertyException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Refusal of a table-level CHECK constraint at a write: the commit
+    * was aborted, no version landed, the staged files are reclaimed. */
+  final class ConstraintViolationException(msg: String)
+      extends RuntimeException(msg)
+
+  /** Validate and CANONICALIZE a property map: `graft.*` keys resolve
+    * case-insensitively to their canonical spelling (so a lowercased
+    * `graft.bloomcolumns` lands as one key, never a shadow duplicate),
+    * unknown `graft.*` keys refuse (a typo'd knob must never silently
+    * no-op), known knobs' values type-check, and non-graft keys pass
+    * through verbatim as opaque user metadata. Constraint NAMES keep
+    * their case. */
+  private def validatedProperties(props: Map[String, String])
+      : Map[String, String] =
+    props.map { case (k, v) =>
+      val lk = k.toLowerCase(java.util.Locale.ROOT)
+      if (!lk.startsWith("graft.")) k -> v
+      else if (lk == CheckpointIntervalKey.toLowerCase(java.util.Locale.ROOT)) {
+        val ok = try v.trim.toLong >= 1L
+        catch { case _: NumberFormatException => false }
+        if (!ok) throw new SnapshotPropertyException(
+          s"$CheckpointIntervalKey must be a positive integer, got '$v'")
+        CheckpointIntervalKey -> v
+      } else if (lk == BloomColumnsKey.toLowerCase(java.util.Locale.ROOT)) {
+        if (v.split(',').map(_.trim).forall(_.isEmpty))
+          throw new SnapshotPropertyException(
+            s"$BloomColumnsKey needs a comma-separated column list, got '$v'")
+        BloomColumnsKey -> v
+      } else if (lk.startsWith(ConstraintKeyPrefix)) {
+        if (k.length == ConstraintKeyPrefix.length || v.trim.isEmpty)
+          throw new SnapshotPropertyException(
+            s"constraint property $k needs a name and a CHECK expression")
+        (ConstraintKeyPrefix + k.substring(ConstraintKeyPrefix.length)) -> v
+      } else throw new SnapshotPropertyException(
+        s"unknown graft table property $k — the engine's knobs are " +
+          s"$BloomColumnsKey, $CheckpointIntervalKey, and " +
+          s"$ConstraintKeyPrefix<name>")
+    }
+
+  /** the table's effective checkpoint cadence: the
+    * `graft.checkpointInterval` property when set (validated at the
+    * set), else [[CheckpointInterval]] */
+  private def checkpointIntervalOf(m: Manifest): Long =
+    m.properties.get(CheckpointIntervalKey)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 1L).getOrElse(CheckpointInterval)
+
+  /** the table's CHECK constraints, (name, expression text) */
+  private[storage] def constraintsOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect { case (k, v) if k.startsWith(ConstraintKeyPrefix) =>
+      k.substring(ConstraintKeyPrefix.length) -> v
+    }.sortBy(_._1)
+
+  /** ONE aggregated pass validates every CHECK constraint over the
+    * freshly written rows (SQL CHECK semantics: a row passes unless the
+    * expression is FALSE — null passes). The first violated constraint
+    * refuses with its name, expression, and violation count. */
+  private def validateConstraints(props: Map[String, String], df: DataFrame,
+                                  operation: String): Unit = {
+    val checks = constraintsOf(props)
+    if (checks.isEmpty) return
+    val aggs = checks.map { case (n, ex) =>
+      count(when(!coalesce(expr(ex), lit(true)), 1)).as(s"__chk_$n")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    checks.zipWithIndex.foreach { case ((n, ex), i) =>
+      val bad = row.getLong(i)
+      if (bad > 0L) throw new ConstraintViolationException(
+        s"commit ($operation) violates CHECK constraint $n ($ex) on " +
+          s"$bad row(s) — nothing was committed")
+    }
+  }
+
+  /** `ALTER TABLE ... SET TBLPROPERTIES` (round 18): a METADATA-ONLY
+    * commit (operation `set-tblproperties`) merging `updates` into the
+    * carried property map — every file carries, zero data bytes move.
+    * The engine's own knobs take effect at once: `graft.bloomColumns`
+    * re-declares the bloom columns (new files' blooms collect on them;
+    * carried files' existing blooms stay), `graft.checkpointInterval`
+    * re-paces the periodic checkpoint, and `graft.constraints.<name>`
+    * adds a CHECK every later write validates — ADDING a constraint
+    * validates the CURRENT table first (Delta's ADD CONSTRAINT
+    * contract: a table already in violation refuses the constraint). */
+  def setTableProperties(spark: SparkSession, dir: String,
+                         updates: Map[String, String],
+                         reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(updates.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
+    validatedProperties(updates) // fail fast, before any staging
+    val cur = latestVersion(spark, dir)
+      .getOrElse(refuse(s"no committed version at $dir"))
+    val m0 = manifest(spark, dir, cur)
+    // a NEW or changed CHECK constraint must hold on the existing rows
+    val newChecks = constraintsOf(updates)
+      .filter { case (n, ex) =>
+        !m0.properties.get(ConstraintKeyPrefix + n).contains(ex) }
+    if (newChecks.nonEmpty)
+      validateConstraints(
+        newChecks.map { case (n, ex) => (ConstraintKeyPrefix + n) -> ex }.toMap,
+        readAsOf(spark, dir, cur), "add-constraint")
+    // re-declared bloom columns flow into the operational field too
+    val bloomsOpt = updates.get(BloomColumnsKey)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    commitStagedFull(spark, dir, "set-tblproperties", reclaimGraceMs,
+      bloomColsOpt = bloomsOpt,
+      propertiesFn = Some(p =>
+        p.map(_.properties).getOrElse(Map.empty) ++ updates)) { (prior, _) =>
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // pure metadata — everything carries
+    }
+  }
+
+  /** `ALTER TABLE ... UNSET TBLPROPERTIES` — removes keys (including
+    * `graft.constraints.<name>`, which is how a constraint DROPs);
+    * unknown keys are ignored (the SQL `IF EXISTS` temper — matching
+    * Spark's own lenient UNSET). Unsetting `graft.bloomColumns` stops
+    * declaring blooms for FUTURE files. */
+  def unsetTableProperties(spark: SparkSession, dir: String,
+                           keys: Seq[String],
+                           reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(keys.nonEmpty, "UNSET TBLPROPERTIES needs at least one key")
+    require(latestVersion(spark, dir).isDefined,
+      s"no committed version at $dir")
+    val bloomsOpt =
+      if (keys.exists(_.equalsIgnoreCase(BloomColumnsKey)))
+        Some(Seq.empty[String])
+      else None
+    val lkeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    commitStagedFull(spark, dir, "unset-tblproperties", reclaimGraceMs,
+      bloomColsOpt = bloomsOpt,
+      propertiesFn = Some(p =>
+        p.map(_.properties).getOrElse(Map.empty).filterNot { case (k, _) =>
+          lkeys(k.toLowerCase(java.util.Locale.ROOT)) })) { (prior, _) =>
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
       Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
@@ -2994,7 +3279,8 @@ object SnapshotStore {
       partitionBy = Some(m.partitionCols),
       schemaOverride = m.schemaStruct,
       bloomColsOpt = Some(m.bloomCols),
-      droppedColsFn = Some(_ => m.droppedCols)) { (_, _) =>
+      droppedColsFn = Some(_ => m.droppedCols),
+      propertiesFn = Some(_ => m.properties)) { (_, _) =>
       Staged(m.files, m.stats, Some(m.dvs))
     }
   }
@@ -3019,12 +3305,13 @@ object SnapshotStore {
     if (copyData)
       commit(spark, targetDir, readAsOf(spark, sourceDir, sourceVersion),
         "clone", reclaimGraceMs, partitionBy = m.partitionCols,
-        bloomCols = m.bloomCols)
+        bloomCols = m.bloomCols, tblProperties = m.properties)
     else commitStagedFull(spark, targetDir, "clone", reclaimGraceMs,
       partitionBy = Some(m.partitionCols),
       schemaOverride = m.schemaStruct,
       bloomColsOpt = Some(m.bloomCols),
-      droppedColsFn = Some(_ => m.droppedCols)) { (_, _) =>
+      droppedColsFn = Some(_ => m.droppedCols),
+      propertiesFn = Some(_ => m.properties)) { (_, _) =>
       Staged(m.files, m.stats, Some(m.dvs))
     }
   }
@@ -3056,8 +3343,14 @@ object SnapshotStore {
   /** Drop versions older than the newest `retain`, then delete every
     * data file (and version directory) no RETAINED manifest references —
     * orphans from torn commits included. Manifest deletion happens
-    * FIRST, so a crash mid-vacuum can only strand unreferenced files
-    * (re-collected next run), never break a readable version. */
+    * FIRST (and in DESCENDING version order: at any crash point the
+    * surviving dropped-zone entries are a PREFIX [1..k] of the log,
+    * which still bottoms out on the self-contained first commit — an
+    * ascending sweep would delete reconstruction bases out from under
+    * later deltas, wedging versions()-driven surfaces like DESCRIBE
+    * HISTORY until a re-run), so a crash mid-vacuum can only strand
+    * unreferenced files (re-collected next run) — every still-listed
+    * version stays reconstructable. */
   def vacuum(spark: SparkSession, dir: String, retain: Int = 2): Unit = {
     require(retain >= 1, "must retain at least the latest version")
     val f = fs(spark, dir)
@@ -3082,7 +3375,8 @@ object SnapshotStore {
       if (readCheckpoint(spark, dir, base.version).isEmpty)
         writeCheckpoint(spark, dir, base)
     }
-    drop.foreach { v =>
+    drop.reverse.foreach { v =>
+      onVacuumDropForTest(v) // spec seam: crash mid-loop deterministically
       f.delete(manifestPath(dir, v), false)
       f.delete(checkpointPath(dir, v), false) // derived; drops with it
     }

@@ -159,6 +159,39 @@ class SnapshotActionLogSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.manifest(spark, dir, 15L))
   }
 
+  test("a crash MID-VACUUM leaves every still-listed version " +
+    "reconstructable: the sweep deletes DESCENDING, so the surviving " +
+    "dropped-zone entries are a prefix that bottoms out on the " +
+    "self-contained first commit") {
+    val dir = freshDir()
+    val latest = buildMixedChain(dir) // 21 versions
+    val store = SnapshotStore
+    // crash after three deletions: the sweep must have taken the three
+    // NEWEST dropped versions first, leaving the prefix [1..k]
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[Long]
+    store.onVacuumDropForTest = { v =>
+      if (dropped.length == 3) sys.error("simulated crash mid-vacuum")
+      dropped += v
+    }
+    try intercept[RuntimeException](store.vacuum(spark, dir, retain = 4))
+    finally store.onVacuumDropForTest = _ => ()
+    assert(dropped.toSeq == Seq(17L, 16L, 15L),
+      s"vacuum must sweep dropped versions newest-first, got $dropped")
+    val listed = store.versions(spark, dir)
+    assert(listed == ((1L to 14L) ++ (18L to latest)),
+      s"the torn sweep leaves prefix + retained suffix, got $listed")
+    // EVERY listed version still reconstructs and reads — including
+    // through the versions()-driven surfaces (history spans the gap)
+    listed.foreach(v => store.readAsOf(spark, dir, v).count())
+    val hist = store.history(spark, dir).select("version")
+      .collect().map(_.getLong(0)).toSeq
+    assert(hist == listed)
+    // a re-run completes the sweep and the table is fully healthy
+    store.vacuum(spark, dir, retain = 4)
+    assert(store.versions(spark, dir) == (18L to latest))
+    store.read(spark, dir).count()
+  }
+
   test("DESCRIBE HISTORY LIMIT n reads O(n + interval) log entries, " +
     "newest-first bounded, and matches the unlimited tail") {
     val dir = freshDir()

@@ -231,6 +231,45 @@ class SnapshotDdlSpec extends SparkSpec {
       .select("score", "score_r3").as[(Long, Long)].head() == ((1L, 2L)))
   }
 
+  test("DROP COLUMNS (a, b) is ONE atomic commit: both fields leave the " +
+    "schema and both physical names tombstone together — never a " +
+    "partially-applied DDL") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 10L).map(i => (i, s"t$i", i % 2, i % 3))
+        .toDF("doc_id", "text", "a", "b"), "ingest")
+    spark.sql(s"ALTER TABLE '$dir' DROP COLUMNS (a, b)")
+    assert(SnapshotStore.latestVersion(spark, dir).contains(2L),
+      "the multi-column drop must land as ONE commit")
+    val m = SnapshotStore.manifest(spark, dir, 2L)
+    assert(m.schemaStruct.get.fieldNames.toSeq == Seq("doc_id", "text"))
+    assert(m.droppedCols.sorted == Seq("a", "b"),
+      "both physical names tombstone in the same commit")
+    // API face too
+    val dir2 = freshDir()
+    SnapshotStore.commit(spark, dir2,
+      (1L to 5L).map(i => (i, s"t$i", i, i)).toDF("id", "t", "x", "y"),
+      "ingest")
+    SnapshotStore.dropColumns(spark, dir2, Seq("x", "y"))
+    assert(SnapshotStore.latestVersion(spark, dir2).contains(2L))
+    assert(SnapshotStore.read(spark, dir2).columns.toSeq == Seq("id", "t"))
+  }
+
+  test("ADD COLUMNS colliding with a renamed column's PHYSICAL name " +
+    "refuses as AnalysisException (the schema-evolution-conflict class), " +
+    "never a bare RuntimeException") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 5L).map(i => (i, s"t$i")).toDF("doc_id", "body"), "ingest")
+    spark.sql(s"ALTER TABLE '$dir' RENAME COLUMN body TO text")
+    // 'body' is now the renamed column's physical parquet name — a new
+    // column spelled 'body' would mint duplicate parquet fields
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(s"ALTER TABLE '$dir' ADD COLUMNS (body STRING)")
+    }
+    assert(e.getMessage.contains("schema evolution conflict"))
+  }
+
   test("CTAS: CREATE TABLE ... USING graft-snapshot AS SELECT commits the " +
     "query as version 1 and registers a queryable, mutable table") {
     val dir = freshDir()

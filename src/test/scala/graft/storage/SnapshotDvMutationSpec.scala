@@ -78,6 +78,31 @@ class SnapshotDvMutationSpec extends SparkSpec {
       "RHS must see the PRE-update row on the DV path")
   }
 
+  test("a NON-DETERMINISTIC update condition cannot lose or duplicate " +
+    "rows on the DV path: the marked pre-image set is persisted, so the " +
+    "vector masks exactly the rows whose post-images append") {
+    val dir = freshDir()
+    seed(dir, 400L)
+    // rand() evaluates differently per plan run — without the persist,
+    // the vector write and the post-image write would mark DIFFERENT
+    // row sets, duplicating or losing keys
+    SnapshotStore.updateConditionDv(spark, dir,
+      rand() < 0.3, None, Seq("text" -> lit("touched")))
+    val after = SnapshotStore.read(spark, dir)
+    assert(after.count() == 400L, "row count must be preserved")
+    assert(after.select("doc_id").distinct().count() == 400L,
+      "every key exactly once — no mask/post-image divergence")
+    // masked positions == appended post-images, by the manifest's own
+    // accounting
+    val m = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get)
+    val before = SnapshotStore.manifest(spark, dir, 1L).files.toSet
+    val appended = m.files.filterNot(before)
+      .map(f => m.stats(f).rows).sum
+    assert(m.dvs.values.map(_.rows).sum == appended,
+      "vector marks and post-image rows must account identically")
+  }
+
   test("the row-grain CDF reports identical update_preimage/postimage " +
     "pairs from the DV and CoW update paths") {
     val dvDir = freshDir(); val cowDir = freshDir()

@@ -315,4 +315,21 @@ class SnapshotRenameSpec extends SparkSpec {
       InSet("id", Seq(3L, 41L, 999999L)))
       .select("id").as[Long].collect().toSet == Set(3L, 41L))
   }
+
+  test("a column whose BIRTH name contains a dot stays readable after a " +
+    "rename: the physical→logical alias resolves it as ONE column, " +
+    "never a nested-field path") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 20L).map(i => (i, i * 2.0)).toDF("doc_id", "pt.x"), "ingest")
+    SnapshotStore.renameColumn(spark, dir, "pt.x", "ptx")
+    assert(SnapshotStore.read(spark, dir).columns.toSeq ==
+      Seq("doc_id", "ptx"))
+    assert(SnapshotStore.read(spark, dir)
+      .filter(col("doc_id") === 5L).select("ptx").as[Double].head() == 10.0)
+    // the DML-facing read path (vector overlay over the raw read)
+    // resolves the dotted physical too
+    SnapshotStore.deleteWhereDv(spark, dir, EqTo("doc_id", 3L))
+    assert(SnapshotStore.read(spark, dir).count() == 19L)
+  }
 }
