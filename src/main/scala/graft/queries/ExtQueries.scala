@@ -4002,6 +4002,65 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** TBLPROPERTIES + table constraints, declared PURELY via SQL
+    * (round 18 — the Delta `TBLPROPERTIES`/invariants surface): CTAS
+    * declares `graft.bloomColumns` in TBLPROPERTIES (the parser routes
+    * it into the table-creating commit's manifest header), `ADD
+    * CONSTRAINT ... CHECK` records an invariant every write validates,
+    * a VALID insert lands, a VIOLATING insert refuses WHOLESALE
+    * (nothing commits — the final aggregate proves it), and the
+    * declared bloom must actually prune a definite-absent point probe
+    * (asserted in-query — the property is load-bearing, not cosmetic).
+    * Result ≡ the relational replay over `documents` with only the
+    * valid rows present. */
+  def eSnapshotTblProps(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "tbp")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+      .repartition(8, col("doc_id"))
+      .createOrReplaceTempView("graft_tbp_src")
+    val tbl = s"graft_tbp_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')
+           |TBLPROPERTIES ('graft.bloomColumns'='doc_id')
+           |AS SELECT doc_id, lang, n_chars FROM graft_tbp_src
+           |WHERE doc_id % 3 != 0""".stripMargin)
+      s.sql(s"ALTER TABLE $tbl ADD CONSTRAINT len CHECK (n_chars >= 0)")
+      s.sql(
+        s"""INSERT INTO $tbl
+           |SELECT doc_id, lang, n_chars FROM graft_tbp_src
+           |WHERE doc_id % 3 = 0""".stripMargin)
+      // a violating insert must refuse WHOLESALE — even though the
+      // batch also carries valid rows
+      val refused =
+        try {
+          s.sql(s"INSERT INTO $tbl VALUES (9000001, 'xx', 10), " +
+            "(9000002, 'xx', -5)")
+          false
+        } catch {
+          case _: graft.storage.SnapshotStore.ConstraintViolationException =>
+            true
+        }
+      require(refused, "the violating INSERT must refuse")
+      // the SQL-declared bloom is load-bearing: a definite-absent point
+      // probe prunes files the min/max ranges alone would keep
+      val store = graft.storage.SnapshotStore
+      val v = store.latestVersion(s, root).get
+      val m = store.manifest(s, root, v)
+      val kept = store.prunedFiles(s, root, v,
+        store.FilePredicate.EqTo("doc_id", 123456789L))
+      require(kept.length < m.files.length,
+        s"SQL-declared bloom must prune (kept ${kept.length}/${m.files.length})")
+      s.sql(
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |  CAST(sum(n_chars) AS BIGINT) AS len_sum
+           |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7516,6 +7575,7 @@ object ExtQueries {
     "e_snapshot_dv" -> (eSnapshotDv _),
     "e_snapshot_dv_update" -> (eSnapshotDvUpdate _),
     "e_snapshot_ddl" -> (eSnapshotDdl _),
+    "e_snapshot_tblprops" -> (eSnapshotTblProps _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9383,6 +9443,11 @@ object ExtQueries {
         |  CAST(count(quality) AS BIGINT) AS n_quality,
         |  CAST(sum(quality) AS BIGINT) AS sum_quality
         |FROM evolved GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_tblprops" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS len_sum
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_drop_column" ->
       """WITH evolved AS (
         |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars

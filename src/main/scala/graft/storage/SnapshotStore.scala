@@ -2674,10 +2674,20 @@ object SnapshotStore {
         // skip: they re-encode rows that already passed. Constraints
         // spell LOGICAL column names; fresh files spell physical —
         // alias through the same mapping the schema union used.
-        if (!RewriteOps(operation))
+        if (!RewriteOps(operation) && constraintsOf(props).nonEmpty)
           newDf.foreach { d =>
-            val logical = d.select(d.columns.toSeq.map(c =>
+            val aliased = d.select(d.columns.toSeq.map(c =>
               col(s"`$c`").as(logicalFor(c).getOrElse(c))): _*)
+            // columns of the version schema the fresh files don't carry
+            // (evolution null-fill) read as null — and null PASSES a
+            // CHECK (SQL semantics), so fill rather than fail to resolve
+            val cs = caseSensitive(spark)
+            val have = aliased.columns.toSet
+            def present(n: String) =
+              if (cs) have(n) else have.exists(_.equalsIgnoreCase(n))
+            val logical = schema.fields.foldLeft(aliased)((df, fl) =>
+              if (present(fl.name)) df
+              else df.withColumn(fl.name, lit(null).cast(fl.dataType)))
             validateConstraints(props, logical, operation)
           }
         require(staged.files.nonEmpty,
