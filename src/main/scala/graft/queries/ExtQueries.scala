@@ -4061,6 +4061,95 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** TYPE WIDENING end-to-end (round 18 — `ALTER COLUMN ... TYPE` as a
+    * metadata-only commit): the table is born with INT ids and FLOAT
+    * scores, widens both (`doc_id` → BIGINT, `score` → DOUBLE) with the
+    * in-query fence that ZERO data files moved, then takes an INSERT
+    * whose ids exceed int range — pre-widening files keep their native
+    * int32/float parquet types and upcast at read. The mixed-width
+    * aggregate ≡ the relational replay. Lattice/refusal/pruning fences
+    * are `SnapshotWidenSpec`'s business. */
+  def eSnapshotWiden(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "wdn")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_wdn_src")
+    val tbl = s"graft_wdn_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')
+           |AS SELECT CAST(doc_id AS INT) AS doc_id, lang,
+           |  CAST(n_chars AS FLOAT) AS score
+           |FROM graft_wdn_src""".stripMargin)
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN doc_id TYPE BIGINT")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN score TYPE DOUBLE")
+      val store = graft.storage.SnapshotStore
+      require(store.manifest(s, root, 3L).files ==
+        store.manifest(s, root, 1L).files,
+        "widening must be metadata-only — zero data files may move")
+      // ids an int cannot hold land WITHOUT any rewrite of the int files
+      s.sql(
+        s"""INSERT INTO $tbl
+           |SELECT CAST(doc_id AS BIGINT) + ${1L << 40}, lang,
+           |  CAST(n_chars AS DOUBLE)
+           |FROM graft_wdn_src WHERE doc_id % 17 = 0""".stripMargin)
+      s.sql(
+        s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           |  CAST(max(doc_id) AS BIGINT) AS id_max,
+           |  CAST(sum(CAST(score AS BIGINT)) AS BIGINT) AS score_sum
+           |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  /** PARQUET MULTI-PART CHECKPOINTS under real reconstruction
+    * (round 18 — the Delta `checkpoint.parquet` shape): a table with a
+    * per-table `graft.checkpointInterval` of 3 accumulates six commits
+    * (ingest, three appends, a CoW delete, a DV delete), so reads of
+    * v4 and v6 reconstruct through parquet checkpoints + action deltas
+    * — with in-query fences that the checkpoint headers stay SMALL
+    * (bytes independent of file count; the per-file state lives in the
+    * `.ckpt/` parquet parts) and both encodings' artifacts exist. The
+    * two-era aggregate (pre-delete v4, latest) ≡ the relational
+    * replay. Torn-state/round-trip fences are
+    * `SnapshotActionLogSpec`'s business. */
+  def eSnapshotCkpt(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "ckp")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    import graft.storage.SnapshotStore.FilePredicate._
+    store.commit(s, root,
+      docs.filter(col("doc_id") % 4 === 0).repartition(4), "ingest",
+      tblProperties = Map("graft.checkpointInterval" -> "3"))
+    (1 to 3).foreach(r => store.commitAppend(s, root,
+      docs.filter(col("doc_id") % 4 === r).repartition(4), s"append-$r"))
+    store.deleteWhere(s, root, between("doc_id", 100L, 200L))   // v5 (CoW)
+    store.deleteWhereDv(s, root, between("doc_id", 300L, 320L)) // v6 (+ckpt)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(3L, 6L).foreach { v =>
+      val hdr = new org.apache.hadoop.fs.Path(
+        f"$root/_manifests/v$v%08d.ckpt.json")
+      require(hfs.exists(hdr), s"parquet checkpoint header missing at v$v")
+      require(hfs.getFileStatus(hdr).getLen < 4096,
+        s"checkpoint header must stay small at v$v — the file list " +
+          "belongs in the parquet parts")
+      require(hfs.exists(new org.apache.hadoop.fs.Path(
+        f"$root/_manifests/v$v%08d.ckpt")),
+        s"parquet checkpoint parts missing at v$v")
+    }
+    def era(name: String, v: Long) = store.readAsOf(s, root, v)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("id_sum"),
+        sum(col("n_chars")).as("sum_chars"))
+      .select(lit(name).as("era"), col("lang"),
+        col("n_docs"), col("id_sum"), col("sum_chars"))
+    era("full", 4L).unionByName(era("latest", 6L)).orderBy("era", "lang")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7576,6 +7665,8 @@ object ExtQueries {
     "e_snapshot_dv_update" -> (eSnapshotDvUpdate _),
     "e_snapshot_ddl" -> (eSnapshotDdl _),
     "e_snapshot_tblprops" -> (eSnapshotTblProps _),
+    "e_snapshot_widen" -> (eSnapshotWiden _),
+    "e_snapshot_ckpt" -> (eSnapshotCkpt _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9448,6 +9539,34 @@ object ExtQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS len_sum
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_widen" ->
+      s"""WITH widened AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+        |    CAST(n_chars AS BIGINT) AS sc
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + ${1L << 40}, lang,
+        |    CAST(n_chars AS BIGINT)
+        |  FROM documents WHERE doc_id % 17 = 0)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(max(doc_id) AS BIGINT) AS id_max,
+        |  CAST(sum(sc) AS BIGINT) AS score_sum
+        |FROM widened GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_ckpt" ->
+      """WITH agg AS (
+        |  SELECT 'full' AS era, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'latest', lang, CAST(count(*) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents
+        |  WHERE NOT (doc_id BETWEEN 100 AND 200)
+        |    AND NOT (doc_id BETWEEN 300 AND 320)
+        |  GROUP BY lang)
+        |SELECT * FROM agg ORDER BY era, lang""".stripMargin,
     "e_snapshot_drop_column" ->
       """WITH evolved AS (
         |  SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars

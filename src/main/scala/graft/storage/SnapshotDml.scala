@@ -421,6 +421,10 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+DROP\s+COLUMNS?\s+\(?\s*((?:`[^`]+`|[\w$]+)""" +
       """(?:\s*,\s*(?:`[^`]+`|[\w$]+))*)\s*\)?\s*;?\s*$""").r
+  private val AlterColumnTypeRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TYPE\s+([\w()\s,]+?)""" +
+      """\s*;?\s*$""").r
   // TBLPROPERTIES / constraints (round 18) — ALTER TABLE SET/UNSET
   // TBLPROPERTIES and ADD/DROP CONSTRAINT are Spark grammar, but the v1
   // commands either refuse custom providers or never reach the manifest;
@@ -583,6 +587,16 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case DropColumnsRe(t, colsTok) =>
         alterTarget(t).map { case (dir, ident) =>
           GraftDropColumnsCommand(dir, ident, splitColumnList(colsTok))
+        }
+      case AlterColumnTypeRe(t, colTok, typeTok) =>
+        alterTarget(t).map { case (dir, ident) =>
+          val newType = try delegate.parseDataType(typeTok.trim)
+          catch { case scala.util.control.NonFatal(_) =>
+            SnapshotDmlRule.analysisError(
+              s"ALTER COLUMN TYPE: cannot parse data type '${typeTok.trim}'")
+          }
+          GraftAlterColumnTypeCommand(dir, ident,
+            colTok.trim.stripPrefix("`").stripSuffix("`"), newType)
         }
       case SetTblPropsRe(t, pairs) =>
         alterTarget(t).map { case (dir, ident) =>
@@ -1031,6 +1045,32 @@ final case class GraftDropColumnsCommand(dir: String,
     table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
       spark, ident, ds => org.apache.spark.sql.types.StructType(
         ds.fields.filterNot(f => unique.exists(resolver(f.name, _))))))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> ALTER COLUMN c TYPE <type>` (round 18 — type
+  * widening): one metadata-only `alter-column-type` commit through
+  * [[SnapshotStore.alterColumnType]] — retained files keep their native
+  * narrower parquet types and every read upcasts to the widened logical
+  * type, so a growing id column stops forcing a full table rewrite.
+  * Only the safe lattice is accepted (byte/short/int→long chain,
+  * float→double, decimal scale/precision growth); narrowing and lossy
+  * changes refuse as `AnalysisException`. The session catalog's schema
+  * follows in lockstep for registered tables. */
+final case class GraftAlterColumnTypeCommand(dir: String,
+                                             table: Option[TableIdentifier],
+                                             name: String,
+                                             newType: org.apache.spark.sql.types.DataType)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    SnapshotStore.alterColumnType(spark, dir, name, newType)
+    val resolver = spark.sessionState.conf.resolver
+    table.foreach(ident => GraftSqlCommands.updateCatalogDataSchema(
+      spark, ident, ds => org.apache.spark.sql.types.StructType(
+        ds.fields.map(f =>
+          if (resolver(f.name, name)) f.copy(dataType = newType) else f))))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }

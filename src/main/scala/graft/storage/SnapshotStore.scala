@@ -18,7 +18,9 @@ import org.apache.spark.sql.types._
   * {{{
   *   <table>/data/v<version>-<op>/part-*.parquet   (immutable once committed)
   *   <table>/_manifests/v<%08d-version>.json       (the commit log: action deltas)
-  *   <table>/_manifests/v<%08d-version>.ckpt.json  (periodic full-state checkpoints)
+  *   <table>/_manifests/v<%08d-version>.ckpt.json  (checkpoint HEADER — small)
+  *   <table>/_manifests/v<%08d-version>.ckpt/      (checkpoint per-file rows,
+  *                                                  multi-part parquet)
   * }}}
   *
   * THE LOG IS INCREMENTAL (round 17 — the Delta/Iceberg action-log
@@ -240,15 +242,21 @@ object SnapshotStore {
       dvs: Map[String, DvRef], droppedCols: Seq[String] = Seq.empty,
       properties: Map[String, String] = Map.empty)
 
-  /** A full-state CHECKPOINT rides every `CheckpointInterval`-th commit
-    * (`v%08d.ckpt.json`, the legacy self-contained encoding): readers
-    * reconstruct `manifest(v)` from the nearest checkpoint (or the
-    * self-contained first commit) plus at most `CheckpointInterval`
-    * action deltas — never a full log replay. Checkpoints are DERIVED
-    * data, written best-effort after the commit point and verified at
-    * read (a torn/corrupt checkpoint is skipped and the action replay
-    * walks one base further back), so they can never break a committed
-    * version — only speed it up. */
+  /** A full-state CHECKPOINT rides every `CheckpointInterval`-th commit:
+    * readers reconstruct `manifest(v)` from the nearest checkpoint (or
+    * the self-contained first commit) plus at most `CheckpointInterval`
+    * action deltas — never a full log replay. Round 18 moved the
+    * encoding to MULTI-PART PARQUET (the Delta `checkpoint.parquet`
+    * shape): a small JSON header plus columnar per-file rows under
+    * `.ckpt/` — at the format's 800k-file target the legacy
+    * single-JSON document was a multi-GB driver-side render/parse every
+    * interval-th commit; the parquet form writes and reads distributed,
+    * carries bloom bytes as binary, and keeps header bytes independent
+    * of file count. Checkpoints are DERIVED data, written best-effort
+    * after the commit point and verified at read (a torn/corrupt
+    * checkpoint — bad header, missing parts, row-count mismatch — is
+    * skipped and the action replay walks one base further back), so
+    * they can never break a committed version — only speed it up. */
   val CheckpointInterval: Long = 10L
 
   /** Operations whose commits rewrite existing rows into new files
@@ -362,9 +370,53 @@ object SnapshotStore {
     new Path(f"${manifestDir(dir)}/v$v%08d.json")
 
   // `.ckpt.json` deliberately misses the `v\d{8}\.json` version-listing
-  // regex: checkpoints are derived acceleration, never commits
+  // regex: checkpoints are derived acceleration, never commits. Round 18
+  // split the encoding: `.ckpt.json` is now a SMALL header (version,
+  // schema, layout, properties — bytes independent of file count) and
+  // the per-file rows live as MULTI-PART PARQUET under `.ckpt/` (the
+  // Delta `checkpoint.parquet` shape): columnar, compressed, written
+  // and read distributed, with bloom bytes as real binary — never one
+  // multi-GB JSON document rendered/parsed on the driver. Legacy
+  // self-contained `.ckpt.json` checkpoints still read (dispatch on the
+  // header's `format` field).
   private def checkpointPath(dir: String, v: Long) =
     new Path(f"${manifestDir(dir)}/v$v%08d.ckpt.json")
+
+  private[storage] def checkpointDataPath(dir: String, v: Long) =
+    new Path(f"${manifestDir(dir)}/v$v%08d.ckpt")
+
+  private def checkpointTmpPath(dir: String, v: Long) =
+    new Path(f"${manifestDir(dir)}/.v$v%08d.ckpt.tmp")
+
+  /** Rows per parquet checkpoint part — the multi-part split. At the
+    * format's own 800k-file target this yields ~16 parts, each bounded
+    * (~50k rows; with one declared 8 KB bloom per file ≈ 400 MB before
+    * parquet compression) so no single task writes or reads the whole
+    * state, and a 1000-executor reader loads the checkpoint with real
+    * parallelism. */
+  private[storage] val CkptRowsPerPart = 50000
+
+  /** One row per manifest-listed data file. `ord` preserves manifest
+    * file order (a parquet read returns parts in any order); `cols` is
+    * the per-column stats object in the SAME JSON encoding the action
+    * log uses (one codec, property-tested round-trip); bloom bits ride
+    * as real BINARY — the base64 blobs existed only because the legacy
+    * checkpoint was a text document. Null `rows` marks a file with no
+    * stats entry (pre-stats manifests). */
+  private[storage] val CkptSchema = StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("path", StringType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("bytes", LongType, nullable = true),
+    StructField("cols", StringType, nullable = true),
+    StructField("bloomCols", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    StructField("bloomTypes", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    StructField("bloomBits", ArrayType(BinaryType, containsNull = false),
+      nullable = true),
+    StructField("dvPath", StringType, nullable = true),
+    StructField("dvRows", LongType, nullable = true)))
 
   private def pointerPath(dir: String) =
     new Path(s"${manifestDir(dir)}/_latest")
@@ -491,16 +543,22 @@ object SnapshotStore {
     case other => sys.error(s"unsupported stats json: $other")
   }
 
-  private def fileStatsJson(fsx: FileStats): JObject = JObject(
-    "rows" -> JLong(fsx.rows),
-    "bytes" -> JLong(fsx.bytes),
-    "cols" -> JObject(fsx.cols.toSeq.sortBy(_._1).map { case (c, cs) =>
-      c -> JObject(
+  /** the per-column stats object alone — shared by the log encodings
+    * (inside [[fileStatsJson]]) and the PARQUET checkpoint's per-file
+    * `cols` cell, so both render byte-identically from one codec */
+  private def colsJsonObj(cols: Map[String, ColStats]): JObject =
+    JObject(cols.toSeq.sortBy(_._1).map { case (c, cs) =>
+      c -> (JObject(
         "t" -> JString(cs.dataType),
         "min" -> cs.min.map(jValue).getOrElse(JNull),
         "max" -> cs.max.map(jValue).getOrElse(JNull),
-        "nulls" -> cs.nulls.map(JLong(_)).getOrElse(JNothing))
-    }.toList),
+        "nulls" -> cs.nulls.map(JLong(_)).getOrElse(JNothing)): JValue)
+    }.toList)
+
+  private def fileStatsJson(fsx: FileStats): JObject = JObject(
+    "rows" -> JLong(fsx.rows),
+    "bytes" -> JLong(fsx.bytes),
+    "cols" -> colsJsonObj(fsx.cols),
     "blooms" ->
       (if (fsx.blooms.isEmpty) JNothing
        else JObject(fsx.blooms.toSeq.sortBy(_._1).map { case (c, bs) =>
@@ -569,6 +627,25 @@ object SnapshotStore {
         headerJson(d.operation, d.ts, d.schema, d.partitionCols,
           d.bloomCols, d.droppedCols, d.properties))))
 
+  /** inverse of [[colsJsonObj]] — shared by the log decoder and the
+    * parquet checkpoint's per-file `cols` cell */
+  private def colsOf(jv: JValue): Map[String, ColStats] = jv match {
+    case JObject(cf) => cf.map { case (c, cv) =>
+      val t = cv \ "t" match { case JString(s) => s
+                               case o => sys.error(s"bad col type: $o") }
+      def opt(n: String) = cv \ n match {
+        case JNull | JNothing => None
+        case j => Some(anyValue(j))
+      }
+      val nulls = cv \ "nulls" match {
+        case JLong(l) => Some(l); case JInt(i) => Some(i.toLong)
+        case _ => None // pre-null-count manifest
+      }
+      c -> ColStats(t, opt("min"), opt("max"), nulls)
+    }.toMap
+    case _ => Map.empty[String, ColStats]
+  }
+
   private def fileStatsOf(fv: JValue): FileStats = {
     val rows = fv \ "rows" match {
       case JLong(l) => l; case JInt(i) => i.toLong
@@ -578,22 +655,7 @@ object SnapshotStore {
       case JLong(l) => l; case JInt(i) => i.toLong
       case _ => 0L // pre-size manifest
     }
-    val cols = fv \ "cols" match {
-      case JObject(cf) => cf.map { case (c, cv) =>
-        val t = cv \ "t" match { case JString(s) => s
-                                 case o => sys.error(s"bad col type: $o") }
-        def opt(n: String) = cv \ n match {
-          case JNull | JNothing => None
-          case j => Some(anyValue(j))
-        }
-        val nulls = cv \ "nulls" match {
-          case JLong(l) => Some(l); case JInt(i) => Some(i.toLong)
-          case _ => None // pre-null-count manifest
-        }
-        c -> ColStats(t, opt("min"), opt("max"), nulls)
-      }.toMap
-      case _ => Map.empty[String, ColStats]
-    }
+    val cols = colsOf(fv \ "cols")
     val blooms = fv \ "blooms" match {
       case JObject(bf) => bf.map { case (c, bv) =>
         val t = bv \ "t" match { case JString(s) => s
@@ -657,9 +719,11 @@ object SnapshotStore {
     }
 
   /** parse the SELF-CONTAINED encoding (legacy manifests, first commits,
-    * checkpoints) */
-  private[storage] def parse(json: String): Manifest = {
-    val root = JsonMethods.parse(json)
+    * legacy checkpoints) */
+  private[storage] def parse(json: String): Manifest =
+    parseManifestRoot(JsonMethods.parse(json))
+
+  private def parseManifestRoot(root: JValue): Manifest = {
     val files = root \ "files" match {
       case JArray(xs) => xs.map { case JString(s) => s
                                   case o => sys.error(s"bad file entry: $o") }
@@ -701,7 +765,7 @@ object SnapshotStore {
   private[storage] def parseRaw(json: String): Either[Manifest, CommitDelta] = {
     val root = JsonMethods.parse(json)
     root \ "files" match {
-      case JArray(_) => Left(parse(json))
+      case JArray(_) => Left(parseManifestRoot(root))
       case _ => root \ "adds" match {
         case JArray(_) => Right(parseDelta(root))
         case _ => sys.error("manifest holds neither files nor adds")
@@ -1030,10 +1094,14 @@ object SnapshotStore {
     parseRaw(readText(f, p))
   }
 
-  /** the checkpoint of `version`, if present AND readable — checkpoints
+  /** The checkpoint of `version`, if present AND readable — checkpoints
     * are derived data written best-effort, so a torn or corrupt one is
     * skipped (the action replay walks to an earlier base), never an
-    * error */
+    * error. Two encodings: the round-18 PARQUET form (header names
+    * `format: parquet` and its exact row count; the per-file state loads
+    * as a columnar scan of the `.ckpt/` parts — a row-count mismatch or
+    * unreadable part means a torn data dir and degrades to replay) and
+    * the legacy self-contained JSON document. */
   private def readCheckpoint(spark: SparkSession, dir: String,
                              version: Long): Option[Manifest] =
     try {
@@ -1042,16 +1110,125 @@ object SnapshotStore {
       if (!f.exists(p)) None
       else {
         manifestReadCount.incrementAndGet()
-        val m = parse(readText(f, p))
-        if (m.version == version) Some(m) else None // torn/misplaced
+        val root = JsonMethods.parse(readText(f, p))
+        root \ "format" match {
+          case JString("parquet") =>
+            if (versionOf(root) != version) None // torn/misplaced header
+            else readParquetCheckpoint(spark, dir, version, root)
+          case _ =>
+            val m = parseManifestRoot(root)
+            if (m.version == version) Some(m) else None // torn/misplaced
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** deterministic full-state checkpoint of a committed version —
-    * last-writer-wins overwrite is safe because every writer renders
-    * the same bytes */
+  private def readParquetCheckpoint(spark: SparkSession, dir: String,
+                                    version: Long,
+                                    root: JValue): Option[Manifest] = {
+    val entries = root \ "entries" match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case o => sys.error(s"parquet checkpoint header missing entries: $o")
+    }
+    val dataP = checkpointDataPath(dir, version)
+    val f = fs(spark, dir)
+    if (!f.exists(dataP)) return None // header landed, data dir torn away
+    val collected = spark.read.schema(CkptSchema)
+      .parquet(dataP.toString).collect()
+    if (collected.length.toLong != entries) return None // torn data dir
+    val sorted = collected.sortBy(_.getLong(0))
+    val files = sorted.map(_.getString(1)).toSeq
+    val stats = sorted.iterator.filter(!_.isNullAt(2)).map { r =>
+      val cols = if (r.isNullAt(4)) Map.empty[String, ColStats]
+                 else colsOf(JsonMethods.parse(r.getString(4)))
+      val blooms =
+        if (r.isNullAt(5)) Map.empty[String, BloomStats]
+        else {
+          val bc = r.getSeq[String](5); val bt = r.getSeq[String](6)
+          val bb = r.getSeq[Array[Byte]](7)
+          bc.indices.map(i => bc(i) -> BloomStats(bt(i),
+            java.util.Base64.getEncoder.encodeToString(bb(i)))).toMap
+        }
+      r.getString(1) -> FileStats(r.getLong(2), cols, r.getLong(3), blooms)
+    }.toMap
+    val dvs = sorted.iterator.filter(!_.isNullAt(8)).map(r =>
+      r.getString(1) -> DvRef(r.getString(8), r.getLong(9))).toMap
+    Some(Manifest(version, operationOf(root), files, stats,
+      schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
+      strArrayOf(root, "bloomCols"), dvs, strArrayOf(root, "droppedCols"),
+      propertiesOf(root)))
+  }
+
+  /** Deterministic full-state checkpoint of a committed version, in the
+    * MULTI-PART PARQUET encoding: per-file rows land first as parquet
+    * parts under a hidden staging dir, publish by rename to `.ckpt/`,
+    * and the SMALL header document (`.ckpt.json`) is written LAST — its
+    * presence is the checkpoint's commit point, so a crash at any
+    * earlier step leaves no readable-but-wrong state (the reader also
+    * verifies the header's exact row count against the parts). The
+    * file list is never materialized as one JSON string: header bytes
+    * are independent of file count, rows are built per file, and the
+    * parquet write/read is a distributed columnar job split into
+    * [[CkptRowsPerPart]]-row parts. Last-writer-wins overwrite stays
+    * safe because every writer of a version renders the same state. */
   private def writeCheckpoint(spark: SparkSession, dir: String,
                               m: Manifest): Unit = {
+    val f = fs(spark, dir)
+    val dataP = checkpointDataPath(dir, m.version)
+    val tmp = checkpointTmpPath(dir, m.version)
+    if (f.exists(tmp)) f.delete(tmp, true)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      m.files.zipWithIndex.map { case (p, i) =>
+        val st = m.stats.get(p)
+        val dv = m.dvs.get(p)
+        val blooms = st.map(_.blooms.toSeq.sortBy(_._1)).getOrElse(Seq.empty)
+        org.apache.spark.sql.Row(
+          i.toLong, p,
+          st.map(s => java.lang.Long.valueOf(s.rows)).orNull,
+          st.map(s => java.lang.Long.valueOf(s.bytes)).orNull,
+          st.map(s =>
+            JsonMethods.compact(JsonMethods.render(colsJsonObj(s.cols))))
+            .orNull,
+          if (blooms.isEmpty) null else blooms.map(_._1),
+          if (blooms.isEmpty) null else blooms.map(_._2.dataType),
+          if (blooms.isEmpty) null
+          else blooms.map(b => java.util.Base64.getDecoder.decode(b._2.b64)),
+          dv.map(_.path).orNull,
+          dv.map(d => java.lang.Long.valueOf(d.rows)).orNull)
+      }
+    val parts = math.max(1, (m.files.size + CkptRowsPerPart - 1) / CkptRowsPerPart)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), CkptSchema)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (f.exists(dataP)) f.delete(dataP, true)
+    if (!f.rename(tmp, dataP)) {
+      // a concurrent checkpointer of the same version won the publish —
+      // its bytes encode the same state; ours only clean up
+      f.delete(tmp, true)
+      if (!f.exists(dataP))
+        sys.error(s"checkpoint publish failed for v${m.version} at $dir")
+    }
+    val hdr = JsonMethods.compact(JsonMethods.render(JObject(
+      ("version" -> (JLong(m.version): JValue)) ::
+        ("format" -> (JString("parquet"): JValue)) ::
+        ("entries" -> (JLong(m.files.size.toLong): JValue)) ::
+        headerJson(m.operation, m.ts, m.schema, m.partitionCols,
+          m.bloomCols, m.droppedCols, m.properties))))
+    val out = f.create(checkpointPath(dir, m.version), true)
+    try out.write(hdr.getBytes("UTF-8")) finally out.close()
+  }
+
+  // spec seams: exercise both checkpoint encodings + torn states directly
+  private[storage] def writeCheckpointForTest(spark: SparkSession,
+                                              dir: String,
+                                              m: Manifest): Unit =
+    writeCheckpoint(spark, dir, m)
+  private[storage] def readCheckpointForTest(spark: SparkSession,
+                                             dir: String,
+                                             version: Long): Option[Manifest] =
+    readCheckpoint(spark, dir, version)
+  private[storage] def writeLegacyCheckpointForTest(spark: SparkSession,
+                                                    dir: String,
+                                                    m: Manifest): Unit = {
     val out = fs(spark, dir).create(checkpointPath(dir, m.version), true)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
   }
@@ -1658,7 +1835,7 @@ object SnapshotStore {
       // reclaimed out from under the retained manifest's vector
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, Long] =
+      val countsByKey: Map[String, DvRef] =
         if (touched.isEmpty) Map.empty
         else {
           val live = liveWithProvenance(spark, dir, m, touched)
@@ -1705,22 +1882,32 @@ object SnapshotStore {
       Seq("__dv_file", "__dv_pos"), "left_anti")
   }
 
-  /** Write the FOLDED vector of `touched` files into `newDvDir`: prior
-    * entries of the touched files' vectors plus the fresh `newMarks`
-    * (`(file, pos)` in `_metadata` spelling) — chained merge-on-read
-    * commits FOLD, so each data file references exactly ONE vector.
-    * Entries a SHARED old vector holds for untouched files are filtered
-    * out first: those files keep referencing the old vector, and
-    * copying their entries forward would duplicate them into every
-    * later fold — unbounded growth across chained mutations. The filter
-    * set is bounded (one distinct spelling per marked file, matched
-    * through pathKey — manifest vs `_metadata` spellings differ only in
-    * scheme). Returns per-file mark counts keyed by pathKey. DV bytes
-    * ∝ marked positions — one small file by design (wide mutations
-    * belong on the copy-on-write path). */
+  /** Max parallel bucket files of one commit's deletion-vector write —
+    * marks for N touched files land in min(N, this) parquet files, each
+    * written by its own task (the round-18 per-file-sidecar shape; the
+    * old single `repartition(1)` funnel serialized every mark of a
+    * broad ≤5% mutation through one task). */
+  private[storage] val DvWriteBuckets = 64
+
+  /** Write the FOLDED vectors of `touched` files into `newDvDir`,
+    * PARTITIONED BY FILE BUCKET (round 18): each marked file's entries
+    * land wholly inside one `__b=<xxhash64(file) % buckets>` subdir, the
+    * write runs min(marked files, [[DvWriteBuckets]])-way parallel, and
+    * every file's [[DvRef]] points at ITS OWN bucket — a reader of one
+    * vectored file loads only that bucket's entries, never the commit's
+    * whole vector set. Prior entries of the touched files' vectors fold
+    * in first (chained merge-on-read commits FOLD, so each data file
+    * references exactly ONE vector path); entries a SHARED old vector
+    * holds for untouched files are filtered out — those files keep
+    * referencing the old vector, and copying their entries forward
+    * would duplicate them into every later fold. The filter set is
+    * bounded (one distinct spelling per marked file, matched through
+    * pathKey — manifest vs `_metadata` spellings differ only in scheme).
+    * Returns per-file refs keyed by pathKey. DV bytes ∝ marked
+    * positions (wide mutations belong on the copy-on-write path). */
   private def writeFoldedVector(spark: SparkSession, m: Manifest,
                                 touched: Seq[String], newMarks: DataFrame,
-                                newDvDir: String): Map[String, Long] = {
+                                newDvDir: String): Map[String, DvRef] = {
     val oldDvFiles = touched.flatMap(f => m.dvs.get(f).map(_.path)).distinct
     val touchedKeys = touched.map(pathKey).toSet
     val allMarks =
@@ -1734,21 +1921,33 @@ object SnapshotStore {
          else oldEntries.filter(col("file").isin(
            keptSpellings.toSeq: _*)).unionByName(newMarks)
        }).distinct()
-    allMarks.repartition(1).write.parquet(newDvDir)
-    spark.read.schema(DvSchema).parquet(newDvDir)
-      .groupBy(col("file")).agg(count(lit(1)).as("n"))
+    val buckets = math.min(math.max(1, touched.size), DvWriteBuckets)
+    allMarks
+      .withColumn("__b", pmod(xxhash64(col("file")), lit(buckets.toLong)))
+      .repartition(buckets, col("__b"))
+      .write.partitionBy("__b").parquet(newDvDir)
+    // read back WITH the partition column: each marked file's bucket and
+    // count in one bounded pass (explicit schema — an all-carried commit
+    // may have written zero marks, and schema inference has nothing)
+    spark.read
+      .schema(StructType(DvSchema.fields :+
+        StructField("__b", LongType, nullable = false)))
+      .parquet(newDvDir)
+      .groupBy(col("file"), col("__b")).agg(count(lit(1)).as("n"))
       .collect() // bounded: one row per marked file
-      .map(r => pathKey(r.getString(0)) -> r.getLong(1)).toMap
+      .map(r => pathKey(r.getString(0)) ->
+        DvRef(s"$newDvDir/__b=${r.getLong(1)}", r.getLong(2))).toMap
   }
 
   /** the new version's dv map: touched files with fresh marks point at
-    * the new folded vector; everything else carries its prior ref */
+    * their own bucket of the new folded vector; everything else carries
+    * its prior ref */
   private def foldDvRefs(m: Manifest, touchedSet: Set[String],
-                         countsByKey: Map[String, Long],
+                         refsByKey: Map[String, DvRef],
                          newDvDir: String): Map[String, DvRef] =
     m.files.flatMap { f =>
-      countsByKey.get(pathKey(f)) match {
-        case Some(n) if touchedSet(f) => Some(f -> DvRef(newDvDir, n))
+      refsByKey.get(pathKey(f)) match {
+        case Some(ref) if touchedSet(f) => Some(f -> ref)
         case _ => m.dvs.get(f).map(f -> _)
       }
     }.toMap
@@ -1862,7 +2061,7 @@ object SnapshotStore {
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, Long] =
+      val countsByKey: Map[String, DvRef] =
         if (touched.isEmpty) Map.empty
         else {
           // PERSIST the marked pre-image rows: this plan evaluates twice
@@ -2083,7 +2282,7 @@ object SnapshotStore {
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, Long] =
+      val countsByKey: Map[String, DvRef] =
         if (touched.isEmpty) Map.empty
         else {
           // pre-image positions of the REPLACED rows: live rows of the
@@ -2377,6 +2576,78 @@ object SnapshotStore {
     * committing a union schema holding both spellings that every later
     * explicit-schema read would refuse as a duplicate column. A delta
     * whose OWN columns collide case-only refuses loudly. */
+  /** The safe TYPE-WIDENING lattice (round 18 — the Delta type-widening
+    * shape): conversions the parquet reader performs losslessly when the
+    * requested schema is wider than the file's native type (verified
+    * against Spark 4's vectorized reader: int32→int64, float→double,
+    * decimal scale/precision growth), so a widening is a METADATA-ONLY
+    * commit — zero file rewrites, pre-widening files upcast at read.
+    * Strict (`from != to`); nested types stay refused (conservative). */
+  private[storage] def widens(from: DataType, to: DataType): Boolean =
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        (a.precision, a.scale) != (b.precision, b.scale) &&
+          b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale
+      case _ => false
+    }
+
+  /** `ALTER TABLE <t> ALTER COLUMN <name> TYPE <newType>` — a pure
+    * metadata `alter-column-type` commit: the committed logical schema
+    * records the WIDENED type, retained data files keep their native
+    * (narrower) parquet types and upcast at read (the explicit-schema
+    * parquet scan — pinned by [[widens]]' lattice), and later appends
+    * may arrive at either width ([[mergeSchemas]] accepts
+    * narrower-if-widenable). Per-file stats comparisons stay exact: each
+    * file's [[ColStats]] carries its OWN recorded type, integral stats
+    * are stored as Long at any width, and decimal stats re-materialize
+    * at the file's recorded scale — so pruning across mixed-width files
+    * needs no migration. Refusals (unknown column, partition column —
+    * its type pins the hive path re-read — or a non-widening change)
+    * are typed [[refuse]] errors. */
+  def alterColumnType(spark: SparkSession, dir: String, name: String,
+                      newType: DataType,
+                      reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(latestVersion(spark, dir).isDefined,
+      s"no committed version at $dir")
+    val cs = caseSensitive(spark)
+    def same(a: String, b: String) = if (cs) a == b else a.equalsIgnoreCase(b)
+    def widenedSchema(prior: Option[Manifest]): StructType = {
+      val m0 = prior.getOrElse(refuse(s"no committed version at $dir"))
+      val schema0 = m0.schemaStruct.getOrElse(
+        asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+      val idx = schema0.fields.indexWhere(f => same(f.name, name))
+      if (idx < 0) refuse(
+        s"column $name does not exist — ALTER COLUMN TYPE takes a " +
+          "committed column")
+      val f0 = schema0.fields(idx)
+      if (m0.partitionCols.exists(same(_, f0.name))) refuse(
+        s"column ${f0.name} is a PARTITION column — its values re-type " +
+          "from the hive col=value layout; widening it needs a " +
+          "full-snapshot rewrite")
+      if (f0.dataType == newType) refuse(
+        s"column ${f0.name} is already of type ${newType.simpleString}")
+      if (!widens(f0.dataType, newType)) refuse(
+        s"cannot change column ${f0.name} from " +
+          s"${f0.dataType.simpleString} to ${newType.simpleString} — only " +
+          "safe widenings (byte/short/int->long chain, float->double, " +
+          "decimal scale/precision growth) are metadata-only; anything " +
+          "else needs a full-snapshot rewrite")
+      StructType(schema0.fields.updated(idx, f0.copy(dataType = newType)))
+    }
+    widenedSchema(Some(manifest(spark, dir,
+      latestVersion(spark, dir).get))) // fail fast, before any staging
+    commitStagedFull(spark, dir, "alter-column-type", reclaimGraceMs,
+      schemaOverrideFn = Some(widenedSchema _)) { (prior, _) =>
+      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+      Staged(m.files, m.stats) // pure metadata — everything carries
+    }
+  }
+
   private[storage] def mergeSchemas(base: StructType, add: StructType,
                                     caseSensitive: Boolean,
                                     droppedPhysical: Set[String] =
@@ -2393,10 +2664,19 @@ object SnapshotStore {
     val baseKeys = b.fields.map(f => key(f.name)).toSet
     val kept = b.fields.map { f =>
       a.fields.find(g => key(g.name) == key(f.name)).foreach { g =>
-        if (g.dataType != f.dataType) sys.error(
-          s"schema evolution conflict on column ${f.name}: committed " +
-            s"${f.dataType.simpleString} vs new ${g.dataType.simpleString} — " +
-            "changing a column's type needs a full-snapshot commit")
+        // NARROWER incoming data is accepted when the committed type
+        // WIDENS it (round 18): the file keeps its native parquet type
+        // and every read upcasts to the committed logical type — the
+        // exact shape ALTER COLUMN TYPE leaves pre-widening files in.
+        // A WIDER incoming type still refuses: silently widening the
+        // table on append would be an implicit DDL (run ALTER TABLE
+        // ALTER COLUMN c TYPE first).
+        if (g.dataType != f.dataType && !widens(g.dataType, f.dataType))
+          sys.error(
+            s"schema evolution conflict on column ${f.name}: committed " +
+              s"${f.dataType.simpleString} vs new ${g.dataType.simpleString}" +
+              " — widen the table first (ALTER TABLE ... ALTER COLUMN ... " +
+              "TYPE) or full-snapshot commit for anything else")
       }
       f
     }
@@ -3389,6 +3669,17 @@ object SnapshotStore {
       onVacuumDropForTest(v) // spec seam: crash mid-loop deterministically
       f.delete(manifestPath(dir, v), false)
       f.delete(checkpointPath(dir, v), false) // derived; drops with it
+      f.delete(checkpointDataPath(dir, v), true) // its parquet parts too
+    }
+    // stale parquet-checkpoint staging dirs (a crash between the parts
+    // write and the publish rename) — age-gated like orphaned data dirs,
+    // so a LIVE checkpointer's staging is never swept from under it
+    val mdp = new Path(manifestDir(dir))
+    if (f.exists(mdp)) f.listStatus(mdp).foreach { st =>
+      if (st.getPath.getName.matches("\\.v\\d{8}\\.ckpt\\.tmp") &&
+          System.currentTimeMillis() - st.getModificationTime >=
+            DefaultReclaimGraceMs)
+        f.delete(st.getPath, true)
     }
     val referenced = keptManifests.flatMap(_.files).toSet
     // deletion-vector files referenced by retained manifests must

@@ -75,16 +75,29 @@ class SnapshotActionLogSpec extends SparkSpec {
     assert(late <= early * 2,
       s"late append entry ($late B) must not grow with table files " +
         s"(early entry $early B) — the O(commits x files) log is back")
-    // while the CHECKPOINT (full state) does grow with the table — the
-    // amortized O(table)/interval cost the model accepts
+    // while the CHECKPOINT's PARQUET parts (full state) do grow with the
+    // table — the amortized O(table)/interval cost the model accepts —
+    // its HEADER document stays small (bytes independent of file count:
+    // the round-18 multi-part encoding)
     val fs = ckptPath(dir, 20L)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(fs.exists(ckptPath(dir, 20L)),
-      "interval checkpoint must exist at v20")
-    val ckptLen = fs.getFileStatus(ckptPath(dir, 20L)).getLen
-    assert(ckptLen > late * 5,
-      s"checkpoint ($ckptLen B) holds full state; the delta ($late B) " +
-        "holds only the change — sizes must reflect that")
+      "interval checkpoint header must exist at v20")
+    val dataDir = SnapshotStore.checkpointDataPath(dir, 20L)
+    assert(fs.exists(dataDir), "checkpoint parquet parts must exist at v20")
+    val partsLen = fs.listStatus(dataDir)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    assert(partsLen > late,
+      s"checkpoint parts ($partsLen B) hold full state; the delta " +
+        s"($late B) holds only the change — sizes must reflect that")
+    val hdr10 = fs.getFileStatus(ckptPath(dir, 10L)).getLen
+    val hdr20 = fs.getFileStatus(ckptPath(dir, 20L)).getLen
+    assert(hdr20 < 4096,
+      s"checkpoint header must stay small (got $hdr20 B) — the file " +
+        "list lives in the parquet parts, never the header document")
+    assert(math.abs(hdr20 - hdr10) < 256,
+      s"header bytes must not grow with table files (v10: $hdr10 B, " +
+        s"v20 with 2x the files: $hdr20 B)")
     // first commit is self-contained: the log's replay base
     assert(logSize(dir, 1L) > late,
       "v1 is self-contained (full) — larger than a 4-file delta")
@@ -135,6 +148,88 @@ class SnapshotActionLogSpec extends SparkSpec {
     expected.zip(again).foreach { case (a, b) =>
       assert(a == b, s"v${a.version}: torn checkpoint changed the state")
     }
+  }
+
+  test("a torn PARQUET checkpoint — header without parts, or a " +
+    "part-count mismatch — is skipped, never served or fatal") {
+    val dir = freshDir()
+    val latest = buildMixedChain(dir)
+    val store = SnapshotStore
+    val expected = (1L to latest).map(v => store.manifest(spark, dir, v))
+    val fs = ckptPath(dir, 10L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // v10: header survives, parquet parts torn away entirely
+    fs.delete(SnapshotStore.checkpointDataPath(dir, 10L), true)
+    // v20: duplicate a part INTO the data dir — rows no longer match the
+    // header's recorded entry count (a torn/duplicated write)
+    val d20 = SnapshotStore.checkpointDataPath(dir, 20L)
+    val part = fs.listStatus(d20)
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
+      new Path(d20, "part-extra.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val again = (1L to latest).map(v => store.manifest(spark, dir, v))
+    expected.zip(again).foreach { case (a, b) =>
+      assert(a == b, s"v${a.version}: torn parquet checkpoint changed " +
+        "the state")
+    }
+  }
+
+  test("a LEGACY self-contained JSON checkpoint still reads, and agrees " +
+    "with the parquet encoding of the same state") {
+    val dir = freshDir()
+    buildMixedChain(dir)
+    val store = SnapshotStore
+    val m10 = store.manifest(spark, dir, 10L)
+    val viaParquet = store.readCheckpointForTest(spark, dir, 10L)
+    assert(viaParquet.contains(m10), "parquet checkpoint reads its state")
+    // overwrite v10's checkpoint with the LEGACY single-document form
+    val fs = ckptPath(dir, 10L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(SnapshotStore.checkpointDataPath(dir, 10L), true)
+    store.writeLegacyCheckpointForTest(spark, dir, m10)
+    val viaLegacy = store.readCheckpointForTest(spark, dir, 10L)
+    assert(viaLegacy.contains(m10),
+      "legacy checkpoint must reconstruct the identical manifest")
+  }
+
+  test("checkpoint header bytes are independent of file count, the " +
+    "parts split multi-part past the rows-per-part bound, and the round " +
+    "trip is exact — on a synthesized many-file manifest (no data files)") {
+    val dir = freshDir()
+    val store = SnapshotStore
+    val fs = ckptPath(dir, 1L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def synth(v: Long, n: Int): SnapshotStore.Manifest = {
+      val files = (0 until n).map(i => f"$dir/data/v$v%08d-x/part-$i%06d.parquet")
+      SnapshotStore.Manifest(v, "synth", files,
+        stats = files.zipWithIndex.map { case (f0, i) =>
+          f0 -> SnapshotStore.FileStats(100L + i,
+            Map("id" -> SnapshotStore.ColStats("bigint",
+              Some(i.toLong), Some(i + 99L), Some(0L))), 4096L + i)
+        }.toMap,
+        schema = Some(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType))).json),
+        ts = 1000L + v)
+    }
+    val small = synth(1L, 100)
+    val big = synth(2L, SnapshotStore.CkptRowsPerPart + 1)
+    store.writeCheckpointForTest(spark, dir, small)
+    store.writeCheckpointForTest(spark, dir, big)
+    val hdrSmall = fs.getFileStatus(ckptPath(dir, 1L)).getLen
+    val hdrBig = fs.getFileStatus(ckptPath(dir, 2L)).getLen
+    assert(hdrBig < 2048 && math.abs(hdrBig - hdrSmall) < 64,
+      s"header bytes must not scale with files ($hdrSmall B @100 files " +
+        s"vs $hdrBig B @${SnapshotStore.CkptRowsPerPart + 1} files)")
+    val parts = fs.listStatus(SnapshotStore.checkpointDataPath(dir, 2L))
+      .count(_.getPath.getName.endsWith(".parquet"))
+    assert(parts >= 2,
+      s"a ${SnapshotStore.CkptRowsPerPart + 1}-file state must split " +
+        s"into multiple parquet parts, got $parts")
+    assert(store.readCheckpointForTest(spark, dir, 1L).contains(small) &&
+      store.readCheckpointForTest(spark, dir, 2L).contains(big),
+      "both encodings round-trip exactly")
   }
 
   test("vacuum pins a strict replay base at the earliest retained " +

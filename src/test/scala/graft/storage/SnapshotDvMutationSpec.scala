@@ -223,4 +223,48 @@ class SnapshotDvMutationSpec extends SparkSpec {
       assert(got == expect)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("the DV write is per-file-parallel (round 18): marks for N files " +
+    "land in multiple bucket files, each file's DvRef points at its OWN " +
+    "bucket, a one-file read loads only that bucket, and vacuum keeps " +
+    "every referenced bucket") {
+    val dir = freshDir()
+    // 8 files, every one marked by the delete
+    SnapshotStore.commit(spark, dir,
+      (1L to 800L).map(i => (i, i % 8)).toDF("id", "grp").repartition(8),
+      "ingest")
+    SnapshotStore.deleteWhereDv(spark, dir,
+      SnapshotStore.FilePredicate.LtEq("id", 2L))
+    // ... then a second DV delete folds over the first
+    SnapshotStore.deleteWhereDv(spark, dir,
+      SnapshotStore.FilePredicate.GtEq("id", 799L))
+    val m = SnapshotStore.manifest(spark, dir, 3L)
+    val refs = m.dvs
+    assert(refs.nonEmpty, "vectored files must carry refs")
+    val bucketPaths = refs.values.map(_.path).toSet
+    assert(bucketPaths.size >= 2,
+      s"marks for ${refs.size} files must land in multiple buckets, " +
+        s"got ${bucketPaths.size} distinct vector paths")
+    bucketPaths.foreach(p => assert(p.contains("/__b="),
+      s"a DvRef must point at its own bucket, got $p"))
+    // every bucket path resolves and holds only (file, pos) rows of
+    // files that hash there — the per-file read is bucket-local
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bucketPaths.foreach(p => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(p)), s"missing bucket $p"))
+    refs.foreach { case (f, ref) =>
+      val entries = spark.read.schema(SnapshotStore.DvSchema)
+        .parquet(ref.path)
+      val mine = entries.filter(col("file").contains(
+        new org.apache.hadoop.fs.Path(f).getName)).count()
+      assert(mine == ref.rows,
+        s"bucket ${ref.path} must hold exactly $f's ${ref.rows} marks")
+    }
+    // correctness: both deletes applied, idempotent under vacuum
+    assert(SnapshotStore.read(spark, dir).count() == 800L - 2L - 2L)
+    SnapshotStore.vacuum(spark, dir, retain = 1)
+    assert(SnapshotStore.read(spark, dir).count() == 796L,
+      "vacuum must keep every referenced DV bucket")
+  }
 }
