@@ -1248,14 +1248,64 @@ object SnapshotStore {
     (operationOf(root), tsOf(root))
   }
 
-  /** The committed manifest of `version` — reconstructed from the
-    * nearest base at or below it: the version's own checkpoint, else
-    * walk back through action deltas to the first checkpoint or
-    * self-contained commit and fold forward. Bounded by construction:
-    * a base exists every [[CheckpointInterval]] versions (and vacuum
-    * pins one at the earliest retained version), so reconstruction
-    * reads O(interval) small files — never a log replay. */
-  def manifest(spark: SparkSession, dir: String, version: Long): Manifest =
+  /** In-JVM MANIFEST CACHE (round 18 — the Delta Snapshot-cache
+    * discipline): a committed (table, version) manifest is immutable —
+    * versions are created once and never rewritten (vacuum only
+    * deletes) — so reconstruction results are memoizable. Every query
+    * over a table reconstructs its latest manifest, and time travel
+    * revisits bases, so without a cache each read re-pays the
+    * checkpoint load + delta fold (at the 800k-file target, a columnar
+    * checkpoint scan per read). Small LRU of SOFT references (the GC
+    * reclaims heavyweight manifests under pressure); a hit VALIDATES
+    * against the manifest file's current (length, mtime) — a deleted-
+    * and-recreated table at the same path (bench reps, test scratch
+    * dirs) can never serve a stale state, and a missing manifest file
+    * bypasses the cache entirely so refusal semantics are unchanged. */
+  private val ManifestCacheCapacity = 8
+  private final case class CachedManifest(len: Long, mtime: Long, m: Manifest)
+  private val manifestCache =
+    new java.util.LinkedHashMap[(String, Long),
+        java.lang.ref.SoftReference[CachedManifest]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            java.lang.ref.SoftReference[CachedManifest]]): Boolean =
+        size() > ManifestCacheCapacity
+    }
+
+  private[storage] def clearManifestCacheForTest(): Unit =
+    manifestCache.synchronized(manifestCache.clear())
+
+  /** The committed manifest of `version` — served from the validated
+    * in-JVM cache when possible, else reconstructed from the nearest
+    * base at or below it: the version's own checkpoint, else walk back
+    * through action deltas to the first checkpoint or self-contained
+    * commit and fold forward. Bounded by construction: a base exists
+    * every [[CheckpointInterval]] versions (and vacuum pins one at the
+    * earliest retained version), so reconstruction reads O(interval)
+    * small files — never a log replay. */
+  def manifest(spark: SparkSession, dir: String, version: Long): Manifest = {
+    val key = (pathKey(dir), version)
+    val st = try Some(fs(spark, dir).getFileStatus(manifestPath(dir, version)))
+             catch { case _: java.io.IOException => None }
+    st.foreach { s0 =>
+      manifestCache.synchronized(Option(manifestCache.get(key))) match {
+        case Some(ref) => Option(ref.get) match {
+          case Some(c) if c.len == s0.getLen &&
+              c.mtime == s0.getModificationTime => return c.m
+          case _ => manifestCache.synchronized(manifestCache.remove(key))
+        }
+        case None => ()
+      }
+    }
+    val m = reconstructManifest(spark, dir, version)
+    st.foreach(s0 => manifestCache.synchronized(manifestCache.put(key,
+      new java.lang.ref.SoftReference(
+        CachedManifest(s0.getLen, s0.getModificationTime, m)))))
+    m
+  }
+
+  private def reconstructManifest(spark: SparkSession, dir: String,
+                                  version: Long): Manifest =
     readCheckpoint(spark, dir, version).getOrElse {
       readRaw(spark, dir, version) match {
         case Left(full) => full

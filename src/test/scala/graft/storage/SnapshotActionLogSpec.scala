@@ -114,6 +114,9 @@ class SnapshotActionLogSpec extends SparkSpec {
     val fs = ckptPath(dir, 10L)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     (1L to latest).foreach(v => fs.delete(ckptPath(dir, v), false))
+    // the manifest cache would serve the first pass's states — clear it
+    // so reconstruction REALLY replays the action log
+    SnapshotStore.clearManifestCacheForTest()
     val replayed = (1L to latest).map(v => store.manifest(spark, dir, v))
     withCkpt.zip(replayed).foreach { case (a, b) =>
       assert(a == b, s"v${a.version}: checkpoint and replay disagree")
@@ -144,6 +147,7 @@ class SnapshotActionLogSpec extends SparkSpec {
     val out20 = fs.create(ckptPath(dir, 20L), true)
     out20.write("not json at all".getBytes("UTF-8"))
     out20.close()
+    SnapshotStore.clearManifestCacheForTest() // force real reconstruction
     val again = (1L to latest).map(v => store.manifest(spark, dir, v))
     expected.zip(again).foreach { case (a, b) =>
       assert(a == b, s"v${a.version}: torn checkpoint changed the state")
@@ -168,6 +172,7 @@ class SnapshotActionLogSpec extends SparkSpec {
     org.apache.hadoop.fs.FileUtil.copy(fs, part, fs,
       new Path(d20, "part-extra.parquet"), false,
       spark.sparkContext.hadoopConfiguration)
+    SnapshotStore.clearManifestCacheForTest() // force real reconstruction
     val again = (1L to latest).map(v => store.manifest(spark, dir, v))
     expected.zip(again).foreach { case (a, b) =>
       assert(a == b, s"v${a.version}: torn parquet checkpoint changed " +
@@ -303,5 +308,38 @@ class SnapshotActionLogSpec extends SparkSpec {
     assert(reads <= 5 + SnapshotStore.CheckpointInterval + 2,
       s"LIMIT 5 on a 40-commit log read $reads entries — the collect " +
         "must stop at n + one walk-back, not load the whole log")
+  }
+
+  test("the manifest cache: a repeated reconstruction reads ZERO log " +
+    "entries, and a table deleted and recreated at the same path can " +
+    "never serve the stale state (file-status validation)") {
+    val dir = freshDir()
+    val store = SnapshotStore
+    store.commit(spark, dir, frame(1, 100).repartition(3), "ingest")
+    (2L to 5L).foreach(v => store.commitAppend(spark, dir,
+      frame(v.toInt * 100, v.toInt * 100 + 9), s"append-$v"))
+    store.clearManifestCacheForTest()
+    val m5 = store.manifest(spark, dir, 5L) // cold: reconstructs
+    val mr0 = SnapshotStore.manifestReadCount.get()
+    val m5b = store.manifest(spark, dir, 5L) // warm: cache hit
+    assert(SnapshotStore.manifestReadCount.get() == mr0,
+      "a validated cache hit must open zero manifest/checkpoint files")
+    assert(m5b == m5)
+    // recreate the table at the SAME path: the new v1's state must win
+    val fs = ckptPath(dir, 1L)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    store.manifest(spark, dir, 1L) // prime the cache with the OLD v1
+    fs.delete(new Path(dir), true)
+    store.commit(spark, dir, frame(1, 7).repartition(1), "ingest")
+    val fresh = store.manifest(spark, dir, 1L)
+    assert(fresh.files.length == 1 &&
+      store.readAsOf(spark, dir, 1L).count() == 7L,
+      "the recreated table's v1 must never be served from the stale cache")
+    // and a vacuumed version refuses even if it was cached
+    (2L to 4L).foreach(v => store.commitAppend(spark, dir,
+      frame(v.toInt * 10, v.toInt * 10 + 4), s"append-$v"))
+    store.manifest(spark, dir, 2L) // prime
+    store.vacuum(spark, dir, retain = 2)
+    intercept[IllegalArgumentException](store.manifest(spark, dir, 2L))
   }
 }

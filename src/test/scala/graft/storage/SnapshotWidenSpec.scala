@@ -194,4 +194,24 @@ class SnapshotWidenSpec extends SparkSpec {
       Seq((1L << 40, "big")).toDF("id", "txt"), "append-wide")
     assert(SnapshotStore.read(spark, dir).count() == 11L)
   }
+
+  test("widening a DATA column of a hive-PARTITIONED table upcasts " +
+    "through the FileIndex read path, stats-prunes, and takes " +
+    "beyond-range appends") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1 to 200).map(i => (i, i % 4)).toDF("id", "p"), "ingest",
+      partitionBy = Seq("p"))
+    SnapshotStore.alterColumnType(spark, dir, "id", LongType)
+    val big = 1L << 40
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((big, 1), (big + 1, 2)).toDF("id", "p"), "append-big")
+    val got = SnapshotStore.read(spark, dir)
+    assert(got.schema("id").dataType == LongType)
+    assert(got.count() == 202L)
+    assert(got.agg(max("id")).head().getLong(0) == big + 1)
+    assert(got.filter(col("p") === 1).agg(sum("id")).head().getLong(0) ==
+      (1 to 200).filter(_ % 4 == 1).map(_.toLong).sum + big,
+      "partition pruning + upcast compose")
+  }
 }
