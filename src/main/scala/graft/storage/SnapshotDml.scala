@@ -355,15 +355,23 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     plan.transformAllExpressions {
       case ts: UnresolvedTableSpec
           if ts.provider.exists(_.equalsIgnoreCase("graft-snapshot")) &&
-            ts.properties.keys.exists(
-              _.toLowerCase(java.util.Locale.ROOT).startsWith("graft.")) =>
-        val graftProps = ts.properties.filter(
-          _._1.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
+            ts.properties.nonEmpty =>
+        // EVERY TBLPROPERTIES pair reaches the table-creating commit's
+        // manifest (SHOW TBLPROPERTIES reads the manifest, so a key
+        // that stayed catalog-only would vanish from it): `graft.*`
+        // knobs ride verbatim; opaque user keys ride under a reserved
+        // `tblprop:` option prefix so they can never collide with real
+        // reader/writer options (path, version, mergeKeys, ...) — the
+        // provider strips the prefix back off
         val present = ts.optionExpression.options
           .map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
-        val added = graftProps.toSeq.collect {
+        val added = ts.properties.toSeq.collect {
           case (k, v) if !present(k.toLowerCase(java.util.Locale.ROOT)) =>
-            k -> (Literal(
+            val optKey =
+              if (k.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
+                k
+              else s"tblprop:$k"
+            optKey -> (Literal(
               org.apache.spark.unsafe.types.UTF8String.fromString(v),
               StringType): Expression)
         }
@@ -449,24 +457,37 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*SHOW\s+TBLPROPERTIES\s+""" + TableTok + """\s*;?\s*$""").r
 
   /** split `'k'='v', ...` (or a bare `'k', ...` list) on top-level
-    * commas — commas INSIDE the single-quoted tokens must not split */
+    * commas — commas INSIDE the single-quoted tokens must not split,
+    * and a doubled `''` inside a quoted token is SQL's escaped quote
+    * (it stays inside the literal, never toggles the quote state — a
+    * value like `'a''b,c'` is ONE token) */
   private def splitQuotedList(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new StringBuilder
     var q = false
-    s.foreach {
-      case '\'' => q = !q; sb += '\''
-      case ',' if !q => out += sb.toString; sb.clear()
-      case c => sb += c
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\'') {
+        if (q && i + 1 < s.length && s.charAt(i + 1) == '\'') {
+          sb += '\''; sb += '\''; i += 1 // escaped quote — stay inside
+        } else { q = !q; sb += '\'' }
+      } else if (c == ',' && !q) { out += sb.toString; sb.clear() }
+      else sb += c
+      i += 1
     }
     out += sb.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** strip one outer quote pair; a SINGLE-quoted token also unescapes
+    * SQL's doubled `''` to `'` (Spark's own grammar does this before
+    * commands ever see the text — this parser hook must match, or the
+    * stored value carries the raw escapes) */
   private def unquote(t: String): String = {
     val s = t.trim
     if (s.length >= 2 && s.startsWith("'") && s.endsWith("'"))
-      s.substring(1, s.length - 1)
+      s.substring(1, s.length - 1).replace("''", "'")
     else if (s.length >= 2 && s.startsWith("`") && s.endsWith("`"))
       s.substring(1, s.length - 1)
     else s
@@ -476,11 +497,17 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private def parsePropPairs(s: String): Map[String, String] =
     splitQuotedList(s).map { tok =>
       // the = separating key from value is the first one OUTSIDE quotes
+      // (same escaped-quote discipline as splitQuotedList)
       var q = false
       var i = -1
-      tok.zipWithIndex.foreach { case (c, j) =>
-        if (c == '\'') q = !q
-        else if (c == '=' && !q && i < 0) i = j
+      var j = 0
+      while (j < tok.length) {
+        val c = tok.charAt(j)
+        if (c == '\'') {
+          if (q && j + 1 < tok.length && tok.charAt(j + 1) == '\'') j += 1
+          else q = !q
+        } else if (c == '=' && !q && i < 0) i = j
+        j += 1
       }
       if (i < 0) SnapshotDmlRule.analysisError(
         s"TBLPROPERTIES pair '$tok' lacks '=' — expected 'key'='value'")
@@ -1099,8 +1126,11 @@ final case class GraftSetTblPropertiesCommand(dir: String,
       case e: SnapshotStore.ConstraintViolationException =>
         SnapshotDmlRule.analysisError(e.getMessage)
     }
+    // the catalog mirrors the CANONICAL keys the manifest records — a
+    // case-variant graft key must not land twice under two spellings
     table.foreach(ident =>
-      GraftSqlCommands.updateCatalogProperties(spark, ident, _ ++ props))
+      GraftSqlCommands.updateCatalogProperties(spark, ident,
+        _ ++ SnapshotStore.canonicalProperties(props)))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }
@@ -1118,10 +1148,16 @@ final case class GraftUnsetTblPropertiesCommand(dir: String,
     if (keys.isEmpty) SnapshotDmlRule.analysisError(
       "UNSET TBLPROPERTIES needs at least one key")
     SnapshotStore.unsetTableProperties(spark, dir, keys)
-    val lkeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    // mirror the store's matching: graft.* case-insensitive (canonical
+    // storage), non-graft EXACT (opaque case-sensitive user metadata)
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val graftKeys = keys.filter(k => lower(k).startsWith("graft."))
+      .map(lower).toSet
+    val exactKeys = keys.filterNot(k => lower(k).startsWith("graft.")).toSet
     table.foreach(ident =>
       GraftSqlCommands.updateCatalogProperties(spark, ident,
-        _.filterNot(kv => lkeys(kv._1.toLowerCase(java.util.Locale.ROOT)))))
+        _.filterNot { case (k, _) => exactKeys(k) ||
+          (lower(k).startsWith("graft.") && graftKeys(lower(k))) }))
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }

@@ -116,13 +116,19 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     def cols(key: String): Seq[String] = parameters.get(key).toSeq
       .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
     val partitionBy = cols("partitionBy")
-    // TABLE PROPERTIES arrive as `graft.*` options (round 18): the SQL
-    // parser hook routes `TBLPROPERTIES ('graft.…'='…')` of a
-    // graft-snapshot CREATE TABLE here, and a programmatic writer may
-    // pass them directly — validated and recorded in the manifest
-    // header by the table-creating commit
-    val tblProps: Map[String, String] = parameters.filter(
-      _._1.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
+    // TABLE PROPERTIES arrive as options (round 18): the SQL parser
+    // hook routes a graft-snapshot CREATE TABLE's TBLPROPERTIES here —
+    // `graft.*` knobs verbatim, opaque user keys under the reserved
+    // `tblprop:` prefix (so they can never collide with real options
+    // like path/version/mergeKeys) — and a programmatic writer may pass
+    // either form directly; all are validated and recorded in the
+    // manifest header by the table-creating commit, so SHOW
+    // TBLPROPERTIES (which reads the manifest) round-trips every pair
+    val tblProps: Map[String, String] =
+      parameters.filter(
+        _._1.toLowerCase(java.util.Locale.ROOT).startsWith("graft.")) ++
+        parameters.collect { case (k, v) if k.startsWith("tblprop:") =>
+          k.stripPrefix("tblprop:") -> v }
     // declared bloom-filter columns (round 16) — layout-defining writes
     // fix them (via the option or the graft.bloomColumns property);
     // appends/merges inherit the committed declaration

@@ -1170,12 +1170,34 @@ object SnapshotStore {
     * parquet write/read is a distributed columnar job split into
     * [[CkptRowsPerPart]]-row parts. Last-writer-wins overwrite stays
     * safe because every writer of a version renders the same state. */
+  /** write-side shape: bloom bytes travel as the manifest's EXISTING
+    * base64 strings (row building costs pointers, never a second
+    * decoded copy on the driver — at 800k files × 8 KB that copy would
+    * be the very multi-GB driver allocation this encoding removes) and
+    * decode to binary INSIDE the tasks via `unbase64` */
+  private val CkptWriteSchema = StructType(
+    CkptSchema.fields.map(f =>
+      if (f.name == "bloomBits")
+        StructField("bloomB64", ArrayType(StringType, containsNull = false),
+          nullable = true)
+      else f))
+
   private def writeCheckpoint(spark: SparkSession, dir: String,
                               m: Manifest): Unit = {
     val f = fs(spark, dir)
     val dataP = checkpointDataPath(dir, m.version)
     val tmp = checkpointTmpPath(dir, m.version)
-    if (f.exists(tmp)) f.delete(tmp, true)
+    if (f.exists(tmp)) {
+      // age-gated like orphaned data dirs: a YOUNG staging dir may
+      // belong to a live concurrent checkpointer of this version —
+      // deleting it from under them could tear the publish
+      val age = System.currentTimeMillis() -
+        f.getFileStatus(tmp).getModificationTime
+      require(age >= DefaultReclaimGraceMs,
+        s"$tmp is ${age}ms old (< grace $DefaultReclaimGraceMs ms) — a " +
+          "live checkpointer may own it; an older orphan is reclaimed")
+      f.delete(tmp, true)
+    }
     val rows: Seq[org.apache.spark.sql.Row] =
       m.files.zipWithIndex.map { case (p, i) =>
         val st = m.stats.get(p)
@@ -1190,14 +1212,15 @@ object SnapshotStore {
             .orNull,
           if (blooms.isEmpty) null else blooms.map(_._1),
           if (blooms.isEmpty) null else blooms.map(_._2.dataType),
-          if (blooms.isEmpty) null
-          else blooms.map(b => java.util.Base64.getDecoder.decode(b._2.b64)),
+          if (blooms.isEmpty) null else blooms.map(_._2.b64),
           dv.map(_.path).orNull,
           dv.map(d => java.lang.Long.valueOf(d.rows)).orNull)
       }
     val parts = math.max(1, (m.files.size + CkptRowsPerPart - 1) / CkptRowsPerPart)
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, parts), CkptSchema)
+      spark.sparkContext.parallelize(rows, parts), CkptWriteSchema)
+      .withColumn("bloomBits", transform(col("bloomB64"), x => unbase64(x)))
+      .drop("bloomB64")
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (f.exists(dataP)) f.delete(dataP, true)
     if (!f.rename(tmp, dataP)) {
@@ -1259,8 +1282,14 @@ object SnapshotStore {
     * reclaims heavyweight manifests under pressure); a hit VALIDATES
     * against the manifest file's current (length, mtime) — a deleted-
     * and-recreated table at the same path (bench reps, test scratch
-    * dirs) can never serve a stale state, and a missing manifest file
-    * bypasses the cache entirely so refusal semantics are unchanged. */
+    * dirs) misses on either signal, and a missing manifest file
+    * bypasses the cache entirely so refusal semantics are unchanged.
+    * Residual window, stated honestly: a recreate that lands a
+    * SAME-LENGTH manifest within the SAME mtime tick could validate —
+    * unreachable in practice because a commit writes its data files
+    * (many ticks at ms granularity on local/HDFS) before its manifest
+    * renames, and deployments on coarser-mtime object stores already
+    * plug an external [[LogStore]] arbiter at the same seam. */
   private val ManifestCacheCapacity = 8
   private final case class CachedManifest(len: Long, mtime: Long, m: Manifest)
   private val manifestCache =
@@ -3375,6 +3404,11 @@ object SnapshotStore {
         require(!m0.partitionCols.exists(same(_, f0.name)),
           s"column ${f0.name} is a PARTITION column — dropping it needs a " +
             "full-snapshot rewrite")
+        val refd = constraintsReferencing(spark, m0.properties, f0.name)
+        if (refd.nonEmpty) refuse(
+          s"column ${f0.name} is referenced by CHECK constraint(s) " +
+            s"${refd.mkString(", ")} — DROP the constraint(s) first " +
+            "(dropping under them would wedge every later write)")
         f0
       }
       require(dropped.length < schema0.fields.length,
@@ -3436,6 +3470,11 @@ object SnapshotStore {
       require(!schema0.fields.zipWithIndex.exists { case (g, i) =>
         i != idx && same(g.name, newName) },
         s"column $newName already exists — RENAME COLUMN cannot collide")
+      val refd = constraintsReferencing(spark, m0.properties, f0.name)
+      if (refd.nonEmpty) refuse(
+        s"column ${f0.name} is referenced by CHECK constraint(s) " +
+          s"${refd.mkString(", ")} — DROP the constraint(s) first " +
+          "(renaming under them would wedge every later write)")
       val renamed = f0.copy(name = newName,
         metadata = new MetadataBuilder().withMetadata(f0.metadata)
           .putString(PhysicalNameKey, physicalName(f0)).build())
@@ -3505,6 +3544,12 @@ object SnapshotStore {
           s"$ConstraintKeyPrefix<name>")
     }
 
+  /** [[validatedProperties]] for the SQL commands' catalog lockstep —
+    * the catalog must record the SAME canonical `graft.*` spellings the
+    * manifest does, or SHOW-through-catalog and the manifest diverge */
+  private[storage] def canonicalProperties(props: Map[String, String])
+      : Map[String, String] = validatedProperties(props)
+
   /** the table's effective checkpoint cadence: the
     * `graft.checkpointInterval` property when set (validated at the
     * set), else [[CheckpointInterval]] */
@@ -3519,6 +3564,25 @@ object SnapshotStore {
     props.toSeq.collect { case (k, v) if k.startsWith(ConstraintKeyPrefix) =>
       k.substring(ConstraintKeyPrefix.length) -> v
     }.sortBy(_._1)
+
+  /** Names of CHECK constraints whose expression references `colName`
+    * — RENAME and DROP of a constrained column must refuse: the
+    * recorded expression text would stop resolving at the write-time
+    * gate and wedge EVERY later commit behind an unresolved-column
+    * error (Delta refuses these DDLs for exactly this reason). An
+    * unparseable expression conservatively counts as referencing. */
+  private def constraintsReferencing(spark: SparkSession,
+                                     props: Map[String, String],
+                                     colName: String): Seq[String] = {
+    val resolver = spark.sessionState.conf.resolver
+    constraintsOf(props).collect { case (n, ex) if {
+      try spark.sessionState.sqlParser.parseExpression(ex).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.nameParts.head
+      }.exists(resolver(_, colName))
+      catch { case scala.util.control.NonFatal(_) => true }
+    } => n }
+  }
 
   /** ONE aggregated pass validates every CHECK constraint over the
     * freshly written rows (SQL CHECK semantics: a row passes unless the
@@ -3554,26 +3618,37 @@ object SnapshotStore {
                          updates: Map[String, String],
                          reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     require(updates.nonEmpty, "SET TBLPROPERTIES needs at least one pair")
-    validatedProperties(updates) // fail fast, before any staging
-    val cur = latestVersion(spark, dir)
-      .getOrElse(refuse(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
-    // a NEW or changed CHECK constraint must hold on the existing rows
-    val newChecks = constraintsOf(updates)
-      .filter { case (n, ex) =>
-        !m0.properties.get(ConstraintKeyPrefix + n).contains(ex) }
-    if (newChecks.nonEmpty)
-      validateConstraints(
-        newChecks.map { case (n, ex) => (ConstraintKeyPrefix + n) -> ex }.toMap,
-        readAsOf(spark, dir, cur), "add-constraint")
+    // CANONICALIZE FIRST: every downstream dispatch (the bloom
+    // re-declaration, new-constraint detection, the recorded map) must
+    // see the canonical `graft.*` spelling — a case-variant key
+    // (`graft.BloomColumns`) validated fine but missed the exact-case
+    // lookups below, landing in the manifest as a knob that never took
+    // operational effect (the silent no-op this surface exists to
+    // refuse).
+    val canon = validatedProperties(updates)
+    if (latestVersion(spark, dir).isEmpty)
+      refuse(s"no committed version at $dir")
     // re-declared bloom columns flow into the operational field too
-    val bloomsOpt = updates.get(BloomColumnsKey)
+    val bloomsOpt = canon.get(BloomColumnsKey)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     commitStagedFull(spark, dir, "set-tblproperties", reclaimGraceMs,
       bloomColsOpt = bloomsOpt,
       propertiesFn = Some(p =>
-        p.map(_.properties).getOrElse(Map.empty) ++ updates)) { (prior, _) =>
+        p.map(_.properties).getOrElse(Map.empty) ++ canon)) { (prior, _) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+      // a NEW or CHANGED CHECK constraint must hold on the existing
+      // rows (Delta's ADD CONSTRAINT contract) — validated against the
+      // IN-LOOP prior, so a lost-race retry re-validates over a rival's
+      // concurrently committed rows (the addColumns/dropColumns
+      // discipline); DV-masked rows don't count (readFiles applies them)
+      val newChecks = constraintsOf(canon)
+        .filter { case (n, ex) =>
+          !m.properties.get(ConstraintKeyPrefix + n).contains(ex) }
+      if (newChecks.nonEmpty)
+        validateConstraints(
+          newChecks.map { case (n, ex) =>
+            (ConstraintKeyPrefix + n) -> ex }.toMap,
+          readFiles(spark, dir, m, m.files), "add-constraint")
       Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
@@ -3582,7 +3657,11 @@ object SnapshotStore {
     * `graft.constraints.<name>`, which is how a constraint DROPs);
     * unknown keys are ignored (the SQL `IF EXISTS` temper — matching
     * Spark's own lenient UNSET). Unsetting `graft.bloomColumns` stops
-    * declaring blooms for FUTURE files. */
+    * declaring blooms for FUTURE files. `graft.*` keys match
+    * case-insensitively (they are stored canonically and validated
+    * case-insensitively at SET); NON-graft keys match EXACTLY — they
+    * are opaque case-sensitive user metadata, and unsetting `owner`
+    * must never also destroy a distinct `Owner`. */
   def unsetTableProperties(spark: SparkSession, dir: String,
                            keys: Seq[String],
                            reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
@@ -3593,14 +3672,19 @@ object SnapshotStore {
       if (keys.exists(_.equalsIgnoreCase(BloomColumnsKey)))
         Some(Seq.empty[String])
       else None
-    val lkeys = keys.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    def lower(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val graftKeys = keys.filter(k => lower(k).startsWith("graft."))
+      .map(lower).toSet
+    val exactKeys = keys.filterNot(k => lower(k).startsWith("graft.")).toSet
     commitStagedFull(spark, dir, "unset-tblproperties", reclaimGraceMs,
       bloomColsOpt = bloomsOpt,
       propertiesFn = Some(p =>
         p.map(_.properties).getOrElse(Map.empty).filterNot { case (k, _) =>
-          lkeys(k.toLowerCase(java.util.Locale.ROOT)) })) { (prior, _) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      Staged(m.files, m.stats) // pure metadata — everything carries
+          exactKeys(k) ||
+            (lower(k).startsWith("graft.") && graftKeys(lower(k))) })) {
+      (prior, _) =>
+        val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+        Staged(m.files, m.stats) // pure metadata — everything carries
     }
   }
 
@@ -3712,8 +3796,16 @@ object SnapshotStore {
     // interval checkpoints this one is load-bearing, so its write is
     // strict (any failure aborts the vacuum with the log intact)
     if (drop.nonEmpty) keptManifests.headOption.foreach { base =>
-      if (readCheckpoint(spark, dir, base.version).isEmpty)
+      if (readCheckpoint(spark, dir, base.version).isEmpty) {
         writeCheckpoint(spark, dir, base)
+        // this checkpoint is LOAD-BEARING (the new replay base), so its
+        // publish is verified by READ-BACK before any manifest drops —
+        // a torn publish (e.g. racing checkpointers) aborts the vacuum
+        // with the log intact instead of deleting the base's deltas
+        require(readCheckpoint(spark, dir, base.version).contains(base),
+          s"pinned replay base v${base.version} failed read-back " +
+            "verification — vacuum aborted with the log intact")
+      }
     }
     drop.reverse.foreach { v =>
       onVacuumDropForTest(v) // spec seam: crash mid-loop deterministically

@@ -207,11 +207,22 @@ class SnapshotActionLogSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def synth(v: Long, n: Int): SnapshotStore.Manifest = {
       val files = (0 until n).map(i => f"$dir/data/v$v%08d-x/part-$i%06d.parquet")
+      // a real serialized bloom rides every 10th file: the parquet
+      // checkpoint stores bloom bytes as BINARY (encode on write,
+      // re-encode on read) — the round-trip below pins bit-exactness
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(64L)
+      bf.putLong(42L); bf.putLong(7L)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
       SnapshotStore.Manifest(v, "synth", files,
         stats = files.zipWithIndex.map { case (f0, i) =>
           f0 -> SnapshotStore.FileStats(100L + i,
             Map("id" -> SnapshotStore.ColStats("bigint",
-              Some(i.toLong), Some(i + 99L), Some(0L))), 4096L + i)
+              Some(i.toLong), Some(i + 99L), Some(0L))), 4096L + i,
+            blooms = if (i % 10 == 0)
+              Map("id" -> SnapshotStore.BloomStats("bigint", b64))
+            else Map.empty)
         }.toMap,
         schema = Some(org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("id",

@@ -273,4 +273,108 @@ class SnapshotPropertiesSpec extends SparkSpec {
         .properties("dept") == "ml-infra")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("case-variant graft.* keys canonicalize AND take operational " +
+    "effect: graft.BloomColumns declares blooms, graft.Constraints.* " +
+    "validates existing rows — never a recorded-but-inert knob") {
+    val dir = freshDir()
+    seed(dir)
+    // case-variant bloom declaration must flow into the OPERATIONAL
+    // bloomCols field, not just the property map
+    SnapshotStore.setTableProperties(spark, dir,
+      Map("graft.BLOOMCOLUMNS" -> "doc_id"))
+    val m2 = SnapshotStore.manifest(spark, dir, 2L)
+    assert(m2.properties.contains(SnapshotStore.BloomColumnsKey),
+      s"canonical key expected, got ${m2.properties.keys}")
+    assert(m2.bloomCols == Seq("doc_id"),
+      "the case-variant declaration must reach the operational field")
+    SnapshotStore.commitAppend(spark, dir,
+      (200L to 260L).map(i => (i, s"x$i", i)).toDF("doc_id", "text", "score"),
+      "append")
+    val m3 = SnapshotStore.manifest(spark, dir, 3L)
+    val freshFiles = m3.files.filterNot(m2.files.toSet)
+    assert(freshFiles.nonEmpty &&
+      freshFiles.forall(f => m3.stats(f).blooms.contains("doc_id")),
+      "new files must collect blooms under the case-variant declaration")
+    // case-variant CONSTRAINT key must validate the existing rows —
+    // score has values > 3, so this must refuse, not land inert
+    intercept[SnapshotStore.ConstraintViolationException](
+      SnapshotStore.setTableProperties(spark, dir,
+        Map("graft.CONSTRAINTS.low" -> "score <= 3")))
+    assert(!SnapshotStore.read(spark, dir).isEmpty)
+  }
+
+  test("UNSET matches graft.* keys case-insensitively but NON-graft " +
+    "keys exactly — unsetting owner never destroys a distinct Owner") {
+    val dir = freshDir()
+    seed(dir)
+    SnapshotStore.setTableProperties(spark, dir,
+      Map("owner" -> "a", "Owner" -> "b", "graft.checkpointInterval" -> "5"))
+    SnapshotStore.unsetTableProperties(spark, dir,
+      Seq("owner", "GRAFT.CHECKPOINTINTERVAL"))
+    val props = SnapshotStore.manifest(spark, dir,
+      SnapshotStore.latestVersion(spark, dir).get).properties
+    assert(props == Map("Owner" -> "b"),
+      s"exact-case user-key removal + case-insensitive graft removal, " +
+        s"got $props")
+  }
+
+  test("RENAME and DROP of a column referenced by a CHECK constraint " +
+    "refuse (the constraint would wedge every later write); dropping " +
+    "the constraint first unblocks the DDL") {
+    val dir = freshDir()
+    seed(dir)
+    SnapshotStore.setTableProperties(spark, dir,
+      Map("graft.constraints.pos" -> "score >= 0"))
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      SnapshotStore.renameColumn(spark, dir, "score", "quality"))
+    assert(e1.getMessage.contains("CHECK constraint"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      SnapshotStore.dropColumn(spark, dir, "score"))
+    assert(e2.getMessage.contains("CHECK constraint"))
+    // a column the constraint does NOT reference renames fine
+    SnapshotStore.renameColumn(spark, dir, "text", "body")
+    // retire the constraint -> the blocked DDLs proceed
+    SnapshotStore.unsetTableProperties(spark, dir,
+      Seq("graft.constraints.pos"))
+    SnapshotStore.renameColumn(spark, dir, "score", "quality")
+    assert(SnapshotStore.read(spark, dir).columns.toSeq ==
+      Seq("doc_id", "body", "quality"))
+    // and appends still validate nothing (constraint retired)
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((999L, "z", -5L)).toDF("doc_id", "body", "quality"), "append")
+    assert(SnapshotStore.read(spark, dir).count() == 101L)
+  }
+
+  test("non-graft TBLPROPERTIES declared at CREATE reach the manifest " +
+    "(SHOW TBLPROPERTIES round-trips them), and SQL doubled-quote " +
+    "escapes land unescaped") {
+    val dir = freshDir()
+    val tbl = "graft_props_rt"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    (1L to 20L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .createOrReplaceTempView("graft_props_rt_src")
+    try {
+      spark.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')
+           |TBLPROPERTIES ('team'='curation', 'note'='it''s fine',
+           |  'graft.bloomColumns'='doc_id')
+           |AS SELECT * FROM graft_props_rt_src""".stripMargin)
+      val props = SnapshotStore.manifest(spark, dir, 1L).properties
+      assert(props.get("team").contains("curation"),
+        s"non-graft CREATE property must reach the manifest, got $props")
+      assert(props.get("note").contains("it's fine"),
+        s"doubled-quote escape must unescape, got ${props.get("note")}")
+      val shown = spark.sql(s"SHOW TBLPROPERTIES $tbl")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(shown.get("team").contains("curation") &&
+        shown.get("note").contains("it's fine"),
+        s"SHOW TBLPROPERTIES must round-trip every declared pair: $shown")
+      // escaped quotes through ALTER TABLE SET too, incl. a comma after
+      // the escape (one token, not two)
+      spark.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES ('memo'='a''b,c')")
+      assert(SnapshotStore.manifest(spark, dir, 2L)
+        .properties.get("memo").contains("a'b,c"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
