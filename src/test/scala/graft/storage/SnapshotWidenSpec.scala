@@ -214,4 +214,28 @@ class SnapshotWidenSpec extends SparkSpec {
       (1 to 200).filter(_ % 4 == 1).map(_.toLong).sum + big,
       "partition pruning + upcast compose")
   }
+
+  test("the row-grain change feed is WIDENING-transparent: a widening " +
+    "between the boundary versions reports no phantom updates, output " +
+    "types at the post (widened) schema, and the key may be the " +
+    "widened column itself") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1 to 10).map(i => (i, s"t$i")).toDF("id", "txt"), "ingest")
+    SnapshotStore.alterColumnType(spark, dir, "id", LongType)
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((1L << 40, "big")).toDF("id", "txt"), "append")
+    val ch = SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("txt"))
+    assert(ch.schema("id").dataType == LongType,
+      "the feed types at the post schema")
+    val rows = ch.collect()
+    assert(rows.length == 1 && rows(0).getString(2) == "insert" &&
+      rows(0).getLong(1) == (1L << 40),
+      s"only the appended row changes — int->long upcast must not " +
+        s"report phantom updates, got ${rows.mkString("; ")}")
+    val byKey = SnapshotStore.readRowChanges(spark, dir, 1L, 3L, Seq("id"))
+      .collect()
+    assert(byKey.length == 1 && byKey(0).getString(2) == "insert",
+      "the widened column works as the feed key across the boundary")
+  }
 }
