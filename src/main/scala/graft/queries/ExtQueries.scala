@@ -4150,6 +4150,58 @@ object ExtQueries {
     era("full", 4L).unionByName(era("latest", 6L)).orderBy("era", "lang")
   }
 
+  /** Scoped OPTIMIZE + NOT NULL invariant end-to-end (round 18): the
+    * table ingests a cold tail and a hot head of small files,
+    * `OPTIMIZE ... WHERE` compacts ONLY the hot range (in-query fences:
+    * cold files carry by path, hot file count shrinks), `ALTER COLUMN
+    * ... SET NOT NULL` records the invariant and a null-bearing INSERT
+    * refuses WHOLESALE — the final aggregate ≡ the relational replay
+    * with only the valid rows present. */
+  def eSnapshotOptimizeWhere(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "opw")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    // the cold/hot split is DATA-RELATIVE (3/5 of the max id) so the
+    // fixture holds at every scale factor — absolute cuts empty out at
+    // small SFs
+    val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 5
+    store.commit(s, root,
+      docs.filter(col("doc_id") < cut).repartitionByRange(4, col("doc_id")),
+      "ingest")
+    store.commitAppend(s, root,
+      docs.filter(col("doc_id") >= cut)
+        .repartitionByRange(8, col("doc_id")), "append")
+    val tbl = s"graft_opw_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      val before = store.manifest(s, root, 2L)
+      val cold = before.files.filter(_.contains("v00000001"))
+      s.sql(s"OPTIMIZE $tbl WHERE doc_id >= $cut")
+      val after = store.manifest(s, root, 3L)
+      require(after.operation == "compact" &&
+        cold.forall(after.files.contains),
+        "scoped OPTIMIZE must carry the cold files by path")
+      require(after.files.size < before.files.size,
+        "the hot range must compact to fewer files")
+      s.sql(s"ALTER TABLE $tbl ALTER COLUMN lang SET NOT NULL")
+      val refused =
+        try { s.sql(s"INSERT INTO $tbl VALUES (9000001, NULL, 5)"); false }
+        catch {
+          case _: graft.storage.SnapshotStore.ConstraintViolationException =>
+            true
+        }
+      require(refused, "the null-bearing INSERT must refuse")
+      store.read(s, root)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7667,6 +7719,7 @@ object ExtQueries {
     "e_snapshot_tblprops" -> (eSnapshotTblProps _),
     "e_snapshot_widen" -> (eSnapshotWiden _),
     "e_snapshot_ckpt" -> (eSnapshotCkpt _),
+    "e_snapshot_optimize_where" -> (eSnapshotOptimizeWhere _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9553,6 +9606,11 @@ object ExtQueries {
         |  CAST(max(doc_id) AS BIGINT) AS id_max,
         |  CAST(sum(sc) AS BIGINT) AS score_sum
         |FROM widened GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_optimize_where" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_ckpt" ->
       """WITH agg AS (
         |  SELECT 'full' AS era, lang, CAST(count(*) AS BIGINT) AS n_docs,

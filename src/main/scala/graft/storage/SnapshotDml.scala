@@ -393,6 +393,9 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val OptimizeZOrderRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
       """\s+ZORDER\s+BY\s+\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
+  private val OptimizeWhereRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableTok + """\s*;?\s*$""").r
   private val VacuumRetainRe =
@@ -432,6 +435,14 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val AlterColumnTypeRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+TYPE\s+([\w()\s,]+?)""" +
+      """\s*;?\s*$""").r
+  private val SetNotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+SET\s+NOT\s+NULL""" +
+      """\s*;?\s*$""").r
+  private val DropNotNullRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+DROP\s+NOT\s+NULL""" +
       """\s*;?\s*$""").r
   // TBLPROPERTIES / constraints (round 18) — ALTER TABLE SET/UNSET
   // TBLPROPERTIES and ADD/DROP CONSTRAINT are Spark grammar, but the v1
@@ -555,6 +566,9 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     sqlText match {
       case OptimizeZOrderRe(t, dims) => Some(GraftOptimizeCommand(
         dirOfToken(t), splitColumnList(dims)))
+      case OptimizeWhereRe(t, cond) =>
+        Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty,
+          where = Some(cond.trim)))
       case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
       case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
       case VacuumHoursRe(t, h) =>
@@ -614,6 +628,16 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case DropColumnsRe(t, colsTok) =>
         alterTarget(t).map { case (dir, ident) =>
           GraftDropColumnsCommand(dir, ident, splitColumnList(colsTok))
+        }
+      case SetNotNullRe(t, colTok) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftNotNullCommand(dir, ident,
+            colTok.trim.stripPrefix("`").stripSuffix("`"), set = true)
+        }
+      case DropNotNullRe(t, colTok) =>
+        alterTarget(t).map { case (dir, ident) =>
+          GraftNotNullCommand(dir, ident,
+            colTok.trim.stripPrefix("`").stripSuffix("`"), set = false)
         }
       case AlterColumnTypeRe(t, colTok, typeTok) =>
         alterTarget(t).map { case (dir, ident) =>
@@ -842,20 +866,62 @@ final case class GraftInsertCommand(dir: String, query: LogicalPlan,
   }
 }
 
-/** SQL `OPTIMIZE <t> [ZORDER BY (c, ...)]` (round 16): the maintenance
-  * rewrite as a verb — plain = [[SnapshotStore.compact]] to ~128 MB
-  * files, `ZORDER BY` = [[SnapshotStore.clusterN]] across the named
-  * dimensions (the write-time layout whose per-file stats the reads'
-  * two-tier pruning consumes). File count sizes from the manifest's
+/** SQL `OPTIMIZE <t> [WHERE <cond>] [ZORDER BY (c, ...)]` (round 16;
+  * WHERE round 18): the maintenance rewrite as a verb — plain =
+  * [[SnapshotStore.compact]] to ~128 MB files, `WHERE` =
+  * [[SnapshotStore.compactWhere]] rewriting ONLY the stats-matching
+  * files (the Delta scoped-OPTIMIZE shape — a hot partition compacts
+  * without touching the cold tail), `ZORDER BY` =
+  * [[SnapshotStore.clusterN]] across the named dimensions. The WHERE
+  * condition must translate to the file-skipping predicate grammar
+  * (comparisons / IN / IS [NOT] NULL / AND / OR over committed
+  * columns) — anything else refuses loudly rather than silently
+  * compacting everything. File count sizes from the manifest's
   * recorded byte footprint — no data scan before the rewrite itself. */
-final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String])
+final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String],
+                                      where: Option[String] = None)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("operation", StringType, nullable = false)())
+
+  /** the WHERE condition as a [[SnapshotStore.FilePredicate]]: parse,
+    * resolve bare attributes against the committed schema, translate
+    * through the same conservative grammar the Catalyst index uses */
+  private def translateWhere(spark: SparkSession, cond: String)
+      : SnapshotStore.FilePredicate = {
+    val cur = SnapshotStore.latestVersion(spark, dir).getOrElse(
+      SnapshotDmlRule.analysisError(
+        s"OPTIMIZE WHERE needs a committed version at $dir"))
+    val m = SnapshotStore.manifest(spark, dir, cur)
+    val schema = m.schemaStruct.getOrElse(SnapshotDmlRule.analysisError(
+      s"OPTIMIZE WHERE needs a recorded schema at $dir"))
+    val resolver = spark.sessionState.conf.resolver
+    val parsed = try spark.sessionState.sqlParser.parseExpression(cond)
+    catch { case scala.util.control.NonFatal(_) =>
+      SnapshotDmlRule.analysisError(
+        s"OPTIMIZE WHERE: cannot parse condition '$cond'")
+    }
+    val resolved = parsed.transformUp {
+      case ua: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        val f = schema.fields.find(fl => resolver(fl.name, ua.name))
+          .getOrElse(SnapshotDmlRule.analysisError(
+            s"OPTIMIZE WHERE references unknown column ${ua.name}"))
+        AttributeReference(f.name, f.dataType, nullable = true)()
+    }
+    SnapshotFileIndex.fromCatalyst(resolved).getOrElse(
+      SnapshotDmlRule.analysisError(
+        s"OPTIMIZE WHERE condition '$cond' does not translate to the " +
+          "file-skipping grammar (comparisons / IN / IS [NOT] NULL / " +
+          "AND / OR over committed columns) — scoped compaction would " +
+          "silently widen to the whole table"))
+  }
+
   override def run(spark: SparkSession): Seq[Row] = {
     val v =
-      if (zorderBy.isEmpty) SnapshotStore.compact(spark, dir)
+      if (where.isDefined)
+        SnapshotStore.compactWhere(spark, dir, translateWhere(spark, where.get))
+      else if (zorderBy.isEmpty) SnapshotStore.compact(spark, dir)
       else {
         val m = SnapshotStore.manifest(spark, dir,
           SnapshotStore.latestVersion(spark, dir).getOrElse(
@@ -1098,6 +1164,54 @@ final case class GraftAlterColumnTypeCommand(dir: String,
       spark, ident, ds => org.apache.spark.sql.types.StructType(
         ds.fields.map(f =>
           if (resolver(f.name, name)) f.copy(dataType = newType) else f))))
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq.empty
+  }
+}
+
+/** SQL `ALTER TABLE <t> ALTER COLUMN c SET NOT NULL` / `DROP NOT NULL`
+  * (round 18 — the second half of the verdict's "NOT NULL / CHECK"
+  * table-constraint ask): NOT NULL records as the table-level CHECK
+  * `graft.constraints.notnull_<col>` = `` `col` IS NOT NULL `` — SET
+  * validates the EXISTING rows first (a column already holding nulls
+  * refuses, the Delta contract) and every write face afterwards
+  * refuses null-bearing commits wholesale, INCLUDING an
+  * evolution-null-filled omission of the column (a delta that omits a
+  * NOT NULL column reads null — genuinely violating). DROP NOT NULL
+  * retires the constraint. The constraint form composes with the rest
+  * of the surface for free: RENAME/DROP COLUMN refuse under it, SHOW
+  * TBLPROPERTIES lists it, UNSET/DROP CONSTRAINT are its other doors. */
+final case class GraftNotNullCommand(dir: String,
+                                     table: Option[TableIdentifier],
+                                     name: String, set: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cur = SnapshotStore.latestVersion(spark, dir).getOrElse(
+      SnapshotDmlRule.analysisError(s"no committed version at $dir"))
+    val m = SnapshotStore.manifest(spark, dir, cur)
+    val resolver = spark.sessionState.conf.resolver
+    val field = m.schemaStruct.flatMap(_.fields.find(f =>
+      resolver(f.name, name))).getOrElse(SnapshotDmlRule.analysisError(
+      s"column $name does not exist — SET/DROP NOT NULL takes a " +
+        "committed column"))
+    val key = s"graft.constraints.notnull_${field.name}"
+    if (set) {
+      try SnapshotStore.setTableProperties(spark, dir,
+        Map(key -> s"`${field.name}` IS NOT NULL"))
+      catch {
+        case e: SnapshotStore.ConstraintViolationException =>
+          SnapshotDmlRule.analysisError(
+            s"cannot SET NOT NULL on ${field.name}: ${e.getMessage}")
+        case e: SnapshotStore.SnapshotPropertyException =>
+          SnapshotDmlRule.analysisError(e.getMessage)
+      }
+      table.foreach(ident => GraftSqlCommands.updateCatalogProperties(
+        spark, ident, _ + (key -> s"`${field.name}` IS NOT NULL")))
+    } else {
+      SnapshotStore.unsetTableProperties(spark, dir, Seq(key))
+      table.foreach(ident => GraftSqlCommands.updateCatalogProperties(
+        spark, ident, _.filterNot(_._1 == key)))
+    }
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq.empty
   }

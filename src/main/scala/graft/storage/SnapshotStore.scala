@@ -1132,30 +1132,51 @@ object SnapshotStore {
     val dataP = checkpointDataPath(dir, version)
     val f = fs(spark, dir)
     if (!f.exists(dataP)) return None // header landed, data dir torn away
-    val collected = spark.read.schema(CkptSchema)
-      .parquet(dataP.toString).collect()
-    if (collected.length.toLong != entries) return None // torn data dir
-    val sorted = collected.sortBy(_.getLong(0))
-    val files = sorted.map(_.getString(1)).toSeq
-    val stats = sorted.iterator.filter(!_.isNullAt(2)).map { r =>
-      val cols = if (r.isNullAt(4)) Map.empty[String, ColStats]
-                 else colsOf(JsonMethods.parse(r.getString(4)))
-      val blooms =
-        if (r.isNullAt(5)) Map.empty[String, BloomStats]
-        else {
-          val bc = r.getSeq[String](5); val bt = r.getSeq[String](6)
-          val bb = r.getSeq[Array[Byte]](7)
-          bc.indices.map(i => bc(i) -> BloomStats(bt(i),
-            java.util.Base64.getEncoder.encodeToString(bb(i)))).toMap
-        }
-      r.getString(1) -> FileStats(r.getLong(2), cols, r.getLong(3), blooms)
-    }.toMap
-    val dvs = sorted.iterator.filter(!_.isNullAt(8)).map(r =>
-      r.getString(1) -> DvRef(r.getString(8), r.getLong(9))).toMap
-    Some(Manifest(version, operationOf(root), files, stats,
+    if (entries < 0L || entries > Int.MaxValue) return None // corrupt header
+    // STREAMED per-partition iteration, never one collect(): at the
+    // 800k-file target a collect holds every decoded bloom (6+ GB
+    // binary) on the driver at once ON TOP of the Manifest being built
+    // — here each row's bloom re-encodes to its (model-required) base64
+    // form and the row (with its binary) is dropped immediately, so the
+    // transient is one row, and file order restores through the `ord`
+    // column into a pre-sized array (no sort, no second pass)
+    import scala.jdk.CollectionConverters._
+    val n = entries.toInt
+    val files = new Array[String](n)
+    var seen = 0L
+    val stats = Map.newBuilder[String, FileStats]
+    val dvs = Map.newBuilder[String, DvRef]
+    val it = spark.read.schema(CkptSchema)
+      .parquet(dataP.toString).toLocalIterator().asScala
+    while (it.hasNext) {
+      val r = it.next()
+      seen += 1
+      if (seen > entries) return None // torn data dir (duplicated part)
+      val ord = r.getLong(0)
+      if (ord < 0L || ord >= n || files(ord.toInt) != null)
+        return None // torn data dir (out-of-range or duplicate ord)
+      val path = r.getString(1)
+      files(ord.toInt) = path
+      if (!r.isNullAt(2)) {
+        val cols = if (r.isNullAt(4)) Map.empty[String, ColStats]
+                   else colsOf(JsonMethods.parse(r.getString(4)))
+        val blooms =
+          if (r.isNullAt(5)) Map.empty[String, BloomStats]
+          else {
+            val bc = r.getSeq[String](5); val bt = r.getSeq[String](6)
+            val bb = r.getSeq[Array[Byte]](7)
+            bc.indices.map(i => bc(i) -> BloomStats(bt(i),
+              java.util.Base64.getEncoder.encodeToString(bb(i)))).toMap
+          }
+        stats += path -> FileStats(r.getLong(2), cols, r.getLong(3), blooms)
+      }
+      if (!r.isNullAt(8)) dvs += path -> DvRef(r.getString(8), r.getLong(9))
+    }
+    if (seen != entries) return None // torn data dir (missing part)
+    Some(Manifest(version, operationOf(root), files.toSeq, stats.result(),
       schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
-      strArrayOf(root, "bloomCols"), dvs, strArrayOf(root, "droppedCols"),
-      propertiesOf(root)))
+      strArrayOf(root, "bloomCols"), dvs.result(),
+      strArrayOf(root, "droppedCols"), propertiesOf(root)))
   }
 
   /** Deterministic full-state checkpoint of a committed version, in the
@@ -3211,6 +3232,48 @@ object SnapshotStore {
     commitFiles(spark, dir, "compact", reclaimGraceMs = reclaimGraceMs) {
       dataDir => writeData(cur.repartition(nFiles.toInt), dataDir, pCols,
         toPhysical = mapping)
+    }
+  }
+
+  /** SCOPED compaction (round 18 — Delta's `OPTIMIZE ... WHERE`):
+    * rewrite ONLY the files whose stats might hold rows matching `pred`
+    * into ~`targetFileBytes` files and CARRY everything else untouched —
+    * the hot-partition maintenance shape: a streaming table's fresh
+    * small files compact daily without rewriting the cold 100 TB tail
+    * a full [[compact]] would. Content-neutral by construction
+    * (rewriting ANY file subset is; the predicate only SELECTS the
+    * rewrite set, so conservative stats matching can only widen it —
+    * never a wrong answer), committed as a [[RewriteOps]] `compact`
+    * excluded from the change feed. The rewrite reads THROUGH the
+    * manifest, so the hot files' deletion vectors materialize away
+    * exactly as full compaction retires them. A predicate matching
+    * nothing is a no-op returning the current version (no empty
+    * commit). */
+  def compactWhere(spark: SparkSession, dir: String, pred: FilePredicate,
+                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(refuse(s"no committed version at $dir"))
+    if (mightMatchFiles(manifest(spark, dir, cur), Some(pred)).isEmpty)
+      return cur // nothing to rewrite
+    commitStagedFull(spark, dir, "compact", reclaimGraceMs) {
+      (prior, dataDir) =>
+        val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+        val hot = mightMatchFiles(m, Some(pred))
+        val hotSet = hot.toSet
+        if (hot.isEmpty) Staged(m.files, m.stats) // raced empty: pure carry
+        else {
+          val f = fs(spark, dir)
+          val bytes = hot.map(p => m.stats.get(p).map(_.bytes)
+            .filter(_ > 0L)
+            .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum
+          val nFiles = math.max(1L,
+            math.ceil(bytes.toDouble / targetFileBytes).toLong)
+          writeData(readFiles(spark, dir, m, hot).repartition(nFiles.toInt),
+            dataDir, m.partitionCols, toPhysical = mappingOf(m))
+          Staged(m.files.filterNot(hotSet),
+            m.stats.filter(kv => !hotSet(kv._1)))
+        }
     }
   }
 

@@ -377,4 +377,44 @@ class SnapshotPropertiesSpec extends SparkSpec {
         .properties.get("memo").contains("a'b,c"))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
+
+  test("SET NOT NULL records the not-null invariant as a table CHECK: " +
+    "existing nulls refuse the DDL, later null-bearing writes refuse " +
+    "wholesale (including evolution-omitted columns), DROP NOT NULL " +
+    "retires it") {
+    val dir = freshDir()
+    val tbl = "graft_notnull_spec"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    SnapshotStore.commit(spark, dir,
+      (1L to 20L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "ingest")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN text SET NOT NULL")
+      // a null-bearing INSERT refuses WHOLESALE
+      intercept[SnapshotStore.ConstraintViolationException](
+        spark.sql(s"INSERT INTO $tbl VALUES (100, NULL)"))
+      assert(spark.table(tbl).count() == 20L, "nothing committed")
+      // an append that OMITS the column null-fills -> genuinely violates
+      intercept[SnapshotStore.ConstraintViolationException](
+        SnapshotStore.commitAppend(spark, dir,
+          Seq(Tuple1(101L)).toDF("doc_id"), "append"))
+      // existing-null refusal: a second table with nulls refuses SET
+      val dir2 = freshDir()
+      SnapshotStore.commit(spark, dir2,
+        Seq((1L, "a"), (2L, null)).toDF("doc_id", "text"), "ingest")
+      val e = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"ALTER TABLE '$dir2' ALTER COLUMN text SET NOT NULL"))
+      assert(e.getMessage.contains("cannot SET NOT NULL"))
+      // the invariant blocks RENAME of the column until dropped
+      intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"ALTER TABLE $tbl RENAME COLUMN text TO body"))
+      spark.sql(s"ALTER TABLE $tbl ALTER COLUMN text DROP NOT NULL")
+      spark.sql(s"INSERT INTO $tbl VALUES (100, NULL)")
+      assert(spark.table(tbl).count() == 21L, "retired after DROP NOT NULL")
+      // unknown column refuses
+      val e2 = intercept[org.apache.spark.sql.AnalysisException](
+        spark.sql(s"ALTER TABLE $tbl ALTER COLUMN nope SET NOT NULL"))
+      assert(e2.getMessage.contains("does not exist"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
 }
