@@ -4202,6 +4202,50 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** The round-18 SQL maintenance-verb trio end-to-end: the table is
+    * born via CTAS, takes an INSERT, is SHALLOW-CLONED at the pinned
+    * pre-insert version (zero bytes copied — fenced in-query), then
+    * RESTOREd to that same version; `DESCRIBE DETAIL` fences the final
+    * version/operation. Both the restored table and the clone must
+    * equal the v1 relational replay — two eras, one oracle. */
+  def eSnapshotSqlVerbs(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "vrb")
+    val cloneDir = snapScratch(s, d, "vrbclone")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_vrb_src")
+    val tbl = s"graft_vrb_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')
+           |AS SELECT doc_id, lang, n_chars FROM graft_vrb_src
+           |WHERE doc_id % 3 != 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $tbl
+           |SELECT doc_id + 900000, lang, n_chars FROM graft_vrb_src
+           |WHERE doc_id % 3 = 0""".stripMargin)
+      s.sql(s"CREATE TABLE '$cloneDir' SHALLOW CLONE $tbl VERSION AS OF 1")
+      val store = graft.storage.SnapshotStore
+      require(store.manifest(s, cloneDir, 1L).files.forall(_.contains(root)),
+        "shallow clone must REFERENCE the source's files — zero copied")
+      s.sql(s"RESTORE TABLE $tbl TO VERSION AS OF 1")
+      val detail = s.sql(s"DESCRIBE DETAIL $tbl").collect()(0)
+      require(detail.getLong(2) == 3L && detail.getString(3) == "restore",
+        s"DESCRIBE DETAIL must report the restore commit, got $detail")
+      def era(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(name).as("era"), col("lang"),
+            col("n_docs"), col("id_sum"), col("sum_chars"))
+      era("clone", store.read(s, cloneDir))
+        .unionByName(era("restored", s.table(tbl)))
+        .orderBy("era", "lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7720,6 +7764,7 @@ object ExtQueries {
     "e_snapshot_widen" -> (eSnapshotWiden _),
     "e_snapshot_ckpt" -> (eSnapshotCkpt _),
     "e_snapshot_optimize_where" -> (eSnapshotOptimizeWhere _),
+    "e_snapshot_sql_verbs" -> (eSnapshotSqlVerbs _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9611,6 +9656,17 @@ object ExtQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_sql_verbs" ->
+      """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
+        |  WHERE doc_id % 3 != 0),
+        |agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM v1 GROUP BY lang)
+        |SELECT 'clone' AS era, lang, n_docs, id_sum, sum_chars FROM agg
+        |UNION ALL
+        |SELECT 'restored', lang, n_docs, id_sum, sum_chars FROM agg
+        |ORDER BY era, lang""".stripMargin,
     "e_snapshot_ckpt" ->
       """WITH agg AS (
         |  SELECT 'full' AS era, lang, CAST(count(*) AS BIGINT) AS n_docs,
