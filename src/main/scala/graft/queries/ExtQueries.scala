@@ -4246,6 +4246,76 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** SCOPED Z-ORDER + declared target file size + distributed pruning
+    * end-to-end (round 19): a cold pre-clustered tail takes a hot
+    * round-robin head (worst locality), `graft.targetFileSize` is
+    * declared via SQL TBLPROPERTIES, and `OPTIMIZE ... WHERE ... ZORDER
+    * BY` re-clusters ONLY the hot range — in-query fences: cold files
+    * carry by path, the property splits the hot rewrite into multiple
+    * files, a narrow hot slice PRUNES post-zorder (the locality
+    * payoff), and the hot-era aggregate reads through the DISTRIBUTED
+    * checkpoint-pruning path (state-as-DataFrame — the driver
+    * materializes survivors only, fenced on the scan counter). Both
+    * eras ≡ the relational replay (content-neutral rewrites). */
+  def eSnapshotZorderScoped(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "zsc")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val store = graft.storage.SnapshotStore
+    import graft.storage.SnapshotStore.FilePredicate._
+    // data-relative cut (absolute cuts empty out at small SFs)
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val cut = maxId * 3 / 5
+    store.commit(s, root,
+      docs.filter(col("doc_id") < cut).repartitionByRange(4, col("doc_id")),
+      "ingest", tblProperties = Map("graft.checkpointInterval" -> "3"))
+    // the hot head lands ROUND-ROBIN: every file spans the whole id
+    // range — min/max prune nothing, the case scoped ZORDER exists for
+    store.commitAppend(s, root,
+      docs.filter(col("doc_id") >= cut).repartition(6), "append")
+    val tbl = s"graft_zsc_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')")
+    try {
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('graft.targetFileSize'='1024')") // v3 (+ checkpoint)
+      val before = store.manifest(s, root, 3L)
+      val cold = before.files.filter(_.contains("v00000001"))
+      s.sql(s"OPTIMIZE $tbl WHERE doc_id >= $cut ZORDER BY (doc_id, n_chars)")
+      val after = store.manifest(s, root, 4L)
+      require(after.operation == "zorder" && cold.forall(after.files.contains),
+        "scoped ZORDER must carry the cold files by path")
+      val hotAfter = after.files.filterNot(cold.toSet).toSet
+      require(hotAfter.size >= 3,
+        s"the declared graft.targetFileSize must split the hot rewrite, " +
+          s"got ${hotAfter.size} files")
+      // the locality payoff: a narrow slice of the hot range prunes
+      // post-zorder files (the round-robin layout kept everything)
+      val kept = store.prunedFiles(s, root, 4L,
+        between("doc_id", cut, cut + (maxId - cut) / 4)).count(hotAfter)
+      require(kept < hotAfter.size,
+        s"z-order locality must prune the hot slice: kept $kept of ${hotAfter.size}")
+      // hot era through the DISTRIBUTED pruning path (v3 checkpoint +
+      // one delta): the driver materializes survivors only
+      val hot = store.readAsOfWhereDistributed(s, root, 4L,
+        GtEq("doc_id", cut))
+      require(store.lastDistributedPrune._1 == before.files.size.toLong,
+        "the hot read must prune through the DISTRIBUTED checkpoint scan " +
+          "(the v3 checkpoint's entries scan distributed; the zorder delta " +
+          s"folds driver-side) — scanned ${store.lastDistributedPrune._1} " +
+          s"of ${before.files.size}")
+      def era(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("sum_chars"))
+          .select(lit(name).as("era"), col("lang"),
+            col("n_docs"), col("id_sum"), col("sum_chars"))
+      era("all", store.read(s, root)).unionByName(era("hot", hot))
+        .orderBy("era", "lang")
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7765,6 +7835,7 @@ object ExtQueries {
     "e_snapshot_ckpt" -> (eSnapshotCkpt _),
     "e_snapshot_optimize_where" -> (eSnapshotOptimizeWhere _),
     "e_snapshot_sql_verbs" -> (eSnapshotSqlVerbs _),
+    "e_snapshot_zorder_scoped" -> (eSnapshotZorderScoped _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9656,6 +9727,18 @@ object ExtQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e_snapshot_zorder_scoped" ->
+      """WITH cut AS (SELECT (max(doc_id) * 3) // 5 AS c FROM documents),
+        |agg AS (
+        |  SELECT 'all' AS era, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'hot', lang, CAST(count(*) AS BIGINT),
+        |    CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
+        |  FROM documents, cut WHERE doc_id >= c GROUP BY lang)
+        |SELECT * FROM agg ORDER BY era, lang""".stripMargin,
     "e_snapshot_sql_verbs" ->
       """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
         |  WHERE doc_id % 3 != 0),

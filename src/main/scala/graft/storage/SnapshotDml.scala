@@ -365,15 +365,19 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         // provider strips the prefix back off
         val present = ts.optionExpression.options
           .map(_._1.toLowerCase(java.util.Locale.ROOT)).toSet
-        val added = ts.properties.toSeq.collect {
-          case (k, v) if !present(k.toLowerCase(java.util.Locale.ROOT)) =>
-            val optKey =
-              if (k.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
-                k
-              else s"tblprop:$k"
-            optKey -> (Literal(
-              org.apache.spark.unsafe.types.UTF8String.fromString(v),
-              StringType): Expression)
+        // presence is checked against the spelling the pair would RIDE
+        // under: a non-graft key lands prefixed (`tblprop:<key>`), so an
+        // explicit OPTION of the bare name (path, version, ...) can never
+        // shadow it — every TBLPROPERTIES pair reaches the manifest
+        val added = ts.properties.toSeq.flatMap { case (k, v) =>
+          val optKey =
+            if (k.toLowerCase(java.util.Locale.ROOT).startsWith("graft."))
+              k
+            else s"tblprop:$k"
+          if (present(optKey.toLowerCase(java.util.Locale.ROOT))) None
+          else Some(optKey -> (Literal(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v),
+            StringType): Expression))
         }
         if (added.isEmpty) ts
         else ts.copy(optionExpression =
@@ -393,6 +397,9 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
   private val OptimizeZOrderRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
       """\s+ZORDER\s+BY\s+\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
+  private val OptimizeWhereZOrderRe =
+    ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
+      """\s+WHERE\s+(.+?)\s+ZORDER\s+BY\s+\(?\s*([^();]+?)\s*\)?\s*;?\s*$""").r
   private val OptimizeWhereRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableTok +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
@@ -578,6 +585,11 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     sqlText match {
       case OptimizeZOrderRe(t, dims) => Some(GraftOptimizeCommand(
         dirOfToken(t), splitColumnList(dims)))
+      // WHERE+ZORDER must match before plain WHERE: the lazy condition
+      // group would otherwise swallow the ZORDER clause as predicate text
+      case OptimizeWhereZOrderRe(t, cond, dims) =>
+        Some(GraftOptimizeCommand(dirOfToken(t), splitColumnList(dims),
+          where = Some(cond.trim)))
       case OptimizeWhereRe(t, cond) =>
         Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty,
           where = Some(cond.trim)))
@@ -915,12 +927,15 @@ final case class GraftInsertCommand(dir: String, query: LogicalPlan,
 }
 
 /** SQL `OPTIMIZE <t> [WHERE <cond>] [ZORDER BY (c, ...)]` (round 16;
-  * WHERE round 18): the maintenance rewrite as a verb — plain =
-  * [[SnapshotStore.compact]] to ~128 MB files, `WHERE` =
+  * WHERE round 18; WHERE+ZORDER round 19): the maintenance rewrite as a
+  * verb — plain = [[SnapshotStore.compact]] to the table's target file
+  * size (`graft.targetFileSize` property, else 128 MB), `WHERE` =
   * [[SnapshotStore.compactWhere]] rewriting ONLY the stats-matching
   * files (the Delta scoped-OPTIMIZE shape — a hot partition compacts
   * without touching the cold tail), `ZORDER BY` =
-  * [[SnapshotStore.clusterN]] across the named dimensions. The WHERE
+  * [[SnapshotStore.clusterN]] across the named dimensions, and
+  * `WHERE ... ZORDER BY` = [[SnapshotStore.clusterWhere]] re-clustering
+  * just the hot range with the cold tail carried by path. The WHERE
   * condition must translate to the file-skipping predicate grammar
   * (comparisons / IN / IS [NOT] NULL / AND / OR over committed
   * columns) — anything else refuses loudly rather than silently
@@ -967,7 +982,11 @@ final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String],
 
   override def run(spark: SparkSession): Seq[Row] = {
     val v =
-      if (where.isDefined)
+      if (where.isDefined && zorderBy.nonEmpty)
+        // scoped re-cluster: hot files z-order, cold carry by path
+        SnapshotStore.clusterWhere(spark, dir,
+          translateWhere(spark, where.get), zorderBy)
+      else if (where.isDefined)
         SnapshotStore.compactWhere(spark, dir, translateWhere(spark, where.get))
       else if (zorderBy.isEmpty) SnapshotStore.compact(spark, dir)
       else {
@@ -975,10 +994,11 @@ final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String],
           SnapshotStore.latestVersion(spark, dir).getOrElse(
             SnapshotDmlRule.analysisError(
               s"OPTIMIZE ZORDER needs a committed version at $dir")))
+        val target = SnapshotStore.effectiveTargetFileBytes(m)
         val bytes = m.files.map(p => m.stats.get(p).map(_.bytes)
-          .filter(_ > 0L).getOrElse(128L * 1024 * 1024)).sum
+          .filter(_ > 0L).getOrElse(target)).sum
         val nFiles = math.max(1L,
-          math.ceil(bytes.toDouble / (128L * 1024 * 1024)).toLong).toInt
+          math.ceil(bytes.toDouble / target).toLong).toInt
         SnapshotStore.clusterN(spark, dir, zorderBy, nFiles)
       }
     GraftSqlCommands.invalidateRelationCache(spark)

