@@ -4316,6 +4316,61 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** SQL `table_changes` TVF end-to-end (round 19 — the Delta CDF
+    * table-valued function over the engine's boundary-diff feed): the
+    * table takes an INSERT, an UPDATE, and a DELETE through plain SQL,
+    * then `SELECT ... FROM table_changes('t', 1)` delivers the net
+    * row-grain changes in the CDF vocabulary, keyed by the table's own
+    * `graft.cdfKeys` declaration. In-query fences: the undeclared-keys
+    * refusal names the remedy, and the quoted-path form agrees with the
+    * registered-name form. The change classes ≡ the relational replay
+    * (inserts carry post values, deletes pre values, updates pre+post
+    * pairs). */
+  def eSnapshotTableChanges(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "tvc")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_tvc_src")
+    val tbl = s"graft_tvc_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$root')
+           |AS SELECT doc_id, lang, n_chars FROM graft_tvc_src""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $tbl
+           |SELECT doc_id + 900000, lang, n_chars FROM graft_tvc_src
+           |WHERE doc_id % 3 = 0""".stripMargin)            // v2
+      // keys are DECLARED, not plumbed — and the refusal before the
+      // declaration names the remedy
+      val refused =
+        try { s.sql(s"SELECT * FROM table_changes('$tbl', 1)"); false }
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          e.getMessage.contains("graft.cdfKeys")
+        }
+      require(refused, "undeclared keys must refuse naming graft.cdfKeys")
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('graft.cdfKeys' = 'doc_id')")                     // v3
+      s.sql(s"UPDATE $tbl SET n_chars = n_chars * 2 " +
+        "WHERE doc_id % 7 = 0 AND doc_id < 900000")         // v4
+      s.sql(s"DELETE FROM $tbl " +
+        "WHERE doc_id % 5 = 3 AND doc_id < 900000")         // v5
+      // the quoted-path form agrees with the registered-name form
+      val nName = s.sql(s"SELECT count(*) FROM table_changes('$tbl', 1)")
+        .head().getLong(0)
+      val nPath = s.sql(s"SELECT count(*) FROM table_changes('$root', 1, 5)")
+        .head().getLong(0)
+      require(nName == nPath && nName > 0L,
+        s"name and path forms must agree: $nName vs $nPath")
+      s.sql(
+        s"""SELECT _change_type, lang, count(*) AS n,
+           |  sum(doc_id) AS id_sum, sum(n_chars) AS chars_sum
+           |FROM table_changes('$tbl', 1)
+           |GROUP BY _change_type, lang
+           |ORDER BY _change_type, lang""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** DROP COLUMN + tombstoned re-add (round 17 — the DDL triad's third
     * verb over column mapping): the table drops a column (metadata-only
     * — retained files keep dead bytes, reads project them away), then
@@ -7836,6 +7891,7 @@ object ExtQueries {
     "e_snapshot_optimize_where" -> (eSnapshotOptimizeWhere _),
     "e_snapshot_sql_verbs" -> (eSnapshotSqlVerbs _),
     "e_snapshot_zorder_scoped" -> (eSnapshotZorderScoped _),
+    "e_snapshot_table_changes" -> (eSnapshotTableChanges _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9739,6 +9795,27 @@ object ExtQueries {
         |    CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents, cut WHERE doc_id >= c GROUP BY lang)
         |SELECT * FROM agg ORDER BY era, lang""".stripMargin,
+    "e_snapshot_table_changes" ->
+      """WITH ins AS (
+        |  SELECT 'insert' AS _change_type, lang, doc_id + 900000 AS doc_id,
+        |    n_chars
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |del AS (
+        |  SELECT 'delete', lang, doc_id, n_chars
+        |  FROM documents WHERE doc_id % 5 = 3),
+        |up_pre AS (
+        |  SELECT 'update_preimage', lang, doc_id, n_chars
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 != 3),
+        |up_post AS (
+        |  SELECT 'update_postimage', lang, doc_id, n_chars * 2
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 5 != 3),
+        |ch AS (SELECT * FROM ins UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM up_pre UNION ALL SELECT * FROM up_post)
+        |SELECT _change_type, lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM ch GROUP BY _change_type, lang
+        |ORDER BY _change_type, lang""".stripMargin,
     "e_snapshot_sql_verbs" ->
       """WITH v1 AS (SELECT doc_id, lang, n_chars FROM documents
         |  WHERE doc_id % 3 != 0),

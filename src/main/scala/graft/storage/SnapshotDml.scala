@@ -104,6 +104,68 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
         convertInsert(dir, target.output, partitionSpec, userCols, query,
           overwrite, ifPartitionNotExists, byName): LogicalPlan
       }.getOrElse(i)
+
+  }
+
+  /** resolve a catalog identifier to its graft-snapshot dir — shared by
+    * the parser hook's time travel and the `table_changes` TVF; a temp
+    * view SHADOWS a same-named catalog table (never resolve past it) */
+  private[storage] def snapshotDirOfParts(spark: SparkSession,
+                                          nameParts: Seq[String]): Option[String] = {
+    if (spark.sessionState.catalog.isTempView(nameParts)) return None
+    val ident = nameParts match {
+      case Seq(t) => TableIdentifier(t)
+      case Seq(db, t) => TableIdentifier(t, Some(db))
+      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
+        TableIdentifier(t, Some(db))
+      case _ => return None
+    }
+    try {
+      val meta = spark.sessionState.catalog.getTableMetadata(ident)
+      if (meta.provider.exists(_.equalsIgnoreCase("graft-snapshot")))
+        meta.storage.properties.get("path")
+          .orElse(meta.storage.locationUri.map(_.toString))
+      else None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** SQL `SELECT ... FROM table_changes('t' | 'path', from [, to])`
+    * (round 19 — the Delta CDF table-valued function): intercepted at
+    * the PARSER's plan rewrite (like SQL time travel — the analyzer's
+    * function resolution would refuse the unknown TVF name before any
+    * injected resolution rule runs) and swapped for the row-grain
+    * change feed's analyzed plan. Keys come from the table's own
+    * `graft.cdfKeys` declaration — a pure-SQL consumer subscribes with
+    * no API plumbing. */
+  private[storage] def resolveTableChanges(spark: SparkSession,
+                                           args: Seq[Expression]): LogicalPlan = {
+    if (args.size < 2 || args.size > 3) analysisError(
+      "table_changes takes (table | 'path', fromVersion [, toVersion])")
+    def strArg(e: Expression, what: String): String = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        u.toString
+      case _ => analysisError(
+        s"table_changes: $what must be a string literal, got $e")
+    }
+    def verArg(e: Expression, what: String): Long = e match {
+      case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
+      case Literal(v, LongType) => v.asInstanceOf[Long]
+      case _ => analysisError(
+        s"table_changes: $what must be an integral version literal, got $e")
+    }
+    val target = strArg(args(0), "the first argument")
+    val dir = snapshotDirOfParts(spark,
+        if (target.startsWith("`"))
+          Seq(target.stripPrefix("`").stripSuffix("`"))
+        else target.split('.').toSeq)
+      .orElse(if (target.contains("/")) Some(target) else None)
+      .getOrElse(analysisError(
+        s"table_changes: $target is neither a registered graft-snapshot " +
+          "table nor a table path"))
+    val from = verArg(args(1), "fromVersion")
+    val to = if (args.size == 3) Some(verArg(args(2), "toVersion")) else None
+    SnapshotStore.readTableChanges(spark, dir, from, to)
+      .queryExecution.analyzed
   }
 
   /** Align the query to the target's columns (the v1
@@ -290,26 +352,8 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
                                      delegate: ParserInterface)
     extends ParserInterface {
 
-  private def snapshotDirOf(nameParts: Seq[String]): Option[String] = {
-    // a temp view SHADOWS a same-named catalog table in every other
-    // reference of the session — the rewrite must not resolve past it
-    // (Spark's own time-travel refusal then fires on the view)
-    if (spark.sessionState.catalog.isTempView(nameParts)) return None
-    val ident = nameParts match {
-      case Seq(t) => TableIdentifier(t)
-      case Seq(db, t) => TableIdentifier(t, Some(db))
-      case Seq(cat, db, t) if cat.equalsIgnoreCase("spark_catalog") =>
-        TableIdentifier(t, Some(db))
-      case _ => return None
-    }
-    try {
-      val meta = spark.sessionState.catalog.getTableMetadata(ident)
-      if (meta.provider.exists(_.equalsIgnoreCase("graft-snapshot")))
-        meta.storage.properties.get("path")
-          .orElse(meta.storage.locationUri.map(_.toString))
-      else None
-    } catch { case scala.util.control.NonFatal(_) => None }
-  }
+  private def snapshotDirOf(nameParts: Seq[String]): Option[String] =
+    SnapshotDmlRule.snapshotDirOfParts(spark, nameParts)
 
   private def resolveVersion(dir: String, ts: Option[Expression],
                              version: Option[String]): Long =
@@ -339,6 +383,13 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
               .queryExecution.logical
           case None => tt
         }
+      // the CDF table-valued function (round 19) — parser-level for the
+      // same reason as time travel: the analyzer refuses an unknown TVF
+      // name before any injected resolution rule can claim it
+      case tvf: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+          if tvf.name.length == 1 &&
+            tvf.name.head.equalsIgnoreCase("table_changes") =>
+        SnapshotDmlRule.resolveTableChanges(spark, tvf.functionArgs)
     }
 
   /** `CREATE TABLE ... USING graft-snapshot TBLPROPERTIES

@@ -283,9 +283,17 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
     val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
       .map(_.trim.toLong)
     if (cdfRequested(parameters)) {
-      val idCols = idColsOf(parameters)
+      // explicit option wins; else the table's own `graft.cdfKeys`
+      // declaration (round 19 — the same keys SQL table_changes uses)
+      val idCols = idColsOf(parameters) match {
+        case Seq() => SnapshotStore.latestVersion(spark, dir)
+          .flatMap(v => SnapshotStore.declaredCdfKeys(spark, dir, v))
+          .getOrElse(Seq.empty)
+        case explicit => explicit
+      }
       require(idCols.nonEmpty,
-        "readChangeFeed needs idCols (comma-separated key columns)")
+        "readChangeFeed needs key columns — pass idCols, or declare " +
+          "them once with TBLPROPERTIES ('graft.cdfKeys' = '<col,...>')")
       new SnapshotCdfStreamSource(spark, dir, s, startingVersion,
         maxVersionsPerTrigger, idCols)
     } else new SnapshotStreamSource(spark, dir, s, startingVersion,

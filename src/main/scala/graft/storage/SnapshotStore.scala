@@ -4084,6 +4084,7 @@ object SnapshotStore {
   private[storage] val BloomColumnsKey = "graft.bloomColumns"
   private[storage] val CheckpointIntervalKey = "graft.checkpointInterval"
   private[storage] val TargetFileSizeKey = "graft.targetFileSize"
+  private[storage] val CdfKeysKey = "graft.cdfKeys"
 
   /** typed refusal of table-property and constraint validation — the
     * same class the SQL face surfaces, so programmatic callers catch
@@ -4119,6 +4120,14 @@ object SnapshotStore {
           throw new SnapshotPropertyException(
             s"$BloomColumnsKey needs a comma-separated column list, got '$v'")
         BloomColumnsKey -> v
+      } else if (lk == CdfKeysKey.toLowerCase(java.util.Locale.ROOT)) {
+        // the row-grain change feed's KEY declaration (round 19): what
+        // SQL `table_changes` and the streaming CDF source join the two
+        // boundary snapshots on when no explicit idCols are passed
+        if (v.split(',').map(_.trim).forall(_.isEmpty))
+          throw new SnapshotPropertyException(
+            s"$CdfKeysKey needs a comma-separated key column list, got '$v'")
+        CdfKeysKey -> v
       } else if (lk == TargetFileSizeKey.toLowerCase(java.util.Locale.ROOT)) {
         // bytes; a sub-1 KB target can only be a typo'd unit (someone
         // meant MB) and would shred every OPTIMIZE into a metadata storm
@@ -4135,7 +4144,7 @@ object SnapshotStore {
       } else throw new SnapshotPropertyException(
         s"unknown graft table property $k — the engine's knobs are " +
           s"$BloomColumnsKey, $CheckpointIntervalKey, $TargetFileSizeKey, " +
-          s"and $ConstraintKeyPrefix<name>")
+          s"$CdfKeysKey, and $ConstraintKeyPrefix<name>")
     }
 
   /** [[validatedProperties]] for the SQL commands' catalog lockstep —
@@ -4633,6 +4642,43 @@ object SnapshotStore {
       when(fromPre, col("__pre").getField(c))
         .otherwise(col("__post").getField(c)).as(c)) :+
       col("_change_type"): _*)
+  }
+
+  /** the table's DECLARED change-feed key columns (`graft.cdfKeys`,
+    * round 19) as of `version` — what `table_changes` and the streaming
+    * CDF source key the boundary diff on when no explicit idCols are
+    * given */
+  private[graft] def declaredCdfKeys(spark: SparkSession, dir: String,
+                                     version: Long): Option[Seq[String]] =
+    manifest(spark, dir, version).properties.get(CdfKeysKey)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+
+  /** [[readRowChanges]] behind the SQL `table_changes('t'|'path', from
+    * [, to])` face (round 19): the boundary versions come from the
+    * statement, the KEY columns from the table's own `graft.cdfKeys`
+    * declaration — a pure-SQL consumer subscribes to row changes
+    * without API plumbing. `to` defaults to the latest version. The
+    * grain is this engine's native BOUNDARY DIFF (changes between the
+    * two version snapshots — inserts / deletes once, updates as
+    * pre+post pairs in `_change_type`), not Delta's per-commit change
+    * log: a row touched at several intermediate versions reports its
+    * NET change, which is what the mirror/subscribe consumers here
+    * actually apply. */
+  def readTableChanges(spark: SparkSession, dir: String,
+                       fromVersion: Long,
+                       toVersion: Option[Long] = None): DataFrame = {
+    val latest = latestVersion(spark, dir)
+      .getOrElse(refuse(s"no committed version at $dir"))
+    val to = toVersion.getOrElse(latest)
+    if (fromVersion < 1 || to > latest || fromVersion >= to)
+      refuse(s"table_changes needs 1 <= fromVersion < toVersion <= " +
+        s"$latest (latest), got ($fromVersion, $to)")
+    val keys = declaredCdfKeys(spark, dir, to).getOrElse(refuse(
+      s"table_changes needs the table's key columns — declare them " +
+        s"once with ALTER TABLE ... SET TBLPROPERTIES " +
+        s"('$CdfKeysKey' = '<col>[,<col>...]')"))
+    readRowChanges(spark, dir, fromVersion, to, keys)
   }
 
   /** [[graft.operators.CorpusDiff.snapshotDiff]] across two committed
