@@ -147,12 +147,6 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       case _ => analysisError(
         s"table_changes: $what must be a string literal, got $e")
     }
-    def verArg(e: Expression, what: String): Long = e match {
-      case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
-      case Literal(v, LongType) => v.asInstanceOf[Long]
-      case _ => analysisError(
-        s"table_changes: $what must be an integral version literal, got $e")
-    }
     val target = strArg(args(0), "the first argument")
     val dir = snapshotDirOfParts(spark,
         if (target.startsWith("`"))
@@ -162,6 +156,31 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
       .getOrElse(analysisError(
         s"table_changes: $target is neither a registered graft-snapshot " +
           "table nor a table path"))
+    // a boundary is an integral VERSION or a timestamp STRING
+    // ('yyyy-MM-dd[ HH:mm:ss]'), resolving to the version committed at
+    // or before the instant — the readAsOfTimestamp contract
+    def verArg(e: Expression, what: String): Long = e match {
+      case Literal(v, IntegerType) => v.asInstanceOf[Int].toLong
+      case Literal(v, LongType) => v.asInstanceOf[Long]
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        val s = u.toString.trim
+        val ms = try {
+          if (s.matches("\\d{4}-\\d{2}-\\d{2}"))
+            java.sql.Date.valueOf(s).getTime
+          else java.sql.Timestamp.valueOf(s).getTime
+        } catch { case _: IllegalArgumentException => analysisError(
+          s"table_changes: $what must be an integral version or a " +
+            s"'yyyy-MM-dd[ HH:mm:ss]' timestamp, got '$s'")
+        }
+        try SnapshotStore.versionAtTimestamp(spark, dir, ms)
+        catch { case ex: SnapshotStore.NoRetainedVersionAtTimestamp =>
+          analysisError(s"table_changes: $what '$s' precedes every " +
+            s"retained commit at $dir — ${ex.getMessage}")
+        }
+      case _ => analysisError(
+        s"table_changes: $what must be an integral version literal or a " +
+          s"timestamp string, got $e")
+    }
     val from = verArg(args(1), "fromVersion")
     val to = if (args.size == 3) Some(verArg(args(2), "toVersion")) else None
     SnapshotStore.readTableChanges(spark, dir, from, to)
@@ -456,17 +475,19 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val OptimizeRe =
     ("""(?is)^\s*OPTIMIZE\s+""" + TableTok + """\s*;?\s*$""").r
+  // optional `DRY RUN` suffix (round 19 — the Delta preview face)
+  private val DryRunTail = """(?:\s+(DRY)\s+RUN)?\s*;?\s*$"""
   private val VacuumRetainRe =
     ("""(?is)^\s*VACUUM\s+""" + TableTok +
-      """\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*$""").r
+      """\s+RETAIN\s+(\d+)\s+VERSIONS""" + DryRunTail).r
   private val VacuumHoursRe =
     ("""(?is)^\s*VACUUM\s+""" + TableTok +
-      """\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*$""").r
+      """\s+RETAIN\s+(\d+)\s+HOURS""" + DryRunTail).r
   private val ConvertRe =
     ("""(?is)^\s*CONVERT\s+TO\s+SNAPSHOT\s+('[^']+')""" +
       """(?:\s+PARTITIONED\s+BY\s+\(\s*([^()]+?)\s*\))?\s*;?\s*$""").r
   private val VacuumRe =
-    ("""(?is)^\s*VACUUM\s+""" + TableTok + """\s*;?\s*$""").r
+    ("""(?is)^\s*VACUUM\s+""" + TableTok + DryRunTail).r
   private val DescribeHistoryRe =
     ("""(?is)^\s*DESC(?:RIBE)?\s+HISTORY\s+""" + TableTok +
       """(?:\s+LIMIT\s+(\d+))?\s*;?\s*$""").r
@@ -645,10 +666,12 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
         Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty,
           where = Some(cond.trim)))
       case OptimizeRe(t) => Some(GraftOptimizeCommand(dirOfToken(t), Seq.empty))
-      case VacuumRetainRe(t, n) => Some(GraftVacuumCommand(dirOfToken(t), n.toInt))
-      case VacuumHoursRe(t, h) =>
-        Some(GraftVacuumHoursCommand(dirOfToken(t), h.toLong))
-      case VacuumRe(t) => Some(GraftVacuumCommand(dirOfToken(t), 2))
+      case VacuumRetainRe(t, n, dry) =>
+        Some(GraftVacuumCommand(dirOfToken(t), n.toInt, dry != null))
+      case VacuumHoursRe(t, h, dry) =>
+        Some(GraftVacuumHoursCommand(dirOfToken(t), h.toLong, dry != null))
+      case VacuumRe(t, dry) =>
+        Some(GraftVacuumCommand(dirOfToken(t), 2, dry != null))
       case ConvertRe(p, cols) => Some(GraftConvertCommand(
         p.stripPrefix("'").stripSuffix("'"),
         Option(cols).toSeq.flatMap(splitColumnList)))
@@ -1057,17 +1080,25 @@ final case class GraftOptimizeCommand(dir: String, zorderBy: Seq[String],
   }
 }
 
-/** SQL `VACUUM <t> [RETAIN <n> VERSIONS]` (round 16): drops manifests
-  * older than the newest `retain` and reclaims unreferenced data files
-  * — [[SnapshotStore.vacuum]] behind the verb, default retention 2. */
-final case class GraftVacuumCommand(dir: String, retain: Int)
+/** SQL `VACUUM <t> [RETAIN <n> VERSIONS] [DRY RUN]` (round 16; DRY RUN
+  * round 19): drops manifests older than the newest `retain` and
+  * reclaims unreferenced data files — [[SnapshotStore.vacuum]] behind
+  * the verb, default retention 2. `DRY RUN` previews — one row per
+  * log entry / version directory the real vacuum would remove, nothing
+  * mutated (the Delta preview contract). */
+final case class GraftVacuumCommand(dir: String, retain: Int,
+                                    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    SnapshotStore.vacuum(spark, dir, retain)
-    GraftSqlCommands.invalidateRelationCache(spark)
-    Seq(Row(dir))
+    if (dryRun)
+      SnapshotStore.vacuumDryRun(spark, dir, retain).map(Row(_))
+    else {
+      SnapshotStore.vacuum(spark, dir, retain)
+      GraftSqlCommands.invalidateRelationCache(spark)
+      Seq(Row(dir))
+    }
   }
 }
 
@@ -1075,7 +1106,8 @@ final case class GraftVacuumCommand(dir: String, retain: Int)
   * spelling): age-based retention via
   * [[SnapshotStore.vacuumOlderThan]] — every version committed within
   * the window survives, always at least the latest. */
-final case class GraftVacuumHoursCommand(dir: String, hours: Long)
+final case class GraftVacuumHoursCommand(dir: String, hours: Long,
+                                         dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
@@ -1086,6 +1118,9 @@ final case class GraftVacuumHoursCommand(dir: String, hours: Long)
       Math.subtractExact(System.currentTimeMillis(),
         Math.multiplyExact(hours, 3600L * 1000L))
     } catch { case _: ArithmeticException => Long.MinValue }
+    if (dryRun)
+      return SnapshotStore.vacuumOlderThanDryRun(spark, dir, cutoff)
+        .map(Row(_))
     SnapshotStore.vacuumOlderThan(spark, dir, cutoff)
     GraftSqlCommands.invalidateRelationCache(spark)
     Seq(Row(dir))

@@ -4368,13 +4368,19 @@ object SnapshotStore {
     * the time-travel binary search rely on. Pre-timestamp legacy
     * versions (ts = 0) count as older than any cutoff. */
   def vacuumOlderThan(spark: SparkSession, dir: String,
-                      cutoffMs: Long): Unit = {
+                      cutoffMs: Long): Unit =
+    retainForCutoff(spark, dir, cutoffMs)
+      .foreach(r => vacuum(spark, dir, r))
+
+  /** the RETAIN count equivalent of an age cutoff — the monotone
+    * timestamps admit a binary search (O(log n) manifest reads, not one
+    * per retained version; the same class as TIMESTAMP AS OF). None on
+    * an uninitialized dir. Shared by [[vacuumOlderThan]] and the DRY
+    * RUN face so both resolve age identically. */
+  private def retainForCutoff(spark: SparkSession, dir: String,
+                              cutoffMs: Long): Option[Int] = {
     val vs = versions(spark, dir)
-    if (vs.isEmpty) return
-    // first in-window version — the monotone timestamps admit a binary
-    // search (O(log n) manifest reads, not one per retained version; on
-    // the 100k-commit streaming table that is ~17 reads, the same class
-    // as TIMESTAMP AS OF)
+    if (vs.isEmpty) return None
     var lo = 0
     var hi = vs.length
     while (lo < hi) {
@@ -4382,8 +4388,15 @@ object SnapshotStore {
       if (commitInfo(spark, dir, vs(mid))._2 >= cutoffMs) hi = mid
       else lo = mid + 1
     }
-    vacuum(spark, dir, math.max(1, vs.length - lo))
+    Some(math.max(1, vs.length - lo))
   }
+
+  /** [[vacuumDryRun]] with age-based retention — the preview face of
+    * [[vacuumOlderThan]]. */
+  def vacuumOlderThanDryRun(spark: SparkSession, dir: String,
+                            cutoffMs: Long): Seq[String] =
+    retainForCutoff(spark, dir, cutoffMs)
+      .map(r => vacuumDryRun(spark, dir, r)).getOrElse(Seq.empty)
 
   /** Drop versions older than the newest `retain`, then delete every
     * data file (and version directory) no RETAINED manifest references —
@@ -4444,36 +4457,69 @@ object SnapshotStore {
             DefaultReclaimGraceMs)
         f.delete(st.getPath, true)
     }
+    reclaimableDirs(spark, dir, keptManifests)
+      .foreach(p => f.delete(p, true)) // whole version dir unreferenced
+  }
+
+  /** The version directories the RETAINED manifests no longer
+    * reference — the reclaim predicate shared by [[vacuum]] and
+    * [[vacuumDryRun]] (one definition, no drift): a dir goes iff no
+    * retained manifest references any of its data files, deletion
+    * vectors, or bloom sidecars.
+    *
+    * Deletion-vector files referenced by retained manifests must
+    * survive — a DV-only commit's version dir holds NO data files
+    * (only the hidden `_dv`), so the check consults dv paths by URI
+    * prefix, not the (hidden-filtered) data listing; bloom SIDECARS
+    * survive the same way (normally co-located with the files they
+    * describe, but a CONVERT commit's version dir holds ONLY the
+    * sidecar). BOTH sides qualify through the filesystem first: legacy
+    * refs recorded from a relative table dir must still match the
+    * qualified listing paths. */
+  private def reclaimableDirs(spark: SparkSession, dir: String,
+                              keptManifests: Seq[Manifest]): Seq[Path] = {
+    val f = fs(spark, dir)
     val referenced = keptManifests.flatMap(_.files).toSet
-    // deletion-vector files referenced by retained manifests must
-    // survive too — a DV-only commit's version dir holds NO data files
-    // (only the hidden `_dv`), so the reclaim check consults dv paths
-    // by URI prefix, not the (hidden-filtered) data listing. BOTH sides
-    // qualify through the filesystem first: legacy refs recorded from a
-    // relative table dir must still match the qualified listing paths.
     val referencedDvPaths = keptManifests
       .flatMap(_.dvs.values.map(dv =>
         f.makeQualified(new Path(dv.path)).toUri.getPath)).toSet
-    // bloom SIDECARS referenced by retained stats survive the same way.
-    // Normally a sidecar lives beside the data files it describes (same
-    // version dir — referenced file ⇒ retained dir), but a CONVERT
-    // commit's version dir holds ONLY the sidecar (its data files lie at
-    // the source root), and that dir must not read as empty-unreferenced.
     val referencedBloomDirs = keptManifests
       .flatMap(_.stats.values.flatMap(_.blooms.values.flatMap(_.sidecar)))
       .map(p => f.makeQualified(new Path(p)).toUri.getPath).toSet
     val dataRoot = new Path(s"$dir/data")
-    if (f.exists(dataRoot)) {
-      f.listStatus(dataRoot).foreach { st =>
-        val files = listParquet(spark, st.getPath.toString)
-        val dirPath = f.makeQualified(st.getPath).toUri.getPath
-        def holds(refs: Set[String]) = refs.exists(p =>
-          p == dirPath || p.startsWith(dirPath + "/"))
-        if (files.forall(p => !referenced.contains(p)) &&
-            !holds(referencedDvPaths) && !holds(referencedBloomDirs))
-          f.delete(st.getPath, true) // whole version dir unreferenced
-      }
+    if (!f.exists(dataRoot)) return Seq.empty
+    f.listStatus(dataRoot).toSeq.filter { st =>
+      val files = listParquet(spark, st.getPath.toString)
+      val dirPath = f.makeQualified(st.getPath).toUri.getPath
+      def holds(refs: Set[String]) = refs.exists(p =>
+        p == dirPath || p.startsWith(dirPath + "/"))
+      files.forall(p => !referenced.contains(p)) &&
+        !holds(referencedDvPaths) && !holds(referencedBloomDirs)
+    }.map(_.getPath)
+  }
+
+  /** What [[vacuum]] WOULD remove, without mutating anything (round 19
+    * — Delta's `VACUUM ... DRY RUN`): the dropped versions' manifest
+    * log entries (and their derived checkpoints) plus every version
+    * directory the retained set no longer references. Read-only by
+    * construction — the operator previews the blast radius, then runs
+    * the real vacuum. The real vacuum additionally PINS a checkpoint at
+    * the new replay base before dropping anything; the dry run neither
+    * needs nor writes it (a derived accelerator, not a deletion). */
+  def vacuumDryRun(spark: SparkSession, dir: String,
+                   retain: Int = 2): Seq[String] = {
+    require(retain >= 1, "must retain at least the latest version")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    val (drop, keep) = vs.splitAt(math.max(0, vs.length - retain))
+    val keptManifests = manifestRange(spark, dir, keep)
+    val logEntries = drop.flatMap { v =>
+      Seq(manifestPath(dir, v)) ++
+        Seq(checkpointPath(dir, v)).filter(f.exists) ++
+        Seq(checkpointDataPath(dir, v)).filter(f.exists)
     }
+    (logEntries ++ reclaimableDirs(spark, dir, keptManifests))
+      .map(_.toString)
   }
 
   /** IN-PLACE conversion of an existing plain-parquet directory into a

@@ -444,6 +444,43 @@ class SnapshotDmlSpec extends SparkSpec {
     }
   }
 
+  test("VACUUM ... DRY RUN previews the blast radius, mutates NOTHING, " +
+    "and the real vacuum then removes exactly the previewed paths") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 50L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+        .repartition(2), "ingest")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((51L, "x")).toDF("doc_id", "text"), "append")
+    SnapshotStore.compact(spark, dir) // v1+v2 dirs become unreferenced
+    withTable("dml_dry", dir) {
+      val before = SnapshotStore.versions(spark, dir)
+      val preview = spark.sql("VACUUM dml_dry RETAIN 1 VERSIONS DRY RUN")
+        .collect().map(_.getString(0)).toSeq
+      assert(preview.exists(_.contains("v00000001")) &&
+        preview.exists(_.contains("v00000002")),
+        s"the preview must name the doomed versions: $preview")
+      // NOTHING mutated: versions intact, every previewed path present
+      assert(SnapshotStore.versions(spark, dir) == before)
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(preview.forall(p =>
+        f.exists(new org.apache.hadoop.fs.Path(p))),
+        "a DRY RUN must leave every previewed path in place")
+      // the real vacuum removes exactly the previewed paths
+      spark.sql("VACUUM dml_dry RETAIN 1 VERSIONS")
+      assert(preview.forall(p =>
+        !f.exists(new org.apache.hadoop.fs.Path(p))),
+        "the real vacuum removes what the preview named")
+      assert(SnapshotStore.read(spark, dir).count() == 51L)
+      // a post-vacuum preview has nothing left to name; HOURS form parses
+      assert(spark.sql("VACUUM dml_dry RETAIN 1 VERSIONS DRY RUN")
+        .collect().isEmpty)
+      assert(spark.sql("VACUUM dml_dry RETAIN 99999 HOURS DRY RUN")
+        .collect().isEmpty)
+    }
+  }
+
   test("SQL reads see SQL mutations immediately: the relation cache invalidates after DML and maintenance verbs") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,

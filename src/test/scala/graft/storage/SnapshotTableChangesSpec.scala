@@ -97,6 +97,39 @@ class SnapshotTableChangesSpec extends SparkSpec {
     assert(e.getMessage.contains("key column list"))
   }
 
+  test("table_changes TIMESTAMP boundaries resolve to the version " +
+    "committed at or before the instant; pre-history instants refuse") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      Seq((1L, "a")).toDF("doc_id", "txt"), "ingest",
+      tblProperties = Map("graft.cdfKeys" -> "doc_id"))
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((2L, "b")).toDF("doc_id", "txt"), "append")
+    SnapshotStore.commitAppend(spark, dir,
+      Seq((3L, "c")).toDF("doc_id", "txt"), "append")
+    def tsOf(v: Long): String =
+      new java.sql.Timestamp(
+        SnapshotStore.commitInfo(spark, dir, v)._2).toString
+    // boundary strings at v1/v2's own commit instants → diff 1→2
+    val got = spark.sql(
+      s"SELECT _change_type, doc_id FROM table_changes('$dir', " +
+        s"'${tsOf(1L)}', '${tsOf(2L)}')")
+      .as[(String, Long)].collect().toSet
+    assert(got == Set(("insert", 2L)), s"ts-boundary diff 1->2, got $got")
+    // mixed forms compose (version from, timestamp to = latest commit)
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', 1, '${tsOf(3L)}')")
+      .head().getLong(0) == 2L)
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM table_changes('$dir', " +
+        "'1990-01-01', 2)").collect())
+    assert(e.getMessage.contains("precedes every retained"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM table_changes('$dir', " +
+        "'not-a-time', 2)").collect())
+    assert(e2.getMessage.contains("timestamp"))
+  }
+
   test("the streaming CDF source falls back to graft.cdfKeys when no " +
     "idCols option is passed; without either it refuses with the remedy") {
     val dir = freshDir()
