@@ -2859,16 +2859,23 @@ object SnapshotStore {
     }
 
   /** Bounded in-JVM cache of DECODED sidecar blooms, keyed (sidecar
-    * path, ord): ≤1024 entries × 8 KB ≈ 8 MB — a hot point-lookup
-    * table stops re-reading its candidate sidecars per query, and the
-    * bound holds whatever the table's file count is (the manifest cache
-    * may hold 800k-entry states; this one never grows with them). */
+    * path, sidecar dir mtime, ord): ≤1024 entries × 8 KB ≈ 8 MB — a
+    * hot point-lookup table stops re-reading its candidate sidecars per
+    * query, and the bound holds whatever the table's file count is (the
+    * manifest cache may hold 800k-entry states; this one never grows
+    * with them). The MTIME in the key is the staleness guard (the
+    * manifest cache's (len, mtime) discipline): a dropped-and-recreated
+    * table at the same path reuses the same `v%08d-op/_blooms` sidecar
+    * paths, and serving the old table's bits would WRONGLY PRUNE files
+    * that hold the probed value — one getFileStatus per touched sidecar
+    * per load is the price, far below the parquet read it saves; stale
+    * entries age out of the LRU. */
   private val SidecarBloomCacheCapacity = 1024
   private val sidecarBloomCache =
-    new java.util.LinkedHashMap[(String, Long),
+    new java.util.LinkedHashMap[(String, Long, Long),
         org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long),
+          e: java.util.Map.Entry[(String, Long, Long),
             org.apache.spark.util.sketch.BloomFilter]): Boolean =
         size() > SidecarBloomCacheCapacity
     }
@@ -2892,35 +2899,48 @@ object SnapshotStore {
       : Map[(String, Long), org.apache.spark.util.sketch.BloomFilter] = {
     val out = Map.newBuilder[(String, Long),
       org.apache.spark.util.sketch.BloomFilter]
-    val toRead = scala.collection.mutable.ArrayBuffer.empty[(String, Seq[Long])]
+    val reads = scala.collection.mutable.ArrayBuffer.empty[String]
     needed.foreach { case (sc, ords) =>
-      val missing = ords.distinct.filterNot { o =>
-        val got = sidecarBloomCache.synchronized(sidecarBloomCache.get((sc, o)))
-        if (got != null) { out += ((sc, o)) -> got; true } else false
-      }
-      if (missing.nonEmpty) toRead += sc -> missing
-    }
-    toRead.foreach { case (sc, ords) =>
-      try {
-        sidecarReadCount.incrementAndGet()
-        val df = spark.read.schema(BloomSidecarSchema).parquet(sc)
-        val wantAll = ords.size > 1000 // past pushdown's useful range
-        val rows = (if (wantAll) df else df.filter(col("ord").isin(ords: _*)))
-          .select("ord", "bits").collect() // bounded: candidate sliver
-        val want = ords.toSet
-        rows.foreach { r =>
-          val o = r.getLong(0)
-          if (want(o)) {
-            val bf = org.apache.spark.util.sketch.BloomFilter
-              .readFrom(r.getAs[Array[Byte]](1))
-            sidecarBloomCache.synchronized(
-              sidecarBloomCache.put((sc, o), bf))
-            out += ((sc, o)) -> bf
-          }
+      // one status RPC per touched sidecar: the cache-staleness guard
+      // (and the dangling-sidecar early-out — conservative keep)
+      val mtime = try {
+        val p = new Path(sc)
+        Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(p).getModificationTime)
+      } catch { case scala.util.control.NonFatal(_) => None }
+      mtime.foreach { mt =>
+        val missing = ords.distinct.filterNot { o =>
+          val got = sidecarBloomCache.synchronized(
+            sidecarBloomCache.get((sc, mt, o)))
+          if (got != null) { out += ((sc, o)) -> got; true } else false
         }
-      } catch { case scala.util.control.NonFatal(_) => () }
+        if (missing.nonEmpty) try {
+          sidecarReadCount.incrementAndGet()
+          reads += sc
+          val df = spark.read.schema(BloomSidecarSchema).parquet(sc)
+          // ord pushdown for selective probes; a huge candidate sliver
+          // (a non-selective predicate over one commit) bounds the scan
+          // by ord RANGE instead — an oversized IN list costs more in
+          // the plan than it prunes
+          val filtered =
+            if (missing.size <= 1000) df.filter(col("ord").isin(missing: _*))
+            else df.filter(col("ord").between(missing.min, missing.max))
+          val want = missing.toSet
+          filtered.select("ord", "bits").collect() // bounded: candidates
+            .foreach { r =>
+              val o = r.getLong(0)
+              if (want(o)) {
+                val bf = org.apache.spark.util.sketch.BloomFilter
+                  .readFrom(r.getAs[Array[Byte]](1))
+                sidecarBloomCache.synchronized(
+                  sidecarBloomCache.put((sc, mt, o), bf))
+                out += ((sc, o)) -> bf
+              }
+            }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
     }
-    lastSidecarReads = toRead.map(_._1).toSeq
+    lastSidecarReads = reads.distinct.toSeq
     out.result()
   }
 
@@ -2991,8 +3011,8 @@ object SnapshotStore {
     * SIDECAR under `sidecarDir` and the returned stats carry only the
     * (sidecar, ord) pointer — the manifest never holds bloom bytes
     * (the collected bits are a bounded per-commit TRANSIENT here, not
-    * driver residency); with no sidecar dir (conversion of an external
-    * layout) the legacy inline base64 form is used. */
+    * driver residency). Every production caller passes a sidecar dir;
+    * the inline-base64 fallback remains for None (legacy parity). */
   private def collectStats(df: DataFrame, files: Seq[String],
                            sizes: Map[String, Long],
                            bloomCols: Seq[String] = Seq.empty,

@@ -103,6 +103,35 @@ class SnapshotBloomSidecarSpec extends SparkSpec {
       s"index bloom-prunes through sidecars: ${idx.lastListedCount} of 16")
   }
 
+  test("CACHE STALENESS: a dropped-and-recreated table at the SAME path " +
+    "(same sidecar paths, same ords) never serves the old table's bloom " +
+    "bits — recreation must not wrongly prune files holding the value") {
+    val dir = freshDir()
+    def build(lo: Long, hi: Long): Unit = {
+      val f = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.delete(new org.apache.hadoop.fs.Path(dir), true)
+      SnapshotStore.clearManifestCacheForTest()
+      SnapshotStore.commit(spark, dir, shuffled(lo, hi, 4), "ingest",
+        bloomCols = Seq("doc_id"))
+    }
+    build(1L, 1000L)
+    // prime the sidecar bloom cache with the FIRST table's bits
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L, EqTo("doc_id", 777L))
+      .count() == 1L)
+    // recreate at the same path with a DIFFERENT id range: the sidecar
+    // paths and ords are identical — only the dir mtime differs
+    Thread.sleep(5) // ensure a distinct mtime tick for the new sidecar
+    build(500L, 1500L)
+    // the probed value exists in the new table; serving the old cached
+    // bits could prune its file away (the old bloom may lack 1400)
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L,
+      EqTo("doc_id", 1400L)).count() == 1L,
+      "stale cached sidecar bits must never prune the recreated table")
+    assert(SnapshotStore.prunedFiles(spark, dir, 1L,
+      EqTo("doc_id", 1400L)).nonEmpty)
+  }
+
   test("a dangling sidecar (externally removed) degrades to " +
     "conservative KEEP — never a wrong answer, never an error") {
     val dir = freshDir()
