@@ -282,6 +282,8 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
       .getOrElse(1L)
     val maxVersionsPerTrigger = parameters.get("maxVersionsPerTrigger")
       .map(_.trim.toLong)
+    val maxBytesPerTrigger = parameters.get("maxBytesPerTrigger")
+      .map(_.trim.toLong)
     if (cdfRequested(parameters)) {
       // explicit option wins; else the table's own `graft.cdfKeys`
       // declaration (round 19 — the same keys SQL table_changes uses)
@@ -295,9 +297,9 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
         "readChangeFeed needs key columns — pass idCols, or declare " +
           "them once with TBLPROPERTIES ('graft.cdfKeys' = '<col,...>')")
       new SnapshotCdfStreamSource(spark, dir, s, startingVersion,
-        maxVersionsPerTrigger, idCols)
+        maxVersionsPerTrigger, idCols, maxBytesPerTrigger)
     } else new SnapshotStreamSource(spark, dir, s, startingVersion,
-      maxVersionsPerTrigger)
+      maxVersionsPerTrigger, maxBytesPerTrigger)
   }
 }
 
@@ -360,9 +362,12 @@ final class SnapshotSink(spark: SparkSession, dir: String,
 sealed abstract class SnapshotStreamSourceBase(
     spark: SparkSession, dir: String,
     startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long]) extends Source {
+    maxVersionsPerTrigger: Option[Long],
+    maxBytesPerTrigger: Option[Long] = None) extends Source {
 
   require(startingVersion >= 1, "startingVersion must be >= 1")
+  require(maxBytesPerTrigger.forall(_ >= 1L),
+    "maxBytesPerTrigger must be >= 1")
   // versions before startingVersion count as already delivered
   protected val floor: Long = startingVersion - 1
 
@@ -374,10 +379,37 @@ sealed abstract class SnapshotStreamSourceBase(
 
   @volatile protected var lastEnd: Long = floor
 
+  /** `maxBytesPerTrigger` (round 19 — the Delta knob): bound each
+    * micro-batch by the RECORDED bytes of the versions it folds, so a
+    * huge backfill commit doesn't pair with ten more in one batch. The
+    * first pending version always delivers whatever its size (progress
+    * never stalls — the Delta contract); rewrite commits count zero
+    * (the feed delivers nothing for them); manifest entries without
+    * recorded sizes count zero (the cap degrades toward version
+    * counting, never an error). Costs one small header/delta read per
+    * CONSIDERED version per trigger — O(batch), the same class as the
+    * delivery itself. */
+  private def byteCapped(from: Long, hi: Long, budget: Long): Long = {
+    var v = from
+    var spent = 0L
+    var done = false
+    while (!done && v < hi) {
+      val add = SnapshotStore.versionAddedBytes(spark, dir, v + 1)
+      if (v > from && spent + add > budget) done = true
+      else { v += 1; spent += add }
+    }
+    math.max(v, from + 1) // at least one version when any is pending
+  }
+
   override def getOffset: Option[OffsetV1] =
     SnapshotStore.latestVersion(spark, dir).flatMap { latest =>
-      val capped = maxVersionsPerTrigger
+      val vCapped = maxVersionsPerTrigger
         .map(m => math.min(latest, lastEnd + m)).getOrElse(latest)
+      val capped = maxBytesPerTrigger match {
+        case Some(b) if vCapped > lastEnd && lastEnd >= floor =>
+          math.min(vCapped, byteCapped(math.max(lastEnd, floor), vCapped, b))
+        case _ => vCapped
+      }
       if (capped <= floor) None
       else { lastEnd = math.max(lastEnd, capped); Some(LongOffset(capped)) }
     }
@@ -423,9 +455,10 @@ sealed abstract class SnapshotStreamSourceBase(
 final class SnapshotStreamSource(spark: SparkSession, dir: String,
                                  override val schema: StructType,
                                  startingVersion: Long,
-                                 maxVersionsPerTrigger: Option[Long])
+                                 maxVersionsPerTrigger: Option[Long],
+                                 maxBytesPerTrigger: Option[Long] = None)
     extends SnapshotStreamSourceBase(spark, dir, startingVersion,
-      maxVersionsPerTrigger) {
+      maxVersionsPerTrigger, maxBytesPerTrigger) {
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = math.max(floor, start.map(value).getOrElse(floor))
@@ -455,9 +488,10 @@ final class SnapshotCdfStreamSource(spark: SparkSession, dir: String,
                                     override val schema: StructType,
                                     startingVersion: Long,
                                     maxVersionsPerTrigger: Option[Long],
-                                    idCols: Seq[String])
+                                    idCols: Seq[String],
+                                    maxBytesPerTrigger: Option[Long] = None)
     extends SnapshotStreamSourceBase(spark, dir, startingVersion,
-      maxVersionsPerTrigger) {
+      maxVersionsPerTrigger, maxBytesPerTrigger) {
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     import org.apache.spark.sql.functions.lit

@@ -4710,6 +4710,24 @@ object SnapshotStore {
       col("_change_type"): _*)
   }
 
+  /** Recorded bytes one version ADDED — the streaming source's
+    * `maxBytesPerTrigger` meter (round 19). One small log read: the
+    * action delta carries its adds' stats inline; rewrite commits count
+    * zero (the feed delivers nothing for them); a legacy SELF-CONTAINED
+    * entry counts its full recorded footprint (conservative — the cap
+    * can only under-batch, never over); absent sizes count zero (the
+    * cap degrades toward version counting). */
+  private[storage] def versionAddedBytes(spark: SparkSession, dir: String,
+                                         version: Long): Long =
+    readRaw(spark, dir, version) match {
+      case Right(d) =>
+        if (RewriteOps(d.operation)) 0L
+        else d.adds.iterator.flatMap(_._2.map(_.bytes)).sum
+      case Left(m) =>
+        if (RewriteOps(m.operation)) 0L
+        else m.stats.values.iterator.map(_.bytes).sum
+    }
+
   /** the table's DECLARED change-feed key columns (`graft.cdfKeys`,
     * round 19) as of `version` — what `table_changes` and the streaming
     * CDF source key the boundary diff on when no explicit idCols are

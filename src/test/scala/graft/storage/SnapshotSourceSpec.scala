@@ -84,6 +84,58 @@ class SnapshotSourceSpec extends SparkSpec {
       s"one version per trigger, history before v2 skipped: $batches")
   }
 
+  test("readStream option maxBytesPerTrigger: micro-batches bound by " +
+    "recorded added bytes, an oversized first version still delivers, " +
+    "and everything arrives exactly once") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"t$i")).toDF("doc_id", "text"), "ingest")
+    (1 to 4).foreach(r => SnapshotStore.commitAppend(spark, dir,
+      (1L to 5L).map(i => (100L + r * 10 + i, s"a$r$i"))
+        .toDF("doc_id", "text"), s"append-$r"))
+    val batches = scala.collection.mutable.Buffer.empty[Long]
+    val got = scala.collection.mutable.Set.empty[Long]
+    val q = spark.readStream.format("graft-snapshot")
+      .option("maxBytesPerTrigger", 1) // every byte budget is exceeded:
+      // each version must still deliver — alone, one per micro-batch
+      .load(dir)
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mbpt-ckpt").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val ids = b.select("doc_id").as[Long].collect()
+        batches += ids.length.toLong; got ++= ids; ()
+      }.start()
+    q.processAllAvailable()
+    q.stop()
+    assert(batches.count(_ > 0L) == 5,
+      s"a 1-byte budget folds exactly one version per batch, got $batches")
+    assert(batches.toSeq.filter(_ > 0L).sorted == Seq(5L, 5L, 5L, 5L, 100L))
+    assert(got.size == 120, "exactly-once delivery under the byte cap")
+
+    // a budget of exactly two append versions folds version PAIRS:
+    // max(b2+b3, b4+b5) admits each pair but never a third version
+    val m = SnapshotStore.manifest(spark, dir, 5L)
+    def bytesOf(v: Long): Long = m.files
+      .filter(_.contains(f"v$v%08d")).map(m.stats(_).bytes).sum
+    val budget = math.max(bytesOf(2L) + bytesOf(3L),
+      bytesOf(4L) + bytesOf(5L))
+    assert(budget > 0L, "recorded sizes drive the meter")
+    val batches2 = scala.collection.mutable.Buffer.empty[Long]
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", 2)
+      .option("maxBytesPerTrigger", budget)
+      .load(dir)
+      .writeStream.option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mbpt-ckpt2").toString)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches2 += b.count(); ()
+      }.start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(batches2.toSeq.filter(_ > 0L) == Seq(10L, 10L),
+      s"a two-version budget folds version pairs, got $batches2")
+  }
+
   test("readStream option startingTimestamp: commits at or after the instant deliver; earlier instants = full history") {
     val dir = freshDir()
     SnapshotStore.commit(spark, dir, Seq((1L, "a")).toDF("doc_id", "text"), "ingest")
