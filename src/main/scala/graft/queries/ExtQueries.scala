@@ -4316,6 +4316,55 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** EXPRESSION COLUMN DEFAULTS end-to-end (round 19 —
+    * `graft.generated.<col>`): the table is born via CTAS with a
+    * declared `len_bucket` the writing frame does not carry (computed
+    * at commit), a SQL INSERT omitting the column computes it too, and
+    * Delta-strict GENERATED ALWAYS equality is opted into as a CHECK —
+    * the in-query fence proves a writer-supplied WRONG value refuses
+    * wholesale while the computed path keeps landing. The final
+    * per-bucket aggregate ≡ the relational replay computing the same
+    * expression. */
+  def eSnapshotGenerated(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "gen")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_gen_src")
+    val tbl = s"graft_gen_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot`
+           |OPTIONS (path '$root')
+           |TBLPROPERTIES ('graft.generated.len_bucket' = 'n_chars % 8')
+           |AS SELECT doc_id, lang, n_chars FROM graft_gen_src
+           |WHERE doc_id % 2 = 0""".stripMargin)
+      require(graft.storage.SnapshotStore.read(s, root)
+        .columns.contains("len_bucket"),
+        "the declared column must be computed at the CTAS commit")
+      s.sql(
+        s"""INSERT INTO $tbl (doc_id, lang, n_chars)
+           |SELECT doc_id + 700000, lang, n_chars FROM graft_gen_src
+           |WHERE doc_id % 2 = 1""".stripMargin)
+      // strict GENERATED ALWAYS: opt in via the CHECK machinery, then
+      // fence that a wrong explicit value refuses wholesale
+      s.sql(s"ALTER TABLE $tbl SET TBLPROPERTIES " +
+        "('graft.constraints.gen_len' = 'len_bucket <=> n_chars % 8')")
+      val refused =
+        try { s.sql(s"INSERT INTO $tbl VALUES (9000001, 'xx', 40, 99)"); false }
+        catch {
+          case _: graft.storage.SnapshotStore.ConstraintViolationException =>
+            true
+        }
+      require(refused, "a wrong explicit value must refuse under the " +
+        "opt-in strict CHECK")
+      s.sql(
+        s"""SELECT len_bucket, count(*) AS n, sum(doc_id) AS id_sum,
+           |  sum(n_chars) AS chars_sum
+           |FROM $tbl GROUP BY len_bucket ORDER BY len_bucket""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** SQL `table_changes` TVF end-to-end (round 19 — the Delta CDF
     * table-valued function over the engine's boundary-diff feed): the
     * table takes an INSERT, an UPDATE, and a DELETE through plain SQL,
@@ -7892,6 +7941,7 @@ object ExtQueries {
     "e_snapshot_sql_verbs" -> (eSnapshotSqlVerbs _),
     "e_snapshot_zorder_scoped" -> (eSnapshotZorderScoped _),
     "e_snapshot_table_changes" -> (eSnapshotTableChanges _),
+    "e_snapshot_generated" -> (eSnapshotGenerated _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9795,6 +9845,16 @@ object ExtQueries {
         |    CAST(sum(doc_id) AS BIGINT), CAST(sum(n_chars) AS BIGINT)
         |  FROM documents, cut WHERE doc_id >= c GROUP BY lang)
         |SELECT * FROM agg ORDER BY era, lang""".stripMargin,
+    "e_snapshot_generated" ->
+      """WITH allrows AS (
+        |  SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 700000, lang, n_chars FROM documents
+        |  WHERE doc_id % 2 = 1)
+        |SELECT n_chars % 8 AS len_bucket, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM allrows GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
     "e_snapshot_table_changes" ->
       """WITH ins AS (
         |  SELECT 'insert' AS _change_type, lang, doc_id + 900000 AS doc_id,

@@ -2049,8 +2049,11 @@ object SnapshotStore {
       // the authority (no resurrected column mapping — see the flag doc),
       // and no old file is referenced, so the tombstones reset too
       freshArePhysical = false,
-      droppedColsFn = Some(_ => Seq.empty)) { (_, dataDir) =>
-      writeData(df, dataDir, partitionBy)
+      droppedColsFn = Some(_ => Seq.empty)) { (prior0, dataDir) =>
+      // expression defaults: carried declarations plus this commit's own
+      writeData(applyColumnDefaults(spark, df, generatedOf(
+        prior0.map(_.properties).getOrElse(Map.empty) ++
+          validatedProperties(tblProperties))), dataDir, partitionBy)
       (Seq.empty, Map.empty)
     }
 
@@ -2065,7 +2068,10 @@ object SnapshotStore {
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     preValidateEvolution(spark, dir, delta)
     commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-      writeData(delta, dataDir,
+      writeData(
+        applyColumnDefaults(spark, delta, generatedOf(
+          prior.map(_.properties).getOrElse(Map.empty))),
+        dataDir,
         prior.map(_.partitionCols).getOrElse(Seq.empty),
         toPhysical = prior.map(mappingOf).getOrElse(Map.empty))
       prior.map(m => (m.files, m.stats)).getOrElse((Seq.empty, Map.empty))
@@ -2611,8 +2617,12 @@ object SnapshotStore {
           .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
       // allowMissingColumns: an evolved delta's NEW columns null-fill in
       // survivors; a delta omitting non-key table columns null-fills its
-      // own rows (the Delta automatic-evolution contract)
-      writeData(survivors.unionByName(delta, allowMissingColumns = true),
+      // own rows (the Delta automatic-evolution contract). Expression
+      // defaults apply to the writer-authored DELTA side only — the
+      // carried survivors' rows must rewrite byte-faithfully.
+      writeData(survivors.unionByName(
+        applyColumnDefaults(spark, delta, generatedOf(m.properties)),
+        allowMissingColumns = true),
         dataDir, m.partitionCols, toPhysical = mappingOf(m))
       (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
     }
@@ -2699,9 +2709,12 @@ object SnapshotStore {
           writeFoldedVector(spark, m, touched, marks, newDvDir)
         }
       // the whole delta appends — replacements AND new keys — exactly
-      // the bytes the caller handed in (append mode: the hidden `_dv`
-      // write above already created our claimed version dir)
-      writeData(delta, dataDir, m.partitionCols, append = true,
+      // the bytes the caller handed in plus any declared expression
+      // defaults (append mode: the hidden `_dv` write above already
+      // created our claimed version dir)
+      writeData(
+        applyColumnDefaults(spark, delta, generatedOf(m.properties)),
+        dataDir, m.partitionCols, append = true,
         toPhysical = mappingOf(m))
       Staged(m.files, m.stats,
         Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
@@ -4011,9 +4024,9 @@ object SnapshotStore {
             "full-snapshot rewrite")
         val refd = constraintsReferencing(spark, m0.properties, f0.name)
         if (refd.nonEmpty) refuse(
-          s"column ${f0.name} is referenced by CHECK constraint(s) " +
-            s"${refd.mkString(", ")} — DROP the constraint(s) first " +
-            "(dropping under them would wedge every later write)")
+          s"column ${f0.name} is referenced by CHECK constraint(s) / " +
+            s"expression default(s) ${refd.mkString(", ")} — retire " +
+            "them first (dropping under them would wedge every later write)")
         f0
       }
       require(dropped.length < schema0.fields.length,
@@ -4077,9 +4090,9 @@ object SnapshotStore {
         s"column $newName already exists — RENAME COLUMN cannot collide")
       val refd = constraintsReferencing(spark, m0.properties, f0.name)
       if (refd.nonEmpty) refuse(
-        s"column ${f0.name} is referenced by CHECK constraint(s) " +
-          s"${refd.mkString(", ")} — DROP the constraint(s) first " +
-          "(renaming under them would wedge every later write)")
+        s"column ${f0.name} is referenced by CHECK constraint(s) / " +
+          s"expression default(s) ${refd.mkString(", ")} — retire " +
+          "them first (renaming under them would wedge every later write)")
       val renamed = f0.copy(name = newName,
         metadata = new MetadataBuilder().withMetadata(f0.metadata)
           .putString(PhysicalNameKey, physicalName(f0)).build())
@@ -4105,6 +4118,7 @@ object SnapshotStore {
   private[storage] val CheckpointIntervalKey = "graft.checkpointInterval"
   private[storage] val TargetFileSizeKey = "graft.targetFileSize"
   private[storage] val CdfKeysKey = "graft.cdfKeys"
+  private val GeneratedKeyPrefix = "graft.generated."
 
   /** typed refusal of table-property and constraint validation — the
     * same class the SQL face surfaces, so programmatic callers catch
@@ -4161,10 +4175,22 @@ object SnapshotStore {
           throw new SnapshotPropertyException(
             s"constraint property $k needs a name and a CHECK expression")
         (ConstraintKeyPrefix + k.substring(ConstraintKeyPrefix.length)) -> v
+      } else if (lk.startsWith(GeneratedKeyPrefix)) {
+        // EXPRESSION COLUMN DEFAULTS (round 19): the declared expression
+        // computes the column at writer-authored faces when the writer
+        // omits it or leaves it null. Expression parseability is
+        // checked where a session exists (setTableProperties / first
+        // write) — here only the shape.
+        if (k.length == GeneratedKeyPrefix.length || v.trim.isEmpty)
+          throw new SnapshotPropertyException(
+            s"generated-default property $k needs a column name and an " +
+              "expression")
+        (GeneratedKeyPrefix + k.substring(GeneratedKeyPrefix.length)) -> v
       } else throw new SnapshotPropertyException(
         s"unknown graft table property $k — the engine's knobs are " +
           s"$BloomColumnsKey, $CheckpointIntervalKey, $TargetFileSizeKey, " +
-          s"$CdfKeysKey, and $ConstraintKeyPrefix<name>")
+          s"$CdfKeysKey, $ConstraintKeyPrefix<name>, and " +
+          s"$GeneratedKeyPrefix<col>")
     }
 
   /** [[validatedProperties]] for the SQL commands' catalog lockstep —
@@ -4206,6 +4232,47 @@ object SnapshotStore {
       k.substring(ConstraintKeyPrefix.length) -> v
     }.sortBy(_._1)
 
+  /** the table's EXPRESSION COLUMN DEFAULTS (round 19 — the
+    * `graft.generated.<col>` declarations), (column, expression text) */
+  private[storage] def generatedOf(props: Map[String, String])
+      : Seq[(String, String)] =
+    props.toSeq.collect { case (k, v) if k.startsWith(GeneratedKeyPrefix) =>
+      k.substring(GeneratedKeyPrefix.length) -> v
+    }.sortBy(_._1)
+
+  /** Apply the declared EXPRESSION DEFAULTS to a WRITER-AUTHORED frame
+    * (round 19 — the date-partition pattern: writers omit `day`, the
+    * engine computes `CAST(ts AS DATE)` per row): an ABSENT declared
+    * column is computed outright; a PRESENT one fills only its NULLs
+    * (SQL DEFAULT semantics — an explicit non-null value always wins,
+    * and the SQL INSERT column-list face null-fills unnamed columns, so
+    * "omitted in the column list" and "absent from the frame" behave
+    * identically). Applied ONLY where the rows are writer-authored —
+    * full-snapshot commit, append, merge DELTA side, SQL INSERT, the
+    * streaming sink — never to carried/rewritten rows (compaction and
+    * CoW rewrites must stay content-neutral; backfilling an old row's
+    * null there would change history). Delta-strict GENERATED ALWAYS
+    * equality is OPT-IN by composing a CHECK constraint over the same
+    * expression — the existing machinery refuses violating writes
+    * wholesale. */
+  private def applyColumnDefaults(spark: SparkSession, df: DataFrame,
+                                  defaults: Seq[(String, String)]): DataFrame =
+    if (defaults.isEmpty) df
+    else {
+      val cs = caseSensitive(spark)
+      defaults.foldLeft(df) { case (d, (c, ex)) =>
+        d.schema.fields.find(f =>
+          if (cs) f.name == c else f.name.equalsIgnoreCase(c)) match {
+          case Some(f) =>
+            // fill only nulls, at the column's own committed type and
+            // under its existing spelling
+            d.withColumn(f.name, coalesce(col(s"`${f.name}`"),
+              expr(ex).cast(f.dataType)))
+          case None => d.withColumn(c, expr(ex))
+        }
+      }
+    }
+
   /** Names of CHECK constraints whose expression references `colName`
     * — RENAME and DROP of a constrained column must refuse: the
     * recorded expression text would stop resolving at the write-time
@@ -4216,13 +4283,19 @@ object SnapshotStore {
                                      props: Map[String, String],
                                      colName: String): Seq[String] = {
     val resolver = spark.sessionState.conf.resolver
-    constraintsOf(props).collect { case (n, ex) if {
+    def references(ex: String): Boolean =
       try spark.sessionState.sqlParser.parseExpression(ex).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
           a.nameParts.head
       }.exists(resolver(_, colName))
       catch { case scala.util.control.NonFatal(_) => true }
-    } => n }
+    constraintsOf(props).collect { case (n, ex) if references(ex) => n } ++
+      // expression defaults reference columns the same way — renaming
+      // or dropping one from under a default would wedge every later
+      // writer-authored commit behind an unresolved-column error
+      generatedOf(props).collect { case (c, ex)
+        if references(ex) || resolver(c, colName) =>
+        s"expression-default:$c" }
   }
 
   /** ONE aggregated pass validates every CHECK constraint over the
@@ -4269,6 +4342,18 @@ object SnapshotStore {
     val canon = validatedProperties(updates)
     if (latestVersion(spark, dir).isEmpty)
       refuse(s"no committed version at $dir")
+    // a newly declared EXPRESSION DEFAULT must parse NOW — a typo'd
+    // expression refusing only at the next write would wedge a later,
+    // unrelated commit behind this statement's mistake
+    canon.foreach { case (k, v) =>
+      if (k.startsWith(GeneratedKeyPrefix))
+        try spark.sessionState.sqlParser.parseExpression(v)
+        catch { case scala.util.control.NonFatal(_) =>
+          throw new SnapshotPropertyException(
+            s"generated-default property $k holds an unparseable " +
+              s"expression: '$v'")
+        }
+    }
     // re-declared bloom columns flow into the operational field too
     val bloomsOpt = canon.get(BloomColumnsKey)
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
