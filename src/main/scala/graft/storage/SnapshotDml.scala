@@ -148,10 +148,16 @@ object SnapshotDmlRule extends Rule[LogicalPlan] {
         s"table_changes: $what must be a string literal, got $e")
     }
     val target = strArg(args(0), "the first argument")
-    val dir = snapshotDirOfParts(spark,
-        if (target.startsWith("`"))
-          Seq(target.stripPrefix("`").stripSuffix("`"))
-        else target.split('.').toSeq)
+    // the table name parses as a real multi-part identifier (round 20):
+    // per-part backtick quoting (`db`.`t`, names with dots) resolves
+    // through Spark's own identifier grammar, never a naive dot split;
+    // a string that doesn't parse as an identifier (a path) falls
+    // through to the path branch
+    val nameParts: Seq[String] =
+      try spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val dir = (if (nameParts.nonEmpty) snapshotDirOfParts(spark, nameParts)
+               else None)
       .orElse(if (target.contains("/")) Some(target) else None)
       .getOrElse(analysisError(
         s"table_changes: $target is neither a registered graft-snapshot " +

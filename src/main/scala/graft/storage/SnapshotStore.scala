@@ -1691,10 +1691,18 @@ object SnapshotStore {
 
   /** instrumentation: (checkpoint entries scanned DISTRIBUTED, file
     * entries materialized on the DRIVER) by the most recent
-    * [[prunedFilesDistributed]] / [[readAsOfWhereDistributed]] call —
-    * the bounded-driver contract is asserted on the second number
-    * (specs and the graded query's in-plan fences read it) */
-  @volatile var lastDistributedPrune: (Long, Long) = (0L, 0L)
+    * [[prunedFilesDistributed]] / [[readAsOfWhereDistributed]] call on
+    * THIS thread — the bounded-driver contract is asserted on the
+    * second number (specs and the graded query's in-plan fences read
+    * it). PER-THREAD (round 20): concurrent queries (the bench
+    * harness, multi-session drivers) must not interleave each other's
+    * counters, or an in-plan fence could assert against a rival
+    * query's prune. */
+  private val lastDistributedPruneTl =
+    ThreadLocal.withInitial[(Long, Long)](() => (0L, 0L))
+  def lastDistributedPrune: (Long, Long) = lastDistributedPruneTl.get()
+  private def setLastDistributedPrune(v: (Long, Long)): Unit =
+    lastDistributedPruneTl.set(v)
 
   /** executor-side phase-1 row evaluation of one checkpoint entry:
     * min/max / null-count stats only (bloom bits stay in their
@@ -1766,14 +1774,20 @@ object SnapshotStore {
     val dataP = checkpointDataPath(dir, w)
     if (!f.exists(dataP) || entries < 0L) return None
     // the target version's header fields: the last delta's when a tail
-    // exists, else the checkpoint's own
-    val (op, ts, schemaJ, pCols, bCols, dvs, dropped, props) =
+    // exists, else the checkpoint's own. DELETION VECTORS at a
+    // checkpoint-COINCIDENT version (empty tail) do NOT ride the parquet
+    // checkpoint header — they ride the per-file rows (dvPath/dvRows),
+    // so the survivor fold below rebuilds the map from exactly those
+    // columns (None here marks that case; survivors-only is sufficient
+    // because the synthetic manifest lists only kept files, and
+    // readFiles consults dvs only for the files it reads).
+    val (op, ts, schemaJ, pCols, bCols, dvsHdr, dropped, props) =
       deltas.lastOption match {
         case Some(d) => (d.operation, d.ts, d.schema, d.partitionCols,
-          d.bloomCols, d.dvs, d.droppedCols, d.properties)
+          d.bloomCols, Some(d.dvs), d.droppedCols, d.properties)
         case None => (operationOf(hdr), tsOf(hdr), schemaFieldOf(hdr),
           strArrayOf(hdr, "partitionCols"), strArrayOf(hdr, "bloomCols"),
-          dvsOf(hdr), strArrayOf(hdr, "droppedCols"), propertiesOf(hdr))
+          None, strArrayOf(hdr, "droppedCols"), propertiesOf(hdr))
       }
     val physPred = toPhysicalPred(pred,
       schemaJ.map(s => physicalOf(DataType.fromJson(s).asInstanceOf[StructType]))
@@ -1821,8 +1835,15 @@ object SnapshotStore {
       st.forall(physPred.mightMatch)
     }
     val candidates = base ++ tailKept
-    lastDistributedPrune =
-      (entries, (survivorRows.length + tail.size).toLong)
+    // checkpoint-coincident versions: dv refs come from the survivor
+    // rows' own dvPath/dvRows columns (fields 8/9 of CkptSchema) —
+    // the header never carries them in the parquet encoding
+    val dvs = dvsHdr.getOrElse(
+      survivorRows.iterator.filter(r => !r.isNullAt(8)).map(r =>
+        r.getString(1) -> DvRef(r.getString(8),
+          if (r.isNullAt(9)) 0L else r.getLong(9))).toMap)
+    setLastDistributedPrune(
+      (entries, (survivorRows.length + tail.size).toLong))
     val statsMap = candidates.collect { case (fl, Some(st)) => fl -> st }.toMap
     // PHASE 2: sidecar blooms for the candidate sliver, shared path
     val keep = pruneWithBlooms(spark, candidates.map(_._1), statsMap.get,
@@ -2872,26 +2893,45 @@ object SnapshotStore {
     }
 
   /** Bounded in-JVM cache of DECODED sidecar blooms, keyed (sidecar
-    * path, sidecar dir mtime, ord): ≤1024 entries × 8 KB ≈ 8 MB — a
+    * path, CONTENT fingerprint, ord): ≤1024 entries × 8 KB ≈ 8 MB — a
     * hot point-lookup table stops re-reading its candidate sidecars per
     * query, and the bound holds whatever the table's file count is (the
     * manifest cache may hold 800k-entry states; this one never grows
-    * with them). The MTIME in the key is the staleness guard (the
-    * manifest cache's (len, mtime) discipline): a dropped-and-recreated
-    * table at the same path reuses the same `v%08d-op/_blooms` sidecar
-    * paths, and serving the old table's bits would WRONGLY PRUNE files
-    * that hold the probed value — one getFileStatus per touched sidecar
-    * per load is the price, far below the parquet read it saves; stale
-    * entries age out of the LRU. */
+    * with them). The FINGERPRINT in the key is the staleness guard
+    * (round 20 — hardened from the dir mtime, which object stores
+    * synthesize and local filesystems tick coarsely): the sidecar
+    * dir's LISTING — each part's (name, length, mtime) — keys the
+    * entry, and parquet part names embed a per-write UUID, so a
+    * dropped-and-recreated table at the same path can NEVER validate
+    * against the old table's bits (serving them would WRONGLY PRUNE
+    * files that hold the probed value — and pruneWithBlooms now gates
+    * write paths too, where a wrong prune silently skips deletes). One
+    * listStatus per touched sidecar per load is the price, far below
+    * the parquet read it saves; stale entries age out of the LRU. */
   private val SidecarBloomCacheCapacity = 1024
   private val sidecarBloomCache =
-    new java.util.LinkedHashMap[(String, Long, Long),
+    new java.util.LinkedHashMap[(String, String, Long),
         org.apache.spark.util.sketch.BloomFilter](64, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(String, Long, Long),
+          e: java.util.Map.Entry[(String, String, Long),
             org.apache.spark.util.sketch.BloomFilter]): Boolean =
         size() > SidecarBloomCacheCapacity
     }
+
+  /** content identity of one sidecar dir: every part's
+    * (name, len, mtime), sorted — parquet part names carry a per-write
+    * UUID, so any rewrite (table recreation included) changes this
+    * even when dir mtimes do not. None = unlistable (dangling sidecar:
+    * conservative keep, no cache). */
+  private def sidecarFingerprint(spark: SparkSession,
+                                 sc: String): Option[String] =
+    try {
+      val p = new Path(sc)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Some(f.listStatus(p).iterator.map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .toSeq.sorted.mkString("|"))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** spec instrumentation: sidecar parquet READS (cache misses) and the
     * sidecar dirs the most recent load touched — the laziness contract
@@ -2899,7 +2939,11 @@ object SnapshotStore {
     * when min/max already pruned them") is asserted on these */
   private[storage] val sidecarReadCount =
     new java.util.concurrent.atomic.AtomicLong
-  @volatile private[storage] var lastSidecarReads: Seq[String] = Seq.empty
+  // per-thread (round 20): a rival query's load must not clobber the
+  // fence a spec reads right after its own call
+  private val lastSidecarReadsTl =
+    ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
+  private[storage] def lastSidecarReads: Seq[String] = lastSidecarReadsTl.get()
   private[storage] def clearSidecarBloomCacheForTest(): Unit =
     sidecarBloomCache.synchronized(sidecarBloomCache.clear())
 
@@ -2914,14 +2958,11 @@ object SnapshotStore {
       org.apache.spark.util.sketch.BloomFilter]
     val reads = scala.collection.mutable.ArrayBuffer.empty[String]
     needed.foreach { case (sc, ords) =>
-      // one status RPC per touched sidecar: the cache-staleness guard
-      // (and the dangling-sidecar early-out — conservative keep)
-      val mtime = try {
-        val p = new Path(sc)
-        Some(p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          .getFileStatus(p).getModificationTime)
-      } catch { case scala.util.control.NonFatal(_) => None }
-      mtime.foreach { mt =>
+      // one listing RPC per touched sidecar: the content-fingerprint
+      // staleness guard (and the dangling-sidecar early-out —
+      // conservative keep)
+      val fp = sidecarFingerprint(spark, sc)
+      fp.foreach { mt =>
         val missing = ords.distinct.filterNot { o =>
           val got = sidecarBloomCache.synchronized(
             sidecarBloomCache.get((sc, mt, o)))
@@ -2953,7 +2994,7 @@ object SnapshotStore {
         } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    lastSidecarReads = reads.distinct.toSeq
+    lastSidecarReadsTl.set(reads.distinct.toSeq)
     out.result()
   }
 
@@ -2988,7 +3029,7 @@ object SnapshotStore {
         if (has) pending += f
       }
     }
-    if (pending.isEmpty) { lastSidecarReads = Seq.empty; return phase1 }
+    if (pending.isEmpty) { lastSidecarReadsTl.set(Seq.empty); return phase1 }
     val br = new FilePredicate.LoadedResolve(
       loadSidecarBlooms(spark, needed.toSeq.map(kv => kv._1 -> kv._2.toSeq)))
     val pendSet = pending.toSet
@@ -4623,7 +4664,16 @@ object SnapshotStore {
         Seq(checkpointPath(dir, v)).filter(f.exists) ++
         Seq(checkpointDataPath(dir, v)).filter(f.exists)
     }
-    (logEntries ++ reclaimableDirs(spark, dir, keptManifests))
+    // age-expired checkpoint STAGING dirs (round 20): the real vacuum
+    // sweeps these too — the preview must report the same blast radius
+    val mdp = new Path(manifestDir(dir))
+    val staleStaging =
+      if (!f.exists(mdp)) Seq.empty
+      else f.listStatus(mdp).toSeq.filter(st =>
+        st.getPath.getName.matches("\\.v\\d{8}\\.ckpt\\.tmp") &&
+          System.currentTimeMillis() - st.getModificationTime >=
+            DefaultReclaimGraceMs).map(_.getPath)
+    (logEntries ++ staleStaging ++ reclaimableDirs(spark, dir, keptManifests))
       .map(_.toString)
   }
 
@@ -4718,6 +4768,31 @@ object SnapshotStore {
     require(idCols.nonEmpty, "the change feed needs key columns")
     require(fromVersion < toVersion,
       s"fromVersion $fromVersion must precede toVersion $toVersion")
+    // ADJACENT versions decompose into the commit's OWN action delta
+    // (round 20): changes derive from the commit's added/removed files
+    // and deletion-vector delta alone — O(changed), never a join of
+    // the two complete table snapshots. Non-adjacent ranges keep the
+    // boundary join: the feed's documented grain is the NET change
+    // across the range, which per-commit unions cannot express.
+    if (toVersion == fromVersion + 1) {
+      readCommitChanges(spark, dir, toVersion, idCols) match {
+        case Some(df) => return df
+        case None => () // legacy self-contained entry: boundary join
+      }
+    }
+    readRowChangesBoundary(spark, dir, fromVersion, toVersion, idCols)
+  }
+
+  /** the boundary-join form of [[readRowChanges]] — O(table): the NET
+    * diff of the two complete version snapshots. Non-adjacent ranges
+    * land here semantically (NET is the documented grain); adjacent
+    * pairs only as the legacy-log fallback. Package-visible so the
+    * per-commit path's equivalence is spec-asserted against it. */
+  private[storage] def readRowChangesBoundary(spark: SparkSession,
+                                              dir: String,
+                                              fromVersion: Long,
+                                              toVersion: Long,
+                                              idCols: Seq[String]): DataFrame = {
     // both manifests read ONCE — the snapshot scans and the rename
     // alignment below share them (an action-log reconstruction is a
     // checkpoint + delta fold; no reason to pay it twice per side)
@@ -4725,13 +4800,11 @@ object SnapshotStore {
     val mFrom = manifest(spark, dir, fromVersion)
     require(mTo.files.nonEmpty, s"version $toVersion holds no data files")
     require(mFrom.files.nonEmpty, s"version $fromVersion holds no data files")
+    setLastRowChangesScan(RowChangesScan("boundary",
+      (mFrom.files ++ mTo.files).distinct))
     val post = readFiles(spark, dir, mTo, mTo.files)
     val cols = post.columns.toSeq
-    val reserved = Set("__pre", "__post", "__types", "_change_type")
-    cols.filter(reserved).foreach(c => sys.error(
-      s"column $c collides with the change feed's output — rename it"))
-    idCols.foreach(c => require(cols.contains(c),
-      s"key column $c is not in version $toVersion's schema"))
+    validateCdfColumns(cols, idCols, toVersion)
     val pre = {
       val p1 = readFiles(spark, dir, mFrom, mFrom.files)
       // RENAME-transparent (round 17, column mapping): a renamed column
@@ -4763,6 +4836,30 @@ object SnapshotStore {
         else df.withColumn(c, lit(null).cast(post.schema(c).dataType))
       }
     }
+    classifyRowChanges(pre, post, idCols, cols)
+  }
+
+  /** refuse a change-feed read whose output would be ambiguous: a
+    * reserved-name collision or a key column the version doesn't hold */
+  private def validateCdfColumns(cols: Seq[String], idCols: Seq[String],
+                                 toVersion: Long): Unit = {
+    val reserved = Set("__pre", "__post", "__types", "_change_type")
+    cols.filter(reserved).foreach(c => sys.error(
+      s"column $c collides with the change feed's output — rename it"))
+    idCols.foreach(c => require(cols.contains(c),
+      s"key column $c is not in version $toVersion's schema"))
+  }
+
+  /** The shared CDF classifier: full-outer join `pre` against `post` on
+    * the (null-safe) key, tag insert / delete / update pre+post pairs in
+    * `_change_type`, drop unchanged rows. Both frames must already
+    * spell the SAME columns (`cols` — the post side's). One shuffle on
+    * the key (bucketable / co-partitionable — the snapshot-diff plan
+    * class); classification is a codegen'd struct compare; updates fan
+    * out through an explode, never a second join. */
+  private def classifyRowChanges(pre: DataFrame, post: DataFrame,
+                                 idCols: Seq[String],
+                                 cols: Seq[String]): DataFrame = {
     val dataCols = cols.filterNot(idCols.contains)
     require(dataCols.nonEmpty,
       "the key covers every column — nothing to diff at row grain")
@@ -4793,6 +4890,166 @@ object SnapshotStore {
       when(fromPre, col("__pre").getField(c))
         .otherwise(col("__post").getField(c)).as(c)) :+
       col("_change_type"): _*)
+  }
+
+  /** what the most recent [[readRowChanges]] call on THIS thread
+    * scanned: the path taken (`per-commit` | `boundary` | `rewrite` |
+    * `metadata`) and the DATA files its plan reads — the O(changed)
+    * contract's fence (a one-commit feed must list only that commit's
+    * added/removed/DV-touched files, never the table's). */
+  final case class RowChangesScan(mode: String, dataFiles: Seq[String])
+  private val lastRowChangesScanTl =
+    ThreadLocal.withInitial[RowChangesScan](() => RowChangesScan("", Seq.empty))
+  def lastRowChangesScan: RowChangesScan = lastRowChangesScanTl.get()
+  private def setLastRowChangesScan(v: RowChangesScan): Unit =
+    lastRowChangesScanTl.set(v)
+
+  /** Per-commit (O(changed)) row-grain change feed of ONE commit
+    * (round 20 — the Delta commit-scoped CDF shape): derive the changes
+    * of version `v` against `v - 1` from the commit's OWN action
+    * delta — scanning only its added files, its removed files, and the
+    * deletion-vector entries it changed — never the two complete table
+    * snapshots. The pre side is the removed files' rows (as of `v-1`,
+    * their old vectors applied) plus the carried files' NEWLY-masked
+    * rows; the post side is the added files' rows (the new vectors
+    * applied) plus any rows a vector shrink resurrected (restore). The
+    * shared classifier then yields exactly the boundary join's answer
+    * for the adjacent pair: unchanged carried rows appear on neither
+    * side, and a CoW rewrite's untouched rows appear on BOTH sides and
+    * cancel in the struct compare.
+    *
+    * Both sides read with version `v`'s schema: the data files are
+    * immutable bytes, physical names are stable under column mapping
+    * (rename-transparent for free), a column added at `v` null-fills
+    * the pre side, and a drop+re-add reads the fresh physical — the
+    * same projection the boundary path's alignment computes.
+    *
+    * Returns None only for a legacy SELF-CONTAINED log entry (no action
+    * delta to decompose — the caller boundary-joins); a rewrite commit
+    * (content-neutral by [[RewriteOps]]) and a metadata-only commit
+    * yield an EMPTY typed frame. */
+  private def readCommitChanges(spark: SparkSession, dir: String,
+                                v: Long,
+                                idCols: Seq[String]): Option[DataFrame] = {
+    val d = readRaw(spark, dir, v) match {
+      case Right(delta) => delta
+      case Left(_) => return None
+    }
+    val mTo = manifest(spark, dir, v)
+    val mFrom = manifest(spark, dir, v - 1)
+    require(mTo.files.nonEmpty, s"version $v holds no data files")
+    require(mFrom.files.nonEmpty, s"version ${v - 1} holds no data files")
+    val schema = mTo.schemaStruct.getOrElse(return None)
+    val cols = schema.fields.map(_.name).toSeq
+    validateCdfColumns(cols, idCols, v)
+    val dataCols = cols.filterNot(idCols.contains)
+    require(dataCols.nonEmpty,
+      "the key covers every column — nothing to diff at row grain")
+    def emptyCdf(mode: String): Option[DataFrame] = {
+      setLastRowChangesScan(RowChangesScan(mode, Seq.empty))
+      val out = StructType(
+        idCols.map(c => schema(schema.fieldIndex(c))) ++
+          dataCols.map(c => schema(schema.fieldIndex(c))) :+
+          StructField("_change_type", StringType, nullable = false))
+      Some(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], out))
+    }
+    if (RewriteOps(d.operation)) return emptyCdf("rewrite")
+    val priorSet = mFrom.files.toSet
+    val addKeys = d.adds.map(_._1).toSet
+    // a file both removed and re-added in one delta is CARRIED for CDF
+    // purposes (defensive — deltaOf never emits the shape): its rows
+    // exist on both sides, so only its vector delta can change anything
+    val added = d.adds.map(_._1).filterNot(priorSet)
+    val removed = d.removes.filter(f => priorSet(f) && !addKeys(f))
+    val removedSet = removed.toSet
+    // carried files whose DELETION VECTOR changed this commit: compare
+    // refs (a fold writes a new per-version bucket path; a restore may
+    // drop or shrink one)
+    val dvChanged = mTo.files.filter(f => priorSet(f) && !addKeys(f) &&
+      mFrom.dvs.get(f) != mTo.dvs.get(f))
+    if (added.isEmpty && removed.isEmpty && dvChanged.isEmpty)
+      return emptyCdf("metadata")
+    setLastRowChangesScan(RowChangesScan("per-commit",
+      (removed ++ added ++ dvChanged).distinct))
+    // ---- deletion-vector DELTA: entries present on exactly one side.
+    // DV bucket files hold entries of OTHER files too (bucketing) —
+    // restrict by spelling first (bounded collect: one row per marked
+    // file, the writeFoldedVector discipline)
+    val dvKeys = dvChanged.map(pathKey).toSet
+    def dvEntriesOf(paths: Seq[String]): DataFrame = {
+      val none = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DvSchema)
+      if (paths.isEmpty) none
+      else {
+        val e = spark.read.schema(DvSchema).parquet(paths.distinct: _*)
+        val spellings = e.select(col("file")).distinct()
+          .collect() // bounded: one row per marked file
+          .map(_.getString(0)).filter(s => dvKeys(pathKey(s)))
+        if (spellings.isEmpty) none
+        else e.filter(col("file").isin(spellings.toSeq: _*))
+      }
+    }
+    val oldE = dvEntriesOf(dvChanged.flatMap(mFrom.dvs.get).map(_.path))
+    val newE = dvEntriesOf(dvChanged.flatMap(mTo.dvs.get).map(_.path))
+    val newlyMasked = newE.join(oldE, Seq("file", "pos"), "left_anti")
+    val unmasked = oldE.join(newE, Seq("file", "pos"), "left_anti")
+    // rows of the DV-changed files at exactly the marked positions —
+    // one scan of those files per side that needs it, semi-joined
+    // against the (broadcast, DV-sized) position delta
+    def rowsAtMarks(marks: DataFrame): DataFrame =
+      rawReadFiles(spark, dir, mTo.copy(dvs = Map.empty), dvChanged)
+        .withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(marks
+          .withColumnRenamed("file", "__dv_file")
+          .withColumnRenamed("pos", "__dv_pos")),
+          Seq("__dv_file", "__dv_pos"), "left_semi")
+        .drop("__dv_file", "__dv_pos")
+    // a folded vector only GROWS, so resurrections (the unmasked side)
+    // exist only on restore/clone-shaped commits — probe the DV-sized
+    // delta once before paying a file scan for either side
+    val wantMasked = dvChanged.nonEmpty && !newlyMasked.isEmpty
+    val wantUnmasked = dvChanged.nonEmpty && !unmasked.isEmpty
+    // ---- pre side: removed files' rows as of v-1 (their OLD vectors
+    // applied), read with v's schema (physical identity is stable), plus
+    // the newly-masked rows of carried files
+    val preParts = Seq(
+      if (removed.isEmpty) None
+      else Some(readFiles(spark, dir,
+        mTo.copy(files = removed,
+          stats = mTo.stats ++ mFrom.stats.filter(kv => removedSet(kv._1)),
+          dvs = mFrom.dvs.filter(kv => removedSet(kv._1))), removed)),
+      if (wantMasked) Some(rowsAtMarks(newlyMasked)) else None
+    ).flatten
+    // ---- post side: added files' rows (v's vectors applied) plus any
+    // vector-shrink resurrections
+    val postParts = Seq(
+      if (added.isEmpty) None
+      else Some(readFiles(spark, dir, mTo, added)),
+      if (wantUnmasked) Some(rowsAtMarks(unmasked)) else None
+    ).flatten
+    def side(parts: Seq[DataFrame]): DataFrame = {
+      val aligned = parts.map { df =>
+        // evolution null-fill: a pre-side file may predate a column
+        // added at v (rawReadFiles already null-fills via the explicit
+        // schema read, but partitioned/legacy paths can differ in
+        // column ORDER — normalize both)
+        val have = df.columns.toSet
+        val filled = cols.foldLeft(df)((acc, c) =>
+          if (have(c)) acc
+          else acc.withColumn(c, lit(null).cast(schema(c).dataType)))
+        filled.select(cols.map(c => filled(c)): _*)
+      }
+      aligned match {
+        case Seq() =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(cols.map(c => schema(schema.fieldIndex(c)))))
+        case more => more.reduce(_.unionByName(_))
+      }
+    }
+    Some(classifyRowChanges(side(preParts), side(postParts), idCols, cols))
   }
 
   /** Recorded bytes one version ADDED — the streaming source's
