@@ -4788,7 +4788,7 @@ object SnapshotStore {
     * land here semantically (NET is the documented grain); adjacent
     * pairs only as the legacy-log fallback. Package-visible so the
     * per-commit path's equivalence is spec-asserted against it. */
-  private[storage] def readRowChangesBoundary(spark: SparkSession,
+  private[graft] def readRowChangesBoundary(spark: SparkSession,
                                               dir: String,
                                               fromVersion: Long,
                                               toVersion: Long,
