@@ -4365,6 +4365,64 @@ object ExtQueries {
     } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  /** GENERATED ALWAYS AS IDENTITY end-to-end (round 20 —
+    * `graft.identity.<col>` riding the generated-defaults machinery):
+    * the table is born via CTAS with a declared identity column the
+    * writing frame does not carry — the commit allocates the DENSE
+    * range [start, start + n·step) in the frame's row order (the CTAS
+    * query is globally ORDER BY'd, so allocation ≡ `row_number() - 1`)
+    * — and a SQL INSERT omitting the column continues at the carried
+    * high-water mark, never reusing a value. In-query fences: a
+    * writer-supplied explicit value refuses (GENERATED ALWAYS), and a
+    * row-replacing merge refuses (replaced rows would lose their
+    * values). The final per-lang aggregate folds `sum(row_id·doc_id)`
+    * so the oracle verifies the exact per-row mapping, not just the
+    * range. */
+  def eSnapshotIdentity(s: SparkSession, d: String): DataFrame = {
+    val root = snapScratch(s, d, "idn")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .createOrReplaceTempView("graft_idn_src")
+    val tbl = s"graft_idn_${math.abs(root.hashCode.toLong)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    try {
+      s.sql(
+        s"""CREATE TABLE $tbl USING `graft-snapshot`
+           |OPTIONS (path '$root')
+           |TBLPROPERTIES ('graft.identity.row_id' = '0,1')
+           |AS SELECT doc_id, lang, n_chars FROM graft_idn_src
+           |WHERE doc_id % 2 = 0 ORDER BY doc_id""".stripMargin)
+      val store = graft.storage.SnapshotStore
+      require(store.read(s, root).columns.contains("row_id"),
+        "the identity column must be allocated at the CTAS commit")
+      s.sql(
+        s"""INSERT INTO $tbl (doc_id, lang, n_chars)
+           |SELECT doc_id + 800000, lang, n_chars FROM graft_idn_src
+           |WHERE doc_id % 2 = 1 ORDER BY doc_id""".stripMargin)
+      // GENERATED ALWAYS: an explicit writer value refuses
+      val refused =
+        try { s.sql(s"INSERT INTO $tbl VALUES (9000001, 'xx', 40, 99)"); false }
+        catch { case e: Exception =>
+          e.getMessage.contains("GENERATED ALWAYS") }
+      require(refused, "an explicit identity value must refuse")
+      // row-replacing upserts refuse — replaced rows would lose values
+      import s.implicits._
+      val refusedMerge =
+        try {
+          store.merge(s, root,
+            Seq((2L, "xx", 40L)).toDF("doc_id", "lang", "n_chars"),
+            Seq("doc_id")); false
+        } catch { case e: Exception =>
+          e.getMessage.contains("GENERATED ALWAYS") }
+      require(refusedMerge, "merge on an identity table must refuse")
+      s.sql(
+        s"""SELECT lang, count(*) AS n,
+           |  sum(row_id) AS id_sum, min(row_id) AS lo, max(row_id) AS hi,
+           |  sum(row_id * doc_id) AS wsum
+           |FROM $tbl GROUP BY lang ORDER BY lang""".stripMargin)
+    } finally s.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   /** SQL `table_changes` TVF end-to-end (round 19 — the Delta CDF
     * table-valued function over the engine's boundary-diff feed): the
     * table takes an INSERT, an UPDATE, and a DELETE through plain SQL,
@@ -7942,6 +8000,7 @@ object ExtQueries {
     "e_snapshot_zorder_scoped" -> (eSnapshotZorderScoped _),
     "e_snapshot_table_changes" -> (eSnapshotTableChanges _),
     "e_snapshot_generated" -> (eSnapshotGenerated _),
+    "e_snapshot_identity" -> (eSnapshotIdentity _),
     "e_snapshot_rename" -> (eSnapshotRename _),
     "e_snapshot_drop_column" -> (eSnapshotDropColumn _),
     "e_snapshot_convert" -> (eSnapshotConvert _),
@@ -9855,6 +9914,23 @@ object ExtQueries {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
         |  CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM allrows GROUP BY len_bucket ORDER BY len_bucket""".stripMargin,
+    "e_snapshot_identity" ->
+      """WITH b1 AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |b2 AS (
+        |  SELECT doc_id + 800000 AS doc_id, lang, n_chars,
+        |    (SELECT count(*) FROM b1) +
+        |      row_number() OVER (ORDER BY doc_id) - 1 AS row_id
+        |  FROM documents WHERE doc_id % 2 = 1),
+        |allrows AS (SELECT * FROM b1 UNION ALL SELECT * FROM b2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(row_id) AS BIGINT) AS id_sum,
+        |  CAST(min(row_id) AS BIGINT) AS lo,
+        |  CAST(max(row_id) AS BIGINT) AS hi,
+        |  CAST(sum(row_id * doc_id) AS BIGINT) AS wsum
+        |FROM allrows GROUP BY lang ORDER BY lang""".stripMargin,
     "e_snapshot_table_changes" ->
       """WITH ins AS (
         |  SELECT 'insert' AS _change_type, lang, doc_id + 900000 AS doc_id,

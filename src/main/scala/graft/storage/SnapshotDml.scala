@@ -334,13 +334,23 @@ final class SnapshotDvReadRule(spark: SparkSession) extends Rule[LogicalPlan] {
     case lr: LogicalRelation => lr.relation match {
       case h: HadoopFsRelation => h.location match {
         case idx: SnapshotFileIndex
-            if !idx.dvApplied && (idx.manifestOf.dvs.nonEmpty ||
-              idx.manifestOf.schemaStruct
+            if !idx.dvApplied && (idx.dvRefs.nonEmpty ||
+              idx.logicalSchema
                 .exists(s => SnapshotStore.physicalOf(s).nonEmpty)) =>
-          val m = idx.manifestOf
-          val applied = SnapshotStore.applyDvOverlay(spark, m,
-            SnapshotFileIndex.relationOf(spark, idx.tableDir, m, None)._1)
-            .queryExecution.analyzed
+          // header-grain guards (dvRefs/logicalSchema) so a lazy
+          // checkpoint-backed relation never forces its manifest here;
+          // its rebuild goes through the lazy path too (round 20)
+          val appliedDf = (idx match {
+            case ck: SnapshotCheckpointFileIndex =>
+              SnapshotFileIndex.lazyAppliedRelationOf(spark, ck.tableDir,
+                ck.versionOf)
+            case _ => None
+          }).getOrElse {
+            val m = idx.manifestOf
+            SnapshotStore.applyDvOverlay(spark, m,
+              SnapshotFileIndex.relationOf(spark, idx.tableDir, m, None)._1)
+          }
+          val applied = appliedDf.queryExecution.analyzed
           Project(lr.output.map { o =>
             val n = applied.output.find(a =>
               spark.sessionState.conf.resolver(a.name, o.name)).getOrElse(

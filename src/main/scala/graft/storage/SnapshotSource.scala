@@ -228,12 +228,19 @@ final class SnapshotSource extends RelationProvider with DataSourceRegister
         SnapshotStore.versionAtTimestamp(spark, dir, t.trim.toLong)))
       .orElse(SnapshotStore.latestVersion(spark, dir))
       .getOrElse(sys.error(s"no committed version at $dir"))
-    val m = SnapshotStore.manifest(spark, dir, version)
-    require(m.files.nonEmpty, s"version $version holds no data files")
     // dvApplied = false: a bare BaseRelation cannot carry the deletion-
     // vector anti-join — SnapshotDvReadRule (post-hoc, GraftExtensions)
-    // overlays it on every analyzed read of this relation
-    SnapshotFileIndex.hadoopRelationOf(spark, dir, m, dvApplied = false)._1
+    // overlays it on every analyzed read of this relation.
+    // A parquet-checkpointed version resolves LAZILY (round 20): the
+    // relation rides the commit header and a selective read prunes
+    // through the DISTRIBUTED checkpoint scan — the driver never
+    // materializes the full file list.
+    SnapshotFileIndex.lazyHadoopRelationOf(spark, dir, version,
+        dvApplied = false).map(_._1).getOrElse {
+      val m = SnapshotStore.manifest(spark, dir, version)
+      require(m.files.nonEmpty, s"version $version holds no data files")
+      SnapshotFileIndex.hadoopRelationOf(spark, dir, m, dvApplied = false)._1
+    }
   }
 
   override def sourceSchema(sqlContext: SQLContext,

@@ -282,6 +282,23 @@ object SnapshotStore {
     * content-neutral. */
   val RewriteOps: Set[String] = Set("compact", "zorder", "hilbert", "purge")
 
+  /** Engine-staged operations whose lost commit race REFUSES (typed)
+    * when the rival removed files or changed deletion vectors, instead
+    * of silently re-staging (round 20 — the Delta ConflictChecker
+    * discipline): the row-grain DML verbs and the maintenance rewrites.
+    * Fixed engine names only — caller-named commits (append/ingest/
+    * merge faces) always retry, which the streaming sink's replay
+    * contract requires. */
+  private[storage] val NonCommutingStagedOps: Set[String] =
+    Set("delete", "delete-dv", "update", "update-dv",
+      "compact", "zorder", "hilbert", "purge", "restore")
+
+  /** Typed refusal of a lost write-write race ([[NonCommutingStagedOps]]):
+    * the staged operation was computed against a state a rival commit
+    * replaced. Nothing committed; no partial state remains. */
+  final class SnapshotConcurrentModificationException(msg: String)
+      extends java.util.ConcurrentModificationException(msg)
+
   /** Orphaned same-version data dirs younger than this are refused (a
     * live writer may own them); older ones are reclaimed unattended.
     * Single-writer deployments (e.g. streaming ingest restarting after a
@@ -1371,6 +1388,9 @@ object SnapshotStore {
       ("version" -> (JLong(m.version): JValue)) ::
         ("format" -> (JString("parquet"): JValue)) ::
         ("entries" -> (JLong(m.files.size.toLong): JValue)) ::
+        // total recorded data bytes (round 20): the lazy SQL relation's
+        // sizeInBytes planning hint, derivable without forcing the state
+        ("bytes" -> (JLong(m.stats.values.map(_.bytes).sum): JValue)) ::
         headerJson(m.operation, m.ts, m.schema, m.partitionCols,
           m.bloomCols, m.droppedCols, m.properties))))
     val out = f.create(checkpointPath(dir, m.version), true)
@@ -1560,18 +1580,7 @@ object SnapshotStore {
     * of the vectored files retires. */
   private[storage] def applyDvOverlay(spark: SparkSession, m: Manifest,
                                       df: DataFrame): DataFrame =
-    if (m.dvs.isEmpty) df
-    else {
-      val cols = df.columns.toSeq
-      val entries = spark.read.schema(DvSchema)
-        .parquet(m.dvs.values.map(_.path).toSeq.distinct: _*)
-        .withColumnRenamed("file", "__dv_file")
-        .withColumnRenamed("pos", "__dv_pos")
-      df.withColumn("__dv_file", col("_metadata.file_path"))
-        .withColumn("__dv_pos", col("_metadata.row_index"))
-        .join(broadcast(entries), Seq("__dv_file", "__dv_pos"), "left_anti")
-        .select(cols.map(col): _*)
-    }
+    applyDvOverlayDvs(spark, m.dvs, df)
 
   /** [[rawReadFiles]] with the manifest's DELETION VECTORS applied: files
     * without a vector scan untouched; files WITH one read alongside their
@@ -1735,7 +1744,7 @@ object SnapshotStore {
     * the survivors — [[readFiles]] consumes it as usual (schema,
     * partition layout, and deletion vectors all ride the version's own
     * HEADER, which every log encoding carries whole). */
-  private def distributedPruneState(spark: SparkSession, dir: String,
+  private[storage] def distributedPruneState(spark: SparkSession, dir: String,
                                     version: Long, pred: FilePredicate)
       : Option[(Manifest, Seq[String])] = {
     val f = fs(spark, dir)
@@ -1853,6 +1862,96 @@ object SnapshotStore {
       statsMap.filter(kv => keepSet(kv._1)), schemaJ, pCols, ts, bCols,
       dvs, dropped, props), keep))
   }
+
+  /** ONE commit's HEADER fields without any state reconstruction
+    * (round 20): both log encodings carry the full header at top level
+    * — schema, layout, deletion vectors, properties — so the lazy SQL
+    * relation ([[SnapshotCheckpointFileIndex]]) resolves schema and
+    * overlay inputs from one small read, never the file list. */
+  private[graft] final case class HeaderInfo(
+      version: Long, operation: String, ts: Long, schema: Option[String],
+      partitionCols: Seq[String], bloomCols: Seq[String],
+      dvs: Map[String, DvRef], droppedCols: Seq[String],
+      properties: Map[String, String]) {
+    def schemaStruct: Option[StructType] =
+      schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
+
+  private[graft] def headerInfoOf(spark: SparkSession, dir: String,
+                                  version: Long): HeaderInfo =
+    readRaw(spark, dir, version) match {
+      case Right(d) => HeaderInfo(d.version, d.operation, d.ts, d.schema,
+        d.partitionCols, d.bloomCols, d.dvs, d.droppedCols, d.properties)
+      case Left(m) => HeaderInfo(m.version, m.operation, m.ts, m.schema,
+        m.partitionCols, m.bloomCols, m.dvs, m.droppedCols, m.properties)
+    }
+
+  /** Does a PARQUET checkpoint (plus an action-delta tail) serve
+    * `version`? Returns the total recorded BYTES when derivable from
+    * the walk — the base checkpoint header's `bytes` plus the tail
+    * adds' (removes are not subtracted: an overestimate only biases
+    * planning AWAY from broadcast, never toward a wrong one) — as the
+    * lazy relation's `sizeInBytes` hint. `None` = no parquet base
+    * within the tail (a self-contained entry bottoms the walk first):
+    * the caller uses the driver-resident path. Cost: O(tail) small
+    * header/delta reads, the same class as any reconstruction. */
+  private[graft] def parquetCheckpointInfo(spark: SparkSession, dir: String,
+                                           version: Long)
+      : Option[Option[Long]] = {
+    val f = fs(spark, dir)
+    var w = version
+    var addBytes = 0L
+    var sawUnsized = false
+    while (w >= 1) {
+      val p = checkpointPath(dir, w)
+      if (f.exists(p)) {
+        try {
+          val r = JsonMethods.parse(readText(f, p))
+          r \ "format" match {
+            case JString("parquet") if versionOf(r) == w =>
+              if (!f.exists(checkpointDataPath(dir, w))) return None
+              val base = r \ "bytes" match {
+                case JLong(b) => Some(b)
+                case JInt(b) => Some(b.toLong)
+                case _ => None // pre-round-20 checkpoint header
+              }
+              return Some(
+                if (sawUnsized) None else base.map(_ + addBytes))
+            case _ => ()
+          }
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      readRaw(spark, dir, w) match {
+        case Left(_) => return None
+        case Right(d) =>
+          val sized = d.adds.flatMap(_._2)
+          if (sized.length != d.adds.length || sized.exists(_.bytes <= 0L))
+            sawUnsized = true
+          addBytes += sized.map(_.bytes).sum
+          w -= 1
+      }
+    }
+    None
+  }
+
+  /** [[applyDvOverlay]] from a bare deletion-vector map — the header-
+    * grain form the lazy SQL relation uses (the manifest variant
+    * delegates here). */
+  private[storage] def applyDvOverlayDvs(spark: SparkSession,
+                                         dvs: Map[String, DvRef],
+                                         df: DataFrame): DataFrame =
+    if (dvs.isEmpty) df
+    else {
+      val cols = df.columns.toSeq
+      val entries = spark.read.schema(DvSchema)
+        .parquet(dvs.values.map(_.path).toSeq.distinct: _*)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("pos", "__dv_pos")
+      df.withColumn("__dv_file", col("_metadata.file_path"))
+        .withColumn("__dv_pos", col("_metadata.row_index"))
+        .join(broadcast(entries), Seq("__dv_file", "__dv_pos"), "left_anti")
+        .select(cols.map(col): _*)
+    }
 
   /** [[prunedFiles]] without materializing the full file list on the
     * driver: the checkpoint is pruned AS a distributed scan and only
@@ -2053,12 +2152,15 @@ object SnapshotStore {
              reclaimGraceMs: Long = DefaultReclaimGraceMs,
              partitionBy: Seq[String] = Seq.empty,
              bloomCols: Seq[String] = Seq.empty,
-             tblProperties: Map[String, String] = Map.empty): Long =
-    commitStaged(spark, dir, operation, reclaimGraceMs,
+             tblProperties: Map[String, String] = Map.empty): Long = {
+    // identity high-water updates flow from the stage (which allocates)
+    // into the SAME commit's property map — set per attempt, read by
+    // propertiesFn strictly after (the commit loop's stage-then-props
+    // order), so a lost race re-allocates against the rival's water
+    val hwUpdates = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, String])
+    commitStagedFull(spark, dir, operation, reclaimGraceMs,
       partitionBy = Some(partitionBy),
-      // declared table properties MERGE over the carried map (a
-      // table-creating commit simply sets them); omitted = carry
-      tblProperties = tblProperties,
       // the WRITING frame's partition column types are authoritative —
       // hive path inference would re-type (long 0..3 reads back int) and
       // a later append's in-memory type would then spuriously conflict
@@ -2070,13 +2172,22 @@ object SnapshotStore {
       // the authority (no resurrected column mapping — see the flag doc),
       // and no old file is referenced, so the tombstones reset too
       freshArePhysical = false,
-      droppedColsFn = Some(_ => Seq.empty)) { (prior0, dataDir) =>
+      droppedColsFn = Some(_ => Seq.empty),
+      // declared table properties MERGE over the carried map (a
+      // table-creating commit simply sets them); omitted = carry
+      propertiesFn = Some(p => p.map(_.properties).getOrElse(Map.empty) ++
+        validatedProperties(tblProperties) ++ hwUpdates.get())) {
+      (prior0, dataDir) =>
+      val props = prior0.map(_.properties).getOrElse(Map.empty) ++
+        validatedProperties(tblProperties)
+      val (withIds, hw) = applyIdentity(spark, df, props)
+      hwUpdates.set(hw)
       // expression defaults: carried declarations plus this commit's own
-      writeData(applyColumnDefaults(spark, df, generatedOf(
-        prior0.map(_.properties).getOrElse(Map.empty) ++
-          validatedProperties(tblProperties))), dataDir, partitionBy)
-      (Seq.empty, Map.empty)
+      writeData(applyColumnDefaults(spark, withIds, generatedOf(props)),
+        dataDir, partitionBy)
+      Staged(Seq.empty, Map.empty)
     }
+  }
 
   /** APPEND commit: the new version = previous version's file set plus
     * `delta`'s files — only the delta's bytes are written (the Delta-style
@@ -2088,14 +2199,23 @@ object SnapshotStore {
                    operation: String,
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     preValidateEvolution(spark, dir, delta)
-    commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
+    // identity allocation per attempt; the high-water update rides the
+    // same commit's property map (see [[commit]])
+    val hwUpdates = new java.util.concurrent.atomic.AtomicReference(
+      Map.empty[String, String])
+    commitStagedFull(spark, dir, operation, reclaimGraceMs,
+      propertiesFn = Some(p => p.map(_.properties).getOrElse(Map.empty) ++
+        hwUpdates.get())) { (prior, dataDir) =>
+      val props = prior.map(_.properties).getOrElse(Map.empty)
+      val (withIds, hw) = applyIdentity(spark, delta, props)
+      hwUpdates.set(hw)
       writeData(
-        applyColumnDefaults(spark, delta, generatedOf(
-          prior.map(_.properties).getOrElse(Map.empty))),
+        applyColumnDefaults(spark, withIds, generatedOf(props)),
         dataDir,
         prior.map(_.partitionCols).getOrElse(Seq.empty),
         toPhysical = prior.map(mappingOf).getOrElse(Map.empty))
-      prior.map(m => (m.files, m.stats)).getOrElse((Seq.empty, Map.empty))
+      prior.map(m => Staged(m.files, m.stats))
+        .getOrElse(Staged(Seq.empty, Map.empty))
     }
   }
 
@@ -2601,6 +2721,8 @@ object SnapshotStore {
       return commit(spark, dir, delta, operation, reclaimGraceMs,
         partitionBy = partitionBy, bloomCols = bloomCols,
         tblProperties = tblProperties)
+    refuseIdentityUpsert(manifest(spark, dir,
+      latestVersion(spark, dir).get).properties, "merge")
     preValidateEvolution(spark, dir, delta)
     // MATERIALIZE the delta before anything reads it: the plan evaluates
     // several times (key envelope, anti-join, union write, lost-race
@@ -2693,6 +2815,8 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
       return commit(spark, dir, delta, operation, reclaimGraceMs)
+    refuseIdentityUpsert(manifest(spark, dir,
+      latestVersion(spark, dir).get).properties, "merge")
     preValidateEvolution(spark, dir, delta)
     val weCached = !org.apache.spark.sql.graft.CacheBridge.isCached(delta)
     if (weCached)
@@ -2766,6 +2890,7 @@ object SnapshotStore {
     try {
       val cur = latestVersion(spark, dir).get
       val m = manifest(spark, dir, cur)
+      refuseIdentityUpsert(m.properties, "merge")
       preValidateEvolution(spark, dir, delta) // cheap early exit, both paths
       // ONE envelope aggregation serves dispatch AND commit (the impls
       // take the precomputed predicate — no re-run)
@@ -3696,6 +3821,44 @@ object SnapshotStore {
       // lost: a rival committed version v first. Clean our artifacts and
       // re-claim the next free slot.
       f.delete(dataPath, true)
+      // OPTIMISTIC CONFLICT CHECK (round 20 — the Delta ConflictChecker
+      // shape over the RenameLogStore atomicity): a lost race normally
+      // RE-STAGES against the rival's committed state — full
+      // serialization, correct for appends, merges (the CDC-mirror
+      // sink's contract), metadata DDL (which folds rival evolution
+      // in), and full-snapshot overwrites (last-writer-wins is their
+      // semantics). But an engine-staged REWRITE/DML (delete, update,
+      // OPTIMIZE, restore) that lost to a rival which itself removed
+      // files or changed deletion vectors is a genuine write-write
+      // conflict: silently re-running it would hide that the state it
+      // was issued against no longer exists. Those refuse TYPED, naming
+      // the winning version — the operator re-issues against the new
+      // state deliberately. Rival commits that only ADDED files
+      // commute: the retry recomputes its file selection against them.
+      if (NonCommutingStagedOps(operation)) {
+        val newLatest = latestVersion(spark, dir).getOrElse(v)
+        def dvsAt(w: Long): Map[String, DvRef] =
+          if (w < 1) Map.empty
+          else readRaw(spark, dir, w) match {
+            case Right(d) => d.dvs
+            case Left(mm) => mm.dvs
+          }
+        val conflicting = (v to newLatest).filter { w =>
+          readRaw(spark, dir, w) match {
+            case Right(d) => d.removes.nonEmpty || d.dvs != dvsAt(w - 1)
+            case Left(_) => true // self-contained full replace
+          }
+        }
+        if (conflicting.nonEmpty)
+          throw new SnapshotConcurrentModificationException(
+            s"$operation at $dir lost the commit race to version " +
+              s"${conflicting.max} (${commitInfo(spark, dir,
+                conflicting.max)._1}), which removed files or changed " +
+              "deletion vectors — a write-write conflict. Nothing was " +
+              "committed and no partial state remains; re-issue the " +
+              "operation against the current table state. (Rival commits " +
+              "that only append commute and retry automatically.)")
+      }
       if (attempt >= MaxCommitAttempts)
         throw new java.io.IOException(
           s"commit of $operation lost the manifest race $attempt times " +
@@ -4160,6 +4323,8 @@ object SnapshotStore {
   private[storage] val TargetFileSizeKey = "graft.targetFileSize"
   private[storage] val CdfKeysKey = "graft.cdfKeys"
   private val GeneratedKeyPrefix = "graft.generated."
+  private val IdentityKeyPrefix = "graft.identity."
+  private val IdentityHighWaterPrefix = "graft.identityHighWater."
 
   /** typed refusal of table-property and constraint validation — the
     * same class the SQL face surfaces, so programmatic callers catch
@@ -4216,6 +4381,28 @@ object SnapshotStore {
           throw new SnapshotPropertyException(
             s"constraint property $k needs a name and a CHECK expression")
         (ConstraintKeyPrefix + k.substring(ConstraintKeyPrefix.length)) -> v
+      } else if (lk.startsWith(IdentityHighWaterPrefix
+          .toLowerCase(java.util.Locale.ROOT))) {
+        // INTERNAL: the next value the identity column allocates —
+        // written by allocating commits through the same carried map,
+        // validated here because every propertiesFn output revalidates
+        val ok = try { v.trim.toLong; true }
+        catch { case _: NumberFormatException => false }
+        if (!ok) throw new SnapshotPropertyException(
+          s"identity high-water property $k must be an integer, got '$v'")
+        (IdentityHighWaterPrefix +
+          k.substring(IdentityHighWaterPrefix.length)) -> v
+      } else if (lk.startsWith(IdentityKeyPrefix
+          .toLowerCase(java.util.Locale.ROOT))) {
+        // GENERATED ALWAYS AS IDENTITY (round 20): '<start>,<step>'
+        // (or a bare '<start>', step 1). Writers must OMIT the column;
+        // allocating commits assign monotonic non-reused values.
+        if (k.length == IdentityKeyPrefix.length ||
+            parseIdentitySpec(v).isEmpty)
+          throw new SnapshotPropertyException(
+            s"identity property $k needs '<start>[,<step>]' with a " +
+              s"non-zero integer step, got '$v'")
+        (IdentityKeyPrefix + k.substring(IdentityKeyPrefix.length)) -> v
       } else if (lk.startsWith(GeneratedKeyPrefix)) {
         // EXPRESSION COLUMN DEFAULTS (round 19): the declared expression
         // computes the column at writer-authored faces when the writer
@@ -4230,9 +4417,28 @@ object SnapshotStore {
       } else throw new SnapshotPropertyException(
         s"unknown graft table property $k — the engine's knobs are " +
           s"$BloomColumnsKey, $CheckpointIntervalKey, $TargetFileSizeKey, " +
-          s"$CdfKeysKey, $ConstraintKeyPrefix<name>, and " +
-          s"$GeneratedKeyPrefix<col>")
+          s"$CdfKeysKey, $ConstraintKeyPrefix<name>, " +
+          s"$GeneratedKeyPrefix<col>, and $IdentityKeyPrefix<col>")
     }
+
+  /** '<start>[,<step>]' with a non-zero step — None on any other shape */
+  private def parseIdentitySpec(v: String): Option[(Long, Long)] = {
+    val parts = v.split(',').map(_.trim)
+    try parts match {
+      case Array(s) => Some((s.toLong, 1L))
+      case Array(s, st) if st.toLong != 0L => Some((s.toLong, st.toLong))
+      case _ => None
+    } catch { case _: NumberFormatException => None }
+  }
+
+  /** the table's declared IDENTITY columns, (column, (start, step)) */
+  private[storage] def identityOf(props: Map[String, String])
+      : Seq[(String, (Long, Long))] =
+    props.toSeq.collect { case (k, v) if k.startsWith(IdentityKeyPrefix) &&
+        !k.startsWith(IdentityHighWaterPrefix) =>
+      k.substring(IdentityKeyPrefix.length) -> parseIdentitySpec(v).getOrElse(
+        refuse(s"unparseable identity spec under $k: '$v'"))
+    }.sortBy(_._1)
 
   /** [[validatedProperties]] for the SQL commands' catalog lockstep —
     * the catalog must record the SAME canonical `graft.*` spellings the
@@ -4296,6 +4502,86 @@ object SnapshotStore {
     * equality is OPT-IN by composing a CHECK constraint over the same
     * expression — the existing machinery refuses violating writes
     * wholesale. */
+  /** GENERATED ALWAYS AS IDENTITY allocation (round 20 — the Delta
+    * `delta.identity` shape on the generated-defaults machinery): for
+    * each declared identity column the writer-authored frame must OMIT
+    * (or carry as all-null — the SQL INSERT column-list face null-fills
+    * unnamed columns), allocate the DENSE value range
+    * `[highWater, highWater + n·step)` in the frame's row order and
+    * advance the high-water property IN THE SAME COMMIT — monotonic,
+    * never reused across commits (a lost commit race re-runs the stage
+    * against the rival's committed high water, so two interleaved
+    * appends allocate disjoint ranges by construction). A frame
+    * carrying any NON-NULL value for the column refuses — GENERATED
+    * ALWAYS semantics: the engine is the only authority, which is what
+    * makes the allocation replayable as `row_number() + offset`.
+    *
+    * Distributed shape: one `zipWithIndex` over the frame (a
+    * per-partition count job + the write pass — O(new data), the
+    * stats-collection cost class; no global sort, no single-partition
+    * window). RESTORE carries the header wholesale, high water
+    * included — rolling back past an allocation re-issues the undone
+    * range (documented, the snapshot-restore contract).
+    *
+    * Returns the frame with values assigned plus the property updates
+    * the commit must fold in. */
+  private def applyIdentity(spark: SparkSession, df: DataFrame,
+                            props: Map[String, String])
+      : (DataFrame, Map[String, String]) = {
+    val ids = identityOf(props)
+    if (ids.isEmpty) return (df, Map.empty)
+    val cs = caseSensitive(spark)
+    var out = df
+    val updates = Map.newBuilder[String, String]
+    ids.foreach { case (c, (start, step)) =>
+      val existing = out.schema.fields.zipWithIndex.find { case (f, _) =>
+        if (cs) f.name == c else f.name.equalsIgnoreCase(c) }
+      existing.foreach { case (f, _) =>
+        val nonNull = out.filter(col(s"`${f.name}`").isNotNull).limit(1)
+          .count() // bounded probe: present-but-all-null = omitted
+        require(nonNull == 0L,
+          s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — writers " +
+            "must omit it (or leave it null through an INSERT column " +
+            "list); the engine allocates its values")
+      }
+      val base = existing.map { case (f, _) => out.drop(f.name) }
+        .getOrElse(out)
+      val hw = props.get(IdentityHighWaterPrefix + c)
+        .map(_.trim.toLong).getOrElse(start)
+      val n = base.count()
+      val schema0 = base.schema
+      val rdd = base.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + i * step)) }
+      val appended = spark.createDataFrame(rdd,
+        StructType(schema0.fields :+
+          StructField(c, LongType, nullable = false)))
+      // a present-but-null column keeps its original position (the SQL
+      // INSERT round-trip shape); an absent one appends
+      out = existing match {
+        case Some((_, i)) =>
+          val names = schema0.fieldNames.toSeq
+          val reordered = (names.take(i) :+ c) ++ names.drop(i)
+          appended.select(reordered.map(x => col(s"`$x`")): _*)
+        case None => appended
+      }
+      updates += (IdentityHighWaterPrefix + c) -> (hw + n * step).toString
+    }
+    (out, updates.result())
+  }
+
+  /** refuse row-replacing upserts on identity tables: a merge delta
+    * cannot carry the identity column (GENERATED ALWAYS), so replaced
+    * rows would silently lose their allocated values */
+  private def refuseIdentityUpsert(props: Map[String, String],
+                                   what: String): Unit = {
+    val ids = identityOf(props)
+    require(ids.isEmpty,
+      s"$what is not supported on a table with GENERATED ALWAYS AS " +
+        s"IDENTITY column(s) ${ids.map(_._1).mkString(", ")} — replaced " +
+        "rows would lose their allocated values; append new rows and " +
+        "mutate through UPDATE/DELETE instead")
+  }
+
   private def applyColumnDefaults(spark: SparkSession, df: DataFrame,
                                   defaults: Seq[(String, String)]): DataFrame =
     if (defaults.isEmpty) df
@@ -4336,7 +4622,10 @@ object SnapshotStore {
       // writer-authored commit behind an unresolved-column error
       generatedOf(props).collect { case (c, ex)
         if references(ex) || resolver(c, colName) =>
-        s"expression-default:$c" }
+        s"expression-default:$c" } ++
+      // an IDENTITY declaration names its column the same way
+      identityOf(props).collect { case (c, _) if resolver(c, colName) =>
+        s"identity:$c" }
   }
 
   /** ONE aggregated pass validates every CHECK constraint over the

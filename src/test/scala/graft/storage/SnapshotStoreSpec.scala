@@ -1013,9 +1013,13 @@ class SnapshotStoreSpec extends SparkSpec {
   }
 
   test("merge racing a delete serializes to the serial-equivalent state (both orders)") {
-    // order 1: the DELETE claims its version, then a rival MERGE commits
-    // first — the delete's retry must re-select files against the
-    // merge's manifest and delete the merged rows too (no lost update)
+    // order 1 (round 20 — the ConflictChecker contract): the DELETE
+    // claims its version, then a rival MERGE commits first. The merge
+    // REWROTE files the delete's selection read, so the delete refuses
+    // TYPED (a silent re-run would hide that its observed state is
+    // gone); the operator's deliberate re-issue then applies against
+    // the merge's manifest and deletes the merged rows too — the same
+    // serial-equivalent end state, with the conflict surfaced
     val dir = freshDir()
     SnapshotStore.commit(spark, dir,
       (1L to 100L).map(i => (i, s"v1-$i")).toDF("doc_id", "text")
@@ -1031,8 +1035,12 @@ class SnapshotStoreSpec extends SparkSpec {
     }
     try {
       import SnapshotStore.FilePredicate._
+      val e = intercept[SnapshotStore.SnapshotConcurrentModificationException](
+        SnapshotStore.deleteWhere(spark, dir, between("doc_id", 40L, 60L)))
+      assert(e.getMessage.contains("version 2"),
+        s"the refusal names the winning merge: ${e.getMessage}")
       val v = SnapshotStore.deleteWhere(spark, dir, between("doc_id", 40L, 60L))
-      assert(v == 3L, "the delete lost the race and landed at the next slot")
+      assert(v == 3L, "the deliberate re-issue lands at the next slot")
     } finally SnapshotStore.onAttemptForTest = (_, _) => ()
     val got = SnapshotStore.read(spark, dir).as[(Long, String)].collect().toMap
     assert(got.size == 80, s"100 + 1 insert - 21 deleted; got ${got.size}")
