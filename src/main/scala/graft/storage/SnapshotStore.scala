@@ -2203,20 +2203,24 @@ object SnapshotStore {
     // same commit's property map (see [[commit]])
     val hwUpdates = new java.util.concurrent.atomic.AtomicReference(
       Map.empty[String, String])
+    // BOUNDED stage (round 20): everything this closure reads rides the
+    // prior's HEADER — the commit loop renders the adds-only delta
+    // directly and the prior file list never materializes driver-side
     commitStagedFull(spark, dir, operation, reclaimGraceMs,
       propertiesFn = Some(p => p.map(_.properties).getOrElse(Map.empty) ++
-        hwUpdates.get())) { (prior, dataDir) =>
-      val props = prior.map(_.properties).getOrElse(Map.empty)
-      val (withIds, hw) = applyIdentity(spark, delta, props)
-      hwUpdates.set(hw)
-      writeData(
-        applyColumnDefaults(spark, withIds, generatedOf(props)),
-        dataDir,
-        prior.map(_.partitionCols).getOrElse(Seq.empty),
-        toPhysical = prior.map(mappingOf).getOrElse(Map.empty))
-      prior.map(m => Staged(m.files, m.stats))
-        .getOrElse(Staged(Seq.empty, Map.empty))
-    }
+        hwUpdates.get()),
+      stageBounded = Some { (hdr, dataDir) =>
+        val props = hdr.map(_.properties).getOrElse(Map.empty)
+        val (withIds, hw) = applyIdentity(spark, delta, props)
+        hwUpdates.set(hw)
+        writeData(
+          applyColumnDefaults(spark, withIds, generatedOf(props)),
+          dataDir,
+          hdr.map(_.partitionCols).getOrElse(Seq.empty),
+          toPhysical = hdr.flatMap(_.schemaStruct).map(physicalOf)
+            .getOrElse(Map.empty))
+        Staged(Seq.empty, Map.empty)
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
 
   /** Fail a detectable schema-evolution conflict BEFORE any data is
@@ -2229,9 +2233,11 @@ object SnapshotStore {
 
   private def preValidateEvolution(spark: SparkSession, dir: String,
                                    delta: DataFrame): Unit =
-    latestVersion(spark, dir).map(v => manifest(spark, dir, v)).foreach(m =>
-      m.schemaStruct.foreach(s => mergeSchemas(s, delta.schema,
-        caseSensitive(spark), m.droppedCols.toSet)))
+    // header-only (round 20): the early exit needs schema + tombstones,
+    // never the file list
+    latestVersion(spark, dir).map(v => headerInfoOf(spark, dir, v))
+      .foreach(h => h.schemaStruct.foreach(s => mergeSchemas(s, delta.schema,
+        caseSensitive(spark), h.droppedCols.toSet)))
 
   /** Copy-on-write row DELETE: commit a new version (operation `delete`)
     * holding the latest version minus the rows where `pred` is TRUE
@@ -3484,13 +3490,19 @@ object SnapshotStore {
 
   /** The version's logical schema: carried schema (stored, or inferred
     * once for pre-evolution manifests) unioned with the new files'. */
+  /** `carriedNonEmpty` (round 20): a BOUNDED carry-all commit carries
+    * every prior file without listing them — the carried schema comes
+    * from the header (guaranteed present by the bounded guard). */
   private def versionSchema(spark: SparkSession, prior: Option[Manifest],
                             carryFiles: Seq[String],
-                            fresh: Option[StructType]): StructType = {
+                            fresh: Option[StructType],
+                            carriedNonEmpty: Boolean = false): StructType = {
     val carried: Option[StructType] =
-      if (carryFiles.isEmpty) None
+      if (carryFiles.isEmpty && !carriedNonEmpty) None
       else prior.flatMap(_.schemaStruct)
-        .orElse(Some(asNullableSchema(spark.read.parquet(carryFiles: _*).schema)))
+        .orElse(if (carryFiles.nonEmpty)
+          Some(asNullableSchema(spark.read.parquet(carryFiles: _*).schema))
+        else None)
     (carried, fresh) match {
       case (Some(c), Some(n)) => mergeSchemas(c, n, caseSensitive(spark),
         prior.map(_.droppedCols.toSet).getOrElse(Set.empty))
@@ -3512,6 +3524,16 @@ object SnapshotStore {
   private[storage] final case class Staged(
       carryFiles: Seq[String], carryStats: Map[String, FileStats],
       dvs: Option[Map[String, DvRef]] = None)
+
+  /** file ENTRIES the most recent commit on THIS thread materialized
+    * driver-side (carried + new for eager stages; new only for bounded
+    * carry-all appends) — the round-20 bounded-residency fence */
+  private val lastCommitDriverEntriesTl =
+    ThreadLocal.withInitial[Long](() => -1L)
+  private[storage] def lastCommitDriverEntries: Long =
+    lastCommitDriverEntriesTl.get()
+  private def setLastCommitDriverEntries(n: Long): Unit =
+    lastCommitDriverEntriesTl.set(n)
 
   /** Back-compat shape of [[commitStagedFull]] for the carry-derived-dv
     * callers. */
@@ -3582,22 +3604,45 @@ object SnapshotStore {
                                         None,
                                     propertiesFn:
                                       Option[Option[Manifest] =>
-                                        Map[String, String]] = None)
+                                        Map[String, String]] = None,
+                                    stageBounded:
+                                      Option[(Option[HeaderInfo], String) =>
+                                        Staged] = None)
                                    (stage: (Option[Manifest], String) =>
                                      Staged): Long = {
     val f = fs(spark, dir)
     var attempt = 0
     while (true) {
       attempt += 1
-      val prior = latestVersion(spark, dir).map(v => manifest(spark, dir, v))
+      // BOUNDED DRIVER RESIDENCY (round 20): the prior state is read as
+      // a HEADER first (one small read — schema, layout, dv map,
+      // properties); the full reconstruction is LAZY and a bounded
+      // carry-all stage (append faces) never forces it — a commit
+      // against an 800k-file table holds O(new files) entries, not the
+      // table's. Eager stages (CoW/DV DML, maintenance, restore) force
+      // it exactly as before.
+      val priorHdr = latestVersion(spark, dir)
+        .map(pv => headerInfoOf(spark, dir, pv))
+      lazy val priorFull: Option[Manifest] =
+        priorHdr.map(h => manifest(spark, dir, h.version))
+      // the bounded path needs the carried schema off the header; a
+      // legacy no-schema prior falls back to the eager materialization
+      val bounded = stageBounded.isDefined &&
+        priorHdr.forall(_.schema.isDefined)
+      // header-grain manifest view for the fn hooks of BOUNDED commits
+      // (they read properties/schema/droppedCols only — never files)
+      def hdrLite: Option[Manifest] = priorHdr.map(h =>
+        Manifest(h.version, h.operation, Seq.empty, Map.empty, h.schema,
+          h.partitionCols, h.ts, h.bloomCols, h.dvs, h.droppedCols,
+          h.properties))
       // full-snapshot commits may (re)define the partition layout;
       // carry-style commits (append/merge/delete/maintenance) inherit it
       val pCols = partitionBy
-        .getOrElse(prior.map(_.partitionCols).getOrElse(Seq.empty))
+        .getOrElse(priorHdr.map(_.partitionCols).getOrElse(Seq.empty))
       // declared bloom columns follow the same (re)define-or-inherit rule
       val bCols = bloomColsOpt
-        .getOrElse(prior.map(_.bloomCols).getOrElse(Seq.empty))
-      val v = prior.map(_.version).getOrElse(0L) + 1
+        .getOrElse(priorHdr.map(_.bloomCols).getOrElse(Seq.empty))
+      val v = priorHdr.map(_.version).getOrElse(0L) + 1
       onAttemptForTest(operation, v)
       val dataDir = f"$dir/data/v$v%08d-$operation"
       val dataPath = new Path(dataDir)
@@ -3621,12 +3666,28 @@ object SnapshotStore {
       // staged-manifest refusal below is OUTSIDE this scope, so a LOST
       // race still leaves rival artifacts untouched.
       val m = try {
-        val staged0 = stage(prior, dataDir)
+        val fnPrior: Option[Manifest] = if (bounded) hdrLite else priorFull
+        val staged0 = stageBounded match {
+          case Some(fb) if bounded => fb(priorHdr, dataDir)
+          case Some(fb) =>
+            // legacy no-schema prior: the bounded closure still writes
+            // the data (header carries everything it reads); the
+            // carry-all intent materializes into explicit carries
+            val st = fb(priorHdr, dataDir)
+            Staged(priorFull.map(_.files).getOrElse(Seq.empty),
+              priorFull.map(_.stats).getOrElse(Map.empty), st.dvs)
+          case None => stage(priorFull, dataDir)
+        }
         val (carryFiles, carryStats) = (staged0.carryFiles, staged0.carryStats)
-        // deletion vectors: explicit, or derived by carry (see [[Staged]])
+        // deletion vectors: explicit, or derived by carry (see [[Staged]]);
+        // a bounded carry-all commit keeps EVERY prior ref (the header's)
         val dvMap = staged0.dvs.getOrElse {
-          val carried = carryFiles.toSet
-          prior.map(_.dvs.filter(kv => carried(kv._1))).getOrElse(Map.empty)
+          if (bounded) priorHdr.map(_.dvs).getOrElse(Map.empty)
+          else {
+            val carried = carryFiles.toSet
+            priorFull.map(_.dvs.filter(kv => carried(kv._1)))
+              .getOrElse(Map.empty)
+          }
         }
         val sized = listParquetSized(spark, dataDir)
         val newFiles = sized.map(_._1)
@@ -3644,7 +3705,7 @@ object SnapshotStore {
         // commit (the hint) and the carried schema on inheriting commits.
         val pinTypes: Map[String, DataType] =
           if (partitionBy.isDefined) partitionTypeHint
-          else prior.flatMap(_.schemaStruct) match {
+          else priorHdr.flatMap(_.schemaStruct) match {
             case Some(ps) if pCols.nonEmpty =>
               val cs = caseSensitive(spark)
               pCols.flatMap(c => ps.fields.find(fl =>
@@ -3663,7 +3724,7 @@ object SnapshotStore {
         // schema union, or a renamed column would union as a duplicate.
         val logicalByPhysical: Map[String, String] =
           if (!freshArePhysical) Map.empty
-          else prior.flatMap(_.schemaStruct).map(ps =>
+          else priorHdr.flatMap(_.schemaStruct).map(ps =>
             ps.fields.iterator.filter(fl => physicalName(fl) != fl.name)
               .map(fl => physicalName(fl) -> fl.name).toMap)
             .getOrElse(Map.empty)
@@ -3681,9 +3742,9 @@ object SnapshotStore {
         // STRIPPED of the key: a NEW column must never inherit a stale
         // physical name through an alias's metadata propagation (it
         // would record a mapping no data file satisfies).
-        val schema = schemaOverrideFn.map(_(prior)).orElse(schemaOverride)
+        val schema = schemaOverrideFn.map(_(fnPrior)).orElse(schemaOverride)
           .getOrElse(
-            versionSchema(spark, prior, carryFiles,
+            versionSchema(spark, fnPrior, carryFiles,
               newDf.map(d => asNullableSchema(StructType(d.schema.fields.map {
                 fl => logicalFor(fl.name) match {
                   case Some(logical) => fl.copy(name = logical,
@@ -3693,31 +3754,30 @@ object SnapshotStore {
                     metadata = new MetadataBuilder().withMetadata(fl.metadata)
                       .remove(PhysicalNameKey).build())
                 }
-              })))))
+              }))),
+              carriedNonEmpty = bounded && priorHdr.isDefined))
         // monotonized stamp: a clock step backwards (NTP, cross-host
         // skew) must never yield ts <= the prior commit's — the
         // TIMESTAMP AS OF binary search and age-based vacuum both rely
         // on monotone timestamps (the Delta monotonization)
         val tsNow = math.max(System.currentTimeMillis(),
-          prior.map(_.ts + 1).getOrElse(1L))
+          priorHdr.map(_.ts + 1).getOrElse(1L))
         // dropped-column tombstones carry forward by default; explicit
         // fn for the operations that reset (full snapshot) or append
         // (DROP COLUMN) them — evaluated against the IN-LOOP prior
-        val dropped = droppedColsFn.map(_(prior))
-          .getOrElse(prior.map(_.droppedCols).getOrElse(Seq.empty))
+        val dropped = droppedColsFn.map(_(fnPrior))
+          .getOrElse(priorHdr.map(_.droppedCols).getOrElse(Seq.empty))
         // table properties carry forward by default (full snapshots
         // included — governance knobs survive a layout redefine);
         // explicit fn only for the property verbs and table-creating
         // declarations — evaluated against the IN-LOOP prior
-        val props = propertiesFn.map(fn => validatedProperties(fn(prior)))
-          .getOrElse(prior.map(_.properties).getOrElse(Map.empty))
-        val staged = Manifest(v, operation, carryFiles ++ newFiles,
-          carryStats ++ newDf.map(collectStats(_, newFiles, sized.toMap,
-              bCols, Some(bloomSidecarDirOf(dataDir))))
-            .getOrElse(Map.empty),
-          Some(schema.json), pCols, ts = tsNow,
-          bloomCols = bCols, dvs = dvMap, droppedCols = dropped,
-          properties = props)
+        val props = propertiesFn.map(fn => validatedProperties(fn(fnPrior)))
+          .getOrElse(priorHdr.map(_.properties).getOrElse(Map.empty))
+        val newStats = newDf.map(collectStats(_, newFiles, sized.toMap,
+            bCols, Some(bloomSidecarDirOf(dataDir))))
+          .getOrElse(Map.empty)
+        setLastCommitDriverEntries(
+          (if (bounded) 0L else carryFiles.size.toLong) + newFiles.size)
         // table-level CHECK constraints (round 18 — Delta invariants)
         // gate EVERY write face at this one choke point: the freshly
         // written files are scanned once and a violating commit refuses
@@ -3744,20 +3804,43 @@ object SnapshotStore {
               else df.withColumn(fl.name, lit(null).cast(fl.dataType)))
             validateConstraints(props, logical, operation)
           }
-        require(staged.files.nonEmpty,
-          s"commit of version $v wrote no data files")
         // ENCODING (round 17): the first commit is self-contained (the
         // base every replay bottoms out on); every later commit logs
         // only its ACTION DELTA — O(changed files) bytes, never
-        // O(table files). The in-memory manifest is canonicalized
-        // through the same delta application readers use, so the state
-        // this commit acts on and the state any later reconstruction
-        // yields are one and the same by construction.
-        prior match {
-          case Some(p0) =>
-            val d = deltaOf(staged, p0)
-            (applyDelta(p0, d), renderDelta(d))
-          case None => (staged, render(staged))
+        // O(table files). Eager stages canonicalize the in-memory
+        // manifest through the same delta application readers use;
+        // BOUNDED carry-all stages (round 20) render the delta
+        // DIRECTLY — adds only, removes empty, header carried — so the
+        // prior file list never materializes on the driver (the
+        // interval checkpoint, when due, reconstructs post-commit).
+        // The yield is (rendered log entry, checkpoint interval,
+        // manifest thunk for the interval checkpoint).
+        if (bounded && priorHdr.isDefined) {
+          val d = CommitDelta(v, operation, tsNow, Some(schema.json),
+            pCols, bCols,
+            adds = newFiles.map(fl => fl -> newStats.get(fl)),
+            removes = Seq.empty, dvs = dvMap, droppedCols = dropped,
+            properties = props)
+          (renderDelta(d), checkpointIntervalOfProps(props),
+            () => manifest(spark, dir, v))
+        } else {
+          val staged = Manifest(v, operation, carryFiles ++ newFiles,
+            carryStats ++ newStats,
+            Some(schema.json), pCols, ts = tsNow,
+            bloomCols = bCols, dvs = dvMap, droppedCols = dropped,
+            properties = props)
+          require(staged.files.nonEmpty,
+            s"commit of version $v wrote no data files")
+          priorFull match {
+            case Some(p0) =>
+              val d = deltaOf(staged, p0)
+              val applied = applyDelta(p0, d)
+              (renderDelta(d), checkpointIntervalOfProps(props),
+                () => applied)
+            case None =>
+              (render(staged), checkpointIntervalOfProps(props),
+                () => staged)
+          }
         }
       } catch { case e: Throwable =>
         f.delete(dataPath, true)
@@ -3769,7 +3852,7 @@ object SnapshotStore {
       val md = new Path(manifestDir(dir))
       if (!f.exists(md)) f.mkdirs(md)
       val fin = manifestPath(dir, v)
-      if (logStore.putIfAbsent(f, fin, m._2.getBytes("UTF-8"))) {
+      if (logStore.putIfAbsent(f, fin, m._1.getBytes("UTF-8"))) {
         // best-effort full-state checkpoint every checkpoint-interval
         // commits (the `graft.checkpointInterval` table property when
         // set — heavy-commit tables want denser checkpoints, huge-file
@@ -3779,8 +3862,8 @@ object SnapshotStore {
         // a committed version). Reconstruction never assumes a cadence
         // (it walks to the nearest base), so mixed intervals across a
         // table's history are sound by construction.
-        if (v % checkpointIntervalOf(m._1) == 0L)
-          try writeCheckpoint(spark, dir, m._1)
+        if (v % m._2 == 0L)
+          try writeCheckpoint(spark, dir, m._3())
           catch { case scala.util.control.NonFatal(_) => () }
         // refresh the checkpoint pointer — a HINT written after the
         // commit point (a crash here only costs the next reader a short
@@ -4449,6 +4532,11 @@ object SnapshotStore {
   /** the table's effective checkpoint cadence: the
     * `graft.checkpointInterval` property when set (validated at the
     * set), else [[CheckpointInterval]] */
+  private def checkpointIntervalOfProps(props: Map[String, String]): Long =
+    props.get(CheckpointIntervalKey)
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
+      .filter(_ >= 1L).getOrElse(CheckpointInterval)
+
   private def checkpointIntervalOf(m: Manifest): Long =
     m.properties.get(CheckpointIntervalKey)
       .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
