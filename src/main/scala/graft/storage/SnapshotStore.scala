@@ -1875,6 +1875,10 @@ object SnapshotStore {
       properties: Map[String, String]) {
     def schemaStruct: Option[StructType] =
       schema.map(DataType.fromJson(_).asInstanceOf[StructType])
+    /** header-grain [[Manifest]] view (EMPTY file list) — for code that
+      * reads schema/layout/dvs/properties only, never files/stats */
+    def lite: Manifest = Manifest(version, operation, Seq.empty, Map.empty,
+      schema, partitionCols, ts, bloomCols, dvs, droppedCols, properties)
   }
 
   private[graft] def headerInfoOf(spark: SparkSession, dir: String,
@@ -2313,8 +2317,9 @@ object SnapshotStore {
                                          reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m = manifest(spark, dir, cur)
-    val touched = mightMatchFiles(spark, m, prune)
+    // the dispatch measurement itself is BOUNDED (round 20): the
+    // survivors view carries exactly the touched files' stats + dvs
+    val (m, touched) = dvMutationView(spark, dir, cur, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -2366,47 +2371,89 @@ object SnapshotStore {
                                        reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
+      if (prunedFilesDistributed(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
-    commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, prune)
-      val touchedSet = touched.toSet
-      // the DvRef path is recorded fs-QUALIFIED: a relative table dir
-      // would otherwise record a relative vector path that vacuum's
-      // qualified-listing prefix check could never match — and the
-      // version dir of a DV-only commit (no data files) would be
-      // reclaimed out from under the retained manifest's vector
-      val newDvDir = fs(spark, dir)
-        .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, DvRef] =
-        if (touched.isEmpty) Map.empty
-        else {
-          val live = liveWithProvenance(spark, dir, m, touched)
-          writeFoldedVector(spark, m, touched,
-            live.filter(coalesce(rowCond, lit(false)))
-              .select(col("__dv_file").as("file"),
-                col("__dv_pos").as("pos")), newDvDir)
+    // BOUNDED stage (round 20): the touched set comes from the
+    // distributed prune (survivors-only driver residency on a
+    // checkpointed table), the header's dv map carries whole, and the
+    // commit renders an adds-empty delta with the folded vectors —
+    // the prior file list never materializes on a narrow delete
+    commitStagedFull(spark, dir, "delete-dv", reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) = dvMutationView(spark, dir, h.version, prune)
+        // the DvRef path is recorded fs-QUALIFIED: a relative table dir
+        // would otherwise record a relative vector path that vacuum's
+        // qualified-listing prefix check could never match — and the
+        // version dir of a DV-only commit (no data files) would be
+        // reclaimed out from under the retained manifest's vector
+        val newDvDir = fs(spark, dir)
+          .makeQualified(new Path(s"$dataDir/_dv")).toString
+        val countsByKey: Map[String, DvRef] =
+          if (touched.isEmpty) Map.empty
+          else {
+            val live = liveWithProvenance(spark, dir, mView, touched)
+            writeFoldedVector(spark, mView, touched,
+              live.filter(coalesce(rowCond, lit(false)))
+                .select(col("__dv_file").as("file"),
+                  col("__dv_pos").as("pos")), newDvDir)
+          }
+        val updated = boundedDvFold(h.dvs, touched, countsByKey)
+        // a delete that would mask EVERY live row is refused like the
+        // copy-on-write path refuses it (a committed version holds at
+        // least one data file with live rows) — committing it would
+        // wedge the table: purgeVectors and compact rewrite to zero
+        // files and cannot commit, so the all-masking vector could
+        // never retire. Cheap proof first: ANY touched row surviving
+        // the condition keeps the table live; only the all-masked
+        // corner pays the full-state arithmetic.
+        if (countsByKey.nonEmpty) {
+          val survivor = liveWithProvenance(spark, dir, mView, touched)
+            .filter(!coalesce(rowCond, lit(false))).limit(1).count()
+          if (survivor == 0L) {
+            val mFull = manifest(spark, dir, h.version)
+            if (mFull.files.forall(mFull.stats.contains)) {
+              val physical = mFull.files.map(f => mFull.stats(f).rows).sum
+              val masked = mFull.files.flatMap(updated.get).map(_.rows).sum
+              require(masked < physical,
+                s"delete would mask every live row of $dir — deleting the " +
+                  "whole table is refused (drop the table directory instead)")
+            }
+          }
         }
-      val updated = foldDvRefs(m, touchedSet, countsByKey, newDvDir)
-      // a delete that would mask EVERY live row is refused like the
-      // copy-on-write path refuses it (a committed version holds at
-      // least one data file with live rows) — committing it would wedge
-      // the table: purgeVectors and compact rewrite to zero files and
-      // cannot commit, so the all-masking vector could never retire
-      if (m.files.forall(m.stats.contains)) {
-        val physical = m.files.map(f => m.stats(f).rows).sum
-        val masked = m.files.flatMap(updated.get).map(_.rows).sum
-        require(masked < physical,
-          s"delete would mask every live row of $dir — deleting the whole " +
-            "table is refused (drop the table directory instead)")
-      }
-      Staged(m.files, m.stats, Some(updated))
-    }
+        Staged(Seq.empty, Map.empty, Some(updated))
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
+
+  /** BOUNDED working state of a predicate-scoped mutation (round 20 —
+    * the commit-side extension of the distributed pruning tier): the
+    * touched-file selection runs INSIDE a distributed checkpoint scan
+    * and the returned manifest view lists the SURVIVORS ONLY (with
+    * their stats; header fields — schema, layout, the full dv map —
+    * ride whole), so a narrow DV mutation against an 800k-file table
+    * never materializes the table's file list. Falls back to the full
+    * reconstruction when no parquet checkpoint serves the version or
+    * the predicate is untranslatable (every file must be consulted
+    * anyway) — same answers either way. */
+  private def dvMutationView(spark: SparkSession, dir: String,
+                             version: Long, prune: Option[FilePredicate])
+      : (Manifest, Seq[String]) =
+    prune.flatMap(p => distributedPruneState(spark, dir, version, p)) match {
+      case Some((mSurv, keep)) => (mSurv, keep)
+      case None =>
+        val m = manifest(spark, dir, version)
+        (m, mightMatchFiles(spark, m, prune))
+    }
+
+  /** the mutated DV map of a BOUNDED merge-on-read commit: every prior
+    * ref carries (the header map rides whole); touched files with fresh
+    * marks point at their new bucket */
+  private def boundedDvFold(headerDvs: Map[String, DvRef],
+                            touched: Seq[String],
+                            refsByKey: Map[String, DvRef]): Map[String, DvRef] =
+    headerDvs ++ touched.flatMap(f => refsByKey.get(pathKey(f)).map(f -> _))
 
   /** LIVE rows of `touched` files with their physical provenance as
     * ordinary columns (`__dv_file`, `__dv_pos`): metadata materializes
@@ -2530,11 +2577,16 @@ object SnapshotStore {
     val cs = caseSensitive(spark)
     val schema0 = m0.schemaStruct.getOrElse(
       asNullableSchema(spark.read.parquet(m0.files: _*).schema))
+    val idCols = identityOf(m0.properties).map(_._1)
     assignments.map { case (c, v) =>
       val f = schema0.fields.find(fl =>
         if (cs) fl.name == c else fl.name.equalsIgnoreCase(c))
         .getOrElse(refuse(s"update assigns unknown column $c — " +
           "add columns through commitAppend/merge schema evolution"))
+      require(!idCols.exists(ic =>
+        if (cs) ic == f.name else ic.equalsIgnoreCase(f.name)),
+        s"column ${f.name} is GENERATED ALWAYS AS IDENTITY — it cannot " +
+          "be assigned")
       (f.name, f.dataType, v)
     }
   }
@@ -2607,58 +2659,62 @@ object SnapshotStore {
     require(assignments.nonEmpty, "update needs at least one assignment")
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
-    val resolved = resolveAssignments(spark, m0, assignments)
+    val h0 = headerInfoOf(spark, dir, cur)
+    val resolved = resolveAssignments(spark,
+      if (h0.schema.isDefined) h0.lite else manifest(spark, dir, cur),
+      assignments)
     prune.foreach { p =>
-      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
+      if (prunedFilesDistributed(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
-    commitStagedFull(spark, dir, "update-dv", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, prune)
-      val touchedSet = touched.toSet
-      val newDvDir = fs(spark, dir)
-        .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, DvRef] =
-        if (touched.isEmpty) Map.empty
-        else {
-          // PERSIST the marked pre-image rows: this plan evaluates twice
-          // (the vector write below, the post-image write after) and a
-          // non-deterministic condition (rand(), current_timestamp)
-          // would otherwise mask one row set and append post-images for
-          // a DIFFERENT one — silently losing or duplicating rows. The
-          // same multi-evaluation reason merge/mergeAuto persist their
-          // delta.
-          val hit = liveWithProvenance(spark, dir, m, touched)
-            .filter(coalesce(rowCond, lit(false)))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-          val counts = writeFoldedVector(spark, m, touched,
-            hit.select(col("__dv_file").as("file"),
-              col("__dv_pos").as("pos")), newDvDir)
-          if (counts.nonEmpty) {
-            // POST-IMAGE rows append as the version's new data files.
-            // Right-hand sides evaluate against the pre-image: stage
-            // them as temp columns FIRST, then swap in (`SET a = b,
-            // b = a` must exchange, not chain).
-            val tmp = resolved.zipWithIndex.map { case ((c, t, v), i) =>
-              (c, t, s"__upd_$i", v)
+    // BOUNDED stage (round 20): like deleteConditionDv — survivors-only
+    // touched selection, header-carried dv map, adds-only delta
+    commitStagedFull(spark, dir, "update-dv", reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) = dvMutationView(spark, dir, h.version, prune)
+        val newDvDir = fs(spark, dir)
+          .makeQualified(new Path(s"$dataDir/_dv")).toString
+        val countsByKey: Map[String, DvRef] =
+          if (touched.isEmpty) Map.empty
+          else {
+            // PERSIST the marked pre-image rows: this plan evaluates
+            // twice (the vector write below, the post-image write
+            // after) and a non-deterministic condition (rand(),
+            // current_timestamp) would otherwise mask one row set and
+            // append post-images for a DIFFERENT one — silently losing
+            // or duplicating rows. The same multi-evaluation reason
+            // merge/mergeAuto persist their delta.
+            val hit = liveWithProvenance(spark, dir, mView, touched)
+              .filter(coalesce(rowCond, lit(false)))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+            val counts = writeFoldedVector(spark, mView, touched,
+              hit.select(col("__dv_file").as("file"),
+                col("__dv_pos").as("pos")), newDvDir)
+            if (counts.nonEmpty) {
+              // POST-IMAGE rows append as the version's new data files.
+              // Right-hand sides evaluate against the pre-image: stage
+              // them as temp columns FIRST, then swap in (`SET a = b,
+              // b = a` must exchange, not chain).
+              val tmp = resolved.zipWithIndex.map { case ((c, t, v), i) =>
+                (c, t, s"__upd_$i", v)
+              }
+              val stagedDf = tmp.foldLeft(hit) {
+                case (df, (_, t, tc, v)) => df.withColumn(tc, v.cast(t))
+              }
+              val post = tmp.foldLeft(stagedDf) { case (df, (c, _, tc, _)) =>
+                df.withColumn(c, col(tc))
+              }.drop(tmp.map(_._3): _*).drop("__dv_file", "__dv_pos")
+              writeData(post, dataDir, mView.partitionCols, append = true,
+                toPhysical = mappingOf(mView))
             }
-            val stagedDf = tmp.foldLeft(hit) {
-              case (df, (_, t, tc, v)) => df.withColumn(tc, v.cast(t))
-            }
-            val post = tmp.foldLeft(stagedDf) { case (df, (c, _, tc, _)) =>
-              df.withColumn(c, col(tc))
-            }.drop(tmp.map(_._3): _*).drop("__dv_file", "__dv_pos")
-            writeData(post, dataDir, m.partitionCols, append = true,
-              toPhysical = mappingOf(m))
+            counts
+            } finally hit.unpersist()
           }
-          counts
-          } finally hit.unpersist()
-        }
-      Staged(m.files, m.stats,
-        Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
-    }
+        Staged(Seq.empty, Map.empty,
+          Some(boundedDvFold(h.dvs, touched, countsByKey)))
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
 
   /** Measured AUTO-dispatch between the DV and CoW update paths — the
@@ -2674,9 +2730,12 @@ object SnapshotStore {
                                          reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m = manifest(spark, dir, cur)
-    resolveAssignments(spark, m, assignments) // refuse unknown targets first
-    val touched = mightMatchFiles(spark, m, prune)
+    val h0 = headerInfoOf(spark, dir, cur)
+    resolveAssignments(spark,
+      if (h0.schema.isDefined) h0.lite else manifest(spark, dir, cur),
+      assignments) // refuse unknown targets first
+    // bounded dispatch measurement (round 20) — see deleteConditionAuto
+    val (m, touched) = dvMutationView(spark, dir, cur, prune)
     if (touched.isEmpty) return cur
     val marked = readFiles(spark, dir, m, touched)
       .filter(coalesce(rowCond, lit(false))).count()
@@ -2727,7 +2786,7 @@ object SnapshotStore {
       return commit(spark, dir, delta, operation, reclaimGraceMs,
         partitionBy = partitionBy, bloomCols = bloomCols,
         tblProperties = tblProperties)
-    refuseIdentityUpsert(manifest(spark, dir,
+    refuseIdentityUpsert(headerInfoOf(spark, dir,
       latestVersion(spark, dir).get).properties, "merge")
     preValidateEvolution(spark, dir, delta)
     // MATERIALIZE the delta before anything reads it: the plan evaluates
@@ -2821,7 +2880,7 @@ object SnapshotStore {
     require(keyCols.nonEmpty, "merge needs at least one key column")
     if (latestVersion(spark, dir).isEmpty)
       return commit(spark, dir, delta, operation, reclaimGraceMs)
-    refuseIdentityUpsert(manifest(spark, dir,
+    refuseIdentityUpsert(headerInfoOf(spark, dir,
       latestVersion(spark, dir).get).properties, "merge")
     preValidateEvolution(spark, dir, delta)
     val weCached = !org.apache.spark.sql.graft.CacheBridge.isCached(delta)
@@ -2842,34 +2901,39 @@ object SnapshotStore {
   private def mergeDvImpl(spark: SparkSession, dir: String, delta: DataFrame,
                           keyCols: Seq[String], pred: FilePredicate,
                           reclaimGraceMs: Long, operation: String): Long =
-    commitStagedFull(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, Some(pred))
-      val touchedSet = touched.toSet
-      val newDvDir = fs(spark, dir)
-        .makeQualified(new Path(s"$dataDir/_dv")).toString
-      val countsByKey: Map[String, DvRef] =
-        if (touched.isEmpty) Map.empty
-        else {
-          // pre-image positions of the REPLACED rows: live rows of the
-          // touched files whose key appears in the delta (semi-join on
-          // the key projection — broadcast by AQE for typical deltas)
-          val marks = liveWithProvenance(spark, dir, m, touched)
-            .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
-            .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
-          writeFoldedVector(spark, m, touched, marks, newDvDir)
-        }
-      // the whole delta appends — replacements AND new keys — exactly
-      // the bytes the caller handed in plus any declared expression
-      // defaults (append mode: the hidden `_dv` write above already
-      // created our claimed version dir)
-      writeData(
-        applyColumnDefaults(spark, delta, generatedOf(m.properties)),
-        dataDir, m.partitionCols, append = true,
-        toPhysical = mappingOf(m))
-      Staged(m.files, m.stats,
-        Some(foldDvRefs(m, touchedSet, countsByKey, newDvDir)))
-    }
+    // BOUNDED stage (round 20): the envelope-touched selection runs
+    // through the distributed prune, the header's dv map carries whole,
+    // the delta appends as the adds — the prior file list never
+    // materializes on a typical narrow upsert
+    commitStagedFull(spark, dir, operation, reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) =
+          dvMutationView(spark, dir, h.version, Some(pred))
+        val newDvDir = fs(spark, dir)
+          .makeQualified(new Path(s"$dataDir/_dv")).toString
+        val countsByKey: Map[String, DvRef] =
+          if (touched.isEmpty) Map.empty
+          else {
+            // pre-image positions of the REPLACED rows: live rows of the
+            // touched files whose key appears in the delta (semi-join on
+            // the key projection — broadcast by AQE for typical deltas)
+            val marks = liveWithProvenance(spark, dir, mView, touched)
+              .join(delta.select(keyCols.map(col): _*), keyCols, "left_semi")
+              .select(col("__dv_file").as("file"), col("__dv_pos").as("pos"))
+            writeFoldedVector(spark, mView, touched, marks, newDvDir)
+          }
+        // the whole delta appends — replacements AND new keys — exactly
+        // the bytes the caller handed in plus any declared expression
+        // defaults (append mode: the hidden `_dv` write above already
+        // created our claimed version dir)
+        writeData(
+          applyColumnDefaults(spark, delta, generatedOf(h.properties)),
+          dataDir, h.partitionCols, append = true,
+          toPhysical = mappingOf(mView))
+        Staged(Seq.empty, Map.empty,
+          Some(boundedDvFold(h.dvs, touched, countsByKey)))
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
 
   /** Measured AUTO-dispatch between the DV and CoW merge paths — the
     * SQL `MERGE INTO` route, completing the DML triad's dispatch
@@ -2895,13 +2959,13 @@ object SnapshotStore {
       delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cur = latestVersion(spark, dir).get
-      val m = manifest(spark, dir, cur)
-      refuseIdentityUpsert(m.properties, "merge")
+      refuseIdentityUpsert(headerInfoOf(spark, dir, cur).properties, "merge")
       preValidateEvolution(spark, dir, delta) // cheap early exit, both paths
       // ONE envelope aggregation serves dispatch AND commit (the impls
       // take the precomputed predicate — no re-run)
       val pred = mergeEnvelope(delta, keyCols).getOrElse(return cur)
-      val touched = mightMatchFiles(spark, m, Some(pred))
+      // bounded dispatch measurement (round 20) — see deleteConditionAuto
+      val (m, touched) = dvMutationView(spark, dir, cur, Some(pred))
       val statless = touched.exists(f => !m.stats.contains(f))
       val dv = touched.nonEmpty && !statless && {
         val matched = liveWithProvenance(spark, dir, m, touched)

@@ -71,6 +71,43 @@ class SnapshotCommitResidencySpec extends SparkSpec {
         s"(${store.lastCommitDriverEntries})")
   }
 
+  test("a narrow DV delete against a 100k-entry CHECKPOINTED table is " +
+    "bounded end-to-end: touched selection through the distributed " +
+    "prune, zero carried entries, header-carried dv map") {
+    val dir = freshDir()
+    store.commit(spark, dir,
+      (1L to 100L).map(i => (i, s"d$i")).toDF("id", "txt")
+        .repartitionByRange(4, col("id")), "ingest")               // v1
+    val m1 = store.manifest(spark, dir, 1L)
+    // synthetic 100k cold entries whose id stats EXCLUDE the probe
+    // range — pruning must keep only the real file, and the fakes are
+    // never read
+    val fakeStats = (1 to 100000).map { i =>
+      val f = s"$dir/data/fake/part-$i.parquet"
+      f -> SnapshotStore.FileStats(1L,
+        Map("id" -> SnapshotStore.ColStats("bigint",
+          Some(1000000L + i), Some(1000000L + i), Some(0L))), 10L)
+    }
+    val m2 = m1.copy(version = 2L, operation = "synthetic",
+      files = m1.files ++ fakeStats.map(_._1),
+      stats = m1.stats ++ fakeStats, ts = m1.ts + 1)
+    store.writeManifestForTest(spark, dir, m2)
+    store.writeCheckpointForTest(spark, dir, m2)                   // parquet
+    store.deleteWhereDv(spark, dir,
+      SnapshotStore.FilePredicate.EqTo("id", 5L))                  // v3
+    assert(store.lastCommitDriverEntries == 0L,
+      s"a DV delete carries nothing and adds nothing: " +
+        s"${store.lastCommitDriverEntries}")
+    val m3 = store.manifest(spark, dir, 3L)
+    assert(m3.files.size == 100004 && m3.dvs.size == 1,
+      s"full state intact, one new vector: ${m3.files.size}/${m3.dvs.size}")
+    // correctness through the survivors-only read path
+    assert(store.readAsOfWhereDistributed(spark, dir, 3L,
+      SnapshotStore.FilePredicate.EqTo("id", 5L)).count() == 0L)
+    assert(store.readAsOfWhereDistributed(spark, dir, 3L,
+      SnapshotStore.FilePredicate.EqTo("id", 6L)).count() == 1L)
+  }
+
   test("the bounded append keeps every header-driven behavior: identity " +
     "allocation, generated defaults, CHECK constraints, dv carry, and " +
     "schema evolution — all off the header") {
