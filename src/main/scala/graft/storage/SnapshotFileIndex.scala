@@ -394,7 +394,10 @@ object SnapshotFileIndex {
 
   /** Build the SQL relation LAZILY over a [[SnapshotCheckpointFileIndex]]
     * (round 20): None when the version has no parquet-checkpoint base,
-    * is partitioned, or records no schema — the caller uses the
+    * is partitioned, records no schema, or the checkpoint is SMALL
+    * ([[SnapshotStore.LazyRelationMinEntries]] — below it, driver-side
+    * materialization beats a distributed metadata job per filtered
+    * read at any deployment scale) — the caller uses the
     * driver-resident relation (same answers). */
   private[graft] def lazyHadoopRelationOf(spark: SparkSession, dir: String,
                                           version: Long, dvApplied: Boolean)
@@ -404,7 +407,9 @@ object SnapshotFileIndex {
       catch { case scala.util.control.NonFatal(_) => return None }
     if (hdr.partitionCols.nonEmpty) return None
     val schema = hdr.schemaStruct.getOrElse(return None)
-    SnapshotStore.parquetCheckpointInfo(spark, dir, version).map { bytesHint =>
+    SnapshotStore.parquetCheckpointInfo(spark, dir, version)
+      .filter(_._1 >= SnapshotStore.LazyRelationMinEntries)
+      .map { case (_, bytesHint) =>
       val index = new SnapshotCheckpointFileIndex(spark, dir, version, hdr,
         bytesHint, dvApplied)
       val dataSchema =

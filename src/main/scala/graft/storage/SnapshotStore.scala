@@ -1899,14 +1899,64 @@ object SnapshotStore {
     * within the tail (a self-contained entry bottoms the walk first):
     * the caller uses the driver-resident path. Cost: O(tail) small
     * header/delta reads, the same class as any reconstruction. */
+  /** [[parquetCheckpointInfo]] memo — PERFORMANCE-ONLY (round 20): the
+    * walk result for a committed (dir, version) can only change in one
+    * direction (a checkpoint APPEARING later — vacuum pins one, or the
+    * interval writer lands), and the downstream prune re-validates
+    * every path it reads, so serving a stale "no checkpoint" merely
+    * keeps a table on the driver-resident tier until eviction; a stale
+    * "checkpoint at w" whose files were vacuumed falls back inside
+    * [[distributedPruneState]]. Bounded LRU, same shape as the
+    * manifest cache. */
+  private val CkptInfoCacheCapacity = 64
+  private val ckptInfoCache =
+    new java.util.LinkedHashMap[(String, Long),
+        Option[(Long, Option[Long])]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long),
+            Option[(Long, Option[Long])]]): Boolean =
+        size() > CkptInfoCacheCapacity
+    }
+  private[storage] def clearCkptInfoCacheForTest(): Unit =
+    ckptInfoCache.synchronized(ckptInfoCache.clear())
+
+  /** Walk cap: a table whose nearest parquet-checkpoint base lies more
+    * than this many deltas back gains little from the lazy tier (the
+    * distributed prune would fold the same tail driver-side), and a
+    * LEGACY history with no parquet checkpoint at all must not pay an
+    * O(commits) walk per relation — beyond the cap the caller uses the
+    * driver-resident path. Generous vs the default interval of 10. */
+  private val MaxCkptWalk = 64
+
+  /** Minimum checkpoint ENTRY COUNT for the lazy SQL tier (round 20):
+    * below it, driver-side materialization of the file list is cheaper
+    * than a distributed metadata job per filtered read at ANY deployment
+    * scale — small tables keep the round-19 driver-resident relation
+    * byte-for-byte. Spec seam: tests drop it to 0 to drive the lazy
+    * path on toy tables. */
+  @volatile private[storage] var LazyRelationMinEntries: Long = 4096L
+
   private[graft] def parquetCheckpointInfo(spark: SparkSession, dir: String,
                                            version: Long)
-      : Option[Option[Long]] = {
+      : Option[(Long, Option[Long])] = {
+    val cached = ckptInfoCache.synchronized(
+      Option(ckptInfoCache.get((dir, version))))
+    cached.foreach(return _)
+    val out = parquetCheckpointInfoUncached(spark, dir, version)
+    ckptInfoCache.synchronized(ckptInfoCache.put((dir, version), out))
+    out
+  }
+
+  private def parquetCheckpointInfoUncached(spark: SparkSession, dir: String,
+                                            version: Long)
+      : Option[(Long, Option[Long])] = {
     val f = fs(spark, dir)
     var w = version
     var addBytes = 0L
     var sawUnsized = false
-    while (w >= 1) {
+    var steps = 0
+    while (w >= 1 && steps <= MaxCkptWalk) {
+      steps += 1
       val p = checkpointPath(dir, w)
       if (f.exists(p)) {
         try {
@@ -1919,8 +1969,13 @@ object SnapshotStore {
                 case JInt(b) => Some(b.toLong)
                 case _ => None // pre-round-20 checkpoint header
               }
-              return Some(
-                if (sawUnsized) None else base.map(_ + addBytes))
+              val entries = r \ "entries" match {
+                case JLong(n) => n
+                case JInt(n) => n.toLong
+                case _ => 0L
+              }
+              return Some((entries,
+                if (sawUnsized) None else base.map(_ + addBytes)))
             case _ => ()
           }
         } catch { case scala.util.control.NonFatal(_) => () }
@@ -2277,22 +2332,24 @@ object SnapshotStore {
                                      reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
     prune.foreach { p =>
-      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
+      if (prunedFilesBounded(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
-    commitStaged(spark, dir, "delete", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, prune)
-      val untouchedSet = m.files.toSet -- touched
-      if (touched.nonEmpty)
-        writeData(readFiles(spark, dir, m, touched)
-          // keep rows where the condition is NOT TRUE (null keeps, as SQL)
-          .filter(!coalesce(rowCond, lit(false))), dataDir, m.partitionCols,
-          toPhysical = mappingOf(m))
-      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
-    }
+    // BOUNDED stage (round 20): touched selection through the
+    // distributed prune; the untouched list never materializes — the
+    // commit renders (adds = rewrites, removes = touched) directly
+    commitStagedFull(spark, dir, "delete", reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) = dvMutationView(spark, dir, h.version, prune)
+        if (touched.nonEmpty)
+          writeData(readFiles(spark, dir, mView, touched)
+            // keep rows where the condition is NOT TRUE (null keeps, as SQL)
+            .filter(!coalesce(rowCond, lit(false))), dataDir,
+            mView.partitionCols, toPhysical = mappingOf(mView))
+        Staged(Seq.empty, Map.empty, removes = touched)
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
 
   /** Marked-row fraction at or below which [[deleteConditionAuto]] picks
@@ -2372,7 +2429,7 @@ object SnapshotStore {
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
     prune.foreach { p =>
-      if (prunedFilesDistributed(spark, dir, cur, p).isEmpty)
+      if (prunedFilesBounded(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     // BOUNDED stage (round 20): the touched set comes from the
@@ -2440,12 +2497,32 @@ object SnapshotStore {
   private def dvMutationView(spark: SparkSession, dir: String,
                              version: Long, prune: Option[FilePredicate])
       : (Manifest, Seq[String]) =
-    prune.flatMap(p => distributedPruneState(spark, dir, version, p)) match {
+    prune.filter(_ => lazyTierServes(spark, dir, version))
+      .flatMap(p => distributedPruneState(spark, dir, version, p)) match {
       case Some((mSurv, keep)) => (mSurv, keep)
       case None =>
         val m = manifest(spark, dir, version)
         (m, mightMatchFiles(spark, m, prune))
     }
+
+  /** is the DISTRIBUTED metadata tier worth it for this version? —
+    * a parquet checkpoint serves it AND the state is large enough that
+    * driver materialization is the real cost (below
+    * [[LazyRelationMinEntries]] the driver path wins at any scale) */
+  private[storage] def lazyTierServes(spark: SparkSession, dir: String,
+                                      version: Long): Boolean =
+    parquetCheckpointInfo(spark, dir, version)
+      .exists(_._1 >= LazyRelationMinEntries)
+
+  /** [[prunedFiles]] through the scale-appropriate tier: distributed on
+    * large checkpointed states, driver-resident otherwise — the write
+    * faces' early-exit probe. */
+  private[storage] def prunedFilesBounded(spark: SparkSession, dir: String,
+                                          version: Long,
+                                          pred: FilePredicate): Seq[String] =
+    if (lazyTierServes(spark, dir, version))
+      prunedFilesDistributed(spark, dir, version, pred)
+    else prunedFiles(spark, dir, version, pred)
 
   /** the mutated DV map of a BOUNDED merge-on-read commit: every prior
     * ref carries (the header map rides whole); touched files with fresh
@@ -2599,16 +2676,20 @@ object SnapshotStore {
     require(assignments.nonEmpty, "update needs at least one assignment")
     val cur = latestVersion(spark, dir)
       .getOrElse(refuse(s"no committed version at $dir"))
-    val m0 = manifest(spark, dir, cur)
-    val resolved = resolveAssignments(spark, m0, assignments)
+    val h0 = headerInfoOf(spark, dir, cur)
+    val resolved = resolveAssignments(spark,
+      if (h0.schema.isDefined) h0.lite else manifest(spark, dir, cur),
+      assignments)
     prune.foreach { p =>
-      if (mightMatchFiles(spark, m0, Some(p)).isEmpty)
+      if (prunedFilesBounded(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to rewrite
     }
-    commitStaged(spark, dir, "update", reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, prune)
-      val untouchedSet = m.files.toSet -- touched
+    // BOUNDED stage (round 20) — see deleteCondition
+    commitStagedFull(spark, dir, "update", reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) = dvMutationView(spark, dir, h.version, prune)
+        val m = mView
       if (touched.nonEmpty) {
         val base = readFiles(spark, dir, m, touched)
         // ALL right-hand sides AND the condition evaluate against the
@@ -2632,8 +2713,8 @@ object SnapshotStore {
         writeData(applied, dataDir, m.partitionCols,
           toPhysical = mappingOf(m))
       }
-      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
-    }
+        Staged(Seq.empty, Map.empty, removes = touched)
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
 
   /** MERGE-ON-READ row UPDATE (round 17 — deletion vectors extended to
@@ -2664,7 +2745,7 @@ object SnapshotStore {
       if (h0.schema.isDefined) h0.lite else manifest(spark, dir, cur),
       assignments)
     prune.foreach { p =>
-      if (prunedFilesDistributed(spark, dir, cur, p).isEmpty)
+      if (prunedFilesBounded(spark, dir, cur, p).isEmpty)
         return cur // stats prove no row matches: nothing to mark
     }
     // BOUNDED stage (round 20): like deleteConditionDv — survivors-only
@@ -2815,25 +2896,27 @@ object SnapshotStore {
   private def mergeCowImpl(spark: SparkSession, dir: String, delta: DataFrame,
                            keyCols: Seq[String], pred: FilePredicate,
                            reclaimGraceMs: Long, operation: String): Long =
-    commitStaged(spark, dir, operation, reclaimGraceMs) { (prior, dataDir) =>
-      val m = prior.getOrElse(refuse(s"no committed version at $dir"))
-      val touched = mightMatchFiles(spark, m, Some(pred))
-      val untouchedSet = m.files.toSet -- touched
-      val survivors =
-        if (touched.isEmpty) delta.limit(0)
-        else readFiles(spark, dir, m, touched)
-          .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
-      // allowMissingColumns: an evolved delta's NEW columns null-fill in
-      // survivors; a delta omitting non-key table columns null-fills its
-      // own rows (the Delta automatic-evolution contract). Expression
-      // defaults apply to the writer-authored DELTA side only — the
-      // carried survivors' rows must rewrite byte-faithfully.
-      writeData(survivors.unionByName(
-        applyColumnDefaults(spark, delta, generatedOf(m.properties)),
-        allowMissingColumns = true),
-        dataDir, m.partitionCols, toPhysical = mappingOf(m))
-      (m.files.filter(untouchedSet), m.stats.filter(kv => untouchedSet(kv._1)))
-    }
+    // BOUNDED stage (round 20) — see deleteCondition
+    commitStagedFull(spark, dir, operation, reclaimGraceMs,
+      stageBounded = Some { (hdrOpt, dataDir) =>
+        val h = hdrOpt.getOrElse(refuse(s"no committed version at $dir"))
+        val (mView, touched) =
+          dvMutationView(spark, dir, h.version, Some(pred))
+        val survivors =
+          if (touched.isEmpty) delta.limit(0)
+          else readFiles(spark, dir, mView, touched)
+            .join(delta.select(keyCols.map(col): _*), keyCols, "left_anti")
+        // allowMissingColumns: an evolved delta's NEW columns null-fill in
+        // survivors; a delta omitting non-key table columns null-fills its
+        // own rows (the Delta automatic-evolution contract). Expression
+        // defaults apply to the writer-authored DELTA side only — the
+        // carried survivors' rows must rewrite byte-faithfully.
+        writeData(survivors.unionByName(
+          applyColumnDefaults(spark, delta, generatedOf(h.properties)),
+          allowMissingColumns = true),
+          dataDir, mView.partitionCols, toPhysical = mappingOf(mView))
+        Staged(Seq.empty, Map.empty, removes = touched)
+      }) { (_, _) => sys.error("unreachable: bounded stage set") }
 
   /** The delta's key ENVELOPE as a write-side file predicate — one
     * bounded (single-row) aggregation. The exact distinct-key count
@@ -3585,9 +3668,15 @@ object SnapshotStore {
     * operations whose vectors do NOT derive from the prior manifest:
     * [[deleteWhereDv]] (adds vectors), [[restore]]/[[cloneTable]]
     * (another manifest's vectors). */
+  /** `removes` (round 20, BOUNDED stages only): prior files this commit
+    * DROPS — the carry-all-except encoding of a CoW rewrite, rendered
+    * straight into the action delta so the untouched file list never
+    * materializes. Eager stages express removal by omission from
+    * `carryFiles` instead and must leave this empty. */
   private[storage] final case class Staged(
       carryFiles: Seq[String], carryStats: Map[String, FileStats],
-      dvs: Option[Map[String, DvRef]] = None)
+      dvs: Option[Map[String, DvRef]] = None,
+      removes: Seq[String] = Seq.empty)
 
   /** file ENTRIES the most recent commit on THIS thread materialized
     * driver-side (carried + new for eager stages; new only for bounded
@@ -3744,9 +3833,11 @@ object SnapshotStore {
         }
         val (carryFiles, carryStats) = (staged0.carryFiles, staged0.carryStats)
         // deletion vectors: explicit, or derived by carry (see [[Staged]]);
-        // a bounded carry-all commit keeps EVERY prior ref (the header's)
+        // a bounded carry-all commit keeps EVERY prior ref (the
+        // header's) minus its explicit removes
         val dvMap = staged0.dvs.getOrElse {
-          if (bounded) priorHdr.map(_.dvs).getOrElse(Map.empty)
+          if (bounded)
+            priorHdr.map(_.dvs).getOrElse(Map.empty) -- staged0.removes
           else {
             val carried = carryFiles.toSet
             priorFull.map(_.dvs.filter(kv => carried(kv._1)))
@@ -3880,10 +3971,18 @@ object SnapshotStore {
         // The yield is (rendered log entry, checkpoint interval,
         // manifest thunk for the interval checkpoint).
         if (bounded && priorHdr.isDefined) {
+          // a rewrite that drops files and writes none back (a
+          // partitioned delete-everything) must not commit an empty
+          // table — the one corner that pays a full-state probe
+          if (newFiles.isEmpty && staged0.removes.nonEmpty) {
+            val removedSet = staged0.removes.toSet
+            require(priorFull.exists(_.files.exists(f => !removedSet(f))),
+              s"commit of version $v wrote no data files")
+          }
           val d = CommitDelta(v, operation, tsNow, Some(schema.json),
             pCols, bCols,
             adds = newFiles.map(fl => fl -> newStats.get(fl)),
-            removes = Seq.empty, dvs = dvMap, droppedCols = dropped,
+            removes = staged0.removes, dvs = dvMap, droppedCols = dropped,
             properties = props)
           (renderDelta(d), checkpointIntervalOfProps(props),
             () => manifest(spark, dir, v))

@@ -59,15 +59,21 @@ class SnapshotCommitResidencySpec extends SparkSpec {
     assert(m4.files.size == m1.files.size + 100000 + 2,
       s"reconstruction folds the full list: ${m4.files.size}")
     assert(m4.operation == "append")
-    // an EAGER stage (CoW delete) still materializes the carried list —
+    // the CoW DML tier is bounded too (round 20): a narrow delete holds
+    // only its rewritten files; an EAGER stage (metadata DDL, which
+    // carries the full list by design) still measurably materializes —
     // the fence distinguishes the modes
     val dir2 = freshDir()
     store.commit(spark, dir2,
       (1L to 100L).map(i => (i, s"d$i")).toDF("id", "txt")
         .repartitionByRange(4, col("id")), "ingest")
     store.deleteWhere(spark, dir2, SnapshotStore.FilePredicate.EqTo("id", 5L))
+    assert(store.lastCommitDriverEntries <= 2L,
+      "a narrow CoW delete holds its rewrites only " +
+        s"(${store.lastCommitDriverEntries})")
+    store.setTableProperties(spark, dir2, Map("user.note" -> "x"))
     assert(store.lastCommitDriverEntries >= 4L,
-      "a CoW delete carries the untouched files explicitly " +
+      "an eager metadata stage carries the full list " +
         s"(${store.lastCommitDriverEntries})")
   }
 

@@ -27,8 +27,22 @@ class SnapshotSqlDistributedPruneSpec extends SparkSpec {
     d.getAbsolutePath
   }
 
+  /** the lazy tier engages above [[SnapshotStore.LazyRelationMinEntries]]
+    * (driver materialization wins on small states at any scale) — these
+    * toy tables drive the path through the spec seam */
+  private def withLazyTier[A](body: => A): A = {
+    val prev = SnapshotStore.LazyRelationMinEntries
+    SnapshotStore.LazyRelationMinEntries = 0L
+    SnapshotStore.clearCkptInfoCacheForTest()
+    try body finally {
+      SnapshotStore.LazyRelationMinEntries = prev
+      SnapshotStore.clearCkptInfoCacheForTest()
+    }
+  }
+
   test("a selective SQL read on a checkpointed table routes through the " +
     "lazy index: survivors-only driver materialization, plan-fenced") {
+    withLazyTier {
     val dir = freshDir()
     store.commit(spark, dir,
       (1L to 800L).map(i => (i, s"d$i", i % 5)).toDF("id", "txt", "n")
@@ -59,11 +73,13 @@ class SnapshotSqlDistributedPruneSpec extends SparkSpec {
       assert(spark.sql(s"SELECT count(*) FROM $tbl").head().getLong(0) ==
         802L)
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
   }
 
   test("deletion vectors MASK at a checkpoint-coincident version through " +
     "the lazy SQL path (the distributed-prune DV fix, end-to-end); DML " +
     "on the lazy-index table keeps routing through the store") {
+    withLazyTier {
     val dir = freshDir()
     store.commit(spark, dir,
       (1L to 400L).map(i => (i, s"d$i")).toDF("id", "txt")
@@ -93,10 +109,12 @@ class SnapshotSqlDistributedPruneSpec extends SparkSpec {
         .as[String].head() == "X")
       assert(store.latestVersion(spark, dir).contains(3L))
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
   }
 
   test("a RENAMED (column-mapped) checkpointed table reads through the " +
     "lazy overlay: logical names surface, the physical scan prunes") {
+    withLazyTier {
     val dir = freshDir()
     store.commit(spark, dir,
       (1L to 200L).map(i => (i, s"d$i")).toDF("id", "body")
@@ -116,5 +134,6 @@ class SnapshotSqlDistributedPruneSpec extends SparkSpec {
       assert(materialized < store.manifest(spark, dir, 2L).files.size,
         "the mapped read still prunes distributed")
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    }
   }
 }
