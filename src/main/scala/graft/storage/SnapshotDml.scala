@@ -547,6 +547,10 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+SET\s+NOT\s+NULL""" +
       """\s*;?\s*$""").r
+  // round 20 — Delta's high-water repair after RESTORE/backfill
+  private val SyncIdentityRe =
+    ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
+      """\s+SYNC\s+IDENTITY\s*;?\s*$""").r
   private val DropNotNullRe =
     ("""(?is)^\s*ALTER\s+TABLE\s+""" + TableTok +
       """\s+ALTER\s+COLUMN\s+(`[^`]+`|[\w$]+)\s+DROP\s+NOT\s+NULL""" +
@@ -778,6 +782,10 @@ final class SnapshotTimeTravelParser(spark: SparkSession,
       case DropColumnsRe(t, colsTok) =>
         alterTarget(t).map { case (dir, ident) =>
           GraftDropColumnsCommand(dir, ident, splitColumnList(colsTok))
+        }
+      case SyncIdentityRe(t) =>
+        alterTarget(t).map { case (dir, _) =>
+          GraftSyncIdentityCommand(dir)
         }
       case SetNotNullRe(t, colTok) =>
         alterTarget(t).map { case (dir, ident) =>
@@ -1231,6 +1239,24 @@ final case class GraftDescribeDetailCommand(dir: String)
   * For a registered table the catalog's data schema follows the
   * RESTORED version (a restore across a DDL must roll the catalog
   * back too, or every later catalog read resolves the wrong shape). */
+/** `ALTER TABLE t SYNC IDENTITY` (round 20 — Delta's repair verb):
+  * recompute every declared identity column's high-water mark from the
+  * live data, so the next allocation clears values a RESTORE re-issued
+  * or a backfill introduced. Returns the metadata commit's version. */
+final case class GraftSyncIdentityCommand(dir: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("new_version", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = try SnapshotStore.syncIdentity(spark, dir)
+    catch { case e: IllegalArgumentException if e.getMessage != null =>
+      SnapshotDmlRule.analysisError(e.getMessage)
+    }
+    GraftSqlCommands.invalidateRelationCache(spark)
+    Seq(Row(v))
+  }
+}
+
 final case class GraftRestoreCommand(dir: String,
                                      table: Option[TableIdentifier],
                                      version: Option[Long],

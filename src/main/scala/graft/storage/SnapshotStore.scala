@@ -4820,6 +4820,35 @@ object SnapshotStore {
     (out, updates.result())
   }
 
+  /** Delta's `ALTER TABLE ... SYNC IDENTITY`: recompute each declared
+    * identity column's high-water mark from the LIVE DATA — after a
+    * RESTORE re-issued an undone range (the documented restore
+    * contract) or an external backfill, the next allocation must clear
+    * every live value. One column-pruned aggregate over the table (max
+    * for a positive step, min for a negative one), committed through
+    * the same metadata-only property commit SET TBLPROPERTIES uses —
+    * atomic, race-retried, history-preserving. */
+  def syncIdentity(spark: SparkSession, dir: String,
+                   reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    val cur = latestVersion(spark, dir)
+      .getOrElse(refuse(s"no committed version at $dir"))
+    val h = headerInfoOf(spark, dir, cur)
+    val ids = identityOf(h.properties)
+    require(ids.nonEmpty,
+      s"no identity columns are declared at $dir — declare one with " +
+        s"TBLPROPERTIES ('$IdentityKeyPrefix<col>' = '<start>[,<step>]')")
+    val df = read(spark, dir)
+    val aggs = ids.map { case (c, (_, step)) =>
+      (if (step > 0) max(col(s"`$c`")) else min(col(s"`$c`"))).as(c)
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val updates = ids.zipWithIndex.map { case ((c, (start, step)), i) =>
+      val next = if (row.isNullAt(i)) start else row.getLong(i) + step
+      (IdentityHighWaterPrefix + c) -> next.toString
+    }.toMap
+    setTableProperties(spark, dir, updates, reclaimGraceMs)
+  }
+
   /** refuse row-replacing upserts on identity tables: a merge delta
     * cannot carry the identity column (GENERATED ALWAYS), so replaced
     * rows would silently lose their allocated values */

@@ -82,6 +82,47 @@ class SnapshotIdentitySpec extends SparkSpec {
       s"drop of the identity column must refuse: ${ed.getMessage}")
   }
 
+  test("SYNC IDENTITY repairs the high water after a RESTORE re-issued " +
+    "an undone range — the next allocation clears every live value " +
+    "(API + SQL faces)") {
+    val dir = freshDir()
+    store.commit(spark, dir,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "txt").coalesce(1)
+        .sortWithinPartitions("k"), "ingest",
+      tblProperties = Map("graft.identity.id" -> "0,1"))           // ids 0,1
+    store.commitAppend(spark, dir,
+      Seq((3L, "c")).toDF("k", "txt"), "append")                   // id 2
+    store.restore(spark, dir, 1L) // header rolls back: water = 2 again
+    // without repair, the next append would re-issue id 2 — documented;
+    // SYNC IDENTITY recomputes from the LIVE data (max 1 → next 2 is
+    // correct here since v3 restored the 2-row state; then append,
+    // restore PAST that append, and prove the collision window closes)
+    store.commitAppend(spark, dir,
+      Seq((4L, "d")).toDF("k", "txt"), "append")                   // id 2 again (restored water)
+    val tbl = "idn_sync_t"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING `graft-snapshot` OPTIONS (path '$dir')")
+    try {
+      spark.sql(s"ALTER TABLE $tbl SYNC IDENTITY")
+      val hw = store.manifest(spark, dir,
+        store.latestVersion(spark, dir).get).properties
+        .get("graft.identityHighWater.id")
+      assert(hw.contains("3"), s"water recomputed from live max 2: $hw")
+      store.commitAppend(spark, dir,
+        Seq((5L, "e")).toDF("k", "txt"), "append")
+      val ids = store.read(spark, dir).select("id").as[Long].collect()
+      assert(ids.length == ids.distinct.length,
+        s"no collision after the repair: ${ids.sorted.mkString(",")}")
+      assert(ids.max == 3L)
+      // refusal: no identity declared
+      val dir2 = freshDir()
+      store.commit(spark, dir2, Seq((1L, "x")).toDF("k", "txt"), "ingest")
+      val e = intercept[IllegalArgumentException](
+        store.syncIdentity(spark, dir2))
+      assert(e.getMessage.contains("graft.identity"))
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("two CONCURRENT appends both land with disjoint dense ranges — " +
     "the lost-race re-stage re-allocates against the winner's water") {
     val dir = freshDir()
