@@ -282,6 +282,18 @@ object SnapshotStore {
     * content-neutral. */
   val RewriteOps: Set[String] = Set("compact", "zorder", "hilbert", "purge")
 
+  /** The [[RewriteOps]] names are RESERVED for the engine's own
+    * content-neutral maintenance rewrites: the change feed, the
+    * streaming byte meter and the compaction-source selector all treat
+    * them as row-preserving and skip them. A caller-named data commit
+    * wearing one of these names would silently vanish from
+    * `table_changes` — refuse at the public faces instead. */
+  private def reserveRewriteName(operation: String): Unit =
+    require(!RewriteOps(operation),
+      s"operation name '$operation' is reserved for engine maintenance " +
+        "rewrites (content-neutral: excluded from the change feed) — " +
+        "pick another name for a data-changing commit")
+
   /** Engine-staged operations whose lost commit race REFUSES (typed)
     * when the rival removed files or changed deletion vectors, instead
     * of silently re-staging (round 20 — the Delta ConflictChecker
@@ -1706,12 +1718,21 @@ object SnapshotStore {
     * it). PER-THREAD (round 20): concurrent queries (the bench
     * harness, multi-session drivers) must not interleave each other's
     * counters, or an in-plan fence could assert against a rival
-    * query's prune. */
+    * query's prune. CROSS-THREAD FALLBACK (round 21): a SQL relation's
+    * listFiles can run on a Spark planning/broadcast-exchange/AQE pool
+    * thread distinct from the one that later reads the fence — a
+    * reader whose own thread never ran a prune falls back to the most
+    * recent prune process-wide instead of a false (0,0); a thread that
+    * DID run one keeps its own latest (no rival interleave). */
   private val lastDistributedPruneTl =
-    ThreadLocal.withInitial[(Long, Long)](() => (0L, 0L))
-  def lastDistributedPrune: (Long, Long) = lastDistributedPruneTl.get()
-  private def setLastDistributedPrune(v: (Long, Long)): Unit =
-    lastDistributedPruneTl.set(v)
+    ThreadLocal.withInitial[Option[(Long, Long)]](() => None)
+  @volatile private var lastDistributedPruneGlobal: (Long, Long) = (0L, 0L)
+  def lastDistributedPrune: (Long, Long) =
+    lastDistributedPruneTl.get().getOrElse(lastDistributedPruneGlobal)
+  private def setLastDistributedPrune(v: (Long, Long)): Unit = {
+    lastDistributedPruneTl.set(Some(v))
+    lastDistributedPruneGlobal = v
+  }
 
   /** executor-side phase-1 row evaluation of one checkpoint entry:
     * min/max / null-count stats only (bloom bits stay in their
@@ -2212,6 +2233,7 @@ object SnapshotStore {
              partitionBy: Seq[String] = Seq.empty,
              bloomCols: Seq[String] = Seq.empty,
              tblProperties: Map[String, String] = Map.empty): Long = {
+    reserveRewriteName(operation)
     // identity high-water updates flow from the stage (which allocates)
     // into the SAME commit's property map — set per attempt, read by
     // propertiesFn strictly after (the commit loop's stage-then-props
@@ -2242,8 +2264,9 @@ object SnapshotStore {
       val (withIds, hw) = applyIdentity(spark, df, props)
       hwUpdates.set(hw)
       // expression defaults: carried declarations plus this commit's own
-      writeData(applyColumnDefaults(spark, withIds, generatedOf(props)),
+      try writeData(applyColumnDefaults(spark, withIds, generatedOf(props)),
         dataDir, partitionBy)
+      finally releaseIdentityPin()
       Staged(Seq.empty, Map.empty)
     }
   }
@@ -2257,6 +2280,7 @@ object SnapshotStore {
   def commitAppend(spark: SparkSession, dir: String, delta: DataFrame,
                    operation: String,
                    reclaimGraceMs: Long = DefaultReclaimGraceMs): Long = {
+    reserveRewriteName(operation)
     preValidateEvolution(spark, dir, delta)
     // identity allocation per attempt; the high-water update rides the
     // same commit's property map (see [[commit]])
@@ -2272,12 +2296,13 @@ object SnapshotStore {
         val props = hdr.map(_.properties).getOrElse(Map.empty)
         val (withIds, hw) = applyIdentity(spark, delta, props)
         hwUpdates.set(hw)
-        writeData(
+        try writeData(
           applyColumnDefaults(spark, withIds, generatedOf(props)),
           dataDir,
           hdr.map(_.partitionCols).getOrElse(Seq.empty),
           toPhysical = hdr.flatMap(_.schemaStruct).map(physicalOf)
             .getOrElse(Map.empty))
+        finally releaseIdentityPin()
         Staged(Seq.empty, Map.empty)
       }) { (_, _) => sys.error("unreachable: bounded stage set") }
   }
@@ -3218,10 +3243,19 @@ object SnapshotStore {
   private[storage] val sidecarReadCount =
     new java.util.concurrent.atomic.AtomicLong
   // per-thread (round 20): a rival query's load must not clobber the
-  // fence a spec reads right after its own call
+  // fence a spec reads right after its own call; cross-thread fallback
+  // (round 21): a load on a planning-pool thread is still visible to a
+  // reader whose own thread never ran one (same shape as
+  // lastDistributedPrune above)
   private val lastSidecarReadsTl =
-    ThreadLocal.withInitial[Seq[String]](() => Seq.empty)
-  private[storage] def lastSidecarReads: Seq[String] = lastSidecarReadsTl.get()
+    ThreadLocal.withInitial[Option[Seq[String]]](() => None)
+  @volatile private var lastSidecarReadsGlobal: Seq[String] = Seq.empty
+  private def setLastSidecarReads(v: Seq[String]): Unit = {
+    lastSidecarReadsTl.set(Some(v))
+    lastSidecarReadsGlobal = v
+  }
+  private[storage] def lastSidecarReads: Seq[String] =
+    lastSidecarReadsTl.get().getOrElse(lastSidecarReadsGlobal)
   private[storage] def clearSidecarBloomCacheForTest(): Unit =
     sidecarBloomCache.synchronized(sidecarBloomCache.clear())
 
@@ -3272,7 +3306,7 @@ object SnapshotStore {
         } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
-    lastSidecarReadsTl.set(reads.distinct.toSeq)
+    setLastSidecarReads(reads.distinct.toSeq)
     out.result()
   }
 
@@ -3307,7 +3341,7 @@ object SnapshotStore {
         if (has) pending += f
       }
     }
-    if (pending.isEmpty) { lastSidecarReadsTl.set(Seq.empty); return phase1 }
+    if (pending.isEmpty) { setLastSidecarReads(Seq.empty); return phase1 }
     val br = new FilePredicate.LoadedResolve(
       loadSidecarBlooms(spark, needed.toSeq.map(kv => kv._1 -> kv._2.toSeq)))
     val pendSet = pending.toSet
@@ -3825,10 +3859,14 @@ object SnapshotStore {
           case Some(fb) =>
             // legacy no-schema prior: the bounded closure still writes
             // the data (header carries everything it reads); the
-            // carry-all intent materializes into explicit carries
+            // carry-all intent materializes into explicit carries MINUS
+            // the stage's removes — a bounded CoW stage expresses row
+            // removal solely via removes, so carrying them here would
+            // resurrect deleted rows and duplicate rewritten ones
             val st = fb(priorHdr, dataDir)
-            Staged(priorFull.map(_.files).getOrElse(Seq.empty),
-              priorFull.map(_.stats).getOrElse(Map.empty), st.dvs)
+            val rm = st.removes.toSet
+            Staged(priorFull.map(_.files.filterNot(rm)).getOrElse(Seq.empty),
+              priorFull.map(_.stats -- rm).getOrElse(Map.empty), st.dvs)
           case None => stage(priorFull, dataDir)
         }
         val (carryFiles, carryStats) = (staged0.carryFiles, staged0.carryStats)
@@ -4781,8 +4819,22 @@ object SnapshotStore {
       : (DataFrame, Map[String, String]) = {
     val ids = identityOf(props)
     if (ids.isEmpty) return (df, Map.empty)
+    // Materialize the source ONCE before the multi-evaluation below
+    // (null probe, count() for the high-water advance, zipWithIndex for
+    // the write): a non-deterministic frame (rand(), sample, re-executed
+    // shuffle) re-evaluated per action could allocate values that
+    // disagree with the recorded high water — the same hazard
+    // updateConditionDv/merge persist against (the r15 discipline).
+    // The pin lives until the caller's writeData consumed the rows; the
+    // commit faces unpersist via [[releaseIdentityPin]] right after.
     val cs = caseSensitive(spark)
-    var out = df
+    var out =
+      if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+        val pinned =
+          df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        identityPinTl.set(Some(pinned))
+        pinned
+      } else df
     val updates = Map.newBuilder[String, String]
     ids.foreach { case (c, (start, step)) =>
       val existing = out.schema.fields.zipWithIndex.find { case (f, _) =>
@@ -4818,6 +4870,17 @@ object SnapshotStore {
       updates += (IdentityHighWaterPrefix + c) -> (hw + n * step).toString
     }
     (out, updates.result())
+  }
+
+  /** the frame [[applyIdentity]] pinned for this thread's in-flight
+    * commit attempt; released by the commit faces AFTER writeData
+    * consumed the rows (unpersisting earlier would let the write
+    * recompute a non-deterministic source) */
+  private val identityPinTl =
+    ThreadLocal.withInitial[Option[DataFrame]](() => None)
+  private def releaseIdentityPin(): Unit = {
+    identityPinTl.get().foreach(_.unpersist(false))
+    identityPinTl.set(None)
   }
 
   /** Delta's `ALTER TABLE ... SYNC IDENTITY`: recompute each declared

@@ -154,4 +154,43 @@ class SnapshotIdentitySpec extends SparkSpec {
       s"allocation stays DENSE across the race: min=${ids.head} " +
         s"max=${ids.last}")
   }
+
+  test("NON-DETERMINISTIC source frame: allocation pins the rows once — " +
+    "count, zipWithIndex and the written data all see the same " +
+    "evaluation, so values stay dense and the high water agrees exactly") {
+    val dir = freshDir()
+    IdentityFlakyEvals.n.set(0)
+    // a source whose row count CHANGES per evaluation (the worst case of
+    // sample/rand/re-executed-shuffle non-determinism): evaluation k
+    // yields 5+k rows — without the materialization pin, count() (one
+    // evaluation) and zipWithIndex+write (later evaluations) disagree
+    val rdd = spark.sparkContext.parallelize(Seq(0), 1).mapPartitions { _ =>
+      val k = IdentityFlakyEvals.n.incrementAndGet()
+      (1 to (5 + k)).iterator.map(i =>
+        org.apache.spark.sql.Row(i.toLong, s"r$i"))
+    }
+    val df = spark.createDataFrame(rdd,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("txt",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    store.commit(spark, dir, df, "ingest",
+      tblProperties = Map("graft.identity.id" -> "0,1"))
+    val rows = store.read(spark, dir).select("id").as[Long].collect().sorted
+    val hw = store.manifest(spark, dir, store.latestVersion(spark, dir).get)
+      .properties("graft.identityHighWater.id").toLong
+    assert(rows.toSeq == (0L until rows.length.toLong),
+      s"allocated values must be dense from 0, got ${rows.mkString(",")}")
+    assert(hw == rows.length.toLong,
+      s"recorded high water ($hw) must equal the rows actually written " +
+        s"(${rows.length}) — the source was evaluated exactly once")
+  }
+}
+
+/** per-JVM evaluation counter for the non-deterministic-source identity
+  * spec (an object so the task closure resolves the SAME singleton after
+  * deserialization) */
+object IdentityFlakyEvals {
+  val n = new java.util.concurrent.atomic.AtomicInteger(0)
 }

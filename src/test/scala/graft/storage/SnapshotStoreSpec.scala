@@ -1157,4 +1157,42 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(d == Map(1L -> "unchanged", 2L -> "modified",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("bounded CoW delete against a LEGACY no-schema prior: the " +
+    "fallback carry subtracts the stage's removes — deleted rows never " +
+    "resurrect, surviving rows never duplicate") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir,
+      (1L to 10L).map(i => i -> s"t$i").toDF("doc_id", "text"), "ingest")
+    // a pre-evolution manifest records no schema (the supported legacy
+    // state) — re-commit the same file set schema-less
+    val m1 = SnapshotStore.manifest(spark, dir, 1L)
+    SnapshotStore.writeManifestForTest(spark, dir,
+      m1.copy(version = 2L, operation = "legacy", schema = None))
+    // prune=None touches every file: the bounded stage expresses the
+    // rewrite solely via removes, which the no-schema fallback must
+    // subtract from its carry-all materialization
+    SnapshotStore.deleteCondition(spark, dir, col("doc_id") <= 5L, None)
+    val after = SnapshotStore.read(spark, dir)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == (6L to 10L),
+      s"expected exactly the 5 survivors once each, got $after")
+  }
+
+  test("reserved maintenance names refuse at the public commit faces — " +
+    "a data commit named like a rewrite would vanish from table_changes") {
+    val dir = freshDir()
+    SnapshotStore.commit(spark, dir, docs(1L -> "a"), "ingest")
+    Seq("compact", "zorder", "hilbert", "purge").foreach { op =>
+      intercept[IllegalArgumentException] {
+        SnapshotStore.commit(spark, dir, docs(2L -> "b"), op)
+      }
+      intercept[IllegalArgumentException] {
+        SnapshotStore.commitAppend(spark, dir, docs(2L -> "b"), op)
+      }
+    }
+    // the engine's own maintenance path still commits under the name
+    SnapshotStore.compact(spark, dir)
+    assert(SnapshotStore.read(spark, dir).count() == 1L)
+  }
 }
