@@ -590,32 +590,25 @@ object Dedup {
     // the session's fixed shuffle-partition count each stage schedules that
     // many tasks no matter how small the graph is, and task overhead — not
     // data — dominates (the quotient graphs of the incremental path are
-    // tiny by design). Let AQE coalesce every exchange in the loop by
-    // MEASURED size instead of parallelism: at 100 TB the 64 MB advisory
-    // target still yields thousands of partitions, while a kilobyte-sized
-    // root graph collapses to single-task stages. Saved/restored around the
-    // loop. The override is session-wide (SQLConf has no per-job scope for
-    // AQE knobs), so overlapping CC calls on one session could interleave
-    // set/restore and strand the altered value — the lock serializes them;
-    // other queries racing the CC loop on the same session still see the
-    // override, which is benign (AQE sizes their stages by bytes too) but
-    // documented: run CC jobs sequentially with other work where possible.
-    ccConfLock.synchronized {
-      val conf = pairs.sparkSession.conf
-      val pfKey = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
-      val pfOld = conf.getOption(pfKey)
-      conf.set(pfKey, "false")
-      try connectedComponentsInner(pairs, docs, idCol, maxIterations)
-      finally pfOld match {
-        case Some(v) => conf.set(pfKey, v)
-        case None => conf.unset(pfKey)
-      }
+    // tiny by design). Round 21: size the LOOP's shuffles from a JOB-FREE
+    // byte estimate of the inputs (cached memo blocks / materialized
+    // relation stats — never a count() job, whose extra pass reads as a
+    // fake recordsRead regression on every consumer), clamped to the
+    // session's own configured count: at 100 TB the clamp keeps today's
+    // partitioning, while a kilobyte-sized root graph collapses to
+    // single-task stages on BOTH shuffle sides (AQE coalescing alone only
+    // repairs the read side; the map side still writes one file per
+    // configured partition — the measured dominant cost). AQE
+    // parallelism-first stays off inside the scope (the round-20 shape).
+    // Lock/override semantics documented on [[graft.operators.LoopConf]].
+    // The final relabel join touches the docs table too — both frames
+    // feed the hint so a huge corpus with few edges never lands on a
+    // single-task shuffle.
+    graft.operators.LoopConf.scopedByInputs(
+        pairs.sparkSession, Seq(pairs, docs)) {
+      connectedComponentsInner(pairs, docs, idCol, maxIterations)
     }
   }
-
-  /** Serializes [[connectedComponents]]' session-conf override (see the
-    * comment at the set site). */
-  private val ccConfLock = new Object
 
   private def connectedComponentsInner(pairs: DataFrame, docs: DataFrame,
                                        idCol: String,

@@ -52,6 +52,10 @@ object KCore {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(true)
+    // size the peel rounds' shuffles from the job-free input-byte hint —
+    // see [[LoopConf]] (the edge set only shrinks, so the input bound
+    // holds for every round)
+    LoopConf.scopedByInputs(pairs.sparkSession, Seq(pairs)) {
     // symmetric orientation: per-node degree is then one groupBy on src
     var ed = iterCheckpoint(pairs
       .select(explode(array(
@@ -86,5 +90,6 @@ object KCore {
     }
     (ed.groupBy(col("s").as("doc_id"))
       .agg(count(lit(1)).as("core_degree")), converged)
+    }
   }
 }

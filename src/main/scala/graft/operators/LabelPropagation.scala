@@ -38,6 +38,10 @@ object LabelPropagation {
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
         df.checkpoint(eager = true)
       else df.localCheckpoint(true)
+    // size the loop's shuffles from the job-free input-byte hint — see
+    // [[LoopConf]] (toy graphs: single-task rounds; at scale: the
+    // session's own partitioning, unchanged)
+    LoopConf.scopedByInputs(pairs.sparkSession, Seq(pairs)) {
     val ed = iterCheckpoint(pairs
       .select(explode(array(
         struct(col("doc_a").cast("long").as("s"), col("doc_b").cast("long").as("t")),
@@ -64,5 +68,6 @@ object LabelPropagation {
         .select(col("id"), col("best.l").as("lbl")))
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("community"))
+    }
   }
 }

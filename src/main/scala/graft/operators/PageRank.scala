@@ -33,6 +33,10 @@ object PageRank {
             damping: Double = 0.85): DataFrame = {
     require(iterations >= 1, "need at least one iteration")
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // size the loop's shuffles from the job-free input-byte hint so a
+    // toy graph runs single-task rounds while an at-scale one keeps the
+    // session's partitioning; see [[LoopConf]]
+    LoopConf.scopedByInputs(e.sparkSession, Seq(e)) {
     val nodes = e.select(col("src").as("id"))
       .unionByName(e.select(col("dst").as("id")))
       .distinct().persist()
@@ -62,5 +66,6 @@ object PageRank {
             lit(damping) * coalesce(col("inflow"), lit(0.0)), 6).as("rank"))
     }
     graft.dedup.Dedup.materializeAndRelease(ranks, nodes, deg)
+    }
   }
 }

@@ -62,6 +62,15 @@ object SuffixArray {
       .select(col("doc_id"), (col("__i") + 1).cast("long").as("widx"),
         col("__w"))
       .persist()
+    // size every round's shuffles from the measured position count (the
+    // count also materializes the persist the round-0 rank pass reads) —
+    // see [[LoopConf]]: ~12 doubling rounds x 3 stages each at the
+    // session's fixed partition count is pure task overhead on a small
+    // corpus, while the clamp keeps at-scale partitioning unchanged.
+    // Row: (doc_id, widx, Fanout ranks) longs + the round-0 key window.
+    val nPos = pos.count()
+    LoopConf.scoped(pos.sparkSession,
+      LoopConf.partitionsFor(pos.sparkSession, nPos, rowBytes = 128L)) {
     // the string key bins by its 2-codepoint prefix (monotone under
     // binary order)
     var cur = Dedup.materializeAndRelease(
@@ -122,6 +131,7 @@ object SuffixArray {
       h *= Fanout
     }
     cur
+    }
   }
 
   /** Ranks compared per doubling round (k-ary prefix doubling): each
