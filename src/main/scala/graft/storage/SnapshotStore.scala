@@ -3379,10 +3379,155 @@ object SnapshotStore {
     * (the collected bits are a bounded per-commit TRANSIENT here, not
     * driver residency). Every production caller passes a sidecar dir;
     * the inline-base64 fallback remains for None (legacy parity). */
-  private def collectStats(df: DataFrame, files: Seq[String],
-                           sizes: Map[String, Long],
-                           bloomCols: Seq[String] = Seq.empty,
-                           sidecarDir: Option[String] = None)
+  /** Per-file stats read from the PARQUET FOOTERS the commit just wrote
+    * — the write pass IS the stats pass (round 21; optimization guide
+    * §1.2 "don't compute things twice": the previous shape re-scanned
+    * every fresh data file with a groupBy(input_file_name) aggregate,
+    * a second full pass over all new data on every commit). A footer
+    * already carries exact per-row-group min/max/null-count/row-count
+    * for every column, and parquet-mr 1.16 writes chunk statistics
+    * UNTRUNCATED by default (DEFAULT_STATISTICS_TRUNCATE_LENGTH =
+    * Int.MaxValue, verified against the bundled jar), so the derived
+    * stats are value-identical to the scan's for every supported type:
+    * integral/date decode to the same Long, float/double to the same
+    * Double, decimal(p<=18) to the same unscaled Long (INT32/INT64
+    * physical, FIXED/BINARY legacy), strings to the same UTF-8 value
+    * under the same unsigned byte order UTF8String compares with.
+    *
+    * Returns None — caller falls back to the one-scan [[collectStats]]
+    * — whenever footer parity cannot be guaranteed structurally:
+    * declared bloom columns (their bits need a data pass), hive
+    * partition columns (elided from the files, so footers cannot see
+    * them), a TimestampType stats column (Spark's default INT96
+    * encoding carries no usable footer statistics), or any read error.
+    *
+    * Two DELIBERATE, conservative-only divergences from the scan:
+    * a string column keeps stats when its min/max VALUES are within
+    * [[MaxStatsStringLen]] (the scan dropped on the longest value —
+    * both rules bound manifest bytes; having stats the scan would have
+    * dropped only ever prunes MORE files, never a wrong answer), and a
+    * float/double chunk parquet declined to stat (NaN present) drops
+    * bounds the scan would have recorded (pruning keeps the file —
+    * conservative). Zero-row files record NO entry, exactly like the
+    * scan (the "empty frame writes a schema-only part file with no
+    * stats entry" contract conservative pruning relies on). */
+  private[storage] def collectStatsFromFooters(spark: SparkSession,
+                                               df: DataFrame,
+                                               files: Seq[String],
+                                               sizes: Map[String, Long])
+      : Option[Map[String, FileStats]] = {
+    import scala.jdk.CollectionConverters._
+    if (files.isEmpty) return Some(Map.empty)
+    val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
+      .take(MaxStatsColumns).toSeq
+    // INT96 timestamps carry no usable footer statistics
+    if (statCols.exists(_.dataType == TimestampType)) return None
+    val conf = spark.sparkContext.hadoopConfiguration
+    // unsigned lexicographic byte order — the order parquet's UTF8
+    // comparator sorted the stats by, and the order UTF8String compares
+    // with (java String order differs on supplementary chars: compare
+    // BYTES, decode the winner)
+    def cmpU(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    def decodeLong(v: AnyRef): Long = v match {
+      case n: java.lang.Number => n.longValue()
+      case b: org.apache.parquet.io.api.Binary =>
+        // legacy decimal encoding: big-endian two's-complement unscaled
+        new java.math.BigInteger(b.getBytes).longValueExact()
+      case other => sys.error(s"unexpected footer stat value $other")
+    }
+    try {
+      val out = files.flatMap { f =>
+        val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new Path(f), conf))
+        try {
+          val blocks = rd.getFooter.getBlocks.asScala.toSeq
+          val rows = blocks.map(_.getRowCount).sum
+          if (rows == 0L) None // parity: scan records no entry either
+          else {
+            val cols = statCols.flatMap { fl =>
+              val chunks = blocks.flatMap(_.getColumns.asScala.filter(c =>
+                c.getPath.size == 1 && c.getPath.toDotString == fl.name))
+              val sts = chunks.map(_.getStatistics)
+              if (chunks.size != blocks.size ||
+                  sts.exists(s => s == null || !s.isNumNullsSet)) None
+              else {
+                val nulls = sts.map(_.getNumNulls).sum
+                val nonNull = sts.filter(_.hasNonNullValue)
+                val dt = fl.dataType.simpleString
+                if (nonNull.isEmpty) {
+                  if (nulls == rows)
+                    Some(fl.name -> ColStats(dt, None, None, Some(nulls)))
+                  else None // stats omitted (NaN chunk): conservative drop
+                } else {
+                  def mins = nonNull.map(_.genericGetMin.asInstanceOf[AnyRef])
+                  def maxs = nonNull.map(_.genericGetMax.asInstanceOf[AnyRef])
+                  fl.dataType match {
+                    case ByteType | ShortType | IntegerType | LongType |
+                         DateType | _: DecimalType =>
+                      Some(fl.name -> ColStats(dt,
+                        Some(mins.map(decodeLong).min),
+                        Some(maxs.map(decodeLong).max), Some(nulls)))
+                    case FloatType | DoubleType =>
+                      Some(fl.name -> ColStats(dt,
+                        Some(mins.map(_.asInstanceOf[Number].doubleValue()).min),
+                        Some(maxs.map(_.asInstanceOf[Number].doubleValue()).max),
+                        Some(nulls)))
+                    case BooleanType =>
+                      Some(fl.name -> ColStats(dt,
+                        Some(mins.map(_.asInstanceOf[java.lang.Boolean]
+                          .booleanValue()).min),
+                        Some(maxs.map(_.asInstanceOf[java.lang.Boolean]
+                          .booleanValue()).max), Some(nulls)))
+                    case StringType =>
+                      val mn = mins.map(
+                        _.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .getBytes).reduce((a, b) => if (cmpU(a, b) <= 0) a else b)
+                      val mx = maxs.map(
+                        _.asInstanceOf[org.apache.parquet.io.api.Binary]
+                          .getBytes).reduce((a, b) => if (cmpU(a, b) >= 0) a else b)
+                      val mnS = new String(mn, java.nio.charset.StandardCharsets.UTF_8)
+                      val mxS = new String(mx, java.nio.charset.StandardCharsets.UTF_8)
+                      // bound manifest bytes like the scan's longest-value
+                      // rule; divergence documented above
+                      if (mnS.codePointCount(0, mnS.length) > MaxStatsStringLen ||
+                          mxS.codePointCount(0, mxS.length) > MaxStatsStringLen)
+                        None
+                      else Some(fl.name ->
+                        ColStats(dt, Some(mnS), Some(mxS), Some(nulls)))
+                    case _ => None
+                  }
+                }
+              }
+            }.toMap
+            Some(f -> FileStats(rows, cols, bytes = sizes.getOrElse(f, 0L)))
+          }
+        } finally rd.close()
+      }.toMap
+      Some(out)
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        graft.observability.Observability.logLeveled(
+          graft.observability.Observability.Level.Warning,
+          s"footer stats unavailable (${e.getClass.getSimpleName}: " +
+            s"${e.getMessage}) — falling back to the scan pass")
+        None
+    }
+  }
+
+  private[storage] def collectStats(df: DataFrame, files: Seq[String],
+                                    sizes: Map[String, Long],
+                                    bloomCols: Seq[String] = Seq.empty,
+                                    sidecarDir: Option[String] = None)
       : Map[String, FileStats] = {
     if (files.isEmpty) return Map.empty
     val statCols = df.schema.fields.filter(f => statsSupported(f.dataType))
@@ -3966,9 +4111,20 @@ object SnapshotStore {
         // declarations — evaluated against the IN-LOOP prior
         val props = propertiesFn.map(fn => validatedProperties(fn(fnPrior)))
           .getOrElse(priorHdr.map(_.properties).getOrElse(Map.empty))
-        val newStats = newDf.map(collectStats(_, newFiles, sized.toMap,
+        // stats ride the footers of the files this commit just wrote —
+        // no second data pass (round 21); declared blooms and hive
+        // layouts (partition values live in paths, not footers) keep
+        // the one-scan path, as does SPARK_GRAFT_STATS_SCAN=1 (the
+        // parity-spec control)
+        val newStats = newDf.map { d =>
+          val viaFooters =
+            if (bCols.isEmpty && pCols.isEmpty &&
+                !sys.env.contains("SPARK_GRAFT_STATS_SCAN"))
+              collectStatsFromFooters(spark, d, newFiles, sized.toMap)
+            else None
+          viaFooters.getOrElse(collectStats(d, newFiles, sized.toMap,
             bCols, Some(bloomSidecarDirOf(dataDir))))
-          .getOrElse(Map.empty)
+        }.getOrElse(Map.empty)
         setLastCommitDriverEntries(
           (if (bounded) 0L else carryFiles.size.toLong) + newFiles.size)
         // table-level CHECK constraints (round 18 — Delta invariants)

@@ -1158,6 +1158,57 @@ class SnapshotStoreSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("footer-derived stats are value-identical to the scan pass " +
+    "across the supported type battery (the commit's second data pass " +
+    "is gone, its stats are not)") {
+    val dir = freshDir()
+    import org.apache.spark.sql.types._
+    // every statsSupported type except timestamp (INT96: the footer
+    // path structurally refuses), plus nulls, negative decimals,
+    // non-ASCII strings, and a >64-char string column both rules drop
+    val df = spark.range(0, 101, 1, 3).selectExpr(
+      "id AS k",
+      "CAST(id % 7 AS INT) AS i32",
+      "CAST(id % 3 AS SMALLINT) AS i16",
+      "CAST(id % 2 AS TINYINT) AS i8",
+      "CAST(CASE WHEN id % 5 = 0 THEN NULL ELSE id * 0.5 END AS DOUBLE) AS d",
+      "CAST(id AS FLOAT) / 3.0F AS fl",
+      "id % 2 = 0 AS b",
+      "CASE WHEN id % 9 = 0 THEN NULL ELSE concat('véç-', id) END AS s",
+      "repeat('y', 80 + CAST(id AS INT)) AS long_s",
+      "DATE_ADD(DATE'2020-01-01', CAST(id AS INT)) AS dt",
+      "CAST(CAST(id AS DOUBLE) / 4 - 50.25 AS DECIMAL(9,2)) AS dec9",
+      "CAST(-7 * (CAST(id AS DOUBLE) + 0.3) AS DECIMAL(18,4)) AS dec18",
+      "CAST(NULL AS STRING) AS all_null")
+    SnapshotStore.commit(spark, dir, df, "ingest")
+    val m = SnapshotStore.manifest(spark, dir, 1L)
+    // recompute BOTH ways over the committed files and compare exactly
+    val reread = spark.read.parquet(m.files: _*)
+    val sizes = m.files.map(f => f -> 1L).toMap
+    val viaFooters = SnapshotStore.collectStatsFromFooters(
+      spark, reread, m.files, sizes)
+    assert(viaFooters.isDefined, "footer stats must engage on this table")
+    val viaScan = SnapshotStore.collectStats(reread, m.files, sizes)
+    val ff = viaFooters.get
+    assert(ff.keySet == viaScan.keySet, s"${ff.keySet} vs ${viaScan.keySet}")
+    ff.foreach { case (f, st) =>
+      val sc = viaScan(f)
+      assert(st.rows == sc.rows, s"$f rows: ${st.rows} vs ${sc.rows}")
+      assert(st.cols == sc.cols,
+        s"$f col stats diverge:\n footer=${st.cols}\n scan  =${sc.cols}")
+    }
+    // and the committed manifest (which took the footer path) agrees too
+    m.stats.foreach { case (f, st) =>
+      assert(st.cols == viaScan(f).cols && st.rows == viaScan(f).rows,
+        s"committed stats diverge from the scan for $f")
+    }
+    // the pruning face still works end-to-end on footer-derived stats
+    import SnapshotStore.FilePredicate._
+    assert(SnapshotStore.readAsOfWhere(spark, dir, 1L,
+      And(between("k", 10L, 20L), IsNotNull("s"))).count() ==
+      (10L to 20L).count(i => i % 9 != 0))
+  }
+
   test("bounded CoW delete against a LEGACY no-schema prior: the " +
     "fallback carry subtracts the stage's removes — deleted rows never " +
     "resurrect, surviving rows never duplicate") {
