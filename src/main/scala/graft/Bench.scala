@@ -62,10 +62,14 @@ object Bench {
       val memoSecs = scala.collection.mutable.LinkedHashMap.empty[String, Double]
       val times = Seq.newBuilder[Double]
       var lastDelta = zeroDelta
-      (1 to reps).foreach { _ =>
+      (1 to reps).foreach { rep =>
         val before = drainedSnapshot()
         val t0 = System.nanoTime()
+        // guide §1.5: label the query's jobs so UI/eventlog time maps
+        // back to the bench entry (thread-local; cleared after the reps)
+        spark.sparkContext.setJobDescription(s"bench:$name rep$rep")
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        finally spark.sparkContext.setJobDescription(null)
         val sec = (System.nanoTime() - t0) / 1e9
         val after = drainedSnapshot()
         // engine counters (bytes, cpu) come from the LAST rep: memo-free

@@ -5007,13 +5007,48 @@ object SnapshotStore {
         .getOrElse(out)
       val hw = props.get(IdentityHighWaterPrefix + c)
         .map(_.trim.toLong).getOrElse(start)
-      val n = base.count()
+      // Dense allocation WITHOUT the rdd.zipWithIndex round-trip (round
+      // 21): zipWithIndex deserializes every InternalRow to an external
+      // Row and createDataFrame re-encodes it — two whole-row
+      // conversions outside codegen — and runs its own per-partition
+      // count job on top of the count() above (3 passes total). The
+      // same global position is pid-order offset + within-partition
+      // record number: monotonically_increasing_id()'s lower 33 bits
+      // are exactly that record number (consecutive from 0 per
+      // partition), the per-partition offsets come from ONE tiny
+      // aggregate (a row per partition — bounded driver state), and
+      // the ids attach through a broadcast join in a codegen
+      // projection. 2 passes over the pinned blocks, no row
+      // conversion, allocation order identical (partition-major).
+      // The 33-bit record number caps a single partition at 2^33 rows
+      // — far beyond any sane partition (zipWithIndex had no cap;
+      // a >8.5e9-row partition would already be a broken layout).
       val schema0 = base.schema
-      val rdd = base.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (hw + i * step)) }
-      val appended = spark.createDataFrame(rdd,
-        StructType(schema0.fields :+
-          StructField(c, LongType, nullable = false)))
+      val pidC = "__graft_identity_pid"
+      val midC = "__graft_identity_mid"
+      val offC = "__graft_identity_off"
+      val tagged = base.select(
+        schema0.fieldNames.map(x => col(s"`$x`")).toSeq :+
+          spark_partition_id().as(pidC) :+
+          monotonically_increasing_id().as(midC): _*)
+      val partCounts = tagged.groupBy(col(pidC))
+        .agg(count(lit(1)).as("c"))
+        .collect() // bounded: one row per input partition
+        .map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      var acc = 0L
+      val offsets = partCounts.map { case (p, cnt) =>
+        val o = (p, acc); acc += cnt; o }
+      val n = acc
+      val offDf = {
+        val sqlc = spark
+        import sqlc.implicits._
+        broadcast(offsets.toSeq.toDF(pidC, offC))
+      }
+      val appended = tagged.join(offDf, Seq(pidC))
+        .withColumn(c, lit(hw) +
+          (col(offC) + col(midC).bitwiseAND(lit((1L << 33) - 1))) *
+            lit(step))
+        .drop(pidC, midC, offC)
       // a present-but-null column keeps its original position (the SQL
       // INSERT round-trip shape); an absent one appends
       out = existing match {
