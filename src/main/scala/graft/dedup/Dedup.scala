@@ -1022,12 +1022,16 @@ object Dedup {
                    passageTokens: Int = 10, maxPassageFreq: Long = 1L << 20,
                    salts: Int = 16,
                    tok: Column => Column =
-                     graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
-    val (result, intermediates) =
-      passageDedupPlan(docs, idCol, textCol, passageTokens, maxPassageFreq,
-        salts, tok)
-    materializeAndRelease(result, intermediates: _*)
-  }
+                     graft.functions.TextAnalysis.unicodeTokens): DataFrame =
+    // reduce-side sizing from corpus bytes — the exactSpanDedup
+    // rationale (see its doc); scan parallelism is unaffected
+    graft.operators.LoopConf.scopedByInputs(
+        docs.sparkSession, Seq(docs), factor = 4.0) {
+      val (result, intermediates) =
+        passageDedupPlan(docs, idCol, textCol, passageTokens, maxPassageFreq,
+          salts, tok)
+      materializeAndRelease(result, intermediates: _*)
+    }
 
   /** The lazy (un-checkpointed) [[passageDedup]] plan plus the persisted
     * intermediates it rides on — split out so plan-shape tests can assert
@@ -1160,11 +1164,15 @@ object Dedup {
                         maxSegFreq: Long = 1L << 20,
                         salts: Int = 16,
                         tok: Column => Column =
-                          graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
-    val (result, intermediates) = boilerplateRemovePlan(
-      docs, idCol, textCol, segTokens, minDocFreq, maxSegFreq, salts, tok)
-    materializeAndRelease(result, intermediates: _*)
-  }
+                          graft.functions.TextAnalysis.unicodeTokens): DataFrame =
+    // reduce-side sizing from corpus bytes — the exactSpanDedup
+    // rationale (see its doc); scan parallelism is unaffected
+    graft.operators.LoopConf.scopedByInputs(
+        docs.sparkSession, Seq(docs), factor = 4.0) {
+      val (result, intermediates) = boilerplateRemovePlan(
+        docs, idCol, textCol, segTokens, minDocFreq, maxSegFreq, salts, tok)
+      materializeAndRelease(result, intermediates: _*)
+    }
 
   /** The lazy (un-checkpointed) [[boilerplateRemove]] plan plus its
     * persisted intermediates — split out for plan-shape tests, like
@@ -1236,11 +1244,25 @@ object Dedup {
                      spanWords: Int = 8, maxGramFreq: Long = 1L << 20,
                      salts: Int = 16,
                      tok: Column => Column =
-                       graft.functions.TextAnalysis.unicodeTokens): DataFrame = {
-    val (result, intermediates) = exactSpanDedupPlan(
-      docs, idCol, textCol, spanWords, maxGramFreq, salts, tok = tok)
-    materializeAndRelease(result, intermediates: _*)
-  }
+                       graft.functions.TextAnalysis.unicodeTokens): DataFrame =
+    // Size the pipeline's REDUCE stages from the corpus bytes (round 21;
+    // the same [[graft.operators.LoopConf]] discipline as the graph
+    // loops): the plan runs ~8 exchanges whose reduce sides carry only
+    // compact (id, pos, hash) rows — at the session's fixed partition
+    // count each of those stages writes partitions² bypass-merge shuffle
+    // files of a few KB, and executor samples show the file
+    // open/copy/commit syscalls dominating the operator's CPU. The
+    // heavy compute (shingle+md5 scan) lives in the MAP/scan stages,
+    // whose parallelism comes from the cache/file splits, not
+    // spark.sql.shuffle.partitions — so the override cannot serialize
+    // it. Factor 4: gram+token+cut tables are wider than the raw text.
+    // At 100 TB the clamp keeps the session's partitioning unchanged.
+    graft.operators.LoopConf.scopedByInputs(
+        docs.sparkSession, Seq(docs), factor = 4.0) {
+      val (result, intermediates) = exactSpanDedupPlan(
+        docs, idCol, textCol, spanWords, maxGramFreq, salts, tok = tok)
+      materializeAndRelease(result, intermediates: _*)
+    }
 
   /** The lazy [[exactSpanDedup]] plan plus its persisted intermediates —
     * split out for plan-shape tests, like [[boilerplateRemovePlan]]. */
@@ -1286,6 +1308,17 @@ object Dedup {
       .select(col("doc_id"),
         explode(sequence(col("i0"), col("i0") + (spanWords - 1))).as("pos"))
       .distinct())
+    // Materialize the cut set EAGERLY (round 21; guide §1.2 — don't
+    // compute things twice): the consumers below reference it from
+    // SEVERAL broadcast builds (cutDocs anti/semi-joins, the kept
+    // anti-join), and broadcast exchanges execute CONCURRENTLY on the
+    // exchange thread pool — against a lazy persist every build races
+    // the others and recomputes the whole explode+distinct pipeline
+    // before any of them populates the cache (measured: 4 concurrent
+    // rebuilds, ~22 of the operator's 36 executor-CPU-s at sf0.1).
+    // One cheap action serializes the materialization; every build then
+    // reads the cached blocks.
+    if (storeEnabled) cuts.count()
     // only AFFECTED docs pay the token-grain anti-join + reassembly
     // shuffle; at corpus scale most documents have no duplicated span and
     // pass through on the narrow branch (canonical tokenization re-join,

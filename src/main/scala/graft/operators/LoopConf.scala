@@ -124,13 +124,18 @@ private[graft] object LoopConf {
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Run `body` under loop-fitted partitioning derived from the largest
-    * job-free [[bytesHint]] among `inputs`; when no input has a usable
-    * hint, fall back to AQE size-based coalescing only (the round-20
-    * connectedComponents shape). */
-  def scopedByInputs[T](spark: SparkSession, inputs: Seq[DataFrame])
-                       (body: => T): T =
+    * job-free [[bytesHint]] among `inputs`, times `factor` (callers
+    * whose shuffled working set is wider than the raw input — exploded
+    * gram/token tables — pass their expansion estimate; over-estimating
+    * only adds partitions, the safe direction); when no input has a
+    * usable hint, fall back to AQE size-based coalescing only (the
+    * round-20 connectedComponents shape). */
+  def scopedByInputs[T](spark: SparkSession, inputs: Seq[DataFrame],
+                        factor: Double = 1.0)(body: => T): T =
     inputs.flatMap(bytesHint).maxOption match {
-      case Some(b) => scoped(spark, partitionsForBytes(spark, b))(body)
+      case Some(b) =>
+        val sized = math.ceil(b.toDouble * math.max(factor, 0.0)).toLong
+        scoped(spark, partitionsForBytes(spark, sized))(body)
       case None => scopedCoalesceBySize(spark)(body)
     }
 
